@@ -80,6 +80,26 @@ object CdcOps {
     * PG jsonb equality is value-typed (canonicalized), so the comparison is
     * on typed columns, never on serialized strings (SURVEY §7 watch list 1).
     */
+  /** PG jsonb equality is value-typed and canonicalized (key order ignored,
+    * duplicate keys dropped). Spark's `<=>` doesn't support MapType, so map
+    * columns (the hstore analog, FIXTURES.md A1) are normalized to sorted
+    * entry arrays — array<struct> IS null-safe comparable. */
+  private def comparable(df: DataFrame, qualifier: String, c: String): Column = {
+    val dt = df.schema(c).dataType
+    dt.typeName match {
+      case "map" => array_sort(map_entries(col(s"$qualifier.$c")))
+      case _ => col(s"$qualifier.$c")
+    }
+  }
+
+  /** Render one column portably for the diff output (complex types as
+    * JSON, primitives as plain string cast). */
+  private def valueString(df: DataFrame, qualifier: String, c: String): Column =
+    df.schema(c).dataType.typeName match {
+      case "map" | "array" | "struct" => to_json(col(s"$qualifier.$c"))
+      case _ => col(s"$qualifier.$c").cast("string")
+    }
+
   def updateDiff(oldDf: DataFrame, newDf: DataFrame, pkCol: String, keyCol: String): DataFrame = {
     val dataCols = newDf.columns.filter(_ != pkCol)
     val o = oldDf.as("o")
@@ -87,8 +107,8 @@ object CdcOps {
     val joined = n.join(o, col(s"n.$pkCol") === col(s"o.$pkCol"), "inner")
     // map of column name -> changed new value (as string), null-safe compare
     val entries = dataCols.map { c =>
-      when(!(col(s"n.$c") <=> col(s"o.$c")),
-        struct(lit(c).as("changed_col"), col(s"n.$c").cast("string").as("new_value")))
+      when(!(comparable(newDf, "n", c) <=> comparable(oldDf, "o", c)),
+        struct(lit(c).as("changed_col"), valueString(newDf, "n", c).as("new_value")))
     }
     joined
       .select(
@@ -119,7 +139,8 @@ object CdcOps {
       // JSON nulls, sql_test.go:112-144).
       val j = to_json(array(col(s"n.$c")))
       val scalar = j.substr(lit(2), length(j) - 2)
-      when(!(col(s"n.$c") <=> col(s"o.$c")), concat(lit("\"" + c + "\":"), scalar))
+      when(!(comparable(newDf, "n", c) <=> comparable(oldDf, "o", c)),
+        concat(lit("\"" + c + "\":"), scalar))
     }
     // assemble {"k":v,...} from the per-column fragments, skipping nulls
     val body = array_join(filter(array(kvs.toIndexedSeq: _*), _.isNotNull), ",")
@@ -168,9 +189,8 @@ object CdcOps {
     * prefix("","") = "", prefix("","db") = "db", prefix("ns","") = "ns.",
     * prefix("ns","db") = "ns.db"; topic = "pg2kafka." + prefix + "." + table
     * — with the reference quirk that an empty namespace AND dbname yields
-    * "pg2kafka..table" (fmt.Sprintf with empty prefix). We reproduce the
-    * sane composition: concat_ws skips empty segments only when null.
-    */
+    * "pg2kafka..table" (fmt.Sprintf with empty prefix) — reproduced
+    * faithfully, double dots and all. */
   def topicName(namespace: Column, dbname: Column, table: Column): Column = {
     val prefix = when(namespace === "" && dbname === "", lit(""))
       .when(namespace === "", dbname)

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CdcOps
+
+/** CDC trigger/consume semantics translated from the reference's own tests
+  * (FIXTURES.md §A; reference sql/sql_test.go, main_test.go,
+  * eventqueue/event_queue_test.go). */
+class CdcOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  /** A1 `users` table: uuid/name/email/properties(hstore→map)/data(jsonb). */
+  private val usersSchema = StructType(Seq(
+    StructField("uuid", StringType),
+    StructField("name", StringType),
+    StructField("email", StringType),
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("data", StringType)))
+
+  private def usersDf(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), usersSchema)
+
+  test("INSERT payload carries the full row incl. NULL columns as JSON null (sql_test.go:56-110)") {
+    val df = usersDf(Seq(Row("u1", "jurre", null, null, null)))
+    val out = CdcOps.insertEvents(df, "users", "uuid").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("external_id") == "u1")
+    assert(r.getAs[String]("statement") == "INSERT")
+    val data = r.getAs[String]("data")
+    assert(data.contains("\"name\":\"jurre\""))
+    assert(data.contains("\"email\":null"), s"NULL column must serialize as JSON null, got $data")
+  }
+
+  test("UPDATE-to-NULL emits only the changed column (sql_test.go:112-144)") {
+    val oldDf = usersDf(Seq(Row("u1", "jurre", "jurre@blendle.com", null, null)))
+    val newDf = usersDf(Seq(Row("u1", "jurre", null, null, null)))
+    val diff = CdcOps.updateDiff(oldDf, newDf, "uuid", "uuid").collect()
+    assert(diff.length == 1)
+    assert(diff.head.getAs[String]("changed_col") == "email")
+    assert(diff.head.getAs[String]("new_value") == null)
+    val wire = CdcOps.updateEventsJson(oldDf, newDf, "uuid", "uuid").collect()
+    assert(wire.length == 1)
+    assert(wire.head.getAs[String]("data") == """{"email":null}""")
+  }
+
+  test("hstore/map column diff emits the full new map value (sql_test.go:146-181)") {
+    val oldDf = usersDf(Seq(Row("u1", "n", null, Map("a" -> "1", "b" -> "2"), null)))
+    val newDf = usersDf(Seq(Row("u1", "n", null, Map("b" -> "2", "a" -> "2"), null)))
+    val diff = CdcOps.updateDiff(oldDf, newDf, "uuid", "uuid").collect()
+    assert(diff.length == 1)
+    assert(diff.head.getAs[String]("changed_col") == "properties")
+  }
+
+  test("map equality ignores key order — jsonb canonicalization semantics (sql/triggers.sql:25-29)") {
+    val oldDf = usersDf(Seq(Row("u1", "n", null, Map("a" -> "1", "b" -> "2"), null)))
+    val newDf = usersDf(Seq(Row("u1", "n", null, Map("b" -> "2", "a" -> "1"), null)))
+    assert(CdcOps.updateDiff(oldDf, newDf, "uuid", "uuid").count() == 0)
+  }
+
+  test("no-op update produces no event at all (sql/triggers.sql:34-37)") {
+    val df = usersDf(Seq(
+      Row("u1", "a", "a@x", Map("k" -> "v"), """{"j":1}"""),
+      Row("u2", "b", null, null, null)))
+    assert(CdcOps.updateDiff(df, df, "uuid", "uuid").count() == 0)
+    assert(CdcOps.updateEventsJson(df, df, "uuid", "uuid").count() == 0)
+  }
+
+  test("DELETE payload is {} with key from OLD row (sql/triggers.sql:30-32)") {
+    val df = usersDf(Seq(Row("u1", "n", null, null, null)))
+    val out = CdcOps.deleteEvents(df, "users", "uuid").collect()
+    assert(out.head.getAs[String]("data") == "{}")
+    assert(out.head.getAs[String]("statement") == "DELETE")
+    assert(out.head.getAs[String]("external_id") == "u1")
+  }
+
+  /** A2 `products` snapshot semantics (sql_test.go:183-223). */
+  test("SNAPSHOT emits one event per row; NULL fields and NULL keys preserved") {
+    val products = Seq(
+      ("duff-1", "Duffs Beer"), ("duff-2", null), (null, "Duff Dry"))
+      .toDF("uid", "name")
+    val snap = CdcOps.snapshot(products, "products", "uid")
+      .collect().sortBy(r => Option(r.getAs[String]("external_id")).getOrElse(""))
+    assert(snap.length == 3)
+    assert(snap.forall(_.getAs[String]("statement") == "SNAPSHOT"))
+    // NULL external_id row
+    assert(snap.head.getAs[String]("external_id") == null)
+    assert(snap.head.getAs[String]("data") == """{"uid":null,"name":"Duff Dry"}""")
+    // NULL payload field row
+    assert(snap(2).getAs[String]("data") == """{"uid":"duff-2","name":null}""")
+  }
+
+  /** A3 consume path (main_test.go:15-101): skip processed, id order,
+    * empty Kafka key for NULL external_id. */
+  test("drain ships only unprocessed rows in id order; NULL key → empty Kafka key") {
+    val queue = Seq(
+      (1L, "uuid-1", "fefc72b4", "users", "UPDATE", """{"email":"jurre@blendle.com"}""", true),
+      (2L, "uuid-2", "fefc72b4", "users", "UPDATE", """{"email":"jurre@blendle.com"}""", false),
+      (3L, "uuid-3", "fefc72b4", "users", "UPDATE", """{"email":"jurre+new@blendle.com"}""", false),
+      (4L, "uuid-4", null, "users", "CREATE", """{"email":"bart@simpsons.com"}""", false),
+      (5L, "uuid-5", null, "users", "UPDATE", """{"email":"bart+new@simpsons.com"}""", false))
+      .toDF("id", "uuid", "external_id", "table_name", "statement", "data", "processed")
+      .withColumn("created_at", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val page = CdcOps.drainPage(queue, 1000)
+    val shipped = page.collect()
+    assert(shipped.map(_.getAs[Long]("id")).toSeq == Seq(2L, 3L, 4L, 5L))
+    assert(shipped.head.getAs[String]("data") == """{"email":"jurre@blendle.com"}""")
+    val wire = CdcOps.toWire(page, "", "test").orderBy("value").collect()
+    assert(wire.count(_.getAs[String]("key") == "") == 2, "NULL external_id → empty Kafka key")
+    assert(wire.forall(_.getAs[String]("topic") == "pg2kafka.test.users"))
+  }
+
+  test("page count is ceil(unprocessed/pageSize) (event_queue.go:108-117)") {
+    val queue = (1L to 2500L).map(i => (i, i % 5 == 0))
+      .toDF("id", "processed")
+    val n = CdcOps.pageCount(queue, 1000).collect().head.getAs[Long]("page_count")
+    assert(n == 2, "2000 unprocessed → 2 pages")
+  }
+
+  /** A4 topic naming truth table (main_test.go:157-164). */
+  test("topic naming truth table") {
+    val cases = Seq(
+      ("", "", "users", "pg2kafka..users"),
+      ("", "world", "users", "pg2kafka.world.users"),
+      ("hello", "", "users", "pg2kafka.hello..users"),
+      ("hello", "world", "users", "pg2kafka.hello.world.users"))
+    val df = cases.toDF("ns", "db", "tbl", "expected")
+      .withColumn("got", CdcOps.topicName(col("ns"), col("db"), col("tbl")))
+    val bad = df.filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
+  test("wire envelope has exactly the 5 public fields (event_queue.go:41-50 json tags)") {
+    val df = usersDf(Seq(Row("u1", "n", null, null, null)))
+    val events = CdcOps.finalizeEnvelope(CdcOps.insertEvents(df, "users", "uuid"))
+    val wire = CdcOps.toWire(events, "ns", "db").collect().head
+    val value = wire.getAs[String]("value")
+    Seq("uuid", "external_id", "statement", "data", "created_at").foreach { f =>
+      assert(value.contains("\"" + f + "\":"), s"missing $f in $value")
+    }
+    assert(!value.contains("\"table_name\"") && !value.contains("\"processed\""))
+  }
+}

@@ -2,9 +2,75 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.EventOps
 
-/** Windowing / sessionization / JSON extraction over `events` (SURVEY §2.3). */
+/** Windowing / sessionization / JSON extraction over `events`
+  * (SURVEY §2.3) — batch forms of the streaming operators, with exact
+  * integer-µs window math for oracle parity. */
 object EventQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JSON property extraction (the `data jsonb` access pattern)
+    "events_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(EventOps.jsonProp(col("props"), "k")).as("sum_k"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // 10-minute tumbling windows
+    "events_tumbling" -> ((s, dir) => {
+      EventOps.tumblingAgg(Tables.events(s, dir), seconds = 600)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // 30-minute-gap sessionization
+    "events_sessionize" -> ((s, dir) => {
+      EventOps.sessionize(Tables.events(s, dir), gapUs = 30L * 60 * 1000000)
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // latest event per user — CDC log-compaction analog
+    "events_latest" -> ((s, dir) => {
+      EventOps.latestPerKey(Tables.events(s, dir), "user_id")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .orderBy(col("user_id"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "events_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_tumbling" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |flagged AS (SELECT *,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (SELECT *, sum(new_session) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(ts_us) AS session_start_us,
+        |  max(ts_us) - min(ts_us) AS duration_us,
+        |  round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "events_latest" ->
+      """SELECT user_id, event_id, ts_us, event_type FROM (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |    row_number() OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+        |  FROM events) WHERE rk = 1
+        |ORDER BY user_id""".stripMargin)
 }

@@ -2,9 +2,192 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
 
-/** Text analysis + deduplication over `documents` (SURVEY §2.3). */
+/** Text analysis + deduplication over `documents` (SURVEY §2.3).
+  *
+  * The testdata has no natural duplicates, so dedup queries run over a
+  * deterministic dup-corpus: the original docs plus an exact copy of every
+  * 5th doc and a near-copy (one prepended token) of every 3rd doc — built
+  * identically on the Spark and DuckDB sides.
+  */
 object TextQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+
+  private def dupCorpus(docs: DataFrame): DataFrame = {
+    val near = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("xdup "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val exact = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .unionAll(near).unionAll(exact)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 'xdup ' || text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** DuckDB mirror of TextOps.tokens. */
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** DuckDB mirror of TextOps.shingles (k=3) given a `toks` binding. */
+  private def shinglesSql(toks: String): String =
+    s"CASE WHEN len($toks) >= 3 THEN list_transform(range(1, len($toks) - 1), " +
+      s"i -> array_to_string(($toks)[i:i+2], ' ')) ELSE [] END"
+
+  private def stopHitsSql(toks: String, lang: String): String = {
+    val set = TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toks, t -> list_contains($set, t)))"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        coalesce(TextOps.minhash(TextOps.shingles(toks), "s0"), lit("")).as("minhash0"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(dupCorpus(Tables.documents(s, dir)), "doc_id", "text")
+        .orderBy(col("content_hash"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(dupCorpus(Tables.documents(s, dir)), "doc_id", "text",
+          numHashes = 8, numBands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashSignatures(dupCorpus(Tables.documents(s, dir)), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_jaccard_bucket" -> ((s, dir) => {
+      Dedup.jaccardPairsWithinBucket(dupCorpus(Tables.documents(s, dir)),
+          "doc_id", "text", "source", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
+
+  def oracle: Map[String, String] = {
+    val langCase = {
+      val g = Seq("es", "fr", "de")
+      s"""CASE
+         |  WHEN c_en >= greatest(c_es, c_fr, c_de) AND c_en > 0 THEN 'en'
+         |  WHEN c_es >= greatest(c_fr, c_de) AND c_es > 0 THEN 'es'
+         |  WHEN c_fr >= c_de AND c_fr > 0 THEN 'fr'
+         |  WHEN c_de > 0 THEN 'de'
+         |  ELSE 'und' END""".stripMargin
+    }
+    // 16-bit simhash mirror: bit b set iff >half the tokens have a high
+    // hex digit at md5 position b+1
+    val simhashExpr = (0 until 16).map { b =>
+      s"(CASE WHEN 2 * len(list_filter(toks, t -> strpos('89abcdef', substr(md5(t), ${b + 1}, 1)) > 0)) > len(toks) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val mhSql = (0 until 8).map { i =>
+      s"list_aggregate(list_transform(shingles, sh -> md5('s$i' || sh)), 'min')"
+    }.mkString("[", ", ", "]")
+    val jacSql = "round(CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) = 0 THEN 0.0 " +
+      "ELSE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
+      "CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) END, 6)"
+
+    Map(
+      "text_token_count" ->
+        s"""SELECT doc_id,
+          |  len($toksSql) AS n_tokens,
+          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_langid" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          |c AS (SELECT doc_id, lang,
+          |  ${stopHitsSql("toks", "en")} AS c_en, ${stopHitsSql("toks", "es")} AS c_es,
+          |  ${stopHitsSql("toks", "fr")} AS c_fr, ${stopHitsSql("toks", "de")} AS c_de
+          |FROM t)
+          |SELECT doc_id, lang, $langCase AS lang_pred FROM c ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+          |SELECT doc_id, round(
+          |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+          |  CAST(${stopHitsSql("toks", "en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.4 +
+          |  least(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+          |    / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2, 6) AS quality
+          |FROM t ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          |sh AS (SELECT doc_id, text, ${shinglesSql("toks")} AS shingles FROM t)
+          |SELECT doc_id, md5(text) AS content_md5,
+          |  coalesce(list_aggregate(list_transform(shingles, s -> md5('s0' || s)), 'min'), '') AS minhash0
+          |FROM sh ORDER BY doc_id""".stripMargin,
+      "dedup_exact" ->
+        s"""WITH $corpusSql
+          |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+      "dedup_minhash" ->
+        s"""WITH $corpusSql,
+          |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+          |s0 AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM t),
+          |sh AS (SELECT doc_id, shingles, $mhSql AS mh FROM s0 WHERE len(shingles) > 0),
+          |bands AS (
+          |  SELECT doc_id, 0 AS band, mh[1] || '|' || mh[2] AS bkey FROM sh
+          |  UNION ALL SELECT doc_id, 1, mh[3] || '|' || mh[4] FROM sh
+          |  UNION ALL SELECT doc_id, 2, mh[5] || '|' || mh[6] FROM sh
+          |  UNION ALL SELECT doc_id, 3, mh[7] || '|' || mh[8] FROM sh),
+          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b
+          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, $jacSql AS jaccard
+          |FROM pairs
+          |JOIN sh sa ON sa.doc_id = id_a
+          |JOIN sh sb ON sb.doc_id = id_b
+          |WHERE $jacSql >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_simhash" ->
+        s"""WITH $corpusSql,
+          |t AS (SELECT doc_id, $toksSql AS toks FROM corpus)
+          |SELECT doc_id, $simhashExpr AS simhash FROM t ORDER BY doc_id""".stripMargin,
+      "dedup_jaccard_bucket" ->
+        s"""WITH $corpusSql,
+          |t AS (SELECT source, doc_id, $toksSql AS toks FROM corpus),
+          |sh AS (SELECT source, doc_id, shingles FROM
+          |  (SELECT source, doc_id, ${shinglesSql("toks")} AS shingles FROM t)
+          |  WHERE len(shingles) > 0)
+          |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, $jacSql AS jaccard
+          |FROM sh sa JOIN sh sb ON sa.source = sb.source AND sa.doc_id < sb.doc_id
+          |WHERE $jacSql >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin)
+  }
 }

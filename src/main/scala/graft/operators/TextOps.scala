@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2.3):
+  * tokenization, token counting, language ID, quality scoring, document
+  * fingerprinting. All per-row expressions built from codegen'd built-ins
+  * and higher-order functions — no UDFs, no shuffles; whole-stage codegen
+  * keeps these in one pass over the scan, so they scale linearly to any
+  * corpus size.
+  *
+  * Determinism note: everything avoids transcendental functions and
+  * cross-row float accumulation, so results are bit-identical across
+  * engines (the DuckDB oracle mirrors each expression).
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped (documents end with a
+    * trailing space in the testdata). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Simple whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * chars each count as one token (regex is portable Java/RE2 subset). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  /** Tiny per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic. Public-knowledge lists, deliberately small. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for"),
+    "es" -> Seq("el", "la", "de", "los", "en", "y", "que", "un"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "von", "zu"))
+
+  /** Count of tokens (with multiplicity) that appear in `set`. */
+  def stopwordHits(toks: Column, set: Seq[String]): Column = {
+    val arr = array(set.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  /** Language-ID: argmax of stopword hits with fixed tie order
+    * en > es > fr > de; no hits at all → "und". */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val cnt = Seq("en", "es", "fr", "de").map(l => l -> stopwordHits(t, stopwords(l))).toMap
+    when(cnt("en") >= greatest(cnt("es"), cnt("fr"), cnt("de")) && cnt("en") > 0, "en")
+      .when(cnt("es") >= greatest(cnt("fr"), cnt("de")) && cnt("es") > 0, "es")
+      .when(cnt("fr") >= cnt("de") && cnt("fr") > 0, "fr")
+      .when(cnt("de") > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Heuristic quality score in [0,1]: linear mix of length saturation,
+    * stopword ratio and mean token length — pure arithmetic (no exp/log)
+    * so it is engine-portable bit-for-bit before the final round. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    val stopRatio = stopwordHits(t, stopwords("en")).cast("double") / n
+    val totalTokChars = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    val avgTokLen = totalTokChars.cast("double") / n
+    round(
+      least(n / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.4 + least(avgTokLen / 10.0, lit(1.0)) * 0.2,
+      6)
+  }
+
+  /** 3-token shingles: ["a b c", "b c d", …]. Returns empty array for
+    * docs shorter than 3 tokens. */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One MinHash value: min over md5(seed ++ shingle). md5 is identical
+    * in every engine, which makes signatures oracle-comparable — a
+    * deliberate choice over murmur-style hashes (Spark-specific seeds). */
+  def minhash(shing: Column, seed: String): Column =
+    array_min(transform(shing, sh => md5(concat(lit(seed), sh))))
+
+  /** Full MinHash signature as an array of `k` md5-min values. */
+  def minhashSignature(shing: Column, k: Int = 8): Column =
+    array((0 until k).map(i => minhash(shing, s"s$i")): _*)
+
+  /** 16-bit SimHash from the high bit of each of the first 16 hex digits
+    * of md5(token), weighted by token multiplicity. Pure HOF arithmetic:
+    * bit b of the signature is set iff more tokens have md5-hex-digit b
+    * in [8..f] than not. */
+  def simhash16(toks: Column): Column = {
+    val n = size(toks)
+    val bits = (0 until 16).map { b =>
+      val ones = size(filter(toks,
+        t => substring(md5(t), b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")))
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Set-Jaccard of two shingle arrays (dedup verification metric). */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_distinct(concat(a, b))) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_distinct(concat(a, b))).cast("double"))
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity-search operators over embedding columns
+  * (`array<float>`, SURVEY §2.3): brute-force cosine top-k as the exact
+  * baseline and a sign-bucket (random-hyperplane-style) ANN variant as
+  * the scale path.
+  *
+  * All dot products are sequential folds over `zip_with`, computed in
+  * double — codegen'd, no UDFs, and bit-compatible with the oracle's
+  * list_dot_product. 100 TB design: the query set is broadcast (it is
+  * small by definition); the corpus is never collected; ANN buckets
+  * bound the candidate set so per-query work is corpus/2^bits.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ as a sequential double fold (order-stable ⇒ deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the (small)
+    * query set against the corpus, rank by rounded cosine with id
+    * tiebreak. One shuffle (the window on query_id). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c").join(
+        broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("c.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Sign-pattern bucket of the first `bits` dimensions — an axis-aligned
+    * random-hyperplane LSH (hyperplanes = coordinate planes; for unit-scale
+    * embeddings each bit is ~balanced, giving 2^bits roughly even buckets). */
+  def signBucket(v: Column, bits: Int = 4): Column =
+    (0 until bits).map(i => when(v(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+
+  /** ANN top-k: queries only compare against corpus vectors in the same
+    * sign bucket. Recall < 1 by design; candidate set is corpus/2^bits. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 4): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val qb = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      signBucket(col("embedding"), bits).as("qbucket"))
+    val scored = cb.join(broadcast(qb),
+        col("bucket") === col("qbucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Embedding near-dup pairs: cosine above `threshold` within a bucket
+    * column (label or LSH bucket) — bounded pairwise work, as in
+    * [[Dedup]]. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double, bucketCol: String): DataFrame = {
+    val v = df.select(col(bucketCol).as("bucket"), col("vec_id"), col("embedding"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

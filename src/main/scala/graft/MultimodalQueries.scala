@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Multimodal binary-column queries (SURVEY §2.3). The binary payloads
+  * are derived deterministically from `documents` (utf-8 text bytes);
+  * oracle parity uses base64/octet_length, which DuckDB supports on
+  * blobs. The decode stage itself is a stub (no codecs in-container) and
+  * is covered rows-only + by MultimodalSpec. */
+object MultimodalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // binary column plumbing: opaque payload + typed metadata
+    "mm_binary_meta" -> ((s, dir) => {
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .select(col("media_id"), col("media_type"),
+          octet_length(col("media")).cast("long").as("n_bytes"),
+          // Spark base64 is MIME-chunked (CRLF every 76 chars); strip for
+          // canonical unchunked base64 (= DuckDB to_base64)
+          regexp_replace(base64(col("media")), "[\\r\\n]", "").as("payload_b64"))
+        .orderBy(col("media_id"))
+    }),
+
+    // frame-sampling shape: one blob → many fixed-size chunks
+    "mm_frame_chunks" -> ((s, dir) => {
+      Multimodal.sampleChunks(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+          chunkSize = 32, stride = 4)
+        .orderBy(col("media_id"), col("chunk_idx"))
+    }),
+
+    // stubbed decode + feature extraction (mapPartitions batch shape);
+    // deterministic but Scala-side → rows-only check, semantics in spec
+    "mm_decode_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeStub(media).toDF().orderBy(col("media_id"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id AS media_id, 'fake/' || source AS media_type,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  to_base64(encode(text)) AS payload_b64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // chunking the text then encoding ≡ chunking the utf-8 blob (ASCII)
+    "mm_frame_chunks" ->
+      """SELECT doc_id AS media_id, i AS chunk_idx,
+        |  to_base64(encode(substr(text, i * 128 + 1, 32))) AS chunk_b64
+        |FROM documents,
+        |  LATERAL unnest(range(0, ((octet_length(encode(text)) - 1) // 128) + 1)) AS t(i)
+        |ORDER BY media_id, chunk_idx""".stripMargin)
+}

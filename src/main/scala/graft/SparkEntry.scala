@@ -28,10 +28,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
-      EventQueries.queries ++ StreamingQueries.queries
+      EventQueries.queries ++ MultimodalQueries.queries ++
+      StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++
-      EventQueries.oracle
+      EventQueries.oracle ++ MultimodalQueries.oracle
 }

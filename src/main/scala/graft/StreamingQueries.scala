@@ -1,9 +1,50 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.CdcStream
 
-/** Structured-Streaming-backed entries (no oracle — driver does a
-  * rows-only check; contract allows omission from oracleSql). */
+/** Structured-Streaming-backed entries. Each runs a real streaming query
+  * (file source → transform → memory sink, Trigger.AvailableNow) and
+  * returns the sink table. No oracle — the driver records a rows-only
+  * check (contract allows omission for non-SQL-expressible ops); full
+  * semantics are covered by StreamingSpec. */
 object StreamingQueries {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger
+
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_out_${counter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the reference's hot path as a stream: source → envelope (O3) → sink
+    "stream_envelope" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      runToMemory(CdcStream.toEnvelope(st, "events", "user_id"), "append")
+    }),
+
+    // watermarked tumbling windows on the event stream
+    "stream_tumbling" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+        .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+      runToMemory(
+        CdcStream.tumblingAgg(st, "event_ts", "30 minutes", "10 minutes"),
+        "complete")
+    }),
+
+    // session windows (gap-based) on the event stream
+    "stream_sessions" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+        .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+      runToMemory(
+        CdcStream.sessionAgg(st, "event_ts", "30 minutes", "30 minutes"),
+        "complete")
+    }))
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators (SURVEY §2.3): image/audio/video payloads
+  * are opaque `binary` columns with typed metadata, processed in
+  * partition-sized batches.
+  *
+  * The decode step is a STUB by design — this container has no image/
+  * audio codecs — but everything Spark-side is real: the schema, the
+  * binary column handling, the partition-batched processing shape
+  * (`mapPartitions` over an iterator = the same batch contract a Pandas
+  * UDF / `mapInPandas` has in PySpark), and the deterministic tests.
+  * Swapping [[decodeStub]] for a real codec changes no plumbing.
+  *
+  * 100 TB notes: media blobs dominate row size, so operators here always
+  * prune to (id, media) before the heavy stage, keep work narrow (no
+  * shuffle), and emit compact features — the pattern that keeps a media
+  * pipeline scan-bound instead of shuffle-bound.
+  */
+object Multimodal {
+
+  /** A typed media row: what a real ingest would carry. */
+  case class MediaRow(media_id: Long, media_type: String, media: Array[Byte])
+
+  /** Extracted features (deterministic fake of an image decoder's output). */
+  case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Long,
+      fake_width: Int, fake_height: Int, byte_mean: Double, head_crc: Long)
+
+  /** Testdata has no binary table; derive one deterministically from
+    * `documents` (text bytes as the opaque payload). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(lit("fake/"), col("source")).as("media_type"),
+      encode(col("text"), "utf-8").as("media"))
+
+  /** STUB decoder ??? — stands in for e.g. JPEG decode + resize. It is a
+    * pure function of the bytes (deterministic, testable): "dimensions"
+    * from the length, "pixel mean" from the byte mean, a rolling CRC of
+    * the head. Runs per partition over an iterator, the exact shape a
+    * vectorized decode batch would use. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.media
+        val n = bytes.length
+        var crc = 0L
+        var i = 0
+        while (i < math.min(16, n)) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
+        val mean = if (n == 0) 0.0 else {
+          var s = 0L; var j = 0
+          while (j < n) { s += (bytes(j) & 0xff); j += 1 }
+          s.toDouble / n
+        }
+        MediaFeatures(r.media_id, r.media_type, n.toLong,
+          fake_width = (n % 640) + 1, fake_height = (n % 480) + 1,
+          byte_mean = math.round(mean * 1e6) / 1e6, head_crc = crc)
+      }
+    }
+  }
+
+  /** Frame-sampling analog: every `stride`-th fixed-size chunk of the
+    * blob (video frame extraction shape: one input row → many chunk
+    * rows). Pure built-ins: posexplode over computed offsets, substring
+    * on the binary column. */
+  def sampleChunks(df: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    val nChunks = floor((octet_length(col("media")) - 1) / lit(chunkSize * stride)) + 1
+    df.select(col("media_id"),
+        explode(sequence(lit(0), nChunks.cast("int") - 1)).as("chunk_idx"),
+        col("media"))
+      .select(col("media_id"), col("chunk_idx"),
+        base64(col("media").substr(
+          col("chunk_idx") * (chunkSize * stride) + 1, lit(chunkSize))).as("chunk_b64"))
+  }
+}

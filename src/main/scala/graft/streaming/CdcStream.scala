@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.CdcOps
+
+/** The reference's daemon (`main.go:34-138`) as ONE Structured Streaming
+  * query: LISTEN/NOTIFY + drain loop + sync produce + ack become
+  * readStream → envelope transform → writeStream with a checkpoint.
+  *
+  * Semantics mapping (SURVEY §3/E2):
+  *  - boot backlog drain (`main.go:85-86`)  → first micro-batch reads
+  *    everything after the last committed checkpoint offset;
+  *  - page size 1000 (`event_queue.go:20`)  → `maxFilesPerTrigger` /
+  *    `maxOffsetsPerTrigger` rate limits;
+  *  - ack-after-delivery (`main.go:172-175`)→ checkpoint commit written
+  *    only after the sink batch succeeds (same at-least-once guarantee:
+  *    crash between sink and commit ⇒ redelivery);
+  *  - per-key ordering via murmur2 partitioner (`main.go:193`) →
+  *    repartition(external_id) + sortWithinPartitions in the sink batch;
+  *  - consumer dedup on `uuid` (`README.md:37-40` at-least-once note) →
+  *    withWatermark + dropDuplicates("uuid") = effectively-once.
+  */
+object CdcStream {
+
+  /** Streaming source over an events directory (file source stands in for
+    * the queue table / Kafka in this container; the transform chain is
+    * source-agnostic). */
+  def readEventStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1000): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // The file streaming source requires a directory; stream the parent
+    // with a glob filter so a single-file layout works too.
+    val p = new java.io.File(path)
+    val (dir, glob) =
+      if (p.isFile) (p.getParent, p.getName) else (path, "*")
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+  }
+
+  /** Envelope transform on a streaming DataFrame — identical code path to
+    * the batch CdcOps (pure column expressions are streaming-safe). */
+  def toEnvelope(stream: DataFrame, tableName: String, keyCol: String): DataFrame =
+    CdcOps.finalizeEnvelope(
+      CdcOps.insertEvents(stream, tableName, keyCol))
+
+  /** At-least-once → effectively-once: watermarked dedup on the envelope
+    * uuid, the documented downstream-consumer recipe. */
+  def dedupByUuid(envelope: DataFrame, eventTimeCol: String, watermark: String): DataFrame =
+    envelope.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates("uuid")
+
+  /** Kafka-shaped sink with the reference's ordering guarantee: within a
+    * micro-batch, events of one key are contiguous and in-order
+    * (repartition on key + sortWithinPartitions ≙ murmur2 partitioning +
+    * per-partition append). `write` receives each ordered batch — the
+    * produce+ack boundary. Checkpointing commits offsets only after
+    * `write` returns: crash ⇒ the batch is redelivered (at-least-once,
+    * `main.go:161-175`). */
+  def keyedOrderedSink(envelope: DataFrame, checkpointDir: String,
+      write: (DataFrame, Long) => Unit): StreamingQuery =
+    envelope.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ordered = batch
+          .repartition(col("external_id"))
+          .sortWithinPartitions(col("external_id"), col("created_at"))
+        write(ordered, batchId)
+      }
+      .start()
+
+  /** Watermarked tumbling-window aggregation (streaming form of
+    * EventOps.tumblingAgg). */
+  def tumblingAgg(stream: DataFrame, tsCol: String, watermark: String,
+      windowLen: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based session windows (streaming form of EventOps.sessionize)
+    * via the built-in session_window. */
+  def sessionAgg(stream: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Deterministic checks of the multimodal plumbing: the stub decoder's
+  * contract (pure function of bytes, partition-batched) and the chunk
+  * sampler's coverage. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("decodeStub is a pure function of the bytes with the documented formulas") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "fake/img", "abc".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "fake/img", Array.empty[Byte]))
+      .toDS()
+    val out = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    val a = out(0)
+    assert(a.n_bytes == 3)
+    assert(a.fake_width == 4 && a.fake_height == 4)
+    assert(a.byte_mean == ('a' + 'b' + 'c').toDouble / 3)
+    assert(a.head_crc == (('a' * 31 + 'b') * 31 + 'c'))
+    val e = out(1)
+    assert(e.n_bytes == 0 && e.byte_mean == 0.0 && e.head_crc == 0L)
+  }
+
+  test("decodeStub runs partition-batched and scales with partitions") {
+    val media = (1L to 100L)
+      .map(i => Multimodal.MediaRow(i, "fake/img", s"payload-$i".getBytes))
+      .toDS().repartition(8)
+    val out = Multimodal.decodeStub(media)
+    assert(out.rdd.getNumPartitions == 8, "decode must not collapse partitioning")
+    assert(out.count() == 100)
+  }
+
+  test("sampleChunks covers the blob with stride and fixed chunk size") {
+    val df = Seq((1L, ("x" * 270).getBytes("UTF-8"))).toDF("media_id", "media")
+    val chunks = Multimodal.sampleChunks(df, chunkSize = 32, stride = 4)
+      .orderBy("chunk_idx").collect()
+    // 270 bytes, stride window 128 → chunks at offsets 0, 128, 256
+    assert(chunks.length == 3)
+    assert(chunks.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    val full = new String(java.util.Base64.getDecoder.decode(chunks(1).getAs[String]("chunk_b64")))
+    assert(full.length == 32, "mid chunk is full size")
+    val last = new String(java.util.Base64.getDecoder.decode(chunks(2).getAs[String]("chunk_b64")))
+    assert(last.length == 270 - 256, "tail chunk is truncated, not padded")
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.CdcStream
+
+/** Streaming semantics (SURVEY §2.1 O9-O11 + §2.3 streaming surface):
+  * envelope transform on a live stream, at-least-once → effectively-once
+  * uuid dedup, per-key ordered foreachBatch sink, checkpointed ack. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  case class Ev(id: Long, user_id: Long, payload: String, ts: Timestamp)
+
+  test("envelope transform runs on a MemoryStream and emits INSERT events") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(
+      Ev(1, 10, "a", Timestamp.valueOf("2024-01-01 00:00:01")),
+      Ev(2, 20, "b", Timestamp.valueOf("2024-01-01 00:00:02")))
+    val env = CdcStream.toEnvelope(ms.toDF(), "evts", "user_id")
+    val q = env.writeStream.format("memory").queryName("env_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("env_test").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("statement") == "INSERT"))
+    assert(rows.forall(r => r.getAs[String]("uuid").length == 36))
+    assert(rows.map(_.getAs[String]("external_id")).toSet == Set("10", "20"))
+  }
+
+  test("watermarked uuid dedup makes redelivery effectively-once") {
+    implicit val sqlCtx = spark.sqlContext
+    case class E(uuid: String, ts: Timestamp, v: Long)
+    val ms = MemoryStream[(String, Timestamp, Long)]
+    // simulate at-least-once redelivery: uuid u1 delivered twice
+    ms.addData(
+      ("u1", Timestamp.valueOf("2024-01-01 00:00:01"), 1L),
+      ("u1", Timestamp.valueOf("2024-01-01 00:00:01"), 1L),
+      ("u2", Timestamp.valueOf("2024-01-01 00:00:02"), 2L))
+    val deduped = CdcStream.dedupByUuid(
+      ms.toDF().toDF("uuid", "created_at", "v"), "created_at", "1 minute")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_test").collect()
+    assert(got.length == 2, s"expected u1 deduped, got ${got.mkString(",")}")
+  }
+
+  test("keyedOrderedSink delivers per-key contiguous, time-ordered batches with checkpoint ack") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp, String)]
+    ms.addData(
+      ("k1", Timestamp.valueOf("2024-01-01 00:00:03"), "e3"),
+      ("k2", Timestamp.valueOf("2024-01-01 00:00:01"), "e1"),
+      ("k1", Timestamp.valueOf("2024-01-01 00:00:01"), "e1"),
+      ("k2", Timestamp.valueOf("2024-01-01 00:00:02"), "e2"),
+      ("k1", Timestamp.valueOf("2024-01-01 00:00:02"), "e2"))
+    val env = ms.toDF().toDF("external_id", "created_at", "data")
+    val partitionContents = new java.util.concurrent.ConcurrentLinkedQueue[List[(String, String)]]()
+    val q = CdcStream.keyedOrderedSink(env, tmp("ckpt"), (batch, _) => {
+      batch.select("external_id", "data").rdd
+        .mapPartitions(it => Iterator(it.map(r => (r.getString(0), r.getString(1))).toList))
+        .collect().foreach(l => partitionContents.add(l))
+    })
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val parts = partitionContents.asScala.toList.filter(_.nonEmpty)
+    assert(parts.flatten.size == 5)
+    // within every partition: each key's events contiguous and in time order
+    parts.foreach { p =>
+      val keys = p.map(_._1)
+      assert(keys == keys.sorted, s"keys not contiguous/sorted in $p")
+      p.groupBy(_._1).values.foreach { evs =>
+        assert(evs.map(_._2) == evs.map(_._2).sorted, s"per-key order violated in $p")
+      }
+    }
+  }
+
+  test("checkpoint = ack: restart does not redeliver committed batches (O9/O11)") {
+    val ckpt = tmp("ckpt_ack")
+    val srcDir = tmp("src")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(srcDir)
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def run(): Unit = {
+      val st = spark.readStream.schema("id LONG, v STRING").parquet(srcDir)
+      val q = st.writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: DataFrame, _: Long) =>
+          b.select("id").collect().foreach(r => delivered.add(r.getLong(0))))
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    assert(delivered.size == 2, "boot drain ships the backlog")
+    // second boot: nothing new → nothing redelivered (offsets committed)
+    run()
+    assert(delivered.size == 2, "committed events must not redeliver")
+    // new arrivals after restart are picked up from the checkpoint
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(srcDir)
+    run()
+    import scala.jdk.CollectionConverters._
+    assert(delivered.asScala.toSet == Set(1L, 2L, 3L))
+  }
+
+  test("streaming session window groups events by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Double, String)]
+    ms.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "view"),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0, "view"),   // same session (gap 10m < 30m)
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00"), 3.0, "view"))   // new session
+    val st = ms.toDF().toDF("user_id", "event_ts", "value", "event_type")
+    val agg = CdcStream.sessionAgg(st, "event_ts", "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_test").orderBy("session_start").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(1).getAs[Long]("n_events") == 1)
+  }
+}

@@ -38,6 +38,29 @@ object EventQueries {
       EventOps.latestPerKey(Tables.events(s, dir), "user_id")
         .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
         .orderBy(col("user_id"))
+    }),
+
+    // as-of join: each click matched to the user's latest earlier purchase
+    "events_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      EventOps.asofJoin(clicks, purchases, "user_id", "ts_us",
+          Seq("p_event_id", "p_value"))
+        .filter(col("r_p_event_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("r_p_event_id"), col("r_p_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // bucketized range join: same-user event pairs within 60 s
+    "events_range_join" -> ((s, dir) => {
+      EventOps.rangeJoinBucketed(
+          Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts_us")),
+          "user_id", maxGapUs = 60L * 1000000)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -72,5 +95,24 @@ object EventQueries {
         |    row_number() OVER
         |    (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
         |  FROM events) WHERE rk = 1
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the window-composed form
+    "events_asof_join" ->
+      """WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |  event_id AS p_event_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id,
+        |  p.p_event_id AS r_p_event_id, p.p_value AS r_p_value
+        |FROM clicks c ASOF JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |ORDER BY c.event_id""".stripMargin,
+    "events_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  b.ts_us - a.ts_us AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(b.ts_us - a.ts_us) <= 60000000
+        |ORDER BY id_a, id_b""".stripMargin)
 }

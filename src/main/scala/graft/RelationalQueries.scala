@@ -183,6 +183,19 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // ordered-set aggregates: exact median / quartiles per group
+    "agg_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // date/time functions
     "date_funcs" -> ((s, dir) => {
       Tables.orders(s, dir).select(
@@ -301,6 +314,14 @@ object RelationalQueries {
         |  round(p_retailprice * 0.1, 2) AS price_tenth,
         |  concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "agg_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "date_funcs" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,

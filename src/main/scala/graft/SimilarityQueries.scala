@@ -78,11 +78,16 @@ object SimilarityQueries {
         |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
         |ORDER BY query_id, rk""".stripMargin,
-    "sim_cosine_neardup" ->
-      s"""WITH $dupVectorsSql
+    "sim_cosine_neardup" -> {
+      val sb2 = (0 until 2).map(i =>
+        s"(CASE WHEN (embedding)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH $dupVectorsSql,
+        |v AS (SELECT label::VARCHAR || '#' || ($sb2)::VARCHAR AS bucket,
+        |  vec_id, embedding FROM corpus)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
-        |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.995
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin
+    })
 }

@@ -118,13 +118,6 @@ object TextQueries {
     val simhashExpr = (0 until 16).map { b =>
       s"(CASE WHEN 2 * len(list_filter(toks, t -> strpos('89abcdef', substr(md5(t), ${b + 1}, 1)) > 0)) > len(toks) THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
-    val mhSql = (0 until 8).map { i =>
-      s"list_aggregate(list_transform(shingles, sh -> md5('s$i' || sh)), 'min')"
-    }.mkString("[", ", ", "]")
-    val jacSql = "round(CASE WHEN len(list_distinct(list_concat(sa.shingles, sb.shingles))) = 0 THEN 0.0 " +
-      "ELSE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
-      "CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE) END, 6)"
-
     Map(
       "text_token_count" ->
         s"""SELECT doc_id,
@@ -156,11 +149,21 @@ object TextQueries {
         s"""WITH $corpusSql
           |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
-      "dedup_minhash" ->
+      "dedup_minhash" -> {
+        val mhFast = (0 until 8).map { i =>
+          s"list_aggregate(list_transform(hs, h -> substr(h, ${i * 8 + 1}, 8)), 'min')"
+        }.mkString("[", ", ", "]")
+        val interSql = "CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)"
+        val jacDSql = s"round($interSql / (sa.n_sh + sb.n_sh - $interSql), 6)"
         s"""WITH $corpusSql,
           |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
           |s0 AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM t),
-          |sh AS (SELECT doc_id, shingles, $mhSql AS mh FROM s0 WHERE len(shingles) > 0),
+          |h0 AS (SELECT doc_id, list_transform(shingles, s -> md5(s) || md5('x' || s)) AS hs
+          |  FROM s0 WHERE len(shingles) > 0),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT)) AS ds,
+          |  len(list_distinct(list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT))) AS n_sh,
+          |  $mhFast AS mh FROM h0),
           |bands AS (
           |  SELECT doc_id, 0 AS band, mh[1] || '|' || mh[2] AS bkey FROM sh
           |  UNION ALL SELECT doc_id, 1, mh[3] || '|' || mh[4] FROM sh
@@ -169,25 +172,32 @@ object TextQueries {
           |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           |  FROM bands a JOIN bands b
           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-          |SELECT id_a, id_b, $jacSql AS jaccard
+          |SELECT id_a, id_b, $jacDSql AS jaccard
           |FROM pairs
           |JOIN sh sa ON sa.doc_id = id_a
           |JOIN sh sb ON sb.doc_id = id_b
-          |WHERE $jacSql >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin,
+          |WHERE $jacDSql >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin
+      },
       "dedup_simhash" ->
         s"""WITH $corpusSql,
           |t AS (SELECT doc_id, $toksSql AS toks FROM corpus)
           |SELECT doc_id, $simhashExpr AS simhash FROM t ORDER BY doc_id""".stripMargin,
-      "dedup_jaccard_bucket" ->
+      "dedup_jaccard_bucket" -> {
+        val interSql = "CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)"
+        val jacDSql = s"round($interSql / (sa.n_sh + sb.n_sh - $interSql), 6)"
         s"""WITH $corpusSql,
           |t AS (SELECT source, doc_id, $toksSql AS toks FROM corpus),
-          |sh AS (SELECT source, doc_id, shingles FROM
-          |  (SELECT source, doc_id, ${shinglesSql("toks")} AS shingles FROM t)
-          |  WHERE len(shingles) > 0)
-          |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, $jacSql AS jaccard
+          |sh AS (SELECT source, doc_id, ds, len(ds) AS n_sh FROM
+          |  (SELECT source, doc_id,
+          |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS ds
+          |   FROM (SELECT source, doc_id, ${shinglesSql("toks")} AS shingles FROM t))
+          |  WHERE len(ds) > 0)
+          |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, $jacDSql AS jaccard
           |FROM sh sa JOIN sh sb ON sa.source = sb.source AND sa.doc_id < sb.doc_id
-          |WHERE $jacSql >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin)
+          |  AND CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= greatest(sa.n_sh, sb.n_sh) * 0.5
+          |WHERE $jacDSql >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin
+      })
   }
 }

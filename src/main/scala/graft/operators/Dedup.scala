@@ -34,11 +34,23 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, numBands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes == 8, "signature layout derives 8 hash fns from two md5s")
     val rowsPerBand = numHashes / numBands
     val toks = TextOps.tokens(col(textCol))
+    // ONE hash pass per shingle serves everything: 64 hex chars (two md5s)
+    // sliced into 8 32-bit minhash functions + a 60-bit shingle id for the
+    // verification set math. 4x fewer md5 evaluations than seeded hashing.
     val sh = df.select(col(idCol).as("doc_id"), TextOps.shingles(toks).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("mh", TextOps.minhashSignature(col("shingles"), numHashes))
+      .withColumn("hs", transform(col("shingles"),
+        s => concat(md5(s), md5(concat(lit("x"), s)))))
+      .withColumn("ds", array_distinct(transform(col("hs"),
+        h => conv(substring(h, 1, 15), 16, 10).cast("long"))))
+      .withColumn("n_sh", size(col("ds")))
+      .withColumn("mh", array((0 until numHashes).map { i =>
+        array_min(transform(col("hs"), h => substring(h, i * 8 + 1, 8)))
+      }: _*))
+      .select(col("doc_id"), col("ds"), col("n_sh"), col("mh"))
     val bands = sh.select(col("doc_id"), posexplode(
       array((0 until numBands).map { b =>
         concat_ws("|", (0 until rowsPerBand).map(r => col("mh")(b * rowsPerBand + r)): _*)
@@ -49,11 +61,12 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    val inter = size(array_intersect(col("a.ds"), col("b.ds"))).cast("double")
+    val jac = inter / (col("a.n_sh") + col("b.n_sh") - inter)
     pairs
-      .join(sh.select(col("doc_id"), col("shingles").as("sh_a")), col("id_a") === col("doc_id")).drop("doc_id")
-      .join(sh.select(col("doc_id"), col("shingles").as("sh_b")), col("id_b") === col("doc_id")).drop("doc_id")
-      .select(col("id_a"), col("id_b"),
-        round(TextOps.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .join(sh.select(col("doc_id"), col("ds"), col("n_sh")).as("a"), col("id_a") === col("a.doc_id"))
+      .join(sh.select(col("doc_id"), col("ds"), col("n_sh")).as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"), round(jac, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -66,15 +79,30 @@ object Dedup {
 
   /** n-gram Jaccard pairs within a pre-existing bucket column (e.g. a
     * source/category): quadratic only inside buckets. */
+  /** Two exact prunes keep the quadratic stage cheap at scale:
+    *  - shingles are pre-hashed to 60-bit ints (integer set ops, ~10×
+    *    cheaper than string compares in the verify stage);
+    *  - J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose size ratio is
+    *    below the threshold are dropped inside the join condition, before
+    *    any intersection is computed. Both are lossless.
+    */
   def jaccardPairsWithinBucket(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
     val sh = df.select(col(bucketCol).as("bucket"), col(idCol).as("doc_id"),
-      TextOps.shingles(TextOps.tokens(col(textCol))).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+      array_distinct(TextOps.hashedShingles(
+        TextOps.shingles(TextOps.tokens(col(textCol))))).as("ds"))
+      .filter(size(col("ds")) > 0)
+      .withColumn("n_sh", size(col("ds")))
+    // per pair only ONE set op runs: |A∪B| = |A|+|B|-|A∩B| on the
+    // pre-distincted arrays
+    val inter = size(array_intersect(col("a.ds"), col("b.ds"))).cast("double")
+    val jac = inter / (col("a.n_sh") + col("b.n_sh") - inter)
     sh.as("a").join(sh.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+          greatest(col("a.n_sh"), col("b.n_sh")) * threshold)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        round(TextOps.jaccard(col("a.shingles"), col("b.shingles")), 6).as("jaccard"))
+        round(jac, 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -63,4 +63,60 @@ object EventOps {
     * reference, `sql/triggers.sql:67`) as a long. */
   def jsonProp(props: Column, key: String): Column =
     get_json_object(props, s"$$.$key").cast("long")
+
+  /** As-of join: for each left row, the latest right row with the same
+    * key and right.ts <= left.ts. Spark has no native as-of join; rather
+    * than a custom physical operator, this composes built-ins — union the
+    * two sides, then `last_value(ignoreNulls)` over a (key, ts) window —
+    * which Catalyst plans as ONE shuffle on the key (the partitioning a
+    * time-series table already has). Right rows at equal ts sort before
+    * left rows (<= semantics); `tsCol` must be unique per (key, side) for
+    * deterministic results.
+    *
+    * @param right     (key, ts, payload) — payload columns to carry over
+    * @param payloadCols names of right columns to expose (prefixed r_)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => c == keyCol || c == tsCol)
+    val l = left.select(col(keyCol), col(tsCol), lit(0).as("is_right"),
+      struct(leftPayload.map(col).toIndexedSeq: _*).as("l_payload"),
+      lit(null).cast(
+        right.select(struct(payloadCols.map(col): _*)).schema.head.dataType).as("r_payload"))
+    val r = right.select(col(keyCol), col(tsCol), lit(1).as("is_right"),
+      lit(null).cast(l.schema("l_payload").dataType).as("l_payload"),
+      struct(payloadCols.map(col).toIndexedSeq: _*).as("r_payload"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof", last(col("r_payload"), ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0)
+      .select(
+        Seq(col(keyCol), col(tsCol)) ++
+        leftPayload.map(c => col(s"l_payload.$c").as(c)) ++
+        payloadCols.map(c => col(s"asof.$c").as(s"r_$c")): _*)
+  }
+
+  /** Range join: pairs of rows whose timestamps lie within `maxGapUs`,
+    * co-grouped by `keyCol`. A naive inequality join is a nested-loop —
+    * quadratic and unshuffleable; instead each row maps to a gap-sized
+    * time bucket and the right side probes its own and both neighbor
+    * buckets, turning the range predicate into an equi-join plus a cheap
+    * residual filter. Scales as an ordinary hash join at 100 TB. */
+  def rangeJoinBucketed(events: DataFrame, keyCol: String, maxGapUs: Long): DataFrame = {
+    val withBucket = events.withColumn("bucket", expr(s"ts_us div $maxGapUs"))
+    val probes = withBucket.withColumn("probe",
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+    val l = withBucket.as("l")
+    val r = probes.as("r")
+    l.join(r,
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("l.bucket") === col("r.probe") &&
+        col("l.event_id") < col("r.event_id") &&
+        abs(col("l.ts_us") - col("r.ts_us")) <= maxGapUs)
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("id_a"), col("r.event_id").as("id_b"),
+        (col("r.ts_us") - col("l.ts_us")).as("gap_us"))
+  }
 }

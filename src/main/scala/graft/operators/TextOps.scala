@@ -101,6 +101,13 @@ object TextOps {
     bits.reduce(_ + _)
   }
 
+  /** Shingles hashed to 60-bit ints (first 15 hex digits of md5):
+    * integer-array set ops are ~10× cheaper than string-array ones in the
+    * pairwise verification stage, and the hash is engine-portable
+    * (DuckDB: ('0x' || substr(md5(s),1,15))::BIGINT). */
+  def hashedShingles(shing: Column): Column =
+    transform(shing, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+
   /** Set-Jaccard of two shingle arrays (dedup verification metric). */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_distinct(concat(a, b))) === 0, lit(0.0))

@@ -64,9 +64,16 @@ object VectorOps {
 
   /** Embedding near-dup pairs: cosine above `threshold` within a bucket
     * column (label or LSH bucket) — bounded pairwise work, as in
-    * [[Dedup]]. */
-  def cosineNearDupPairs(df: DataFrame, threshold: Double, bucketCol: String): DataFrame = {
-    val v = df.select(col(bucketCol).as("bucket"), col("vec_id"), col("embedding"))
+    * [[Dedup]]. The bucket key is refined with `lshBits` sign bits: 2^bits
+    * fewer candidate pairs; identical vectors always share a sign bucket
+    * (recall 1.0 for exact dups, near-1 for near-dups away from the
+    * coordinate planes — the standard LSH trade). */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double, bucketCol: String,
+      lshBits: Int = 2): DataFrame = {
+    val v = df.select(
+      concat_ws("#", col(bucketCol),
+        signBucket(col("embedding"), lshBits)).as("bucket"),
+      col("vec_id"), col("embedding"))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{CdcOps, Dedup, TextOps}
+
+/** Property-based invariants (SURVEY §5.2): diff(r,r) = ∅, diff emits only
+  * changed columns, dedup idempotence/survivor rules, jaccard bounds.
+  * Generators are sampled with fixed seeds (deterministic CI) and kept
+  * small — each case builds real DataFrames. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowGen: Gen[(String, Option[String], Option[Long])] = for {
+    id <- Gen.identifier.map(_.take(8))
+    s <- Gen.option(Gen.alphaStr.map(_.take(12)))
+    n <- Gen.option(Gen.chooseNum(-1000L, 1000L))
+  } yield (id, s, n)
+
+  test("diff of a table with itself is always empty (no-op suppression invariant)") {
+    for (rows <- samples(Gen.listOfN(8, rowGen), 5)) {
+      val distinctRows = rows.distinctBy(_._1)
+      val df = distinctRows.toDF("id", "s", "n")
+      assert(CdcOps.updateDiff(df, df, "id", "id").count() == 0,
+        s"non-empty diff for $distinctRows")
+    }
+  }
+
+  test("diff emits only genuinely changed columns, never the pk") {
+    for (rows <- samples(Gen.listOfN(6, rowGen), 5)) {
+      val distinctRows = rows.distinctBy(_._1)
+      val oldDf = distinctRows.toDF("id", "s", "n")
+      val newDf = oldDf.withColumn("n", coalesce(col("n"), lit(0L)) + 7)
+      val diff = CdcOps.updateDiff(oldDf, newDf, "id", "id").collect()
+      assert(diff.forall(_.getAs[String]("changed_col") == "n"))
+      assert(diff.length == distinctRows.size)
+    }
+  }
+
+  test("exact dedup: survivor is min id, copies sum to corpus size, idempotent") {
+    for (contentIds <- samples(Gen.listOfN(10, Gen.chooseNum(0, 3)), 5)) {
+      val df = contentIds.zipWithIndex
+        .map { case (c, i) => (i.toLong, s"content-$c") }.toDF("doc_id", "text")
+      val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+      assert(groups.map(_.getAs[Long]("n_copies")).sum == contentIds.size)
+      val byContent = contentIds.zipWithIndex.groupMap(_._1)(_._2.toLong)
+      assert(groups.length == byContent.size)
+      assert(groups.map(_.getAs[Long]("keep_id")).toSet ==
+        byContent.values.map(_.min).toSet)
+      // dedup of the deduped survivors is the identity
+      val survivors = df.join(
+        Dedup.exactGroups(df, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val again = Dedup.exactGroups(survivors, "doc_id", "text")
+      assert(again.filter(col("n_copies") > 1).count() == 0)
+    }
+  }
+
+  test("jaccard is 1 on self, within [0,1], symmetric") {
+    val tokenList = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e"))
+    for (lists <- samples(Gen.listOfN(2, tokenList), 5)) {
+      val Seq(x, y) = lists.map(_.mkString(" "))
+      val r = Seq((x, y)).toDF("x", "y")
+        .withColumn("tx", TextOps.shingles(TextOps.tokens(col("x"))))
+        .withColumn("ty", TextOps.shingles(TextOps.tokens(col("y"))))
+        .select(
+          TextOps.jaccard(col("tx"), col("tx")).as("self"),
+          TextOps.jaccard(col("tx"), col("ty")).as("xy"),
+          TextOps.jaccard(col("ty"), col("tx")).as("yx"))
+        .collect().head
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(1) == r.getDouble(2))
+    }
+  }
+}

@@ -94,6 +94,19 @@ object CdcQueries {
       CdcOps.ackAntiJoin(q.filter(!col("processed")), acked)
         .select("id", "external_id", "statement").orderBy(col("id"))
     }),
+    // registry lookup join (sql/triggers.sql:10-12): broadcast the watch
+    // registry, enrich each queued event with its watched key column
+    "cdc_registry_lookup" -> ((s, dir) => {
+      val q = eventQueue(s, dir)
+      val registry = Tables.events(s, dir)
+        .select(upper(col("event_type")).as("statement")).distinct()
+        .filter(col("statement").isin("CLICK", "VIEW", "PURCHASE"))
+        .withColumn("key_col", concat(lit("k_"), lower(col("statement"))))
+      graft.operators.ScaleOps.registryLookup(
+          q.withColumnRenamed("table_name", "tbl"), registry, "statement")
+        .select(col("id"), col("statement"), col("key_col"), col("external_id"))
+        .orderBy(col("id"))
+    }),
     // O10 topic routing truth table (main_test.go:157-164)
     "cdc_topic_routing" -> ((s, dir) => {
       val n = Tables.nation(s, dir)
@@ -165,6 +178,16 @@ object CdcQueries {
         |SELECT id, external_id, statement FROM q
         |WHERE NOT processed AND NOT (id % 3 = 0)
         |ORDER BY id""".stripMargin,
+    "cdc_registry_lookup" ->
+      s"""WITH q AS ($eventQueueSql),
+        |registry AS (
+        |  SELECT DISTINCT upper(event_type) AS statement,
+        |    'k_' || lower(upper(event_type)) AS key_col
+        |  FROM events
+        |  WHERE upper(event_type) IN ('CLICK', 'VIEW', 'PURCHASE'))
+        |SELECT q.id, q.statement, r.key_col, q.external_id
+        |FROM q JOIN registry r ON q.statement = r.statement
+        |ORDER BY q.id""".stripMargin,
     "cdc_topic_routing" ->
       """SELECT n_name AS table_name,
         |  'pg2kafka.' ||

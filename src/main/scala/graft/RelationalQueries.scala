@@ -183,6 +183,16 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // salted two-phase aggregation: skew pattern, result ≡ direct groupBy
+    "agg_salted_skew" -> ((s, dir) => {
+      graft.operators.ScaleOps.saltedSumCount(
+          Tables.lineitem(s, dir),
+          Seq("l_returnflag"), "l_quantity",
+          saltExpr = col("l_orderkey"), saltBuckets = 16)
+        .withColumn("sum_l_quantity", round(col("sum_l_quantity"), 2))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ordered-set aggregates: exact median / quartiles per group
     "agg_percentiles" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -314,6 +324,11 @@ object RelationalQueries {
         |  round(p_retailprice * 0.1, 2) AS price_tenth,
         |  concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // the oracle is the UNSALTED aggregation — salting must be invisible
+    "agg_salted_skew" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_l_quantity,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

@@ -36,6 +36,7 @@ object SimilarityQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_topk_brute" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       VectorOps.bruteForceTopK(querySet(emb), emb, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
@@ -43,6 +44,7 @@ object SimilarityQueries {
     }),
 
     "sim_ann_lsh" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       VectorOps.lshTopK(querySet(emb), emb, k = 3, bits = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
@@ -50,6 +52,7 @@ object SimilarityQueries {
     }),
 
     "sim_cosine_neardup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       VectorOps.cosineNearDupPairs(dupVectors(Tables.embeddings(s, dir)),
           threshold = 0.995, bucketCol = "label")
         .orderBy(col("id_a"), col("id_b"))

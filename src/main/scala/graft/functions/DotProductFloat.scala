@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: Σ aᵢ·bᵢ over two `array<float>` columns,
+  * accumulated left-to-right in double — exactly the semantics of the
+  * `aggregate(zip_with(...))` HOF chain in [[graft.operators.VectorOps]],
+  * but with `doGenCode` emitting a tight primitive loop (no per-element
+  * lambda dispatch, no boxing), keeping the similarity hot path inside
+  * whole-stage codegen. Escalation per SURVEY §4: built-ins first, custom
+  * Expression only on measured need (the HOF chain dominated the
+  * similarity bench).
+  *
+  * Null handling: a NULL array yields NULL (BinaryExpression default);
+  * elements are assumed non-null (embedding vectors).
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    java.lang.Double.valueOf(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  val dotFInfo = new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot_f")
+
+  /** Idempotent runtime registration for sessions built without
+    * extensions (e.g. the driver's Verify/Bench sessions). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_f", exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+
+  /** Column-level API (requires [[register]] or [[GraftExtensions]]). */
+  def dotF(a: Column, b: Column): Column = call_function("graft_dot_f", a, b)
+}
+
+/** `SparkSession.builder.withExtensions(new GraftExtensions)` — the
+  * library's extension hook; registers the native functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_f"),
+      GraftFunctions.dotFInfo,
+      (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern operators: skew-defeating salted aggregation and the
+  * broadcast registry lookup join (the reference's only join,
+  * `sql/triggers.sql:10-12` — registry row per table, unique by
+  * table_name, `sql/migrations.sql:27-28`). */
+object ScaleOps {
+
+  /** Two-phase salted aggregation: when the grouping key is heavily
+    * skewed (few distinct values, e.g. a status flag over 100 TB), a
+    * direct groupBy routes each hot key to one reducer. Salting splits
+    * every key into `saltBuckets` sub-groups aggregated in parallel, then
+    * merges the partials — the sum/count result is identical (integral
+    * values keep double addition associative-exact).
+    *
+    * `saltExpr` must be deterministic (e.g. pmod of another column) so
+    * results are reproducible run-to-run.
+    */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      saltExpr: Column, saltBuckets: Int): DataFrame = {
+    val partial = df
+      .withColumn("_salt", pmod(saltExpr, lit(saltBuckets)))
+      .groupBy((keyCols.map(col) :+ col("_salt")).toIndexedSeq: _*)
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+    partial
+      .groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .agg(sum(col("_psum")).as(s"sum_$valueCol"),
+        sum(col("_pcnt")).cast("long").as("n_rows"))
+  }
+
+  /** Broadcast registry lookup: enrich a change stream with its watched
+    * key column, guaranteed ≤1 registry row per table (the reference's
+    * unique index). Inner join drops unwatched tables, exactly like the
+    * trigger's early return. */
+  def registryLookup(queue: DataFrame, registry: DataFrame,
+      tableCol: String = "table_name"): DataFrame =
+    queue.join(broadcast(registry), Seq(tableCol), "inner")
+}

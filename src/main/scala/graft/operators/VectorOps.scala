@@ -17,8 +17,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ as a sequential double fold (order-stable ⇒ deterministic). */
+  /** Σ aᵢ·bᵢ as a sequential double fold (order-stable ⇒ deterministic).
+    * Routed through the native codegen'd [[graft.functions.DotProductFloat]]
+    * — call [[graft.functions.GraftFunctions.register]] on the session (or
+    * build it withExtensions(new GraftExtensions)) before planning. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotF(a, b)
+
+  /** The same fold via built-in higher-order functions — kept as the
+    * no-registration fallback and as the cross-check for the native
+    * expression (identical results bit-for-bit). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

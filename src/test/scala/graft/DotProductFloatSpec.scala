@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.operators.VectorOps
+
+/** The native codegen dot product must be bit-identical to the HOF fold
+  * it replaces (sequential left-to-right double accumulation). */
+class DotProductFloatSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("native expression matches the HOF fold bit-for-bit, incl. interpreted mode") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, 0.61f)),
+      (Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorOps.dot(col("a"), col("b")).as("native"),
+      VectorOps.dotHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("NULL array yields NULL") {
+    GraftFunctions.register(spark)
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val r = df.select(VectorOps.dot(col("a"), col("b"))).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("cosine of a vector with itself is exactly 1 after rounding") {
+    GraftFunctions.register(spark)
+    val df = Seq(Tuple1(Array(0.3f, -0.7f, 0.648f))).toDF("v")
+    val r = df.select(round(VectorOps.cosine(col("v"), col("v")), 6)).collect().head
+    assert(r.getDouble(0) == 1.0)
+  }
+}

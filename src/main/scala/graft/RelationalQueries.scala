@@ -160,6 +160,38 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // correlated-scalar-subquery semantics via a window (cheapest parts
+    // per brand) — one shuffle instead of a re-scan per row
+    "corr_subquery_min" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val w = Window.partitionBy(col("p_brand"))
+      p.withColumn("brand_min", min(col("p_retailprice")).over(w))
+        .filter(col("p_retailprice") === col("brand_min"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    }),
+
+    // bag-semantics set operators
+    "set_ops_all" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val loPrio = o.filter(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"))
+        .select(col("o_custkey"))
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      loPrio.intersectAll(open).exceptAll(
+          o.filter(col("o_totalprice") > 400000).select(col("o_custkey")))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ordered string aggregation (deterministic listagg)
+    "agg_stringagg" -> ((s, dir) => {
+      Tables.nation(s, dir)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // distinct aggregation
     "distinct_agg" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -309,6 +341,27 @@ object RelationalQueries {
         |  EXCEPT
         |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
+    // oracle uses a genuine correlated subquery — same semantics
+    "corr_subquery_min" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+        |                       WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
+    "set_ops_all" ->
+      """WITH sel AS (
+        |  (SELECT o_custkey FROM orders
+        |   WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        |   INTERSECT ALL
+        |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |SELECT o_custkey, count(*) AS multiplicity FROM sel
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_stringagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "distinct_agg" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS n_cust,

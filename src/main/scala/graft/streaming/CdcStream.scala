@@ -75,6 +75,35 @@ object CdcStream {
       }
       .start()
 
+  /** O1 — the `pg2kafka.setup(table, key)` control-plane flow
+    * (`sql/triggers.sql:77-113`) Spark-style. The reference takes an
+    * ACCESS EXCLUSIVE lock to close the snapshot→trigger gap; here the
+    * stream (with its checkpoint) is STARTED FIRST, then the snapshot
+    * runs — any row changed during the snapshot appears in both, which
+    * is safe under at-least-once + uuid dedup (offset-overlap instead of
+    * blocking writers, SURVEY §3 E3). Returns the running change-stream
+    * query; the snapshot events have already been delivered to `write`
+    * as batch -1. Re-watching an already-watched table is the caller's
+    * dup-guard (the reference warns and returns, `:86-94`).
+    */
+  def setup(spark: SparkSession, tableDir: String, tableName: String,
+      keyCol: String, checkpointDir: String,
+      write: (org.apache.spark.sql.DataFrame, Long) => Unit): StreamingQuery = {
+    val stream = readEventStream(spark, tableDir)
+    val q = keyedOrderedSink(
+      CdcOps.finalizeEnvelope(CdcOps.insertEvents(stream, tableName, keyCol)),
+      checkpointDir, write)
+    val snapshot = CdcOps.finalizeEnvelope(
+      CdcOps.snapshot(spark.read.parquet(tableDir), tableName, keyCol))
+    write(snapshot, -1L)
+    q
+  }
+
+  /** The DRY_RUN debug sink (`main.go:158-160`): log instead of produce. */
+  def debugSink(envelope: DataFrame, queryName: String): StreamingQuery =
+    envelope.writeStream.format("console")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+
   /** Watermarked tumbling-window aggregation (streaming form of
     * EventOps.tumblingAgg). */
   def tumblingAgg(stream: DataFrame, tsCol: String, watermark: String,

@@ -112,6 +112,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(delivered.asScala.toSet == Set(1L, 2L, 3L))
   }
 
+  test("setup = O1: snapshot delivered, then live changes captured, no gap (sql/triggers.sql:77-113)") {
+    val srcDir = tmp("watched_table")
+    Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+      .write.mode("append").parquet(srcDir)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    val q = graft.streaming.CdcStream.setup(spark, srcDir, "users", "id",
+      tmp("ckpt_setup"), (df, batchId) =>
+        df.select("statement", "external_id").collect()
+          .foreach(r => batches.add((batchId, r.getString(0), r.getString(1)))))
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val all = batches.asScala.toList
+    val snaps = all.filter(_._2 == "SNAPSHOT")
+    assert(snaps.map(_._3).toSet == Set("1", "2"), "snapshot covers every row")
+    assert(snaps.forall(_._1 == -1L))
+    // the pre-existing rows also arrive via the stream (offset overlap —
+    // safe under at-least-once; a locked gap would LOSE events instead)
+    val inserts = all.filter(_._2 == "INSERT")
+    assert(inserts.map(_._3).toSet == Set("1", "2"))
+  }
+
   test("streaming session window groups events by gap") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double, String)]

@@ -133,11 +133,11 @@ object TextQueries {
           |SELECT doc_id, lang, $langCase AS lang_pred FROM c ORDER BY doc_id""".stripMargin,
       "text_quality" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
-          |SELECT doc_id, round(
+          |SELECT doc_id, floor((
           |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
           |  CAST(${stopHitsSql("toks", "en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.4 +
           |  least(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-          |    / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2, 6) AS quality
+          |    / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2) * 1000000) / 1000000 AS quality
           |FROM t ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),

@@ -57,16 +57,19 @@ object TextOps {
 
   /** Heuristic quality score in [0,1]: linear mix of length saturation,
     * stopword ratio and mean token length — pure arithmetic (no exp/log)
-    * so it is engine-portable bit-for-bit before the final round. */
+    * so it is engine-portable bit-for-bit. The 6-decimal quantization
+    * TRUNCATES (floor) rather than rounds: decimal rounding of a double
+    * differs by 1 ulp between engines at half boundaries, floor never
+    * does. */
   def qualityScore(text: Column): Column = {
     val t = tokens(text)
     val n = size(t).cast("double")
     val stopRatio = stopwordHits(t, stopwords("en")).cast("double") / n
     val totalTokChars = aggregate(t, lit(0), (acc, x) => acc + length(x))
     val avgTokLen = totalTokChars.cast("double") / n
-    round(
-      least(n / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.4 + least(avgTokLen / 10.0, lit(1.0)) * 0.2,
-      6)
+    val score =
+      least(n / 100.0, lit(1.0)) * 0.4 + stopRatio * 0.4 + least(avgTokLen / 10.0, lit(1.0)) * 0.2
+    floor(score * 1000000) / 1000000
   }
 
   /** 3-token shingles: ["a b c", "b c d", …]. Returns empty array for

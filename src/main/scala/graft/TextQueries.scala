@@ -87,6 +87,7 @@ object TextQueries {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
+      graft.functions.IntersectCountSorted.register(s)
       Dedup.minhashPairs(dupCorpus(Tables.documents(s, dir)), "doc_id", "text",
           numHashes = 8, numBands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -98,6 +99,7 @@ object TextQueries {
     }),
 
     "dedup_jaccard_bucket" -> ((s, dir) => {
+      graft.functions.IntersectCountSorted.register(s)
       Dedup.jaccardPairsWithinBucket(dupCorpus(Tables.documents(s, dir)),
           "doc_id", "text", "source", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -151,14 +153,14 @@ object TextQueries {
           |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
       "dedup_minhash" -> {
         val mhFast = (0 until 8).map { i =>
-          s"list_aggregate(list_transform(hs, h -> substr(h, ${i * 8 + 1}, 8)), 'min')"
+          s"list_aggregate(list_transform(hs, h -> substr(h, ${i * 4 + 1}, 4)), 'min')"
         }.mkString("[", ", ", "]")
         val interSql = "CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)"
         val jacDSql = s"round($interSql / (sa.n_sh + sb.n_sh - $interSql), 6)"
         s"""WITH $corpusSql,
           |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
           |s0 AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM t),
-          |h0 AS (SELECT doc_id, list_transform(shingles, s -> md5(s) || md5('x' || s)) AS hs
+          |h0 AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
           |  FROM s0 WHERE len(shingles) > 0),
           |sh AS (SELECT doc_id,
           |  list_distinct(list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT)) AS ds,

@@ -34,21 +34,21 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, numBands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    require(numHashes == 8, "signature layout derives 8 hash fns from two md5s")
+    require(numHashes == 8, "signature layout derives 8 hash fns from one md5")
     val rowsPerBand = numHashes / numBands
     val toks = TextOps.tokens(col(textCol))
-    // ONE hash pass per shingle serves everything: 64 hex chars (two md5s)
-    // sliced into 8 32-bit minhash functions + a 60-bit shingle id for the
-    // verification set math. 4x fewer md5 evaluations than seeded hashing.
+    // ONE md5 per shingle serves everything: its 32 hex chars sliced into
+    // 8 16-bit minhash functions (collisions are harmless — candidates
+    // are verified by exact Jaccard) + a 60-bit shingle id for the
+    // verification set math. 8x fewer md5 evaluations than seeded hashing.
     val sh = df.select(col(idCol).as("doc_id"), TextOps.shingles(toks).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("hs", transform(col("shingles"),
-        s => concat(md5(s), md5(concat(lit("x"), s)))))
-      .withColumn("ds", array_distinct(transform(col("hs"),
-        h => conv(substring(h, 1, 15), 16, 10).cast("long"))))
+      .withColumn("hs", transform(col("shingles"), s => md5(s)))
+      .withColumn("ds", array_sort(array_distinct(transform(col("hs"),
+        h => conv(substring(h, 1, 15), 16, 10).cast("long")))))
       .withColumn("n_sh", size(col("ds")))
       .withColumn("mh", array((0 until numHashes).map { i =>
-        array_min(transform(col("hs"), h => substring(h, i * 8 + 1, 8)))
+        array_min(transform(col("hs"), h => substring(h, i * 4 + 1, 4)))
       }: _*))
       .select(col("doc_id"), col("ds"), col("n_sh"), col("mh"))
     val bands = sh.select(col("doc_id"), posexplode(
@@ -61,7 +61,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val inter = size(array_intersect(col("a.ds"), col("b.ds"))).cast("double")
+    val inter = graft.functions.IntersectCountSorted(col("a.ds"), col("b.ds")).cast("double")
     val jac = inter / (col("a.n_sh") + col("b.n_sh") - inter)
     pairs
       .join(sh.select(col("doc_id"), col("ds"), col("n_sh")).as("a"), col("id_a") === col("a.doc_id"))
@@ -89,13 +89,13 @@ object Dedup {
   def jaccardPairsWithinBucket(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
     val sh = df.select(col(bucketCol).as("bucket"), col(idCol).as("doc_id"),
-      array_distinct(TextOps.hashedShingles(
-        TextOps.shingles(TextOps.tokens(col(textCol))))).as("ds"))
+      array_sort(array_distinct(TextOps.hashedShingles(
+        TextOps.shingles(TextOps.tokens(col(textCol)))))).as("ds"))
       .filter(size(col("ds")) > 0)
       .withColumn("n_sh", size(col("ds")))
-    // per pair only ONE set op runs: |A∪B| = |A|+|B|-|A∩B| on the
-    // pre-distincted arrays
-    val inter = size(array_intersect(col("a.ds"), col("b.ds"))).cast("double")
+    // per pair only ONE set op runs — a codegen'd two-pointer merge count
+    // over the pre-sorted arrays; |A∪B| = |A|+|B|-|A∩B|
+    val inter = graft.functions.IntersectCountSorted(col("a.ds"), col("b.ds")).cast("double")
     val jac = inter / (col("a.n_sh") + col("b.n_sh") - inter)
     sh.as("a").join(sh.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&

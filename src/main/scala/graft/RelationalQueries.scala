@@ -215,6 +215,22 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // typed Dataset path: groupByKey + custom Aggregator[IN,BUF,OUT]
+    "typed_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity")).as[(String, Double)]
+      val stats = new graft.functions.StatsAggregator().toColumn
+      ds.groupByKey(_._1).mapValues(_._2).agg(stats.name("stats"))
+        .toDF("l_returnflag", "stats")
+        .select(col("l_returnflag"),
+          round(col("stats.sum"), 2).as("sum_qty"),
+          col("stats.count").as("n"),
+          col("stats.min").as("min_qty"),
+          col("stats.max").as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // salted two-phase aggregation: skew pattern, result ≡ direct groupBy
     "agg_salted_skew" -> ((s, dir) => {
       graft.operators.ScaleOps.saltedSumCount(
@@ -377,6 +393,10 @@ object RelationalQueries {
         |  round(p_retailprice * 0.1, 2) AS price_tenth,
         |  concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "typed_stats_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the oracle is the UNSALTED aggregation — salting must be invisible
     "agg_salted_skew" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_l_quantity,

@@ -135,6 +135,17 @@ class CdcOpsSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString(", "))
   }
 
+  test("typed Dataset[ChangeEvent] view exposes the envelope with NULL-safe key") {
+    val df = usersDf(Seq(Row("u1", "n", null, null, null), Row(null, "m", null, null, null)))
+    val typed = ChangeEvent.typed(
+      CdcOps.finalizeEnvelope(CdcOps.insertEvents(df, "users", "uuid")))
+    val evs = typed.collect().sortBy(_.external_id.getOrElse(""))
+    assert(evs.length == 2)
+    assert(evs.head.external_id.isEmpty && evs.last.external_id.contains("u1"))
+    assert(evs.forall(e => e.statement == "INSERT" && e.table_name == "users"))
+    assert(evs.forall(_.uuid.length == 36))
+  }
+
   test("wire envelope has exactly the 5 public fields (event_queue.go:41-50 json tags)") {
     val df = usersDf(Seq(Row("u1", "n", null, null, null)))
     val events = CdcOps.finalizeEnvelope(CdcOps.insertEvents(df, "users", "uuid"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.PipelineOps
+
+/** Dataset-curation queries over `documents` (training-data pipeline
+  * surface): stratified sampling, splits, decontamination, mixing. */
+object PipelineQueries {
+
+  /** DuckDB mirror of PipelineOps.hashBucket100. */
+  private def bucketSql(id: String): String =
+    s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 4))::BIGINT % 100"
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+  private def shinglesSql(toks: String): String =
+    s"CASE WHEN len($toks) >= 3 THEN list_transform(range(1, len($toks) - 1), " +
+      s"i -> array_to_string(($toks)[i:i+2], ' ')) ELSE [] END"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "pipeline_stratified_sample" -> ((s, dir) => {
+      PipelineOps.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+          ratesPercent = Map("en" -> 20, "de" -> 50), defaultPercent = 80)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "pipeline_train_split" -> ((s, dir) => {
+      PipelineOps.trainValTestSplit(Tables.documents(s, dir), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
+    }),
+
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      PipelineOps.decontaminate(
+          train = docs.filter(col("doc_id") >= 10),
+          benchmark = docs.filter(col("doc_id") < 10),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "pipeline_mix_quota" -> ((s, dir) => {
+      PipelineOps.mixByQuota(Tables.documents(s, dir), "doc_id", "lang",
+          quotas = Map("en" -> 40, "zh" -> 10), defaultQuota = 25)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_selected"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "pipeline_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ${bucketSql("doc_id")} <
+        |  (CASE WHEN lang = 'de' THEN 50 WHEN lang = 'en' THEN 20 ELSE 80 END)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_train_split" ->
+      s"""SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+        |  WHEN ${bucketSql("doc_id")} < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "pipeline_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("toks")})) AS shingle FROM t),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+        |SELECT s.doc_id, count(*) AS n_overlapping_shingles
+        |FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |WHERE s.doc_id >= 10
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "pipeline_mix_quota" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, row_number() OVER
+        |    (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_selected, min(doc_id) AS min_id
+        |FROM ranked
+        |WHERE rk <= (CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 10 ELSE 25 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+}

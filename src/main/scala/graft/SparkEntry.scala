@@ -29,10 +29,11 @@ object SparkEntry {
     CdcQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
       EventQueries.queries ++ MultimodalQueries.queries ++
-      StreamingQueries.queries
+      PipelineQueries.queries ++ StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++
-      EventQueries.oracle ++ MultimodalQueries.oracle
+      EventQueries.oracle ++ MultimodalQueries.oracle ++
+      PipelineQueries.oracle
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * sampling, splits, benchmark decontamination, and mixing. All hashing
+  * is md5-based (engine-portable, reproducible run-to-run and
+  * cluster-size-independent — the properties a 100 TB curation job needs;
+  * rand()-based sampling has neither).
+  */
+object PipelineOps {
+
+  /** Uniform [0,100) hash bucket of an id — the primitive under sampling
+    * and splits. md5 of the decimal string, first 4 hex digits mod 100. */
+  def hashBucket100(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Stratified sampling: per-stratum keep-rates (percent), applied via
+    * the deterministic hash bucket. Narrow (no shuffle); exactly
+    * reproducible. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      ratesPercent: Map[String, Int], defaultPercent: Int): DataFrame = {
+    val rate = ratesPercent.foldLeft(lit(defaultPercent)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket100(col(idCol)) < rate)
+  }
+
+  /** Deterministic train/val/test split by hash bucket: [0,80) train,
+    * [80,90) val, [90,100) test. A row's split never changes as the
+    * dataset grows — the property rand() splits lack. */
+  def trainValTestSplit(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("split",
+      when(hashBucket100(col(idCol)) < 80, "train")
+        .when(hashBucket100(col(idCol)) < 90, "val")
+        .otherwise("test"))
+
+  /** Benchmark decontamination: training docs sharing any `k`-token
+    * shingle with the benchmark set are flagged with their overlap count.
+    * Shape: explode both sides to (shingle, doc) and equi-join on the
+    * shingle — a hash join that scales; the benchmark side is distinct
+    * and broadcast (benchmarks are small by definition). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    def exploded(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), k))).as("shingle"))
+    val benchShingles = exploded(benchmark).select(col("shingle")).distinct()
+    exploded(train)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlapping_shingles"))
+  }
+
+  /** Quota mixing: take the first `quota(stratum)` docs per stratum in
+    * deterministic hash order — proportional dataset mixing with
+    * reproducible selection. One shuffle (window on the stratum). */
+  def mixByQuota(df: DataFrame, idCol: String, stratumCol: String,
+      quotas: Map[String, Int], defaultQuota: Int): DataFrame = {
+    val quota = quotas.foldLeft(lit(defaultQuota)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .drop("rk")
+  }
+}

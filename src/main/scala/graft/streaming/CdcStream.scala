@@ -115,6 +115,29 @@ object CdcStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Cross-batch stateful dedup via flatMapGroupsWithState: remembers the
+    * uuids seen per key and emits only first occurrences — the
+    * arbitrary-state form of [[dedupByUuid]] for when the dedup horizon
+    * must outlive a watermark (e.g. reprocessing windows). State is
+    * bounded per key by `maxUuidsPerKey` (oldest-first eviction), the
+    * discipline that keeps state stores sane at 100 TB. */
+  def statefulDedup(events: org.apache.spark.sql.Dataset[(String, String)],
+      maxUuidsPerKey: Int = 10000): org.apache.spark.sql.Dataset[(String, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[String], (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Seq[String]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val seenSet = scala.collection.mutable.LinkedHashSet(seen: _*)
+          val out = rows.filter { case (_, uuid) => seenSet.add(uuid) }.toList
+          state.update(seenSet.toSeq.takeRight(maxUuidsPerKey))
+          out.iterator
+      }
+  }
+
   /** Gap-based session windows (streaming form of EventOps.sessionize)
     * via the built-in session_window. */
   def sessionAgg(stream: DataFrame, tsCol: String, watermark: String,

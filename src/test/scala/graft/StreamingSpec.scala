@@ -133,6 +133,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(inserts.map(_._3).toSet == Set("1", "2"))
   }
 
+  test("flatMapGroupsWithState dedup suppresses re-deliveries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val deduped = graft.streaming.CdcStream.statefulDedup(ms.toDS())
+    val q = deduped.toDF("key", "uuid").writeStream.format("memory")
+      .queryName("state_dedup_test").outputMode("append").start()
+    ms.addData(("k1", "u1"), ("k1", "u2"), ("k2", "u1"))
+    q.processAllAvailable()
+    // second micro-batch redelivers u1 (crash-replay) plus a new uuid
+    ms.addData(("k1", "u1"), ("k1", "u3"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("state_dedup_test")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("k1", "u1"), ("k1", "u2"), ("k2", "u1"), ("k1", "u3")),
+      s"got $got")
+  }
+
   test("streaming session window groups events by gap") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Double, String)]

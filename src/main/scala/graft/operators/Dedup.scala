@@ -41,7 +41,14 @@ object Dedup {
     // 8 16-bit minhash functions (collisions are harmless — candidates
     // are verified by exact Jaccard) + a 60-bit shingle id for the
     // verification set math. 8x fewer md5 evaluations than seeded hashing.
-    val sh = df.select(col(idCol).as("doc_id"), TextOps.shingles(toks).as("shingles"))
+    // spread docs across the cluster BEFORE the hash-heavy stage. The
+    // partition count is explicit: this stage is CPU-bound on few bytes,
+    // and AQE would otherwise coalesce it to one task (its advisory
+    // sizing is byte-based, blind to compute cost).
+    val prepParallelism = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.select(col(idCol).as("doc_id"), col(textCol))
+      .repartition(prepParallelism, col("doc_id"))
+      .select(col("doc_id"), TextOps.shingles(toks).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("hs", transform(col("shingles"), s => md5(s)))
       .withColumn("ds", array_sort(array_distinct(transform(col("hs"),
@@ -79,30 +86,62 @@ object Dedup {
 
   /** n-gram Jaccard pairs within a pre-existing bucket column (e.g. a
     * source/category): quadratic only inside buckets. */
-  /** Two exact prunes keep the quadratic stage cheap at scale:
-    *  - shingles are pre-hashed to 60-bit ints (integer set ops, ~10×
-    *    cheaper than string compares in the verify stage);
-    *  - J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose size ratio is
-    *    below the threshold are dropped inside the join condition, before
-    *    any intersection is computed. Both are lossless.
+  /** In-bucket exhaustive pairwise Jaccard. A self-JOIN formulation was
+    * measured to spend its time materializing both shingle arrays into
+    * every candidate-pair row (~2 GB of row traffic at sf0.1 for 1.5M
+    * pairs); instead the bucket is co-grouped once and paired in memory —
+    * per guide escalation order this is the measured-need case for
+    * `mapGroups`. Shuffle profile is identical (one hash partition on the
+    * bucket); only surviving pairs ever become rows.
+    *
+    * Exact prunes inside the loop (both lossless):
+    *  - J(A,B) ≤ min/max sizes → size-ratio skip before any merge;
+    *  - shingles pre-hashed to sorted 60-bit ints → two-pointer count.
     */
   def jaccardPairsWithinBucket(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
-    val sh = df.select(col(bucketCol).as("bucket"), col(idCol).as("doc_id"),
-      array_sort(array_distinct(TextOps.hashedShingles(
-        TextOps.shingles(TextOps.tokens(col(textCol)))))).as("ds"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // explicit count: CPU-bound on few bytes, AQE would coalesce to 1 task
+    val prepParallelism = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df
+      .select(col(bucketCol).cast("string").as("bucket"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("_text"))
+      .repartition(prepParallelism, col("doc_id")) // spread the hash-heavy stage
+      .select(col("bucket"), col("doc_id"),
+        array_sort(array_distinct(TextOps.hashedShingles(
+          TextOps.shingles(TextOps.tokens(col("_text")))))).as("ds"))
       .filter(size(col("ds")) > 0)
-      .withColumn("n_sh", size(col("ds")))
-    // per pair only ONE set op runs — a codegen'd two-pointer merge count
-    // over the pre-sorted arrays; |A∪B| = |A|+|B|-|A∩B|
-    val inter = graft.functions.IntersectCountSorted(col("a.ds"), col("b.ds")).cast("double")
-    val jac = inter / (col("a.n_sh") + col("b.n_sh") - inter)
-    sh.as("a").join(sh.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-          greatest(col("a.n_sh"), col("b.n_sh")) * threshold)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        round(jac, 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .as[(String, Long, Array[Long])]
+    sh.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val docs = it.map { case (_, id, ds) => (id, ds) }.toArray.sortBy(_._1)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < docs.length) {
+          var j = i + 1
+          while (j < docs.length) {
+            val (ia, a) = docs(i); val (ib, b) = docs(j)
+            val nMin = math.min(a.length, b.length)
+            val nMax = math.max(a.length, b.length)
+            if (nMin >= nMax * threshold) {
+              var x = 0; var y = 0; var c = 0
+              while (x < a.length && y < b.length) {
+                if (a(x) == b(y)) { c += 1; x += 1; y += 1 }
+                else if (a(x) < b(y)) x += 1
+                else y += 1
+              }
+              val jac = c.toDouble / (a.length + b.length - c)
+              // same quantization as Spark SQL round(x, 6) = HALF_UP
+              val jr = BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (jr >= threshold) out += ((math.min(ia, ib), math.max(ia, ib), jr))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("id_a", "id_b", "jaccard")
   }
 }

@@ -44,8 +44,12 @@ object PipelineOps {
     * and broadcast (benchmarks are small by definition). */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    // explicit count: shingling is CPU-bound on few bytes; AQE's
+    // byte-based coalescing would serialize it
     def exploded(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
         explode(array_distinct(
           TextOps.shingles(TextOps.tokens(col(textCol)), k))).as("shingle"))
     val benchShingles = exploded(benchmark).select(col("shingle")).distinct()

@@ -30,6 +30,13 @@ def main(out_dir: str, sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     n_pass = n_fail = 0
     results = {}
+    # a query that threw inside Verify writes no directory — that must be
+    # a FAIL, not a silent absence (false-green gate otherwise)
+    missing = [k for k in oracles
+               if not os.path.isdir(os.path.join(out_dir, k))]
+    for k in missing:
+        results[k] = "NO-OUTPUT (query failed inside Verify?)"
+        n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -76,7 +83,7 @@ def main(out_dir: str, sf_dir: str) -> int:
         else:
             results[name] = f"OK rows={len(g)}"
             n_pass += 1
-    for k, v in results.items():
+    for k, v in sorted(results.items()):
         print(f"{'PASS' if v.startswith('OK') else 'INFO' if v.startswith('NO-ORACLE') else 'FAIL'} {k}: {v}")
     print(f"\n{n_pass} pass, {n_fail} fail, {len(results)-n_pass-n_fail} no-oracle")
     return 1 if n_fail else 0

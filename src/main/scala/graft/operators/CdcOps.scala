@@ -28,14 +28,18 @@ object CdcOps {
     * analog of `row_to_json(NEW)` (`sql/triggers.sql:21,23,66`).
     * NULL columns are preserved as JSON nulls (reference behavior:
     * `sql/sql_test.go:92-110`), hence ignoreNullFields=false.
-    * Timestamp/date columns are rendered as "yyyy-MM-dd HH:mm:ss" strings so
-    * payload bytes are engine-portable (jsonb does not standardize either).
+    * Timestamp columns are rendered as "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    * strings — full microsecond precision (row_to_json keeps sub-second
+    * digits; truncating would make distinct row states byte-identical on
+    * the wire) in an engine-portable format; dates as plain days.
     */
   def rowJson(df: DataFrame): Column = {
     val cols = df.schema.fields.map { f =>
       f.dataType.typeName match {
-        case "timestamp" | "date" =>
-          date_format(col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
+        case "timestamp" | "timestamp_ntz" =>
+          date_format(col(f.name), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(f.name)
+        case "date" =>
+          date_format(col(f.name), "yyyy-MM-dd").as(f.name)
         case _ => col(f.name)
       }
     }

@@ -35,6 +35,9 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, numBands: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(numHashes == 8, "signature layout derives 8 hash fns from one md5")
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numBands=$numBands must evenly divide numHashes=$numHashes " +
+        "(a zero-width band key would degenerate the LSH join to a cross product)")
     val rowsPerBand = numHashes / numBands
     val toks = TextOps.tokens(col(textCol))
     // ONE md5 per shingle serves everything: its 32 hex chars sliced into
@@ -58,6 +61,10 @@ object Dedup {
         array_min(transform(col("hs"), h => substring(h, i * 4 + 1, 4)))
       }: _*))
       .select(col("doc_id"), col("ds"), col("n_sh"), col("mh"))
+      // referenced 4x downstream (both sides of the band self-join, both
+      // signature join-backs); without persist the md5-heavy lineage
+      // recomputes each time
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sh.select(col("doc_id"), posexplode(
       array((0 until numBands).map { b =>
         concat_ws("|", (0 until rowsPerBand).map(r => col("mh")(b * rowsPerBand + r)): _*)

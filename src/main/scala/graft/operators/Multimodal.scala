@@ -69,9 +69,11 @@ object Multimodal {
     * on the binary column. */
   def sampleChunks(df: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
     val nChunks = floor((octet_length(col("media")) - 1) / lit(chunkSize * stride)) + 1
-    df.select(col("media_id"),
-        explode(sequence(lit(0), nChunks.cast("int") - 1)).as("chunk_idx"),
-        col("media"))
+    // sequence(0, -1) DESCENDS ([0, -1]) rather than being empty — an
+    // empty blob must yield zero chunk rows (explode of empty array)
+    val idxs = when(octet_length(col("media")) > 0,
+      sequence(lit(0), nChunks.cast("int") - 1)).otherwise(array().cast("array<int>"))
+    df.select(col("media_id"), explode(idxs).as("chunk_idx"), col("media"))
       .select(col("media_id"), col("chunk_idx"),
         base64(col("media").substr(
           col("chunk_idx") * (chunkSize * stride) + 1, lit(chunkSize))).as("chunk_b64"))

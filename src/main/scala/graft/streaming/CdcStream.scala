@@ -61,16 +61,24 @@ object CdcStream {
     * per-partition append). `write` receives each ordered batch — the
     * produce+ack boundary. Checkpointing commits offsets only after
     * `write` returns: crash ⇒ the batch is redelivered (at-least-once,
-    * `main.go:161-175`). */
+    * `main.go:161-175`).
+    *
+    * `orderCols` is the reference's `ORDER BY id` — pass the SOURCE's
+    * monotonic column (queue id, Kafka offset). `created_at` alone is NOT
+    * a valid order for envelopes built by [[CdcOps.finalizeEnvelope]]: it
+    * is query-constant within a batch, so same-key events would tie and
+    * Spark's sort is not stable. */
   def keyedOrderedSink(envelope: DataFrame, checkpointDir: String,
-      write: (DataFrame, Long) => Unit): StreamingQuery =
+      write: (DataFrame, Long) => Unit,
+      orderCols: Seq[String] = Seq("created_at")): StreamingQuery =
     envelope.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ordered = batch
           .repartition(col("external_id"))
-          .sortWithinPartitions(col("external_id"), col("created_at"))
+          .sortWithinPartitions(
+            (col("external_id") +: orderCols.map(col)).toIndexedSeq: _*)
         write(ordered, batchId)
       }
       .start()
@@ -78,25 +86,26 @@ object CdcStream {
   /** O1 — the `pg2kafka.setup(table, key)` control-plane flow
     * (`sql/triggers.sql:77-113`) Spark-style. The reference takes an
     * ACCESS EXCLUSIVE lock to close the snapshot→trigger gap; here the
-    * stream (with its checkpoint) is STARTED FIRST, then the snapshot
-    * runs — any row changed during the snapshot appears in both, which
-    * is safe under at-least-once + uuid dedup (offset-overlap instead of
-    * blocking writers, SURVEY §3 E3). Returns the running change-stream
-    * query; the snapshot events have already been delivered to `write`
-    * as batch -1. Re-watching an already-watched table is the caller's
-    * dup-guard (the reference warns and returns, `:86-94`).
+    * snapshot is delivered first (batch -1, synchronously) and the
+    * change stream then starts from the BEGINNING of the source (a fresh
+    * checkpoint reads offset 0), so anything written during the snapshot
+    * is also re-shipped by the stream — overlap instead of a gap, which
+    * is safe under at-least-once + uuid dedup (SURVEY §3 E3). For an
+    * offset-based source (Kafka), record the start offset before the
+    * snapshot read for the same overlap guarantee. Returns the running
+    * change-stream query. Re-watching an already-watched table is the
+    * caller's dup-guard (the reference warns and returns, `:86-94`).
     */
   def setup(spark: SparkSession, tableDir: String, tableName: String,
       keyCol: String, checkpointDir: String,
       write: (org.apache.spark.sql.DataFrame, Long) => Unit): StreamingQuery = {
-    val stream = readEventStream(spark, tableDir)
-    val q = keyedOrderedSink(
-      CdcOps.finalizeEnvelope(CdcOps.insertEvents(stream, tableName, keyCol)),
-      checkpointDir, write)
     val snapshot = CdcOps.finalizeEnvelope(
       CdcOps.snapshot(spark.read.parquet(tableDir), tableName, keyCol))
     write(snapshot, -1L)
-    q
+    val stream = readEventStream(spark, tableDir)
+    keyedOrderedSink(
+      CdcOps.finalizeEnvelope(CdcOps.insertEvents(stream, tableName, keyCol)),
+      checkpointDir, write)
   }
 
   /** The DRY_RUN debug sink (`main.go:158-160`): log instead of produce. */

@@ -47,5 +47,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(full.length == 32, "mid chunk is full size")
     val last = new String(java.util.Base64.getDecoder.decode(chunks(2).getAs[String]("chunk_b64")))
     assert(last.length == 270 - 256, "tail chunk is truncated, not padded")
+    // empty blob → zero chunk rows (sequence(0,-1) would descend!)
+    val empty = Seq((2L, Array.empty[Byte])).toDF("media_id", "media")
+    assert(Multimodal.sampleChunks(empty, 32, 4).count() == 0)
   }
 }

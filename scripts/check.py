@@ -62,6 +62,8 @@ def main(out_dir: str, sf_dir: str) -> int:
             n_fail += 1
             continue
         bad = []
+        dtype_notes = [f"{c}: spark={g[c].dtype} duck={w[c].dtype}"
+                       for c in g.columns if str(g[c].dtype) != str(w[c].dtype)]
         for c in g.columns:
             a, b = g[c].values, w[c].values
             if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(w[c].dtype, np.floating):
@@ -81,7 +83,8 @@ def main(out_dir: str, sf_dir: str) -> int:
             results[name] = "VALUE-MISMATCH " + "; ".join(bad)
             n_fail += 1
         else:
-            results[name] = f"OK rows={len(g)}"
+            note = f" DTYPE-NOTE {'; '.join(dtype_notes)}" if dtype_notes else ""
+            results[name] = f"OK rows={len(g)}{note}"
             n_pass += 1
     for k, v in sorted(results.items()):
         print(f"{'PASS' if v.startswith('OK') else 'INFO' if v.startswith('NO-ORACLE') else 'FAIL'} {k}: {v}")

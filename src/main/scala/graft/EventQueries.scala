@@ -66,7 +66,7 @@ object EventQueries {
   def oracle: Map[String, String] = Map(
     "events_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_tumbling" ->
@@ -83,7 +83,8 @@ object EventQueries {
         |  (PARTITION BY user_id ORDER BY ts_us, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM flagged)
-        |SELECT user_id, session_seq, count(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
         |  min(ts_us) AS session_start_us,
         |  max(ts_us) - min(ts_us) AS duration_us,
         |  round(sum(value), 2) AS sum_value

@@ -59,7 +59,7 @@ object PipelineQueries {
     "pipeline_train_split" ->
       s"""SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
         |  WHEN ${bucketSql("doc_id")} < 90 THEN 'val' ELSE 'test' END AS split,
-        |  count(*) AS n, sum(n_chars) AS total_chars
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -99,8 +99,8 @@ object RelationalQueries {
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
           round(sum(col("c_acctbal")), 2).as("sum_bal"),
-          grouping(col("r_name")).as("gr_r"),
-          grouping(col("n_name")).as("gr_n"))
+          grouping(col("r_name")).cast("int").as("gr_r"),
+          grouping(col("n_name")).cast("int").as("gr_n"))
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
@@ -120,7 +120,7 @@ object RelationalQueries {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       o.select(
         col("o_custkey"), col("o_orderkey"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         round(sum(col("o_totalprice"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
         lag(col("o_totalprice"), 1).over(w).as("prev_price"))
@@ -133,7 +133,7 @@ object RelationalQueries {
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("p_retailprice").desc, col("p_partkey"))
       p.select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
-          row_number().over(w).as("rk"))
+          row_number().over(w).cast("long").as("rk"))
         .filter(col("rk") <= 3)
         .orderBy(col("p_brand"), col("rk"))
     }),

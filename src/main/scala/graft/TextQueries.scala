@@ -184,7 +184,7 @@ object TextQueries {
       "dedup_simhash" ->
         s"""WITH $corpusSql,
           |t AS (SELECT doc_id, $toksSql AS toks FROM corpus)
-          |SELECT doc_id, $simhashExpr AS simhash FROM t ORDER BY doc_id""".stripMargin,
+          |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin,
       "dedup_jaccard_bucket" -> {
         val interSql = "CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)"
         val jacDSql = s"round($interSql / (sa.n_sh + sb.n_sh - $interSql), 6)"

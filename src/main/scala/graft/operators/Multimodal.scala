@@ -74,7 +74,7 @@ object Multimodal {
     val idxs = when(octet_length(col("media")) > 0,
       sequence(lit(0), nChunks.cast("int") - 1)).otherwise(array().cast("array<int>"))
     df.select(col("media_id"), explode(idxs).as("chunk_idx"), col("media"))
-      .select(col("media_id"), col("chunk_idx"),
+      .select(col("media_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         base64(col("media").substr(
           col("chunk_idx") * (chunkSize * stride) + 1, lit(chunkSize))).as("chunk_b64"))
   }

@@ -46,7 +46,7 @@ object VectorOps {
         round(cosine(col("qv"), col("c.embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
   /** Sign-pattern bucket of the first `bits` dimensions — an axis-aligned
@@ -68,7 +68,7 @@ object VectorOps {
         round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
   /** Embedding near-dup pairs: cosine above `threshold` within a bucket

@@ -42,7 +42,7 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("chunk_idx").collect()
     // 270 bytes, stride window 128 → chunks at offsets 0, 128, 256
     assert(chunks.length == 3)
-    assert(chunks.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    assert(chunks.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L))
     val full = new String(java.util.Base64.getDecoder.decode(chunks(1).getAs[String]("chunk_b64")))
     assert(full.length == 32, "mid chunk is full size")
     val last = new String(java.util.Base64.getDecoder.decode(chunks(2).getAs[String]("chunk_b64")))

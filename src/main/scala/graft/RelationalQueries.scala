@@ -215,6 +215,27 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
+    // pivot: status columns per priority (explicit value list keeps the
+    // output schema static — required at scale and for the oracle)
+    "agg_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // unpivot (melt): wide part metrics to long (metric, value) rows
+    "unpivot_metrics" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+
     // typed Dataset path: groupByKey + custom Aggregator[IN,BUF,OUT]
     "typed_stats_agg" -> ((s, dir) => {
       import s.implicits._
@@ -393,6 +414,17 @@ object RelationalQueries {
         |  round(p_retailprice * 0.1, 2) AS price_tenth,
         |  concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "unpivot_metrics" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     "typed_stats_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty

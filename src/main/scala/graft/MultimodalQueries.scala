@@ -33,7 +33,9 @@ object MultimodalQueries {
     }),
 
     // stubbed decode + feature extraction (mapPartitions batch shape);
-    // deterministic but Scala-side → rows-only check, semantics in spec
+    // every feature is an integer-exact function of the payload bytes,
+    // so the full decode output is oracle-gated (byte math over the
+    // hex-rendered blob on the DuckDB side)
     "mm_decode_features" -> ((s, dir) => {
       import s.implicits._
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
@@ -53,5 +55,23 @@ object MultimodalQueries {
         |  to_base64(encode(substr(text, i * 128 + 1, 32))) AS chunk_b64
         |FROM documents,
         |  LATERAL unnest(range(0, ((octet_length(encode(text)) - 1) // 128) + 1)) AS t(i)
-        |ORDER BY media_id, chunk_idx""".stripMargin)
+        |ORDER BY media_id, chunk_idx""".stripMargin,
+    // byte features recomputed from the hex rendering of the blob
+    // (DuckDB 1.0 cannot subscript a BLOB; hex pairs → byte values).
+    // head_crc closed form: Σ b_i · 31^(m-i), m = min(8, n) — 31^k is
+    // integer-exact in double for k ≤ 7, total ≤ 7.3e12 (fits BIGINT).
+    "mm_decode_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 'fake/' || source AS media_type,
+        |    hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT media_id, media_type, n::BIGINT AS n_bytes,
+        |  ((n % 640) + 1)::INT AS fake_width,
+        |  ((n % 480) + 1)::INT AS fake_height,
+        |  coalesce(list_sum(list_transform(range(1, n + 1),
+        |    i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT)), 0)::BIGINT AS byte_sum,
+        |  coalesce(list_sum(list_transform(range(1, least(8, n) + 1),
+        |    i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT
+        |         * (31 ** (least(8, n) - i))::BIGINT)), 0)::BIGINT AS head_crc
+        |FROM m ORDER BY media_id""".stripMargin)
 }

@@ -56,6 +56,26 @@ object SimilarityQueries {
       VectorOps.cosineNearDupPairs(dupVectors(Tables.embeddings(s, dir)),
           threshold = 0.995, bucketCol = "label")
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ANN recall self-audit (VERDICT r1 #7): per-query overlap of the LSH
+    // top-k with the exact brute-force top-k — makes the recall<1 trade
+    // measurable instead of asserted. Same k on both sides.
+    "sim_ann_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = VectorOps.lshTopK(querySet(emb), emb, k = 3, bits = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(ann, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      querySet(emb).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 3.0, 6).as("recall"))
+        .orderBy(col("query_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -92,5 +112,31 @@ object SimilarityQueries {
         |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.995
         |ORDER BY id_a, id_b""".stripMargin
-    })
+    },
+    "sim_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |    ${bucketSql("embedding")} AS qbucket FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, c2.vec_id AS neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY
+        |        round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS rk
+        |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id)
+        |  WHERE rk <= 3),
+        |ann AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, c.vec_id AS neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY
+        |        round(${cosSql("qv", "c.embedding")}, 6) DESC, c.vec_id) AS rk
+        |    FROM c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
+        |  WHERE rk <= 3),
+        |hits AS (
+        |  SELECT brute.query_id, count(*) AS n_hit
+        |  FROM brute JOIN ann USING (query_id, neighbor_id)
+        |  GROUP BY brute.query_id)
+        |SELECT q.query_id, coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(hits.n_hit, 0) / 3.0, 6) AS recall
+        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+        |ORDER BY q.query_id""".stripMargin)
 }

@@ -203,6 +203,29 @@ object CdcOps {
     concat(lit("pg2kafka."), prefix, lit("."), table)
   }
 
+  /** `parseDatabaseName` (`main.go:207-213`): the database name is the
+    * path component of DATABASE_URL minus the leading "/". The reference
+    * fatals on an unparsable URL; this throws for the same contract. */
+  def parseDatabaseName(conninfo: String): String = {
+    val uri = new java.net.URI(conninfo)
+    Option(uri.getPath).getOrElse("").stripPrefix("/")
+  }
+
+  /** `parseTopicNamespace` (`main.go:215-222`): prepend the TOPIC_NAMESPACE
+    * env (if non-empty) to the database name with a dot. Truth table
+    * `main_test.go:157-164`: ("","")→"", ("","world")→"world",
+    * ("hello","")→"hello.", ("hello","world")→"hello.world". */
+  def parseTopicNamespace(topicNamespace: String, databaseName: String): String =
+    if (topicNamespace.nonEmpty) topicNamespace + "." + databaseName
+    else databaseName
+
+  /** End-to-end topic derivation as the daemon boots it (`main.go:45-46,
+    * 203-205`): namespace from DATABASE_URL path + TOPIC_NAMESPACE env,
+    * then `topicName` = "pg2kafka.<namespace>.<table>". */
+  def topicNameFromUrl(databaseUrl: String, topicNamespace: String,
+      table: String): String =
+    s"pg2kafka.${parseTopicNamespace(topicNamespace, parseDatabaseName(databaseUrl))}.$table"
+
   /** O10 — Kafka-shaped wire projection: the Kafka message for each event.
     * Key = external_id (empty string for NULL → empty Kafka key, the
     * ByteString semantics of `eventqueue/event_queue.go:158-172`),

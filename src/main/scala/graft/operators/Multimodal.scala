@@ -25,9 +25,14 @@ object Multimodal {
   /** A typed media row: what a real ingest would carry. */
   case class MediaRow(media_id: Long, media_type: String, media: Array[Byte])
 
-  /** Extracted features (deterministic fake of an image decoder's output). */
+  /** Extracted features (deterministic fake of an image decoder's output).
+    * All fields are integer-exact functions of the payload bytes so the
+    * whole decode output is oracle-gatable (VERDICT r1 #4): `byte_sum`
+    * instead of a float mean (no cross-engine rounding), `head_crc` a
+    * base-31 rolling hash of the FIRST 8 bytes (≤ 255·Σ31^i ≈ 7.3e12 —
+    * fits BIGINT exactly on both engines). */
   case class MediaFeatures(media_id: Long, media_type: String, n_bytes: Long,
-      fake_width: Int, fake_height: Int, byte_mean: Double, head_crc: Long)
+      fake_width: Int, fake_height: Int, byte_sum: Long, head_crc: Long)
 
   /** Testdata has no binary table; derive one deterministically from
     * `documents` (text bytes as the opaque payload). */
@@ -38,10 +43,10 @@ object Multimodal {
       encode(col("text"), "utf-8").as("media"))
 
   /** STUB decoder ??? — stands in for e.g. JPEG decode + resize. It is a
-    * pure function of the bytes (deterministic, testable): "dimensions"
-    * from the length, "pixel mean" from the byte mean, a rolling CRC of
-    * the head. Runs per partition over an iterator, the exact shape a
-    * vectorized decode batch would use. */
+    * pure function of the bytes (deterministic, oracle-checked): fake
+    * "dimensions" from the length, "pixel energy" as the byte sum, a
+    * base-31 rolling hash of the 8-byte head. Runs per partition over an
+    * iterator, the exact shape a vectorized decode batch would use. */
   def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -50,15 +55,12 @@ object Multimodal {
         val n = bytes.length
         var crc = 0L
         var i = 0
-        while (i < math.min(16, n)) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
-        val mean = if (n == 0) 0.0 else {
-          var s = 0L; var j = 0
-          while (j < n) { s += (bytes(j) & 0xff); j += 1 }
-          s.toDouble / n
-        }
+        while (i < math.min(8, n)) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
+        var s = 0L; var j = 0
+        while (j < n) { s += (bytes(j) & 0xff); j += 1 }
         MediaFeatures(r.media_id, r.media_type, n.toLong,
           fake_width = (n % 640) + 1, fake_height = (n % 480) + 1,
-          byte_mean = math.round(mean * 1e6) / 1e6, head_crc = crc)
+          byte_sum = s, head_crc = crc)
       }
     }
   }

@@ -78,15 +78,44 @@ object VectorOps {
     * (recall 1.0 for exact dups, near-1 for near-dups away from the
     * coordinate planes — the standard LSH trade). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, bucketCol: String,
-      lshBits: Int = 2): DataFrame = {
+      lshBits: Int = 2, maxBucketSize: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = df.select(
       concat_ws("#", col(bucketCol),
         signBucket(col("embedding"), lshBits)).as("bucket"),
-      col("vec_id"), col("embedding"))
-    v.as("a").join(v.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      col("vec_id").cast("long").as("doc_id"), col("embedding").as("payload"))
+    // same hot-bucket discipline as Dedup.jaccardPairsWithinBucket: a
+    // bucket above maxBucketSize is salt-split, so per-task memory is
+    // bounded (~2·cap embeddings) regardless of skew (VERDICT r1 #9).
+    // The scorer's fused JVM fold is the same left-to-right double
+    // accumulation as the codegen'd dot-product expressions — identical
+    // IEEE operation sequence per accumulator, bit-equal results.
+    BoundedPairs.scoredPairs(
+        BoundedPairs.saltAssignments(v, maxBucketSize)
+          .as[(String, Int, Int, Int, Long, Array[Float])],
+        cosineScore(threshold))
+      .toDF("id_a", "id_b", "cos_sim")
+  }
+
+  /** Symmetric cosine scorer: sequential double folds for a·b, a·a, b·b
+    * (order-stable ⇒ deterministic, matches [[dot]]/[[norm]] bit-exactly);
+    * emits the round(·,6)-quantized score only when it survives. */
+  private[graft] def cosineScore(threshold: Double)(
+      a: Array[Float], b: Array[Float]): Option[Double] = {
+    val n = math.min(a.length, b.length)
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    val cos = dab / (math.sqrt(daa) * math.sqrt(dbb))
+    if (!java.lang.Double.isFinite(cos)) None
+    else {
+      val cr = BoundedPairs.round6(cos)
+      if (cr >= threshold) Some(cr) else None
+    }
   }
 }

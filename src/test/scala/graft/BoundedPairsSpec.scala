@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{BoundedPairs, Dedup, VectorOps}
+
+/** VERDICT r1 #1/#9: a skewed (hot) bucket must not concentrate its
+  * all-pairs work and memory in one task. These tests prove the salted
+  * triangle enumeration (a) bounds per-task group size, (b) produces
+  * EXACTLY the same pairs as the unsplit formulation on a worst-case
+  * single-bucket input, for both the Jaccard and cosine front-ends. */
+class BoundedPairsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltAssignments: buckets at/under cap keep a single (0,0) task — no overhead") {
+    val rows = (1L to 50L).map(i => ("b", i, i)).toDF("bucket", "doc_id", "payload")
+    val a = BoundedPairs.saltAssignments(rows, cap = 100)
+    assert(a.count() == 50, "no replication for small buckets")
+    val tasks = a.select("ti", "tj").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(tasks == Set((0, 0)))
+  }
+
+  test("saltAssignments: a hot bucket splits into cross-paired tasks with bounded size") {
+    val cap = 25
+    val n = 200L
+    val rows = (1L to n).map(i => ("hot", i, i)).toDF("bucket", "doc_id", "payload")
+    val a = BoundedPairs.saltAssignments(rows, cap).cache()
+    // S = ceil(200/25) = 8 salt groups → each doc replicated to S tasks
+    assert(a.count() == n * 8, "replication factor is S per doc")
+    val perTask = a.groupBy("ti", "tj").count().collect()
+    assert(perTask.length == 8 * 9 / 2, "S·(S+1)/2 tasks cover the triangle")
+    // per-task bound: ≤ two salt groups; groups are hash-uniform so allow
+    // variance slack above the 2·(n/S)=50 expectation, far below n=200
+    val maxTask = perTask.map(_.getAs[Long]("count")).max
+    assert(maxTask <= 2 * cap + 25, s"task size $maxTask must stay ~2·cap, not O(bucket)")
+    a.unpersist()
+  }
+
+  test("jaccardPairsWithinBucket: worst-case single hot bucket — split output == unsplit output") {
+    // 80 docs, ONE bucket; docs come in 8 groups of 10 identical texts so
+    // every within-group pair is an exact dup (J = 1.0)
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i / 10) * 30 + j}").mkString(" "), "hot")
+    }.toDF("id", "text", "src")
+    def run(cap: Int) =
+      Dedup.jaccardPairsWithinBucket(docs, "id", "text", "src", 0.5, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsplit = run(1000000) // S = 1, the r1 formulation
+    val split = run(10)        // S = 8, salted triangle
+    assert(unsplit.nonEmpty, "fixture must produce pairs")
+    assert(unsplit.size == 8 * (10 * 9 / 2), "8 groups of 10 exact dups")
+    assert(split == unsplit, "salting must not change the result set")
+  }
+
+  test("cosineNearDupPairs: split output == unsplit output on a skewed bucket") {
+    // deterministic embeddings; every i % 3 == 0 vector has an exact dup
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d) % 7 - 3).toFloat), s"L${i % 2}")
+    }
+    val dups = vecs.filter(_._1 % 3 == 0).map { case (id, v, l) => (id + 1000L, v, l) }
+    val df = (vecs ++ dups).toDF("vec_id", "embedding", "label")
+    def run(cap: Int) =
+      VectorOps.cosineNearDupPairs(df, threshold = 0.999, bucketCol = "label",
+          lshBits = 2, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsplit = run(1000000)
+    val split = run(5)
+    assert(unsplit.exists(_._3 == 1.0), "exact dups must appear with cos 1.0")
+    assert(split == unsplit, "salting must not change the result set")
+  }
+
+  test("cosineScore matches the codegen'd dot-product fold bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 17 + d * 3) % 11 - 5).toFloat / 4f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val sqlSide = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val jvmSide = for {
+      (ia, a) <- vecs; (ib, b) <- vecs if ia < ib
+    } yield ((ia, ib), VectorOps.cosineScore(-2.0)(a, b).get)
+    jvmSide.foreach { case (k, v) =>
+      assert(sqlSide(k) == v, s"pair $k: sql=${sqlSide(k)} jvm=$v")
+    }
+  }
+}

@@ -21,10 +21,10 @@ class MultimodalSpec extends AnyFunSuite {
     val a = out(0)
     assert(a.n_bytes == 3)
     assert(a.fake_width == 4 && a.fake_height == 4)
-    assert(a.byte_mean == ('a' + 'b' + 'c').toDouble / 3)
+    assert(a.byte_sum == ('a' + 'b' + 'c').toLong)
     assert(a.head_crc == (('a' * 31 + 'b') * 31 + 'c'))
     val e = out(1)
-    assert(e.n_bytes == 0 && e.byte_mean == 0.0 && e.head_crc == 0L)
+    assert(e.n_bytes == 0 && e.byte_sum == 0L && e.head_crc == 0L)
   }
 
   test("decodeStub runs partition-batched and scales with partitions") {

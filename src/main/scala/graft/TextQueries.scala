@@ -87,7 +87,6 @@ object TextQueries {
     }),
 
     "dedup_minhash" -> ((s, dir) => {
-      graft.functions.IntersectCountSorted.register(s)
       Dedup.minhashPairs(dupCorpus(Tables.documents(s, dir)), "doc_id", "text",
           numHashes = 8, numBands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -99,7 +98,6 @@ object TextQueries {
     }),
 
     "dedup_jaccard_bucket" -> ((s, dir) => {
-      graft.functions.IntersectCountSorted.register(s)
       Dedup.jaccardPairsWithinBucket(dupCorpus(Tables.documents(s, dir)),
           "doc_id", "text", "source", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))

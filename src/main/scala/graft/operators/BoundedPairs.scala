@@ -34,8 +34,19 @@ object BoundedPairs {
     * g, doc_id, payload), one row per (doc, task) replica. */
   private[graft] def saltAssignments(rows: DataFrame, cap: Int): DataFrame = {
     require(cap > 0, s"cap=$cap must be positive")
-    val sizes = rows.groupBy("bucket").agg(count(lit(1)).as("bsz"))
-    rows.join(sizes, "bucket")
+    // Bucket size via a window count, NOT a groupBy+join: the join form
+    // executes the (CPU-heavy) upstream lineage twice — once to count,
+    // once to carry the payload. The window computes the count in the
+    // same single pass/shuffle that co-locates the bucket; a hot bucket's
+    // window buffer spills to disk (ExternalAppendOnlyUnsafeRowArray), so
+    // per-task MEMORY stays bounded even before the salting kicks in.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    rows
+      .withColumn("bsz", count(lit(1)).over(w))
+      // singleton buckets can never form a pair — drop them before any
+      // replication (for LSH front-ends most docs are unique, so this
+      // eliminates the bulk of the groups)
+      .filter(col("bsz") >= 2)
       .withColumn("n_salt",
         greatest(lit(1L), ceil(col("bsz").cast("double") / cap)).cast("int"))
       .withColumn("g", pmod(xxhash64(col("doc_id")), col("n_salt")).cast("int"))

@@ -83,37 +83,45 @@ object CdcStream {
     * reference's run-forever LISTEN/NOTIFY loop (source polling replaces
     * the notify wakeup; the 90 s keepalive is the connector's job).
     * `kafka = Some(…)` routes the wire projection to a real
-    * `format("kafka")` producer instead of the callback. */
+    * `format("kafka")` producer instead of the callback — through the SAME
+    * ordered foreachBatch path, so same-key rows are contiguous and
+    * time-ordered inside each producing task (a raw streaming
+    * `format("kafka")` sink would let concurrent tasks interleave one
+    * key's events across the batch — ADVICE r2). */
   def keyedOrderedSink(envelope: DataFrame, checkpointDir: String,
       write: (DataFrame, Long) => Unit,
       orderCols: Seq[String] = Seq("created_at"),
       trigger: Trigger = Trigger.AvailableNow(),
-      kafka: Option[KafkaSink] = None): StreamingQuery =
-    kafka match {
-      case Some(k) =>
-        // per-key ordering comes from the Kafka key itself (murmur2 →
-        // one partition per key, in-order appends per producer)
-        CdcOps.toWire(envelope, k.namespace, k.dbname)
-          .writeStream
-          .format("kafka")
-          .option("kafka.bootstrap.servers", k.brokers)
-          .option("kafka.compression.type", k.compression)
-          .option("checkpointLocation", checkpointDir)
-          .trigger(trigger)
-          .start()
-      case None =>
-        envelope.writeStream
-          .option("checkpointLocation", checkpointDir)
-          .trigger(trigger)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            val ordered = batch
-              .repartition(col("external_id"))
-              .sortWithinPartitions(
-                (col("external_id") +: orderCols.map(col)).toIndexedSeq: _*)
-            write(ordered, batchId)
-          }
-          .start()
+      kafka: Option[KafkaSink] = None): StreamingQuery = {
+    val sink: (DataFrame, Long) => Unit = kafka match {
+      case Some(k) => (ordered, _) =>
+        // one producing task per key-partition; a task's sends to a topic
+        // partition are in-order, so the per-key contract survives Kafka
+        CdcOps.toWire(ordered, k.namespace, k.dbname)
+          .write.format("kafka").options(kafkaWriterOptions(k)).save()
+      case None => write
     }
+    envelope.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ordered = batch
+          .repartition(col("external_id"))
+          .sortWithinPartitions(
+            (col("external_id") +: orderCols.map(col)).toIndexedSeq: _*)
+        sink(ordered, batchId)
+      }
+      .start()
+  }
+
+  /** The Kafka producer config of `setupProducer` (`main.go:179-201`) as
+    * the connector's option map: broker list + snappy compression. Split
+    * out so a test can pin the wire config without a broker or the
+    * spark-sql-kafka jar on the classpath. */
+  private[graft] def kafkaWriterOptions(k: KafkaSink): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> k.brokers,
+      "kafka.compression.type" -> k.compression)
 
   /** O1 — the `pg2kafka.setup(table, key)` control-plane flow
     * (`sql/triggers.sql:77-113`) Spark-style. The reference takes an
@@ -225,9 +233,15 @@ object CdcStream {
               seenSet.add(uuid)
             }.map { case (k, _, uuid) => (k, uuid) }.toList
             if (out.nonEmpty) state.update(seenSet.toSeq.takeRight(maxUuidsPerKey))
-            // timeout must be strictly past the watermark or Spark rejects it
+            // base the horizon on max(lastEvent, watermark): a key whose
+            // (late) data arrives with the watermark already past
+            // lastEvent+ttl still gets a FULL ttl of dedup from now —
+            // otherwise late keys would be evicted on the next batch
+            // (ADVICE r2). The +1 keeps the timestamp strictly past the
+            // watermark (Spark rejects ≤ watermark) even at ttl=0.
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs + 1, lastMs + ttlMillis))
+              math.max(state.getCurrentWatermarkMs + 1,
+                math.max(lastMs, state.getCurrentWatermarkMs) + ttlMillis))
             out.iterator
           }
       }

@@ -55,6 +55,25 @@ class BoundedPairsSpec extends AnyFunSuite {
     assert(split == unsplit, "salting must not change the result set")
   }
 
+  test("minhashPairs: degenerate band bucket — split output == unsplit output (VERDICT r2 #2)") {
+    // 60 docs in 6 groups of 10 identical texts: identical docs share
+    // EVERY band key, so each band has 6 hot buckets of 10 — and the
+    // shared-prefix structure keeps cross-group Jaccard high enough that
+    // candidate buckets overlap heavily. cap=4 forces salted splitting.
+    val docs = (0 until 60).map { i =>
+      (i.toLong,
+        ((0 until 20).map(j => s"c$j") ++ (0 until 10).map(j => s"g${(i / 10) * 10 + j}"))
+          .mkString(" "))
+    }.toDF("id", "text")
+    def run(cap: Int) =
+      Dedup.minhashPairs(docs, "id", "text", threshold = 0.5, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unsplit = run(1000000) // every bucket in one task
+    val split = run(4)         // hot buckets salted across tasks
+    assert(unsplit.size >= 6 * (10 * 9 / 2), "all within-group exact-dup pairs survive")
+    assert(split == unsplit, "salting must not change the candidate/verified pair set")
+  }
+
   test("cosineNearDupPairs: split output == unsplit output on a skewed bucket") {
     // deterministic embeddings; every i % 3 == 0 vector has an exact dup
     val vecs = (0 until 60).map { i =>

@@ -172,25 +172,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"), s"got $got")
   }
 
-  test("statefulDedup TTL: idle key state is dropped after the timeout (VERDICT r1 #8)") {
+  test("statefulDedupTtl: dedup holds within TTL, event-time eviction re-emits (VERDICT r1 #8)") {
     implicit val sqlCtx = spark.sqlContext
-    val ms = MemoryStream[(String, String)]
-    val deduped = graft.streaming.CdcStream.statefulDedup(
-      ms.toDS(), ttl = Some("200 milliseconds"))
+    val ms = MemoryStream[(String, Timestamp, String)]
+    val deduped = graft.streaming.CdcStream.statefulDedupTtl(ms.toDS(), ttl = "10 seconds")
     val q = deduped.toDF("key", "uuid").writeStream.format("memory")
       .queryName("ttl_dedup_test").outputMode("append").start()
-    ms.addData(("k1", "u1"))
+    ms.addData(("k1", Timestamp.valueOf("2024-01-01 00:00:00"), "u1"))
     q.processAllAvailable()
-    Thread.sleep(600) // let k1's timeout expire
-    ms.addData(("k2", "x")) // unrelated data batch fires k1's timeout → state removed
+    // (a) redelivery within the TTL horizon (watermark 00:00:00, timeout
+    // 00:00:10) → suppressed by the surviving state
+    ms.addData(("k1", Timestamp.valueOf("2024-01-01 00:00:05"), "u1"))
     q.processAllAvailable()
-    ms.addData(("k1", "u1")) // same uuid again: state was dropped → re-emitted
+    // (b) a later event on ANOTHER key advances the watermark (00:00:05 →
+    // 01:00:00) past k1's timeout (last k1 event 00:00:05 + ttl = 00:00:15);
+    // the event-time timeout fires in the follow-up batch and evicts k1
+    ms.addData(("k2", Timestamp.valueOf("2024-01-01 01:00:00"), "x"))
+    q.processAllAvailable()
+    // state dropped → the SAME uuid re-emits (dedup horizon ended)
+    ms.addData(("k1", Timestamp.valueOf("2024-01-01 01:00:01"), "u1"))
     q.processAllAvailable(); q.stop()
     val got = spark.table("ttl_dedup_test")
       .collect().map(r => (r.getString(0), r.getString(1))).toList
+    // u1 delivered 3× (once redelivered inside the TTL) → emitted exactly 2×
     assert(got.count(_ == ("k1", "u1")) == 2,
-      s"u1 must re-emit after TTL eviction, got $got")
-    // and without data after the first delivery, dedup still held within TTL
+      s"u1 must dedup within TTL and re-emit after event-time eviction, got $got")
     assert(got.count(_ == ("k2", "x")) == 1)
   }
 
@@ -211,6 +217,14 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     import scala.jdk.CollectionConverters._
     assert(delivered.asScala.toSet == Set("e1", "e2"))
+  }
+
+  test("Kafka sink options pin the reference producer config (main.go:179-201)") {
+    val k = CdcStream.KafkaSink("broker1:9092,broker2:9092", "ns", "db")
+    assert(k.compression == "snappy", "snappy is the reference default")
+    assert(CdcStream.kafkaWriterOptions(k) == Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "kafka.compression.type" -> "snappy"))
   }
 
   test("streaming session window groups events by gap") {

@@ -63,10 +63,11 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("toks")})) AS shingle FROM t),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("toks")},
+        |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS shingle_h FROM t),
+        |bench AS (SELECT DISTINCT shingle_h FROM sh WHERE doc_id < 10)
         |SELECT s.doc_id, count(*) AS n_overlapping_shingles
-        |FROM sh s JOIN bench b ON s.shingle = b.shingle
+        |FROM sh s JOIN bench b ON s.shingle_h = b.shingle_h
         |WHERE s.doc_id >= 10
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "pipeline_mix_quota" ->

@@ -39,9 +39,14 @@ object PipelineOps {
 
   /** Benchmark decontamination: training docs sharing any `k`-token
     * shingle with the benchmark set are flagged with their overlap count.
-    * Shape: explode both sides to (shingle, doc) and equi-join on the
-    * shingle — a hash join that scales; the benchmark side is distinct
-    * and broadcast (benchmarks are small by definition). */
+    * Shape: explode both sides to (shingle_hash, doc) and equi-join on
+    * the hash — a hash join that scales; the benchmark side is distinct
+    * and broadcast (benchmarks are small by definition). Shingles are
+    * hashed to 60-bit ints BEFORE the distinct/broadcast/probe (VERDICT
+    * r2 #5): an 8-byte fixed-width key makes the broadcast an order of
+    * magnitude smaller than raw shingle strings and the probe a long
+    * compare. The hash is engine-portable md5 ([[TextOps.hashedShingles]])
+    * so the DuckDB oracle mirrors it exactly. */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 3): DataFrame = {
     // explicit count: shingling is CPU-bound on few bytes; AQE's
@@ -50,11 +55,11 @@ object PipelineOps {
       .select(col(idCol).as("doc_id"), col(textCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col(textCol)), k))).as("shingle"))
-    val benchShingles = exploded(benchmark).select(col("shingle")).distinct()
+        explode(array_distinct(TextOps.hashedShingles(
+          TextOps.shingles(TextOps.tokens(col(textCol)), k)))).as("shingle_h"))
+    val benchShingles = exploded(benchmark).select(col("shingle_h")).distinct()
     exploded(train)
-      .join(broadcast(benchShingles), Seq("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle_h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlapping_shingles"))
   }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Self-oracle for the streaming entries (VERDICT r2 #4): the DuckDB gate
+  * cannot express Structured Streaming, but `stream_tumbling` and
+  * `stream_sessions` have exact batch twins (`events_tumbling`,
+  * `events_sessionize`) that ARE hash-matched against DuckDB. Asserting
+  * streaming == batch on the same data transfers the oracle:
+  *  - every window the stream emits must equal the batch row exactly;
+  *  - the only rows the stream may withhold are windows still OPEN at the
+  *    final watermark (the append-mode contract — ADVICE r2 notes the
+  *    row-count shrinkage is by design, this pins it).
+  */
+class StreamBatchParitySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val maxTsUs: Long =
+    Tables.events(spark, dir).agg(max(col("ts_us"))).collect()(0).getLong(0)
+
+  test("stream_tumbling == events_tumbling on closed windows; withheld windows are open") {
+    val streamed = SparkEntry.queries("stream_tumbling")(spark, dir)
+      .select(col("window_start").cast("long"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = SparkEntry.queries("events_tumbling")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      .toMap
+    assert(streamed.nonEmpty, "stream must emit closed windows")
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"window $k: stream=$v batch=${batch.get(k)}")
+    }
+    // watermark after the final batch = max event time - 30 min delay
+    val watermarkUs = maxTsUs - 30L * 60 * 1000000
+    val withheld = batch.keySet -- streamed.keySet
+    withheld.foreach { case (ws, et) =>
+      val endUs = (ws + 600) * 1000000L
+      assert(endUs > watermarkUs,
+        s"withheld window ($ws,$et) ends at $endUs <= watermark $watermarkUs — " +
+          "a CLOSED window was not emitted")
+    }
+  }
+
+  test("stream_sessions == events_sessionize on closed sessions; withheld sessions are open") {
+    val streamed = SparkEntry.queries("stream_sessions")(spark, dir)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = SparkEntry.queries("events_sessionize")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("duration_us"), r.getAs[Double]("sum_value")))
+      .toMap
+    assert(streamed.nonEmpty, "stream must emit closed sessions")
+    val gapUs = 30L * 60 * 1000000
+    val watermarkUs = maxTsUs - gapUs // 30 min watermark delay
+    streamed.foreach { case (k, (n, sv)) =>
+      val b = batch.get(k)
+      assert(b.isDefined, s"session $k emitted by the stream but absent in batch")
+      assert(b.exists { case (bn, _, bsv) => bn == n && bsv == sv },
+        s"session $k: stream=($n,$sv) batch=$b")
+    }
+    val withheld = batch.keySet -- streamed.keySet
+    withheld.foreach { case k @ (_, startUs) =>
+      val (_, durationUs, _) = batch(k)
+      // a session closes when watermark passes lastEvent + gap
+      val closeUs = startUs + durationUs + gapUs
+      assert(closeUs > watermarkUs,
+        s"withheld session $k closes at $closeUs <= watermark $watermarkUs — " +
+          "a CLOSED session was not emitted")
+    }
+  }
+}

@@ -134,6 +134,11 @@ object Dedup {
     *
     * `maxBucketSize` default: 8192 docs × ~1 KB of hashed shingles ≈
     * 16 MB per task for a split bucket — comfortably inside any executor.
+    * (Measured at sf0.1: a smaller cap of 512 to chase scoring
+    * parallelism was a net LOSS — with the early-exit scorer the pair
+    * merge is cheap, and the extra S× payload replication dominates.
+    * Lower the cap only when per-task scoring time, not shuffle, is the
+    * observed bottleneck.)
     */
   def jaccardPairsWithinBucket(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, threshold: Double, maxBucketSize: Int = 8192): DataFrame = {
@@ -157,20 +162,34 @@ object Dedup {
   }
 
   /** Symmetric Jaccard scorer over sorted hashed-shingle arrays; returns
-    * the round(·,6)-quantized score only when it survives `threshold`. */
+    * the round(·,6)-quantized score only when it survives `threshold`.
+    * Two lossless prunes:
+    *  - size-ratio skip before any merge (J ≤ |smaller| / |larger|);
+    *  - mid-merge early exit: J ≥ t ⟺ c ≥ t/(1+t)·(|A|+|B|) for the
+    *    final intersection count c, so once even matching ALL remaining
+    *    elements cannot reach that bound, the pair cannot survive. The
+    *    bound is precomputed as one integer (`cMin`), making the in-loop
+    *    check two subtractions and a compare. `t` is relaxed by 5e-7 so a
+    *    score that ROUNDS UP to the threshold at 6 decimals (the filter
+    *    is on round(j,6) ≥ t) is never pruned. Most in-bucket candidates
+    *    are non-dups, which this bails out of after a handful of steps. */
   private[graft] def jaccardScore(threshold: Double)(
       a: Array[Long], b: Array[Long]): Option[Double] = {
-    val nMin = math.min(a.length, b.length)
-    val nMax = math.max(a.length, b.length)
+    val la = a.length; val lb = b.length
+    val nMin = math.min(la, lb)
+    val nMax = math.max(la, lb)
     if (nMin < nMax * threshold) None // lossless: J ≤ |smaller| / |larger|
     else {
+      val tAdj = threshold - 5e-7
+      val cMin = math.ceil(tAdj / (1.0 + tAdj) * (la + lb)).toInt
       var x = 0; var y = 0; var c = 0
-      while (x < a.length && y < b.length) {
+      while (x < la && y < lb) {
+        if (c + math.min(la - x, lb - y) < cMin) return None
         if (a(x) == b(y)) { c += 1; x += 1; y += 1 }
         else if (a(x) < b(y)) x += 1
         else y += 1
       }
-      val jr = BoundedPairs.round6(c.toDouble / (a.length + b.length - c))
+      val jr = BoundedPairs.round6(c.toDouble / (la + lb - c))
       if (jr >= threshold) Some(jr) else None
     }
   }

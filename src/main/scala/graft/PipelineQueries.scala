@@ -42,6 +42,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      PipelineOps.packSequences(Tables.documents(s, dir), "doc_id", "text",
+          "lang", ctxTokens = 512L)
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     "pipeline_mix_quota" -> ((s, dir) => {
       PipelineOps.mixByQuota(Tables.documents(s, dir), "doc_id", "lang",
           quotas = Map("en" -> 40, "zh" -> 10), defaultQuota = 25)
@@ -70,6 +76,18 @@ object PipelineQueries {
         |FROM sh s JOIN bench b ON s.shingle_h = b.shingle_h
         |WHERE s.doc_id >= 10
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "pipeline_pack_sequences" ->
+      s"""WITH t AS (SELECT lang, doc_id, len($toksSql) AS n_tokens FROM documents),
+        |laid AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER
+        |    (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT lang, start_tok // 512 AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(start_tok) AS pack_start_tok
+        |FROM laid GROUP BY lang, start_tok // 512
+        |ORDER BY lang, pack_id""".stripMargin,
     "pipeline_mix_quota" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id, row_number() OVER

@@ -58,6 +58,17 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // IVF-style ANN: coarse-quantizer inverted lists + nProbe probing —
+    // the second classic ANN scale path (complementary recall trade to
+    // the sign-LSH buckets)
+    "sim_ann_ivf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ANN recall self-audit (VERDICT r1 #7): per-query overlap of the LSH
     // top-k with the exact brute-force top-k — makes the recall<1 trade
     // measurable instead of asserted. Same k on both sides.
@@ -113,6 +124,27 @@ object SimilarityQueries {
         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.995
         |ORDER BY id_a, id_b""".stripMargin
     },
+    "sim_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, embedding, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv, cid AS list_id FROM (
+        |    SELECT query_id, qv, cid, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+        |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+        |scored AS (
+        |  SELECT query_id, l.vec_id AS neighbor_id,
+        |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
+        |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+        |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
         |    ${bucketSql("embedding")} AS qbucket FROM embeddings WHERE vec_id < 10),

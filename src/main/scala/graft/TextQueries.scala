@@ -72,6 +72,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.repetitionScore(TextOps.tokens(col("text"))).as("rep_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
       Tables.documents(s, dir).select(
@@ -139,6 +146,14 @@ object TextQueries {
           |  least(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
           |    / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2) * 1000000) / 1000000 AS quality
           |FROM t ORDER BY doc_id""".stripMargin,
+      "text_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM t)
+          |SELECT doc_id,
+          |  CASE WHEN len(shingles) = 0 THEN 0.0
+          |    ELSE floor((1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+          |      / CAST(len(shingles) AS DOUBLE)) * 1000000) / 1000000 END AS rep_score
+          |FROM sh ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
           |sh AS (SELECT doc_id, text, ${shinglesSql("toks")} AS shingles FROM t)

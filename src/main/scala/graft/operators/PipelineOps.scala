@@ -64,6 +64,30 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_overlapping_shingles"))
   }
 
+  /** Context-window sequence packing: docs are laid out contiguously per
+    * stratum in deterministic hash order, and each doc is assigned to the
+    * pack (training sequence of `ctxTokens` tokens) its starting offset
+    * falls into — the streaming-concat packing used to build fixed-length
+    * LLM training batches (docs may straddle a boundary; the tokenizer
+    * truncates/continues downstream). One shuffle (window on the
+    * stratum); integer-exact math, reproducible at any cluster size. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, ctxTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val ctx = lit(ctxTokens)
+    val withOffset = df
+      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // integer division via the exact x - pmod(x, w) form
+      .withColumn("pack_id",
+        ((col("start_tok") - pmod(col("start_tok"), ctx)) / ctx).cast("long"))
+    withOffset.groupBy(col(stratumCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        min(col("start_tok")).as("pack_start_tok"))
+  }
+
   /** Quota mixing: take the first `quota(stratum)` docs per stratum in
     * deterministic hash order — proportional dataset mixing with
     * reproducible selection. One shuffle (window on the stratum). */

@@ -104,6 +104,20 @@ object TextOps {
     bits.reduce(_ + _)
   }
 
+  /** Repetition score in [0,1]: the fraction of duplicate `k`-gram
+    * occurrences, `1 − distinct/total` over the shingle multiset — the
+    * standard boilerplate/loop-detection quality signal in LLM data
+    * pipelines (0 = no repeated n-gram, →1 = the same n-gram looping).
+    * Docs too short for a single shingle score 0. Floor-quantized at 6
+    * decimals like [[qualityScore]] (floor never straddles engines'
+    * half-rounding). */
+  def repetitionScore(toks: Column, k: Int = 3): Column = {
+    val sh = shingles(toks, k)
+    when(size(sh) === 0, lit(0.0))
+      .otherwise(floor((lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double")) * 1000000) / 1000000)
+  }
+
   /** Shingles hashed to 60-bit ints (first 15 hex digits of md5):
     * integer-array set ops are ~10× cheaper than string-array ones in the
     * pairwise verification stage, and the hash is engine-portable

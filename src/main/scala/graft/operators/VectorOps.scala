@@ -71,6 +71,49 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** IVF-style ANN top-k: a coarse quantizer splits the corpus into
+    * `numCentroids` inverted lists (each vector joins the list of its
+    * nearest centroid by cosine); a query probes only its `nProbe`
+    * nearest lists, so per-query work is ~corpus·nProbe/numCentroids
+    * instead of the full scan — the other classic ANN scale path next to
+    * [[lshTopK]] (sign-LSH recall degrades near coordinate planes; IVF
+    * recall degrades at list boundaries — complementary trades).
+    *
+    * The centroids here are a deterministic corpus sample (`vec_id <
+    * numCentroids`) rather than k-means-trained: the part that matters at
+    * 100 TB is the PLUMBING — centroids broadcast, assignment is one
+    * narrow N×K score + per-vector argmax, probing is an equi-join on
+    * list id — and swapping trained centroids in changes none of it.
+    * Assignment cost N×K dot products is the standard IVF build cost;
+    * nothing is ever collected to the driver. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+    def nearest(df: DataFrame, vecCol: String, idCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("_csim").desc, col("cid"))
+      df.crossJoin(cents)
+        .withColumn("_csim", round(cosine(col(vecCol), col("cv")), 6))
+        .withColumn("_cr", row_number().over(w))
+        .filter(col("_cr") <= n)
+        .drop("_csim", "_cr", "cv")
+    }
+    val lists = nearest(corpus, "embedding", "vec_id", 1)
+      .select(col("cid").as("list_id"), col("vec_id"), col("embedding"))
+    val probes = nearest(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "qv", "query_id", nProbe)
+      .select(col("cid").as("list_id"), col("query_id"), col("qv"))
+    val scored = lists.join(broadcast(probes),
+        lists("list_id") === probes("list_id") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Embedding near-dup pairs: cosine above `threshold` within a bucket
     * column (label or LSH bucket) — bounded pairwise work, as in
     * [[Dedup]]. The bucket key is refined with `lshBits` sign bits: 2^bits

@@ -45,6 +45,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byLang == Map("en" -> 7L, "de" -> 3L))
   }
 
+  test("packSequences: contiguous offsets, pack ids at ctx boundaries, totals preserved") {
+    // 6 docs of 4 tokens each in ONE stratum → offsets 0,4,…,20; ctx=8
+    // → packs {0,0},{1,1},{2,2} by starting offset
+    val df = (0L until 6L).map(i => (i, "en", "a b c d")).toDF("doc_id", "lang", "text")
+    val out = PipelineOps.packSequences(df, "doc_id", "text", "lang", ctxTokens = 8L)
+      .orderBy("pack_id")
+      .select("pack_id", "n_docs", "total_tokens", "pack_start_tok")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out == List((0L, 2L, 8L, 0L), (1L, 2L, 8L, 8L), (2L, 2L, 8L, 16L)), s"got $out")
+    // token mass is partitioned, never lost or duplicated
+    assert(out.map(_._3).sum == 24L)
+  }
+
+  test("repetitionScore: 0 for unique/short docs, →1 for a looping n-gram") {
+    import graft.operators.TextOps
+    val df = Seq(
+      (1L, "a b c d e"),       // all 3-grams distinct → 0
+      (2L, "x y"),             // too short for a shingle → 0
+      (3L, "w w w w w w w w")) // one repeated 3-gram: 6 shingles, 1 distinct
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.repetitionScore(TextOps.tokens(col("text"))).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0)
+    assert(got(3L) == math.floor((1.0 - 1.0 / 6.0) * 1e6) / 1e6, s"got ${got(3L)}")
+  }
+
+  test("ivfTopK probing every list equals brute force (IVF is exact at nProbe = K)") {
+    import graft.operators.VectorOps
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 13 + d * 5) % 9 - 4).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos_sim", "rk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = rows(VectorOps.bruteForceTopK(queries, vecs, k = 4))
+    val ivfAll = rows(VectorOps.ivfTopK(queries, vecs, k = 4,
+      numCentroids = 8, nProbe = 8))
+    assert(ivfAll == brute, "probing all inverted lists must recover the exact top-k")
+    // and with a partial probe the result is a subset-ranking over fewer candidates
+    val ivfPart = VectorOps.ivfTopK(queries, vecs, k = 4, numCentroids = 8, nProbe = 2)
+    assert(ivfPart.count() > 0)
+  }
+
   test("decontamination flags exactly the docs sharing a shingle") {
     val bench = Seq((1000L, "x", "alpha beta gamma delta")).toDF("doc_id", "lang", "text")
     val train = Seq(

@@ -275,6 +275,22 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // HLL cardinality telemetry (SURVEY §2.3 scale rules): the sketch
+    // value itself is engine-specific, so the oracle pins the CONTRACT —
+    // the approximation must land within 5% of the exact distinct count
+    // (Spark's default HLL rsd is 0.05). The exact count rides along as
+    // the hash-matched ground truth.
+    "agg_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey")).as("n_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+            .as("within_5pct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // date/time functions
     "date_funcs" -> ((s, dir) => {
       Tables.orders(s, dir).select(
@@ -442,6 +458,10 @@ object RelationalQueries {
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |  true AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "date_funcs" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,

@@ -63,6 +63,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardScore early-exit matches the naive set-Jaccard on random sorted arrays") {
+    // the prunes (size-ratio + mid-merge bail) must be lossless: for any
+    // pair, the scorer returns Some(round6(j)) iff round6(j) >= t
+    val arrGen = Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.distinct.sorted.toArray)
+    def naive(a: Array[Long], b: Array[Long]): Double = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      val inter = sa.intersect(sb).size
+      if (sa.isEmpty && sb.isEmpty) 0.0
+      else inter.toDouble / (sa.size + sb.size - inter)
+    }
+    for {
+      t <- Seq(0.0, 0.25, 0.5, 0.8, 1.0)
+      pair <- samples(Gen.zip(arrGen, arrGen), 40)
+    } {
+      val (a, b) = pair
+      if (a.nonEmpty && b.nonEmpty) {
+        val expectJ = BigDecimal(naive(a, b))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val got = Dedup.jaccardScore(t)(a, b)
+        if (expectJ >= t) assert(got.contains(expectJ),
+          s"t=$t a=${a.toList} b=${b.toList}: expected Some($expectJ), got $got")
+        else assert(got.isEmpty,
+          s"t=$t a=${a.toList} b=${b.toList}: expected None (j=$expectJ), got $got")
+      }
+    }
+  }
+
   test("jaccard is 1 on self, within [0,1], symmetric") {
     val tokenList = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e"))
     for (lists <- samples(Gen.listOfN(2, tokenList), 5)) {

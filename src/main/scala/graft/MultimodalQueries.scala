@@ -41,6 +41,15 @@ object MultimodalQueries {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
         .as[Multimodal.MediaRow]
       Multimodal.decodeStub(media).toDF().orderBy(col("media_id"))
+    }),
+
+    // stubbed resize: blob in → bounded thumbnail blob out (every k-th
+    // byte, k = ceil(n/64)); payload + byte-sum audit both oracle-gated
+    "mm_resize_thumb" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .as[Multimodal.MediaRow]
+      Multimodal.resizeStub(media, maxBytes = 64).toDF().orderBy(col("media_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -73,5 +82,23 @@ object MultimodalQueries {
         |  coalesce(list_sum(list_transform(range(1, least(8, n) + 1),
         |    i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT
         |         * (31 ** (least(8, n) - i))::BIGINT)), 0)::BIGINT AS head_crc
-        |FROM m ORDER BY media_id""".stripMargin)
+        |FROM m ORDER BY media_id""".stripMargin,
+    // the corpus is ASCII (mm_frame_chunks already relies on char ≡ byte),
+    // so sampling every k-th CHAR of the text mirrors sampling every k-th
+    // BYTE of the blob; byte sums via the same hex-pair trick
+    "mm_resize_thumb" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |p AS (SELECT media_id, n, greatest(1, (n + 63) // 64) AS k, text FROM m),
+        |s AS (SELECT media_id, n, k,
+        |  array_to_string(list_transform(range(0, (n + k - 1) // k),
+        |    i -> substr(text, CAST(i * k + 1 AS INT), 1)), '') AS thumb
+        |  FROM p)
+        |SELECT media_id, n::BIGINT AS n_bytes, k::INT AS stride,
+        |  octet_length(encode(thumb))::BIGINT AS out_bytes,
+        |  coalesce(list_sum(list_transform(range(1, octet_length(encode(thumb)) + 1),
+        |    j -> ('0x' || substr(hex(encode(thumb)), CAST(2*j - 1 AS INT), 2))::BIGINT)), 0)::BIGINT
+        |    AS out_byte_sum,
+        |  to_base64(encode(thumb)) AS thumb_b64
+        |FROM s ORDER BY media_id""".stripMargin)
 }

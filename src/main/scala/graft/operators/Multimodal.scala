@@ -65,6 +65,37 @@ object Multimodal {
     }
   }
 
+  /** Thumbnail output of [[resizeStub]]: the downsampled payload plus
+    * integer-exact audit features (same oracle-gating discipline as
+    * [[MediaFeatures]]). */
+  case class MediaThumb(media_id: Long, n_bytes: Long, stride: Int,
+      out_bytes: Long, out_byte_sum: Long, thumb_b64: String)
+
+  /** STUB resize ??? — stands in for image downscaling. A real resize
+    * resamples pixels; this deterministic fake keeps every `k`-th byte
+    * with `k = ceil(n / maxBytes)`, so the output payload is bounded at
+    * `maxBytes` regardless of input size — the blob-in → smaller-blob-out
+    * shape (and the row-size reduction) of a real thumbnail stage, with
+    * the same partition-batched iterator contract as [[decodeStub]]. */
+  def resizeStub(media: Dataset[MediaRow], maxBytes: Int = 64): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.media
+        val n = bytes.length
+        val k = math.max(1, (n + maxBytes - 1) / maxBytes)
+        val out = Array.newBuilder[Byte]
+        var i = 0
+        while (i < n) { out += bytes(i); i += k }
+        val thumb = out.result()
+        var s = 0L; var j = 0
+        while (j < thumb.length) { s += (thumb(j) & 0xff); j += 1 }
+        MediaThumb(r.media_id, n.toLong, k, thumb.length.toLong, s,
+          java.util.Base64.getEncoder.encodeToString(thumb))
+      }
+    }
+  }
+
   /** Frame-sampling analog: every `stride`-th fixed-size chunk of the
     * blob (video frame extraction shape: one input row → many chunk
     * rows). Pure built-ins: posexplode over computed offsets, substring

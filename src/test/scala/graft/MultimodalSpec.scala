@@ -27,6 +27,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.n_bytes == 0 && e.byte_sum == 0L && e.head_crc == 0L)
   }
 
+  test("resizeStub bounds the payload at maxBytes and samples every k-th byte") {
+    val big = (0 until 200).map(i => ('a' + i % 26).toChar).mkString
+    val media = Seq(
+      Multimodal.MediaRow(1L, "fake/img", big.getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "fake/img", "xy".getBytes("UTF-8")),
+      Multimodal.MediaRow(3L, "fake/img", Array.empty[Byte]))
+      .toDS()
+    val out = Multimodal.resizeStub(media, maxBytes = 64).collect()
+      .map(t => t.media_id -> t).toMap
+    val t1 = out(1L)
+    assert(t1.stride == math.ceil(200.0 / 64).toInt)
+    assert(t1.out_bytes <= 64, "thumbnail must be bounded")
+    val expect = big.getBytes("UTF-8").indices.by(t1.stride).map(big.charAt)
+    assert(new String(java.util.Base64.getDecoder.decode(t1.thumb_b64)) ==
+      expect.mkString)
+    assert(t1.out_byte_sum == expect.map(_.toLong).sum)
+    // small blob: stride 1, identity payload
+    assert(out(2L).stride == 1 && out(2L).thumb_b64 ==
+      java.util.Base64.getEncoder.encodeToString("xy".getBytes))
+    // empty blob: empty thumbnail, zero sums
+    assert(out(3L).out_bytes == 0L && out(3L).out_byte_sum == 0L
+      && out(3L).thumb_b64 == "")
+  }
+
   test("decodeStub runs partition-batched and scales with partitions") {
     val media = (1L to 100L)
       .map(i => Multimodal.MediaRow(i, "fake/img", s"payload-$i".getBytes))

@@ -69,6 +69,25 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // same recall audit for the IVF path: nProbe=2 of 16 lists, so the
+    // per-query candidate cut (and its recall cost) is visible
+    "sim_ann_ivf_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = 16, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = brute.join(ann, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      querySet(emb).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / 3.0, 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // ANN recall self-audit (VERDICT r1 #7): per-query overlap of the LSH
     // top-k with the exact brute-force top-k — makes the recall<1 trade
     // measurable instead of asserted. Same k on both sides.
@@ -145,6 +164,40 @@ object SimilarityQueries {
         |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
         |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_ivf_recall" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, embedding, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv, cid AS list_id FROM (
+        |    SELECT query_id, qv, cid, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+        |    FROM q CROSS JOIN cents) pq WHERE cr <= 2),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, c2.vec_id AS neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY
+        |        round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS rk
+        |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id) b WHERE rk <= 3),
+        |ann AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY
+        |        round(${cosSql("qv", "l.embedding")}, 6) DESC, l.vec_id) AS rk
+        |    FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id) a
+        |  WHERE rk <= 3),
+        |hits AS (
+        |  SELECT brute.query_id, count(*) AS n_hit
+        |  FROM brute JOIN ann USING (query_id, neighbor_id)
+        |  GROUP BY brute.query_id)
+        |SELECT q.query_id, coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(hits.n_hit, 0) / 3.0, 6) AS recall
+        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+        |ORDER BY q.query_id""".stripMargin,
     "sim_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
         |    ${bucketSql("embedding")} AS qbucket FROM embeddings WHERE vec_id < 10),

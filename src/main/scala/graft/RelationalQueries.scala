@@ -277,17 +277,19 @@ object RelationalQueries {
 
     // HLL cardinality telemetry (SURVEY §2.3 scale rules): the sketch
     // value itself is engine-specific, so the oracle pins the CONTRACT —
-    // the approximation must land within 5% of the exact distinct count
-    // (Spark's default HLL rsd is 0.05). The exact count rides along as
-    // the hash-matched ground truth.
+    // the approximation must land within 3·rsd (= 15% at Spark's default
+    // rsd 0.05) of the exact distinct count. rsd is one standard
+    // deviation, not a bound, so the gate asserts the 3σ envelope — tight
+    // enough to catch a broken sketch, loose enough to hold on any data.
+    // The exact count rides along as the hash-matched ground truth.
     "agg_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_exact"),
           approx_count_distinct(col("l_partkey")).as("n_approx"))
         .select(col("l_returnflag"), col("n_exact"),
-          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
-            .as("within_5pct"))
+          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.15)
+            .as("within_tol"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -460,7 +462,7 @@ object RelationalQueries {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
-        |  true AS within_5pct
+        |  true AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "date_funcs" ->
       """SELECT o_orderkey,

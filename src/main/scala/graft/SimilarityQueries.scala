@@ -33,6 +33,23 @@ object SimilarityQueries {
   private val bucketSql: String => String = v =>
     (0 until 4).map(i => s"(CASE WHEN ($v)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
+  /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
+    * exact brute-force top-k (k=3), 0-filled for queries the ANN missed
+    * entirely. Both ANN paths (LSH, IVF) gate through this. */
+  private def recallAudit(emb: DataFrame, ann: DataFrame): DataFrame = {
+    val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    querySet(emb).select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / 3.0, 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim_topk_brute" -> ((s, dir) => {
@@ -74,18 +91,8 @@ object SimilarityQueries {
     "sim_ann_ivf_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = 3)
-        .select(col("query_id"), col("neighbor_id"))
-      val ann = VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = 16, nProbe = 2)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = brute.join(ann, Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      querySet(emb).select(col("vec_id").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)) / 3.0, 6).as("recall"))
-        .orderBy(col("query_id"))
+      recallAudit(emb,
+        VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = 16, nProbe = 2))
     }),
 
     // ANN recall self-audit (VERDICT r1 #7): per-query overlap of the LSH
@@ -94,19 +101,31 @@ object SimilarityQueries {
     "sim_ann_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = 3)
-        .select(col("query_id"), col("neighbor_id"))
-      val ann = VectorOps.lshTopK(querySet(emb), emb, k = 3, bits = 4)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = brute.join(ann, Seq("query_id", "neighbor_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-      querySet(emb).select(col("vec_id").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)) / 3.0, 6).as("recall"))
-        .orderBy(col("query_id"))
+      recallAudit(emb, VectorOps.lshTopK(querySet(emb), emb, k = 3, bits = 4))
     }))
+
+  /** DuckDB mirror of [[recallAudit]]: shared brute/hits/recall CTE tail
+    * around a path-specific candidate ranking. `preCtes` must define `q`
+    * (query_id, qv) plus whatever the ann select needs. */
+  private def recallOracleSql(preCtes: String, annSelect: String): String =
+    s"""WITH $preCtes,
+      |brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, c2.vec_id AS neighbor_id, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY
+      |        round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS rk
+      |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id) b
+      |  WHERE rk <= 3),
+      |ann AS (
+      |  SELECT query_id, neighbor_id FROM ($annSelect) a WHERE rk <= 3),
+      |hits AS (
+      |  SELECT brute.query_id, count(*) AS n_hit
+      |  FROM brute JOIN ann USING (query_id, neighbor_id)
+      |  GROUP BY brute.query_id)
+      |SELECT q.query_id, coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+      |  round(coalesce(hits.n_hit, 0) / 3.0, 6) AS recall
+      |FROM q LEFT JOIN hits ON q.query_id = hits.query_id
+      |ORDER BY q.query_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
@@ -164,64 +183,33 @@ object SimilarityQueries {
         |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
         |ORDER BY query_id, rk""".stripMargin,
-    "sim_ann_ivf_recall" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-        |asg AS (
-        |  SELECT vec_id, embedding, cid, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-        |  FROM embeddings CROSS JOIN cents),
-        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT query_id, qv, cid AS list_id FROM (
-        |    SELECT query_id, qv, cid, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
-        |    FROM q CROSS JOIN cents) pq WHERE cr <= 2),
-        |brute AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, c2.vec_id AS neighbor_id, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY
-        |        round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS rk
-        |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id) b WHERE rk <= 3),
-        |ann AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY
-        |        round(${cosSql("qv", "l.embedding")}, 6) DESC, l.vec_id) AS rk
-        |    FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id) a
-        |  WHERE rk <= 3),
-        |hits AS (
-        |  SELECT brute.query_id, count(*) AS n_hit
-        |  FROM brute JOIN ann USING (query_id, neighbor_id)
-        |  GROUP BY brute.query_id)
-        |SELECT q.query_id, coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
-        |  round(coalesce(hits.n_hit, 0) / 3.0, 6) AS recall
-        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id
-        |ORDER BY q.query_id""".stripMargin,
-    "sim_ann_recall" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-        |    ${bucketSql("embedding")} AS qbucket FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-        |brute AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, c2.vec_id AS neighbor_id, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY
-        |        round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS rk
-        |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id)
-        |  WHERE rk <= 3),
-        |ann AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, c.vec_id AS neighbor_id, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY
-        |        round(${cosSql("qv", "c.embedding")}, 6) DESC, c.vec_id) AS rk
-        |    FROM c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.query_id)
-        |  WHERE rk <= 3),
-        |hits AS (
-        |  SELECT brute.query_id, count(*) AS n_hit
-        |  FROM brute JOIN ann USING (query_id, neighbor_id)
-        |  GROUP BY brute.query_id)
-        |SELECT q.query_id, coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
-        |  round(coalesce(hits.n_hit, 0) / 3.0, 6) AS recall
-        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id
-        |ORDER BY q.query_id""".stripMargin)
+    "sim_ann_ivf_recall" -> recallOracleSql(
+      preCtes =
+        s"""cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+          |asg AS (
+          |  SELECT vec_id, embedding, cid, row_number() OVER
+          |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+          |  FROM embeddings CROSS JOIN cents),
+          |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |probes AS (
+          |  SELECT query_id, qv, cid AS list_id FROM (
+          |    SELECT query_id, qv, cid, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+          |    FROM q CROSS JOIN cents) pq WHERE cr <= 2)""".stripMargin,
+      annSelect =
+        s"""SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY
+          |        round(${cosSql("qv", "l.embedding")}, 6) DESC, l.vec_id) AS rk
+          |    FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin),
+    "sim_ann_recall" -> recallOracleSql(
+      preCtes =
+        s"""q AS (SELECT vec_id AS query_id, embedding AS qv,
+          |    ${bucketSql("embedding")} AS qbucket FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)""".stripMargin,
+      annSelect =
+        s"""SELECT query_id, c.vec_id AS neighbor_id, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY
+          |        round(${cosSql("qv", "c.embedding")}, 6) DESC, c.vec_id) AS rk
+          |    FROM c JOIN q ON c.bucket = q.qbucket AND c.vec_id <> q.query_id""".stripMargin))
 }

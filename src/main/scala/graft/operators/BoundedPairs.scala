@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Buckets at or under `cap` get `S = 1` → a single `(0,0)` task,
   * identical to the unsalted formulation (no regression on the common
-  * path). The bucket-size join shuffles on `bucket`; a hot bucket skews
-  * that join's partition too, but a sort-merge join streams (AQE splits
-  * skewed partitions) — it never holds the bucket in memory.
+  * path). Bucket sizes come from a window count in the same pass that
+  * co-locates the bucket (see [[saltAssignments]]); a hot bucket's
+  * window buffer spills to disk, so even the sizing step never holds a
+  * bucket in memory.
   */
 object BoundedPairs {
 

@@ -178,7 +178,10 @@ object Dedup {
     val la = a.length; val lb = b.length
     val nMin = math.min(la, lb)
     val nMax = math.max(la, lb)
-    if (nMin < nMax * threshold) None // lossless: J ≤ |smaller| / |larger|
+    // both callers filter empty shingle sets upstream, but guard anyway:
+    // 0/0 would be NaN and round6 rejects non-finite input
+    if (nMin == 0) None
+    else if (nMin < nMax * threshold) None // lossless: J ≤ |smaller| / |larger|
     else {
       val tAdj = threshold - 5e-7
       val cMin = math.ceil(tAdj / (1.0 + tAdj) * (la + lb)).toInt

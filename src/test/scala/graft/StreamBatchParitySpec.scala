@@ -21,6 +21,13 @@ class StreamBatchParitySpec extends AnyFunSuite {
   private lazy val maxTsUs: Long =
     Tables.events(spark, dir).agg(max(col("ts_us"))).collect()(0).getLong(0)
 
+  /** Spark tracks event-time watermarks at MILLISECOND precision, so the
+    * reference watermark must be ms-truncated too — a raw µs value could
+    * sit up to 999µs ahead of Spark's and flag a phantom "closed window
+    * not emitted". */
+  private def watermarkUsAfter(delayMs: Long): Long =
+    (maxTsUs / 1000 - delayMs) * 1000
+
   test("stream_tumbling == events_tumbling on closed windows; withheld windows are open") {
     val streamed = SparkEntry.queries("stream_tumbling")(spark, dir)
       .select(col("window_start").cast("long"), col("event_type"),
@@ -38,7 +45,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
       assert(batch.get(k).contains(v), s"window $k: stream=$v batch=${batch.get(k)}")
     }
     // watermark after the final batch = max event time - 30 min delay
-    val watermarkUs = maxTsUs - 30L * 60 * 1000000
+    val watermarkUs = watermarkUsAfter(30L * 60 * 1000)
     val withheld = batch.keySet -- streamed.keySet
     withheld.foreach { case (ws, et) =>
       val endUs = (ws + 600) * 1000000L
@@ -62,7 +69,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
       .toMap
     assert(streamed.nonEmpty, "stream must emit closed sessions")
     val gapUs = 30L * 60 * 1000000
-    val watermarkUs = maxTsUs - gapUs // 30 min watermark delay
+    val watermarkUs = watermarkUsAfter(30L * 60 * 1000) // 30 min delay
     streamed.foreach { case (k, (n, sv)) =>
       val b = batch.get(k)
       assert(b.isDefined, s"session $k emitted by the stream but absent in batch")

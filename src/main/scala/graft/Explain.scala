@@ -12,7 +12,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q6_revenue_filter", "q5_region_volume",
-        "cdc_snapshot", "dedup_minhash", "sim_topk_brute", "events_sessionize")
+        "cdc_snapshot", "dedup_minhash", "sim_topk_brute", "events_sessionize",
+        "sim_ann_ivf", "pipeline_decontaminate", "pipeline_pack_sequences")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.PipelineOps
+import graft.operators.{Dedup, PipelineOps, TextOps}
 
 /** Dataset-curation queries over `documents` (training-data pipeline
-  * surface): stratified sampling, splits, decontamination, mixing. */
+  * surface): stratified sampling, splits, decontamination, mixing,
+  * context packing, and the composed end-to-end curation chain. */
 object PipelineQueries {
 
   /** DuckDB mirror of PipelineOps.hashBucket100. */
@@ -16,6 +17,23 @@ object PipelineQueries {
   private def shinglesSql(toks: String): String =
     s"CASE WHEN len($toks) >= 3 THEN list_transform(range(1, len($toks) - 1), " +
       s"i -> array_to_string(($toks)[i:i+2], ' ')) ELSE [] END"
+
+  /** DuckDB mirror of TextOps.qualityScore given a `toks` binding
+    * (same fragment TextQueries gates as text_quality). */
+  private def qualitySql(toks: String): String = {
+    val set = TextOps.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    val stopHits = s"len(list_filter($toks, t -> list_contains($set, t)))"
+    s"""floor((
+       |    least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |    CAST($stopHits AS DOUBLE) / CAST(len($toks) AS DOUBLE) * 0.4 +
+       |    least(CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE)
+       |      / CAST(len($toks) AS DOUBLE) / 10.0, 1.0) * 0.2) * 1000000) / 1000000""".stripMargin
+  }
+
+  /** Shared: explode a toks binding to hashed 60-bit shingles. */
+  private def hashedShinglesSql(toks: String): String =
+    s"list_distinct(list_transform(${shinglesSql(toks)}, " +
+      "s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -40,6 +58,33 @@ object PipelineQueries {
           benchmark = docs.filter(col("doc_id") < 10),
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // the composed curation chain a reference user would actually run:
+    // language filter → quality gate → exact-dedup survivors →
+    // benchmark decontamination → deterministic split → per-split stats.
+    // One flagship plan proving the operators COMPOSE (each stage is the
+    // already-gated operator, same code path); at scale the chain is
+    // narrow until the dedup shuffle and the split stays shuffle-free.
+    "pipeline_end_to_end" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val filtered = docs
+        .filter(col("lang").isin("en", "de"))
+        .filter(TextOps.qualityScore(col("text")) >= 0.30)
+      val survivors = filtered.join(
+        Dedup.exactGroups(filtered, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val contaminated = PipelineOps.decontaminate(
+        train = survivors, benchmark = docs.filter(col("doc_id") < 10),
+        "doc_id", "text")
+      val clean = survivors.join(
+        contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      PipelineOps.trainValTestSplit(clean, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy(col("split"))
     }),
 
     "pipeline_pack_sequences" -> ((s, dir) => {
@@ -76,6 +121,22 @@ object PipelineQueries {
         |FROM sh s JOIN bench b ON s.shingle_h = b.shingle_h
         |WHERE s.doc_id >= 10
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "pipeline_end_to_end" ->
+      s"""WITH t0 AS (SELECT doc_id, text, lang, $toksSql AS toks FROM documents),
+        |f AS (SELECT doc_id, text, toks FROM t0
+        |  WHERE lang IN ('en', 'de') AND ${qualitySql("toks")} >= 0.30),
+        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+        |surv AS (SELECT f.doc_id, f.text, f.toks FROM f JOIN k USING (doc_id)),
+        |bsh AS (SELECT DISTINCT unnest(${hashedShinglesSql("toks")}) AS sh
+        |  FROM t0 WHERE doc_id < 10),
+        |csh AS (SELECT doc_id, unnest(${hashedShinglesSql("toks")}) AS sh FROM surv),
+        |cont AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.sh = b.sh),
+        |clean AS (SELECT * FROM surv
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+        |    WHEN ${bucketSql("doc_id")} < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+        |FROM clean GROUP BY 1 ORDER BY split""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH t AS (SELECT lang, doc_id, len($toksSql) AS n_tokens FROM documents),
         |laid AS (SELECT lang, doc_id, n_tokens,

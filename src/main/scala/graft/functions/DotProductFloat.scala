@@ -69,23 +69,44 @@ case class DotProductFloat(left: Expression, right: Expression)
 
 object GraftFunctions {
   val dotFInfo = new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot_f")
+  val sketchInfo = new ExpressionInfo(classOf[ShingleSketch].getName, "graft_shingle_sketch")
+  val setInfo = new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set")
 
   /** Idempotent runtime registration for sessions built without
     * extensions (e.g. the driver's Verify/Bench sessions). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot_f", exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_sketch", exprs => ShingleSketch(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_set", exprs => ShingleSet(exprs(0)), "built-in")
+  }
 
   /** Column-level API (requires [[register]] or [[GraftExtensions]]). */
   def dotF(a: Column, b: Column): Column = call_function("graft_dot_f", a, b)
+  def shingleSketch(shingles: Column): Column =
+    call_function("graft_shingle_sketch", shingles)
+  def shingleSet(shingles: Column): Column =
+    call_function("graft_shingle_set", shingles)
 }
 
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` — the
   * library's extension hook; registers the native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot_f"),
       GraftFunctions.dotFInfo,
       (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_sketch"),
+      GraftFunctions.sketchInfo,
+      (exprs: Seq[Expression]) => ShingleSketch(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_set"),
+      GraftFunctions.setInfo,
+      (exprs: Seq[Expression]) => ShingleSet(exprs(0))))
+  }
 }

@@ -66,18 +66,17 @@ object Dedup {
     // sizing is byte-based, blind to compute cost).
     val spark = df.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val prepParallelism = spark.sparkContext.defaultParallelism
+    // ONE fused md5 pass per shingle (native codegen'd ShingleSketch)
+    // yields the hashed-shingle set + the 8 minhash slices — replaces a
+    // chain of interpreted higher-order functions that dominated prep
     val sh = df.select(col(idCol).as("doc_id"), col(textCol))
       .repartition(prepParallelism, col("doc_id"))
       .select(col("doc_id"), TextOps.shingles(toks).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("hs", transform(col("shingles"), s => md5(s)))
-      .withColumn("ds", array_sort(array_distinct(transform(col("hs"),
-        h => conv(substring(h, 1, 15), 16, 10).cast("long")))))
-      .withColumn("mh", array((0 until numHashes).map { i =>
-        array_min(transform(col("hs"), h => substring(h, i * 4 + 1, 4)))
-      }: _*))
-      .select(col("doc_id"), col("ds"), col("mh"))
+      .withColumn("sk", graft.functions.GraftFunctions.shingleSketch(col("shingles")))
+      .select(col("doc_id"), col("sk.ds").as("ds"), col("sk.mh").as("mh"))
     // one row per (doc, band) carrying the doc's band-key vector + hashed
     // shingle set — the only shuffle of the arrays, linear in corpus size
     val bkeys = array((0 until numBands).map { b =>
@@ -144,6 +143,7 @@ object Dedup {
       bucketCol: String, threshold: Double, maxBucketSize: Int = 8192): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     // explicit count: CPU-bound on few bytes, AQE would coalesce to 1 task
     val prepParallelism = df.sparkSession.sparkContext.defaultParallelism
     val sh = df
@@ -151,8 +151,8 @@ object Dedup {
         col(idCol).cast("long").as("doc_id"), col(textCol).as("_text"))
       .repartition(prepParallelism, col("doc_id")) // spread the hash-heavy stage
       .select(col("bucket"), col("doc_id"),
-        array_sort(array_distinct(TextOps.hashedShingles(
-          TextOps.shingles(TextOps.tokens(col("_text")))))).as("payload"))
+        graft.functions.GraftFunctions.shingleSet(
+          TextOps.shingles(TextOps.tokens(col("_text")))).as("payload"))
       .filter(size(col("payload")) > 0)
     BoundedPairs.scoredPairs(
         BoundedPairs.saltAssignments(sh, maxBucketSize)

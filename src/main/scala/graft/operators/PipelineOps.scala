@@ -49,14 +49,15 @@ object PipelineOps {
     * so the DuckDB oracle mirrors it exactly. */
   def decontaminate(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
     // explicit count: shingling is CPU-bound on few bytes; AQE's
     // byte-based coalescing would serialize it
     def exploded(df: DataFrame) = df
       .select(col(idCol).as("doc_id"), col(textCol))
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.hashedShingles(
-          TextOps.shingles(TextOps.tokens(col(textCol)), k)))).as("shingle_h"))
+        explode(graft.functions.GraftFunctions.shingleSet(
+          TextOps.shingles(TextOps.tokens(col(textCol)), k))).as("shingle_h"))
     val benchShingles = exploded(benchmark).select(col("shingle_h")).distinct()
     exploded(train)
       .join(broadcast(benchShingles), Seq("shingle_h"))

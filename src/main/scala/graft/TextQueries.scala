@@ -72,6 +72,18 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // vocabulary stats: the classic wordcount shape — explode + hash agg
+    // with map-side partial combine, ONE shuffle of (token, partial n);
+    // top-k via TakeOrderedAndProject (distributed, never a global sort)
+    "text_vocab_topk" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
     "text_repetition" -> ((s, dir) => {
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -146,6 +158,10 @@ object TextQueries {
           |  least(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
           |    / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2) * 1000000) / 1000000 AS quality
           |FROM t ORDER BY doc_id""".stripMargin,
+      "text_vocab_topk" ->
+        s"""SELECT t.token, count(*) AS n
+          |FROM documents, LATERAL unnest($toksSql) AS t(token)
+          |GROUP BY t.token ORDER BY n DESC, t.token LIMIT 50""".stripMargin,
       "text_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM t)

@@ -13,27 +13,12 @@ object PipelineQueries {
   private def bucketSql(id: String): String =
     s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 4))::BIGINT % 100"
 
-  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
-  private def shinglesSql(toks: String): String =
-    s"CASE WHEN len($toks) >= 3 THEN list_transform(range(1, len($toks) - 1), " +
-      s"i -> array_to_string(($toks)[i:i+2], ' ')) ELSE [] END"
-
-  /** DuckDB mirror of TextOps.qualityScore given a `toks` binding
-    * (same fragment TextQueries gates as text_quality). */
-  private def qualitySql(toks: String): String = {
-    val set = TextOps.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
-    val stopHits = s"len(list_filter($toks, t -> list_contains($set, t)))"
-    s"""floor((
-       |    least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
-       |    CAST($stopHits AS DOUBLE) / CAST(len($toks) AS DOUBLE) * 0.4 +
-       |    least(CAST(list_sum(list_transform($toks, x -> length(x))) AS DOUBLE)
-       |      / CAST(len($toks) AS DOUBLE) / 10.0, 1.0) * 0.2) * 1000000) / 1000000""".stripMargin
-  }
-
-  /** Shared: explode a toks binding to hashed 60-bit shingles. */
+  // shared DuckDB mirror fragments — single definitions in [[OracleSql]]
+  private val toksSql = OracleSql.toks
+  private def shinglesSql(toks: String): String = OracleSql.shingles(toks)
+  private def qualitySql(toks: String): String = OracleSql.quality(toks)
   private def hashedShinglesSql(toks: String): String =
-    s"list_distinct(list_transform(${shinglesSql(toks)}, " +
-      "s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
+    OracleSql.hashedShingles(toks)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -114,8 +99,7 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql("toks")},
-        |  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))) AS shingle_h FROM t),
+        |sh AS (SELECT doc_id, unnest(${hashedShinglesSql("toks")}) AS shingle_h FROM t),
         |bench AS (SELECT DISTINCT shingle_h FROM sh WHERE doc_id < 10)
         |SELECT s.doc_id, count(*) AS n_overlapping_shingles
         |FROM sh s JOIN bench b ON s.shingle_h = b.shingle_h

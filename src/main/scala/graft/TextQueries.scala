@@ -35,18 +35,11 @@ object TextQueries {
       |  SELECT doc_id + 200000, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
-  /** DuckDB mirror of TextOps.tokens. */
-  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
-
-  /** DuckDB mirror of TextOps.shingles (k=3) given a `toks` binding. */
-  private def shinglesSql(toks: String): String =
-    s"CASE WHEN len($toks) >= 3 THEN list_transform(range(1, len($toks) - 1), " +
-      s"i -> array_to_string(($toks)[i:i+2], ' ')) ELSE [] END"
-
-  private def stopHitsSql(toks: String, lang: String): String = {
-    val set = TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter($toks, t -> list_contains($set, t)))"
-  }
+  // shared DuckDB mirror fragments — single definitions in [[OracleSql]]
+  private val toksSql = OracleSql.toks
+  private def shinglesSql(toks: String): String = OracleSql.shingles(toks)
+  private def stopHitsSql(toks: String, lang: String): String =
+    OracleSql.stopHits(toks, lang)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -152,11 +145,7 @@ object TextQueries {
           |SELECT doc_id, lang, $langCase AS lang_pred FROM c ORDER BY doc_id""".stripMargin,
       "text_quality" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
-          |SELECT doc_id, floor((
-          |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4 +
-          |  CAST(${stopHitsSql("toks", "en")} AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 0.4 +
-          |  least(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-          |    / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2) * 1000000) / 1000000 AS quality
+          |SELECT doc_id, ${OracleSql.quality("toks")} AS quality
           |FROM t ORDER BY doc_id""".stripMargin,
       "text_vocab_topk" ->
         s"""SELECT t.token, count(*) AS n

@@ -23,67 +23,94 @@ import org.apache.spark.unsafe.types.UTF8String
 object ShingleHash {
   private val hexChars = "0123456789abcdef".toCharArray
 
-  private def md5HexOf(md: java.security.MessageDigest, s: UTF8String): String = {
-    md.reset()
-    val digest = md.digest(s.getBytes)
-    val hex = new Array[Char](32)
-    var j = 0
-    while (j < 16) {
-      hex(2 * j) = hexChars((digest(j) >> 4) & 0xf)
-      hex(2 * j + 1) = hexChars(digest(j) & 0xf)
-      j += 1
-    }
-    new String(hex)
+  // JCA provider lookup is a per-call tax; the kernel runs once per row
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def sortedDistinct(xs: Array[Long]): Array[Long] = {
-    if (xs.length == 0) return xs
-    java.util.Arrays.sort(xs)
+  private def sortedDistinct(xs: Array[Long], n: Int): Array[Long] = {
+    if (n == 0) return Array.emptyLongArray
+    java.util.Arrays.sort(xs, 0, n)
     var out = 1
     var i = 1
-    while (i < xs.length) {
+    while (i < n) {
       if (xs(i) != xs(out - 1)) { xs(out) = xs(i); out += 1 }
       i += 1
     }
     java.util.Arrays.copyOf(xs, out)
   }
 
-  /** (sorted-distinct hashed ids, 8 minhash slices) in one pass. */
+  /** First 15 hex digits of the digest as a long = the top 60 bits of the
+    * first 8 bytes (big-endian >>> 4) — equals
+    * `conv(substring(md5(s),1,15),16,10)` with zero string allocation. */
+  private def head60(d: Array[Byte]): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v >>> 4
+  }
+
+  /** 4-hex-char slice `b` as an unsigned 16-bit int (bytes 2b, 2b+1):
+    * lexicographic order on lowercase hex == numeric order, so mins can
+    * be tracked as ints and only the 8 winners materialized as strings. */
+  private def slice16(d: Array[Byte], b: Int): Int =
+    ((d(2 * b) & 0xff) << 8) | (d(2 * b + 1) & 0xff)
+
+  private def hex4(v: Int): UTF8String = {
+    val cs = new Array[Char](4)
+    cs(0) = hexChars((v >> 12) & 0xf); cs(1) = hexChars((v >> 8) & 0xf)
+    cs(2) = hexChars((v >> 4) & 0xf); cs(3) = hexChars(v & 0xf)
+    UTF8String.fromString(new String(cs))
+  }
+
+  /** (sorted-distinct hashed ids, 8 minhash slices) in one digest pass
+    * per shingle. NULL elements are SKIPPED (they carry no shingle; the
+    * query paths never produce them — documented contract for the public
+    * SQL surface, where the old HOF chain would have propagated null
+    * elements instead of crashing). */
   def sketch(shingles: ArrayData): InternalRow = {
     val n = shingles.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val ds = new Array[Long](n)
-    val mh = new Array[String](8)
+    val mins = Array.fill(8)(-1)
+    var k = 0
     var i = 0
     while (i < n) {
-      val h = md5HexOf(md, shingles.getUTF8String(i))
-      ds(i) = java.lang.Long.parseLong(h.substring(0, 15), 16)
-      var b = 0
-      while (b < 8) {
-        val slice = h.substring(b * 4, b * 4 + 4)
-        if (mh(b) == null || slice.compareTo(mh(b)) < 0) mh(b) = slice
-        b += 1
+      if (!shingles.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(i).getBytes)
+        ds(k) = head60(d); k += 1
+        var b = 0
+        while (b < 8) {
+          val s = slice16(d, b)
+          if (mins(b) < 0 || s < mins(b)) mins(b) = s
+          b += 1
+        }
       }
       i += 1
     }
     new GenericInternalRow(Array[Any](
-      ArrayData.toArrayData(sortedDistinct(ds)),
-      ArrayData.toArrayData(mh.map(m =>
-        if (m == null) null else UTF8String.fromString(m)))))
+      ArrayData.toArrayData(sortedDistinct(ds, k)),
+      ArrayData.toArrayData(mins.map(m => if (m < 0) null else hex4(m)))))
   }
 
-  /** Just the sorted-distinct hashed-shingle set. */
+  /** Just the sorted-distinct hashed-shingle set (null elements skipped). */
   def hashedSet(shingles: ArrayData): ArrayData = {
     val n = shingles.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val ds = new Array[Long](n)
+    var k = 0
     var i = 0
     while (i < n) {
-      ds(i) = java.lang.Long.parseLong(
-        md5HexOf(md, shingles.getUTF8String(i)).substring(0, 15), 16)
+      if (!shingles.isNullAt(i)) {
+        md.reset()
+        ds(k) = head60(md.digest(shingles.getUTF8String(i).getBytes))
+        k += 1
+      }
       i += 1
     }
-    ArrayData.toArrayData(sortedDistinct(ds))
+    ArrayData.toArrayData(sortedDistinct(ds, k))
   }
 }
 

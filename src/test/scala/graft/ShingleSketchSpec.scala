@@ -6,8 +6,9 @@ import graft.operators.TextOps
 
 /** The native ShingleSketch/ShingleSet kernels must be bit-identical to
   * the higher-order-function formulations they replaced (md5 hex slices,
-  * lexicographic mins, sorted-distinct 60-bit ids) — including the
-  * interpreted (nullSafeEval) path. */
+  * lexicographic mins, sorted-distinct 60-bit ids). The codegen path is
+  * exercised through DataFrame queries, the interpreted path through
+  * direct `eval` on the expression. */
 class ShingleSketchSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.spark
@@ -45,6 +46,49 @@ class ShingleSketchSpec extends AnyFunSuite {
         s"mh mismatch for doc ${r.getLong(0)}")
       assert(r.getAs[scala.collection.Seq[Long]]("set") == r.getAs[scala.collection.Seq[Long]]("ds_ref"))
     }
+  }
+
+  test("ShingleSet matches the documented reference TextOps.hashedShingles") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, (0 until 8).map(j => s"t${(i + j * 5) % 25}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = docs.select(
+        TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+      .select(
+        graft.functions.GraftFunctions.shingleSet(col("sh")).as("native"),
+        array_sort(array_distinct(TextOps.hashedShingles(col("sh")))).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[Long]]("native") ==
+        r.getAs[scala.collection.Seq[Long]]("ref"))
+    }
+  }
+
+  test("interpreted path (direct eval) matches, and null elements are skipped") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = Literal.create(
+      ArrayData.toArrayData(Array(UTF8String.fromString("a b c"), null,
+        UTF8String.fromString("b c d"))),
+      ArrayType(StringType, containsNull = true))
+    // eval (nullSafeEval) — never goes through Janino
+    val sk = graft.functions.ShingleSketch(arr).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val set = graft.functions.ShingleSet(arr).eval(null)
+      .asInstanceOf[ArrayData]
+    // expected via java MessageDigest on the two non-null shingles
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      var v = 0L; (0 until 8).foreach(j => v = (v << 8) | (d(j) & 0xffL)); v >>> 4
+    }
+    val expect = Seq("a b c", "b c d").map(h60).distinct.sorted
+    assert(sk.getArray(0).toLongArray.toSeq == expect)
+    assert(set.toLongArray.toSeq == expect, "null element must be skipped, not crash")
+    assert(sk.getArray(1).numElements() == 8)
   }
 
   test("empty shingle array: empty ds, all-null mh (array_min-over-empty semantics)") {

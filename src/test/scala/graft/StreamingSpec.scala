@@ -172,6 +172,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"), s"got $got")
   }
 
+  test("statefulDedup bounds per-key state: oldest uuid evicted at maxUuidsPerKey") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    val deduped = graft.streaming.CdcStream.statefulDedup(ms.toDS(), maxUuidsPerKey = 2)
+    val q = deduped.toDF("key", "uuid").writeStream.format("memory")
+      .queryName("bounded_dedup_test").outputMode("append").start()
+    ms.addData(("k1", "u1"), ("k1", "u2"), ("k1", "u3")) // u1 falls off the cap
+    q.processAllAvailable()
+    ms.addData(("k1", "u3"), ("k1", "u1")) // u3 still held; u1 was evicted
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bounded_dedup_test")
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(got.count(_ == ("k1", "u3")) == 1, s"u3 inside the cap must dedup, got $got")
+    assert(got.count(_ == ("k1", "u1")) == 2,
+      s"u1 beyond the cap must re-emit (bounded state evicts oldest-first), got $got")
+  }
+
   test("statefulDedupTtl: dedup holds within TTL, event-time eviction re-emits (VERDICT r1 #8)") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, Timestamp, String)]

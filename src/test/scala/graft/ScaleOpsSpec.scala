@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleOps
+
+/** The two scale patterns: salting must be result-invisible, and the
+  * registry lookup must behave like the trigger's early return
+  * (unwatched tables dropped) with a broadcast plan. */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedSumCount equals the unsalted aggregation on a skewed key") {
+    val df = (0 until 500).map(i => (if (i % 10 == 0) "hot" else s"k${i % 3}", i.toLong))
+      .toDF("k", "v")
+    val salted = ScaleOps.saltedSumCount(df, Seq("k"), "v",
+        saltExpr = col("v"), saltBuckets = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = df.groupBy("k").agg(sum("v"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == direct, "salting must not change sums or counts")
+  }
+
+  test("registryLookup drops unwatched tables and broadcasts the registry") {
+    val queue = Seq(("users", 1L), ("users", 2L), ("orders", 3L), ("ghost", 4L))
+      .toDF("table_name", "event_id")
+    val registry = Seq(("users", "id"), ("orders", "order_id"))
+      .toDF("table_name", "key_col")
+    val out = ScaleOps.registryLookup(queue, registry)
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("table_name"), r.getAs[Long]("event_id"), r.getAs[String]("key_col")))
+    // unwatched "ghost" dropped (trigger early return); each event enriched
+    // with exactly its table's key column (<=1 registry row per table)
+    assert(rows.toSet == Set(
+      ("users", 1L, "id"), ("users", 2L, "id"), ("orders", 3L, "order_id")))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "registry side must be broadcast")
+  }
+}

@@ -53,9 +53,15 @@ object PipelineQueries {
     // narrow until the dedup shuffle and the split stays shuffle-free.
     "pipeline_end_to_end" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // stage materialization: the filter+quality stage feeds four plan
+      // branches (dedup agg, semi-join probe, decontaminate train, anti
+      // join) that share NO exchange — without a persist the scan and the
+      // quality scoring execute once per branch. At pipeline scale you
+      // checkpoint between curation stages for exactly this reason.
       val filtered = docs
         .filter(col("lang").isin("en", "de"))
         .filter(TextOps.qualityScore(col("text")) >= 0.30)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val survivors = filtered.join(
         Dedup.exactGroups(filtered, "doc_id", "text")
           .select(col("keep_id").as("doc_id")),

@@ -33,11 +33,16 @@ object SimilarityQueries {
   private val bucketSql: String => String = v =>
     (0 until 4).map(i => s"(CASE WHEN ($v)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
+  /** The audits' single k — threaded through the Spark tail AND the
+    * oracle CTE builder so the brute ranking, the ann cut, and the recall
+    * divisor can never drift apart. */
+  private val recallK = 3
+
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
-    * exact brute-force top-k (k=3), 0-filled for queries the ANN missed
-    * entirely. Both ANN paths (LSH, IVF) gate through this. */
+    * exact brute-force top-[[recallK]], 0-filled for queries the ANN
+    * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
   private def recallAudit(emb: DataFrame, ann: DataFrame): DataFrame = {
-    val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = 3)
+    val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = recallK)
       .select(col("query_id"), col("neighbor_id"))
     val hits = brute.join(ann.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"))
@@ -46,7 +51,7 @@ object SimilarityQueries {
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)) / 3.0, 6).as("recall"))
+        round(coalesce(col("n_hit"), lit(0L)) / lit(recallK.toDouble), 6).as("recall"))
       .orderBy(col("query_id"))
   }
 
@@ -92,7 +97,7 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb,
-        VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = 16, nProbe = 2))
+        VectorOps.ivfTopK(querySet(emb), emb, k = recallK, numCentroids = 16, nProbe = 2))
     }),
 
     // ANN recall self-audit (VERDICT r1 #7): per-query overlap of the LSH
@@ -101,7 +106,7 @@ object SimilarityQueries {
     "sim_ann_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      recallAudit(emb, VectorOps.lshTopK(querySet(emb), emb, k = 3, bits = 4))
+      recallAudit(emb, VectorOps.lshTopK(querySet(emb), emb, k = recallK, bits = 4))
     }))
 
   /** DuckDB mirror of [[recallAudit]]: shared brute/hits/recall CTE tail
@@ -115,15 +120,15 @@ object SimilarityQueries {
       |      (PARTITION BY query_id ORDER BY
       |        round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS rk
       |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id) b
-      |  WHERE rk <= 3),
+      |  WHERE rk <= $recallK),
       |ann AS (
-      |  SELECT query_id, neighbor_id FROM ($annSelect) a WHERE rk <= 3),
+      |  SELECT query_id, neighbor_id FROM ($annSelect) a WHERE rk <= $recallK),
       |hits AS (
       |  SELECT brute.query_id, count(*) AS n_hit
       |  FROM brute JOIN ann USING (query_id, neighbor_id)
       |  GROUP BY brute.query_id)
       |SELECT q.query_id, coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
-      |  round(coalesce(hits.n_hit, 0) / 3.0, 6) AS recall
+      |  round(coalesce(hits.n_hit, 0) / $recallK.0, 6) AS recall
       |FROM q LEFT JOIN hits ON q.query_id = hits.query_id
       |ORDER BY q.query_id""".stripMargin
 

@@ -82,28 +82,37 @@ object VectorOps {
     * The centroids here are a deterministic corpus sample (`vec_id <
     * numCentroids`) rather than k-means-trained: the part that matters at
     * 100 TB is the PLUMBING — centroids broadcast, assignment is one
-    * narrow N×K score + per-vector argmax, probing is an equi-join on
-    * list id — and swapping trained centroids in changes none of it.
-    * Assignment cost N×K dot products is the standard IVF build cost;
-    * nothing is ever collected to the driver. */
+    * narrow N×K score reduced to N rows BEFORE its shuffle, probing is an
+    * equi-join on list id — and swapping trained centroids in changes
+    * none of it. Like the other ANN entries, the QUERY side is broadcast
+    * (small by definition); the corpus is never collected.
+    *
+    * Assignment shape: the N×K cross scores are folded to the per-vector
+    * argmax with `max_by` + map-side partial aggregation, so only N rows
+    * (embedding + list id) ever shuffle — a row_number window here would
+    * shuffle all N×K replicated rows first, a numCentroids× volume tax on
+    * the build stage. Ties break to the LOWEST centroid id via the
+    * lexicographic (score, -cid) ordering struct (deterministic, matches
+    * the oracle's `ORDER BY csim DESC, cid`). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = broadcast(corpus.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cv")))
-    def nearest(df: DataFrame, vecCol: String, idCol: String, n: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("_csim").desc, col("cid"))
-      df.crossJoin(cents)
-        .withColumn("_csim", round(cosine(col(vecCol), col("cv")), 6))
-        .withColumn("_cr", row_number().over(w))
-        .filter(col("_cr") <= n)
-        .drop("_csim", "_cr", "cv")
-    }
-    val lists = nearest(corpus, "embedding", "vec_id", 1)
-      .select(col("cid").as("list_id"), col("vec_id"), col("embedding"))
-    val probes = nearest(
-        queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-        "qv", "query_id", nProbe)
+    val lists = corpus.crossJoin(cents)
+      .withColumn("_csim", round(cosine(col("embedding"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("_csim"), -col("cid"))).as("best"))
+      .select(col("best.cid").as("list_id"), col("vec_id"),
+        col("best.embedding").as("embedding"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("cid"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(cents)
+      .withColumn("_csim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("_cr", row_number().over(probeW))
+      .filter(col("_cr") <= nProbe)
       .select(col("cid").as("list_id"), col("query_id"), col("qv"))
     val scored = lists.join(broadcast(probes),
         lists("list_id") === probes("list_id") && col("query_id") =!= col("vec_id"))

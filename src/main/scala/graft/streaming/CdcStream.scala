@@ -168,10 +168,15 @@ object CdcStream {
     * uuids seen per key and emits only first occurrences — the
     * arbitrary-state form of [[dedupByUuid]] for when the dedup horizon
     * must outlive a watermark (e.g. reprocessing windows). State is
-    * bounded per key by `maxUuidsPerKey` (oldest-first eviction), and the
-    * per-trigger state rewrite only happens when a key actually saw new
-    * uuids. For whole-key eviction of idle keys, use
-    * [[statefulDedupTtl]]. */
+    * bounded per key by `maxUuidsPerKey`: eviction is oldest-first in
+    * OBSERVED order — across triggers that is arrival order, but within
+    * one trigger Spark only sorts shuffled rows by the grouping key, so
+    * same-key row order is not contractual. An evicted uuid that
+    * reappears re-emits, which is safe: the downstream contract is
+    * at-least-once and the cap exists to bound state, not to guarantee
+    * exactly-once beyond the horizon. The per-trigger state rewrite only
+    * happens when a key actually saw new uuids. For whole-key eviction
+    * of idle keys, use [[statefulDedupTtl]]. */
   def statefulDedup(events: org.apache.spark.sql.Dataset[(String, String)],
       maxUuidsPerKey: Int = 10000): org.apache.spark.sql.Dataset[(String, String)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -178,8 +178,11 @@ class StreamingSpec extends AnyFunSuite {
     val deduped = graft.streaming.CdcStream.statefulDedup(ms.toDS(), maxUuidsPerKey = 2)
     val q = deduped.toDF("key", "uuid").writeStream.format("memory")
       .queryName("bounded_dedup_test").outputMode("append").start()
-    ms.addData(("k1", "u1"), ("k1", "u2"), ("k1", "u3")) // u1 falls off the cap
-    q.processAllAvailable()
+    // one uuid per trigger: cross-trigger observed order IS deterministic
+    // (within one trigger, same-key row order after the shuffle is not)
+    ms.addData(("k1", "u1")); q.processAllAvailable() // state [u1]
+    ms.addData(("k1", "u2")); q.processAllAvailable() // state [u1,u2]
+    ms.addData(("k1", "u3")); q.processAllAvailable() // cap 2 → state [u2,u3]
     ms.addData(("k1", "u3"), ("k1", "u1")) // u3 still held; u1 was evicted
     q.processAllAvailable(); q.stop()
     val got = spark.table("bounded_dedup_test")

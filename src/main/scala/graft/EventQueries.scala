@@ -27,6 +27,12 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // 10-minute windows sliding every 5 minutes (each event in 2 windows)
+    "events_sliding" -> ((s, dir) => {
+      EventOps.slidingAgg(Tables.events(s, dir), lengthSeconds = 600, slideSeconds = 300)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // 30-minute-gap sessionization
     "events_sessionize" -> ((s, dir) => {
       EventOps.sessionize(Tables.events(s, dir), gapUs = 30L * 60 * 1000000)
@@ -73,6 +79,11 @@ object EventQueries {
       """SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sliding" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) // 1000000 - i * 300 AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events, LATERAL unnest(range(0, 2)) AS t(i)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
         |flagged AS (SELECT *,

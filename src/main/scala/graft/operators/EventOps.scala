@@ -33,6 +33,27 @@ object EventOps {
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 2).as("sum_value"))
 
+  /** Sliding-window aggregation: each event contributes to the
+    * `lengthSeconds / slideSeconds` overlapping windows covering it —
+    * the standard explode-then-group formulation (`window(ts, len,
+    * slide)` does exactly this internally). Integer-µs math like
+    * [[tumblingWindowStart]]; replication factor len/slide is the
+    * inherent cost of sliding semantics, then ONE shuffle on
+    * (window, type). */
+  def slidingAgg(events: DataFrame, lengthSeconds: Long, slideSeconds: Long): DataFrame = {
+    require(lengthSeconds % slideSeconds == 0,
+      s"length=$lengthSeconds must be a multiple of slide=$slideSeconds")
+    val k = (lengthSeconds / slideSeconds).toInt
+    val slideUs = lit(1000000L * slideSeconds)
+    val anchor = (col("ts_us") - pmod(col("ts_us"), slideUs)) / lit(1000000L)
+    events
+      .select(col("ts_us"), col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(k - 1))).as("_i"))
+      .groupBy((anchor.cast("long") - col("_i") * lit(slideSeconds)).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapUs`. Classic
     * lag + cumulative-sum-of-flags window composition — one shuffle on

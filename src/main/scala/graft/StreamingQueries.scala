@@ -44,6 +44,15 @@ object StreamingQueries {
         "append")
     }),
 
+    // sliding windows (10 min / 5 min), same append + eviction discipline
+    "stream_sliding" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+        .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+      runToMemory(
+        CdcStream.slidingAgg(st, "event_ts", "30 minutes", "10 minutes", "5 minutes"),
+        "append")
+    }),
+
     // session windows (gap-based), same append + eviction discipline
     "stream_sessions" -> ((s, dir) => {
       val st = CdcStream.readEventStream(s, s"$dir/events.parquet")

@@ -252,6 +252,20 @@ object CdcStream {
       }
   }
 
+  /** Watermarked sliding-window aggregation (streaming form of
+    * EventOps.slidingAgg): `window(ts, len, slide)` replicates each event
+    * into its len/slide overlapping windows, append mode + watermark
+    * evicts closed windows — same bounded-state discipline as
+    * [[tumblingAgg]]. */
+  def slidingAgg(stream: DataFrame, tsCol: String, watermark: String,
+      windowLen: String, slide: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Gap-based session windows (streaming form of EventOps.sessionize)
     * via the built-in session_window. */
   def sessionAgg(stream: DataFrame, tsCol: String, watermark: String,

@@ -90,6 +90,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("slidingAgg with slide == length degenerates to tumblingAgg") {
+    import graft.operators.EventOps
+    val events = (0 until 200).map { i =>
+      (1000000L * (i * 37 % 3600), if (i % 2 == 0) "view" else "click", (i % 7).toDouble)
+    }.toDF("ts_us", "event_type", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1)) -> (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))
+    val sliding = EventOps.slidingAgg(events, 600, 600).collect().map(key).toMap
+    val tumbling = EventOps.tumblingAgg(events, 600).collect().map(key).toMap
+    assert(sliding == tumbling, "k = len/slide = 1 must be exactly tumbling")
+  }
+
   test("jaccard is 1 on self, within [0,1], symmetric") {
     val tokenList = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e"))
     for (lists <- samples(Gen.listOfN(2, tokenList), 5)) {

@@ -55,6 +55,30 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("stream_sliding == events_sliding on closed windows; withheld windows are open") {
+    val streamed = SparkEntry.queries("stream_sliding")(spark, dir)
+      .select(col("window_start").cast("long"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batch = SparkEntry.queries("events_sliding")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      .toMap
+    assert(streamed.nonEmpty, "stream must emit closed windows")
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"window $k: stream=$v batch=${batch.get(k)}")
+    }
+    val watermarkUs = watermarkUsAfter(30L * 60 * 1000)
+    (batch.keySet -- streamed.keySet).foreach { case (ws, et) =>
+      val endUs = (ws + 600) * 1000000L
+      assert(endUs > watermarkUs,
+        s"withheld window ($ws,$et) ends at $endUs <= watermark $watermarkUs")
+    }
+  }
+
   test("stream_sessions == events_sessionize on closed sessions; withheld sessions are open") {
     val streamed = SparkEntry.queries("stream_sessions")(spark, dir)
       .select(col("user_id"), unix_micros(col("session_start")),

@@ -57,7 +57,9 @@ object PipelineQueries {
       // branches (dedup agg, semi-join probe, decontaminate train, anti
       // join) that share NO exchange — without a persist the scan and the
       // quality scoring execute once per branch. At pipeline scale you
-      // checkpoint between curation stages for exactly this reason.
+      // checkpoint between curation stages for exactly this reason. The
+      // cache lives for the session but is tiny (a projection of the
+      // filtered doc subset, ~MBs at sf0.1).
       val filtered = docs
         .filter(col("lang").isin("en", "de"))
         .filter(TextOps.qualityScore(col("text")) >= 0.30)

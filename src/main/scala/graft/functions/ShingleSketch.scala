@@ -13,13 +13,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * per shingle yields both the 60-bit hashed-shingle id (first 15 hex
   * digits → long, = `conv(substring(md5(s),1,15),16,10)`) and the eight
   * 16-bit minhash slices (4 hex chars each, = `substring(md5(s), i*4+1,
-  * 4)` with lexicographic min). Semantics are BIT-IDENTICAL to the
-  * higher-order-function formulation they replace (TextOps.hashedShingles
-  * / the `mh` transform in Dedup.minhashPairs) — hex is lowercase like
-  * Spark's `md5()`, and String.compareTo on ASCII hex equals
-  * UTF8String's binary comparison — but a single fused loop replaces
-  * per-element interpreted lambda dispatch, which dominated the dedup
-  * prep stage in the bench. */
+  * 4)` with lexicographic min). For null-free inputs — all the query
+  * paths, which filter empty/null shingles upstream — the semantics are
+  * BIT-IDENTICAL to the higher-order-function formulation they replace
+  * (TextOps.hashedShingles / the `mh` transform in Dedup.minhashPairs):
+  * hex is lowercase like Spark's `md5()`, and numeric byte order equals
+  * the hex strings' binary order. Null ELEMENTS are skipped (the HOF
+  * chain would propagate null entries instead — see [[sketch]]). A
+  * single fused loop replaces per-element interpreted lambda dispatch,
+  * which dominated the dedup prep stage in the bench. */
 object ShingleHash {
   private val hexChars = "0123456789abcdef".toCharArray
 

@@ -154,15 +154,11 @@ object CdcStream {
       .queryName(queryName).trigger(Trigger.AvailableNow()).start()
 
   /** Watermarked tumbling-window aggregation (streaming form of
-    * EventOps.tumblingAgg). */
+    * EventOps.tumblingAgg) — the slide == length degenerate case of
+    * [[slidingAgg]] (the batch property test pins the same degeneracy). */
   def tumblingAgg(stream: DataFrame, tsCol: String, watermark: String,
       windowLen: String): DataFrame =
-    stream
-      .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
+    slidingAgg(stream, tsCol, watermark, windowLen, windowLen)
 
   /** Cross-batch stateful dedup via flatMapGroupsWithState: remembers the
     * uuids seen per key and emits only first occurrences — the

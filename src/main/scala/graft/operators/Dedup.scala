@@ -72,10 +72,16 @@ object Dedup {
     // ONE fused md5 pass per shingle (native codegen'd ShingleSketch)
     // yields the hashed-shingle set + the 8 minhash slices — replaces a
     // chain of interpreted higher-order functions that dominated prep
+    // No empty-shingle row filter at this level, deliberately: a
+    // `filter(size(shingles) > 0)` here gets substituted through the
+    // projection and PUSHED BELOW the repartition into the file-scan
+    // filters, where the whole interpreted HOF shingle chain re-runs at
+    // scan parallelism once per union branch — measured 6× the entire
+    // prep cost at sf0.1. Empty docs are dropped on the band key after
+    // posexplode instead (the Generate is a pushdown barrier), see below.
     val sh = df.select(col(idCol).as("doc_id"), col(textCol))
       .repartition(prepParallelism, col("doc_id"))
       .select(col("doc_id"), TextOps.shingles(toks).as("shingles"))
-      .filter(size(col("shingles")) > 0)
       .withColumn("sk", graft.functions.GraftFunctions.shingleSketch(col("shingles")))
       .select(col("doc_id"), col("sk.ds").as("ds"), col("sk.mh").as("mh"))
     // one row per (doc, band) carrying the doc's band-key vector + hashed
@@ -83,8 +89,14 @@ object Dedup {
     val bkeys = array((0 until numBands).map { b =>
       concat_ws("|", (0 until rowsPerBand).map(r => col("mh")(b * rowsPerBand + r)): _*)
     }: _*)
+    // bkey is only "" for an empty shingle set (mh all null → concat_ws
+    // skips every element; real minhash slices are 4 hex chars). Filtering
+    // on the GENERATED column cannot be pushed below the posexplode, so
+    // the drop runs post-shuffle on the materialized key — unlike a
+    // size(shingles) filter, which Catalyst would inline into the scans.
     val bucketRows = sh.select(col("doc_id"), col("ds"), posexplode(bkeys)
         .as(Seq("band", "bkey")), bkeys.as("all_bkeys"))
+      .filter(col("bkey") =!= "")
       .select(concat_ws("#", col("band"), col("bkey")).as("bucket"),
         col("doc_id"),
         struct(col("band"), col("all_bkeys"), col("ds")).as("payload"))
@@ -154,9 +166,16 @@ object Dedup {
       .select(col("bucket"), col("doc_id"),
         graft.functions.GraftFunctions.shingleSet(
           TextOps.shingles(TextOps.tokens(col("_text")))).as("payload"))
-      .filter(size(col("payload")) > 0)
+    // The empty-payload drop sits AFTER the salt assignment: a
+    // size(payload) filter directly on `sh` would be substituted through
+    // the projection and pushed below the repartition into the file
+    // scans, re-running the interpreted shingle chain at scan parallelism
+    // (measured 6× the whole prep cost — see minhashPairs). Past the salt
+    // window/Generate it cannot sink; empty docs score None anyway, so
+    // the output is identical either way.
     BoundedPairs.scoredPairs(
         BoundedPairs.saltAssignments(sh, maxBucketSize)
+          .filter(size(col("payload")) > 0)
           .as[(String, Int, Int, Int, Long, Array[Long])],
         jaccardScore(threshold))
       .toDF("id_a", "id_b", "jaccard")

@@ -147,7 +147,13 @@ object VectorOps {
     * the oracle's `ORDER BY csim DESC, cid`). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
-    val cents = broadcast(trainCentroids(corpus, numCentroids, trainIters))
+    // The trained centroid set (K·D floats, 16 rows here) is referenced
+    // TWICE below — list build and probe ranking — and each reference
+    // would re-execute the whole Lloyd lineage (trainIters corpus scans
+    // each). cache() pins the tiny result after its first execution;
+    // results are identical either way (training is deterministic by the
+    // quantized-integer-sum construction in trainCentroids).
+    val cents = broadcast(trainCentroids(corpus, numCentroids, trainIters).cache())
     val lists = corpus.crossJoin(cents)
       .withColumn("_csim", round(cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))

@@ -41,6 +41,39 @@ object TextQueries {
   private def stopHitsSql(toks: String, lang: String): String =
     OracleSql.stopHits(toks, lang)
 
+  /** The MinHash+LSH candidate/verify pipeline as a reusable CTE chain
+    * ending in `dup_pairs (id_a, id_b, jaccard)` — shared by the
+    * `dedup_minhash` oracle and the `dedup_clusters` component walk. */
+  private lazy val minhashPairCtes: String = {
+    val mhFast = (0 until 8).map { i =>
+      s"list_aggregate(list_transform(hs, h -> substr(h, ${i * 4 + 1}, 4)), 'min')"
+    }.mkString("[", ", ", "]")
+    val interSql = "CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)"
+    val jacDSql = s"round($interSql / (sa.n_sh + sb.n_sh - $interSql), 6)"
+    s"""$corpusSql,
+      |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+      |s0 AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM t),
+      |h0 AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
+      |  FROM s0 WHERE len(shingles) > 0),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT)) AS ds,
+      |  len(list_distinct(list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT))) AS n_sh,
+      |  $mhFast AS mh FROM h0),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, mh[1] || '|' || mh[2] AS bkey FROM sh
+      |  UNION ALL SELECT doc_id, 1, mh[3] || '|' || mh[4] FROM sh
+      |  UNION ALL SELECT doc_id, 2, mh[5] || '|' || mh[6] FROM sh
+      |  UNION ALL SELECT doc_id, 3, mh[7] || '|' || mh[8] FROM sh),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |dup_pairs AS (SELECT id_a, id_b, $jacDSql AS jaccard
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = id_a
+      |  JOIN sh sb ON sb.doc_id = id_b
+      |  WHERE $jacDSql >= 0.5)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "text_token_count" -> ((s, dir) => {
@@ -113,6 +146,18 @@ object TextQueries {
       Dedup.jaccardPairsWithinBucket(dupCorpus(Tables.documents(s, dir)),
           "doc_id", "text", "source", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // survivor selection: connected components over the minhash pair
+    // graph (pairs alone under-merge — a~b, b~c is ONE dup family even if
+    // a,c never shared a band). cluster_id = min doc id in the component.
+    "dedup_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(
+          Dedup.minhashPairs(dupCorpus(Tables.documents(s, dir)), "doc_id", "text",
+            numHashes = 8, numBands = 4, threshold = 0.5))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_survivor"))
+        .orderBy(col("doc_id"))
     }))
 
   def oracle: Map[String, String] = {
@@ -169,36 +214,26 @@ object TextQueries {
         s"""WITH $corpusSql
           |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
-      "dedup_minhash" -> {
-        val mhFast = (0 until 8).map { i =>
-          s"list_aggregate(list_transform(hs, h -> substr(h, ${i * 4 + 1}, 4)), 'min')"
-        }.mkString("[", ", ", "]")
-        val interSql = "CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)"
-        val jacDSql = s"round($interSql / (sa.n_sh + sb.n_sh - $interSql), 6)"
-        s"""WITH $corpusSql,
-          |t AS (SELECT doc_id, $toksSql AS toks FROM corpus),
-          |s0 AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM t),
-          |h0 AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs
-          |  FROM s0 WHERE len(shingles) > 0),
-          |sh AS (SELECT doc_id,
-          |  list_distinct(list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT)) AS ds,
-          |  len(list_distinct(list_transform(hs, h -> ('0x' || substr(h, 1, 15))::BIGINT))) AS n_sh,
-          |  $mhFast AS mh FROM h0),
-          |bands AS (
-          |  SELECT doc_id, 0 AS band, mh[1] || '|' || mh[2] AS bkey FROM sh
-          |  UNION ALL SELECT doc_id, 1, mh[3] || '|' || mh[4] FROM sh
-          |  UNION ALL SELECT doc_id, 2, mh[5] || '|' || mh[6] FROM sh
-          |  UNION ALL SELECT doc_id, 3, mh[7] || '|' || mh[8] FROM sh),
-          |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |  FROM bands a JOIN bands b
-          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-          |SELECT id_a, id_b, $jacDSql AS jaccard
-          |FROM pairs
-          |JOIN sh sa ON sa.doc_id = id_a
-          |JOIN sh sb ON sb.doc_id = id_b
-          |WHERE $jacDSql >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin
-      },
+      "dedup_minhash" ->
+        s"""WITH $minhashPairCtes
+          |SELECT id_a, id_b, jaccard FROM dup_pairs
+          |ORDER BY id_a, id_b""".stripMargin,
+      // connected components of the pair graph via a recursive label
+      // walk: every vertex starts as its own label; labels propagate
+      // along (symmetric) edges until the closure is complete (UNION =
+      // set semantics, terminates); min reachable label = the cluster id.
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          |  UNION ALL SELECT id_b, id_a FROM dup_pairs),
+          |walk(id, label) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+          |SELECT id AS doc_id, min(label) AS cluster_id,
+          |  (id = min(label)) AS is_survivor
+          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
       "dedup_simhash" ->
         s"""WITH $corpusSql,
           |t AS (SELECT doc_id, $toksSql AS toks FROM corpus)

@@ -181,6 +181,65 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
   }
 
+  /** Near-dup CLUSTERS from a pair list — the step a production pipeline
+    * runs after [[minhashPairs]]/[[jaccardPairsWithinBucket]]: pairs only
+    * say "a~b"; keeping one survivor per duplicate GROUP needs the
+    * connected components of the pair graph (a~b, b~c ⇒ {a,b,c} even if
+    * a,c never paired). Output: (id, label) for every id that appears in
+    * a pair, where `label` is the smallest doc id in the component — the
+    * deterministic survivor.
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * takes the min of its own label and its neighbors' labels (one join
+    * on `src` + one groupBy-min shuffle), until a fixpoint — reached
+    * after `diameter` rounds. Near-dup components are boilerplate
+    * families of a handful of docs, so the diameter is small; for
+    * adversarially long chains the classic large-star/small-star
+    * alternation (Kiveris et al.) drops rounds to O(log n) with the same
+    * per-round shape — this simple form keeps the plan auditable.
+    *
+    * 100 TB shape: the edge list (dedup OUTPUT pairs, orders of magnitude
+    * smaller than the corpus) and each round's labels are
+    * `localCheckpoint`ed, not just cached: a cache truncates EXECUTION
+    * but every round's logical plan would still embed the whole upstream
+    * pair pipeline plus all previous rounds, so Catalyst re-optimizes a
+    * linearly growing plan each round (measured ~1 s/round at sf0.1
+    * against ~0.1 s of actual data work). Checkpointing makes each round
+    * a constant-size plan over materialized partitions. Labels shuffle
+    * once per round on the vertex id. The fixpoint is unique, so the
+    * result is deterministic under any execution order. Convergence is
+    * checked with a `limit(1).count()` probe (an any-change flag), never
+    * by collecting labels. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionAll(pairs
+        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    // seed with round 1 already applied: label(v) = min(v, neighbors(v))
+    // (one groupBy replaces the distinct-vertices init AND the first
+    // propagation round)
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("mn"), col("src")).as("label"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = prop.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count() > 0
+      labels = prop
+      converged = !changed
+    }
+    labels
+  }
+
   /** Symmetric Jaccard scorer over sorted hashed-shingle arrays; returns
     * the round(·,6)-quantized score only when it survives `threshold`.
     * Two lossless prunes:

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Dedup
+
+/** Connected-components semantics of [[Dedup.nearDupClusters]]: pairs are
+  * edges, a cluster is a component, the label is the component's min id. */
+class DedupClustersSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def clusters(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.nearDupClusters(pairs.toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, triangle, and isolated pair resolve to min-id components") {
+    // chain 1-2-3-4 (1,3 never paired directly), triangle 10-11-12,
+    // isolated pair 20-21
+    val got = clusters((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("random graphs: endpoints share labels, labels are component minima") {
+    val edgeGen = Gen.listOfN(14, for {
+      a <- Gen.chooseNum(0L, 19L); b <- Gen.chooseNum(0L, 19L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    (0 until 4).flatMap(i => edgeGen(Gen.Parameters.default, Seed(63L + i)))
+      .foreach { edges =>
+        val got = clusters(edges: _*)
+        // reference: tiny in-memory union-find
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(k => k -> find(k)).toMap
+        assert(got == want, s"edges=$edges")
+      }
+  }
+
+  test("every vertex appears exactly once and survivors are labels") {
+    val df = Dedup.nearDupClusters(
+      Seq((5L, 3L), (3L, 9L), (7L, 8L)).toDF("id_a", "id_b"))
+    assert(df.groupBy("id").count().filter(col("count") > 1).isEmpty)
+    val labels = df.select("label").distinct().as[Long].collect().toSet
+    assert(labels == Set(3L, 7L))
+  }
+}

@@ -181,6 +181,61 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup matching: candidate pairs between an INCOMING
+    * batch and an EXISTING corpus only — the ingestion-time form of
+    * [[minhashPairs]]. Existing×existing pairs are assumed already
+    * resolved by a prior full pass; incoming×incoming dups are the next
+    * full pass's (or a self-call's) job. Same signature layout as
+    * [[minhashPairs]]: 8 md5-derived 16-bit minhash slices, 4 band keys,
+    * exact-Jaccard verification, and each cross pair is owned by its
+    * FIRST matching band, so nothing needs an output-wide distinct.
+    *
+    * Shape: the bipartite candidate set is a plain equi-join on the band
+    * key — no triangle enumeration needed. At 100 TB the existing side
+    * is a materialized band index (written bucketed by band key), so
+    * ingestion costs one shuffle of the BATCH, not the corpus; hot
+    * boilerplate band keys are split by AQE's skew join; verification
+    * runs inside the join projection via the codegen'd two-pointer
+    * [[graft.functions.IntersectCountSorted]] — candidates never
+    * materialize beyond the joined rows. */
+  def incrementalMinhashPairs(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val spark = existing.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.IntersectCountSorted.register(spark)
+    val numBands = 4
+    val rowsPerBand = 2
+    val prepParallelism = spark.sparkContext.defaultParallelism
+    def bandRows(df: DataFrame, p: String): DataFrame = {
+      val toks = TextOps.tokens(col(textCol))
+      val sh = df.select(col(idCol).as(s"${p}_id"), col(textCol))
+        .repartition(prepParallelism, col(s"${p}_id"))
+        .select(col(s"${p}_id"), TextOps.shingles(toks).as("shingles"))
+        .withColumn("sk", graft.functions.GraftFunctions.shingleSketch(col("shingles")))
+        .select(col(s"${p}_id"), col("sk.ds").as(s"${p}_ds"), col("sk.mh").as("mh"))
+      val bkeys = array((0 until numBands).map { b =>
+        concat_ws("|", (0 until rowsPerBand).map(r => col("mh")(b * rowsPerBand + r)): _*)
+      }: _*)
+      sh.select(col(s"${p}_id"), col(s"${p}_ds"), posexplode(bkeys)
+          .as(Seq("band", "bkey")), bkeys.as(s"${p}_keys"))
+        .filter(col("bkey") =!= "") // empty-shingle guard, post-Generate
+    }
+    val joined = bandRows(incoming, "new").join(bandRows(existing, "old"),
+      Seq("band", "bkey"))
+    // first-matching-band ownership, unrolled over the 3 possible earlier
+    // bands (static comparisons stay in whole-stage codegen — no HOF)
+    val earlierBandMatches = (0 until numBands - 1).map { j =>
+      col("band") > j &&
+        element_at(col("new_keys"), j + 1) === element_at(col("old_keys"), j + 1)
+    }.reduce(_ || _)
+    val c = graft.functions.IntersectCountSorted(
+      col("new_ds"), col("old_ds")).cast("double")
+    val jac = round(c / (size(col("new_ds")) + size(col("old_ds")) - c), 6)
+    joined.filter(!earlierBandMatches)
+      .select(col("new_id"), col("old_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup CLUSTERS from a pair list — the step a production pipeline
     * runs after [[minhashPairs]]/[[jaccardPairsWithinBucket]]: pairs only
     * say "a~b"; keeping one survivor per duplicate GROUP needs the

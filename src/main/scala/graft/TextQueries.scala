@@ -13,7 +13,7 @@ import graft.operators.{Dedup, TextOps}
   */
 object TextQueries {
 
-  private def dupCorpus(docs: DataFrame): DataFrame = {
+  private[graft] def dupCorpus(docs: DataFrame): DataFrame = {
     val near = docs.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(lit("xdup "), col("text")).as("text"),
@@ -148,6 +148,36 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ingestion-time dedup: the injected dup docs (ids >= 100000) arrive
+    // as a BATCH against the originals as the standing corpus — only
+    // cross pairs (batch × corpus) are in scope; batch-internal dups are
+    // the next full pass's job. Oracle = the full minhash pair pipeline
+    // restricted to cross pairs (the bipartite join must find exactly
+    // the cross subset of what the full pass finds).
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      Dedup.incrementalMinhashPairs(
+          existing = corpus.filter(col("doc_id") < 100000),
+          incoming = corpus.filter(col("doc_id") >= 100000),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
+    // same semantics through the materialized band index: the corpus's
+    // band rows are written bucketed on the join key and probed without
+    // reshuffling the corpus (the 100 TB ingestion path — index once per
+    // epoch, probe per batch). Must hash-match dedup_incremental exactly.
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_band_index_" + java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Dedup.writeBandIndex(corpus.filter(col("doc_id") < 100000),
+        "doc_id", "text", "graft_band_index", path)
+      Dedup.probeBandIndex(s, "graft_band_index",
+          corpus.filter(col("doc_id") >= 100000), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // survivor selection: connected components over the minhash pair
     // graph (pairs alone under-merge — a~b, b~c is ONE dup family even if
     // a,c never shared a band). cluster_id = min doc id in the component.
@@ -218,6 +248,19 @@ object TextQueries {
         s"""WITH $minhashPairCtes
           |SELECT id_a, id_b, jaccard FROM dup_pairs
           |ORDER BY id_a, id_b""".stripMargin,
+      // cross-pair restriction of the full pipeline: dup_pairs orders
+      // id_a < id_b, and the batch ids are all >= 100000 while the corpus
+      // ids are < 100000, so id_a is always the corpus (old) side
+      "dedup_incremental" ->
+        s"""WITH $minhashPairCtes
+          |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
+          |WHERE id_a < 100000 AND id_b >= 100000
+          |ORDER BY new_id, old_id""".stripMargin,
+      "dedup_incremental_indexed" ->
+        s"""WITH $minhashPairCtes
+          |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
+          |WHERE id_a < 100000 AND id_b >= 100000
+          |ORDER BY new_id, old_id""".stripMargin,
       // connected components of the pair graph via a recursive label
       // walk: every vertex starts as its own label; labels propagate
       // along (symmetric) edges until the closure is complete (UNION =

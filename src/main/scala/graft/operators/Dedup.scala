@@ -199,31 +199,52 @@ object Dedup {
     * [[graft.functions.IntersectCountSorted]] — candidates never
     * materialize beyond the joined rows. */
   def incrementalMinhashPairs(existing: DataFrame, incoming: DataFrame,
-      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
-    val spark = existing.sparkSession
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame =
+    crossBandVerify(
+      bandRows(incoming, idCol, textCol, "new"),
+      bandRows(existing, idCol, textCol, "old"), threshold)
+
+  /** One (doc, band) row per non-empty band key, columns prefixed with `p`
+    * so the two sides of the bipartite ingestion join never collide:
+    * (`p`_id, `p`_ds sorted hashed-shingle set, band, bkey, `p`_keys =
+    * the doc's full band-key vector for first-matching-band ownership).
+    * Same signature layout as [[minhashPairs]]: 8 md5-derived 16-bit
+    * minhash slices, `numBands` keys of `rowsPerBand` slices each; the
+    * empty-shingle guard filters the GENERATED `bkey` post-posexplode
+    * (the non-pushable anchor — see the pushdown note in [[minhashPairs]]). */
+  private[graft] def bandRows(df: DataFrame, idCol: String, textCol: String,
+      p: String, numBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val spark = df.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    graft.functions.IntersectCountSorted.register(spark)
-    val numBands = 4
-    val rowsPerBand = 2
     val prepParallelism = spark.sparkContext.defaultParallelism
-    def bandRows(df: DataFrame, p: String): DataFrame = {
-      val toks = TextOps.tokens(col(textCol))
-      val sh = df.select(col(idCol).as(s"${p}_id"), col(textCol))
-        .repartition(prepParallelism, col(s"${p}_id"))
-        .select(col(s"${p}_id"), TextOps.shingles(toks).as("shingles"))
-        .withColumn("sk", graft.functions.GraftFunctions.shingleSketch(col("shingles")))
-        .select(col(s"${p}_id"), col("sk.ds").as(s"${p}_ds"), col("sk.mh").as("mh"))
-      val bkeys = array((0 until numBands).map { b =>
-        concat_ws("|", (0 until rowsPerBand).map(r => col("mh")(b * rowsPerBand + r)): _*)
-      }: _*)
-      sh.select(col(s"${p}_id"), col(s"${p}_ds"), posexplode(bkeys)
-          .as(Seq("band", "bkey")), bkeys.as(s"${p}_keys"))
-        .filter(col("bkey") =!= "") // empty-shingle guard, post-Generate
-    }
-    val joined = bandRows(incoming, "new").join(bandRows(existing, "old"),
-      Seq("band", "bkey"))
+    val toks = TextOps.tokens(col(textCol))
+    val sh = df.select(col(idCol).as(s"${p}_id"), col(textCol))
+      .repartition(prepParallelism, col(s"${p}_id"))
+      .select(col(s"${p}_id"), TextOps.shingles(toks).as("shingles"))
+      .withColumn("sk", graft.functions.GraftFunctions.shingleSketch(col("shingles")))
+      .select(col(s"${p}_id"), col("sk.ds").as(s"${p}_ds"), col("sk.mh").as("mh"))
+    val bkeys = array((0 until numBands).map { b =>
+      concat_ws("|", (0 until rowsPerBand).map(r => col("mh")(b * rowsPerBand + r)): _*)
+    }: _*)
+    sh.select(col(s"${p}_id"), col(s"${p}_ds"), posexplode(bkeys)
+        .as(Seq("band", "bkey")), bkeys.as(s"${p}_keys"))
+      .filter(col("bkey") =!= "") // empty-shingle guard, post-Generate
+  }
+
+  /** The bipartite join + verify tail shared by [[incrementalMinhashPairs]]
+    * and [[probeBandIndex]]: equi-join new×old band rows on (band, bkey),
+    * keep each cross pair only in its FIRST matching band, verify with the
+    * codegen'd two-pointer intersection. Output: (new_id, old_id, jaccard). */
+  private def crossBandVerify(newRows: DataFrame, oldRows: DataFrame,
+      threshold: Double, numBands: Int = 4): DataFrame = {
+    graft.functions.IntersectCountSorted.register(newRows.sparkSession)
+    val joined = newRows.join(oldRows, Seq("band", "bkey"))
     // first-matching-band ownership, unrolled over the 3 possible earlier
-    // bands (static comparisons stay in whole-stage codegen — no HOF)
+    // bands (static comparisons stay in whole-stage codegen — no HOF).
+    // `band` is the 0-based posexplode index; `element_at` is 1-based, so
+    // earlier band j ∈ [0, band) lives at element_at(keys, j + 1) — pinned
+    // by DedupIncrementalSpec (an exact dup matches in all 4 bands and
+    // must surface exactly once, from band 0).
     val earlierBandMatches = (0 until numBands - 1).map { j =>
       col("band") > j &&
         element_at(col("new_keys"), j + 1) === element_at(col("old_keys"), j + 1)
@@ -236,6 +257,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Materialize the corpus side of incremental dedup as a BUCKETED band
+    * index, so ingestion batches can probe it without ever reshuffling the
+    * corpus: band rows are written `bucketBy(numBuckets, band, bkey)` +
+    * sorted, and a probe join on exactly those keys reads the buckets
+    * co-located — the only exchange in the probe plan is the (small)
+    * batch side hashing into `numBuckets` partitions (BandIndexSpec
+    * asserts the corpus scan has no Exchange above it). This makes the
+    * "ingestion costs one shuffle of the BATCH, not the corpus" contract
+    * from [[incrementalMinhashPairs]]'s docstring checkable instead of
+    * asserted. At 100 TB the index is written once per full-dedup epoch
+    * and probed by every arriving batch. */
+  def writeBandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, numBuckets: Int = 32): Unit =
+    bandRows(corpus, idCol, textCol, "old")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "band", "bkey")
+      .sortBy("band", "bkey")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Probe a [[writeBandIndex]] table with an incoming batch — identical
+    * output to [[incrementalMinhashPairs]] (same join, ownership, and
+    * verification), but the corpus side arrives pre-bucketed on the join
+    * key, so only the batch shuffles. */
+  def probeBandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      incoming: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    crossBandVerify(bandRows(incoming, idCol, textCol, "new"),
+      spark.table(table), threshold)
+  }
+
   /** Near-dup CLUSTERS from a pair list — the step a production pipeline
     * runs after [[minhashPairs]]/[[jaccardPairsWithinBucket]]: pairs only
     * say "a~b"; keeping one survivor per duplicate GROUP needs the
@@ -244,55 +297,112 @@ object Dedup {
     * a pair, where `label` is the smallest doc id in the component — the
     * deterministic survivor.
     *
-    * Algorithm: iterative min-label propagation. Each round every vertex
-    * takes the min of its own label and its neighbors' labels (one join
-    * on `src` + one groupBy-min shuffle), until a fixpoint — reached
-    * after `diameter` rounds. Near-dup components are boilerplate
-    * families of a handful of docs, so the diameter is small; for
-    * adversarially long chains the classic large-star/small-star
-    * alternation (Kiveris et al.) drops rounds to O(log n) with the same
-    * per-round shape — this simple form keeps the plan auditable.
+    * Algorithm: the large-star/small-star alternation of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC'14) — VERDICT
+    * r6 #4, replacing plain min-label propagation whose round count is
+    * the component DIAMETER (quadratic-ish wall time on an adversarial
+    * chain). Each round rewires the edge set toward the component
+    * minimum: large-star hangs every neighbor larger than the center onto
+    * the center's minimum; small-star hangs all smaller neighbors (and
+    * the center) onto the smallest. Both halves are one groupBy-min + one
+    * join on tiny edge data, and the alternation converges in O(log n)
+    * rounds to the star graph (v → component min) — a 1000-link chain
+    * closes in ~5 rounds where propagation needed ~1000
+    * (DedupClustersSpec pins this).
     *
-    * 100 TB shape: the edge list (dedup OUTPUT pairs, orders of magnitude
-    * smaller than the corpus) and each round's labels are
-    * `localCheckpoint`ed, not just cached: a cache truncates EXECUTION
-    * but every round's logical plan would still embed the whole upstream
-    * pair pipeline plus all previous rounds, so Catalyst re-optimizes a
-    * linearly growing plan each round (measured ~1 s/round at sf0.1
-    * against ~0.1 s of actual data work). Checkpointing makes each round
-    * a constant-size plan over materialized partitions. Labels shuffle
-    * once per round on the vertex id. The fixpoint is unique, so the
-    * result is deterministic under any execution order. Convergence is
-    * checked with a `limit(1).count()` probe (an any-change flag), never
-    * by collecting labels. */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionAll(pairs
-        .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .localCheckpoint()
-    // seed with round 1 already applied: label(v) = min(v, neighbors(v))
-    // (one groupBy replaces the distinct-vertices init AND the first
-    // propagation round)
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"), least(col("mn"), col("src")).as("label"))
-      .localCheckpoint()
-    var converged = false
+    * 100 TB shape: the edge list is the dedup OUTPUT pair set — orders of
+    * magnitude smaller than the corpus. Each round's edges are pinned via
+    * persist + an RDD-leaf rebuild ([[pinned]]): persist alone truncates
+    * EXECUTION but leaves every round's logical plan embedding all prior
+    * rounds, so Catalyst re-optimizes a linearly growing plan (~1 s/round
+    * measured at sf0.1 against ~0.1 s of data work); the RDD leaf makes
+    * each round a constant-size plan. Superseded rounds are unpersisted
+    * as soon as their successor is materialized (ADVICE r6 — the old
+    * `localCheckpoint` form leaked every round's blocks for the app's
+    * lifetime AND discarded lineage; persist keeps recomputation possible
+    * after executor loss). Convergence = the edge set reaching the
+    * star-graph fixpoint, probed with `limit(1).count()` existence
+    * checks, never a collect. The fixpoint is unique ⇒ deterministic
+    * under any execution order. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = nearDupClustersCounted(pairs)._1
+
+  /** [[nearDupClusters]] + the number of large/small-star rounds it took
+    * (exposed so DedupClustersSpec can pin the O(log n) convergence). */
+  private[graft] def nearDupClustersCounted(pairs: DataFrame): (DataFrame, Int) = {
+    val e0 = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var (edges, handle, nEdges) = pinned(e0)
+    var rounds = 0
+    var converged = nEdges == 0L
     while (!converged) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .unionAll(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val changed = prop.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .limit(1).count() > 0
-      labels = prop
-      converged = !changed
+      rounds += 1
+      require(rounds <= 60, "large-star/small-star failed to converge in 60 rounds")
+      val next = smallStar(largeStar(edges))
+      val (nextPinned, nextHandle, nNext) = pinned(next)
+      // fixpoint ⇔ the (distinct) edge sets are equal — equal-size
+      // distinct sets are equal iff one except-direction is empty, and the
+      // sizes come free from the pinning counts; one existence probe on
+      // pinned inputs, never a collect
+      converged = nNext == nEdges && nextPinned.except(edges).limit(1).isEmpty
+      handle.unpersist()
+      edges = nextPinned
+      handle = nextHandle
+      nEdges = nNext
     }
-    labels
+    // at the fixpoint every edge is (member, component-min): members label
+    // their center, centers label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("label")).distinct())
+      .distinct()
+    (labels, rounds)
+  }
+
+  /** Large-star: for every vertex u (over the SYMMETRIC neighborhood) let
+    * m = min(N(u) ∪ {u}); connect every neighbor v > u to m. Keeps all
+    * connectivity among larger-than-center vertices while strictly
+    * shrinking long tails. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, sym("u") === mins("c"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge toward its larger endpoint; for every
+    * vertex u with (all-smaller) neighborhood N(u), let m = min(N(u));
+    * connect u and every other smaller neighbor to m. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = or.groupBy("u").agg(min(col("v")).as("m"))
+    val nbr = or.join(mins, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    nbr.unionAll(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Materialize `df` into the block manager and rebuild it as a
+    * constant-size RDD-leaf plan: the returned first DataFrame executes
+    * against the persisted blocks (falling back to full lineage if an
+    * executor is lost — unlike `localCheckpoint`, nothing becomes
+    * non-replayable), while its logical plan no longer embeds the
+    * upstream pipeline, so iterative algorithms stop paying Catalyst
+    * re-optimization on a growing plan each round. The second DataFrame
+    * is the persist handle — `unpersist()` it once the round is
+    * superseded. Also returns the materialized row count (free — the
+    * pinning action is a count). */
+  private def pinned(df: DataFrame): (DataFrame, DataFrame, Long) = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    (df.sparkSession.createDataFrame(p.rdd, p.schema), p, n)
   }
 
   /** Symmetric Jaccard scorer over sorted hashed-shingle arrays; returns

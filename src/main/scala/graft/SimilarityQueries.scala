@@ -40,8 +40,24 @@ object SimilarityQueries {
     * sums — the determinism trick that lets a k-means run hash-match
     * across engines) and cast back to `::FLOAT`, mirroring the Spark side
     * bit-for-bit. `sum(BIGINT)` is HUGEINT in DuckDB → cast down before
-    * the double division. */
-  private def centTrainSql(numCentroids: Int, iters: Int): String = {
+    * the double division. `numCentroids` is a SQL fragment — pass
+    * [[ivfKSql]] for the derived-K form.
+    *
+    * K ~ √N (VERDICT r6 #5): both engines derive the IVF centroid count
+    * from the corpus size with the same floor(sqrt(count)) — per-list
+    * work and list count then scale together (probe cost ~ nProbe·√N,
+    * list build unchanged), instead of K=16 silently degenerating to
+    * giant lists as the corpus grows. Spark counts the parquet footer
+    * (metadata-only); the oracle embeds the same derivation as a scalar
+    * subquery. Floored at 4 so toy corpora still have >1 list to probe.
+    */
+  private[graft] def ivfK(emb: DataFrame): Int =
+    math.max(4, math.floor(math.sqrt(emb.count().toDouble)).toInt)
+
+  private val ivfKSql =
+    "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
+
+  private def centTrainSql(numCentroids: String, iters: Int): String = {
     val dim = 64 // embeddings.parquet fixed dim (TESTDATA.md)
     if (iters == 0)
       s"cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $numCentroids)"
@@ -116,24 +132,25 @@ object SimilarityQueries {
     // IVF-style ANN: coarse-quantizer inverted lists + nProbe probing —
     // the second classic ANN scale path (complementary recall trade to
     // the sign-LSH buckets). Centroids are Lloyd-trained (2 iterations,
-    // VERDICT r4 #2) — the oracle mirrors the identical deterministic
-    // iterations via centTrainSql.
+    // VERDICT r4 #2) with K derived ~√N ([[ivfK]], VERDICT r6 #5) — the
+    // oracle mirrors the identical deterministic iterations and the K
+    // derivation via centTrainSql(ivfKSql).
     "sim_ann_ivf" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = 16, nProbe = 4,
-          trainIters = 2)
+      VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = ivfK(emb),
+          nProbe = 4, trainIters = 2)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
 
-    // same recall audit for the IVF path: nProbe=2 of 16 lists, so the
+    // same recall audit for the IVF path: nProbe=2 of ~√N lists, so the
     // per-query candidate cut (and its recall cost) is visible
     "sim_ann_ivf_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb,
-        VectorOps.ivfTopK(querySet(emb), emb, k = recallK, numCentroids = 16,
+        VectorOps.ivfTopK(querySet(emb), emb, k = recallK, numCentroids = ivfK(emb),
           nProbe = 2, trainIters = 2))
     }),
 
@@ -205,7 +222,7 @@ object SimilarityQueries {
         |ORDER BY id_a, id_b""".stripMargin
     },
     "sim_ann_ivf" ->
-      s"""WITH ${centTrainSql(16, 2)},
+      s"""WITH ${centTrainSql(ivfKSql, 2)},
         |asg AS (
         |  SELECT vec_id, embedding, cid, row_number() OVER
         |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
@@ -227,7 +244,7 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_ivf_recall" -> recallOracleSql(
       preCtes =
-        s"""${centTrainSql(16, 2)},
+        s"""${centTrainSql(ivfKSql, 2)},
           |asg AS (
           |  SELECT vec_id, embedding, cid, row_number() OVER
           |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr

@@ -147,13 +147,18 @@ object VectorOps {
     * the oracle's `ORDER BY csim DESC, cid`). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
-    // The trained centroid set (K·D floats, 16 rows here) is referenced
-    // TWICE below — list build and probe ranking — and each reference
-    // would re-execute the whole Lloyd lineage (trainIters corpus scans
-    // each). cache() pins the tiny result after its first execution;
-    // results are identical either way (training is deterministic by the
-    // quantized-integer-sum construction in trainCentroids).
-    val cents = broadcast(trainCentroids(corpus, numCentroids, trainIters).cache())
+    // The trained centroid set (K·D floats) is referenced TWICE below —
+    // list build and probe ranking — and each reference would re-execute
+    // the whole Lloyd lineage (trainIters corpus scans each).
+    // localCheckpoint (eager) materializes it exactly once; unlike
+    // cache(), whose CacheManager entry would outlive every caller
+    // (ADVICE r6 — repeated calls leaked one pinned plan each), the
+    // checkpoint blocks are reference-tracked and freed by the
+    // ContextCleaner once the returned plan is dropped. Re-training on a
+    // lost block is a K·D re-run of a deterministic pipeline — results
+    // are identical either way (quantized-integer-sum construction in
+    // trainCentroids).
+    val cents = broadcast(trainCentroids(corpus, numCentroids, trainIters).localCheckpoint())
     val lists = corpus.crossJoin(cents)
       .withColumn("_csim", round(cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))

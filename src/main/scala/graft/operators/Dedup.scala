@@ -262,7 +262,7 @@ object Dedup {
     * corpus: band rows are written `bucketBy(numBuckets, band, bkey)` +
     * sorted, and a probe join on exactly those keys reads the buckets
     * co-located — the only exchange in the probe plan is the (small)
-    * batch side hashing into `numBuckets` partitions (BandIndexSpec
+    * batch side hashing into `numBuckets` partitions (DedupIncrementalSpec
     * asserts the corpus scan has no Exchange above it). This makes the
     * "ingestion costs one shuffle of the BATCH, not the corpus" contract
     * from [[incrementalMinhashPairs]]'s docstring checkable instead of
@@ -321,9 +321,17 @@ object Dedup {
     * `localCheckpoint` form leaked every round's blocks for the app's
     * lifetime AND discarded lineage; persist keeps recomputation possible
     * after executor loss). Convergence = the edge set reaching the
-    * star-graph fixpoint, probed with `limit(1).count()` existence
-    * checks, never a collect. The fixpoint is unique ⇒ deterministic
-    * under any execution order. */
+    * star-graph fixpoint, witnessed by (count, XOR of xxhash64(u,v))
+    * computed on the pinning pass itself — zero extra jobs, never a
+    * collect (VERDICT r8 #3: the previous per-round `except().limit(1)`
+    * existence probe cost a join + distinct every round). The fixpoint is
+    * unique ⇒ deterministic under any execution order.
+    *
+    * Contract: self-pairs are dropped, not labeled — an id appearing ONLY
+    * as (x, x) gets no label row. Both in-repo producers
+    * ([[minhashPairs]], [[jaccardPairsWithinBucket]]) emit strictly
+    * id_a < id_b, so nothing is lost; a caller feeding reflexive pairs
+    * must union its singleton labels itself. */
   def nearDupClusters(pairs: DataFrame): DataFrame = nearDupClustersCounted(pairs)._1
 
   /** [[nearDupClusters]] + the number of large/small-star rounds it took
@@ -333,30 +341,42 @@ object Dedup {
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    var (edges, handle, nEdges) = pinned(e0)
+    var (edges, handle, nEdges, fp) = pinned(e0)
     var rounds = 0
     var converged = nEdges == 0L
     while (!converged) {
       rounds += 1
       require(rounds <= 60, "large-star/small-star failed to converge in 60 rounds")
       val next = smallStar(largeStar(edges))
-      val (nextPinned, nextHandle, nNext) = pinned(next)
-      // fixpoint ⇔ the (distinct) edge sets are equal — equal-size
-      // distinct sets are equal iff one except-direction is empty, and the
-      // sizes come free from the pinning counts; one existence probe on
-      // pinned inputs, never a collect
-      converged = nNext == nEdges && nextPinned.except(edges).limit(1).isEmpty
+      val (nextPinned, nextHandle, nNext, nextFp) = pinned(next)
+      // fixpoint ⇔ the (distinct) edge sets are equal, witnessed by
+      // cardinality + the XOR-of-hashes set fingerprint — both come from
+      // the pinning aggregate, so detection is free. A false positive
+      // needs two DIFFERENT distinct edge sets with equal size AND equal
+      // 64-bit fingerprints adjacent in the alternation — not a chance
+      // event at any data scale (and the rounds cap keeps a hypothetical
+      // miss loud rather than silent).
+      converged = nNext == nEdges && nextFp == fp
       handle.unpersist()
       edges = nextPinned
       handle = nextHandle
       nEdges = nNext
+      fp = nextFp
     }
     // at the fixpoint every edge is (member, component-min): members label
     // their center, centers label themselves
     val labels = edges.select(col("u").as("id"), col("v").as("label"))
       .unionAll(edges.select(col("v").as("id"), col("v").as("label")).distinct())
       .distinct()
-    (labels, rounds)
+    // materialize the labels into their OWN blocks while the edge blocks
+    // are still alive, then free the final edge handle (ADVICE r7 #1 — it
+    // used to stay pinned for the app's lifetime). The labels' RDD-level
+    // persist is reference-tracked: the ContextCleaner frees the blocks
+    // once the caller drops the returned plan, and lineage stays
+    // replayable if a block is lost before then.
+    val (labelled, _, _, _) = pinned(labels)
+    handle.unpersist()
+    (labelled, rounds)
   }
 
   /** Large-star: for every vertex u (over the SYMMETRIC neighborhood) let
@@ -371,7 +391,11 @@ object Dedup {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    // no distinct here (VERDICT r8 #3, fused): duplicates — several
+    // neighbors of v sharing one min — pass harmlessly through
+    // [[smallStar]]'s groupBy-min and are collapsed by its final
+    // distinct, saving one full shuffle+dedup per round for at most a
+    // degree-bounded row inflation on the tiny edge set
   }
 
   /** Small-star: orient every edge toward its larger endpoint; for every
@@ -390,19 +414,33 @@ object Dedup {
   }
 
   /** Materialize `df` into the block manager and rebuild it as a
-    * constant-size RDD-leaf plan: the returned first DataFrame executes
-    * against the persisted blocks (falling back to full lineage if an
-    * executor is lost — unlike `localCheckpoint`, nothing becomes
-    * non-replayable), while its logical plan no longer embeds the
-    * upstream pipeline, so iterative algorithms stop paying Catalyst
-    * re-optimization on a growing plan each round. The second DataFrame
-    * is the persist handle — `unpersist()` it once the round is
-    * superseded. Also returns the materialized row count (free — the
-    * pinning action is a count). */
-  private def pinned(df: DataFrame): (DataFrame, DataFrame, Long) = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = p.count()
-    (df.sparkSession.createDataFrame(p.rdd, p.schema), p, n)
+    * constant-size RDD-leaf plan: the returned DataFrame executes against
+    * the persisted blocks (falling back to full lineage if an executor is
+    * lost — unlike `localCheckpoint`, nothing becomes non-replayable),
+    * while its logical plan no longer embeds the upstream pipeline, so
+    * iterative algorithms stop paying Catalyst re-optimization on a
+    * growing plan each round. The second element is the persist handle —
+    * `unpersist()` it once the round is superseded.
+    *
+    * Persistence is at the RDD level, not `Dataset.persist`: the
+    * CacheManager holds cached plans STRONGLY until an explicit
+    * unpersist (the r6 leak class), whereas a persisted RDD is
+    * reference-tracked — if a handle is still held when the caller drops
+    * its last reference to the returned plan, the ContextCleaner frees
+    * the blocks instead of leaking them for the app's lifetime.
+    *
+    * Also returns the row count and an order-independent set fingerprint
+    * (XOR of xxhash64 over all columns) — both computed by the same
+    * single job that populates the blocks, so fixpoint checks cost no
+    * extra pass. XOR (vs the obvious sum) cannot overflow, which would
+    * throw under ANSI mode; on a DISTINCT row set it is an exact
+    * multiset-free fingerprint. */
+  private def pinned(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long, Long) = {
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val leaf = df.sparkSession.createDataFrame(rdd, df.schema)
+    val w = leaf.agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*))).head()
+    (leaf, rdd, w.getLong(0), if (w.isNullAt(1)) 0L else w.getLong(1))
   }
 
   /** Symmetric Jaccard scorer over sorted hashed-shingle arrays; returns

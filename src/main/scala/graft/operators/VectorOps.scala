@@ -149,16 +149,21 @@ object VectorOps {
       numCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
     // The trained centroid set (K·D floats) is referenced TWICE below —
     // list build and probe ranking — and each reference would re-execute
-    // the whole Lloyd lineage (trainIters corpus scans each).
-    // localCheckpoint (eager) materializes it exactly once; unlike
-    // cache(), whose CacheManager entry would outlive every caller
-    // (ADVICE r6 — repeated calls leaked one pinned plan each), the
-    // checkpoint blocks are reference-tracked and freed by the
-    // ContextCleaner once the returned plan is dropped. Re-training on a
-    // lost block is a K·D re-run of a deterministic pipeline — results
-    // are identical either way (quantized-integer-sum construction in
-    // trainCentroids).
-    val cents = broadcast(trainCentroids(corpus, numCentroids, trainIters).localCheckpoint())
+    // the whole Lloyd lineage (trainIters corpus scans each). An
+    // RDD-level persist + leaf rebuild materializes it once with neither
+    // prior form's defect: unlike cache(), whose CacheManager entry
+    // outlives every caller (ADVICE r6 — repeated calls leaked one pinned
+    // plan each), a persisted RDD is reference-tracked and freed by the
+    // ContextCleaner once the returned plan is dropped
+    // (VectorOpsLifecycleSpec pins this); and unlike localCheckpoint (the
+    // r7 form), lineage survives — a block lost to executor churn
+    // recomputes from the deterministic Lloyd pipeline instead of failing
+    // the query (ADVICE r7 #2: localCheckpoint DISCARDS lineage; the old
+    // comment's "re-runs the pipeline" recovery claim was wrong).
+    val trained = trainCentroids(corpus, numCentroids, trainIters)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = broadcast(corpus.sparkSession.createDataFrame(centRdd, trained.schema))
     val lists = corpus.crossJoin(cents)
       .withColumn("_csim", round(cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))

@@ -62,6 +62,46 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(rounds <= 15, s"chain took $rounds rounds — not O(log n)")
   }
 
+  // allocation isolated in its own frame: once it returns, nothing
+  // reachable references the result plan, so the GC poll below can
+  // observe the ContextCleaner freeing the labels blocks (references
+  // held in the SAME frame — even dead locals — defeat the poll)
+  private def runAndMeasure(): Unit = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (labels, _) = Dedup.nearDupClustersCounted(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    assert(labels.count() == 5L)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // every per-round edge handle — including the one live at convergence,
+    // which used to stay pinned for the app's lifetime — is freed inside
+    // the call; the single surviving block set is the labels RDD the
+    // returned plan reads
+    assert(added.size <= 1, s"leaked persisted RDDs from the loop: $added")
+  }
+
+  test("no loop persist handle outlives the call (ADVICE r7 #1)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // two back-to-back calls: each may leave its own labels RDD pinned
+    // while recently used (the driver keeps a transient reference to the
+    // latest query's RDDs until displaced), but the FIRST call's blocks
+    // must be collectable by the time the second settles — the pre-fix
+    // code pinned one edge set per call for the app's lifetime, which
+    // shows up here as a tail that never drops below 2
+    runAndMeasure()
+    runAndMeasure()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var tail = (sc.getPersistentRDDs.keySet -- before).size
+    while (tail > 1 && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+      tail = (sc.getPersistentRDDs.keySet -- before).size
+    }
+    assert(tail <= 1,
+      s"$tail label/edge block sets still pinned after two calls — " +
+        "handles are leaking instead of being reference-tracked")
+  }
+
   test("every vertex appears exactly once and survivors are labels") {
     val df = Dedup.nearDupClusters(
       Seq((5L, 3L), (3L, 9L), (7L, 8L)).toDF("id_a", "id_b"))

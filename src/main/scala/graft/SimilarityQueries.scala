@@ -87,6 +87,28 @@ object SimilarityQueries {
     * divisor can never drift apart. */
   private val recallK = 3
 
+  /** One persisted IVF index per (session, dir) epoch, built lazily on
+    * first use into a unique table-name pair + fresh temp directory —
+    * the vector twin of [[TextQueries.bandIndexFor]] (same isolation
+    * reasoning: unique names so concurrent sessions/dirs can never race,
+    * one epoch write amortized across every probe in the session —
+    * the 100 TB contract where the index is written once per epoch and
+    * the per-batch cost is the probe). */
+  private val ivfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def ivfIndexFor(s: SparkSession, dir: String): String =
+    ivfIndexes.computeIfAbsent((s, dir), _ => {
+      val table = "graft_ivf_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index_").toString
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.writeIvfIndex(emb, table, path,
+        numCentroids = ivfK(emb), trainIters = 2)
+      table
+    })
+
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
@@ -144,6 +166,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // the persisted-index form of sim_ann_ivf: the epoch write happens
+    // once per (session, dir) via [[ivfIndexFor]]; the gated query (and
+    // its bench number) measures the per-batch PROBE, which reads ONLY
+    // the nProbe probed lists from the partitioned index (dynamic
+    // partition pruning — IvfIndexSpec asserts the plan + files-read).
+    // Must hash-match sim_ann_ivf exactly (same oracle SQL).
+    "sim_ann_ivf_indexed" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndex(s, ivfIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // same recall audit for the IVF path: nProbe=2 of ~√N lists, so the
     // per-query candidate cut (and its recall cost) is visible
     "sim_ann_ivf_recall" -> ((s, dir) => {
@@ -186,6 +223,28 @@ object SimilarityQueries {
       |FROM q LEFT JOIN hits ON q.query_id = hits.query_id
       |ORDER BY q.query_id""".stripMargin
 
+  private lazy val ivfOracleSql =
+    s"""WITH ${centTrainSql(ivfKSql, 2)},
+      |asg AS (
+      |  SELECT vec_id, embedding, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM embeddings CROSS JOIN cents),
+      |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, qv, cid AS list_id FROM (
+      |    SELECT query_id, qv, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+      |scored AS (
+      |  SELECT query_id, l.vec_id AS neighbor_id,
+      |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
+      |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -221,27 +280,11 @@ object SimilarityQueries {
         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.995
         |ORDER BY id_a, id_b""".stripMargin
     },
-    "sim_ann_ivf" ->
-      s"""WITH ${centTrainSql(ivfKSql, 2)},
-        |asg AS (
-        |  SELECT vec_id, embedding, cid, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-        |  FROM embeddings CROSS JOIN cents),
-        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT query_id, qv, cid AS list_id FROM (
-        |    SELECT query_id, qv, cid, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
-        |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
-        |scored AS (
-        |  SELECT query_id, l.vec_id AS neighbor_id,
-        |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
-        |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
-        |ranked AS (SELECT *, row_number() OVER
-        |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
-        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
-        |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_ivf" -> ivfOracleSql,
+    // the persisted-index probe is defined to be result-identical to the
+    // in-memory IVF pass (shared assignment/probe/rank code + the same
+    // deterministic Lloyd training) — one oracle, two plans
+    "sim_ann_ivf_indexed" -> ivfOracleSql,
     "sim_ann_ivf_recall" -> recallOracleSql(
       preCtes =
         s"""${centTrainSql(ivfKSql, 2)},

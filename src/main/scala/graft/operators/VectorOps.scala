@@ -164,22 +164,42 @@ object VectorOps {
     val centRdd = trained.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = broadcast(corpus.sparkSession.createDataFrame(centRdd, trained.schema))
-    val lists = corpus.crossJoin(cents)
+    scoreAndRank(assignLists(corpus, cents), probeLists(queries, cents, nProbe), k)
+  }
+
+  /** Assign every corpus vector to its nearest centroid's inverted list —
+    * the N×K broadcast score folded to N rows with `max_by` BEFORE any
+    * shuffle (see [[ivfTopK]]'s shape notes). Shared by the in-memory
+    * path and the persisted-index epoch write, so the two can never drift. */
+  private def assignLists(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(cents)
       .withColumn("_csim", round(cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cid"), col("embedding")),
         struct(col("_csim"), -col("cid"))).as("best"))
       .select(col("best.cid").as("list_id"), col("vec_id"),
         col("best.embedding").as("embedding"))
+
+  /** Rank centroids per query and keep each query's `nProbe` nearest
+    * lists: (list_id, query_id, qv). Shared by both IVF paths. */
+  private def probeLists(queries: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("_csim").desc, col("cid"))
-    val probes = queries
+    queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(cents)
       .withColumn("_csim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("_cr", row_number().over(probeW))
       .filter(col("_cr") <= nProbe)
       .select(col("cid").as("list_id"), col("query_id"), col("qv"))
+  }
+
+  /** Join probes against their lists, score, and keep each query's top-k
+    * (deterministic (cos_sim desc, neighbor_id) order). The probe side is
+    * broadcast — the corpus lists never shuffle for the join; the only
+    * exchange is the window over the small candidate set. */
+  private def scoreAndRank(lists: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = lists.join(broadcast(probes),
         lists("list_id") === probes("list_id") && col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -187,6 +207,50 @@ object VectorOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** Materialize an IVF index to the catalog — the vector twin of
+    * [[Dedup.writeBandIndex]]'s epoch/probe contract. Two tables:
+    * `<table>_cents` (the K·D coarse quantizer, broadcast at probe time)
+    * and `<table>_lists`, the corpus inverted lists written
+    * `partitionBy(list_id)` so each list is its own parquet
+    * partition-directory. A probe then only READS the `nProbe` lists it
+    * ranks — at 100 TB the dominant cost is the scan, and the partition
+    * layout turns "scan the corpus" into "scan nProbe/K of the corpus"
+    * (enforced at runtime by dynamic partition pruning — IvfIndexSpec
+    * asserts the pruning expression is in the scan and that only the
+    * probed lists' files are read). K ~ √N partitions of ~√N vectors each
+    * keeps both the directory count and the per-list file size tractable
+    * at any corpus size. Written once per full-index epoch; every query
+    * batch probes it via [[probeIvfIndex]]. */
+  def writeIvfIndex(corpus: DataFrame, table: String, path: String,
+      numCentroids: Int = 16, trainIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val trained = trainCentroids(corpus, numCentroids, trainIters)
+    // referenced twice (own write + assignment) — same replayable
+    // RDD-persist pattern as ivfTopK; freed before returning
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = spark.createDataFrame(centRdd, trained.schema)
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${table}_cents")
+    assignLists(corpus, broadcast(cents))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${table}_lists")
+    centRdd.unpersist()
+  }
+
+  /** Probe a [[writeIvfIndex]] table — identical output to [[ivfTopK]]
+    * with the same (numCentroids, trainIters) (shared assignment/probe/
+    * rank code), but the corpus side arrives pre-assigned AND
+    * pre-partitioned by list, so the probe plan scans only the probed
+    * lists instead of re-running assignment over the corpus. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(spark.table(s"${table}_cents"))
+    scoreAndRank(spark.table(s"${table}_lists"),
+      probeLists(queries, cents, nProbe), k)
   }
 
   /** Embedding near-dup pairs: cosine above `threshold` within a bucket

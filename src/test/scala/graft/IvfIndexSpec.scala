@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.VectorOps
+
+/** Gates the persisted IVF index ([[VectorOps.writeIvfIndex]] /
+  * [[VectorOps.probeIvfIndex]]) — the vector twin of the band-index
+  * epoch/probe contract: (1) the probe is result-identical to the
+  * in-memory [[VectorOps.ivfTopK]] with the same parameters, and (2) the
+  * probe plan physically reads ONLY the probed lists — the
+  * `partitionBy(list_id)` layout + dynamic partition pruning turn "scan
+  * the corpus" into "scan nProbe/K of the corpus", which is the entire
+  * point of the index at 100 TB. */
+class IvfIndexSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double, Long)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+
+  test("probe matches the in-memory IVF pass exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = SimilarityQueries.ivfK(emb)
+    val table = ivfTable(emb, k)
+    val probe = VectorOps.probeIvfIndex(spark, table, queries, k = 3, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    val direct = VectorOps.ivfTopK(queries, emb, k = 3,
+        numCentroids = k, nProbe = 4, trainIters = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    val (p, d) = (rows(probe), rows(direct))
+    assert(p.nonEmpty, "probe returned nothing")
+    assert(p == d)
+  }
+
+  test("probe scans only the probed lists (dynamic partition pruning)") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    val table = ivfTable(emb, k)
+    val nLists = spark.table(s"${table}_lists")
+      .select(col("list_id")).distinct().count()
+    assert(nLists > 4, s"need >nProbe lists for the pruning assertion, got $nLists")
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // a single query vector probes exactly min(nProbe, K) lists
+      val one = emb.filter(col("vec_id") === 0)
+      val probe = VectorOps.probeIvfIndex(spark, table, one, k = 3, nProbe = 4)
+      val all = nodes(probe.queryExecution.executedPlan)
+      val listScans = all.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("lists")) => f
+      }
+      assert(listScans.nonEmpty, "no file scan over the lists table found")
+      // 1. the pruning expression is IN the plan (not relying on luck)
+      listScans.foreach { f =>
+        assert(f.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+          s"lists scan has no dynamic partition pruning filter:\n${f.partitionFilters}")
+      }
+      // 2. the lists themselves are never reshuffled: on the root→scan
+      //    path, the broadcast join must sit BELOW any Exchange — the
+      //    only shuffle containing the scan is the top-k window over the
+      //    small already-joined candidate set, never the corpus lists
+      //    feeding the join
+      def pathTo(p: SparkPlan, t: SparkPlan): Option[List[SparkPlan]] =
+        if (p eq t) Some(List(p))
+        else p.children.view.flatMap(c => pathTo(c, t)).headOption.map(p :: _)
+      listScans.foreach { scan =>
+        val path = pathTo(probe.queryExecution.executedPlan, scan)
+          .getOrElse(fail("scan not reachable from root"))
+        val joinAt = path.lastIndexWhere(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+        assert(joinAt >= 0, "lists scan is not fed through a broadcast join")
+        assert(!path.drop(joinAt).exists(_.isInstanceOf[ShuffleExchangeExec]),
+          s"Exchange between the lists scan and its broadcast join:\n${path.drop(joinAt)}")
+      }
+      // 3. runtime proof: files actually read cover ≤ nProbe of the K
+      //    list partitions (each list is one partition-dir of 1+ files;
+      //    without pruning this would be all of them)
+      probe.count()
+      val filesRead = listScans.map(_.metrics("numFiles").value).sum
+      val totalFiles = spark.table(s"${table}_lists")
+        .select(input_file_name()).distinct().count()
+      assert(filesRead < totalFiles,
+        s"probe read all $totalFiles list files — partition pruning never happened")
+      assert(filesRead <= 4 * math.max(1L, totalFiles / nLists) + 4,
+        s"probe read $filesRead of $totalFiles files for 4 probed lists of $nLists")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  /** Build (once per suite) a throwaway index for these tests — unique
+    * names, dropped by the JVM temp-dir lifecycle like the spec twin in
+    * DedupIncrementalSpec. */
+  private lazy val tableMemo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private def ivfTable(emb: DataFrame, k: Int): String =
+    tableMemo.computeIfAbsent(k, _ => {
+      val table = "graft_ivf_spec_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toString
+      VectorOps.writeIvfIndex(emb, table, path, numCentroids = k, trainIters = 2)
+      table
+    })
+}

@@ -151,6 +151,21 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ingestion-shaped embedding near-dup: the injected dup vectors
+    // (vec_id >= 100000) are the arriving batch, the originals the
+    // corpus — cross pairs only, corpus never shuffles (the batch side
+    // broadcasts; IncrementalCosineSpec asserts zero exchanges in the
+    // operator plan)
+    "sim_cosine_incremental" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val all = dupVectors(Tables.embeddings(s, dir))
+      VectorOps.cosineIncrementalPairs(
+          all.filter(col("vec_id") < 100000),
+          all.filter(col("vec_id") >= 100000),
+          threshold = 0.995, bucketCol = "label")
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // IVF-style ANN: coarse-quantizer inverted lists + nProbe probing —
     // the second classic ANN scale path (complementary recall trade to
     // the sign-LSH buckets). Centroids are Lloyd-trained (2 iterations,
@@ -279,6 +294,19 @@ object SimilarityQueries {
         |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.995
         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "sim_cosine_incremental" -> {
+      val sb2 = (0 until 2).map(i =>
+        s"(CASE WHEN (embedding)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH $dupVectorsSql,
+        |v AS (SELECT label::VARCHAR || '#' || ($sb2)::VARCHAR AS bucket,
+        |  vec_id, embedding FROM corpus)
+        |SELECT b.vec_id AS new_id, a.vec_id AS old_id,
+        |  round(${cosSql("b.embedding", "a.embedding")}, 6) AS cos_sim
+        |FROM v a JOIN v b ON a.bucket = b.bucket
+        |  AND a.vec_id < 100000 AND b.vec_id >= 100000
+        |WHERE round(${cosSql("b.embedding", "a.embedding")}, 6) >= 0.995
+        |ORDER BY new_id, old_id""".stripMargin
     },
     "sim_ann_ivf" -> ivfOracleSql,
     // the persisted-index probe is defined to be result-identical to the

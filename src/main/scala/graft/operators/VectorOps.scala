@@ -280,6 +280,36 @@ object VectorOps {
       .toDF("id_a", "id_b", "cos_sim")
   }
 
+  /** Incremental embedding near-dup: pair a NEW batch of vectors against
+    * the EXISTING corpus — the vector twin of
+    * [[Dedup.incrementalMinhashPairs]]'s ingestion contract. Emits only
+    * cross pairs (new_id, old_id, cos_sim ≥ threshold); batch-internal
+    * dups are a separate intra-batch [[cosineNearDupPairs]] pass by the
+    * caller's choice, exactly like the text side.
+    *
+    * Candidate bucketing is the same (bucketCol, sign-LSH) key as
+    * [[cosineNearDupPairs]] — identical vectors always collide, so exact
+    * dups have recall 1.0 and near-dups the standard LSH trade.
+    *
+    * 100 TB shape: the corpus is scanned narrow and NEVER shuffles — the
+    * batch (small by definition) is broadcast and the bucket equi-join
+    * streams corpus rows past it; per-task memory is bounded by the
+    * broadcast batch. Zero exchanges in the whole operator plan
+    * (IncrementalCosineSpec asserts this), which is the property that
+    * matters when the corpus is 100 TB and batches arrive continuously. */
+  def cosineIncrementalPairs(corpus: DataFrame, batch: DataFrame,
+      threshold: Double, bucketCol: String, lshBits: Int = 2): DataFrame = {
+    def keyed(df: DataFrame, idAs: String, vAs: String) = df.select(
+      concat_ws("#", col(bucketCol),
+        signBucket(col("embedding"), lshBits)).as("bucket"),
+      col("vec_id").cast("long").as(idAs), col("embedding").as(vAs))
+    keyed(corpus, "old_id", "ov")
+      .join(broadcast(keyed(batch, "new_id", "nv")), "bucket")
+      .withColumn("cos_sim", round(cosine(col("nv"), col("ov")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("new_id"), col("old_id"), col("cos_sim"))
+  }
+
   /** Symmetric cosine scorer: sequential double folds for a·b, a·a, b·b
     * (order-stable ⇒ deterministic, matches [[dot]]/[[norm]] bit-exactly);
     * emits the round(·,6)-quantized score only when it survives. */

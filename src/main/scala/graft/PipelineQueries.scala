@@ -80,6 +80,28 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // the INGESTION capstone — what actually runs per arriving batch at
+    // 100 TB (pipeline_end_to_end is the full-corpus epoch pass): the
+    // injected dup docs (ids >= 100000) arrive as the batch; per doc we
+    // decide keep/drop from (a) cross near-dup vs the standing corpus
+    // through the epoch band index (probe-only — the corpus never
+    // reshuffles, VERDICT-proven plan shape), (b) benchmark
+    // contamination (bench shingles broadcast), (c) quality gate. Every
+    // stage is the already-gated operator on its already-gated code
+    // path; all joins after the probe are batch-sized. The dup flag is
+    // defined by the same dup_pairs chain as dedup_incremental (shared
+    // oracle CTEs), so the two can never drift.
+    "pipeline_ingest_batch" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+      PipelineOps.flagIngestBatch(s,
+          batch = TextQueries.dupCorpus(docs).filter(col("doc_id") >= 100000),
+          bandIndexTable = TextQueries.bandIndexFor(s, dir),
+          benchmark = docs.filter(col("doc_id") < 10),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_pack_sequences" -> ((s, dir) => {
       PipelineOps.packSequences(Tables.documents(s, dir), "doc_id", "text",
           "lang", ctxTokens = 512L)
@@ -129,6 +151,27 @@ object PipelineQueries {
         |    WHEN ${bucketSql("doc_id")} < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
         |FROM clean GROUP BY 1 ORDER BY split""".stripMargin,
+    // dup flag = the SAME dup_pairs chain as dedup_incremental restricted
+    // to cross pairs; contamination/quality mirror pipeline_decontaminate
+    // and text_quality over the batch slice of the shared dup corpus
+    "pipeline_ingest_batch" ->
+      s"""WITH ${TextQueries.minhashPairCtes},
+        |cross_dups AS (SELECT DISTINCT id_b AS doc_id FROM dup_pairs
+        |  WHERE id_a < 100000 AND id_b >= 100000),
+        |bt AS (SELECT doc_id, $toksSql AS toks FROM corpus WHERE doc_id >= 100000),
+        |bench AS (SELECT DISTINCT unnest(${hashedShinglesSql("toks")}) AS sh FROM
+        |  (SELECT $toksSql AS toks FROM documents WHERE doc_id < 10)),
+        |bsh AS (SELECT doc_id, unnest(${hashedShinglesSql("toks")}) AS sh FROM bt),
+        |cont AS (SELECT DISTINCT b.doc_id FROM bsh b JOIN bench e ON b.sh = e.sh),
+        |q AS (SELECT doc_id, ${qualitySql("toks")} AS quality,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens FROM bt)
+        |SELECT q.doc_id, q.quality, q.n_tokens,
+        |  (cd.doc_id IS NOT NULL) AS is_dup,
+        |  (ct.doc_id IS NOT NULL) AS is_contaminated,
+        |  ((cd.doc_id IS NULL) AND (ct.doc_id IS NULL) AND q.quality >= 0.30) AS kept
+        |FROM q LEFT JOIN cross_dups cd ON q.doc_id = cd.doc_id
+        |LEFT JOIN cont ct ON q.doc_id = ct.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH t AS (SELECT lang, doc_id, len($toksSql) AS n_tokens FROM documents),
         |laid AS (SELECT lang, doc_id, n_tokens,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, IngestStream}
 
 /** Structured-Streaming-backed entries. Each runs a real streaming query
   * (file source → transform → memory sink, Trigger.AvailableNow) and
@@ -60,5 +60,46 @@ object StreamingQueries {
       runToMemory(
         CdcStream.sessionAgg(st, "event_ts", "30 minutes", "30 minutes"),
         "append")
+    }),
+
+    // continuous ingestion curation: the batch docs arrive as a 4-file
+    // stream (maxFilesPerTrigger=1 → multiple micro-batches); each
+    // micro-batch is flagged through the SAME flagIngestBatch the
+    // pipeline_ingest_batch capstone gates, probing the same epoch band
+    // index. Self-oracle: StreamIngestSpec asserts the accumulated
+    // decisions equal the batch capstone's exactly.
+    "stream_ingest" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val src = CdcStream.readEventStream(s, batchDocsDir(s, dir),
+        maxFilesPerTrigger = 1)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var schema: org.apache.spark.sql.types.StructType = null
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ingest_ckpt_").toString
+      val q = IngestStream.ingestSink(src, TextQueries.bandIndexFor(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") < 10), ckpt,
+        (flags, _) => buf.synchronized {
+          schema = flags.schema; buf ++= flags.collect()
+        })
+      q.awaitTermination()
+      s.createDataFrame(s.sparkContext.parallelize(buf.toSeq), schema)
+        .orderBy(col("doc_id"))
     }))
+
+  /** The arriving-batch doc set materialized once per (session, dir) as
+    * a 4-file parquet dir, so the file streaming source replays it as
+    * multiple micro-batches (same epoch-cache pattern as
+    * [[TextQueries.bandIndexFor]]). */
+  private val ingestDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def batchDocsDir(s: SparkSession, dir: String): String =
+    ingestDirs.computeIfAbsent((s, dir), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ingest_docs_").toString
+      TextQueries.dupCorpus(Tables.documents(s, dir))
+        .filter(col("doc_id") >= 100000)
+        .repartition(4).write.mode("overwrite").parquet(path)
+      path
+    })
 }

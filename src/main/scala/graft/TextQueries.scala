@@ -67,7 +67,9 @@ object TextQueries {
   /** The MinHash+LSH candidate/verify pipeline as a reusable CTE chain
     * ending in `dup_pairs (id_a, id_b, jaccard)` — shared by the
     * `dedup_minhash` oracle and the `dedup_clusters` component walk. */
-  private lazy val minhashPairCtes: String = {
+  // private[graft]: PipelineQueries' ingestion capstone reuses the same
+  // dup_pairs chain so its dup flag can never drift from dedup_incremental
+  private[graft] lazy val minhashPairCtes: String = {
     val mhFast = (0 until 8).map { i =>
       s"list_aggregate(list_transform(hs, h -> substr(h, ${i * 4 + 1}, 4)), 'min')"
     }.mkString("[", ", ", "]")

@@ -65,6 +65,39 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_overlapping_shingles"))
   }
 
+  /** Per-batch ingestion curation — the decision frame behind the
+    * `pipeline_ingest_batch` capstone AND each [[graft.streaming
+    * .IngestStream]] micro-batch (one function, so the streaming and
+    * batch forms can never drift): for every doc in `batch`, emit
+    * (doc_id, quality, n_tokens, is_dup, is_contaminated, kept) where
+    * is_dup = has a near-dup in the standing corpus (probed through the
+    * epoch band index — only the batch shuffles), is_contaminated =
+    * shares a k-shingle with the broadcast benchmark set, and kept is
+    * the conjunction with the quality gate. All joins after the probe
+    * are batch-sized; at 100 TB this is the per-arriving-batch cost. */
+  def flagIngestBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, bandIndexTable: String, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.5, minQuality: Double = 0.30): DataFrame = {
+    val dupNew = Dedup.probeBandIndex(spark, bandIndexTable,
+        batch, idCol, textCol, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+      .withColumn("is_dup", lit(true))
+    val cont = decontaminate(train = batch, benchmark = benchmark, idCol, textCol)
+      .select(col(idCol))
+      .withColumn("is_contaminated", lit(true))
+    batch.select(col(idCol),
+        TextOps.qualityScore(col(textCol)).as("quality"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(dupNew, Seq(idCol), "left")
+      .join(cont, Seq(idCol), "left")
+      .select(col(idCol), col("quality"), col("n_tokens"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+      .withColumn("kept",
+        !col("is_dup") && !col("is_contaminated") && col("quality") >= minQuality)
+  }
+
   /** Context-window sequence packing: docs are laid out contiguously per
     * stratum in deterministic hash order, and each doc is assigned to the
     * pack (training sequence of `ctxTokens` tokens) its starting offset

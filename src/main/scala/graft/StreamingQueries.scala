@@ -72,18 +72,18 @@ object StreamingQueries {
       graft.functions.GraftFunctions.register(s)
       val src = CdcStream.readEventStream(s, batchDocsDir(s, dir),
         maxFilesPerTrigger = 1)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      var schema: org.apache.spark.sql.types.StructType = null
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ingest_ckpt_").toString
+      // distributed sink: each micro-batch's decision frame appends to a
+      // parquet dir (executor-side writes — the driver never collects;
+      // at scale this IS the output table of the ingestion service)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_ingest_out_").toString
       val q = IngestStream.ingestSink(src, TextQueries.bandIndexFor(s, dir),
         Tables.documents(s, dir).filter(col("doc_id") < 10), ckpt,
-        (flags, _) => buf.synchronized {
-          schema = flags.schema; buf ++= flags.collect()
-        })
+        (flags, _) => flags.write.mode("append").parquet(outDir))
       q.awaitTermination()
-      s.createDataFrame(s.sparkContext.parallelize(buf.toSeq), schema)
-        .orderBy(col("doc_id"))
+      s.read.parquet(outDir).orderBy(col("doc_id"))
     }))
 
   /** The arriving-batch doc set materialized once per (session, dir) as

@@ -79,14 +79,24 @@ object PipelineOps {
       batch: DataFrame, bandIndexTable: String, benchmark: DataFrame,
       idCol: String, textCol: String,
       threshold: Double = 0.5, minQuality: Double = 0.30): DataFrame = {
+    // the batch feeds THREE branches (band probe, decontaminate, quality
+    // projection) that share no exchange — materialize it once instead of
+    // re-scanning+re-shingling per branch. RDD-level persist + leaf
+    // rebuild (the ivfTopK pattern): reference-tracked, so the
+    // ContextCleaner frees the blocks once the caller drops the decision
+    // frame, and lineage stays replayable on block loss.
+    val raw = batch.select(col(idCol), col(textCol))
+    val rdd = raw.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = spark.createDataFrame(rdd, raw.schema)
     val dupNew = Dedup.probeBandIndex(spark, bandIndexTable,
-        batch, idCol, textCol, threshold)
+        b, idCol, textCol, threshold)
       .select(col("new_id").as(idCol)).distinct()
       .withColumn("is_dup", lit(true))
-    val cont = decontaminate(train = batch, benchmark = benchmark, idCol, textCol)
+    val cont = decontaminate(train = b, benchmark = benchmark, idCol, textCol)
       .select(col(idCol))
       .withColumn("is_contaminated", lit(true))
-    batch.select(col(idCol),
+    b.select(col(idCol),
         TextOps.qualityScore(col(textCol)).as("quality"),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .join(dupNew, Seq(idCol), "left")

@@ -135,6 +135,13 @@ object TextQueries {
         .limit(50)
     }),
 
+    // corpus-relative term scoring (tf-idf semantics, integer-exact):
+    // the one text op that needs corpus statistics, not just the row
+    "text_distinctive_terms" -> ((s, dir) => {
+      TextOps.distinctiveTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     "text_repetition" -> ((s, dir) => {
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -251,6 +258,16 @@ object TextQueries {
         s"""SELECT t.token, count(*) AS n
           |FROM documents, LATERAL unnest($toksSql) AS t(token)
           |GROUP BY t.token ORDER BY n DESC, t.token LIMIT 50""".stripMargin,
+      "text_distinctive_terms" ->
+        s"""WITH tok AS (SELECT doc_id, t.token
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+          |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+          |ranked AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, row_number() OVER
+          |  (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df ASC, tf.token) AS rk
+          |  FROM tf JOIN dfreq USING (token))
+          |SELECT doc_id, token, tf, df, rk FROM ranked WHERE rk <= 3
+          |ORDER BY doc_id, rk""".stripMargin,
       "text_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |sh AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM t)

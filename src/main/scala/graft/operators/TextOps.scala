@@ -130,4 +130,35 @@ object TextOps {
     when(size(array_distinct(concat(a, b))) === 0, lit(0.0))
       .otherwise(size(array_intersect(a, b)).cast("double") /
         size(array_distinct(concat(a, b))).cast("double"))
+
+  /** Per-doc top-`k` DISTINCTIVE terms — tf-idf semantics in pure
+    * integer math: rank a doc's terms by (tf desc, df asc, term asc),
+    * i.e. frequent in the doc, rare in the corpus. The lexicographic
+    * integer ordering keeps the result bit-exact across engines, where
+    * a real tf·log(N/df) score would hash-drift on the last ulp of the
+    * engines' differing log implementations (the determinism rule this
+    * file lives by).
+    *
+    * The only CORPUS-RELATIVE text operator (everything above is
+    * per-row): two aggregation passes — (doc, term) term frequencies
+    * with map-side combine, then term document frequencies over the
+    * distinct (doc, term) pairs — a term-keyed join of tf against the
+    * much smaller df side (broadcast when the vocabulary fits; AQE
+    * decides), and a per-doc top-k window. The canonical two-pass
+    * corpus-statistics shape at 100 TB; nothing is ever collected. */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rk"))
+  }
 }

@@ -67,6 +67,34 @@ object EventQueries {
           Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts_us")),
           "user_id", maxGapUs = 60L * 1000000)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ordered funnel signup → click → purchase: users reaching each
+    // stage (stage i+1 only counts at-or-after stage i's reach time)
+    // and the total µs spent converting from the previous stage
+    "events_funnel" -> ((s, dir) => {
+      val reach = EventOps.funnelReach(Tables.events(s, dir), "user_id",
+        "event_type", "ts_us", Seq("signup", "click", "purchase"))
+      reach.agg(
+          count(col("t1")).as("u1"), count(col("t2")).as("u2"), count(col("t3")).as("u3"),
+          coalesce(sum(col("t2") - col("t1")), lit(0L)).as("g2"),
+          coalesce(sum(col("t3") - col("t2")), lit(0L)).as("g3"))
+        .select(explode(array(
+          struct(lit(1L).as("stage"), lit("signup").as("stage_name"),
+            col("u1").as("users"), lit(0L).as("sum_gap_us")),
+          struct(lit(2L).as("stage"), lit("click").as("stage_name"),
+            col("u2").as("users"), col("g2").as("sum_gap_us")),
+          struct(lit(3L).as("stage"), lit("purchase").as("stage_name"),
+            col("u3").as("users"), col("g3").as("sum_gap_us")))).as("r"))
+        .select("r.*")
+        .orderBy(col("stage"))
+    }),
+
+    // daily-cohort retention matrix: users grouped by first-event day,
+    // counted on each later day they were active
+    "events_retention" -> ((s, dir) => {
+      EventOps.retentionMatrix(Tables.events(s, dir), "user_id", "ts_us")
+        .orderBy(col("cohort_day"), col("day_offset"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -126,5 +154,32 @@ object EventQueries {
         |  b.ts_us - a.ts_us AS gap_us
         |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
         |  AND abs(b.ts_us - a.ts_us) <= 60000000
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    // cascading min-reach CTEs mirror funnelReach's fold; inner joins
+    // (vs Spark's left join + count(non-null)) count the same users
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1, min(ts_us) AS t2 FROM s1 JOIN e
+        |  ON s1.user_id = e.user_id AND e.event_type = 'click' AND e.ts_us >= s1.t1
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, t2, min(ts_us) AS t3 FROM s2 JOIN e
+        |  ON s2.user_id = e.user_id AND e.event_type = 'purchase' AND e.ts_us >= s2.t2
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS stage_name,
+        |    count(*) AS users, CAST(0 AS BIGINT) AS sum_gap_us FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*),
+        |    CAST(COALESCE(sum(t2 - t1), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*),
+        |    CAST(COALESCE(sum(t3 - t2), 0) AS BIGINT) FROM s3)
+        |ORDER BY stage""".stripMargin,
+    "events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+        |FROM days JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)
 }

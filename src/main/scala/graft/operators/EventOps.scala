@@ -140,4 +140,59 @@ object EventOps {
         col("l.event_id").as("id_a"), col("r.event_id").as("id_b"),
         (col("r.ts_us") - col("l.ts_us")).as("gap_us"))
   }
+
+  /** Ordered funnel: per user, the earliest time each stage is reached,
+    * where stage i+1 counts only at-or-after stage i's reach time (a
+    * purchase BEFORE the first click does not complete a click→purchase
+    * funnel). Output: one row per user who reached stage 1, with columns
+    * `t1..tN` (epoch-µs reach times; `t(i+1)` null once a stage is
+    * missed — nulls propagate because `ts >= null` is never true).
+    *
+    * Shape: stage counts are tiny relative to the event log (each step
+    * filters to ONE event type, pushed to the scan), and every shuffle in
+    * the cascade is on the user key. Step 1's groupBy hash-partitions the
+    * reached set by user; each later join re-uses that partitioning for
+    * the reached side (exchange reuse), so each stage adds one shuffle of
+    * its own filtered slice — no self-join of the full log, no window
+    * over all events. At 100 TB this is k filtered scans (or one scan +
+    * `in` filter if the source lacks per-predicate pruning) and k
+    * user-keyed shuffles of dimension-sized data. */
+  def funnelReach(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.drop(1).foldLeft(first) { case (reached, (stage, i)) =>
+      val stageEvents = events.filter(col(typeCol) === stage)
+        .select(col(userCol), col(tsCol).as("_ts"))
+      val keep = Seq(userCol) ++ (1 to i).map(j => s"t$j")
+      reached.join(stageEvents, Seq(userCol), "left")
+        .groupBy(keep.map(col): _*)
+        .agg(min(when(col("_ts") >= col(s"t$i"), col("_ts"))).as(s"t${i + 1}"))
+    }
+  }
+
+  /** Cohort retention matrix: users bucketed by the day of their FIRST
+    * event; for each (cohort_day, day_offset) the number of cohort users
+    * active `day_offset` days after joining. Days are integer
+    * `ts_us div dayUs` — exact, engine-portable.
+    *
+    * Shape: `distinct` collapses the log to (user, active-day) — one
+    * shuffle on the pair, map-side combined; the cohort min re-uses the
+    * user partitioning, as does the join back; the final groupBy shuffles
+    * only dimension-sized rows. No window over the raw log. */
+  def retentionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      dayUs: Long = 86400000000L): DataFrame = {
+    // exact integer day: subtract-modulus then divide (same reasoning as
+    // [[tumblingWindowStart]] — a bare `/` on longs is double division,
+    // and truncating k - ε-sized quotients can land a day off)
+    val days = events
+      .select(col(userCol),
+        ((col(tsCol) - pmod(col(tsCol), lit(dayUs))) / lit(dayUs)).cast("long").as("_day"))
+      .distinct()
+    val cohorts = days.groupBy(col(userCol)).agg(min(col("_day")).as("cohort_day"))
+    days.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_day"), (col("_day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

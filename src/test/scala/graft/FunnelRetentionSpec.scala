@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventOps
+
+/** Ordering semantics the funnel/retention operators exist for: a later
+  * stage only counts AFTER the previous stage's reach time, and cohorts
+  * anchor to each user's first active day. */
+class FunnelRetentionSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (user, type, ts_us)
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "ts_us")
+
+  test("funnelReach: out-of-order purchase does not complete the funnel") {
+    // u1: clean signup→click→purchase; u2: purchase BEFORE click (stage 3
+    // must be null); u3: signup only; u4: never signs up (no row at all)
+    val df = ev(
+      (1L, "signup", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "signup", 100L), (2L, "purchase", 150L), (2L, "click", 200L),
+      (3L, "signup", 100L),
+      (4L, "click", 100L), (4L, "purchase", 200L))
+    val r = EventOps.funnelReach(df, "user_id", "event_type", "ts_us",
+        Seq("signup", "click", "purchase"))
+      .select("user_id", "t1", "t2", "t3")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+
+    assert(r.keySet == Set(1L, 2L, 3L), "only signed-up users appear")
+    assert(r(1L) == (Some(100L), Some(200L), Some(300L)))
+    assert(r(2L) == (Some(100L), Some(200L), None),
+      "purchase before first click must not count")
+    assert(r(3L) == (Some(100L), None, None))
+  }
+
+  test("funnelReach: equal timestamps satisfy the at-or-after contract") {
+    val df = ev((1L, "signup", 100L), (1L, "click", 100L), (1L, "purchase", 100L))
+    val r = EventOps.funnelReach(df, "user_id", "event_type", "ts_us",
+        Seq("signup", "click", "purchase"))
+      .select("t1", "t2", "t3").as[(Long, Long, Long)].collect().head
+    assert(r == ((100L, 100L, 100L)))
+  }
+
+  test("funnelReach: earliest qualifying event wins, not earliest overall") {
+    // clicks at 50 (before signup) and 400: t2 must be 400
+    val df = ev((1L, "signup", 100L), (1L, "click", 50L), (1L, "click", 400L))
+    val r = EventOps.funnelReach(df, "user_id", "event_type", "ts_us",
+        Seq("signup", "click"))
+      .select("t1", "t2").as[(Long, Long)].collect().head
+    assert(r == ((100L, 400L)))
+  }
+
+  test("retentionMatrix: offsets anchor to each user's first day") {
+    val day = 86400000000L
+    // u1 joins day 0, active days 0,1,3; u2 joins day 1, active days 1,2;
+    // two events on one day must count once
+    val df = Seq(
+      (1L, day * 0 + 5L), (1L, day * 0 + 9L), (1L, day * 1 + 1L), (1L, day * 3 + 1L),
+      (2L, day * 1 + 2L), (2L, day * 2 + 3L)).toDF("user_id", "ts_us")
+    val m = EventOps.retentionMatrix(df, "user_id", "ts_us")
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => (c, o) -> n }.toMap
+    assert(m == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+}

@@ -220,6 +220,14 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
           (col("id") === col("label")).as("is_survivor"))
         .orderBy(col("doc_id"))
+    }),
+
+    // duplicate n-gram fraction: how much of each doc's distinct 3-gram
+    // set also appears in OTHER docs (boilerplate/template signal; plain
+    // corpus — the injected-dup fixture would only saturate it)
+    "dedup_crossdoc_ngrams" -> ((s, dir) => {
+      Dedup.crossDocNgramStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   def oracle: Map[String, String] = {
@@ -319,6 +327,17 @@ object TextQueries {
           |SELECT id AS doc_id, min(label) AS cluster_id,
           |  (id = min(label)) AS is_survivor
           |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+      "dedup_crossdoc_ngrams" ->
+        s"""WITH g AS (SELECT doc_id, t.g
+          |  FROM (SELECT doc_id, ${OracleSql.hashedShingles(toksSql)} AS hs
+          |    FROM documents), LATERAL unnest(hs) AS t(g)),
+          |dfreq AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+          |agg AS (SELECT doc_id, count(*) AS n_ngrams,
+          |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+          |  FROM g JOIN dfreq USING (g) GROUP BY doc_id)
+          |SELECT doc_id, n_ngrams, n_shared,
+          |  floor(n_shared * 1000000.0 / n_ngrams) / 1000000 AS shared_frac
+          |FROM agg ORDER BY doc_id""".stripMargin,
       "dedup_simhash" ->
         s"""WITH $corpusSql,
           |t AS (SELECT doc_id, $toksSql AS toks FROM corpus)

@@ -478,4 +478,36 @@ object Dedup {
       if (jr >= threshold) Some(jr) else None
     }
   }
+
+  /** Cross-document duplicated n-gram profile — the "duplicate n-gram
+    * fraction" quality signal of large-corpus curation (how much of a
+    * document is text that also appears in OTHER documents; boilerplate,
+    * mirrored pages and template spam score high). Per document: the
+    * number of DISTINCT 3-token shingles, how many of those also occur in
+    * at least one other document, and the floor-quantized shared
+    * fraction. Distinct-per-doc (set) semantics keep within-doc
+    * repetition out of the signal — that is [[TextOps.repetitionScore]]'s
+    * job.
+    *
+    * Docs too short for a single shingle (< 3 tokens) emit no row.
+    *
+    * 100 TB shape: shingles are hashed to 60-bit ints BEFORE the shuffle
+    * ([[TextOps.hashedShingles]] — the strings never leave the scan
+    * stage), the document-frequency groupBy combines map-side, and the
+    * gram-keyed join reuses the exploded set's shuffle (same key). The
+    * final per-doc rollup shuffles one long per (doc, gram) — all three
+    * shuffles are linear in corpus shingle volume, never pairwise. */
+  def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(array_distinct(TextOps.hashedShingles(
+        TextOps.shingles(TextOps.tokens(col(textCol)))))).as("g"))
+    // per-doc-distinct rows make count(*) the document frequency
+    val docFreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(docFreq, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        floor(col("n_shared") * lit(1000000.0) / col("n_ngrams")) / 1000000)
+  }
 }

@@ -228,6 +228,31 @@ object TextQueries {
     "dedup_crossdoc_ngrams" -> ((s, dir) => {
       Dedup.crossDocNgramStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub: per-doc match counts and the md5 of the redacted text.
+    // The synthetic corpus carries no natural PII, so the fixture plants
+    // emails/phones/IPs deterministically by doc_id (identical
+    // construction on the oracle side) — the operator itself
+    // (TextOps.redactPii) is fixture-independent and spec-tested on
+    // real-looking strings.
+    "text_pii_redact" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" mail u"), col("doc_id").cast("string"),
+            lit("@ex-corp.io"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" call +1 415-555-0"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"))).otherwise(""),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7"))).otherwise(""))
+      Tables.documents(s, dir).select(col("doc_id"),
+          TextOps.piiCount(synth, TextOps.piiEmail).as("n_emails"),
+          TextOps.piiCount(synth, TextOps.piiPhone).as("n_phones"),
+          TextOps.piiCount(synth, TextOps.piiIpv4).as("n_ips"),
+          md5(TextOps.redactPii(synth)).as("redacted_md5"))
+        .orderBy(col("doc_id"))
     }))
 
   def oracle: Map[String, String] = {
@@ -338,6 +363,28 @@ object TextQueries {
           |SELECT doc_id, n_ngrams, n_shared,
           |  floor(n_shared * 1000000.0 / n_ngrams) / 1000000 AS shared_frac
           |FROM agg ORDER BY doc_id""".stripMargin,
+      // same synth construction + same replacement order (email, ip,
+      // phone) — the regex constants are shared verbatim (Java and RE2
+      // agree on this lookaround-free subset)
+      "text_pii_redact" ->
+        s"""WITH synth AS (SELECT doc_id, text
+          |  || CASE WHEN doc_id % 3 = 0
+          |    THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex-corp.io' ELSE '' END
+          |  || CASE WHEN doc_id % 4 = 0
+          |    THEN ' call +1 415-555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+          |    ELSE '' END
+          |  || CASE WHEN doc_id % 5 = 0
+          |    THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END AS s
+          |  FROM documents)
+          |SELECT doc_id,
+          |  len(regexp_extract_all(s, '${TextOps.piiEmail}')) AS n_emails,
+          |  len(regexp_extract_all(s, '${TextOps.piiPhone}')) AS n_phones,
+          |  len(regexp_extract_all(s, '${TextOps.piiIpv4}')) AS n_ips,
+          |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+          |    '${TextOps.piiEmail}', '<EMAIL>', 'g'),
+          |    '${TextOps.piiIpv4}', '<IP>', 'g'),
+          |    '${TextOps.piiPhone}', '<PHONE>', 'g')) AS redacted_md5
+          |FROM synth ORDER BY doc_id""".stripMargin,
       "dedup_simhash" ->
         s"""WITH $corpusSql,
           |t AS (SELECT doc_id, $toksSql AS toks FROM corpus)

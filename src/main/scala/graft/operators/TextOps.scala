@@ -118,6 +118,27 @@ object TextOps {
         size(array_distinct(sh)).cast("double") / size(sh).cast("double")) * 1000000) / 1000000)
   }
 
+  /** PII patterns in the portable Java/RE2 regex subset (no lookaround,
+    * no backreferences — both engines and any future Go/Rust runner agree
+    * on these). Deliberately conservative: curation pipelines prefer
+    * missing an exotic format to redacting non-PII. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhone = "(\\+[0-9]{1,2}[- ])?\\(?[0-9]{3}\\)?[- .][0-9]{3}[- .][0-9]{4}"
+  val piiIpv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Count of non-overlapping matches of `pattern` in `text`. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Scrub PII: email → `<EMAIL>`, IPv4 → `<IP>`, phone → `<PHONE>`.
+    * Email first (its local part may contain digits and dots), then IP
+    * (all-digit), then phone — so an earlier replacement can never create
+    * or destroy a later pattern's match in practice. Three codegen'd
+    * `regexp_replace` passes, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      piiEmail, "<EMAIL>"), piiIpv4, "<IP>"), piiPhone, "<PHONE>")
+
   /** Shingles hashed to 60-bit ints (first 15 hex digits of md5):
     * integer-array set ops are ~10× cheaper than string-array ones in the
     * pairwise verification stage, and the hash is engine-portable

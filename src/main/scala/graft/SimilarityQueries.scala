@@ -30,6 +30,20 @@ object SimilarityQueries {
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
       s"(sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])))"
 
+  /** DuckDB mirror of [[VectorOps.quantizeInt8]]. */
+  private def quantSql(v: String): String = {
+    val m = s"list_max(list_transform($v, y -> abs(y)))"
+    s"list_transform($v, x -> CAST(round((x)::DOUBLE * " +
+      s"(CASE WHEN $m > 0 THEN 127.0 / $m ELSE 0.0 END)) AS INT))"
+  }
+
+  /** DuckDB mirror of [[VectorOps.cosineQ]] — the int products are < 2^24
+    * so double accumulation is EXACT, matching Spark's long fold. */
+  private def cosQSql(a: String, b: String): String =
+    s"CAST(list_dot_product(($a)::DOUBLE[], ($b)::DOUBLE[]) AS DOUBLE) / " +
+      s"(sqrt(list_dot_product(($a)::DOUBLE[], ($a)::DOUBLE[])) * " +
+      s"sqrt(list_dot_product(($b)::DOUBLE[], ($b)::DOUBLE[])))"
+
   private val bucketSql: String => String = v =>
     (0 until 4).map(i => s"(CASE WHEN ($v)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
@@ -142,6 +156,22 @@ object SimilarityQueries {
       VectorOps.lshTopK(querySet(emb), emb, k = 3, bits = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // int8-quantized brute force: 4× less corpus bandwidth, exact
+    // integer scoring — the compressed-corpus trade audited below
+    "sim_quantized_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.quantizedTopK(querySet(emb), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // how much ranking the quantization costs vs exact float cosine
+    "sim_quantized_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.quantizedTopK(querySet(emb), emb, k = recallK))
     }),
 
     "sim_cosine_neardup" -> ((s, dir) => {
@@ -283,6 +313,28 @@ object SimilarityQueries {
         |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
         |ORDER BY query_id, rk""".stripMargin,
+    "sim_quantized_topk" ->
+      s"""WITH qtab AS (SELECT vec_id, ${quantSql("embedding")} AS qe FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, qe AS qv FROM qtab WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    round(${cosQSql("qv", "c.qe")}, 6) AS cos_sim
+        |  FROM qtab c CROSS JOIN q WHERE c.vec_id <> query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "sim_quantized_recall" -> recallOracleSql(
+      preCtes =
+        s"""qtab AS (SELECT vec_id, ${quantSql("embedding")} AS qe FROM embeddings),
+          |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, t.qe AS qqv
+          |  FROM embeddings e JOIN qtab t ON e.vec_id = t.vec_id
+          |  WHERE e.vec_id < 10)""".stripMargin,
+      annSelect =
+        s"""SELECT query_id, c.vec_id AS neighbor_id, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY
+          |        round(${cosQSql("qqv", "c.qe")}, 6) DESC, c.vec_id) AS rk
+          |    FROM qtab c CROSS JOIN q WHERE c.vec_id <> query_id""".stripMargin),
     "sim_cosine_neardup" -> {
       val sb2 = (0 until 2).map(i =>
         s"(CASE WHEN (embedding)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")

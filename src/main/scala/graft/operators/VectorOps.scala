@@ -35,6 +35,31 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric int8 scalar quantization: per-vector scale 127/max|x|,
+    * components rounded half-away-from-zero (Spark round = BigDecimal
+    * HALF_UP, DuckDB/C round — identical). An all-zero vector quantizes
+    * to zeros. The 100 TB point: the quantized corpus is 4× smaller than
+    * float32 — 4× less scan, broadcast, and cache — and every score
+    * becomes EXACT integer arithmetic (order-independent by
+    * construction, so cross-engine parity is trivial rather than
+    * delicate). */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    transform(v, x => round(x.cast("double") * scale).cast("int"))
+  }
+
+  /** Exact integer dot of two int8 vectors, accumulated in long (max
+    * |term| 127² = 16129 — no overflow below ~5.7e14 dimensions). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine over int8-quantized vectors: exact integer dots, one double
+    * division at the end. NaN only if a side quantized to all zeros
+    * (callers quantize non-degenerate embeddings). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b) / (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query set against the corpus, rank by rounded cosine with id
     * tiebreak. One shuffle (the window on query_id). */
@@ -44,6 +69,24 @@ object VectorOps {
         col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("c.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** [[bruteForceTopK]] over int8-quantized vectors — the
+    * memory/bandwidth trade of large-scale vector search: quantization
+    * happens in the scan projection (the float arrays never leave the
+    * scan), ranking error vs exact cosine is what
+    * `sim_quantized_recall` audits. Same ranking contract as the exact
+    * path: (rounded score desc, neighbor_id). */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qc = corpus.select(col("vec_id"), quantizeInt8(col("embedding")).as("qe"))
+    val qq = queries.select(col("vec_id").as("query_id"),
+      quantizeInt8(col("embedding")).as("qv"))
+    val scored = qc.as("c").join(broadcast(qq), col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosineQ(col("qv"), col("c.qe")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)

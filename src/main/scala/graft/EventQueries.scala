@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.EventOps
 
 /** Windowing / sessionization / JSON extraction over `events`
@@ -95,6 +96,31 @@ object EventQueries {
     "events_retention" -> ((s, dir) => {
       EventOps.retentionMatrix(Tables.events(s, dir), "user_id", "ts_us")
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // per-type 2σ outliers (value in exact integer cents), rolled up
+    "events_anomaly_zscore" -> ((s, dir) => {
+      EventOps.zscoreFlags(Tables.events(s, dir), "event_type",
+          round(col("value") * 100).cast("long"), z = 2.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"),
+          max(when(col("is_anom"), col("v_c"))).as("max_anom_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // previous/next-event deltas per user — the lag/lead window family
+    "events_lag_lead" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("v_c", round(col("value") * 100).cast("long"))
+        .select(col("user_id"), col("event_id"), col("v_c"),
+          lag(col("v_c"), 1).over(byUser).as("prev_cents"),
+          lead(col("v_c"), 1).over(byUser).as("next_cents"),
+          (col("v_c") - coalesce(lag(col("v_c"), 1).over(byUser), col("v_c")))
+            .as("delta_cents"))
+        .orderBy(col("event_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -181,5 +207,33 @@ object EventQueries {
         |coh AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
         |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
         |FROM days JOIN coh USING (user_id)
-        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // same exact-integer-cents stats pipeline; (s/n) recomputed inline is
+    // the same double as Spark's materialized mean_c
+    "events_anomaly_zscore" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(v_c) AS BIGINT) AS s, CAST(sum(v_c * v_c) AS BIGINT) AS s2
+        |  FROM e GROUP BY 1),
+        |st2 AS (SELECT event_type, CAST(s AS DOUBLE) / n AS mean_c,
+        |    sqrt(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std_c
+        |  FROM st)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN abs(v_c - mean_c) > 2.0 * std_c THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies,
+        |  max(CASE WHEN abs(v_c - mean_c) > 2.0 * std_c THEN v_c END) AS max_anom_cents
+        |FROM e JOIN st2 USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_lag_lead" ->
+      """SELECT user_id, event_id, v_c, prev_cents, next_cents,
+        |  v_c - coalesce(prev_cents, v_c) AS delta_cents
+        |FROM (SELECT user_id, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c,
+        |    lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_cents,
+        |    lead(CAST(round(value * 100) AS BIGINT)) OVER w AS next_cents
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |ORDER BY event_id""".stripMargin)
 }

@@ -172,6 +172,34 @@ object EventOps {
     }
   }
 
+  /** Z-score outlier flagging per key: events whose value deviates from
+    * their key's mean by more than `z` standard deviations. Works on
+    * integer cents (`centsCol`) so the sums feeding mean/σ are EXACT
+    * longs — a raw double sum's value depends on reduction order, which
+    * would make the flag nondeterministic across plans AND engines; from
+    * exact integer sums every downstream double op is correctly-rounded
+    * IEEE and bit-identical everywhere. σ uses the one-pass
+    * E[X²]−E[X]² form (fine here: cents are ≤ ~2^16, so the squared
+    * sums stay exact in long far beyond any per-key cardinality this
+    * contract meets).
+    *
+    * Shape: one groupBy on the key (map-side combined, key-cardinality
+    * rows out), stats broadcast back over the log — the log itself never
+    * shuffles. */
+  def zscoreFlags(events: DataFrame, keyCol: String, centsCol: Column,
+      z: Double): DataFrame = {
+    val e = events.withColumn("v_c", centsCol)
+    val stats = e.groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n"), sum(col("v_c")).as("s"),
+        sum(col("v_c") * col("v_c")).as("s2"))
+      .withColumn("mean_c", col("s").cast("double") / col("n"))
+      .withColumn("std_c",
+        sqrt(col("s2").cast("double") / col("n") - col("mean_c") * col("mean_c")))
+      .select(col(keyCol), col("mean_c"), col("std_c"))
+    e.join(broadcast(stats), Seq(keyCol))
+      .withColumn("is_anom", abs(col("v_c") - col("mean_c")) > lit(z) * col("std_c"))
+  }
+
   /** Cohort retention matrix: users bucketed by the day of their FIRST
     * event; for each (cohort_day, day_offset) the number of cohort users
     * active `day_offset` days after joining. Days are integer

@@ -54,6 +54,20 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(r == ((100L, 400L)))
   }
 
+  test("zscoreFlags: only the >zσ outlier is flagged; stats broadcast per key") {
+    // nine 100-cent events + one 1000-cent outlier: mean=190, σ≈270 →
+    // only the outlier exceeds 2σ... σ here: E[X²]−E[X]² of
+    // (9×100,1×1000) = 72900 ⇒ σ=270; |1000−190|=810 > 540 ✓,
+    // |100−190|=90 < 540 ✓
+    val df = ((1 to 9).map(i => (i.toLong, "a", 100L)) :+ ((10L, "a", 1000L)))
+      .toDF("event_id", "event_type", "cents")
+    val flagged = graft.operators.EventOps
+      .zscoreFlags(df, "event_type", col("cents"), z = 2.0)
+      .select("event_id", "is_anom").as[(Long, Boolean)].collect().toMap
+    assert(flagged(10L), "outlier flagged")
+    assert((1L to 9L).forall(!flagged(_)), "inliers unflagged")
+  }
+
   test("retentionMatrix: offsets anchor to each user's first day") {
     val day = 86400000000L
     // u1 joins day 0, active days 0,1,3; u2 joins day 1, active days 1,2;

@@ -109,6 +109,20 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // first-order transition matrix: counts of consecutive
+    // (prev_type → type) pairs per user — the Markov-chain view of the
+    // event log (one user-keyed window, dimension²-sized output)
+    "events_transitions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
+
     // previous/next-event deltas per user — the lag/lead window family
     "events_lag_lead" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -226,6 +240,13 @@ object EventQueries {
         |  max(CASE WHEN abs(v_c - mean_c) > 2.0 * std_c THEN v_c END) AS max_anom_cents
         |FROM e JOIN st2 USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_transitions" ->
+      """WITH t AS (SELECT event_type, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n FROM t
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
     "events_lag_lead" ->
       """SELECT user_id, event_id, v_c, prev_cents, next_cents,
         |  v_c - coalesce(prev_cents, v_c) AS delta_cents

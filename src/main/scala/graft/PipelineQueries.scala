@@ -114,6 +114,16 @@ object PipelineQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("n_selected"),
           min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))
+    }),
+
+    // best-quality-first token budget per language — the "N tokens per
+    // language" curation cut
+    "pipeline_token_budget" -> ((s, dir) => {
+      PipelineOps.tokenBudgetSelect(Tables.documents(s, dir), "doc_id", "lang",
+          TextOps.qualityScore(col("text")), TextOps.tokenCount(col("text")),
+          budgetTokens = 3000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -192,5 +202,18 @@ object PipelineQueries {
         |SELECT lang, count(*) AS n_selected, min(doc_id) AS min_id
         |FROM ranked
         |WHERE rk <= (CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 10 ELSE 25 END)
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // a doc is kept while the budget before it is unexhausted (cum − own
+    // < B) — the at-most-one-doc overshoot contract of tokenBudgetSelect
+    "pipeline_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        |q AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+        |  ${qualitySql("toks")} AS _q FROM t),
+        |cum AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY _q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
+        |WHERE cum_tokens - n_tokens < 3000
+        |ORDER BY lang, cum_tokens, doc_id""".stripMargin)
 }

@@ -104,6 +104,24 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    // explicit GROUPING SETS — the non-hierarchical subtotal shape
+    // rollup/cube can't express (per-region, per-nation, grand total,
+    // but NOT per (region, nation))
+    "agg_grouping_sets" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupingSets(Seq(Seq(col("r_name")), Seq(col("n_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          grouping(col("r_name")).cast("int").as("gr_r"),
+          grouping(col("n_name")).cast("int").as("gr_n"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
     // cube over two low-cardinality dims
     "agg_cube" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -357,6 +375,15 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  CAST(GROUPING(r_name) AS INT) AS gr_r, CAST(GROUPING(n_name) AS INT) AS gr_n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,

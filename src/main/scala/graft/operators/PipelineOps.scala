@@ -146,4 +146,26 @@ object PipelineOps {
       .filter(col("rk") <= quota)
       .drop("rk")
   }
+
+  /** Token-budget selection: per stratum, keep the highest-`quality`
+    * docs until the stratum's cumulative token count reaches
+    * `budgetTokens` — the "best N tokens per language" curation cut.
+    * Quality must be a deterministic, engine-portable expression
+    * ([[TextOps.qualityScore]] is; its floor quantization also makes the
+    * (quality desc, id) order total and engine-stable). A doc is kept
+    * while the budget is not yet exhausted INCLUDING itself, so the cut
+    * may overshoot by at most one doc — the contract that needs no
+    * look-behind. One shuffle (window per stratum; stratum count is
+    * bounded, each stratum's running sum is a linear scan). */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, stratumCol: String,
+      qualityCol: Column, tokensCol: Column, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_q").desc, col(idCol))
+    df.withColumn("_q", qualityCol)
+      .withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .drop("_q")
+  }
 }

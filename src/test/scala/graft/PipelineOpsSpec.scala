@@ -45,6 +45,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byLang == Map("en" -> 7L, "de" -> 3L))
   }
 
+  test("tokenBudgetSelect: quality-first cut, at-most-one-doc overshoot, per stratum") {
+    // en: quality order is by _q desc — here all docs share the tokens so
+    // order falls to doc_id; budget 10 over 4-token docs keeps 3 docs
+    // (cum 4,8,12 — the 12 overshoots by one doc, the 4th is cut)
+    val df = (0L until 8L).map(i =>
+        (i, if (i < 4) "en" else "de", "tok tok tok tok"))
+      .toDF("doc_id", "lang", "text")
+    val out = PipelineOps.tokenBudgetSelect(df, "doc_id", "lang",
+        lit(1.0), graft.operators.TextOps.tokenCount(col("text")), budgetTokens = 10L)
+      .select("lang", "doc_id", "cum_tokens").as[(String, Long, Long)].collect()
+    val byLang = out.groupBy(_._1)
+    assert(byLang("en").map(_._2).sorted.toSeq == Seq(0L, 1L, 2L),
+      "3 docs kept: the third overshoots (12 > 10), the fourth is cut")
+    assert(byLang("de").map(_._2).sorted.toSeq == Seq(4L, 5L, 6L),
+      "each stratum gets its own budget")
+    assert(out.forall { case (_, _, cum) => cum - 4 < 10 })
+  }
+
   test("packSequences: contiguous offsets, pack ids at ctx boundaries, totals preserved") {
     // 6 docs of 4 tokens each in ONE stratum → offsets 0,4,…,20; ctx=8
     // → packs {0,0},{1,1},{2,2} by starting offset

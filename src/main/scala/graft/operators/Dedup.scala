@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for LLM training-data pipelines (SURVEY §2.3):
   * exact (hash groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard.
@@ -493,17 +494,22 @@ object Dedup {
     *
     * 100 TB shape: shingles are hashed to 60-bit ints BEFORE the shuffle
     * ([[TextOps.hashedShingles]] — the strings never leave the scan
-    * stage), the document-frequency groupBy combines map-side, and the
-    * gram-keyed join reuses the exploded set's shuffle (same key). The
-    * final per-doc rollup shuffles one long per (doc, gram) — all three
-    * shuffles are linear in corpus shingle volume, never pairwise. */
+    * stage), and the document frequency comes from `count(*) over
+    * (partition by g)` on the SAME shuffled gram stream — one window on
+    * one exchange, instead of the groupBy + self-join formulation that
+    * tokenizes and hashes the whole corpus twice (measured 4.4 s → the
+    * single-pass form at sf0.1; at 100 TB the saved pass is a full
+    * corpus scan). The final per-doc rollup shuffles one long per
+    * (doc, gram) — everything is linear in corpus shingle volume, never
+    * pairwise. */
   def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val grams = docs.select(col(idCol),
       explode(array_distinct(TextOps.hashedShingles(
         TextOps.shingles(TextOps.tokens(col(textCol)))))).as("g"))
-    // per-doc-distinct rows make count(*) the document frequency
-    val docFreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    grams.join(docFreq, Seq("g"))
+    // per-doc-distinct rows make the per-g window count the document
+    // frequency; an unbounded count-only window never buffers rows
+    val df = count(lit(1)).over(Window.partitionBy(col("g")))
+    grams.withColumn("df", df)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))

@@ -84,7 +84,38 @@ object StreamingQueries {
         (flags, _) => flags.write.mode("append").parquet(outDir))
       q.awaitTermination()
       s.read.parquet(outDir).orderBy(col("doc_id"))
+    }),
+
+    // running-stats anomaly stream: each micro-batch judged against the
+    // per-type statistics of all PRIOR batches (integer-exact state,
+    // bounded by key cardinality). Self-oracle: StatsStreamSpec replays
+    // the recovered batch decomposition through StatsStream.judge and
+    // requires identical flags.
+    "stream_anomaly" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+        maxFilesPerTrigger = 1)
+      runToMemory(graft.streaming.StatsStream.runningZscoreFlags(
+          st, "event_type", "event_id",
+          round(col("value") * 100).cast("long"), z = 2.0).toDF(),
+        "append").orderBy(col("id"))
     }))
+
+  /** Events split into 4 range-partitioned files per (session, dir) so
+    * the file source replays them as multiple micro-batches (same
+    * epoch-cache pattern as [[batchDocsDir]]). Range partitioning (not
+    * round-robin) keeps file contents deterministic. */
+  private val eventsDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def eventsStreamDir(s: SparkSession, dir: String): String =
+    eventsDirs.computeIfAbsent((s, dir), _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_events_stream_").toString
+      Tables.events(s, dir).drop("ts")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
 
   /** The arriving-batch doc set materialized once per (session, dir) as
     * a 4-file parquet dir, so the file streaming source replays it as

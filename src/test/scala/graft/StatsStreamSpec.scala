@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{CdcStream, StatsStream}
+import graft.streaming.StatsStream.KeyStats
+
+/** Contracts of the running-stats anomaly stream: batch-boundary
+  * judging (prior-batch statistics only), integer-exact state evolution,
+  * and flag parity with a replay through the shared `judge` rule. */
+class StatsStreamSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Write `rows` as ONE parquet file named `name` inside `dir` (distinct
+    * mtimes → FileStreamSource processes in write order). */
+  private def writeOne(dir: String, name: String,
+      rows: Seq[(Long, String, Double)]): Unit = {
+    val tmp = Files.createTempDirectory("ss_part_").toString
+    rows.toDF("event_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, name))
+    Thread.sleep(20)
+  }
+
+  test("prior-batch judging: first batches never flag; outlier flagged against accumulated stats") {
+    val dir = Files.createTempDirectory("stats_stream_").toString
+    val inliers = Seq(98, 100, 102, 98, 100, 102).map(_ / 100.0)
+    writeOne(dir, "b0.parquet",
+      inliers.zipWithIndex.map { case (v, i) => (i.toLong, "click", v) })
+    writeOne(dir, "b1.parquet",
+      inliers.zipWithIndex.map { case (v, i) => (10L + i, "click", v) })
+    writeOne(dir, "b2.parquet", Seq((20L, "click", 1.00), (21L, "click", 10.00)))
+
+    val st = CdcStream.readEventStream(spark, dir, maxFilesPerTrigger = 1)
+    val out = StatsStream.runningZscoreFlags(st, "event_type", "event_id",
+      round(col("value") * 100).cast("long"), z = 2.0)
+    val q = out.toDF().writeStream.format("memory").queryName("ss_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ss_out")
+      .select("id", "cents", "prior_n", "is_anom")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+
+    assert(rows.length == 14)
+    // batch boundaries visible in prior_n: 0, then 6, then 12
+    assert(rows.filter(_._1 < 10).forall(_._3 == 0L), "first batch sees n=0")
+    assert(rows.filter(r => r._1 >= 10 && r._1 < 20).forall(_._3 == 6L))
+    assert(rows.filter(_._1 >= 20).forall(_._3 == 12L))
+    // n=0 → never flagged; second batch inliers within 2σ; third batch
+    // splits inlier/outlier
+    assert(rows.filter(_._3 == 0L).forall(!_._4))
+    assert(rows.filter(r => r._3 == 6L).forall(!_._4), "inliers unflagged")
+    assert(rows.find(_._1 == 21L).get._4, "10.00 vs ~1.00 stats is >2σ")
+    assert(!rows.find(_._1 == 20L).get._4)
+
+    // replay parity: fold the recovered batch decomposition through the
+    // SAME judge rule — every flag must reproduce
+    val groups = rows.groupBy(_._3).toSeq.sortBy(_._1)
+    var st2 = KeyStats(0L, 0L, 0L)
+    groups.foreach { case (priorN, rs) =>
+      assert(priorN == st2.n, "prior_n equals accumulated state size")
+      rs.foreach { case (_, cents, _, flagged) =>
+        assert(flagged == StatsStream.judge(st2, cents, 2.0)) }
+      st2 = KeyStats(st2.n + rs.length, st2.s + rs.map(_._2).sum,
+        st2.s2 + rs.map(r => r._2 * r._2).sum)
+    }
+  }
+}

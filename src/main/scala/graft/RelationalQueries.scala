@@ -280,6 +280,19 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // salted equi-join: skew pattern for hot join keys, result ≡ plain
+    // join (the salt only changes the partitioning)
+    "join_salted_skew" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.operators.ScaleOps.saltedJoin(li, Tables.orders(s, dir),
+          bigKey = "l_orderkey", smallKey = "o_orderkey",
+          saltBuckets = 8, bigSaltSrc = col("l_linenumber"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ordered-set aggregates: exact median / quartiles per group
     "agg_percentiles" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -479,6 +492,12 @@ object RelationalQueries {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_l_quantity,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the oracle is the UNSALTED join — salting must be invisible
+    "join_salted_skew" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

@@ -31,6 +31,30 @@ object ScaleOps {
         sum(col("_pcnt")).cast("long").as("n_rows"))
   }
 
+  /** Salted equi-join for skewed keys: when one join key carries a large
+    * share of the big side (a hot user, a null-ish default), a plain
+    * shuffle join routes that key's entire volume to one task. Salting
+    * splits every big-side key into `saltBuckets` sub-keys via a
+    * deterministic row-level expression, and replicates the SMALL side
+    * once per bucket — the join result is identical, the hot key now
+    * spreads over `saltBuckets` tasks, and the cost is a bounded
+    * small-side blowup (dim × buckets). The manual form of what AQE's
+    * skew-join mitigation does adaptively — needed when the skew is
+    * known ahead of time or AQE's thresholds won't trigger (e.g. the
+    * skew is in a single huge partition AQE can't split because the key
+    * is one value).
+    *
+    * `bigSaltSrc` must be deterministic and row-varying on the big side
+    * (an id column, not rand()) so results are reproducible. */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, saltBuckets: Int, bigSaltSrc: Column): DataFrame = {
+    val b = big.withColumn("_salt", pmod(bigSaltSrc, lit(saltBuckets)).cast("int"))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    b.join(s, b("_salt") === s("_salt") && col(bigKey) === col(smallKey))
+      .drop(b("_salt")).drop(s("_salt"))
+  }
+
   /** Broadcast registry lookup: enrich a change stream with its watched
     * key column, guaranteed ≤1 registry row per table (the reference's
     * unique index). Inner join drops unwatched tables, exactly like the

@@ -23,6 +23,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == direct, "salting must not change sums or counts")
   }
 
+  test("saltedJoin equals the plain join and spreads a hot key over buckets") {
+    // 80% of the big side is one hot key
+    val big = (0 until 500).map(i =>
+        (if (i % 5 > 0) 1L else (i % 7).toLong + 2, i.toLong))
+      .toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"),
+      (5L, "d"), (6L, "e"), (7L, "f"), (8L, "g")).toDF("sk", "name")
+    val salted = ScaleOps.saltedJoin(big, small, "k", "sk",
+        saltBuckets = 8, bigSaltSrc = col("row_id"))
+      .select("row_id", "name").as[(Long, String)].collect().sorted.toSeq
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("row_id", "name").as[(Long, String)].collect().sorted.toSeq
+    assert(salted == plain, "salting must not change the join result")
+    // the hot key's rows carry all 8 salt values → 8 independent tasks
+    val hotSalts = big.withColumn("_salt", pmod(col("row_id"), lit(8)))
+      .filter(col("k") === 1L).select("_salt").distinct().count()
+    assert(hotSalts == 8L)
+  }
+
   test("registryLookup drops unwatched tables and broadcasts the registry") {
     val queue = Seq(("users", 1L), ("users", 2L), ("orders", 3L), ("ghost", 4L))
       .toDF("table_name", "event_id")

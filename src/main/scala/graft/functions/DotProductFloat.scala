@@ -69,6 +69,7 @@ case class DotProductFloat(left: Expression, right: Expression)
 
 object GraftFunctions {
   val dotFInfo = new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot_f")
+  val dotIInfo = new ExpressionInfo(classOf[DotProductIntExact].getName, "graft_dot_i")
   val sketchInfo = new ExpressionInfo(classOf[ShingleSketch].getName, "graft_shingle_sketch")
   val setInfo = new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set")
 
@@ -79,6 +80,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_dot_f", exprs => DotProductFloat(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_dot_i", exprs => DotProductIntExact(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_shingle_sketch", exprs => ShingleSketch(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingle_set", exprs => ShingleSet(exprs(0)), "built-in")
@@ -86,6 +89,7 @@ object GraftFunctions {
 
   /** Column-level API (requires [[register]] or [[GraftExtensions]]). */
   def dotF(a: Column, b: Column): Column = call_function("graft_dot_f", a, b)
+  def dotI(a: Column, b: Column): Column = call_function("graft_dot_i", a, b)
   def shingleSketch(shingles: Column): Column =
     call_function("graft_shingle_sketch", shingles)
   def shingleSet(shingles: Column): Column =
@@ -100,6 +104,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_f"),
       GraftFunctions.dotFInfo,
       (exprs: Seq[Expression]) => DotProductFloat(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_i"),
+      GraftFunctions.dotIInfo,
+      (exprs: Seq[Expression]) => DotProductIntExact(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_shingle_sketch"),
       GraftFunctions.sketchInfo,

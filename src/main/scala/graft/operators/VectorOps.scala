@@ -50,8 +50,16 @@ object VectorOps {
   }
 
   /** Exact integer dot of two int8 vectors, accumulated in long (max
-    * |term| 127² = 16129 — no overflow below ~5.7e14 dimensions). */
+    * |term| 127² = 16129 — no overflow below ~5.7e14 dimensions). Routed
+    * through the native codegen'd [[graft.functions.DotProductIntExact]]
+    * — callers must register (quantizedTopK does). */
   def dotQ(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotI(a, b)
+
+  /** The same fold via built-in higher-order functions — the
+    * no-registration fallback and the cross-check for the native
+    * expression (identical results: both are exact integer sums). */
+  def dotQHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
 
   /** Cosine over int8-quantized vectors: exact integer dots, one double
@@ -81,6 +89,7 @@ object VectorOps {
     * `sim_quantized_recall` audits. Same ranking contract as the exact
     * path: (rounded score desc, neighbor_id). */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val qc = corpus.select(col("vec_id"), quantizeInt8(col("embedding")).as("qe"))
     val qq = queries.select(col("vec_id").as("query_id"),
       quantizeInt8(col("embedding")).as("qv"))

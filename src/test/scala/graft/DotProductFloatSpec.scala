@@ -31,6 +31,22 @@ class DotProductFloatSpec extends AnyFunSuite {
     assert(out(2).getDouble(0) == 0.0)
   }
 
+  test("integer dot: native expression equals the HOF fold; exact longs") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(127, -127, 64), Array(127, 127, -64)),
+      (Array(1, 2, 3), Array(4, 5, 6)),
+      (Array.empty[Int], Array.empty[Int]))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorOps.dotQ(col("a"), col("b")).as("native"),
+      VectorOps.dotQHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(out(0).getLong(0) == 127L * 127 - 127L * 127 - 64L * 64)
+    assert(out(1).getLong(0) == 32L)
+    assert(out(2).getLong(0) == 0L)
+  }
+
   test("NULL array yields NULL") {
     GraftFunctions.register(spark)
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))

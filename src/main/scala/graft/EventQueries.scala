@@ -28,6 +28,13 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // gap-filled 10-minute resample: every (type, window) cell of the
+    // full time grid, zero-filled where no events fell
+    "events_resample" -> ((s, dir) => {
+      EventOps.resampleTumbling(Tables.events(s, dir), seconds = 600)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // 10-minute windows sliding every 5 minutes (each event in 2 windows)
     "events_sliding" -> ((s, dir) => {
       EventOps.slidingAgg(Tables.events(s, dir), lengthSeconds = 600, slideSeconds = 300)
@@ -147,6 +154,20 @@ object EventQueries {
       """SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_resample" ->
+      """WITH agg AS (
+        |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,
+        |    event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+        |grid AS (SELECT t.event_type, u.g AS window_start
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b,
+        |    LATERAL unnest(generate_series(b.lo, b.hi, 600)) u(g))
+        |SELECT g.window_start, g.event_type,
+        |  coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN agg a
+        |  ON g.window_start = a.window_start AND g.event_type = a.event_type
+        |ORDER BY g.window_start, g.event_type""".stripMargin,
     "events_sliding" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) // 1000000 - i * 300 AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -54,6 +54,29 @@ object EventOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Gap-filled tumbling resample: [[tumblingAgg]] left-joined onto the
+    * complete (event_type × window) grid between the log's first and
+    * last window, zero-filling windows with no events — the time-series
+    * resampling every monitoring/feature pipeline needs (a plain groupBy
+    * silently omits empty windows, so downstream diffs/moving averages
+    * misalign). The grid is generated distributively: the 1-row global
+    * bounds broadcast against the distinct key set, then
+    * `sequence`-exploded — grid size is (time span / window) × key
+    * cardinality, bounded by time and keys, never by event volume. */
+  def resampleTumbling(events: DataFrame, seconds: Long): DataFrame = {
+    val agg = tumblingAgg(events, seconds)
+    val bounds = events.select(tumblingWindowStart(col("ts_us"), seconds).as("w"))
+      .agg(min(col("w")).as("lo"), max(col("w")).as("hi"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(seconds))).as("window_start"))
+    grid.join(agg, Seq("window_start", "event_type"), "left")
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapUs`. Classic
     * lag + cumulative-sum-of-flags window composition — one shuffle on

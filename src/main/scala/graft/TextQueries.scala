@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, SearchOps, TextOps}
 
 /** Text analysis + deduplication over `documents` (SURVEY §2.3).
   *
@@ -230,6 +230,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // keyword retrieval: the posting-list index and a conjunctive
+    // all-terms search ranked by total tf (SearchOps)
+    "text_search_index" -> ((s, dir) => {
+      SearchOps.invertedIndex(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("term"), col("doc_id"))
+    }),
+    "text_search_and" -> ((s, dir) => {
+      SearchOps.searchAllTerms(
+          SearchOps.invertedIndex(Tables.documents(s, dir), "doc_id", "text"),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // PII scrub: per-doc match counts and the md5 of the redacted text.
     // The synthetic corpus carries no natural PII, so the fixture plants
     // emails/phones/IPs deterministically by doc_id (identical
@@ -363,6 +376,19 @@ object TextQueries {
           |SELECT doc_id, n_ngrams, n_shared,
           |  floor(n_shared * 1000000.0 / n_ngrams) / 1000000 AS shared_frac
           |FROM agg ORDER BY doc_id""".stripMargin,
+      "text_search_index" ->
+        s"""SELECT t.token AS term, doc_id, count(*) AS tf
+          |FROM documents, LATERAL unnest($toksSql) t(token)
+          |GROUP BY 1, 2 ORDER BY term, doc_id""".stripMargin,
+      "text_search_and" ->
+        s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+          |  FROM documents, LATERAL unnest($toksSql) t(token) GROUP BY 1, 2),
+          |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+          |  FROM idx WHERE term IN ('spark', 'vector', 'window')
+          |  GROUP BY doc_id HAVING count(*) = 3)
+          |SELECT doc_id, score,
+          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+          |FROM hits ORDER BY rk LIMIT 10""".stripMargin,
       // same synth construction + same replacement order (email, ip,
       // phone) — the regex constants are shared verbatim (Java and RE2
       // agree on this lookaround-free subset)

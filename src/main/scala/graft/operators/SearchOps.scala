@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyword retrieval over the corpus: inverted-index construction and
+  * conjunctive (all-terms) search with deterministic tf ranking — the
+  * text-search face of the engine (the similarity operators cover the
+  * embedding face).
+  *
+  * Scoring is integer tf sums with (score desc, doc_id) tiebreak — no
+  * log/idf term, deliberately: transcendental functions are not
+  * bit-portable across engines, and the oracle gate would become
+  * approximate. [[TextOps.distinctiveTerms]] already provides the
+  * corpus-relative (tf, df) weighting integer-exactly.
+  */
+object SearchOps {
+
+  /** Posting lists: one row per (term, doc) with term frequency. One
+    * explode + one groupBy — the classic two-shuffle index build; at
+    * scale this is the table you'd write `partitionBy(term-bucket)` and
+    * probe per query, exactly like the dedup band index. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Conjunctive search: docs containing ALL `terms`, ranked by total tf
+    * (desc) with doc_id tiebreak, top `k`. The index side is filtered to
+    * the query terms BEFORE any shuffle — the scan prunes to |terms|
+    * posting lists, so per-query cost tracks posting-list size, not
+    * corpus size. */
+  def searchAllTerms(index: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one search term")
+    val hits = index.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+      .filter(col("n_terms") === terms.length)
+    // distributed top-k (TakeOrderedAndProject), then rank the ≤k
+    // survivors — a bare global row_number window would funnel every hit
+    // through one partition
+    hits.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("score"), col("rk"))
+  }
+}

@@ -242,6 +242,12 @@ object TextQueries {
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
+    // positional phrase search (overlapping occurrences count per start)
+    "text_search_phrase" -> ((s, dir) => {
+      SearchOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+          phrase = Seq("table", "table"))
+        .orderBy(col("doc_id"))
+    }),
 
     // PII scrub: per-doc match counts and the md5 of the redacted text.
     // The synthetic corpus carries no natural PII, so the fixture plants
@@ -389,6 +395,14 @@ object TextQueries {
           |SELECT doc_id, score,
           |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
           |FROM hits ORDER BY rk LIMIT 10""".stripMargin,
+      "text_search_phrase" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |m AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+          |    THEN len(list_filter(range(1, len(toks)),
+          |      p -> toks[p] = 'table' AND toks[p + 1] = 'table'))
+          |    ELSE 0 END AS n_matches FROM t)
+          |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches FROM m
+          |WHERE n_matches > 0 ORDER BY doc_id""".stripMargin,
       // same synth construction + same replacement order (email, ip,
       // phone) — the regex constants are shared verbatim (Java and RE2
       // agree on this lookaround-free subset)

@@ -27,6 +27,21 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(!tf.contains(("window", 3L)))
   }
 
+  test("phraseSearch: in-order consecutive matches, overlaps counted, short docs safe") {
+    val d = Seq(
+      (1L, "a b a b a"),   // "a b" at 1 and 3 → 2 matches
+      (2L, "b a b a b"),   // "a b" at 2 and 4 → 2
+      (3L, "a a a"),       // "a a" overlapping at 1,2 — but phrase is "a b": 0
+      (4L, "b"),           // shorter than the phrase
+      (5L, "a")).toDF("doc_id", "text")
+    val out = SearchOps.phraseSearch(d, "doc_id", "text", Seq("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L), "order matters, zero-match docs absent")
+    val overlap = SearchOps.phraseSearch(d, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(overlap == Map(3L -> 2L), "overlapping starts each count")
+  }
+
   test("searchAllTerms: AND semantics, tf-desc ranking, k cut") {
     val out = SearchOps.searchAllTerms(idx, Seq("spark", "window"), k = 10)
       .as[(Long, Long, Long)].collect().sortBy(_._3)

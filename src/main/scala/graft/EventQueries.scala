@@ -116,6 +116,21 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // time-RANGE window frame: per event, count and exact cents sum of
+    // the same user's events in the preceding hour (excluding self) —
+    // the moving-aggregate flavor rowsBetween can't express when event
+    // spacing is irregular
+    "events_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000, -1)
+      Tables.events(s, dir)
+        .withColumn("v_c", round(col("value") * 100).cast("long"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_prev_hour"),
+          coalesce(sum(col("v_c")).over(w), lit(0L)).as("sum_prev_hour_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // first-order transition matrix: counts of consecutive
     // (prev_type → type) pairs per user — the Markov-chain view of the
     // event log (one user-keyed window, dimension²-sized output)
@@ -261,6 +276,15 @@ object EventQueries {
         |  max(CASE WHEN abs(v_c - mean_c) > 2.0 * std_c THEN v_c END) AS max_anom_cents
         |FROM e JOIN st2 USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_moving_window" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_prev_hour,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) OVER w, 0)
+        |    AS BIGINT) AS sum_prev_hour_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
     "events_transitions" ->
       """WITH t AS (SELECT event_type, lag(event_type) OVER
         |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type

@@ -167,6 +167,17 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // IVF-SQ8: float coarse quantizer, int8 inverted lists (4× less
+    // probe bandwidth), exact-integer candidate scoring
+    "sim_ann_ivf_sq8" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.ivfTopKSq8(querySet(emb), emb, k = 3,
+          numCentroids = ivfK(emb), nProbe = 4, trainIters = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // how much ranking the quantization costs vs exact float cosine
     "sim_quantized_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -361,6 +372,30 @@ object SimilarityQueries {
         |ORDER BY new_id, old_id""".stripMargin
     },
     "sim_ann_ivf" -> ivfOracleSql,
+    // float centroid train/assign/probe CTEs shared with the plain IVF
+    // mirror; only the list payload and the candidate score quantize
+    "sim_ann_ivf_sq8" ->
+      s"""WITH ${centTrainSql(ivfKSql, 2)},
+        |asg AS (
+        |  SELECT vec_id, embedding, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |lists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
+        |  FROM asg WHERE cr = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, ${quantSql("qv")} AS qq, cid AS list_id FROM (
+        |    SELECT query_id, qv, cid, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+        |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+        |scored AS (
+        |  SELECT query_id, l.vec_id AS neighbor_id,
+        |    round(${cosQSql("qq", "l.qe")}, 6) AS cos_sim
+        |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+        |ORDER BY query_id, rk""".stripMargin,
     // the persisted-index probe is defined to be result-identical to the
     // in-memory IVF pass (shared assignment/probe/rank code + the same
     // deterministic Lloyd training) — one oracle, two plans

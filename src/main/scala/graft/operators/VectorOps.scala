@@ -219,6 +219,34 @@ object VectorOps {
     scoreAndRank(assignLists(corpus, cents), probeLists(queries, cents, nProbe), k)
   }
 
+  /** IVF + int8 scalar quantization — the IVF-SQ8 layout of production
+    * vector engines: the coarse quantizer (Lloyd-trained float
+    * centroids) still drives list assignment and probe selection, but
+    * the inverted LISTS store int8 codes — 4× less list storage and
+    * probe bandwidth, the dominant cost of serving ANN at corpus scale —
+    * and candidate scoring is exact integer dots over the codes
+    * (native [[graft.functions.DotProductIntExact]]). Same plan shape as
+    * [[ivfTopK]]: probes broadcast, lists never shuffle. */
+  def ivfTopKSq8(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val trained = trainCentroids(corpus, numCentroids, trainIters)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = broadcast(corpus.sparkSession.createDataFrame(centRdd, trained.schema))
+    val lists = assignLists(corpus, cents)
+      .select(col("list_id"), col("vec_id"), quantizeInt8(col("embedding")).as("qe"))
+    val probes = probeLists(queries, cents, nProbe)
+      .select(col("list_id"), col("query_id"), quantizeInt8(col("qv")).as("qq"))
+    val scored = lists.join(broadcast(probes),
+        lists("list_id") === probes("list_id") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineQ(col("qq"), col("qe")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Assign every corpus vector to its nearest centroid's inverted list —
     * the N×K broadcast score folded to N rows with `max_by` BEFORE any
     * shuffle (see [[ivfTopK]]'s shape notes). Shared by the in-memory

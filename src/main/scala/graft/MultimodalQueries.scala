@@ -50,6 +50,15 @@ object MultimodalQueries {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
         .as[Multimodal.MediaRow]
       Multimodal.resizeStub(media, maxBytes = 64).toDF().orderBy(col("media_id"))
+    }),
+
+    // exact dedup over the BINARY payload (content-hash groupBy — the
+    // media twin of dedup_exact), on the same injected-dup corpus
+    "mm_dedup_binary" -> ((s, dir) => {
+      graft.operators.Dedup.exactGroups(
+          Multimodal.mediaFromDocuments(TextQueries.dupCorpus(Tables.documents(s, dir))),
+          "media_id", "media")
+        .orderBy(col("content_hash"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -100,5 +109,13 @@ object MultimodalQueries {
         |    j -> ('0x' || substr(hex(encode(thumb)), CAST(2*j - 1 AS INT), 2))::BIGINT)), 0)::BIGINT
         |    AS out_byte_sum,
         |  to_base64(encode(thumb)) AS thumb_b64
-        |FROM s ORDER BY media_id""".stripMargin)
+        |FROM s ORDER BY media_id""".stripMargin,
+    // DuckDB md5 is VARCHAR-only; md5(text) hashes the UTF-8 bytes,
+    // which IS the blob (encode(text)) — same digest as Spark's
+    // md5(binary)
+    "mm_dedup_binary" ->
+      s"""WITH ${TextQueries.corpusSql}
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin)
 }

@@ -48,7 +48,9 @@ object TextQueries {
       table
     })
 
-  private val corpusSql =
+  // private[graft]: MultimodalQueries' binary dedup mirrors the same
+  // injected-dup corpus so the two fixtures cannot drift
+  private[graft] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text, lang, source, n_chars FROM documents
       |  UNION ALL

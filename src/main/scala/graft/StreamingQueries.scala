@@ -86,6 +86,24 @@ object StreamingQueries {
       s.read.parquet(outDir).orderBy(col("doc_id"))
     }),
 
+    // streaming funnel: per-user stage-time state, cascade recomputed
+    // per batch — converges to the batch funnelReach result under ANY
+    // arrival order (FunnelStreamSpec proves parity on out-of-order
+    // files). Final state per user = its max-n_seen row.
+    "stream_funnel" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+        maxFilesPerTrigger = 1)
+      val out = runToMemory(graft.streaming.FunnelStream.runningFunnel(
+          st, "user_id", "event_type", "ts_us",
+          Seq("signup", "click", "purchase")).toDF(), "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+      out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("reach")(0).as("t1"),
+          col("reach")(1).as("t2"), col("reach")(2).as("t3"))
+        .orderBy(col("user_id"))
+    }),
+
     // running-stats anomaly stream: each micro-batch judged against the
     // per-type statistics of all PRIOR batches (integer-exact state,
     // bounded by key cardinality). Self-oracle: StatsStreamSpec replays

@@ -34,6 +34,10 @@ object SearchOps {
     * corpus size. */
   def searchAllTerms(index: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one search term")
+    // a duplicated term could never satisfy the n_terms == length gate
+    // (the index has ONE row per (term, doc)) — reject loudly instead of
+    // silently returning nothing
+    require(terms.distinct.size == terms.size, s"duplicate search terms: $terms")
     val hits = index.filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))

@@ -54,6 +54,34 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert(r == ((100L, 400L)))
   }
 
+  test("funnelReach equals a brute-force cascade on generated event sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val stages = Seq("signup", "click", "purchase")
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 6L)
+      st <- Gen.oneOf(stages :+ "noise")
+      ts <- Gen.chooseNum(0L, 50L)
+    } yield (u, st, ts)
+    for (i <- 0 until 8;
+         rows <- Gen.listOfN(40, evGen).apply(Gen.Parameters.default, Seed(7L + i))) {
+      // brute force: per user, literal cascade over full event lists
+      val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+        def times(s: String) = es.filter(_._2 == s).map(_._3)
+        val t1 = times("signup").minOption
+        val t2 = t1.flatMap(p => times("click").filter(_ >= p).minOption)
+        val t3 = t2.flatMap(p => times("purchase").filter(_ >= p).minOption)
+        t1.map(_ => u -> ((t1, t2, t3)))
+      }
+      val got = EventOps.funnelReach(rows.toDF("user_id", "event_type", "ts_us"),
+          "user_id", "event_type", "ts_us", stages)
+        .select("user_id", "t1", "t2", "t3")
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(got == expected, s"case $i: $rows")
+    }
+  }
+
   test("zscoreFlags: only the >zσ outlier is flagged; stats broadcast per key") {
     // nine 100-cent events + one 1000-cent outlier: mean=190, σ≈270 →
     // only the outlier exceeds 2σ... σ here: E[X²]−E[X]² of

@@ -324,6 +324,43 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // RE-AGGREGATABLE sketches — the property that makes distributed
+    // distinct counting scale: per-group HLL sketches built
+    // independently (per supplier nation here), then hll_union_agg
+    // merged to ONE global estimate without ever re-touching the rows.
+    // Same gate shape as agg_approx_distinct: exact ground truth
+    // hash-matched, estimate asserted within tolerance.
+    "agg_hll_union" -> ((s, dir) => {
+      val sketches = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey"))
+        .agg(hll_sketch_agg(col("s_suppkey")).as("sk"),
+          countDistinct(col("s_suppkey")).as("n_exact_grp"))
+      sketches.agg(
+          sum(col("n_exact_grp")).as("n_exact"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+        .select(col("n_exact"),
+          (abs(col("n_est") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.15).as("within_tol"))
+    }),
+
+    // approximate quantiles (GK sketch): the rank-error contract is
+    // |rank(est) − 0.5n| ≤ n/accuracy, so the estimate must lie between
+    // the exact p40 and p60 for accuracy 100 — asserted as a bound, with
+    // the exact median riding along hash-matched
+    "agg_approx_quantile" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(100)).as("est"),
+          expr("percentile(o_totalprice, 0.5)").as("exact_med"),
+          expr("percentile(o_totalprice, 0.4)").as("p40"),
+          expr("percentile(o_totalprice, 0.6)").as("p60"))
+        .select(col("o_orderpriority"),
+          round(col("exact_med"), 2).as("median_exact"),
+          (col("est") >= col("p40") && col("est") <= col("p60")).as("within_rank_tol"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // date/time functions
     "date_funcs" -> ((s, dir) => {
       Tables.orders(s, dir).select(
@@ -510,6 +547,17 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
         |  true AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // suppkeys are unique per supplier row and nations partition the
+    // table, so the exact global distinct is the sum of per-nation counts
+    "agg_hll_union" ->
+      """SELECT CAST(sum(cnt) AS BIGINT) AS n_exact, true AS within_tol FROM (
+        |  SELECT count(DISTINCT s_suppkey) AS cnt FROM supplier
+        |  GROUP BY s_nationkey)""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
+        |  true AS within_rank_tol
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "date_funcs" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,

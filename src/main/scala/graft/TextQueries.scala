@@ -232,6 +232,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // string-distance family: per doc, edit distance of its 32-char
+    // prefix to its language's anchor doc (min doc_id) — linear anchor
+    // comparison, not pairwise (BoundedPairs is the pairwise path)
+    "text_edit_distance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 32).as("p"))
+      val anchors = d.groupBy(col("lang"))
+        .agg(min_by(col("p"), col("doc_id")).as("anchor_p"))
+      d.join(broadcast(anchors), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          levenshtein(col("p"), col("anchor_p")).as("edit_dist"))
+        .orderBy(col("doc_id"))
+    }),
+
     // keyword retrieval: the posting-list index and a conjunctive
     // all-terms search ranked by total tf (SearchOps)
     "text_search_index" -> ((s, dir) => {
@@ -384,6 +398,11 @@ object TextQueries {
           |SELECT doc_id, n_ngrams, n_shared,
           |  floor(n_shared * 1000000.0 / n_ngrams) / 1000000 AS shared_frac
           |FROM agg ORDER BY doc_id""".stripMargin,
+      "text_edit_distance" ->
+        """WITH d AS (SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents),
+          |a AS (SELECT lang, min_by(p, doc_id) AS anchor_p FROM d GROUP BY lang)
+          |SELECT doc_id, d.lang, levenshtein(p, anchor_p) AS edit_dist
+          |FROM d JOIN a USING (lang) ORDER BY doc_id""".stripMargin,
       "text_search_index" ->
         s"""SELECT t.token AS term, doc_id, count(*) AS tf
           |FROM documents, LATERAL unnest($toksSql) t(token)

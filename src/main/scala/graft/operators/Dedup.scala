@@ -503,9 +503,15 @@ object Dedup {
     * (doc, gram) — everything is linear in corpus shingle volume, never
     * pairwise. */
   def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // native fused kernel: ONE md5 pass per shingle producing the
+    // distinct hashed set (same values as
+    // array_distinct(hashedShingles(·)) — the dedup pipelines and the
+    // DuckDB mirror share the formula), vs the interpreted HOF
+    // transform chain (measured 2.1 s → below at sf0.1)
     val grams = docs.select(col(idCol),
-      explode(array_distinct(TextOps.hashedShingles(
-        TextOps.shingles(TextOps.tokens(col(textCol)))))).as("g"))
+      explode(graft.functions.GraftFunctions.shingleSet(
+        TextOps.shingles(TextOps.tokens(col(textCol))))).as("g"))
     // per-doc-distinct rows make the per-g window count the document
     // frequency; an unbounded count-only window never buffers rows
     val df = count(lit(1)).over(Window.partitionBy(col("g")))

@@ -49,6 +49,21 @@ object VectorOps {
     transform(v, x => round(x.cast("double") * scale).cast("int"))
   }
 
+  /** [[quantizeInt8]] staged through a dedicated scale COLUMN: the
+    * one-expression form embeds the max|x| reduction inside the
+    * transform lambda, and higher-order functions are interpreted with
+    * no common-subexpression elimination — the scale gets recomputed per
+    * ELEMENT, O(d²) per vector. Binding it as an attribute first makes
+    * the lambda reference a per-row value, O(d). Same arithmetic, same
+    * bits. Adds `outCol` to `df`. */
+  private def withQuantized(df: DataFrame, vCol: String, outCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vCol), x => abs(x)))
+    df.withColumn("_q_scale", when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0)))
+      .withColumn(outCol,
+        transform(col(vCol), x => round(x.cast("double") * col("_q_scale")).cast("int")))
+      .drop("_q_scale")
+  }
+
   /** Exact integer dot of two int8 vectors, accumulated in long (max
     * |term| 127² = 16129 — no overflow below ~5.7e14 dimensions). Routed
     * through the native codegen'd [[graft.functions.DotProductIntExact]]
@@ -90,9 +105,9 @@ object VectorOps {
     * path: (rounded score desc, neighbor_id). */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val qc = corpus.select(col("vec_id"), quantizeInt8(col("embedding")).as("qe"))
-    val qq = queries.select(col("vec_id").as("query_id"),
-      quantizeInt8(col("embedding")).as("qv"))
+    val qc = withQuantized(corpus, "embedding", "qe").select(col("vec_id"), col("qe"))
+    val qq = withQuantized(queries, "embedding", "qv")
+      .select(col("vec_id").as("query_id"), col("qv"))
     val scored = qc.as("c").join(broadcast(qq), col("query_id") =!= col("c.vec_id"))
       .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
         round(cosineQ(col("qv"), col("c.qe")), 6).as("cos_sim"))
@@ -234,10 +249,10 @@ object VectorOps {
     val centRdd = trained.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = broadcast(corpus.sparkSession.createDataFrame(centRdd, trained.schema))
-    val lists = assignLists(corpus, cents)
-      .select(col("list_id"), col("vec_id"), quantizeInt8(col("embedding")).as("qe"))
-    val probes = probeLists(queries, cents, nProbe)
-      .select(col("list_id"), col("query_id"), quantizeInt8(col("qv")).as("qq"))
+    val lists = withQuantized(assignLists(corpus, cents), "embedding", "qe")
+      .select(col("list_id"), col("vec_id"), col("qe"))
+    val probes = withQuantized(probeLists(queries, cents, nProbe), "qv", "qq")
+      .select(col("list_id"), col("query_id"), col("qq"))
     val scored = lists.join(broadcast(probes),
         lists("list_id") === probes("list_id") && col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

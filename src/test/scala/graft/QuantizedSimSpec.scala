@@ -26,6 +26,7 @@ class QuantizedSimSpec extends AnyFunSuite {
   }
 
   test("cosineQ is exactly 1 for identical vectors") {
+    graft.functions.GraftFunctions.register(spark)
     val one = vecs((1L, Seq(0.3f, 0.4f, -0.9f)))
       .select(VectorOps.cosineQ(
         VectorOps.quantizeInt8(col("embedding")),

@@ -48,6 +48,33 @@ object TextQueries {
       table
     })
 
+  /** One persisted search index per (session, dir) epoch — the text
+    * twin of [[bandIndexFor]]/[[SimilarityQueries.ivfIndexFor]] (same
+    * UUID-unique isolation reasoning). */
+  private val searchIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def searchIndexFor(s: SparkSession, dir: String): String =
+    searchIndexes.computeIfAbsent((s, dir), _ => {
+      val table = "graft_search_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_index_").toString
+      SearchOps.writeSearchIndex(Tables.documents(s, dir), "doc_id", "text",
+        table, path)
+      table
+    })
+
+  private lazy val searchAndSql =
+    s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+      |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
+      |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
+      |  FROM idx WHERE term IN ('spark', 'vector', 'window')
+      |  GROUP BY doc_id HAVING count(*) = 3)
+      |SELECT doc_id, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      |FROM hits ORDER BY rk LIMIT 10""".stripMargin
+
   // private[graft]: MultimodalQueries' binary dedup mirrors the same
   // injected-dup corpus so the two fixtures cannot drift
   private[graft] val corpusSql =
@@ -258,6 +285,14 @@ object TextQueries {
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
+    // the same search against the PERSISTED bucketed index (epoch write
+    // once per (session, dir); the probe bucket-prunes on term) — must
+    // hash-match text_search_and exactly
+    "text_search_indexed" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
     // positional phrase search (overlapping occurrences count per start)
     "text_search_phrase" -> ((s, dir) => {
       SearchOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
@@ -407,15 +442,11 @@ object TextQueries {
         s"""SELECT t.token AS term, doc_id, count(*) AS tf
           |FROM documents, LATERAL unnest($toksSql) t(token)
           |GROUP BY 1, 2 ORDER BY term, doc_id""".stripMargin,
-      "text_search_and" ->
-        s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
-          |  FROM documents, LATERAL unnest($toksSql) t(token) GROUP BY 1, 2),
-          |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score
-          |  FROM idx WHERE term IN ('spark', 'vector', 'window')
-          |  GROUP BY doc_id HAVING count(*) = 3)
-          |SELECT doc_id, score,
-          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-          |FROM hits ORDER BY rk LIMIT 10""".stripMargin,
+      "text_search_and" -> searchAndSql,
+      // probing the persisted bucketed index is defined to be
+      // result-identical to the in-memory search — one oracle, two plans
+      // (the sibling pattern of dedup_incremental_indexed / sim_ann_ivf_indexed)
+      "text_search_indexed" -> searchAndSql,
       "text_search_phrase" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |m AS (SELECT doc_id, CASE WHEN len(toks) >= 2

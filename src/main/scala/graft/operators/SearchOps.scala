@@ -51,6 +51,36 @@ object SearchOps {
       .select(col("doc_id"), col("score"), col("rk"))
   }
 
+  /** Persist the inverted index bucketed on `term` — the epoch form of
+    * text retrieval, completing the persisted-index family (dedup band
+    * index, IVF lists). Queries with term-equality predicates then prune
+    * to the matching BUCKETS at scan time (Spark bucket pruning on
+    * =/IN), so a probe touches |terms|/numBuckets of the index files and
+    * never reshuffles the corpus. */
+  def writeSearchIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, numBuckets: Int = 8): Unit =
+    invertedIndex(docs, idCol, textCol)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Probe a [[writeSearchIndex]] table — identical output to
+    * [[searchAllTerms]] over the in-memory index (same ranking), but the
+    * scan bucket-prunes to the query terms. Requires disabling
+    * `autoBucketedScan`: the DisableUnnecessaryBucketedScan rule only
+    * weighs EXCHANGE benefit (none here — the rollup groups by doc_id),
+    * not filter-pruning benefit, and silently reads every bucket
+    * otherwise (SearchOpsSpec pins SelectedBucketsCount < total). The
+    * sorted layout additionally gives row-group min/max pruning within
+    * the selected buckets. */
+  def probeSearchIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    searchAllTerms(spark.table(table), terms, k)
+  }
+
   /** Positional phrase search: per doc, the number of token positions
     * where `phrase` occurs verbatim (consecutive, in order). A pure
     * per-row expression over the token array — embarrassingly parallel,

@@ -27,6 +27,31 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(!tf.contains(("window", 3L)))
   }
 
+  test("persisted index probe: bucket-pruned scan, identical results") {
+    val table = "graft_search_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_search_spec_").toString
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", table, path, numBuckets = 4)
+      val probe = SearchOps.probeSearchIndex(spark, table, Seq("spark", "window"), 10)
+      val direct = SearchOps.searchAllTerms(idx, Seq("spark", "window"), 10)
+      assert(probe.collect().toSeq == direct.collect().toSeq,
+        "persisted probe must equal the in-memory search")
+      // the term IN (...) predicate must prune buckets at scan time —
+      // fewer than all 4 selected proves the probe never reads the
+      // whole index
+      val scan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 4".r
+        .findFirstMatchIn(scan)
+      assert(sel.isDefined, s"no bucket pruning in plan:\n$scan")
+      assert(sel.get.group(1).toInt < 4,
+        s"probe read every bucket:\n$scan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("phraseSearch: in-order consecutive matches, overlaps counted, short docs safe") {
     val d = Seq(
       (1L, "a b a b a"),   // "a b" at 1 and 3 → 2 matches

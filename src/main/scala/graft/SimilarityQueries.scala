@@ -167,6 +167,14 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // k-means assignment as its own op: the semantic-partitioning step
+    // (cluster-balanced sampling, semantic dedup) — K~√N like IVF
+    "sim_cluster_assignments" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.kmeansAssign(emb, numCentroids = ivfK(emb), trainIters = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF-SQ8: float coarse quantizer, int8 inverted lists (4× less
     // probe bandwidth), exact-integer candidate scoring
     "sim_ann_ivf_sq8" -> ((s, dir) => {
@@ -372,6 +380,14 @@ object SimilarityQueries {
         |ORDER BY new_id, old_id""".stripMargin
     },
     "sim_ann_ivf" -> ivfOracleSql,
+    "sim_cluster_assignments" ->
+      s"""WITH ${centTrainSql(ivfKSql, 2)},
+        |asg AS (
+        |  SELECT vec_id, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents)
+        |SELECT vec_id, cid AS cluster_id FROM asg WHERE cr = 1
+        |ORDER BY vec_id""".stripMargin,
     // float centroid train/assign/probe CTEs shared with the plain IVF
     // mirror; only the list payload and the candidate score quantize
     "sim_ann_ivf_sq8" ->

@@ -262,6 +262,20 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** K-means cluster assignment as a first-class operator: every vector
+    * labelled with its nearest Lloyd-trained centroid — the corpus
+    * partitioning step of semantic dedup / topic balancing / IVF list
+    * build (which shares [[assignLists]], so the two can never drift). */
+  def kmeansAssign(corpus: DataFrame, numCentroids: Int,
+      trainIters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val trained = trainCentroids(corpus, numCentroids, trainIters)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = broadcast(corpus.sparkSession.createDataFrame(centRdd, trained.schema))
+    assignLists(corpus, cents).select(col("vec_id"), col("list_id").as("cluster_id"))
+  }
+
   /** Assign every corpus vector to its nearest centroid's inverted list —
     * the N×K broadcast score folded to N rows with `max_by` BEFORE any
     * shuffle (see [[ivfTopK]]'s shape notes). Shared by the in-memory

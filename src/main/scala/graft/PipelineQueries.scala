@@ -116,6 +116,20 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // cluster-balanced sampling: k-means semantic partitions + the same
+    // deterministic per-stratum quota machinery as pipeline_mix_quota —
+    // equal representation from every semantic cluster
+    "pipeline_cluster_balance" -> ((s, dir) => {
+      val assigned = graft.operators.VectorOps.kmeansAssign(
+        Tables.embeddings(s, dir),
+        numCentroids = SimilarityQueries.ivfK(Tables.embeddings(s, dir)),
+        trainIters = 2)
+      PipelineOps.mixByQuota(assigned.withColumn("cluster", col("cluster_id").cast("string")),
+          "vec_id", "cluster", quotas = Map.empty, defaultQuota = 8)
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // best-quality-first token budget per language — the "N tokens per
     // language" curation cut
     "pipeline_token_budget" -> ((s, dir) => {
@@ -203,6 +217,14 @@ object PipelineQueries {
         |FROM ranked
         |WHERE rk <= (CASE WHEN lang = 'en' THEN 40 WHEN lang = 'zh' THEN 10 ELSE 25 END)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the shared cluster CTE chain + the pipeline_mix_quota ranking
+    "pipeline_cluster_balance" ->
+      s"""WITH ${SimilarityQueries.clusterAssignCtes},
+        |ranked AS (SELECT vec_id, cid, row_number() OVER
+        |    (PARTITION BY cid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM clusters)
+        |SELECT vec_id, cid AS cluster_id FROM ranked WHERE rk <= 8
+        |ORDER BY vec_id""".stripMargin,
     // a doc is kept while the budget before it is unexhausted (cum − own
     // < B) — the at-most-one-doc overshoot contract of tokenBudgetSelect
     "pipeline_token_budget" ->

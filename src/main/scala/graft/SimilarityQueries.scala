@@ -96,6 +96,18 @@ object SimilarityQueries {
     }
   }
 
+  /** The k-means assignment CTE chain ending in `clusters (vec_id, cid)`
+    * — shared by the `sim_cluster_assignments` oracle and
+    * `pipeline_cluster_balance`'s (so the partitioning can never drift
+    * from the selection built on it). */
+  private[graft] lazy val clusterAssignCtes: String =
+    s"""${centTrainSql(ivfKSql, 2)},
+      |casg AS (
+      |  SELECT vec_id, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM embeddings CROSS JOIN cents),
+      |clusters AS (SELECT vec_id, cid FROM casg WHERE cr = 1)""".stripMargin
+
   /** The audits' single k — threaded through the Spark tail AND the
     * oracle CTE builder so the brute ranking, the ann cut, and the recall
     * divisor can never drift apart. */
@@ -381,12 +393,8 @@ object SimilarityQueries {
     },
     "sim_ann_ivf" -> ivfOracleSql,
     "sim_cluster_assignments" ->
-      s"""WITH ${centTrainSql(ivfKSql, 2)},
-        |asg AS (
-        |  SELECT vec_id, cid, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-        |  FROM embeddings CROSS JOIN cents)
-        |SELECT vec_id, cid AS cluster_id FROM asg WHERE cr = 1
+      s"""WITH $clusterAssignCtes
+        |SELECT vec_id, cid AS cluster_id FROM clusters
         |ORDER BY vec_id""".stripMargin,
     // float centroid train/assign/probe CTEs shared with the plain IVF
     // mirror; only the list payload and the candidate score quantize

@@ -145,6 +145,20 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // the rank-family windows not exercised elsewhere: percent_rank,
+    // ntile, cume_dist (ratios of ints — deterministic doubles; rounded
+    // 6dp on both sides as belt-and-braces)
+    "window_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
+      Tables.part(s, dir).select(
+          col("p_brand"), col("p_partkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    }),
+
     // top-k per group via row_number window
     "topk_per_group" -> ((s, dir) => {
       val p = Tables.part(s, dir)
@@ -450,6 +464,14 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "window_rank_family" ->
+      """SELECT p_brand, p_partkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        |ORDER BY p_brand, p_partkey""".stripMargin,
     "topk_per_group" ->
       """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,

@@ -440,7 +440,7 @@ object Dedup {
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long, Long) = {
     val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val leaf = df.sparkSession.createDataFrame(rdd, df.schema)
-    val w = leaf.agg(count(lit(1)), bit_xor(xxhash64(df.columns.map(col): _*))).head()
+    val w = leaf.agg(count(lit(1)), bit_xor(xxhash64(df.columns.toIndexedSeq.map(col): _*))).head()
     (leaf, rdd, w.getLong(0), if (w.isNullAt(1)) 0L else w.getLong(1))
   }
 

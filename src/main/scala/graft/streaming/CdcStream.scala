@@ -241,8 +241,8 @@ object CdcStream {
             // (ADVICE r2). The +1 keeps the timestamp strictly past the
             // watermark (Spark rejects ≤ watermark) even at ttl=0.
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs + 1,
-                math.max(lastMs, state.getCurrentWatermarkMs) + ttlMillis))
+              math.max(state.getCurrentWatermarkMs() + 1,
+                math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis))
             out.iterator
           }
       }

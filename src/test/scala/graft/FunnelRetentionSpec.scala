@@ -96,6 +96,30 @@ class FunnelRetentionSpec extends AnyFunSuite {
     assert((1L to 9L).forall(!flagged(_)), "inliers unflagged")
   }
 
+  test("retentionMatrix equals a brute-force cohort walk on generated events") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val day = 86400000000L
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 5L)
+      d <- Gen.chooseNum(0L, 6L)
+      off <- Gen.chooseNum(0L, day - 1)
+    } yield (u, d * day + off)
+    for (i <- 0 until 8;
+         rows <- Gen.listOfN(30, evGen).apply(Gen.Parameters.default, Seed(99L + i))) {
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val days = es.map(_._2 / day).distinct
+        val cohort = days.min
+        days.map(d => (cohort, d - cohort))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val got = EventOps.retentionMatrix(rows.toDF("user_id", "ts_us"),
+          "user_id", "ts_us")
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == expected, s"case $i: $rows")
+    }
+  }
+
   test("retentionMatrix: offsets anchor to each user's first day") {
     val day = 86400000000L
     // u1 joins day 0, active days 0,1,3; u2 joins day 1, active days 1,2;

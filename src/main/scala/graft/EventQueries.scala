@@ -98,6 +98,34 @@ object EventQueries {
         .orderBy(col("stage"))
     }),
 
+    // analytics capstone: anomaly, gap-filled-window, and transition
+    // rollups composed into ONE per-type health report — a single
+    // Catalyst plan proving the operators interoperate (the event twin
+    // of pipeline_end_to_end)
+    "events_capstone" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val anomalies = EventOps.zscoreFlags(e, "event_type",
+          round(col("value") * 100).cast("long"), z = 2.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_anom"), 1L).otherwise(0L)).as("n_anomalies"))
+      val windows = EventOps.resampleTumbling(e, seconds = 600)
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_windows_active"),
+          sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_windows_empty"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val trans = e.withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+      val outb = trans.groupBy(col("prev_type").as("event_type"))
+        .agg(count(lit(1)).as("n_outbound"))
+      val inb = trans.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_inbound"))
+      anomalies.join(windows, Seq("event_type"))
+        .join(outb, Seq("event_type")).join(inb, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // daily-cohort retention matrix: users grouped by first-event day,
     // counted on each later day they were active
     "events_retention" -> ((s, dir) => {
@@ -258,6 +286,46 @@ object EventQueries {
         |SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
         |FROM days JOIN coh USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // the anomaly/resample/transition CTEs composed on event_type
+    "events_capstone" ->
+      """WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(v_c) AS BIGINT) AS s, CAST(sum(v_c * v_c) AS BIGINT) AS s2
+        |  FROM e GROUP BY 1),
+        |st2 AS (SELECT event_type, CAST(s AS DOUBLE) / n AS mean_c,
+        |    sqrt(CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS std_c
+        |  FROM st),
+        |anom AS (SELECT e.event_type, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN abs(v_c - mean_c) > 2.0 * std_c THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_anomalies
+        |  FROM e JOIN st2 USING (event_type) GROUP BY 1),
+        |agg AS (SELECT (ts_us - ts_us % 600000000) // 1000000 AS window_start,
+        |    event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+        |grid AS (SELECT t.event_type, u.g AS window_start
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b,
+        |    LATERAL unnest(generate_series(b.lo, b.hi, 600)) u(g)),
+        |win AS (SELECT g.event_type,
+        |    CAST(sum(CASE WHEN coalesce(n, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_windows_active,
+        |    CAST(sum(CASE WHEN coalesce(n, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_windows_empty
+        |  FROM grid g LEFT JOIN agg a
+        |    ON g.window_start = a.window_start AND g.event_type = a.event_type
+        |  GROUP BY 1),
+        |tr AS (SELECT event_type, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e),
+        |outb AS (SELECT prev_type AS event_type, count(*) AS n_outbound
+        |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1),
+        |inb AS (SELECT event_type, count(*) AS n_inbound
+        |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_events, n_anomalies, n_windows_active,
+        |  n_windows_empty, n_outbound, n_inbound
+        |FROM anom JOIN win USING (event_type) JOIN outb USING (event_type)
+        |  JOIN inb USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // same exact-integer-cents stats pipeline; (s/n) recomputed inline is
     // the same double as Spark's materialized mean_c
     "events_anomaly_zscore" ->

@@ -28,6 +28,48 @@ class StatsStreamSpec extends AnyFunSuite {
     Thread.sleep(20)
   }
 
+  test("state survives a restart: the resumed run continues prior_n from the checkpoint") {
+    val dir = Files.createTempDirectory("stats_restart_").toString
+    val ckpt = Files.createTempDirectory("stats_restart_ckpt_").toString
+    val inliers = Seq(98, 100, 102, 98, 100, 102).map(_ / 100.0)
+    writeOne(dir, "b0.parquet",
+      inliers.zipWithIndex.map { case (v, i) => (i.toLong, "click", v) })
+    writeOne(dir, "b1.parquet",
+      inliers.zipWithIndex.map { case (v, i) => (10L + i, "click", v) })
+
+    // the memory sink cannot recover from a checkpoint; foreachBatch can
+    // (the same sink shape stream_ingest uses in production)
+    def run(outDir: String): Unit = {
+      val st = CdcStream.readEventStream(spark, dir, maxFilesPerTrigger = 1)
+      val out = StatsStream.runningZscoreFlags(st, "event_type", "event_id",
+        round(col("value") * 100).cast("long"), z = 2.0)
+      val q = out.toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val out1 = Files.createTempDirectory("stats_restart_out1_").toString
+    run(out1)
+    assert(spark.read.parquet(out1).count() == 12)
+
+    // a new file arrives while the query is DOWN; the resumed run must
+    // process only it, with state restored (prior_n continues at 12)
+    writeOne(dir, "b2.parquet", Seq((20L, "click", 1.00), (21L, "click", 10.00)))
+    val out2 = Files.createTempDirectory("stats_restart_out2_").toString
+    run(out2)
+    val resumed = spark.read.parquet(out2)
+      .select("id", "prior_n", "is_anom")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(resumed.map(_._1).toSeq == Seq(20L, 21L),
+      "resume processes only the new file, no redelivery")
+    assert(resumed.forall(_._2 == 12L), "state restored from the checkpoint")
+    assert(resumed.find(_._1 == 21L).get._3, "outlier judged against restored stats")
+  }
+
   test("prior-batch judging: first batches never flag; outlier flagged against accumulated stats") {
     val dir = Files.createTempDirectory("stats_stream_").toString
     val inliers = Seq(98, 100, 102, 98, 100, 102).map(_ / 100.0)

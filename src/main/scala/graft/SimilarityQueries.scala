@@ -198,6 +198,15 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // SQ8's recall audit: how much the int8 lists cost vs exact float
+    // brute force (same shared recall tail as the other ANN paths)
+    "sim_ann_ivf_sq8_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.ivfTopKSq8(querySet(emb), emb, k = recallK,
+        numCentroids = ivfK(emb), nProbe = 2, trainIters = 2))
+    }),
+
     // how much ranking the quantization costs vs exact float cosine
     "sim_quantized_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -424,6 +433,26 @@ object SimilarityQueries {
     // in-memory IVF pass (shared assignment/probe/rank code + the same
     // deterministic Lloyd training) — one oracle, two plans
     "sim_ann_ivf_indexed" -> ivfOracleSql,
+    "sim_ann_ivf_sq8_recall" -> recallOracleSql(
+      preCtes =
+        s"""${centTrainSql(ivfKSql, 2)},
+          |sasg AS (
+          |  SELECT vec_id, embedding, cid, row_number() OVER
+          |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+          |  FROM embeddings CROSS JOIN cents),
+          |slists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
+          |  FROM sasg WHERE cr = 1),
+          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |sprobes AS (
+          |  SELECT query_id, ${quantSql("qv")} AS qq, cid AS list_id FROM (
+          |    SELECT query_id, qv, cid, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+          |    FROM q CROSS JOIN cents) pq WHERE cr <= 2)""".stripMargin,
+      annSelect =
+        s"""SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY
+          |        round(${cosQSql("qq", "l.qe")}, 6) DESC, l.vec_id) AS rk
+          |    FROM slists l JOIN sprobes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin),
     "sim_ann_ivf_recall" -> recallOracleSql(
       preCtes =
         s"""${centTrainSql(ivfKSql, 2)},

@@ -82,6 +82,30 @@ class FunnelRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("transition counts conserve: Σ matrix = Σ per-user (n_events − 1)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val evGen = for {
+      u <- Gen.chooseNum(1L, 4L)
+      t <- Gen.oneOf("a", "b", "c")
+      ts <- Gen.chooseNum(0L, 30L)
+    } yield (u, t, ts)
+    for (i <- 0 until 5;
+         rows <- Gen.listOfN(25, evGen).apply(Gen.Parameters.default, Seed(3L + i))) {
+      val df = rows.zipWithIndex
+        .map { case ((u, t, ts), id) => (id.toLong, u, t, ts) }
+        .toDF("event_id", "user_id", "event_type", "ts_us")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val total = df.withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n"))).as[Long].collect().head
+      val expected = rows.groupBy(_._1).values.map(_.size.toLong - 1).sum
+      assert(total == expected, s"case $i lost or invented transitions")
+    }
+  }
+
   test("zscoreFlags: only the >zσ outlier is flagged; stats broadcast per key") {
     // nine 100-cent events + one 1000-cent outlier: mean=190, σ≈270 →
     // only the outlier exceeds 2σ... σ here: E[X²]−E[X]² of

@@ -70,6 +70,7 @@ case class DotProductFloat(left: Expression, right: Expression)
 object GraftFunctions {
   val dotFInfo = new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot_f")
   val dotIInfo = new ExpressionInfo(classOf[DotProductIntExact].getName, "graft_dot_i")
+  val phraseInfo = new ExpressionInfo(classOf[PhraseCount].getName, "graft_phrase_count")
   val sketchInfo = new ExpressionInfo(classOf[ShingleSketch].getName, "graft_shingle_sketch")
   val setInfo = new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set")
 
@@ -82,6 +83,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_dot_i", exprs => DotProductIntExact(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_phrase_count", exprs => PhraseCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_shingle_sketch", exprs => ShingleSketch(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingle_set", exprs => ShingleSet(exprs(0)), "built-in")
@@ -90,6 +93,8 @@ object GraftFunctions {
   /** Column-level API (requires [[register]] or [[GraftExtensions]]). */
   def dotF(a: Column, b: Column): Column = call_function("graft_dot_f", a, b)
   def dotI(a: Column, b: Column): Column = call_function("graft_dot_i", a, b)
+  def phraseCount(tokens: Column, phrase: Column): Column =
+    call_function("graft_phrase_count", tokens, phrase)
   def shingleSketch(shingles: Column): Column =
     call_function("graft_shingle_sketch", shingles)
   def shingleSet(shingles: Column): Column =
@@ -108,6 +113,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot_i"),
       GraftFunctions.dotIInfo,
       (exprs: Seq[Expression]) => DotProductIntExact(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_phrase_count"),
+      GraftFunctions.phraseInfo,
+      (exprs: Seq[Expression]) => PhraseCount(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_shingle_sketch"),
       GraftFunctions.sketchInfo,

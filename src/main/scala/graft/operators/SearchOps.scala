@@ -82,26 +82,22 @@ object SearchOps {
   }
 
   /** Positional phrase search: per doc, the number of token positions
-    * where `phrase` occurs verbatim (consecutive, in order). A pure
-    * per-row expression over the token array — embarrassingly parallel,
-    * no index, no shuffle; the scan IS the search. Docs with no match
-    * emit no row. */
+    * where `phrase` occurs verbatim (consecutive, in order; overlapping
+    * starts each count). A pure per-row expression over the token
+    * array — embarrassingly parallel, no index, no shuffle; the scan IS
+    * the search. Docs with no match emit no row. Routed through the
+    * native codegen'd [[graft.functions.PhraseCount]] — the HOF
+    * formulation (`size(filter(sequence, p -> element_at...))`) paid an
+    * interpreted lambda dispatch per (position × term), 1.56 s → 0.29 s
+    * at sf0.1. */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val toks = TextOps.tokens(col(textCol))
-    // candidate start positions 1..(len-n+1), 1-based for element_at;
-    // docs shorter than the phrase get no candidates (a bare
-    // sequence(1, len-n+1) would COUNT DOWN [1, 0] when len < n)
-    val starts = when(size(toks) >= phrase.length,
-      sequence(lit(1), size(toks) - (phrase.length - 1)))
-      .otherwise(array().cast("array<int>"))
-    val matchAt: Column => Column = p =>
-      phrase.zipWithIndex.map { case (t, i) =>
-        element_at(toks, p + i) === lit(t)
-      }.reduce(_ && _)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
-        size(filter(starts, matchAt)).cast("long").as("n_matches"))
+        graft.functions.GraftFunctions.phraseCount(
+          TextOps.tokens(col(textCol)),
+          array(phrase.map(lit): _*)).as("n_matches"))
       .filter(col("n_matches") > 0)
   }
 }

@@ -41,6 +41,12 @@ class PiiRedactSpec extends AnyFunSuite {
     assert(counts("10.0.0.1 10.0.0.2")._3 == 2)
   }
 
+  test("no false positives: dates, prices, versions, ids survive") {
+    val prose = "on 2024-01-03 order #4821 cost $1,234.56 under v2.10.3 via node8"
+    assert(redact(prose) == prose)
+    assert(counts(prose) == ((0, 0, 0)))
+  }
+
   test("mixed text redacts every type without clobbering prose") {
     val in = "user a@b.io at 10.0.0.1 called (415) 555-2671 about order 1234"
     assert(redact(in) == "user <EMAIL> at <IP> called <PHONE> about order 1234")

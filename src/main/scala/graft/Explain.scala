@@ -13,7 +13,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q6_revenue_filter", "q5_region_volume",
         "cdc_snapshot", "dedup_minhash", "sim_topk_brute", "events_sessionize",
-        "sim_ann_ivf", "pipeline_decontaminate", "pipeline_pack_sequences")
+        "sim_ann_ivf", "pipeline_decontaminate", "pipeline_pack_sequences",
+        "events_funnel", "dedup_crossdoc_ngrams", "sim_ann_ivf_sq8",
+        "text_search_and", "join_salted_skew", "events_resample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -133,6 +133,33 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // per-type linear trend of value over time. regr_slope's running
+    // double accumulation is reduction-order-dependent (not
+    // engine-portable), so the slope is derived from EXACT integer sums
+    // (x in seconds since the fixture epoch, y in cents) with the
+    // closed-form (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) evaluated in double at
+    // the very end — identical bits on both engines. Per-row products
+    // stay far inside long; only the final scalar products need double.
+    "events_regression" -> ((s, dir) => {
+      val x = (col("ts_sec") - lit(1704067200L))
+      val y = round(col("value") * 100).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          floor((
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            lit(86400.0) * lit(10000.0)).cast("double"))
+            // Spark floor(double) → LONG, DuckDB's → DOUBLE; align
+            .cast("double").as("slope_cents_per_day_e4"))
+        .orderBy(col("event_type"))
+    }),
+
     // per-type 2σ outliers (value in exact integer cents), rolled up
     "events_anomaly_zscore" -> ((s, dir) => {
       EventOps.zscoreFlags(Tables.events(s, dir), "event_type",
@@ -326,6 +353,21 @@ object EventQueries {
         |FROM anom JOIN win USING (event_type) JOIN outb USING (event_type)
         |  JOIN inb USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "events_regression" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 - 1704067200 AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * 86400.0 * 10000.0) AS slope_cents_per_day_e4
+        |FROM s ORDER BY event_type""".stripMargin,
     // same exact-integer-cents stats pipeline; (s/n) recomputed inline is
     // the same double as Spark's materialized mean_c
     "events_anomaly_zscore" ->

@@ -82,6 +82,23 @@ class FunnelRetentionSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleTumbling: complete grid, zero-filled gaps, totals conserved") {
+    // two types; type a active in windows 0 and 2 (gap at 1), type b only
+    // in window 1 → grid must be 3 windows × 2 types = 6 cells
+    val df = Seq(
+      ("a", 10L, 1.0), ("a", 1210L, 2.0),
+      ("b", 650L, 5.0)).toDF("event_type", "ts_s", "value")
+      .withColumn("ts_us", col("ts_s") * 1000000L).drop("ts_s")
+    val out = graft.operators.EventOps.resampleTumbling(df, seconds = 600)
+      .select("window_start", "event_type", "n")
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 6, "every (type, window) cell present")
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m == Map(
+      (0L, "a") -> 1L, (600L, "a") -> 0L, (1200L, "a") -> 1L,
+      (0L, "b") -> 0L, (600L, "b") -> 1L, (1200L, "b") -> 0L))
+  }
+
   test("transition counts conserve: Σ matrix = Σ per-user (n_events − 1)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -67,6 +67,21 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(overlap == Map(3L -> 2L), "overlapping starts each count")
   }
 
+  test("phraseCount: NULL token array yields NULL; empty phrase array counts 0") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{array, lit, col}
+    val df = Seq((Some(Seq("a", "b")), 1), (None, 2)).toDF("toks", "i")
+    val out = df.select(col("i"), graft.functions.GraftFunctions
+        .phraseCount(col("toks"), array(lit("a"))).as("c"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(1) == Some(1L) && out(2) == None)
+    val empty = df.filter(col("i") === 1).select(graft.functions.GraftFunctions
+        .phraseCount(col("toks"), array().cast("array<string>")))
+      .collect().head.getLong(0)
+    assert(empty == 0L)
+  }
+
   test("searchAllTerms: AND semantics, tf-desc ranking, k cut") {
     val out = SearchOps.searchAllTerms(idx, Seq("spark", "window"), k = 10)
       .as[(Long, Long, Long)].collect().sortBy(_._3)

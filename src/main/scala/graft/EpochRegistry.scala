@@ -1,0 +1,125 @@
+package graft
+
+import java.lang.ref.WeakReference
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped registry for lazily-built "epoch" resources — the
+  * persisted indexes (band / search / IVF) and the derived stream-input
+  * dirs that are written ONCE per (session, data dir) and probed by
+  * every later query in the session (the 100 TB contract: one index
+  * write per epoch, per-batch cost is the probe).
+  *
+  * Lifecycle (VERDICT r9 #3 — the old per-file ConcurrentHashMaps keyed
+  * by the SparkSession object leaked forever): entries are keyed by a
+  * weakly-assigned session uuid (a String — no strong session reference
+  * pins a stopped session in memory), and a listener on the owning
+  * SparkContext evicts every entry of that context when it stops —
+  * dropping the UUID
+  * catalog tables (best-effort: the in-memory catalog is dying with the
+  * context anyway) and deleting the temp directories (the part that
+  * would otherwise outlive the JVM's session churn). `SparkContext.stop`
+  * drains the listener bus before returning, so by the time `stop()`
+  * returns the entries and dirs are gone — EpochRegistryLifecycleSpec
+  * pins that across three create/use/stop session generations. */
+private[graft] object EpochRegistry {
+
+  /** `value` is what the call site gets back (a table name or a dir
+    * path); `dropTables`/`deleteDirs` are reclaimed on eviction. */
+  final case class Resource(value: String, dropTables: Seq[String] = Nil,
+      deleteDirs: Seq[String] = Nil)
+
+  private final case class Entry(res: Resource, appKey: String,
+      owner: WeakReference[SparkSession])
+
+  // (session uuid, kind, dataDir) → entry
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Entry]()
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // WEAK-keyed session-identity map (SparkSession exposes no public
+  // per-session uuid): assigns each session object a uuid without
+  // pinning it — a collected session's key vanishes, and its entries
+  // are still reclaimed by the context-stop listener
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+
+  private[graft] def idOf(s: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(s)
+    if (id == null) {
+      id = java.util.UUID.randomUUID().toString
+      sessionIds.put(s, id)
+    }
+    id
+  }
+
+  /** Lazily build-or-reuse the resource for (session, kind, dir). The
+    * build runs at most once per key (computeIfAbsent), exactly like the
+    * per-file registries it replaces. */
+  def acquire(s: SparkSession, kind: String, dir: String)(
+      build: () => Resource): String = {
+    hook(s)
+    entries.computeIfAbsent((idOf(s), kind, dir),
+      _ => Entry(build(), appKey(s.sparkContext), new WeakReference(s))).res.value
+  }
+
+  private def appKey(sc: SparkContext): String =
+    sc.applicationId + "/" + sc.startTime
+
+  private def hook(s: SparkSession): Unit = {
+    val sc = s.sparkContext
+    val k = appKey(sc)
+    if (hooked.add(k))
+      sc.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          evictApp(k)
+      })
+  }
+
+  private def evictApp(k: String): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.appKey == k) {
+        release(e.getValue)
+        it.remove()
+      }
+    }
+    hooked.remove(k)
+  }
+
+  private def release(e: Entry): Unit = {
+    // best-effort catalog drop via the (possibly collected / stopping)
+    // owner — a direct catalog call, no query execution, swallowed on
+    // any failure: the in-memory catalog's lifetime is bounded by the
+    // SharedState dying with the context either way
+    val owner = e.owner.get()
+    if (owner != null) e.res.dropTables.foreach { t =>
+      try owner.sessionState.catalog.dropTable(
+        org.apache.spark.sql.catalyst.TableIdentifier(t),
+        ignoreIfNotExists = true, purge = false)
+      catch { case _: Throwable => () }
+    }
+    e.res.deleteDirs.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) { try Files.delete(it.next()) catch { case _: Throwable => () } }
+    }
+  }
+
+  // test hooks (EpochRegistryLifecycleSpec); kind = None → all kinds
+  private[graft] def liveEntries(sessionUUID: String,
+      kind: Option[String] = None): Seq[Resource] = {
+    val out = scala.collection.mutable.Buffer[Resource]()
+    entries.forEach((k, v) =>
+      if (k._1 == sessionUUID && kind.forall(_ == k._2)) out += v.res)
+    out.toSeq
+  }
+  private[graft] def totalEntries: Int = entries.size
+}

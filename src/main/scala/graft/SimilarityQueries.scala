@@ -119,12 +119,10 @@ object SimilarityQueries {
     * reasoning: unique names so concurrent sessions/dirs can never race,
     * one epoch write amortized across every probe in the session —
     * the 100 TB contract where the index is written once per epoch and
-    * the per-batch cost is the probe). */
-  private val ivfIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
+    * the per-batch cost is the probe; [[EpochRegistry]] reclaims both
+    * tables and the dir when the owning session's context stops). */
   private[graft] def ivfIndexFor(s: SparkSession, dir: String): String =
-    ivfIndexes.computeIfAbsent((s, dir), _ => {
+    EpochRegistry.acquire(s, "ivf_index", dir) { () =>
       val table = "graft_ivf_index_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
@@ -132,8 +130,28 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       VectorOps.writeIvfIndex(emb, table, path,
         numCentroids = ivfK(emb), trainIters = 2)
-      table
-    })
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+
+  /** The SQ8 epoch index: same contract as [[ivfIndexFor]], but the
+    * persisted lists are int8 codes ([[VectorOps.writeIvfIndexSq8]]) —
+    * the one member of the index family that compounds the partition
+    * cut with the 4× payload cut (VERDICT r9 #1). */
+  private[graft] def ivfSq8IndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "ivf_sq8_index", dir) { () =>
+      val table = "graft_ivf_sq8_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_sq8_index_").toString
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.writeIvfIndexSq8(emb, table, path,
+        numCentroids = ivfK(emb), trainIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
 
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
@@ -266,6 +284,27 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // the persisted-index form of sim_ann_ivf_sq8: int8 codes served
+    // from partitionBy(list_id) parquet — the probe reads nProbe/K of
+    // the partitions AND a quarter of the bytes per row. Must
+    // hash-match the in-memory SQ8 pass (same oracle SQL).
+    "sim_ann_ivf_sq8_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexSq8(s, ivfSq8IndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the indexed SQ8 probe's recall audit (every approximate path in
+    // the repo carries one) — nProbe=2 like the other recall entries
+    "sim_ann_ivf_sq8_indexed_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.probeIvfIndexSq8(s, ivfSq8IndexFor(s, dir),
+        querySet(emb), k = recallK, nProbe = 2))
+    }),
+
     // same recall audit for the IVF path: nProbe=2 of ~√N lists, so the
     // per-query candidate cut (and its recall cost) is visible
     "sim_ann_ivf_recall" -> ((s, dir) => {
@@ -329,6 +368,57 @@ object SimilarityQueries {
       |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
+
+  /** One SQ8 mirror for the in-memory pass AND the persisted index —
+    * the two are defined result-identical (shared assignment/probe/
+    * quantize/rank code), so one oracle gates two plans, exactly like
+    * [[ivfOracleSql]]. */
+  private lazy val ivfSq8OracleSql =
+    s"""WITH ${centTrainSql(ivfKSql, 2)},
+      |asg AS (
+      |  SELECT vec_id, embedding, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM embeddings CROSS JOIN cents),
+      |lists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
+      |  FROM asg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, ${quantSql("qv")} AS qq, cid AS list_id FROM (
+      |    SELECT query_id, qv, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+      |scored AS (
+      |  SELECT query_id, l.vec_id AS neighbor_id,
+      |    round(${cosQSql("qq", "l.qe")}, 6) AS cos_sim
+      |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** Likewise one SQ8 recall mirror for the in-memory and indexed
+    * probes (both rank with nProbe=2 int8 candidates vs the float
+    * brute-force top-k). */
+  private lazy val ivfSq8RecallOracleSql = recallOracleSql(
+    preCtes =
+      s"""${centTrainSql(ivfKSql, 2)},
+        |sasg AS (
+        |  SELECT vec_id, embedding, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |slists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
+        |  FROM sasg WHERE cr = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |sprobes AS (
+        |  SELECT query_id, ${quantSql("qv")} AS qq, cid AS list_id FROM (
+        |    SELECT query_id, qv, cid, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+        |    FROM q CROSS JOIN cents) pq WHERE cr <= 2)""".stripMargin,
+    annSelect =
+      s"""SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY
+        |        round(${cosQSql("qq", "l.qe")}, 6) DESC, l.vec_id) AS rk
+        |    FROM slists l JOIN sprobes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin)
 
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
@@ -407,52 +497,14 @@ object SimilarityQueries {
         |ORDER BY vec_id""".stripMargin,
     // float centroid train/assign/probe CTEs shared with the plain IVF
     // mirror; only the list payload and the candidate score quantize
-    "sim_ann_ivf_sq8" ->
-      s"""WITH ${centTrainSql(ivfKSql, 2)},
-        |asg AS (
-        |  SELECT vec_id, embedding, cid, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-        |  FROM embeddings CROSS JOIN cents),
-        |lists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
-        |  FROM asg WHERE cr = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT query_id, ${quantSql("qv")} AS qq, cid AS list_id FROM (
-        |    SELECT query_id, qv, cid, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
-        |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
-        |scored AS (
-        |  SELECT query_id, l.vec_id AS neighbor_id,
-        |    round(${cosQSql("qq", "l.qe")}, 6) AS cos_sim
-        |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
-        |ranked AS (SELECT *, row_number() OVER
-        |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
-        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
-        |ORDER BY query_id, rk""".stripMargin,
-    // the persisted-index probe is defined to be result-identical to the
-    // in-memory IVF pass (shared assignment/probe/rank code + the same
-    // deterministic Lloyd training) — one oracle, two plans
+    "sim_ann_ivf_sq8" -> ivfSq8OracleSql,
+    // the persisted-index probes are defined to be result-identical to
+    // their in-memory passes (shared assignment/probe/rank code + the
+    // same deterministic Lloyd training) — one oracle, two plans
     "sim_ann_ivf_indexed" -> ivfOracleSql,
-    "sim_ann_ivf_sq8_recall" -> recallOracleSql(
-      preCtes =
-        s"""${centTrainSql(ivfKSql, 2)},
-          |sasg AS (
-          |  SELECT vec_id, embedding, cid, row_number() OVER
-          |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-          |  FROM embeddings CROSS JOIN cents),
-          |slists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
-          |  FROM sasg WHERE cr = 1),
-          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-          |sprobes AS (
-          |  SELECT query_id, ${quantSql("qv")} AS qq, cid AS list_id FROM (
-          |    SELECT query_id, qv, cid, row_number() OVER
-          |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
-          |    FROM q CROSS JOIN cents) pq WHERE cr <= 2)""".stripMargin,
-      annSelect =
-        s"""SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
-          |      (PARTITION BY query_id ORDER BY
-          |        round(${cosQSql("qq", "l.qe")}, 6) DESC, l.vec_id) AS rk
-          |    FROM slists l JOIN sprobes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin),
+    "sim_ann_ivf_sq8_indexed" -> ivfSq8OracleSql,
+    "sim_ann_ivf_sq8_recall" -> ivfSq8RecallOracleSql,
+    "sim_ann_ivf_sq8_indexed_recall" -> ivfSq8RecallOracleSql,
     "sim_ann_ivf_recall" -> recallOracleSql(
       preCtes =
         s"""${centTrainSql(ivfKSql, 2)},

@@ -120,35 +120,30 @@ object StreamingQueries {
 
   /** Events split into 4 range-partitioned files per (session, dir) so
     * the file source replays them as multiple micro-batches (same
-    * epoch-cache pattern as [[batchDocsDir]]). Range partitioning (not
-    * round-robin) keeps file contents deterministic. */
-  private val eventsDirs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
+    * epoch-cache pattern as [[batchDocsDir]]; [[EpochRegistry]] deletes
+    * the dir when the owning session's context stops). Range
+    * partitioning (not round-robin) keeps file contents deterministic. */
   private[graft] def eventsStreamDir(s: SparkSession, dir: String): String =
-    eventsDirs.computeIfAbsent((s, dir), _ => {
+    EpochRegistry.acquire(s, "events_stream_dir", dir) { () =>
       val path = java.nio.file.Files
         .createTempDirectory("graft_events_stream_").toString
       Tables.events(s, dir).drop("ts")
         .repartitionByRange(4, col("event_id"))
         .write.mode("overwrite").parquet(path)
-      path
-    })
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
 
   /** The arriving-batch doc set materialized once per (session, dir) as
     * a 4-file parquet dir, so the file streaming source replays it as
-    * multiple micro-batches (same epoch-cache pattern as
-    * [[TextQueries.bandIndexFor]]). */
-  private val ingestDirs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
+    * multiple micro-batches (same epoch-cache pattern and
+    * [[EpochRegistry]] lifecycle as [[TextQueries.bandIndexFor]]). */
   private[graft] def batchDocsDir(s: SparkSession, dir: String): String =
-    ingestDirs.computeIfAbsent((s, dir), _ => {
+    EpochRegistry.acquire(s, "ingest_docs_dir", dir) { () =>
       val path = java.nio.file.Files
         .createTempDirectory("graft_ingest_docs_").toString
       TextQueries.dupCorpus(Tables.documents(s, dir))
         .filter(col("doc_id") >= 100000)
         .repartition(4).write.mode("overwrite").parquet(path)
-      path
-    })
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
 }

@@ -31,13 +31,12 @@ object TextQueries {
     * (ADVICE r7 #3: the old form used one fixed global table and a
     * `dir.hashCode` path, a wrong-answer race since the probe lazily
     * reads whatever the table points at when it finally executes). The
-    * index lives for the session, mirroring the 100 TB contract: write
-    * once per full-dedup epoch, probe on every arriving batch. */
-  private val bandIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
+    * index lives for the session — [[EpochRegistry]] reclaims the table
+    * and temp dir when the owning session's context stops — mirroring
+    * the 100 TB contract: write once per full-dedup epoch, probe on
+    * every arriving batch. */
   private[graft] def bandIndexFor(s: SparkSession, dir: String): String =
-    bandIndexes.computeIfAbsent((s, dir), _ => {
+    EpochRegistry.acquire(s, "band_index", dir) { () =>
       val table = "graft_band_index_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
@@ -45,25 +44,24 @@ object TextQueries {
       Dedup.writeBandIndex(
         dupCorpus(Tables.documents(s, dir)).filter(col("doc_id") < 100000),
         "doc_id", "text", table, path)
-      table
-    })
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
 
   /** One persisted search index per (session, dir) epoch — the text
     * twin of [[bandIndexFor]]/[[SimilarityQueries.ivfIndexFor]] (same
-    * UUID-unique isolation reasoning). */
-  private val searchIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-
+    * UUID-unique isolation and [[EpochRegistry]] lifecycle). */
   private[graft] def searchIndexFor(s: SparkSession, dir: String): String =
-    searchIndexes.computeIfAbsent((s, dir), _ => {
+    EpochRegistry.acquire(s, "search_index", dir) { () =>
       val table = "graft_search_index_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_search_index_").toString
       SearchOps.writeSearchIndex(Tables.documents(s, dir), "doc_id", "text",
         table, path)
-      table
-    })
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
 
   private lazy val searchAndSql =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf

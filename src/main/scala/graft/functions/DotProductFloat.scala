@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Expression only on measured need (the HOF chain dominated the
   * similarity bench).
   *
-  * Null handling: a NULL array yields NULL (BinaryExpression default);
-  * elements are assumed non-null (embedding vectors).
+  * Null handling: a NULL array yields NULL (BinaryExpression default),
+  * and so does a LENGTH MISMATCH — `zip_with` pads the short side with
+  * null, which poisons the HOF chain's sum to NULL, so the documented
+  * "exactly the semantics" claim has to hold on ragged input too (the
+  * same ADVICE r9 #4 contract as [[DotProductIntExact]]). Elements are
+  * assumed non-null (embedding vectors).
   */
 case class DotProductFloat(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,14 +41,19 @@ case class DotProductFloat(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot_f"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    java.lang.Double.valueOf(s)
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      java.lang.Double.valueOf(s)
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -53,12 +62,16 @@ case class DotProductFloat(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

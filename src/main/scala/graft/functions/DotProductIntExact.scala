@@ -15,8 +15,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * interpreted lambda per element, which dominates the quantized
   * similarity hot path.
   *
-  * Null handling: a NULL array yields NULL; elements are assumed
-  * non-null (quantized embedding vectors).
+  * Null handling: a NULL array yields NULL, and so does a LENGTH
+  * MISMATCH — the HOF cross-check `dotQHof` (zip_with pads the short
+  * side with null, poisoning the sum) returns NULL on ragged input, and
+  * the two formulations must agree on malformed vectors too, not just
+  * well-formed ones (ADVICE r9 #4: the old min-length truncation
+  * silently disagreed exactly when inputs were malformed). Elements are
+  * assumed non-null (quantized embedding vectors).
   */
 case class DotProductIntExact(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,16 +37,20 @@ case class DotProductIntExact(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_i"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0L
-    var i = 0
-    while (i < n) { s += x.getInt(i).toLong * y.getInt(i).toLong; i += 1 }
-    java.lang.Long.valueOf(s)
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getInt(i).toLong * y.getInt(i).toLong; i += 1 }
+      java.lang.Long.valueOf(s)
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,12 +59,16 @@ case class DotProductIntExact(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (long)$a.getInt($i) * (long)$b.getInt($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (long)$a.getInt($i) * (long)$b.getInt($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -12,8 +12,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * twin of the `size(filter(sequence(...), p -> element_at ...))` HOF
   * chain in phrase search — interpreted HOFs paid a lambda dispatch per
   * (position × phrase term), which dominated the scan (measured 1.56 s
-  * at sf0.1). Caller contract: token elements are non-null (split
-  * output).
+  * at sf0.1). A null ELEMENT (either array) is simply never a match —
+  * the SQL function is user-callable with arbitrary arrays, so the
+  * non-null-tokens contract is enforced here rather than assumed
+  * (ADVICE r9 #5: `getUTF8String` on a null slot threw NPE in both the
+  * interpreted and codegen paths).
   */
 case class PhraseCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,7 +46,8 @@ case class PhraseCount(left: Expression, right: Expression)
         var j = 0
         var ok = true
         while (ok && j < m) {
-          if (!t.getUTF8String(i + j).equals(p.getUTF8String(j))) ok = false
+          if (t.isNullAt(i + j) || p.isNullAt(j) ||
+            !t.getUTF8String(i + j).equals(p.getUTF8String(j))) ok = false
           j += 1
         }
         if (ok) c += 1
@@ -66,7 +70,8 @@ case class PhraseCount(left: Expression, right: Expression)
          |  for (int $i = 0; $i <= $n - $m; $i++) {
          |    boolean $ok = true;
          |    for (int $j = 0; $ok && $j < $m; $j++) {
-         |      if (!$a.getUTF8String($i + $j).equals($b.getUTF8String($j))) $ok = false;
+         |      if ($a.isNullAt($i + $j) || $b.isNullAt($j) ||
+         |          !$a.getUTF8String($i + $j).equals($b.getUTF8String($j))) $ok = false;
          |    }
          |    if ($ok) $c++;
          |  }

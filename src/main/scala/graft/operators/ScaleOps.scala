@@ -51,7 +51,11 @@ object ScaleOps {
     val b = big.withColumn("_salt", pmod(bigSaltSrc, lit(saltBuckets)).cast("int"))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    b.join(s, b("_salt") === s("_salt") && col(bigKey) === col(smallKey))
+    // key columns qualified through the salted frames: an unqualified
+    // col(bigKey) === col(smallKey) fails analysis as ambiguous whenever
+    // the two sides share the key name — the COMMON equi-join case
+    // (ADVICE r9 #3)
+    b.join(s, b("_salt") === s("_salt") && b(bigKey) === s(smallKey))
       .drop(b("_salt")).drop(s("_salt"))
   }
 

@@ -74,11 +74,24 @@ object SearchOps {
     * not filter-pruning benefit, and silently reads every bucket
     * otherwise (SearchOpsSpec pins SelectedBucketsCount < total). The
     * sorted layout additionally gives row-group min/max pruning within
-    * the selected buckets. */
+    * the selected buckets.
+    *
+    * The conf flip is scoped to a dedicated session CLONE, not the
+    * caller's session (ADVICE r9 #1: setting it session-wide silently
+    * changed the plans of every LATER bucketed scan — band index, IVF
+    * lists — in suite-order-dependent ways, and restoring it eagerly
+    * would not survive a re-plan at write time, since the returned frame
+    * is lazy). `newSession` shares the SparkContext, the external
+    * catalog (so the index table resolves), and cached data; only SQL
+    * conf and temp state are isolated — exactly the scope the probe
+    * needs, and the returned frame carries the clone so EVERY later
+    * plan of it (collect, parquet write) keeps the pruning rule. */
   def probeSearchIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       terms: Seq[String], k: Int): DataFrame = {
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    searchAllTerms(spark.table(table), terms, k)
+    val probeSession = spark.newSession()
+    probeSession.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    searchAllTerms(probeSession.table(table), terms, k)
   }
 
   /** Positional phrase search: per doc, the number of token positions

@@ -259,13 +259,7 @@ object VectorOps {
       .select(col("list_id"), col("vec_id"), col("qe"))
     val probes = withQuantized(probeLists(queries, cents, nProbe), "qv", "qq")
       .select(col("list_id"), col("query_id"), col("qq"))
-    val scored = lists.join(broadcast(probes),
-        lists("list_id") === probes("list_id") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosineQ(col("qq"), col("qe")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    scoreAndRankQ(lists, probes, k)
   }
 
   /** K-means cluster assignment as a first-class operator: every vector
@@ -324,6 +318,21 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** The int8 twin of [[scoreAndRank]]: lists carry `qe` (int8 codes),
+    * probes carry `qq` — exact integer candidate scoring via the native
+    * codegen'd dots, same broadcast-probe/no-list-shuffle shape. Shared
+    * by the in-memory IVF-SQ8 pass and the persisted-index probe so the
+    * two can never drift. */
+  private def scoreAndRankQ(lists: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = lists.join(broadcast(probes),
+        lists("list_id") === probes("list_id") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineQ(col("qq"), col("qe")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Materialize an IVF index to the catalog — the vector twin of
     * [[Dedup.writeBandIndex]]'s epoch/probe contract. Two tables:
     * `<table>_cents` (the K·D coarse quantizer, broadcast at probe time)
@@ -366,6 +375,50 @@ object VectorOps {
     val cents = broadcast(spark.table(s"${table}_cents"))
     scoreAndRank(spark.table(s"${table}_lists"),
       probeLists(queries, cents, nProbe), k)
+  }
+
+  /** [[writeIvfIndex]] with int8 LIST PAYLOADS — the layout a 100 TB ANN
+    * deployment actually serves (VERDICT r9 #1): the coarse quantizer
+    * stays float (`<table>_cents`, broadcast at probe time; assignment
+    * and probe ranking are identical to the float index), but
+    * `<table>_lists` stores `partitionBy(list_id)` int8 codes — the 4×
+    * storage/bandwidth cut of [[ivfTopKSq8]] COMPOUNDED with the
+    * partition layout's nProbe/K scan cut, which is exactly where SQ8
+    * pays off: the served probe is IO-bound on list bytes, and reading a
+    * quarter of the bytes from a 1/(K/nProbe) slice of the corpus is the
+    * product of both savings. Quantization happens once at index-write
+    * time (staged-scale [[withQuantized]]), not per probe. */
+  def writeIvfIndexSq8(corpus: DataFrame, table: String, path: String,
+      numCentroids: Int = 16, trainIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val trained = trainCentroids(corpus, numCentroids, trainIters)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = spark.createDataFrame(centRdd, trained.schema)
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${table}_cents")
+    withQuantized(assignLists(corpus, broadcast(cents)), "embedding", "qe")
+      .select(col("list_id"), col("vec_id"), col("qe"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${table}_lists")
+    centRdd.unpersist()
+  }
+
+  /** Probe a [[writeIvfIndexSq8]] table — identical output to
+    * [[ivfTopKSq8]] with the same (numCentroids, trainIters): shared
+    * centroid ranking ([[probeLists]]), shared query-side quantization
+    * ([[withQuantized]]), shared integer scoring ([[scoreAndRankQ]]).
+    * The scan reads ONLY the probed lists' partitions (dynamic partition
+    * pruning — IvfIndexSpec asserts plan + files-read), and each list
+    * row is int8 codes, not float32. */
+  def probeIvfIndexSq8(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = broadcast(spark.table(s"${table}_cents"))
+    val probes = withQuantized(probeLists(queries, cents, nProbe), "qv", "qq")
+      .select(col("list_id"), col("query_id"), col("qq"))
+    scoreAndRankQ(spark.table(s"${table}_lists"), probes, k)
   }
 
   /** Embedding near-dup pairs: cosine above `threshold` within a bucket

@@ -14,15 +14,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * each user's per-stage event TIMES (sorted), and the reach cascade is
   * recomputed per batch. State is bounded by the user's stage-event
   * count (stage events are the funnel-relevant subset, orders of
-  * magnitude sparser than the log; a TTL policy would bolt on via
-  * EventTimeTimeout if a deployment needs eviction).
+  * magnitude sparser than the log); against a truly unbounded log, pass
+  * `ttl` to evict idle users by EVENT time (see [[runningFunnel]]).
   *
-  * Emits one row per (user, batch-with-news): the reach vector plus
-  * `n_seen` — monotonically growing, so "row with max n_seen per user"
-  * is the user's final state in any at-least-once sink. */
+  * Output domain matches the batch twin (ADVICE r9 #2): a user emits
+  * only once they have reached stage 1 — `funnelReach` starts from the
+  * stage-1 groupBy, so users with only later-stage events produce no
+  * batch row and now produce no stream row either. Duplicate stage
+  * names are rejected up front (the batch cascade supports them, but
+  * `stageExpr` maps each event type to ONE stage index, so earlier
+  * duplicates would sit permanently empty — a silent contract break).
+  *
+  * Emits one row per (user-with-stage-1-reach, batch-with-news): the
+  * reach vector plus `n_seen` — monotonically growing (within one TTL
+  * epoch), so "row with max n_seen per user" is the user's final state
+  * in any at-least-once sink. */
 object FunnelStream {
 
   case class StageObs(user: Long, stage: Int, ts: Long)
+  // not `private`: the Dataset encoder's generated SafeProjection needs
+  // bytecode access to the case class
+  case class StageObsT(user: Long, stage: Int, ts: Long,
+      ets: java.sql.Timestamp)
   case class FunnelState(times: Seq[Seq[Long]])
   case class Reach(user_id: Long, n_seen: Long, reach: Seq[Option[Long]])
 
@@ -34,32 +47,107 @@ object FunnelStream {
       acc :+ prev.flatMap(p => ts.filter(_ >= p).minOption)
     }
 
+  /** Merge a batch of observations into the user's per-stage times and
+    * emit the recomputed cascade — shared by the NoTimeout and TTL
+    * paths so their funnel semantics cannot drift. No emission until
+    * the user reaches stage 1 (batch-twin output domain). */
+  private def mergeAndEmit(user: Long, batch: Vector[StageObs],
+      state: GroupState[FunnelState], nStages: Int): Iterator[Reach] = {
+    val st = state.getOption
+      .getOrElse(FunnelState(Vector.fill(nStages)(Vector.empty)))
+    val merged = FunnelState(st.times.zipWithIndex.map { case (ts, i) =>
+      (ts ++ batch.filter(_.stage == i).map(_.ts)).sorted
+    })
+    state.update(merged)
+    val reach = cascade(merged.times)
+    if (reach.head.isEmpty) Iterator.empty
+    else {
+      val n = merged.times.map(_.size.toLong).sum
+      Iterator.single(Reach(user, n, reach))
+    }
+  }
+
+  /** `ttl = None` (default): state lives for the stream's lifetime —
+    * right when the funnel-relevant event subset is bounded (a campaign
+    * window, a capped cohort). `ttl = Some("30 minutes")`: a user idle
+    * for `ttl` of EVENT time past the watermark has their whole state
+    * evicted — the same replay-deterministic EventTimeTimeout
+    * discipline as [[CdcStream.statefulDedupTtl]] (wall-clock timeouts
+    * would also force empty micro-batches forever; see there).
+    * `watermarkDelay` is the allowed out-of-orderness of `tsCol`
+    * (microseconds), only consulted when `ttl` is set.
+    *
+    * Eviction semantics: expiry FORGETS the user's funnel history —
+    * a later event re-creates state from empty, so `n_seen` restarts
+    * and the cascade covers only post-expiry events. That can never
+    * emit a WRONG reach vector (one mixing forgotten history with new
+    * events): the fresh state contains exactly the new events, and the
+    * stage-1 emission gate keeps a post-expiry later-stage straggler
+    * from emitting at all. FunnelStreamSpec pins both halves. */
   def runningFunnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, stages: Seq[String]): Dataset[Reach] = {
+      tsCol: String, stages: Seq[String], ttl: Option[String] = None,
+      watermarkDelay: String = "0 seconds"): Dataset[Reach] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"duplicate funnel stages: $stages (each event type maps to one " +
+        "stage index — earlier duplicates would never fill)")
     val spark = events.sparkSession
     import spark.implicits._
     val stageExpr = stages.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (s, i)) =>
         when(col(typeCol) === s, lit(i)).otherwise(acc) }
-    val obs = events
-      .select(col(userCol).cast("long").as("user"), stageExpr.as("stage"),
-        col(tsCol).cast("long").as("ts"))
-      .filter(col("stage") >= 0).as[StageObs]
-    obs.groupByKey(_.user)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[StageObs], state: GroupState[FunnelState]) => {
-          val st = state.getOption
-            .getOrElse(FunnelState(Vector.fill(stages.length)(Vector.empty)))
-          val batch = rows.toVector
-          if (batch.isEmpty) Iterator.empty
-          else {
-            val merged = FunnelState(st.times.zipWithIndex.map { case (ts, i) =>
-              (ts ++ batch.filter(_.stage == i).map(_.ts)).sorted
+    ttl match {
+      case None =>
+        val obs = events
+          .select(col(userCol).cast("long").as("user"), stageExpr.as("stage"),
+            col(tsCol).cast("long").as("ts"))
+          .filter(col("stage") >= 0).as[StageObs]
+        obs.groupByKey(_.user)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            (user: Long, rows: Iterator[StageObs], state: GroupState[FunnelState]) => {
+              val batch = rows.toVector
+              if (batch.isEmpty) Iterator.empty
+              else mergeAndEmit(user, batch, state, stages.length)
             })
-            state.update(merged)
-            val n = merged.times.map(_.size.toLong).sum
-            Iterator.single(Reach(user, n, cascade(merged.times)))
-          }
-        })
+      case Some(t) =>
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+          .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        val ttlMillis = // month = 30 days, the same convention GroupState uses
+          iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+        val obs = events
+          .select(col(userCol).cast("long").as("user"), stageExpr.as("stage"),
+            col(tsCol).cast("long").as("ts"),
+            timestamp_micros(col(tsCol).cast("long")).as("ets"))
+          .filter(col("stage") >= 0)
+          .withWatermark("ets", watermarkDelay)
+          .as[StageObsT]
+        obs.groupByKey(_.user)
+          .flatMapGroupsWithState(OutputMode.Update,
+            GroupStateTimeout.EventTimeTimeout)(
+            (user: Long, rows: Iterator[StageObsT], state: GroupState[FunnelState]) => {
+              if (state.hasTimedOut) {
+                state.remove() // TTL expiry: forget the user's funnel history
+                Iterator.empty
+              } else {
+                val batch = rows.toVector
+                if (batch.isEmpty) Iterator.empty
+                else {
+                  val out = mergeAndEmit(user,
+                    batch.map(o => StageObs(o.user, o.stage, o.ts)),
+                    state, stages.length)
+                  // horizon from max(lastEvent, watermark): a user whose
+                  // (late) data lands with the watermark already past
+                  // lastEvent+ttl still gets a FULL ttl from now; the +1
+                  // keeps the timestamp strictly past the watermark even
+                  // at ttl=0 (same reasoning as statefulDedupTtl)
+                  val lastMs = batch.map(_.ets.getTime).max
+                  state.setTimeoutTimestamp(
+                    math.max(state.getCurrentWatermarkMs() + 1,
+                      math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis))
+                  out
+                }
+              }
+            })
+    }
   }
 }

@@ -55,6 +55,22 @@ class DotProductFloatSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("ragged lengths yield NULL — native and HOF forms agree on malformed input") {
+    // ADVICE r9 #4: zip_with pads the short side with null, poisoning
+    // the HOF sum to NULL; the native expressions used to truncate to
+    // min-length — the two "identical" formulations disagreed exactly
+    // when inputs were malformed. Now both are NULL, both types.
+    GraftFunctions.register(spark)
+    val f = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("native"),
+        VectorOps.dotHof(col("a"), col("b")).as("hof")).collect().head
+    assert(f.isNullAt(0) && f.isNullAt(1))
+    val i = Seq((Array(1, 2, 3), Array(1, 2))).toDF("a", "b")
+      .select(VectorOps.dotQ(col("a"), col("b")).as("native"),
+        VectorOps.dotQHof(col("a"), col("b")).as("hof")).collect().head
+    assert(i.isNullAt(0) && i.isNullAt(1))
+  }
+
   test("cosine of a vector with itself is exactly 1 after rounding") {
     GraftFunctions.register(spark)
     val df = Seq(Tuple1(Array(0.3f, -0.7f, 0.648f))).toDF("v")

@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.VectorOps
 
-/** Gates the persisted IVF index ([[VectorOps.writeIvfIndex]] /
-  * [[VectorOps.probeIvfIndex]]) — the vector twin of the band-index
-  * epoch/probe contract: (1) the probe is result-identical to the
-  * in-memory [[VectorOps.ivfTopK]] with the same parameters, and (2) the
-  * probe plan physically reads ONLY the probed lists — the
+/** Gates the persisted IVF index family ([[VectorOps.writeIvfIndex]] /
+  * [[VectorOps.probeIvfIndex]] and the SQ8 twins) — the vector twin of
+  * the band-index epoch/probe contract: (1) each probe is
+  * result-identical to its in-memory pass with the same parameters, and
+  * (2) the probe plan physically reads ONLY the probed lists — the
   * `partitionBy(list_id)` layout + dynamic partition pruning turn "scan
   * the corpus" into "scan nProbe/K of the corpus", which is the entire
-  * point of the index at 100 TB. */
+  * point of the index at 100 TB (and for SQ8, those pruned partitions
+  * hold int8 codes — the 4× payload cut compounds the partition cut). */
 class IvfIndexSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.spark
@@ -32,7 +33,7 @@ class IvfIndexSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 10)
     val k = SimilarityQueries.ivfK(emb)
-    val table = ivfTable(emb, k)
+    val table = ivfTable(emb, k, sq8 = false)
     val probe = VectorOps.probeIvfIndex(spark, table, queries, k = 3, nProbe = 4)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
     val direct = VectorOps.ivfTopK(queries, emb, k = 3,
@@ -43,11 +44,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(p == d)
   }
 
+  test("sq8 probe matches the in-memory IVF-SQ8 pass exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = SimilarityQueries.ivfK(emb)
+    val table = ivfTable(emb, k, sq8 = true)
+    val probe = VectorOps.probeIvfIndexSq8(spark, table, queries, k = 3, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    val direct = VectorOps.ivfTopKSq8(queries, emb, k = 3,
+        numCentroids = k, nProbe = 4, trainIters = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    val (p, d) = (rows(probe), rows(direct))
+    assert(p.nonEmpty, "sq8 probe returned nothing")
+    assert(p == d)
+    // and the persisted list payload really is int8-in-int codes
+    val qe = spark.table(s"${table}_lists").schema("qe").dataType.simpleString
+    assert(qe == "array<int>", s"sq8 lists store $qe, expected array<int>")
+  }
+
   test("probe scans only the probed lists (dynamic partition pruning)") {
+    assertPrunedProbe(sq8 = false)
+  }
+
+  test("sq8 probe scans only the probed lists (dynamic partition pruning)") {
+    assertPrunedProbe(sq8 = true)
+  }
+
+  /** The pruning contract, shared by both index layouts: DPP expression
+    * in the lists scan, no Exchange between the scan and its broadcast
+    * join, and a files-read count proving ≤ nProbe of the K partitions
+    * were touched. */
+  private def assertPrunedProbe(sq8: Boolean): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val k = SimilarityQueries.ivfK(emb)
-    val table = ivfTable(emb, k)
+    val table = ivfTable(emb, k, sq8)
     val nLists = spark.table(s"${table}_lists")
       .select(col("list_id")).distinct().count()
     assert(nLists > 4, s"need >nProbe lists for the pruning assertion, got $nLists")
@@ -57,7 +89,9 @@ class IvfIndexSpec extends AnyFunSuite {
     try {
       // a single query vector probes exactly min(nProbe, K) lists
       val one = emb.filter(col("vec_id") === 0)
-      val probe = VectorOps.probeIvfIndex(spark, table, one, k = 3, nProbe = 4)
+      val probe =
+        if (sq8) VectorOps.probeIvfIndexSq8(spark, table, one, k = 3, nProbe = 4)
+        else VectorOps.probeIvfIndex(spark, table, one, k = 3, nProbe = 4)
       val all = nodes(probe.queryExecution.executedPlan)
       val listScans = all.collect {
         case f: FileSourceScanExec
@@ -100,16 +134,18 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
-  /** Build (once per suite) a throwaway index for these tests — unique
-    * names, dropped by the JVM temp-dir lifecycle like the spec twin in
-    * DedupIncrementalSpec. */
-  private lazy val tableMemo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-  private def ivfTable(emb: DataFrame, k: Int): String =
-    tableMemo.computeIfAbsent(k, _ => {
+  /** Build (once per suite, per layout) a throwaway index for these
+    * tests — unique names, dropped by the JVM temp-dir lifecycle like
+    * the spec twin in DedupIncrementalSpec. */
+  private lazy val tableMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Boolean), String]()
+  private def ivfTable(emb: DataFrame, k: Int, sq8: Boolean): String =
+    tableMemo.computeIfAbsent((k, sq8), _ => {
       val table = "graft_ivf_spec_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec_").toString
-      VectorOps.writeIvfIndex(emb, table, path, numCentroids = k, trainIters = 2)
+      if (sq8) VectorOps.writeIvfIndexSq8(emb, table, path, numCentroids = k, trainIters = 2)
+      else VectorOps.writeIvfIndex(emb, table, path, numCentroids = k, trainIters = 2)
       table
     })
 }

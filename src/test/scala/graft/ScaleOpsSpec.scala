@@ -42,6 +42,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(hotSalts == 8L)
   }
 
+  test("saltedJoin works when both sides share the key column name") {
+    // the COMMON equi-join case — the pre-fix unqualified predicate
+    // failed analysis as ambiguous here (ADVICE r9 #3)
+    val big = (0 until 100).map(i => (1L, i.toLong)).toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (2L, "cold")).toDF("k", "name")
+    val out = ScaleOps.saltedJoin(big, small, "k", "k",
+      saltBuckets = 4, bigSaltSrc = col("row_id"))
+    assert(out.count() == 100L, "every hot-key row matches its dim row once")
+    assert(out.select("name").distinct().as[String].collect().toSeq == Seq("hot"))
+  }
+
   test("registryLookup drops unwatched tables and broadcasts the registry") {
     val queue = Seq(("users", 1L), ("users", 2L), ("orders", 3L), ("ghost", 4L))
       .toDF("table_name", "event_id")

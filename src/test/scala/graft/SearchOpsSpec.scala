@@ -34,8 +34,16 @@ class SearchOpsSpec extends AnyFunSuite {
       .createTempDirectory("graft_search_spec_").toString
     try {
       SearchOps.writeSearchIndex(docs, "doc_id", "text", table, path, numBuckets = 4)
+      // ADVICE r9 #1: the probe's autoBucketedScan flip must be scoped
+      // to its own session clone — the CALLER's conf stays untouched,
+      // so later bucketed scans (band index, IVF lists) plan the same
+      // whether or not an indexed search ran first
+      val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val confBefore = spark.conf.get(confKey)
       val probe = SearchOps.probeSearchIndex(spark, table, Seq("spark", "window"), 10)
       val direct = SearchOps.searchAllTerms(idx, Seq("spark", "window"), 10)
+      assert(spark.conf.get(confKey) == confBefore,
+        "probeSearchIndex mutated the caller session's conf")
       assert(probe.collect().toSeq == direct.collect().toSeq,
         "persisted probe must equal the in-memory search")
       // the term IN (...) predicate must prune buckets at scan time —
@@ -80,6 +88,25 @@ class SearchOpsSpec extends AnyFunSuite {
         .phraseCount(col("toks"), array().cast("array<string>")))
       .collect().head.getLong(0)
     assert(empty == 0L)
+  }
+
+  test("phraseCount: null ELEMENTS are non-matches, not NPEs") {
+    // ADVICE r9 #5: the SQL function is user-callable with arbitrary
+    // arrays — a null slot in either side must never throw
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{array, lit, col, expr}
+    val df = Seq(1).toDF("i")
+      .withColumn("toks", expr("array('a', CAST(NULL AS STRING), 'a', 'b')"))
+    // phrase ("a","b") matches only at position 3 — position 1 is broken
+    // by the null token in the middle
+    val c1 = df.select(graft.functions.GraftFunctions
+      .phraseCount(col("toks"), array(lit("a"), lit("b")))).collect().head.getLong(0)
+    assert(c1 == 1L)
+    // a null PHRASE element can never match any token → 0, no throw
+    val c2 = df.select(graft.functions.GraftFunctions
+      .phraseCount(col("toks"), expr("array('a', CAST(NULL AS STRING))")))
+      .collect().head.getLong(0)
+    assert(c2 == 0L)
   }
 
   test("searchAllTerms: AND semantics, tf-desc ranking, k cut") {

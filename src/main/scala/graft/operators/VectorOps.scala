@@ -168,6 +168,11 @@ object VectorOps {
     * driver-free broadcast path. */
   def trainCentroids(corpus: DataFrame, numCentroids: Int = 16,
       iterations: Int = 2): DataFrame = {
+    // every Lloyd path scores with the native dot expression — register
+    // here (idempotent) so no caller depends on an EARLIER query having
+    // registered on the session (a fresh session running an index write
+    // first hit unresolvedRoutineError)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     var cents = corpus.filter(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     var it = 0
@@ -372,6 +377,7 @@ object VectorOps {
     * lists instead of re-running assignment over the corpus. */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val cents = broadcast(spark.table(s"${table}_cents"))
     scoreAndRank(spark.table(s"${table}_lists"),
       probeLists(queries, cents, nProbe), k)

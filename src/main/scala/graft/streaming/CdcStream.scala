@@ -194,13 +194,9 @@ object CdcStream {
   /** [[statefulDedup]] with a TTL: a key whose last activity is more than
     * `ttl` behind the watermark has its whole state evicted — idle keys
     * cost nothing, the bound that keeps the state store sane at 100 TB
-    * (VERDICT r1 #8). The TTL is EVENT-time, via `EventTimeTimeout` +
-    * `setTimeoutTimestamp(lastEvent + ttl)`: eviction is driven by the
-    * stream's own clock, so it is deterministic and replay-safe. (A
-    * `ProcessingTimeTimeout` would also force a micro-batch every trigger
-    * forever — `shouldRunAnotherBatch` is always true under wall-clock
-    * timeouts — which burns cluster time on empty batches and makes
-    * `processAllAvailable` never return.)
+    * (VERDICT r1 #8). The TTL is EVENT-time via [[EventTimeTtl]]'s
+    * shared horizon discipline (see there for why not
+    * `ProcessingTimeTimeout`).
     *
     * Input rows are (key, event_ts, uuid); `watermarkDelay` is the
     * allowed out-of-orderness of `event_ts`. */
@@ -210,10 +206,7 @@ object CdcStream {
       maxUuidsPerKey: Int = 10000): org.apache.spark.sql.Dataset[(String, String)] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
-    val ttlMillis = // month = 30 days, the same convention GroupState uses
-      iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    val ttlMillis = EventTimeTtl.millis(ttl)
     events.toDF("key", "event_ts", "uuid")
       .withWatermark("event_ts", watermarkDelay)
       .as[(String, java.sql.Timestamp, String)]
@@ -234,15 +227,7 @@ object CdcStream {
               seenSet.add(uuid)
             }.map { case (k, _, uuid) => (k, uuid) }.toList
             if (out.nonEmpty) state.update(seenSet.toSeq.takeRight(maxUuidsPerKey))
-            // base the horizon on max(lastEvent, watermark): a key whose
-            // (late) data arrives with the watermark already past
-            // lastEvent+ttl still gets a FULL ttl of dedup from now —
-            // otherwise late keys would be evicted on the next batch
-            // (ADVICE r2). The +1 keeps the timestamp strictly past the
-            // watermark (Spark rejects ≤ watermark) even at ttl=0.
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs() + 1,
-                math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis))
+            EventTimeTtl.arm(state, lastMs, ttlMillis)
             out.iterator
           }
       }

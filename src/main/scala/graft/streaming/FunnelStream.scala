@@ -110,10 +110,7 @@ object FunnelStream {
               else mergeAndEmit(user, batch, state, stages.length)
             })
       case Some(t) =>
-        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-          .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(t))
-        val ttlMillis = // month = 30 days, the same convention GroupState uses
-          iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+        val ttlMillis = EventTimeTtl.millis(t)
         val obs = events
           .select(col(userCol).cast("long").as("user"), stageExpr.as("stage"),
             col(tsCol).cast("long").as("ts"),
@@ -135,15 +132,7 @@ object FunnelStream {
                   val out = mergeAndEmit(user,
                     batch.map(o => StageObs(o.user, o.stage, o.ts)),
                     state, stages.length)
-                  // horizon from max(lastEvent, watermark): a user whose
-                  // (late) data lands with the watermark already past
-                  // lastEvent+ttl still gets a FULL ttl from now; the +1
-                  // keeps the timestamp strictly past the watermark even
-                  // at ttl=0 (same reasoning as statefulDedupTtl)
-                  val lastMs = batch.map(_.ets.getTime).max
-                  state.setTimeoutTimestamp(
-                    math.max(state.getCurrentWatermarkMs() + 1,
-                      math.max(lastMs, state.getCurrentWatermarkMs()) + ttlMillis))
+                  EventTimeTtl.arm(state, batch.map(_.ets.getTime).max, ttlMillis)
                   out
                 }
               }

@@ -56,4 +56,54 @@ object StatsStream {
           out.iterator
         })
   }
+
+  // not `private`: the Dataset encoder's generated SafeProjection needs
+  // bytecode access to the case class
+  case class ObsT(key: String, id: Long, cents: Long, ets: java.sql.Timestamp)
+
+  /** [[runningZscoreFlags]] with an event-time TTL ([[EventTimeTtl]]'s
+    * shared horizon): a key idle for `ttl` of event time past the
+    * watermark has its stats evicted. The per-key state is only 3
+    * longs, so the bound this buys is on KEY CARDINALITY — per-user or
+    * per-entity keys on an unbounded stream accrete keys forever
+    * without it (per-type keys like the gated query's don't need it).
+    * Expiry semantics are honest restarts: a reappearing key's first
+    * observations see `prior_n = 0` and flag nothing until 2 fresh
+    * observations accrue — stats older than the TTL no longer describe
+    * the key, so judging against them would be the wrong answer, not a
+    * convenience (StatsStreamSpec pins the restart). */
+  def runningZscoreFlagsTtl(events: DataFrame, keyCol: String, idCol: String,
+      centsCol: Column, z: Double, tsCol: String, ttl: String,
+      watermarkDelay: String = "0 seconds"): Dataset[Flagged] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlMillis = EventTimeTtl.millis(ttl)
+    val obs = events.select(col(keyCol).cast("string").as("key"),
+        col(idCol).cast("long").as("id"), centsCol.cast("long").as("cents"),
+        timestamp_micros(col(tsCol).cast("long")).as("ets"))
+      .withWatermark("ets", watermarkDelay)
+      .as[ObsT]
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[ObsT], state: GroupState[KeyStats]) => {
+          if (state.hasTimedOut) {
+            state.remove() // TTL expiry: the key's stats no longer describe it
+            Iterator.empty
+          } else {
+            val batch = rows.toVector
+            if (batch.isEmpty) Iterator.empty
+            else {
+              val st = state.getOption.getOrElse(KeyStats(0L, 0L, 0L))
+              val out = batch.map(o =>
+                Flagged(key, o.id, o.cents, st.n, judge(st, o.cents, z)))
+              state.update(KeyStats(st.n + batch.size,
+                st.s + batch.iterator.map(_.cents).sum,
+                st.s2 + batch.iterator.map(o => o.cents * o.cents).sum))
+              EventTimeTtl.arm(state, batch.map(_.ets.getTime).max, ttlMillis)
+              out.iterator
+            }
+          }
+        })
+  }
 }

@@ -28,6 +28,54 @@ class StatsStreamSpec extends AnyFunSuite {
     Thread.sleep(20)
   }
 
+  /** Like [[writeOne]] but with an explicit event-time column (micros),
+    * for the TTL variant. */
+  private def writeOneTs(dir: String, name: String,
+      rows: Seq[(Long, String, Double, Long)]): Unit = {
+    val tmp = Files.createTempDirectory("ss_part_").toString
+    rows.toDF("event_id", "event_type", "value", "ts_us")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(dir, name))
+    Thread.sleep(20)
+  }
+
+  test("ttl evicts idle keys; a reappearing key restarts at prior_n = 0") {
+    val dir = Files.createTempDirectory("stats_ttl_").toString
+    val S = 1000000L // one second of event time, in micros
+    // click accumulates n=3 then n=5 at t=1..2 s; "other" pushes the
+    // watermark to ~100 s; the next batch fires click's timeout (armed
+    // at ~32 s); click's return at 102 s must see prior_n=0 — judging
+    // against 100-second-old stats would be the wrong answer, not a
+    // convenience
+    writeOneTs(dir, "b0.parquet", Seq((0L, "click", 0.98, 1L * S),
+      (1L, "click", 1.00, 1L * S), (2L, "click", 1.02, 1L * S)))
+    writeOneTs(dir, "b1.parquet", Seq((3L, "click", 0.99, 2L * S),
+      (4L, "click", 1.01, 2L * S)))
+    writeOneTs(dir, "b2.parquet", Seq((90L, "other", 1.00, 100L * S)))
+    writeOneTs(dir, "b3.parquet", Seq((91L, "other", 1.00, 101L * S)))
+    writeOneTs(dir, "b4.parquet", Seq((20L, "click", 5.00, 102L * S),
+      (21L, "click", 1.00, 102L * S)))
+
+    val st = CdcStream.readEventStream(spark, dir, maxFilesPerTrigger = 1)
+    val out = StatsStream.runningZscoreFlagsTtl(st, "event_type", "event_id",
+      round(col("value") * 100).cast("long"), z = 2.0,
+      tsCol = "ts_us", ttl = "30 seconds")
+    val q = out.toDF().writeStream.format("memory").queryName("ss_ttl_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ss_ttl_out")
+      .select("id", "prior_n", "is_anom")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(rows(3L)._1 == 3L && rows(4L)._1 == 3L,
+      "pre-expiry batches accumulate normally")
+    assert(rows(20L) == ((0L, false)) && rows(21L) == ((0L, false)),
+      "post-expiry click restarts cold: prior_n=0, nothing flagged — " +
+        "the 5.00 outlier is NOT judged against the forgotten stats")
+  }
+
   test("state survives a restart: the resumed run continues prior_n from the checkpoint") {
     val dir = Files.createTempDirectory("stats_restart_").toString
     val ckpt = Files.createTempDirectory("stats_restart_ckpt_").toString

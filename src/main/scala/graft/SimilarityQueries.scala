@@ -153,6 +153,45 @@ object SimilarityQueries {
         deleteDirs = Seq(path))
     }
 
+  /** The append-maintenance epoch: a base index built from `embeddings`
+    * with the dup-vector batch (vec_id ≥ 100000) APPENDED via the
+    * frozen quantizer — one build + one append per (session, dir), so
+    * the gated query measures the post-append probe. Separate kind
+    * from [[ivfIndexFor]]: appending there would mutate what
+    * `sim_ann_ivf_indexed` probes. */
+  private[graft] def ivfAppendIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "ivf_append_index", dir) { () =>
+      val table = "graft_ivf_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_append_index_").toString
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.writeIvfIndex(emb, table, path,
+        numCentroids = ivfK(emb), trainIters = 2)
+      VectorOps.appendToIvfIndex(s, table,
+        dupVectors(emb).filter(col("vec_id") >= 100000))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+
+  /** SQ8 twin of [[ivfAppendIndexFor]]. */
+  private[graft] def ivfSq8AppendIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "ivf_sq8_append_index", dir) { () =>
+      val table = "graft_ivf_sq8_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_sq8_append_index_").toString
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.writeIvfIndexSq8(emb, table, path,
+        numCentroids = ivfK(emb), trainIters = 2)
+      VectorOps.appendToIvfIndexSq8(s, table,
+        dupVectors(emb).filter(col("vec_id") >= 100000))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
@@ -296,6 +335,29 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // index MAINTENANCE: a batch appended to the persisted index via
+    // the FROZEN coarse quantizer (the between-epochs operation — the
+    // already-indexed corpus is never read or rewritten); the probe
+    // must equal probing the union corpus against the original
+    // centroids, which is exactly what the oracle computes
+    "sim_ann_ivf_appended" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndex(s, ivfAppendIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the SQ8 layout's append maintenance — int8 codes into the frozen
+    // quantizer's list partitions
+    "sim_ann_ivf_sq8_appended" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexSq8(s, ivfSq8AppendIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the indexed SQ8 probe's recall audit (every approximate path in
     // the repo carries one) — nProbe=2 like the other recall entries
     "sim_ann_ivf_sq8_indexed_recall" -> ((s, dir) => {
@@ -347,12 +409,18 @@ object SimilarityQueries {
       |FROM q LEFT JOIN hits ON q.query_id = hits.query_id
       |ORDER BY q.query_id""".stripMargin
 
-  private lazy val ivfOracleSql =
-    s"""WITH ${centTrainSql(ivfKSql, 2)},
+  /** The plain-IVF mirror parametrized over the LIST corpus: the coarse
+    * quantizer always trains on `embeddings` (the frozen-quantizer
+    * contract of the epoch index), but the inverted lists can cover a
+    * different relation — `embeddings` for the build-time index,
+    * `corpus` (original ∪ appended batch) for the append-maintenance
+    * query. One builder so the four IVF mirrors can't drift. */
+  private def ivfOracleOver(pre: String, corpusRel: String): String =
+    s"""WITH $pre${centTrainSql(ivfKSql, 2)},
       |asg AS (
       |  SELECT vec_id, embedding, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-      |  FROM embeddings CROSS JOIN cents),
+      |  FROM $corpusRel CROSS JOIN cents),
       |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
       |probes AS (
@@ -369,16 +437,20 @@ object SimilarityQueries {
       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
 
-  /** One SQ8 mirror for the in-memory pass AND the persisted index —
-    * the two are defined result-identical (shared assignment/probe/
-    * quantize/rank code), so one oracle gates two plans, exactly like
-    * [[ivfOracleSql]]. */
-  private lazy val ivfSq8OracleSql =
-    s"""WITH ${centTrainSql(ivfKSql, 2)},
+  private lazy val ivfOracleSql = ivfOracleOver("", "embeddings")
+  private lazy val ivfAppendOracleSql =
+    ivfOracleOver(dupVectorsSql + ",\n", "corpus")
+
+  /** The SQ8 twin of [[ivfOracleOver]]: one mirror for the in-memory
+    * pass, the persisted index, AND the append-maintenance query —
+    * shared assignment/probe/quantize/rank semantics, so one builder
+    * gates three plans. */
+  private def ivfSq8OracleOver(pre: String, corpusRel: String): String =
+    s"""WITH $pre${centTrainSql(ivfKSql, 2)},
       |asg AS (
       |  SELECT vec_id, embedding, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-      |  FROM embeddings CROSS JOIN cents),
+      |  FROM $corpusRel CROSS JOIN cents),
       |lists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
       |  FROM asg WHERE cr = 1),
       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -395,6 +467,10 @@ object SimilarityQueries {
       |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfSq8OracleSql = ivfSq8OracleOver("", "embeddings")
+  private lazy val ivfSq8AppendOracleSql =
+    ivfSq8OracleOver(dupVectorsSql + ",\n", "corpus")
 
   /** Likewise one SQ8 recall mirror for the in-memory and indexed
     * probes (both rank with nProbe=2 int8 candidates vs the float
@@ -503,6 +579,10 @@ object SimilarityQueries {
     // same deterministic Lloyd training) — one oracle, two plans
     "sim_ann_ivf_indexed" -> ivfOracleSql,
     "sim_ann_ivf_sq8_indexed" -> ivfSq8OracleSql,
+    // append maintenance: same builders over the union corpus with the
+    // quantizer still trained on the ORIGINAL embeddings only
+    "sim_ann_ivf_appended" -> ivfAppendOracleSql,
+    "sim_ann_ivf_sq8_appended" -> ivfSq8AppendOracleSql,
     "sim_ann_ivf_sq8_recall" -> ivfSq8RecallOracleSql,
     "sim_ann_ivf_sq8_indexed_recall" -> ivfSq8RecallOracleSql,
     "sim_ann_ivf_recall" -> recallOracleSql(

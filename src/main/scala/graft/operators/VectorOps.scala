@@ -284,8 +284,10 @@ object VectorOps {
   /** Assign every corpus vector to its nearest centroid's inverted list —
     * the N×K broadcast score folded to N rows with `max_by` BEFORE any
     * shuffle (see [[ivfTopK]]'s shape notes). Shared by the in-memory
-    * path and the persisted-index epoch write, so the two can never drift. */
-  private def assignLists(corpus: DataFrame, cents: DataFrame): DataFrame =
+    * path, the persisted-index epoch write, and the batch append, so
+    * none can drift (private[graft]: IvfIndexSpec recomputes the
+    * frozen-quantizer assignment to pin the append contract). */
+  private[graft] def assignLists(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.crossJoin(cents)
       .withColumn("_csim", round(cosine(col("embedding"), col("cv")), 6))
       .groupBy(col("vec_id"))
@@ -425,6 +427,45 @@ object VectorOps {
     val probes = withQuantized(probeLists(queries, cents, nProbe), "qv", "qq")
       .select(col("list_id"), col("query_id"), col("qq"))
     scoreAndRankQ(spark.table(s"${table}_lists"), probes, k)
+  }
+
+  /** Append an arriving batch to an existing [[writeIvfIndex]] table —
+    * the index MAINTENANCE operation between full-rebuild epochs: new
+    * vectors are assigned to the EXISTING (frozen) coarse quantizer and
+    * inserted into their lists' partitions; the corpus already in the
+    * index is never read, never reshuffled, never rewritten. This is
+    * how a 100 TB ANN deployment actually lives — one quantizer-training
+    * epoch write, then cheap per-batch appends until list imbalance
+    * (centroid drift) warrants retraining. The append is one
+    * broadcast-assign of the (small) batch + a dynamic-partition
+    * insert; probe cost afterwards is unchanged (same partition
+    * pruning, lists just grow by the batch).
+    *
+    * The frozen-quantizer semantics are the definition, not a
+    * shortcut: probing after append must equal probing the UNION
+    * corpus against the original centroids (IvfIndexSpec pins exactly
+    * that), which is what makes the operation oracle-able. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = broadcast(spark.table(s"${table}_cents"))
+    // insertInto is positional: the partitioned table's schema is
+    // (vec_id, embedding, list_id) — data columns first, partition
+    // column last
+    assignLists(batch, cents)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .write.mode("append").insertInto(s"${table}_lists")
+  }
+
+  /** [[appendToIvfIndex]] for a [[writeIvfIndexSq8]] table: same frozen
+    * float quantizer for assignment, int8 codes into the lists. */
+  def appendToIvfIndexSq8(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = broadcast(spark.table(s"${table}_cents"))
+    withQuantized(assignLists(batch, cents), "embedding", "qe")
+      .select(col("vec_id"), col("qe"), col("list_id"))
+      .write.mode("append").insertInto(s"${table}_lists")
   }
 
   /** Embedding near-dup pairs: cosine above `threshold` within a bucket

@@ -134,6 +134,84 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("append: frozen-quantizer assignment, correct partitions, dup findable") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    // dedicated tables — appending to the shared memo tables would
+    // mutate what the parity/pruning tests probe
+    val table = "graft_ivf_append_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append_spec_").toString
+    VectorOps.writeIvfIndex(emb, table, path, numCentroids = k, trainIters = 2)
+    val nBefore = spark.table(s"${table}_lists").count()
+
+    // the batch: copies of vectors 0-19 under new ids
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    VectorOps.appendToIvfIndex(spark, table, batch)
+
+    // 1. only the batch was added — the already-indexed corpus was
+    //    neither dropped nor duplicated
+    assert(spark.table(s"${table}_lists").count() == nBefore + 20)
+    // 2. every appended row sits in the partition the FROZEN quantizer
+    //    assigns it to (recomputed independently via the shared
+    //    assignLists — the contract that makes the append oracle-able)
+    val cents = org.apache.spark.sql.functions.broadcast(
+      spark.table(s"${table}_cents"))
+    val expected = VectorOps.assignLists(batch, cents)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actual = spark.table(s"${table}_lists")
+      .filter(col("vec_id") >= 500000)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected, "appended rows landed in wrong list partitions")
+    // 3. the appended twin of a query vector is now findable at
+    //    cos_sim 1.0: an identical vector shares its nearest centroid,
+    //    and the query's own nearest list is always probed first
+    val probe = VectorOps.probeIvfIndex(spark, table,
+        emb.filter(col("vec_id") === 3), k = 3, nProbe = 4)
+      .filter(col("neighbor_id") === 500003L)
+      .select(col("cos_sim")).collect()
+    assert(probe.length == 1 && probe.head.getDouble(0) == 1.0,
+      "appended duplicate of the query vector not found at cos 1.0")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_cents")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_lists")
+  }
+
+  test("sq8 append: int8 codes in the frozen quantizer's partitions") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    val table = "graft_ivf_sq8_append_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_sq8_append_spec_").toString
+    VectorOps.writeIvfIndexSq8(emb, table, path, numCentroids = k, trainIters = 2)
+    val nBefore = spark.table(s"${table}_lists").count()
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    VectorOps.appendToIvfIndexSq8(spark, table, batch)
+    assert(spark.table(s"${table}_lists").count() == nBefore + 10)
+    // appended payload is int8 codes in the float quantizer's partitions
+    val cents = org.apache.spark.sql.functions.broadcast(
+      spark.table(s"${table}_cents"))
+    val expected = VectorOps.assignLists(batch, cents)
+      .select(col("vec_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val appended = spark.table(s"${table}_lists")
+      .filter(col("vec_id") >= 500000)
+      .select(col("vec_id"), col("list_id"), col("qe"))
+      .collect()
+    assert(appended.map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    assert(appended.forall(r => r.getSeq[Int](2).forall(x => x >= -127 && x <= 127)),
+      "appended codes out of int8 range")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_cents")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_lists")
+  }
+
   /** Build (once per suite, per layout) a throwaway index for these
     * tests — unique names, dropped by the JVM temp-dir lifecycle like
     * the spec twin in DedupIncrementalSpec. */

@@ -48,6 +48,28 @@ object TextQueries {
         deleteDirs = Seq(path))
     }
 
+  /** The append-maintenance epoch for the band index: built from the
+    * ORIGINAL docs (< 100000), then the exact-dup batch (≥ 200000) is
+    * APPENDED — admitted to the corpus, as an ingestion pipeline would
+    * after accepting a batch. The gated query probes with the near-dup
+    * batch, so its matches span both the built and the appended corpus
+    * halves. Separate kind from [[bandIndexFor]]: appending there would
+    * mutate what `dedup_incremental_indexed` probes. */
+  private[graft] def bandAppendIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "band_append_index", dir) { () =>
+      val table = "graft_band_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_band_append_index_").toString
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      Dedup.writeBandIndex(corpus.filter(col("doc_id") < 100000),
+        "doc_id", "text", table, path)
+      Dedup.appendToBandIndex(s, table,
+        corpus.filter(col("doc_id") >= 200000), "doc_id", "text")
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
+
   /** One persisted search index per (session, dir) epoch — the text
     * twin of [[bandIndexFor]]/[[SimilarityQueries.ivfIndexFor]] (same
     * UUID-unique isolation and [[EpochRegistry]] lifecycle). */
@@ -237,6 +259,19 @@ object TextQueries {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // band-index MAINTENANCE: the exact-dup batch was ADMITTED to the
+    // index (appended under the same bucket spec — no corpus rewrite),
+    // and the near-dup batch probes the grown corpus: its pairs span
+    // both the built (< 100000) and appended (≥ 200000) halves. Oracle =
+    // the full pair pipeline restricted to exactly those cross pairs.
+    "dedup_incremental_appended" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      Dedup.probeBandIndex(s, bandAppendIndexFor(s, dir),
+          corpus.filter(col("doc_id") >= 100000 && col("doc_id") < 200000),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // survivor selection: connected components over the minhash pair
     // graph (pairs alone under-merge — a~b, b~c is ONE dup family even if
     // a,c never shared a band). cluster_id = min doc id in the component.
@@ -398,6 +433,18 @@ object TextQueries {
         s"""WITH $minhashPairCtes
           |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
           |WHERE id_a < 100000 AND id_b >= 100000
+          |ORDER BY new_id, old_id""".stripMargin,
+      // the near-dup batch [100000, 200000) against the grown corpus
+      // (originals < 100000 PLUS the appended exacts ≥ 200000):
+      // dup_pairs is id_a < id_b, so the new (probe-side) id is id_b
+      // against originals and id_a against appended docs
+      "dedup_incremental_appended" ->
+        s"""WITH $minhashPairCtes
+          |SELECT CASE WHEN id_b < 200000 THEN id_b ELSE id_a END AS new_id,
+          |  CASE WHEN id_b < 200000 THEN id_a ELSE id_b END AS old_id, jaccard
+          |FROM dup_pairs
+          |WHERE (id_a < 100000 AND id_b >= 100000 AND id_b < 200000)
+          |   OR (id_a >= 100000 AND id_a < 200000 AND id_b >= 200000)
           |ORDER BY new_id, old_id""".stripMargin,
       "dedup_incremental_indexed" ->
         s"""WITH $minhashPairCtes

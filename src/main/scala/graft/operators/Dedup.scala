@@ -290,6 +290,30 @@ object Dedup {
       spark.table(table), threshold)
   }
 
+  /** Append accepted documents to an existing [[writeBandIndex]] table —
+    * the band-index maintenance operation between full-dedup epochs
+    * (the text twin of [[VectorOps.appendToIvfIndex]]): in a live
+    * ingestion pipeline, a batch that passes dedup is admitted to the
+    * corpus, and the NEXT batch must be probed against it too. The
+    * batch's band rows are appended with the SAME bucket spec, so every
+    * append lands as one more correctly-bucketed file group per bucket:
+    * probes keep their no-corpus-reshuffle plan (bucketed join on
+    * (band, bkey) unions the file groups per bucket), and the indexed
+    * corpus is never read or rewritten. `numBuckets` must equal the
+    * index's — Spark rejects a mismatched bucket spec on append
+    * (DedupIncrementalSpec pins probe parity with the direct bipartite
+    * join over the grown corpus). */
+  def appendToBandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 32): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    bandRows(batch, idCol, textCol, "old")
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "band", "bkey")
+      .sortBy("band", "bkey")
+      .saveAsTable(table)
+  }
+
   /** Near-dup CLUSTERS from a pair list — the step a production pipeline
     * runs after [[minhashPairs]]/[[jaccardPairsWithinBucket]]: pairs only
     * say "a~b"; keeping one survivor per duplicate GROUP needs the

@@ -66,6 +66,60 @@ class DedupIncrementalSpec extends AnyFunSuite {
     assert(i == f)
   }
 
+  test("append grows the index: probe equals the direct join over the grown corpus") {
+    val corpus = TextQueries.dupCorpus(Tables.documents(spark, dir))
+    val originals = corpus.filter(col("doc_id") < 100000)
+    val admitted = corpus.filter(col("doc_id") >= 200000) // the appended batch
+    val incoming = corpus.filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+    val table = "graft_band_append_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_band_append_spec").toString
+    try {
+      Dedup.writeBandIndex(originals, "doc_id", "text", table, path)
+      val nBefore = spark.table(table).count()
+      Dedup.appendToBandIndex(spark, table, admitted, "doc_id", "text")
+      // the append only added the batch's band rows — the indexed corpus
+      // was neither dropped nor duplicated
+      val nAdmitted = Dedup.probeBandIndex(spark, table, incoming,
+        "doc_id", "text", 0.5) // force table read after append
+      assert(spark.table(table).count() > nBefore)
+      assert(spark.table(table).filter(col("old_id") < 100000).count() == nBefore)
+      // probe parity: identical to the direct bipartite join against the
+      // UNION corpus — what "the batch was admitted" must mean
+      val direct = Dedup.incrementalMinhashPairs(
+        originals.unionAll(admitted), incoming, "doc_id", "text", 0.5)
+      assert(pairs(nAdmitted) == pairs(direct))
+      // and the appended half genuinely contributes matches (near-dups of
+      // doc x pair with the appended exact copy of x when x % 15 == 0)
+      assert(pairs(nAdmitted).exists(_._2 >= 200000),
+        "no probe match against the appended corpus half")
+      // the probe plan still bucket-joins without reshuffling the corpus
+      // (file groups from build + append union per bucket)
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val probe = Dedup.probeBandIndex(spark, table, incoming, "doc_id", "text", 0.5)
+        def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+        val all = nodes(probe.queryExecution.executedPlan)
+        def isBucketedScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+        assert(all.exists(isBucketedScan), "no bucketed corpus scan after append")
+        all.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+          assert(!nodes(s).exists(isBucketedScan),
+            "appended index is being reshuffled")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("band-index probe matches the direct join and never reshuffles the corpus") {
     val corpus = TextQueries.dupCorpus(Tables.documents(spark, dir))
     val existing = corpus.filter(col("doc_id") < 100000)

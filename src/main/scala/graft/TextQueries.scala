@@ -85,6 +85,26 @@ object TextQueries {
         deleteDirs = Seq(path))
     }
 
+  /** The search-index append epoch: built from the even-id docs, the
+    * odd-id docs appended — together covering every document, so the
+    * grown index's probe is gated by the same all-docs oracle as
+    * [[searchIndexFor]]'s. Separate kind: appending to the shared
+    * search index would double `text_search_indexed`'s postings. */
+  private[graft] def searchAppendIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "search_append_index", dir) { () =>
+      val table = "graft_search_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_append_index_").toString
+      val docs = Tables.documents(s, dir)
+      SearchOps.writeSearchIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", table, path)
+      SearchOps.appendToSearchIndex(s, table,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
+
   private lazy val searchAndSql =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
       |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
@@ -326,6 +346,16 @@ object TextQueries {
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
+    // search-index MAINTENANCE: the index is built from the even-id
+    // docs and the odd-id docs are APPENDED (ingested later, same
+    // bucket spec) — the probe over the grown index must equal the
+    // search over ALL documents, i.e. hash-match text_search_and's
+    // oracle exactly
+    "text_search_appended" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchAppendIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
     // positional phrase search (overlapping occurrences count per start)
     "text_search_phrase" -> ((s, dir) => {
       SearchOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
@@ -492,6 +522,9 @@ object TextQueries {
       // result-identical to the in-memory search — one oracle, two plans
       // (the sibling pattern of dedup_incremental_indexed / sim_ann_ivf_indexed)
       "text_search_indexed" -> searchAndSql,
+      // build-on-evens + append-odds covers every document, so the
+      // grown-index probe is gated by the SAME all-docs oracle
+      "text_search_appended" -> searchAndSql,
       "text_search_phrase" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |m AS (SELECT doc_id, CASE WHEN len(toks) >= 2

@@ -94,6 +94,25 @@ object SearchOps {
     searchAllTerms(probeSession.table(table), terms, k)
   }
 
+  /** Append newly-ingested documents to an existing [[writeSearchIndex]]
+    * table — retrieval's index maintenance between rebuild epochs (the
+    * third member of the append family next to
+    * [[Dedup.appendToBandIndex]] and [[VectorOps.appendToIvfIndex]]):
+    * the batch's posting rows are appended under the same `term` bucket
+    * spec, so each append is one more correctly-bucketed file group per
+    * bucket; probes keep their bucket-pruned scan (per-bucket file
+    * groups union at read time) and the indexed postings are never read
+    * or rewritten. `numBuckets` must equal the index's — Spark rejects
+    * a mismatched bucket spec on append. */
+  def appendToSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 8): Unit =
+    invertedIndex(docs, idCol, textCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .saveAsTable(table)
+
   /** Positional phrase search: per doc, the number of token positions
     * where `phrase` occurs verbatim (consecutive, in order; overlapping
     * starts each count). A pure per-row expression over the token

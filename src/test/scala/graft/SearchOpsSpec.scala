@@ -60,6 +60,37 @@ class SearchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("append grows the index: probe equals the search over all docs, pruning intact") {
+    val table = "graft_search_append_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_search_append_spec_").toString
+    try {
+      // build on docs 1-2, append 3-4 (doc 4 contributes the only
+      // 'plain' posting — it must be findable post-append)
+      SearchOps.writeSearchIndex(docs.filter($"doc_id" <= 2), "doc_id", "text",
+        table, path, numBuckets = 4)
+      val nBefore = spark.table(table).count()
+      SearchOps.appendToSearchIndex(spark, table,
+        docs.filter($"doc_id" > 2), "doc_id", "text", numBuckets = 4)
+      assert(spark.table(table).filter($"doc_id" <= 2).count() == nBefore,
+        "append rewrote or duplicated the built postings")
+      val probe = SearchOps.probeSearchIndex(spark, table, Seq("spark", "window"), 10)
+      val direct = SearchOps.searchAllTerms(idx, Seq("spark", "window"), 10)
+      assert(probe.collect().toSeq == direct.collect().toSeq,
+        "grown-index probe must equal the search over the full corpus")
+      // bucket pruning still holds over build+append file groups
+      val scan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 4".r.findFirstMatchIn(scan)
+      assert(sel.isDefined && sel.get.group(1).toInt < 4,
+        s"post-append probe read every bucket:\n$scan")
+      // the appended-only posting is findable
+      val plain = SearchOps.probeSearchIndex(spark, table, Seq("plain"), 10)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(plain == Seq(4L), "appended doc's posting not found")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("phraseSearch: in-order consecutive matches, overlaps counted, short docs safe") {
     val d = Seq(
       (1L, "a b a b a"),   // "a b" at 1 and 3 → 2 matches

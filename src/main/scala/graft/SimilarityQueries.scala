@@ -335,6 +335,19 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // index MONITORING: per-list sizes of the persisted IVF index — the
+    // imbalance signal that tells an operator when centroid drift
+    // warrants retraining (appends concentrate in few lists → probe
+    // cost skews). Scans only the partition column + counts, so at
+    // corpus scale the cost is near-metadata; gated against the shared
+    // k-means assignment CTEs, so the persisted layout provably matches
+    // the in-memory partitioning.
+    "sim_ann_ivf_stats" -> ((s, dir) => {
+      s.table(s"${ivfIndexFor(s, dir)}_lists")
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("list_id"))
+    }),
+
     // index MAINTENANCE: a batch appended to the persisted index via
     // the FROZEN coarse quantizer (the between-epochs operation — the
     // already-indexed corpus is never read or rewritten); the probe
@@ -567,6 +580,12 @@ object SimilarityQueries {
         |ORDER BY new_id, old_id""".stripMargin
     },
     "sim_ann_ivf" -> ivfOracleSql,
+    // the persisted lists are the k-means assignment partitioned out —
+    // same shared CTE chain as sim_cluster_assignments, aggregated
+    "sim_ann_ivf_stats" ->
+      s"""WITH $clusterAssignCtes
+        |SELECT cid AS list_id, count(*) AS n_vectors FROM clusters
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_cluster_assignments" ->
       s"""WITH $clusterAssignCtes
         |SELECT vec_id, cid AS cluster_id FROM clusters

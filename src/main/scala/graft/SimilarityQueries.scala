@@ -153,44 +153,46 @@ object SimilarityQueries {
         deleteDirs = Seq(path))
     }
 
-  /** The append-maintenance epoch: a base index built from `embeddings`
-    * with the dup-vector batch (vec_id ≥ 100000) APPENDED via the
-    * frozen quantizer — one build + one append per (session, dir), so
-    * the gated query measures the post-append probe. Separate kind
-    * from [[ivfIndexFor]]: appending there would mutate what
-    * `sim_ann_ivf_indexed` probes. */
-  private[graft] def ivfAppendIndexFor(s: SparkSession, dir: String): String =
+  /** The append-maintenance epoch: the serving index generation is
+    * CLONED (pure IO — [[VectorOps.cloneIvfIndex]]; no re-training, no
+    * re-assignment) and the dup-vector batch (vec_id ≥ 100000) is
+    * APPENDED to the clone via the frozen quantizer — the
+    * clone-append-validate-swap workflow of a real deployment, which
+    * also leaves the serving tables (`sim_ann_ivf_indexed`'s) untouched.
+    * The base epoch is resolved BEFORE this acquire: a nested
+    * `computeIfAbsent` on the same map can deadlock on bin contention. */
+  private[graft] def ivfAppendIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfIndexFor(s, dir)
     EpochRegistry.acquire(s, "ivf_append_index", dir) { () =>
       val table = "graft_ivf_append_index_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_append_index_").toString
-      val emb = Tables.embeddings(s, dir)
-      VectorOps.writeIvfIndex(emb, table, path,
-        numCentroids = ivfK(emb), trainIters = 2)
+      VectorOps.cloneIvfIndex(s, base, table, path)
       VectorOps.appendToIvfIndex(s, table,
-        dupVectors(emb).filter(col("vec_id") >= 100000))
+        dupVectors(Tables.embeddings(s, dir)).filter(col("vec_id") >= 100000))
       EpochRegistry.Resource(table,
         dropTables = Seq(s"${table}_cents", s"${table}_lists"),
         deleteDirs = Seq(path))
     }
+  }
 
-  /** SQ8 twin of [[ivfAppendIndexFor]]. */
-  private[graft] def ivfSq8AppendIndexFor(s: SparkSession, dir: String): String =
+  /** SQ8 twin of [[ivfAppendIndexFor]] — same clone-then-append shape. */
+  private[graft] def ivfSq8AppendIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfSq8IndexFor(s, dir)
     EpochRegistry.acquire(s, "ivf_sq8_append_index", dir) { () =>
       val table = "graft_ivf_sq8_append_index_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_sq8_append_index_").toString
-      val emb = Tables.embeddings(s, dir)
-      VectorOps.writeIvfIndexSq8(emb, table, path,
-        numCentroids = ivfK(emb), trainIters = 2)
+      VectorOps.cloneIvfIndex(s, base, table, path)
       VectorOps.appendToIvfIndexSq8(s, table,
-        dupVectors(emb).filter(col("vec_id") >= 100000))
+        dupVectors(Tables.embeddings(s, dir)).filter(col("vec_id") >= 100000))
       EpochRegistry.Resource(table,
         dropTables = Seq(s"${table}_cents", s"${table}_lists"),
         deleteDirs = Seq(path))
     }
+  }
 
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN

@@ -48,27 +48,31 @@ object TextQueries {
         deleteDirs = Seq(path))
     }
 
-  /** The append-maintenance epoch for the band index: built from the
-    * ORIGINAL docs (< 100000), then the exact-dup batch (≥ 200000) is
-    * APPENDED — admitted to the corpus, as an ingestion pipeline would
-    * after accepting a batch. The gated query probes with the near-dup
-    * batch, so its matches span both the built and the appended corpus
-    * halves. Separate kind from [[bandIndexFor]]: appending there would
-    * mutate what `dedup_incremental_indexed` probes. */
-  private[graft] def bandAppendIndexFor(s: SparkSession, dir: String): String =
+  /** The append-maintenance epoch for the band index: the serving index
+    * generation ([[bandIndexFor]] — the ORIGINAL docs < 100000) is
+    * CLONED (band rows re-bucketed, no shingle/minhash recompute), then
+    * the exact-dup batch (≥ 200000) is APPENDED — admitted to the
+    * corpus, as an ingestion pipeline would after accepting a batch,
+    * without touching the serving tables `dedup_incremental_indexed`
+    * probes. The gated query probes with the near-dup batch, so its
+    * matches span both the built and the appended corpus halves. Base
+    * epoch resolved BEFORE the acquire (nested computeIfAbsent on one
+    * map can deadlock on bin contention). */
+  private[graft] def bandAppendIndexFor(s: SparkSession, dir: String): String = {
+    val base = bandIndexFor(s, dir)
     EpochRegistry.acquire(s, "band_append_index", dir) { () =>
       val table = "graft_band_append_index_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_band_append_index_").toString
-      val corpus = dupCorpus(Tables.documents(s, dir))
-      Dedup.writeBandIndex(corpus.filter(col("doc_id") < 100000),
-        "doc_id", "text", table, path)
+      Dedup.cloneBandIndex(s, base, table, path)
       Dedup.appendToBandIndex(s, table,
-        corpus.filter(col("doc_id") >= 200000), "doc_id", "text")
+        dupCorpus(Tables.documents(s, dir)).filter(col("doc_id") >= 200000),
+        "doc_id", "text")
       EpochRegistry.Resource(table, dropTables = Seq(table),
         deleteDirs = Seq(path))
     }
+  }
 
   /** One persisted search index per (session, dir) epoch — the text
     * twin of [[bandIndexFor]]/[[SimilarityQueries.ivfIndexFor]] (same

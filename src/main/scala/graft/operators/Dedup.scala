@@ -290,6 +290,20 @@ object Dedup {
       spark.table(table), threshold)
   }
 
+  /** Copy an existing band index to a new table under the same bucket
+    * spec — one shuffle-and-sort of the already-computed band rows, no
+    * shingle/minhash recompute (the expensive per-doc hashing never
+    * re-runs). The snapshot step of clone-then-append maintenance, so a
+    * new index generation can grow without touching the serving one. */
+  def cloneBandIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, numBuckets: Int = 32): Unit =
+    spark.table(src)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "band", "bkey")
+      .sortBy("band", "bkey")
+      .option("path", path)
+      .saveAsTable(dest)
+
   /** Append accepted documents to an existing [[writeBandIndex]] table —
     * the band-index maintenance operation between full-dedup epochs
     * (the text twin of [[VectorOps.appendToIvfIndex]]): in a live

@@ -429,6 +429,22 @@ object VectorOps {
     scoreAndRankQ(spark.table(s"${table}_lists"), probes, k)
   }
 
+  /** Copy an existing IVF index (either list payload) to a new table
+    * pair, preserving the `partitionBy(list_id)` layout — pure IO, no
+    * re-training and no re-assignment (the expensive N×K scoring never
+    * re-runs). The snapshot step of a clone-then-append workflow: derive
+    * a new index generation from the serving one, append the next batch
+    * to the clone, swap when validated — without touching the serving
+    * tables. Works for float and SQ8 lists alike (schema passthrough). */
+  def cloneIvfIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    spark.table(s"${src}_lists").write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
+  }
+
   /** Append an arriving batch to an existing [[writeIvfIndex]] table —
     * the index MAINTENANCE operation between full-rebuild epochs: new
     * vectors are assigned to the EXISTING (frozen) coarse quantizer and

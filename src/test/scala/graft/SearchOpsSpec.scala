@@ -88,6 +88,13 @@ class SearchOpsSpec extends AnyFunSuite {
       val plain = SearchOps.probeSearchIndex(spark, table, Seq("plain"), 10)
         .select("doc_id").as[Long].collect().toSeq
       assert(plain == Seq(4L), "appended doc's posting not found")
+      // a mismatched bucket spec is REJECTED, not silently mixed in —
+      // mixed bucket-id file groups would misroute rows in pruned joins,
+      // so the docstring's "Spark rejects" claim is load-bearing
+      intercept[org.apache.spark.sql.AnalysisException] {
+        SearchOps.appendToSearchIndex(spark, table,
+          docs.filter($"doc_id" === 1), "doc_id", "text", numBuckets = 8)
+      }
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 

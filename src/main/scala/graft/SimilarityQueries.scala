@@ -194,6 +194,25 @@ object SimilarityQueries {
     }
   }
 
+  /** The compaction epoch: the append-index generation (base + batch,
+    * many file groups) compacted into one-file-per-list
+    * ([[VectorOps.compactIvfIndex]]) — result-identical rows in a
+    * tighter layout, so the gated probe shares the append oracle (one
+    * oracle, three plans: in-memory union, appended, compacted). */
+  private[graft] def ivfCompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfAppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_compact_index", dir) { () =>
+      val table = "graft_ivf_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_compact_index_").toString
+      VectorOps.compactIvfIndex(s, base, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
@@ -358,6 +377,18 @@ object SimilarityQueries {
     "sim_ann_ivf_appended" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.probeIvfIndex(s, ivfAppendIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // index COMPACTION: the appended generation rewritten one-file-per-
+    // list (appends leave a file group per batch per touched partition;
+    // compaction bounds per-probe file opens and small-file count) —
+    // rows identical, so the probe must hash-match the appended query
+    "sim_ann_ivf_compacted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndex(s, ivfCompactIndexFor(s, dir), querySet(emb),
           k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
@@ -603,6 +634,7 @@ object SimilarityQueries {
     // append maintenance: same builders over the union corpus with the
     // quantizer still trained on the ORIGINAL embeddings only
     "sim_ann_ivf_appended" -> ivfAppendOracleSql,
+    "sim_ann_ivf_compacted" -> ivfAppendOracleSql,
     "sim_ann_ivf_sq8_appended" -> ivfSq8AppendOracleSql,
     "sim_ann_ivf_sq8_recall" -> ivfSq8RecallOracleSql,
     "sim_ann_ivf_sq8_indexed_recall" -> ivfSq8RecallOracleSql,

@@ -435,15 +435,33 @@ object VectorOps {
     * re-runs). The snapshot step of a clone-then-append workflow: derive
     * a new index generation from the serving one, append the next batch
     * to the clone, swap when validated — without touching the serving
-    * tables. Works for float and SQ8 lists alike (schema passthrough). */
+    * tables. Works for float and SQ8 lists alike (schema passthrough).
+    *
+    * `compact = true` makes the clone a COMPACTION: every append leaves
+    * one more file group per touched partition, and at some point the
+    * per-probe file-open overhead (and the state of small files on the
+    * object store) warrants rewriting each list as one file — the
+    * repartition on `list_id` routes each partition's rows to exactly
+    * one task, so the write emits exactly one file per list. Results
+    * are identical by construction (same rows, same layout, fewer
+    * files); IvfIndexSpec pins the file collapse and probe parity. */
   def cloneIvfIndex(spark: org.apache.spark.sql.SparkSession, src: String,
-      dest: String, path: String): Unit = {
+      dest: String, path: String, compact: Boolean = false): Unit = {
     spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
       .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
-    spark.table(s"${src}_lists").write.mode("overwrite").format("parquet")
+    val lists = spark.table(s"${src}_lists")
+    (if (compact) lists.repartition(col("list_id")) else lists)
+      .write.mode("overwrite").format("parquet")
       .partitionBy("list_id")
       .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
   }
+
+  /** [[cloneIvfIndex]] with `compact = true` under its operational
+    * name — the third lifecycle operation of the index family (build →
+    * append* → compact → eventually retrain). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String): Unit =
+    cloneIvfIndex(spark, src, dest, path, compact = true)
 
   /** Append an arriving batch to an existing [[writeIvfIndex]] table —
     * the index MAINTENANCE operation between full-rebuild epochs: new

@@ -181,6 +181,48 @@ class IvfIndexSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_lists")
   }
 
+  test("compaction: one file per list, byte-identical probe results") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    val table = "graft_ivf_compact_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact_spec_").toString
+    val cTable = table + "_c"
+    val cPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_compact_spec_c_").toString
+    try {
+      VectorOps.writeIvfIndex(emb, table, path, numCentroids = k, trainIters = 2)
+      // two appends → at least one partition carries >1 file group
+      (1 to 2).foreach { i =>
+        VectorOps.appendToIvfIndex(spark, table,
+          emb.filter(col("vec_id") < 10)
+            .select((col("vec_id") + i * 500000).as("vec_id"), col("embedding")))
+      }
+      def filesPerList(t: String): Map[Long, Long] =
+        spark.table(s"${t}_lists")
+          .select(col("list_id"), input_file_name().as("f"))
+          .groupBy(col("list_id"))
+          .agg(countDistinct(col("f")).as("nf"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(filesPerList(table).values.exists(_ > 1),
+        "appends should have left multi-file partitions to compact")
+
+      VectorOps.compactIvfIndex(spark, table, cTable, cPath)
+      assert(filesPerList(cTable).values.forall(_ == 1L),
+        "compaction must leave exactly one file per list")
+      // identical rows → identical probe output
+      val q = emb.filter(col("vec_id") < 5)
+      val before = rows(VectorOps.probeIvfIndex(spark, table, q, k = 3, nProbe = 4))
+      val after = rows(VectorOps.probeIvfIndex(spark, cTable, q, k = 3, nProbe = 4))
+      assert(before.nonEmpty && before == after)
+    } finally Seq(table, cTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_cents")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_lists")
+    }
+  }
+
   test("sq8 append: int8 codes in the frozen quantizer's partitions") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

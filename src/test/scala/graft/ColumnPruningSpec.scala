@@ -53,4 +53,12 @@ class ColumnPruningSpec extends AnyFunSuite {
   test("sim_topk_brute reads only (vec_id, embedding)") {
     assertPruned("sim_topk_brute", Set("vec_id", "embedding"))
   }
+
+  test("sim_ann_ivf_stats reads NO data columns (partition values + counts only)") {
+    // the monitoring query's "near-metadata cost" claim, pinned: its
+    // only scan is the lists table, and `list_id` is a PARTITION column
+    // (resolved from the directory layout), so the parquet scan's
+    // required data schema must be empty
+    assertPruned("sim_ann_ivf_stats", Set.empty)
+  }
 }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   * would otherwise outlive the JVM's session churn). `SparkContext.stop`
   * drains the listener bus before returning, so by the time `stop()`
   * returns the entries and dirs are gone — EpochRegistryLifecycleSpec
-  * pins that across three create/use/stop session generations. */
+  * pins that across three create/use/stop session generations. Within
+  * a live context, entries of GC'd sessions are swept on every acquire
+  * (see [[acquire]]) — the registry does not grow monotonically under
+  * session churn. */
 private[graft] object EpochRegistry {
 
   /** `value` is what the call site gets back (a table name or a dir
@@ -56,12 +59,45 @@ private[graft] object EpochRegistry {
 
   /** Lazily build-or-reuse the resource for (session, kind, dir). The
     * build runs at most once per key (computeIfAbsent), exactly like the
-    * per-file registries it replaces. */
+    * per-file registries it replaces.
+    *
+    * Two reclamation paths beyond the context-stop listener (ADVICE
+    * r10): (a) every acquire first sweeps entries whose owner session
+    * has been GC'd — a long-lived app churning `newSession` clones no
+    * longer accumulates temp dirs until the CONTEXT dies, only until
+    * the next acquire; (b) if the context stopped concurrently (the
+    * listener may have registered, or the entry landed, AFTER
+    * ApplicationEnd was posted — nothing would ever evict it), the
+    * freshly-inserted entry is released on the spot. */
   def acquire(s: SparkSession, kind: String, dir: String)(
       build: () => Resource): String = {
     hook(s)
-    entries.computeIfAbsent((idOf(s), kind, dir),
+    sweepDeadOwners()
+    val key = (idOf(s), kind, dir)
+    val value = entries.computeIfAbsent(key,
       _ => Entry(build(), appKey(s.sparkContext), new WeakReference(s))).res.value
+    if (s.sparkContext.isStopped) {
+      val e = entries.remove(key)
+      if (e != null) release(e)
+    }
+    value
+  }
+
+  /** Release entries whose owner SparkSession was garbage-collected
+    * (the WeakReference cleared): a collected session can never probe
+    * its resources again, so its dirs go now instead of at application
+    * end. Catalog drops are skipped by [[release]] (owner gone — the
+    * table entry dies with the shared catalog or is UUID-unique
+    * anyway). */
+  private def sweepDeadOwners(): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.owner.get() == null) {
+        release(e.getValue)
+        it.remove()
+      }
+    }
   }
 
   private def appKey(sc: SparkContext): String =
@@ -70,7 +106,10 @@ private[graft] object EpochRegistry {
   private def hook(s: SparkSession): Unit = {
     val sc = s.sparkContext
     val k = appKey(sc)
-    if (hooked.add(k))
+    // a stopped context's listener bus never delivers ApplicationEnd to
+    // a late listener — skip hooking and rely on acquire's post-insert
+    // isStopped check instead
+    if (!sc.isStopped && hooked.add(k))
       sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
           evictApp(k)

@@ -85,13 +85,44 @@ object SearchOps {
     * catalog (so the index table resolves), and cached data; only SQL
     * conf and temp state are isolated — exactly the scope the probe
     * needs, and the returned frame carries the clone so EVERY later
-    * plan of it (collect, parquet write) keeps the pruning rule. */
+    * plan of it (collect, parquet write) keeps the pruning rule.
+    *
+    * ADVICE r10: a bare `newSession()` takes SQLConf DEFAULTS from the
+    * SparkConf, not the caller's runtime conf — tuning set via
+    * `spark.conf.set` (AQE flags, shuffle partitions, broadcast
+    * threshold) would silently not apply to the probe plan, and each
+    * call would rebuild a SessionState. So the clone is cached per
+    * parent session (weak-keyed — it dies with the parent) and the
+    * caller's runtime SQL conf is re-copied into it on EVERY probe
+    * (modifiable keys only; a plain conf-map copy, no SessionState
+    * rebuild), with the pruning flag re-asserted last so it always
+    * wins. */
   def probeSearchIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-      terms: Seq[String], k: Int): DataFrame = {
-    val probeSession = spark.newSession()
-    probeSession.conf
+      terms: Seq[String], k: Int): DataFrame =
+    searchAllTerms(probeSessionFor(spark).table(table), terms, k)
+
+  // parent session → its cached probe clone; weak keys so a collected
+  // parent releases the clone (which holds no resources of its own
+  // beyond its SessionState)
+  private val probeSessions = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+
+  private def probeSessionFor(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val probe = probeSessions.synchronized {
+      var s = probeSessions.get(spark)
+      if (s == null) { s = spark.newSession(); probeSessions.put(spark, s) }
+      s
+    }
+    // re-sync the caller's runtime conf each call: it may have changed
+    // since the clone was built. Static/non-modifiable keys throw —
+    // those can't differ at runtime either, so skipping them is exact.
+    spark.conf.getAll.foreach { case (key, value) =>
+      try probe.conf.set(key, value) catch { case _: Exception => () }
+    }
+    probe.conf
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    searchAllTerms(probeSession.table(table), terms, k)
+    probe
   }
 
   /** Append newly-ingested documents to an existing [[writeSearchIndex]]

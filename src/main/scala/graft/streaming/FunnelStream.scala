@@ -111,13 +111,26 @@ object FunnelStream {
             })
       case Some(t) =>
         val ttlMillis = EventTimeTtl.millis(t)
+        // watermark BEFORE the stage filter (ADVICE r10): every event
+        // advances the eviction clock, so idle-user state is reclaimed
+        // even while no funnel-relevant events arrive — matching the
+        // CdcStream/StatsStream discipline of watermarking the
+        // unfiltered input. The filter must be a TYPED filter: a Column
+        // predicate on `stage` doesn't reference the watermark column,
+        // so PushPredicateThroughNonJoin would push it back below the
+        // EventTimeWatermark node and filtered-out events would never
+        // reach the watermark exec (FunnelStreamSpec's non-stage-events
+        // test catches exactly that). The typed lambda consumes the
+        // whole row, pins the filter above the watermark, and still
+        // runs map-side before the groupByKey shuffle — only the sparse
+        // stage subset is exchanged.
         val obs = events
           .select(col(userCol).cast("long").as("user"), stageExpr.as("stage"),
             col(tsCol).cast("long").as("ts"),
             timestamp_micros(col(tsCol).cast("long")).as("ets"))
-          .filter(col("stage") >= 0)
           .withWatermark("ets", watermarkDelay)
           .as[StageObsT]
+          .filter((o: StageObsT) => o.stage >= 0)
         obs.groupByKey(_.user)
           .flatMapGroupsWithState(OutputMode.Update,
             GroupStateTimeout.EventTimeTimeout)(

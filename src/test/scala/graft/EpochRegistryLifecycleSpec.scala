@@ -51,4 +51,44 @@ class EpochRegistryLifecycleSpec extends AnyFunSuite {
     // entries would be keyed by a different, still-running context; at
     // this point OUR three are gone)
   }
+
+  test("GC'd sessions' entries are swept on acquire within ONE live context (ADVICE r10)") {
+    val parent = SparkTestSession.spark
+    // churn: newSession clones acquire a resource each, then become
+    // unreachable — the pattern of a long-lived server cycling sessions
+    // while its SparkContext stays up. Before the r10 sweep, these dirs
+    // survived until APPLICATION end.
+    def churn(gen: Int): (String, java.lang.ref.WeakReference[AnyRef], String) = {
+      val clone = parent.newSession()
+      val uuid = EpochRegistry.idOf(clone)
+      val dir = EpochRegistry.acquire(clone, "churn_spec", s"gen$gen") { () =>
+        val path = Files.createTempDirectory("graft_churn_spec_").toString
+        EpochRegistry.Resource(path, deleteDirs = Seq(path))
+      }
+      (uuid, new java.lang.ref.WeakReference[AnyRef](clone), dir)
+    }
+    val gens = (1 to 3).map(churn)
+    gens.foreach { case (uuid, _, dir) =>
+      assert(EpochRegistry.liveEntries(uuid, Some("churn_spec")).size == 1)
+      assert(Files.exists(Paths.get(dir)))
+    }
+    // drop the only strong references; wait for the collector to clear
+    // the weak refs (same signal the registry's owner refs see)
+    gens.foreach { case (_, ref, _) =>
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (ref.get() != null && System.nanoTime() < deadline) {
+        System.gc(); Thread.sleep(50)
+      }
+      assert(ref.get() == null, "session clone not collected within 30s")
+    }
+    // the NEXT acquire — from any session — sweeps the dead owners
+    EpochRegistry.acquire(parent, "churn_spec", "sweep_trigger")(() =>
+      EpochRegistry.Resource("live"))
+    gens.foreach { case (uuid, _, dir) =>
+      assert(EpochRegistry.liveEntries(uuid).isEmpty,
+        "dead session's registry entries not swept")
+      assert(!Files.exists(Paths.get(dir)),
+        s"dead session's temp dir not reclaimed: $dir")
+    }
+  }
 }

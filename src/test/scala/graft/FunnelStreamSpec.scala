@@ -124,4 +124,33 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(!u1.exists(r => r._1 >= 2 && r._2 == Some(1L * S)),
       "an emission mixed pre-expiry history into post-expiry state")
   }
+
+  test("non-stage events advance the ttl eviction clock (ADVICE r10)") {
+    val dir = Files.createTempDirectory("funnel_ttl_wm_").toString
+    val S = 1000000L // one second of event time, in micros
+    // "pageview" is NOT a funnel stage. Before the r10 fix the watermark
+    // was applied AFTER the stage filter, so a stream of non-stage
+    // traffic never advanced the eviction clock and idle-user state was
+    // pinned for as long as stage events paused; u1's 102 s click would
+    // then have merged with the forgotten 1 s signup and emitted
+    // (n_seen=2, t1=1s, t2=102s).
+    writeOne(dir, "b0.parquet", Seq((1L, "signup", 1L * S)))
+    writeOne(dir, "b1.parquet", Seq((9L, "pageview", 100L * S)))
+    writeOne(dir, "b2.parquet", Seq((9L, "pageview", 101L * S)))
+    writeOne(dir, "b3.parquet", Seq((1L, "click", 102L * S)))
+
+    val st = CdcStream.readEventStream(spark, dir, maxFilesPerTrigger = 1)
+    val out = FunnelStream.runningFunnel(st, "user_id", "event_type", "ts_us",
+      Seq("signup", "click"), ttl = Some("30 seconds"))
+    val q = out.toDF().writeStream.format("memory").queryName("fs_ttl_wm_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val u1 = spark.table("fs_ttl_wm_out").filter(col("user_id") === 1L)
+      .select(col("n_seen"), col("reach")(0), col("reach")(1))
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    // the pageview-driven watermark evicted u1 between b1 and b3, so the
+    // post-expiry click found fresh state and the stage-1 gate held it
+    assert(u1 == Set((1L, Some(1L * S), None)), s"got $u1")
+  }
 }

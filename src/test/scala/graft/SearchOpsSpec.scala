@@ -60,6 +60,39 @@ class SearchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("probe session inherits the caller's runtime conf and is cached (ADVICE r10)") {
+    val table = "graft_search_conf_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_search_conf_spec_").toString
+    // a custom runtime-only key: provably NOT inherited by a bare
+    // newSession() (whose defaults come from the SparkConf), so seeing
+    // it in the probe plan's session proves the per-call conf re-sync
+    val key = "spark.graft.spec.probe_conf"
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", table, path, numBuckets = 4)
+      spark.conf.set(key, "v1")
+      val p1 = SearchOps.probeSearchIndex(spark, table, Seq("spark"), 10)
+      assert(p1.sparkSession ne spark, "probe must run on a clone")
+      assert(p1.sparkSession.conf.get(key) == "v1",
+        "caller runtime conf did not reach the probe session")
+      assert(p1.sparkSession.conf
+          .get("spark.sql.sources.bucketing.autoBucketedScan.enabled") == "false",
+        "the pruning flag must still win after the conf copy")
+      // one SessionState per parent, not per call
+      val p2 = SearchOps.probeSearchIndex(spark, table, Seq("window"), 10)
+      assert(p1.sparkSession eq p2.sparkSession, "probe clone must be cached")
+      // a runtime change AFTER the clone was built still propagates
+      spark.conf.set(key, "v2")
+      val p3 = SearchOps.probeSearchIndex(spark, table, Seq("spark"), 10)
+      assert(p3.sparkSession.conf.get(key) == "v2",
+        "conf must be re-synced on every probe, not only at clone build")
+    } finally {
+      spark.conf.unset(key)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("append grows the index: probe equals the search over all docs, pruning intact") {
     val table = "graft_search_append_spec_" +
       java.util.UUID.randomUUID().toString.replace("-", "")

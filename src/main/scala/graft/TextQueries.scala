@@ -74,6 +74,25 @@ object TextQueries {
     }
   }
 
+  /** The compaction epoch for the band index: the grown
+    * [[bandAppendIndexFor]] generation (build + one append file group
+    * per bucket) is collapsed to one file per bucket — pure IO, same
+    * rows, same bucket spec, no shingle/minhash recompute. The gated
+    * query re-runs the append epoch's probe against it: compaction is
+    * DEFINED result-invisible, so it shares that oracle. */
+  private[graft] def bandCompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = bandAppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "band_compact_index", dir) { () =>
+      val table = "graft_band_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_band_compact_index_").toString
+      Dedup.compactBandIndex(s, base, table, path)
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** One persisted search index per (session, dir) epoch — the text
     * twin of [[bandIndexFor]]/[[SimilarityQueries.ivfIndexFor]] (same
     * UUID-unique isolation and [[EpochRegistry]] lifecycle). */
@@ -108,6 +127,37 @@ object TextQueries {
       EpochRegistry.Resource(table, dropTables = Seq(table),
         deleteDirs = Seq(path))
     }
+
+  /** The search-index compaction epoch: [[searchAppendIndexFor]]'s
+    * grown generation collapsed to one file per `term` bucket —
+    * result-invisible by definition, so the gated probe shares the
+    * all-docs oracle with the indexed/appended probes. */
+  private[graft] def searchCompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = searchAppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "search_compact_index", dir) { () =>
+      val table = "graft_search_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_compact_index_").toString
+      SearchOps.compactSearchIndex(s, base, table, path)
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  // the near-dup batch [100000, 200000) against the grown corpus
+  // (originals < 100000 PLUS the appended exacts ≥ 200000): dup_pairs
+  // is id_a < id_b, so the new (probe-side) id is id_b against
+  // originals and id_a against appended docs. Shared verbatim by the
+  // appended and compacted probes — compaction may not change results.
+  private lazy val incrementalAppendedSql =
+    s"""WITH $minhashPairCtes
+      |SELECT CASE WHEN id_b < 200000 THEN id_b ELSE id_a END AS new_id,
+      |  CASE WHEN id_b < 200000 THEN id_a ELSE id_b END AS old_id, jaccard
+      |FROM dup_pairs
+      |WHERE (id_a < 100000 AND id_b >= 100000 AND id_b < 200000)
+      |   OR (id_a >= 100000 AND id_a < 200000 AND id_b >= 200000)
+      |ORDER BY new_id, old_id""".stripMargin
 
   private lazy val searchAndSql =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
@@ -296,6 +346,19 @@ object TextQueries {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // band-index COMPACTION: the appended generation's per-bucket file
+    // groups collapsed to one file each (pure IO — no shingle/minhash
+    // recompute); the same probe over the compacted index must
+    // hash-match dedup_incremental_appended exactly (one oracle, three
+    // plans across indexed/appended/compacted)
+    "dedup_incremental_compacted" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      Dedup.probeBandIndex(s, bandCompactIndexFor(s, dir),
+          corpus.filter(col("doc_id") >= 100000 && col("doc_id") < 200000),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // survivor selection: connected components over the minhash pair
     // graph (pairs alone under-merge — a~b, b~c is ONE dup family even if
     // a,c never shared a band). cluster_id = min doc id in the component.
@@ -357,6 +420,14 @@ object TextQueries {
     // oracle exactly
     "text_search_appended" -> ((s, dir) => {
       SearchOps.probeSearchIndex(s, searchAppendIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    // search-index COMPACTION: the appended generation collapsed to one
+    // file per term bucket; the probe must still bucket-prune and
+    // hash-match the same all-docs oracle
+    "text_search_compacted" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchCompactIndexFor(s, dir),
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
@@ -472,14 +543,10 @@ object TextQueries {
       // (originals < 100000 PLUS the appended exacts ≥ 200000):
       // dup_pairs is id_a < id_b, so the new (probe-side) id is id_b
       // against originals and id_a against appended docs
-      "dedup_incremental_appended" ->
-        s"""WITH $minhashPairCtes
-          |SELECT CASE WHEN id_b < 200000 THEN id_b ELSE id_a END AS new_id,
-          |  CASE WHEN id_b < 200000 THEN id_a ELSE id_b END AS old_id, jaccard
-          |FROM dup_pairs
-          |WHERE (id_a < 100000 AND id_b >= 100000 AND id_b < 200000)
-          |   OR (id_a >= 100000 AND id_a < 200000 AND id_b >= 200000)
-          |ORDER BY new_id, old_id""".stripMargin,
+      "dedup_incremental_appended" -> incrementalAppendedSql,
+      // compaction is result-invisible by definition — the compacted
+      // generation's probe shares the append epoch's oracle verbatim
+      "dedup_incremental_compacted" -> incrementalAppendedSql,
       "dedup_incremental_indexed" ->
         s"""WITH $minhashPairCtes
           |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
@@ -529,6 +596,9 @@ object TextQueries {
       // build-on-evens + append-odds covers every document, so the
       // grown-index probe is gated by the SAME all-docs oracle
       "text_search_appended" -> searchAndSql,
+      // ...and compacting that grown generation is result-invisible:
+      // same oracle, fourth plan
+      "text_search_compacted" -> searchAndSql,
       "text_search_phrase" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |m AS (SELECT doc_id, CASE WHEN len(toks) >= 2

@@ -294,15 +294,44 @@ object Dedup {
     * spec — one shuffle-and-sort of the already-computed band rows, no
     * shingle/minhash recompute (the expensive per-doc hashing never
     * re-runs). The snapshot step of clone-then-append maintenance, so a
-    * new index generation can grow without touching the serving one. */
+    * new index generation can grow without touching the serving one.
+    *
+    * `compact = true` makes the clone a COMPACTION (the bucketed-table
+    * twin of [[VectorOps.cloneIvfIndex]]'s): each append leaves one
+    * more file group per bucket, and at some point the per-probe
+    * file-open overhead warrants collapsing each bucket to ONE file.
+    * Zero-shuffle design: the source is read through a session clone
+    * with `autoBucketedScan` disabled, forcing the genuinely bucketed
+    * scan — one task per bucket, all of that bucket's file groups read
+    * together — so the bucketed write emits exactly one file per
+    * non-empty bucket with NO exchange (see
+    * [[SearchOps.cloneSearchIndex]] for why a `repartition` on the
+    * bucket columns does NOT achieve this). Rows, bucket spec, and the
+    * probe's no-corpus-reshuffle plan are unchanged by construction —
+    * DedupIncrementalSpec pins the file collapse and probe parity. */
   def cloneBandIndex(spark: org.apache.spark.sql.SparkSession, src: String,
-      dest: String, path: String, numBuckets: Int = 32): Unit =
-    spark.table(src)
+      dest: String, path: String, numBuckets: Int = 32,
+      compact: Boolean = false): Unit = {
+    val reader = if (compact) {
+      val s = spark.newSession() // shares context + catalog; conf isolated
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      s
+    } else spark
+    reader.table(src)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "band", "bkey")
       .sortBy("band", "bkey")
       .option("path", path)
       .saveAsTable(dest)
+  }
+
+  /** [[cloneBandIndex]] with `compact = true` under its operational
+    * name — band-index lifecycle symmetry with
+    * [[VectorOps.compactIvfIndex]] (build → append* → compact →
+    * eventually re-dedup). */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, numBuckets: Int = 32): Unit =
+    cloneBandIndex(spark, src, dest, path, numBuckets, compact = true)
 
   /** Append accepted documents to an existing [[writeBandIndex]] table —
     * the band-index maintenance operation between full-dedup epochs

@@ -144,6 +144,51 @@ object SearchOps {
       .sortBy("term")
       .saveAsTable(table)
 
+  /** Copy an existing [[writeSearchIndex]] table to a new table under
+    * the same `term` bucket spec — pure IO over the already-computed
+    * postings (tokenize/explode/count never re-runs). The snapshot step
+    * of clone-then-append maintenance for retrieval: derive a new index
+    * generation from the serving one, append to the clone, swap when
+    * validated — completing the clone/compact lifecycle symmetry with
+    * [[Dedup.cloneBandIndex]] and [[VectorOps.cloneIvfIndex]].
+    *
+    * `compact = true` collapses each bucket's append file groups to ONE
+    * file — with ZERO shuffle: the source is read through a session
+    * clone with `autoBucketedScan` disabled, forcing the genuinely
+    * bucketed scan (one task per bucket, that bucket's build+append
+    * file groups read together), and the bucketed write then emits
+    * exactly one file per task = per bucket. A pre-write
+    * `repartition(numBuckets, term)` looks equivalent but is NOT: the
+    * scan advertises `HashPartitioning(term, numBuckets)` so
+    * EnsureRequirements elides the exchange, while
+    * DisableUnnecessaryBucketedScan independently downgrades the scan
+    * to file-grain tasks — leaving buckets split across tasks (caught
+    * by SearchOpsSpec's file-collapse pin). Rows, bucket spec, and the
+    * probe's bucket-pruned scan are unchanged. */
+  def cloneSearchIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, numBuckets: Int = 8,
+      compact: Boolean = false): Unit = {
+    val reader = if (compact) {
+      val s = spark.newSession() // shares context + catalog; conf isolated
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      s
+    } else spark
+    reader.table(src)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .option("path", path)
+      .saveAsTable(dest)
+  }
+
+  /** [[cloneSearchIndex]] with `compact = true` under its operational
+    * name — the retrieval index's build → append* → compact lifecycle
+    * step (per-append file-group growth is named in
+    * [[appendToSearchIndex]]'s contract; this is its remedy). */
+  def compactSearchIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, numBuckets: Int = 8): Unit =
+    cloneSearchIndex(spark, src, dest, path, numBuckets, compact = true)
+
   /** Positional phrase search: per doc, the number of token positions
     * where `phrase` occurs verbatim (consecutive, in order; overlapping
     * starts each count). A pure per-row expression over the token

@@ -120,6 +120,70 @@ class DedupIncrementalSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compaction collapses append file groups to one file per bucket; probe parity intact") {
+    val corpus = TextQueries.dupCorpus(Tables.documents(spark, dir))
+    val originals = corpus.filter(col("doc_id") < 100000)
+    val admitted = corpus.filter(col("doc_id") >= 200000)
+    val incoming = corpus.filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+    val table = "graft_band_compact_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val cTable = table + "_c"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_band_compact_spec").toString
+    val cPath = java.nio.file.Files
+      .createTempDirectory("graft_band_compact_spec_c").toString
+    try {
+      Dedup.writeBandIndex(originals, "doc_id", "text", table, path)
+      Dedup.appendToBandIndex(spark, table, admitted, "doc_id", "text")
+      // bucketed files carry their bucket id in the name (_NNNNN.c000) —
+      // group physical files by it
+      def filesPerBucket(t: String): Map[String, Long] =
+        spark.table(t)
+          .select(regexp_extract(input_file_name(), "_(\\d{5})\\.c000", 1).as("b"),
+            input_file_name().as("f"))
+          .groupBy(col("b")).agg(countDistinct(col("f")).as("nf"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(filesPerBucket(table).values.exists(_ > 1),
+        "the append should have left a second file group to compact")
+
+      Dedup.compactBandIndex(spark, table, cTable, cPath)
+      assert(filesPerBucket(cTable).values.forall(_ == 1L),
+        "compaction must leave exactly one file per bucket")
+      assert(spark.table(cTable).count() == spark.table(table).count(),
+        "compaction changed the row count")
+      // probe parity: compaction is result-invisible
+      val before = pairs(Dedup.probeBandIndex(spark, table, incoming,
+        "doc_id", "text", 0.5))
+      val after = pairs(Dedup.probeBandIndex(spark, cTable, incoming,
+        "doc_id", "text", 0.5))
+      assert(before.nonEmpty && before == after)
+      // and the compacted generation still serves the no-corpus-reshuffle
+      // probe plan (bucketed scan, no Exchange above it)
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val probe = Dedup.probeBandIndex(spark, cTable, incoming, "doc_id", "text", 0.5)
+        def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+        val all = nodes(probe.queryExecution.executedPlan)
+        def isBucketedScan(p: SparkPlan): Boolean = p match {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+        assert(all.exists(isBucketedScan), "no bucketed scan on the compacted index")
+        all.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+          assert(!nodes(s).exists(isBucketedScan),
+            "compacted index is being reshuffled")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    } finally Seq(table, cTable).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("band-index probe matches the direct join and never reshuffles the corpus") {
     val corpus = TextQueries.dupCorpus(Tables.documents(spark, dir))
     val existing = corpus.filter(col("doc_id") < 100000)

@@ -131,6 +131,49 @@ class SearchOpsSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compaction collapses append file groups to one file per bucket; pruned probe parity") {
+    val table = "graft_search_compact_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val cTable = table + "_c"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_search_compact_spec_").toString
+    val cPath = java.nio.file.Files
+      .createTempDirectory("graft_search_compact_spec_c_").toString
+    try {
+      SearchOps.writeSearchIndex(docs.filter($"doc_id" <= 2), "doc_id", "text",
+        table, path, numBuckets = 4)
+      SearchOps.appendToSearchIndex(spark, table,
+        docs.filter($"doc_id" > 2), "doc_id", "text", numBuckets = 4)
+      import org.apache.spark.sql.functions.{col, countDistinct, input_file_name, regexp_extract}
+      def filesPerBucket(t: String): Map[String, Long] =
+        spark.table(t)
+          .select(regexp_extract(input_file_name(), "_(\\d{5})\\.c000", 1).as("b"),
+            input_file_name().as("f"))
+          .groupBy(col("b")).agg(countDistinct(col("f")).as("nf"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(filesPerBucket(table).values.exists(_ > 1),
+        "the append should have left a second file group to compact")
+
+      SearchOps.compactSearchIndex(spark, table, cTable, cPath, numBuckets = 4)
+      assert(filesPerBucket(cTable).values.forall(_ == 1L),
+        s"compaction must leave exactly one file per bucket: ${filesPerBucket(cTable)}; " +
+          s"files=${new java.io.File(cPath).listFiles().map(_.getName).toSeq}")
+      assert(spark.table(cTable).count() == spark.table(table).count(),
+        "compaction changed the posting count")
+      // probe parity with the in-memory search over ALL docs, and the
+      // bucket-pruned scan survives compaction
+      val probe = SearchOps.probeSearchIndex(spark, cTable, Seq("spark", "window"), 10)
+      val direct = SearchOps.searchAllTerms(idx, Seq("spark", "window"), 10)
+      assert(probe.collect().toSeq == direct.collect().toSeq,
+        "compacted-index probe must equal the full-corpus search")
+      val scan = probe.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 4".r.findFirstMatchIn(scan)
+      assert(sel.isDefined && sel.get.group(1).toInt < 4,
+        s"compacted probe read every bucket:\n$scan")
+    } finally Seq(table, cTable).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("phraseSearch: in-order consecutive matches, overlaps counted, short docs safe") {
     val d = Seq(
       (1L, "a b a b a"),   // "a b" at 1 and 3 → 2 matches

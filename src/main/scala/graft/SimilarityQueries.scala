@@ -369,6 +369,16 @@ object SimilarityQueries {
         .orderBy(col("list_id"))
     }),
 
+    // index lifecycle DECISION: the monitor→retrain edge. The appended
+    // generation's list-size distribution reduced to ONE integer-exact
+    // imbalance verdict — has frozen-quantizer drift concentrated the
+    // corpus enough (hottest list vs mean, hottest list vs total) that
+    // the next epoch should retrain instead of append again? Same
+    // near-metadata scan as sim_ann_ivf_stats (partition column only);
+    // gated against the shared assignment CTEs over the union corpus.
+    "sim_ann_ivf_retrain_check" -> ((s, dir) =>
+      VectorOps.ivfRetrainCheck(s, ivfAppendIndexFor(s, dir))),
+
     // index MAINTENANCE: a batch appended to the persisted index via
     // the FROZEN coarse quantizer (the between-epochs operation — the
     // already-indexed corpus is never read or rewritten); the probe
@@ -619,6 +629,28 @@ object SimilarityQueries {
       s"""WITH $clusterAssignCtes
         |SELECT cid AS list_id, count(*) AS n_vectors FROM clusters
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the retrain verdict over the APPENDED generation: assignment of
+    // the union corpus under centroids trained on the originals only
+    // (the frozen-quantizer contract), sizes aggregated to the same
+    // mean-first floored signals as VectorOps.ivfRetrainCheck
+    "sim_ann_ivf_retrain_check" ->
+      s"""WITH $dupVectorsSql,
+        |${centTrainSql(ivfKSql, 2)},
+        |casg AS (
+        |  SELECT vec_id, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM corpus CROSS JOIN cents),
+        |sizes AS (SELECT cid, count(*) AS n FROM casg WHERE cr = 1 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_lists,
+        |    CAST(sum(n) AS BIGINT) AS total_vectors,
+        |    CAST(max(n) AS BIGINT) AS max_list FROM sizes),
+        |d AS (SELECT *, total_vectors // n_lists AS mean_list FROM tot),
+        |e AS (SELECT *, max_list * 1000 // mean_list AS max_over_mean_x1000,
+        |    max_list * 1000 // total_vectors AS top_frac_x1000 FROM d)
+        |SELECT n_lists, total_vectors, max_list, mean_list,
+        |  max_over_mean_x1000, top_frac_x1000,
+        |  (max_over_mean_x1000 >= 2000 OR top_frac_x1000 >= 200) AS retrain
+        |FROM e""".stripMargin,
     "sim_cluster_assignments" ->
       s"""WITH $clusterAssignCtes
         |SELECT vec_id, cid AS cluster_id FROM clusters

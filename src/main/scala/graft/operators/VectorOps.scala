@@ -463,6 +463,43 @@ object VectorOps {
       dest: String, path: String): Unit =
     cloneIvfIndex(spark, src, dest, path, compact = true)
 
+  /** The retrain DECISION over a persisted index's list-size
+    * distribution — the operator that closes the monitor→retrain edge
+    * of the lifecycle (build → append* → compact → monitor → retrain):
+    * `sim_ann_ivf_stats` emits the per-list sizes, this turns them into
+    * a verdict. Appends assign through the FROZEN quantizer, so corpus
+    * drift concentrates new vectors in few lists; probe cost is
+    * `nProbe · (sizes of the probed lists)`, so a hot list is a probe
+    * tail — the two signals here are exactly the two ways that happens:
+    *
+    *  - `max_over_mean_x1000`: hottest list vs the mean NONEMPTY list
+    *    (`max·1000 div (total div n_lists)`) — skew across lists;
+    *  - `top_frac_x1000`: fraction of the whole corpus in the hottest
+    *    list (`max·1000 div total`) — absolute concentration (catches
+    *    the degenerate case where most lists are near-empty and the
+    *    mean says nothing).
+    *
+    * `retrain` fires when either floored signal reaches its threshold.
+    * All arithmetic is BIGINT floor-division (the repo's quantization
+    * discipline; mean-first keeps every product ≤ max·1000, no overflow
+    * below ~9·10^15 vectors), so the verdict hash-matches the oracle
+    * computing the same distribution from the shared k-means assignment
+    * CTEs. Scale: reads the partition column only and reduces to ONE
+    * row — near-metadata cost like the stats query it judges
+    * (IvfIndexSpec pins the pruned read schema). */
+  def ivfRetrainCheck(spark: org.apache.spark.sql.SparkSession, table: String,
+      maxOverMeanX1000: Long = 2000L, topFracX1000: Long = 200L): DataFrame =
+    spark.table(s"${table}_lists")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("n")).as("total_vectors"),
+        max(col("n")).as("max_list"))
+      .withColumn("mean_list", expr("total_vectors div n_lists"))
+      .withColumn("max_over_mean_x1000", expr("max_list * 1000 div mean_list"))
+      .withColumn("top_frac_x1000", expr("max_list * 1000 div total_vectors"))
+      .withColumn("retrain",
+        col("max_over_mean_x1000") >= maxOverMeanX1000 ||
+          col("top_frac_x1000") >= topFracX1000)
+
   /** Append an arriving batch to an existing [[writeIvfIndex]] table —
     * the index MAINTENANCE operation between full-rebuild epochs: new
     * vectors are assigned to the EXISTING (frozen) coarse quantizer and

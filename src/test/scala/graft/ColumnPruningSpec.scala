@@ -61,4 +61,11 @@ class ColumnPruningSpec extends AnyFunSuite {
     // required data schema must be empty
     assertPruned("sim_ann_ivf_stats", Set.empty)
   }
+
+  test("sim_ann_ivf_retrain_check reads NO data columns either") {
+    // the retrain DECISION inherits the monitor's cost contract: the
+    // verdict over the appended generation is still a partition-column
+    // + count aggregation, one output row, zero data bytes
+    assertPruned("sim_ann_ivf_retrain_check", Set.empty)
+  }
 }

@@ -223,6 +223,55 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("retrain check: a skewed append flips the verdict") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    val table = "graft_ivf_retrain_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_retrain_spec_").toString
+    try {
+      VectorOps.writeIvfIndex(emb, table, path, numCentroids = k, trainIters = 2)
+      // thresholds pinned just above the fresh index's own signals, so
+      // the flip below is forced by the skewed append alone (absolute
+      // defaults would make the test hostage to the toy corpus's
+      // natural imbalance)
+      val fresh = VectorOps.ivfRetrainCheck(spark, table).collect().head
+      val skewBar = fresh.getAs[Long]("max_over_mean_x1000") + 1
+      val fracBar = fresh.getAs[Long]("top_frac_x1000") + 1
+      def verdict() =
+        VectorOps.ivfRetrainCheck(spark, table, skewBar, fracBar).collect().head
+      val before = verdict()
+      assert(!before.getAs[Boolean]("retrain"),
+        s"thresholds above the observed signals must not fire: $before")
+      assert(before.getAs[Long]("mean_list") ==
+        before.getAs[Long]("total_vectors") / before.getAs[Long]("n_lists"))
+
+      // drift, concentrated: 2·N copies of ONE vector — the frozen
+      // quantizer routes every copy to the same list, so that list now
+      // holds ≥ 2/3 of the corpus and both signals blow through any
+      // bar the fresh index could have set
+      val n = spark.table(s"${table}_lists").count()
+      val copies = spark.range(2 * n).toDF("i")
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding"))))
+        .select((col("i") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndex(spark, table, copies)
+
+      val after = verdict()
+      assert(after.getAs[Boolean]("retrain"),
+        s"skewed append did not flip the retrain verdict: $after")
+      assert(after.getAs[Long]("total_vectors") ==
+        before.getAs[Long]("total_vectors") + 2 * n)
+      assert(after.getAs[Long]("max_list") >= 2 * n,
+        "the hot list should hold every appended copy")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_cents")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_lists")
+    }
+  }
+
   test("sq8 append: int8 codes in the frozen quantizer's partitions") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

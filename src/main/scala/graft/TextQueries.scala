@@ -102,10 +102,15 @@ object TextQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_search_index_").toString
+      val dlPath = java.nio.file.Files
+        .createTempDirectory("graft_search_index_dl_").toString
       SearchOps.writeSearchIndex(Tables.documents(s, dir), "doc_id", "text",
         table, path)
-      EpochRegistry.Resource(table, dropTables = Seq(table),
-        deleteDirs = Seq(path))
+      // the BM25 norms sidecar, derived from the postings just written
+      SearchOps.writeDocLengths(s, table, dlPath)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_doclens"),
+        deleteDirs = Seq(path, dlPath))
     }
 
   /** The search-index append epoch: built from the even-id docs, the
@@ -431,6 +436,16 @@ object TextQueries {
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
+    // RANKED retrieval: BM25 over the persisted index + doc-length
+    // sidecar — floor-quantized integer idf per query term, exact
+    // rational tf part, integer addends (order-independent sum); the
+    // probe keeps the bucket-pruned term scan. Raw-tf ranking is the
+    // first thing a retrieval user replaces; this is the replacement.
+    "text_search_bm25" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
     // positional phrase search (overlapping occurrences count per start)
     "text_search_phrase" -> ((s, dir) => {
       SearchOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
@@ -599,6 +614,32 @@ object TextQueries {
       // ...and compacting that grown generation is result-invisible:
       // same oracle, fourth plan
       "text_search_compacted" -> searchAndSql,
+      // BM25 mirror: identical formula shape and evaluation order as
+      // SearchOps.searchBm25 — idf floored to a BIGINT once per term,
+      // tf part one double division of exact BIGINT polynomials
+      // (22/10/3/9 = k1 1.2, b 0.75 cleared of decimals), addends
+      // floored to BIGINT before the per-doc sum
+      "text_search_bm25" ->
+        s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+          |  FROM documents, LATERAL unnest($toksSql) t(token) GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+          |q AS (SELECT term, doc_id, tf FROM idx
+          |  WHERE term IN ('spark', 'vector', 'window')),
+          |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM q GROUP BY 1),
+          |sc AS (SELECT doc_id, CAST(floor(
+          |    CAST(floor(1000000.0 *
+          |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS BIGINT)
+          |    * ((22.0 * tf * total_dl) /
+          |       (10.0 * tf * total_dl + 3.0 * total_dl + 9.0 * dl * n_docs))
+          |  ) AS BIGINT) AS addend
+          |  FROM q JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
+          |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
+          |  FROM sc GROUP BY doc_id HAVING count(*) = 3)
+          |SELECT doc_id, score,
+          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+          |FROM hits ORDER BY rk LIMIT 10""".stripMargin,
       "text_search_phrase" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |m AS (SELECT doc_id, CASE WHEN len(toks) >= 2

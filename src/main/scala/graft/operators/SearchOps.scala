@@ -189,6 +189,79 @@ object SearchOps {
       dest: String, path: String, numBuckets: Int = 8): Unit =
     cloneSearchIndex(spark, src, dest, path, numBuckets, compact = true)
 
+  /** The doc-length sidecar for BM25 ranking: one `(doc_id, dl)` row per
+    * indexed document, derived from the index itself (`dl = Σ tf` — the
+    * token count the build already computed, never re-tokenized). Written
+    * at index-build time next to the postings, exactly how retrieval
+    * engines store per-doc norms apart from the term-keyed postings: the
+    * probe's bucket-pruned term scan stays term-shaped, and the per-doc
+    * normalization joins in from here. */
+  def writeDocLengths(spark: org.apache.spark.sql.SparkSession, table: String,
+      path: String): Unit =
+    spark.table(table)
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .saveAsTable(s"${table}_doclens")
+
+  /** BM25-ranked conjunctive search over a [[writeSearchIndex]] table
+    * with a [[writeDocLengths]] sidecar — the ranked-retrieval upgrade
+    * over [[searchAllTerms]]'s raw-tf scoring (k1 = 1.2, b = 0.75, the
+    * standard constants, fixed so both engines share one formula).
+    *
+    * Scoring is engineered to hash-match the DuckDB mirror despite the
+    * idf's transcendental:
+    *
+    *  - idf is floor-quantized ONCE per query term —
+    *    `idf6 = floor(1e6 · ln((N − df + ½)/(df + ½) + 1))` — so any
+    *    cross-engine last-ulp `ln` wiggle must cross a 1e-6 floor
+    *    boundary on one of |terms| values (not per doc) to matter;
+    *  - the tf part is the exact rational
+    *    `22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N)` (k1/b cleared of
+    *    decimals, mean-length form), every operand an exact BIGINT:
+    *    one IEEE double division both engines round identically;
+    *  - each (term, doc) addend is floored to an INTEGER before the
+    *    per-doc sum, so the aggregation is order-independent — the
+    *    floating sum a shuffle could reorder never exists.
+    *
+    * Plan shape: the postings scan is bucket-pruned to the query terms
+    * (same probe-session contract as [[probeSearchIndex]]); df comes
+    * from the same pruned scan with NO exchange (the bucketed scan
+    * already hash-partitions by term); the sidecar contributes one
+    * broadcast stats row + a doc_id join of candidates against dlens.
+    * At 100 TB that join is the textbook norms lookup — bucket the
+    * sidecar by doc_id (or denormalize dl into the postings at build
+    * time) if it ever dominates; the term scan itself stays
+    * |terms|/numBuckets of the index either way. */
+  def searchBm25(spark: org.apache.spark.sql.SparkSession, table: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one search term")
+    require(terms.distinct.size == terms.size, s"duplicate search terms: $terms")
+    val ps = probeSessionFor(spark)
+    val idx = ps.table(table).filter(col("term").isin(terms: _*))
+    val dlens = ps.table(s"${table}_doclens")
+    val stats = broadcast(dlens.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
+    val dfreq = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf6 = floor(lit(1000000.0) *
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+    val tfPart = (lit(22.0) * col("tf") * col("total_dl")) /
+      (lit(10.0) * col("tf") * col("total_dl") + lit(3.0) * col("total_dl") +
+        lit(9.0) * col("dl") * col("n_docs"))
+    val hits = idx
+      .join(broadcast(dfreq), "term")
+      .join(dlens, "doc_id")
+      .crossJoin(stats)
+      .select(col("doc_id"), floor(idf6 * tfPart).as("addend"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("addend")).as("score"))
+      .filter(col("n_terms") === terms.length)
+    hits.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("score"), col("rk"))
+  }
+
   /** Positional phrase search: per doc, the number of token positions
     * where `phrase` occurs verbatim (consecutive, in order; overlapping
     * starts each count). A pure per-row expression over the token

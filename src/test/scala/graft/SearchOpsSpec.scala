@@ -60,6 +60,57 @@ class SearchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("searchBm25: conjunctive, idf-weighted, length-normalized, bucket-pruned") {
+    val table = "graft_search_bm25_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_search_bm25_spec_").toString
+    val dlPath = java.nio.file.Files
+      .createTempDirectory("graft_search_bm25_spec_dl_").toString
+    // 'rare' appears in docs 1,2 only; 'common' in every doc. Docs 1 and
+    // 2 have identical tf for both query terms; doc 2 is much longer —
+    // BM25's length normalization must rank doc 1 first (raw-tf ranking
+    // would tie them and fall to the doc_id tiebreak, so also construct
+    // doc 2 with HIGHER total query tf to prove the ranking genuinely
+    // differs from searchAllTerms').
+    val bmDocs = Seq(
+      (1L, "rare common filler"),
+      (2L, "rare rare common common pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "common only here nothing else"),
+      (4L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    try {
+      SearchOps.writeSearchIndex(bmDocs, "doc_id", "text", table, path, numBuckets = 4)
+      SearchOps.writeDocLengths(spark, table, dlPath)
+      val res = SearchOps.searchBm25(spark, table, Seq("rare", "common"), 10)
+      val rows = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // conjunctive: docs 3 (no 'rare') and 4 (neither) excluded
+      assert(rows.map(_._1).toSet == Set(1L, 2L))
+      // doc 2 has double the query tf but 14 tokens vs doc 1's 3: the
+      // saturation + length penalty must rank the short doc first —
+      // searchAllTerms on the same index ranks doc 2 first, proving the
+      // two scorers genuinely disagree here
+      assert(rows.find(_._3 == 1L).get._1 == 1L,
+        s"length normalization failed: $rows")
+      val tfRank = SearchOps.probeSearchIndex(spark, table, Seq("rare", "common"), 10)
+        .collect().map(_.getLong(0))
+      assert(tfRank.head == 2L, "fixture no longer separates BM25 from raw tf")
+      // scores are positive scaled integers, non-increasing by rank
+      assert(rows.forall(_._2 > 0L))
+      val byRank = rows.sortBy(_._3).map(_._2)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"scores not ordered by rank: $rows")
+      // and the postings scan still bucket-prunes to the query terms
+      val scan = res.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 4".r.findFirstMatchIn(scan)
+      assert(sel.isDefined && sel.get.group(1).toInt < 4,
+        s"bm25 probe read every bucket:\n$scan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_doclens")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("probe session inherits the caller's runtime conf and is cached (ADVICE r10)") {
     val table = "graft_search_conf_spec_" +
       java.util.UUID.randomUUID().toString.replace("-", "")

@@ -104,6 +104,28 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // the funnel's TTL path, driver-executed (VERDICT r10 #5): same
+    // stream through the EventTimeTimeout machinery — watermark on the
+    // unfiltered input, per-batch arm, expiry handler. The fixture spans
+    // ~30 days, so the 90-day watermark delay admits every out-of-order
+    // event and the 90-day TTL evicts nobody: the converged output is
+    // DEFINED to equal stream_funnel's (TtlStreamParitySpec pins it);
+    // eviction/restart semantics are pinned by FunnelStreamSpec.
+    "stream_funnel_ttl" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+        maxFilesPerTrigger = 1)
+      val out = runToMemory(graft.streaming.FunnelStream.runningFunnel(
+          st, "user_id", "event_type", "ts_us",
+          Seq("signup", "click", "purchase"),
+          ttl = Some("90 days"), watermarkDelay = "90 days").toDF(), "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+      out.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("reach")(0).as("t1"),
+          col("reach")(1).as("t2"), col("reach")(2).as("t3"))
+        .orderBy(col("user_id"))
+    }),
+
     // running-stats anomaly stream: each micro-batch judged against the
     // per-type statistics of all PRIOR batches (integer-exact state,
     // bounded by key cardinality). Self-oracle: StatsStreamSpec replays
@@ -115,6 +137,22 @@ object StreamingQueries {
       runToMemory(graft.streaming.StatsStream.runningZscoreFlags(
           st, "event_type", "event_id",
           round(col("value") * 100).cast("long"), z = 2.0).toDF(),
+        "append").orderBy(col("id"))
+    }),
+
+    // the anomaly stream's TTL path, driver-executed: identical inputs
+    // and micro-batch decomposition (same epoch file dir, same
+    // one-file-per-trigger source), watermark wide enough to drop
+    // nothing and TTL wide enough to evict nobody — so every flag and
+    // prior_n must equal stream_anomaly's row for row
+    // (TtlStreamParitySpec); key expiry/restart is StatsStreamSpec's.
+    "stream_anomaly_ttl" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+        maxFilesPerTrigger = 1)
+      runToMemory(graft.streaming.StatsStream.runningZscoreFlagsTtl(
+          st, "event_type", "event_id",
+          round(col("value") * 100).cast("long"), z = 2.0,
+          tsCol = "ts_us", ttl = "90 days", watermarkDelay = "90 days").toDF(),
         "append").orderBy(col("id"))
     }))
 

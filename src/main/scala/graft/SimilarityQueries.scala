@@ -71,19 +71,20 @@ object SimilarityQueries {
   private val ivfKSql =
     "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
-  private def centTrainSql(numCentroids: String, iters: Int): String = {
+  private def centTrainSql(numCentroids: String, iters: Int,
+      rel: String = "embeddings"): String = {
     val dim = 64 // embeddings.parquet fixed dim (TESTDATA.md)
     if (iters == 0)
-      s"cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $numCentroids)"
+      s"cents AS (SELECT vec_id AS cid, embedding AS cv FROM $rel WHERE vec_id < $numCentroids)"
     else {
-      val seed = s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $numCentroids)"
+      val seed = s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM $rel WHERE vec_id < $numCentroids)"
       val steps = (0 until iters).map { i =>
         val next = if (i == iters - 1) "cents" else s"c${i + 1}"
         s"""asg$i AS (
           |  SELECT cid, embedding FROM (
           |    SELECT e.embedding, c.cid, row_number() OVER
           |      (PARTITION BY e.vec_id ORDER BY round(${cosSql("e.embedding", "c.cv")}, 6) DESC, c.cid) AS cr
-          |    FROM embeddings e CROSS JOIN c$i c) a WHERE cr = 1),
+          |    FROM $rel e CROSS JOIN c$i c) a WHERE cr = 1),
           |$next AS (
           |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
           |    SELECT cid, pos, ((sum(q)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0))::FLOAT AS m
@@ -207,6 +208,26 @@ object SimilarityQueries {
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_compact_index_").toString
       VectorOps.compactIvfIndex(s, base, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The retrain epoch: the appended generation's grown corpus read
+    * back from its lists and retrained into a NEW generation
+    * ([[VectorOps.retrainIvfIndex]] — fresh centroids AND fresh K over
+    * the union corpus), closing the lifecycle the monitoring verdict
+    * opens. Base resolved before the acquire (nested computeIfAbsent on
+    * one map can deadlock). */
+  private[graft] def ivfRetrainIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfAppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_retrain_index", dir) { () =>
+      val table = "graft_ivf_retrain_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_retrain_index_").toString
+      VectorOps.retrainIvfIndex(s, base, table, path)
       EpochRegistry.Resource(table,
         dropTables = Seq(s"${table}_cents", s"${table}_lists"),
         deleteDirs = Seq(path))
@@ -404,6 +425,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // index RETRAIN execution: the operation the retrain_check verdict
+    // triggers — a new generation trained over the grown corpus (read
+    // back from the appended index's lists), fresh centroids AND fresh
+    // K = max(4, ⌊√n⌋) over the union. The probe must equal an
+    // in-memory IVF pass whose quantizer was trained on the union
+    // corpus — which is exactly what the oracle computes (train/assign
+    // over `corpus`, not `embeddings`).
+    "sim_ann_ivf_retrained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndex(s, ivfRetrainIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the SQ8 layout's append maintenance — int8 codes into the frozen
     // quantizer's list partitions
     "sim_ann_ivf_sq8_appended" -> ((s, dir) => {
@@ -471,8 +507,9 @@ object SimilarityQueries {
     * different relation — `embeddings` for the build-time index,
     * `corpus` (original ∪ appended batch) for the append-maintenance
     * query. One builder so the four IVF mirrors can't drift. */
-  private def ivfOracleOver(pre: String, corpusRel: String): String =
-    s"""WITH $pre${centTrainSql(ivfKSql, 2)},
+  private def ivfOracleOver(pre: String, corpusRel: String,
+      trainRel: String = "embeddings", kSql: String = ivfKSql): String =
+    s"""WITH $pre${centTrainSql(kSql, 2, trainRel)},
       |asg AS (
       |  SELECT vec_id, embedding, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
@@ -667,6 +704,12 @@ object SimilarityQueries {
     // quantizer still trained on the ORIGINAL embeddings only
     "sim_ann_ivf_appended" -> ivfAppendOracleSql,
     "sim_ann_ivf_compacted" -> ivfAppendOracleSql,
+    // retrain: same probe shape, but the quantizer is trained over the
+    // UNION corpus with K re-derived from its size — the two things
+    // retraining exists to refresh
+    "sim_ann_ivf_retrained" -> ivfOracleOver(dupVectorsSql + ",\n", "corpus",
+      trainRel = "corpus",
+      kSql = "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)"),
     "sim_ann_ivf_sq8_appended" -> ivfSq8AppendOracleSql,
     "sim_ann_ivf_sq8_recall" -> ivfSq8RecallOracleSql,
     "sim_ann_ivf_sq8_indexed_recall" -> ivfSq8RecallOracleSql,

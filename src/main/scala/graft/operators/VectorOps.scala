@@ -500,6 +500,34 @@ object VectorOps {
         col("max_over_mean_x1000") >= maxOverMeanX1000 ||
           col("top_frac_x1000") >= topFracX1000)
 
+  /** Execute the retrain [[ivfRetrainCheck]] decides on — the final
+    * edge of the index lifecycle (build → append* → compact → monitor →
+    * decide → RETRAIN): a NEW generation is trained over the CURRENT
+    * corpus read back from the source index's lists (originals + every
+    * appended batch), with K re-derived as max(4, ⌊√n⌋) from the grown
+    * corpus size — the whole point of retraining is that both the
+    * centroids and the list count reflect the corpus the appends drifted
+    * to. Writes a fresh `<dest>_cents`/`<dest>_lists` pair; the serving
+    * generation is never touched (swap after validation, exactly like
+    * the clone-append workflow). Float-list indexes only: SQ8 lists
+    * store lossy codes, so the float master index is the retrain source
+    * and an SQ8 generation is re-derived from it afterwards
+    * ([[writeIvfIndexSq8]] over the same corpus).
+    *
+    * Cost shape is the build's, not the append's — one corpus read +
+    * `trainIters` Lloyd passes + one partitioned write. That is the
+    * correct price: retraining IS a build epoch, triggered rarely and
+    * precisely when the monitoring verdict says the cheap appends have
+    * degraded probe cost. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, trainIters: Int = 2): Unit = {
+    val corpus = spark.table(s"${src}_lists")
+      .select(col("vec_id"), col("embedding"))
+    val k = math.max(4,
+      math.floor(math.sqrt(corpus.count().toDouble)).toInt)
+    writeIvfIndex(corpus, dest, path, numCentroids = k, trainIters = trainIters)
+  }
+
   /** Append an arriving batch to an existing [[writeIvfIndex]] table —
     * the index MAINTENANCE operation between full-rebuild epochs: new
     * vectors are assigned to the EXISTING (frozen) coarse quantizer and

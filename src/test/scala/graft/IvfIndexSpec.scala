@@ -272,6 +272,57 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("retrain: new generation over the grown corpus, fresh K, source untouched") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    val table = "graft_ivf_retrain_exec_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val rTable = table + "_r"
+    val dTable = table + "_d"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_retrain_exec_spec_").toString
+    val rPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_retrain_exec_spec_r_").toString
+    val dPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_retrain_exec_spec_d_").toString
+    try {
+      VectorOps.writeIvfIndex(emb, table, path, numCentroids = k, trainIters = 2)
+      // grow the corpus enough that ⌊√n⌋ — hence the retrained K — rises
+      val batch = emb.select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndex(spark, table, batch)
+      val nGrown = spark.table(s"${table}_lists").count()
+      val srcCents = spark.table(s"${table}_cents").count()
+
+      VectorOps.retrainIvfIndex(spark, table, rTable, rPath)
+      // 1. the new quantizer reflects the GROWN corpus: trained (not
+      //    copied) centroids, K re-derived from n (≤ because empty
+      //    lists drop out of a trained centroid set)
+      val kGrown = math.max(4, math.floor(math.sqrt(nGrown.toDouble)).toInt)
+      val rCents = spark.table(s"${rTable}_cents").count()
+      assert(rCents > srcCents && rCents <= kGrown,
+        s"retrained centroid count $rCents (source $srcCents, derived K $kGrown)")
+      assert(spark.table(s"${rTable}_lists").count() == nGrown,
+        "retrained index must hold exactly the grown corpus")
+      // 2. the source (serving) generation is untouched
+      assert(spark.table(s"${table}_cents").count() == srcCents)
+      assert(spark.table(s"${table}_lists").count() == nGrown)
+      // 3. retrain ≡ a fresh build over the union corpus: identical
+      //    probes (same deterministic Lloyd/seed/K path — the contract
+      //    that makes the retrained generation oracle-able)
+      val union = emb.select(col("vec_id"), col("embedding")).unionAll(batch)
+      VectorOps.writeIvfIndex(union, dTable, dPath,
+        numCentroids = kGrown, trainIters = 2)
+      val q = emb.filter(col("vec_id") < 5)
+      val viaRetrain = rows(VectorOps.probeIvfIndex(spark, rTable, q, k = 3, nProbe = 4))
+      val viaBuild = rows(VectorOps.probeIvfIndex(spark, dTable, q, k = 3, nProbe = 4))
+      assert(viaRetrain.nonEmpty && viaRetrain == viaBuild)
+    } finally Seq(table, rTable, dTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_cents")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_lists")
+    }
+  }
+
   test("sq8 append: int8 codes in the frozen quantizer's partitions") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

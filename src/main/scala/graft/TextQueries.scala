@@ -124,13 +124,22 @@ object TextQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_search_append_index_").toString
+      val dlPath = java.nio.file.Files
+        .createTempDirectory("graft_search_append_index_dl_").toString
       val docs = Tables.documents(s, dir)
       SearchOps.writeSearchIndex(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", table, path)
+      // the norms sidecar grows WITH the postings: built from the even
+      // docs, appended for the odd batch — so the BM25 probe over the
+      // grown generation is gated by the same all-docs oracle
+      SearchOps.writeDocLengths(s, table, dlPath)
       SearchOps.appendToSearchIndex(s, table,
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-      EpochRegistry.Resource(table, dropTables = Seq(table),
-        deleteDirs = Seq(path))
+      SearchOps.appendDocLengths(s, table,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_doclens"),
+        deleteDirs = Seq(path, dlPath))
     }
 
   /** The search-index compaction epoch: [[searchAppendIndexFor]]'s
@@ -163,6 +172,28 @@ object TextQueries {
       |WHERE (id_a < 100000 AND id_b >= 100000 AND id_b < 200000)
       |   OR (id_a >= 100000 AND id_a < 200000 AND id_b >= 200000)
       |ORDER BY new_id, old_id""".stripMargin
+
+  private lazy val searchBm25Sql =
+    s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+      |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+      |q AS (SELECT term, doc_id, tf FROM idx
+      |  WHERE term IN ('spark', 'vector', 'window')),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM q GROUP BY 1),
+      |sc AS (SELECT doc_id, CAST(floor(
+      |    CAST(floor(1000000.0 *
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS BIGINT)
+      |    * ((22.0 * tf * total_dl) /
+      |       (10.0 * tf * total_dl + 3.0 * total_dl + 9.0 * dl * n_docs))
+      |  ) AS BIGINT) AS addend
+      |  FROM q JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
+      |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
+      |  FROM sc GROUP BY doc_id HAVING count(*) = 3)
+      |SELECT doc_id, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      |FROM hits ORDER BY rk LIMIT 10""".stripMargin
 
   private lazy val searchAndSql =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
@@ -446,6 +477,15 @@ object TextQueries {
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
+    // ...and BM25 stays correct across index maintenance: the append
+    // epoch grows postings AND the norms sidecar (appendDocLengths), so
+    // ranked retrieval over the grown generation hash-matches the same
+    // all-docs oracle — the ranked twin of text_search_appended
+    "text_search_bm25_appended" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchAppendIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
     // positional phrase search (overlapping occurrences count per start)
     "text_search_phrase" -> ((s, dir) => {
       SearchOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
@@ -619,27 +659,10 @@ object TextQueries {
       // tf part one double division of exact BIGINT polynomials
       // (22/10/3/9 = k1 1.2, b 0.75 cleared of decimals), addends
       // floored to BIGINT before the per-doc sum
-      "text_search_bm25" ->
-        s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
-          |  FROM documents, LATERAL unnest($toksSql) t(token) GROUP BY 1, 2),
-          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
-          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-          |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
-          |q AS (SELECT term, doc_id, tf FROM idx
-          |  WHERE term IN ('spark', 'vector', 'window')),
-          |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM q GROUP BY 1),
-          |sc AS (SELECT doc_id, CAST(floor(
-          |    CAST(floor(1000000.0 *
-          |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS BIGINT)
-          |    * ((22.0 * tf * total_dl) /
-          |       (10.0 * tf * total_dl + 3.0 * total_dl + 9.0 * dl * n_docs))
-          |  ) AS BIGINT) AS addend
-          |  FROM q JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
-          |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
-          |  FROM sc GROUP BY doc_id HAVING count(*) = 3)
-          |SELECT doc_id, score,
-          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-          |FROM hits ORDER BY rk LIMIT 10""".stripMargin,
+      "text_search_bm25" -> searchBm25Sql,
+      // the append epoch (build-evens + append-odds postings AND
+      // doclens) covers every document — same oracle, second plan
+      "text_search_bm25_appended" -> searchBm25Sql,
       "text_search_phrase" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |m AS (SELECT doc_id, CASE WHEN len(toks) >= 2

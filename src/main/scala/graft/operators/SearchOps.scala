@@ -204,6 +204,23 @@ object SearchOps {
       .option("path", path)
       .saveAsTable(s"${table}_doclens")
 
+  /** The doc-length sidecar's append maintenance — the norms half of
+    * [[appendToSearchIndex]]: newly-ingested documents contribute one
+    * `(doc_id, dl)` row each, derived through the same `tokens()` the
+    * postings append uses, so the sidecar can never drift from the
+    * index. Existing rows are never read or rewritten (each append is
+    * one more small file); corpus stats (N, Σdl) stay exact because
+    * they are aggregated from the sidecar at probe time. Without this,
+    * a BM25 probe after an index append would silently drop the new
+    * docs at the norms join — the conjunctive gate needs every
+    * candidate's length. */
+  def appendDocLengths(spark: org.apache.spark.sql.SparkSession,
+      table: String, docs: DataFrame, idCol: String, textCol: String): Unit =
+    invertedIndex(docs, idCol, textCol)
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_doclens")
+
   /** BM25-ranked conjunctive search over a [[writeSearchIndex]] table
     * with a [[writeDocLengths]] sidecar — the ranked-retrieval upgrade
     * over [[searchAllTerms]]'s raw-tf scoring (k1 = 1.2, b = 0.75, the

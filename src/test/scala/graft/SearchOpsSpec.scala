@@ -111,6 +111,46 @@ class SearchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendDocLengths: BM25 over build+append equals BM25 over a fresh full index") {
+    val table = "graft_bm25_append_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val fTable = table + "_f"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_append_spec_").toString
+    val dlPath = java.nio.file.Files
+      .createTempDirectory("graft_bm25_append_spec_dl_").toString
+    val fPath = java.nio.file.Files
+      .createTempDirectory("graft_bm25_append_spec_f_").toString
+    val fDlPath = java.nio.file.Files
+      .createTempDirectory("graft_bm25_append_spec_fdl_").toString
+    try {
+      // grown generation: build on half the docs, append the rest —
+      // postings AND norms
+      SearchOps.writeSearchIndex(docs.filter($"doc_id" <= 2), "doc_id", "text",
+        table, path, numBuckets = 4)
+      SearchOps.writeDocLengths(spark, table, dlPath)
+      SearchOps.appendToSearchIndex(spark, table,
+        docs.filter($"doc_id" > 2), "doc_id", "text", numBuckets = 4)
+      SearchOps.appendDocLengths(spark, table, docs.filter($"doc_id" > 2),
+        "doc_id", "text")
+      assert(spark.table(s"${table}_doclens").count() == docs.count(),
+        "sidecar must cover every indexed doc after the append")
+      // reference: one fresh build over all docs
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", fTable, fPath,
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, fTable, fDlPath)
+      val grown = SearchOps.searchBm25(spark, table, Seq("spark", "window"), 10)
+        .collect().toSeq.map(_.toSeq)
+      val fresh = SearchOps.searchBm25(spark, fTable, Seq("spark", "window"), 10)
+        .collect().toSeq.map(_.toSeq)
+      assert(grown.nonEmpty && grown == fresh,
+        s"append-maintained BM25 diverged: grown=$grown fresh=$fresh")
+    } finally Seq(table, fTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_doclens")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("probe session inherits the caller's runtime conf and is cached (ADVICE r10)") {
     val table = "graft_search_conf_spec_" +
       java.util.UUID.randomUUID().toString.replace("-", "")

@@ -234,6 +234,24 @@ object SimilarityQueries {
     }
   }
 
+  /** The SQ8-derivation epoch: the float master's quantizer and
+    * assignment re-used verbatim, payload quantized in place
+    * ([[VectorOps.deriveSq8Index]]) — how a retrained float master
+    * regains its compact serving copy without re-training. */
+  private[graft] def ivfSq8DerivedIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_sq8_derived_index", dir) { () =>
+      val table = "graft_ivf_sq8_derived_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_sq8_derived_index_").toString
+      VectorOps.deriveSq8Index(s, base, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
@@ -420,6 +438,19 @@ object SimilarityQueries {
     "sim_ann_ivf_compacted" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.probeIvfIndex(s, ivfCompactIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // SQ8 DERIVATION: the float master's quantizer/assignment reused
+    // verbatim, payload int8-quantized in place — the post-retrain step
+    // that regains the compact serving copy without a Lloyd pass. Must
+    // hash-match the in-memory SQ8 pass (and hence the directly-written
+    // SQ8 index): same oracle, another plan.
+    "sim_ann_ivf_sq8_derived" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexSq8(s, ivfSq8DerivedIndexFor(s, dir), querySet(emb),
           k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
@@ -700,6 +731,9 @@ object SimilarityQueries {
     // same deterministic Lloyd training) — one oracle, two plans
     "sim_ann_ivf_indexed" -> ivfOracleSql,
     "sim_ann_ivf_sq8_indexed" -> ivfSq8OracleSql,
+    // deriving SQ8 from the float master = the SQ8 build by definition
+    // (same centroids, assignment, quantization) — same oracle again
+    "sim_ann_ivf_sq8_derived" -> ivfSq8OracleSql,
     // append maintenance: same builders over the union corpus with the
     // quantizer still trained on the ORIGINAL embeddings only
     "sim_ann_ivf_appended" -> ivfAppendOracleSql,

@@ -500,6 +500,28 @@ object VectorOps {
         col("max_over_mean_x1000") >= maxOverMeanX1000 ||
           col("top_frac_x1000") >= topFracX1000)
 
+  /** Derive an SQ8 serving generation from a float master index — the
+    * step the retrain workflow ends with ([[retrainIvfIndex]] rebuilds
+    * the float master; this re-derives the compact serving copy): the
+    * coarse quantizer is copied VERBATIM and each list row's payload is
+    * quantized to int8 in place, `list_id` kept — no Lloyd pass, no
+    * re-assignment, one partition-preserving map over the lists. The
+    * derived index is bit-identical to what [[writeIvfIndexSq8]] would
+    * build from the same corpus (same centroids, same float-cosine
+    * assignment, same scan-side quantization), which is what makes it
+    * oracle-able by the existing SQ8 mirror — one oracle, another
+    * plan. */
+  def deriveSq8Index(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    withQuantized(spark.table(s"${src}_lists"), "embedding", "qe")
+      .select(col("vec_id"), col("qe"), col("list_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
+  }
+
   /** Execute the retrain [[ivfRetrainCheck]] decides on — the final
     * edge of the index lifecycle (build → append* → compact → monitor →
     * decide → RETRAIN): a NEW generation is trained over the CURRENT

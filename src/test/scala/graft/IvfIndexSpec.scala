@@ -323,6 +323,38 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8 derivation from the float master equals the directly-built SQ8 index") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    val fTable = ivfTable(emb, k, sq8 = false)  // shared float master
+    val sTable = ivfTable(emb, k, sq8 = true)   // shared direct SQ8 build
+    val dTable = "graft_ivf_sq8_derive_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val dPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_sq8_derive_spec_").toString
+    try {
+      VectorOps.deriveSq8Index(spark, fTable, dTable, dPath)
+      // the quantizer is the float master's, verbatim
+      assert(spark.table(s"${dTable}_cents").collect().toSet ==
+        spark.table(s"${fTable}_cents").collect().toSet)
+      // the derived lists are the direct SQ8 build's, row for row
+      def lists(t: String) = spark.table(s"${t}_lists")
+        .select(col("vec_id"), col("list_id"), col("qe"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      assert(lists(dTable) == lists(sTable),
+        "derived SQ8 lists differ from the directly-built index")
+      // and so are the probes
+      val q = emb.filter(col("vec_id") < 5)
+      val viaDerived = rows(VectorOps.probeIvfIndexSq8(spark, dTable, q, k = 3, nProbe = 4))
+      val viaDirect = rows(VectorOps.probeIvfIndexSq8(spark, sTable, q, k = 3, nProbe = 4))
+      assert(viaDerived.nonEmpty && viaDerived == viaDirect)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${dTable}_cents")
+      spark.sql(s"DROP TABLE IF EXISTS ${dTable}_lists")
+    }
+  }
+
   test("sq8 append: int8 codes in the frozen quantizer's partitions") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

@@ -173,7 +173,7 @@ object TextQueries {
       |   OR (id_a >= 100000 AND id_a < 200000 AND id_b >= 200000)
       |ORDER BY new_id, old_id""".stripMargin
 
-  private lazy val searchBm25Sql =
+  private def searchBm25SqlOver(having: String): String =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
       |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
@@ -190,10 +190,13 @@ object TextQueries {
       |  ) AS BIGINT) AS addend
       |  FROM q JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
       |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
-      |  FROM sc GROUP BY doc_id HAVING count(*) = 3)
+      |  FROM sc GROUP BY doc_id $having)
       |SELECT doc_id, score,
       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
       |FROM hits ORDER BY rk LIMIT 10""".stripMargin
+
+  private lazy val searchBm25Sql = searchBm25SqlOver("HAVING count(*) = 3")
+  private lazy val searchBm25AnySql = searchBm25SqlOver("")
 
   private lazy val searchAndSql =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
@@ -477,6 +480,14 @@ object TextQueries {
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
+    // disjunctive (ANY-term) BM25 — the textbook form: subset matches
+    // rank too, scored by the terms they have. Same scorer (shared
+    // bm25Ranked), so conjunctive and disjunctive can't drift.
+    "text_search_bm25_any" -> ((s, dir) => {
+      SearchOps.searchBm25Any(s, searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
     // ...and BM25 stays correct across index maintenance: the append
     // epoch grows postings AND the norms sidecar (appendDocLengths), so
     // ranked retrieval over the grown generation hash-matches the same
@@ -660,6 +671,8 @@ object TextQueries {
       // (22/10/3/9 = k1 1.2, b 0.75 cleared of decimals), addends
       // floored to BIGINT before the per-doc sum
       "text_search_bm25" -> searchBm25Sql,
+      // disjunctive form: same chain, no conjunctive HAVING gate
+      "text_search_bm25_any" -> searchBm25AnySql,
       // the append epoch (build-evens + append-odds postings AND
       // doclens) covers every document — same oracle, second plan
       "text_search_bm25_appended" -> searchBm25Sql,

@@ -251,7 +251,23 @@ object SearchOps {
     * time) if it ever dominates; the term scan itself stays
     * |terms|/numBuckets of the index either way. */
   def searchBm25(spark: org.apache.spark.sql.SparkSession, table: String,
-      terms: Seq[String], k: Int): DataFrame = {
+      terms: Seq[String], k: Int): DataFrame =
+    bm25Ranked(spark, table, terms, k, conjunctive = true)
+
+  /** Disjunctive (ANY-term) BM25 — the textbook form: a document
+    * matching a subset of the query terms still ranks, scored by the
+    * terms it has (missing terms contribute zero, exactly as the BM25
+    * sum defines). Same scorer, same quantization discipline, same
+    * bucket-pruned plan as [[searchBm25]]; the conjunctive gate there
+    * is a FILTER choice layered on the shared scoring, not a scorer
+    * property — this keeps the two from drifting. */
+  def searchBm25Any(spark: org.apache.spark.sql.SparkSession, table: String,
+      terms: Seq[String], k: Int): DataFrame =
+    bm25Ranked(spark, table, terms, k, conjunctive = false)
+
+  private def bm25Ranked(spark: org.apache.spark.sql.SparkSession,
+      table: String, terms: Seq[String], k: Int,
+      conjunctive: Boolean): DataFrame = {
     require(terms.nonEmpty, "need at least one search term")
     require(terms.distinct.size == terms.size, s"duplicate search terms: $terms")
     val ps = probeSessionFor(spark)
@@ -265,14 +281,16 @@ object SearchOps {
     val tfPart = (lit(22.0) * col("tf") * col("total_dl")) /
       (lit(10.0) * col("tf") * col("total_dl") + lit(3.0) * col("total_dl") +
         lit(9.0) * col("dl") * col("n_docs"))
-    val hits = idx
+    val scored = idx
       .join(broadcast(dfreq), "term")
       .join(dlens, "doc_id")
       .crossJoin(stats)
       .select(col("doc_id"), floor(idf6 * tfPart).as("addend"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("addend")).as("score"))
-      .filter(col("n_terms") === terms.length)
+    val hits =
+      if (conjunctive) scored.filter(col("n_terms") === terms.length)
+      else scored
     hits.orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rk", row_number()
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))

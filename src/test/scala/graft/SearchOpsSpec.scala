@@ -111,6 +111,39 @@ class SearchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("searchBm25Any: subset matches rank, scored only by the terms they have") {
+    val table = "graft_bm25_any_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bm25_any_spec_").toString
+    val dlPath = java.nio.file.Files
+      .createTempDirectory("graft_bm25_any_spec_dl_").toString
+    val anyDocs = Seq(
+      (1L, "rare common filler"),        // both terms
+      (2L, "rare rare rare rare only"),  // 'rare' only — must still rank
+      (3L, "common text here"),          // 'common' only — must still rank
+      (4L, "unrelated entirely"))        // neither — excluded
+      .toDF("doc_id", "text")
+    try {
+      SearchOps.writeSearchIndex(anyDocs, "doc_id", "text", table, path, numBuckets = 4)
+      SearchOps.writeDocLengths(spark, table, dlPath)
+      val any = SearchOps.searchBm25Any(spark, table, Seq("rare", "common"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(any.map(_._1).toSet == Set(1L, 2L, 3L),
+        s"disjunctive match set wrong: ${any.toSeq}")
+      // the conjunctive form on the same index keeps only doc 1, with
+      // the SAME score the disjunctive run gave it (shared scorer)
+      val conj = SearchOps.searchBm25(spark, table, Seq("rare", "common"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(conj.map(_._1).toSeq == Seq(1L))
+      assert(conj.head._2 == any.find(_._1 == 1L).get._2,
+        "conjunctive and disjunctive scorers drifted")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_doclens")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("appendDocLengths: BM25 over build+append equals BM25 over a fresh full index") {
     val table = "graft_bm25_append_spec_" +
       java.util.UUID.randomUUID().toString.replace("-", "")

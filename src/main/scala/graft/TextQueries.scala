@@ -385,6 +385,22 @@ object TextQueries {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // band-index MONITORING — the dedup twin of sim_ann_ivf_stats: per
+    // band, the bucket count, row count, and hottest bucket size. The
+    // hot-bucket signal is what drives probe cost (in-bucket work is
+    // pairwise; BoundedPairs salts it, but a persistently hot bucket
+    // means the shingle space needs re-sharding — the band family's
+    // "retrain" analog). One map-side-combined shuffle over two pruned
+    // columns of the index; integer-exact.
+    "dedup_band_stats" -> ((s, dir) => {
+      s.table(bandIndexFor(s, dir))
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_bucket"))
+        .orderBy(col("band"))
+    }),
+
     // band-index COMPACTION: the appended generation's per-bucket file
     // groups collapsed to one file each (pure IO — no shingle/minhash
     // recompute); the same probe over the compacted index must
@@ -480,6 +496,21 @@ object TextQueries {
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
+    // search-index MONITORING — posting-list skew in one row: term
+    // count, posting count, hottest term's df, and the floored
+    // max-over-mean signal (the retrain_check discipline). A hot
+    // posting list is retrieval's probe-cost tail exactly like a hot
+    // IVF list — this is the signal that a stopword crept past
+    // tokenization or the bucket count needs raising.
+    "text_search_stats" -> ((s, dir) => {
+      s.table(searchIndexFor(s, dir))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+          max(col("df")).as("max_df"))
+        .withColumn("max_over_mean_x1000",
+          expr("max_df * 1000 div (n_postings div n_terms)"))
+    }),
+
     // disjunctive (ANY-term) BM25 — the textbook form: subset matches
     // rank too, scored by the terms they have. Same scorer (shared
     // bm25Ranked), so conjunctive and disjunctive can't drift.
@@ -609,6 +640,17 @@ object TextQueries {
       // (originals < 100000 PLUS the appended exacts ≥ 200000):
       // dup_pairs is id_a < id_b, so the new (probe-side) id is id_b
       // against originals and id_a against appended docs
+      // band monitoring: bucket-size distribution per band over the
+      // SERVING corpus (originals < 100000 — the rows bandIndexFor
+      // persisted), aggregated from the shared minhash band CTEs
+      "dedup_band_stats" ->
+        s"""WITH $minhashPairCtes,
+          |bsz AS (SELECT band, bkey, count(*) AS n FROM bands
+          |  WHERE doc_id < 100000 GROUP BY 1, 2)
+          |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+          |  CAST(sum(n) AS BIGINT) AS n_rows,
+          |  CAST(max(n) AS BIGINT) AS max_bucket
+          |FROM bsz GROUP BY band ORDER BY band""".stripMargin,
       "dedup_incremental_appended" -> incrementalAppendedSql,
       // compaction is result-invisible by definition — the compacted
       // generation's probe shares the append epoch's oracle verbatim
@@ -673,6 +715,18 @@ object TextQueries {
       "text_search_bm25" -> searchBm25Sql,
       // disjunctive form: same chain, no conjunctive HAVING gate
       "text_search_bm25_any" -> searchBm25AnySql,
+      // posting-list skew summary: same df derivation as the index
+      // build, mean-first floored signal like the IVF retrain check
+      "text_search_stats" ->
+        s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+          |  FROM documents, LATERAL unnest($toksSql) t(token) GROUP BY 1, 2),
+          |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+          |  CAST(sum(df) AS BIGINT) AS n_postings,
+          |  CAST(max(df) AS BIGINT) AS max_df FROM d)
+          |SELECT n_terms, n_postings, max_df,
+          |  max_df * 1000 // (n_postings // n_terms) AS max_over_mean_x1000
+          |FROM t""".stripMargin,
       // the append epoch (build-evens + append-odds postings AND
       // doclens) covers every document — same oracle, second plan
       "text_search_bm25_appended" -> searchBm25Sql,

@@ -68,4 +68,15 @@ class ColumnPruningSpec extends AnyFunSuite {
     // + count aggregation, one output row, zero data bytes
     assertPruned("sim_ann_ivf_retrain_check", Set.empty)
   }
+
+  test("dedup_band_stats reads only (band, bkey)") {
+    // band monitoring never touches the doc ids or shingle sets — the
+    // bucket-size distribution needs the two grouping columns only
+    assertPruned("dedup_band_stats", Set("band", "bkey"))
+  }
+
+  test("text_search_stats reads only (term)") {
+    // posting-list skew needs df per term — doc_id and tf stay unread
+    assertPruned("text_search_stats", Set("term"))
+  }
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Generation promotion — the SWAP step of the clone-append-validate-
+  * swap workflow every index family's maintenance ops build toward
+  * (band: [[Dedup.cloneBandIndex]], search: [[SearchOps.cloneSearchIndex]],
+  * IVF: [[VectorOps.cloneIvfIndex]] / [[VectorOps.retrainIvfIndex]]):
+  * once a candidate generation is validated, it takes over the SERVING
+  * NAME, so probes keep addressing one stable name while the bytes
+  * underneath change epoch. Implemented as catalog renames of external
+  * tables — pure metadata, the parquet underneath never moves or
+  * rewrites, and the retired generation stays addressable under the
+  * candidate's name for rollback until its epoch is reclaimed.
+  *
+  * Multi-table indexes pass their suffix set (IVF: `_cents`+`_lists`,
+  * BM25 search: ``""``+`_doclens`), and the three-way rename runs per
+  * suffix. NOT atomic across suffixes or against concurrent probes —
+  * that is the catalog's consistency model, not this operator's to fix
+  * (a lakehouse catalog with transactions, or a view-flip layer, is the
+  * production answer; GenerationsSpec documents the visible contract:
+  * after swap, the serving name serves the candidate's rows and the
+  * candidate name the retired ones). */
+object Generations {
+
+  /** Swap `serving` and `candidate` (each suffixed table pair) in the
+    * catalog. Both generations must exist for every suffix. */
+  def swap(spark: SparkSession, serving: String, candidate: String,
+      suffixes: Seq[String] = Seq("")): Unit =
+    suffixes.foreach { sfx =>
+      val s = serving + sfx
+      val c = candidate + sfx
+      val tmp = s + "_swap_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      spark.sql(s"ALTER TABLE $s RENAME TO $tmp")
+      spark.sql(s"ALTER TABLE $c RENAME TO $s")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $c")
+    }
+}

@@ -500,6 +500,18 @@ object SimilarityQueries {
           nProbe = 2, trainIters = 2))
     }),
 
+    // the retrained generation is a NEW quantizer configuration (fresh
+    // centroids, larger K over the grown corpus) — every approximate
+    // path carries a recall audit, so this one does too: truth is
+    // brute force over the UNION corpus the retrained index serves
+    "sim_ann_ivf_retrained_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb),
+        VectorOps.probeIvfIndex(s, ivfRetrainIndexFor(s, dir), querySet(emb),
+          k = recallK, nProbe = 2))
+    }),
+
     // ANN recall self-audit (VERDICT r1 #7): per-query overlap of the LSH
     // top-k with the exact brute-force top-k — makes the recall<1 trade
     // measurable instead of asserted. Same k on both sides.
@@ -512,14 +524,15 @@ object SimilarityQueries {
   /** DuckDB mirror of [[recallAudit]]: shared brute/hits/recall CTE tail
     * around a path-specific candidate ranking. `preCtes` must define `q`
     * (query_id, qv) plus whatever the ann select needs. */
-  private def recallOracleSql(preCtes: String, annSelect: String): String =
+  private def recallOracleSql(preCtes: String, annSelect: String,
+      bruteRel: String = "embeddings"): String =
     s"""WITH $preCtes,
       |brute AS (
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT query_id, c2.vec_id AS neighbor_id, row_number() OVER
       |      (PARTITION BY query_id ORDER BY
       |        round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS rk
-      |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id) b
+      |    FROM $bruteRel c2 CROSS JOIN q WHERE c2.vec_id <> query_id) b
       |  WHERE rk <= $recallK),
       |ann AS (
       |  SELECT query_id, neighbor_id FROM ($annSelect) a WHERE rk <= $recallK),
@@ -747,6 +760,30 @@ object SimilarityQueries {
     "sim_ann_ivf_sq8_appended" -> ivfSq8AppendOracleSql,
     "sim_ann_ivf_sq8_recall" -> ivfSq8RecallOracleSql,
     "sim_ann_ivf_sq8_indexed_recall" -> ivfSq8RecallOracleSql,
+    // retrained-generation recall: train/assign/probe AND the brute
+    // truth all over the union corpus, K re-derived from its size —
+    // the audit mirrors exactly what the retrained index serves
+    "sim_ann_ivf_retrained_recall" -> recallOracleSql(
+      preCtes =
+        s"""$dupVectorsSql,
+          |${centTrainSql("(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)", 2, "corpus")},
+          |asg AS (
+          |  SELECT vec_id, embedding, cid, row_number() OVER
+          |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+          |  FROM corpus CROSS JOIN cents),
+          |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |probes AS (
+          |  SELECT query_id, qv, cid AS list_id FROM (
+          |    SELECT query_id, qv, cid, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+          |    FROM q CROSS JOIN cents) pq WHERE cr <= 2)""".stripMargin,
+      annSelect =
+        s"""SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY
+          |        round(${cosSql("qv", "l.embedding")}, 6) DESC, l.vec_id) AS rk
+          |    FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin,
+      bruteRel = "corpus"),
     "sim_ann_ivf_recall" -> recallOracleSql(
       preCtes =
         s"""${centTrainSql(ivfKSql, 2)},

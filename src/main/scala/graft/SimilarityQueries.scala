@@ -512,6 +512,20 @@ object SimilarityQueries {
           k = recallK, nProbe = 2))
     }),
 
+    // ...and the APPENDED generation's recall — the frozen quantizer
+    // serving the grown corpus. This is the quality half of the drift
+    // story the retrain verdict acts on: appends keep working, but
+    // recall against union-corpus truth is what degrades as the frozen
+    // centroids stop describing the data; comparing this audit with
+    // the retrained one quantifies what a retrain buys.
+    "sim_ann_ivf_appended_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb),
+        VectorOps.probeIvfIndex(s, ivfAppendIndexFor(s, dir), querySet(emb),
+          k = recallK, nProbe = 2))
+    }),
+
     // ANN recall self-audit (VERDICT r1 #7): per-query overlap of the LSH
     // top-k with the exact brute-force top-k — makes the recall<1 trade
     // measurable instead of asserted. Same k on both sides.
@@ -767,6 +781,29 @@ object SimilarityQueries {
       preCtes =
         s"""$dupVectorsSql,
           |${centTrainSql("(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)", 2, "corpus")},
+          |asg AS (
+          |  SELECT vec_id, embedding, cid, row_number() OVER
+          |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+          |  FROM corpus CROSS JOIN cents),
+          |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+          |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |probes AS (
+          |  SELECT query_id, qv, cid AS list_id FROM (
+          |    SELECT query_id, qv, cid, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+          |    FROM q CROSS JOIN cents) pq WHERE cr <= 2)""".stripMargin,
+      annSelect =
+        s"""SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
+          |      (PARTITION BY query_id ORDER BY
+          |        round(${cosSql("qv", "l.embedding")}, 6) DESC, l.vec_id) AS rk
+          |    FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin,
+      bruteRel = "corpus"),
+    // appended-generation recall: FROZEN quantizer (trained on the
+    // originals), lists and brute truth over the union corpus
+    "sim_ann_ivf_appended_recall" -> recallOracleSql(
+      preCtes =
+        s"""$dupVectorsSql,
+          |${centTrainSql(ivfKSql, 2)},
           |asg AS (
           |  SELECT vec_id, embedding, cid, row_number() OVER
           |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr

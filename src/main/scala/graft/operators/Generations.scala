@@ -24,16 +24,40 @@ import org.apache.spark.sql.SparkSession
 object Generations {
 
   /** Swap `serving` and `candidate` (each suffixed table pair) in the
-    * catalog. Both generations must exist for every suffix. */
+    * catalog. Both generations must exist for every suffix — checked up
+    * front, so a typo'd name fails before any rename. If a rename still
+    * fails mid-sequence (concurrent DDL), the completed renames of the
+    * CURRENT suffix are unwound best-effort before rethrowing, so the
+    * serving name never dangles; suffixes already swapped stay swapped
+    * (re-invoke to roll them back — swap is its own inverse). */
   def swap(spark: SparkSession, serving: String, candidate: String,
-      suffixes: Seq[String] = Seq("")): Unit =
+      suffixes: Seq[String] = Seq("")): Unit = {
+    suffixes.foreach { sfx =>
+      require(spark.catalog.tableExists(serving + sfx),
+        s"serving table ${serving + sfx} does not exist")
+      require(spark.catalog.tableExists(candidate + sfx),
+        s"candidate table ${candidate + sfx} does not exist")
+    }
     suffixes.foreach { sfx =>
       val s = serving + sfx
       val c = candidate + sfx
       val tmp = s + "_swap_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       spark.sql(s"ALTER TABLE $s RENAME TO $tmp")
-      spark.sql(s"ALTER TABLE $c RENAME TO $s")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $c")
+      try spark.sql(s"ALTER TABLE $c RENAME TO $s")
+      catch { case e: Throwable =>
+        try spark.sql(s"ALTER TABLE $tmp RENAME TO $s")
+        catch { case _: Throwable => () } // original error wins
+        throw e
+      }
+      try spark.sql(s"ALTER TABLE $tmp RENAME TO $c")
+      catch { case e: Throwable =>
+        try {
+          spark.sql(s"ALTER TABLE $s RENAME TO $c")
+          spark.sql(s"ALTER TABLE $tmp RENAME TO $s")
+        } catch { case _: Throwable => () }
+        throw e
+      }
     }
+  }
 }

@@ -62,6 +62,22 @@ class GenerationsSpec extends AnyFunSuite {
     }
   }
 
+  test("swap of a missing generation fails up front, catalog untouched") {
+    val serving = "graft_gen_swap_guard_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_guard_").toString
+    try {
+      Seq((1L, "x")).toDF("doc_id", "text").write.format("parquet")
+        .option("path", path).saveAsTable(serving)
+      intercept[IllegalArgumentException] {
+        Generations.swap(spark, serving, serving + "_nope")
+      }
+      // the existence check ran before any rename — the serving table
+      // still resolves under its own name
+      assert(spark.table(serving).count() == 1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $serving")
+  }
+
   test("search swap carries the norms sidecar with the postings") {
     val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma delta")).toDF("doc_id", "text")
     val grown = docs.unionAll(Seq((3L, "alpha beta beta")).toDF("doc_id", "text"))

@@ -184,6 +184,41 @@ class DedupIncrementalSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("re-sharding: clone at a different bucket count, probe parity, zero recompute") {
+    // the band family's retrain analog: a persistently hot bucket (see
+    // dedup_band_stats) is remedied by RE-SHARDING — cloneBandIndex at
+    // a higher bucket count redistributes the already-computed band
+    // rows under a new bucket spec; the shingle/minhash build never
+    // re-runs, and the probe is result-invisible to the shard count
+    val corpus = TextQueries.dupCorpus(Tables.documents(spark, dir))
+    val originals = corpus.filter(col("doc_id") < 100000)
+    val incoming = corpus.filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+    val table = "graft_band_reshard_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val rTable = table + "_r"
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_band_reshard_spec_").toString
+    val rPath = java.nio.file.Files
+      .createTempDirectory("graft_band_reshard_spec_r_").toString
+    try {
+      Dedup.writeBandIndex(originals, "doc_id", "text", table, path, numBuckets = 8)
+      Dedup.cloneBandIndex(spark, table, rTable, rPath, numBuckets = 64)
+      def numBuckets(t: String): Int =
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .bucketSpec.get.numBuckets
+      assert(numBuckets(table) == 8 && numBuckets(rTable) == 64)
+      assert(spark.table(rTable).count() == spark.table(table).count())
+      val before = pairs(Dedup.probeBandIndex(spark, table, incoming,
+        "doc_id", "text", 0.5))
+      val after = pairs(Dedup.probeBandIndex(spark, rTable, incoming,
+        "doc_id", "text", 0.5))
+      assert(before.nonEmpty && before == after,
+        "re-sharding must be result-invisible to the probe")
+    } finally Seq(table, rTable).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("band-index probe matches the direct join and never reshuffles the corpus") {
     val corpus = TextQueries.dupCorpus(Tables.documents(spark, dir))
     val existing = corpus.filter(col("doc_id") < 100000)

@@ -153,9 +153,17 @@ object TextQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_search_compact_index_").toString
+      val dlPath = java.nio.file.Files
+        .createTempDirectory("graft_search_compact_index_dl_").toString
       SearchOps.compactSearchIndex(s, base, table, path)
-      EpochRegistry.Resource(table, dropTables = Seq(table),
-        deleteDirs = Seq(path))
+      // the compacted generation gets a FRESH norms sidecar derived from
+      // its own postings (dl = Σ tf — exact by construction, and the
+      // derivation also collapses the append epoch's sidecar files), so
+      // ranked retrieval works across the whole lifecycle
+      SearchOps.writeDocLengths(s, table, dlPath)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_doclens"),
+        deleteDirs = Seq(path, dlPath))
     }
   }
 
@@ -511,6 +519,15 @@ object TextQueries {
           expr("max_df * 1000 div (n_postings div n_terms)"))
     }),
 
+    // BM25 across the whole lifecycle: the COMPACTED generation serves
+    // ranked retrieval too — its norms sidecar is re-derived from the
+    // compacted postings (exact, and itself file-collapsed), so the
+    // probe hash-matches the same all-docs oracle. Third plan.
+    "text_search_bm25_compacted" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchCompactIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
     // disjunctive (ANY-term) BM25 — the textbook form: subset matches
     // rank too, scored by the terms they have. Same scorer (shared
     // bm25Ranked), so conjunctive and disjunctive can't drift.
@@ -730,6 +747,9 @@ object TextQueries {
       // the append epoch (build-evens + append-odds postings AND
       // doclens) covers every document — same oracle, second plan
       "text_search_bm25_appended" -> searchBm25Sql,
+      // ...and the compacted generation (sidecar re-derived from its
+      // own postings) — same oracle, third plan
+      "text_search_bm25_compacted" -> searchBm25Sql,
       "text_search_phrase" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |m AS (SELECT doc_id, CASE WHEN len(toks) >= 2

@@ -102,6 +102,39 @@ class PropertySpec extends AnyFunSuite {
     assert(sliding == tumbling, "k = len/slide = 1 must be exactly tumbling")
   }
 
+  test("bm25: conjunctive ⊆ disjunctive with identical scores; scores positive") {
+    import graft.operators.SearchOps
+    val docGen = Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta", "pad"))
+    for ((docLists, i) <- samples(Gen.listOfN(5, docGen), 4).zipWithIndex) {
+      val docs = docLists.zipWithIndex
+        .map { case (ts, j) => (j.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val table = s"graft_bm25_prop_${i}_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25_prop_").toString
+      val dlPath = java.nio.file.Files.createTempDirectory("graft_bm25_prop_dl_").toString
+      try {
+        SearchOps.writeSearchIndex(docs, "doc_id", "text", table, path, numBuckets = 4)
+        SearchOps.writeDocLengths(spark, table, dlPath)
+        val terms = Seq("alpha", "beta")
+        def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+          df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val conj = scores(SearchOps.searchBm25(spark, table, terms, 10))
+        val disj = scores(SearchOps.searchBm25Any(spark, table, terms, 10))
+        // the conjunctive result is exactly the disjunctive one cut to
+        // all-terms docs — same shared scorer, same scaled-int scores
+        assert(conj.keySet.subsetOf(disj.keySet),
+          s"conjunctive hits outside the disjunctive set: $conj vs $disj")
+        conj.foreach { case (id, s) =>
+          assert(disj(id) == s, s"scorer drift on doc $id: $s vs ${disj(id)}")
+        }
+        assert(disj.values.forall(_ > 0L), s"non-positive bm25 score: $disj")
+      } finally {
+        spark.sql(s"DROP TABLE IF EXISTS ${table}_doclens")
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      }
+    }
+  }
+
   test("jaccard is 1 on self, within [0,1], symmetric") {
     val tokenList = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e"))
     for (lists <- samples(Gen.listOfN(2, tokenList), 5)) {

@@ -35,5 +35,5 @@ object SparkEntry {
     CdcQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++
       EventQueries.oracle ++ MultimodalQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++ StreamingQueries.oracle
 }

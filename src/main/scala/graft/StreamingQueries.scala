@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.{CdcStream, IngestStream}
+import graft.operators.SearchOps
 
 /** Structured-Streaming-backed entries. Each runs a real streaming query
   * (file source → transform → memory sink, Trigger.AvailableNow) and
@@ -154,7 +155,72 @@ object StreamingQueries {
           round(col("value") * 100).cast("long"), z = 2.0,
           tsCol = "ts_us", ttl = "90 days", watermarkDelay = "90 days").toDF(),
         "append").orderBy(col("id"))
+    }),
+
+    // CONTINUOUS retrieval ingestion — the search index maintained per
+    // micro-batch (IngestStream.searchIndexSink: postings AND norms
+    // sidecar appended through the same operators the batch path
+    // gates). Built from the even docs, the odd docs stream in as 4
+    // one-file micro-batches; once the source drains, the index covers
+    // every document — so unlike the other streaming entries this one
+    // carries a FULL DuckDB oracle (the drained result is
+    // deterministic): the tf probe must hash-match the all-docs search
+    "stream_search_ingest" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchStreamIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    // ...and the BM25 probe gates the sidecar half of the streaming
+    // appends (norms grown per micro-batch alongside the postings)
+    "stream_search_ingest_bm25" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchStreamIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
     }))
+
+  /** Streamed-ingestion oracles: the drained index is defined to equal
+    * the all-docs batch index, so the mirrors are TextQueries' own. */
+  def oracle: Map[String, String] = Map(
+    "stream_search_ingest" -> TextQueries.searchAndSql,
+    "stream_search_ingest_bm25" -> TextQueries.searchBm25Sql)
+
+  /** The standing search index CONTINUOUSLY maintained: built from the
+    * even docs (postings + norms sidecar), then the odd docs arrive as
+    * 4 one-file micro-batches through [[IngestStream.searchIndexSink]].
+    * Drained before the epoch resolves, so every probe in the session
+    * sees the complete corpus. */
+  private[graft] def searchStreamIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "search_stream_index", dir) { () =>
+      val table = "graft_search_stream_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_stream_index_").toString
+      val dlPath = java.nio.file.Files
+        .createTempDirectory("graft_search_stream_index_dl_").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_search_stream_ckpt_").toString
+      val docs = Tables.documents(s, dir)
+      graft.operators.SearchOps.writeSearchIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", table, path)
+      graft.operators.SearchOps.writeDocLengths(s, table, dlPath)
+      val src = CdcStream.readEventStream(s, oddDocsDir(s, dir),
+        maxFilesPerTrigger = 1)
+      IngestStream.searchIndexSink(src, table, ckpt).awaitTermination()
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_doclens"),
+        deleteDirs = Seq(path, dlPath, ckpt))
+    }
+
+  /** The odd-doc half materialized as a 4-file dir so the file source
+    * replays it as 4 micro-batches (same pattern as [[batchDocsDir]]). */
+  private[graft] def oddDocsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "search_stream_docs_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_stream_docs_").toString
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+        .repartition(4).write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
 
   /** Events split into 4 range-partitioned files per (session, dir) so
     * the file source replays them as multiple micro-batches (same

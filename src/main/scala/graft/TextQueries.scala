@@ -203,10 +203,13 @@ object TextQueries {
       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
       |FROM hits ORDER BY rk LIMIT 10""".stripMargin
 
-  private lazy val searchBm25Sql = searchBm25SqlOver("HAVING count(*) = 3")
+  // private[graft]: StreamingQueries' continuous-ingestion probes are
+  // gated by the SAME all-docs mirrors (stream == batch by construction
+  // once the source drains), so the fragments are shared, not copied
+  private[graft] lazy val searchBm25Sql = searchBm25SqlOver("HAVING count(*) = 3")
   private lazy val searchBm25AnySql = searchBm25SqlOver("")
 
-  private lazy val searchAndSql =
+  private[graft] lazy val searchAndSql =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
       |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
       |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score

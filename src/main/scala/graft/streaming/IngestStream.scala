@@ -35,4 +35,36 @@ object IngestStream {
           batchId)
       }
       .start()
+
+  /** Continuous retrieval-index maintenance: each arriving micro-batch
+    * of documents is ADMITTED to a standing search index — posting rows
+    * AND the BM25 norms sidecar appended under the index's layout via
+    * the SAME [[graft.operators.SearchOps.appendToSearchIndex]] /
+    * [[graft.operators.SearchOps.appendDocLengths]] the batch
+    * maintenance path gates, so streaming and batch ingestion cannot
+    * drift. The indexed corpus is never read or rewritten; each
+    * micro-batch costs one tokenize + bucketed append of that batch.
+    *
+    * Delivery: the checkpoint gives at-least-once foreachBatch
+    * execution; a REPLAYED batch would re-append its posting rows, so
+    * effectively-once needs the downstream swap discipline — append
+    * into a CANDIDATE generation and [[graft.operators.Generations]]
+    * -swap after validation, or rebuild the generation from the epoch's
+    * inputs on restart (the spec exercises the clean-run path; restart
+    * semantics are CdcStream's documented territory). */
+  def searchIndexSink(docStream: DataFrame, table: String,
+      checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.SearchOps.appendToSearchIndex(
+          batch.sparkSession, table, batch, idCol, textCol, numBuckets)
+        graft.operators.SearchOps.appendDocLengths(
+          batch.sparkSession, table, batch, idCol, textCol)
+      }
+      .start()
 }

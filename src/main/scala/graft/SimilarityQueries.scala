@@ -14,7 +14,7 @@ object SimilarityQueries {
 
   /** Corpus with exact-duplicate vectors injected (every 4th vector) for
     * the near-dup query; built identically in the oracle. */
-  private def dupVectors(emb: DataFrame): DataFrame =
+  private[graft] def dupVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"), col("label")).unionAll(
       emb.filter(col("vec_id") % 4 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label")))
@@ -589,7 +589,7 @@ object SimilarityQueries {
       |ORDER BY query_id, rk""".stripMargin
 
   private lazy val ivfOracleSql = ivfOracleOver("", "embeddings")
-  private lazy val ivfAppendOracleSql =
+  private[graft] lazy val ivfAppendOracleSql =
     ivfOracleOver(dupVectorsSql + ",\n", "corpus")
 
   /** The SQ8 twin of [[ivfOracleOver]]: one mirror for the in-memory

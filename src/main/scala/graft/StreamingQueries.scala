@@ -176,13 +176,65 @@ object StreamingQueries {
       SearchOps.searchBm25(s, searchStreamIndexFor(s, dir),
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
+    }),
+
+    // CONTINUOUS ANN ingestion — the vector twin: the serving IVF index
+    // is CLONED, then the arriving vector batch streams in as 4
+    // one-file micro-batches, each assigned by the FROZEN quantizer and
+    // dynamic-partition-inserted (IngestStream.ivfIndexSink). Once
+    // drained, the index holds the union corpus under the original
+    // centroids — exactly what the append oracle computes, so this
+    // streaming entry is fully DuckDB-gated too.
+    "stream_ann_ingest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeIvfIndex(s, ivfStreamIndexFor(s, dir),
+          emb.filter(col("vec_id") < 10), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
     }))
 
-  /** Streamed-ingestion oracles: the drained index is defined to equal
-    * the all-docs batch index, so the mirrors are TextQueries' own. */
+  /** Streamed-ingestion oracles: the drained indexes are defined to
+    * equal their batch twins, so the mirrors are the families' own. */
   def oracle: Map[String, String] = Map(
     "stream_search_ingest" -> TextQueries.searchAndSql,
-    "stream_search_ingest_bm25" -> TextQueries.searchBm25Sql)
+    "stream_search_ingest_bm25" -> TextQueries.searchBm25Sql,
+    "stream_ann_ingest" -> SimilarityQueries.ivfAppendOracleSql)
+
+  /** The standing IVF index CONTINUOUSLY maintained: the serving
+    * generation cloned (never touched), then the dup-vector batch
+    * (vec_id ≥ 100000) arrives as 4 one-file micro-batches through
+    * [[IngestStream.ivfIndexSink]] — frozen-quantizer assignment per
+    * batch, drained before the epoch resolves. */
+  private[graft] def ivfStreamIndexFor(s: SparkSession, dir: String): String = {
+    val base = SimilarityQueries.ivfIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_stream_index", dir) { () =>
+      val table = "graft_ivf_stream_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_stream_index_").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ivf_stream_ckpt_").toString
+      graft.operators.VectorOps.cloneIvfIndex(s, base, table, path)
+      val src = CdcStream.readEventStream(s, streamVectorsDir(s, dir),
+        maxFilesPerTrigger = 1)
+      IngestStream.ivfIndexSink(src, table, ckpt).awaitTermination()
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path, ckpt))
+    }
+  }
+
+  /** The arriving vector batch as a 4-file dir (one micro-batch each). */
+  private[graft] def streamVectorsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "ivf_stream_vectors_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_stream_vectors_").toString
+      SimilarityQueries.dupVectors(Tables.embeddings(s, dir))
+        .filter(col("vec_id") >= 100000)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(4).write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
 
   /** The standing search index CONTINUOUSLY maintained: built from the
     * even docs (postings + norms sidecar), then the odd docs arrive as

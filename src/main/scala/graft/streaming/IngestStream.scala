@@ -52,6 +52,27 @@ object IngestStream {
     * -swap after validation, or rebuild the generation from the epoch's
     * inputs on restart (the spec exercises the clean-run path; restart
     * semantics are CdcStream's documented territory). */
+  /** Continuous ANN-index maintenance — the vector twin of
+    * [[searchIndexSink]]: each arriving micro-batch of vectors is
+    * assigned by the index's FROZEN coarse quantizer and inserted into
+    * its list partitions via the same
+    * [[graft.operators.VectorOps.appendToIvfIndex]] the batch path
+    * gates. Per micro-batch cost: one broadcast-assign of the batch +
+    * a dynamic-partition insert; the indexed corpus is never read.
+    * Same at-least-once caveat and candidate-generation/swap answer as
+    * [[searchIndexSink]]. */
+  def ivfIndexSink(vecStream: DataFrame, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.VectorOps.appendToIvfIndex(
+          batch.sparkSession, table, batch)
+      }
+      .start()
+
   def searchIndexSink(docStream: DataFrame, table: String,
       checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{CdcStream, IngestStream}
-import graft.operators.SearchOps
+import graft.operators.{SearchOps, VectorOps}
 
 /** Continuous retrieval-index maintenance
   * ([[IngestStream.searchIndexSink]]): documents streamed in one-file
@@ -61,6 +61,41 @@ class StreamSearchIngestSpec extends AnyFunSuite {
     } finally Seq(table, fTable).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS ${t}_doclens")
       spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("IVF sink: streamed frozen-quantizer appends == direct batch appends") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = SimilarityQueries.ivfK(emb)
+    val table = "graft_stream_ivf_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val dTable = table + "_d"
+    val dirs = (1 to 4).map(_ =>
+      java.nio.file.Files.createTempDirectory("graft_stream_ivf_").toString)
+    try {
+      VectorOps.writeIvfIndex(emb, table, dirs(0), numCentroids = k, trainIters = 2)
+      VectorOps.writeIvfIndex(emb, dTable, dirs(1), numCentroids = k, trainIters = 2)
+      val batch = emb.filter(col("vec_id") < 12)
+        .select((col("vec_id") + 700000).as("vec_id"), col("embedding"))
+      // streamed into one index (3 one-file micro-batches)...
+      batch.repartition(3).write.mode("overwrite").parquet(dirs(2))
+      val src = CdcStream.readEventStream(spark, dirs(2), maxFilesPerTrigger = 1)
+      IngestStream.ivfIndexSink(src, table, dirs(3),
+        trigger = Trigger.AvailableNow()).awaitTermination()
+      // ...appended directly to the other
+      VectorOps.appendToIvfIndex(spark, dTable, batch)
+      def lists(t: String) = spark.table(s"${t}_lists")
+        .select(col("vec_id"), col("list_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lists(table) == lists(dTable),
+        "streamed appends diverged from the direct batch append")
+      val offsets = new java.io.File(s"${dirs(3)}/offsets").listFiles()
+        .count(f => f.getName.forall(_.isDigit))
+      assert(offsets >= 2, s"expected multiple micro-batches, got $offsets")
+    } finally Seq(table, dTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_cents")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_lists")
     }
   }
 }

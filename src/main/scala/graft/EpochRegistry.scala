@@ -79,6 +79,11 @@ private[graft] object EpochRegistry {
     if (s.sparkContext.isStopped) {
       val e = entries.remove(key)
       if (e != null) release(e)
+      // the released resource's name would dangle (dirs deleted, table
+      // dropped) — fail AT the acquire boundary, not later with an
+      // obscure missing-table/path error downstream (ADVICE r11 #4)
+      throw new IllegalStateException(
+        s"SparkContext stopped during acquire of ($kind, $dir)")
     }
     value
   }

@@ -206,7 +206,11 @@ object StreamingQueries {
     * [[IngestStream.ivfIndexSink]] — frozen-quantizer assignment per
     * batch, drained before the epoch resolves. */
   private[graft] def ivfStreamIndexFor(s: SparkSession, dir: String): String = {
+    // Both input epochs resolved BEFORE the acquire: a nested
+    // computeIfAbsent on the registry's one map is forbidden by the JDK
+    // (same invariant as [[SimilarityQueries.ivfRetrainIndexFor]]).
     val base = SimilarityQueries.ivfIndexFor(s, dir)
+    val vecDir = streamVectorsDir(s, dir)
     EpochRegistry.acquire(s, "ivf_stream_index", dir) { () =>
       val table = "graft_ivf_stream_index_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -215,7 +219,7 @@ object StreamingQueries {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ivf_stream_ckpt_").toString
       graft.operators.VectorOps.cloneIvfIndex(s, base, table, path)
-      val src = CdcStream.readEventStream(s, streamVectorsDir(s, dir),
+      val src = CdcStream.readEventStream(s, vecDir,
         maxFilesPerTrigger = 1)
       IngestStream.ivfIndexSink(src, table, ckpt).awaitTermination()
       EpochRegistry.Resource(table,
@@ -241,7 +245,9 @@ object StreamingQueries {
     * 4 one-file micro-batches through [[IngestStream.searchIndexSink]].
     * Drained before the epoch resolves, so every probe in the session
     * sees the complete corpus. */
-  private[graft] def searchStreamIndexFor(s: SparkSession, dir: String): String =
+  private[graft] def searchStreamIndexFor(s: SparkSession, dir: String): String = {
+    // Input epoch resolved before the acquire (no nested computeIfAbsent).
+    val docsDir = oddDocsDir(s, dir)
     EpochRegistry.acquire(s, "search_stream_index", dir) { () =>
       val table = "graft_search_stream_index_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
@@ -255,13 +261,14 @@ object StreamingQueries {
       graft.operators.SearchOps.writeSearchIndex(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", table, path)
       graft.operators.SearchOps.writeDocLengths(s, table, dlPath)
-      val src = CdcStream.readEventStream(s, oddDocsDir(s, dir),
+      val src = CdcStream.readEventStream(s, docsDir,
         maxFilesPerTrigger = 1)
       IngestStream.searchIndexSink(src, table, ckpt).awaitTermination()
       EpochRegistry.Resource(table,
         dropTables = Seq(table, s"${table}_doclens"),
         deleteDirs = Seq(path, dlPath, ckpt))
     }
+  }
 
   /** The odd-doc half materialized as a 4-file dir so the file source
     * replays it as 4 micro-batches (same pattern as [[batchDocsDir]]). */

@@ -115,13 +115,30 @@ object SearchOps {
       s
     }
     // re-sync the caller's runtime conf each call: it may have changed
-    // since the clone was built. Static/non-modifiable keys throw —
-    // those can't differ at runtime either, so skipping them is exact.
-    spark.conf.getAll.foreach { case (key, value) =>
-      try probe.conf.set(key, value) catch { case _: Exception => () }
+    // since the clone was built. The sync is a full mirror (ADVICE r11
+    // #3): keys the caller has UNSET since the last probe are unset in
+    // the clone too — set-only copying would let stale settings persist
+    // in the probe session forever. Static/non-modifiable keys throw on
+    // both set and unset — those can't differ at runtime either, so
+    // skipping them is exact. The whole mirror runs under the clone's
+    // monitor so two threads probing through the same parent can't
+    // interleave their syncs; the conf is stable by the time either
+    // returns (the frame's LAZY planning still reads whatever the most
+    // recent probe set — concurrent probes with DIFFERENT parent confs
+    // should use different parent sessions, as each parent owns one
+    // clone).
+    probe.synchronized {
+      val parent = spark.conf.getAll
+      probe.conf.getAll.keysIterator
+        .filterNot(parent.contains).foreach { key =>
+          try probe.conf.unset(key) catch { case _: Exception => () }
+        }
+      parent.foreach { case (key, value) =>
+        try probe.conf.set(key, value) catch { case _: Exception => () }
+      }
+      probe.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     }
-    probe.conf
-      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     probe
   }
 

@@ -36,22 +36,6 @@ object IngestStream {
       }
       .start()
 
-  /** Continuous retrieval-index maintenance: each arriving micro-batch
-    * of documents is ADMITTED to a standing search index — posting rows
-    * AND the BM25 norms sidecar appended under the index's layout via
-    * the SAME [[graft.operators.SearchOps.appendToSearchIndex]] /
-    * [[graft.operators.SearchOps.appendDocLengths]] the batch
-    * maintenance path gates, so streaming and batch ingestion cannot
-    * drift. The indexed corpus is never read or rewritten; each
-    * micro-batch costs one tokenize + bucketed append of that batch.
-    *
-    * Delivery: the checkpoint gives at-least-once foreachBatch
-    * execution; a REPLAYED batch would re-append its posting rows, so
-    * effectively-once needs the downstream swap discipline — append
-    * into a CANDIDATE generation and [[graft.operators.Generations]]
-    * -swap after validation, or rebuild the generation from the epoch's
-    * inputs on restart (the spec exercises the clean-run path; restart
-    * semantics are CdcStream's documented territory). */
   /** Continuous ANN-index maintenance — the vector twin of
     * [[searchIndexSink]]: each arriving micro-batch of vectors is
     * assigned by the index's FROZEN coarse quantizer and inserted into
@@ -73,6 +57,22 @@ object IngestStream {
       }
       .start()
 
+  /** Continuous retrieval-index maintenance: each arriving micro-batch
+    * of documents is ADMITTED to a standing search index — posting rows
+    * AND the BM25 norms sidecar appended under the index's layout via
+    * the SAME [[graft.operators.SearchOps.appendToSearchIndex]] /
+    * [[graft.operators.SearchOps.appendDocLengths]] the batch
+    * maintenance path gates, so streaming and batch ingestion cannot
+    * drift. The indexed corpus is never read or rewritten; each
+    * micro-batch costs one tokenize + bucketed append of that batch.
+    *
+    * Delivery: the checkpoint gives at-least-once foreachBatch
+    * execution; a REPLAYED batch would re-append its posting rows, so
+    * effectively-once needs the downstream swap discipline — append
+    * into a CANDIDATE generation and [[graft.operators.Generations]]
+    * -swap after validation, or rebuild the generation from the epoch's
+    * inputs on restart (the spec exercises the clean-run path; restart
+    * semantics are CdcStream's documented territory). */
   def searchIndexSink(docStream: DataFrame, table: String,
       checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",

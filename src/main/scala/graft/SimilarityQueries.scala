@@ -252,6 +252,33 @@ object SimilarityQueries {
     }
   }
 
+  /** The DELETE epoch: the serving generation is cloned, a poison batch
+    * is ADMITTED through the normal frozen-quantizer append (copies of
+    * the query vectors under ids ≥ 500000 — cosine 1.0, guaranteed
+    * rank-1 neighbors), then tombstoned via
+    * [[VectorOps.deleteFromIvfIndex]]. The gated probe must hash-match
+    * `sim_ann_ivf`'s oracle — a tombstone leak surfaces the poison as
+    * a perfect-score neighbor, the loudest possible failure. Base
+    * resolved before the acquire (no nested computeIfAbsent). */
+  private[graft] def ivfDeleteIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_delete_index", dir) { () =>
+      val table = "graft_ivf_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_delete_index_").toString
+      VectorOps.cloneIvfIndex(s, base, table, path)
+      val poison = querySet(Tables.embeddings(s, dir))
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndex(s, table, poison)
+      VectorOps.deleteFromIvfIndex(s, table, poison.select(col("vec_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists",
+          s"${table}_tombstones"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
@@ -378,6 +405,20 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       VectorOps.probeIvfIndex(s, ivfIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // IVF DELETE maintenance: poison twins of the query vectors were
+    // admitted (frozen-quantizer append) then tombstoned — the probe
+    // must hash-match sim_ann_ivf's oracle (a leak would surface them
+    // as cosine-1.0 rank-1 neighbors). The anti-join runs over the
+    // nProbe pruned lists only; the delete itself never touches them.
+    "sim_ann_ivf_deleted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndex(s, ivfDeleteIndexFor(s, dir), querySet(emb),
           k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
@@ -757,6 +798,9 @@ object SimilarityQueries {
     // their in-memory passes (shared assignment/probe/rank code + the
     // same deterministic Lloyd training) — one oracle, two plans
     "sim_ann_ivf_indexed" -> ivfOracleSql,
+    // delete epoch = serving index + poison − poison: result-defined
+    // equal to the serving probe, same oracle, another plan
+    "sim_ann_ivf_deleted" -> ivfOracleSql,
     "sim_ann_ivf_sq8_indexed" -> ivfSq8OracleSql,
     // deriving SQ8 from the float master = the SQ8 build by definition
     // (same centroids, assignment, quantization) — same oracle again

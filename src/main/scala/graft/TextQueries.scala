@@ -167,6 +167,100 @@ object TextQueries {
     }
   }
 
+  /** The DELETE-maintenance epoch for retrieval: the index is built over
+    * the corpus PLUS a poison batch (doc_id ≥ 300000, text = the probe's
+    * query terms repeated — the poison would own the top ranks), then the
+    * poison ids are tombstoned via [[SearchOps.deleteFromSearchIndex]].
+    * The gated probes must hash-match the ALL-DOCS oracles: tombstones
+    * have to remove the poison from the candidate postings, the df
+    * counts, AND the corpus stats (n_docs, Σdl) — any leak shifts every
+    * BM25 score, not just the poison's rank. */
+  private[graft] def searchDeleteIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "search_delete_index", dir) { () =>
+      val table = "graft_search_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_delete_index_").toString
+      val dlPath = java.nio.file.Files
+        .createTempDirectory("graft_search_delete_index_dl_").toString
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val poison = poisonSearchDocs(s, dir)
+      SearchOps.writeSearchIndex(docs.unionByName(poison), "doc_id", "text",
+        table, path)
+      SearchOps.writeDocLengths(s, table, dlPath)
+      SearchOps.deleteFromSearchIndex(s, table, poison.select(col("doc_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_doclens", s"${table}_tombstones"),
+        deleteDirs = Seq(path, dlPath))
+    }
+
+  // every 11th doc re-badged under a fresh id with text that saturates
+  // the probe's three query terms — guaranteed top-rank pollution if a
+  // delete leaks anywhere
+  private def poisonSearchDocs(s: SparkSession, dir: String) =
+    Tables.documents(s, dir).filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        lit("spark vector window spark vector window spark vector window")
+          .as("text"))
+
+  /** The UPDATE-maintenance epoch: generation v1 is built with STALE
+    * text for every 7th document (the true text prefixed with the query
+    * terms — wrong df, wrong dl, wrong ranks), then the true versions
+    * are re-ingested via [[SearchOps.upsertToSearchIndex]] into
+    * generation v2. The gated probes run against v2 and must hash-match
+    * the all-docs oracles — which fails if the upsert leaves ANY stale
+    * posting or doubles a norms row (the defect VERDICT r11 named: CDC
+    * UPDATE semantics finally reaching the engine's own index). */
+  private[graft] def searchUpsertIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "search_upsert_index", dir) { () =>
+      val src = "graft_search_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_search_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 4).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_search_upsert_").toString)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val changed = docs.filter(col("doc_id") % 7 === 0)
+      val stale = changed
+        .withColumn("text", concat(lit("spark vector window "), col("text")))
+      SearchOps.writeSearchIndex(
+        docs.filter(col("doc_id") % 7 =!= 0).unionByName(stale),
+        "doc_id", "text", src, paths(0))
+      SearchOps.writeDocLengths(s, src, paths(1))
+      SearchOps.upsertToSearchIndex(s, src, dest, paths(2), paths(3),
+        changed, "doc_id", "text")
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(src, s"${src}_doclens",
+          dest, s"${dest}_doclens"),
+        deleteDirs = paths)
+    }
+
+  /** The band index's DELETE epoch: the serving generation is cloned,
+    * a poison batch is admitted (exact copies of the incoming near-dup
+    * batch under ids ≥ 500000 — every incoming doc would pair with its
+    * poison twin at jaccard 1.0), then the poison is tombstoned via
+    * [[Dedup.deleteFromBandIndex]]. The gated probe must hash-match
+    * `dedup_incremental_indexed`'s oracle — any tombstone leak emits
+    * phantom (new_id, ≥500000) pairs. */
+  private[graft] def bandDeleteIndexFor(s: SparkSession, dir: String): String = {
+    val base = bandIndexFor(s, dir)
+    EpochRegistry.acquire(s, "band_delete_index", dir) { () =>
+      val table = "graft_band_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_band_delete_index_").toString
+      Dedup.cloneBandIndex(s, base, table, path)
+      val poison = dupCorpus(Tables.documents(s, dir))
+        .filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+        .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+      Dedup.appendToBandIndex(s, table, poison, "doc_id", "text")
+      Dedup.deleteFromBandIndex(s, table, poison.select(col("doc_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_tombstones"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   // the near-dup batch [100000, 200000) against the grown corpus
   // (originals < 100000 PLUS the appended exacts ≥ 200000): dup_pairs
   // is id_a < id_b, so the new (probe-side) id is id_b against
@@ -425,6 +519,19 @@ object TextQueries {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // band-index DELETE maintenance: poison twins of the probe batch
+    // were admitted then tombstoned — the probe must hash-match
+    // dedup_incremental_indexed's oracle (no phantom pairs against the
+    // deleted ids), with the delete costing one id append + a broadcast
+    // anti-join at probe time, never a corpus rewrite
+    "dedup_incremental_deleted" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      Dedup.probeBandIndex(s, bandDeleteIndexFor(s, dir),
+          corpus.filter(col("doc_id") >= 100000), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // survivor selection: connected components over the minhash pair
     // graph (pairs alone under-merge — a~b, b~c is ONE dup family even if
     // a,c never shared a band). cluster_id = min doc id in the component.
@@ -545,6 +652,42 @@ object TextQueries {
     // all-docs oracle — the ranked twin of text_search_appended
     "text_search_bm25_appended" -> ((s, dir) => {
       SearchOps.searchBm25(s, searchAppendIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    // search-index DELETE maintenance: the index was built with a
+    // poison batch that would own the top ranks, then the poison was
+    // tombstoned — the probe must hash-match the all-docs oracle, i.e.
+    // deleted docs vanish from candidates (and cost one broadcast
+    // anti-join, not an index rewrite)
+    "text_search_deleted" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchDeleteIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    // ...and the ranked probe over the SAME tombstoned index: BM25 is
+    // the stricter gate because a delete must also leave the corpus
+    // stats (n_docs, Σdl) and per-term df — every OTHER doc's score —
+    // exactly as if the poison never existed
+    "text_search_bm25_deleted" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchDeleteIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    // search-index UPDATE maintenance: generation v1 carried stale text
+    // for every 7th doc; the true versions were re-ingested as an
+    // upsert GENERATION (old postings + norms rows dropped, fresh ones
+    // appended — IndexMutationSpec pins one norms row per doc). The v2
+    // probe must hash-match the all-docs oracle.
+    "text_search_updated" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchUpsertIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    // the ranked twin: BM25 over the upserted generation — stale dl/df
+    // would shift every score, so this gates the norms half of upsert
+    "text_search_bm25_updated" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchUpsertIndexFor(s, dir),
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
     }),
@@ -680,6 +823,15 @@ object TextQueries {
           |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
           |WHERE id_a < 100000 AND id_b >= 100000
           |ORDER BY new_id, old_id""".stripMargin,
+      // the delete epoch admitted poison twins then tombstoned them —
+      // result-defined equal to the serving index's probe, so it shares
+      // dedup_incremental_indexed's oracle verbatim (one oracle, another
+      // plan); a tombstone leak shows up as phantom old_id ≥ 500000 rows
+      "dedup_incremental_deleted" ->
+        s"""WITH $minhashPairCtes
+          |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
+          |WHERE id_a < 100000 AND id_b >= 100000
+          |ORDER BY new_id, old_id""".stripMargin,
       // connected components of the pair graph via a recursive label
       // walk: every vertex starts as its own label; labels propagate
       // along (symmetric) edges until the closure is complete (UNION =
@@ -753,6 +905,18 @@ object TextQueries {
       // ...and the compacted generation (sidecar re-derived from its
       // own postings) — same oracle, third plan
       "text_search_bm25_compacted" -> searchBm25Sql,
+      // DELETE maintenance: the tombstoned index is result-defined
+      // equal to the all-docs index (the poison never existed as far as
+      // probes can tell) — same oracles, new plans. BM25 is the strict
+      // gate: a poison row leaking into n_docs/Σdl/df shifts EVERY
+      // score even if the poison itself is filtered.
+      "text_search_deleted" -> searchAndSql,
+      "text_search_bm25_deleted" -> searchBm25Sql,
+      // UPDATE maintenance: the upserted generation must equal an index
+      // built directly from the true corpus — same oracles again (one
+      // oracle per probe shape, now five/six plans each)
+      "text_search_updated" -> searchAndSql,
+      "text_search_bm25_updated" -> searchBm25Sql,
       "text_search_phrase" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |m AS (SELECT doc_id, CASE WHEN len(toks) >= 2

@@ -287,8 +287,31 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     crossBandVerify(bandRows(incoming, idCol, textCol, "new"),
-      spark.table(table), threshold)
+      dropTombstoned(spark, table, spark.table(table)), threshold)
   }
+
+  /** DELETE maintenance for the standing band index — the same
+    * tombstone discipline as [[SearchOps.deleteFromSearchIndex]]
+    * (reference `sql/triggers.sql:29-32`: deletes are first-class CDC
+    * events and must reach downstream state): deleted doc ids append to
+    * `<table>_tombstones`, [[probeBandIndex]] anti-joins them broadcast
+    * (a removed document can no longer pair with incoming batches), and
+    * [[compactBandIndex]] settles them physically at the next
+    * generation boundary. A delete costs one id-batch append; the band
+    * rows are never read or rewritten. */
+  def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame, idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_tombstones")
+
+  // band rows key the corpus side as old_id; tombstones carry doc_id
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+      table: String, rows: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(s"${table}_tombstones")) {
+      val t = spark.table(s"${table}_tombstones")
+      rows.join(broadcast(t), rows("old_id") === t("doc_id"), "left_anti")
+    } else rows
 
   /** Copy an existing band index to a new table under the same bucket
     * spec — one shuffle-and-sort of the already-computed band rows, no
@@ -317,7 +340,11 @@ object Dedup {
       s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       s
     } else spark
-    reader.table(src)
+    val rows = reader.table(src)
+    // compaction settles pending deletes (same contract as
+    // SearchOps.cloneSearchIndex): tombstoned rows are dropped during
+    // the per-bucket copy and the destination starts tombstone-free
+    (if (compact) dropTombstoned(reader, src, rows) else rows)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "band", "bkey")
       .sortBy("band", "bkey")

@@ -98,8 +98,13 @@ object SearchOps {
     * rebuild), with the pruning flag re-asserted last so it always
     * wins. */
   def probeSearchIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-      terms: Seq[String], k: Int): DataFrame =
-    searchAllTerms(probeSessionFor(spark).table(table), terms, k)
+      terms: Seq[String], k: Int): DataFrame = {
+    val ps = probeSessionFor(spark)
+    // tombstoned docs drop out here (the term-equality filter still
+    // pushes below the anti-join into the scan, so bucket pruning is
+    // unchanged); see deleteFromSearchIndex
+    searchAllTerms(dropTombstoned(ps, table, ps.table(table)), terms, k)
+  }
 
   // parent session → its cached probe clone; weak keys so a collected
   // parent releases the clone (which holds no resources of its own
@@ -181,16 +186,21 @@ object SearchOps {
     * DisableUnnecessaryBucketedScan independently downgrades the scan
     * to file-grain tasks — leaving buckets split across tasks (caught
     * by SearchOpsSpec's file-collapse pin). Rows, bucket spec, and the
-    * probe's bucket-pruned scan are unchanged. */
+    * probe's bucket-pruned scan are unchanged.
+    *
+    * Compaction also SETTLES pending deletes: rows tombstoned via
+    * [[deleteFromSearchIndex]] are dropped during the copy (broadcast
+    * anti-join folded into the per-bucket read — still zero shuffle)
+    * and the destination starts tombstone-free, so probe-side anti-join
+    * cost resets to nothing. A plain clone (`compact = false`) copies
+    * the postings verbatim and the caller carries the tombstones
+    * forward if it wants the delete set preserved. */
   def cloneSearchIndex(spark: org.apache.spark.sql.SparkSession, src: String,
       dest: String, path: String, numBuckets: Int = 8,
       compact: Boolean = false): Unit = {
-    val reader = if (compact) {
-      val s = spark.newSession() // shares context + catalog; conf isolated
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      s
-    } else spark
-    reader.table(src)
+    val reader = if (compact) compactReader(spark) else spark
+    val rows = reader.table(src)
+    (if (compact) dropTombstoned(reader, src, rows) else rows)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
@@ -212,12 +222,22 @@ object SearchOps {
     * at index-build time next to the postings, exactly how retrieval
     * engines store per-doc norms apart from the term-keyed postings: the
     * probe's bucket-pruned term scan stays term-shaped, and the per-doc
-    * normalization joins in from here. */
+    * normalization joins in from here.
+    *
+    * Bucketed on `doc_id` (VERDICT r11 watch #1): the BM25 probe joins
+    * its candidates against this table on `doc_id`, and with the sidecar
+    * pre-hashed the probe-session scan (autoBucketedScan disabled)
+    * advertises the join's partitioning — the SIDECAR side of the norms
+    * join never shuffles; only the batch-sized candidate set exchanges.
+    * At 100 TB that removes the one full-corpus exchange the probe plan
+    * had left (Bm25PlanSpec pins it). */
   def writeDocLengths(spark: org.apache.spark.sql.SparkSession, table: String,
-      path: String): Unit =
+      path: String, numBuckets: Int = 8): Unit =
     spark.table(table)
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "doc_id")
+      .sortBy("doc_id")
       .option("path", path)
       .saveAsTable(s"${table}_doclens")
 
@@ -226,17 +246,114 @@ object SearchOps {
     * `(doc_id, dl)` row each, derived through the same `tokens()` the
     * postings append uses, so the sidecar can never drift from the
     * index. Existing rows are never read or rewritten (each append is
-    * one more small file); corpus stats (N, Σdl) stay exact because
-    * they are aggregated from the sidecar at probe time. Without this,
-    * a BM25 probe after an index append would silently drop the new
-    * docs at the norms join — the conjunctive gate needs every
-    * candidate's length. */
+    * one more correctly-bucketed file group); corpus stats (N, Σdl)
+    * stay exact because they are aggregated from the sidecar at probe
+    * time. Without this, a BM25 probe after an index append would
+    * silently drop the new docs at the norms join — the conjunctive
+    * gate needs every candidate's length. */
   def appendDocLengths(spark: org.apache.spark.sql.SparkSession,
-      table: String, docs: DataFrame, idCol: String, textCol: String): Unit =
+      table: String, docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 8): Unit =
     invertedIndex(docs, idCol, textCol)
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "doc_id")
+      .sortBy("doc_id")
       .saveAsTable(s"${table}_doclens")
+
+  /** DELETE maintenance for the standing search index — the engine's own
+    * CDC DELETE semantics (reference `sql/triggers.sql:29-32`: a delete
+    * is captured and must reach downstream state) applied to its index
+    * family: deleted doc ids are appended to a TOMBSTONE sidecar
+    * (`<table>_tombstones`, one `doc_id` column), and every probe
+    * excludes tombstoned documents via a broadcast anti-join — postings,
+    * BM25 candidates, the norms sidecar, AND the corpus stats (N, Σdl),
+    * so a deleted document stops influencing scores entirely, not just
+    * ranking. The postings are never read or rewritten: a delete costs
+    * one append of the id batch, the probe-side cost is an anti-join
+    * against a broadcast id set, and the physical purge happens at the
+    * generation boundary ([[compactSearchIndex]] drops tombstoned rows
+    * and the new generation starts tombstone-free) — the same
+    * "mutations accumulate cheaply, compaction settles them" discipline
+    * every LSM/lakehouse delete uses, which is what keeps it viable at
+    * 100 TB. */
+  def deleteFromSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame, idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_tombstones")
+
+  /** UPDATE maintenance — CDC UPDATE semantics (reference
+    * `sql/triggers.sql:20-27`) for the index family, as a GENERATION
+    * step: a new index generation is written that (a) drops every
+    * posting and norms row of the incoming doc ids AND of previously
+    * tombstoned ids (the update purges pending deletes for free), and
+    * (b) appends the incoming documents' fresh postings and lengths.
+    * In-place re-ingestion is NOT offered deliberately: postings and
+    * doclens key on `doc_id`, so appending a changed doc next to its
+    * old rows would silently double `dl`, `df`, and tf sums
+    * (IndexMutationSpec pins that the upserted generation holds exactly
+    * ONE norms row per doc). The survivor copy is pure IO with ZERO
+    * shuffle — the same bucketed-scan session-clone read as
+    * [[compactSearchIndex]] (one task per bucket) with the drop set
+    * anti-joined broadcast — and the new generation serves under
+    * [[Generations]] swap/publish like any other.
+    *
+    * At 100 TB an upsert batch costs a full index copy, which is the
+    * COMPACTION cost class — a deployment runs it at compaction cadence
+    * with batches accumulated via [[deleteFromSearchIndex]] + append in
+    * between, or per-batch on a clone when freshness demands it. */
+  def upsertToSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, dlPath: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 8): Unit = {
+    val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val dead = tombstonesOf(spark, src)
+      .map(incoming.unionByName(_).distinct()).getOrElse(incoming)
+    val reader = compactReader(spark)
+    reader.table(src)
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .unionByName(invertedIndex(docs, idCol, textCol))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .option("path", path).saveAsTable(dest)
+    reader.table(s"${src}_doclens")
+      .join(broadcast(dead), Seq("doc_id"), "left_anti")
+      .unionByName(invertedIndex(docs, idCol, textCol)
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .option("path", dlPath).saveAsTable(s"${dest}_doclens")
+  }
+
+  /** The tombstone sidecar as a frame, if any deletes are pending.
+    * Probes treat a missing sidecar as empty — an index with no deletes
+    * pays nothing. */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(s"${table}_tombstones"))
+      Some(spark.table(s"${table}_tombstones"))
+    else None
+
+  /** Drop tombstoned docs from `frame` (broadcast anti-join on doc_id);
+    * identity when no tombstone sidecar exists. */
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+      table: String, frame: DataFrame): DataFrame =
+    tombstonesOf(spark, table)
+      .map(t => frame.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(frame)
+
+  // the zero-shuffle bucketed-scan reader shared by compaction and
+  // upsert: autoBucketedScan disabled → one task per bucket, all file
+  // groups of that bucket read together, bucketed write emits one file
+  // per task (see cloneSearchIndex's docstring for why repartition on
+  // the bucket columns does NOT achieve this)
+  private def compactReader(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession() // shares context + catalog; conf isolated
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s
+  }
 
   /** BM25-ranked conjunctive search over a [[writeSearchIndex]] table
     * with a [[writeDocLengths]] sidecar — the ranked-retrieval upgrade
@@ -263,10 +380,10 @@ object SearchOps {
     * from the same pruned scan with NO exchange (the bucketed scan
     * already hash-partitions by term); the sidecar contributes one
     * broadcast stats row + a doc_id join of candidates against dlens.
-    * At 100 TB that join is the textbook norms lookup — bucket the
-    * sidecar by doc_id (or denormalize dl into the postings at build
-    * time) if it ever dominates; the term scan itself stays
-    * |terms|/numBuckets of the index either way. */
+    * The sidecar is bucketed on `doc_id` ([[writeDocLengths]]), so that
+    * norms join never exchanges the sidecar side — only the batch-sized
+    * candidate set shuffles to meet it (Bm25PlanSpec pins the shape);
+    * the term scan itself stays |terms|/numBuckets of the index. */
   def searchBm25(spark: org.apache.spark.sql.SparkSession, table: String,
       terms: Seq[String], k: Int): DataFrame =
     bm25Ranked(spark, table, terms, k, conjunctive = true)
@@ -288,8 +405,13 @@ object SearchOps {
     require(terms.nonEmpty, "need at least one search term")
     require(terms.distinct.size == terms.size, s"duplicate search terms: $terms")
     val ps = probeSessionFor(spark)
-    val idx = ps.table(table).filter(col("term").isin(terms: _*))
-    val dlens = ps.table(s"${table}_doclens")
+    // tombstones are dropped from BOTH the candidate postings and the
+    // norms sidecar — the latter keeps the corpus stats (n_docs,
+    // total_dl) honest, so a deleted doc stops influencing every OTHER
+    // doc's idf and length normalization too
+    val idx = dropTombstoned(ps, table, ps.table(table))
+      .filter(col("term").isin(terms: _*))
+    val dlens = dropTombstoned(ps, table, ps.table(s"${table}_doclens"))
     val stats = broadcast(dlens.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
     val dfreq = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -381,9 +381,31 @@ object VectorOps {
       queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cents = broadcast(spark.table(s"${table}_cents"))
-    scoreAndRank(spark.table(s"${table}_lists"),
+    scoreAndRank(dropTombstoned(spark, table, spark.table(s"${table}_lists")),
       probeLists(queries, cents, nProbe), k)
   }
+
+  /** DELETE maintenance for the standing IVF index — the vector member
+    * of the tombstone family ([[SearchOps.deleteFromSearchIndex]],
+    * [[Dedup.deleteFromBandIndex]]): deleted vec ids append to
+    * `<table>_tombstones`; both probes anti-join them broadcast AFTER
+    * list pruning (the anti-join runs over the nProbe lists actually
+    * read, not the corpus), so a removed vector can no longer surface
+    * as a neighbor; [[compactIvfIndex]] settles them physically (the
+    * compacted generation starts tombstone-free). The list partitions
+    * are never read or rewritten by the delete itself. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, ids: DataFrame, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_tombstones")
+
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+      table: String, lists: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(s"${table}_tombstones"))
+      lists.join(broadcast(spark.table(s"${table}_tombstones")),
+        Seq("vec_id"), "left_anti")
+    else lists
 
   /** [[writeIvfIndex]] with int8 LIST PAYLOADS — the layout a 100 TB ANN
     * deployment actually serves (VERDICT r9 #1): the coarse quantizer
@@ -426,7 +448,8 @@ object VectorOps {
     val cents = broadcast(spark.table(s"${table}_cents"))
     val probes = withQuantized(probeLists(queries, cents, nProbe), "qv", "qq")
       .select(col("list_id"), col("query_id"), col("qq"))
-    scoreAndRankQ(spark.table(s"${table}_lists"), probes, k)
+    scoreAndRankQ(dropTombstoned(spark, table, spark.table(s"${table}_lists")),
+      probes, k)
   }
 
   /** Copy an existing IVF index (either list payload) to a new table
@@ -449,7 +472,11 @@ object VectorOps {
       dest: String, path: String, compact: Boolean = false): Unit = {
     spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
       .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
-    val lists = spark.table(s"${src}_lists")
+    // compaction settles pending deletes (deleteFromIvfIndex): the
+    // tombstoned vectors drop out during the per-list rewrite and the
+    // compacted generation starts tombstone-free
+    val lists0 = spark.table(s"${src}_lists")
+    val lists = if (compact) dropTombstoned(spark, src, lists0) else lists0
     (if (compact) lists.repartition(col("list_id")) else lists)
       .write.mode("overwrite").format("parquet")
       .partitionBy("list_id")
@@ -515,7 +542,10 @@ object VectorOps {
       dest: String, path: String): Unit = {
     spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
       .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
-    withQuantized(spark.table(s"${src}_lists"), "embedding", "qe")
+    // the derived serving copy takes only LIVE rows (pending deletes
+    // settle here, like compaction) — assignment still copied verbatim
+    withQuantized(dropTombstoned(spark, src, spark.table(s"${src}_lists")),
+        "embedding", "qe")
       .select(col("vec_id"), col("qe"), col("list_id"))
       .write.mode("overwrite").format("parquet")
       .partitionBy("list_id")
@@ -543,7 +573,9 @@ object VectorOps {
     * degraded probe cost. */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, src: String,
       dest: String, path: String, trainIters: Int = 2): Unit = {
-    val corpus = spark.table(s"${src}_lists")
+    // retrain over the LIVE corpus: pending deletes drop out here, so
+    // the new generation neither trains on nor serves removed vectors
+    val corpus = dropTombstoned(spark, src, spark.table(s"${src}_lists"))
       .select(col("vec_id"), col("embedding"))
     val k = math.max(4,
       math.floor(math.sqrt(corpus.count().toDouble)).toInt)

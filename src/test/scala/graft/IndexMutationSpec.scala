@@ -1,0 +1,189 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SearchOps, VectorOps}
+
+/** UPDATE/DELETE maintenance contracts for the standing index families
+  * (VERDICT r11 #1): a deleted document/vector stops influencing probes
+  * entirely, a re-ingested (upserted) document does NOT double its
+  * `dl`/`df`/postings, and compaction physically settles pending
+  * tombstones. */
+class IndexMutationSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def uniq(p: String) =
+    p + java.util.UUID.randomUUID().toString.replace("-", "")
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private val docs = Seq(
+    (1L, "spark window spark query"),
+    (2L, "spark window window window"),
+    (3L, "spark spark window table"),
+    (4L, "window plain text here"))
+    .toDF("doc_id", "text")
+
+  test("deleteFromSearchIndex: tombstoned doc vanishes from probes and BM25 stats") {
+    val table = uniq("graft_del_spec_")
+    val path = tmp("graft_del_spec_")
+    val dlPath = tmp("graft_del_spec_dl_")
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", table, path, numBuckets = 4)
+      SearchOps.writeDocLengths(spark, table, dlPath, numBuckets = 4)
+      val before = SearchOps.probeSearchIndex(spark, table, Seq("spark", "window"), 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(before == Set(1L, 2L, 3L))
+      SearchOps.deleteFromSearchIndex(spark, table, Seq(2L).toDF("doc_id"))
+      val after = SearchOps.probeSearchIndex(spark, table, Seq("spark", "window"), 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(after == Set(1L, 3L), "tombstoned doc still surfaced")
+      // the delete is logical: the postings are untouched until compaction
+      assert(spark.table(table).filter(col("doc_id") === 2L).count() > 0,
+        "delete rewrote the postings — it must only tombstone")
+      // BM25 must treat the corpus as if doc 2 never existed: scores
+      // equal a fresh index built WITHOUT it (stats n_docs/Σdl included)
+      val bmDel = SearchOps.searchBm25(spark, table, Seq("spark", "window"), 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val t2 = uniq("graft_del_spec_ref_")
+      val p2 = tmp("graft_del_spec_ref_")
+      val dl2 = tmp("graft_del_spec_ref_dl_")
+      try {
+        SearchOps.writeSearchIndex(docs.filter(col("doc_id") =!= 2L),
+          "doc_id", "text", t2, p2, numBuckets = 4)
+        SearchOps.writeDocLengths(spark, t2, dl2, numBuckets = 4)
+        val bmRef = SearchOps.searchBm25(spark, t2, Seq("spark", "window"), 10)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(bmDel == bmRef,
+          s"tombstoned BM25 != rebuilt-without-doc BM25: $bmDel vs $bmRef")
+      } finally Seq(s"${t2}_doclens", t2).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // compaction settles the delete physically and starts tombstone-free
+      val ct = uniq("graft_del_spec_c_")
+      val cp = tmp("graft_del_spec_c_")
+      val cdl = tmp("graft_del_spec_c_dl_")
+      try {
+        SearchOps.compactSearchIndex(spark, table, ct, cp, numBuckets = 4)
+        SearchOps.writeDocLengths(spark, ct, cdl, numBuckets = 4)
+        assert(spark.table(ct).filter(col("doc_id") === 2L).count() == 0,
+          "compaction must purge tombstoned postings")
+        assert(!spark.catalog.tableExists(s"${ct}_tombstones"),
+          "compacted generation must start tombstone-free")
+        val probeC = SearchOps.probeSearchIndex(spark, ct, Seq("spark", "window"), 10)
+          .collect().map(_.getLong(0)).toSet
+        assert(probeC == Set(1L, 3L))
+      } finally Seq(s"${ct}_doclens", ct).foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally Seq(s"${table}_tombstones", s"${table}_doclens", table)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("upsertToSearchIndex: re-ingested doc does NOT double dl/df; stale postings gone") {
+    val src = uniq("graft_ups_src_")
+    val dest = uniq("graft_ups_dest_")
+    val paths = (1 to 4).map(_ => tmp("graft_ups_"))
+    try {
+      // v1 carries a stale doc 3 (different text) and a pending delete of 4
+      val stale = docs.withColumn("text",
+        when(col("doc_id") === 3L, lit("stale stale stale spark")).otherwise(col("text")))
+      SearchOps.writeSearchIndex(stale, "doc_id", "text", src, paths(0), numBuckets = 4)
+      SearchOps.writeDocLengths(spark, src, paths(1), numBuckets = 4)
+      SearchOps.deleteFromSearchIndex(spark, src, Seq(4L).toDF("doc_id"))
+      SearchOps.upsertToSearchIndex(spark, src, dest, paths(2), paths(3),
+        docs.filter(col("doc_id") === 3L), "doc_id", "text", numBuckets = 4)
+      // exactly ONE norms row per doc, with the NEW length for doc 3 and
+      // the tombstoned doc 4 purged
+      val dl = spark.table(s"${dest}_doclens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(dl.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"doclens must hold each live doc exactly once: ${dl.toSeq}")
+      assert(dl.toMap.apply(3L) == 4L, "doc 3 must carry its NEW token count")
+      // stale postings replaced: 'stale' gone, per-term df counts doc 3 once
+      assert(spark.table(dest).filter(col("term") === "stale").count() == 0)
+      val df3 = spark.table(dest).filter(col("doc_id") === 3L)
+        .groupBy(col("term")).count().collect()
+      assert(df3.forall(_.getLong(1) == 1L),
+        "a term of the re-ingested doc appears in more than one posting row")
+      // probes over the upserted generation equal a fresh all-true-docs build
+      val probe = SearchOps.probeSearchIndex(spark, dest, Seq("spark", "window"), 10)
+        .collect().toSeq
+      val direct = SearchOps.searchAllTerms(
+        SearchOps.invertedIndex(docs.filter(col("doc_id") =!= 4L), "doc_id", "text"),
+        Seq("spark", "window"), 10).collect().toSeq
+      assert(probe == direct)
+      assert(!spark.catalog.tableExists(s"${dest}_tombstones"))
+    } finally Seq(s"${src}_tombstones", s"${src}_doclens", src,
+      s"${dest}_doclens", dest).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("deleteFromBandIndex: deleted corpus doc stops pairing; compaction purges") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val table = uniq("graft_band_del_spec_")
+    val path = tmp("graft_band_del_spec_")
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", table, path, numBuckets = 4)
+      def hits() = Dedup.probeBandIndex(spark, table, incoming, "doc_id", "text", 0.5)
+        .collect().map(_.getLong(1)).toSet
+      assert(hits() == Set(10L), "fixture must pair before the delete")
+      Dedup.deleteFromBandIndex(spark, table, Seq(10L).toDF("doc_id"))
+      assert(hits().isEmpty, "deleted doc still pairs with incoming batches")
+      val ct = uniq("graft_band_del_spec_c_")
+      val cp = tmp("graft_band_del_spec_c_")
+      try {
+        Dedup.compactBandIndex(spark, table, ct, cp, numBuckets = 4)
+        assert(spark.table(ct).filter(col("old_id") === 10L).count() == 0,
+          "compaction must purge tombstoned band rows")
+        assert(!spark.catalog.tableExists(s"${ct}_tombstones"))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $ct")
+    } finally Seq(s"${table}_tombstones", table).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("deleteFromIvfIndex: deleted vector leaves top-k; compaction and retrain settle it") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 2)
+    val table = uniq("graft_ivf_del_spec_")
+    val path = tmp("graft_ivf_del_spec_")
+    try {
+      VectorOps.writeIvfIndex(vecs, table, path, numCentroids = 4, trainIters = 1)
+      // poison: exact copies of the queries — guaranteed cosine-1.0 rank-1
+      val poison = queries.select((col("vec_id") + 500L).as("vec_id"),
+        col("embedding"))
+      VectorOps.appendToIvfIndex(spark, table, poison)
+      def neighbors() = VectorOps.probeIvfIndex(spark, table, queries, k = 3,
+        nProbe = 2).collect().map(_.getLong(1)).toSet
+      assert(neighbors().exists(_ >= 500L), "poison must surface before delete")
+      VectorOps.deleteFromIvfIndex(spark, table, poison.select(col("vec_id")))
+      assert(!neighbors().exists(_ >= 500L), "tombstoned vectors still served")
+      val ct = uniq("graft_ivf_del_spec_c_")
+      val cp = tmp("graft_ivf_del_spec_c_")
+      try {
+        VectorOps.compactIvfIndex(spark, table, ct, cp)
+        assert(spark.table(s"${ct}_lists").filter(col("vec_id") >= 500L).count() == 0,
+          "compaction must purge tombstoned vectors")
+        assert(!spark.catalog.tableExists(s"${ct}_tombstones"))
+      } finally Seq(s"${ct}_cents", s"${ct}_lists").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val rt = uniq("graft_ivf_del_spec_r_")
+      val rp = tmp("graft_ivf_del_spec_r_")
+      try {
+        VectorOps.retrainIvfIndex(spark, table, rt, rp, trainIters = 1)
+        assert(spark.table(s"${rt}_lists").filter(col("vec_id") >= 500L).count() == 0,
+          "retrain must train and serve only the live corpus")
+      } finally Seq(s"${rt}_cents", s"${rt}_lists").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally Seq(s"${table}_tombstones", s"${table}_cents", s"${table}_lists")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -93,6 +93,26 @@ object TextQueries {
     }
   }
 
+  /** The band re-shard epoch: the serving generation rewritten under a
+    * FINER bucket count (32 → 64) via [[Dedup.reshardBandIndex]] — the
+    * remedy [[Dedup.bandReshardCheck]]'s verdict calls for. The gated
+    * probe must hash-match `dedup_incremental_indexed`'s oracle:
+    * re-sharding moves rows between file buckets but every logical
+    * (band, bkey) group travels intact, so probe output is defined
+    * bit-identical. Base resolved before the acquire. */
+  private[graft] def bandReshardIndexFor(s: SparkSession, dir: String): String = {
+    val base = bandIndexFor(s, dir)
+    EpochRegistry.acquire(s, "band_reshard_index", dir) { () =>
+      val table = "graft_band_reshard_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_band_reshard_index_").toString
+      Dedup.reshardBandIndex(s, base, table, path, newNumBuckets = 64)
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** One persisted search index per (session, dir) epoch — the text
     * twin of [[bandIndexFor]]/[[SimilarityQueries.ivfIndexFor]] (same
     * UUID-unique isolation and [[EpochRegistry]] lifecycle). */
@@ -164,6 +184,50 @@ object TextQueries {
       EpochRegistry.Resource(table,
         dropTables = Seq(table, s"${table}_doclens"),
         deleteDirs = Seq(path, dlPath))
+    }
+  }
+
+  /** The search re-shard epoch: the serving generation (postings AND
+    * the doc_id-bucketed norms sidecar) rewritten under a finer bucket
+    * count (8 → 16) via [[SearchOps.reshardSearchIndex]] — the remedy
+    * [[SearchOps.searchReshardCheck]]'s verdict calls for. Both gated
+    * probes (raw-tf and BM25) must hash-match the all-docs oracles:
+    * bucket layout is probe-invisible by definition, while the probe
+    * still bucket-prunes against the NEW count (ReshardSpec pins it). */
+  private[graft] def searchReshardIndexFor(s: SparkSession, dir: String): String = {
+    val base = searchIndexFor(s, dir)
+    EpochRegistry.acquire(s, "search_reshard_index", dir) { () =>
+      val table = "graft_search_reshard_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_reshard_index_").toString
+      val dlPath = java.nio.file.Files
+        .createTempDirectory("graft_search_reshard_index_dl_").toString
+      SearchOps.reshardSearchIndex(s, base, table, path, dlPath,
+        newNumBuckets = 16)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_doclens"),
+        deleteDirs = Seq(path, dlPath))
+    }
+  }
+
+  /** The view-flip serving epoch (VERDICT r11 #4): the serving search
+    * generation is PUBLISHED under a stable view name via
+    * [[graft.operators.Generations.publish]] — one `CREATE OR REPLACE
+    * VIEW` per suffix (postings + doclens), the always-resolvable
+    * alternative to rename-swap. The gated probes address the VIEW and
+    * must hash-match the all-docs oracles: serving indirection is
+    * result-invisible, and the probe still bucket-prunes through it
+    * (ViewFlipSpec pins the plan). */
+  private[graft] def searchViewFor(s: SparkSession, dir: String): String = {
+    val base = searchIndexFor(s, dir)
+    EpochRegistry.acquire(s, "search_view", dir) { () =>
+      val view = "graft_search_view_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publish(s, view, base,
+        suffixes = Seq("", "_doclens"))
+      EpochRegistry.Resource(view,
+        dropTables = Seq(view, s"${view}_doclens"))
     }
   }
 
@@ -506,6 +570,26 @@ object TextQueries {
         .orderBy(col("band"))
     }),
 
+    // band-index re-shard DECISION — the thresholded verdict over the
+    // distribution dedup_band_stats reports, closing the band family's
+    // monitor→remedy edge (sim_ann_ivf_retrain_check's discipline):
+    // integer-exact floored signals, one row, reshard boolean
+    "dedup_band_reshard_check" -> ((s, dir) =>
+      Dedup.bandReshardCheck(s, bandIndexFor(s, dir))),
+
+    // band-index re-shard EXECUTION: the serving generation rewritten
+    // under a finer bucket count (32 → 64, one hash exchange of the
+    // band rows, no shingle/minhash recompute) — the probe over it must
+    // hash-match dedup_incremental_indexed's oracle, since re-sharding
+    // is layout-only by definition
+    "dedup_incremental_resharded" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      Dedup.probeBandIndex(s, bandReshardIndexFor(s, dir),
+          corpus.filter(col("doc_id") >= 100000), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // band-index COMPACTION: the appended generation's per-bucket file
     // groups collapsed to one file each (pure IO — no shingle/minhash
     // recompute); the same probe over the compacted index must
@@ -627,6 +711,52 @@ object TextQueries {
           max(col("df")).as("max_df"))
         .withColumn("max_over_mean_x1000",
           expr("max_df * 1000 div (n_postings div n_terms)"))
+    }),
+
+    // search-index re-shard DECISION — text_search_stats' signals plus
+    // the absolute-concentration one, thresholded to a verdict row (the
+    // retrain_check discipline, VERDICT r11 #2): the operator a
+    // deployment polls to decide when the bucket count needs raising
+    "text_search_reshard_check" -> ((s, dir) =>
+      SearchOps.searchReshardCheck(s, searchIndexFor(s, dir))),
+
+    // search-index re-shard EXECUTION: the serving generation (postings
+    // + doc_id-bucketed norms sidecar) rewritten 8 → 16 buckets — one
+    // hash exchange, no re-tokenization; bucket layout is
+    // probe-invisible so this hash-matches the all-docs oracle while
+    // the probe bucket-prunes against the new count
+    "text_search_resharded" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchReshardIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+
+    // ...and ranked retrieval over the re-sharded generation: BM25's
+    // stats (n_docs, Σdl), df, and norms join all survive the layout
+    // change — same oracle, another plan
+    "text_search_bm25_resharded" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchReshardIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+
+    // VIEW-FLIP serving (Generations.publish): the probe addresses the
+    // stable view, not the generation table — promoting a generation is
+    // one CREATE OR REPLACE VIEW per suffix, and the serving name
+    // always resolves (no rename window). Result-invisible by
+    // definition: same oracle, another plan, pruning intact.
+    "text_search_published" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchViewFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+
+    // ...and ranked retrieval through the published view (postings AND
+    // the doclens sidecar resolve through view indirection)
+    "text_search_bm25_published" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchViewFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
     }),
 
     // BM25 across the whole lifecycle: the COMPACTED generation serves
@@ -814,6 +944,23 @@ object TextQueries {
           |  CAST(sum(n) AS BIGINT) AS n_rows,
           |  CAST(max(n) AS BIGINT) AS max_bucket
           |FROM bsz GROUP BY band ORDER BY band""".stripMargin,
+      // re-shard verdict: the same bucket distribution reduced across
+      // ALL (band, bkey) buckets to one row, mean-first floored signals
+      // and thresholds identical to Dedup.bandReshardCheck
+      "dedup_band_reshard_check" ->
+        s"""WITH $minhashPairCtes,
+          |bsz AS (SELECT band, bkey, count(*) AS n FROM bands
+          |  WHERE doc_id < 100000 GROUP BY 1, 2),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+          |  CAST(sum(n) AS BIGINT) AS n_rows,
+          |  CAST(max(n) AS BIGINT) AS max_bucket FROM bsz),
+          |e AS (SELECT *,
+          |  max_bucket * 1000 // (n_rows // n_buckets) AS max_over_mean_x1000,
+          |  max_bucket * 1000 // n_rows AS top_frac_x1000 FROM tot)
+          |SELECT n_buckets, n_rows, max_bucket, max_over_mean_x1000,
+          |  top_frac_x1000,
+          |  (max_over_mean_x1000 >= 2000 OR top_frac_x1000 >= 200) AS reshard
+          |FROM e""".stripMargin,
       "dedup_incremental_appended" -> incrementalAppendedSql,
       // compaction is result-invisible by definition — the compacted
       // generation's probe shares the append epoch's oracle verbatim
@@ -828,6 +975,14 @@ object TextQueries {
       // dedup_incremental_indexed's oracle verbatim (one oracle, another
       // plan); a tombstone leak shows up as phantom old_id ≥ 500000 rows
       "dedup_incremental_deleted" ->
+        s"""WITH $minhashPairCtes
+          |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
+          |WHERE id_a < 100000 AND id_b >= 100000
+          |ORDER BY new_id, old_id""".stripMargin,
+      // re-sharding is layout-only — every logical (band, bkey) group
+      // moves intact — so the re-sharded generation's probe shares the
+      // serving index's oracle verbatim (one oracle, another plan)
+      "dedup_incremental_resharded" ->
         s"""WITH $minhashPairCtes
           |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
           |WHERE id_a < 100000 AND id_b >= 100000
@@ -899,6 +1054,32 @@ object TextQueries {
           |SELECT n_terms, n_postings, max_df,
           |  max_df * 1000 // (n_postings // n_terms) AS max_over_mean_x1000
           |FROM t""".stripMargin,
+      // re-shard verdict: the stats distribution thresholded to a
+      // decision row — signals and thresholds identical to
+      // SearchOps.searchReshardCheck (mean-first BIGINT floor-div)
+      "text_search_reshard_check" ->
+        s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+          |  FROM documents, LATERAL unnest($toksSql) t(token) GROUP BY 1, 2),
+          |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+          |  CAST(sum(df) AS BIGINT) AS n_postings,
+          |  CAST(max(df) AS BIGINT) AS max_df FROM d),
+          |e AS (SELECT *,
+          |  max_df * 1000 // (n_postings // n_terms) AS max_over_mean_x1000,
+          |  max_df * 1000 // n_postings AS top_frac_x1000 FROM t)
+          |SELECT n_terms, n_postings, max_df, max_over_mean_x1000,
+          |  top_frac_x1000,
+          |  (max_over_mean_x1000 >= 2000 OR top_frac_x1000 >= 200) AS reshard
+          |FROM e""".stripMargin,
+      // re-sharding is layout-only, so both probes over the re-sharded
+      // generation share the all-docs oracles (raw-tf and BM25) — one
+      // oracle, another plan each
+      "text_search_resharded" -> searchAndSql,
+      "text_search_bm25_resharded" -> searchBm25Sql,
+      // view-flip serving is pure indirection — the published view's
+      // probes share the all-docs oracles (one oracle, another plan)
+      "text_search_published" -> searchAndSql,
+      "text_search_bm25_published" -> searchBm25Sql,
       // the append epoch (build-evens + append-odds postings AND
       // doclens) covers every document — same oracle, second plan
       "text_search_bm25_appended" -> searchBm25Sql,

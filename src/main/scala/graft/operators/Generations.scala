@@ -23,6 +23,44 @@ import org.apache.spark.sql.SparkSession
   * candidate name the retired ones). */
 object Generations {
 
+  /** VIEW-FLIP serving (VERDICT r11 #4) — the layer that closes
+    * [[swap]]'s visible window: probes address a stable VIEW name, and
+    * promoting a generation is one `CREATE OR REPLACE VIEW` per suffix
+    * instead of three renames. During a rename-swap there are instants
+    * where the serving name resolves to nothing (between rename 1 and
+    * 2) or to a half-promoted pair; a view replace is a single catalog
+    * operation per suffix — the serving name ALWAYS resolves, before,
+    * during, and after the flip. Generations keep their own immutable
+    * names underneath (publish never renames or moves anything), so
+    * rollback is just re-publishing the previous generation, and a
+    * probe that resolved the view before the flip finishes its scan
+    * against the old generation's files untouched.
+    *
+    * Still per-suffix: a multi-suffix index (`""`+`_doclens`,
+    * `_cents`+`_lists`) flips one suffix at a time, and cross-suffix
+    * atomicity remains the catalog's model (a transactional lakehouse
+    * catalog closes that too) — but the exposure shrinks from three
+    * renames per suffix to one replace, and nothing ever dangles.
+    *
+    * Maintenance ops (append / delete / compact) keep addressing the
+    * GENERATION name, not the view: tombstone sidecars and file-group
+    * appends belong to the generation so compaction sees them; the view
+    * is read-only serving indirection. Bucket pruning survives the
+    * indirection — the view expands to a bare projection over the
+    * bucketed scan, so term/list predicates still prune
+    * (ViewFlipSpec pins SelectedBucketsCount through the view). */
+  def publish(spark: SparkSession, view: String, generation: String,
+      suffixes: Seq[String] = Seq("")): Unit = {
+    suffixes.foreach { sfx =>
+      require(spark.catalog.tableExists(generation + sfx),
+        s"generation table ${generation + sfx} does not exist")
+    }
+    suffixes.foreach { sfx =>
+      spark.sql(s"CREATE OR REPLACE VIEW ${view + sfx} AS " +
+        s"SELECT * FROM ${generation + sfx}")
+    }
+  }
+
   /** Swap `serving` and `candidate` (each suffixed table pair) in the
     * catalog. Both generations must exist for every suffix — checked up
     * front, so a typo'd name fails before any rename. If a rename still

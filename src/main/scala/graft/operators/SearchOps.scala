@@ -355,6 +355,73 @@ object SearchOps {
     s
   }
 
+  /** The re-shard DECISION over a search index's posting-list
+    * distribution — `text_search_stats` emits the skew signals, this
+    * turns them into a verdict, closing the monitor→remedy edge for the
+    * search family the way [[VectorOps.ivfRetrainCheck]] closes it for
+    * IVF (VERDICT r11 #2). The two signals are the two ways a probe
+    * develops a cost tail:
+    *
+    *  - `max_over_mean_x1000`: hottest term's df vs the mean term
+    *    (`max_df·1000 div (n_postings div n_terms)`) — a stopword or
+    *    boilerplate token that slipped past tokenization;
+    *  - `top_frac_x1000`: the hottest term's share of ALL postings
+    *    (`max_df·1000 div n_postings`) — absolute concentration, which
+    *    catches a degenerate corpus where the mean itself is tiny.
+    *
+    * `reshard` fires when either floored signal reaches its threshold;
+    * the executable remedy is [[reshardSearchIndex]] (a finer bucket
+    * spec spreads probe tasks and shrinks the per-bucket co-residents
+    * of the hot term). All arithmetic is BIGINT floor-division so the
+    * verdict hash-matches the oracle computing the same distribution
+    * from the shared token CTEs. Scale: two pruned columns reduced
+    * map-side to ONE row — near-metadata cost. Pending tombstones count
+    * deliberately: the monitor measures PROBE cost, and tombstoned
+    * postings are still scanned until compaction settles them. */
+  def searchReshardCheck(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxOverMeanX1000: Long = 2000L,
+      topFracX1000: Long = 200L): DataFrame =
+    spark.table(table)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+        max(col("df")).as("max_df"))
+      .withColumn("max_over_mean_x1000",
+        expr("max_df * 1000 div (n_postings div n_terms)"))
+      .withColumn("top_frac_x1000", expr("max_df * 1000 div n_postings"))
+      .withColumn("reshard",
+        col("max_over_mean_x1000") >= maxOverMeanX1000 ||
+          col("top_frac_x1000") >= topFracX1000)
+
+  /** Execute the re-shard [[searchReshardCheck]] decides on — a NEW
+    * index generation under a different (normally finer) bucket count,
+    * postings AND the doc_id-bucketed norms sidecar together so the
+    * pair can never disagree on layout. No re-tokenization: the already
+    * computed posting rows are hash-exchanged into the new bucket
+    * layout (`repartition(n, term)` matches the bucket-id function, so
+    * each task owns exactly one destination bucket → one file per
+    * bucket), which is the floor cost of re-sharding — rows must move
+    * by definition. Pending tombstones settle here like at every other
+    * generation boundary (the destination starts tombstone-free).
+    * Same-count "re-sharding" degenerates to [[compactSearchIndex]] —
+    * use that instead (the exchange would be elided against the scan's
+    * matching partitioning and the write would keep file-grain tasks).
+    * The new generation serves under [[Generations]] like any other;
+    * probes bucket-prune against the new count unchanged. */
+  def reshardSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, dlPath: String,
+      newNumBuckets: Int): Unit = {
+    dropTombstoned(spark, src, spark.table(src))
+      .repartition(newNumBuckets, col("term"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(newNumBuckets, "term").sortBy("term")
+      .option("path", path).saveAsTable(dest)
+    dropTombstoned(spark, src, spark.table(s"${src}_doclens"))
+      .repartition(newNumBuckets, col("doc_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(newNumBuckets, "doc_id").sortBy("doc_id")
+      .option("path", dlPath).saveAsTable(s"${dest}_doclens")
+  }
+
   /** BM25-ranked conjunctive search over a [[writeSearchIndex]] table
     * with a [[writeDocLengths]] sidecar — the ranked-retrieval upgrade
     * over [[searchAllTerms]]'s raw-tf scoring (k1 = 1.2, b = 0.75, the

@@ -223,7 +223,8 @@ object StreamingQueries {
         maxFilesPerTrigger = 1)
       IngestStream.ivfIndexSink(src, table, ckpt).awaitTermination()
       EpochRegistry.Resource(table,
-        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        dropTables = Seq(s"${table}_cents", s"${table}_lists",
+          s"${table}_applied"),
         deleteDirs = Seq(path, ckpt))
     }
   }
@@ -265,7 +266,7 @@ object StreamingQueries {
         maxFilesPerTrigger = 1)
       IngestStream.searchIndexSink(src, table, ckpt).awaitTermination()
       EpochRegistry.Resource(table,
-        dropTables = Seq(table, s"${table}_doclens"),
+        dropTables = Seq(table, s"${table}_doclens", s"${table}_applied"),
         deleteDirs = Seq(path, dlPath, ckpt))
     }
   }

@@ -43,7 +43,7 @@ object IngestStream {
     * [[graft.operators.VectorOps.appendToIvfIndex]] the batch path
     * gates. Per micro-batch cost: one broadcast-assign of the batch +
     * a dynamic-partition insert; the indexed corpus is never read.
-    * Same at-least-once caveat and candidate-generation/swap answer as
+    * Same replay-ledger idempotence and candidate-generation answer as
     * [[searchIndexSink]]. */
   def ivfIndexSink(vecStream: DataFrame, table: String,
       checkpointDir: String,
@@ -51,9 +51,8 @@ object IngestStream {
     vecStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.VectorOps.appendToIvfIndex(
-          batch.sparkSession, table, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfBatch(batch.sparkSession, table, batch, batchId)
       }
       .start()
 
@@ -66,13 +65,28 @@ object IngestStream {
     * drift. The indexed corpus is never read or rewritten; each
     * micro-batch costs one tokenize + bucketed append of that batch.
     *
-    * Delivery: the checkpoint gives at-least-once foreachBatch
-    * execution; a REPLAYED batch would re-append its posting rows, so
-    * effectively-once needs the downstream swap discipline — append
-    * into a CANDIDATE generation and [[graft.operators.Generations]]
-    * -swap after validation, or rebuild the generation from the epoch's
-    * inputs on restart (the spec exercises the clean-run path; restart
-    * semantics are CdcStream's documented territory). */
+    * Delivery (VERDICT r11 #5): the checkpoint gives at-least-once
+    * foreachBatch execution — the restart replay case is a batch whose
+    * writes completed but whose checkpoint commit didn't. The sinks
+    * close exactly that case with a REPLAY LEDGER (`<table>_applied`,
+    * one batch_id row written after the batch's appends): a replayed
+    * batchId is skipped whole, so kill-and-restart does not double
+    * postings, norms, or vectors (StreamIngestRestartSpec drives the
+    * killed-drain + restart and pins the counts). The window that
+    * remains is a crash INSIDE the batch body (data partially applied,
+    * ledger unwritten → replay re-appends the applied part); that is
+    * what the candidate-generation discipline is for — append into a
+    * candidate, validate counts, then [[graft.operators.Generations]]
+    * publish/swap — and why the ledger is written last (losing a batch
+    * would be worse than re-applying one).
+    *
+    * Visibility: appends run in the stream's micro-batch session, which
+    * refreshes ITS OWN catalog relation cache — a DIFFERENT session
+    * that already scanned the index keeps its cached file listing until
+    * `spark.catalog.refreshTable` (standard Spark cross-session
+    * semantics; a first read after the drain is always fresh). The
+    * sink's own ledger reads are refresh-safe — same session writes,
+    * same session reads. */
   def searchIndexSink(docStream: DataFrame, table: String,
       checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -81,11 +95,59 @@ object IngestStream {
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.SearchOps.appendToSearchIndex(
-          batch.sparkSession, table, batch, idCol, textCol, numBuckets)
-        graft.operators.SearchOps.appendDocLengths(
-          batch.sparkSession, table, batch, idCol, textCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySearchBatch(batch.sparkSession, table, batch, idCol, textCol,
+          numBuckets, batchId)
       }
       .start()
+
+  /** One micro-batch of [[searchIndexSink]], replay-guarded: appends the
+    * batch's postings + norms rows unless the ledger already holds this
+    * batchId. Package-private so the restart spec can drive the exact
+    * replay the checkpoint would. */
+  private[graft] def applySearchBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, idCol: String, textCol: String, numBuckets: Int,
+      batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      graft.operators.SearchOps.appendToSearchIndex(
+        spark, table, batch, idCol, textCol, numBuckets)
+      // numBuckets forwarded to BOTH appends: the sidecar append's own
+      // default could otherwise disagree with a non-default index spec
+      // and Spark rejects the mismatched bucketing
+      graft.operators.SearchOps.appendDocLengths(
+        spark, table, batch, idCol, textCol, numBuckets)
+      recordApplied(spark, table, batchId)
+    }
+
+  /** One micro-batch of [[ivfIndexSink]], replay-guarded (same ledger
+    * discipline as [[applySearchBatch]]). */
+  private[graft] def applyIvfBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      graft.operators.VectorOps.appendToIvfIndex(spark, table, batch)
+      recordApplied(spark, table, batchId)
+    }
+
+  // The replay ledger: `<table>_applied`, one BIGINT batch_id row per
+  // committed micro-batch. The existence probe is a driver-side take(1)
+  // over a table with one row per micro-batch ever applied — tiny by
+  // construction (thousands of rows after days of continuous
+  // ingestion), and a control-flow decision the driver must make
+  // anyway, not a data-path collect.
+  private def alreadyApplied(spark: org.apache.spark.sql.SparkSession,
+      table: String, batchId: Long): Boolean =
+    spark.catalog.tableExists(s"${table}_applied") &&
+      !spark.table(s"${table}_applied")
+        .filter(org.apache.spark.sql.functions.col("batch_id") === batchId)
+        .isEmpty
+
+  private def recordApplied(spark: org.apache.spark.sql.SparkSession,
+      table: String, batchId: Long): Unit = {
+    import spark.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_applied")
+  }
 }

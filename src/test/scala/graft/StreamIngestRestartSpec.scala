@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{CdcStream, IngestStream}
+import graft.operators.{SearchOps, VectorOps}
+
+/** Restart idempotence for the continuous index-maintenance sinks
+  * (VERDICT r11 #5): a drain killed between micro-batches resumes from
+  * the checkpoint WITHOUT re-admitting what was already applied, and a
+  * REPLAYED micro-batch (the at-least-once case: writes done, checkpoint
+  * commit lost) is skipped whole by the `<table>_applied` ledger — no
+  * doubled postings, norms rows, or vectors. */
+class StreamIngestRestartSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def uniq(p: String) =
+    p + java.util.UUID.randomUUID().toString.replace("-", "")
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("search sink: killed drain resumes from checkpoint without re-appending") {
+    val baseDocs = Seq(
+      (1L, "spark window spark query"),
+      (2L, "spark window window window")).toDF("doc_id", "text")
+    val wave1 = Seq(
+      (3L, "spark catalyst window plans"),
+      (4L, "window functions in spark")).toDF("doc_id", "text")
+    val wave2 = Seq(
+      (5L, "spark shuffle exchange plan"),
+      (6L, "unrelated text entirely")).toDF("doc_id", "text")
+
+    val table = uniq("graft_restart_search_")
+    val fTable = table + "_f"
+    val dirs = (1 to 6).map(_ => tmp("graft_restart_search_"))
+    try {
+      SearchOps.writeSearchIndex(baseDocs, "doc_id", "text", table, dirs(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, table, dirs(1), numBuckets = 4)
+
+      // PHASE 1: two files arrive, the drain completes, the "process"
+      // dies (the query object is gone; only the checkpoint survives)
+      wave1.repartition(2).write.mode("overwrite").parquet(dirs(2))
+      val src1 = CdcStream.readEventStream(spark, dirs(2), maxFilesPerTrigger = 1)
+      IngestStream.searchIndexSink(src1, table, dirs(3), numBuckets = 4,
+        trigger = Trigger.AvailableNow()).awaitTermination()
+      assert(spark.table(s"${table}_doclens").count() == 4L)
+      val ledgerAfter1 = spark.table(s"${table}_applied").count()
+      assert(ledgerAfter1 >= 2L,
+        s"one ledger row per applied micro-batch, got $ledgerAfter1")
+
+      // PHASE 2: more files land; a NEW sink restarts on the SAME
+      // checkpoint — wave1's files must not be re-admitted
+      wave2.repartition(2).write.mode("append").parquet(dirs(2))
+      val src2 = CdcStream.readEventStream(spark, dirs(2), maxFilesPerTrigger = 1)
+      IngestStream.searchIndexSink(src2, table, dirs(3), numBuckets = 4,
+        trigger = Trigger.AvailableNow()).awaitTermination()
+      // the drain appended from the stream's micro-batch session; this
+      // session scanned the tables after phase 1, so its cached file
+      // listing must be refreshed (cross-session visibility — see the
+      // sink's scaladoc)
+      Seq(table, s"${table}_doclens", s"${table}_applied")
+        .foreach(spark.catalog.refreshTable)
+      val ledgerAfter2 = spark.table(s"${table}_applied").count()
+      assert(ledgerAfter2 > ledgerAfter1,
+        s"phase-2 batches must reach the ledger: $ledgerAfter1 → $ledgerAfter2")
+      // exactly one norms row per doc — a re-admitted wave1 would double 3/4
+      val dl = spark.table(s"${table}_doclens").groupBy(col("doc_id"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dl.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), s"missing docs: $dl")
+      assert(dl.values.forall(_ == 1L), s"restart doubled norms rows: $dl")
+
+      // and the drained index equals a fresh full build (tf + BM25)
+      val allDocs = baseDocs.unionAll(wave1).unionAll(wave2)
+      SearchOps.writeSearchIndex(allDocs, "doc_id", "text", fTable, dirs(4),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, fTable, dirs(5), numBuckets = 4)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq.map(_.toSeq)
+      assert(rows(SearchOps.searchBm25(spark, table, Seq("spark", "window"), 10)) ==
+        rows(SearchOps.searchBm25(spark, fTable, Seq("spark", "window"), 10)),
+        "restarted drain diverged from a fresh full build")
+    } finally Seq(table, fTable).foreach { t =>
+      Seq(s"${t}_applied", s"${t}_doclens", t).foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
+  test("replayed micro-batch is skipped whole by the ledger (search + IVF)") {
+    val table = uniq("graft_replay_search_")
+    val paths = (1 to 2).map(_ => tmp("graft_replay_search_"))
+    val docs = Seq((1L, "spark window alpha")).toDF("doc_id", "text")
+    val batch = Seq((2L, "spark window beta")).toDF("doc_id", "text")
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", table, paths(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, table, paths(1), numBuckets = 4)
+      IngestStream.applySearchBatch(spark, table, batch, "doc_id", "text", 4,
+        batchId = 7L)
+      val postings = spark.table(table).count()
+      val norms = spark.table(s"${table}_doclens").count()
+      // the replay: same batchId arrives again (checkpoint commit lost)
+      IngestStream.applySearchBatch(spark, table, batch, "doc_id", "text", 4,
+        batchId = 7L)
+      assert(spark.table(table).count() == postings,
+        "replayed batch re-appended postings")
+      assert(spark.table(s"${table}_doclens").count() == norms,
+        "replayed batch re-appended norms rows")
+      // a genuinely NEW batch still lands
+      IngestStream.applySearchBatch(spark, table,
+        Seq((3L, "spark gamma")).toDF("doc_id", "text"), "doc_id", "text", 4,
+        batchId = 8L)
+      assert(spark.table(s"${table}_doclens").count() == norms + 1)
+    } finally Seq(s"${table}_applied", s"${table}_doclens", table)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    graft.functions.GraftFunctions.register(spark)
+    val ivf = uniq("graft_replay_ivf_")
+    val ivfPath = tmp("graft_replay_ivf_")
+    val vecs = (0L until 16L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    try {
+      VectorOps.writeIvfIndex(vecs, ivf, ivfPath, numCentroids = 2,
+        trainIters = 1)
+      val vbatch = vecs.filter(col("vec_id") < 2)
+        .select((col("vec_id") + 900L).as("vec_id"), col("embedding"))
+      IngestStream.applyIvfBatch(spark, ivf, vbatch, batchId = 3L)
+      val n = spark.table(s"${ivf}_lists").count()
+      IngestStream.applyIvfBatch(spark, ivf, vbatch, batchId = 3L)
+      assert(spark.table(s"${ivf}_lists").count() == n,
+        "replayed vector batch re-inserted rows")
+      IngestStream.applyIvfBatch(spark, ivf, vbatch
+        .select((col("vec_id") + 100L).as("vec_id"), col("embedding")),
+        batchId = 4L)
+      assert(spark.table(s"${ivf}_lists").count() == n + 2)
+    } finally Seq(s"${ivf}_applied", s"${ivf}_cents", s"${ivf}_lists")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -37,7 +37,7 @@ class StreamSearchIngestSpec extends AnyFunSuite {
       // standing index from the base docs
       SearchOps.writeSearchIndex(baseDocs, "doc_id", "text", table, dirs(0),
         numBuckets = 4)
-      SearchOps.writeDocLengths(spark, table, dirs(1))
+      SearchOps.writeDocLengths(spark, table, dirs(1), numBuckets = 4)
       // the arriving docs as a 3-file dir → 3 one-file micro-batches
       streamDocs.repartition(3).write.mode("overwrite").parquet(dirs(2))
       val src = CdcStream.readEventStream(spark, dirs(2), maxFilesPerTrigger = 1)

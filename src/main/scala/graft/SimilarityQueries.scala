@@ -279,6 +279,39 @@ object SimilarityQueries {
     }
   }
 
+  /** The UPDATE epoch: the serving generation is cloned, then CORRUPTED
+    * the exact way in-place re-ingestion would — copies of the query
+    * vectors are appended under ten EXISTING corpus ids (50–59), so
+    * those ids now carry TWO rows each (true + poison, the doubled-id
+    * defect [[VectorOps.upsertToIvfIndex]] exists to prevent) — and
+    * HEALED by upserting the ids' true vectors. The gated probe must
+    * hash-match `sim_ann_ivf`'s oracle: a stale-row leak surfaces a
+    * corpus id as a cosine-1.0 rank-1 neighbor. Base resolved before
+    * the acquire. */
+  private[graft] def ivfUpsertIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_upsert_index", dir) { () =>
+      val corrupt = "graft_ivf_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_ivf_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_ivf_upsert_").toString)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.cloneIvfIndex(s, base, corrupt, paths(0))
+      val poison = querySet(emb)
+        .select((col("vec_id") + 50).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndex(s, corrupt, poison)
+      val truth = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.upsertToIvfIndex(s, corrupt, dest, paths(1), truth)
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(s"${corrupt}_cents", s"${corrupt}_lists",
+          s"${dest}_cents", s"${dest}_lists"),
+        deleteDirs = paths)
+    }
+  }
+
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
@@ -419,6 +452,20 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       VectorOps.probeIvfIndex(s, ivfDeleteIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // IVF UPDATE maintenance: ten corpus ids carried doubled rows (true
+    // + poison query-copies — what naive re-ingestion produces); the
+    // upserted generation dropped BOTH and re-admitted the true vectors
+    // through the frozen quantizer. Must hash-match sim_ann_ivf's
+    // oracle — a stale-row leak is a cosine-1.0 rank-1 phantom.
+    "sim_ann_ivf_updated" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndex(s, ivfUpsertIndexFor(s, dir), querySet(emb),
           k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
@@ -801,6 +848,10 @@ object SimilarityQueries {
     // delete epoch = serving index + poison − poison: result-defined
     // equal to the serving probe, same oracle, another plan
     "sim_ann_ivf_deleted" -> ivfOracleSql,
+    // upsert epoch = serving index corrupted then healed: result-defined
+    // equal again — same oracle, another plan (stale leak = phantom
+    // cosine-1.0 neighbor = hash mismatch)
+    "sim_ann_ivf_updated" -> ivfOracleSql,
     "sim_ann_ivf_sq8_indexed" -> ivfSq8OracleSql,
     // deriving SQ8 from the float master = the SQ8 build by definition
     // (same centroids, assignment, quantization) — same oracle again

@@ -93,6 +93,43 @@ object TextQueries {
     }
   }
 
+  /** The band UPDATE epoch: the serving generation is cloned, CORRUPTED
+    * the way naive re-ingestion would (near-dup-batch texts appended
+    * under EXISTING corpus ids — those ids now carry band rows for two
+    * different texts, so phantom jaccard-1.0 pairs against the probe
+    * batch), then HEALED by [[Dedup.upsertToBandIndex]] with the ids'
+    * true documents. The gated probe must hash-match
+    * `dedup_incremental_indexed`'s oracle. Base resolved before the
+    * acquire. */
+  private[graft] def bandUpsertIndexFor(s: SparkSession, dir: String): String = {
+    val base = bandIndexFor(s, dir)
+    EpochRegistry.acquire(s, "band_upsert_index", dir) { () =>
+      val corrupt = "graft_band_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_band_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_band_upsert_").toString)
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      val originals = corpus.filter(col("doc_id") < 100000)
+      // probe-batch texts re-badged under existing corpus ids (k+1 for
+      // near-dup source k; semi-join keeps only ids the corpus has)
+      val stale = corpus
+        .filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+        .select((col("doc_id") - 100000 + 1).as("doc_id"), col("text"))
+        .join(originals.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val truth = originals
+        .join(stale.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+      Dedup.cloneBandIndex(s, base, corrupt, paths(0))
+      Dedup.appendToBandIndex(s, corrupt, stale, "doc_id", "text")
+      Dedup.upsertToBandIndex(s, corrupt, dest, paths(1), truth,
+        "doc_id", "text")
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(corrupt, dest), deleteDirs = paths)
+    }
+  }
+
   /** The band re-shard epoch: the serving generation rewritten under a
     * FINER bucket count (32 → 64) via [[Dedup.reshardBandIndex]] — the
     * remedy [[Dedup.bandReshardCheck]]'s verdict calls for. The gated
@@ -616,6 +653,20 @@ object TextQueries {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // band-index UPDATE maintenance: existing corpus ids carried band
+    // rows for TWO texts (true + probe-batch poison — naive
+    // re-ingestion's defect); the upserted generation dropped both and
+    // re-admitted the true docs through the same shingle pipeline. Must
+    // hash-match dedup_incremental_indexed's oracle — a stale leak is a
+    // phantom jaccard-1.0 pair.
+    "dedup_incremental_updated" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      Dedup.probeBandIndex(s, bandUpsertIndexFor(s, dir),
+          corpus.filter(col("doc_id") >= 100000), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // survivor selection: connected components over the minhash pair
     // graph (pairs alone under-merge — a~b, b~c is ONE dup family even if
     // a,c never shared a band). cluster_id = min doc id in the component.
@@ -983,6 +1034,14 @@ object TextQueries {
       // moves intact — so the re-sharded generation's probe shares the
       // serving index's oracle verbatim (one oracle, another plan)
       "dedup_incremental_resharded" ->
+        s"""WITH $minhashPairCtes
+          |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
+          |WHERE id_a < 100000 AND id_b >= 100000
+          |ORDER BY new_id, old_id""".stripMargin,
+      // upsert epoch = serving index corrupted then healed:
+      // result-defined equal to the serving probe — same oracle, another
+      // plan (a stale leak is a phantom jaccard-1.0 pair = hash mismatch)
+      "dedup_incremental_updated" ->
         s"""WITH $minhashPairCtes
           |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
           |WHERE id_a < 100000 AND id_b >= 100000

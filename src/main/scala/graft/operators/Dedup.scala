@@ -360,6 +360,41 @@ object Dedup {
       dest: String, path: String, numBuckets: Int = 32): Unit =
     cloneBandIndex(spark, src, dest, path, numBuckets, compact = true)
 
+  /** UPDATE maintenance for the band family — CDC UPDATE semantics as a
+    * GENERATION step, completing the upsert symmetry
+    * ([[SearchOps.upsertToSearchIndex]], [[VectorOps.upsertToIvfIndex]]):
+    * a new generation is written whose band rows (a) drop every row of
+    * the incoming doc ids AND of previously tombstoned ids, and (b)
+    * gain the incoming documents' fresh band rows through the SAME
+    * shingle/minhash pipeline the appends use. In-place re-ingestion is
+    * NOT offered deliberately: a doc's stale band rows would keep
+    * pairing it under its old content (and an old_id-keyed tombstone
+    * cannot separate stale from fresh rows of the same doc). The
+    * survivor copy is the ZERO-shuffle bucketed-scan read (one task per
+    * bucket, drop set broadcast anti-joined in the projection, one file
+    * per bucket); only the batch's fresh rows shuffle — so unlike the
+    * search upsert's full exchange, the band upsert costs corpus IO
+    * plus one batch-sized append. */
+  def upsertToBandIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, docs: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int = 32): Unit = {
+    val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val dead =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        incoming.unionByName(spark.table(s"${src}_tombstones")).distinct()
+      else incoming
+    val reader = spark.newSession() // shares context + catalog; conf isolated
+    reader.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val rows = reader.table(src)
+    rows.join(broadcast(dead), rows("old_id") === dead("doc_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "band", "bkey")
+      .sortBy("band", "bkey")
+      .option("path", path).saveAsTable(dest)
+    appendToBandIndex(spark, dest, docs, idCol, textCol, numBuckets)
+  }
+
   /** The re-shard DECISION over a band index's bucket-size
     * distribution — the band family's verdict operator, closing the
     * monitor→remedy edge the way [[VectorOps.ivfRetrainCheck]] does for

@@ -490,6 +490,44 @@ object VectorOps {
       dest: String, path: String): Unit =
     cloneIvfIndex(spark, src, dest, path, compact = true)
 
+  /** UPDATE maintenance for the IVF family — CDC UPDATE semantics as a
+    * GENERATION step, completing the upsert symmetry with
+    * [[SearchOps.upsertToSearchIndex]]: a new generation is written
+    * whose lists (a) drop every row of the incoming vec ids AND of
+    * previously tombstoned ids (an update purges pending deletes for
+    * free), and (b) gain the incoming vectors' fresh rows assigned by
+    * the SAME frozen coarse quantizer the appends use (quantizer copied
+    * verbatim — no Lloyd pass). In-place re-ingestion is NOT offered
+    * deliberately: list rows key on `vec_id`, and a vec_id appearing
+    * under both its stale and fresh embedding would serve BOTH as
+    * neighbors (and a vec_id-keyed tombstone cannot separate them —
+    * the stale and fresh rows may even share a list). The copy is one
+    * `repartition(list_id)` pass (compaction's plan, one file per
+    * list) with the drop set broadcast anti-joined; the new generation
+    * serves under [[Generations]] publish/swap like any other.
+    *
+    * At 100 TB an upsert batch costs a list rewrite — the COMPACTION
+    * cost class: run it at compaction cadence with deletes/appends
+    * accumulated in between, or per-batch on a clone when freshness
+    * demands it. */
+  def upsertToIvfIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, vecs: DataFrame): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    val incoming = vecs.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val dead =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        incoming.unionByName(spark.table(s"${src}_tombstones")).distinct()
+      else incoming
+    spark.table(s"${src}_lists")
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
+    appendToIvfIndex(spark, dest, vecs)
+  }
+
   /** The retrain DECISION over a persisted index's list-size
     * distribution — the operator that closes the monitor→retrain edge
     * of the lifecycle (build → append* → compact → monitor → retrain):

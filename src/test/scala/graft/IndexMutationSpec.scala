@@ -148,6 +148,92 @@ class IndexMutationSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("upsertToIvfIndex: doubled vec_id healed — one fresh row per id, tombstones settle") {
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.tabulate(6)(d => math.cos(i * 5 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val src = uniq("graft_ivf_ups_spec_")
+    val dest = uniq("graft_ivf_ups_spec_d_")
+    val paths = (1 to 2).map(_ => tmp("graft_ivf_ups_spec_"))
+    try {
+      VectorOps.writeIvfIndex(vecs, src, paths(0), numCentroids = 3,
+        trainIters = 1)
+      // the defect: re-ingesting ids 2,3 naively doubles their rows
+      val stale = vecs.filter(col("vec_id").isin(2L, 3L))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> -x)").cast("array<float>")
+            .as("embedding"))
+      VectorOps.appendToIvfIndex(spark, src, stale)
+      assert(spark.table(s"${src}_lists").filter(col("vec_id") === 2L)
+        .count() == 2L, "fixture must carry the doubled-id defect")
+      // plus a pending delete that the upsert must settle
+      VectorOps.deleteFromIvfIndex(spark, src, Seq(7L).toDF("vec_id"))
+      VectorOps.upsertToIvfIndex(spark, src, dest, paths(1),
+        vecs.filter(col("vec_id").isin(2L, 3L)))
+      val perId = spark.table(s"${dest}_lists").groupBy(col("vec_id"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perId.values.forall(_ == 1L),
+        s"upserted generation must hold each id exactly once: $perId")
+      assert(!perId.contains(7L), "pending tombstone must settle in the upsert")
+      assert(perId.contains(2L) && perId.contains(3L))
+      // the tombstoned id never surfaces from the upserted generation
+      val queries = vecs.filter(col("vec_id") < 2)
+      val got = VectorOps.probeIvfIndex(spark, dest, queries, k = 3,
+        nProbe = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!got.exists(_._2 == 7L), "deleted id served from upserted index")
+      // ...and the surviving rows for the upserted ids carry the TRUE
+      // embeddings, not the stale negated ones (checked on the stored
+      // bytes — probes exclude self-matches by design, so content is
+      // asserted directly)
+      val stored = spark.table(s"${dest}_lists")
+        .filter(col("vec_id").isin(2L, 3L))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      val truthMap = vecs.filter(col("vec_id").isin(2L, 3L))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(stored == truthMap,
+        s"upserted ids must store their TRUE embeddings: $stored vs $truthMap")
+    } finally Seq(s"${src}_tombstones", s"${src}_cents", s"${src}_lists",
+      s"${dest}_cents", s"${dest}_lists").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("upsertToBandIndex: stale band rows replaced; probe equals fresh build") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val src = uniq("graft_band_ups_spec_")
+    val dest = uniq("graft_band_ups_spec_d_")
+    val paths = (1 to 2).map(_ => tmp("graft_band_ups_spec_"))
+    try {
+      // v1 carries a STALE doc 11 whose text equals the incoming doc —
+      // it would phantom-pair at jaccard 1.0
+      val stale = corpus.withColumn("text",
+        when(col("doc_id") === 11L,
+          lit("alpha beta gamma delta epsilon zeta eta theta"))
+          .otherwise(col("text")))
+      Dedup.writeBandIndex(stale, "doc_id", "text", src, paths(0),
+        numBuckets = 4)
+      def hits(t: String) = Dedup.probeBandIndex(spark, t, incoming,
+        "doc_id", "text", 0.5).collect().map(_.getLong(1)).toSet
+      assert(hits(src) == Set(10L, 11L), "stale fixture must phantom-pair")
+      Dedup.upsertToBandIndex(spark, src, dest, paths(1),
+        corpus.filter(col("doc_id") === 11L), "doc_id", "text",
+        numBuckets = 4)
+      assert(hits(dest) == Set(10L),
+        "upsert must replace the stale band rows with the true text's")
+      // each doc's rows appear once per band — no stale residue
+      val perDoc = spark.table(dest).groupBy(col("old_id"), col("band"))
+        .count().collect().map(_.getLong(2)).toSet
+      assert(perDoc == Set(1L),
+        "a (doc, band) must hold exactly one row after the upsert")
+    } finally Seq(s"${src}_tombstones", src, dest).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("deleteFromIvfIndex: deleted vector leaves top-k; compaction and retrain settle it") {
     val vecs = (0L until 40L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat)))

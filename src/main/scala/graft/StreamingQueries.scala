@@ -191,6 +191,29 @@ object StreamingQueries {
           emb.filter(col("vec_id") < 10), k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // THE ENGINE'S TWO HALVES MEET: its own CDC statement stream — O3
+    // INSERTs, O4 UPDATEs, O6 DELETEs — consumed as standing-index
+    // maintenance (IngestStream.cdcIndexSink), then settled at the
+    // generation boundary (settleSearchUpserts). The epoch starts from
+    // an index whose %10 docs are STALE and which contains top-rank
+    // POISON docs; the drained events insert the odd half, queue the
+    // true texts, and delete the poison — after the settle the
+    // generation equals the true corpus EXACTLY, so both probes carry
+    // the full all-docs DuckDB oracles.
+    "stream_search_cdc" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchCdcIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    // ...and ranked retrieval over the settled generation: the BM25
+    // stats are the strict gate — a deleted doc leaking into n_docs/Σdl
+    // or a stale dl surviving the settle shifts EVERY score
+    "stream_search_cdc_bm25" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchCdcIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
     }))
 
   /** Streamed-ingestion oracles: the drained indexes are defined to
@@ -198,7 +221,12 @@ object StreamingQueries {
   def oracle: Map[String, String] = Map(
     "stream_search_ingest" -> TextQueries.searchAndSql,
     "stream_search_ingest_bm25" -> TextQueries.searchBm25Sql,
-    "stream_ann_ingest" -> SimilarityQueries.ivfAppendOracleSql)
+    "stream_ann_ingest" -> SimilarityQueries.ivfAppendOracleSql,
+    // the CDC-maintained + settled generation is defined to equal the
+    // true corpus (inserts admitted, updates settled, deletes purged) —
+    // the all-docs oracles gate the whole statement-routing loop
+    "stream_search_cdc" -> TextQueries.searchAndSql,
+    "stream_search_cdc_bm25" -> TextQueries.searchBm25Sql)
 
   /** The standing IVF index CONTINUOUSLY maintained: the serving
     * generation cloned (never touched), then the dup-vector batch
@@ -281,6 +309,69 @@ object StreamingQueries {
         .repartition(4).write.mode("overwrite").parquet(path)
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
+
+  /** The CDC event files: INSERTs of the odd half (2 files), UPDATEs
+    * re-issuing the TRUE text of every %10 doc (1 file), DELETEs of the
+    * poison ids (1 file) — the capture-shaped `(statement, doc_id,
+    * text)` frame the engine's O3/O4/O6 semantics define, materialized
+    * so the file source replays it as 4 micro-batches. */
+  private[graft] def cdcEventsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "search_cdc_events_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_cdc_events_").toString
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(lit("INSERT").as("statement"), col("doc_id"), col("text"))
+        .repartition(2).write.mode("overwrite").parquet(path)
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(lit("UPDATE").as("statement"), col("doc_id"), col("text"))
+        .repartition(1).write.mode("append").parquet(path)
+      TextQueries.poisonSearchDocs(s, dir)
+        .select(lit("DELETE").as("statement"), col("doc_id"),
+          lit("").as("text"))
+        .repartition(1).write.mode("append").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The CDC-maintenance epoch — the loop end to end: the initial
+    * generation indexes the EVEN docs with STALE text for every %10 doc
+    * plus the top-rank POISON batch; the event stream drains through
+    * [[IngestStream.cdcIndexSink]] (INSERTs appended, DELETEs
+    * tombstoned, UPDATEs queued), and [[IngestStream.settleSearchUpserts]]
+    * writes the settled generation — which is result-defined EQUAL to
+    * an index over the true corpus: stale texts replaced, poison
+    * purged, odd half admitted. Event-dir epoch resolved before the
+    * acquire (no nested computeIfAbsent). */
+  private[graft] def searchCdcIndexFor(s: SparkSession, dir: String): String = {
+    val evDir = cdcEventsDir(s, dir)
+    EpochRegistry.acquire(s, "search_cdc_index", dir) { () =>
+      val src = "graft_search_cdc_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_search_cdc_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 5).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_search_cdc_").toString)
+      val docs = Tables.documents(s, dir)
+      val stale = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(lit("spark vector window "), col("text")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.SearchOps.writeSearchIndex(
+        stale.unionByName(TextQueries.poisonSearchDocs(s, dir)
+          .select(col("doc_id"), col("text"))),
+        "doc_id", "text", src, paths(0))
+      graft.operators.SearchOps.writeDocLengths(s, src, paths(1))
+      val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
+      IngestStream.cdcIndexSink(ev, src, paths(2)).awaitTermination()
+      IngestStream.settleSearchUpserts(s, src, dest, paths(3), paths(4))
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(src, s"${src}_doclens", s"${src}_tombstones",
+          s"${src}_pending", s"${src}_applied",
+          dest, s"${dest}_doclens"),
+        deleteDirs = paths)
+    }
+  }
 
   /** Events split into 4 range-partitioned files per (session, dir) so
     * the file source replays them as multiple micro-batches (same

@@ -298,7 +298,7 @@ object TextQueries {
   // every 11th doc re-badged under a fresh id with text that saturates
   // the probe's three query terms — guaranteed top-rank pollution if a
   // delete leaks anywhere
-  private def poisonSearchDocs(s: SparkSession, dir: String) =
+  private[graft] def poisonSearchDocs(s: SparkSession, dir: String) =
     Tables.documents(s, dir).filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 300000).as("doc_id"),
         lit("spark vector window spark vector window spark vector window")

@@ -130,6 +130,109 @@ object IngestStream {
       recordApplied(spark, table, batchId)
     }
 
+  /** The engine's two halves MEET (VERDICT r11 "what's missing" #1,
+    * closing note): its own CDC statement semantics — O3 INSERT, O4
+    * UPDATE, O6 DELETE (reference `sql/triggers.sql:20-32`) — consumed
+    * as STANDING-INDEX maintenance. The stream carries capture-shaped
+    * rows (`statement`, doc id, text — the typed frame before wire
+    * encoding); each micro-batch routes, under ONE replay-ledger guard:
+    *
+    *  - INSERT → postings + norms appended
+    *    ([[graft.operators.SearchOps.appendToSearchIndex]] /
+    *    `appendDocLengths` — the batch path's own operators);
+    *  - DELETE → ids tombstoned
+    *    ([[graft.operators.SearchOps.deleteFromSearchIndex]]) — the doc
+    *    vanishes from probes, df, and corpus stats immediately, purged
+    *    physically at the next generation boundary;
+    *  - UPDATE → the fresh (doc, text) lands in `<table>_pending` with
+    *    the batchId as its sequence number. The STALE version keeps
+    *    serving until [[settleSearchUpserts]] — deliberate: postings
+    *    key on doc_id, so an in-place re-append would double dl/df
+    *    (the defect upsert exists to prevent), and tombstoning now
+    *    would make the doc vanish mid-update. Serving stale until the
+    *    settle is the standard retrieval freshness model (an index
+    *    refresh interval), and the settle is a generation step.
+    *
+    * Cost per micro-batch: batch-sized appends + one id-batch write —
+    * the standing corpus is never read. The settle costs one
+    * generation copy (the compaction class), run at compaction cadence
+    * or whenever freshness demands. */
+  def cdcIndexSink(eventStream: DataFrame, table: String,
+      checkpointDir: String, numBuckets: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(batch.sparkSession, table, batch, numBuckets, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[cdcIndexSink]] — statement-routed, whole-batch
+    * replay-guarded (a replayed batch must not re-append INSERTs, nor
+    * re-queue UPDATEs under a new sequence number). */
+  private[graft] def applyCdcBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, numBuckets: Int, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val ins = batch.filter(col("statement") === "INSERT")
+        .select(col("doc_id"), col("text"))
+      graft.operators.SearchOps.appendToSearchIndex(
+        spark, table, ins, "doc_id", "text", numBuckets)
+      graft.operators.SearchOps.appendDocLengths(
+        spark, table, ins, "doc_id", "text", numBuckets)
+      graft.operators.SearchOps.deleteFromSearchIndex(spark, table,
+        batch.filter(col("statement") === "DELETE").select(col("doc_id")))
+      batch.filter(col("statement") === "UPDATE")
+        .select(col("doc_id"), col("text"), lit(batchId).as("seq"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_pending")
+      recordApplied(spark, table, batchId)
+    }
+
+  /** The generation boundary of the CDC maintenance loop: pending
+    * UPDATEs (latest version per doc — ties broken by the micro-batch
+    * sequence number) are settled into a NEW generation via
+    * [[graft.operators.SearchOps.upsertToSearchIndex]], which also
+    * purges pending DELETE tombstones; with nothing pending the settle
+    * degenerates to a tombstone-settling compaction. The source
+    * generation (and its pending/tombstone sidecars) stays untouched
+    * for rollback until its epoch is reclaimed; promote the settled
+    * generation with [[graft.operators.Generations]] publish/swap. */
+  def settleSearchUpserts(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, dlPath: String,
+      numBuckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val latest0 =
+      if (spark.catalog.tableExists(s"${src}_pending")) {
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("seq").desc)
+        spark.table(s"${src}_pending")
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col("doc_id"), col("text"))
+      } else {
+        import spark.implicits._
+        Seq.empty[(Long, String)].toDF("doc_id", "text")
+      }
+    // a tombstone outranks any pending update: under row-lifetime CDC
+    // ordering a DELETE is the id's final event (re-inserting a deleted
+    // id needs a settle in between — id-level tombstones cannot order
+    // against later inserts, a documented constraint of the model), so
+    // an updated-then-deleted doc must NOT be resurrected by the settle
+    val latest =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        latest0.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.table(s"${src}_tombstones")),
+          Seq("doc_id"), "left_anti")
+      else latest0
+    graft.operators.SearchOps.upsertToSearchIndex(spark, src, dest,
+      path, dlPath, latest, "doc_id", "text", numBuckets)
+  }
+
   // The replay ledger: `<table>_applied`, one BIGINT batch_id row per
   // committed micro-batch. The existence probe is a driver-side take(1)
   // over a table with one row per micro-batch ever applied — tiny by

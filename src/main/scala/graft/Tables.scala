@@ -22,18 +22,44 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; with `nanosAsLong` it arrives as a BIGINT of epoch
-    * nanoseconds (exact — no truncation), and `ts_us`/`ts_sec` derived
-    * columns give µs/second granularity for window math. The DuckDB oracle
-    * side uses `epoch_ns(ts)` for the same integers.
-    */
+  /** `events.ts` arrives as a BIGINT of epoch NANOSECONDS regardless of
+    * how the fixture encoded it — the whole event/window/oracle surface
+    * is written against that invariant (`ts div 1000` = µs, DuckDB
+    * `epoch_us(ts)` = the same integers):
+    *
+    *  - parquet TIMESTAMP(NANOS) (fixtures through r12): Spark's
+    *    vectorized reader rejects it; with `nanosAsLong` it arrives as
+    *    the nanos BIGINT directly (exact — no truncation);
+    *  - parquet TIMESTAMP(MICROS) (the r13 fixture): read as
+    *    `TimestampType` — `inferTimestampNTZ` is disabled for the read
+    *    so the stored µs integers pass through UNADJUSTED (an NTZ
+    *    schema would make the epoch value depend on the session time
+    *    zone at the cast) — then widened µs→ns with `unix_micros·1000`.
+    *
+    * `ts_us`/`ts_sec` derived columns give µs/second granularity for
+    * window math; the DuckDB oracle side uses `epoch_us(ts)`, exact in
+    * both encodings. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    normalizeTsNanos(table(spark, sfDir, "events"))
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_sec", expr("ts div 1000000000"))
   }
+
+  /** Rewrite a timestamp-typed `ts` to the epoch-nanos BIGINT contract;
+    * identity when `ts` is already a BIGINT (or absent). */
+  private[graft] def normalizeTsNanos(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // defensive: only reachable if a caller re-enables NTZ inference;
+        // interpret the wall time as UTC exactly like the DuckDB oracle
+        df.withColumn("ts",
+          expr("unix_micros(to_utc_timestamp(ts, 'UTC')) * 1000"))
+      case _ => df
+    }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -30,17 +30,21 @@ object CdcStream {
   def readEventStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 1000): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // µs-encoded fixtures must come through as TimestampType (stored
+    // integers pass through unadjusted), normalized below to the same
+    // epoch-nanos BIGINT contract as Tables.events — see its scaladoc
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val schema = spark.read.parquet(path).schema
     // The file streaming source requires a directory; stream the parent
     // with a glob filter so a single-file layout works too.
     val p = new java.io.File(path)
     val (dir, glob) =
       if (p.isFile) (p.getParent, p.getName) else (path, "*")
-    spark.readStream
+    graft.Tables.normalizeTsNanos(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", glob)
-      .parquet(dir)
+      .parquet(dir))
   }
 
   /** Envelope transform on a streaming DataFrame — identical code path to

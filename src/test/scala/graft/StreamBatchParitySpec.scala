@@ -70,9 +70,11 @@ class StreamBatchParitySpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .sorted
     // Batch twin over the RAW parquet schema (Tables.events appends
-    // ts_us/ts_sec, which would change the JSON payload).
+    // ts_us/ts_sec, which would change the JSON payload), normalized to
+    // the same epoch-nanos ts contract the stream source applies.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = Tables.normalizeTsNanos(spark.read.parquet(s"$dir/events.parquet"))
     val batchRows = graft.operators.CdcOps.insertEvents(raw, "events", "user_id")
       .select(col("external_id"), col("statement"), col("data"))
       .collect()

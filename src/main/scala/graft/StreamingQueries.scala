@@ -312,23 +312,40 @@ object StreamingQueries {
 
   /** The CDC event files: INSERTs of the odd half (2 files), UPDATEs
     * re-issuing the TRUE text of every %10 doc (1 file), DELETEs of the
-    * poison ids (1 file) — the capture-shaped `(statement, doc_id,
-    * text)` frame the engine's O3/O4/O6 semantics define, materialized
-    * so the file source replays it as 4 micro-batches. */
+    * poison ids AND of every %100==4 doc (1 file), then re-INSERTs of
+    * those %100==4 docs with their true text (1 file) — the
+    * delete-then-reinsert sequence the reference's queue legally
+    * replays (`eventqueue/event_queue.go:15-21`), VERDICT r12 #1. The
+    * capture-shaped `(statement, doc_id, text, event_seq)` frame
+    * carries the queue's serial: per-doc ordering is derived from
+    * `event_seq` alone (INSERT = doc_id, UPDATE = 1e6+doc_id, DELETE =
+    * 2e6+doc_id, re-INSERT = 3e6+doc_id — strictly increasing per doc,
+    * deterministic for the DuckDB mirror), so the settled result is
+    * independent of micro-batch ARRIVAL order. Materialized as 5 files
+    * so the file source replays it as 5 micro-batches. */
   private[graft] def cdcEventsDir(s: SparkSession, dir: String): String =
     EpochRegistry.acquire(s, "search_cdc_events_dir", dir) { () =>
       val path = java.nio.file.Files
         .createTempDirectory("graft_search_cdc_events_").toString
       val docs = Tables.documents(s, dir)
       docs.filter(col("doc_id") % 2 === 1)
-        .select(lit("INSERT").as("statement"), col("doc_id"), col("text"))
+        .select(lit("INSERT").as("statement"), col("doc_id"), col("text"),
+          col("doc_id").as("event_seq"))
         .repartition(2).write.mode("overwrite").parquet(path)
       docs.filter(col("doc_id") % 10 === 0)
-        .select(lit("UPDATE").as("statement"), col("doc_id"), col("text"))
+        .select(lit("UPDATE").as("statement"), col("doc_id"), col("text"),
+          (col("doc_id") + 1000000L).as("event_seq"))
         .repartition(1).write.mode("append").parquet(path)
       TextQueries.poisonSearchDocs(s, dir)
+        .select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") % 100 === 4)
+          .select(col("doc_id")))
         .select(lit("DELETE").as("statement"), col("doc_id"),
-          lit("").as("text"))
+          lit("").as("text"), (col("doc_id") + 2000000L).as("event_seq"))
+        .repartition(1).write.mode("append").parquet(path)
+      docs.filter(col("doc_id") % 100 === 4)
+        .select(lit("INSERT").as("statement"), col("doc_id"), col("text"),
+          (col("doc_id") + 3000000L).as("event_seq"))
         .repartition(1).write.mode("append").parquet(path)
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
@@ -336,15 +353,20 @@ object StreamingQueries {
   /** The CDC-maintenance epoch — the loop end to end: the initial
     * generation indexes the EVEN docs with STALE text for every %10 doc
     * plus the top-rank POISON batch; the event stream drains through
-    * [[IngestStream.cdcIndexSink]] (INSERTs appended, DELETEs
-    * tombstoned, UPDATEs queued), and [[IngestStream.settleSearchUpserts]]
-    * writes the settled generation — which is result-defined EQUAL to
-    * an index over the true corpus: stale texts replaced, poison
-    * purged, odd half admitted. Event-dir epoch resolved before the
-    * acquire (no nested computeIfAbsent). */
-  private[graft] def searchCdcIndexFor(s: SparkSession, dir: String): String = {
+    * [[IngestStream.cdcIndexSink]] (INSERTs appended + queued, DELETEs
+    * seq-tombstoned, UPDATEs queued), and
+    * [[IngestStream.settleSearchUpserts]] writes the settled
+    * generation — which is result-defined EQUAL to an index over the
+    * true corpus: stale texts replaced, poison purged, odd half
+    * admitted, and the deleted-then-reinserted %100==4 docs serving
+    * their FINAL text (the re-insert outranks the tombstone by
+    * event_seq). Event-dir epoch resolved before the acquire (no
+    * nested computeIfAbsent). Returns (src, settled) — src stays
+    * addressable for the settle-staleness monitor and rollback. */
+  private[graft] def searchCdcNamesFor(s: SparkSession, dir: String)
+      : (String, String) = {
     val evDir = cdcEventsDir(s, dir)
-    EpochRegistry.acquire(s, "search_cdc_index", dir) { () =>
+    val v = EpochRegistry.acquire(s, "search_cdc_index", dir) { () =>
       val src = "graft_search_cdc_src_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val dest = "graft_search_cdc_index_" +
@@ -365,13 +387,18 @@ object StreamingQueries {
       val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
       IngestStream.cdcIndexSink(ev, src, paths(2)).awaitTermination()
       IngestStream.settleSearchUpserts(s, src, dest, paths(3), paths(4))
-      EpochRegistry.Resource(dest,
+      EpochRegistry.Resource(s"$src;$dest",
         dropTables = Seq(src, s"${src}_doclens", s"${src}_tombstones",
           s"${src}_pending", s"${src}_applied",
           dest, s"${dest}_doclens"),
         deleteDirs = paths)
     }
+    val Array(src, dest) = v.split(';')
+    (src, dest)
   }
+
+  private[graft] def searchCdcIndexFor(s: SparkSession, dir: String): String =
+    searchCdcNamesFor(s, dir)._2
 
   /** Events split into 4 range-partitioned files per (session, dir) so
     * the file source replays them as multiple micro-batches (same

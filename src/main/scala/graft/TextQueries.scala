@@ -268,6 +268,50 @@ object TextQueries {
     }
   }
 
+  /** The ATOMIC view-flip epoch (VERDICT r12 #3): a dedicated
+    * generation (cloned from the serving index so no shared epoch's
+    * sidecar set is mutated) published through
+    * [[graft.operators.Generations.publishSearch]] — postings, norms,
+    * AND tombstones through ONE catalog object, so a probe can never
+    * observe fresh postings with stale norms. The gated probes address
+    * the combined view and must hash-match the all-docs oracles;
+    * pruning through the part-discriminated branches is pinned by
+    * ViewFlipSpec. */
+  private[graft] def searchAtomicViewFor(s: SparkSession, dir: String): String = {
+    val base = searchIndexFor(s, dir)
+    EpochRegistry.acquire(s, "search_atomic_view", dir) { () =>
+      val gen = "graft_search_aview_gen_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val view = "graft_search_aview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_aview_").toString
+      val dlPath = java.nio.file.Files
+        .createTempDirectory("graft_search_aview_dl_").toString
+      SearchOps.cloneSearchIndex(s, base, gen, path)
+      SearchOps.writeDocLengths(s, gen, dlPath)
+      graft.operators.Generations.publishSearch(s, view, gen)
+      EpochRegistry.Resource(view,
+        dropTables = Seq(view, gen, s"${gen}_doclens", s"${gen}_tombstones"),
+        deleteDirs = Seq(path, dlPath))
+    }
+  }
+
+  /** The atomic view over the DELETE epoch's generation (ADVICE r12
+    * #1): tombstones must resolve THROUGH the serving view — the
+    * poison batch is tombstoned on the generation, the probes address
+    * the view, and the all-docs oracles gate that no deleted doc leaks
+    * back into candidates, df, or the BM25 corpus stats. */
+  private[graft] def searchDeletedViewFor(s: SparkSession, dir: String): String = {
+    val base = searchDeleteIndexFor(s, dir)
+    EpochRegistry.acquire(s, "search_deleted_view", dir) { () =>
+      val view = "graft_search_dview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishSearch(s, view, base)
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
   /** The DELETE-maintenance epoch for retrieval: the index is built over
     * the corpus PLUS a poison batch (doc_id ≥ 300000, text = the probe's
     * query terms repeated — the poison would own the top ranks), then the
@@ -810,6 +854,35 @@ object TextQueries {
         .orderBy(col("rk"))
     }),
 
+    // ATOMIC view-flip serving (Generations.publishSearch): postings +
+    // norms + tombstones through ONE catalog object — promotion is a
+    // single CREATE OR REPLACE VIEW, so no probe can pair fresh
+    // postings with stale norms. Same oracles, routed plan.
+    "text_search_published_atomic" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchAtomicViewFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    "text_search_bm25_published_atomic" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchAtomicViewFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    // ...and deletes RESOLVE THROUGH the atomic view (ADVICE r12 #1):
+    // the poison tombstones live on the generation, the probe addresses
+    // the view, and the all-docs oracles gate the leak — candidates,
+    // df, and the n_docs/Σdl stats all exclude the deleted batch
+    "text_search_published_deleted" -> ((s, dir) => {
+      SearchOps.probeSearchIndex(s, searchDeletedViewFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    "text_search_bm25_published_deleted" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchDeletedViewFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // BM25 across the whole lifecycle: the COMPACTED generation serves
     // ranked retrieval too — its norms sidecar is re-derived from the
     // compacted postings (exact, and itself file-collapsed), so the
@@ -1135,6 +1208,13 @@ object TextQueries {
       // oracle, another plan each
       "text_search_resharded" -> searchAndSql,
       "text_search_bm25_resharded" -> searchBm25Sql,
+      // atomic combined-view serving is result-invisible too: same
+      // all-docs oracles through the part-routed plan, and the deleted
+      // variant gates tombstone resolution THROUGH the view
+      "text_search_published_atomic" -> searchAndSql,
+      "text_search_bm25_published_atomic" -> searchBm25Sql,
+      "text_search_published_deleted" -> searchAndSql,
+      "text_search_bm25_published_deleted" -> searchBm25Sql,
       // view-flip serving is pure indirection — the published view's
       // probes share the all-docs oracles (one oracle, another plan)
       "text_search_published" -> searchAndSql,

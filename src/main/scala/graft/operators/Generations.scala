@@ -48,7 +48,16 @@ object Generations {
     * is read-only serving indirection. Bucket pruning survives the
     * indirection — the view expands to a bare projection over the
     * bucketed scan, so term/list predicates still prune
-    * (ViewFlipSpec pins SelectedBucketsCount through the view). */
+    * (ViewFlipSpec pins SelectedBucketsCount through the view).
+    *
+    * CAVEAT (ADVICE r12 #1): per-suffix views do NOT resolve the
+    * generation's TOMBSTONE sidecar — probes addressing `<view>` look
+    * for `<view>_tombstones`, which never exists, so a delete issued
+    * against the serving generation leaks back into view-served
+    * probes until a settled generation is re-published. For the
+    * search family use [[publishSearch]], which serves postings,
+    * norms, AND tombstones through one catalog object (and is atomic
+    * across them); for other families, re-publish after deletes. */
   def publish(spark: SparkSession, view: String, generation: String,
       suffixes: Seq[String] = Seq("")): Unit = {
     suffixes.foreach { sfx =>
@@ -59,6 +68,63 @@ object Generations {
       spark.sql(s"CREATE OR REPLACE VIEW ${view + sfx} AS " +
         s"SELECT * FROM ${generation + sfx}")
     }
+  }
+
+  /** ATOMIC multi-part publish for a BM25 search index (VERDICT r12
+    * #3 + ADVICE r12 #1) — the two gaps [[publish]] leaves for a
+    * multi-suffix index, closed by construction:
+    *
+    *  - per-suffix flips are not atomic: between the postings replace
+    *    and the doclens replace, a probe could resolve FRESH postings
+    *    with STALE norms (or vice versa), shifting every BM25 score;
+    *  - tombstones do not resolve through the view: probes look for
+    *    `<view>_tombstones`, which never exists, so a delete issued
+    *    against the serving generation silently leaked back into
+    *    candidates and corpus stats.
+    *
+    * Here the postings, the norms sidecar, AND the tombstone sidecar
+    * are exposed through ONE catalog view — a three-branch UNION ALL
+    * discriminated by a `part` column ('p' postings / 'd' doclens /
+    * 't' tombstones) — so promotion is ONE `CREATE OR REPLACE VIEW`:
+    * a probe that resolves the name gets all three parts of the SAME
+    * generation, before, during, and after any flip. Probes detect the
+    * `part` column and route ([[SearchOps.probeSearchIndex]] /
+    * `searchBm25`); a `part = 'p' AND term IN (…)` predicate
+    * constant-folds the other branches to empty relations, so the
+    * postings scan still BUCKET-PRUNES to the query terms and the
+    * doclens branch never reads a file the probe doesn't need
+    * (ViewFlipSpec pins both).
+    *
+    * The generation's tombstone sidecar is created empty if missing —
+    * the view must reference it so [[SearchOps.deleteFromSearchIndex]]
+    * appends issued against the generation AFTER the flip are visible
+    * through the serving name immediately (a view is indirection, not
+    * a snapshot). Maintenance keeps addressing the GENERATION;
+    * rollback is re-publishing the previous generation, unchanged. */
+  def publishSearch(spark: SparkSession, view: String,
+      generation: String): Unit = {
+    require(spark.catalog.tableExists(generation),
+      s"generation table $generation does not exist")
+    require(spark.catalog.tableExists(s"${generation}_doclens"),
+      s"norms sidecar ${generation}_doclens does not exist")
+    if (!spark.catalog.tableExists(s"${generation}_tombstones")) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("doc_id", "seq")
+        .write.format("parquet").saveAsTable(s"${generation}_tombstones")
+    }
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $view AS
+         |SELECT 'p' AS part, term, doc_id, tf,
+         |  CAST(NULL AS BIGINT) AS dl, CAST(NULL AS BIGINT) AS seq
+         |FROM $generation
+         |UNION ALL
+         |SELECT 'd', CAST(NULL AS STRING), doc_id,
+         |  CAST(NULL AS BIGINT), dl, CAST(NULL AS BIGINT)
+         |FROM ${generation}_doclens
+         |UNION ALL
+         |SELECT 't', CAST(NULL AS STRING), doc_id,
+         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), seq
+         |FROM ${generation}_tombstones""".stripMargin)
   }
 
   /** Swap `serving` and `candidate` (each suffixed table pair) in the

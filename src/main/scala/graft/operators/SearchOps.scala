@@ -103,7 +103,38 @@ object SearchOps {
     // tombstoned docs drop out here (the term-equality filter still
     // pushes below the anti-join into the scan, so bucket pruning is
     // unchanged); see deleteFromSearchIndex
-    searchAllTerms(dropTombstoned(ps, table, ps.table(table)), terms, k)
+    searchAllTerms(servingPostings(ps, table), terms, k)
+  }
+
+  /** The postings of `table` with tombstoned docs dropped, whether
+    * `table` is a generation (sidecar tables) or a
+    * [[Generations.publishSearch]] combined view (part-discriminated
+    * branches through ONE catalog object — detected by the `part`
+    * column). The part filter constant-folds the norms/tombstone
+    * branches away, so the postings scan keeps its bucket pruning. */
+  private def servingPostings(ps: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val t = ps.table(table)
+    if (t.columns.contains("part"))
+      t.filter(col("part") === "p").select(col("term"), col("doc_id"), col("tf"))
+        .join(broadcast(
+          t.filter(col("part") === "t").select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+    else dropTombstoned(ps, table, t)
+  }
+
+  /** The norms sidecar of `table`, tombstone-filtered — same routing as
+    * [[servingPostings]]. Only called on BM25 paths, so a tf-only index
+    * (no sidecar) never resolves `<table>_doclens` spuriously. */
+  private def servingDoclens(ps: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    val t = ps.table(table)
+    if (t.columns.contains("part"))
+      t.filter(col("part") === "d").select(col("doc_id"), col("dl"))
+        .join(broadcast(
+          t.filter(col("part") === "t").select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+    else dropTombstoned(ps, table, ps.table(s"${table}_doclens"))
   }
 
   // parent session → its cached probe clone; weak keys so a collected
@@ -111,6 +142,22 @@ object SearchOps {
   // beyond its SessionState)
   private val probeSessions = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+
+  /** Invalidate `tables` in every live probe clone. The clones' relation
+    * cache is SearchOps-private — a caller can refresh its OWN session
+    * after a cross-session write (standard Spark semantics) but cannot
+    * reach these — so every maintenance op that mutates a table the
+    * probes read calls this after its write. Cost: one catalog refresh
+    * per clone per maintenance op (appends/deletes are batch-grained,
+    * probes are the hot path and pay nothing). */
+  private def refreshProbeSessions(tables: String*): Unit =
+    probeSessions.synchronized {
+      probeSessions.values.forEach { ps =>
+        tables.foreach(t =>
+          try ps.catalog.refreshTable(t)
+          catch { case _: Throwable => () }) // dropped/not-yet-created
+      }
+    }
 
   private def probeSessionFor(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.SparkSession = {
@@ -159,12 +206,14 @@ object SearchOps {
     * a mismatched bucket spec on append. */
   def appendToSearchIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, docs: DataFrame, idCol: String, textCol: String,
-      numBuckets: Int = 8): Unit =
+      numBuckets: Int = 8): Unit = {
     invertedIndex(docs, idCol, textCol)
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
       .saveAsTable(table)
+    refreshProbeSessions(table)
+  }
 
   /** Copy an existing [[writeSearchIndex]] table to a new table under
     * the same `term` bucket spec — pure IO over the already-computed
@@ -253,13 +302,15 @@ object SearchOps {
     * gate needs every candidate's length. */
   def appendDocLengths(spark: org.apache.spark.sql.SparkSession,
       table: String, docs: DataFrame, idCol: String, textCol: String,
-      numBuckets: Int = 8): Unit =
+      numBuckets: Int = 8): Unit = {
     invertedIndex(docs, idCol, textCol)
       .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .write.mode("append").format("parquet")
       .bucketBy(numBuckets, "doc_id")
       .sortBy("doc_id")
       .saveAsTable(s"${table}_doclens")
+    refreshProbeSessions(s"${table}_doclens")
+  }
 
   /** DELETE maintenance for the standing search index — the engine's own
     * CDC DELETE semantics (reference `sql/triggers.sql:29-32`: a delete
@@ -291,13 +342,15 @@ object SearchOps {
     * re-inserted doc serves from the next settle on — the documented
     * freshness model). */
   def deleteFromSearchIndex(spark: org.apache.spark.sql.SparkSession,
-      table: String, ids: DataFrame, idCol: String = "doc_id"): Unit =
+      table: String, ids: DataFrame, idCol: String = "doc_id"): Unit = {
     ids.select(col(idCol).cast("long").as("doc_id"),
         (if (ids.columns.contains("seq")) col("seq").cast("long")
          else lit(Long.MaxValue)).as("seq"))
       .distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(s"${table}_tombstones")
+    refreshProbeSessions(s"${table}_tombstones")
+  }
 
   /** UPDATE maintenance — CDC UPDATE semantics (reference
     * `sql/triggers.sql:20-27`) for the index family, as a GENERATION
@@ -492,10 +545,10 @@ object SearchOps {
     // tombstones are dropped from BOTH the candidate postings and the
     // norms sidecar — the latter keeps the corpus stats (n_docs,
     // total_dl) honest, so a deleted doc stops influencing every OTHER
-    // doc's idf and length normalization too
-    val idx = dropTombstoned(ps, table, ps.table(table))
-      .filter(col("term").isin(terms: _*))
-    val dlens = dropTombstoned(ps, table, ps.table(s"${table}_doclens"))
+    // doc's idf and length normalization too. servingPostings/Doclens
+    // route a publishSearch combined view to its part branches.
+    val idx = servingPostings(ps, table).filter(col("term").isin(terms: _*))
+    val dlens = servingDoclens(ps, table)
     val stats = broadcast(dlens.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
     val dfreq = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))

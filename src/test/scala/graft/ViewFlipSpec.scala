@@ -81,6 +81,92 @@ class ViewFlipSpec extends AnyFunSuite {
     }
   }
 
+  test("publishSearch: one catalog object serves postings+norms+tombstones atomically") {
+    val view = uniq("graft_aview_")
+    val g1 = uniq("graft_aview_g1_")
+    val g2 = uniq("graft_aview_g2_")
+    val paths = (1 to 4).map(_ => tmp("graft_aview_"))
+    try {
+      SearchOps.writeSearchIndex(v1docs, "doc_id", "text", g1, paths(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, g1, paths(1), numBuckets = 4)
+      SearchOps.writeSearchIndex(v2docs, "doc_id", "text", g2, paths(2),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, g2, paths(3), numBuckets = 4)
+
+      Generations.publishSearch(spark, view, g1)
+      def ids() = SearchOps.probeSearchIndex(spark, view,
+        Seq("spark", "window"), 10).collect().map(_.getLong(0)).toSet
+      assert(ids() == Set(1L, 2L), s"view must serve g1: ${ids()}")
+      // BM25 through the combined view == BM25 on the generation: the
+      // norms and stats resolve from the SAME catalog object
+      val bmV = SearchOps.searchBm25(spark, view, Seq("spark", "window"), 10)
+        .collect().toSeq
+      val bmG = SearchOps.searchBm25(spark, g1, Seq("spark", "window"), 10)
+        .collect().toSeq
+      assert(bmV == bmG, "combined-view BM25 must equal the generation's")
+
+      // the atomicity argument, checked structurally: the serving name
+      // is ONE view whose definition names exactly one generation — a
+      // probe that resolves it can never pair g1 postings with g2 norms
+      def viewDef() = spark.sql(s"SHOW CREATE TABLE $view")
+        .collect()(0).getString(0)
+      assert(viewDef().contains(g1) && !viewDef().contains(g2))
+      Generations.publishSearch(spark, view, g2)
+      assert(viewDef().contains(g2) && !viewDef().contains(g1),
+        "after the flip every part must come from g2")
+      assert(ids() == Set(1L, 3L), s"view must serve g2 after the flip: ${ids()}")
+      // rollback = re-publish; generations untouched underneath
+      Generations.publishSearch(spark, view, g1)
+      assert(ids() == Set(1L, 2L))
+
+      // a delete issued against the generation AFTER the flip resolves
+      // through the view immediately (ADVICE r12 #1): the view serves
+      // the generation's live tombstone sidecar, not a snapshot —
+      // candidates AND the BM25 corpus stats exclude the doc
+      SearchOps.deleteFromSearchIndex(spark, g1, Seq(2L).toDF("doc_id"))
+      assert(ids() == Set(1L), s"tombstone must resolve through the view: ${ids()}")
+      val bmDel = SearchOps.searchBm25(spark, view, Seq("spark", "window"), 10)
+        .collect().toSeq
+      val bmRef = SearchOps.searchBm25(spark, g1, Seq("spark", "window"), 10)
+        .collect().toSeq
+      assert(bmDel == bmRef,
+        "view-served BM25 must track the generation's tombstones")
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $view")
+      Seq(g1, s"${g1}_doclens", s"${g1}_tombstones",
+        g2, s"${g2}_doclens", s"${g2}_tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("publishSearch: bucket pruning survives the part-discriminated view") {
+    val view = uniq("graft_aview_prune_")
+    val g = uniq("graft_aview_prune_g_")
+    val paths = (1 to 2).map(_ => tmp("graft_aview_prune_"))
+    try {
+      SearchOps.writeSearchIndex(v1docs, "doc_id", "text", g, paths(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, g, paths(1), numBuckets = 4)
+      Generations.publishSearch(spark, view, g)
+      val probe = SearchOps.probeSearchIndex(spark, view,
+        Seq("spark", "window"), 10)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the term-IN predicate reaches the postings branch's bucketed scan
+      val sel = "SelectedBucketsCount: (\\d+) out of 4".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < 4,
+        s"probe through the combined view must still bucket-prune:\n$plan")
+      // ...and the part filter constant-folds the norms branch away —
+      // the tf probe must not read a single doclens file
+      assert(!plan.contains("_doclens"),
+        s"part='p' must prune the doclens branch out of the plan:\n$plan")
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $view")
+      Seq(g, s"${g}_doclens", s"${g}_tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("bucket pruning survives the view indirection") {
     val view = uniq("graft_view_prune_")
     val g = uniq("graft_view_prune_g_")

@@ -350,6 +350,13 @@ object Dedup {
       .sortBy("band", "bkey")
       .option("path", path)
       .saveAsTable(dest)
+    // a plain clone carries the tombstone sidecar (ADVICE r12 #2): the
+    // clone serves exactly what the source serves — pending deletes
+    // cannot silently resurrect in the new generation
+    if (!compact && spark.catalog.tableExists(s"${src}_tombstones"))
+      spark.table(s"${src}_tombstones")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${dest}_tombstones")
   }
 
   /** [[cloneBandIndex]] with `compact = true` under its operational
@@ -378,10 +385,17 @@ object Dedup {
   def upsertToBandIndex(spark: org.apache.spark.sql.SparkSession, src: String,
       dest: String, path: String, docs: DataFrame, idCol: String,
       textCol: String, numBuckets: Int = 32): Unit = {
-    val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // ONE row per incoming id (ADVICE r12 #4, same contract as
+    // SearchOps.upsertToSearchIndex): duplicate-id batches reduce
+    // deterministically (max by content) instead of writing a doc's
+    // band rows twice into the generation this operator exists to heal
+    val latest = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+    val incoming = latest.select(col(idCol).as("doc_id")).distinct()
     val dead =
       if (spark.catalog.tableExists(s"${src}_tombstones"))
-        incoming.unionByName(spark.table(s"${src}_tombstones")).distinct()
+        incoming.unionByName(
+          spark.table(s"${src}_tombstones").select(col("doc_id"))).distinct()
       else incoming
     val reader = spark.newSession() // shares context + catalog; conf isolated
     reader.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
@@ -392,7 +406,7 @@ object Dedup {
       .bucketBy(numBuckets, "band", "bkey")
       .sortBy("band", "bkey")
       .option("path", path).saveAsTable(dest)
-    appendToBandIndex(spark, dest, docs, idCol, textCol, numBuckets)
+    appendToBandIndex(spark, dest, latest, idCol, textCol, numBuckets)
   }
 
   /** The re-shard DECISION over a band index's bucket-size

@@ -242,8 +242,9 @@ object SearchOps {
     * anti-join folded into the per-bucket read — still zero shuffle)
     * and the destination starts tombstone-free, so probe-side anti-join
     * cost resets to nothing. A plain clone (`compact = false`) copies
-    * the postings verbatim and the caller carries the tombstones
-    * forward if it wants the delete set preserved. */
+    * the postings verbatim AND the tombstone sidecar with them (ADVICE
+    * r12 #2): the clone serves exactly what the source serves — a
+    * pending delete cannot silently resurrect in the new generation. */
   def cloneSearchIndex(spark: org.apache.spark.sql.SparkSession, src: String,
       dest: String, path: String, numBuckets: Int = 8,
       compact: Boolean = false): Unit = {
@@ -255,6 +256,9 @@ object SearchOps {
       .sortBy("term")
       .option("path", path)
       .saveAsTable(dest)
+    if (!compact) tombstonesOf(spark, src).foreach(
+      _.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${dest}_tombstones"))
   }
 
   /** [[cloneSearchIndex]] with `compact = true` under its operational
@@ -376,20 +380,28 @@ object SearchOps {
       src: String, dest: String, path: String, dlPath: String,
       docs: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 8): Unit = {
-    val incoming = docs.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // ONE row per incoming id (ADVICE r12 #4): a batch carrying two
+    // rows for an id (e.g. accumulated CDC updates not reduced to
+    // latest-wins) would write both into the new generation — the
+    // doubled-id defect this operator exists to prevent. Reduced
+    // deterministically (max by content); callers holding real event
+    // order pre-reduce with it instead (settleSearchUpserts does).
+    val latest = docs.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .groupBy(col(idCol)).agg(max(col(textCol)).as(textCol))
+    val incoming = latest.select(col(idCol).as("doc_id")).distinct()
     val dead = tombstonesOf(spark, src)
       .map(t => incoming.unionByName(t.select(col("doc_id"))).distinct())
       .getOrElse(incoming)
     val reader = compactReader(spark)
     reader.table(src)
       .join(broadcast(dead), Seq("doc_id"), "left_anti")
-      .unionByName(invertedIndex(docs, idCol, textCol))
+      .unionByName(invertedIndex(latest, idCol, textCol))
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "term").sortBy("term")
       .option("path", path).saveAsTable(dest)
     reader.table(s"${src}_doclens")
       .join(broadcast(dead), Seq("doc_id"), "left_anti")
-      .unionByName(invertedIndex(docs, idCol, textCol)
+      .unionByName(invertedIndex(latest, idCol, textCol)
         .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "doc_id").sortBy("doc_id")

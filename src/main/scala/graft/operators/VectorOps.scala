@@ -481,6 +481,14 @@ object VectorOps {
       .write.mode("overwrite").format("parquet")
       .partitionBy("list_id")
       .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
+    // a plain clone carries the tombstone sidecar (ADVICE r12 #2, same
+    // contract as cloneSearchIndex/cloneBandIndex): the clone serves
+    // exactly what the source serves — pending deletes cannot silently
+    // resurrect in the new generation
+    if (!compact && spark.catalog.tableExists(s"${src}_tombstones"))
+      spark.table(s"${src}_tombstones")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${dest}_tombstones")
   }
 
   /** [[cloneIvfIndex]] with `compact = true` under its operational
@@ -514,10 +522,19 @@ object VectorOps {
       dest: String, path: String, vecs: DataFrame): Unit = {
     spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
       .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
-    val incoming = vecs.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    // ONE row per incoming id (ADVICE r12 #4, same contract as
+    // upsertToSearchIndex): a duplicate-id batch reduces
+    // deterministically (max by array content — arrays order
+    // lexicographically) instead of re-introducing the doubled-id
+    // defect this operator exists to prevent
+    val latest = vecs.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val incoming = latest.select(col("vec_id"))
     val dead =
       if (spark.catalog.tableExists(s"${src}_tombstones"))
-        incoming.unionByName(spark.table(s"${src}_tombstones")).distinct()
+        incoming.unionByName(
+          spark.table(s"${src}_tombstones").select(col("vec_id"))).distinct()
       else incoming
     spark.table(s"${src}_lists")
       .join(broadcast(dead), Seq("vec_id"), "left_anti")
@@ -525,7 +542,7 @@ object VectorOps {
       .write.mode("overwrite").format("parquet")
       .partitionBy("list_id")
       .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
-    appendToIvfIndex(spark, dest, vecs)
+    appendToIvfIndex(spark, dest, latest)
   }
 
   /** The retrain DECISION over a persisted index's list-size

@@ -293,6 +293,156 @@ class IndexMutationSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("plain clones carry the tombstone sidecar; compaction settles it") {
+    // ADVICE r12 #2: a compact=false clone of an index with pending
+    // deletes must serve exactly what the source serves — previously it
+    // copied rows verbatim and silently resurrected the deleted docs
+    val src = uniq("graft_clone_ts_src_")
+    val dest = uniq("graft_clone_ts_dest_")
+    val paths = (1 to 3).map(_ => tmp("graft_clone_ts_"))
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", src, paths(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, src, paths(1), numBuckets = 4)
+      SearchOps.deleteFromSearchIndex(spark, src, Seq(2L).toDF("doc_id"))
+      SearchOps.cloneSearchIndex(spark, src, dest, paths(2), numBuckets = 4)
+      assert(spark.catalog.tableExists(s"${dest}_tombstones"),
+        "plain clone must carry the tombstone sidecar")
+      val got = SearchOps.probeSearchIndex(spark, dest,
+        Seq("spark", "window"), 10).collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L),
+        s"clone must not resurrect the deleted doc: $got")
+    } finally Seq(s"${src}_tombstones", s"${src}_doclens", src,
+      s"${dest}_tombstones", dest).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // band family: same contract
+    val bsrc = uniq("graft_clone_ts_band_")
+    val bdest = uniq("graft_clone_ts_band_d_")
+    val bpaths = (1 to 2).map(_ => tmp("graft_clone_ts_band_"))
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", bsrc, bpaths(0),
+        numBuckets = 4)
+      Dedup.deleteFromBandIndex(spark, bsrc, Seq(10L).toDF("doc_id"))
+      Dedup.cloneBandIndex(spark, bsrc, bdest, bpaths(1), numBuckets = 4)
+      val pairs = Dedup.probeBandIndex(spark, bdest, incoming,
+        "doc_id", "text", 0.5).collect()
+      assert(pairs.isEmpty,
+        s"band clone must not resurrect the deleted doc: ${pairs.toSeq}")
+    } finally Seq(s"${bsrc}_tombstones", bsrc,
+      s"${bdest}_tombstones", bdest).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // IVF family: same contract
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0L until 16L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isrc = uniq("graft_clone_ts_ivf_")
+    val idest = uniq("graft_clone_ts_ivf_d_")
+    val ipaths = (1 to 2).map(_ => tmp("graft_clone_ts_ivf_"))
+    try {
+      VectorOps.writeIvfIndex(vecs, isrc, ipaths(0), numCentroids = 2,
+        trainIters = 1)
+      val poison = vecs.filter(col("vec_id") < 2)
+        .select((col("vec_id") + 900L).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndex(spark, isrc, poison)
+      VectorOps.deleteFromIvfIndex(spark, isrc, poison.select(col("vec_id")))
+      VectorOps.cloneIvfIndex(spark, isrc, idest, ipaths(1))
+      val got = VectorOps.probeIvfIndex(spark, idest,
+        vecs.filter(col("vec_id") < 2), k = 3, nProbe = 2)
+        .collect().map(_.getLong(1)).toSet
+      assert(!got.exists(_ >= 900L),
+        s"IVF clone must not resurrect the deleted vectors: $got")
+    } finally Seq(s"${isrc}_tombstones", s"${isrc}_cents", s"${isrc}_lists",
+      s"${idest}_tombstones", s"${idest}_cents", s"${idest}_lists")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("upserts reduce duplicate-id batches to one row per id") {
+    // ADVICE r12 #4: a batch carrying two rows for one id (accumulated
+    // CDC updates not reduced to latest-wins) must not write both —
+    // that re-introduces the doubled-id defect the upserts prevent
+    val src = uniq("graft_dup_ups_src_")
+    val dest = uniq("graft_dup_ups_dest_")
+    val paths = (1 to 4).map(_ => tmp("graft_dup_ups_"))
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", src, paths(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, src, paths(1), numBuckets = 4)
+      val dupBatch = Seq(
+        (3L, "spark window three alpha"),
+        (3L, "spark window three omega")).toDF("doc_id", "text")
+      SearchOps.upsertToSearchIndex(spark, src, dest, paths(2), paths(3),
+        dupBatch, "doc_id", "text", numBuckets = 4)
+      val dl = spark.table(s"${dest}_doclens").groupBy(col("doc_id"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dl.values.forall(_ == 1L),
+        s"duplicate-id upsert doubled a norms row: $dl")
+      // deterministic winner: max by content
+      val terms = spark.table(dest).filter(col("doc_id") === 3L)
+        .select(col("term")).collect().map(_.getString(0)).toSet
+      assert(terms.contains("omega") && !terms.contains("alpha"),
+        s"duplicate-id reduction must be deterministic (max wins): $terms")
+    } finally Seq(s"${src}_doclens", src, s"${dest}_doclens", dest)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // IVF: two embeddings for one vec_id → exactly one stored row
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0L until 16L).map(i =>
+      (i, Array.tabulate(4)(d => math.cos(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val isrc = uniq("graft_dup_ups_ivf_")
+    val idest = uniq("graft_dup_ups_ivf_d_")
+    val ipaths = (1 to 2).map(_ => tmp("graft_dup_ups_ivf_"))
+    try {
+      VectorOps.writeIvfIndex(vecs, isrc, ipaths(0), numCentroids = 2,
+        trainIters = 1)
+      val dup = vecs.filter(col("vec_id") === 2L)
+        .unionAll(vecs.filter(col("vec_id") === 2L)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> -x)").cast("array<float>")
+              .as("embedding")))
+      VectorOps.upsertToIvfIndex(spark, isrc, idest, ipaths(1), dup)
+      val n = spark.table(s"${idest}_lists").filter(col("vec_id") === 2L).count()
+      assert(n == 1L, s"duplicate-id IVF upsert stored $n rows for one id")
+    } finally Seq(s"${isrc}_cents", s"${isrc}_lists",
+      s"${idest}_cents", s"${idest}_lists").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // band: duplicate-id batch → one row per (doc, band)
+    val bsrc = uniq("graft_dup_ups_band_")
+    val bdest = uniq("graft_dup_ups_band_d_")
+    val bpaths = (1 to 2).map(_ => tmp("graft_dup_ups_band_"))
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", bsrc, bpaths(0),
+        numBuckets = 4)
+      val dup = Seq(
+        (11L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        (11L, "one two three four five six seven eight"))
+        .toDF("doc_id", "text")
+      Dedup.upsertToBandIndex(spark, bsrc, bdest, bpaths(1), dup,
+        "doc_id", "text", numBuckets = 4)
+      val perBand = spark.table(bdest)
+        .filter(col("old_id") === 11L)
+        .groupBy(col("band")).count().collect().map(_.getLong(1)).toSet
+      assert(perBand == Set(1L),
+        s"duplicate-id band upsert left multiple rows per band: $perBand")
+    } finally Seq(bsrc, bdest).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("deleteFromIvfIndex: deleted vector leaves top-k; compaction and retrain settle it") {
     val vecs = (0L until 40L).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat)))

@@ -107,6 +107,21 @@ object CdcQueries {
         .select(col("id"), col("statement"), col("key_col"), col("external_id"))
         .orderBy(col("id"))
     }),
+    // dynamic-schema payload evolution (sql/triggers.sql:21 — the
+    // payload is schema-less jsonb, so a watched table can gain a
+    // column mid-stream): the watched table is materialized as two
+    // parquet waves, the second carrying an added `extra` column; the
+    // merged-schema read surfaces it (pre-evolution rows as NULL) and
+    // the SAME runtime row_to_json envelope emits it with no code
+    // change — JSON nulls preserved, reference sql_test.go:92-110
+    "cdc_payload_evolution" -> ((s, dir) => {
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(evolvedEventsDir(s, dir))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("extra"))
+      CdcOps.insertEvents(merged, "events", "user_id")
+        .orderBy(col("data"))
+    }),
     // O10 topic routing truth table (main_test.go:157-164)
     "cdc_topic_routing" -> ((s, dir) => {
       val n = Tables.nation(s, dir)
@@ -118,6 +133,25 @@ object CdcQueries {
           lower(col("n_name"))).as("topic"))
         .orderBy(col("table_name"))
     }))
+
+  /** The schema-evolution fixture: the events projection written as two
+    * waves — the second gains an `extra` column (deterministic value
+    * `'x' ++ event_id` for odd event_ids), modeling a watched table
+    * whose shape changed between drains. Epoch-cached per (session,
+    * dir); the oracle recomputes both waves from `events` directly. */
+  private[graft] def evolvedEventsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "cdc_evolved_events_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_cdc_evolved_").toString
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      e.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(path)
+      e.filter(col("event_id") % 2 === 1)
+        .withColumn("extra", concat(lit("x"), col("event_id").cast("string")))
+        .write.mode("append").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
 
   def oracle: Map[String, String] = Map(
     "cdc_snapshot" ->
@@ -188,6 +222,14 @@ object CdcQueries {
         |SELECT q.id, q.statement, r.key_col, q.external_id
         |FROM q JOIN registry r ON q.statement = r.statement
         |ORDER BY q.id""".stripMargin,
+    "cdc_payload_evolution" ->
+      """SELECT CAST(user_id AS VARCHAR) AS external_id, 'INSERT' AS statement,
+        |  CAST(to_json(struct_pack(event_id := event_id, user_id := user_id,
+        |    event_type := event_type,
+        |    extra := CASE WHEN event_id % 2 = 1
+        |      THEN 'x' || CAST(event_id AS VARCHAR) END)) AS VARCHAR) AS data,
+        |  'events' AS table_name
+        |FROM events ORDER BY data""".stripMargin,
     "cdc_topic_routing" ->
       """SELECT n_name AS table_name,
         |  'pg2kafka.' ||

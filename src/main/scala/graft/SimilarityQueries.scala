@@ -112,7 +112,7 @@ object SimilarityQueries {
   /** The audits' single k — threaded through the Spark tail AND the
     * oracle CTE builder so the brute ranking, the ann cut, and the recall
     * divisor can never drift apart. */
-  private val recallK = 3
+  private[graft] val recallK = 3
 
   /** One persisted IVF index per (session, dir) epoch, built lazily on
     * first use into a unique table-name pair + fresh temp directory —
@@ -315,7 +315,7 @@ object SimilarityQueries {
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
-  private def recallAudit(emb: DataFrame, ann: DataFrame): DataFrame = {
+  private[graft] def recallAudit(emb: DataFrame, ann: DataFrame): DataFrame = {
     val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = recallK)
       .select(col("query_id"), col("neighbor_id"))
     val hits = brute.join(ann.select(col("query_id"), col("neighbor_id")),

@@ -193,6 +193,41 @@ object StreamingQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // the CDC statement stream consumed as VECTOR-index maintenance
+    // (IngestStream.cdcIvfSink) — the embedding twin of the search CDC
+    // loop below: the serving clone starts CORRUPTED (stale negated
+    // embeddings for the %20==0 dup wave, the %20==4 wave pre-inserted,
+    // top-rank poison copies of the probe queries), the drained events
+    // insert the rest of the dup batch, queue the true embeddings,
+    // delete the poison AND delete-then-reinsert the %20==4 wave —
+    // after the settle the generation equals base ∪ dups under the
+    // frozen quantizer EXACTLY, so the probe shares the append oracle
+    "stream_ann_cdc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeIvfIndex(s, ivfCdcIndexFor(s, dir),
+          emb.filter(col("vec_id") < 10), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // ...its recall audit (every approximate path carries one): truth
+    // is brute force over the union corpus the settled generation
+    // serves — shares sim_ann_ivf_appended_recall's oracle
+    "stream_ann_cdc_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      SimilarityQueries.recallAudit(SimilarityQueries.dupVectors(emb),
+        graft.operators.VectorOps.probeIvfIndex(s, ivfCdcIndexFor(s, dir),
+          emb.filter(col("vec_id") < 10),
+          k = SimilarityQueries.recallK, nProbe = 2))
+    }),
+    // ...and the vector loop's settle-cadence verdict (settleCheck with
+    // idCol = vec_id — one monitor shape across both CDC loops),
+    // mirrored from the fixture's deterministic event_seq assignment
+    "stream_ann_cdc_settle_check" -> ((s, dir) => {
+      val (src, _) = ivfCdcNamesFor(s, dir)
+      IngestStream.settleCheck(s, src, idCol = "vec_id")
+    }),
+
     // THE ENGINE'S TWO HALVES MEET: its own CDC statement stream — O3
     // INSERTs, O4 UPDATEs, O6 DELETEs — consumed as standing-index
     // maintenance (IngestStream.cdcIndexSink), then settled at the
@@ -233,6 +268,40 @@ object StreamingQueries {
     "stream_search_ingest" -> TextQueries.searchAndSql,
     "stream_search_ingest_bm25" -> TextQueries.searchBm25Sql,
     "stream_ann_ingest" -> SimilarityQueries.ivfAppendOracleSql,
+    // the vector CDC loop settles to base ∪ dup-batch under the frozen
+    // quantizer — exactly the appended generation's state, so the probe
+    // and its recall audit share the append-family oracles
+    "stream_ann_cdc" -> SimilarityQueries.ivfAppendOracleSql,
+    "stream_ann_cdc_recall" ->
+      SimilarityQueries.oracle("sim_ann_ivf_appended_recall"),
+    // the vector settle monitor's mirror: pending = plain dup inserts
+    // (seq = vec_id+100000) + %20==0 updates (1e6+) + %20==4 re-inserts
+    // (3e6+); tombstones = 10 poison ids + the %20==4 wave. Residues of
+    // the dup id equal the original's (100000 ≡ 0 mod 20).
+    "stream_ann_cdc_settle_check" ->
+      """WITH pend AS (
+        |  SELECT vec_id + 100000 AS id, vec_id + 100000 AS seq
+        |  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id % 20 NOT IN (0, 4)
+        |  UNION ALL
+        |  SELECT vec_id + 100000, 1000000 + vec_id + 100000
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 100000, 3000000 + vec_id + 100000
+        |  FROM embeddings WHERE vec_id % 20 = 4),
+        |tomb AS (
+        |  SELECT vec_id + 500000 AS id FROM embeddings WHERE vec_id < 10
+        |  UNION ALL
+        |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 20 = 4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pending,
+        |  CAST(count(DISTINCT id) AS BIGINT) AS n_pending_docs,
+        |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM tomb)
+        |    AS n_tombstoned_docs,
+        |  CAST(min(seq) AS BIGINT) AS oldest_seq,
+        |  CAST(max(seq) AS BIGINT) AS newest_seq,
+        |  CAST(max(seq) - min(seq) AS BIGINT) AS seq_lag,
+        |  (count(DISTINCT id) >= 100 OR max(seq) - min(seq) >= 1000000)
+        |    AS settle
+        |FROM pend""".stripMargin,
     // the CDC-maintained + settled generation is defined to equal the
     // true corpus (inserts admitted, updates settled, deletes purged,
     // deleted-then-reinserted docs serving their final text) — the
@@ -346,6 +415,98 @@ object StreamingQueries {
         .repartition(4).write.mode("overwrite").parquet(path)
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
+
+  /** The vector CDC event files — the embedding twin of
+    * [[cdcEventsDir]] over the dup-vector batch (original ids o with
+    * o%4==0, re-badged as o+100000; 100000 ≡ 0 mod 20 so the dup id's
+    * residues equal the original's): plain INSERTs of the %20∉{0,4}
+    * dups (2 files, seq = vec_id), UPDATEs re-issuing the TRUE
+    * embedding of the %20==0 wave (1 file, 1e6+vec_id), DELETEs of the
+    * poison ids and the %20==4 wave (1 file, 2e6+vec_id), re-INSERTs
+    * of the %20==4 wave (1 file, 3e6+vec_id). `event_seq` is strictly
+    * increasing per id and deterministic for the DuckDB mirror. */
+  private[graft] def cdcVecEventsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "ann_cdc_events_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ann_cdc_events_").toString
+      val emb = Tables.embeddings(s, dir)
+      val dups = SimilarityQueries.dupVectors(emb)
+        .filter(col("vec_id") >= 100000)
+        .select(col("vec_id"), col("embedding"))
+      val noVec = lit(null).cast("array<float>")
+      dups.filter(col("vec_id") % 20 =!= 0 && col("vec_id") % 20 =!= 4)
+        .select(lit("INSERT").as("statement"), col("vec_id"),
+          col("embedding"), col("vec_id").as("event_seq"))
+        .repartition(2).write.mode("overwrite").parquet(path)
+      dups.filter(col("vec_id") % 20 === 0)
+        .select(lit("UPDATE").as("statement"), col("vec_id"),
+          col("embedding"), (col("vec_id") + 1000000L).as("event_seq"))
+        .repartition(1).write.mode("append").parquet(path)
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 500000L).as("vec_id"))
+        .unionByName(dups.filter(col("vec_id") % 20 === 4)
+          .select(col("vec_id")))
+        .select(lit("DELETE").as("statement"), col("vec_id"),
+          noVec.as("embedding"), (col("vec_id") + 2000000L).as("event_seq"))
+        .repartition(1).write.mode("append").parquet(path)
+      dups.filter(col("vec_id") % 20 === 4)
+        .select(lit("INSERT").as("statement"), col("vec_id"),
+          col("embedding"), (col("vec_id") + 3000000L).as("event_seq"))
+        .repartition(1).write.mode("append").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The vector CDC-maintenance epoch — [[searchCdcNamesFor]]'s twin:
+    * the serving IVF generation is CLONED (frozen quantizer), CORRUPTED
+    * the way the event stream will heal (stale negated embeddings under
+    * the %20==0 dup ids, the %20==4 wave pre-inserted true, poison
+    * copies of the probe queries at ids ≥ 500000), then the events
+    * drain through [[IngestStream.cdcIvfSink]] and
+    * [[IngestStream.settleIvfUpserts]] writes the settled generation —
+    * result-defined EQUAL to base ∪ dup-batch under the original
+    * centroids, which is exactly what the append oracle computes.
+    * Returns (src, settled). */
+  private[graft] def ivfCdcNamesFor(s: SparkSession, dir: String)
+      : (String, String) = {
+    val base = SimilarityQueries.ivfIndexFor(s, dir)
+    val evDir = cdcVecEventsDir(s, dir)
+    val v = EpochRegistry.acquire(s, "ann_cdc_index", dir) { () =>
+      val src = "graft_ann_cdc_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_ann_cdc_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 3).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_ann_cdc_").toString)
+      graft.operators.VectorOps.cloneIvfIndex(s, base, src, paths(0))
+      val emb = Tables.embeddings(s, dir)
+      val dups = SimilarityQueries.dupVectors(emb)
+        .filter(col("vec_id") >= 100000)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.VectorOps.appendToIvfIndex(s, src,
+        dups.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> -x)").cast("array<float>")
+              .as("embedding")))
+      graft.operators.VectorOps.appendToIvfIndex(s, src,
+        dups.filter(col("vec_id") % 20 === 4))
+      graft.operators.VectorOps.appendToIvfIndex(s, src,
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+      val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
+      IngestStream.cdcIvfSink(ev, src, paths(1)).awaitTermination()
+      IngestStream.settleIvfUpserts(s, src, dest, paths(2))
+      EpochRegistry.Resource(s"$src;$dest",
+        dropTables = Seq(s"${src}_cents", s"${src}_lists",
+          s"${src}_tombstones", s"${src}_pending", s"${src}_applied",
+          s"${dest}_cents", s"${dest}_lists"),
+        deleteDirs = paths)
+    }
+    val Array(src, dest) = v.split(';')
+    (src, dest)
+  }
+
+  private[graft] def ivfCdcIndexFor(s: SparkSession, dir: String): String =
+    ivfCdcNamesFor(s, dir)._2
 
   /** The CDC event files: INSERTs of the odd half (2 files), UPDATEs
     * re-issuing the TRUE text of every %10 doc (1 file), DELETEs of the

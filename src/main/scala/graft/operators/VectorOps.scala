@@ -396,7 +396,14 @@ object VectorOps {
     * are never read or rewritten by the delete itself. */
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame, idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol).cast("long").as("vec_id")).distinct()
+    // sequence-versioned like SearchOps.deleteFromSearchIndex: a direct
+    // batch delete (no `seq` column) stamps Long.MaxValue (final until
+    // compaction); the CDC sink passes the event's queue sequence so a
+    // later re-INSERT/UPDATE outranks the tombstone at the settle
+    ids.select(col(idCol).cast("long").as("vec_id"),
+        (if (ids.columns.contains("seq")) col("seq").cast("long")
+         else lit(Long.MaxValue)).as("seq"))
+      .distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(s"${table}_tombstones")
 

@@ -272,6 +272,95 @@ object IngestStream {
       path, dlPath, docs, "doc_id", "text", numBuckets)
   }
 
+  /** The vector twin of [[cdcIndexSink]] — the engine's CDC statement
+    * semantics consumed as STANDING IVF-INDEX maintenance, same
+    * statement routing, sequencing (`event_seq` when present, batchId
+    * otherwise), replay-ledger guard, and serve-stale-until-settle
+    * freshness model. The event frame carries `(statement, vec_id,
+    * embedding[, event_seq])`:
+    *
+    *  - INSERT → assigned by the FROZEN coarse quantizer and inserted
+    *    into the list partitions
+    *    ([[graft.operators.VectorOps.appendToIvfIndex]] — the batch
+    *    path's operator) AND queued with its sequence;
+    *  - DELETE → seq-versioned tombstone
+    *    ([[graft.operators.VectorOps.deleteFromIvfIndex]]);
+    *  - UPDATE → queued; the stale vector keeps serving until
+    *    [[settleIvfUpserts]] (an in-place re-append would serve the id
+    *    under BOTH embeddings — the doubled-id defect).
+    *
+    * Cost per micro-batch: one broadcast-assign of the batch + a
+    * dynamic-partition insert + one row-batch write; the indexed corpus
+    * is never read. */
+  def cdcIvfSink(eventStream: DataFrame, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcVecBatch(batch.sparkSession, table, batch, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[cdcIvfSink]] — statement-routed, whole-batch
+    * replay-guarded (same ledger as every ingestion sink). */
+  private[graft] def applyCdcVecBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val seq =
+        if (batch.columns.contains("event_seq")) col("event_seq").cast("long")
+        else lit(batchId)
+      graft.operators.VectorOps.appendToIvfIndex(spark, table,
+        batch.filter(col("statement") === "INSERT")
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.VectorOps.deleteFromIvfIndex(spark, table,
+        batch.filter(col("statement") === "DELETE")
+          .select(col("vec_id"), seq.as("seq")))
+      batch.filter(col("statement").isin("INSERT", "UPDATE"))
+        .select(col("vec_id"), col("embedding"), seq.as("seq"),
+          col("statement"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_pending")
+      recordApplied(spark, table, batchId)
+    }
+
+  /** The generation boundary of the vector CDC loop — same per-id
+    * ordering contract as [[settleSearchUpserts]] (latest pending event
+    * vs newest tombstone, strict `>` so a tombstone wins ties and a
+    * batch delete's MaxValue stays final): stale UPDATEs re-admitted
+    * through the frozen quantizer, deleted-then-reinserted vectors
+    * resurrected with their final embedding, dead ids purged, plain
+    * inserts untouched (their drain-time rows survive the copy). One
+    * generation copy, the compaction cost class. */
+  def settleIvfUpserts(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val pending =
+      if (spark.catalog.tableExists(s"${src}_pending"))
+        spark.table(s"${src}_pending")
+      else Seq.empty[(Long, Array[Float], Long, String)]
+        .toDF("vec_id", "embedding", "seq", "statement")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("seq").desc)
+    val latest = pending
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val tombMax =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        spark.table(s"${src}_tombstones")
+          .groupBy(col("vec_id")).agg(max(col("seq")).as("tomb_seq"))
+      else Seq.empty[(Long, Long)].toDF("vec_id", "tomb_seq")
+    val live = latest.join(broadcast(tombMax), Seq("vec_id"), "left")
+      .filter(col("tomb_seq").isNull || col("seq") > col("tomb_seq"))
+    val vecs = live
+      .filter(col("statement") === "UPDATE" || col("tomb_seq").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.VectorOps.upsertToIvfIndex(spark, src, dest, path, vecs)
+  }
+
   /** The settle-cadence DECISION for the CDC maintenance loop (VERDICT
     * r12 #2) — the freshness monitor completing the monitor→decide
     * symmetry the other three families have
@@ -294,9 +383,15 @@ object IngestStream {
     *
     * Scale: two sidecar scans (each rows ≈ mutations since the last
     * settle, not corpus-sized) reduced map-side to ONE row —
-    * near-metadata cost, safe to run per monitoring tick. */
+    * near-metadata cost, safe to run per monitoring tick.
+    *
+    * `idCol` selects the family's key — `doc_id` for the search loop
+    * ([[cdcIndexSink]]), `vec_id` for the vector loop ([[cdcIvfSink]]);
+    * the output column names stay family-neutral so one dashboard
+    * query reads every loop's verdict. */
   def settleCheck(spark: org.apache.spark.sql.SparkSession, table: String,
-      maxPendingDocs: Long = 100L, maxSeqLag: Long = 1000000L): DataFrame = {
+      maxPendingDocs: Long = 100L, maxSeqLag: Long = 1000000L,
+      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, count,
       countDistinct, lit, max, min}
     import spark.implicits._
@@ -304,18 +399,18 @@ object IngestStream {
       if (spark.catalog.tableExists(s"${table}_pending"))
         spark.table(s"${table}_pending")
       else Seq.empty[(Long, String, Long, String)]
-        .toDF("doc_id", "text", "seq", "statement")
+        .toDF(idCol, "payload", "seq", "statement")
     val tomb =
       if (spark.catalog.tableExists(s"${table}_tombstones"))
         spark.table(s"${table}_tombstones")
-      else Seq.empty[(Long, Long)].toDF("doc_id", "seq")
+      else Seq.empty[(Long, Long)].toDF(idCol, "seq")
     pending.agg(
         count(lit(1)).as("n_pending"),
-        countDistinct(col("doc_id")).as("n_pending_docs"),
+        countDistinct(col(idCol)).as("n_pending_docs"),
         coalesce(min(col("seq")), lit(0L)).as("oldest_seq"),
         coalesce(max(col("seq")), lit(0L)).as("newest_seq"))
       .crossJoin(
-        tomb.agg(countDistinct(col("doc_id")).as("n_tombstoned_docs")))
+        tomb.agg(countDistinct(col(idCol)).as("n_tombstoned_docs")))
       .withColumn("seq_lag", col("newest_seq") - col("oldest_seq"))
       .withColumn("settle",
         col("n_pending_docs") >= maxPendingDocs ||

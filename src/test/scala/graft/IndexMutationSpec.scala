@@ -293,6 +293,57 @@ class IndexMutationSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("vector CDC settle orders deletes against later inserts/updates by event_seq") {
+    // the embedding twin of the search-settle ordering case: per-id
+    // histories with scrambled micro-batch arrival; the settled
+    // generation must serve each id's FINAL embedding (or nothing)
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 5 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    def v(id: Long, scale: Float) = Array.tabulate(4)(d =>
+      (math.sin(id * 5 + d) * scale).toFloat)
+    val src = uniq("graft_vcdc_src_")
+    val dest = uniq("graft_vcdc_dest_")
+    val paths = (1 to 2).map(_ => tmp("graft_vcdc_"))
+    def ev(rows: (String, Long, Array[Float], Long)*) =
+      rows.toSeq.toDF("statement", "vec_id", "embedding", "event_seq")
+    try {
+      VectorOps.writeIvfIndex(vecs, src, paths(0), numCentroids = 2,
+        trainIters = 1)
+      // histories: 1 DELETE@40→UPDATE@50 (resurrect, updated embedding),
+      // 2 DELETE@10→re-INSERT@20 (resurrect), 3 UPDATE@30 (heal),
+      // 4 UPDATE@6→DELETE@7 (dead), 30 plain INSERT@21 — scrambled
+      graft.streaming.IngestStream.applyCdcVecBatch(spark, src, ev(
+        ("UPDATE", 3L, v(3, 2f), 30L),
+        ("DELETE", 4L, null, 7L)), batchId = 0L)
+      graft.streaming.IngestStream.applyCdcVecBatch(spark, src, ev(
+        ("INSERT", 2L, v(2, 3f), 20L),
+        ("UPDATE", 1L, v(1, 4f), 50L),
+        ("INSERT", 30L, v(30, 1f), 21L)), batchId = 1L)
+      graft.streaming.IngestStream.applyCdcVecBatch(spark, src, ev(
+        ("DELETE", 2L, null, 10L),
+        ("DELETE", 1L, null, 40L),
+        ("UPDATE", 4L, v(4, 9f), 6L)), batchId = 2L)
+      graft.streaming.IngestStream.settleIvfUpserts(spark, src, dest, paths(1))
+      val stored = spark.table(s"${dest}_lists")
+        .filter(col("vec_id").isin(1L, 2L, 3L, 4L, 30L))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+      assert(stored.keySet == Set(1L, 2L, 3L, 4L, 30L) - 4L,
+        s"dead id must purge, live ids must serve: ${stored.keySet}")
+      assert(stored(1L) == v(1, 4f).toSeq, "update-after-delete must serve the update")
+      assert(stored(2L) == v(2, 3f).toSeq, "delete-then-reinsert must serve the final embedding")
+      assert(stored(3L) == v(3, 2f).toSeq, "plain update must heal the stale embedding")
+      assert(stored(30L) == v(30, 1f).toSeq, "plain insert must survive the settle copy")
+      // exactly one row per live id — no doubled ids through the loop
+      val counts = spark.table(s"${dest}_lists").groupBy(col("vec_id"))
+        .count().collect().map(_.getLong(1)).toSet
+      assert(counts == Set(1L), s"settled generation doubled an id: $counts")
+    } finally Seq(s"${src}_tombstones", s"${src}_pending", s"${src}_applied",
+      s"${src}_cents", s"${src}_lists", s"${dest}_cents", s"${dest}_lists")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("plain clones carry the tombstone sidecar; compaction settles it") {
     // ADVICE r12 #2: a compact=false clone of an index with pending
     // deletes must serve exactly what the source serves — previously it

@@ -260,6 +260,32 @@ object StreamingQueries {
     "stream_search_cdc_settle_check" -> ((s, dir) => {
       val (src, _) = searchCdcNamesFor(s, dir)
       IngestStream.settleCheck(s, src)
+    }),
+
+    // the CDC statement stream consumed as BAND-index maintenance
+    // (IngestStream.cdcBandSink) — the THIRD family through the same
+    // loop, closing the symmetry: the serving generation starts
+    // CORRUPTED (odd originals missing, %10 originals carrying poison
+    // 'xdup' texts that would phantom-pair with the probe batch at
+    // jaccard 1.0, exact poison twins of the probe batch pre-admitted
+    // under ids ≥ 500000), the drained events insert the odd half,
+    // queue the true texts, delete the poison AND delete-then-reinsert
+    // the %100==4 docs — after the settle the generation equals the
+    // band index over the true originals EXACTLY, so the probe shares
+    // dedup_incremental's full-pipeline oracle.
+    "stream_dedup_cdc" -> ((s, dir) => {
+      val corpus = TextQueries.dupCorpus(Tables.documents(s, dir))
+      graft.operators.Dedup.probeBandIndex(s, bandCdcIndexFor(s, dir),
+          corpus.filter(col("doc_id") >= 100000), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+    // ...and the band loop's settle-cadence verdict — one settleCheck
+    // shape across all three CDC loops, mirrored from the fixture's
+    // deterministic event_seq assignment
+    "stream_dedup_cdc_settle_check" -> ((s, dir) => {
+      val (src, _) = bandCdcNamesFor(s, dir)
+      IngestStream.settleCheck(s, src)
     }))
 
   /** Streamed-ingestion oracles: the drained indexes are defined to
@@ -321,6 +347,36 @@ object StreamingQueries {
         |  SELECT doc_id, 3000000 + doc_id FROM documents WHERE doc_id % 100 = 4),
         |tomb AS (
         |  SELECT doc_id + 300000 AS doc_id FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id FROM documents WHERE doc_id % 100 = 4)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pending,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pending_docs,
+        |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM tomb)
+        |    AS n_tombstoned_docs,
+        |  CAST(min(seq) AS BIGINT) AS oldest_seq,
+        |  CAST(max(seq) AS BIGINT) AS newest_seq,
+        |  CAST(max(seq) - min(seq) AS BIGINT) AS seq_lag,
+        |  (count(DISTINCT doc_id) >= 100 OR max(seq) - min(seq) >= 1000000)
+        |    AS settle
+        |FROM pend""".stripMargin,
+    // the band CDC loop settles to the band index over the true
+    // originals — exactly the serving index's state, so the probe
+    // shares dedup_incremental's full-pipeline oracle verbatim
+    "stream_dedup_cdc" -> TextQueries.oracle("dedup_incremental"),
+    // the band settle monitor's mirror recomputes the sidecars from the
+    // event-fixture definition: INSERTs of the odd half (seq = doc_id),
+    // UPDATEs of %10 (1e6+doc_id), re-INSERTs of %100==4 (3e6+doc_id);
+    // tombstones = the poison twins (probe ids d+100000, d%3==0,
+    // re-badged +400000 → d+500000) + the %100==4 delete wave
+    "stream_dedup_cdc_settle_check" ->
+      """WITH pend AS (
+        |  SELECT doc_id, doc_id AS seq FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 + doc_id FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3000000 + doc_id FROM documents WHERE doc_id % 100 = 4),
+        |tomb AS (
+        |  SELECT doc_id + 500000 AS doc_id FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
         |  SELECT doc_id FROM documents WHERE doc_id % 100 = 4)
         |SELECT CAST(count(*) AS BIGINT) AS n_pending,
@@ -597,6 +653,92 @@ object StreamingQueries {
 
   private[graft] def searchCdcIndexFor(s: SparkSession, dir: String): String =
     searchCdcNamesFor(s, dir)._2
+
+  /** Band CDC event files — the same statement/sequence recipe as
+    * [[cdcEventsDir]], over the dedup corpus's ORIGINAL docs: INSERTs
+    * of the odd half (2 files, seq = doc_id), UPDATEs re-issuing the
+    * TRUE text of every %10 doc (1 file, 1e6+doc_id), DELETEs of the
+    * poison-twin ids and of every %100==4 doc (1 file, 2e6+doc_id),
+    * then re-INSERTs of those %100==4 docs (1 file, 3e6+doc_id) — the
+    * delete-then-reinsert sequence the reference's queue legally
+    * replays (`eventqueue/event_queue.go:15-21`). Strictly increasing
+    * per doc and deterministic for the DuckDB mirror, so the settled
+    * result is independent of micro-batch arrival order. */
+  private[graft] def bandCdcEventsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "band_cdc_events_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_band_cdc_events_").toString
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(lit("INSERT").as("statement"), col("doc_id"), col("text"),
+          col("doc_id").as("event_seq"))
+        .repartition(2).write.mode("overwrite").parquet(path)
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(lit("UPDATE").as("statement"), col("doc_id"), col("text"),
+          (col("doc_id") + 1000000L).as("event_seq"))
+        .repartition(1).write.mode("append").parquet(path)
+      docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"))
+        .unionByName(docs.filter(col("doc_id") % 100 === 4)
+          .select(col("doc_id")))
+        .select(lit("DELETE").as("statement"), col("doc_id"),
+          lit("").as("text"), (col("doc_id") + 2000000L).as("event_seq"))
+        .repartition(1).write.mode("append").parquet(path)
+      docs.filter(col("doc_id") % 100 === 4)
+        .select(lit("INSERT").as("statement"), col("doc_id"), col("text"),
+          (col("doc_id") + 3000000L).as("event_seq"))
+        .repartition(1).write.mode("append").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The band CDC-maintenance epoch — [[IngestStream.cdcBandSink]] +
+    * [[IngestStream.settleBandUpserts]] end to end, the band twin of
+    * [[searchCdcNamesFor]]: the initial generation indexes the EVEN
+    * originals with POISON 'xdup' text for every %10 doc (if a stale
+    * version leaked through the settle it would phantom-pair with the
+    * probe batch) plus exact poison twins of the probe batch under ids
+    * ≥ 500000 (every probe doc would pair with its twin at jaccard 1.0
+    * if the tombstones leaked); the event stream drains through the
+    * sink, and the settle writes a generation that is result-defined
+    * EQUAL to the band index over the true originals — so the probe
+    * shares `dedup_incremental`'s oracle. Event-dir epoch resolved
+    * before the acquire (no nested computeIfAbsent). Returns
+    * (src, settled) — src stays addressable for the settle monitor. */
+  private[graft] def bandCdcNamesFor(s: SparkSession, dir: String)
+      : (String, String) = {
+    val evDir = bandCdcEventsDir(s, dir)
+    val v = EpochRegistry.acquire(s, "band_cdc_index", dir) { () =>
+      val src = "graft_band_cdc_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_band_cdc_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 3).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_band_cdc_").toString)
+      val corpus = TextQueries.dupCorpus(Tables.documents(s, dir))
+      val stale = corpus
+        .filter(col("doc_id") < 100000 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(lit("xdup "), col("text")))
+            .otherwise(col("text")).as("text"))
+      val poison = corpus
+        .filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+        .select((col("doc_id") + 400000).as("doc_id"), col("text"))
+      graft.operators.Dedup.writeBandIndex(
+        stale.unionByName(poison), "doc_id", "text", src, paths(0))
+      val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
+      IngestStream.cdcBandSink(ev, src, paths(1)).awaitTermination()
+      IngestStream.settleBandUpserts(s, src, dest, paths(2))
+      EpochRegistry.Resource(s"$src;$dest",
+        dropTables = Seq(src, s"${src}_tombstones", s"${src}_pending",
+          s"${src}_applied", dest),
+        deleteDirs = paths)
+    }
+    val Array(src, dest) = v.split(';')
+    (src, dest)
+  }
+
+  private[graft] def bandCdcIndexFor(s: SparkSession, dir: String): String =
+    bandCdcNamesFor(s, dir)._2
 
   /** Events split into 4 range-partitioned files per (session, dir) so
     * the file source replays them as multiple micro-batches (same

@@ -298,10 +298,20 @@ object Dedup {
     * (a removed document can no longer pair with incoming batches), and
     * [[compactBandIndex]] settles them physically at the next
     * generation boundary. A delete costs one id-batch append; the band
-    * rows are never read or rewritten. */
+    * rows are never read or rewritten.
+    *
+    * Sequence-versioned like [[SearchOps.deleteFromSearchIndex]] /
+    * [[VectorOps.deleteFromIvfIndex]]: a direct batch delete (no `seq`
+    * column) stamps `Long.MaxValue` (final until compaction); the CDC
+    * sink passes the event's queue sequence so a later re-INSERT/UPDATE
+    * outranks the tombstone at [[graft.streaming.IngestStream
+    * .settleBandUpserts]]. */
   def deleteFromBandIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame, idCol: String = "doc_id"): Unit =
-    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    ids.select(col(idCol).cast("long").as("doc_id"),
+        (if (ids.columns.contains("seq")) col("seq").cast("long")
+         else lit(Long.MaxValue)).as("seq"))
+      .distinct()
       .write.mode("append").format("parquet")
       .saveAsTable(s"${table}_tombstones")
 
@@ -309,7 +319,7 @@ object Dedup {
   private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
       table: String, rows: DataFrame): DataFrame =
     if (spark.catalog.tableExists(s"${table}_tombstones")) {
-      val t = spark.table(s"${table}_tombstones")
+      val t = spark.table(s"${table}_tombstones").select("doc_id").distinct()
       rows.join(broadcast(t), rows("old_id") === t("doc_id"), "left_anti")
     } else rows
 

@@ -361,6 +361,106 @@ object IngestStream {
     graft.operators.VectorOps.upsertToIvfIndex(spark, src, dest, path, vecs)
   }
 
+  /** The band twin of [[cdcIndexSink]] — the engine's CDC statement
+    * stream consumed as STANDING BAND-INDEX maintenance, completing the
+    * loop across all THREE index families (search, vector, band). Same
+    * statement routing, sequencing (`event_seq` when present, batchId
+    * otherwise), replay-ledger guard, and serve-stale-until-settle
+    * freshness model. The event frame carries the capture shape
+    * `(statement, doc_id, text[, event_seq])`:
+    *
+    *  - INSERT → the doc's band rows admitted under the serving bucket
+    *    spec ([[graft.operators.Dedup.appendToBandIndex]] — the batch
+    *    path's operator, shingle→minhash→band on the batch only) so the
+    *    doc pairs with later batches immediately, AND queued with its
+    *    sequence for delete-then-reinsert ordering;
+    *  - DELETE → seq-versioned tombstone
+    *    ([[graft.operators.Dedup.deleteFromBandIndex]]) — the doc stops
+    *    pairing with incoming batches at once, purged physically at the
+    *    next generation boundary unless a later pending event outranks
+    *    the tombstone there;
+    *  - UPDATE → queued; the stale band rows keep serving until
+    *    [[settleBandUpserts]] (an in-place re-append would have the doc
+    *    pairing under BOTH texts — phantom jaccard matches against its
+    *    old content, the defect [[graft.operators.Dedup
+    *    .upsertToBandIndex]] exists to prevent).
+    *
+    * Cost per micro-batch: the batch's own shingle/minhash work + a
+    * bucketed append + one row-batch write — the standing corpus is
+    * never read. */
+  def cdcBandSink(eventStream: DataFrame, table: String,
+      checkpointDir: String, numBuckets: Int = 32,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBandBatch(batch.sparkSession, table, batch, numBuckets,
+          batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[cdcBandSink]] — statement-routed, whole-batch
+    * replay-guarded (same ledger as every ingestion sink). */
+  private[graft] def applyCdcBandBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, numBuckets: Int, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val seq =
+        if (batch.columns.contains("event_seq")) col("event_seq").cast("long")
+        else lit(batchId)
+      graft.operators.Dedup.appendToBandIndex(spark, table,
+        batch.filter(col("statement") === "INSERT")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", numBuckets)
+      graft.operators.Dedup.deleteFromBandIndex(spark, table,
+        batch.filter(col("statement") === "DELETE")
+          .select(col("doc_id"), seq.as("seq")))
+      batch.filter(col("statement").isin("INSERT", "UPDATE"))
+        .select(col("doc_id"), col("text"), seq.as("seq"), col("statement"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_pending")
+      recordApplied(spark, table, batchId)
+    }
+
+  /** The generation boundary of the band CDC loop — same per-id
+    * ordering contract as [[settleSearchUpserts]] (latest pending event
+    * vs newest tombstone, strict `>` so a tombstone wins ties and a
+    * batch delete's MaxValue stays final): stale UPDATEs re-shingled
+    * and re-admitted, deleted-then-reinserted docs resurrected with
+    * their final text, dead ids purged, plain inserts untouched (their
+    * drain-time band rows survive the copy). The survivor copy is the
+    * band upsert's ZERO-shuffle bucketed-scan read — corpus IO plus one
+    * batch-sized append, the cheapest settle of the three families. */
+  def settleBandUpserts(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String,
+      numBuckets: Int = 32): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val pending =
+      if (spark.catalog.tableExists(s"${src}_pending"))
+        spark.table(s"${src}_pending")
+      else Seq.empty[(Long, String, Long, String)]
+        .toDF("doc_id", "text", "seq", "statement")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
+    val latest = pending
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val tombMax =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        spark.table(s"${src}_tombstones")
+          .groupBy(col("doc_id")).agg(max(col("seq")).as("tomb_seq"))
+      else Seq.empty[(Long, Long)].toDF("doc_id", "tomb_seq")
+    val live = latest.join(broadcast(tombMax), Seq("doc_id"), "left")
+      .filter(col("tomb_seq").isNull || col("seq") > col("tomb_seq"))
+    val docs = live
+      .filter(col("statement") === "UPDATE" || col("tomb_seq").isNotNull)
+      .select(col("doc_id"), col("text"))
+    graft.operators.Dedup.upsertToBandIndex(spark, src, dest, path,
+      docs, "doc_id", "text", numBuckets)
+  }
+
   /** The settle-cadence DECISION for the CDC maintenance loop (VERDICT
     * r12 #2) — the freshness monitor completing the monitor→decide
     * symmetry the other three families have

@@ -344,6 +344,69 @@ class IndexMutationSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("band CDC settle orders deletes against later inserts/updates by event_seq") {
+    // the band twin of the search/vector settle-ordering cases: per-doc
+    // histories with scrambled micro-batch arrival; the settled
+    // generation must pair each doc under its FINAL text (or not at all)
+    val t = Map(
+      "i1" -> "alpha beta gamma delta epsilon zeta eta theta",
+      "i2" -> "one two three four five six seven eight",
+      "i3" -> "red orange yellow green blue indigo violet pink",
+      "i4" -> "north south east west up down left right",
+      "f1" -> "f1a f1b f1c f1d f1e f1f f1g f1h",
+      "f2" -> "f2a f2b f2c f2d f2e f2f f2g f2h",
+      "f3" -> "f3a f3b f3c f3d f3e f3f f3g f3h",
+      "f4" -> "f4a f4b f4c f4d f4e f4f f4g f4h",
+      "f30" -> "g1 g2 g3 g4 g5 g6 g7 g8")
+    val corpus = Seq((1L, t("i1")), (2L, t("i2")), (3L, t("i3")),
+      (4L, t("i4"))).toDF("doc_id", "text")
+    val src = uniq("graft_bcdc_src_")
+    val dest = uniq("graft_bcdc_dest_")
+    val paths = (1 to 2).map(_ => tmp("graft_bcdc_"))
+    def ev(rows: (String, Long, String, Long)*) =
+      rows.toSeq.toDF("statement", "doc_id", "text", "event_seq")
+    try {
+      Dedup.writeBandIndex(corpus, "doc_id", "text", src, paths(0),
+        numBuckets = 4)
+      // histories: 1 DELETE@40→UPDATE@50 (resurrect, final text f1),
+      // 2 DELETE@10→re-INSERT@20 (resurrect, f2), 3 UPDATE@30 (heal,
+      // f3), 4 UPDATE@6→DELETE@7 (dead), 30 plain INSERT@21 — scrambled
+      graft.streaming.IngestStream.applyCdcBandBatch(spark, src, ev(
+        ("UPDATE", 3L, t("f3"), 30L),
+        ("DELETE", 4L, null, 7L)), numBuckets = 4, batchId = 0L)
+      graft.streaming.IngestStream.applyCdcBandBatch(spark, src, ev(
+        ("INSERT", 2L, t("f2"), 20L),
+        ("UPDATE", 1L, t("f1"), 50L),
+        ("INSERT", 30L, t("f30"), 21L)), numBuckets = 4, batchId = 1L)
+      graft.streaming.IngestStream.applyCdcBandBatch(spark, src, ev(
+        ("DELETE", 2L, null, 10L),
+        ("DELETE", 1L, null, 40L),
+        ("UPDATE", 4L, t("f4"), 6L)), numBuckets = 4, batchId = 2L)
+      graft.streaming.IngestStream.settleBandUpserts(spark, src, dest,
+        paths(1), numBuckets = 4)
+      // probe with each doc's FINAL text plus doc 3's STALE text: the
+      // settled generation pairs live docs under final texts only
+      val incoming = Seq((101L, t("f1")), (102L, t("f2")), (103L, t("f3")),
+        (104L, t("f4")), (105L, t("f30")), (106L, t("i3")))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.probeBandIndex(spark, dest, incoming,
+          "doc_id", "text", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((101L, 1L), (102L, 2L), (103L, 3L), (105L, 30L)),
+        s"settled band generation must serve final texts only: $pairs")
+      // exactly one row per (doc, band) — the resurrections' pre-delete
+      // AND drain-time rows both dropped, re-admitted once
+      val perDoc = spark.table(dest).groupBy(col("old_id"), col("band"))
+        .count().collect().map(_.getLong(2)).toSet
+      assert(perDoc == Set(1L),
+        s"settled generation doubled a (doc, band) row: $perDoc")
+      assert(spark.table(dest).filter(col("old_id") === 4L).count() == 0,
+        "dead id must purge physically at the settle")
+    } finally Seq(s"${src}_tombstones", s"${src}_pending",
+      s"${src}_applied", src, dest).foreach(tb =>
+      spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
   test("plain clones carry the tombstone sidecar; compaction settles it") {
     // ADVICE r12 #2: a compact=false clone of an index with pending
     // deletes must serve exactly what the source serves — previously it

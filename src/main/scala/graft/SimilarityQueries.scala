@@ -154,6 +154,39 @@ object SimilarityQueries {
         deleteDirs = Seq(path))
     }
 
+  /** The pointer-serving epoch (the vector family's atomic publish):
+    * the serving generation promoted under a stable name via
+    * [[graft.operators.Generations.publishPointer]] — ONE catalog view
+    * holding the generation's name, so `_cents`, `_lists`, and the
+    * tombstone sidecar all resolve from the SAME atomically-flipped
+    * generation, and the probe plan (broadcast quantizer + DPP list
+    * pruning) is unchanged. The gated probes must hash-match the
+    * direct-probe oracles: serving indirection is result-invisible. */
+  private[graft] def ivfPointerViewFor(s: SparkSession, dir: String): String = {
+    val base = ivfIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_pointer_view", dir) { () =>
+      val view = "graft_ivf_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base,
+        suffixes = Seq("_cents", "_lists"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  /** [[ivfPointerViewFor]] over the SQ8 generation — the pointer names
+    * a generation, not a payload layout, so the int8 family serves
+    * through the identical mechanism. */
+  private[graft] def ivfSq8PointerViewFor(s: SparkSession, dir: String): String = {
+    val base = ivfSq8IndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_sq8_pointer_view", dir) { () =>
+      val view = "graft_ivf_sq8_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base,
+        suffixes = Seq("_cents", "_lists"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
   /** The append-maintenance epoch: the serving index generation is
     * CLONED (pure IO — [[VectorOps.cloneIvfIndex]]; no re-training, no
     * re-assignment) and the dup-vector batch (vec_id ≥ 100000) is
@@ -467,6 +500,31 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       VectorOps.probeIvfIndex(s, ivfUpsertIndexFor(s, dir), querySet(emb),
           k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // POINTER-view serving (Generations.publishPointer — the vector
+    // family's atomic publish): the probe addresses ONE stable catalog
+    // name, dereferences it to the serving generation at plan time,
+    // and must hash-match sim_ann_ivf_indexed exactly — cents, lists,
+    // and tombstones can never mix generations, and the DPP-pruned
+    // probe plan is unchanged (PointerServeSpec pins both).
+    "sim_ann_ivf_published" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndex(s, ivfPointerViewFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ...and the SQ8 generation through the SAME mechanism (the
+    // pointer names a generation, not a payload layout)
+    "sim_ann_ivf_sq8_published" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexSq8(s, ivfSq8PointerViewFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
@@ -853,6 +911,10 @@ object SimilarityQueries {
     // cosine-1.0 neighbor = hash mismatch)
     "sim_ann_ivf_updated" -> ivfOracleSql,
     "sim_ann_ivf_sq8_indexed" -> ivfSq8OracleSql,
+    // pointer-view serving is result-invisible by definition — the
+    // published probes share the direct-probe oracles verbatim
+    "sim_ann_ivf_published" -> ivfOracleSql,
+    "sim_ann_ivf_sq8_published" -> ivfSq8OracleSql,
     // deriving SQ8 from the float master = the SQ8 build by definition
     // (same centroids, assignment, quantization) — same oracle again
     "sim_ann_ivf_sq8_derived" -> ivfSq8OracleSql,

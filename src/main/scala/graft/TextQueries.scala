@@ -130,6 +130,22 @@ object TextQueries {
     }
   }
 
+  /** The band pointer-serving epoch (the band family's atomic
+    * publish): the serving generation promoted under a stable name via
+    * [[graft.operators.Generations.publishPointer]] — band rows AND
+    * the tombstone sidecar resolve from the same atomically-flipped
+    * generation, and the bucketed probe plan is unchanged. The gated
+    * probe must hash-match `dedup_incremental_indexed`'s oracle. */
+  private[graft] def bandPointerViewFor(s: SparkSession, dir: String): String = {
+    val base = bandIndexFor(s, dir)
+    EpochRegistry.acquire(s, "band_pointer_view", dir) { () =>
+      val view = "graft_band_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base)
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
   /** The band re-shard epoch: the serving generation rewritten under a
     * FINER bucket count (32 → 64) via [[Dedup.reshardBandIndex]] — the
     * remedy [[Dedup.bandReshardCheck]]'s verdict calls for. The gated
@@ -635,6 +651,20 @@ object TextQueries {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // POINTER-view serving for the band family
+    // (Generations.publishPointer): the probe addresses ONE stable
+    // catalog name holding the serving generation's name — band rows
+    // and tombstones can never mix generations across a flip, and the
+    // no-corpus-reshuffle probe plan is unchanged. Must hash-match
+    // dedup_incremental_indexed exactly.
+    "dedup_incremental_published" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      Dedup.probeBandIndex(s, bandPointerViewFor(s, dir),
+          corpus.filter(col("doc_id") >= 100000), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // band-index MONITORING — the dedup twin of sim_ann_ivf_stats: per
     // band, the bucket count, row count, and hottest bucket size. The
     // hot-bucket signal is what drives probe cost (in-bucket work is
@@ -1090,6 +1120,13 @@ object TextQueries {
       // generation's probe shares the append epoch's oracle verbatim
       "dedup_incremental_compacted" -> incrementalAppendedSql,
       "dedup_incremental_indexed" ->
+        s"""WITH $minhashPairCtes
+          |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
+          |WHERE id_a < 100000 AND id_b >= 100000
+          |ORDER BY new_id, old_id""".stripMargin,
+      // pointer-view serving is result-invisible by definition — the
+      // published probe shares the serving index's oracle verbatim
+      "dedup_incremental_published" ->
         s"""WITH $minhashPairCtes
           |SELECT id_b AS new_id, id_a AS old_id, jaccard FROM dup_pairs
           |WHERE id_a < 100000 AND id_b >= 100000

@@ -286,8 +286,11 @@ object Dedup {
       incoming: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // serve through Generations.publishPointer indirection when given
+    // one: band rows AND tombstones resolve from the same generation
+    val t = Generations.resolveServing(spark, table)
     crossBandVerify(bandRows(incoming, idCol, textCol, "new"),
-      dropTombstoned(spark, table, spark.table(table)), threshold)
+      dropTombstoned(spark, t, spark.table(t)), threshold)
   }
 
   /** DELETE maintenance for the standing band index — the same

@@ -127,6 +127,66 @@ object Generations {
          |FROM ${generation}_tombstones""".stripMargin)
   }
 
+  /** ATOMIC whole-index promotion for the MULTI-TABLE index families
+    * that cannot ride [[publishSearch]]'s union view — the vector
+    * index (`_cents`+`_lists`+`_tombstones`, with a partition-pruned
+    * list scan the probe plan must keep) and the band index
+    * (bucketed rows+`_tombstones`). The serving name is ONE catalog
+    * view holding a single row: the generation's immutable name.
+    * Probes dereference it first ([[resolveServing]]) and then address
+    * the generation's own tables, so:
+    *
+    *  - promotion is ONE `CREATE OR REPLACE VIEW` (one atomic catalog
+    *    replace): a probe resolves either the old generation or the
+    *    new one — never fresh cents with stale lists — closing the
+    *    cross-suffix atomicity caveat [[publish]] documents;
+    *  - the TOMBSTONE sidecar resolves WITH the generation (the
+    *    ADVICE r12 #1 leak, closed for these families): probes read
+    *    `<generation>_tombstones`, not `<view>_tombstones`, so a
+    *    delete issued against the serving generation is visible
+    *    through the pointer immediately;
+    *  - the probe PLAN is byte-identical to probing the generation
+    *    directly (broadcast quantizer, DPP partition pruning, bucketed
+    *    band join all intact) — dereferencing costs one driver-side
+    *    read of a one-row view at plan time, nothing at execution;
+    *  - rollback is re-publishing the previous generation; the
+    *    generations underneath stay immutable (the lakehouse
+    *    manifest-pointer pattern — e.g. Delta's `_last_checkpoint` /
+    *    Iceberg's catalog pointer — expressed in the session catalog).
+    *
+    * The residual contract is the family-wide one: an un-published
+    * generation's tables must outlive in-flight probes that resolved
+    * the pointer before a flip (epoch reclaim discipline), exactly as
+    * with [[publish]]/[[publishSearch]]. */
+  def publishPointer(spark: SparkSession, view: String, generation: String,
+      suffixes: Seq[String] = Seq("")): Unit = {
+    suffixes.foreach { sfx =>
+      require(spark.catalog.tableExists(generation + sfx),
+        s"generation table ${generation + sfx} does not exist")
+    }
+    spark.sql(s"CREATE OR REPLACE VIEW $view AS " +
+      s"SELECT '$generation' AS generation")
+  }
+
+  /** Dereference a probe-facing name through [[publishPointer]]
+    * indirection: a single-column `generation` relation is read (one
+    * row, driver-side, at plan time) and the probe proceeds against
+    * the generation name it holds; any other name — a real index
+    * table, a [[publishSearch]] combined view, a missing name an
+    * operator will surface downstream — passes through unchanged.
+    * Short chains are followed (a pointer republished over another
+    * pointer), bounded to keep a cycle from hanging the driver. */
+  def resolveServing(spark: SparkSession, name: String): String = {
+    var cur = name
+    var hops = 0
+    while (hops < 4 && spark.catalog.tableExists(cur) &&
+        spark.table(cur).columns.sameElements(Array("generation"))) {
+      cur = spark.table(cur).head().getString(0)
+      hops += 1
+    }
+    cur
+  }
+
   /** Swap `serving` and `candidate` (each suffixed table pair) in the
     * catalog. Both generations must exist for every suffix — checked up
     * front, so a typo'd name fails before any rename. If a rename still

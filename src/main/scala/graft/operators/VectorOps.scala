@@ -380,8 +380,12 @@ object VectorOps {
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cents = broadcast(spark.table(s"${table}_cents"))
-    scoreAndRank(dropTombstoned(spark, table, spark.table(s"${table}_lists")),
+    // serve through Generations.publishPointer indirection when given
+    // one: cents, lists, AND tombstones all resolve from the SAME
+    // atomically-promoted generation; the probe plan is unchanged
+    val t = Generations.resolveServing(spark, table)
+    val cents = broadcast(spark.table(s"${t}_cents"))
+    scoreAndRank(dropTombstoned(spark, t, spark.table(s"${t}_lists")),
       probeLists(queries, cents, nProbe), k)
   }
 
@@ -452,10 +456,13 @@ object VectorOps {
   def probeIvfIndexSq8(spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val cents = broadcast(spark.table(s"${table}_cents"))
+    // same pointer indirection as probeIvfIndex — variant-agnostic,
+    // since the pointer names the generation, not a payload layout
+    val t = Generations.resolveServing(spark, table)
+    val cents = broadcast(spark.table(s"${t}_cents"))
     val probes = withQuantized(probeLists(queries, cents, nProbe), "qv", "qq")
       .select(col("list_id"), col("query_id"), col("qq"))
-    scoreAndRankQ(dropTombstoned(spark, table, spark.table(s"${table}_lists")),
+    scoreAndRankQ(dropTombstoned(spark, t, spark.table(s"${t}_lists")),
       probes, k)
   }
 

@@ -286,6 +286,33 @@ object StreamingQueries {
     "stream_dedup_cdc_settle_check" -> ((s, dir) => {
       val (src, _) = bandCdcNamesFor(s, dir)
       IngestStream.settleCheck(s, src)
+    }),
+
+    // FULL-LIFECYCLE COMPOSITION, one entry per family: the CDC loop's
+    // settled generation PROMOTED through its atomic publish mechanism
+    // and probed through the serving name — capture → route → settle →
+    // publish → serve, end to end under the same all-docs oracles.
+    // BM25 through the combined view is the strictest form: part
+    // routing, the norms branch, AND the (empty) tombstone branch all
+    // have to compose without shifting a single integer score.
+    "stream_search_cdc_published" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchCdcViewFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+    "stream_ann_cdc_published" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeIvfIndex(s, ivfCdcViewFor(s, dir),
+          emb.filter(col("vec_id") < 10), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    "stream_dedup_cdc_published" -> ((s, dir) => {
+      val corpus = TextQueries.dupCorpus(Tables.documents(s, dir))
+      graft.operators.Dedup.probeBandIndex(s, bandCdcViewFor(s, dir),
+          corpus.filter(col("doc_id") >= 100000), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
     }))
 
   /** Streamed-ingestion oracles: the drained indexes are defined to
@@ -363,6 +390,11 @@ object StreamingQueries {
     // originals — exactly the serving index's state, so the probe
     // shares dedup_incremental's full-pipeline oracle verbatim
     "stream_dedup_cdc" -> TextQueries.oracle("dedup_incremental"),
+    // settle → publish → serve is result-invisible by definition: the
+    // composition entries share the settled generations' own oracles
+    "stream_search_cdc_published" -> TextQueries.searchBm25Sql,
+    "stream_ann_cdc_published" -> SimilarityQueries.ivfAppendOracleSql,
+    "stream_dedup_cdc_published" -> TextQueries.oracle("dedup_incremental"),
     // the band settle monitor's mirror recomputes the sidecars from the
     // event-fixture definition: INSERTs of the odd half (seq = doc_id),
     // UPDATEs of %10 (1e6+doc_id), re-INSERTs of %100==4 (3e6+doc_id);
@@ -739,6 +771,50 @@ object StreamingQueries {
 
   private[graft] def bandCdcIndexFor(s: SparkSession, dir: String): String =
     bandCdcNamesFor(s, dir)._2
+
+  /** The full-lifecycle composition for the search family: the CDC
+    * loop's SETTLED generation promoted through
+    * [[graft.operators.Generations.publishSearch]] — maintenance
+    * (statement routing + settle) composed with atomic combined-view
+    * serving, the exact pairing the two features exist to make safe
+    * together. Probes address the view; the all-docs oracles gate
+    * that nothing about the composition (part routing, tombstone
+    * branch, norms branch) shifts a single score. */
+  private[graft] def searchCdcViewFor(s: SparkSession, dir: String): String = {
+    val settled = searchCdcIndexFor(s, dir)
+    EpochRegistry.acquire(s, "search_cdc_view", dir) { () =>
+      val view = "graft_search_cdc_view_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishSearch(s, view, settled)
+      EpochRegistry.Resource(view,
+        dropTables = Seq(view, s"${settled}_tombstones"))
+    }
+  }
+
+  /** The vector twin: the vector CDC loop's settled generation served
+    * through [[graft.operators.Generations.publishPointer]]. */
+  private[graft] def ivfCdcViewFor(s: SparkSession, dir: String): String = {
+    val settled = ivfCdcIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_cdc_view", dir) { () =>
+      val view = "graft_ivf_cdc_view_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, settled,
+        suffixes = Seq("_cents", "_lists"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  /** The band twin: the band CDC loop's settled generation served
+    * through the same pointer mechanism. */
+  private[graft] def bandCdcViewFor(s: SparkSession, dir: String): String = {
+    val settled = bandCdcIndexFor(s, dir)
+    EpochRegistry.acquire(s, "band_cdc_view", dir) { () =>
+      val view = "graft_band_cdc_view_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, settled)
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
 
   /** Events split into 4 range-partitioned files per (session, dir) so
     * the file source replays them as multiple micro-batches (same

@@ -407,6 +407,67 @@ class IndexMutationSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $tb"))
   }
 
+  test("CDC loop iterates: the settled generation consumes the next wave and settles again") {
+    // generation N's settle output is generation N+1's serving input —
+    // the loop must COMPOSE across settles, or a deployment could only
+    // ever settle once. Two waves, the second addressed to the settled
+    // generation (including a resurrection of a doc the FIRST settle
+    // physically purged), then the final generation is compared
+    // postings-for-postings against a fresh build over the final corpus.
+    val src = uniq("graft_iter_src_")
+    val mid = uniq("graft_iter_mid_")
+    val dest = uniq("graft_iter_dest_")
+    val fresh = uniq("graft_iter_fresh_")
+    val paths = (1 to 8).map(_ => tmp("graft_iter_"))
+    def ev(rows: (String, Long, String, Long)*) =
+      rows.toSeq.toDF("statement", "doc_id", "text", "event_seq")
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", src, paths(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, src, paths(1), numBuckets = 4)
+      // wave 1 → src: doc 2 updated, doc 4 deleted
+      graft.streaming.IngestStream.applyCdcBatch(spark, src, ev(
+        ("UPDATE", 2L, "spark spark spark spark", 10L),
+        ("DELETE", 4L, null, 11L)), numBuckets = 4, batchId = 0L)
+      graft.streaming.IngestStream.settleSearchUpserts(spark, src, mid,
+        paths(2), paths(3), numBuckets = 4)
+      // wave 2 → the SETTLED generation: doc 4 re-inserted (it was
+      // physically purged by settle 1 — a plain INSERT now), doc 1
+      // updated
+      graft.streaming.IngestStream.applyCdcBatch(spark, mid, ev(
+        ("INSERT", 4L, "spark window four", 20L),
+        ("UPDATE", 1L, "window window window", 21L)), numBuckets = 4,
+        batchId = 0L)
+      graft.streaming.IngestStream.settleSearchUpserts(spark, mid, dest,
+        paths(4), paths(5), numBuckets = 4)
+      // the final generation must equal a fresh build over the final
+      // corpus — postings AND norms
+      val finalCorpus = Seq(
+        (1L, "window window window"),
+        (2L, "spark spark spark spark"),
+        (3L, "spark spark window table"),
+        (4L, "spark window four")).toDF("doc_id", "text")
+      SearchOps.writeSearchIndex(finalCorpus, "doc_id", "text", fresh,
+        paths(6), numBuckets = 4)
+      SearchOps.writeDocLengths(spark, fresh, paths(7), numBuckets = 4)
+      def postings(t: String) = spark.table(t)
+        .select(col("term"), col("doc_id"), col("tf"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      def norms(t: String) = spark.table(s"${t}_doclens")
+        .select(col("doc_id"), col("dl"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(postings(dest) == postings(fresh),
+        "generation N+1 must equal a fresh build over the final corpus")
+      assert(norms(dest) == norms(fresh),
+        "generation N+1 norms must equal the fresh build's")
+    } finally Seq(src, s"${src}_doclens", s"${src}_tombstones",
+      s"${src}_pending", s"${src}_applied",
+      mid, s"${mid}_doclens", s"${mid}_tombstones", s"${mid}_pending",
+      s"${mid}_applied", dest, s"${dest}_doclens",
+      fresh, s"${fresh}_doclens").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("plain clones carry the tombstone sidecar; compaction settles it") {
     // ADVICE r12 #2: a compact=false clone of an index with pending
     // deletes must serve exactly what the source serves — previously it

@@ -114,13 +114,17 @@ object SearchOps {
     * branches away, so the postings scan keeps its bucket pruning. */
   private def servingPostings(ps: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
-    val t = ps.table(table)
+    // a Generations.publishPointer name dereferences to its generation
+    // first — the search family accepts all three serving shapes
+    // (generation table, combined part view, pointer view) uniformly
+    val name = Generations.resolveServing(ps, table)
+    val t = ps.table(name)
     if (t.columns.contains("part"))
       t.filter(col("part") === "p").select(col("term"), col("doc_id"), col("tf"))
         .join(broadcast(
           t.filter(col("part") === "t").select(col("doc_id"))),
           Seq("doc_id"), "left_anti")
-    else dropTombstoned(ps, table, t)
+    else dropTombstoned(ps, name, t)
   }
 
   /** The norms sidecar of `table`, tombstone-filtered — same routing as
@@ -128,13 +132,16 @@ object SearchOps {
     * (no sidecar) never resolves `<table>_doclens` spuriously. */
   private def servingDoclens(ps: org.apache.spark.sql.SparkSession,
       table: String): DataFrame = {
-    val t = ps.table(table)
+    // same pointer dereference as servingPostings, so the norms always
+    // come from the SAME generation the postings resolved to
+    val name = Generations.resolveServing(ps, table)
+    val t = ps.table(name)
     if (t.columns.contains("part"))
       t.filter(col("part") === "d").select(col("doc_id"), col("dl"))
         .join(broadcast(
           t.filter(col("part") === "t").select(col("doc_id"))),
           Seq("doc_id"), "left_anti")
-    else dropTombstoned(ps, table, ps.table(s"${table}_doclens"))
+    else dropTombstoned(ps, name, ps.table(s"${name}_doclens"))
   }
 
   // parent session → its cached probe clone; weak keys so a collected
@@ -554,13 +561,18 @@ object SearchOps {
     require(terms.nonEmpty, "need at least one search term")
     require(terms.distinct.size == terms.size, s"duplicate search terms: $terms")
     val ps = probeSessionFor(spark)
+    // a publishPointer name is dereferenced ONCE for the whole probe —
+    // postings and norms then resolve from the SAME generation even if
+    // a flip lands mid-plan (the cross-part atomicity the combined
+    // view gives by construction, preserved for pointer serving)
+    val name = Generations.resolveServing(ps, table)
     // tombstones are dropped from BOTH the candidate postings and the
     // norms sidecar — the latter keeps the corpus stats (n_docs,
     // total_dl) honest, so a deleted doc stops influencing every OTHER
     // doc's idf and length normalization too. servingPostings/Doclens
     // route a publishSearch combined view to its part branches.
-    val idx = servingPostings(ps, table).filter(col("term").isin(terms: _*))
-    val dlens = servingDoclens(ps, table)
+    val idx = servingPostings(ps, name).filter(col("term").isin(terms: _*))
+    val dlens = servingDoclens(ps, name)
     val stats = broadcast(dlens.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl")))
     val dfreq = idx.groupBy(col("term")).agg(count(lit(1)).as("df"))

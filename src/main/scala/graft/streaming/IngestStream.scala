@@ -241,35 +241,50 @@ object IngestStream {
   def settleSearchUpserts(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String, path: String, dlPath: String,
       numBuckets: Int = 8): Unit = {
+    import spark.implicits._
+    val docs = settleWinners(spark, src, "doc_id", "text",
+      () => Seq.empty[(Long, String, Long, String)]
+        .toDF("doc_id", "text", "seq", "statement"))
+    graft.operators.SearchOps.upsertToSearchIndex(spark, src, dest,
+      path, dlPath, docs, "doc_id", "text", numBuckets)
+  }
+
+  /** The ONE winner-selection rule behind all three settles — factored
+    * so the families cannot drift (the cross-family uniformity ADVICE
+    * r12 #3/#4 asked for): per id, the LATEST pending event (by queue
+    * sequence, `row_number` so within-frame ties cannot double) is
+    * ordered against the id's NEWEST tombstone with strict `>` — a
+    * tombstone wins sequence ties (same-batch ordering without
+    * `event_seq`, and the batch delete API's `Long.MaxValue`
+    * finality). Of the survivors, only ids whose serving rows are
+    * WRONG re-ingest: stale UPDATEs, and resurrections
+    * (tombstone-entangled — their pre-delete rows must drop, and the
+    * upsert's internal tombstone purge would otherwise swallow them);
+    * a plain INSERT's drain-time rows are already correct and skip the
+    * incoming set. Returns the `(id, payload)` frame the family's
+    * upsert operator ingests. */
+  private def settleWinners(spark: org.apache.spark.sql.SparkSession,
+      src: String, idCol: String, payloadCol: String,
+      emptyPending: () => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val pending =
       if (spark.catalog.tableExists(s"${src}_pending"))
         spark.table(s"${src}_pending")
-      else Seq.empty[(Long, String, Long, String)]
-        .toDF("doc_id", "text", "seq", "statement")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
+      else emptyPending()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("seq").desc)
     val latest = pending
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
     val tombMax =
       if (spark.catalog.tableExists(s"${src}_tombstones"))
         spark.table(s"${src}_tombstones")
-          .groupBy(col("doc_id")).agg(max(col("seq")).as("tomb_seq"))
-      else Seq.empty[(Long, Long)].toDF("doc_id", "tomb_seq")
-    // strict > : a tombstone wins sequence ties (same-batch ordering
-    // without event_seq, and the batch API's MaxValue finality)
-    val live = latest.join(broadcast(tombMax), Seq("doc_id"), "left")
+          .groupBy(col(idCol)).agg(max(col("seq")).as("tomb_seq"))
+      else Seq.empty[(Long, Long)].toDF(idCol, "tomb_seq")
+    latest.join(broadcast(tombMax), Seq(idCol), "left")
       .filter(col("tomb_seq").isNull || col("seq") > col("tomb_seq"))
-    // re-ingest only docs whose serving rows are wrong: stale UPDATEs,
-    // and resurrections (tombstone-entangled — their pre-delete rows
-    // must drop, and the upsert's internal tombstone purge would
-    // otherwise swallow them). Plain inserts skip the incoming set.
-    val docs = live
       .filter(col("statement") === "UPDATE" || col("tomb_seq").isNotNull)
-      .select(col("doc_id"), col("text"))
-    graft.operators.SearchOps.upsertToSearchIndex(spark, src, dest,
-      path, dlPath, docs, "doc_id", "text", numBuckets)
+      .select(col(idCol), col(payloadCol))
   }
 
   /** The vector twin of [[cdcIndexSink]] — the engine's CDC statement
@@ -337,27 +352,10 @@ object IngestStream {
     * generation copy, the compaction cost class. */
   def settleIvfUpserts(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String, path: String): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val pending =
-      if (spark.catalog.tableExists(s"${src}_pending"))
-        spark.table(s"${src}_pending")
-      else Seq.empty[(Long, Array[Float], Long, String)]
-        .toDF("vec_id", "embedding", "seq", "statement")
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("seq").desc)
-    val latest = pending
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-    val tombMax =
-      if (spark.catalog.tableExists(s"${src}_tombstones"))
-        spark.table(s"${src}_tombstones")
-          .groupBy(col("vec_id")).agg(max(col("seq")).as("tomb_seq"))
-      else Seq.empty[(Long, Long)].toDF("vec_id", "tomb_seq")
-    val live = latest.join(broadcast(tombMax), Seq("vec_id"), "left")
-      .filter(col("tomb_seq").isNull || col("seq") > col("tomb_seq"))
-    val vecs = live
-      .filter(col("statement") === "UPDATE" || col("tomb_seq").isNotNull)
-      .select(col("vec_id"), col("embedding"))
+    val vecs = settleWinners(spark, src, "vec_id", "embedding",
+      () => Seq.empty[(Long, Array[Float], Long, String)]
+        .toDF("vec_id", "embedding", "seq", "statement"))
     graft.operators.VectorOps.upsertToIvfIndex(spark, src, dest, path, vecs)
   }
 
@@ -436,27 +434,10 @@ object IngestStream {
   def settleBandUpserts(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String, path: String,
       numBuckets: Int = 32): Unit = {
-    import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val pending =
-      if (spark.catalog.tableExists(s"${src}_pending"))
-        spark.table(s"${src}_pending")
-      else Seq.empty[(Long, String, Long, String)]
-        .toDF("doc_id", "text", "seq", "statement")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("seq").desc)
-    val latest = pending
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-    val tombMax =
-      if (spark.catalog.tableExists(s"${src}_tombstones"))
-        spark.table(s"${src}_tombstones")
-          .groupBy(col("doc_id")).agg(max(col("seq")).as("tomb_seq"))
-      else Seq.empty[(Long, Long)].toDF("doc_id", "tomb_seq")
-    val live = latest.join(broadcast(tombMax), Seq("doc_id"), "left")
-      .filter(col("tomb_seq").isNull || col("seq") > col("tomb_seq"))
-    val docs = live
-      .filter(col("statement") === "UPDATE" || col("tomb_seq").isNotNull)
-      .select(col("doc_id"), col("text"))
+    val docs = settleWinners(spark, src, "doc_id", "text",
+      () => Seq.empty[(Long, String, Long, String)]
+        .toDF("doc_id", "text", "seq", "statement"))
     graft.operators.Dedup.upsertToBandIndex(spark, src, dest, path,
       docs, "doc_id", "text", numBuckets)
   }

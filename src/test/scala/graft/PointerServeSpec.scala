@@ -103,6 +103,39 @@ class PointerServeSpec extends AnyFunSuite {
     }
   }
 
+  test("search pointer probe: BM25 parity and one dereference per probe") {
+    // the search family accepts all three serving shapes; through a
+    // pointer, postings AND norms must resolve from the same generation
+    val docs = Seq(
+      (1L, "spark window spark query"),
+      (2L, "spark window window window"),
+      (3L, "spark spark window table"))
+      .toDF("doc_id", "text")
+    val gen = uniq("graft_pspec_s_g_")
+    val view = uniq("graft_pspec_s_v_")
+    val paths = (1 to 2).map(_ => tmp("graft_pspec_s_"))
+    try {
+      graft.operators.SearchOps.writeSearchIndex(docs, "doc_id", "text",
+        gen, paths(0), numBuckets = 4)
+      graft.operators.SearchOps.writeDocLengths(spark, gen, paths(1),
+        numBuckets = 4)
+      Generations.publishPointer(spark, view, gen)
+      def bm25(t: String) = graft.operators.SearchOps
+        .searchBm25(spark, t, Seq("spark", "window"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(bm25(view) == bm25(gen) && bm25(view).nonEmpty,
+        "pointer BM25 must equal the direct probe")
+      graft.operators.SearchOps.deleteFromSearchIndex(spark, gen,
+        Seq(2L).toDF("doc_id"))
+      assert(bm25(view) == bm25(gen) && !bm25(view).exists(_._1 == 2L),
+        "generation tombstone must resolve through the pointer incl. norms")
+    } finally {
+      spark.sql(s"DROP VIEW IF EXISTS $view")
+      Seq(gen, s"${gen}_doclens", s"${gen}_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("band pointer probe: parity, live tombstones, passthrough for tables") {
     graft.functions.GraftFunctions.register(spark)
     val corpus = Seq(

@@ -88,6 +88,62 @@ class StreamIngestRestartSpec extends AnyFunSuite {
     }
   }
 
+  test("replayed micro-batch is skipped whole by the CDC statement sinks") {
+    // the statement-routed sinks have THREE side effects per batch
+    // (immediate append, tombstone append, pending append) — a replay
+    // must skip all of them together or the settle double-counts
+    def ev(rows: (String, Long, String, Long)*) =
+      rows.toSeq.toDF("statement", "doc_id", "text", "event_seq")
+    val batch = ev(
+      ("INSERT", 5L, "spark window five", 50L),
+      ("UPDATE", 1L, "spark window one prime", 51L),
+      ("DELETE", 2L, null, 52L))
+    val docs = Seq(
+      (1L, "spark window spark query"),
+      (2L, "spark window window window")).toDF("doc_id", "text")
+
+    val st = uniq("graft_cdc_replay_s_")
+    val sp = (1 to 2).map(_ => tmp("graft_cdc_replay_s_"))
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", st, sp(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, st, sp(1), numBuckets = 4)
+      IngestStream.applyCdcBatch(spark, st, batch, numBuckets = 4,
+        batchId = 3L)
+      val counts = (spark.table(st).count(),
+        spark.table(s"${st}_pending").count(),
+        spark.table(s"${st}_tombstones").count())
+      IngestStream.applyCdcBatch(spark, st, batch, numBuckets = 4,
+        batchId = 3L)
+      assert((spark.table(st).count(),
+        spark.table(s"${st}_pending").count(),
+        spark.table(s"${st}_tombstones").count()) == counts,
+        "replayed CDC batch re-applied a side effect (search sink)")
+    } finally Seq(st, s"${st}_doclens", s"${st}_pending",
+      s"${st}_tombstones", s"${st}_applied")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    graft.functions.GraftFunctions.register(spark)
+    val bt = uniq("graft_cdc_replay_b_")
+    val bp = tmp("graft_cdc_replay_b_")
+    try {
+      graft.operators.Dedup.writeBandIndex(docs, "doc_id", "text", bt, bp,
+        numBuckets = 4)
+      IngestStream.applyCdcBandBatch(spark, bt, batch, numBuckets = 4,
+        batchId = 3L)
+      val counts = (spark.table(bt).count(),
+        spark.table(s"${bt}_pending").count(),
+        spark.table(s"${bt}_tombstones").count())
+      IngestStream.applyCdcBandBatch(spark, bt, batch, numBuckets = 4,
+        batchId = 3L)
+      assert((spark.table(bt).count(),
+        spark.table(s"${bt}_pending").count(),
+        spark.table(s"${bt}_tombstones").count()) == counts,
+        "replayed CDC batch re-applied a side effect (band sink)")
+    } finally Seq(bt, s"${bt}_pending", s"${bt}_tombstones",
+      s"${bt}_applied").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("replayed micro-batch is skipped whole by the ledger (search + IVF)") {
     val table = uniq("graft_replay_search_")
     val paths = (1 to 2).map(_ => tmp("graft_replay_search_"))

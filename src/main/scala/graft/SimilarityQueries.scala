@@ -564,6 +564,17 @@ object SimilarityQueries {
     "sim_ann_ivf_retrain_check" -> ((s, dir) =>
       VectorOps.ivfRetrainCheck(s, ivfAppendIndexFor(s, dir))),
 
+    // compaction-cadence DECISION for the vector family
+    // (Generations.compactionCheck, one monitor shape across all three
+    // families): the DELETE epoch's ten poison tombstones against the
+    // full lists — ~1‰, under the 50‰ threshold, so `compact` must NOT
+    // fire (the false branch of the verdict is gated here)
+    "sim_ann_ivf_compaction_check" -> ((s, dir) => {
+      val gen = ivfDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_lists"))
+    }),
+
     // index MAINTENANCE: a batch appended to the persisted index via
     // the FROZEN coarse quantizer (the between-epochs operation — the
     // already-indexed corpus is never read or rewritten); the probe
@@ -871,6 +882,17 @@ object SimilarityQueries {
         |SELECT cid AS list_id, count(*) AS n_vectors FROM clusters
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the retrain verdict over the APPENDED generation: assignment of
+    // compaction verdict mirror (vector form): lists = the full corpus
+    // + the ten poison twins; tombstoned = the twins — ~1‰, so the
+    // verdict's FALSE branch is what this gates
+    "sim_ann_ivf_compaction_check" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT n + t AS n_rows, t AS n_tombstoned,
+        |  t * 1000 // (n + t) AS tombstone_frac_x1000,
+        |  (t * 1000 // (n + t) >= 50 OR t >= 1000000) AS compact
+        |FROM e, q""".stripMargin,
     // the union corpus under centroids trained on the originals only
     // (the frozen-quantizer contract), sizes aggregated to the same
     // mean-first floored signals as VectorOps.ivfRetrainCheck

@@ -845,6 +845,28 @@ object TextQueries {
     "text_search_reshard_check" -> ((s, dir) =>
       SearchOps.searchReshardCheck(s, searchIndexFor(s, dir))),
 
+    // compaction-cadence DECISION (Generations.compactionCheck — the
+    // monitor completing the maintenance symmetry: retrain, re-shard,
+    // and settle each have one; this is the COMPACT edge's): over the
+    // DELETE epoch's generation the poison batch is pure tombstone
+    // load — every probe pays its anti-join until compaction purges
+    // it. One integer-exact verdict row, mirrored from the fixture's
+    // poison definition (%11 docs re-badged +300000); the 83‰ load
+    // crosses the 50‰ threshold, so `compact` must fire.
+    "text_search_compaction_check" -> ((s, dir) => {
+      val gen = searchDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_doclens"))
+    }),
+
+    // ...the band family's form over its own DELETE epoch (poison =
+    // the %3 batch twins): 250‰ — compact fires
+    "dedup_band_compaction_check" -> ((s, dir) => {
+      val gen = bandDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(gen).select(col("old_id")).distinct())
+    }),
+
     // search-index re-shard EXECUTION: the serving generation (postings
     // + doc_id-bucketed norms sidecar) rewritten 8 → 16 buckets — one
     // hash exchange, no re-tokenization; bucket layout is
@@ -1209,6 +1231,28 @@ object TextQueries {
       // (22/10/3/9 = k1 1.2, b 0.75 cleared of decimals), addends
       // floored to BIGINT before the per-doc sum
       "text_search_bm25" -> searchBm25Sql,
+      // compaction verdict mirror: the delete epoch's serving norms =
+      // all docs + the %11 poison batch; tombstoned = that batch.
+      // Floored integer fraction and thresholds identical to
+      // Generations.compactionCheck.
+      "text_search_compaction_check" ->
+        """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |p AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents
+          |  WHERE doc_id % 11 = 0)
+          |SELECT n_docs + t AS n_rows, t AS n_tombstoned,
+          |  t * 1000 // (n_docs + t) AS tombstone_frac_x1000,
+          |  (t * 1000 // (n_docs + t) >= 50 OR t >= 1000000) AS compact
+          |FROM c, p""".stripMargin,
+      // band form: serving corpus = the originals + the %3 poison
+      // twins admitted by the delete epoch; tombstoned = the twins
+      "dedup_band_compaction_check" ->
+        """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |p AS (SELECT CAST(count(*) AS BIGINT) AS t FROM documents
+          |  WHERE doc_id % 3 = 0)
+          |SELECT n_docs + t AS n_rows, t AS n_tombstoned,
+          |  t * 1000 // (n_docs + t) AS tombstone_frac_x1000,
+          |  (t * 1000 // (n_docs + t) >= 50 OR t >= 1000000) AS compact
+          |FROM c, p""".stripMargin,
       // disjunctive form: same chain, no conjunctive HAVING gate
       "text_search_bm25_any" -> searchBm25AnySql,
       // posting-list skew summary: same df derivation as the index

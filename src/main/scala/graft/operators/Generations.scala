@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Generation promotion — the SWAP step of the clone-append-validate-
   * swap workflow every index family's maintenance ops build toward
@@ -125,6 +125,51 @@ object Generations {
          |SELECT 't', CAST(NULL AS STRING), doc_id,
          |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), seq
          |FROM ${generation}_tombstones""".stripMargin)
+  }
+
+  /** The compaction-cadence DECISION — the monitor that completes the
+    * maintenance symmetry across edges: retrain has
+    * [[VectorOps.ivfRetrainCheck]], re-shard has
+    * [[Dedup.bandReshardCheck]]/[[SearchOps.searchReshardCheck]],
+    * settle has [[graft.streaming.IngestStream.settleCheck]] — and the
+    * COMPACT edge (tombstone purge + file-group collapse:
+    * `compactSearchIndex`/`compactBandIndex`/`compactIvfIndex`) had no
+    * verdict telling a deployment when to run it. Pending tombstones
+    * cost every probe a broadcast anti-join over the sidecar and leave
+    * dead rows in the scanned corpus; this reduces that load to one
+    * integer-exact row:
+    *
+    *  - `n_rows`: cardinality of the family's serving frame, passed by
+    *    the call site (norms sidecar for search, distinct `old_id` for
+    *    band, the lists for IVF) — rows the probe still scans;
+    *  - `n_tombstoned`: distinct dead ids pending physical purge;
+    *  - `tombstone_frac_x1000`: floored integer fraction — the share
+    *    of scanned rows that are pure waste;
+    *  - `compact`: true when the fraction or the absolute dead-id
+    *    count crosses its threshold.
+    *
+    * Near-metadata cost: the sidecar (rows ≈ deletes since the last
+    * compaction) and one aggregate over the serving frame, reduced
+    * map-side to a single row — safe to run per monitoring tick. */
+  def compactionCheck(spark: SparkSession, table: String, corpus: DataFrame,
+      maxTombstoneFracX1000: Long = 50L,
+      maxTombstoned: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit}
+    import spark.implicits._
+    val tomb =
+      if (spark.catalog.tableExists(s"${table}_tombstones"))
+        spark.table(s"${table}_tombstones")
+      else Seq.empty[(Long, Long)].toDF("doc_id", "seq")
+    val idCol = tomb.columns.head
+    corpus.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(tomb.agg(countDistinct(col(idCol)).as("n_tombstoned")))
+      .withColumn("tombstone_frac_x1000",
+        expr("n_tombstoned * 1000 div n_rows"))
+      .withColumn("compact",
+        col("tombstone_frac_x1000") >= maxTombstoneFracX1000 ||
+          col("n_tombstoned") >= maxTombstoned)
+      .select(col("n_rows"), col("n_tombstoned"),
+        col("tombstone_frac_x1000"), col("compact"))
   }
 
   /** ATOMIC whole-index promotion for the MULTI-TABLE index families

@@ -130,6 +130,26 @@ object TextQueries {
     }
   }
 
+  /** The standing cluster assignment — the previous FULL dedup pass's
+    * survivor labels over the original corpus, persisted once per
+    * (session, dir) like any index epoch. The incremental entry merges
+    * each arriving batch into THIS table instead of re-walking the full
+    * pair graph. */
+  private[graft] def clusterLabelsFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "cluster_labels", dir) { () =>
+      val table = "graft_cluster_labels_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_cluster_labels_").toString
+      Dedup.nearDupClusters(Dedup.minhashPairs(
+          dupCorpus(Tables.documents(s, dir)).filter(col("doc_id") < 100000),
+          "doc_id", "text", numHashes = 8, numBands = 4, threshold = 0.5))
+        .write.mode("overwrite").format("parquet")
+        .option("path", path).saveAsTable(table)
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
+
   /** The band pointer-serving epoch (the band family's atomic
     * publish): the serving generation promoted under a stable name via
     * [[graft.operators.Generations.publishPointer]] — band rows AND
@@ -753,6 +773,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL cluster maintenance (Dedup.mergeClusters): the
+    // standing assignment (a persisted epoch table — the previous full
+    // pass) merged with the arriving batch's cross pairs (band-index
+    // probe — the serving path) and internal pairs. Must hash-match
+    // dedup_clusters' full-recompute oracle EXACTLY — including batch
+    // docs that BRIDGE two standing clusters into one (both re-label
+    // to the common minimum, the case label-reuse schemes get wrong).
+    // Per-batch cost: |V| star edges + batch pairs through the star
+    // fixpoint — never the full pair graph.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      val batch = corpus.filter(col("doc_id") >= 100000)
+      val cross = Dedup.probeBandIndex(s, bandIndexFor(s, dir), batch,
+          "doc_id", "text", threshold = 0.5)
+        .select(col("old_id").as("id_a"), col("new_id").as("id_b"))
+      val internal = Dedup.minhashPairs(batch, "doc_id", "text",
+          numHashes = 8, numBands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.mergeClusters(s.table(clusterLabelsFor(s, dir)),
+          cross.unionByName(internal))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // duplicate n-gram fraction: how much of each doc's distinct 3-gram
     // set also appears in OTHER docs (boilerplate/template signal; plain
     // corpus — the injected-dup fixture would only saturate it)
@@ -1183,6 +1228,22 @@ object TextQueries {
       // along (symmetric) edges until the closure is complete (UNION =
       // set semantics, terminates); min reachable label = the cluster id.
       "dedup_clusters" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          |  UNION ALL SELECT id_b, id_a FROM dup_pairs),
+          |walk(id, label) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id)
+          |SELECT id AS doc_id, min(label) AS cluster_id,
+          |  (id = min(label)) AS is_survivor
+          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+      // the incremental merge is result-defined EQUAL to the full
+      // recompute (star edges preserve standing connectivity; banded
+      // pair membership is pairwise, so the full pair set decomposes
+      // exactly) — one oracle, two plans
+      "dedup_clusters_incremental" ->
         s"""WITH RECURSIVE $minhashPairCtes,
           |edges AS (
           |  SELECT id_a AS src, id_b AS dst FROM dup_pairs

@@ -550,6 +550,38 @@ object Dedup {
     * must union its singleton labels itself. */
   def nearDupClusters(pairs: DataFrame): DataFrame = nearDupClustersCounted(pairs)._1
 
+  /** INCREMENTAL cluster maintenance — the per-batch form of
+    * [[nearDupClusters]], so survivor selection never re-walks the full
+    * pair graph at 100 TB. The standing assignment (the previous full
+    * pass's `(id, label)` output, persisted like any index epoch) is
+    * already the STAR graph of its components, so its connectivity is
+    * carried by |V| star edges, not the original pair set; the arriving
+    * batch contributes its cross pairs (batch × corpus — the
+    * [[probeBandIndex]]/[[incrementalMinhashPairs]] output) and its
+    * internal pairs. One large-star/small-star fixpoint over
+    * `star(existing) ∪ newPairs` then equals the full recompute over
+    * the union corpus EXACTLY — banded-LSH pair membership is pairwise
+    * (a pair shares a bucket by its own two signatures alone), so the
+    * full pair set decomposes as old ∪ cross ∪ batch-internal, and star
+    * edges preserve old's connectivity by construction. Convergence is
+    * fast: the existing side is already star-shaped, so rounds are
+    * driven by the batch's bridges (a new doc joining two standing
+    * clusters re-labels both to the common minimum — the case plain
+    * label-reuse schemes get wrong), not by standing-corpus size.
+    *
+    * `labels` must be a full [[nearDupClusters]]-shaped assignment
+    * (every component ≥ 2 ids — the producer's contract); `newPairs`
+    * carries `(id_a, id_b)`. Output shape identical to
+    * [[nearDupClusters]]: ids appearing in any input edge, labeled by
+    * component minimum. */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame): DataFrame =
+    nearDupClusters(
+      labels.filter(col("id") =!= col("label"))
+        .select(col("id").as("id_a"), col("label").as("id_b"))
+        .unionByName(newPairs.select(
+          col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))))
+
   /** [[nearDupClusters]] + the number of large/small-star rounds it took
     * (exposed so DedupClustersSpec can pin the O(log n) convergence). */
   private[graft] def nearDupClustersCounted(pairs: DataFrame): (DataFrame, Int) = {

@@ -26,6 +26,25 @@ class DedupClustersSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("incremental merge equals full recompute, including cluster bridges") {
+    // standing: {1,2} and {3,4}; the batch's doc 5 BRIDGES both (the
+    // case where reusing either standing label is wrong — the merged
+    // component must re-label to the common minimum), doc 8 extends a
+    // standing cluster, and 6-7 arrive as a new standalone pair
+    val standing = Dedup.nearDupClusters(
+      Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b"))
+    val newPairs = Seq((2L, 5L), (5L, 3L), (6L, 7L), (4L, 8L))
+      .toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(standing, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = clusters((1L, 2L), (3L, 4L),
+      (2L, 5L), (5L, 3L), (6L, 7L), (4L, 8L))
+    assert(merged == full,
+      s"incremental merge diverged from the full recompute: $merged vs $full")
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 1L, 6L -> 6L, 7L -> 6L))
+  }
+
   test("random graphs: endpoints share labels, labels are component minima") {
     val edgeGen = Gen.listOfN(14, for {
       a <- Gen.chooseNum(0L, 19L); b <- Gen.chooseNum(0L, 19L) if a != b

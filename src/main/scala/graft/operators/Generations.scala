@@ -232,6 +232,45 @@ object Generations {
     cur
   }
 
+  /** RETIRE a generation — the reclaim end of the lifecycle (create →
+    * serve → maintain → settle → publish → retire): drop the
+    * generation's tables and maintenance sidecars once NOTHING serves
+    * it. The docstrings across this module keep invoking the "epoch
+    * reclaim discipline" (an old generation's tables must outlive
+    * in-flight probes and stay addressable for rollback); this is the
+    * operator that enforces its safety half — it REFUSES while any
+    * catalog view still references the generation: a
+    * [[publishPointer]] pointer holding its name, a [[publishSearch]]
+    * combined view over its parts, or a per-suffix [[publish]] view.
+    * Generation names are UUID-unique in this codebase, so the
+    * view-text containment check cannot false-positive on another
+    * generation. Re-publish the successor first, then retire.
+    *
+    * Drops tables only (the family tables passed as `suffixes`, plus
+    * the three maintenance sidecars unconditionally); external files
+    * belong to whoever created the paths — the epoch owner deletes
+    * its temp dirs, a deployment's object store has its own GC. */
+  def retireGeneration(spark: SparkSession, generation: String,
+      suffixes: Seq[String] = Seq("")): Unit = {
+    val catalog = spark.sessionState.catalog
+    val serving = catalog.listTables("default").filter { ident =>
+      try {
+        val meta = catalog.getTableMetadata(ident)
+        meta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW &&
+          meta.viewText.exists(_.contains(generation))
+      } catch { case _: Throwable => false }
+    }
+    require(serving.isEmpty,
+      s"generation $generation is still referenced by serving view(s) " +
+        s"${serving.map(_.table).mkString(", ")} — publish the successor " +
+        "first, then retire")
+    (suffixes ++ Seq("_tombstones", "_pending", "_applied"))
+      .distinct.foreach { sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS ${generation + sfx}")
+      }
+  }
+
   /** Swap `serving` and `candidate` (each suffixed table pair) in the
     * catalog. Both generations must exist for every suffix — checked up
     * front, so a typo'd name fails before any rename. If a rename still

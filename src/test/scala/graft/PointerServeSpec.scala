@@ -103,6 +103,51 @@ class PointerServeSpec extends AnyFunSuite {
     }
   }
 
+  test("retireGeneration refuses while served, reclaims after the flip") {
+    val corpus = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val gen1 = uniq("graft_retire_g1_")
+    val gen2 = uniq("graft_retire_g2_")
+    val view = uniq("graft_retire_v_")
+    val sgen = uniq("graft_retire_sg_")
+    val sview = uniq("graft_retire_sv_")
+    val paths = (1 to 4).map(_ => tmp("graft_retire_"))
+    try {
+      graft.functions.GraftFunctions.register(spark)
+      Dedup.writeBandIndex(corpus, "doc_id", "text", gen1, paths(0),
+        numBuckets = 4)
+      Dedup.writeBandIndex(corpus, "doc_id", "text", gen2, paths(1),
+        numBuckets = 4)
+      Dedup.deleteFromBandIndex(spark, gen1, Seq(99L).toDF("doc_id"))
+      Generations.publishPointer(spark, view, gen1)
+      // served → refuse (pointer view holds the generation's name)
+      intercept[IllegalArgumentException] {
+        Generations.retireGeneration(spark, gen1)
+      }
+      assert(spark.catalog.tableExists(gen1), "refusal must not drop")
+      // flip to the successor → the retire reclaims tables + sidecars
+      Generations.publishPointer(spark, view, gen2)
+      Generations.retireGeneration(spark, gen1)
+      assert(!spark.catalog.tableExists(gen1))
+      assert(!spark.catalog.tableExists(s"${gen1}_tombstones"))
+      assert(spark.catalog.tableExists(gen2), "successor must survive")
+      // combined-view references refuse too
+      graft.operators.SearchOps.writeSearchIndex(corpus, "doc_id", "text",
+        sgen, paths(2), numBuckets = 4)
+      graft.operators.SearchOps.writeDocLengths(spark, sgen, paths(3),
+        numBuckets = 4)
+      Generations.publishSearch(spark, sview, sgen)
+      intercept[IllegalArgumentException] {
+        Generations.retireGeneration(spark, sgen, Seq("", "_doclens"))
+      }
+      assert(spark.catalog.tableExists(sgen))
+    } finally {
+      Seq(view, sview).foreach(v => spark.sql(s"DROP VIEW IF EXISTS $v"))
+      Seq(gen1, s"${gen1}_tombstones", gen2, sgen, s"${sgen}_doclens",
+        s"${sgen}_tombstones").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("search pointer probe: BM25 parity and one dereference per probe") {
     // the search family accepts all three serving shapes; through a
     // pointer, postings AND norms must resolve from the same generation

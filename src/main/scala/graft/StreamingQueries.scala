@@ -313,6 +313,20 @@ object StreamingQueries {
           corpus.filter(col("doc_id") >= 100000), "doc_id", "text",
           threshold = 0.5)
         .orderBy(col("new_id"), col("old_id"))
+    }),
+
+    // continuous SURVIVOR SELECTION (IngestStream.clusterSink): the
+    // dup batch drained as micro-batches, each probed against the
+    // standing band index, folded into the standing assignment via the
+    // star fixpoint, then admitted — the assignment after the drain
+    // must hash-match the FULL-corpus recompute's oracle exactly (no
+    // pair escapes the batch×(corpus ∪ earlier batches) + internal
+    // decomposition, and CC is order-independent)
+    "stream_dedup_clusters" -> ((s, dir) => {
+      s.table(clusterStreamLabelsFor(s, dir))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("id") === col("label")).as("is_survivor"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Streamed-ingestion oracles: the drained indexes are defined to
@@ -395,6 +409,8 @@ object StreamingQueries {
     "stream_search_cdc_published" -> TextQueries.searchBm25Sql,
     "stream_ann_cdc_published" -> SimilarityQueries.ivfAppendOracleSql,
     "stream_dedup_cdc_published" -> TextQueries.oracle("dedup_incremental"),
+    // the drained assignment equals the full recompute by construction
+    "stream_dedup_clusters" -> TextQueries.oracle("dedup_clusters"),
     // the band settle monitor's mirror recomputes the sidecars from the
     // event-fixture definition: INSERTs of the odd half (seq = doc_id),
     // UPDATEs of %10 (1e6+doc_id), re-INSERTs of %100==4 (3e6+doc_id);
@@ -813,6 +829,40 @@ object StreamingQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       graft.operators.Generations.publishPointer(s, view, settled)
       EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  /** The continuous-clustering epoch: a WORKING clone of the serving
+    * band index (the sink appends each drained batch to it — the
+    * serving epoch must stay untouched) plus a working copy of the
+    * standing cluster assignment, then the dup batch drained through
+    * [[IngestStream.clusterSink]] as multiple micro-batches. The final
+    * assignment is result-defined EQUAL to the full recompute over the
+    * union corpus (each batch pairs against originals + earlier
+    * batches via the index, internally via its own shingles — no pair
+    * escapes), so the entry carries `dedup_clusters`' oracle verbatim.
+    * Base epochs resolved before the acquire. */
+  private[graft] def clusterStreamLabelsFor(s: SparkSession, dir: String)
+      : String = {
+    val baseIndex = TextQueries.bandIndexFor(s, dir)
+    val baseLabels = TextQueries.clusterLabelsFor(s, dir)
+    val docsDir = batchDocsDir(s, dir)
+    EpochRegistry.acquire(s, "cluster_stream_labels", dir) { () =>
+      val work = "graft_cluster_stream_idx_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val labels = "graft_cluster_stream_lbl_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_cluster_stream_").toString)
+      graft.operators.Dedup.cloneBandIndex(s, baseIndex, work, paths(0))
+      s.table(baseLabels).write.mode("overwrite").format("parquet")
+        .saveAsTable(labels)
+      val src = CdcStream.readEventStream(s, docsDir, maxFilesPerTrigger = 1)
+      IngestStream.clusterSink(src, work, labels, paths(1))
+        .awaitTermination()
+      EpochRegistry.Resource(labels,
+        dropTables = Seq(work, labels, s"${labels}_applied"),
+        deleteDirs = paths)
     }
   }
 

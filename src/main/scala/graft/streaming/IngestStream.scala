@@ -442,6 +442,78 @@ object IngestStream {
       docs, "doc_id", "text", numBuckets)
   }
 
+  /** Continuous SURVIVOR-SELECTION maintenance — the last standing
+    * structure the ingestion path didn't keep current (band index
+    * [[ingestSink]], search index [[searchIndexSink]], IVF
+    * [[ivfIndexSink]], the CDC loops — and now the cluster
+    * assignment). Each arriving micro-batch of documents is:
+    *
+    *  1. probed against the standing band index (bucket-pruned — only
+    *     the batch shuffles) for its cross pairs, and shingled once
+    *     for its internal pairs;
+    *  2. folded into the standing assignment via
+    *     [[graft.operators.Dedup.mergeClusters]] — one star fixpoint
+    *     over |V| star edges + the batch's pairs, equal to the full
+    *     recompute by the pairwise-decomposition argument there;
+    *  3. ADMITTED to the band index (append AFTER the probe, so a
+    *     batch never pairs with itself through the index — its
+    *     internal pairs come from step 1), so later batches pair
+    *     against it;
+    *  4. the assignment table rewritten, whole-batch replay-guarded by
+    *     the shared ledger.
+    *
+    * The rewrite is the honest cost: the assignment IS the output, and
+    * it is PAIR-PARTICIPANT-sized (docs that ever matched anything —
+    * orders of magnitude below corpus size), not corpus-sized; the
+    * merge output is RDD-pinned before the write, so rewriting the
+    * table the merge read from is safe. A deployment too hot for a
+    * per-batch fold runs the same fold at settle cadence instead —
+    * pairs lose nothing by batching (CC is order-independent). */
+  def clusterSink(docStream: DataFrame, bandTable: String,
+      labelsTable: String, checkpointDir: String, numBuckets: Int = 32,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyClusterBatch(batch.sparkSession, bandTable, labelsTable,
+          batch, numBuckets, threshold, batchId)
+      }
+      .start()
+
+  /** One micro-batch of [[clusterSink]], replay-guarded on the labels
+    * table's ledger. */
+  private[graft] def applyClusterBatch(
+      spark: org.apache.spark.sql.SparkSession, bandTable: String,
+      labelsTable: String, batch: DataFrame, numBuckets: Int,
+      threshold: Double, batchId: Long): Unit =
+    if (!alreadyApplied(spark, labelsTable, batchId)) {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val docs = batch.select(col("doc_id"), col("text"))
+      val cross = graft.operators.Dedup.probeBandIndex(spark, bandTable,
+          docs, "doc_id", "text", threshold)
+        .select(col("old_id").as("id_a"), col("new_id").as("id_b"))
+      val internal = graft.operators.Dedup.minhashPairs(docs, "doc_id",
+          "text", numHashes = 8, numBands = 4, threshold = threshold)
+        .select(col("id_a"), col("id_b"))
+      val standing =
+        if (spark.catalog.tableExists(labelsTable)) spark.table(labelsTable)
+        else Seq.empty[(Long, Long)].toDF("id", "label")
+      // mergeClusters materializes through its star fixpoint (every
+      // round is an action over RDD-pinned edges), so by the time it
+      // returns, the probe has run and the result no longer references
+      // the labels table — the overwrite below cannot read-under-write
+      val merged = graft.operators.Dedup.mergeClusters(standing,
+        cross.unionByName(internal))
+      graft.operators.Dedup.appendToBandIndex(spark, bandTable, docs,
+        "doc_id", "text", numBuckets)
+      merged.write.mode("overwrite").format("parquet")
+        .saveAsTable(labelsTable)
+      recordApplied(spark, labelsTable, batchId)
+    }
+
   /** The settle-cadence DECISION for the CDC maintenance loop (VERDICT
     * r12 #2) — the freshness monitor completing the monitor→decide
     * symmetry the other three families have

@@ -144,6 +144,40 @@ class StreamIngestRestartSpec extends AnyFunSuite {
       s"${bt}_applied").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("replayed micro-batch is skipped whole by the cluster sink") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val band = uniq("graft_cl_replay_b_")
+    val labels = uniq("graft_cl_replay_l_")
+    val path = tmp("graft_cl_replay_")
+    try {
+      graft.operators.Dedup.writeBandIndex(corpus, "doc_id", "text", band,
+        path, numBuckets = 4)
+      IngestStream.applyClusterBatch(spark, band, labels, batch,
+        numBuckets = 4, threshold = 0.5, batchId = 0L)
+      val got = spark.table(labels).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(10L -> 10L, 20L -> 10L),
+        s"drained batch must fold into the assignment: $got")
+      val bandRows = spark.table(band).count()
+      // the replay: band append and label fold must BOTH skip
+      IngestStream.applyClusterBatch(spark, band, labels, batch,
+        numBuckets = 4, threshold = 0.5, batchId = 0L)
+      assert(spark.table(band).count() == bandRows,
+        "replayed cluster batch re-appended band rows")
+      assert(spark.table(labels).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == got,
+        "replayed cluster batch changed the assignment")
+    } finally Seq(band, labels, s"${labels}_applied")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("replayed micro-batch is skipped whole by the ledger (search + IVF)") {
     val table = uniq("graft_replay_search_")
     val paths = (1 to 2).map(_ => tmp("graft_replay_search_"))

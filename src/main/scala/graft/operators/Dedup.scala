@@ -582,9 +582,30 @@ object Dedup {
           col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"))))
 
+  /** Edge-count bound under which the fixpoint FINISHES LOCALLY: the
+    * remaining (contracted) edge set is collected to the driver and
+    * closed with a sequential union-find instead of more scheduled
+    * rounds. Large-star/small-star contracts the graph geometrically, so
+    * at any scale the TAIL rounds run over a graph that is tiny relative
+    * to the input — each one still costing full job-scheduling latency
+    * (~1 s/round of pure fixed cost at local[32]). Once the edge set
+    * fits the bound — 2²² edges ≈ 64 MB of longs, far below any real
+    * driver heap, and the SAME order as the labels frame a caller
+    * materializes anyway — a local finish is strictly cheaper than
+    * O(log n) more rounds, and exactly equal by construction (union-find
+    * rooted at the component minimum computes the same min-label
+    * assignment the fixpoint converges to; DedupClustersSpec pins the
+    * equality on random graphs). Inputs LARGER than the bound still take
+    * distributed rounds until contraction brings them under it, so the
+    * 100 TB path is unchanged — this trims only the scheduling-bound
+    * tail every deployment would otherwise pay per fixpoint. */
+  private[graft] val DefaultLocalFinishEdges: Long = 1L << 22
+
   /** [[nearDupClusters]] + the number of large/small-star rounds it took
-    * (exposed so DedupClustersSpec can pin the O(log n) convergence). */
-  private[graft] def nearDupClustersCounted(pairs: DataFrame): (DataFrame, Int) = {
+    * (exposed so DedupClustersSpec can pin the O(log n) convergence;
+    * `localFinishEdges = 0` forces the all-distributed path). */
+  private[graft] def nearDupClustersCounted(pairs: DataFrame,
+      localFinishEdges: Long = DefaultLocalFinishEdges): (DataFrame, Int) = {
     val e0 = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -592,7 +613,7 @@ object Dedup {
     var (edges, handle, nEdges, fp) = pinned(e0)
     var rounds = 0
     var converged = nEdges == 0L
-    while (!converged) {
+    while (!converged && nEdges > localFinishEdges) {
       rounds += 1
       require(rounds <= 60, "large-star/small-star failed to converge in 60 rounds")
       val next = smallStar(largeStar(edges))
@@ -611,20 +632,66 @@ object Dedup {
       nEdges = nNext
       fp = nextFp
     }
-    // at the fixpoint every edge is (member, component-min): members label
-    // their center, centers label themselves
-    val labels = edges.select(col("u").as("id"), col("v").as("label"))
-      .unionAll(edges.select(col("v").as("id"), col("v").as("label")).distinct())
-      .distinct()
-    // materialize the labels into their OWN blocks while the edge blocks
-    // are still alive, then free the final edge handle (ADVICE r7 #1 — it
-    // used to stay pinned for the app's lifetime). The labels' RDD-level
-    // persist is reference-tracked: the ContextCleaner frees the blocks
-    // once the caller drops the returned plan, and lineage stays
-    // replayable if a block is lost before then.
-    val (labelled, _, _, _) = pinned(labels)
-    handle.unpersist()
-    (labelled, rounds)
+    if (!converged && nEdges > 0) {
+      // LOCAL FINISH (see [[DefaultLocalFinishEdges]]): the surviving
+      // edges — already pinned, so this reads memory, not lineage — close
+      // sequentially; the labels go back out as a parallelized RDD (not a
+      // driver-embedded LocalRelation, which would serialize into every
+      // plan that references it)
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val arr = handle.map(r => (r.getLong(0), r.getLong(1))).collect()
+      handle.unpersist()
+      val out = unionFindLabels(arr)
+      val slices = math.min(32, math.max(1, out.length / 250000))
+      (spark.sparkContext.parallelize(out.toIndexedSeq, slices)
+        .toDF("id", "label"), rounds)
+    } else {
+      // at the fixpoint every edge is (member, component-min): members label
+      // their center, centers label themselves
+      val labels = edges.select(col("u").as("id"), col("v").as("label"))
+        .unionAll(edges.select(col("v").as("id"), col("v").as("label")).distinct())
+        .distinct()
+      // materialize the labels into their OWN blocks while the edge blocks
+      // are still alive, then free the final edge handle (ADVICE r7 #1 — it
+      // used to stay pinned for the app's lifetime). The labels' RDD-level
+      // persist is reference-tracked: the ContextCleaner frees the blocks
+      // once the caller drops the returned plan, and lineage stays
+      // replayable if a block is lost before then.
+      val (labelled, _, _, _) = pinned(labels)
+      handle.unpersist()
+      (labelled, rounds)
+    }
+  }
+
+  /** Sequential union-find over a collected edge array. Unions always
+    * root at the SMALLER id, so every root is its component's minimum by
+    * induction and `find` is directly the fixpoint's label function.
+    * Returns one `(id, label)` row per distinct endpoint — the exact
+    * output contract of [[nearDupClusters]]. */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val seen = scala.collection.mutable.LongMap.empty[Unit]
+    val out = Array.newBuilder[(Long, Long)]
+    edges.foreach { case (u, v) =>
+      if (seen.put(u, ()).isEmpty) out += ((u, find(u)))
+      if (seen.put(v, ()).isEmpty) out += ((v, find(v)))
+    }
+    out.result()
   }
 
   /** Large-star: for every vertex u (over the SYMMETRIC neighborhood) let

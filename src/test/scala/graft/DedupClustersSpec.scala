@@ -71,8 +71,10 @@ class DedupClustersSpec extends AnyFunSuite {
     // the adversarial case for plain min-label propagation (VERDICT r6
     // #4): a path graph 0-1-2-…-1000 has diameter 1000; the large-star/
     // small-star alternation must close it in ~log n rounds
+    // localFinishEdges = 0 pins the ALL-DISTRIBUTED path: by default a
+    // 1000-edge input would finish locally without a single round
     val edges = (0L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.nearDupClustersCounted(edges)
+    val (labels, rounds) = Dedup.nearDupClustersCounted(edges, 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.keySet == (0L to 1000L).toSet)
     assert(got.values.forall(_ == 0L), "every chain vertex joins component 0")
@@ -88,7 +90,7 @@ class DedupClustersSpec extends AnyFunSuite {
   private def runAndMeasure(): Unit = {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val (labels, _) = Dedup.nearDupClustersCounted(
-      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"), 0L)
     assert(labels.count() == 5L)
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     // every per-round edge handle — including the one live at convergence,
@@ -119,6 +121,36 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(tail <= 1,
       s"$tail label/edge block sets still pinned after two calls — " +
         "handles are leaking instead of being reference-tracked")
+  }
+
+  test("local finish equals the all-distributed fixpoint on random graphs") {
+    // the default path collects the contracted edge set and closes it
+    // with a sequential union-find; the two paths must be row-identical —
+    // same vertices, same component-min labels — on every graph shape
+    val edgeGen = Gen.listOfN(16, for {
+      a <- Gen.chooseNum(0L, 23L); b <- Gen.chooseNum(0L, 23L) if a != b
+    } yield (a, b))
+    (0 until 4).flatMap(i => edgeGen(Gen.Parameters.default, Seed(17L + i)))
+      .foreach { edges =>
+        val df = edges.toDF("id_a", "id_b")
+        val local = Dedup.nearDupClustersCounted(df)._1
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Dedup.nearDupClustersCounted(df, 0L)._1
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(local == dist, s"paths diverged on edges=$edges")
+      }
+  }
+
+  test("an input over the local-finish bound still takes distributed rounds") {
+    // threshold BETWEEN the input size and the contracted size: the first
+    // rounds must run distributed, the tail may close locally — and the
+    // answer is still the chain's single component
+    val edges = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.nearDupClustersCounted(edges, 150L)
+    assert(rounds >= 1, "contraction below the bound requires at least one round")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 200L).toSet)
+    assert(got.values.forall(_ == 0L))
   }
 
   test("every vertex appears exactly once and survivors are labels") {

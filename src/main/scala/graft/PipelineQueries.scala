@@ -138,6 +138,15 @@ object PipelineQueries {
           budgetTokens = 3000L)
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
         .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+    }),
+
+    // per-source quality QUANTILE gate — "keep each source's best
+    // quarter": the relative cut that preserves the source mix where an
+    // absolute threshold would starve clean sources and flood noisy ones
+    "pipeline_quality_quantile" -> ((s, dir) => {
+      PipelineOps.qualityQuantileFilter(Tables.documents(s, dir),
+          "doc_id", "source", "text", keepFrac = 0.25)
+        .orderBy(col("doc_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -237,5 +246,17 @@ object PipelineQueries {
         |  FROM q)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
         |WHERE cum_tokens - n_tokens < 3000
-        |ORDER BY lang, cum_tokens, doc_id""".stripMargin)
+        |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    // rank-to-ceil(quarter) per source, (quality desc, doc_id) total
+    // order — the deterministic quantile cut of qualityQuantileFilter
+    "pipeline_quality_quantile" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+        |q AS (SELECT doc_id, source, ${qualitySql("toks")} AS quality FROM t),
+        |r AS (SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS n_stratum FROM q)
+        |SELECT doc_id, source, quality, rk FROM r
+        |WHERE rk <= ceil(n_stratum * 0.25)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -806,6 +806,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring span removal (the span-level dedup document-level
+    // passes can't reach): every 8-token window whose text appears in
+    // another doc is cut, the surrounding text kept — on this fixture
+    // the injected near-dup pairs collapse to their distinguishing
+    // tokens while the 453 clean docs pass through byte-identical
+    "dedup_span_removal" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // string-distance family: per doc, edit distance of its 32-char
     // prefix to its language's anchor doc (min doc_id) — linear anchor
     // comparison, not pairwise (BoundedPairs is the pairwise path)
@@ -1266,6 +1276,33 @@ object TextQueries {
           |SELECT doc_id, n_ngrams, n_shared,
           |  floor(n_shared * 1000000.0 / n_ngrams) / 1000000 AS shared_frac
           |FROM agg ORDER BY doc_id""".stripMargin,
+      // span removal mirror: positional 8-gram over the shared token
+      // formula; cross-doc grams via min/max doc per gram (the engine
+      // groups on the 64-bit gram hash — same duplicate set, gated
+      // here through the final clean_text bytes); covered positions
+      // expand per duplicated start, kept tokens re-join in order
+      "dedup_span_removal" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |g AS (SELECT doc_id, i AS pos,
+          |    array_to_string(toks[i:i+7], ' ') AS gram
+          |  FROM d, LATERAL unnest(CASE WHEN len(toks) >= 8
+          |    THEN range(1, len(toks) - 6) ELSE [] END) AS t(i)),
+          |gd AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx
+          |  FROM g GROUP BY gram),
+          |cov AS (SELECT DISTINCT g.doc_id, g.pos + r.j AS cpos
+          |  FROM g JOIN gd USING (gram), LATERAL unnest(range(0, 8)) AS r(j)
+          |  WHERE gd.mn <> gd.mx),
+          |tok AS (SELECT doc_id, unnest(toks) AS tok,
+          |    unnest(range(1, len(toks) + 1)) AS pos FROM d),
+          |kept AS (SELECT t.doc_id,
+          |    string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+          |    count(*) AS n_kept
+          |  FROM tok t LEFT JOIN cov c
+          |    ON t.doc_id = c.doc_id AND t.pos = c.cpos
+          |  WHERE c.cpos IS NULL GROUP BY t.doc_id)
+          |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+          |  CAST(len(d.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+          |FROM d LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
       "text_edit_distance" ->
         """WITH d AS (SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents),
           |a AS (SELECT lang, min_by(p, doc_id) AS anchor_p FROM d GROUP BY lang)

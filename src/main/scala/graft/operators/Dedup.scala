@@ -816,6 +816,64 @@ object Dedup {
     * corpus scan). The final per-doc rollup shuffles one long per
     * (doc, gram) — everything is linear in corpus shingle volume, never
     * pairwise. */
+  /** EXACT-SUBSTRING span removal — the span-level (not document-level)
+    * dedup a training pipeline runs AFTER near-dup filtering: any
+    * `gramLen`-token window whose text also appears in ANOTHER document
+    * is cut from every document carrying it, leaving the surrounding
+    * text intact (boilerplate headers, license blocks, quoted passages
+    * — the repeated-substring memorization risk that whole-document
+    * dedup cannot reach, because the hosts are otherwise distinct).
+    * Published formulations build a corpus-wide suffix array; the
+    * shuffle-native equivalent is positional n-grams — every duplicated
+    * substring of length ≥ `gramLen` is exactly a run of duplicated
+    * grams, so cutting all duplicated gram windows removes precisely
+    * the maximal shared spans (plus sub-`gramLen` flanks of the window
+    * ends, the standard granularity trade-off of the gram approach).
+    *
+    * Plan, in corpus-scale order: one map-side pass hashes every
+    * positional gram to 64 bits array-wise (no token row-inflation
+    * until after hashing — exploded rows are `(id, pos, hash)`, ~20
+    * bytes/token); ONE shuffle on the gram hash where an unbounded
+    * window `min(id) != max(id)` marks cross-document grams without
+    * buffering rows (count-only aggregate, same shape as
+    * [[crossDocNgramStats]]); the surviving DUP rows — mutation-sized,
+    * not corpus-sized — reduce to per-doc start arrays and join back on
+    * the doc key; span erasure is then a per-doc higher-order filter
+    * over the token array, no further exchange. Grouping on the 64-bit
+    * hash instead of the gram text keeps the shuffle narrow; a
+    * collision falsely removes one window (conservative direction for
+    * training data, and absent at any tested scale — the gate would
+    * catch it). Output: `(id, clean_text, n_removed)` per input row. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 8): DataFrame = {
+    val q = gramLen
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    val grams = base
+      .withColumn("ghash",
+        when(size(col("toks")) >= q,
+          transform(sequence(lit(1), size(col("toks")) - (q - 1)),
+            i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(q))))))
+        .otherwise(array().cast("array<bigint>")))
+      .select(col(idCol), posexplode(col("ghash")).as(Seq("p0", "gram")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("gram"))
+    val w = Window.partitionBy(col("gram"))
+    val dupStarts = grams
+      .withColumn("dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+      .filter(col("dup"))
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("dup_starts"))
+    base.join(dupStarts, Seq(idCol), "left")
+      .withColumn("ds",
+        coalesce(col("dup_starts"), array().cast("array<int>")))
+      // a token survives iff NO duplicated window covers it; `i` is the
+      // HOF filter's 0-based index, starts are 1-based gram positions
+      .withColumn("clean_toks", filter(col("toks"), (t, i) =>
+        !exists(col("ds"), s => s <= i + 1 && i + 1 <= s + (q - 1))))
+      .select(col(idCol),
+        concat_ws(" ", col("clean_toks")).as("clean_text"),
+        (size(col("toks")) - size(col("clean_toks"))).cast("long")
+          .as("n_removed"))
+  }
+
   def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // native fused kernel: ONE md5 pass per shingle producing the

@@ -157,6 +157,36 @@ object PipelineOps {
     * may overshoot by at most one doc — the contract that needs no
     * look-behind. One shuffle (window per stratum; stratum count is
     * bounded, each stratum's running sum is a linear scan). */
+  /** Per-stratum QUANTILE gate — "keep the best `keepFrac` of every
+    * source/domain" — the relative form of the absolute quality
+    * threshold [[flagIngestBatch]] applies: an absolute cutoff starves
+    * clean sources and floods noisy ones, a per-stratum quantile keeps
+    * the mix while still dropping each source's worst tail. Exact and
+    * deterministic: rank by (quality desc, id) per stratum, keep ranks
+    * up to `ceil(stratum_size * keepFrac)` — ties cannot flap the cut
+    * because the id breaks them totally.
+    *
+    * Scale: one shuffle on the stratum key (the rank and the stratum
+    * count share it); the same top-k-per-group shape as
+    * [[tokenBudgetSelect]], and the same caveat — a single stratum
+    * sorts within its partitions, so a corpus that is 90% one domain
+    * wants either sub-stratification or the approximate path (an
+    * `approx_percentile` threshold per stratum, broadcast back), which
+    * trades exactness for a corpus-sized scan with no big sort. */
+  def qualityQuantileFilter(df: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, keepFrac: Double = 0.25): DataFrame = {
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val scored = df.select(col(idCol), col(stratumCol),
+      TextOps.qualityScore(col(textCol)).as("quality"))
+    scored
+      .withColumn("rk", row_number().over(
+        byStratum.orderBy(col("quality").desc, col(idCol))))
+      .withColumn("n_stratum", count(lit(1)).over(byStratum))
+      .filter(col("rk") <= ceil(col("n_stratum") * keepFrac))
+      .select(col(idCol), col(stratumCol), col("quality"),
+        col("rk").cast("long").as("rk"))
+  }
+
   def tokenBudgetSelect(df: DataFrame, idCol: String, stratumCol: String,
       qualityCol: Column, tokensCol: Column, budgetTokens: Long): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))

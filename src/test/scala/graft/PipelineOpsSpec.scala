@@ -109,6 +109,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivfPart.count() > 0)
   }
 
+  test("quality quantile keeps ceil(frac) best per stratum, id-tie-broken") {
+    // stratum A: 5 docs, ceil(5*0.25)=2 kept; stratum B: 1 doc, ceil=1 —
+    // every stratum keeps at least one doc, so the mix survives the cut.
+    // Docs 1 and 2 are identical text (tied quality): the doc_id order
+    // must deterministically keep the lower id at the boundary.
+    val rich = "the quick brown fox jumps over the lazy dog and runs far " * 4
+    val docs = Seq(
+      (1L, "a", rich), (2L, "a", rich), (3L, "a", "tiny"),
+      (4L, "a", "x y"), (5L, "a", "z"),
+      (6L, "b", "solitary stratum text")).toDF("doc_id", "source", "text")
+    val kept = PipelineOps.qualityQuantileFilter(docs, "doc_id", "source", "text",
+        keepFrac = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 6L))
+  }
+
   test("decontamination flags exactly the docs sharing a shingle") {
     val bench = Seq((1000L, "x", "alpha beta gamma delta")).toDF("doc_id", "lang", "text")
     val train = Seq(

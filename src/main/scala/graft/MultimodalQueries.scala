@@ -59,7 +59,39 @@ object MultimodalQueries {
           Multimodal.mediaFromDocuments(TextQueries.dupCorpus(Tables.documents(s, dir))),
           "media_id", "media")
         .orderBy(col("content_hash"))
+    }),
+
+    // the binaryFile SOURCE itself: a directory of media files read
+    // whole-file (path/length/content), glob-pruned at listing time —
+    // the ingestion edge the mm_* pipeline starts from. The fixture dir
+    // is deterministic (same 64 ASCII files at every scale factor), so
+    // the DuckDB read_blob mirror gates names, sizes, AND content bytes
+    "mm_binary_source" -> ((s, dir) => {
+      graft.sources.Sources.binaryFiles(s, binaryFixtureDir(), "*.bin")
+        .select(
+          regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("digest"))
+        .orderBy(col("file_name"))
     }))
+
+  /** Deterministic whole-file fixture for [[Sources.binaryFiles]]: 64
+    * ASCII files under one fixed path, written once (write-if-missing —
+    * re-runs and concurrent sessions produce byte-identical files, so
+    * the race is harmless). Fixed content keeps the static oracle SQL
+    * able to name the path. */
+  private def binaryFixtureDir(): String = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_binary_source_fixture")
+    java.nio.file.Files.createDirectories(dir)
+    (0 until 64).foreach { i =>
+      val f = dir.resolve(f"media_$i%02d.bin")
+      if (!java.nio.file.Files.exists(f))
+        java.nio.file.Files.write(f,
+          (f"graft-binary-fixture-$i%02d:" * (i % 5 + 1))
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    dir.toString
+  }
 
   def oracle: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -117,5 +149,13 @@ object MultimodalQueries {
       s"""WITH ${TextQueries.corpusSql}
         |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
-        |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin)
+        |FROM corpus GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    // the fixture files are ASCII, so decode(blob) is lossless and
+    // md5(decode(·)) is the byte digest Spark's md5(content) computes
+    "mm_binary_source" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |  CAST(size AS BIGINT) AS n_bytes,
+        |  md5(decode(content)) AS digest
+        |FROM read_blob('/tmp/graft_binary_source_fixture/*.bin')
+        |ORDER BY file_name""".stripMargin)
 }

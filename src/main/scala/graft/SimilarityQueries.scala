@@ -431,6 +431,22 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SEMANTIC dedup (SemDeDup form): k-means partitions as the pairing
+    // buckets instead of the label column — the DISCOVERED semantic
+    // structure replaces the given one — then keep-lowest survivor
+    // selection; the injected twins (vec_id >= 100000) land in their
+    // original's cluster and drop, every original survives. The
+    // FROZEN-quantizer form: the session's IVF epoch already trained
+    // centroids over the originals, so the per-run cost is one
+    // broadcast-assign + in-cell pairing, zero training jobs
+    "dedup_semantic" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val cents = s.table(ivfIndexFor(s, dir) + "_cents")
+      VectorOps.semanticDedupFrozen(dupVectors(Tables.embeddings(s, dir)),
+          cents, threshold = 0.995)
+        .orderBy(col("vec_id"))
+    }),
+
     // ingestion-shaped embedding near-dup: the injected dup vectors
     // (vec_id >= 100000) are the arriving batch, the originals the
     // corpus — cross pairs only, corpus never shuffles (the batch side
@@ -849,6 +865,31 @@ object SimilarityQueries {
           |      (PARTITION BY query_id ORDER BY
           |        round(${cosQSql("qqv", "c.qe")}, 6) DESC, c.vec_id) AS rk
           |    FROM qtab c CROSS JOIN q WHERE c.vec_id <> query_id""".stripMargin),
+    // SemDeDup mirror: the SAME Lloyd CTE the IVF/cluster oracles use —
+    // centroids trained over the ORIGINALS (the frozen-quantizer epoch),
+    // assignment over the dup-injected corpus; pairs form within
+    // (cid, 2-bit sign) cells, survivors are ids with no smaller
+    // near-dup in their cell
+    "dedup_semantic" -> {
+      val sb2c = (0 until 2).map(i =>
+        s"(CASE WHEN (c.embedding)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH $dupVectorsSql,
+        |${centTrainSql(ivfKSql, 2)},
+        |casg AS (
+        |  SELECT vec_id, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM corpus CROSS JOIN cents),
+        |clusters AS (SELECT vec_id, cid FROM casg WHERE cr = 1),
+        |v AS (SELECT c.vec_id, c.embedding, cl.cid,
+        |    cl.cid::VARCHAR || '#' || ($sb2c)::VARCHAR AS bucket
+        |  FROM corpus c JOIN clusters cl USING (vec_id)),
+        |dropped AS (SELECT DISTINCT b.vec_id
+        |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.995)
+        |SELECT cl.vec_id, cl.cid AS cluster_id FROM clusters cl
+        |WHERE cl.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin
+    },
     "sim_cosine_neardup" -> {
       val sb2 = (0 until 2).map(i =>
         s"(CASE WHEN (embedding)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")

@@ -750,6 +750,56 @@ object VectorOps {
   /** Symmetric cosine scorer: sequential double folds for a·b, a·a, b·b
     * (order-stable ⇒ deterministic, matches [[dot]]/[[norm]] bit-exactly);
     * emits the round(·,6)-quantized score only when it survives. */
+  /** SEMANTIC dedup — k-means-partitioned embedding near-dup pruning
+    * (the "cluster, then pair only within a cluster" formulation
+    * published as SemDeDup): the corpus is assigned to `numCentroids`
+    * Lloyd-trained semantic partitions ([[kmeansAssign]] — the same
+    * trainer the IVF index family freezes), candidate pairs form only
+    * inside a (cluster, sign-bucket) cell ([[cosineNearDupPairs]] with
+    * the cluster id as the bucket), and any vector with a near-duplicate
+    * of SMALLER id in its cell is dropped — a deterministic keep-lowest
+    * survivor rule that needs no connected-components pass (transitive
+    * chains stay in one cell, where every smaller near-dup is visible
+    * directly; cross-cell chains are the recall trade every clustered
+    * dedup makes, and what `threshold` keeps rare).
+    *
+    * Scale: centroid training/assignment is the IVF build cost (K·D
+    * broadcast, one narrow shuffle on the cluster id); pairing is
+    * bounded per cell by [[BoundedPairs]]' salt cap, so the quadratic
+    * blowup is bucket-local — the whole point of partitioning first.
+    * The drop set (ids appearing as the larger side of a pair) is
+    * duplicate-sized; survivors come from one broadcast anti-join.
+    * Output: `(vec_id, cluster_id)` survivors, one row per kept
+    * vector. */
+  def semanticDedup(corpus: DataFrame, numCentroids: Int, trainIters: Int,
+      threshold: Double): DataFrame = {
+    val assigned = kmeansAssign(corpus, numCentroids, trainIters)
+    semanticDropSurvivors(corpus, assigned, threshold)
+  }
+
+  /** [[semanticDedup]] with a FROZEN quantizer — the production form: a
+    * deployment that already serves an IVF index reuses its trained
+    * `_cents` as the semantic partitioner (one broadcast-assign of the
+    * corpus, zero training jobs), exactly the frozen-quantizer contract
+    * [[appendToIvfIndex]] established. Same survivor rule, same output. */
+  def semanticDedupFrozen(corpus: DataFrame, cents: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val assigned = assignLists(corpus, broadcast(cents))
+      .select(col("vec_id"), col("list_id").as("cluster_id"))
+    semanticDropSurvivors(corpus, assigned, threshold)
+  }
+
+  private def semanticDropSurvivors(corpus: DataFrame, assigned: DataFrame,
+      threshold: Double): DataFrame = {
+    val withCluster = corpus.join(assigned, Seq("vec_id"))
+    val dropped = cosineNearDupPairs(withCluster, threshold,
+        bucketCol = "cluster_id")
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"))
+  }
+
   private[graft] def cosineScore(threshold: Double)(
       a: Array[Float], b: Array[Float]): Option[Double] = {
     val n = math.min(a.length, b.length)

@@ -32,6 +32,21 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Whole-file binary source — Spark's built-in `binaryFile` format:
+    * one row per file `(path, modificationTime, length, content)`, the
+    * ingestion shape for image/audio/video directories feeding the
+    * multimodal operators ([[graft.operators.Multimodal]] consumes the
+    * same opaque-bytes column). `pathGlobFilter` prunes at LISTING time
+    * — filtered files are never opened — which is why it beats a
+    * post-read filter on `path`; cap file size via
+    * `spark.sql.sources.binaryFile.maxLength` when directories may
+    * carry outliers. */
+  def binaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** Partitioned JDBC read — the queue-table read of the reference, made
     * parallel: `numPartitions` concurrent range scans on `partitionCol`.
     * (Untestable in this container — no database — but this is the

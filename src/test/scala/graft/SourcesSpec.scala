@@ -40,6 +40,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.orc(spark, dir).count() == 3)
   }
 
+  test("binaryFile source reads whole files; glob prunes at listing time") {
+    val dir = tmp("bin_src")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"),
+      "payload-a".getBytes("US-ASCII"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.txt"),
+      "not-matched".getBytes("US-ASCII"))
+    val got = Sources.binaryFiles(spark, dir, "*.bin")
+      .select("path", "length", "content").collect()
+    assert(got.length == 1, "the glob must exclude the .txt file")
+    assert(got.head.getLong(1) == 9L)
+    assert(new String(got.head.getAs[Array[Byte]](2), "US-ASCII") == "payload-a")
+  }
+
   test("CDC snapshot is source-agnostic (same events from csv as from parquet)") {
     val csvDir = tmp("csv_cdc"); val pqDir = tmp("pq_cdc")
     val df = rows.toDF("id", "name", "bal")

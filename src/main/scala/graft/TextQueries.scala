@@ -189,6 +189,23 @@ object TextQueries {
   /** One persisted search index per (session, dir) epoch — the text
     * twin of [[bandIndexFor]]/[[SimilarityQueries.ivfIndexFor]] (same
     * UUID-unique isolation and [[EpochRegistry]] lifecycle). */
+  /** The gram-index epoch for incremental span dedup: the even-id docs
+    * are the standing corpus ([[graft.operators.Dedup.writeGramIndex]]),
+    * probed by the odd-id "batch" — same acquire/reclaim contract as
+    * every index epoch here. */
+  private[graft] def gramIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "gram_index", dir) { () =>
+      val table = "graft_gram_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_gram_index_").toString
+      Dedup.writeGramIndex(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", table, path)
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
+
   private[graft] def searchIndexFor(s: SparkSession, dir: String): String =
     EpochRegistry.acquire(s, "search_index", dir) { () =>
       val table = "graft_search_index_" +
@@ -508,6 +525,34 @@ object TextQueries {
 
   // shared DuckDB mirror fragments — single definitions in [[OracleSql]]
   private val toksSql = OracleSql.toks
+
+  /** Shared mirror of [[graft.operators.Dedup.removeDuplicateSpans]]
+    * (positional 8-gram span erasure over corpus-wide min/max doc per
+    * gram); `docFilter` restricts the OUTPUT rows — the incremental
+    * probe is the same computation restricted to the batch docs. */
+  private def spanRemovalSql(docFilter: String): String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |    array_to_string(toks[i:i+7], ' ') AS gram
+      |  FROM d, LATERAL unnest(CASE WHEN len(toks) >= 8
+      |    THEN range(1, len(toks) - 6) ELSE [] END) AS t(i)),
+      |gd AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx
+      |  FROM g GROUP BY gram),
+      |cov AS (SELECT DISTINCT g.doc_id, g.pos + r.j AS cpos
+      |  FROM g JOIN gd USING (gram), LATERAL unnest(range(0, 8)) AS r(j)
+      |  WHERE gd.mn <> gd.mx),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok,
+      |    unnest(range(1, len(toks) + 1)) AS pos FROM d),
+      |kept AS (SELECT t.doc_id,
+      |    string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
+      |    count(*) AS n_kept
+      |  FROM tok t LEFT JOIN cov c
+      |    ON t.doc_id = c.doc_id AND t.pos = c.cpos
+      |  WHERE c.cpos IS NULL GROUP BY t.doc_id)
+      |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+      |  CAST(len(d.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM d LEFT JOIN kept k USING (doc_id)
+      |WHERE $docFilter ORDER BY doc_id""".stripMargin
   private def shinglesSql(toks: String): String = OracleSql.shingles(toks)
   private def stopHitsSql(toks: String, lang: String): String =
     OracleSql.stopHits(toks, lang)
@@ -813,6 +858,17 @@ object TextQueries {
     // tokens while the 453 clean docs pass through byte-identical
     "dedup_span_removal" -> ((s, dir) => {
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the INCREMENTAL form: even-id docs are the standing corpus (gram
+    // index, epoch-built), odd-id docs the arriving batch — cleaned
+    // against corpus ∪ batch without re-reading the corpus, and gated
+    // by the SAME full-recompute oracle restricted to the batch docs
+    "dedup_span_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.probeGramIndex(s, gramIndexFor(s, dir),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1281,28 +1337,13 @@ object TextQueries {
       // groups on the 64-bit gram hash — same duplicate set, gated
       // here through the final clean_text bytes); covered positions
       // expand per duplicated start, kept tokens re-join in order
-      "dedup_span_removal" ->
-        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          |g AS (SELECT doc_id, i AS pos,
-          |    array_to_string(toks[i:i+7], ' ') AS gram
-          |  FROM d, LATERAL unnest(CASE WHEN len(toks) >= 8
-          |    THEN range(1, len(toks) - 6) ELSE [] END) AS t(i)),
-          |gd AS (SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx
-          |  FROM g GROUP BY gram),
-          |cov AS (SELECT DISTINCT g.doc_id, g.pos + r.j AS cpos
-          |  FROM g JOIN gd USING (gram), LATERAL unnest(range(0, 8)) AS r(j)
-          |  WHERE gd.mn <> gd.mx),
-          |tok AS (SELECT doc_id, unnest(toks) AS tok,
-          |    unnest(range(1, len(toks) + 1)) AS pos FROM d),
-          |kept AS (SELECT t.doc_id,
-          |    string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text,
-          |    count(*) AS n_kept
-          |  FROM tok t LEFT JOIN cov c
-          |    ON t.doc_id = c.doc_id AND t.pos = c.cpos
-          |  WHERE c.cpos IS NULL GROUP BY t.doc_id)
-          |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
-          |  CAST(len(d.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
-          |FROM d LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "dedup_span_removal" -> spanRemovalSql("TRUE"),
+      // the incremental probe is DEFINED to equal the full recompute
+      // restricted to the batch (odd) docs — duplicate-gram membership
+      // over corpus ∪ batch is per-document, so index-existence OR
+      // batch-internal sharing ⇔ min<>max over the union; one builder,
+      // two plans (the dedup_incremental / text_search_indexed pattern)
+      "dedup_span_incremental" -> spanRemovalSql("d.doc_id % 2 = 1"),
       "text_edit_distance" ->
         """WITH d AS (SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents),
           |a AS (SELECT lang, min_by(p, doc_id) AS anchor_p FROM d GROUP BY lang)

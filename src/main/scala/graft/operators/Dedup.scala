@@ -846,9 +846,22 @@ object Dedup {
     * catch it). Output: `(id, clean_text, n_removed)` per input row. */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       gramLen: Int = 8): DataFrame = {
-    val q = gramLen
     val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
-    val grams = base
+    val grams = gramRows(base, idCol, gramLen)
+    val w = Window.partitionBy(col("gram"))
+    val dupStarts = grams
+      .withColumn("dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+      .filter(col("dup"))
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("dup_starts"))
+    eraseSpans(base, dupStarts, idCol, gramLen)
+  }
+
+  /** Positional `q`-gram hash rows `(id, pos, gram)` over a
+    * `(id, toks)` frame — hashed array-wise BEFORE exploding, so the
+    * exploded rows are ~20 bytes/token. `pos` is the 1-based gram
+    * start. */
+  private def gramRows(base: DataFrame, idCol: String, q: Int): DataFrame =
+    base
       .withColumn("ghash",
         when(size(col("toks")) >= q,
           transform(sequence(lit(1), size(col("toks")) - (q - 1)),
@@ -856,11 +869,13 @@ object Dedup {
         .otherwise(array().cast("array<bigint>")))
       .select(col(idCol), posexplode(col("ghash")).as(Seq("p0", "gram")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("gram"))
-    val w = Window.partitionBy(col("gram"))
-    val dupStarts = grams
-      .withColumn("dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
-      .filter(col("dup"))
-      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("dup_starts"))
+
+  /** Erase every `q`-token window starting at a position in
+    * `dupStarts (id, dup_starts)` from the `(id, toks)` frame — one
+    * per-doc higher-order filter, no exchange beyond the join on the
+    * doc key. */
+  private def eraseSpans(base: DataFrame, dupStarts: DataFrame,
+      idCol: String, q: Int): DataFrame =
     base.join(dupStarts, Seq(idCol), "left")
       .withColumn("ds",
         coalesce(col("dup_starts"), array().cast("array<int>")))
@@ -872,7 +887,90 @@ object Dedup {
         concat_ws(" ", col("clean_toks")).as("clean_text"),
         (size(col("toks")) - size(col("clean_toks"))).cast("long")
           .as("n_removed"))
+
+  /** The STANDING form of span dedup — a persisted GRAM INDEX, so
+    * arriving batches clean against the full ingested corpus without
+    * ever re-reading it (the fourth standing structure next to the
+    * band, search, and IVF indexes, same epoch contract: write once
+    * per full pass, probe + admit per batch). One aggregated row per
+    * distinct gram hash `(gram, n_docs, min_doc, max_doc)`, bucketed
+    * on `gram` so probes join bucket-co-located — only the batch's
+    * gram stream shuffles, index-side rows never move. */
+  def writeGramIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, path: String, gramLen: Int = 8,
+      numBuckets: Int = 32): Unit =
+    gramRows(corpus.select(col(idCol),
+        TextOps.tokens(col(textCol)).as("toks")), idCol, gramLen)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "gram")
+      .sortBy("gram")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Clean an arriving batch against a [[writeGramIndex]] table:
+    * exactly [[removeDuplicateSpans]] semantics over corpus ∪ batch,
+    * restricted to the BATCH documents (the streaming-curation
+    * contract — already-ingested text does not rewrite; a deployment
+    * that wants corpus-side erasure runs the full pass at epoch
+    * cadence). A batch window is duplicated iff its gram EXISTS in the
+    * index (some indexed doc carries it — necessarily a different
+    * document) or appears in another batch doc; the equivalence to the
+    * full recompute is exact because gram membership is per-document
+    * (`dedup_span_incremental` pins it against the all-docs oracle).
+    *
+    * Plan: the batch's gram stream (batch-sized) semi-joins the
+    * bucket-co-located index — only the batch shuffles — plus one
+    * batch-internal window; erasure is the shared per-doc HOF filter.
+    * Probes resolve [[Generations.publishPointer]] indirection like
+    * every index family. */
+  def probeGramIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 8): DataFrame = {
+    val t = Generations.resolveServing(spark, table)
+    val base = batch.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    val grams = gramRows(base, idCol, gramLen)
+    // two separate dup signals, UNIONED as start positions: the raw gram
+    // stream semi-joins the index so the planner shuffles the BATCH into
+    // the index's bucket layout (running the window first would hand the
+    // join a side already partitioned at the session's partition count,
+    // and the planner then reshuffles the INDEX to match — the corpus-
+    // sized exchange this operator exists to avoid; the spec pins it)
+    val fromIndex = grams
+      .join(spark.table(t).select(col("gram")), Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col("gram"))
+    val internal = grams
+      .withColumn("_internal",
+        min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+      .filter(col("_internal"))
+      .select(col(idCol), col("pos"))
+    val dupStarts = fromIndex.unionByName(internal)
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("dup_starts"))
+    eraseSpans(base, dupStarts, idCol, gramLen)
   }
+
+  /** ADMIT a batch to the standing gram index: the batch's per-gram
+    * aggregate rows appended under the index's bucket spec — the
+    * corpus is never read. A gram arriving again simply adds a second
+    * row; [[probeGramIndex]] tests existence, so duplicate gram rows
+    * are semantically harmless (a compaction pass can re-aggregate
+    * them at generation cadence, same as every append-maintained
+    * family). */
+  def appendToGramIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 8, numBuckets: Int = 32): Unit =
+    gramRows(batch.select(col(idCol),
+        TextOps.tokens(col(textCol)).as("toks")), idCol, gramLen)
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+      .write.mode("append").format("parquet")
+      .bucketBy(numBuckets, "gram")
+      .sortBy("gram")
+      .saveAsTable(table)
 
   def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

@@ -63,6 +63,73 @@ object StreamingQueries {
         "append")
     }),
 
+    // STREAM-STREAM event-time join (the last core Structured Streaming
+    // operator the suite didn't exercise): signups and purchases arrive
+    // as two independent streams (separate file sources over the same
+    // 4-file dir, drained 1 file per micro-batch, so matches routinely
+    // CROSS micro-batches through the symmetric-hash join state); inner
+    // join on user within a 7-day event-time window. The 90-day
+    // watermark delay admits every out-of-order arrival (fixture spans
+    // ~30 days — the stream_funnel_ttl argument), so the drained result
+    // is DEFINED to equal the batch interval join and carries a full
+    // DuckDB oracle. At deployment scale the delay is the real lateness
+    // bound and state stays O(events inside watermark × join window).
+    "stream_stream_join" -> ((s, dir) => {
+      // 2 files/trigger: matches still cross micro-batch state (files
+      // are event_id-range partitioned, join partners interleave) at
+      // half the per-batch machinery cost of a 1-file trigger
+      val a = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+          maxFilesPerTrigger = 2)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          expr("timestamp_micros(ts_us)").as("signup_ts"))
+        .withWatermark("signup_ts", "90 days")
+      val b = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+          maxFilesPerTrigger = 2)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"),
+          col("event_id").as("purchase_id"),
+          expr("timestamp_micros(ts_us)").as("purchase_ts"))
+        .withWatermark("purchase_ts", "90 days")
+      val joined = a.join(b,
+        col("user_id") === col("b_user") &&
+          col("purchase_ts") > col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+      // the symmetric-hash join keeps FOUR state stores per shuffle
+      // partition, and every micro-batch pays their open/commit per
+      // partition regardless of data volume — at toy scale that fixed
+      // cost dominates, so the stream runs at 8 state partitions
+      // (pinned at query start by the conf; restored after the drain).
+      // At deployment scale the same knob sizes state parallelism to
+      // the cluster, a per-query decision either way.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val out =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          runToMemory(joined.select(col("user_id"), col("signup_id"),
+            col("purchase_id"),
+            expr("unix_micros(signup_ts)").as("signup_us"),
+            expr("unix_micros(purchase_ts)").as("purchase_us")), "append")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      out.orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+    }),
+
+    // streaming DEDUP: the state-store form of at-least-once →
+    // effectively-once — first arrival of each (user, event_type) key
+    // claims it, replays and late duplicates drop against keyed state.
+    // Output is the KEY SET (which event wins is arrival-order-defined,
+    // the keys are not), so the drained result carries a plain DISTINCT
+    // oracle.
+    "stream_dedup_events" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+          maxFilesPerTrigger = 1)
+        .withColumn("event_ts", expr("timestamp_micros(ts_us)"))
+        .withWatermark("event_ts", "90 days")
+        .dropDuplicates("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      runToMemory(st, "append").orderBy(col("user_id"), col("event_type"))
+    }),
+
     // continuous ingestion curation: the batch docs arrive as a 4-file
     // stream (maxFilesPerTrigger=1 → multiple micro-batches); each
     // micro-batch is flagged through the SAME flagIngestBatch the
@@ -332,6 +399,19 @@ object StreamingQueries {
   /** Streamed-ingestion oracles: the drained indexes are defined to
     * equal their batch twins, so the mirrors are the families' own. */
   def oracle: Map[String, String] = Map(
+    // the 90-day watermark admits everything the fixture can produce,
+    // so the drained stream-stream join equals the batch interval join
+    "stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id,
+        |  epoch_us(a.ts) AS signup_us, epoch_us(b.ts) AS purchase_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'signup' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7 DAY
+        |ORDER BY a.user_id, signup_id, purchase_id""".stripMargin,
+    "stream_dedup_events" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_search_ingest" -> TextQueries.searchAndSql,
     "stream_search_ingest_bm25" -> TextQueries.searchBm25Sql,
     "stream_ann_ingest" -> SimilarityQueries.ivfAppendOracleSql,

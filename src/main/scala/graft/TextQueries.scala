@@ -206,6 +206,19 @@ object TextQueries {
         deleteDirs = Seq(path))
     }
 
+  /** [[gramIndexFor]] behind [[graft.operators.Generations
+    * .publishPointer]] indirection — the same epoch-cached pointer view
+    * the IVF families use ([[SimilarityQueries.ivfPointerViewFor]]). */
+  private[graft] def gramPointerViewFor(s: SparkSession, dir: String): String = {
+    val base = gramIndexFor(s, dir)
+    EpochRegistry.acquire(s, "gram_pointer_view", dir) { () =>
+      val view = "graft_gram_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base)
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
   private[graft] def searchIndexFor(s: SparkSession, dir: String): String =
     EpochRegistry.acquire(s, "search_index", dir) { () =>
       val table = "graft_search_index_" +
@@ -871,6 +884,16 @@ object TextQueries {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // ...and the same probe through Generations.publishPointer serving
+    // (the gram index joins the pointer-published families): promotion
+    // is one atomic view replace, the probe dereferences the pointer
+    // and must stay result-identical — one oracle, two serving paths
+    "dedup_span_published" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.probeGramIndex(s, gramPointerViewFor(s, dir),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
 
     // string-distance family: per doc, edit distance of its 32-char
     // prefix to its language's anchor doc (min doc_id) — linear anchor
@@ -1344,6 +1367,8 @@ object TextQueries {
       // batch-internal sharing ⇔ min<>max over the union; one builder,
       // two plans (the dedup_incremental / text_search_indexed pattern)
       "dedup_span_incremental" -> spanRemovalSql("d.doc_id % 2 = 1"),
+      // pointer serving is result-invisible: one oracle, third plan
+      "dedup_span_published" -> spanRemovalSql("d.doc_id % 2 = 1"),
       "text_edit_distance" ->
         """WITH d AS (SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents),
           |a AS (SELECT lang, min_by(p, doc_id) AS anchor_p FROM d GROUP BY lang)

@@ -303,4 +303,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("n_events") == 2)
     assert(got(1).getAs[Long]("n_events") == 1)
   }
+
+  test("RocksDB state store provider matches the default provider's drain") {
+    // the production state backend for large streaming state (state no
+    // longer bounded by executor heap): the SAME windowed drain must
+    // produce row-identical results under either provider — watermark
+    // progression and window closure are provider-independent
+    val dir = tmp("graft_rocks_src_")
+    (0 until 3).foreach { i =>
+      Seq.tabulate(20) { j =>
+        val k = i * 20 + j
+        (k.toLong, s"t${k % 3}", (k % 7).toDouble,
+          new Timestamp(1700000000000L + ((i * 17 + j * 13) % 50) * 60000L))
+      }.toDF("event_id", "event_type", "value", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    def drain(provider: Option[String]): Set[(String, String, Long, Double)] = {
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val name = "rocks_parity_" + provider.size
+        val st = CdcStream.readEventStream(spark, dir, maxFilesPerTrigger = 1)
+          .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+        val q = CdcStream.tumblingAgg(st, "event_ts", "10 minutes", "5 minutes")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.table(name).collect().map(r => (
+          r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      } finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val default = drain(None)
+    val rocks = drain(Some("org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider"))
+    assert(default.nonEmpty, "the drain must close at least one window")
+    assert(rocks == default,
+      s"providers diverged: rocks=$rocks default=$default")
+  }
 }

@@ -22,6 +22,21 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // the VARIANT route to the same payload (Spark 4's binary
+    // semi-structured type): parse once, typed-path extraction — at
+    // scale a VARIANT column parses at ingestion, not per query, which
+    // is the reason to prefer it over per-expression get_json_object
+    "events_variant_extract" -> ((s, dir) => {
+      val k = expr("variant_get(parse_json(props), '$.k', 'int')")
+      Tables.events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // 10-minute tumbling windows
     "events_tumbling" -> ((s, dir) => {
       EventOps.tumblingAgg(Tables.events(s, dir), seconds = 600)
@@ -220,6 +235,13 @@ object EventQueries {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_variant_extract" ->
+      """WITH k AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  count(DISTINCT k) AS n_distinct_k
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_tumbling" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -20,6 +20,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object RelationalQueries {
 
+  /** Register the given frames as uniquely-named temp views, build and
+    * analyze the SQL against them, then drop the views — the analyzed
+    * plan holds its resolved relations, so the views are parse-time
+    * scaffolding only (unique names keep concurrent sessions/dirs from
+    * racing on a shared view name). */
+  private def viaSql(s: SparkSession, frames: Map[String, DataFrame])(
+      build: Map[String, String] => String): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val names = frames.map { case (k, _) => k -> s"${k}_$tag" }
+    frames.foreach { case (k, df) => df.createOrReplaceTempView(names(k)) }
+    try s.sql(build(names))
+    finally names.values.foreach(s.catalog.dropTempView(_))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1: wide partial-aggregatable scan agg (pricing summary)
@@ -179,6 +193,54 @@ object RelationalQueries {
       val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), lit("no_orders").as("status"))
       withOrders.unionAll(without).orderBy(col("c_custkey"))
+    }),
+
+    // correlated LATERAL subquery — top-k-per-group WITHOUT a window:
+    // each nation drives its own ordered-limit scan of customers. At
+    // scale Catalyst rewrites the lateral to the same shuffled
+    // rank-filter a window would plan, so this is a surface feature
+    // (the SQL shape analysts reach for), not a new execution cost
+    "join_lateral_topk" -> ((s, dir) => {
+      viaSql(s, Map("nation" -> Tables.nation(s, dir),
+          "customer" -> Tables.customer(s, dir))) { v =>
+        s"""SELECT n.n_name, t.c_name, t.c_acctbal
+           |FROM ${v("nation")} n JOIN LATERAL (
+           |  SELECT c_name, c_acctbal FROM ${v("customer")} c
+           |  WHERE c.c_nationkey = n.n_nationkey
+           |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+           |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+      }
+    }),
+
+    // RECURSIVE CTE (Spark 4) — the calendar-spine warehouse pattern:
+    // a YEAR series generated by recursion, left-joined to per-year
+    // order rollups. Each recursion step is one scheduled iteration of
+    // the loop executor, so the spine recurses at the COARSE grain
+    // (~7 years) and the bound is derived once at plan time (a two-value
+    // aggregate read driver-side — the same plan-time-scalar class as
+    // pointer dereferencing); recursing per-month with the bound as a
+    // scalar subquery re-ran an orders aggregate EVERY iteration
+    // (80 scans, 11.6 s — the anti-pattern this shape documents against;
+    // a fine-grained spine belongs to sequence()/explode, see
+    // events_resample)
+    "orders_recursive_spine" -> ((s, dir) => {
+      val b = Tables.orders(s, dir)
+        .agg(min(year(col("o_orderdate"))).as("y0"),
+          max(year(col("o_orderdate"))).as("y1")).head()
+      val (y0, y1) = (b.getInt(0), b.getInt(1))
+      viaSql(s, Map("orders" -> Tables.orders(s, dir))) { v =>
+        s"""WITH RECURSIVE years AS (
+           |  SELECT $y0 AS y
+           |  UNION ALL
+           |  SELECT y + 1 FROM years WHERE y < $y1),
+           |oc AS (SELECT year(o_orderdate) AS y, count(*) AS n_orders,
+           |    round(sum(o_totalprice), 2) AS total_price
+           |  FROM ${v("orders")} GROUP BY 1)
+           |SELECT years.y AS year, coalesce(oc.n_orders, 0) AS n_orders,
+           |  coalesce(oc.total_price, 0.0) AS total_price
+           |FROM years LEFT JOIN oc ON oc.y = years.y
+           |ORDER BY year""".stripMargin
+      }
     }),
 
     // set operators: union / intersect / except
@@ -478,6 +540,28 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
         |  FROM part) WHERE rk <= 3
         |ORDER BY p_brand, rk""".stripMargin,
+    "join_lateral_topk" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin,
+    // same recursion shape; the year bound folds to the same literals
+    // via the anchor's own aggregates
+    "orders_recursive_spine" ->
+      """WITH RECURSIVE years AS (
+        |  SELECT (SELECT year(min(o_orderdate))::INT FROM orders) AS y
+        |  UNION ALL
+        |  SELECT y + 1 FROM years
+        |  WHERE y < (SELECT year(max(o_orderdate))::INT FROM orders)),
+        |oc AS (SELECT year(o_orderdate)::INT AS y, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS total_price
+        |  FROM orders GROUP BY 1)
+        |SELECT years.y AS year, coalesce(oc.n_orders, 0) AS n_orders,
+        |  coalesce(oc.total_price, 0.0) AS total_price
+        |FROM years LEFT JOIN oc ON oc.y = years.y
+        |ORDER BY year""".stripMargin,
     "join_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS status FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

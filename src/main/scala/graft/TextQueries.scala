@@ -206,6 +206,32 @@ object TextQueries {
         deleteDirs = Seq(path))
     }
 
+  /** The GROWN-then-COMPACTED gram-index epoch: half the even docs
+    * indexed, the other half APPENDED (so grams shared across the two
+    * waves hold one row per wave), then
+    * [[graft.operators.Dedup.compactGramIndex]] settles the per-append
+    * rows into a fresh generation — which must probe identically to an
+    * index built in one pass over all evens. */
+  private[graft] def gramCompactedIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "gram_compacted_index", dir) { () =>
+      val grow = "graft_gram_grow_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_gram_compact_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val growPath = java.nio.file.Files
+        .createTempDirectory("graft_gram_grow_").toString
+      val destPath = java.nio.file.Files
+        .createTempDirectory("graft_gram_compact_").toString
+      val docs = Tables.documents(s, dir)
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", grow, growPath)
+      Dedup.appendToGramIndex(s, grow,
+        docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+      Dedup.compactGramIndex(s, grow, dest, destPath)
+      EpochRegistry.Resource(dest, dropTables = Seq(grow, dest),
+        deleteDirs = Seq(growPath, destPath))
+    }
+
   /** [[gramIndexFor]] behind [[graft.operators.Generations
     * .publishPointer]] indirection — the same epoch-cached pointer view
     * the IVF families use ([[SimilarityQueries.ivfPointerViewFor]]). */
@@ -884,6 +910,16 @@ object TextQueries {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // ...the same probe against the GROWN-then-COMPACTED generation
+    // (build on half the evens, append the rest, compact the per-append
+    // gram rows away) — compaction is result-invisible by construction,
+    // so the oracle is unchanged: one oracle, another plan
+    "dedup_span_compacted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.probeGramIndex(s, gramCompactedIndexFor(s, dir),
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // ...and the same probe through Generations.publishPointer serving
     // (the gram index joins the pointer-published families): promotion
     // is one atomic view replace, the probe dereferences the pointer
@@ -1369,6 +1405,8 @@ object TextQueries {
       "dedup_span_incremental" -> spanRemovalSql("d.doc_id % 2 = 1"),
       // pointer serving is result-invisible: one oracle, third plan
       "dedup_span_published" -> spanRemovalSql("d.doc_id % 2 = 1"),
+      // grow-append-compact is result-invisible too: fourth plan
+      "dedup_span_compacted" -> spanRemovalSql("d.doc_id % 2 = 1"),
       "text_edit_distance" ->
         """WITH d AS (SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents),
           |a AS (SELECT lang, min_by(p, doc_id) AS anchor_p FROM d GROUP BY lang)

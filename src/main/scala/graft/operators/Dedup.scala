@@ -972,6 +972,29 @@ object Dedup {
       .sortBy("gram")
       .saveAsTable(table)
 
+  /** COMPACT a gram index into a fresh generation: the per-append rows
+    * of each gram re-aggregate to one ([[appendToGramIndex]] leaves one
+    * row per (gram, batch that carried it) — harmless to the
+    * existence-testing probe, but the dup-gram fraction of the scan
+    * grows with append count). Merging is exact without re-reading any
+    * document: batches partition the doc space, so `sum(n_docs)` /
+    * `min(min_doc)` / `max(max_doc)` over a gram's rows equal the
+    * from-scratch aggregates. One bucket-co-located scan in, one
+    * bucketed write out — no exchange of the index rows; promote with
+    * [[Generations]] publish/swap like every generation. */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String,
+      numBuckets: Int = 32): Unit =
+    spark.table(src)
+      .groupBy(col("gram"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        min(col("min_doc")).as("min_doc"), max(col("max_doc")).as("max_doc"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, "gram")
+      .sortBy("gram")
+      .option("path", path)
+      .saveAsTable(dest)
+
   def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // native fused kernel: ONE md5 pass per shingle producing the

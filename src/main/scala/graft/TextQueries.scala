@@ -206,31 +206,42 @@ object TextQueries {
         deleteDirs = Seq(path))
     }
 
-  /** The GROWN-then-COMPACTED gram-index epoch: half the even docs
-    * indexed, the other half APPENDED (so grams shared across the two
-    * waves hold one row per wave), then
-    * [[graft.operators.Dedup.compactGramIndex]] settles the per-append
-    * rows into a fresh generation — which must probe identically to an
-    * index built in one pass over all evens. */
-  private[graft] def gramCompactedIndexFor(s: SparkSession, dir: String): String =
-    EpochRegistry.acquire(s, "gram_compacted_index", dir) { () =>
+  /** The GROWN gram-index epoch: half the even docs indexed, the other
+    * half APPENDED — so grams shared across the two waves hold one row
+    * per wave, the compaction debt [[gramCompactedIndexFor]] settles
+    * and `dedup_span_compaction_check` measures. */
+  private[graft] def gramGrownIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "gram_grown_index", dir) { () =>
       val grow = "graft_gram_grow_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val dest = "graft_gram_compact_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val growPath = java.nio.file.Files
         .createTempDirectory("graft_gram_grow_").toString
-      val destPath = java.nio.file.Files
-        .createTempDirectory("graft_gram_compact_").toString
       val docs = Tables.documents(s, dir)
       Dedup.writeGramIndex(docs.filter(col("doc_id") % 4 === 0),
         "doc_id", "text", grow, growPath)
       Dedup.appendToGramIndex(s, grow,
         docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
-      Dedup.compactGramIndex(s, grow, dest, destPath)
-      EpochRegistry.Resource(dest, dropTables = Seq(grow, dest),
-        deleteDirs = Seq(growPath, destPath))
+      EpochRegistry.Resource(grow, dropTables = Seq(grow),
+        deleteDirs = Seq(growPath))
     }
+
+  /** [[gramGrownIndexFor]] settled by [[graft.operators.Dedup
+    * .compactGramIndex]] into a fresh generation — which must probe
+    * identically to an index built in one pass over all evens (the base
+    * epoch resolves OUTSIDE the acquire, the established nesting
+    * discipline). */
+  private[graft] def gramCompactedIndexFor(s: SparkSession, dir: String): String = {
+    val grow = gramGrownIndexFor(s, dir)
+    EpochRegistry.acquire(s, "gram_compacted_index", dir) { () =>
+      val dest = "graft_gram_compact_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val destPath = java.nio.file.Files
+        .createTempDirectory("graft_gram_compact_").toString
+      Dedup.compactGramIndex(s, grow, dest, destPath)
+      EpochRegistry.Resource(dest, dropTables = Seq(dest),
+        deleteDirs = Seq(destPath))
+    }
+  }
 
   /** [[gramIndexFor]] behind [[graft.operators.Generations
     * .publishPointer]] indirection — the same epoch-cached pointer view
@@ -920,6 +931,13 @@ object TextQueries {
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // the gram family's compaction VERDICT over the grown epoch: its
+    // debt is duplicate rows per gram (one per append wave), and at 5‰
+    // the threshold fires — integer-exact, mirrored from the wave
+    // construction itself
+    "dedup_span_compaction_check" -> ((s, dir) => {
+      Dedup.gramCompactionCheck(s, gramGrownIndexFor(s, dir))
+    }),
     // ...and the same probe through Generations.publishPointer serving
     // (the gram index joins the pointer-published families): promotion
     // is one atomic view replace, the probe dereferences the pointer
@@ -1407,6 +1425,24 @@ object TextQueries {
       "dedup_span_published" -> spanRemovalSql("d.doc_id % 2 = 1"),
       // grow-append-compact is result-invisible too: fourth plan
       "dedup_span_compacted" -> spanRemovalSql("d.doc_id % 2 = 1"),
+      // the grown index's rows = one per (gram, wave): |w0| + |w2| rows,
+      // |w0 ∪ w2| distinct — the monitor's aggregates from construction
+      "dedup_span_compaction_check" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents
+          |  WHERE doc_id % 2 = 0),
+          |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+          |  FROM d, LATERAL unnest(CASE WHEN len(toks) >= 8
+          |    THEN range(1, len(toks) - 6) ELSE [] END) AS t(i)),
+          |c AS (SELECT
+          |  (SELECT count(DISTINCT gram) FROM g WHERE doc_id % 4 = 0) +
+          |  (SELECT count(DISTINCT gram) FROM g WHERE doc_id % 4 = 2)
+          |    AS n_rows,
+          |  (SELECT count(DISTINCT gram) FROM g) AS n_grams)
+          |SELECT n_rows, n_grams, n_rows - n_grams AS dup_rows,
+          |  (n_rows - n_grams) * 1000 // n_rows AS dup_frac_x1000,
+          |  ((n_rows - n_grams) * 1000 // n_rows >= 5
+          |    OR n_rows - n_grams >= 100000000) AS compact
+          |FROM c""".stripMargin,
       "text_edit_distance" ->
         """WITH d AS (SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents),
           |a AS (SELECT lang, min_by(p, doc_id) AS anchor_p FROM d GROUP BY lang)

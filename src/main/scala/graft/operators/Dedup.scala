@@ -982,6 +982,30 @@ object Dedup {
     * from-scratch aggregates. One bucket-co-located scan in, one
     * bucketed write out — no exchange of the index rows; promote with
     * [[Generations]] publish/swap like every generation. */
+  /** The compaction-cadence DECISION for the gram family — the monitor
+    * completing its maintenance symmetry (the other families':
+    * [[Generations.compactionCheck]], [[bandReshardCheck]],
+    * [[graft.streaming.IngestStream.settleCheck]]). The gram index's
+    * compaction debt is DUPLICATE ROWS per gram (one per append that
+    * carried the gram), pure scan waste to the existence-testing probe;
+    * one integer-exact row: rows vs distinct grams, the floored dup
+    * fraction, and a thresholded `compact` verdict. Near-metadata cost:
+    * one aggregate over the index, reduced map-side within its buckets. */
+  def gramCompactionCheck(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxDupFracX1000: Long = 5L,
+      maxDupRows: Long = 100000000L): DataFrame =
+    spark.table(Generations.resolveServing(spark, table))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("gram")).as("n_grams"))
+      .withColumn("dup_rows", col("n_rows") - col("n_grams"))
+      .withColumn("dup_frac_x1000",
+        expr("dup_rows * 1000 div n_rows"))
+      .withColumn("compact",
+        col("dup_frac_x1000") >= maxDupFracX1000 ||
+          col("dup_rows") >= maxDupRows)
+      .select(col("n_rows"), col("n_grams"), col("dup_rows"),
+        col("dup_frac_x1000"), col("compact"))
+
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession,
       src: String, dest: String, path: String,
       numBuckets: Int = 32): Unit =

@@ -17,9 +17,22 @@ object StreamingQueries {
 
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_out_${counter.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // stateful drains pay per-partition state-store open/commit EVERY
+    // micro-batch regardless of data volume (the stream_stream_join
+    // lesson, generalized): pin the drain to 8 state partitions — the
+    // partition count is fixed at query start, results are
+    // partitioning-invariant, and at deployment scale the same knob
+    // sizes state parallelism to the cluster
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+      // restore only AFTER the drain: start() is async and the state
+      // partition count is captured at first-batch construction
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 
@@ -96,22 +109,15 @@ object StreamingQueries {
           col("purchase_ts") > col("signup_ts") &&
           col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
       // the symmetric-hash join keeps FOUR state stores per shuffle
-      // partition, and every micro-batch pays their open/commit per
-      // partition regardless of data volume — at toy scale that fixed
-      // cost dominates, so the stream runs at 8 state partitions
-      // (pinned at query start by the conf; restored after the drain).
-      // At deployment scale the same knob sizes state parallelism to
-      // the cluster, a per-query decision either way.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val out =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          runToMemory(joined.select(col("user_id"), col("signup_id"),
-            col("purchase_id"),
-            expr("unix_micros(signup_ts)").as("signup_us"),
-            expr("unix_micros(purchase_ts)").as("purchase_us")), "append")
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      out.orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+      // partition, every micro-batch paying their open/commit per
+      // partition regardless of data volume — the fixed cost
+      // runToMemory's 8-partition drain bounds (at deployment scale
+      // the same knob sizes state parallelism to the cluster)
+      runToMemory(joined.select(col("user_id"), col("signup_id"),
+          col("purchase_id"),
+          expr("unix_micros(signup_ts)").as("signup_us"),
+          expr("unix_micros(purchase_ts)").as("purchase_us")), "append")
+        .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
     }),
 
     // streaming DEDUP: the state-store form of at-least-once →

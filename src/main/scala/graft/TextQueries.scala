@@ -911,6 +911,27 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the DATASET CARD rollup — the per-source corpus report every
+    // curation run publishes (docs, language spread, token volume,
+    // quality level, size shape). Integer-exact: quality averages in
+    // ppm via integer division over the gated per-doc quality values
+    "text_corpus_report" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextOps.tokenCount(col("text")).as("nt"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("nt")).as("total_tokens"),
+          expr("sum(cast(floor(q * 1000000) as bigint)) div count(1)")
+            .as("avg_quality_ppm"),
+          expr("sum(n_chars) div count(1)").as("avg_chars"),
+          min(col("nt")).cast("long").as("min_tokens"),
+          max(col("nt")).cast("long").as("max_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // the INCREMENTAL form: even-id docs are the standing corpus (gram
     // index, epoch-built), odd-id docs the arriving batch — cleaned
     // against corpus ∪ batch without re-reading the corpus, and gated
@@ -1409,6 +1430,21 @@ object TextQueries {
           |SELECT doc_id, n_ngrams, n_shared,
           |  floor(n_shared * 1000000.0 / n_ngrams) / 1000000 AS shared_frac
           |FROM agg ORDER BY doc_id""".stripMargin,
+      // dataset-card mirror: the same toks/quality formulas, integer
+      // division for the ppm/char averages
+      "text_corpus_report" ->
+        s"""WITH t AS (SELECT source, lang, n_chars,
+          |    len($toksSql) AS nt, ${OracleSql.quality(toksSql)} AS q
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |  count(DISTINCT lang) AS n_langs,
+          |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+          |  CAST(sum(CAST(floor(q * 1000000) AS BIGINT)) // count(*)
+          |    AS BIGINT) AS avg_quality_ppm,
+          |  CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
+          |  CAST(min(nt) AS BIGINT) AS min_tokens,
+          |  CAST(max(nt) AS BIGINT) AS max_tokens
+          |FROM t GROUP BY source ORDER BY source""".stripMargin,
       // span removal mirror: positional 8-gram over the shared token
       // formula; cross-doc grams via min/max doc per gram (the engine
       // groups on the 64-bit gram hash — same duplicate set, gated

@@ -103,6 +103,81 @@ object RelationalQueries {
         .orderBy(col("n_name"))
     }),
 
+    // TPC-H Q14: conditional aggregation as a ratio — two SUM(CASE)
+    // folds in ONE pass over the joined scan (no self-join, no second
+    // scan); part is dimension-sized → broadcast, so the only shuffle
+    // is the single-row final agg
+    "q14_promo_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      val p = Tables.part(s, dir)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+            sum(rev), 4).as("promo_share"),
+          round(sum(rev), 2).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q18: group-HAVING as a join input — the basket aggregate
+    // feeds a fact-fact join (agg BEFORE the join, so only qualifying
+    // orderkeys shuffle into it; at 100 TB the HAVING cut makes the
+    // probe side orders of magnitude smaller than lineitem)
+    "q18_big_baskets" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("o_price"),
+          col("total_qty"))
+        .orderBy(col("o_price").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q13: histogram-of-histogram — customers LEFT-joined to a
+    // filtered orders side (outer join must preserve zero-order
+    // customers), per-customer counts re-grouped into a distribution.
+    // Two shuffles by construction (custkey, then count value); the
+    // second input is already customer-sized, not fact-sized
+    "q13_order_histogram" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") =!= "P")
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q22 shape: scalar-subquery threshold + anti join — idle
+    // high-balance customers (above the positive-balance mean, no
+    // orders since mid-2000). The 1-row global mean broadcasts as a
+    // cross join (no driver round-trip); the anti side is an orders
+    // scan filtered BEFORE the join so the anti probe is recent-orders
+    // sized
+    "q22_idle_balances" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // rollup with grouping() — hierarchical subtotals
     "agg_rollup" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -493,6 +568,43 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+    "q18_big_baskets" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS o_price, total_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 2) > 250) big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_price DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q13_order_histogram" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q22_idle_balances" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
         |  round(sum(c_acctbal), 2) AS sum_bal,

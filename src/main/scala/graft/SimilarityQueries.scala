@@ -136,6 +136,23 @@ object SimilarityQueries {
         deleteDirs = Seq(path))
     }
 
+  /** The PQ epoch index: same acquire contract as [[ivfIndexFor]] —
+    * codebooks trained + the whole corpus encoded ONCE per (session,
+    * dir); every PQ probe in the session reads the persisted codes
+    * (the 32×-compressed corpus) instead of re-training/re-encoding. */
+  private[graft] def pqIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "pq_index", dir) { () =>
+      val table = "graft_pq_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pq_index_").toString
+      VectorOps.writePqIndex(Tables.embeddings(s, dir), table, path,
+        m = 8, ksub = 64, trainIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_codebooks", s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+
   /** The SQ8 epoch index: same contract as [[ivfIndexFor]], but the
     * persisted lists are int8 codes ([[VectorOps.writeIvfIndexSq8]]) —
     * the one member of the index family that compounds the partition
@@ -415,6 +432,63 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb, VectorOps.ivfTopKSq8(querySet(emb), emb, k = recallK,
         numCentroids = ivfK(emb), nProbe = 2, trainIters = 2))
+    }),
+
+    // PQ-ADC ANN: m=8 sub-codebooks of 64 centroids — corpus vectors
+    // score through m one-byte codes (32× payload cut vs float, vs
+    // SQ8's 4×); the query side stays exact (asymmetric distance)
+    "sim_ann_pq" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.pqTopK(querySet(emb), emb, k = 3, m = 8, ksub = 64,
+          trainIters = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the persisted-index form of sim_ann_pq: train + whole-corpus
+    // encode amortize into the epoch write; the gated probe reads ONLY
+    // the 32×-compressed code rows + the KB codebooks. Must hash-match
+    // sim_ann_pq exactly (same oracle SQL).
+    "sim_ann_pq_indexed" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probePqIndex(s, pqIndexFor(s, dir), querySet(emb), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // PQ's recall audit: what the 32× compression costs vs exact float
+    // brute force (same shared recall tail as every approximate path);
+    // audited through the SERVED index probe — the form a deployment
+    // actually monitors
+    "sim_ann_pq_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb,
+        VectorOps.probePqIndex(s, pqIndexFor(s, dir), querySet(emb),
+          k = recallK))
+    }),
+
+    // ADC shortlist + exact re-rank — the production PQ serving shape:
+    // codes rank the whole corpus, floats are read only for the
+    // per-query shortlist survivors (point lookups, not a scan)
+    "sim_ann_pq_rerank" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probePqIndexRerank(s, pqIndexFor(s, dir), querySet(emb),
+          emb, k = 3, shortlist = 32)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the rerank form's recall audit: bounded by "true neighbor in the
+    // ADC top-32", not "in the ADC top-3" — what the shortlist buys
+    "sim_ann_pq_rerank_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.probePqIndexRerank(s, pqIndexFor(s, dir),
+        querySet(emb), emb, k = recallK, shortlist = 32))
     }),
 
     // how much ranking the quantization costs vs exact float cosine
@@ -820,6 +894,125 @@ object SimilarityQueries {
         |        round(${cosQSql("qq", "l.qe")}, 6) DESC, l.vec_id) AS rk
         |    FROM slists l JOIN sprobes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin)
 
+  /** DuckDB mirror of [[VectorOps.pqTrainCodebooks]] + the shared
+    * encode CTE: subvector slicing (1-based inclusive list slices =
+    * Spark's `slice(v, s·dsub+1, dsub)`), L2² assignment through three
+    * list_dot_product folds with `round(…,6)` + lowest-cid ties, and
+    * the `floor(x·1e6)` integer-mean update — the same cross-engine
+    * determinism discipline as [[centTrainSql]]. Ends with `pcents`
+    * (s, cid, cv) and leaves `sv` (vec_id, s, v) in scope for the
+    * encode CTE. */
+  /** The sample-train cap threaded through BOTH engines (Spark
+    * `trainLimit` and the oracle's `tsv` filter): codebooks train on
+    * `vec_id < 16384`, the whole corpus encodes. */
+  private val pqTrainLimit = 16384L
+
+  private def pqL2Sql(a: String, b: String): String =
+    s"(list_dot_product($a::DOUBLE[], $a::DOUBLE[]) - " +
+      s"2 * list_dot_product($a::DOUBLE[], $b::DOUBLE[]) + " +
+      s"list_dot_product($b::DOUBLE[], $b::DOUBLE[]))"
+
+  private def pqTrainSql(m: Int, ksub: Int, iters: Int, dsub: Int,
+      trainLimit: Long): String = {
+    val sv = s"sv AS (SELECT vec_id, t.s AS s, " +
+      s"embedding[(t.s*$dsub+1):(t.s*$dsub+$dsub)] AS v " +
+      s"FROM embeddings, range(0, $m) t(s))"
+    // the training sample (vec_id < trainLimit) mirrors
+    // VectorOps.pqTrainCodebooks' sample-train/encode-all contract;
+    // pcodes (in pqPreCtes) still encodes the FULL sv
+    val tsv = s"tsv AS (SELECT * FROM sv WHERE vec_id < $trainLimit)"
+    val seed = s"p0 AS (SELECT s, vec_id AS cid, v AS cv FROM tsv WHERE vec_id < $ksub)"
+    val steps = (0 until iters).map { i =>
+      val next = if (i == iters - 1) "pcents" else s"p${i + 1}"
+      s"""pasg$i AS (
+        |  SELECT s, cid, v FROM (
+        |    SELECT sv.s AS s, sv.v AS v, c.cid AS cid, row_number() OVER
+        |      (PARTITION BY sv.vec_id, sv.s ORDER BY round(${pqL2Sql("sv.v", "c.cv")}, 6), c.cid) AS cr
+        |    FROM tsv sv JOIN p$i c ON sv.s = c.s) a WHERE cr = 1),
+        |$next AS (
+        |  SELECT s, cid, list(mm ORDER BY pos) AS cv FROM (
+        |    SELECT s, cid, pos, ((sum(q)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0))::FLOAT AS mm
+        |    FROM (SELECT s, cid, t.pos AS pos, floor((v[t.pos + 1])::DOUBLE * 1000000.0)::BIGINT AS q
+        |          FROM pasg$i, range(0, $dsub) t(pos)) ex
+        |    GROUP BY s, cid, pos) cm
+        |  GROUP BY s, cid)""".stripMargin
+    }
+    (Seq(sv, tsv, seed) ++ steps).mkString(",\n")
+  }
+
+  /** The PQ train+encode+query-LUT CTE prefix shared by the gated ADC
+    * ranking and its recall audit (ends with `q`, `pcodes`, `lut` in
+    * scope — one builder so the two mirrors cannot drift). */
+  private def pqPreCtes(m: Int, ksub: Int, dsub: Int): String =
+    s"""${pqTrainSql(m, ksub, 2, dsub, pqTrainLimit)},
+      |pcodes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sv.vec_id AS vec_id, sv.s AS s, c.cid AS cid, row_number() OVER
+      |      (PARTITION BY sv.vec_id, sv.s ORDER BY round(${pqL2Sql("sv.v", "c.cv")}, 6), c.cid) AS cr
+      |    FROM sv JOIN pcents c ON sv.s = c.s) a WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |qsub AS (SELECT query_id, t.s AS s, qv[(t.s*$dsub+1):(t.s*$dsub+$dsub)] AS qsv,
+      |    sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS qnorm
+      |  FROM q, range(0, $m) t(s)),
+      |lut AS (SELECT query_id, s, cid, qnorm,
+      |    floor(list_dot_product(qsv::DOUBLE[], cv::DOUBLE[]) * 1000000000.0)::BIGINT AS qd,
+      |    floor(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]) * 1000000000.0)::BIGINT AS n2
+      |  FROM qsub JOIN pcents USING (s))""".stripMargin
+
+  private def pqScoredSql: String =
+    """scored AS (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    round(((sum(qd)::BIGINT)::DOUBLE / 1000000000.0) /
+      |      (max(qnorm) * sqrt((sum(n2)::BIGINT)::DOUBLE / 1000000000.0)), 6) AS cos_sim
+      |  FROM pcodes JOIN lut USING (s, cid)
+      |  WHERE query_id <> vec_id
+      |  GROUP BY query_id, vec_id)""".stripMargin
+
+  private lazy val pqOracleSql =
+    s"""WITH ${pqPreCtes(8, 64, 8)},
+      |$pqScoredSql,
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** The rerank mirror's shared prefix: ADC scores → top-`shortlist`
+    * cut → exact cosine over the survivors (`exact` in scope). */
+  private def pqRerankCtes: String =
+    s"""${pqPreCtes(8, 64, 8)},
+      |$pqScoredSql,
+      |cand AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS ar
+      |    FROM scored) c WHERE ar <= 32),
+      |exact AS (
+      |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id,
+      |    round(${cosSql("q.qv", "e.embedding")}, 6) AS cos_sim
+      |  FROM cand c JOIN q ON q.query_id = c.query_id
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id)""".stripMargin
+
+  private lazy val pqRerankOracleSql =
+    s"""WITH $pqRerankCtes,
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM exact)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val pqRerankRecallOracleSql = recallOracleSql(
+    preCtes = pqRerankCtes,
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM exact""".stripMargin)
+
+  private lazy val pqRecallOracleSql = recallOracleSql(
+    preCtes = s"""${pqPreCtes(8, 64, 8)},
+      |$pqScoredSql""".stripMargin,
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored""".stripMargin)
+
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -843,6 +1036,11 @@ object SimilarityQueries {
         |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
         |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_pq" -> pqOracleSql,
+    "sim_ann_pq_indexed" -> pqOracleSql,
+    "sim_ann_pq_recall" -> pqRecallOracleSql,
+    "sim_ann_pq_rerank" -> pqRerankOracleSql,
+    "sim_ann_pq_rerank_recall" -> pqRerankRecallOracleSql,
     "sim_quantized_topk" ->
       s"""WITH qtab AS (SELECT vec_id, ${quantSql("embedding")} AS qe FROM embeddings),
         |q AS (SELECT vec_id AS query_id, qe AS qv FROM qtab WHERE vec_id < 10),

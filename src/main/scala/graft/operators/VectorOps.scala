@@ -122,6 +122,285 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Slice each row's vector into `m` contiguous subvectors of `dsub`
+    * components: (idCol, s, sv). The slice positions are plan-time
+    * literals, so the projection stays a narrow codegen'd map. */
+  private def subVectors(df: DataFrame, idCol: String, vCol: String,
+      m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol), posexplode(array(
+        (0 until m).map(s => slice(col(vCol), s * dsub + 1, dsub)): _*))
+      .as(Seq("s", "sv")))
+
+  /** Squared L2 distance expanded through three deterministic
+    * sequential-fold dots (‖a‖² − 2a·b + ‖b‖²) — PQ codebooks quantize
+    * the subvector ITSELF (reconstruction), so the training metric is
+    * L2, not the cosine the coarse IVF quantizer uses. */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Product-quantization codebook training (Jégou et al., TPAMI 2011):
+    * the vector space is split into `m` independent subspaces of
+    * `dim/m` components and each gets its own `ksub`-centroid Lloyd
+    * codebook — so a vector compresses to `m` small codes (m bytes at
+    * ksub ≤ 256) instead of `dim` floats, a 32× payload cut at the
+    * default (64 floats → 8 codes), against SQ8's 4×.
+    *
+    * Determinism contract (the DuckDB-mirror discipline of
+    * [[trainCentroids]]): seeds are the `vec_id < ksub` subvectors,
+    * assignment is argmin of `round(l2², 6)` with lowest-cid
+    * tie-break, and the update mean runs over `floor(x·1e6)` longs —
+    * order-independent integer sums, so the codebook bits cannot
+    * depend on partitioning/AQE. All m·iters assignments ride ONE
+    * sliced frame: per iteration one broadcast join (m·ksub codebook
+    * rows — KB-sized) + one shuffle of N·m narrow rows. Returns
+    * (s, cid, cv). */
+  def pqTrainCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      iterations: Int = 2, dim: Int = 64,
+      trainLimit: Long = Long.MaxValue): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val dsub = dim / m
+    // codebooks train on the deterministic `vec_id < trainLimit` sample
+    // — at corpus scale training on everything is the anti-pattern (a
+    // k-means over 100 TB to place 64·m cell centers); the sample
+    // trains, the WHOLE corpus encodes. The filter is mirrored verbatim
+    // in the oracle, so sampled training stays hash-gated.
+    val sv = subVectors(corpus.filter(col("vec_id") < trainLimit),
+      "vec_id", "embedding", m, dsub)
+    var cents = sv.filter(col("vec_id") < ksub)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+    var it = 0
+    while (it < iterations) {
+      val asg = sv.join(broadcast(cents), Seq("s"))
+        .withColumn("_d", round(l2sq(col("sv"), col("cv")), 6))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(struct(col("cid"), col("sv")),
+          struct(col("_d"), col("cid"))).as("best"))
+        .select(col("s"), col("best.cid").as("cid"), col("best.sv").as("sv"))
+      cents = asg
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .select(col("s"), col("cid"), col("pos"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("q"))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .groupBy(col("s"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          (col("sq").cast("double") / (col("n").cast("double") * lit(1e6)))
+            .cast("float").as("m")))).as("pm"))
+        .select(col("s"), col("cid"), transform(col("pm"), p => p("m")).as("cv"))
+      it += 1
+    }
+    cents
+  }
+
+  /** PQ-encode a corpus against trained codebooks: per (vector,
+    * subspace) the nearest sub-centroid under the training metric
+    * (argmin round(l2²,6), lowest-cid ties — identical rule, so encode
+    * can never drift from training). Kept EXPLODED as (vec_id, s, cid)
+    * — m narrow rows per vector — because every consumer (ADC scoring,
+    * the oracle mirror) joins on (s, cid); the m codes are the
+    * vector's entire retained payload. */
+  def pqEncode(corpus: DataFrame, cents: DataFrame, m: Int = 8,
+      dim: Int = 64): DataFrame =
+    subVectors(corpus, "vec_id", "embedding", m, dim / m)
+      .join(broadcast(cents), Seq("s"))
+      .withColumn("_d", round(l2sq(col("sv"), col("cv")), 6))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cid"), struct(col("_d"), col("cid"))).as("cid"))
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC): the query
+    * stays EXACT while each corpus vector is scored through its
+    * reconstruction —
+    *
+    *   dot(q, x) ≈ Σₛ dot(qₛ, c[s, code_s(x)])   (m table lookups)
+    *   ‖x‖²     ≈ Σₛ ‖c[s, code_s(x)]‖²
+    *
+    * so scoring reads ONLY the m codes per corpus vector, never the
+    * float array — at 100 TB the scan is the cost, and PQ cuts it 32×
+    * (vs SQ8's 4×) at the recall price `sim_ann_pq_recall` audits. The
+    * per-(query, subspace, cid) partial dots form a LUT of Q·m·ksub
+    * rows (KB-sized — broadcast); scoring is a broadcast join of the
+    * exploded codes against it, folded per (query, vector) by an
+    * integer SUM over `floor(pd·1e9)` longs — order-independent, so
+    * the score bits are partition-invariant and the DuckDB mirror is
+    * exact (a raw double Σ over subspaces would make the 6th decimal
+    * depend on reduction order). Map-side partial aggregation means
+    * the shuffle carries Q·N folded rows, not Q·N·m. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+      ksub: Int = 16, trainIters: Int = 2, dim: Int = 64,
+      trainLimit: Long = 16384L): DataFrame = {
+    val scored = pqAdcScored(queries, corpus, m, ksub, trainIters, dim,
+      trainLimit)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** PQ-ADC shortlist + exact re-rank — the production composition: the
+    * compressed scan RANKS (cheap, code-width IO over the whole corpus)
+    * and the float read is deferred to the per-query `shortlist`
+    * survivors (Q·shortlist rows — an id-equi-join probe, not a scan),
+    * which are re-scored with EXACT cosine and cut to `k`. Recall is
+    * then bounded by "true neighbor in the ADC top-`shortlist`" — far
+    * looser than top-k — while ranking precision is exact; at 100 TB
+    * the float fetch is Q·shortlist point reads against a corpus the
+    * ADC pass never materialized. */
+  def pqTopKRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 32, m: Int = 8, ksub: Int = 16,
+      trainIters: Int = 2, dim: Int = 64,
+      trainLimit: Long = 16384L): DataFrame =
+    pqRerankExact(
+      pqAdcScored(queries, corpus, m, ksub, trainIters, dim, trainLimit),
+      queries, corpus, k, shortlist)
+
+  /** The shared rerank tail: cut the ADC scores to the per-query
+    * `shortlist`, fetch ONLY those float vectors (broadcast id probe —
+    * no corpus scan), re-score exactly, keep `k`. */
+  private def pqRerankExact(scored: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val cand = scored
+      .withColumn("_ar", row_number().over(wa)).filter(col("_ar") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+    val exact = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+    exact.withColumn("rk", row_number().over(wa).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Query-side ADC lookup table: for every (query, subspace,
+    * sub-centroid), the partial dot and the sub-centroid's squared norm
+    * as `floor(·1e9)` longs (so the downstream Σ over subspaces is an
+    * order-independent integer sum), plus the query's exact norm.
+    * Q·m·ksub rows — KB-sized, always broadcast. */
+  private def pqLut(queries: DataFrame, cents: DataFrame, m: Int,
+      dim: Int): DataFrame = {
+    val qsub = subVectors(queries, "vec_id", "embedding", m, dim / m)
+      .withColumnRenamed("vec_id", "query_id")
+    val qn = queries.select(col("vec_id").as("query_id"),
+      norm(col("embedding")).as("qnorm"))
+    qsub.join(broadcast(cents), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid"),
+        floor(dot(col("sv"), col("cv")) * lit(1e9)).cast("long").as("qd"),
+        floor(dot(col("cv"), col("cv")) * lit(1e9)).cast("long").as("n2"))
+      .join(broadcast(qn), Seq("query_id"))
+  }
+
+  /** Fold exploded codes against a broadcast LUT into ADC cosine
+    * scores: (query_id, neighbor_id, cos_sim). Map-side partial
+    * aggregation shuffles Q·N folded rows, never Q·N·m. */
+  private def pqAdcFold(codes: DataFrame, lut: DataFrame): DataFrame =
+    codes.join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adot"), sum(col("n2")).as("rn2"),
+        max(col("qnorm")).as("qnorm"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round((col("adot").cast("double") / lit(1e9)) /
+          (col("qnorm") * sqrt(col("rn2").cast("double") / lit(1e9))), 6)
+          .as("cos_sim"))
+
+  /** The shared ADC scoring frame behind [[pqTopK]] and
+    * [[pqTopKRerank]]: (query_id, neighbor_id, cos_sim) for every
+    * (query, corpus vector) pair, scored through codes only. */
+  private def pqAdcScored(queries: DataFrame, corpus: DataFrame, m: Int,
+      ksub: Int, trainIters: Int, dim: Int, trainLimit: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val trained = pqTrainCodebooks(corpus, m, ksub, trainIters, dim,
+      trainLimit)
+    // referenced twice (encode + LUT) — the same replayable RDD-persist
+    // pattern as ivfTopK (see the lineage/lifecycle notes there)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = corpus.sparkSession.createDataFrame(centRdd, trained.schema)
+    pqAdcFold(pqEncode(corpus, cents, m, dim),
+      pqLut(queries, cents, m, dim))
+  }
+
+  /** Materialize a PQ index to the catalog: `<table>_codebooks` (the
+    * m·ksub sub-centroids — KB-sized, broadcast at probe time) and
+    * `<table>_codes` (the corpus as m narrow (vec_id, s, cid) rows per
+    * vector — the 32× payload the ADC probe scans INSTEAD of the float
+    * corpus). The expensive half of [[pqTopK]] — training and the
+    * one-time whole-corpus encode — happens here once per epoch; a
+    * probe then costs LUT build (KB) + the code scan + the fold.
+    * Family contract mirrors [[writeIvfIndex]]: immutable generation,
+    * frozen-codebook [[appendToPqIndex]], seq-versioned tombstone
+    * deletes (shared sidecar discipline — [[deleteFromIvfIndex]]
+    * writes the same `(vec_id, seq)` shape this probe anti-joins). */
+  def writePqIndex(corpus: DataFrame, table: String, path: String,
+      m: Int = 8, ksub: Int = 64, trainIters: Int = 2, dim: Int = 64,
+      trainLimit: Long = 16384L): Unit = {
+    val spark = corpus.sparkSession
+    val trained = pqTrainCodebooks(corpus, m, ksub, trainIters, dim,
+      trainLimit)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = spark.createDataFrame(centRdd, trained.schema)
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${table}_codebooks")
+    pqEncode(corpus, cents, m, dim)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codes").saveAsTable(s"${table}_codes")
+    centRdd.unpersist()
+  }
+
+  /** Probe a [[writePqIndex]] table — identical output to [[pqTopK]]
+    * with the same build parameters (shared encode/LUT/fold code), but
+    * training and encoding are amortized into the epoch write: the
+    * probe reads codes only. Serves through a
+    * [[Generations.publishPointer]] view when given one; tombstoned
+    * ids are anti-joined out (broadcast — mutation-sized). */
+  def probePqIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, k: Int, m: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val t = Generations.resolveServing(spark, table)
+    val cents = spark.table(s"${t}_codebooks")
+    val scored = pqAdcFold(dropTombstoned(spark, t, spark.table(s"${t}_codes")),
+      pqLut(queries, cents, m, dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** [[probePqIndex]] with the exact re-rank tail — the served form of
+    * [[pqTopKRerank]]: codes rank, `corpus` supplies the float vectors
+    * for the per-query shortlist survivors only. */
+  def probePqIndexRerank(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 32, m: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val t = Generations.resolveServing(spark, table)
+    val cents = spark.table(s"${t}_codebooks")
+    val scored = pqAdcFold(dropTombstoned(spark, t, spark.table(s"${t}_codes")),
+      pqLut(queries, cents, m, dim))
+    pqRerankExact(scored, queries, corpus, k, shortlist)
+  }
+
+  /** Admit a batch to a standing PQ index under its FROZEN codebooks —
+    * the PQ twin of [[appendToIvfIndex]]: encode the batch against
+    * `<table>_codebooks` (broadcast, batch-sized work — the indexed
+    * corpus is never read) and append the code rows. Probing after
+    * append must equal encoding the UNION corpus against the original
+    * codebooks (PqSpec pins it) — codebook drift is an epoch decision,
+    * not an append side effect. */
+  def appendToPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, m: Int = 8, dim: Int = 64): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.table(s"${table}_codebooks")
+    pqEncode(batch, cents, m, dim)
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_codes")
+  }
+
   /** Sign-pattern bucket of the first `bits` dimensions — an axis-aligned
     * random-hyperplane LSH (hyperplanes = coordinate planes; for unit-scale
     * embeddings each bit is ~balanced, giving 2^bits roughly even buckets). */

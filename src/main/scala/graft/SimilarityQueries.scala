@@ -153,6 +153,92 @@ object SimilarityQueries {
         deleteDirs = Seq(path))
     }
 
+  /** [[ivfPointerViewFor]] for the PQ generation — same atomic
+    * catalog-pointer serve, `_codebooks`+`_codes` resolving together. */
+  private[graft] def pqPointerViewFor(s: SparkSession, dir: String): String = {
+    val base = pqIndexFor(s, dir)
+    EpochRegistry.acquire(s, "pq_pointer_view", dir) { () =>
+      val view = "graft_pq_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base,
+        suffixes = Seq("_codebooks", "_codes"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  /** The PQ DELETE epoch: clone the serving PQ generation, admit exact
+    * copies of the query vectors under poison ids (frozen-codebook
+    * append — they'd surface as ADC-cosine-1.0 rank-1 neighbors), then
+    * tombstone them. The gated probe must hash-match `sim_ann_pq`'s
+    * oracle — a tombstone leak is a hash mismatch, not a subtle rank
+    * shift. */
+  private[graft] def pqDeleteIndexFor(s: SparkSession, dir: String): String = {
+    val base = pqIndexFor(s, dir)
+    EpochRegistry.acquire(s, "pq_delete_index", dir) { () =>
+      val table = "graft_pq_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pq_delete_index_").toString
+      VectorOps.clonePqIndex(s, base, table, path)
+      val poison = querySet(Tables.embeddings(s, dir))
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToPqIndex(s, table, poison)
+      VectorOps.deleteFromIvfIndex(s, table, poison.select(col("vec_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_codebooks", s"${table}_codes",
+          s"${table}_tombstones"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The PQ COMPACTION epoch: the delete generation compacted — dead
+    * code rows settle physically, the new generation starts
+    * tombstone-free; the probe must still hash-match `sim_ann_pq`. */
+  private[graft] def pqCompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = pqDeleteIndexFor(s, dir)
+    EpochRegistry.acquire(s, "pq_compact_index", dir) { () =>
+      val table = "graft_pq_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pq_compact_index_").toString
+      VectorOps.compactPqIndex(s, base, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_codebooks", s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The PQ UPDATE epoch: the serving generation cloned, CORRUPTED the
+    * way in-place re-ingestion would corrupt it — copies of the query
+    * vectors admitted under ten EXISTING corpus ids (50–59), whose ADC
+    * folds then SUM over both generations of code rows (a mixed,
+    * garbage score — the defect [[graft.operators.VectorOps
+    * .upsertToPqIndex]] exists to prevent) — and HEALED by upserting
+    * the ids' true vectors. Probe must hash-match `sim_ann_pq`. */
+  private[graft] def pqUpsertIndexFor(s: SparkSession, dir: String): String = {
+    val base = pqIndexFor(s, dir)
+    EpochRegistry.acquire(s, "pq_upsert_index", dir) { () =>
+      val corrupt = "graft_pq_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_pq_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_pq_upsert_").toString)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.clonePqIndex(s, base, corrupt, paths(0))
+      val poison = querySet(emb)
+        .select((col("vec_id") + 50).as("vec_id"), col("embedding"))
+      VectorOps.appendToPqIndex(s, corrupt, poison)
+      val truth = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.upsertToPqIndex(s, corrupt, dest, paths(1), truth)
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(s"${corrupt}_codebooks", s"${corrupt}_codes",
+          s"${dest}_codebooks", s"${dest}_codes"),
+        deleteDirs = paths)
+    }
+  }
+
   /** The SQ8 epoch index: same contract as [[ivfIndexFor]], but the
     * persisted lists are int8 codes ([[VectorOps.writeIvfIndexSq8]]) —
     * the one member of the index family that compounds the partition
@@ -468,6 +554,62 @@ object SimilarityQueries {
       recallAudit(emb,
         VectorOps.probePqIndex(s, pqIndexFor(s, dir), querySet(emb),
           k = recallK))
+    }),
+
+    // PQ atomic pointer serving: probing through the published view
+    // must hash-match the direct probe (indirection is
+    // result-invisible, one 1-row view read at plan time)
+    "sim_ann_pq_published" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probePqIndex(s, pqPointerViewFor(s, dir), querySet(emb), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // PQ DELETE maintenance: poison twins admitted then tombstoned —
+    // the probe anti-joins the (broadcast, mutation-sized) sidecar and
+    // must hash-match sim_ann_pq's oracle (a leak = ADC cosine 1.0 at
+    // rank 1)
+    "sim_ann_pq_deleted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probePqIndex(s, pqDeleteIndexFor(s, dir), querySet(emb), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // PQ COMPACTION: the delete generation rewritten with its dead code
+    // rows settled physically (starts tombstone-free) — rows identical
+    // to the anti-joined probe, so the same oracle gates it
+    "sim_ann_pq_compacted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probePqIndex(s, pqCompactIndexFor(s, dir), querySet(emb), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // PQ UPDATE maintenance: the corrupt+heal epoch — ten corpus ids
+    // carried doubled code rows (mixed ADC folds) until the upsert
+    // generation dropped and re-encoded them; hash-matching the
+    // untouched oracle proves the heal is exact
+    "sim_ann_pq_updated" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probePqIndex(s, pqUpsertIndexFor(s, dir), querySet(emb), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // compaction-cadence DECISION for the PQ family (the shared
+    // Generations.compactionCheck monitor shape): the delete epoch's
+    // ten tombstones against the m-per-vector code rows — the FALSE
+    // branch of the verdict is what this gates
+    "sim_ann_pq_compaction_check" -> ((s, dir) => {
+      val gen = pqDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_codes"))
     }),
 
     // ADC shortlist + exact re-rank — the production PQ serving shape:
@@ -1038,6 +1180,20 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_pq" -> pqOracleSql,
     "sim_ann_pq_indexed" -> pqOracleSql,
+    "sim_ann_pq_published" -> pqOracleSql,
+    "sim_ann_pq_deleted" -> pqOracleSql,
+    "sim_ann_pq_compacted" -> pqOracleSql,
+    "sim_ann_pq_updated" -> pqOracleSql,
+    // the delete epoch's codes = (corpus + 10 poison) × m=8 rows each;
+    // tombstoned = the 10 poison ids — ~1‰, the verdict must NOT fire
+    "sim_ann_pq_compaction_check" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT (n + t) * 8 AS n_rows, t AS n_tombstoned,
+        |  t * 1000 // ((n + t) * 8) AS tombstone_frac_x1000,
+        |  (t * 1000 // ((n + t) * 8) >= 50 OR t >= 1000000) AS compact
+        |FROM e, q""".stripMargin,
     "sim_ann_pq_recall" -> pqRecallOracleSql,
     "sim_ann_pq_rerank" -> pqRerankOracleSql,
     "sim_ann_pq_rerank_recall" -> pqRerankRecallOracleSql,

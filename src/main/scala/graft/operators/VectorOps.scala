@@ -401,6 +401,66 @@ object VectorOps {
       .saveAsTable(s"${table}_codes")
   }
 
+  /** Copy a PQ index to a new generation — same clone/compact contract
+    * as [[cloneIvfIndex]]: a plain clone is pure IO (codebooks + codes
+    * verbatim, tombstone sidecar carried so pending deletes cannot
+    * resurrect); `compact = true` SETTLES the tombstones physically
+    * (dead ids drop during the rewrite, the compacted generation starts
+    * tombstone-free) and collapses the append file groups. */
+  def clonePqIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, compact: Boolean = false): Unit = {
+    spark.table(s"${src}_codebooks").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${dest}_codebooks")
+    val codes0 = spark.table(s"${src}_codes")
+    val codes = if (compact) dropTombstoned(spark, src, codes0) else codes0
+    (if (compact) codes.repartition(col("vec_id")) else codes)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codes").saveAsTable(s"${dest}_codes")
+    if (!compact && spark.catalog.tableExists(s"${src}_tombstones"))
+      spark.table(s"${src}_tombstones")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${dest}_tombstones")
+  }
+
+  /** [[clonePqIndex]] with `compact = true` under its operational name —
+    * the tombstone-settling edge of the PQ lifecycle. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String): Unit =
+    clonePqIndex(spark, src, dest, path, compact = true)
+
+  /** UPDATE maintenance for the PQ index — the same generation-step
+    * upsert contract as [[upsertToIvfIndex]] (in-place re-append is NOT
+    * offered: codes key on `vec_id`, and an id carrying both its stale
+    * and fresh code rows would FOLD BOTH into one corrupted ADC score —
+    * worse than the IVF double-serve, since the sums mix). The new
+    * generation drops every code row of the incoming ids AND of
+    * previously tombstoned ids (an update purges pending deletes for
+    * free), then re-encodes the incoming vectors' latest row each under
+    * the FROZEN codebooks (copied verbatim — no Lloyd pass). Cost: one
+    * codes rewrite — the compaction class. */
+  def upsertToPqIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, vecs: DataFrame, m: Int = 8,
+      dim: Int = 64): Unit = {
+    spark.table(s"${src}_codebooks").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${dest}_codebooks")
+    // ONE row per incoming id (the uniform upsert hygiene contract —
+    // deterministic max-by-content reduction of a duplicate-id batch)
+    val latest = vecs.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val incoming = latest.select(col("vec_id"))
+    val dead =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        incoming.unionByName(
+          spark.table(s"${src}_tombstones").select(col("vec_id"))).distinct()
+      else incoming
+    spark.table(s"${src}_codes")
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codes").saveAsTable(s"${dest}_codes")
+    appendToPqIndex(spark, dest, latest, m, dim)
+  }
+
   /** Sign-pattern bucket of the first `bits` dimensions — an axis-aligned
     * random-hyperplane LSH (hyperplanes = coordinate planes; for unit-scale
     * embeddings each bit is ~balanced, giving 2^bits roughly even buckets). */

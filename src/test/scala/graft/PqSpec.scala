@@ -133,6 +133,69 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert replaces code rows wholesale; compaction settles tombstones; pointer serves") {
+    val q = corpus.filter(col("vec_id") === 4)
+    val c = corpus.filter(col("vec_id") < 4)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val src = s"graft_pq_up_src_$tag"
+    val dest = s"graft_pq_up_dest_$tag"
+    val comp = s"graft_pq_up_comp_$tag"
+    val view = s"graft_pq_up_view_$tag"
+    val paths = (1 to 3).map(_ =>
+      java.nio.file.Files.createTempDirectory("graft_pq_up_").toString)
+    try {
+      VectorOps.writePqIndex(c, src, paths(0), m = 2, ksub = 2,
+        trainIters = 1, dim = dim)
+      // corrupt: vec 3 doubled under a different embedding (vec 2's) —
+      // its ADC fold now mixes two generations of code rows
+      VectorOps.appendToPqIndex(spark, src,
+        c.filter(col("vec_id") === 2)
+          .select(lit(3L).as("vec_id"), col("embedding")), m = 2, dim = dim)
+      // plus a pending delete of vec 0 the upsert must purge
+      VectorOps.deleteFromIvfIndex(spark, src, Seq(0L).toDF("vec_id"))
+      VectorOps.upsertToPqIndex(spark, src, dest, paths(1),
+        c.filter(col("vec_id") === 3), m = 2, dim = dim)
+      val codes = spark.table(s"${dest}_codes")
+      assert(codes.filter(col("vec_id") === 3L).count() == 2,
+        "exactly one generation of code rows per upserted id")
+      assert(codes.filter(col("vec_id") === 0L).count() == 0,
+        "upsert purges pending deletes")
+      assert(!spark.catalog.tableExists(s"${dest}_tombstones") ||
+        spark.table(s"${dest}_tombstones").isEmpty)
+      // the healed generation probes exactly like a fresh build over c
+      val fresh = VectorOps.pqTopK(q, c, k = 4, m = 2, ksub = 2,
+        trainIters = 1, dim = dim)
+        .select(col("neighbor_id"), col("cos_sim"))
+        .as[(Long, Double)].collect().toMap.filter(_._1 != 0L)
+      val healed = VectorOps.probePqIndex(spark, dest, q, k = 4, m = 2,
+        dim = dim).select(col("neighbor_id"), col("cos_sim"))
+        .as[(Long, Double)].collect().toMap
+      assert(healed == fresh)
+
+      // compaction of the CORRUPT src settles the tombstone physically
+      VectorOps.compactPqIndex(spark, src, comp, paths(2))
+      assert(spark.table(s"${comp}_codes")
+        .filter(col("vec_id") === 0L).count() == 0)
+      assert(!spark.catalog.tableExists(s"${comp}_tombstones"))
+
+      // pointer-published serving: probing the view == probing dest
+      graft.operators.Generations.publishPointer(spark, view, dest,
+        suffixes = Seq("_codebooks", "_codes"))
+      val viaView = VectorOps.probePqIndex(spark, view, q, k = 4, m = 2,
+        dim = dim).select(col("neighbor_id"), col("cos_sim"))
+        .as[(Long, Double)].collect().toMap
+      assert(viaView == healed)
+    } finally {
+      if (spark.catalog.tableExists(view)) spark.sql(s"DROP VIEW $view")
+      Seq(src, dest, comp).flatMap(t => Seq(s"${t}_codebooks",
+          s"${t}_codes", s"${t}_tombstones"))
+        .foreach(t => if (spark.catalog.tableExists(t))
+          spark.sql(s"DROP TABLE $t"))
+      paths.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    }
+  }
+
   test("Lloyd refinement keeps the (s, cid, cv) shape and stays deterministic") {
     val a = VectorOps.pqTrainCodebooks(corpus, m = 2, ksub = 2,
       iterations = 2, dim = dim).orderBy(col("s"), col("cid"))

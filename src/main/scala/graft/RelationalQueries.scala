@@ -178,6 +178,266 @@ object RelationalQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // TPC-H Q4 shape: EXISTS → LEFT SEMI join with a cross-side
+    // predicate (lineitem shipped >60 days after its order date stands
+    // in for the commit/receipt lateness test — the fixture carries no
+    // l_commitdate/l_receiptdate). The semi probe carries only
+    // (l_orderkey, l_shipdate); at 100 TB the date filter on orders
+    // cuts the build side before the shuffle
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q7: bidirectional two-nation trade volume — the fact joins
+    // shuffle on their keys; BOTH nation copies broadcast (the name
+    // filter is a residual the optimizer pushes into the 25-row dims)
+    "q7_nation_volume" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val ns = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val nc = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8: national market share inside a region — two SUM folds
+    // (conditional numerator over total) in one pass, the q14 ratio
+    // technique over a 6-table join
+    "q8_market_share" -> ((s, dir) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = Tables.customer(s, dir)
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val ns = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      li.join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"), "left_semi")
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0))) /
+            sum(rev), 6).as("mkt_share"),
+          round(sum(rev), 2).as("total_rev"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 shape: profit by supplier nation and year. The fixture
+    // has no partsupp, so cost is proxied as 0.6·p_retailprice·qty —
+    // the plan shape (LIKE-filtered part dim broadcast into the fact
+    // join, two-level group) is the coverage point, not the cost model
+    "q9_profit_proxy" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val ns = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+      li.join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q10: returned-item revenue ranking — top-20 customers by
+    // lost revenue in a quarter; the returnflag filter rides the scan,
+    // the customer/nation sides broadcast or shuffle by key
+    "q10_returned_items" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        // exact integer cents (the EventQueries technique): per-row
+        // cents round identically in both engines (same IEEE product),
+        // and integer sums are order-independent — no round(sum(double))
+        // boundary flake on any group
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"),
+          col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q15: top supplier — the revenue "view" aggregated once,
+    // its global max broadcast back as a 1-row cross join (the q22
+    // scalar-subquery technique; no driver round-trip, no second scan
+    // of lineitem)
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir).filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_rev"), 2).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q16 shape: distinct-supplier counts per part attribute
+    // with an excluded-supplier anti join (negative-balance suppliers
+    // stand in for the comment-matched complaints list the fixture
+    // lacks). countDistinct shuffles once on the group keys
+    "q16_supplier_parts" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(
+        col("p_brand") =!= "Brand#4" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q17: small-quantity revenue loss — the correlated AVG
+    // subquery decorrelated by hand: per-part averages computed ONCE
+    // over the brand-restricted fact slice (semi-reduced by the
+    // broadcast part dim BEFORE the agg, so the avg side is
+    // brand-sized, not corpus-sized), then joined back on partkey
+    "q17_small_quantity" -> ((s, dir) => {
+      val brandParts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+      val liBrand = Tables.lineitem(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      val avgQty = liBrand.groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      liBrand.join(broadcast(avgQty), Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q19: disjunctive join predicates — three (brand, size,
+    // quantity) bands OR-ed inside the join condition; Catalyst
+    // extracts the common p_partkey equi-key so the join stays
+    // hash-based with the disjunction as a residual filter
+    "q19_disjunctive" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(16, 30) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#19" && col("p_size").between(31, 50) &&
+              col("l_quantity").between(20, 40))))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q20 shape: nested semi-joins — suppliers in one nation
+    // whose 1996 shipped quantity of PROMO parts clears a volume
+    // threshold (the partsupp availability test the fixture can't
+    // express). The qualifying set reduces BEFORE touching supplier:
+    // fact → semi(part) → agg → HAVING, then supplier semi-joins it
+    "q20_volume_suppliers" -> ((s, dir) => {
+      val promo = Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+      val qualified = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 100)
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact — the
+    // sole-late-supplier census. "Late" = shipped >90 days after the
+    // order date (no commit/receipt dates in the fixture). Both
+    // correlated quantifiers decorrelate to per-order AGGREGATES
+    // (EXISTS another supplier ⇔ distinct-supplier count ≥ 2;
+    // NOT EXISTS another LATE supplier ⇔ late-supplier count = 1,
+    // whose min() IS the sole supplier) — two shuffles on l_orderkey
+    // instead of distinct + semi + anti re-probes of the fact; the
+    // DuckDB oracle keeps the EXISTS/NOT-EXISTS formulation, so the
+    // rewrite is validated, not assumed. A first draft did run the
+    // literal semi/anti plan: 2.2 s vs 1.4 s here at sf0.1, and the
+    // gap is the re-probed fact, which only widens at 100 TB
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val soleLate = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("late_cnt"),
+          min(col("l_suppkey")).as("late_supp"))
+        .filter(col("late_cnt") === 1)
+      val multiSupp = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("a_key"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .filter(col("n_supp") >= 2)
+      soleLate
+        .join(multiSupp, col("l_orderkey") === col("a_key"), "left_semi")
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // rollup with grouping() — hierarchical subtotals
     "agg_rollup" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -605,6 +865,138 @@ object RelationalQueries {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN ns.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |WHERE p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      JOIN region ON n_regionkey = r_regionkey
+        |                      WHERE r_name = 'ASIA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit_proxy" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, round(total_rev, 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_parts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+        |        AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 31 AND 50
+        |        AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q20_volume_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_name = 'NATION_5')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |      AND l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_type = 'PROMO')
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
         |  round(sum(c_acctbal), 2) AS sum_bal,

@@ -166,6 +166,48 @@ object SimilarityQueries {
     }
   }
 
+  /** The IVF-PQ epoch index: both quantizers trained + the corpus
+    * assigned/encoded ONCE per (session, dir) — the composite's probes
+    * read only their ranked lists' code partitions. Same acquire
+    * contract as [[ivfIndexFor]]/[[pqIndexFor]]. */
+  private[graft] def ivfPqIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "ivfpq_index", dir) { () =>
+      val table = "graft_ivfpq_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_index_").toString
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.writeIvfPqIndex(emb, table, path,
+        numCentroids = ivfK(emb), trainIters = 2, m = 8, ksub = 64,
+        pqIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+
+  /** The IVF-PQ append epoch — clone-then-append under BOTH frozen
+    * quantizers ([[ivfAppendIndexFor]]'s shape): the serving generation
+    * is never touched, the batch routes to its lists and encodes
+    * against the epoch codebooks, and the probe must equal a fresh
+    * build over the union corpus with the same frozen quantizers. */
+  private[graft] def ivfPqAppendIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_append_index", dir) { () =>
+      val table = "graft_ivfpq_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_append_index_").toString
+      VectorOps.cloneIvfPqIndex(s, base, table, path)
+      VectorOps.appendToIvfPqIndex(s, table,
+        dupVectors(Tables.embeddings(s, dir)).filter(col("vec_id") >= 100000))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** The PQ DELETE epoch: clone the serving PQ generation, admit exact
     * copies of the query vectors under poison ids (frozen-codebook
     * append — they'd surface as ADC-cosine-1.0 rank-1 neighbors), then
@@ -870,6 +912,57 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // IVF-PQ: the coarse quantizer's nProbe/K list cut COMPOUNDED with
+    // PQ's 32× code compression — the billion-scale composite layout
+    // (FAISS IndexIVFPQ, by_residual=false). Scores are bit-identical
+    // to flat PQ over the probed lists' candidate set.
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.ivfPqTopK(querySet(emb), emb, k = 3,
+          numCentroids = ivfK(emb), nProbe = 4, trainIters = 2,
+          m = 8, ksub = 64, pqIters = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the persisted form: both trainings + assignment + encode amortize
+    // into the epoch write; the gated probe reads ONLY the probed
+    // lists' code partitions (DPP — IvfPqSpec asserts files-read) and
+    // must hash-match sim_ann_ivfpq exactly (same oracle SQL)
+    "sim_ann_ivfpq_indexed" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndex(s, ivfPqIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // append maintenance under BOTH frozen quantizers: the batch routes
+    // to its lists and encodes against the epoch codebooks; the probe
+    // must equal a fresh frozen-quantizer build over the union corpus
+    "sim_ann_ivfpq_appended" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndex(s, ivfPqAppendIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the composite's recall audit (every approximate path carries
+    // one), through the SERVED probe at nProbe=2 — what the two stacked
+    // approximations (list cut × code quantization) cost vs exact
+    // brute force
+    "sim_ann_ivfpq_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb,
+        VectorOps.probeIvfPqIndex(s, ivfPqIndexFor(s, dir), querySet(emb),
+          k = recallK, nProbe = 2))
+    }),
+
     // the indexed SQ8 probe's recall audit (every approximate path in
     // the repo carries one) — nProbe=2 like the other recall entries
     "sim_ann_ivf_sq8_indexed_recall" -> ((s, dir) => {
@@ -1155,6 +1248,72 @@ object SimilarityQueries {
         |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
         |    FROM scored""".stripMargin)
 
+  /** The IVF-PQ mirror: the coarse CTEs of [[ivfOracleOver]] (frozen
+    * quantizer always trains on `embeddings`) composed with the PQ
+    * train/encode/LUT CTEs — codes encode `corpusRel`, candidates
+    * restrict to each query's `nProbe` probed lists, and the ADC fold
+    * is the flat-PQ integer sum verbatim. Ends with `q` and `scored`
+    * in scope; one builder feeds the gated rankings (build, index,
+    * append) AND the recall audit so none can drift. */
+  private def ivfPqCtes(pre: String, corpusRel: String,
+      nProbe: Int): String =
+    s"""$pre${centTrainSql(ivfKSql, 2)},
+      |${pqTrainSql(8, 64, 2, 8, pqTrainLimit)},
+      |csv AS (SELECT vec_id, t.s AS s, embedding[(t.s*8+1):(t.s*8+8)] AS v
+      |  FROM $corpusRel, range(0, 8) t(s)),
+      |pcodes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sv.vec_id AS vec_id, sv.s AS s, c.cid AS cid, row_number() OVER
+      |      (PARTITION BY sv.vec_id, sv.s ORDER BY round(${pqL2Sql("sv.v", "c.cv")}, 6), c.cid) AS cr
+      |    FROM csv sv JOIN pcents c ON sv.s = c.s) a WHERE cr = 1),
+      |casg AS (
+      |  SELECT vec_id, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM $corpusRel CROSS JOIN cents),
+      |lists AS (SELECT vec_id, cid AS list_id FROM casg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |qsub AS (SELECT query_id, t.s AS s, qv[(t.s*8+1):(t.s*8+8)] AS qsv,
+      |    sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS qnorm
+      |  FROM q, range(0, 8) t(s)),
+      |lut AS (SELECT query_id, s, cid, qnorm,
+      |    floor(list_dot_product(qsv::DOUBLE[], cv::DOUBLE[]) * 1000000000.0)::BIGINT AS qd,
+      |    floor(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]) * 1000000000.0)::BIGINT AS n2
+      |  FROM qsub JOIN pcents USING (s)),
+      |probes AS (
+      |  SELECT query_id, cid AS list_id FROM (
+      |    SELECT query_id, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pr WHERE cr <= $nProbe),
+      |scored AS (
+      |  SELECT p.query_id AS query_id, pcodes.vec_id AS neighbor_id,
+      |    round(((sum(qd)::BIGINT)::DOUBLE / 1000000000.0) /
+      |      (max(qnorm) * sqrt((sum(n2)::BIGINT)::DOUBLE / 1000000000.0)), 6) AS cos_sim
+      |  FROM pcodes
+      |  JOIN lists ON lists.vec_id = pcodes.vec_id
+      |  JOIN probes p ON lists.list_id = p.list_id
+      |  JOIN lut ON lut.query_id = p.query_id AND lut.s = pcodes.s
+      |    AND lut.cid = pcodes.cid
+      |  WHERE p.query_id <> pcodes.vec_id
+      |  GROUP BY p.query_id, pcodes.vec_id)""".stripMargin
+
+  private def ivfPqOracleOver(pre: String, corpusRel: String): String =
+    s"""WITH ${ivfPqCtes(pre, corpusRel, 4)},
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfPqOracleSql = ivfPqOracleOver("", "embeddings")
+  private lazy val ivfPqAppendOracleSql =
+    ivfPqOracleOver(dupVectorsSql + ",\n", "corpus")
+
+  private lazy val ivfPqRecallOracleSql = recallOracleSql(
+    preCtes = ivfPqCtes("", "embeddings", 2),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored""".stripMargin)
+
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -1180,6 +1339,10 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_pq" -> pqOracleSql,
     "sim_ann_pq_indexed" -> pqOracleSql,
+    "sim_ann_ivfpq" -> ivfPqOracleSql,
+    "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
+    "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,
+    "sim_ann_ivfpq_recall" -> ivfPqRecallOracleSql,
     "sim_ann_pq_published" -> pqOracleSql,
     "sim_ann_pq_deleted" -> pqOracleSql,
     "sim_ann_pq_compacted" -> pqOracleSql,

@@ -805,6 +805,178 @@ object VectorOps {
       probes, k)
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ: the coarse quantizer's list partitioning COMPOUNDED with
+    * PQ's code compression — the billion-scale layout of production ANN
+    * engines (FAISS `IndexIVFPQ` with `by_residual=false`; Jégou et
+    * al., TPAMI 2011 §V). The coarse quantizer (shared
+    * [[trainCentroids]]/[[assignLists]] — identical to the float and
+    * SQ8 indexes) still routes every vector to one inverted list and
+    * every query to its `nProbe` nearest lists, but the LISTS store PQ
+    * codes (shared [[pqTrainCodebooks]]/[[pqEncode]] — m small ints per
+    * vector instead of `dim` floats), and candidate scoring is the same
+    * broadcast-LUT ADC fold as [[pqTopK]], restricted to the probed
+    * lists. The scan that dominates serving cost at corpus scale reads
+    * nProbe/K of the corpus (partition layout) AT 32× fewer bytes per
+    * row (codes) — the two savings multiply, which is exactly why the
+    * composite exists. Codebooks quantize the raw vectors, not
+    * residuals: the ADC cosine algebra (and its integer-exact DuckDB
+    * mirror) stays identical to the flat-PQ family, and recall at the
+    * suite's scales is audited (`sim_ann_ivfpq_recall`), not assumed.
+    *
+    * Fold shape: codes join their list assignment (narrow, co-keyed on
+    * `vec_id`), the per-query probed-list set and LUT broadcast, and
+    * the (query, vector) ADC sums partial-aggregate map-side — the
+    * shuffle carries Q·candidates folded rows, never Q·candidates·m. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4, trainIters: Int = 0,
+      m: Int = 8, ksub: Int = 16, pqIters: Int = 2, dim: Int = 64,
+      trainLimit: Long = 16384L): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // both quantizers referenced twice — the shared replayable
+    // RDD-persist pattern (see ivfTopK's lineage/lifecycle notes)
+    val coarse = trainCentroids(corpus, numCentroids, trainIters)
+    val coarseRdd = coarse.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = broadcast(
+      corpus.sparkSession.createDataFrame(coarseRdd, coarse.schema))
+    val trained = pqTrainCodebooks(corpus, m, ksub, pqIters, dim, trainLimit)
+    val pqRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pcents = corpus.sparkSession.createDataFrame(pqRdd, trained.schema)
+    val codes = pqEncode(corpus, pcents, m, dim)
+      .join(assignLists(corpus, cents).select(col("vec_id"), col("list_id")),
+        Seq("vec_id"))
+    ivfPqRank(codes, probeLists(queries, cents, nProbe),
+      pqLut(queries, pcents, m, dim), k)
+  }
+
+  /** The IVF-PQ candidate fold + rank: `codes` rows (vec_id, s, cid,
+    * list_id) join the broadcast probed-list set on `list_id` (on the
+    * persisted index this is what triggers dynamic partition pruning —
+    * the scan reads only the probed lists' directories), then the
+    * broadcast ADC LUT on (query_id, s, cid); the integer sums fold per
+    * (query, vector) exactly as [[pqAdcFold]] so the composite's scores
+    * are bit-identical to flat PQ over the same candidate set. */
+  private def ivfPqRank(codes: DataFrame, probes: DataFrame,
+      lut: DataFrame, k: Int): DataFrame = {
+    val scored = codes
+      .join(broadcast(probes.select(col("list_id"), col("query_id"))),
+        Seq("list_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adot"), sum(col("n2")).as("rn2"),
+        max(col("qnorm")).as("qnorm"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round((col("adot").cast("double") / lit(1e9)) /
+          (col("qnorm") * sqrt(col("rn2").cast("double") / lit(1e9))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Materialize an IVF-PQ index: `<table>_cents` (coarse quantizer,
+    * broadcast at probe time), `<table>_codebooks` (PQ sub-centroids,
+    * KB-sized), and `<table>_codes` — the corpus as m narrow code rows
+    * per vector, written `partitionBy(list_id)` so a probe reads only
+    * its ranked lists' directories. Training (both quantizers) and the
+    * whole-corpus encode amortize into the epoch write; the probe pays
+    * LUT build (KB) + the pruned code scan + the fold. Tombstone
+    * contract is the family-shared `(vec_id, seq)` sidecar. */
+  def writeIvfPqIndex(corpus: DataFrame, table: String, path: String,
+      numCentroids: Int = 16, trainIters: Int = 0, m: Int = 8,
+      ksub: Int = 16, pqIters: Int = 2, dim: Int = 64,
+      trainLimit: Long = 16384L): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val coarse = trainCentroids(corpus, numCentroids, trainIters)
+    val coarseRdd = coarse.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = spark.createDataFrame(coarseRdd, coarse.schema)
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${table}_cents")
+    val trained = pqTrainCodebooks(corpus, m, ksub, pqIters, dim, trainLimit)
+    val pqRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pcents = spark.createDataFrame(pqRdd, trained.schema)
+    pcents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${table}_codebooks")
+    pqEncode(corpus, pcents, m, dim)
+      .join(assignLists(corpus, broadcast(cents))
+        .select(col("vec_id"), col("list_id")), Seq("vec_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/codes").saveAsTable(s"${table}_codes")
+    coarseRdd.unpersist(); pqRdd.unpersist()
+  }
+
+  /** Probe a [[writeIvfPqIndex]] table — identical output to
+    * [[ivfPqTopK]] with the same build parameters (shared probe-rank /
+    * LUT / fold code), but both trainings and the encode are amortized
+    * into the epoch: the probe reads the probed lists' code partitions
+    * only (dynamic partition pruning — IvfPqSpec asserts files-read).
+    * Serves through [[Generations.resolveServing]] indirection;
+    * tombstoned ids anti-join out AFTER list pruning. */
+  def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nProbe: Int = 4,
+      m: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val t = Generations.resolveServing(spark, table)
+    val cents = broadcast(spark.table(s"${t}_cents"))
+    ivfPqRank(dropTombstoned(spark, t, spark.table(s"${t}_codes")),
+      probeLists(queries, cents, nProbe),
+      pqLut(queries, spark.table(s"${t}_codebooks"), m, dim), k)
+  }
+
+  /** Admit a batch under BOTH frozen quantizers — the IVF-PQ member of
+    * the append family: assign each incoming vector to its list with
+    * the frozen coarse centroids, encode it with the frozen codebooks
+    * (batch-sized broadcast work — the indexed corpus is never read),
+    * and append into the list partitions. Probing after append must
+    * equal building over the union corpus with the same frozen
+    * quantizers (IvfPqSpec pins it). */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, m: Int = 8, dim: Int = 64): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = broadcast(spark.table(s"${table}_cents"))
+    val pcents = spark.table(s"${table}_codebooks")
+    // insertInto is positional: data columns first, partition column
+    // (list_id) last — the appendToIvfIndex convention
+    pqEncode(batch, pcents, m, dim)
+      .join(assignLists(batch, cents).select(col("vec_id"), col("list_id")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("s"), col("cid"), col("list_id"))
+      .write.mode("append").insertInto(s"${table}_codes")
+  }
+
+  /** Copy an IVF-PQ index to a new generation — the three-table form of
+    * [[cloneIvfIndex]]'s clone/compact contract: both quantizers copy
+    * verbatim (a clone is never a retrain), codes keep their
+    * `partitionBy(list_id)` layout, a plain clone carries the tombstone
+    * sidecar, and `compact = true` settles pending deletes physically
+    * while collapsing each list's append file groups to one. */
+  def cloneIvfPqIndex(spark: org.apache.spark.sql.SparkSession, src: String,
+      dest: String, path: String, compact: Boolean = false): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    spark.table(s"${src}_codebooks").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${dest}_codebooks")
+    val codes0 = spark.table(s"${src}_codes")
+    val codes = if (compact) dropTombstoned(spark, src, codes0) else codes0
+    (if (compact) codes.repartition(col("list_id")) else codes)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/codes").saveAsTable(s"${dest}_codes")
+    if (!compact && spark.catalog.tableExists(s"${src}_tombstones"))
+      spark.table(s"${src}_tombstones")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${dest}_tombstones")
+  }
+
   /** Copy an existing IVF index (either list payload) to a new table
     * pair, preserving the `partitionBy(list_id)` layout — pure IO, no
     * re-training and no re-assignment (the expensive N×K scoring never

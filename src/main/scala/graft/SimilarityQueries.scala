@@ -963,6 +963,26 @@ object SimilarityQueries {
           k = recallK, nProbe = 2))
     }),
 
+    // hybrid retrieval: the BM25 lexical top-20 (disjunctive, served
+    // from the standing search index) fused with the semantic top-20
+    // (doc 0's embedding probed against the standing IVF index —
+    // vec_id IS doc_id in the fixture) by reciprocal-rank fusion.
+    // Both legs are the indexes' own gated rankings; the fusion adds
+    // one k-sized integer fold on top
+    "hybrid_search_rrf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val lex = graft.operators.SearchOps.searchBm25Any(
+          s, TextQueries.searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 20)
+        .select(col("doc_id"), col("rk"))
+      val sem = VectorOps.probeIvfIndex(s, ivfIndexFor(s, dir),
+          emb.filter(col("vec_id") === 0), k = 20, nProbe = 4)
+        .select(col("neighbor_id").as("doc_id"), col("rk"))
+      graft.operators.SearchOps.rrfFuse(Seq(lex, sem), k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // the indexed SQ8 probe's recall audit (every approximate path in
     // the repo carries one) — nProbe=2 like the other recall entries
     "sim_ann_ivf_sq8_indexed_recall" -> ((s, dir) => {
@@ -1314,6 +1334,45 @@ object SimilarityQueries {
         |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
         |    FROM scored""".stripMargin)
 
+  /** Hybrid-RRF mirror: the lexical leg nests the SHARED k=20
+    * disjunctive BM25 builder ([[TextQueries.searchBm25AnyList20Sql]])
+    * as a scoped subquery (its CTE names can't collide), the semantic
+    * leg is the IVF mirror's CTE shape with `q` = doc 0 and rk ≤ 20,
+    * and the fusion sums `floor(1e6/(60+rk))` integer contributions —
+    * exact in both engines. */
+  private lazy val hybridRrfOracleSql =
+    s"""WITH ${centTrainSql(ivfKSql, 2)},
+      |asg AS (
+      |  SELECT vec_id, embedding, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM embeddings CROSS JOIN cents),
+      |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT query_id, qv, cid AS list_id FROM (
+      |    SELECT query_id, qv, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+      |vscored AS (
+      |  SELECT query_id, l.vec_id AS neighbor_id,
+      |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
+      |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+      |sem AS (SELECT neighbor_id AS doc_id, rk FROM (
+      |    SELECT neighbor_id, row_number() OVER
+      |      (ORDER BY cos_sim DESC, neighbor_id) AS rk FROM vscored) r
+      |  WHERE rk <= 20),
+      |lex AS (SELECT doc_id, rk FROM (${TextQueries.searchBm25AnyList20Sql}) l),
+      |parts AS (
+      |  SELECT doc_id, CAST(floor(1000000.0 / (60 + rk)) AS BIGINT) AS rrf_part FROM lex
+      |  UNION ALL
+      |  SELECT doc_id, CAST(floor(1000000.0 / (60 + rk)) AS BIGINT) FROM sem),
+      |fused AS (SELECT doc_id, CAST(sum(rrf_part) AS BIGINT) AS rrf_x1e6,
+      |  CAST(count(*) AS BIGINT) AS n_lists FROM parts GROUP BY doc_id)
+      |SELECT doc_id, rrf_x1e6, n_lists, rk FROM (
+      |  SELECT *, CAST(row_number() OVER
+      |    (ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS rk FROM fused) f
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -1343,6 +1402,7 @@ object SimilarityQueries {
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,
     "sim_ann_ivfpq_recall" -> ivfPqRecallOracleSql,
+    "hybrid_search_rrf" -> hybridRrfOracleSql,
     "sim_ann_pq_published" -> pqOracleSql,
     "sim_ann_pq_deleted" -> pqOracleSql,
     "sim_ann_pq_compacted" -> pqOracleSql,

@@ -523,7 +523,7 @@ object TextQueries {
       |   OR (id_a >= 100000 AND id_a < 200000 AND id_b >= 200000)
       |ORDER BY new_id, old_id""".stripMargin
 
-  private def searchBm25SqlOver(having: String): String =
+  private def searchBm25SqlOver(having: String, k: Int = 10): String =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
       |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
@@ -543,13 +543,18 @@ object TextQueries {
       |  FROM sc GROUP BY doc_id $having)
       |SELECT doc_id, score,
       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-      |FROM hits ORDER BY rk LIMIT 10""".stripMargin
+      |FROM hits ORDER BY rk LIMIT $k""".stripMargin
 
   // private[graft]: StreamingQueries' continuous-ingestion probes are
   // gated by the SAME all-docs mirrors (stream == batch by construction
   // once the source drains), so the fragments are shared, not copied
   private[graft] lazy val searchBm25Sql = searchBm25SqlOver("HAVING count(*) = 3")
   private lazy val searchBm25AnySql = searchBm25SqlOver("")
+  // the k=20 disjunctive candidate list the hybrid-RRF fusion consumes
+  // (SimilarityQueries nests it as a scoped subquery — shared builder,
+  // so the lexical leg of the fused mirror can never drift from the
+  // gated BM25 mirrors)
+  private[graft] lazy val searchBm25AnyList20Sql = searchBm25SqlOver("", 20)
 
   private[graft] lazy val searchAndSql =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf

@@ -555,6 +555,47 @@ object SearchOps {
       terms: Seq[String], k: Int): DataFrame =
     bm25Ranked(spark, table, terms, k, conjunctive = false)
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * — the standard hybrid-retrieval combiner: each input ranking
+    * contributes `1/(k0 + rank)` for every doc it lists, and docs rank
+    * by the summed contribution. Rank-based fusion needs no score
+    * calibration between legs (BM25's integer score and ANN cosine are
+    * incomparable; their RANKS are not), which is exactly why
+    * production hybrid search (lexical + semantic) fuses this way.
+    *
+    * Each contribution is quantized to `floor(1e6/(k0+rk))` — integer
+    * addends, so the fused score is an order-independent exact sum
+    * (the repo-wide cross-engine determinism discipline; a double sum
+    * of reciprocals would be reduction-order-dependent). `k0 = 60` is
+    * the paper's (and every production default's) constant.
+    *
+    * 100 TB shape: the inputs are per-query TOP-K lists — the fusion
+    * operates on k·#legs rows per query, never on a corpus. The heavy
+    * lifting stays in the index probes feeding it (bucket-pruned BM25,
+    * DPP-pruned ANN); fusing is a rounding-error cost on top, which is
+    * the operational argument for RRF over score-level fusion.
+    *
+    * Inputs: each frame carries (doc_id, rk) — rk the leg's 1-based
+    * rank. Output: (doc_id, rrf_x1e6, n_lists, rk) — the fused top-k
+    * with `n_lists` = how many legs surfaced the doc (the agreement
+    * signal hybrid deployments monitor). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    val parts = rankings.map(_.select(
+      col("doc_id").cast("long").as("doc_id"),
+      floor(lit(1000000.0) / (lit(k0) + col("rk"))).cast("long").as("rrf_part")))
+    parts.reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("rrf_part")).as("rrf_x1e6"),
+        count(lit(1)).as("n_lists"))
+      // the window is over the fused candidate set (≤ k·#legs rows per
+      // query) — single-partition by construction, not a corpus sort
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rrf_x1e6").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rrf_x1e6"), col("n_lists"), col("rk"))
+  }
+
   private def bm25Ranked(spark: org.apache.spark.sql.SparkSession,
       table: String, terms: Seq[String], k: Int,
       conjunctive: Boolean): DataFrame = {

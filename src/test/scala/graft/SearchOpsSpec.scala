@@ -356,4 +356,25 @@ class SearchOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(cut.map(_._1).toSeq == Seq(2L))
   }
+
+  test("rrfFuse: exact integer contributions, agreement beats rank-1") {
+    import org.apache.spark.sql.functions.col
+    // lex list: docs 1,2,3 at ranks 1,2,3; sem list: docs 3,4 at 1,2.
+    // doc 3 appears in BOTH (ranks 3+1) → 1e6/63 + 1e6/61 = 15873+16393
+    // = 32266, which outranks doc 1's single rank-1 leg (1e6/61=16393):
+    // cross-leg agreement dominates any single-leg rank — the RRF
+    // property the fusion exists for.
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rk")
+    val sem = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rk")
+    val out = SearchOps.rrfFuse(Seq(lex, sem), k = 10)
+      .select(col("doc_id"), col("rrf_x1e6"), col("n_lists"), col("rk"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(out.map(_._1) == Seq(3L, 1L, 2L, 4L))
+    assert(out.head == ((3L, 32266L, 2L, 1L)),
+      s"doc 3 fused contribution wrong: ${out.head}")
+    assert(out(1) == ((1L, 16393L, 1L, 2L)))
+    // doc 2 (lex rank 2) and doc 4 (sem rank 2) tie at 1e6/62=16129 —
+    // equal scores break to the lower doc_id, deterministic
+    assert(out(2)._2 == 16129L && out(3)._2 == 16129L)
+  }
 }

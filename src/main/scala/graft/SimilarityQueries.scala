@@ -208,6 +208,93 @@ object SimilarityQueries {
     }
   }
 
+  /** The IVF-PQ DELETE epoch ([[pqDeleteIndexFor]]'s shape): clone the
+    * serving composite, admit exact copies of the query vectors under
+    * poison ids (frozen quantizers — they route to the query's own
+    * probed lists and would surface as ADC-cosine-1.0 rank-1), then
+    * tombstone them. The gated probe must hash-match `sim_ann_ivfpq`'s
+    * oracle — a leak is a hash mismatch, not a rank shift. */
+  private[graft] def ivfPqDeleteIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_delete_index", dir) { () =>
+      val table = "graft_ivfpq_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_delete_index_").toString
+      VectorOps.cloneIvfPqIndex(s, base, table, path)
+      val poison = querySet(Tables.embeddings(s, dir))
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfPqIndex(s, table, poison)
+      VectorOps.deleteFromIvfIndex(s, table, poison.select(col("vec_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes", s"${table}_tombstones"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The IVF-PQ compaction epoch: the delete generation's tombstones
+    * settle physically and each list's append file groups collapse —
+    * result-invisible, so it shares the untouched oracle. */
+  private[graft] def ivfPqCompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqDeleteIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_compact_index", dir) { () =>
+      val table = "graft_ivfpq_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_compact_index_").toString
+      VectorOps.cloneIvfPqIndex(s, base, table, path, compact = true)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The IVF-PQ UPDATE epoch — corrupt-then-heal like every upsert
+    * gate: a clone is CORRUPTED exactly the way naive re-ingestion
+    * would (poison twins under EXISTING ids 50-59, so those ids carry
+    * two code sets whose ADC folds MIX), then healed by upserting the
+    * ids' true vectors into a new generation. The probe hash-matching
+    * the untouched oracle proves both the corruption and the heal. */
+  private[graft] def ivfPqUpsertIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_upsert_index", dir) { () =>
+      val corrupt = "graft_ivfpq_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_ivfpq_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_upsert_").toString)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.cloneIvfPqIndex(s, base, corrupt, paths(0))
+      val poison = querySet(emb)
+        .select((col("vec_id") + 50).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfPqIndex(s, corrupt, poison)
+      val truth = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.upsertToIvfPqIndex(s, corrupt, dest, paths(1), truth)
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(s"${corrupt}_cents", s"${corrupt}_codebooks",
+          s"${corrupt}_codes", s"${dest}_cents", s"${dest}_codebooks",
+          s"${dest}_codes"),
+        deleteDirs = paths)
+    }
+  }
+
+  /** The IVF-PQ atomic pointer view — all three suffixes resolve from
+    * the same promoted generation ([[Generations.publishPointer]]). */
+  private[graft] def ivfPqPointerViewFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_pointer_view", dir) { () =>
+      val view = "graft_ivfpq_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base,
+        suffixes = Seq("_cents", "_codebooks", "_codes"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
   /** The PQ DELETE epoch: clone the serving PQ generation, admit exact
     * copies of the query vectors under poison ids (frozen-codebook
     * append — they'd surface as ADC-cosine-1.0 rank-1 neighbors), then
@@ -963,6 +1050,61 @@ object SimilarityQueries {
           k = recallK, nProbe = 2))
     }),
 
+    // IVF-PQ DELETE maintenance: poison twins admitted under both
+    // frozen quantizers, then tombstoned — the anti-join runs AFTER
+    // list pruning, and the probe must hash-match sim_ann_ivfpq's
+    // oracle (a leak = ADC-cosine-1.0 at rank 1)
+    "sim_ann_ivfpq_deleted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndex(s, ivfPqDeleteIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // compaction settles the delete epoch's tombstones physically and
+    // collapses each list's file groups — result-invisible
+    "sim_ann_ivfpq_compacted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndex(s, ivfPqCompactIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // UPDATE: the corrupt-then-heal upsert gate — doubled ids MIX their
+    // ADC folds until the upsert generation drops + re-encodes them
+    "sim_ann_ivfpq_updated" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndex(s, ivfPqUpsertIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // atomic pointer serving: cents + codebooks + codes resolve from
+    // the SAME promoted generation; indirection is result-invisible
+    "sim_ann_ivfpq_published" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndex(s, ivfPqPointerViewFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the shared compaction-cadence monitor over the delete epoch's
+    // codes: (corpus + 10 poison) × m rows, 10 tombstoned ids — ~1‰,
+    // the verdict must NOT fire
+    "sim_ann_ivfpq_compaction_check" -> ((s, dir) => {
+      val gen = ivfPqDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_codes"))
+    }),
+
     // hybrid retrieval: the BM25 lexical top-20 (disjunctive, served
     // from the standing search index) fused with the semantic top-20
     // (doc 0's embedding probed against the standing IVF index —
@@ -1401,6 +1543,20 @@ object SimilarityQueries {
     "sim_ann_ivfpq" -> ivfPqOracleSql,
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,
+    "sim_ann_ivfpq_deleted" -> ivfPqOracleSql,
+    "sim_ann_ivfpq_compacted" -> ivfPqOracleSql,
+    "sim_ann_ivfpq_updated" -> ivfPqOracleSql,
+    "sim_ann_ivfpq_published" -> ivfPqOracleSql,
+    // the delete epoch's codes = (corpus + 10 poison) × m=8 rows each;
+    // tombstoned = the 10 poison ids — ~1‰, the verdict must NOT fire
+    "sim_ann_ivfpq_compaction_check" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT (n + t) * 8 AS n_rows, t AS n_tombstoned,
+        |  t * 1000 // ((n + t) * 8) AS tombstone_frac_x1000,
+        |  (t * 1000 // ((n + t) * 8) >= 50 OR t >= 1000000) AS compact
+        |FROM e, q""".stripMargin,
     "sim_ann_ivfpq_recall" -> ivfPqRecallOracleSql,
     "hybrid_search_rrf" -> hybridRrfOracleSql,
     "sim_ann_pq_published" -> pqOracleSql,

@@ -953,6 +953,41 @@ object VectorOps {
       .write.mode("append").insertInto(s"${table}_codes")
   }
 
+  /** UPDATE maintenance for the IVF-PQ index — the composite member of
+    * the generation-step upsert family ([[upsertToPqIndex]] /
+    * [[upsertToIvfIndex]]; in-place re-append is NOT offered for the
+    * same reason as flat PQ: an id carrying stale and fresh code rows
+    * folds BOTH into one corrupted ADC score). Both quantizers copy
+    * verbatim (frozen), the new generation drops every code row of the
+    * incoming ids AND of previously tombstoned ids, then the incoming
+    * vectors' latest row each re-assigns and re-encodes under the
+    * frozen quantizers into the list partitions. Cost: one codes
+    * rewrite — the compaction class. */
+  def upsertToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, vecs: DataFrame,
+      m: Int = 8, dim: Int = 64): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    spark.table(s"${src}_codebooks").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${dest}_codebooks")
+    // ONE row per incoming id (the uniform upsert hygiene contract)
+    val latest = vecs.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val incoming = latest.select(col("vec_id"))
+    val dead =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        incoming.unionByName(
+          spark.table(s"${src}_tombstones").select(col("vec_id"))).distinct()
+      else incoming
+    spark.table(s"${src}_codes")
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/codes").saveAsTable(s"${dest}_codes")
+    appendToIvfPqIndex(spark, dest, latest, m, dim)
+  }
+
   /** Copy an IVF-PQ index to a new generation — the three-table form of
     * [[cloneIvfIndex]]'s clone/compact contract: both quantizers copy
     * verbatim (a clone is never a retrain), codes keep their

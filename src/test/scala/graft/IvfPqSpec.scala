@@ -153,4 +153,40 @@ class IvfPqSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_codebooks")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_codes")
   }
+
+  test("upsert hygiene: one code set per id, pending deletes purged") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    val base = ivfPqTable(emb, k)
+    val src = "graft_ivfpq_spec_ups_src_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val dest = "graft_ivfpq_spec_ups_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec_ups_").toString
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec_ups_").toString
+    VectorOps.cloneIvfPqIndex(spark, base, src, p1)
+    // a pending delete the upsert must settle
+    VectorOps.deleteFromIvfIndex(spark, src,
+      emb.filter(col("vec_id") === 42).select(col("vec_id")))
+    // a duplicate-id incoming batch (two rows for id 7) must reduce to
+    // ONE code set — the uniform upsert hygiene contract
+    val dup = emb.filter(col("vec_id") === 7).select(col("vec_id"), col("embedding"))
+      .unionByName(
+        emb.filter(col("vec_id") === 8)
+          .select(lit(7L).as("vec_id"), col("embedding")))
+    VectorOps.upsertToIvfPqIndex(spark, src, dest, p2, dup)
+    val codes = spark.table(s"${dest}_codes")
+    assert(codes.filter(col("vec_id") === 7).count() == 8,
+      "duplicate-id batch wrote more than one code set for id 7")
+    assert(codes.filter(col("vec_id") === 42).count() == 0,
+      "pending tombstone survived the upsert generation")
+    assert(!spark.catalog.tableExists(s"${dest}_tombstones"),
+      "upsert generation should start tombstone-free")
+    Seq(s"${src}_cents", s"${src}_codebooks", s"${src}_codes",
+      s"${src}_tombstones", s"${dest}_cents", s"${dest}_codebooks",
+      s"${dest}_codes").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

@@ -1050,6 +1050,28 @@ object SimilarityQueries {
           k = recallK, nProbe = 2))
     }),
 
+    // the composite's full production serving shape: coarse prune →
+    // code rank → EXACT float re-rank of the per-query shortlist-32
+    // survivors (point reads, never a scan)
+    "sim_ann_ivfpq_rerank" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndexRerank(s, ivfPqIndexFor(s, dir), querySet(emb),
+          emb, k = 3, shortlist = 32, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // its recall audit at nProbe=2: what the two pruning layers
+    // (list cut × ADC shortlist) cost once ranking precision is exact
+    "sim_ann_ivfpq_rerank_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb,
+        VectorOps.probeIvfPqIndexRerank(s, ivfPqIndexFor(s, dir),
+          querySet(emb), emb, k = recallK, shortlist = 32, nProbe = 2))
+    }),
+
     // IVF-PQ DELETE maintenance: poison twins admitted under both
     // frozen quantizers, then tombstoned — the anti-join runs AFTER
     // list pruning, and the probe must hash-match sim_ann_ivfpq's
@@ -1458,6 +1480,36 @@ object SimilarityQueries {
       |  WHERE p.query_id <> pcodes.vec_id
       |  GROUP BY p.query_id, pcodes.vec_id)""".stripMargin
 
+  /** The composite's rerank mirror tail: ADC scores over the probed
+    * lists → top-32 shortlist cut → exact cosine over the survivors
+    * (`exact` in scope) — the flat-PQ rerank shape on the IVF-PQ
+    * candidate set. */
+  private def ivfPqRerankCtes(nProbe: Int): String =
+    s"""${ivfPqCtes("", "embeddings", nProbe)},
+      |cand AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS ar
+      |    FROM scored) c WHERE ar <= 32),
+      |exact AS (
+      |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id,
+      |    round(${cosSql("q.qv", "e.embedding")}, 6) AS cos_sim
+      |  FROM cand c JOIN q ON q.query_id = c.query_id
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id)""".stripMargin
+
+  private lazy val ivfPqRerankOracleSql =
+    s"""WITH ${ivfPqRerankCtes(4)},
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM exact)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfPqRerankRecallOracleSql = recallOracleSql(
+    preCtes = ivfPqRerankCtes(2),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM exact""".stripMargin)
+
   private def ivfPqOracleOver(pre: String, corpusRel: String): String =
     s"""WITH ${ivfPqCtes(pre, corpusRel, 4)},
       |ranked AS (SELECT *, row_number() OVER
@@ -1558,6 +1610,8 @@ object SimilarityQueries {
         |  (t * 1000 // ((n + t) * 8) >= 50 OR t >= 1000000) AS compact
         |FROM e, q""".stripMargin,
     "sim_ann_ivfpq_recall" -> ivfPqRecallOracleSql,
+    "sim_ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
+    "sim_ann_ivfpq_rerank_recall" -> ivfPqRerankRecallOracleSql,
     "hybrid_search_rrf" -> hybridRrfOracleSql,
     "sim_ann_pq_published" -> pqOracleSql,
     "sim_ann_pq_deleted" -> pqOracleSql,

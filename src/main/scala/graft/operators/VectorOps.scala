@@ -861,7 +861,19 @@ object VectorOps {
     * are bit-identical to flat PQ over the same candidate set. */
   private def ivfPqRank(codes: DataFrame, probes: DataFrame,
       lut: DataFrame, k: Int): DataFrame = {
-    val scored = codes
+    val scored = ivfPqScored(codes, probes, lut)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** The composite's ADC scoring frame (query_id, neighbor_id,
+    * cos_sim) over the probed lists' candidates — shared by the
+    * ranked probe and the exact-re-rank tail. */
+  private def ivfPqScored(codes: DataFrame, probes: DataFrame,
+      lut: DataFrame): DataFrame =
+    codes
       .join(broadcast(probes.select(col("list_id"), col("query_id"))),
         Seq("list_id"))
       .join(broadcast(lut), Seq("query_id", "s", "cid"))
@@ -873,11 +885,6 @@ object VectorOps {
         round((col("adot").cast("double") / lit(1e9)) /
           (col("qnorm") * sqrt(col("rn2").cast("double") / lit(1e9))), 6)
           .as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-  }
 
   /** Materialize an IVF-PQ index: `<table>_cents` (coarse quantizer,
     * broadcast at probe time), `<table>_codebooks` (PQ sub-centroids,
@@ -930,6 +937,29 @@ object VectorOps {
     ivfPqRank(dropTombstoned(spark, t, spark.table(s"${t}_codes")),
       probeLists(queries, cents, nProbe),
       pqLut(queries, spark.table(s"${t}_codebooks"), m, dim), k)
+  }
+
+  /** [[probeIvfPqIndex]] with the exact re-rank tail — the full
+    * production serving composition: the coarse quantizer cuts the
+    * candidate set to nProbe lists, the codes RANK those candidates
+    * (compressed scan), and the float read is deferred to the
+    * per-query `shortlist` survivors (Q·shortlist id-equi-join point
+    * reads against `corpus` — never a scan), re-scored with EXACT
+    * cosine and cut to `k`. Recall is bounded by "true neighbor in the
+    * probed lists AND in the ADC top-`shortlist`" — the two pruning
+    * layers' recall cost is audited, not assumed. */
+  def probeIvfPqIndexRerank(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 32, nProbe: Int = 4, m: Int = 8,
+      dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val t = Generations.resolveServing(spark, table)
+    val cents = broadcast(spark.table(s"${t}_cents"))
+    val scored = ivfPqScored(
+      dropTombstoned(spark, t, spark.table(s"${t}_codes")),
+      probeLists(queries, cents, nProbe),
+      pqLut(queries, spark.table(s"${t}_codebooks"), m, dim))
+    pqRerankExact(scored, queries, corpus, k, shortlist)
   }
 
   /** Admit a batch under BOTH frozen quantizers — the IVF-PQ member of

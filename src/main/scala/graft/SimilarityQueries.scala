@@ -1127,6 +1127,28 @@ object SimilarityQueries {
         s.table(s"${gen}_codes"))
     }),
 
+    // the BATCH form of hybrid fusion: each of the 10 query docs fuses
+    // its own semantic top-20 with the (query-independent) lexical
+    // top-20 — the global-keyword-boost pattern — through the
+    // per-query window, 10 independent k-row folds instead of one
+    // global sort. The fusion is partitioned exactly how a serving
+    // batch would run it
+    "hybrid_search_rrf_batch" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qids = querySet(emb).select(col("vec_id").as("query_id"))
+      val lex = graft.operators.SearchOps.searchBm25Any(
+          s, TextQueries.searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 20)
+        .select(col("doc_id"), col("rk"))
+        .crossJoin(broadcast(qids))
+      val sem = VectorOps.probeIvfIndex(s, ivfIndexFor(s, dir),
+          querySet(emb), k = 20, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+      graft.operators.SearchOps.rrfFusePerQuery(Seq(lex, sem), k = 10)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // hybrid retrieval: the BM25 lexical top-20 (disjunctive, served
     // from the standing search index) fused with the semantic top-20
     // (doc 0's embedding probed against the standing IVF index —
@@ -1510,6 +1532,48 @@ object SimilarityQueries {
         |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
         |    FROM exact""".stripMargin)
 
+  /** The batch-fusion mirror: `q` widens to the 10 query docs, the
+    * semantic ranking partitions per query, the lexical list
+    * cross-joins onto every query, and fusion groups + ranks per
+    * (query, doc) — same integer contribution as the single-query
+    * mirror. */
+  private lazy val hybridRrfBatchOracleSql =
+    s"""WITH ${centTrainSql(ivfKSql, 2)},
+      |asg AS (
+      |  SELECT vec_id, embedding, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM embeddings CROSS JOIN cents),
+      |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, qv, cid AS list_id FROM (
+      |    SELECT query_id, qv, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+      |vscored AS (
+      |  SELECT query_id, l.vec_id AS neighbor_id,
+      |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
+      |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+      |sem AS (SELECT query_id, neighbor_id AS doc_id, rk FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      |    FROM vscored) r
+      |  WHERE rk <= 20),
+      |lex AS (SELECT doc_id, rk FROM (${TextQueries.searchBm25AnyList20Sql}) l),
+      |parts AS (
+      |  SELECT q.query_id AS query_id, lex.doc_id AS doc_id,
+      |    CAST(floor(1000000.0 / (60 + lex.rk)) AS BIGINT) AS rrf_part
+      |  FROM lex CROSS JOIN q
+      |  UNION ALL
+      |  SELECT query_id, doc_id, CAST(floor(1000000.0 / (60 + rk)) AS BIGINT) FROM sem),
+      |fused AS (SELECT query_id, doc_id, CAST(sum(rrf_part) AS BIGINT) AS rrf_x1e6,
+      |  CAST(count(*) AS BIGINT) AS n_lists FROM parts GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, rrf_x1e6, n_lists, rk FROM (
+      |  SELECT *, CAST(row_number() OVER
+      |    (PARTITION BY query_id ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS rk
+      |  FROM fused) f
+      |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   private def ivfPqOracleOver(pre: String, corpusRel: String): String =
     s"""WITH ${ivfPqCtes(pre, corpusRel, 4)},
       |ranked AS (SELECT *, row_number() OVER
@@ -1613,6 +1677,7 @@ object SimilarityQueries {
     "sim_ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "sim_ann_ivfpq_rerank_recall" -> ivfPqRerankRecallOracleSql,
     "hybrid_search_rrf" -> hybridRrfOracleSql,
+    "hybrid_search_rrf_batch" -> hybridRrfBatchOracleSql,
     "sim_ann_pq_published" -> pqOracleSql,
     "sim_ann_pq_deleted" -> pqOracleSql,
     "sim_ann_pq_compacted" -> pqOracleSql,

@@ -583,7 +583,7 @@ object SearchOps {
     require(rankings.nonEmpty, "need at least one ranking to fuse")
     val parts = rankings.map(_.select(
       col("doc_id").cast("long").as("doc_id"),
-      floor(lit(1000000.0) / (lit(k0) + col("rk"))).cast("long").as("rrf_part")))
+      rrfPart(k0)))
     parts.reduce(_ unionByName _)
       .groupBy(col("doc_id"))
       .agg(sum(col("rrf_part")).as("rrf_x1e6"),
@@ -595,6 +595,36 @@ object SearchOps {
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rrf_x1e6"), col("n_lists"), col("rk"))
   }
+
+  /** [[rrfFuse]] over a query BATCH — each input carries (query_id,
+    * doc_id, rk) and fusion happens per query: the window partitions on
+    * `query_id`, so a 10⁶-query batch fuses as 10⁶ independent
+    * k·#legs-row folds in parallel (the single-query form's global
+    * window would serialize them — this is the shape a serving batch
+    * actually runs). Same integer contribution, same tie-break. */
+  def rrfFusePerQuery(rankings: Seq[DataFrame], k: Int,
+      k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    val parts = rankings.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      rrfPart(k0)))
+    parts.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("rrf_part")).as("rrf_x1e6"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_x1e6").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_x1e6"),
+        col("n_lists"), col("rk"))
+  }
+
+  /** The shared RRF contribution: `floor(1e6/(k0+rk))` as a long — one
+    * expression feeding both fusion shapes so they cannot drift. */
+  private def rrfPart(k0: Int): Column =
+    floor(lit(1000000.0) / (lit(k0) + col("rk"))).cast("long").as("rrf_part")
 
   private def bm25Ranked(spark: org.apache.spark.sql.SparkSession,
       table: String, terms: Seq[String], k: Int,

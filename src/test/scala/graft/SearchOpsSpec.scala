@@ -377,4 +377,21 @@ class SearchOpsSpec extends AnyFunSuite {
     // equal scores break to the lower doc_id, deterministic
     assert(out(2)._2 == 16129L && out(3)._2 == 16129L)
   }
+
+  test("rrfFusePerQuery: fusion is independent per query") {
+    import org.apache.spark.sql.functions.col
+    // query 1 sees doc 3 in both legs; query 2 sees doc 3 in ONE leg —
+    // per-query fusion must not leak query 1's agreement into query 2
+    val lex = Seq((1L, 3L, 1L), (2L, 5L, 1L)).toDF("query_id", "doc_id", "rk")
+    val sem = Seq((1L, 3L, 1L), (2L, 3L, 1L)).toDF("query_id", "doc_id", "rk")
+    val out = SearchOps.rrfFusePerQuery(Seq(lex, sem), k = 10)
+      .select(col("query_id"), col("doc_id"), col("rrf_x1e6"), col("n_lists"),
+        col("rk"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, 32786L, 2L, 1L),       // 2 × 1e6/61
+      (2L, 3L, 16393L, 1L, 1L),       // one leg only
+      (2L, 5L, 16393L, 1L, 2L)),      // tie with doc 3 → higher doc_id second
+      s"unexpected fused set: $out")
+  }
 }

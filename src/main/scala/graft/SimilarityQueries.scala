@@ -1582,8 +1582,22 @@ object SimilarityQueries {
       |ORDER BY query_id, rk""".stripMargin
 
   private lazy val ivfPqOracleSql = ivfPqOracleOver("", "embeddings")
-  private lazy val ivfPqAppendOracleSql =
+  // private[graft]: the CDC-maintenance epoch's settled generation is
+  // result-defined equal to the frozen-quantizer union build, so the
+  // streaming gate shares this mirror (one oracle, N plans)
+  private[graft] lazy val ivfPqAppendOracleSql =
     ivfPqOracleOver(dupVectorsSql + ",\n", "corpus")
+
+  /** The appended/settled generation's recall mirror — truth is brute
+    * force over the UNION corpus the generation serves. Shared by the
+    * batch-append audit path and the CDC-settled audit. */
+  private[graft] lazy val ivfPqAppendRecallOracleSql = recallOracleSql(
+    preCtes = ivfPqCtes(dupVectorsSql + ",\n", "corpus", 2),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored""".stripMargin,
+    bruteRel = "corpus")
 
   private lazy val ivfPqRecallOracleSql = recallOracleSql(
     preCtes = ivfPqCtes("", "embeddings", 2),

@@ -293,6 +293,40 @@ object StreamingQueries {
           emb.filter(col("vec_id") < 10),
           k = SimilarityQueries.recallK, nProbe = 2))
     }),
+
+    // the composite (IVF-PQ) consumes the SAME CDC statement stream as
+    // standing-index maintenance — the fourth family in the loop. The
+    // settled generation must hash-match the frozen-quantizer union
+    // build's oracle; its pruned-codes probe, the recall audit, the
+    // settle-staleness verdict, and atomic pointer serving all gate.
+    "stream_ann_ivfpq_cdc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeIvfPqIndex(s, ivfPqCdcIndexFor(s, dir),
+          emb.filter(col("vec_id") < 10), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    "stream_ann_ivfpq_cdc_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      SimilarityQueries.recallAudit(SimilarityQueries.dupVectors(emb),
+        graft.operators.VectorOps.probeIvfPqIndex(s, ivfPqCdcIndexFor(s, dir),
+          emb.filter(col("vec_id") < 10),
+          k = SimilarityQueries.recallK, nProbe = 2))
+    }),
+    "stream_ann_ivfpq_cdc_settle_check" -> ((s, dir) => {
+      val (src, _) = ivfPqCdcNamesFor(s, dir)
+      IngestStream.settleCheck(s, src, idCol = "vec_id")
+    }),
+    "stream_ann_ivfpq_cdc_published" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeIvfPqIndex(s, ivfPqCdcViewFor(s, dir),
+          emb.filter(col("vec_id") < 10), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
     // ...and the vector loop's settle-cadence verdict (settleCheck with
     // idCol = vec_id — one monitor shape across both CDC loops),
     // mirrored from the fixture's deterministic event_seq assignment
@@ -404,6 +438,36 @@ object StreamingQueries {
 
   /** Streamed-ingestion oracles: the drained indexes are defined to
     * equal their batch twins, so the mirrors are the families' own. */
+  /** The vector-family settle monitor's mirror: pending = plain dup
+    * inserts (seq = vec_id+100000) + %20==0 updates (1e6+) + %20==4
+    * re-inserts (3e6+); tombstones = 10 poison ids + the %20==4 wave.
+    * The IVF and IVF-PQ CDC epochs consume the SAME event fixture, so
+    * both monitors share this mirror. */
+  private lazy val annCdcSettleCheckSql =
+    """WITH pend AS (
+      |  SELECT vec_id + 100000 AS id, vec_id + 100000 AS seq
+      |  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id % 20 NOT IN (0, 4)
+      |  UNION ALL
+      |  SELECT vec_id + 100000, 1000000 + vec_id + 100000
+      |  FROM embeddings WHERE vec_id % 20 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000, 3000000 + vec_id + 100000
+      |  FROM embeddings WHERE vec_id % 20 = 4),
+      |tomb AS (
+      |  SELECT vec_id + 500000 AS id FROM embeddings WHERE vec_id < 10
+      |  UNION ALL
+      |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 20 = 4)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pending,
+      |  CAST(count(DISTINCT id) AS BIGINT) AS n_pending_docs,
+      |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM tomb)
+      |    AS n_tombstoned_docs,
+      |  CAST(min(seq) AS BIGINT) AS oldest_seq,
+      |  CAST(max(seq) AS BIGINT) AS newest_seq,
+      |  CAST(max(seq) - min(seq) AS BIGINT) AS seq_lag,
+      |  (count(DISTINCT id) >= 100 OR max(seq) - min(seq) >= 1000000)
+      |    AS settle
+      |FROM pend""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the 90-day watermark admits everything the fixture can produce,
     // so the drained stream-stream join equals the batch interval join
@@ -431,30 +495,17 @@ object StreamingQueries {
     // (seq = vec_id+100000) + %20==0 updates (1e6+) + %20==4 re-inserts
     // (3e6+); tombstones = 10 poison ids + the %20==4 wave. Residues of
     // the dup id equal the original's (100000 ≡ 0 mod 20).
-    "stream_ann_cdc_settle_check" ->
-      """WITH pend AS (
-        |  SELECT vec_id + 100000 AS id, vec_id + 100000 AS seq
-        |  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id % 20 NOT IN (0, 4)
-        |  UNION ALL
-        |  SELECT vec_id + 100000, 1000000 + vec_id + 100000
-        |  FROM embeddings WHERE vec_id % 20 = 0
-        |  UNION ALL
-        |  SELECT vec_id + 100000, 3000000 + vec_id + 100000
-        |  FROM embeddings WHERE vec_id % 20 = 4),
-        |tomb AS (
-        |  SELECT vec_id + 500000 AS id FROM embeddings WHERE vec_id < 10
-        |  UNION ALL
-        |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 20 = 4)
-        |SELECT CAST(count(*) AS BIGINT) AS n_pending,
-        |  CAST(count(DISTINCT id) AS BIGINT) AS n_pending_docs,
-        |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM tomb)
-        |    AS n_tombstoned_docs,
-        |  CAST(min(seq) AS BIGINT) AS oldest_seq,
-        |  CAST(max(seq) AS BIGINT) AS newest_seq,
-        |  CAST(max(seq) - min(seq) AS BIGINT) AS seq_lag,
-        |  (count(DISTINCT id) >= 100 OR max(seq) - min(seq) >= 1000000)
-        |    AS settle
-        |FROM pend""".stripMargin,
+    "stream_ann_cdc_settle_check" -> annCdcSettleCheckSql,
+    // the composite consumes the SAME event fixture, so its settled
+    // probe shares the frozen-quantizer union oracle, its audit the
+    // union-truth recall mirror, and its monitor the identical
+    // pending/tombstone mirror (same populations by construction)
+    "stream_ann_ivfpq_cdc" -> SimilarityQueries.ivfPqAppendOracleSql,
+    "stream_ann_ivfpq_cdc_recall" ->
+      SimilarityQueries.ivfPqAppendRecallOracleSql,
+    "stream_ann_ivfpq_cdc_settle_check" -> annCdcSettleCheckSql,
+    "stream_ann_ivfpq_cdc_published" ->
+      SimilarityQueries.ivfPqAppendOracleSql,
     // the CDC-maintained + settled generation is defined to equal the
     // true corpus (inserts admitted, updates settled, deletes purged,
     // deleted-then-reinserted docs serving their final text) — the
@@ -697,6 +748,74 @@ object StreamingQueries {
 
   private[graft] def ivfCdcIndexFor(s: SparkSession, dir: String): String =
     ivfCdcNamesFor(s, dir)._2
+
+  /** The IVF-PQ CDC-maintenance epoch — [[ivfCdcNamesFor]] with the
+    * COMPOSITE index as the maintenance target, consuming the SAME
+    * event stream (one event fixture, four index families): the
+    * serving IVF-PQ generation is cloned (both quantizers frozen),
+    * corrupted the way the events will heal (negated embeddings under
+    * the %20==0 dup ids, the %20==4 wave pre-inserted, poison copies
+    * of the probe queries), then the events drain through
+    * [[IngestStream.cdcIvfPqSink]] and
+    * [[IngestStream.settleIvfPqUpserts]] writes the settled
+    * generation — result-defined EQUAL to the frozen-quantizer union
+    * build, so the probe shares `sim_ann_ivfpq_appended`'s oracle.
+    * Returns (src, settled). */
+  private[graft] def ivfPqCdcNamesFor(s: SparkSession, dir: String)
+      : (String, String) = {
+    val base = SimilarityQueries.ivfPqIndexFor(s, dir)
+    val evDir = cdcVecEventsDir(s, dir)
+    val v = EpochRegistry.acquire(s, "ann_ivfpq_cdc_index", dir) { () =>
+      val src = "graft_ivfpq_cdc_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_ivfpq_cdc_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 3).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_cdc_").toString)
+      graft.operators.VectorOps.cloneIvfPqIndex(s, base, src, paths(0))
+      val emb = Tables.embeddings(s, dir)
+      val dups = SimilarityQueries.dupVectors(emb)
+        .filter(col("vec_id") >= 100000)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.VectorOps.appendToIvfPqIndex(s, src,
+        dups.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> -x)").cast("array<float>")
+              .as("embedding")))
+      graft.operators.VectorOps.appendToIvfPqIndex(s, src,
+        dups.filter(col("vec_id") % 20 === 4))
+      graft.operators.VectorOps.appendToIvfPqIndex(s, src,
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+      val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
+      IngestStream.cdcIvfPqSink(ev, src, paths(1)).awaitTermination()
+      IngestStream.settleIvfPqUpserts(s, src, dest, paths(2))
+      EpochRegistry.Resource(s"$src;$dest",
+        dropTables = Seq(s"${src}_cents", s"${src}_codebooks",
+          s"${src}_codes", s"${src}_tombstones", s"${src}_pending",
+          s"${src}_applied", s"${dest}_cents", s"${dest}_codebooks",
+          s"${dest}_codes"),
+        deleteDirs = paths)
+    }
+    val Array(src, dest) = v.split(';')
+    (src, dest)
+  }
+
+  private[graft] def ivfPqCdcIndexFor(s: SparkSession, dir: String): String =
+    ivfPqCdcNamesFor(s, dir)._2
+
+  /** The composite's settled generation served through the atomic
+    * pointer — cents, codebooks, and codes flip together. */
+  private[graft] def ivfPqCdcViewFor(s: SparkSession, dir: String): String = {
+    val settled = ivfPqCdcIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_cdc_view", dir) { () =>
+      val view = "graft_ivfpq_cdc_view_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, settled,
+        suffixes = Seq("_cents", "_codebooks", "_codes"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
 
   /** The CDC event files: INSERTs of the odd half (2 files), UPDATEs
     * re-issuing the TRUE text of every %10 doc (1 file), DELETEs of the

@@ -359,6 +359,69 @@ object IngestStream {
     graft.operators.VectorOps.upsertToIvfIndex(spark, src, dest, path, vecs)
   }
 
+  /** The IVF-PQ member of the CDC sink family — [[cdcIvfSink]] with
+    * the composite index as the maintenance target: INSERTs are
+    * assigned by the frozen coarse quantizer AND encoded by the frozen
+    * codebooks into the list partitions
+    * ([[graft.operators.VectorOps.appendToIvfPqIndex]] — the batch
+    * path's operator), DELETEs write the shared seq-versioned
+    * tombstone, UPDATEs queue until [[settleIvfPqUpserts]] (an
+    * in-place re-append would MIX the id's two code sets in one ADC
+    * fold — the sharper composite form of the doubled-id defect).
+    * Same statement routing, sequencing, replay-ledger guard, and
+    * serve-stale-until-settle freshness model as the other three
+    * families; per-micro-batch cost is the batch's own encode +
+    * dynamic-partition insert — the indexed corpus is never read. */
+  def cdcIvfPqSink(eventStream: DataFrame, table: String,
+      checkpointDir: String, m: Int = 8, dim: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcIvfPqBatch(batch.sparkSession, table, batch, batchId, m, dim)
+      }
+      .start()
+
+  /** One micro-batch of [[cdcIvfPqSink]] — statement-routed,
+    * whole-batch replay-guarded (same ledger as every sink). */
+  private[graft] def applyCdcIvfPqBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, batchId: Long, m: Int = 8, dim: Int = 64): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val seq =
+        if (batch.columns.contains("event_seq")) col("event_seq").cast("long")
+        else lit(batchId)
+      graft.operators.VectorOps.appendToIvfPqIndex(spark, table,
+        batch.filter(col("statement") === "INSERT")
+          .select(col("vec_id"), col("embedding")), m, dim)
+      graft.operators.VectorOps.deleteFromIvfIndex(spark, table,
+        batch.filter(col("statement") === "DELETE")
+          .select(col("vec_id"), seq.as("seq")))
+      batch.filter(col("statement").isin("INSERT", "UPDATE"))
+        .select(col("vec_id"), col("embedding"), seq.as("seq"),
+          col("statement"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_pending")
+      recordApplied(spark, table, batchId)
+    }
+
+  /** The generation boundary of the IVF-PQ CDC loop — the shared
+    * [[settleWinners]] per-id ordering (latest pending event vs newest
+    * tombstone, strict `>`), the winners re-assigned AND re-encoded
+    * under both frozen quantizers by
+    * [[graft.operators.VectorOps.upsertToIvfPqIndex]]. One codes
+    * rewrite — the compaction cost class. */
+  def settleIvfPqUpserts(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String): Unit = {
+    import spark.implicits._
+    val vecs = settleWinners(spark, src, "vec_id", "embedding",
+      () => Seq.empty[(Long, Array[Float], Long, String)]
+        .toDF("vec_id", "embedding", "seq", "statement"))
+    graft.operators.VectorOps.upsertToIvfPqIndex(spark, src, dest, path, vecs)
+  }
+
   /** The band twin of [[cdcIndexSink]] — the engine's CDC statement
     * stream consumed as STANDING BAND-INDEX maintenance, completing the
     * loop across all THREE index families (search, vector, band). Same

@@ -252,4 +252,46 @@ class StreamIngestRestartSpec extends AnyFunSuite {
     } finally Seq(s"${ivf}_applied", s"${ivf}_cents", s"${ivf}_lists")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("replayed micro-batch is skipped whole by the IVF-PQ CDC sink") {
+    graft.functions.GraftFunctions.register(spark)
+    val t = uniq("graft_replay_ivfpq_")
+    val path = tmp("graft_replay_ivfpq_")
+    val vecs = (0L until 16L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    try {
+      VectorOps.writeIvfPqIndex(vecs, t, path, numCentroids = 2,
+        trainIters = 1, m = 2, ksub = 4, pqIters = 1, dim = 8)
+      // a statement-shaped CDC batch: one INSERT, one DELETE, one UPDATE
+      val batch = Seq(
+        ("INSERT", 900L, Array.tabulate(8)(d => math.cos(d).toFloat), 1L),
+        ("DELETE", 3L, null.asInstanceOf[Array[Float]], 2L),
+        ("UPDATE", 5L, Array.tabulate(8)(d => math.cos(d + 1).toFloat), 3L))
+        .toDF("statement", "vec_id", "embedding", "event_seq")
+      IngestStream.applyCdcIvfPqBatch(spark, t, batch, batchId = 3L,
+        m = 2, dim = 8)
+      val codes = spark.table(s"${t}_codes").count()
+      val tombs = spark.table(s"${t}_tombstones").count()
+      val pending = spark.table(s"${t}_pending").count()
+      // the replay: same batchId arrives again (checkpoint commit lost)
+      IngestStream.applyCdcIvfPqBatch(spark, t, batch, batchId = 3L,
+        m = 2, dim = 8)
+      assert(spark.table(s"${t}_codes").count() == codes,
+        "replayed batch re-appended code rows")
+      assert(spark.table(s"${t}_tombstones").count() == tombs,
+        "replayed batch re-appended tombstones")
+      assert(spark.table(s"${t}_pending").count() == pending,
+        "replayed batch re-queued pending rows")
+      // a genuinely NEW batch still lands (m=2 codes per insert)
+      IngestStream.applyCdcIvfPqBatch(spark, t,
+        batch.filter(col("statement") === "INSERT")
+          .select(col("statement"), (col("vec_id") + 1).as("vec_id"),
+            col("embedding"), col("event_seq")),
+        batchId = 4L, m = 2, dim = 8)
+      assert(spark.table(s"${t}_codes").count() == codes + 2)
+    } finally Seq(s"${t}_applied", s"${t}_cents", s"${t}_codebooks",
+      s"${t}_codes", s"${t}_tombstones", s"${t}_pending")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
 }

@@ -20,6 +20,36 @@ import org.apache.spark.sql.expressions.Window
   */
 object RelationalQueries {
 
+  /** The bucketed TPC-H epoch: lineitem and orders written
+    * `bucketBy(16, orderkey)` once per (session, dir) — the warehouse
+    * side of the co-location discipline the index families practice.
+    * Two fact tables bucketed identically on their join key then join
+    * with ZERO exchange on either side (BucketedJoinSpec pins it): at
+    * 100 TB the orderkey shuffle of every lineitem⋈orders query is THE
+    * dominant cost, and bucketing pays it once at write time instead of
+    * per query. Same acquire/reclaim contract as every epoch index. */
+  private[graft] def bucketedTpchFor(s: SparkSession, dir: String)
+      : (String, String) = {
+    val v = EpochRegistry.acquire(s, "bucketed_tpch", dir) { () =>
+      val li = "graft_li_bucketed_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ord = "graft_ord_bucketed_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_bucketed_tpch_").toString)
+      Tables.lineitem(s, dir).write.format("parquet")
+        .bucketBy(16, "l_orderkey")
+        .option("path", paths(0)).saveAsTable(li)
+      Tables.orders(s, dir).write.format("parquet")
+        .bucketBy(16, "o_orderkey")
+        .option("path", paths(1)).saveAsTable(ord)
+      EpochRegistry.Resource(s"$li;$ord",
+        dropTables = Seq(li, ord), deleteDirs = paths)
+    }
+    val Array(li, ord) = v.split(';')
+    (li, ord)
+  }
+
   /** Register the given frames as uniquely-named temp views, build and
     * analyze the SQL against them, then drop the views — the analyzed
     * plan holds its resolved relations, so the views are parse-time
@@ -436,6 +466,24 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
+    }),
+
+    // co-located fact-fact join over the bucketed epoch tables: both
+    // sides bucketBy(16, orderkey), so the merge join consumes bucket
+    // layout directly — ZERO exchange on either fact (the one-time
+    // bucketed write paid the orderkey shuffle for every future join;
+    // BucketedJoinSpec pins the exchange-free plan). The merge hint
+    // keeps toy-scale orders from broadcasting, which would hide the
+    // co-location being demonstrated; revenue in exact integer cents
+    "join_bucketed_colocated" -> ((s, dir) => {
+      val (liT, ordT) = bucketedTpchFor(s, dir)
+      s.table(liT).hint("merge")
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // rollup with grouping() — hierarchical subtotals
@@ -997,6 +1045,13 @@ object RelationalQueries {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
         |  round(sum(c_acctbal), 2) AS sum_bal,

@@ -671,6 +671,15 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // unigram-LM quality score (the CCNet perplexity proxy): a unigram
+    // model trained on the corpus itself scores each doc's mean token
+    // log-prob — common-token prose high, rare-token noise low; the
+    // statistical quality filter over text_quality's per-row heuristics
+    "text_unigram_logprob" -> ((s, dir) => {
+      TextOps.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // vocabulary stats: the classic wordcount shape — explode + hash agg
     // with map-side partial combine, ONE shuffle of (token, partial n);
     // top-k via TakeOrderedAndProject (distributed, never a global sort)
@@ -1279,6 +1288,20 @@ object TextQueries {
         s"""SELECT t.token, count(*) AS n
           |FROM documents, LATERAL unnest($toksSql) AS t(token)
           |GROUP BY t.token ORDER BY n DESC, t.token LIMIT 50""".stripMargin,
+      // per-token log-probs quantize to floor(1e6·ln(c/N)) — the BM25
+      // idf discipline, so the per-doc integer sum mirrors exactly
+      "text_unigram_logprob" ->
+        s"""WITH tk AS (SELECT doc_id, t.token AS token
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)),
+          |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+          |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+          |sc AS (SELECT doc_id,
+          |    CAST(floor(1000000.0 * ln(c::DOUBLE / n::DOUBLE)) AS BIGINT) AS lp
+          |  FROM tk JOIN cnt USING (token) CROSS JOIN tot)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  round((sum(lp)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0), 6)
+          |    AS avg_logprob
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_distinctive_terms" ->
         s"""WITH tok AS (SELECT doc_id, t.token
           |  FROM documents, LATERAL unnest($toksSql) AS t(token)),

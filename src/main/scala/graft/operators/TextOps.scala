@@ -167,6 +167,43 @@ object TextOps {
     * much smaller df side (broadcast when the vocabulary fits; AQE
     * decides), and a per-doc top-k window. The canonical two-pass
     * corpus-statistics shape at 100 TB; nothing is ever collected. */
+  /** Unigram language-model quality score — the CCNet-style perplexity
+    * proxy: train a unigram LM on the corpus itself (token counts over
+    * total), score each document by its mean token log-probability.
+    * Common-token prose scores high; rare-token noise (markup, hex
+    * dumps, ocr garbage) scores low — the statistical quality filter
+    * layered over [[qualityScore]]'s per-row heuristics in production
+    * curation stacks.
+    *
+    * Determinism: each token's log-prob quantizes to
+    * `floor(1e6·ln(c/N))` — the BM25 idf discipline
+    * ([[SearchOps.searchBm25]]) — so the per-doc fold is an
+    * order-independent integer sum and the DuckDB mirror is exact.
+    *
+    * 100 TB shape: one token-keyed count agg (map-side combine), one
+    * single-row total, and a token-keyed scoring join — the vocab side
+    * carries one row per distinct token, so hot (zipfian) tokens are
+    * many probe rows against one build row, never a pairwise blowup;
+    * broadcast when the vocabulary fits, hash join when it doesn't
+    * (AQE decides). Nothing collects to the driver. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tk = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val cnt = tk.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"))
+    tk.join(cnt, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        floor(lit(1000000.0) *
+          log(col("c").cast("double") / col("n").cast("double")))
+          .cast("long").as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("lp_sum").cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)), 6).as("avg_logprob"))
+  }
+
   def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -882,6 +882,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // survivor selection BY QUALITY — the curation policy layered on
+    // the cluster structure: within each near-dup family keep the
+    // highest-quality member (ppm-quantized score, doc_id tie-break)
+    // instead of the structural min-id. Per-cluster window — the
+    // fold is partitioned by cluster, never global; singleton docs
+    // (no dup edge) are trivially survivors and not emitted here
+    "dedup_survivors_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = dupCorpus(Tables.documents(s, dir))
+      val clusters = Dedup.nearDupClusters(
+          Dedup.minhashPairs(corpus, "doc_id", "text",
+            numHashes = 8, numBands = 4, threshold = 0.5))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val q = corpus.select(col("doc_id"),
+        floor(TextOps.qualityScore(col("text")) * lit(1000000.0))
+          .cast("long").as("q_ppm"))
+      val byQuality = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("q_ppm").desc, col("doc_id"))
+      clusters.join(q, Seq("doc_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+        .withColumn("rk", row_number().over(byQuality))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+          col("q_ppm"), col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // INCREMENTAL cluster maintenance (Dedup.mergeClusters): the
     // standing assignment (a persisted epoch table — the previous full
     // pass) merged with the arriving batch's cross pairs (band-index
@@ -1431,6 +1459,33 @@ object TextQueries {
           |SELECT id AS doc_id, min(label) AS cluster_id,
           |  (id = min(label)) AS is_survivor
           |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+      // the quality-argmax survivor over the same cluster walk: the
+      // ppm quantization makes the score an exact integer in both
+      // engines, the (q_ppm DESC, doc_id) order is total
+      "dedup_survivors_quality" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          |  UNION ALL SELECT id_b, id_a FROM dup_pairs),
+          |walk(id, label) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+          |cl AS (SELECT id AS doc_id, min(label) AS cluster_id
+          |  FROM walk GROUP BY id),
+          |q AS (SELECT doc_id,
+          |    CAST(floor(${OracleSql.quality("toks")} * 1000000) AS BIGINT)
+          |      AS q_ppm
+          |  FROM t),
+          |j AS (SELECT cl.cluster_id, cl.doc_id, q.q_ppm
+          |  FROM cl JOIN q USING (doc_id))
+          |SELECT cluster_id, doc_id AS survivor_id, q_ppm, n_members FROM (
+          |  SELECT *, CAST(count(*) OVER (PARTITION BY cluster_id)
+          |      AS BIGINT) AS n_members,
+          |    row_number() OVER (PARTITION BY cluster_id
+          |      ORDER BY q_ppm DESC, doc_id) AS rk
+          |  FROM j) r
+          |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
       // the incremental merge is result-defined EQUAL to the full
       // recompute (star edges preserve standing connectivity; banded
       // pair membership is pairwise, so the full pair set decomposes

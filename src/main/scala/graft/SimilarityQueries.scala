@@ -1127,6 +1127,25 @@ object SimilarityQueries {
         s.table(s"${gen}_codes"))
     }),
 
+    // weighted score-level fusion over the same two legs — the
+    // magnitude-preserving alternative to RRF (min-max normalize each
+    // leg's scores, 70/30 convex combination); the ANN leg's rounded
+    // cosine quantizes to floor(1e6·cos) so both legs fuse as integers
+    "hybrid_search_weighted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val lex = graft.operators.SearchOps.searchBm25Any(
+          s, TextQueries.searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 20)
+        .select(col("doc_id"), col("score"))
+      val sem = VectorOps.probeIvfIndex(s, ivfIndexFor(s, dir),
+          emb.filter(col("vec_id") === 0), k = 20, nProbe = 4)
+        .select(col("neighbor_id").as("doc_id"),
+          floor(col("cos_sim") * lit(1000000.0)).cast("long").as("score"))
+      graft.operators.SearchOps.weightedFuse(Seq((lex, 70), (sem, 30)), k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // the BATCH form of hybrid fusion: each of the 10 query docs fuses
     // its own semantic top-20 with the (query-independent) lexical
     // top-20 — the global-keyword-boost pattern — through the
@@ -1538,22 +1557,7 @@ object SimilarityQueries {
     * (query, doc) — same integer contribution as the single-query
     * mirror. */
   private lazy val hybridRrfBatchOracleSql =
-    s"""WITH ${centTrainSql(ivfKSql, 2)},
-      |asg AS (
-      |  SELECT vec_id, embedding, cid, row_number() OVER
-      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-      |  FROM embeddings CROSS JOIN cents),
-      |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
-      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-      |probes AS (
-      |  SELECT query_id, qv, cid AS list_id FROM (
-      |    SELECT query_id, qv, cid, row_number() OVER
-      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
-      |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
-      |vscored AS (
-      |  SELECT query_id, l.vec_id AS neighbor_id,
-      |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
-      |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+    s"""WITH ${hybridSemCtes("vec_id < 10")},
       |sem AS (SELECT query_id, neighbor_id AS doc_id, rk FROM (
       |    SELECT query_id, neighbor_id, row_number() OVER
       |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
@@ -1573,6 +1577,37 @@ object SimilarityQueries {
       |    (PARTITION BY query_id ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS rk
       |  FROM fused) f
       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** The weighted-fusion mirror: each leg min-max-normalizes to
+    * [0, 1e6] over its own top-20 list, scales by its integer
+    * percentage (70 lexical / 30 semantic), and docs rank by the
+    * integer sum — [[graft.operators.SearchOps.weightedFuse]]
+    * verbatim. */
+  private lazy val hybridWeightedOracleSql =
+    s"""WITH ${hybridSemCtes("vec_id = 0")},
+      |sems AS (SELECT doc_id, CAST(floor(cos_sim * 1000000.0) AS BIGINT) AS score
+      |  FROM (SELECT neighbor_id AS doc_id, cos_sim, row_number() OVER
+      |      (ORDER BY cos_sim DESC, neighbor_id) AS rk FROM vscored) r
+      |  WHERE rk <= 20),
+      |lex AS (SELECT doc_id, score FROM (${TextQueries.searchBm25AnyList20Sql}) l),
+      |lexn AS (SELECT doc_id,
+      |    (CASE WHEN mx = mn THEN 1000000
+      |     ELSE CAST(floor((score - mn)::DOUBLE * 1000000.0 / (mx - mn)::DOUBLE)
+      |       AS BIGINT) END) * 70 AS part
+      |  FROM lex, (SELECT min(score) AS mn, max(score) AS mx FROM lex) m),
+      |semn AS (SELECT doc_id,
+      |    (CASE WHEN mx = mn THEN 1000000
+      |     ELSE CAST(floor((score - mn)::DOUBLE * 1000000.0 / (mx - mn)::DOUBLE)
+      |       AS BIGINT) END) * 30 AS part
+      |  FROM sems, (SELECT min(score) AS mn, max(score) AS mx FROM sems) m),
+      |parts AS (SELECT doc_id, part FROM lexn
+      |  UNION ALL SELECT doc_id, part FROM semn),
+      |fused AS (SELECT doc_id, CAST(sum(part) AS BIGINT) AS wscore,
+      |  CAST(count(*) AS BIGINT) AS n_lists FROM parts GROUP BY doc_id)
+      |SELECT doc_id, wscore, n_lists, rk FROM (
+      |  SELECT *, CAST(row_number() OVER
+      |    (ORDER BY wscore DESC, doc_id) AS BIGINT) AS rk FROM fused) f
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
   private def ivfPqOracleOver(pre: String, corpusRel: String): String =
     s"""WITH ${ivfPqCtes(pre, corpusRel, 4)},
@@ -1612,14 +1647,18 @@ object SimilarityQueries {
     * leg is the IVF mirror's CTE shape with `q` = doc 0 and rk ≤ 20,
     * and the fusion sums `floor(1e6/(60+rk))` integer contributions —
     * exact in both engines. */
-  private lazy val hybridRrfOracleSql =
-    s"""WITH ${centTrainSql(ivfKSql, 2)},
+  /** The semantic-leg CTE prefix shared by every hybrid mirror: the
+    * IVF candidate scoring (`vscored`) for the query set selected by
+    * `qFilter` — one builder so the three fusion mirrors can't drift
+    * from each other or from the IVF family's own shape. */
+  private def hybridSemCtes(qFilter: String): String =
+    s"""${centTrainSql(ivfKSql, 2)},
       |asg AS (
       |  SELECT vec_id, embedding, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
       |  FROM embeddings CROSS JOIN cents),
       |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
-      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $qFilter),
       |probes AS (
       |  SELECT query_id, qv, cid AS list_id FROM (
       |    SELECT query_id, qv, cid, row_number() OVER
@@ -1628,7 +1667,10 @@ object SimilarityQueries {
       |vscored AS (
       |  SELECT query_id, l.vec_id AS neighbor_id,
       |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
-      |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+      |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id)""".stripMargin
+
+  private lazy val hybridRrfOracleSql =
+    s"""WITH ${hybridSemCtes("vec_id = 0")},
       |sem AS (SELECT neighbor_id AS doc_id, rk FROM (
       |    SELECT neighbor_id, row_number() OVER
       |      (ORDER BY cos_sim DESC, neighbor_id) AS rk FROM vscored) r
@@ -1692,6 +1734,7 @@ object SimilarityQueries {
     "sim_ann_ivfpq_rerank_recall" -> ivfPqRerankRecallOracleSql,
     "hybrid_search_rrf" -> hybridRrfOracleSql,
     "hybrid_search_rrf_batch" -> hybridRrfBatchOracleSql,
+    "hybrid_search_weighted" -> hybridWeightedOracleSql,
     "sim_ann_pq_published" -> pqOracleSql,
     "sim_ann_pq_deleted" -> pqOracleSql,
     "sim_ann_pq_compacted" -> pqOracleSql,

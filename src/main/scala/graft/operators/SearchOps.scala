@@ -626,6 +626,45 @@ object SearchOps {
   private def rrfPart(k0: Int): Column =
     floor(lit(1000000.0) / (lit(k0) + col("rk"))).cast("long").as("rrf_part")
 
+  /** Weighted score-level fusion — the OTHER production hybrid
+    * combiner (convex combination of min-max-normalized leg scores,
+    * the Elasticsearch/Vespa "linear" method): each leg's integer
+    * scores normalize to [0, 1e6] over ITS OWN candidate list
+    * (`floor((s−min)·1e6/(max−min))`; a constant leg normalizes to
+    * 1e6), scale by the leg's integer percentage weight, and docs rank
+    * by the summed contribution. Unlike [[rrfFuse]] this preserves
+    * score MAGNITUDE — a runaway BM25 winner stays a runaway after
+    * fusion — at the cost of needing the normalization RRF avoids;
+    * having both is why engines expose both.
+    *
+    * Everything stays integer-exact: leg scores come in as longs, the
+    * min/max fold is exact, and the one double op sequence
+    * (subtract, ·1e6, divide, floor) is identical in both engines.
+    * Inputs: (leg frame carrying (doc_id, score), weight-percent);
+    * weights must sum to 100. Each leg's min/max is a broadcast
+    * one-row fold over a top-k list — per-query cost k·#legs rows. */
+  def weightedFuse(legs: Seq[(DataFrame, Int)], k: Int): DataFrame = {
+    require(legs.nonEmpty, "need at least one leg to fuse")
+    require(legs.map(_._2).sum == 100,
+      s"leg weights must sum to 100, got ${legs.map(_._2)}")
+    val normed = legs.map { case (df, w) =>
+      val mm = df.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      df.crossJoin(broadcast(mm))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (when(col("mx") === col("mn"), lit(1000000L))
+            .otherwise(floor((col("score") - col("mn")).cast("double") *
+              lit(1000000.0) / (col("mx") - col("mn")).cast("double"))
+              .cast("long")) * lit(w.toLong)).as("part"))
+    }
+    normed.reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("part")).as("wscore"), count(lit(1)).as("n_lists"))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("wscore").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("wscore"), col("n_lists"), col("rk"))
+  }
+
   private def bm25Ranked(spark: org.apache.spark.sql.SparkSession,
       table: String, terms: Seq[String], k: Int,
       conjunctive: Boolean): DataFrame = {

@@ -378,6 +378,27 @@ class SearchOpsSpec extends AnyFunSuite {
     assert(out(2)._2 == 16129L && out(3)._2 == 16129L)
   }
 
+  test("weightedFuse: min-max normalization, weights, constant leg") {
+    import org.apache.spark.sql.functions.col
+    // lex scores 100/60/20 normalize to 1e6 / 5e5 / 0; sem is CONSTANT
+    // (mx == mn) so every member normalizes to 1e6. Weights 70/30.
+    val lex = Seq((1L, 100L), (2L, 60L), (3L, 20L)).toDF("doc_id", "score")
+    val sem = Seq((3L, 42L), (4L, 42L)).toDF("doc_id", "score")
+    val out = SearchOps.weightedFuse(Seq((lex, 70), (sem, 30)), k = 10)
+      .select(col("doc_id"), col("wscore"), col("n_lists"), col("rk"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    // doc 1: 70·1e6; doc 3: 70·0 + 30·1e6; doc 2: 70·5e5; doc 4: 30·1e6
+    assert(out == Seq(
+      (1L, 70000000L, 1L, 1L),
+      (2L, 35000000L, 1L, 2L),
+      (3L, 30000000L, 2L, 3L),
+      (4L, 30000000L, 1L, 4L)), s"unexpected fused set: $out")
+    // weights must sum to 100
+    intercept[IllegalArgumentException] {
+      SearchOps.weightedFuse(Seq((lex, 70), (sem, 20)), k = 10)
+    }
+  }
+
   test("rrfFusePerQuery: fusion is independent per query") {
     import org.apache.spark.sql.functions.col
     // query 1 sees doc 3 in both legs; query 2 sees doc 3 in ONE leg —

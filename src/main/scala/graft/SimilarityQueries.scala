@@ -295,6 +295,27 @@ object SimilarityQueries {
     }
   }
 
+  /** The IVF-PQ retrain epoch: the grown (appended) generation's drift
+    * remedy — both quantizers retrain over the lake's union corpus and
+    * the new generation must equal a fresh build over it. */
+  private[graft] def ivfPqRetrainIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqAppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_retrain_index", dir) { () =>
+      val table = "graft_ivfpq_retrain_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_retrain_index_").toString
+      VectorOps.retrainIvfPqIndex(s, base, table, path,
+        dupVectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding")),
+        m = 8, ksub = 64, pqIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** The PQ DELETE epoch: clone the serving PQ generation, admit exact
     * copies of the query vectors under poison ids (frozen-codebook
     * append — they'd surface as ADC-cosine-1.0 rank-1 neighbors), then
@@ -1072,6 +1093,30 @@ object SimilarityQueries {
           querySet(emb), emb, k = recallK, shortlist = 32, nProbe = 2))
     }),
 
+    // the composite's requantization epoch: both quantizers retrain
+    // over the union corpus (coarse K re-derived as √N), and the
+    // probe must equal a fresh build over it — the drift remedy the
+    // frozen-quantizer append defers to
+    "sim_ann_ivfpq_retrained" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndex(s, ivfPqRetrainIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the retrained generation's recall vs union-corpus truth —
+    // comparing with sim_ann_ivfpq_recall (frozen) quantifies what a
+    // requantization buys, the quality half of the drift story
+    "sim_ann_ivfpq_retrained_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb),
+        VectorOps.probeIvfPqIndex(s, ivfPqRetrainIndexFor(s, dir),
+          querySet(emb), k = recallK, nProbe = 2))
+    }),
+
     // IVF-PQ DELETE maintenance: poison twins admitted under both
     // frozen quantizers, then tombstoned — the anti-join runs AFTER
     // list pruning, and the probe must hash-match sim_ann_ivfpq's
@@ -1480,9 +1525,9 @@ object SimilarityQueries {
     * is the flat-PQ integer sum verbatim. Ends with `q` and `scored`
     * in scope; one builder feeds the gated rankings (build, index,
     * append) AND the recall audit so none can drift. */
-  private def ivfPqCtes(pre: String, corpusRel: String,
-      nProbe: Int): String =
-    s"""$pre${centTrainSql(ivfKSql, 2)},
+  private def ivfPqCtes(pre: String, corpusRel: String, nProbe: Int,
+      trainRel: String = "embeddings", kSql: String = ivfKSql): String =
+    s"""$pre${centTrainSql(kSql, 2, trainRel)},
       |${pqTrainSql(8, 64, 2, 8, pqTrainLimit)},
       |csv AS (SELECT vec_id, t.s AS s, embedding[(t.s*8+1):(t.s*8+8)] AS v
       |  FROM $corpusRel, range(0, 8) t(s)),
@@ -1609,12 +1654,32 @@ object SimilarityQueries {
       |    (ORDER BY wscore DESC, doc_id) AS BIGINT) AS rk FROM fused) f
       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
-  private def ivfPqOracleOver(pre: String, corpusRel: String): String =
-    s"""WITH ${ivfPqCtes(pre, corpusRel, 4)},
+  private def ivfPqOracleOver(pre: String, corpusRel: String,
+      trainRel: String = "embeddings", kSql: String = ivfKSql): String =
+    s"""WITH ${ivfPqCtes(pre, corpusRel, 4, trainRel, kSql)},
       |ranked AS (SELECT *, row_number() OVER
       |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
+
+  /** Retrained mirror: UNION corpus with K re-derived from its size —
+    * the two things requantization refreshes. The PQ sample filter
+    * (`vec_id < 16384`) makes the codebook training set identical over
+    * `embeddings` and the union (dup ids sit at ≥ 100000), matching
+    * the Spark side's sample-train contract exactly. */
+  private lazy val ivfPqRetrainOracleSql =
+    ivfPqOracleOver(dupVectorsSql + ",\n", "corpus", trainRel = "corpus",
+      kSql = "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)")
+
+  private lazy val ivfPqRetrainRecallOracleSql = recallOracleSql(
+    preCtes = ivfPqCtes(dupVectorsSql + ",\n", "corpus", 2,
+      trainRel = "corpus",
+      kSql = "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)"),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored""".stripMargin,
+    bruteRel = "corpus")
 
   private lazy val ivfPqOracleSql = ivfPqOracleOver("", "embeddings")
   // private[graft]: the CDC-maintenance epoch's settled generation is
@@ -1715,6 +1780,8 @@ object SimilarityQueries {
     "sim_ann_ivfpq" -> ivfPqOracleSql,
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,
+    "sim_ann_ivfpq_retrained" -> ivfPqRetrainOracleSql,
+    "sim_ann_ivfpq_retrained_recall" -> ivfPqRetrainRecallOracleSql,
     "sim_ann_ivfpq_deleted" -> ivfPqOracleSql,
     "sim_ann_ivfpq_compacted" -> ivfPqOracleSql,
     "sim_ann_ivfpq_updated" -> ivfPqOracleSql,

@@ -1018,6 +1018,37 @@ object VectorOps {
     appendToIvfPqIndex(spark, dest, latest, m, dim)
   }
 
+  /** Full requantization epoch for the IVF-PQ index — the remedy
+    * [[ivfRetrainCheck]]-style drift monitoring calls for once frozen
+    * quantizers stop describing a grown corpus: BOTH quantizers
+    * retrain (coarse K re-derived as √N of the live corpus; PQ
+    * codebooks re-Lloyd on the deterministic sample) and the corpus
+    * re-assigns + re-encodes into a fresh generation.
+    *
+    * Unlike [[retrainIvfIndex]], the composite's serving artifact
+    * carries NO float vectors (codes are the whole point) — so the
+    * retrain takes the lake `corpus` as input, which is how a real
+    * deployment works: codes serve, floats live in the lake, a
+    * requantization epoch reads the lake once. The src index still
+    * contributes its tombstones: deleted ids neither train nor serve
+    * in the new generation. */
+  def retrainIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, corpus: DataFrame,
+      trainIters: Int = 2, m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
+      dim: Int = 64, trainLimit: Long = 16384L): Unit = {
+    val live =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        corpus.join(broadcast(
+            spark.table(s"${src}_tombstones").select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+      else corpus
+    val k = math.max(4,
+      math.floor(math.sqrt(live.count().toDouble)).toInt)
+    writeIvfPqIndex(live, dest, path, numCentroids = k,
+      trainIters = trainIters, m = m, ksub = ksub, pqIters = pqIters,
+      dim = dim, trainLimit = trainLimit)
+  }
+
   /** Copy an IVF-PQ index to a new generation — the three-table form of
     * [[cloneIvfIndex]]'s clone/compact contract: both quantizers copy
     * verbatim (a clone is never a retrain), codes keep their

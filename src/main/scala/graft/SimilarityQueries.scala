@@ -946,6 +946,13 @@ object SimilarityQueries {
     "sim_ann_ivf_retrain_check" -> ((s, dir) =>
       VectorOps.ivfRetrainCheck(s, ivfAppendIndexFor(s, dir))),
 
+    // the composite's drift monitor: same statistics over the codes
+    // table (m rows per vector — distinct-id list sizes), same
+    // thresholds; the appended epoch's frozen assignment makes its
+    // verdict identical to the float family's, so they share a mirror
+    "sim_ann_ivfpq_retrain_check" -> ((s, dir) =>
+      VectorOps.ivfPqRetrainCheck(s, ivfPqAppendIndexFor(s, dir))),
+
     // compaction-cadence DECISION for the vector family
     // (Generations.compactionCheck, one monitor shape across all three
     // families): the DELETE epoch's ten poison tombstones against the
@@ -1662,6 +1669,30 @@ object SimilarityQueries {
       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Retrain-verdict mirror over the appended epoch's frozen
+    * assignment (union corpus, original centroids) — shared by the
+    * float IVF and IVF-PQ monitors: the composite's list populations
+    * are identical by construction (same corpus, same frozen coarse
+    * quantizer), so one mirror gates both. */
+  private lazy val ivfRetrainCheckOracleSql =
+    s"""WITH $dupVectorsSql,
+      |${centTrainSql(ivfKSql, 2)},
+      |casg AS (
+      |  SELECT vec_id, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM corpus CROSS JOIN cents),
+      |sizes AS (SELECT cid, count(*) AS n FROM casg WHERE cr = 1 GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_lists,
+      |    CAST(sum(n) AS BIGINT) AS total_vectors,
+      |    CAST(max(n) AS BIGINT) AS max_list FROM sizes),
+      |d AS (SELECT *, total_vectors // n_lists AS mean_list FROM tot),
+      |e AS (SELECT *, max_list * 1000 // mean_list AS max_over_mean_x1000,
+      |    max_list * 1000 // total_vectors AS top_frac_x1000 FROM d)
+      |SELECT n_lists, total_vectors, max_list, mean_list,
+      |  max_over_mean_x1000, top_frac_x1000,
+      |  (max_over_mean_x1000 >= 2000 OR top_frac_x1000 >= 200) AS retrain
+      |FROM e""".stripMargin
+
   /** Retrained mirror: UNION corpus with K re-derived from its size —
     * the two things requantization refreshes. The PQ sample filter
     * (`vec_id < 16384`) makes the codebook training set identical over
@@ -1913,24 +1944,8 @@ object SimilarityQueries {
     // the union corpus under centroids trained on the originals only
     // (the frozen-quantizer contract), sizes aggregated to the same
     // mean-first floored signals as VectorOps.ivfRetrainCheck
-    "sim_ann_ivf_retrain_check" ->
-      s"""WITH $dupVectorsSql,
-        |${centTrainSql(ivfKSql, 2)},
-        |casg AS (
-        |  SELECT vec_id, cid, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-        |  FROM corpus CROSS JOIN cents),
-        |sizes AS (SELECT cid, count(*) AS n FROM casg WHERE cr = 1 GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_lists,
-        |    CAST(sum(n) AS BIGINT) AS total_vectors,
-        |    CAST(max(n) AS BIGINT) AS max_list FROM sizes),
-        |d AS (SELECT *, total_vectors // n_lists AS mean_list FROM tot),
-        |e AS (SELECT *, max_list * 1000 // mean_list AS max_over_mean_x1000,
-        |    max_list * 1000 // total_vectors AS top_frac_x1000 FROM d)
-        |SELECT n_lists, total_vectors, max_list, mean_list,
-        |  max_over_mean_x1000, top_frac_x1000,
-        |  (max_over_mean_x1000 >= 2000 OR top_frac_x1000 >= 200) AS retrain
-        |FROM e""".stripMargin,
+    "sim_ann_ivf_retrain_check" -> ivfRetrainCheckOracleSql,
+    "sim_ann_ivfpq_retrain_check" -> ivfRetrainCheckOracleSql,
     "sim_cluster_assignments" ->
       s"""WITH $clusterAssignCtes
         |SELECT vec_id, cid AS cluster_id FROM clusters

@@ -1203,6 +1203,25 @@ object VectorOps {
         col("max_over_mean_x1000") >= maxOverMeanX1000 ||
           col("top_frac_x1000") >= topFracX1000)
 
+  /** [[ivfRetrainCheck]] for the IVF-PQ composite: the codes table
+    * carries m rows per vector, so list sizes count DISTINCT vec ids —
+    * same statistics, same integer-exact verdict, same thresholds.
+    * Near-metadata cost either way (one agg over narrow code rows). */
+  def ivfPqRetrainCheck(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxOverMeanX1000: Long = 2000L,
+      topFracX1000: Long = 200L): DataFrame =
+    spark.table(s"${table}_codes")
+      .groupBy(col("list_id"))
+      .agg(countDistinct(col("vec_id")).as("n"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("n")).as("total_vectors"),
+        max(col("n")).as("max_list"))
+      .withColumn("mean_list", expr("total_vectors div n_lists"))
+      .withColumn("max_over_mean_x1000", expr("max_list * 1000 div mean_list"))
+      .withColumn("top_frac_x1000", expr("max_list * 1000 div total_vectors"))
+      .withColumn("retrain",
+        col("max_over_mean_x1000") >= maxOverMeanX1000 ||
+          col("top_frac_x1000") >= topFracX1000)
+
   /** Derive an SQ8 serving generation from a float master index — the
     * step the retrain workflow ends with ([[retrainIvfIndex]] rebuilds
     * the float master; this re-derives the compact serving copy): the

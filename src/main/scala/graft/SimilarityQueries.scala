@@ -295,6 +295,27 @@ object SimilarityQueries {
     }
   }
 
+  /** The IVF-PQ derivation epoch: the float IVF master's quantizer and
+    * assignment re-used verbatim, lists PQ-encoded in place — the
+    * flat-to-compressed migration ([[ivfSq8DerivedIndexFor]]'s
+    * composite twin). Result-identical to a fresh composite build, so
+    * the probe shares `sim_ann_ivfpq`'s oracle. */
+  private[graft] def ivfPqDerivedIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_derived_index", dir) { () =>
+      val table = "graft_ivfpq_derived_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_derived_index_").toString
+      VectorOps.deriveIvfPqIndex(s, base, table, path, m = 8, ksub = 64,
+        pqIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** The IVF-PQ retrain epoch: the grown (appended) generation's drift
     * remedy — both quantizers retrain over the lake's union corpus and
     * the new generation must equal a fresh build over it. */
@@ -1100,6 +1121,19 @@ object SimilarityQueries {
           querySet(emb), emb, k = recallK, shortlist = 32, nProbe = 2))
     }),
 
+    // flat-to-compressed migration: the float IVF master's quantizer
+    // and assignment re-used verbatim, lists PQ-encoded in place — the
+    // derived composite must hash-match the fresh-build oracle (no
+    // Lloyd pass ran for the coarse side, yet the result is identical)
+    "sim_ann_ivfpq_derived" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqIndex(s, ivfPqDerivedIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the composite's requantization epoch: both quantizers retrain
     // over the union corpus (coarse K re-derived as √N), and the
     // probe must equal a fresh build over it — the drift remedy the
@@ -1813,6 +1847,7 @@ object SimilarityQueries {
     "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,
     "sim_ann_ivfpq_retrained" -> ivfPqRetrainOracleSql,
     "sim_ann_ivfpq_retrained_recall" -> ivfPqRetrainRecallOracleSql,
+    "sim_ann_ivfpq_derived" -> ivfPqOracleSql,
     "sim_ann_ivfpq_deleted" -> ivfPqOracleSql,
     "sim_ann_ivfpq_compacted" -> ivfPqOracleSql,
     "sim_ann_ivfpq_updated" -> ivfPqOracleSql,

@@ -1049,6 +1049,40 @@ object VectorOps {
       dim = dim, trainLimit = trainLimit)
   }
 
+  /** Derive an IVF-PQ serving generation from a float IVF master — the
+    * [[deriveSq8Index]] analog for the composite, and the migration
+    * path a deployment takes from flat-IVF to IVF-PQ serving: the
+    * coarse quantizer and the list assignment copy VERBATIM (no Lloyd
+    * pass, no re-assignment), only the PQ codebooks train (on the
+    * deterministic sample of the master's live corpus) and the list
+    * rows encode in place, `list_id` kept. Because the master's
+    * quantizer IS the fresh build's quantizer when both trained on the
+    * same corpus, the derived index is result-identical to
+    * [[writeIvfPqIndex]] over that corpus — one oracle, another plan.
+    * Pending deletes settle here like every derive/compact edge. */
+  def deriveIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 2, dim: Int = 64,
+      trainLimit: Long = 16384L): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    val live = dropTombstoned(spark, src, spark.table(s"${src}_lists"))
+    val corpus = live.select(col("vec_id"), col("embedding"))
+    val trained = pqTrainCodebooks(corpus, m, ksub, pqIters, dim, trainLimit)
+    val pqRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pcents = spark.createDataFrame(pqRdd, trained.schema)
+    pcents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${dest}_codebooks")
+    pqEncode(corpus, pcents, m, dim)
+      .join(live.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/codes").saveAsTable(s"${dest}_codes")
+    pqRdd.unpersist()
+  }
+
   /** Copy an IVF-PQ index to a new generation — the three-table form of
     * [[cloneIvfIndex]]'s clone/compact contract: both quantizers copy
     * verbatim (a clone is never a retrain), codes keep their

@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
 
-/** Multimodal binary-column queries (SURVEY §2.3). The binary payloads
-  * are derived deterministically from `documents` (utf-8 text bytes);
-  * oracle parity uses base64/octet_length, which DuckDB supports on
-  * blobs. The decode stage itself is a stub (no codecs in-container) and
-  * is covered rows-only + by MultimodalSpec. */
+/** Multimodal binary-column queries (SURVEY §2.3). Byte-level plumbing
+  * (meta/chunks/dedup/source) derives blobs deterministically from
+  * `documents`; oracle parity uses base64/octet_length, which DuckDB
+  * supports on blobs. The image path is REAL `javax.imageio`: a
+  * deterministic PNG per doc_id whose raster is an analytic function of
+  * (x, y, ch, doc_id), decoded and resized with integer-exact statistics
+  * the oracle recomputes in closed form (no sidecar — the SQL itself is
+  * the independent mirror of encode → decode → feature). */
 object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -32,24 +35,23 @@ object MultimodalQueries {
         .orderBy(col("media_id"), col("chunk_idx"))
     }),
 
-    // stubbed decode + feature extraction (mapPartitions batch shape);
-    // every feature is an integer-exact function of the payload bytes,
-    // so the full decode output is oracle-gated (byte math over the
-    // hex-rendered blob on the DuckDB side)
+    // REAL image decode (javax.imageio): the corpus is one PNG per
+    // doc_id whose raster is an analytic function of (x, y, ch, id), so
+    // the DuckDB oracle recomputes every pixel statistic in closed form
+    // — the gate covers Spark's PNG encode → decode → stats end to end
     "mm_decode_features" -> ((s, dir) => {
-      import s.implicits._
-      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
-        .as[Multimodal.MediaRow]
-      Multimodal.decodeStub(media).toDF().orderBy(col("media_id"))
+      Multimodal.decodeImages(
+          Multimodal.syntheticImages(Tables.documents(s, dir)))
+        .toDF().orderBy(col("media_id"))
     }),
 
-    // stubbed resize: blob in → bounded thumbnail blob out (every k-th
-    // byte, k = ceil(n/64)); payload + byte-sum audit both oracle-gated
+    // REAL image resize: PNG decode → 2×2 block-average (floor)
+    // downscale → re-encode + roundtrip check; thumbnail pixel sums are
+    // integer-exact so the oracle mirrors the downscale analytically
     "mm_resize_thumb" -> ((s, dir) => {
-      import s.implicits._
-      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
-        .as[Multimodal.MediaRow]
-      Multimodal.resizeStub(media, maxBytes = 64).toDF().orderBy(col("media_id"))
+      Multimodal.resizeImages(
+          Multimodal.syntheticImages(Tables.documents(s, dir)))
+        .toDF().orderBy(col("media_id"))
     }),
 
     // exact dedup over the BINARY payload (content-hash groupBy — the
@@ -93,6 +95,36 @@ object MultimodalQueries {
     dir.toString
   }
 
+  /** DuckDB mirror of [[Multimodal.pixelValue]]: channel `ch` at (x, y)
+    * of image `media_id` (all BIGINT math, mod-256 non-negative). */
+  private def pix(x: String, y: String, ch: Int): String =
+    s"(3*($x) + 7*($y) + ${11 * ch} + 13*media_id) % 256"
+
+  /** Count of pixels whose floor-luma ((r+g+b)//3) lands in 64-wide
+    * bucket `b` — the decode histogram mirror. */
+  private def lumaHist(b: Int): String = {
+    val luma = s"((${pix("i % w", "i // w", 0)} + ${pix("i % w", "i // w", 1)} + " +
+      s"${pix("i % w", "i // w", 2)}) // 3) // 64"
+    s"list_sum(list_transform(range(0, w*h), i -> CASE WHEN ($luma) = $b THEN 1 ELSE 0 END))::BIGINT AS hist_$b"
+  }
+
+  /** Thumbnail channel sum mirror: for each output pixel (i over ow·oh),
+    * floor-mean of the 2×2 (edge-clipped) input block of channel `ch`,
+    * summed — exactly [[Multimodal.resizeImages]]'s integer math. */
+  private def thumbSum(ch: Int): String = {
+    def p(dx: Int, dy: Int) =
+      pix(s"2*(i % ow) + $dx", s"2*(i // ow) + $dy", ch)
+    s"""list_sum(list_transform(range(0, ow*oh), i ->
+       |    ( ${p(0, 0)}
+       |    + CASE WHEN 2*(i % ow) + 1 < w THEN ${p(1, 0)} ELSE 0 END
+       |    + CASE WHEN 2*(i // ow) + 1 < h THEN ${p(0, 1)} ELSE 0 END
+       |    + CASE WHEN 2*(i % ow) + 1 < w AND 2*(i // ow) + 1 < h
+       |        THEN ${p(1, 1)} ELSE 0 END )
+       |    // ((CASE WHEN 2*(i % ow) + 1 < w THEN 2 ELSE 1 END)
+       |       * (CASE WHEN 2*(i // ow) + 1 < h THEN 2 ELSE 1 END))
+       |  ))::BIGINT""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, 'fake/' || source AS media_type,
@@ -106,42 +138,38 @@ object MultimodalQueries {
         |FROM documents,
         |  LATERAL unnest(range(0, ((octet_length(encode(text)) - 1) // 128) + 1)) AS t(i)
         |ORDER BY media_id, chunk_idx""".stripMargin,
-    // byte features recomputed from the hex rendering of the blob
-    // (DuckDB 1.0 cannot subscript a BLOB; hex pairs → byte values).
-    // head_crc closed form: Σ b_i · 31^(m-i), m = min(8, n) — 31^k is
-    // integer-exact in double for k ≤ 7, total ≤ 7.3e12 (fits BIGINT).
+    // the analytic-raster mirror: every pixel of the PNG corpus is
+    // pix(x,y,ch) = (3x + 7y + 11ch + 13·media_id) mod 256, so sums and
+    // histogram buckets are recomputed in closed form — if Spark's PNG
+    // encode/decode corrupts a single pixel the hash breaks
     "mm_decode_features" ->
-      """WITH m AS (
-        |  SELECT doc_id AS media_id, 'fake/' || source AS media_type,
-        |    hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
         |  FROM documents)
-        |SELECT media_id, media_type, n::BIGINT AS n_bytes,
-        |  ((n % 640) + 1)::INT AS fake_width,
-        |  ((n % 480) + 1)::INT AS fake_height,
-        |  coalesce(list_sum(list_transform(range(1, n + 1),
-        |    i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT)), 0)::BIGINT AS byte_sum,
-        |  coalesce(list_sum(list_transform(range(1, least(8, n) + 1),
-        |    i -> ('0x' || substr(h, 2*i - 1, 2))::BIGINT
-        |         * (31 ** (least(8, n) - i))::BIGINT)), 0)::BIGINT AS head_crc
+        |SELECT media_id, 'image/png' AS media_type,
+        |  w::INT AS width, h::INT AS height, (w*h)::BIGINT AS n_pixels,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> ${pix("i % w", "i // w", 0)}))::BIGINT AS sum_r,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> ${pix("i % w", "i // w", 1)}))::BIGINT AS sum_g,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> ${pix("i % w", "i // w", 2)}))::BIGINT AS sum_b,
+        |  ${lumaHist(0)}, ${lumaHist(1)}, ${lumaHist(2)}, ${lumaHist(3)}
         |FROM m ORDER BY media_id""".stripMargin,
-    // the corpus is ASCII (mm_frame_chunks already relies on char ≡ byte),
-    // so sampling every k-th CHAR of the text mirrors sampling every k-th
-    // BYTE of the blob; byte sums via the same hex-pair trick
+    // the 2×2 block-average mirror: each output pixel is the floor-mean
+    // of its (edge-clipped) input block, every value from the analytic
+    // raster; reencode_ok mirrors TRUE (the Spark side re-encodes the
+    // thumbnail to PNG and must roundtrip it pixel-exactly)
     "mm_resize_thumb" ->
-      """WITH m AS (SELECT doc_id AS media_id, text,
-        |    octet_length(encode(text)) AS n FROM documents),
-        |p AS (SELECT media_id, n, greatest(1, (n + 63) // 64) AS k, text FROM m),
-        |s AS (SELECT media_id, n, k,
-        |  array_to_string(list_transform(range(0, (n + k - 1) // k),
-        |    i -> substr(text, CAST(i * k + 1 AS INT), 1)), '') AS thumb
-        |  FROM p)
-        |SELECT media_id, n::BIGINT AS n_bytes, k::INT AS stride,
-        |  octet_length(encode(thumb))::BIGINT AS out_bytes,
-        |  coalesce(list_sum(list_transform(range(1, octet_length(encode(thumb)) + 1),
-        |    j -> ('0x' || substr(hex(encode(thumb)), CAST(2*j - 1 AS INT), 2))::BIGINT)), 0)::BIGINT
-        |    AS out_byte_sum,
-        |  to_base64(encode(thumb)) AS thumb_b64
-        |FROM s ORDER BY media_id""".stripMargin,
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |p AS (SELECT media_id, w, h, (w+1)//2 AS ow, (h+1)//2 AS oh FROM m)
+        |SELECT media_id, w::INT AS in_w, h::INT AS in_h,
+        |  ow::INT AS out_w, oh::INT AS out_h,
+        |  ${thumbSum(0)} AS sum_r, ${thumbSum(1)} AS sum_g,
+        |  ${thumbSum(2)} AS sum_b, true AS reencode_ok
+        |FROM p ORDER BY media_id""".stripMargin,
     // DuckDB md5 is VARCHAR-only; md5(text) hashes the UTF-8 bytes,
     // which IS the blob (encode(text)) — same digest as Spark's
     // md5(binary)

@@ -619,6 +619,74 @@ object SimilarityQueries {
     }
   }
 
+  /** SQ8 twin of [[ivfDeleteIndexFor]] (VERDICT r13 #2 — lifecycle
+    * symmetry): the tombstone sidecar is payload-agnostic (id
+    * anti-join), so the clone + admit-poison + tombstone steps reuse
+    * the shared machinery with only the append quantizing. */
+  private[graft] def ivfSq8DeleteIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfSq8IndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_sq8_delete_index", dir) { () =>
+      val table = "graft_ivf_sq8_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_sq8_delete_index_").toString
+      VectorOps.cloneIvfIndex(s, base, table, path)
+      val poison = querySet(Tables.embeddings(s, dir))
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndexSq8(s, table, poison)
+      VectorOps.deleteFromIvfIndex(s, table, poison.select(col("vec_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists",
+          s"${table}_tombstones"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** SQ8 twin of [[ivfUpsertIndexFor]]: corrupt with doubled ids (the
+    * poison codes mix into the same lists as the true codes), heal via
+    * [[VectorOps.upsertToIvfIndexSq8]] — the frozen-quantizer re-encode
+    * restores rows bit-identical to a fresh SQ8 build's. */
+  private[graft] def ivfSq8UpsertIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfSq8IndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_sq8_upsert_index", dir) { () =>
+      val corrupt = "graft_ivf_sq8_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_ivf_sq8_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_ivf_sq8_upsert_").toString)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.cloneIvfIndex(s, base, corrupt, paths(0))
+      val poison = querySet(emb)
+        .select((col("vec_id") + 50).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndexSq8(s, corrupt, poison)
+      val truth = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.upsertToIvfIndexSq8(s, corrupt, dest, paths(1), truth)
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(s"${corrupt}_cents", s"${corrupt}_lists",
+          s"${dest}_cents", s"${dest}_lists"),
+        deleteDirs = paths)
+    }
+  }
+
+  /** SQ8 twin of [[ivfCompactIndexFor]]: the appended SQ8 generation
+    * settled one-file-per-list ([[VectorOps.compactIvfIndex]] is
+    * payload-agnostic — it rewrites whatever list schema it reads). */
+  private[graft] def ivfSq8CompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfSq8AppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_sq8_compact_index", dir) { () =>
+      val table = "graft_ivf_sq8_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_sq8_compact_index_").toString
+      VectorOps.compactIvfIndex(s, base, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
@@ -1038,6 +1106,42 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // SQ8 DELETE maintenance: quantized poison twins admitted through
+    // the frozen quantizer then tombstoned — the id-keyed tombstone
+    // never looks at the payload, so the SQ8 probe must hash-match
+    // sim_ann_ivf_sq8's oracle (a leak is a near-max-score rank-1
+    // neighbor). Anti-join after list pruning, like the float family.
+    "sim_ann_ivf_sq8_deleted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexSq8(s, ivfSq8DeleteIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // SQ8 UPDATE maintenance: ten corpus ids doubled (true + poison
+    // codes, possibly in the SAME list), healed by the SQ8 upsert's
+    // drop + frozen-quantizer RE-ENCODE — the healed rows are
+    // bit-identical to a fresh SQ8 build's, so the probe hash-matches
+    // sim_ann_ivf_sq8's oracle
+    "sim_ann_ivf_sq8_updated" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexSq8(s, ivfSq8UpsertIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // SQ8 COMPACTION: the appended SQ8 generation rewritten one-file-
+    // per-list — rows identical, shares the SQ8 append oracle
+    "sim_ann_ivf_sq8_compacted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexSq8(s, ivfSq8CompactIndexFor(s, dir), querySet(emb),
+          k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the SQ8 layout's append maintenance — int8 codes into the frozen
     // quantizer's list partitions
     "sim_ann_ivf_sq8_appended" -> ((s, dir) => {
@@ -1230,6 +1334,29 @@ object SimilarityQueries {
           floor(col("cos_sim") * lit(1000000.0)).cast("long").as("score"))
       graft.operators.SearchOps.weightedFuse(Seq((lex, 70), (sem, 30)), k = 10)
         .orderBy(col("rk"))
+    }),
+
+    // the BATCH form of weighted fusion: each of the 10 query docs
+    // min-max-normalizes BOTH legs over its own candidate list (the
+    // per-query window — one query's score range can't contaminate
+    // another's) before the 70/30 integer combination; 10 independent
+    // k-row folds, the serving-batch shape
+    "hybrid_search_weighted_batch" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val qids = querySet(emb).select(col("vec_id").as("query_id"))
+      val lex = graft.operators.SearchOps.searchBm25Any(
+          s, TextQueries.searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 20)
+        .select(col("doc_id"), col("score"))
+        .crossJoin(broadcast(qids))
+      val sem = VectorOps.probeIvfIndex(s, ivfIndexFor(s, dir),
+          querySet(emb), k = 20, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          floor(col("cos_sim") * lit(1000000.0)).cast("long").as("score"))
+      graft.operators.SearchOps.weightedFusePerQuery(
+          Seq((lex, 70), (sem, 30)), k = 10)
+        .orderBy(col("query_id"), col("rk"))
     }),
 
     // the BATCH form of hybrid fusion: each of the 10 query docs fuses
@@ -1695,6 +1822,45 @@ object SimilarityQueries {
       |    (ORDER BY wscore DESC, doc_id) AS BIGINT) AS rk FROM fused) f
       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
+  /** The batch weighted-fusion mirror (VERDICT r13 #5): the semantic
+    * leg ranks per query, the lexical list cross-joins onto every
+    * query, and BOTH legs min-max-normalize within each query's own
+    * candidate list (`PARTITION BY query_id` window) before the 70/30
+    * integer combination ranks per query —
+    * [[graft.operators.SearchOps.weightedFusePerQuery]] verbatim. */
+  private lazy val hybridWeightedBatchOracleSql =
+    s"""WITH ${hybridSemCtes("vec_id < 10")},
+      |sems AS (SELECT query_id, doc_id, CAST(floor(cos_sim * 1000000.0) AS BIGINT) AS score
+      |  FROM (SELECT query_id, neighbor_id AS doc_id, cos_sim, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      |    FROM vscored) r
+      |  WHERE rk <= 20),
+      |lexq AS (SELECT q.query_id AS query_id, l.doc_id AS doc_id, l.score AS score
+      |  FROM (${TextQueries.searchBm25AnyList20Sql}) l CROSS JOIN q),
+      |lexn AS (SELECT query_id, doc_id,
+      |    (CASE WHEN mx = mn THEN 1000000
+      |     ELSE CAST(floor((score - mn)::DOUBLE * 1000000.0 / (mx - mn)::DOUBLE)
+      |       AS BIGINT) END) * 70 AS part
+      |  FROM (SELECT query_id, doc_id, score,
+      |      min(score) OVER (PARTITION BY query_id) AS mn,
+      |      max(score) OVER (PARTITION BY query_id) AS mx FROM lexq) t),
+      |semn AS (SELECT query_id, doc_id,
+      |    (CASE WHEN mx = mn THEN 1000000
+      |     ELSE CAST(floor((score - mn)::DOUBLE * 1000000.0 / (mx - mn)::DOUBLE)
+      |       AS BIGINT) END) * 30 AS part
+      |  FROM (SELECT query_id, doc_id, score,
+      |      min(score) OVER (PARTITION BY query_id) AS mn,
+      |      max(score) OVER (PARTITION BY query_id) AS mx FROM sems) t),
+      |parts AS (SELECT query_id, doc_id, part FROM lexn
+      |  UNION ALL SELECT query_id, doc_id, part FROM semn),
+      |fused AS (SELECT query_id, doc_id, CAST(sum(part) AS BIGINT) AS wscore,
+      |  CAST(count(*) AS BIGINT) AS n_lists FROM parts GROUP BY query_id, doc_id)
+      |SELECT query_id, doc_id, wscore, n_lists, rk FROM (
+      |  SELECT *, CAST(row_number() OVER
+      |    (PARTITION BY query_id ORDER BY wscore DESC, doc_id) AS BIGINT) AS rk
+      |  FROM fused) f
+      |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   private def ivfPqOracleOver(pre: String, corpusRel: String,
       trainRel: String = "embeddings", kSql: String = ivfKSql): String =
     s"""WITH ${ivfPqCtes(pre, corpusRel, 4, trainRel, kSql)},
@@ -1868,6 +2034,7 @@ object SimilarityQueries {
     "hybrid_search_rrf" -> hybridRrfOracleSql,
     "hybrid_search_rrf_batch" -> hybridRrfBatchOracleSql,
     "hybrid_search_weighted" -> hybridWeightedOracleSql,
+    "hybrid_search_weighted_batch" -> hybridWeightedBatchOracleSql,
     "sim_ann_pq_published" -> pqOracleSql,
     "sim_ann_pq_deleted" -> pqOracleSql,
     "sim_ann_pq_compacted" -> pqOracleSql,
@@ -2018,6 +2185,9 @@ object SimilarityQueries {
       trainRel = "corpus",
       kSql = "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)"),
     "sim_ann_ivf_sq8_appended" -> ivfSq8AppendOracleSql,
+    "sim_ann_ivf_sq8_deleted" -> ivfSq8OracleSql,
+    "sim_ann_ivf_sq8_updated" -> ivfSq8OracleSql,
+    "sim_ann_ivf_sq8_compacted" -> ivfSq8AppendOracleSql,
     "sim_ann_ivf_sq8_recall" -> ivfSq8RecallOracleSql,
     "sim_ann_ivf_sq8_indexed_recall" -> ivfSq8RecallOracleSql,
     // retrained-generation recall: train/assign/probe AND the brute

@@ -665,6 +665,42 @@ object SearchOps {
       .select(col("doc_id"), col("wscore"), col("n_lists"), col("rk"))
   }
 
+  /** [[weightedFuse]] over a query BATCH — the per-query twin
+    * [[rrfFusePerQuery]] already has (VERDICT r13 #5): each leg carries
+    * (query_id, doc_id, score), min-max normalization folds over EACH
+    * QUERY'S OWN candidate list (a `partitionBy(query_id)` window over
+    * ≤ k rows — queries can't contaminate each other's score range),
+    * and the fused rank partitions the same way, so a 10⁶-query batch
+    * fuses as independent parallel folds. Same integer contract as the
+    * single-query form: exact long min/max, ONE double op sequence
+    * (subtract, ·1e6, divide, floor), integer weights summing to 100. */
+  def weightedFusePerQuery(legs: Seq[(DataFrame, Int)], k: Int): DataFrame = {
+    require(legs.nonEmpty, "need at least one leg to fuse")
+    require(legs.map(_._2).sum == 100,
+      s"leg weights must sum to 100, got ${legs.map(_._2)}")
+    val wq = Window.partitionBy(col("query_id"))
+    val normed = legs.map { case (df, w) =>
+      df.select(col("query_id").cast("long").as("query_id"),
+          col("doc_id").cast("long").as("doc_id"), col("score"))
+        .withColumn("mn", min(col("score")).over(wq))
+        .withColumn("mx", max(col("score")).over(wq))
+        .select(col("query_id"), col("doc_id"),
+          (when(col("mx") === col("mn"), lit(1000000L))
+            .otherwise(floor((col("score") - col("mn")).cast("double") *
+              lit(1000000.0) / (col("mx") - col("mn")).cast("double"))
+              .cast("long")) * lit(w.toLong)).as("part"))
+    }
+    normed.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("part")).as("wscore"), count(lit(1)).as("n_lists"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("query_id"))
+          .orderBy(col("wscore").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("wscore"),
+        col("n_lists"), col("rk"))
+  }
+
   private def bm25Ranked(spark: org.apache.spark.sql.SparkSession,
       table: String, terms: Seq[String], k: Int,
       conjunctive: Boolean): DataFrame = {

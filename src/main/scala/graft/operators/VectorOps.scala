@@ -1200,6 +1200,39 @@ object VectorOps {
     appendToIvfIndex(spark, dest, latest)
   }
 
+  /** [[upsertToIvfIndex]] for a [[writeIvfIndexSq8]] table — the SQ8
+    * member of the upsert symmetry (VERDICT r13 #2): quantized codes
+    * make DELETE identical (the id anti-join never looks at the
+    * payload) and the re-admit a frozen-QUANTIZER re-encode — incoming
+    * float vectors are assigned by the copied coarse centroids and
+    * int8-quantized exactly as [[writeIvfIndexSq8]] would, so the new
+    * generation's rows for the upserted ids are bit-identical to a
+    * fresh build's. Same cost class as the float upsert: one list
+    * rewrite (compaction's plan) + a broadcast batch append. */
+  def upsertToIvfIndexSq8(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, vecs: DataFrame): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    // ONE row per incoming id, reduced deterministically — same
+    // duplicate-batch contract as upsertToIvfIndex
+    val latest = vecs.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val incoming = latest.select(col("vec_id"))
+    val dead =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        incoming.unionByName(
+          spark.table(s"${src}_tombstones").select(col("vec_id"))).distinct()
+      else incoming
+    spark.table(s"${src}_lists")
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
+    appendToIvfIndexSq8(spark, dest, latest)
+  }
+
   /** The retrain DECISION over a persisted index's list-size
     * distribution — the operator that closes the monitor→retrain edge
     * of the lifecycle (build → append* → compact → monitor → retrain):

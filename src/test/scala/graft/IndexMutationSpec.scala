@@ -256,6 +256,50 @@ class IndexMutationSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("upsertToIvfIndexSq8: doubled id healed by frozen-quantizer re-encode; tombstones settle") {
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.tabulate(6)(d => math.cos(i * 5 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val src = uniq("graft_sq8_ups_spec_")
+    val dest = uniq("graft_sq8_ups_spec_d_")
+    val paths = (1 to 2).map(_ => tmp("graft_sq8_ups_spec_"))
+    try {
+      VectorOps.writeIvfIndexSq8(vecs, src, paths(0), numCentroids = 3,
+        trainIters = 1)
+      // snapshot the PRISTINE codes for ids 2,3 before corrupting — the
+      // healed generation must restore exactly these (frozen quantizer +
+      // same scan-side quantization = bit-identical re-encode)
+      def codes(t: String, ids: Seq[Long]) = spark.table(s"${t}_lists")
+        .filter(col("vec_id").isin(ids: _*))
+        .collect().map(r => (r.getLong(0), r.getSeq[Any](1).toList)).toSet
+      val pristine = codes(src, Seq(2L, 3L))
+      val stale = vecs.filter(col("vec_id").isin(2L, 3L))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> -x)").cast("array<float>")
+            .as("embedding"))
+      VectorOps.appendToIvfIndexSq8(spark, src, stale)
+      assert(spark.table(s"${src}_lists").filter(col("vec_id") === 2L)
+        .count() == 2L, "fixture must carry the doubled-id defect")
+      VectorOps.deleteFromIvfIndex(spark, src, Seq(7L).toDF("vec_id"))
+      VectorOps.upsertToIvfIndexSq8(spark, src, dest, paths(1),
+        vecs.filter(col("vec_id").isin(2L, 3L)))
+      val perId = spark.table(s"${dest}_lists").groupBy(col("vec_id"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perId.values.forall(_ == 1L),
+        s"upserted SQ8 generation must hold each id exactly once: $perId")
+      assert(!perId.contains(7L), "pending tombstone must settle in the upsert")
+      assert(codes(dest, Seq(2L, 3L)) == pristine,
+        "healed codes must be bit-identical to the pristine frozen-quantizer encode")
+      // deleted id never surfaces from the upserted generation
+      val got = VectorOps.probeIvfIndexSq8(spark, dest,
+          vecs.filter(col("vec_id") < 2), k = 3, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!got.exists(_._2 == 7L), "deleted id served from upserted SQ8 index")
+    } finally Seq(s"${src}_tombstones", s"${src}_cents", s"${src}_lists",
+      s"${dest}_cents", s"${dest}_lists").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("upsertToBandIndex: stale band rows replaced; probe equals fresh build") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta"),

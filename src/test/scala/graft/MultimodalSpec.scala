@@ -4,58 +4,82 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** Deterministic checks of the multimodal plumbing: the stub decoder's
-  * contract (pure function of bytes, partition-batched) and the chunk
-  * sampler's coverage. */
+/** Deterministic checks of the multimodal plumbing: the real
+  * javax.imageio decode/resize contracts (lossless roundtrip of the
+  * analytic raster, hand-computed block averages, partition batching)
+  * and the chunk sampler's coverage. */
 class MultimodalSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("decodeStub is a pure function of the bytes with the documented formulas") {
-    val media = Seq(
-      Multimodal.MediaRow(1L, "fake/img", "abc".getBytes("UTF-8")),
-      Multimodal.MediaRow(2L, "fake/img", Array.empty[Byte]))
-      .toDS()
-    val out = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
-    val a = out(0)
-    assert(a.n_bytes == 3)
-    assert(a.fake_width == 4 && a.fake_height == 4)
-    assert(a.byte_sum == ('a' + 'b' + 'c').toLong)
-    assert(a.head_crc == (('a' * 31 + 'b') * 31 + 'c'))
-    val e = out(1)
-    assert(e.n_bytes == 0 && e.byte_sum == 0L && e.head_crc == 0L)
+  private def pngOf(pixels: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pixels(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  test("resizeStub bounds the payload at maxBytes and samples every k-th byte") {
-    val big = (0 until 200).map(i => ('a' + i % 26).toChar).mkString
-    val media = Seq(
-      Multimodal.MediaRow(1L, "fake/img", big.getBytes("UTF-8")),
-      Multimodal.MediaRow(2L, "fake/img", "xy".getBytes("UTF-8")),
-      Multimodal.MediaRow(3L, "fake/img", Array.empty[Byte]))
-      .toDS()
-    val out = Multimodal.resizeStub(media, maxBytes = 64).collect()
-      .map(t => t.media_id -> t).toMap
-    val t1 = out(1L)
-    assert(t1.stride == math.ceil(200.0 / 64).toInt)
-    assert(t1.out_bytes <= 64, "thumbnail must be bounded")
-    val expect = big.getBytes("UTF-8").indices.by(t1.stride).map(big.charAt)
-    assert(new String(java.util.Base64.getDecoder.decode(t1.thumb_b64)) ==
-      expect.mkString)
-    assert(t1.out_byte_sum == expect.map(_.toLong).sum)
-    // small blob: stride 1, identity payload
-    assert(out(2L).stride == 1 && out(2L).thumb_b64 ==
-      java.util.Base64.getEncoder.encodeToString("xy".getBytes))
-    // empty blob: empty thumbnail, zero sums
-    assert(out(3L).out_bytes == 0L && out(3L).out_byte_sum == 0L
-      && out(3L).thumb_b64 == "")
+  test("decodeImages recovers the analytic raster exactly (PNG lossless roundtrip)") {
+    val ids = Seq(0L, 5L, 62L) // covers odd and even dims
+    val media = ids.map(id =>
+      Multimodal.MediaRow(id, "image/png", Multimodal.encodeSyntheticPng(id))).toDS()
+    val out = Multimodal.decodeImages(media).collect().map(f => f.media_id -> f).toMap
+    for (id <- ids) {
+      val (w, h) = Multimodal.imageDims(id)
+      val f = out(id)
+      assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+      val expSum = (c: Int) => (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixelValue(x, y, c, id).toLong).sum
+      assert(f.sum_r == expSum(0) && f.sum_g == expSum(1) && f.sum_b == expSum(2))
+      val lumas = for (y <- 0 until h; x <- 0 until w) yield
+        (Multimodal.pixelValue(x, y, 0, id) + Multimodal.pixelValue(x, y, 1, id) +
+          Multimodal.pixelValue(x, y, 2, id)) / 3 / 64
+      assert(Seq(f.hist_0, f.hist_1, f.hist_2, f.hist_3) ==
+        (0 to 3).map(b => lumas.count(_ == b).toLong))
+    }
   }
 
-  test("decodeStub runs partition-batched and scales with partitions") {
+  test("decodeImages on a hand-built PNG (independent of the synthetic generator)") {
+    val px = Array(
+      Array((255, 0, 0), (0, 255, 0)),
+      Array((0, 0, 255), (10, 20, 30)))
+    val media = Seq(Multimodal.MediaRow(7L, "image/png", pngOf(px))).toDS()
+    val f = Multimodal.decodeImages(media).collect().head
+    assert(f.width == 2 && f.height == 2 && f.n_pixels == 4)
+    assert(f.sum_r == 265 && f.sum_g == 275 && f.sum_b == 285)
+    // lumas: 85, 85, 85, 20 → buckets 1,1,1,0
+    assert(f.hist_0 == 1 && f.hist_1 == 3 && f.hist_2 == 0 && f.hist_3 == 0)
+  }
+
+  test("resizeImages block-averages with floor division, edge blocks clipped") {
+    // 3×3: odd dims → right column and bottom row are 1-wide/1-tall blocks
+    val px = Array(
+      Array((10, 0, 0), (20, 0, 0), (99, 1, 2)),
+      Array((30, 0, 0), (41, 0, 0), (101, 3, 4)),
+      Array((7, 5, 6), (9, 7, 8), (255, 255, 255)))
+    val media = Seq(Multimodal.MediaRow(1L, "image/png", pngOf(px))).toDS()
+    val t = Multimodal.resizeImages(media).collect().head
+    assert(t.in_w == 3 && t.in_h == 3 && t.out_w == 2 && t.out_h == 2)
+    // blocks: TL mean(10,20,30,41)=25 (floor 101/4); TR mean(99,101)=100;
+    // BL mean(7,9)=8; BR 255
+    assert(t.sum_r == 25 + 100 + 8 + 255)
+    assert(t.sum_g == 0 + 2 + 6 + 255)
+    assert(t.sum_b == 0 + 3 + 7 + 255)
+    assert(t.reencode_ok, "thumbnail must re-encode to PNG and roundtrip pixel-exactly")
+  }
+
+  test("decodeImages runs partition-batched and scales with partitions") {
     val media = (1L to 100L)
-      .map(i => Multimodal.MediaRow(i, "fake/img", s"payload-$i".getBytes))
+      .map(i => Multimodal.MediaRow(i, "image/png", Multimodal.encodeSyntheticPng(i)))
       .toDS().repartition(8)
-    val out = Multimodal.decodeStub(media)
+    val out = Multimodal.decodeImages(media)
     assert(out.rdd.getNumPartitions == 8, "decode must not collapse partitioning")
     assert(out.count() == 100)
   }

@@ -415,4 +415,29 @@ class SearchOpsSpec extends AnyFunSuite {
       (2L, 5L, 16393L, 1L, 2L)),      // tie with doc 3 → higher doc_id second
       s"unexpected fused set: $out")
   }
+
+  test("weightedFusePerQuery: normalization is per query's OWN candidate list") {
+    import org.apache.spark.sql.functions.col
+    // query 1's lex range is 100..20, query 2's is 10..8 — per-query
+    // min-max must normalize each over its own range (query 2's doc 6
+    // hits 1e6 despite a raw score of 10); query 2's sem leg is
+    // constant → 1e6 for its only member
+    val lex = Seq((1L, 1L, 100L), (1L, 2L, 20L), (2L, 6L, 10L), (2L, 7L, 8L))
+      .toDF("query_id", "doc_id", "score")
+    val sem = Seq((1L, 2L, 50L), (1L, 1L, 10L), (2L, 6L, 42L))
+      .toDF("query_id", "doc_id", "score")
+    val out = SearchOps.weightedFusePerQuery(Seq((lex, 70), (sem, 30)), k = 10)
+      .select(col("query_id"), col("doc_id"), col("wscore"), col("n_lists"),
+        col("rk"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 70000000L, 2L, 1L),    // lex max (70·1e6) + sem min (30·0)
+      (1L, 2L, 30000000L, 2L, 2L),    // lex min + sem max (30·1e6)
+      (2L, 6L, 100000000L, 2L, 1L),   // max of BOTH legs within query 2
+      (2L, 7L, 0L, 1L, 2L)),          // lex min of query 2
+      s"unexpected fused set: $out")
+    intercept[IllegalArgumentException] {
+      SearchOps.weightedFusePerQuery(Seq((lex, 50), (sem, 20)), k = 10)
+    }
+  }
 }

@@ -358,6 +358,19 @@ object StreamingQueries {
         .orderBy(col("rk"))
     }),
 
+    // the within-batch ORDINAL gate: one micro-batch carries TWO
+    // updates of each %10 doc — poison first, truth second, ordered
+    // only by event_seq (arrival order inside the file is arbitrary).
+    // The settle must serve the LATER text: a poison win floods the
+    // top-10, a stale survival shifts every dl/df — either breaks the
+    // full all-docs BM25 oracle this probe carries. Closes the last
+    // batchId-tie relaxation end to end.
+    "stream_search_cdc_two_updates" -> ((s, dir) => {
+      SearchOps.searchBm25(s, searchCdcTwoUpdatesIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // the settle-cadence monitor over the UNSETTLED source generation
     // (IngestStream.settleCheck): pending depth, tombstone set, and
     // sequence-space staleness age reduced to one integer-exact verdict
@@ -512,6 +525,7 @@ object StreamingQueries {
     // all-docs oracles gate the whole statement-routing loop
     "stream_search_cdc" -> TextQueries.searchAndSql,
     "stream_search_cdc_bm25" -> TextQueries.searchBm25Sql,
+    "stream_search_cdc_two_updates" -> TextQueries.searchBm25Sql,
     // the monitor's mirror recomputes the pending/tombstone sidecars
     // from the event-fixture definition: INSERTs of the odd half
     // (seq = doc_id), UPDATEs of %10 (1e6+doc_id), re-INSERTs of
@@ -856,6 +870,64 @@ object StreamingQueries {
         .repartition(1).write.mode("append").parquet(path)
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
+
+  /** TWO same-doc UPDATEs in ONE micro-batch (VERDICT r13 #6 — the
+    * within-batch ordinal gate): a SINGLE event file (1 file = 1
+    * trigger batch under `maxFilesPerTrigger = 1`) carries, for every
+    * %10 doc, first a POISON update ('spark vector window' spam — it
+    * would rank top-10 if it won) at seq 1e6+id and then the TRUE text
+    * at seq 2e6+id. Row order inside the file is arbitrary; only
+    * `event_seq` can order them — with batchId-granularity stamps the
+    * two rows would tie, the documented relaxation this gate closes. */
+  private[graft] def twoUpdateEventsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "search_cdc_two_upd_events", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_cdc_two_upd_events_").toString
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      docs.select(lit("UPDATE").as("statement"), col("doc_id"),
+          concat(lit("spark vector window spark vector window "),
+            col("text")).as("text"),
+          (col("doc_id") + 1000000L).as("event_seq"))
+        .unionByName(docs.select(lit("UPDATE").as("statement"), col("doc_id"),
+          col("text"), (col("doc_id") + 2000000L).as("event_seq")))
+        .repartition(1).write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The two-updates-one-batch epoch: the initial generation serves
+    * every %10 doc STALE ('xstale' prefix), the single-batch drain
+    * queues BOTH updates, and the settle must pick the later (true)
+    * text by `event_seq` — the settled index then equals the index
+    * over the true corpus exactly, so the BM25 probe carries the full
+    * all-docs oracle (a poison win would flood the top-10; a stale
+    * survival would shift dl/df). */
+  private[graft] def searchCdcTwoUpdatesIndexFor(s: SparkSession,
+      dir: String): String = {
+    val evDir = twoUpdateEventsDir(s, dir)
+    EpochRegistry.acquire(s, "search_cdc_two_upd_index", dir) { () =>
+      val src = "graft_search_cdc2u_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_search_cdc2u_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 5).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_search_cdc2u_").toString)
+      val docs = Tables.documents(s, dir)
+      val stale = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(lit("xstale "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.operators.SearchOps.writeSearchIndex(
+        stale, "doc_id", "text", src, paths(0))
+      graft.operators.SearchOps.writeDocLengths(s, src, paths(1))
+      val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
+      IngestStream.cdcIndexSink(ev, src, paths(2)).awaitTermination()
+      IngestStream.settleSearchUpserts(s, src, dest, paths(3), paths(4))
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(src, s"${src}_doclens", s"${src}_tombstones",
+          s"${src}_pending", s"${src}_applied",
+          dest, s"${dest}_doclens"),
+        deleteDirs = paths)
+    }
+  }
 
   /** The CDC-maintenance epoch — the loop end to end: the initial
     * generation indexes the EVEN docs with STALE text for every %10 doc

@@ -178,6 +178,48 @@ class IndexMutationSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("two same-doc updates in ONE micro-batch: event_seq ordinal picks the later") {
+    // VERDICT r13 #6 — the within-batch tie the batchId stamp cannot
+    // break: both events land in one applyCdcBatch call, physical row
+    // order is ADVERSARIAL (doc 1 poison-first, doc 2 truth-first), and
+    // only event_seq may decide.
+    val src = uniq("graft_cdc_2u_src_")
+    val dest = uniq("graft_cdc_2u_dest_")
+    val ref = uniq("graft_cdc_2u_ref_")
+    val paths = (1 to 6).map(_ => tmp("graft_cdc_2u_"))
+    def ev(rows: (String, Long, String, Long)*) =
+      rows.toSeq.toDF("statement", "doc_id", "text", "event_seq")
+    try {
+      SearchOps.writeSearchIndex(docs, "doc_id", "text", src, paths(0),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, src, paths(1), numBuckets = 4)
+      graft.streaming.IngestStream.applyCdcBatch(spark, src, ev(
+        ("UPDATE", 1L, "spark window one poison", 100L),
+        ("UPDATE", 1L, "spark window one final", 200L),
+        ("UPDATE", 2L, "spark window two final", 201L),
+        ("UPDATE", 2L, "spark window two poison", 101L)), 4, batchId = 0L)
+      graft.streaming.IngestStream.settleSearchUpserts(
+        spark, src, dest, paths(2), paths(3), numBuckets = 4)
+      val truth = Seq(
+        (1L, "spark window one final"),
+        (2L, "spark window two final"),
+        (3L, "spark spark window table"),
+        (4L, "window plain text here")).toDF("doc_id", "text")
+      SearchOps.writeSearchIndex(truth, "doc_id", "text", ref, paths(4),
+        numBuckets = 4)
+      SearchOps.writeDocLengths(spark, ref, paths(5), numBuckets = 4)
+      def rows(t: String) = SearchOps.searchBm25(spark, t,
+        Seq("spark", "window"), 10).collect().toSeq.map(_.toSeq)
+      assert(rows(dest) == rows(ref),
+        "settle must serve each doc's LATER same-batch update")
+      val served = spark.table(dest).filter(col("term") === "poison").count()
+      assert(served == 0, "the lower-seq update must never reach the index")
+    } finally Seq(s"${src}_tombstones", s"${src}_pending", s"${src}_applied",
+      s"${src}_doclens", src, s"${dest}_doclens", dest,
+      s"${ref}_doclens", ref).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("deleteFromBandIndex: deleted corpus doc stops pairing; compaction purges") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta"),

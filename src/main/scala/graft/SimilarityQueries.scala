@@ -186,6 +186,25 @@ object SimilarityQueries {
         deleteDirs = Seq(path))
     }
 
+  /** The residual IVF-PQ epoch (`by_residual=true` — VERDICT r13 #4):
+    * same coarse K / Lloyd passes / PQ shape as [[ivfPqIndexFor]], but
+    * the codes quantize residuals against the list centroids. */
+  private[graft] def ivfPqResidualIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "ivfpq_residual_index", dir) { () =>
+      val table = "graft_ivfpq_res_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_res_index_").toString
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.writeIvfPqResidualIndex(emb, table, path,
+        numCentroids = ivfK(emb), trainIters = 2, m = 8, ksub = 64,
+        pqIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+
   /** The IVF-PQ append epoch — clone-then-append under BOTH frozen
     * quantizers ([[ivfAppendIndexFor]]'s shape): the serving generation
     * is never touched, the batch routes to its lists and encodes
@@ -1286,6 +1305,29 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // RESIDUAL encoding (by_residual=true): the m codes quantize each
+    // vector's displacement from its list centroid instead of the raw
+    // vector — the standard recall-per-byte win; the per-(query, list)
+    // LUT pays nProbe× more KB-sized broadcast rows for it. The recall
+    // audit quantifies the gain vs the non-residual layout on the same
+    // corpus.
+    "sim_ann_ivfpq_residual" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndex(s, ivfPqResidualIndexFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_ivfpq_residual_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb,
+        VectorOps.probeIvfPqResidualIndex(s, ivfPqResidualIndexFor(s, dir),
+          querySet(emb), k = recallK, nProbe = 2))
+    }),
+
     // UPDATE: the corrupt-then-heal upsert gate — doubled ids MIX their
     // ADC folds until the upsert generation drops + re-encodes them
     "sim_ann_ivfpq_updated" -> ((s, dir) => {
@@ -1586,10 +1628,10 @@ object SimilarityQueries {
       s"list_dot_product($b::DOUBLE[], $b::DOUBLE[]))"
 
   private def pqTrainSql(m: Int, ksub: Int, iters: Int, dsub: Int,
-      trainLimit: Long): String = {
+      trainLimit: Long, rel: String = "embeddings"): String = {
     val sv = s"sv AS (SELECT vec_id, t.s AS s, " +
       s"embedding[(t.s*$dsub+1):(t.s*$dsub+$dsub)] AS v " +
-      s"FROM embeddings, range(0, $m) t(s))"
+      s"FROM $rel, range(0, $m) t(s))"
     // the training sample (vec_id < trainLimit) mirrors
     // VectorOps.pqTrainCodebooks' sample-train/encode-all contract;
     // pcodes (in pqPreCtes) still encodes the FULL sv
@@ -1733,6 +1775,83 @@ object SimilarityQueries {
       |    AND lut.cid = pcodes.cid
       |  WHERE p.query_id <> pcodes.vec_id
       |  GROUP BY p.query_id, pcodes.vec_id)""".stripMargin
+
+  /** The RESIDUAL IVF-PQ mirror ([[VectorOps.writeIvfPqResidualIndex]]
+    * / `probeIvfPqResidualIndex`, FAISS `by_residual=true`): the PQ
+    * codebooks train on — and codes quantize — `rsd`, each vector minus
+    * its list centroid (`CAST(x::DOUBLE − c::DOUBLE AS FLOAT)` = the
+    * Spark side's float subtraction by innocuous double rounding), and
+    * the ADC identity shifts by the centroid: with x̂ = c_L + r̂,
+    * dot(q,x̂) folds per subspace as dot(qₛ,c_{L,s}) + dot(qₛ,cv) and
+    * ‖x̂‖² as ‖c_{L,s}‖² + 2·c_{L,s}·cv + ‖cv‖² — so the LUT keys on
+    * (query, LIST, s, cid). Same floor(·1e9) integer fold, same rank.
+    * Ends with `q` and `scored` in scope. */
+  private def ivfPqResidualCtes(nProbe: Int): String =
+    s"""${centTrainSql(ivfKSql, 2)},
+      |casg AS (
+      |  SELECT vec_id, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM embeddings CROSS JOIN cents),
+      |lists AS (SELECT vec_id, cid AS list_id FROM casg WHERE cr = 1),
+      |rsd AS (
+      |  SELECT e.vec_id AS vec_id,
+      |    list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE AS FLOAT)) AS embedding
+      |  FROM embeddings e JOIN lists l ON l.vec_id = e.vec_id
+      |  JOIN cents c ON c.cid = l.list_id),
+      |${pqTrainSql(8, 64, 2, 8, pqTrainLimit, rel = "rsd")},
+      |pcodes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sv.vec_id AS vec_id, sv.s AS s, c.cid AS cid, row_number() OVER
+      |      (PARTITION BY sv.vec_id, sv.s ORDER BY round(${pqL2Sql("sv.v", "c.cv")}, 6), c.cid) AS cr
+      |    FROM sv JOIN pcents c ON sv.s = c.s) a WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |qsub AS (SELECT query_id, t.s AS s, qv[(t.s*8+1):(t.s*8+8)] AS qsv,
+      |    sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS qnorm
+      |  FROM q, range(0, 8) t(s)),
+      |probes AS (
+      |  SELECT query_id, cid AS list_id FROM (
+      |    SELECT query_id, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pr WHERE cr <= $nProbe),
+      |cls AS (SELECT cid AS list_id, t.s AS s, cv[(t.s*8+1):(t.s*8+8)] AS csv
+      |  FROM cents, range(0, 8) t(s)),
+      |lutr AS (
+      |  SELECT p.query_id AS query_id, p.list_id AS list_id, qs.s AS s,
+      |    pc.cid AS cid, qs.qnorm AS qnorm,
+      |    floor((list_dot_product(qs.qsv::DOUBLE[], cls.csv::DOUBLE[]) +
+      |      list_dot_product(qs.qsv::DOUBLE[], pc.cv::DOUBLE[])) * 1000000000.0)::BIGINT AS qd,
+      |    floor((list_dot_product(cls.csv::DOUBLE[], cls.csv::DOUBLE[]) +
+      |      2 * list_dot_product(cls.csv::DOUBLE[], pc.cv::DOUBLE[]) +
+      |      list_dot_product(pc.cv::DOUBLE[], pc.cv::DOUBLE[])) * 1000000000.0)::BIGINT AS n2
+      |  FROM probes p
+      |  JOIN qsub qs ON qs.query_id = p.query_id
+      |  JOIN cls ON cls.list_id = p.list_id AND cls.s = qs.s
+      |  JOIN pcents pc ON pc.s = qs.s),
+      |scored AS (
+      |  SELECT l.query_id AS query_id, pcodes.vec_id AS neighbor_id,
+      |    round(((sum(l.qd)::BIGINT)::DOUBLE / 1000000000.0) /
+      |      (max(l.qnorm) * sqrt((sum(l.n2)::BIGINT)::DOUBLE / 1000000000.0)), 6) AS cos_sim
+      |  FROM pcodes
+      |  JOIN lists li ON li.vec_id = pcodes.vec_id
+      |  JOIN lutr l ON l.list_id = li.list_id AND l.s = pcodes.s
+      |    AND l.cid = pcodes.cid
+      |  WHERE l.query_id <> pcodes.vec_id
+      |  GROUP BY l.query_id, pcodes.vec_id)""".stripMargin
+
+  private lazy val ivfPqResidualOracleSql =
+    s"""WITH ${ivfPqResidualCtes(4)},
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfPqResidualRecallOracleSql = recallOracleSql(
+    preCtes = ivfPqResidualCtes(2),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored""".stripMargin)
 
   /** The composite's rerank mirror tail: ADC scores over the probed
     * lists → top-32 shortlist cut → exact cosine over the survivors
@@ -2010,6 +2129,8 @@ object SimilarityQueries {
     "sim_ann_pq_indexed" -> pqOracleSql,
     "sim_ann_ivfpq" -> ivfPqOracleSql,
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
+    "sim_ann_ivfpq_residual" -> ivfPqResidualOracleSql,
+    "sim_ann_ivfpq_residual_recall" -> ivfPqResidualRecallOracleSql,
     "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,
     "sim_ann_ivfpq_retrained" -> ivfPqRetrainOracleSql,
     "sim_ann_ivfpq_retrained_recall" -> ivfPqRetrainRecallOracleSql,

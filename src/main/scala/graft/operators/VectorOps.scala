@@ -1018,6 +1018,122 @@ object VectorOps {
     appendToIvfPqIndex(spark, dest, latest, m, dim)
   }
 
+  /** The residual frame behind `by_residual=true`: every vector minus
+    * its OWN list's coarse centroid, elementwise in FLOAT (single
+    * rounding — the oracle mirrors it with `CAST(x::DOUBLE − c::DOUBLE
+    * AS FLOAT)`, equal by the innocuous-double-rounding property for
+    * 24-bit operands under 53-bit intermediates). Residuals cluster
+    * around the origin much tighter than raw vectors, which is why
+    * residual PQ is the standard recall-per-byte win (FAISS
+    * IndexIVFPQ's default) — `sim_ann_ivfpq_residual_recall` audits
+    * what it buys on this corpus. */
+  private def residualCorpus(corpus: DataFrame, cents: DataFrame): DataFrame =
+    assignLists(corpus, cents)
+      .join(cents.select(col("cid").as("list_id"), col("cv")), Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("embedding"), col("cv"),
+          (x, c) => (x - c).cast("float")).as("embedding"))
+
+  /** [[writeIvfPqIndex]] with RESIDUAL encoding (`by_residual=true`):
+    * PQ codebooks train on — and codes quantize — each vector's
+    * residual against its coarse centroid, so the m codes spend their
+    * precision on the within-list displacement instead of re-describing
+    * the list position the coarse quantizer already captured. Layout,
+    * partitioning (`partitionBy(list_id)`), tombstone contract, and
+    * epoch cost class are identical to the non-residual write; only the
+    * encoded payload (and the probe's LUT shape) differ. */
+  def writeIvfPqResidualIndex(corpus: DataFrame, table: String,
+      path: String, numCentroids: Int = 16, trainIters: Int = 0,
+      m: Int = 8, ksub: Int = 16, pqIters: Int = 2, dim: Int = 64,
+      trainLimit: Long = 16384L): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val coarse = trainCentroids(corpus, numCentroids, trainIters)
+    val coarseRdd = coarse.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = spark.createDataFrame(coarseRdd, coarse.schema)
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${table}_cents")
+    // the residual frame feeds train AND encode — persist the narrow
+    // (vec_id, list_id, residual) rows so the assignment cross-join
+    // does not re-execute per consumer (same replayable-RDD pattern)
+    val rsd0 = residualCorpus(corpus, broadcast(cents))
+    val rsdRdd = rsd0.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rsd = spark.createDataFrame(rsdRdd, rsd0.schema)
+    val trained = pqTrainCodebooks(rsd, m, ksub, pqIters, dim, trainLimit)
+    val pqRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pcents = spark.createDataFrame(pqRdd, trained.schema)
+    pcents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${table}_codebooks")
+    pqEncode(rsd, pcents, m, dim)
+      .join(rsd.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/codes").saveAsTable(s"${table}_codes")
+    coarseRdd.unpersist(); rsdRdd.unpersist(); pqRdd.unpersist()
+  }
+
+  /** Probe a [[writeIvfPqResidualIndex]] table. The ADC identity shifts
+    * by the list centroid: with x̂ = c_L + r̂,
+    *
+    *   dot(q, x̂) = Σₛ [ dot(qₛ, c_{L,s}) + dot(qₛ, cv[s, codeₛ]) ]
+    *   ‖x̂‖²     = Σₛ ‖c_{L,s} + cv[s, codeₛ]‖²
+    *
+    * so the lookup table gains `list_id` as a key — Q·nProbe·m·ksub
+    * rows instead of Q·m·ksub, still KB-sized and broadcast (the known
+    * cost of residual ADC: one LUT per probed list, which is why FAISS
+    * builds them per query×list too). Every term is a double dot over
+    * float arrays folded to `floor(·1e9)` longs, so the score bits stay
+    * partition-invariant and the DuckDB mirror exact; the norm term
+    * expands ‖c+v‖² = ‖c‖² + 2c·v + ‖v‖² to avoid materializing any
+    * float sum. Scan shape is unchanged: DPP-pruned code partitions,
+    * tombstone anti-join after pruning. */
+  def probeIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nProbe: Int = 4,
+      m: Int = 8, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val t = Generations.resolveServing(spark, table)
+    val dsub = dim / m
+    val cents = spark.table(s"${t}_cents")
+    val probes = probeLists(queries, broadcast(cents), nProbe)
+    val qsub = subVectors(queries, "vec_id", "embedding", m, dsub)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("sv", "qsv")
+    val qn = queries.select(col("vec_id").as("query_id"),
+      norm(col("embedding")).as("qnorm"))
+    val cls = subVectors(cents.select(col("cid").as("list_id"),
+        col("cv").as("embedding")), "list_id", "embedding", m, dsub)
+      .withColumnRenamed("sv", "csv")
+    val pcents = spark.table(s"${t}_codebooks")
+    val lut = probes.select(col("query_id"), col("list_id"))
+      .join(qsub, Seq("query_id"))
+      .join(cls, Seq("list_id", "s"))
+      .join(pcents, Seq("s"))
+      .select(col("query_id"), col("list_id"), col("s"), col("cid"),
+        floor((dot(col("qsv"), col("csv")) + dot(col("qsv"), col("cv"))) *
+          lit(1e9)).cast("long").as("qd"),
+        floor((dot(col("csv"), col("csv")) +
+          lit(2.0) * dot(col("csv"), col("cv")) +
+          dot(col("cv"), col("cv"))) * lit(1e9)).cast("long").as("n2"))
+      .join(broadcast(qn), Seq("query_id"))
+    val scored = dropTombstoned(spark, t, spark.table(s"${t}_codes"))
+      .join(broadcast(lut), Seq("list_id", "s", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adot"), sum(col("n2")).as("rn2"),
+        max(col("qnorm")).as("qnorm"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round((col("adot").cast("double") / lit(1e9)) /
+          (col("qnorm") * sqrt(col("rn2").cast("double") / lit(1e9))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Full requantization epoch for the IVF-PQ index — the remedy
     * [[ivfRetrainCheck]]-style drift monitoring calls for once frozen
     * quantizers stop describing a grown corpus: BOTH quantizers

@@ -106,6 +106,65 @@ class IvfPqSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("residual probe: exact reconstruction + DPP-pruned, shuffle-free code scan") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 24 distinct vectors; pqIters=0 keeps the codebooks at the raw
+    // residual seeds (ksub=64 ≥ 24 → every residual IS a seed), so
+    // x̂ = c_L + r̂ reconstructs x exactly and residual-ADC cosine must
+    // equal exact cosine within the floor(1e9)+round(6) contract — a
+    // wrong centroid shift anywhere would miss by whole decimals
+    val corpus = (0L until 24L).map(i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val table = "graft_ivfpq_res_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_res_spec_").toString
+    try {
+      VectorOps.writeIvfPqResidualIndex(corpus, table, path,
+        numCentroids = 3, trainIters = 0, m = 8, ksub = 64, pqIters = 0)
+      val queries = corpus.filter(col("vec_id") < 3)
+      // nProbe = all 3 lists → candidate set is the whole corpus minus
+      // self, so the residual-ADC ranking must equal brute force
+      val probe = VectorOps.probeIvfPqResidualIndex(spark, table, queries,
+        k = 5, nProbe = 3)
+      val got = probe.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+        .as[(Long, Long, Double)].collect()
+      val brute = VectorOps.bruteForceTopK(queries, corpus, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+        .as[(Long, Long, Double)].collect()
+      assert(got.map(t => (t._1, t._2)).toSet == brute.map(t => (t._1, t._2)).toSet,
+        "exact-reconstruction residual ADC must rank like brute force")
+      val exact = brute.map(t => (t._1, t._2) -> t._3).toMap
+      got.foreach { case (q, n, c) =>
+        assert(math.abs(c - exact((q, n))) <= 2e-6,
+          s"residual ADC score for ($q,$n): $c vs exact ${exact((q, n))}")
+      }
+      // the plan contract carries over from the non-residual probe:
+      // DPP on the codes scan, no exchange below its broadcast join
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val pruned = VectorOps.probeIvfPqResidualIndex(spark, table,
+          corpus.filter(col("vec_id") === 0), k = 3, nProbe = 1)
+        val scans = nodes(pruned.queryExecution.executedPlan).collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+        }
+        assert(scans.nonEmpty, "no file scan over the residual codes table")
+        scans.foreach { f =>
+          assert(f.partitionFilters.exists(
+            _.toString.toLowerCase.contains("dynamicpruning")),
+            s"residual codes scan lost DPP:\n${f.partitionFilters}")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      Seq(s"${table}_cents", s"${table}_codebooks", s"${table}_codes")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("append under frozen quantizers equals the frozen union build") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

@@ -1328,6 +1328,29 @@ object SimilarityQueries {
           querySet(emb), k = recallK, nProbe = 2))
     }),
 
+    // the residual family's production serving composition: residual
+    // codes rank, floats re-score the per-query shortlist-32 survivors
+    // exactly — recall then bounded by "truth in the residual-ADC
+    // top-32", audited below
+    "sim_ann_ivfpq_residual_rerank" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndexRerank(s,
+          ivfPqResidualIndexFor(s, dir), querySet(emb), emb, k = 3,
+          shortlist = 32, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_ivfpq_residual_rerank_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb,
+        VectorOps.probeIvfPqResidualIndexRerank(s,
+          ivfPqResidualIndexFor(s, dir), querySet(emb), emb,
+          k = recallK, shortlist = 32, nProbe = 2))
+    }),
+
     // UPDATE: the corrupt-then-heal upsert gate — doubled ids MIX their
     // ADC folds until the upsert generation drops + re-encodes them
     "sim_ann_ivfpq_updated" -> ((s, dir) => {
@@ -1839,6 +1862,35 @@ object SimilarityQueries {
       |  WHERE l.query_id <> pcodes.vec_id
       |  GROUP BY l.query_id, pcodes.vec_id)""".stripMargin
 
+  /** Residual rerank mirror: residual-ADC scores → top-32 shortlist →
+    * exact cosine over the survivors (the [[ivfPqRerankCtes]] tail on
+    * the residual candidate set). */
+  private def ivfPqResidualRerankCtes(nProbe: Int): String =
+    s"""${ivfPqResidualCtes(nProbe)},
+      |cand AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS ar
+      |    FROM scored) c WHERE ar <= 32),
+      |exact AS (
+      |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id,
+      |    round(${cosSql("q.qv", "e.embedding")}, 6) AS cos_sim
+      |  FROM cand c JOIN q ON q.query_id = c.query_id
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id)""".stripMargin
+
+  private lazy val ivfPqResidualRerankOracleSql =
+    s"""WITH ${ivfPqResidualRerankCtes(4)},
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM exact)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfPqResidualRerankRecallOracleSql = recallOracleSql(
+    preCtes = ivfPqResidualRerankCtes(2),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM exact""".stripMargin)
+
   private lazy val ivfPqResidualOracleSql =
     s"""WITH ${ivfPqResidualCtes(4)},
       |ranked AS (SELECT *, row_number() OVER
@@ -2131,6 +2183,8 @@ object SimilarityQueries {
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "sim_ann_ivfpq_residual" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_residual_recall" -> ivfPqResidualRecallOracleSql,
+    "sim_ann_ivfpq_residual_rerank" -> ivfPqResidualRerankOracleSql,
+    "sim_ann_ivfpq_residual_rerank_recall" -> ivfPqResidualRerankRecallOracleSql,
     "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,
     "sim_ann_ivfpq_retrained" -> ivfPqRetrainOracleSql,
     "sim_ann_ivfpq_retrained_recall" -> ivfPqRetrainRecallOracleSql,

@@ -1093,6 +1093,30 @@ object VectorOps {
   def probeIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, k: Int, nProbe: Int = 4,
       m: Int = 8, dim: Int = 64): DataFrame = {
+    val scored = ivfPqResidualScored(spark, table, queries, nProbe, m, dim)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** [[probeIvfPqResidualIndex]] with the exact re-rank tail — the
+    * residual family's production serving composition (the
+    * [[probeIvfPqIndexRerank]] shape): residual-ADC ranks the probed
+    * lists' candidates, floats are read only for the per-query
+    * `shortlist` survivors and re-scored exactly. */
+  def probeIvfPqResidualIndexRerank(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 32, nProbe: Int = 4, m: Int = 8,
+      dim: Int = 64): DataFrame =
+    pqRerankExact(ivfPqResidualScored(spark, table, queries, nProbe, m, dim),
+      queries, corpus, k, shortlist)
+
+  /** The residual-ADC scoring frame shared by the ranked probe and the
+    * re-rank tail (see [[probeIvfPqResidualIndex]] for the identity). */
+  private def ivfPqResidualScored(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, nProbe: Int,
+      m: Int, dim: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val t = Generations.resolveServing(spark, table)
     val dsub = dim / m
@@ -1118,7 +1142,7 @@ object VectorOps {
           lit(2.0) * dot(col("csv"), col("cv")) +
           dot(col("cv"), col("cv"))) * lit(1e9)).cast("long").as("n2"))
       .join(broadcast(qn), Seq("query_id"))
-    val scored = dropTombstoned(spark, t, spark.table(s"${t}_codes"))
+    dropTombstoned(spark, t, spark.table(s"${t}_codes"))
       .join(broadcast(lut), Seq("list_id", "s", "cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -1128,10 +1152,6 @@ object VectorOps {
         round((col("adot").cast("double") / lit(1e9)) /
           (col("qnorm") * sqrt(col("rn2").cast("double") / lit(1e9))), 6)
           .as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
   }
 
   /** Full requantization epoch for the IVF-PQ index — the remedy

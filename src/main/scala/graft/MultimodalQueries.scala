@@ -54,6 +54,30 @@ object MultimodalQueries {
         .toDF().orderBy(col("media_id"))
     }),
 
+    // REAL perceptual hash (aHash) over decoded pixels: 8×8 luma
+    // subsample, floor-mean threshold, 64 bits in two BIGINT halves —
+    // every bit recomputed analytically by the oracle, so the gate
+    // covers decode + subsample + threshold + packing exactly
+    "mm_image_hash" -> ((s, dir) => {
+      Multimodal.aHash(
+          Multimodal.syntheticImages(Tables.documents(s, dir)))
+        .toDF().orderBy(col("media_id"))
+    }),
+
+    // perceptual DEDUP over media: the dup-injected image corpus (an
+    // identical twin for every %10==3 doc) grouped by aHash — the
+    // image twin of dedup_exact, finding real duplicate families by
+    // CONTENT (two byte-different PNGs of the same pixels would still
+    // pair; a byte-hash dedup would miss them)
+    "mm_dedup_perceptual" -> ((s, dir) => {
+      Multimodal.aHash(Multimodal.dupImages(Tables.documents(s, dir)))
+        .toDF()
+        .groupBy(col("hash_hi"), col("hash_lo"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("hash_hi"), col("hash_lo"), col("keep_id"))
+    }),
+
     // exact dedup over the BINARY payload (content-hash groupBy — the
     // media twin of dedup_exact), on the same injected-dup corpus
     "mm_dedup_binary" -> ((s, dir) => {
@@ -96,9 +120,32 @@ object MultimodalQueries {
   }
 
   /** DuckDB mirror of [[Multimodal.pixelValue]]: channel `ch` at (x, y)
-    * of image `media_id` (all BIGINT math, mod-256 non-negative). */
-  private def pix(x: String, y: String, ch: Int): String =
-    s"(3*($x) + 7*($y) + ${11 * ch} + 13*media_id) % 256"
+    * of the image seeded by `id` (all BIGINT math, mod-256
+    * non-negative). */
+  private def pix(x: String, y: String, ch: Int,
+      id: String = "media_id"): String =
+    s"(3*($x) + 7*($y) + ${11 * ch} + 13*$id) % 256"
+
+  /** The aHash mirror over a CTE `m (media_id, sid)`: dims from the
+    * SEED id, 8×8 luma subsample at (⌊i·w/8⌋, ⌊j·h/8⌋), floor-mean
+    * threshold, little-endian 32-bit halves — bit-for-bit
+    * [[Multimodal.aHash]] over the analytic raster. Ends with
+    * `hs (media_id, hash_hi, hash_lo)` in scope. */
+  private def aHashCtes: String = {
+    val luma = s"(${pix("((k%8)*w)//8", "((k//8)*h)//8", 0, "sid")} + " +
+      s"${pix("((k%8)*w)//8", "((k//8)*h)//8", 1, "sid")} + " +
+      s"${pix("((k%8)*w)//8", "((k//8)*h)//8", 2, "sid")}) // 3"
+    s"""d AS (SELECT media_id, sid, 8 + sid % 9 AS w, 8 + sid % 7 AS h FROM m),
+      |l AS (SELECT media_id,
+      |    list_transform(range(0, 64), k -> $luma) AS lum FROM d),
+      |sm AS (SELECT media_id, lum, (list_sum(lum) // 64)::BIGINT AS mu FROM l),
+      |hs AS (SELECT media_id,
+      |    list_sum(list_transform(range(0, 32),
+      |      k -> CASE WHEN lum[k+1] > mu THEN 1::BIGINT << k ELSE 0 END))::BIGINT AS hash_hi,
+      |    list_sum(list_transform(range(0, 32),
+      |      k -> CASE WHEN lum[k+33] > mu THEN 1::BIGINT << k ELSE 0 END))::BIGINT AS hash_lo
+      |  FROM sm)""".stripMargin
+  }
 
   /** Count of pixels whose floor-luma ((r+g+b)//3) lands in 64-wide
     * bucket `b` — the decode histogram mirror. */
@@ -170,6 +217,20 @@ object MultimodalQueries {
         |  ${thumbSum(0)} AS sum_r, ${thumbSum(1)} AS sum_g,
         |  ${thumbSum(2)} AS sum_b, true AS reencode_ok
         |FROM p ORDER BY media_id""".stripMargin,
+    "mm_image_hash" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
+        |$aHashCtes
+        |SELECT media_id, hash_hi, hash_lo FROM hs ORDER BY media_id""".stripMargin,
+    "mm_dedup_perceptual" ->
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS sid FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 10 = 3),
+        |$aHashCtes
+        |SELECT hash_hi, hash_lo, min(media_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM hs GROUP BY hash_hi, hash_lo
+        |ORDER BY hash_hi, hash_lo, keep_id""".stripMargin,
     // DuckDB md5 is VARCHAR-only; md5(text) hashes the UTF-8 bytes,
     // which IS the blob (encode(text)) — same digest as Spark's
     // md5(binary)

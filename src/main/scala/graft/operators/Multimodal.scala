@@ -195,6 +195,67 @@ object Multimodal {
       concat(lit("fake/"), col("source")).as("media_type"),
       encode(col("text"), "utf-8").as("media"))
 
+  /** 64-bit average-hash of a decoded image, split into two 32-bit
+    * halves (a single BIGINT would need bit 63 and differ in overflow
+    * behavior across engines): subsample the luma plane on a fixed 8×8
+    * grid (x = ⌊i·w/8⌋ — integer-exact, no fractional-coverage floats),
+    * threshold each sample against the floor-mean, pack bits
+    * little-endian. Two perceptually-identical images hash equal; the
+    * oracle recomputes every bit from the analytic raster. */
+  case class ImageHash(media_id: Long, hash_hi: Long, hash_lo: Long)
+
+  /** REAL perceptual hash over decoded pixels — the image twin of
+    * text fingerprinting, and the key for [[dedup-by-content]] over
+    * media: one narrow hash row per blob, computed per partition, never
+    * a shuffle. (aHash — the classic cheap perceptual hash; pHash's DCT
+    * adds float transforms that would break integer-exact gating.) */
+  def aHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        val w = img.getWidth; val h = img.getHeight
+        val lumas = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          val x = ((k % 8) * w) / 8; val y = ((k / 8) * h) / 8
+          val rgb = img.getRGB(x, y)
+          lumas(k) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+            (rgb & 0xff)) / 3
+          k += 1
+        }
+        val mean = lumas.sum / 64
+        var hi = 0L; var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (lumas(k) > mean) {
+            if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        ImageHash(r.media_id, hi, lo)
+      }
+    }
+  }
+
+  /** The dup-injected image corpus: one PNG per doc plus an IDENTICAL
+    * twin (same seed, new id ≥ 100000) for every %10==3 doc — the media
+    * analog of `TextQueries.dupCorpus`, so perceptual dedup has real
+    * duplicate families to find. */
+  def dupImages(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val seeds = docs.select(col("doc_id")).as[Long]
+      .map(id => (id, id))
+      .union(docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id")).as[Long].map(id => (id + 100000L, id)))
+    seeds.mapPartitions { rows =>
+      rows.map { case (mediaId, seed) =>
+        MediaRow(mediaId, "image/png", encodeSyntheticPng(seed))
+      }
+    }
+  }
+
   /** Frame-sampling analog: every `stride`-th fixed-size chunk of the
     * blob (video frame extraction shape: one input row → many chunk
     * rows). Pure built-ins: posexplode over computed offsets, substring

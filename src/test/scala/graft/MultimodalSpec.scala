@@ -84,6 +84,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 100)
   }
 
+  test("aHash: flat image hashes to zero, hand-built split image to known bits") {
+    // flat gray: every luma equals the mean → no bit is strictly greater
+    val flat = Array.fill(8)(Array.fill(8)((100, 100, 100)))
+    // top half dark (luma 10), bottom half bright (luma 200): mean 105,
+    // bits set exactly for grid rows j >= 4 → hash_hi = 0, hash_lo = -1
+    // as unsigned 32... compute explicitly: bits 32..63 set
+    val split = Array.tabulate(8)(y => Array.fill(8)(
+      if (y < 4) (10, 10, 10) else (200, 200, 200)))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/png", pngOf(flat)),
+      Multimodal.MediaRow(2L, "image/png", pngOf(split))).toDS()
+    val out = Multimodal.aHash(media).collect().map(h => h.media_id -> h).toMap
+    assert(out(1L).hash_hi == 0L && out(1L).hash_lo == 0L)
+    assert(out(2L).hash_hi == 0L, "top half below mean → low 32 bits clear")
+    assert(out(2L).hash_lo == 0xFFFFFFFFL,
+      "bottom half above mean → bits 32..63 all set")
+  }
+
+  test("dupImages twins hash identically and pair in perceptual dedup") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val hashes = Multimodal.aHash(Multimodal.dupImages(docs))
+      .collect().map(h => h.media_id -> (h.hash_hi, h.hash_lo)).toMap
+    // every %10==3 doc has a twin at id+100000 with the SAME hash
+    Seq(3L, 13L, 23L, 33L).foreach { id =>
+      assert(hashes(id) == hashes(id + 100000L),
+        s"twin of $id must hash identically")
+    }
+    assert(hashes.size == 44)
+  }
+
   test("sampleChunks covers the blob with stride and fixed chunk size") {
     val df = Seq((1L, ("x" * 270).getBytes("UTF-8"))).toDF("media_id", "media")
     val chunks = Multimodal.sampleChunks(df, chunkSize = 32, stride = 4)

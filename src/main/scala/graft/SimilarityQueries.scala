@@ -1072,6 +1072,16 @@ object SimilarityQueries {
         s.table(s"${gen}_lists"))
     }),
 
+    // ...and the SQ8 generation's verdict through the SAME monitor —
+    // its delete epoch carries the identical poison/tombstone
+    // population by construction, so the two share one mirror
+    // (completing the r14 SQ8 lifecycle symmetry's monitor half)
+    "sim_ann_ivf_sq8_compaction_check" -> ((s, dir) => {
+      val gen = ivfSq8DeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_lists"))
+    }),
+
     // index MAINTENANCE: a batch appended to the persisted index via
     // the FROZEN coarse quantizer (the between-epochs operation — the
     // already-indexed corpus is never read or rewritten); the probe
@@ -2321,6 +2331,14 @@ object SimilarityQueries {
     // the union corpus under centroids trained on the originals only
     // (the frozen-quantizer contract), sizes aggregated to the same
     // mean-first floored signals as VectorOps.ivfRetrainCheck
+    "sim_ann_ivf_sq8_compaction_check" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT n + t AS n_rows, t AS n_tombstoned,
+        |  t * 1000 // (n + t) AS tombstone_frac_x1000,
+        |  (t * 1000 // (n + t) >= 50 OR t >= 1000000) AS compact
+        |FROM e, q""".stripMargin,
     "sim_ann_ivf_retrain_check" -> ivfRetrainCheckOracleSql,
     "sim_ann_ivfpq_retrain_check" -> ivfRetrainCheckOracleSql,
     "sim_cluster_assignments" ->

@@ -671,6 +671,16 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-rules document filter (Rae et al. 2021 A1.1): word-count /
+    // mean-word-length / symbol-ratio / alpha-fraction bounds, every
+    // signal floored-integer so the verdict hash-gates; the rule-based
+    // complement to text_quality's score and text_unigram_logprob's
+    // statistical filter
+    "text_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // unigram-LM quality score (the CCNet perplexity proxy): a unigram
     // model trained on the corpus itself scores each doc's mean token
     // log-prob — common-token prose high, rare-token noise low; the
@@ -1316,6 +1326,28 @@ object TextQueries {
         s"""SELECT t.token, count(*) AS n
           |FROM documents, LATERAL unnest($toksSql) AS t(token)
           |GROUP BY t.token ORDER BY n DESC, t.token LIMIT 50""".stripMargin,
+      // the Gopher-rule signals recomputed with the same floor `div`
+      // integer discipline; regexes are the portable RE2 subset
+      "text_gopher_rules" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |c AS (SELECT doc_id,
+          |    CAST(len(toks) AS BIGINT) AS n_words,
+          |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS total_chars,
+          |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_hits,
+          |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[#…]'))) AS BIGINT) AS sym_hits
+          |  FROM t),
+          |m AS (SELECT doc_id, n_words,
+          |    CASE WHEN n_words > 0 THEN total_chars * 100 // n_words ELSE 0 END AS mean_word_len_x100,
+          |    CASE WHEN n_words > 0 THEN sym_hits * 1000000 // n_words ELSE 0 END AS symbol_word_ppm,
+          |    CASE WHEN n_words > 0 THEN alpha_hits * 1000000 // n_words ELSE 0 END AS alpha_word_ppm
+          |  FROM c)
+          |SELECT doc_id, n_words, mean_word_len_x100, symbol_word_ppm,
+          |  alpha_word_ppm,
+          |  (n_words BETWEEN 50 AND 100000
+          |   AND mean_word_len_x100 BETWEEN 300 AND 1000
+          |   AND symbol_word_ppm < 100000
+          |   AND alpha_word_ppm >= 800000) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin,
       // per-token log-probs quantize to floor(1e6·ln(c/N)) — the BM25
       // idf discipline, so the per-doc integer sum mirrors exactly
       "text_unigram_logprob" ->

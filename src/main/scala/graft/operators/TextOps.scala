@@ -72,6 +72,37 @@ object TextOps {
     floor(score * 1000000) / 1000000
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix
+    * A1.1 — the public heuristic suite most curation stacks start
+    * from): word count bounds, mean word length bounds, symbol-to-word
+    * ratio ('#'/'…' spam), alphabetic-word fraction. Every signal is an
+    * integer (×100 / ppm with floor `div`), so the whole rule verdict
+    * is oracle-gatable bit-for-bit; thresholds are the paper's. Pure
+    * per-row HOF arithmetic — embarrassingly parallel, the scan is the
+    * filter. */
+  def gopherStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(col(idCol),
+        size(t).cast("long").as("n_words"),
+        aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .as("total_chars"),
+        size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long").as("alpha_hits"),
+        size(filter(t, x => x.rlike("[#…]"))).cast("long").as("sym_hits"))
+      .withColumn("mean_word_len_x100", expr(
+        "CASE WHEN n_words > 0 THEN total_chars * 100 div n_words ELSE 0 END"))
+      .withColumn("symbol_word_ppm", expr(
+        "CASE WHEN n_words > 0 THEN sym_hits * 1000000 div n_words ELSE 0 END"))
+      .withColumn("alpha_word_ppm", expr(
+        "CASE WHEN n_words > 0 THEN alpha_hits * 1000000 div n_words ELSE 0 END"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_x100").between(300L, 1000L) &&
+          col("symbol_word_ppm") < 100000L &&
+          col("alpha_word_ppm") >= 800000L)
+      .select(col(idCol), col("n_words"), col("mean_word_len_x100"),
+        col("symbol_word_ppm"), col("alpha_word_ppm"), col("keep"))
+  }
+
   /** 3-token shingles: ["a b c", "b c d", …]. Returns empty array for
     * docs shorter than 3 tokens. */
   def shingles(toks: Column, k: Int = 3): Column =

@@ -50,6 +50,14 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // gap-filled resample with LOCF: empty buckets carry the newest
+    // non-empty bucket's value per series (the metrics-store fill(prev)
+    // — a zero-filled gap misreads "no samples" as "value dropped to 0")
+    "events_locf" -> ((s, dir) => {
+      EventOps.resampleLocf(Tables.events(s, dir), seconds = 600)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // 10-minute windows sliding every 5 minutes (each event in 2 windows)
     "events_sliding" -> ((s, dir) => {
       EventOps.slidingAgg(Tables.events(s, dir), lengthSeconds = 600, slideSeconds = 300)
@@ -260,6 +268,25 @@ object EventQueries {
         |FROM grid g LEFT JOIN agg a
         |  ON g.window_start = a.window_start AND g.event_type = a.event_type
         |ORDER BY g.window_start, g.event_type""".stripMargin,
+    "events_locf" ->
+      """WITH agg AS (
+        |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,
+        |    event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+        |grid AS (SELECT t.event_type, u.g AS window_start
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b,
+        |    LATERAL unnest(generate_series(b.lo, b.hi, 600)) u(g))
+        |SELECT window_start, event_type, n,
+        |  coalesce(last_value(CASE WHEN n > 0 THEN sum_cents END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY window_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS filled_cents
+        |FROM (SELECT g.window_start, g.event_type, coalesce(a.n, 0) AS n,
+        |    a.sum_cents AS sum_cents
+        |  FROM grid g LEFT JOIN agg a
+        |    ON g.window_start = a.window_start AND g.event_type = a.event_type) j
+        |ORDER BY window_start, event_type""".stripMargin,
     "events_sliding" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) // 1000000 - i * 300 AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -783,6 +783,37 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // count-min sketch — the THIRD re-aggregatable sketch family
+    // (frequency, next to HLL's cardinality and GK's quantiles): one
+    // global CMS over l_suppkey (the agg merges per-partition sketches
+    // — the distributed property), probed for 5 keys on the driver
+    // (KB-sized sketch, a plan-time scalar like the recursive-CTE
+    // bounds). CMS only ever OVER-estimates, and by at most eps·N with
+    // the configured confidence — both halves of that contract are
+    // asserted; exact counts ride along hash-matched.
+    "agg_count_min" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val eps = 0.001
+      val skBytes = li.agg(
+          expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val total = cms.totalCount()
+      val ests = (1L to 5L).map(k => (k, cms.estimateCount(k.asInstanceOf[AnyRef])))
+        .toDF("l_suppkey", "est")
+      li.filter(col("l_suppkey").between(1L, 5L))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_exact"))
+        .join(broadcast(ests), Seq("l_suppkey"))
+        .select(col("l_suppkey"), col("n_exact"),
+          (col("est") >= col("n_exact") &&
+            col("est") <= col("n_exact") + lit(math.ceil(eps * total).toLong))
+            .as("within_bounds"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // RE-AGGREGATABLE sketches — the property that makes distributed
     // distinct counting scale: per-group HLL sketches built
     // independently (per supplier nation here), then hll_union_agg
@@ -1223,6 +1254,12 @@ object RelationalQueries {
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
         |  true AS within_rank_tol
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // exact frequencies hash-matched; the over-estimate-only bound is a
+    // deterministic TRUE under the fixed seed (CMS cannot undercount)
+    "agg_count_min" ->
+      """SELECT l_suppkey, count(*) AS n_exact, true AS within_bounds
+        |FROM lineitem WHERE l_suppkey BETWEEN 1 AND 5
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "date_funcs" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,

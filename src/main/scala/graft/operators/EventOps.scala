@@ -77,6 +77,36 @@ object EventOps {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** [[resampleTumbling]] with LAST-OBSERVATION-CARRIED-FORWARD fill —
+    * the time-series gap-fill every metrics store exposes (`LOCF` /
+    * `fill(prev)`): empty buckets inherit the newest non-empty bucket's
+    * value per series instead of zero. Values quantize to integer cents
+    * at the ROW level (order-independent sums — the mirror discipline),
+    * and the carry is one `last(..., ignoreNulls)` frame per series —
+    * the window shuffles the small (series × bucket) grid, never the
+    * event log. */
+  def resampleLocf(events: DataFrame, seconds: Long): DataFrame = {
+    val agg = events
+      .groupBy(tumblingWindowStart(col("ts_us"), seconds).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+    val bounds = agg.agg(min(col("window_start")).as("lo"),
+      max(col("window_start")).as("hi"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(seconds))).as("window_start"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("window_start", "event_type"), "left")
+      .withColumn("filled_cents", coalesce(
+        last(when(col("n") > 0, col("sum_cents")), ignoreNulls = true).over(w),
+        lit(0L)))
+      .select(col("window_start"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"), col("filled_cents"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapUs`. Classic
     * lag + cumulative-sum-of-flags window composition — one shuffle on

@@ -358,6 +358,15 @@ object StreamingQueries {
         .orderBy(col("rk"))
     }),
 
+    // continuous MULTIMODAL ingestion: PNG blobs drained through the
+    // micro-batch decode sink (real ImageIO work per trigger, replay-
+    // guarded feature appends) — the accumulated features must equal
+    // the batch decode of the whole corpus, gated by the same full
+    // analytic pixel oracle as mm_decode_features
+    "stream_mm_decode" -> ((s, dir) => {
+      s.table(mmDecodeTableFor(s, dir)).orderBy(col("media_id"))
+    }),
+
     // the within-batch ORDINAL gate: one micro-batch carries TWO
     // updates of each %10 doc — poison first, truth second, ordered
     // only by event_seq (arrival order inside the file is arbitrary).
@@ -523,6 +532,9 @@ object StreamingQueries {
     // true corpus (inserts admitted, updates settled, deletes purged,
     // deleted-then-reinserted docs serving their final text) — the
     // all-docs oracles gate the whole statement-routing loop
+    // the streamed decode accumulates exactly the batch decode's rows —
+    // one oracle, one more plan (the micro-batch one)
+    "stream_mm_decode" -> MultimodalQueries.oracle("mm_decode_features"),
     "stream_search_cdc" -> TextQueries.searchAndSql,
     "stream_search_cdc_bm25" -> TextQueries.searchBm25Sql,
     "stream_search_cdc_two_updates" -> TextQueries.searchBm25Sql,
@@ -870,6 +882,47 @@ object StreamingQueries {
         .repartition(1).write.mode("append").parquet(path)
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
+
+  /** Media event files for the streaming decode loop: the synthetic
+    * PNG corpus written as 3 parquet files → 3 micro-batches under
+    * `maxFilesPerTrigger = 1`. */
+  private[graft] def mmEventsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "mm_events_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mm_events_").toString
+      graft.operators.Multimodal.syntheticImages(Tables.documents(s, dir))
+        .toDF().repartition(3)
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The streaming-decode epoch: blobs drain through
+    * [[IngestStream.mmDecodeSink]] (3 micro-batches, replay-guarded),
+    * features accumulate in the result table — which must equal the
+    * batch decode of the whole corpus, so the probe carries
+    * `mm_decode_features`' full analytic oracle. */
+  private[graft] def mmDecodeTableFor(s: SparkSession, dir: String): String = {
+    val evDir = mmEventsDir(s, dir)
+    EpochRegistry.acquire(s, "mm_decode_stream", dir) { () =>
+      val table = "graft_mm_decode_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_mm_decode_ckpt_").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(evDir)
+      IngestStream.mmDecodeSink(stream, table, ckpt).awaitTermination()
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_applied"),
+        deleteDirs = Seq(ckpt))
+    }
+  }
 
   /** TWO same-doc UPDATEs in ONE micro-batch (VERDICT r13 #6 — the
     * within-batch ordinal gate): a SINGLE event file (1 file = 1

@@ -20,6 +20,44 @@ import graft.operators.PipelineOps
   * effectively-once, the same argument as [[CdcStream]]'s ack path. */
 object IngestStream {
 
+  /** Continuous MULTIMODAL ingestion — the media family through the
+    * same micro-batch machinery (the fifth ingestion loop, next to the
+    * doc-flagging and four index-maintenance sinks): each arriving
+    * batch of `(media_id, media_type, media)` blobs is decoded
+    * ([[graft.operators.Multimodal.decodeImages]] — real
+    * `javax.imageio` per-partition batches) and its integer-exact
+    * feature rows appended under the shared replay ledger, so a
+    * replayed batch cannot double its features. The blobs never
+    * shuffle; only narrow feature rows are written — the property that
+    * keeps a media ingest scan-bound at 100 TB. Drained features must
+    * equal the batch decode of the union corpus (per-row op, so
+    * micro-batch arrival order is immaterial — the full analytic
+    * oracle gates it). */
+  def mmDecodeSink(mediaStream: DataFrame, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    mediaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMmDecodeBatch(batch.sparkSession, table, batch, batchId)
+      }
+      .start()
+
+  private[graft] def applyMmDecodeBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      graft.operators.Multimodal.decodeImages(
+          batch.select(col("media_id"), col("media_type"), col("media"))
+            .as[graft.operators.Multimodal.MediaRow])
+        .toDF()
+        .write.mode("append").format("parquet").saveAsTable(table)
+      recordApplied(spark, table, batchId)
+    }
+
   def ingestSink(docStream: DataFrame, bandIndexTable: String,
       benchmark: DataFrame, checkpointDir: String,
       write: (DataFrame, Long) => Unit,

@@ -733,6 +733,23 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // BINARY quantization (sign masks, 64× compression — the coarsest
+    // member of the spectrum after SQ8's 4× and PQ's 32×): hamming
+    // ranking over two popcounted xors per candidate, integer-exact
+    // end to end; the recall audit prices the 1-bit quantization
+    "sim_ann_binary" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.binaryTopK(querySet(emb), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_binary_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.binaryTopK(querySet(emb), emb, k = recallK))
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
@@ -2003,6 +2020,40 @@ object SimilarityQueries {
       |    (ORDER BY wscore DESC, doc_id) AS BIGINT) AS rk FROM fused) f
       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
+  /** DuckDB mirror of [[VectorOps.packSignBits]]: 32 sign bits of
+    * `v` starting at dim `from`, little-endian in a BIGINT. */
+  private def packSignSql(v: String, from: Int): String =
+    s"list_sum(list_transform(range(0, 32), i -> " +
+      s"CASE WHEN ($v)[$from + i + 1] > 0 THEN 1::BIGINT << i ELSE 0 END))::BIGINT"
+
+  /** Binary-quantization CTEs: sign masks + hamming-scored candidates
+    * (ends with `q` and `bscored` in scope). */
+  private def binaryCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |bq AS (SELECT query_id, ${packSignSql("qv", 0)} AS qhi,
+      |    ${packSignSql("qv", 32)} AS qlo FROM q),
+      |bc AS (SELECT vec_id, ${packSignSql("embedding", 0)} AS hi,
+      |    ${packSignSql("embedding", 32)} AS lo FROM embeddings),
+      |bscored AS (
+      |  SELECT query_id, vec_id AS neighbor_id,
+      |    (bit_count(xor(qhi, hi)) + bit_count(xor(qlo, lo)))::BIGINT AS hamming
+      |  FROM bq CROSS JOIN bc WHERE query_id <> vec_id)""".stripMargin
+
+  private lazy val binaryOracleSql =
+    s"""WITH $binaryCtes,
+      |ranked AS (SELECT *, CAST(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rk
+      |  FROM bscored)
+      |SELECT query_id, neighbor_id, hamming, rk FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val binaryRecallOracleSql = recallOracleSql(
+    preCtes = binaryCtes,
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+        |    FROM bscored""".stripMargin)
+
   /** The batch weighted-fusion mirror (VERDICT r13 #5): the semantic
     * leg ranks per query, the lexical list cross-joins onto every
     * query, and BOTH legs min-max-normalize within each query's own
@@ -2191,6 +2242,8 @@ object SimilarityQueries {
     "sim_ann_pq_indexed" -> pqOracleSql,
     "sim_ann_ivfpq" -> ivfPqOracleSql,
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
+    "sim_ann_binary" -> binaryOracleSql,
+    "sim_ann_binary_recall" -> binaryRecallOracleSql,
     "sim_ann_ivfpq_residual" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_residual_recall" -> ivfPqResidualRecallOracleSql,
     "sim_ann_ivfpq_residual_rerank" -> ivfPqResidualRerankOracleSql,

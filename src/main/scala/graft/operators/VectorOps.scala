@@ -464,6 +464,44 @@ object VectorOps {
   /** Sign-pattern bucket of the first `bits` dimensions — an axis-aligned
     * random-hyperplane LSH (hyperplanes = coordinate planes; for unit-scale
     * embeddings each bit is ~balanced, giving 2^bits roughly even buckets). */
+  /** Pack `n` sign bits of a float vector (dims `from+1 … from+n`,
+    * little-endian) into one long — the BINARY-quantization encode
+    * (Weaviate/Qdrant "BQ", 64× compression vs float32): bit i set iff
+    * the component is strictly positive. Two 32-bit halves per
+    * 64-dim vector keep every value unsigned-safe in BIGINT on both
+    * engines. A 64-term codegen'd expression tree, no UDF. */
+  def packSignBits(v: Column, from: Int, n: Int): Column =
+    (0 until n).map(i =>
+      when(element_at(v, from + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Binary-quantized ANN top-k: corpus and queries collapse to sign
+    * masks and rank by HAMMING distance (`bit_count(xor)` — integer,
+    * codegen'd, mirrorable) ascending with neighbor-id tie-break. The
+    * coarsest member of the compression spectrum (SQ8 4× → PQ 32× →
+    * binary 64×): the scan reads 8 bytes per vector, and the distance
+    * is two xors + two popcounts — the cheapest candidate generator
+    * production vector stores ship; [[signBucket]] is its prefix-bucket
+    * pruning path and `sim_ann_binary_recall` audits what the 1-bit
+    * quantization costs. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      packSignBits(col("embedding"), 0, 32).as("qhi"),
+      packSignBits(col("embedding"), 32, 32).as("qlo"))
+    val c = corpus.select(col("vec_id"),
+      packSignBits(col("embedding"), 0, 32).as("hi"),
+      packSignBits(col("embedding"), 32, 32).as("lo"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("qhi").bitwiseXOR(col("hi"))) +
+          bit_count(col("qlo").bitwiseXOR(col("lo")))).cast("long").as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def signBucket(v: Column, bits: Int = 4): Column =
     (0 until bits).map(i => when(v(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
 

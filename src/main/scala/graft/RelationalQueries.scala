@@ -814,6 +814,32 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"))
     }),
 
+    // bloom filter — the FOURTH sketch family (membership, after
+    // HLL/GK/CMS): built distributed over one nation's suppliers
+    // (`stat.bloomFilter` merges per-partition filters), 20 keys
+    // probed from the KB-sized filter on the driver. The contract is
+    // no-false-negatives: a bloom miss PROVES non-membership — the
+    // property that lets a 100 TB join prune its big side before the
+    // shuffle (Spark's runtime bloom join does exactly this); exact
+    // membership rides along hash-matched.
+    "agg_bloom_filter" -> ((s, dir) => {
+      import s.implicits._
+      val sup = Tables.supplier(s, dir)
+      // member set: every third supplier — deterministic and non-empty
+      // at every SF (an sf-dependent predicate can build an EMPTY
+      // filter, which mightContain rejects)
+      val bf = sup.filter(col("s_suppkey") % 3 === 0)
+        .stat.bloomFilter("s_suppkey", expectedNumItems = 1000, fpp = 0.03)
+      val tested = (1L to 20L).map(k => (k, bf.mightContain(k)))
+        .toDF("s_suppkey", "bloom_positive")
+      sup.filter(col("s_suppkey").between(1L, 20L))
+        .select(col("s_suppkey"), (col("s_suppkey") % 3 === 0).as("is_member"))
+        .join(broadcast(tested), Seq("s_suppkey"))
+        .select(col("s_suppkey"), col("is_member"),
+          (col("bloom_positive") || !col("is_member")).as("no_false_negative"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // RE-AGGREGATABLE sketches — the property that makes distributed
     // distinct counting scale: per-group HLL sketches built
     // independently (per supplier nation here), then hll_union_agg
@@ -1254,6 +1280,13 @@ object RelationalQueries {
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
         |  true AS within_rank_tol
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // exact membership hash-matched; a bloom filter admits false
+    // positives but NEVER false negatives, so the proof column is TRUE
+    "agg_bloom_filter" ->
+      """SELECT s_suppkey, s_suppkey % 3 = 0 AS is_member,
+        |  true AS no_false_negative
+        |FROM supplier WHERE s_suppkey BETWEEN 1 AND 20
+        |ORDER BY s_suppkey""".stripMargin,
     // exact frequencies hash-matched; the over-estimate-only bound is a
     // deterministic TRUE under the fixed seed (CMS cannot undercount)
     "agg_count_min" ->

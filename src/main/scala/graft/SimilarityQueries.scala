@@ -638,6 +638,23 @@ object SimilarityQueries {
     }
   }
 
+  /** The IVF-binary epoch: sign masks inside the frozen coarse
+    * quantizer's `partitionBy(list_id)` lists — the compression
+    * spectrum's coarsest SERVED layout. */
+  private[graft] def ivfBinaryIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "ivf_binary_index", dir) { () =>
+      val table = "graft_ivf_binary_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_binary_index_").toString
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.writeIvfIndexBinary(emb, table, path,
+        numCentroids = ivfK(emb), trainIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+
   /** SQ8 twin of [[ivfDeleteIndexFor]] (VERDICT r13 #2 — lifecycle
     * symmetry): the tombstone sidecar is payload-agnostic (id
     * anti-join), so the clone + admit-poison + tombstone steps reuse
@@ -748,6 +765,25 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb, VectorOps.binaryTopK(querySet(emb), emb, k = recallK))
+    }),
+
+    // the SERVED binary layout: sign masks inside the coarse
+    // quantizer's DPP-pruned list partitions — the nProbe/K scan cut
+    // compounds the 16-byte payload; probe cost is two xors + two
+    // popcounts per candidate row
+    "sim_ann_binary_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexBinary(s, ivfBinaryIndexFor(s, dir),
+          querySet(emb), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_binary_indexed_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.probeIvfIndexBinary(s,
+        ivfBinaryIndexFor(s, dir), querySet(emb), k = recallK, nProbe = 2))
     }),
 
     "sim_ann_lsh" -> ((s, dir) => {
@@ -2039,6 +2075,50 @@ object SimilarityQueries {
       |    (bit_count(xor(qhi, hi)) + bit_count(xor(qlo, lo)))::BIGINT AS hamming
       |  FROM bq CROSS JOIN bc WHERE query_id <> vec_id)""".stripMargin
 
+  /** IVF-binary mirror: the coarse train/assign/probe CTEs composed
+    * with the sign-mask scoring, candidates restricted to each query's
+    * probed lists (ends with `q` and `ibscored` in scope). */
+  private def ivfBinaryCtes(nProbe: Int): String =
+    s"""${centTrainSql(ivfKSql, 2)},
+      |casg AS (
+      |  SELECT vec_id, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM embeddings CROSS JOIN cents),
+      |lists AS (SELECT vec_id, cid AS list_id FROM casg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, cid AS list_id FROM (
+      |    SELECT query_id, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pr WHERE cr <= $nProbe),
+      |bq AS (SELECT query_id, ${packSignSql("qv", 0)} AS qhi,
+      |    ${packSignSql("qv", 32)} AS qlo FROM q),
+      |bc AS (SELECT vec_id, ${packSignSql("embedding", 0)} AS hi,
+      |    ${packSignSql("embedding", 32)} AS lo FROM embeddings),
+      |ibscored AS (
+      |  SELECT p.query_id AS query_id, bc.vec_id AS neighbor_id,
+      |    (bit_count(xor(qhi, hi)) + bit_count(xor(qlo, lo)))::BIGINT AS hamming
+      |  FROM bc
+      |  JOIN lists l ON l.vec_id = bc.vec_id
+      |  JOIN probes p ON p.list_id = l.list_id
+      |  JOIN bq ON bq.query_id = p.query_id
+      |  WHERE p.query_id <> bc.vec_id)""".stripMargin
+
+  private lazy val ivfBinaryOracleSql =
+    s"""WITH ${ivfBinaryCtes(4)},
+      |ranked AS (SELECT *, CAST(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rk
+      |  FROM ibscored)
+      |SELECT query_id, neighbor_id, hamming, rk FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfBinaryRecallOracleSql = recallOracleSql(
+    preCtes = ivfBinaryCtes(2),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+        |    FROM ibscored""".stripMargin)
+
   private lazy val binaryOracleSql =
     s"""WITH $binaryCtes,
       |ranked AS (SELECT *, CAST(row_number() OVER
@@ -2244,6 +2324,8 @@ object SimilarityQueries {
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "sim_ann_binary" -> binaryOracleSql,
     "sim_ann_binary_recall" -> binaryRecallOracleSql,
+    "sim_ann_binary_indexed" -> ivfBinaryOracleSql,
+    "sim_ann_binary_indexed_recall" -> ivfBinaryRecallOracleSql,
     "sim_ann_ivfpq_residual" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_residual_recall" -> ivfPqResidualRecallOracleSql,
     "sim_ann_ivfpq_residual_rerank" -> ivfPqResidualRerankOracleSql,

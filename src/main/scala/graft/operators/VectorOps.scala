@@ -843,6 +843,60 @@ object VectorOps {
       probes, k)
   }
 
+  /** [[writeIvfIndexSq8]] with BINARY list payloads — the compression
+    * spectrum's coarsest member served through the same partition
+    * layout: the coarse quantizer stays float, the lists store two
+    * BIGINT sign halves per vector (16 bytes vs 256 — and the probe's
+    * candidate scoring is two xors + two popcounts per row). The
+    * nProbe/K scan cut COMPOUNDS the 64×—well, 16-byte—payload cut,
+    * exactly the SQ8 argument one step further down the
+    * precision/bandwidth trade. */
+  def writeIvfIndexBinary(corpus: DataFrame, table: String, path: String,
+      numCentroids: Int = 16, trainIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val trained = trainCentroids(corpus, numCentroids, trainIters)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = spark.createDataFrame(centRdd, trained.schema)
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${table}_cents")
+    assignLists(corpus, broadcast(cents))
+      .select(col("vec_id"),
+        packSignBits(col("embedding"), 0, 32).as("hi"),
+        packSignBits(col("embedding"), 32, 32).as("lo"),
+        col("list_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${table}_lists")
+    centRdd.unpersist()
+  }
+
+  /** Probe a [[writeIvfIndexBinary]] table: coarse prune (DPP — same
+    * plan contract as the SQ8 probe), then hamming-rank the probed
+    * lists' sign masks. Pointer serving + tombstone contract shared
+    * with the whole family. */
+  def probeIvfIndexBinary(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val t = Generations.resolveServing(spark, table)
+    val cents = broadcast(spark.table(s"${t}_cents"))
+    val qb = probeLists(queries, cents, nProbe)
+      .select(col("list_id"), col("query_id"),
+        packSignBits(col("qv"), 0, 32).as("qhi"),
+        packSignBits(col("qv"), 32, 32).as("qlo"))
+    val scored = dropTombstoned(spark, t, spark.table(s"${t}_lists"))
+      .join(broadcast(qb), Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("qhi").bitwiseXOR(col("hi"))) +
+          bit_count(col("qlo").bitwiseXOR(col("lo")))).cast("long").as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   // ------------------------------------------------------------- IVF-PQ
 
   /** IVF-PQ: the coarse quantizer's list partitioning COMPOUNDED with

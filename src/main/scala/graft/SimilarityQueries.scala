@@ -767,6 +767,24 @@ object SimilarityQueries {
       recallAudit(emb, VectorOps.binaryTopK(querySet(emb), emb, k = recallK))
     }),
 
+    // the BQ + rescore serving shape: hamming shortlist-32 from the
+    // 8-byte scan, floats fetched only for the survivors and re-scored
+    // exactly — the quantization error refunded for 32 point reads
+    "sim_ann_binary_rerank" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.binaryTopKRerank(querySet(emb), emb, k = 3, shortlist = 32)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_binary_rerank_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.binaryTopKRerank(querySet(emb), emb,
+        k = recallK, shortlist = 32))
+    }),
+
     // the SERVED binary layout: sign masks inside the coarse
     // quantizer's DPP-pruned list partitions — the nProbe/K scan cut
     // compounds the 16-byte payload; probe cost is two xors + two
@@ -2127,6 +2145,35 @@ object SimilarityQueries {
       |SELECT query_id, neighbor_id, hamming, rk FROM ranked WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** Binary rerank mirror: hamming shortlist-32 → exact cosine over
+    * the survivors (ends with `q` and `exact` in scope). */
+  private def binaryRerankCtes: String =
+    s"""$binaryCtes,
+      |cand AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS ar
+      |    FROM bscored) c WHERE ar <= 32),
+      |exact AS (
+      |  SELECT c.query_id AS query_id, c.neighbor_id AS neighbor_id,
+      |    round(${cosSql("q.qv", "e.embedding")}, 6) AS cos_sim
+      |  FROM cand c JOIN q ON q.query_id = c.query_id
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id)""".stripMargin
+
+  private lazy val binaryRerankOracleSql =
+    s"""WITH $binaryRerankCtes,
+      |ranked AS (SELECT *, CAST(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rk
+      |  FROM exact)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val binaryRerankRecallOracleSql = recallOracleSql(
+    preCtes = binaryRerankCtes,
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM exact""".stripMargin)
+
   private lazy val binaryRecallOracleSql = recallOracleSql(
     preCtes = binaryCtes,
     annSelect =
@@ -2326,6 +2373,8 @@ object SimilarityQueries {
     "sim_ann_binary_recall" -> binaryRecallOracleSql,
     "sim_ann_binary_indexed" -> ivfBinaryOracleSql,
     "sim_ann_binary_indexed_recall" -> ivfBinaryRecallOracleSql,
+    "sim_ann_binary_rerank" -> binaryRerankOracleSql,
+    "sim_ann_binary_rerank_recall" -> binaryRerankRecallOracleSql,
     "sim_ann_ivfpq_residual" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_residual_recall" -> ivfPqResidualRecallOracleSql,
     "sim_ann_ivfpq_residual_rerank" -> ivfPqResidualRerankOracleSql,

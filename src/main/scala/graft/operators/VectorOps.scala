@@ -502,6 +502,29 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** Binary shortlist + EXACT re-rank — the production "BQ + rescore"
+    * serving shape (the binary twin of [[pqTopKRerank]]): hamming over
+    * sign masks generates the per-query `shortlist` candidates (8-byte
+    * scan), floats are fetched ONLY for the survivors (id-equi-join
+    * point reads) and re-scored with exact cosine. Recall is then
+    * bounded by "truth in the hamming top-`shortlist`" instead of
+    * top-k — `sim_ann_binary_rerank_recall` audits the refund. */
+  def binaryTopKRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 32): DataFrame = {
+    val cand = binaryTopK(queries, corpus, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), Seq("query_id"))
+    val exact = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def signBucket(v: Column, bits: Int = 4): Column =
     (0 until bits).map(i => when(v(i) > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
 

@@ -690,6 +690,14 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // bigram-LM quality score — the order-2 statistical filter: mean
+    // conditional log-prob ln(c(w1,w2)/c(w1,·)) per doc, catching
+    // scrambled-word noise the unigram filter scores high
+    "text_bigram_logprob" -> ((s, dir) => {
+      TextOps.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // vocabulary stats: the classic wordcount shape — explode + hash agg
     // with map-side partial combine, ONE shuffle of (token, partial n);
     // top-k via TakeOrderedAndProject (distributed, never a global sort)
@@ -1359,6 +1367,23 @@ object TextQueries {
           |    CAST(floor(1000000.0 * ln(c::DOUBLE / n::DOUBLE)) AS BIGINT) AS lp
           |  FROM tk JOIN cnt USING (token) CROSS JOIN tot)
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  round((sum(lp)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0), 6)
+          |    AS avg_logprob
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // the bigram expansion mirrors the shingle shape: 1-based list
+      // subscripts over range(1, len) pair adjacent tokens
+      "text_bigram_logprob" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |bg AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS w1,
+          |    toks[CAST(u.i + 1 AS INT)] AS w2
+          |  FROM t, LATERAL unnest(range(1, len(toks))) u(i)
+          |  WHERE len(toks) >= 2),
+          |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+          |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+          |sc AS (SELECT doc_id,
+          |    CAST(floor(1000000.0 * ln(c2.c2::DOUBLE / c1.c1::DOUBLE)) AS BIGINT) AS lp
+          |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           |  round((sum(lp)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0), 6)
           |    AS avg_logprob
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,

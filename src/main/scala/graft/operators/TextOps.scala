@@ -235,6 +235,42 @@ object TextOps {
           (col("n_tokens").cast("double") * lit(1e6)), 6).as("avg_logprob"))
   }
 
+  /** [[unigramLogProb]]'s order-2 sibling: a BIGRAM language model
+    * trained on the corpus itself scores each doc by its mean
+    * conditional log-prob `ln(c(w1,w2) / c(w1,·))` — sequence structure
+    * the unigram filter is blind to (a bag of common words in nonsense
+    * order scores high under unigrams, low here). Same integer
+    * discipline: per-bigram `floor(1e6·ln(...))` longs fold
+    * order-independently. The bigram expansion is a narrow per-row
+    * `transform` (the shingle shape — no window, no extra shuffle);
+    * the model join is bigram-keyed, left-token counts derived from
+    * the SAME bigram frame so numerator and denominator cannot drift.
+    * Docs with fewer than 2 tokens have no bigrams and emit no row —
+    * on both engines identically. */
+  def bigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val bg = docs.select(col(idCol),
+        explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col(idCol),
+        floor(lit(1000000.0) *
+          log(col("c2").cast("double") / col("c1").cast("double")))
+          .cast("long").as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("lp_sum").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6)), 6).as("avg_logprob"))
+  }
+
   def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

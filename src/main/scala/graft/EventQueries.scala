@@ -50,6 +50,20 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // funnel latency SLOs: exact p50/p90/p99 of the signup→purchase
+    // conversion time over completing users — the composition every
+    // funnel dashboard ships next to the reach counts
+    "events_funnel_latency" -> ((s, dir) => {
+      val reach = EventOps.funnelReach(Tables.events(s, dir), "user_id",
+        "event_type", "ts_us", Seq("signup", "click", "purchase"))
+      reach.filter(col("t3").isNotNull)
+        .select((col("t3") - col("t1")).cast("long").as("latency_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(latency_us, 0.5)"), 2).as("p50_us"),
+          round(expr("percentile(latency_us, 0.9)"), 2).as("p90_us"),
+          round(expr("percentile(latency_us, 0.99)"), 2).as("p99_us"))
+    }),
+
     // gap-filled resample with LOCF: empty buckets carry the newest
     // non-empty bucket's value per series (the metrics-store fill(prev)
     // — a zero-filled gap misreads "no samples" as "value dropped to 0")
@@ -355,6 +369,23 @@ object EventQueries {
         |  UNION ALL SELECT 3, 'purchase', count(*),
         |    CAST(COALESCE(sum(t3 - t2), 0) AS BIGINT) FROM s3)
         |ORDER BY stage""".stripMargin,
+    // the funnel cascade carrying t1 through to the conversion tail;
+    // exact interpolated percentiles mirror Spark's `percentile`
+    "events_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1, min(ts_us) AS t2 FROM s1 JOIN e
+        |  ON s1.user_id = e.user_id AND e.event_type = 'click' AND e.ts_us >= s1.t1
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, min(ts_us) AS t3 FROM s2 JOIN e
+        |  ON s2.user_id = e.user_id AND e.event_type = 'purchase' AND e.ts_us >= s2.t2
+        |  GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(t3 - t1, 0.5), 2) AS p50_us,
+        |  round(quantile_cont(t3 - t1, 0.9), 2) AS p90_us,
+        |  round(quantile_cont(t3 - t1, 0.99), 2) AS p99_us
+        |FROM s3""".stripMargin,
     "events_retention" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),

@@ -134,6 +134,56 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("binary: packSignBits + hamming hand-computed; served probe keeps DPP") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // hand-computed packing: dims 1,3 positive → bits 0,2 in hi; dim 33
+    // positive → bit 0 in lo
+    val v = Array.tabulate(64)(d =>
+      if (d == 0 || d == 2 || d == 32) 1f else -1f)
+    val packed = Seq(Tuple1(v)).toDF("embedding")
+      .select(VectorOps.packSignBits(col("embedding"), 0, 32).as("hi"),
+        VectorOps.packSignBits(col("embedding"), 32, 32).as("lo"))
+      .as[(Long, Long)].head()
+    assert(packed == ((1L | 4L, 1L)), s"unexpected packing: $packed")
+    // hamming: q differs from v in exactly dims 0 and 33 → distance 2
+    val q = v.clone(); q(0) = -1f; q(33) = 1f
+    val ham = VectorOps.binaryTopK(
+        Seq((100L, q)).toDF("vec_id", "embedding"),
+        Seq((1L, v)).toDF("vec_id", "embedding"), k = 1)
+      .select(col("hamming")).as[Long].head()
+    assert(ham == 2L, s"hand-computed hamming must be 2, got $ham")
+    // served layout: DPP + no exchange below the broadcast join, the
+    // family plan contract
+    val emb = Tables.embeddings(spark, dir)
+    val k = SimilarityQueries.ivfK(emb)
+    val table = "graft_ivf_bin_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_bin_spec_").toString
+    try {
+      VectorOps.writeIvfIndexBinary(emb, table, path, numCentroids = k,
+        trainIters = 2)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val probe = VectorOps.probeIvfIndexBinary(spark, table,
+          emb.filter(col("vec_id") === 0), k = 3, nProbe = 4)
+        val scans = nodes(probe.queryExecution.executedPlan).collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.exists(_.toString.contains("lists")) => f
+        }
+        assert(scans.nonEmpty, "no file scan over the binary lists table")
+        scans.foreach { f =>
+          assert(f.partitionFilters.exists(
+            _.toString.toLowerCase.contains("dynamicpruning")),
+            s"binary lists scan lost DPP:\n${f.partitionFilters}")
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally Seq(s"${table}_cents", s"${table}_lists").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("append: frozen-quantizer assignment, correct partitions, dup findable") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, dir)

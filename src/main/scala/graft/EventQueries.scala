@@ -50,6 +50,14 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // time-weighted average per series (the metrics-store TWAP): each
+    // observation holds until its successor, weight = the µs gap —
+    // exact integer cents×µs sums, one lead window per series
+    "events_twap" -> ((s, dir) => {
+      EventOps.timeWeightedAvg(Tables.events(s, dir), "event_type")
+        .orderBy(col("event_type"))
+    }),
+
     // funnel latency SLOs: exact p50/p90/p99 of the signup→purchase
     // conversion time over completing users — the composition every
     // funnel dashboard ships next to the reach counts
@@ -369,6 +377,22 @@ object EventQueries {
         |  UNION ALL SELECT 3, 'purchase', count(*),
         |    CAST(COALESCE(sum(t3 - t2), 0) AS BIGINT) FROM s3)
         |ORDER BY stage""".stripMargin,
+    // the hold-until-successor weights via lead() — same tie-break
+    // (ts, event_id) as the Spark window; final observations drop
+    "events_twap" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type, cents,
+        |    lead(ts_us) OVER (PARTITION BY event_type ORDER BY ts_us, event_id)
+        |      - ts_us AS dt_us
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(dt_us) AS BIGINT) AS total_us,
+        |  CAST(sum(cents * dt_us) AS BIGINT) AS weighted_cents_us,
+        |  CAST(sum(cents * dt_us) AS BIGINT) // CAST(sum(dt_us) AS BIGINT)
+        |    AS twap_cents
+        |FROM g WHERE dt_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the funnel cascade carrying t1 through to the conversion tail;
     // exact interpolated percentiles mirror Spark's `percentile`
     "events_funnel_latency" ->

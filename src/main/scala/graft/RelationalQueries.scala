@@ -814,6 +814,27 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"))
     }),
 
+    // fixed-width numeric histogram — the OLAP profiling primitive
+    // (DuckDB width_bucket / ClickHouse histogram): 10 equal bins over
+    // the observed [min, max], bin edges from one broadcast min/max
+    // fold, bin ids by integer floor math (cents avoid double-edge
+    // ambiguity), empty bins included via a generated spine
+    "agg_histogram" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val bounds = li.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val binned = li.crossJoin(broadcast(bounds))
+        .select(expr("(cents - lo) * 10 div (hi - lo + 1)").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      bounds.select(explode(sequence(lit(0L), lit(9L))).as("bin"),
+          col("lo"), col("hi"))
+        .join(binned, Seq("bin"), "left")
+        .select(col("bin"),
+          expr("lo + bin * (hi - lo + 1) div 10").as("bin_lo_cents"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("bin"))
+    }),
+
     // bloom filter — the FOURTH sketch family (membership, after
     // HLL/GK/CMS): built distributed over one nation's suppliers
     // (`stat.bloomFilter` merges per-partition filters), 20 keys
@@ -1280,6 +1301,22 @@ object RelationalQueries {
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
         |  true AS within_rank_tol
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the same floor-integer bin math over cents, empty bins from a
+    // generated spine
+    "agg_histogram" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c),
+        |binned AS (SELECT (cents - lo) * 10 // (hi - lo + 1) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM c, b GROUP BY 1),
+        |spine AS (SELECT u.bin AS bin, lo, hi
+        |  FROM b, LATERAL unnest(range(0, 10)) u(bin))
+        |SELECT spine.bin AS bin,
+        |  lo + spine.bin * (hi - lo + 1) // 10 AS bin_lo_cents,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM spine LEFT JOIN binned ON binned.bin = spine.bin
+        |ORDER BY spine.bin""".stripMargin,
     // exact membership hash-matched; a bloom filter admits false
     // positives but NEVER false negatives, so the proof column is TRUE
     "agg_bloom_filter" ->

@@ -107,6 +107,33 @@ object EventOps {
         coalesce(col("n"), lit(0L)).as("n"), col("filled_cents"))
   }
 
+  /** Time-weighted average per series — the metrics-store `TWAP`:
+    * each observation holds until the next one, so its weight is the
+    * µs gap to the successor (the final observation contributes
+    * nothing — no successor to hold until). Exact integer arithmetic:
+    * cents × µs products stay far inside long at any fixture scale,
+    * summed order-independently; the ONE window is a per-series `lead`
+    * (the same user/series partitioning a 100 TB event log already
+    * has). Output keeps the exact integer numerator/denominator plus
+    * the floored-cents average — no precision-scaling multiply, which
+    * would overflow long at Σ(cents·µs) ≈ 1.5e17 on this fixture. */
+  def timeWeightedAvg(events: DataFrame, seriesCol: String): DataFrame = {
+    val w = Window.partitionBy(col(seriesCol))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("next_ts", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .select(col(seriesCol),
+        (col("next_ts") - col("ts_us")).as("dt_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("total_us"),
+        sum(col("cents") * col("dt_us")).as("weighted_cents_us"))
+      .withColumn("twap_cents",
+        expr("weighted_cents_us div total_us"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapUs`. Classic
     * lag + cumulative-sum-of-flags window composition — one shuffle on

@@ -87,6 +87,35 @@ object MultimodalQueries {
         .orderBy(col("content_hash"))
     }),
 
+    // the MULTIMODAL curation capstone: text quality + decoded-image
+    // signal + perceptual survivor selection joined into one per-doc
+    // keep verdict, ONE Catalyst plan — the cross-modality composition
+    // a real curation stack runs (text-only capstones can't drop a doc
+    // whose image duplicates another's or is tonally degenerate)
+    "mm_curation_capstone" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.syntheticImages(docs)
+      val feats = Multimodal.decodeImages(media).toDF()
+        .select(col("media_id").as("doc_id"), col("n_pixels"),
+          col("hist_1"), col("hist_2"))
+      val hashes = Multimodal.aHash(media).toDF()
+      val surv = hashes.groupBy(col("hash_hi"), col("hash_lo"))
+        .agg(min(col("media_id")).as("keep_id"))
+      val phash = hashes.join(surv, Seq("hash_hi", "hash_lo"))
+        .select(col("media_id").as("doc_id"),
+          (col("media_id") === col("keep_id")).as("is_phash_survivor"))
+      val text = docs.select(col("doc_id"),
+        (graft.operators.TextOps.qualityScore(col("text")) >= 0.30).as("text_ok"))
+      text.join(feats, "doc_id").join(phash, "doc_id")
+        .select(col("doc_id"), col("text_ok"),
+          (expr("(hist_1 + hist_2) * 1000000 div n_pixels") >= 300000L)
+            .as("image_ok"),
+          col("is_phash_survivor"))
+        .withColumn("keep",
+          col("text_ok") && col("image_ok") && col("is_phash_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the binaryFile SOURCE itself: a directory of media files read
     // whole-file (path/length/content), glob-pruned at listing time —
     // the ingestion edge the mm_* pipeline starts from. The fixture dir
@@ -221,6 +250,32 @@ object MultimodalQueries {
       s"""WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
         |$aHashCtes
         |SELECT media_id, hash_hi, hash_lo FROM hs ORDER BY media_id""".stripMargin,
+    "mm_curation_capstone" -> {
+      val midLuma = s"((${pix("i % w", "i // w", 0, "sid")} + " +
+        s"${pix("i % w", "i // w", 1, "sid")} + " +
+        s"${pix("i % w", "i // w", 2, "sid")}) // 3) // 64"
+      s"""WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
+        |$aHashCtes,
+        |surv AS (SELECT hash_hi, hash_lo, min(media_id) AS keep_id
+        |  FROM hs GROUP BY 1, 2),
+        |ph AS (SELECT hs.media_id AS doc_id,
+        |    hs.media_id = surv.keep_id AS is_phash_survivor
+        |  FROM hs JOIN surv USING (hash_hi, hash_lo)),
+        |im AS (SELECT media_id AS doc_id, (w*h)::BIGINT AS n_pixels,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> CASE WHEN ($midLuma) IN (1, 2) THEN 1 ELSE 0 END))::BIGINT AS mid
+        |  FROM d),
+        |tq AS (SELECT doc_id, ${graft.OracleSql.quality("toks")} AS q
+        |  FROM (SELECT doc_id, ${graft.OracleSql.toks} AS toks FROM documents) t)
+        |SELECT tq.doc_id AS doc_id, q >= 0.30 AS text_ok,
+        |  mid * 1000000 // n_pixels >= 300000 AS image_ok,
+        |  is_phash_survivor,
+        |  (q >= 0.30 AND mid * 1000000 // n_pixels >= 300000
+        |    AND is_phash_survivor) AS keep
+        |FROM tq JOIN im ON im.doc_id = tq.doc_id
+        |JOIN ph ON ph.doc_id = tq.doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
     "mm_dedup_perceptual" ->
       s"""WITH m AS (
         |  SELECT doc_id AS media_id, doc_id AS sid FROM documents

@@ -1370,19 +1370,22 @@ object TextQueries {
           |  round((sum(lp)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0), 6)
           |    AS avg_logprob
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      // the bigram expansion mirrors the shingle shape: 1-based list
-      // subscripts over range(1, len) pair adjacent tokens
+      // bigrams as 2-shingle strings (tokens never contain spaces, so
+      // "w1 w2" decomposes uniquely); c1 re-derives the left token by
+      // splitting the shingle — the same derivation as the Spark side
       "text_bigram_logprob" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          |bg AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS w1,
-          |    toks[CAST(u.i + 1 AS INT)] AS w2
+          |bg AS (SELECT doc_id,
+          |    toks[CAST(u.i AS INT)] || ' ' || toks[CAST(u.i + 1 AS INT)] AS s
           |  FROM t, LATERAL unnest(range(1, len(toks))) u(i)
           |  WHERE len(toks) >= 2),
-          |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
-          |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
-          |sc AS (SELECT doc_id,
-          |    CAST(floor(1000000.0 * ln(c2.c2::DOUBLE / c1.c1::DOUBLE)) AS BIGINT) AS lp
-          |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+          |c2 AS (SELECT s, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+          |w AS (SELECT s, c2, string_split(s, ' ')[1] AS w1 FROM c2),
+          |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM w GROUP BY 1),
+          |model AS (SELECT s,
+          |    CAST(floor(1000000.0 * ln(w.c2::DOUBLE / c1.c1::DOUBLE)) AS BIGINT) AS lp
+          |  FROM w JOIN c1 USING (w1)),
+          |sc AS (SELECT doc_id, lp FROM bg JOIN model USING (s))
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           |  round((sum(lp)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0), 6)
           |    AS avg_logprob

@@ -104,12 +104,25 @@ object TextOps {
   }
 
   /** 3-token shingles: ["a b c", "b c d", …]. Returns empty array for
-    * docs shorter than 3 tokens. */
-  def shingles(toks: Column, k: Int = 3): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    * docs shorter than 3 tokens.
+    *
+    * Built as a zip_with fold over k SHIFTED SLICES (each evaluates
+    * `toks` once per row) rather than a per-position
+    * `slice(toks, i, k)` lambda: a captured outer expression inside a
+    * higher-order-function lambda is re-evaluated PER INVOCATION, so
+    * when `toks` is an unmaterialized `filter(split(text))` the old
+    * form re-split the document at every position — O(len²) per doc
+    * (found via text_bigram_logprob: 7.0 s → 1.3 s warm at sf0.1;
+    * every shingle consumer inherits the fix). Output strings are
+    * byte-identical to the old form. */
+  def shingles(toks: Column, k: Int = 3): Column = {
+    val n = size(toks) - (k - 1)
+    val zipped = (0 until k)
+      .map(i => slice(toks, lit(i + 1), n))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    when(size(toks) >= k, zipped)
       .otherwise(array().cast("array<string>"))
+  }
 
   /** One MinHash value: min over md5(seed ++ shingle). md5 is identical
     * in every engine, which makes signatures oracle-comparable — a
@@ -249,21 +262,42 @@ object TextOps {
     * on both engines identically. */
   def bigramLogProb(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // bigrams ARE 2-shingles: one "w1 w2" string per position (tokens
+    // never contain spaces, so the pair decomposes uniquely). Built
+    // with zip_with over TWO SLICES — each evaluates the token split
+    // once per ROW — instead of [[shingles]]' per-position
+    // `slice(toks, i, k)` lambda, whose captured `toks` re-evaluates
+    // the split PER POSITION (O(len²) per doc — measured as the bulk
+    // of a 7 s naive runtime). The model (distinct bigrams × lp) is
+    // vocab²-bounded and derives c1 from c2 by a second-level
+    // aggregate.
     val t = tokens(col(textCol))
-    val bg = docs.select(col(idCol),
-        explode(when(size(t) >= 2,
-          transform(sequence(lit(1), size(t) - 1),
-            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col(idCol),
+    val bgArr = when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(col(idCol), explode(bgArr).as("s"))
+    // c2 is vocab²-bounded (hundreds of rows) but its lineage is the
+    // corpus explode — materialize it once (replayable RDD-persist)
+    // or c1, model, and the scoring join each re-run the explode
+    // (measured 4.4 s → ~1 s warm at sf0.1)
+    val c2raw = bg.groupBy(col("s")).agg(count(lit(1)).as("c2"))
+    val c2Rdd = c2raw.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = docs.sparkSession.createDataFrame(c2Rdd, c2raw.schema)
+    val withW1 = c2.withColumn("w1", element_at(split(col("s"), " "), 1))
+    val c1 = withW1.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = withW1.join(c1, Seq("w1"))
+      .select(col("s"),
         floor(lit(1000000.0) *
           log(col("c2").cast("double") / col("c1").cast("double")))
           .cast("long").as("lp"))
+    // broadcast the MODEL explicitly: Catalyst's size estimate for a
+    // Generate output is its parent's, so the (huge) exploded corpus
+    // looked like the small side and got broadcast-collected per run —
+    // the actual 5 s cost the plan audit found (vocab²-bounded model
+    // vs corpus-sized probe can never be the wrong way around)
+    bg.join(broadcast(model), Seq("s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
       .select(col(idCol), col("n_bigrams"),

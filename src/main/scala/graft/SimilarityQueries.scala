@@ -205,6 +205,76 @@ object SimilarityQueries {
         deleteDirs = Seq(path))
     }
 
+  /** Residual twin of [[ivfPqDeleteIndexFor]]: poison twins admitted
+    * through the frozen-quantizer RESIDUAL append, then tombstoned —
+    * the id-keyed sidecar is payload-agnostic, so only the admit step
+    * differs from the non-residual epoch. */
+  private[graft] def ivfPqResDeleteIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqResidualIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_res_delete_index", dir) { () =>
+      val table = "graft_ivfpq_res_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_res_delete_index_").toString
+      VectorOps.cloneIvfPqIndex(s, base, table, path)
+      val poison = querySet(Tables.embeddings(s, dir))
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfPqResidualIndex(s, table, poison)
+      VectorOps.deleteFromIvfIndex(s, table, poison.select(col("vec_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes", s"${table}_tombstones"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** Residual compaction epoch: the delete generation's tombstones
+    * settle physically via the payload-agnostic
+    * [[VectorOps.cloneIvfPqIndex]] — result-invisible, one shared
+    * untouched oracle. */
+  private[graft] def ivfPqResCompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqResDeleteIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_res_compact_index", dir) { () =>
+      val table = "graft_ivfpq_res_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_res_compact_index_").toString
+      VectorOps.cloneIvfPqIndex(s, base, table, path, compact = true)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** Residual twin of [[ivfPqUpsertIndexFor]]: doubled ids corrupt the
+    * clone (their residual-ADC folds mix), healed by the residual
+    * upsert's drop + frozen-quantizer residual re-encode. */
+  private[graft] def ivfPqResUpsertIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqResidualIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_res_upsert_index", dir) { () =>
+      val corrupt = "graft_ivfpq_res_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_ivfpq_res_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_res_upsert_").toString)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.cloneIvfPqIndex(s, base, corrupt, paths(0))
+      val poison = querySet(emb)
+        .select((col("vec_id") + 50).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfPqResidualIndex(s, corrupt, poison)
+      val truth = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.upsertToIvfPqResidualIndex(s, corrupt, dest, paths(1), truth)
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(s"${corrupt}_cents", s"${corrupt}_codebooks",
+          s"${corrupt}_codes", s"${dest}_cents", s"${dest}_codebooks",
+          s"${dest}_codes"),
+        deleteDirs = paths)
+    }
+  }
+
   /** The IVF-PQ append epoch — clone-then-append under BOTH frozen
     * quantizers ([[ivfAppendIndexFor]]'s shape): the serving generation
     * is never touched, the batch routes to its lists and encodes
@@ -1409,6 +1479,40 @@ object SimilarityQueries {
           querySet(emb), k = recallK, nProbe = 2))
     }),
 
+    // residual lifecycle symmetry — every encoding family carries the
+    // full mutation trio: DELETE (residual-encoded poison twins
+    // tombstoned — a leak is a cosine-1.0 rank-1 phantom through the
+    // residual ADC), UPDATE (doubled ids mix their folds until the
+    // residual upsert drops + re-encodes), COMPACTION (tombstones
+    // settle physically, result-invisible); all three hash-match the
+    // ONE untouched residual oracle
+    "sim_ann_ivfpq_residual_deleted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndex(s, ivfPqResDeleteIndexFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_ivfpq_residual_updated" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndex(s, ivfPqResUpsertIndexFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_ivfpq_residual_compacted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndex(s, ivfPqResCompactIndexFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the residual family's production serving composition: residual
     // codes rank, floats re-score the per-query shortlist-32 survivors
     // exactly — recall then bounded by "truth in the residual-ADC
@@ -2377,6 +2481,9 @@ object SimilarityQueries {
     "sim_ann_binary_rerank_recall" -> binaryRerankRecallOracleSql,
     "sim_ann_ivfpq_residual" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_residual_recall" -> ivfPqResidualRecallOracleSql,
+    "sim_ann_ivfpq_residual_deleted" -> ivfPqResidualOracleSql,
+    "sim_ann_ivfpq_residual_updated" -> ivfPqResidualOracleSql,
+    "sim_ann_ivfpq_residual_compacted" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_residual_rerank" -> ivfPqResidualRerankOracleSql,
     "sim_ann_ivfpq_residual_rerank_recall" -> ivfPqResidualRerankRecallOracleSql,
     "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,

@@ -1269,6 +1269,53 @@ object VectorOps {
           .as("cos_sim"))
   }
 
+  /** Admit a batch to a RESIDUAL IVF-PQ index under both frozen
+    * quantizers: assign by the frozen coarse centroids, subtract the
+    * assigned centroid, encode the residual with the frozen codebooks —
+    * the residual member of the append family (probing after append
+    * equals the frozen union build, like every other member). */
+  def appendToIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame, m: Int = 8, dim: Int = 64): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.table(s"${table}_cents")
+    val pcents = spark.table(s"${table}_codebooks")
+    val rsd = residualCorpus(batch, broadcast(cents))
+    pqEncode(rsd, pcents, m, dim)
+      .join(rsd.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("s"), col("cid"), col("list_id"))
+      .write.mode("append").insertInto(s"${table}_codes")
+  }
+
+  /** [[upsertToIvfPqIndex]] for the residual layout — completes the
+    * residual family's mutation symmetry (delete and compaction are
+    * payload-agnostic and shared): the new generation drops every code
+    * row of the incoming ids and of previously tombstoned ids, then
+    * re-admits the latest vectors through the frozen-quantizer RESIDUAL
+    * re-encode, bit-identical to a fresh build's rows. */
+  def upsertToIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, vecs: DataFrame,
+      m: Int = 8, dim: Int = 64): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    spark.table(s"${src}_codebooks").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${dest}_codebooks")
+    val latest = vecs.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val incoming = latest.select(col("vec_id"))
+    val dead =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        incoming.unionByName(
+          spark.table(s"${src}_tombstones").select(col("vec_id"))).distinct()
+      else incoming
+    spark.table(s"${src}_codes")
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/codes").saveAsTable(s"${dest}_codes")
+    appendToIvfPqResidualIndex(spark, dest, latest, m, dim)
+  }
+
   /** Full requantization epoch for the IVF-PQ index — the remedy
     * [[ivfRetrainCheck]]-style drift monitoring calls for once frozen
     * quantizers stop describing a grown corpus: BOTH quantizers

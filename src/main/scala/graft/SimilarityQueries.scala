@@ -725,6 +725,95 @@ object SimilarityQueries {
         deleteDirs = Seq(path))
     }
 
+  /** Binary twin of [[ivfSq8DeleteIndexFor]]: a sign-mask copy of a
+    * query vector is hamming-0 — a guaranteed rank-1 leak if the
+    * tombstone fails. */
+  private[graft] def ivfBinaryDeleteIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfBinaryIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_binary_delete_index", dir) { () =>
+      val table = "graft_ivf_binary_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_binary_delete_index_").toString
+      VectorOps.cloneIvfIndex(s, base, table, path)
+      val poison = querySet(Tables.embeddings(s, dir))
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndexBinary(s, table, poison)
+      VectorOps.deleteFromIvfIndex(s, table, poison.select(col("vec_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists",
+          s"${table}_tombstones"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** Binary compaction epoch: the delete generation settled
+    * one-file-per-list by the payload-agnostic clone. */
+  private[graft] def ivfBinaryCompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfBinaryDeleteIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_binary_compact_index", dir) { () =>
+      val table = "graft_ivf_binary_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_binary_compact_index_").toString
+      VectorOps.compactIvfIndex(s, base, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** Binary twin of [[ivfSq8UpsertIndexFor]]: doubled sign masks heal
+    * by the frozen-quantizer re-pack. */
+  private[graft] def ivfBinaryUpsertIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfBinaryIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_binary_upsert_index", dir) { () =>
+      val corrupt = "graft_ivf_binary_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_ivf_binary_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_ivf_binary_upsert_").toString)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.cloneIvfIndex(s, base, corrupt, paths(0))
+      val poison = querySet(emb)
+        .select((col("vec_id") + 50).as("vec_id"), col("embedding"))
+      VectorOps.appendToIvfIndexBinary(s, corrupt, poison)
+      val truth = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.upsertToIvfIndexBinary(s, corrupt, dest, paths(1), truth)
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(s"${corrupt}_cents", s"${corrupt}_lists",
+          s"${dest}_cents", s"${dest}_lists"),
+        deleteDirs = paths)
+    }
+  }
+
+  /** Pointer-serving epochs for the two r14 families — the pointer
+    * names a generation, not a payload layout, so binary lists and
+    * residual codes serve through the identical atomic mechanism. */
+  private[graft] def ivfBinaryPointerViewFor(s: SparkSession, dir: String): String = {
+    val base = ivfBinaryIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_binary_pointer_view", dir) { () =>
+      val view = "graft_ivf_binary_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base,
+        suffixes = Seq("_cents", "_lists"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  private[graft] def ivfPqResPointerViewFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqResidualIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_res_pointer_view", dir) { () =>
+      val view = "graft_ivfpq_res_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base,
+        suffixes = Seq("_cents", "_codebooks", "_codes"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
   /** SQ8 twin of [[ivfDeleteIndexFor]] (VERDICT r13 #2 — lifecycle
     * symmetry): the tombstone sidecar is payload-agnostic (id
     * anti-join), so the clone + admit-poison + tombstone steps reuse
@@ -835,6 +924,69 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb, VectorOps.binaryTopK(querySet(emb), emb, k = recallK))
+    }),
+
+    // binary lifecycle symmetry — the hamming-0 poison twin makes the
+    // delete gate the loudest in the family: a tombstone leak IS the
+    // rank-1 result. Update heals doubled sign masks by the frozen
+    // re-pack; compaction settles tombstones physically; all three
+    // hash-match the untouched IVF-binary oracle
+    "sim_ann_binary_deleted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexBinary(s, ivfBinaryDeleteIndexFor(s, dir),
+          querySet(emb), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_binary_updated" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexBinary(s, ivfBinaryUpsertIndexFor(s, dir),
+          querySet(emb), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_binary_compacted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexBinary(s, ivfBinaryCompactIndexFor(s, dir),
+          querySet(emb), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // atomic pointer serving for the two r14 families — indirection is
+    // result-invisible, the probes share the untouched oracles
+    "sim_ann_binary_published" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexBinary(s, ivfBinaryPointerViewFor(s, dir),
+          querySet(emb), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_ivfpq_residual_published" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndex(s, ivfPqResPointerViewFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ...and their compaction-cadence monitors through the shared
+    // verdict (poison/tombstone populations match the sibling epochs
+    // by construction, so the mirrors are shared too)
+    "sim_ann_binary_compaction_check" -> ((s, dir) => {
+      val gen = ivfBinaryDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_lists"))
+    }),
+
+    "sim_ann_ivfpq_residual_compaction_check" -> ((s, dir) => {
+      val gen = ivfPqResDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_codes"))
     }),
 
     // the BQ + rescore serving shape: hamming shortlist-32 from the
@@ -2504,6 +2656,31 @@ object SimilarityQueries {
         |  t * 1000 // ((n + t) * 8) AS tombstone_frac_x1000,
         |  (t * 1000 // ((n + t) * 8) >= 50 OR t >= 1000000) AS compact
         |FROM e, q""".stripMargin,
+    // the residual delete epoch's code/tombstone populations match the
+    // non-residual epoch's by construction — shared mirror
+    "sim_ann_ivfpq_residual_compaction_check" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT (n + t) * 8 AS n_rows, t AS n_tombstoned,
+        |  t * 1000 // ((n + t) * 8) AS tombstone_frac_x1000,
+        |  (t * 1000 // ((n + t) * 8) >= 50 OR t >= 1000000) AS compact
+        |FROM e, q""".stripMargin,
+    // ...and the binary delete epoch matches the float family's
+    // (one list row per vector)
+    "sim_ann_binary_compaction_check" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT n + t AS n_rows, t AS n_tombstoned,
+        |  t * 1000 // (n + t) AS tombstone_frac_x1000,
+        |  (t * 1000 // (n + t) >= 50 OR t >= 1000000) AS compact
+        |FROM e, q""".stripMargin,
+    "sim_ann_binary_deleted" -> ivfBinaryOracleSql,
+    "sim_ann_binary_updated" -> ivfBinaryOracleSql,
+    "sim_ann_binary_compacted" -> ivfBinaryOracleSql,
+    "sim_ann_binary_published" -> ivfBinaryOracleSql,
+    "sim_ann_ivfpq_residual_published" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_recall" -> ivfPqRecallOracleSql,
     "sim_ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "sim_ann_ivfpq_rerank_recall" -> ivfPqRerankRecallOracleSql,

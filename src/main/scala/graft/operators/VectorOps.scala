@@ -920,6 +920,47 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** [[appendToIvfIndexSq8]]'s binary twin: frozen-quantizer
+    * assignment, sign-mask packing into the list partitions. */
+  def appendToIvfIndexBinary(spark: org.apache.spark.sql.SparkSession,
+      table: String, batch: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = broadcast(spark.table(s"${table}_cents"))
+    assignLists(batch, cents)
+      .select(col("vec_id"),
+        packSignBits(col("embedding"), 0, 32).as("hi"),
+        packSignBits(col("embedding"), 32, 32).as("lo"),
+        col("list_id"))
+      .write.mode("append").insertInto(s"${table}_lists")
+  }
+
+  /** [[upsertToIvfIndexSq8]]'s binary twin — completes the binary
+    * family's mutation symmetry (delete and compaction are
+    * payload-agnostic): drop the incoming + tombstoned ids' rows,
+    * re-admit the latest vectors through the frozen-quantizer sign
+    * re-pack (bit-identical to a fresh build's masks). */
+  def upsertToIvfIndexBinary(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, vecs: DataFrame): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    val latest = vecs.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      .groupBy(col("vec_id")).agg(max(col("embedding")).as("embedding"))
+    val incoming = latest.select(col("vec_id"))
+    val dead =
+      if (spark.catalog.tableExists(s"${src}_tombstones"))
+        incoming.unionByName(
+          spark.table(s"${src}_tombstones").select(col("vec_id"))).distinct()
+      else incoming
+    spark.table(s"${src}_lists")
+      .join(broadcast(dead), Seq("vec_id"), "left_anti")
+      .repartition(col("list_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
+    appendToIvfIndexBinary(spark, dest, latest)
+  }
+
   // ------------------------------------------------------------- IVF-PQ
 
   /** IVF-PQ: the coarse quantizer's list partitioning COMPOUNDED with

@@ -755,6 +755,29 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // CONTAINMENT near-dup (the asymmetric metric): a short doc wholly
+    // embedded in a long one scores 1.0 where Jaccard dilutes toward
+    // |A|/|B| — the quote-farm/wrapper-page detector curation stacks
+    // run NEXT TO jaccard; same bucket-bounded pairwise machinery
+    "dedup_containment_bucket" -> ((s, dir) => {
+      Dedup.containmentPairsWithinBucket(dupCorpus(Tables.documents(s, dir)),
+          "doc_id", "text", "source", threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact dedup under NORMALIZATION (lowercase, strip punctuation,
+    // collapse whitespace): catches trivially-reformatted copies a raw
+    // byte hash misses — the cheap first rung of the dedup ladder
+    "dedup_exact_normalized" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      dupCorpus(Tables.documents(s, dir))
+        .select(col("doc_id"), md5(norm).as("content_hash"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_hash"))
+    }),
+
     // ingestion-time dedup: the injected dup docs (ids >= 100000) arrive
     // as a BATCH against the originals as the standing corpus — only
     // cross pairs (batch × corpus) are in scope; batch-internal dups are
@@ -1769,6 +1792,30 @@ object TextQueries {
         s"""WITH $corpusSql,
           |t AS (SELECT doc_id, $toksSql AS toks FROM corpus)
           |SELECT doc_id, CAST($simhashExpr AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin,
+      // the asymmetric mirror: intersection over the SMALLER set, no
+      // size-ratio prune (small-in-large is the target)
+      "dedup_containment_bucket" -> {
+        val interSql = "CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)"
+        val contSql = s"round($interSql / least(sa.n_sh, sb.n_sh), 6)"
+        s"""WITH $corpusSql,
+          |t AS (SELECT source, doc_id, $toksSql AS toks FROM corpus),
+          |sh AS (SELECT source, doc_id, ds, len(ds) AS n_sh FROM
+          |  (SELECT source, doc_id,
+          |    list_distinct(list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS ds
+          |   FROM (SELECT source, doc_id, ${shinglesSql("toks")} AS shingles FROM t))
+          |  WHERE len(ds) > 0)
+          |SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, $contSql AS containment
+          |FROM sh sa JOIN sh sb ON sa.source = sb.source AND sa.doc_id < sb.doc_id
+          |WHERE $contSql >= 0.8
+          |ORDER BY id_a, id_b""".stripMargin
+      },
+      // Spark regexp_replace is global by default; DuckDB needs 'g'
+      "dedup_exact_normalized" ->
+        s"""WITH $corpusSql
+          |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+          |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS content_hash,
+          |  min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin,
       "dedup_jaccard_bucket" -> {
         val interSql = "CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)"
         val jacDSql = s"round($interSql / (sa.n_sh + sb.n_sh - $interSql), 6)"

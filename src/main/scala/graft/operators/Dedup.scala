@@ -794,6 +794,57 @@ object Dedup {
     }
   }
 
+  /** Containment score — [[jaccardScore]]'s ASYMMETRIC sibling for
+    * doc-in-doc detection: |A∩B| / min(|A|, |B|), so a short document
+    * wholly embedded in a long one scores 1.0 where Jaccard dilutes it
+    * toward |A|/|B| (the reason curation stacks run containment next
+    * to Jaccard — quote farms and wrapper pages hide from the
+    * symmetric metric). No size-ratio prune (small⊂large is exactly
+    * the target); the merge keeps Jaccard's sortedness + early-exit. */
+  private[graft] def containmentScore(threshold: Double)(
+      a: Array[Long], b: Array[Long]): Option[Double] = {
+    val la = a.length; val lb = b.length
+    val nMin = math.min(la, lb)
+    if (nMin == 0) None
+    else {
+      val tAdj = threshold - 5e-7
+      val cMin = math.ceil(tAdj * nMin).toInt
+      var x = 0; var y = 0; var c = 0
+      while (x < la && y < lb) {
+        if (c + math.min(la - x, lb - y) < cMin) return None
+        if (a(x) == b(y)) { c += 1; x += 1; y += 1 }
+        else if (a(x) < b(y)) x += 1
+        else y += 1
+      }
+      val cr = BoundedPairs.round6(c.toDouble / nMin)
+      if (cr >= threshold) Some(cr) else None
+    }
+  }
+
+  /** [[jaccardPairsWithinBucket]] with CONTAINMENT scoring — same
+    * bucket-bounded pairwise shape, the asymmetric metric. */
+  def containmentPairsWithinBucket(df: DataFrame, idCol: String,
+      textCol: String, bucketCol: String, threshold: Double,
+      maxBucketSize: Int = 8192): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val prepParallelism = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df
+      .select(col(bucketCol).cast("string").as("bucket"),
+        col(idCol).cast("long").as("doc_id"), col(textCol).as("_text"))
+      .repartition(prepParallelism, col("doc_id"))
+      .select(col("bucket"), col("doc_id"),
+        graft.functions.GraftFunctions.shingleSet(
+          TextOps.shingles(TextOps.tokens(col("_text")))).as("payload"))
+    BoundedPairs.scoredPairs(
+        BoundedPairs.saltAssignments(sh, maxBucketSize)
+          .filter(size(col("payload")) > 0)
+          .as[(String, Int, Int, Int, Long, Array[Long])],
+        containmentScore(threshold))
+      .toDF("id_a", "id_b", "containment")
+  }
+
   /** Cross-document duplicated n-gram profile — the "duplicate n-gram
     * fraction" quality signal of large-corpus curation (how much of a
     * document is text that also appears in OTHER documents; boilerplate,

@@ -50,6 +50,36 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // CUSUM drift detection per series — the classic change-point
+    // monitor: cumulative sum of (value − series mean) in integer
+    // cents, max/min excursions per series, drift verdict when the
+    // worst excursion exceeds a tenth of the total absolute deviation
+    // (all floor-integer, so the verdict hash-gates). One per-series
+    // cumulative window over the log's natural partitioning.
+    "events_cusum" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val stats = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+        .select(col("event_type"), expr("sc div n").as("mean_cents"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.join(broadcast(stats), "event_type")
+        .withColumn("dev", col("cents") - col("mean_cents"))
+        .withColumn("cusum", sum(col("dev")).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("mean_cents")).as("mean_cents"),
+          max(col("cusum")).as("max_cusum"),
+          min(col("cusum")).as("min_cusum"),
+          sum(abs(col("dev"))).as("abs_dev"))
+        .withColumn("drift",
+          greatest(col("max_cusum"), -col("min_cusum")) * 10 >= col("abs_dev"))
+        .orderBy(col("event_type"))
+    }),
+
     // time-weighted average per series (the metrics-store TWAP): each
     // observation holds until its successor, weight = the µs gap —
     // exact integer cents×µs sums, one lead window per series
@@ -377,6 +407,27 @@ object EventQueries {
         |  UNION ALL SELECT 3, 'purchase', count(*),
         |    CAST(COALESCE(sum(t3 - t2), 0) AS BIGINT) FROM s3)
         |ORDER BY stage""".stripMargin,
+    // the same cumulative window + excursion fold in DuckDB
+    "events_cusum" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_cents
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT e.event_type AS event_type, cents - mean_cents AS dev,
+        |    mean_cents,
+        |    sum(cents - mean_cents) OVER (PARTITION BY e.event_type
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM e JOIN m ON m.event_type = e.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(mean_cents) AS BIGINT) AS mean_cents,
+        |  CAST(max(cusum) AS BIGINT) AS max_cusum,
+        |  CAST(min(cusum) AS BIGINT) AS min_cusum,
+        |  CAST(sum(abs(dev)) AS BIGINT) AS abs_dev,
+        |  greatest(max(cusum), -min(cusum)) * 10 >= CAST(sum(abs(dev)) AS BIGINT)
+        |    AS drift
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the hold-until-successor weights via lead() — same tie-break
     // (ts, event_id) as the Spark window; final observations drop
     "events_twap" ->

@@ -814,6 +814,23 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"))
     }),
 
+    // revenue concentration — the "what share do the top N hold" OLAP
+    // report: per-supplier revenue in exact integer cents, top-10 by
+    // (revenue desc, key) over the supplier-sized aggregate (the window
+    // sorts thousands of rows, never line items), share in floored ppm
+    "agg_topn_share" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_suppkey"))
+      rev.withColumn("rk", row_number().over(w))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("cents")).as("total_cents"),
+          sum(when(col("rk") <= 10, col("cents")).otherwise(0L)).as("top10_cents"))
+        .withColumn("top10_share_ppm",
+          expr("top10_cents * 1000000 div total_cents"))
+    }),
+
     // fixed-width numeric histogram — the OLAP profiling primitive
     // (DuckDB width_bucket / ClickHouse histogram): 10 equal bins over
     // the observed [min, max], bin edges from one broadcast min/max
@@ -1301,6 +1318,18 @@ object RelationalQueries {
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
         |  true AS within_rank_tol
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_topn_share" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT cents, row_number() OVER
+        |    (ORDER BY cents DESC, l_suppkey) AS rk FROM rev)
+        |SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN rk <= 10 THEN cents ELSE 0 END) AS BIGINT) AS top10_cents,
+        |  CAST(sum(CASE WHEN rk <= 10 THEN cents ELSE 0 END) AS BIGINT) * 1000000
+        |    // CAST(sum(cents) AS BIGINT) AS top10_share_ppm
+        |FROM r""".stripMargin,
     // the same floor-integer bin math over cents, empty bins from a
     // generated spine
     "agg_histogram" ->

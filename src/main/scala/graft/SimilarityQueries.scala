@@ -2351,13 +2351,17 @@ object SimilarityQueries {
 
   /** IVF-binary mirror: the coarse train/assign/probe CTEs composed
     * with the sign-mask scoring, candidates restricted to each query's
-    * probed lists (ends with `q` and `ibscored` in scope). */
-  private def ivfBinaryCtes(nProbe: Int): String =
-    s"""${centTrainSql(ivfKSql, 2)},
+    * probed lists (ends with `q` and `ibscored` in scope). The coarse
+    * quantizer always trains on `embeddings` (the frozen contract);
+    * `corpusRel` selects the LIST corpus — `corpus` for the union
+    * forms (append / CDC settle). */
+  private def ivfBinaryCtes(nProbe: Int, pre: String = "",
+      corpusRel: String = "embeddings"): String =
+    s"""$pre${centTrainSql(ivfKSql, 2)},
       |casg AS (
       |  SELECT vec_id, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-      |  FROM embeddings CROSS JOIN cents),
+      |  FROM $corpusRel CROSS JOIN cents),
       |lists AS (SELECT vec_id, cid AS list_id FROM casg WHERE cr = 1),
       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
       |probes AS (
@@ -2368,7 +2372,7 @@ object SimilarityQueries {
       |bq AS (SELECT query_id, ${packSignSql("qv", 0)} AS qhi,
       |    ${packSignSql("qv", 32)} AS qlo FROM q),
       |bc AS (SELECT vec_id, ${packSignSql("embedding", 0)} AS hi,
-      |    ${packSignSql("embedding", 32)} AS lo FROM embeddings),
+      |    ${packSignSql("embedding", 32)} AS lo FROM $corpusRel),
       |ibscored AS (
       |  SELECT p.query_id AS query_id, bc.vec_id AS neighbor_id,
       |    (bit_count(xor(qhi, hi)) + bit_count(xor(qlo, lo)))::BIGINT AS hamming
@@ -2380,6 +2384,16 @@ object SimilarityQueries {
 
   private lazy val ivfBinaryOracleSql =
     s"""WITH ${ivfBinaryCtes(4)},
+      |ranked AS (SELECT *, CAST(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rk
+      |  FROM ibscored)
+      |SELECT query_id, neighbor_id, hamming, rk FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** The binary union mirror (append / CDC settle: lists over the
+    * embeddings ∪ dup-batch corpus, frozen quantizer). */
+  private[graft] lazy val ivfBinaryAppendOracleSql =
+    s"""WITH ${ivfBinaryCtes(4, dupVectorsSql + ",\n", "corpus")},
       |ranked AS (SELECT *, CAST(row_number() OVER
       |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rk
       |  FROM ibscored)

@@ -335,6 +335,26 @@ object StreamingQueries {
       IngestStream.settleCheck(s, src, idCol = "vec_id")
     }),
 
+    // the FIFTH index family through the CDC loop: the binary index
+    // maintained by the same statement stream (one vector event
+    // fixture, five families) — the settled generation must equal the
+    // frozen-quantizer union build, gated by the binary union oracle
+    // (a leaked hamming-0 poison twin or an unhealed flipped mask is a
+    // rank-1 phantom)
+    "stream_binary_cdc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeIvfIndexBinary(s,
+          binaryCdcNamesFor(s, dir)._2,
+          emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "stream_binary_cdc_settle_check" -> ((s, dir) => {
+      val (src, _) = binaryCdcNamesFor(s, dir)
+      IngestStream.settleCheck(s, src, idCol = "vec_id")
+    }),
+
     // THE ENGINE'S TWO HALVES MEET: its own CDC statement stream — O3
     // INSERTs, O4 UPDATEs, O6 DELETEs — consumed as standing-index
     // maintenance (IngestStream.cdcIndexSink), then settled at the
@@ -518,6 +538,10 @@ object StreamingQueries {
     // (3e6+); tombstones = 10 poison ids + the %20==4 wave. Residues of
     // the dup id equal the original's (100000 ≡ 0 mod 20).
     "stream_ann_cdc_settle_check" -> annCdcSettleCheckSql,
+    // the binary loop consumes the identical event stream, so its
+    // pending/tombstone populations share the vector monitor's mirror
+    "stream_binary_cdc" -> SimilarityQueries.ivfBinaryAppendOracleSql,
+    "stream_binary_cdc_settle_check" -> annCdcSettleCheckSql,
     // the composite consumes the SAME event fixture, so its settled
     // probe shares the frozen-quantizer union oracle, its audit the
     // union-truth recall mirror, and its monitor the identical
@@ -774,6 +798,56 @@ object StreamingQueries {
 
   private[graft] def ivfCdcIndexFor(s: SparkSession, dir: String): String =
     ivfCdcNamesFor(s, dir)._2
+
+  /** The BINARY CDC-maintenance epoch — [[ivfCdcNamesFor]] with the
+    * sign-mask index as the maintenance target, consuming the SAME
+    * vector event fixture (one fixture, five index families): the
+    * serving binary generation is cloned, corrupted the way the events
+    * will heal (negated embeddings flip the %20==0 dup ids' sign masks,
+    * the %20==4 wave pre-packed, poison copies of the probe queries —
+    * hamming-0 twins), events drain through
+    * [[IngestStream.cdcBinarySink]], and
+    * [[IngestStream.settleBinaryUpserts]] writes a generation
+    * result-defined EQUAL to the frozen-quantizer union build — the
+    * probe carries the binary union oracle. Returns (src, settled). */
+  private[graft] def binaryCdcNamesFor(s: SparkSession, dir: String)
+      : (String, String) = {
+    val base = SimilarityQueries.ivfBinaryIndexFor(s, dir)
+    val evDir = cdcVecEventsDir(s, dir)
+    val v = EpochRegistry.acquire(s, "binary_cdc_index", dir) { () =>
+      val src = "graft_binary_cdc_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_binary_cdc_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 3).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_binary_cdc_").toString)
+      graft.operators.VectorOps.cloneIvfIndex(s, base, src, paths(0))
+      val emb = Tables.embeddings(s, dir)
+      val dups = SimilarityQueries.dupVectors(emb)
+        .filter(col("vec_id") >= 100000)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.VectorOps.appendToIvfIndexBinary(s, src,
+        dups.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> -x)").cast("array<float>")
+              .as("embedding")))
+      graft.operators.VectorOps.appendToIvfIndexBinary(s, src,
+        dups.filter(col("vec_id") % 20 === 4))
+      graft.operators.VectorOps.appendToIvfIndexBinary(s, src,
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+      val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
+      IngestStream.cdcBinarySink(ev, src, paths(1)).awaitTermination()
+      IngestStream.settleBinaryUpserts(s, src, dest, paths(2))
+      EpochRegistry.Resource(s"$src;$dest",
+        dropTables = Seq(s"${src}_cents", s"${src}_lists",
+          s"${src}_tombstones", s"${src}_pending", s"${src}_applied",
+          s"${dest}_cents", s"${dest}_lists"),
+        deleteDirs = paths)
+    }
+    val Array(src, dest) = v.split(';')
+    (src, dest)
+  }
 
   /** The IVF-PQ CDC-maintenance epoch — [[ivfCdcNamesFor]] with the
     * COMPOSITE index as the maintenance target, consuming the SAME

@@ -397,6 +397,60 @@ object IngestStream {
     graft.operators.VectorOps.upsertToIvfIndex(spark, src, dest, path, vecs)
   }
 
+  /** The BINARY member of the CDC sink family — [[cdcIvfSink]] with
+    * the sign-mask index as the maintenance target (the FIFTH index
+    * family through the loop): INSERTs pack through the frozen
+    * quantizer ([[graft.operators.VectorOps.appendToIvfIndexBinary]]),
+    * DELETEs write the shared seq-versioned tombstone, UPDATEs queue
+    * until [[settleBinaryUpserts]]. Same statement routing,
+    * sequencing, replay ledger, and serve-stale-until-settle model as
+    * the other four. */
+  def cdcBinarySink(eventStream: DataFrame, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBinaryBatch(batch.sparkSession, table, batch, batchId)
+      }
+      .start()
+
+  private[graft] def applyCdcBinaryBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val seq =
+        if (batch.columns.contains("event_seq")) col("event_seq").cast("long")
+        else lit(batchId)
+      graft.operators.VectorOps.appendToIvfIndexBinary(spark, table,
+        batch.filter(col("statement") === "INSERT")
+          .select(col("vec_id"), col("embedding")))
+      graft.operators.VectorOps.deleteFromIvfIndex(spark, table,
+        batch.filter(col("statement") === "DELETE")
+          .select(col("vec_id"), seq.as("seq")))
+      batch.filter(col("statement").isin("INSERT", "UPDATE"))
+        .select(col("vec_id"), col("embedding"), seq.as("seq"),
+          col("statement"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_pending")
+      recordApplied(spark, table, batchId)
+    }
+
+  /** The binary loop's generation boundary — the shared winner rule
+    * settled through [[graft.operators.VectorOps.upsertToIvfIndexBinary]]
+    * (frozen-quantizer sign re-pack). */
+  def settleBinaryUpserts(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String): Unit = {
+    import spark.implicits._
+    val vecs = settleWinners(spark, src, "vec_id", "embedding",
+      () => Seq.empty[(Long, Array[Float], Long, String)]
+        .toDF("vec_id", "embedding", "seq", "statement"))
+    graft.operators.VectorOps.upsertToIvfIndexBinary(spark, src, dest,
+      path, vecs)
+  }
+
   /** The IVF-PQ member of the CDC sink family — [[cdcIvfSink]] with
     * the composite index as the maintenance target: INSERTs are
     * assigned by the frozen coarse quantizer AND encoded by the frozen

@@ -355,6 +355,16 @@ object StreamingQueries {
       IngestStream.settleCheck(s, src, idCol = "vec_id")
     }),
 
+    // capture → route → settle → PROMOTE → serve for the fifth family
+    "stream_binary_cdc_published" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeIvfIndexBinary(s,
+          binaryCdcViewFor(s, dir),
+          emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // THE ENGINE'S TWO HALVES MEET: its own CDC statement stream — O3
     // INSERTs, O4 UPDATEs, O6 DELETEs — consumed as standing-index
     // maintenance (IngestStream.cdcIndexSink), then settled at the
@@ -541,6 +551,7 @@ object StreamingQueries {
     // the binary loop consumes the identical event stream, so its
     // pending/tombstone populations share the vector monitor's mirror
     "stream_binary_cdc" -> SimilarityQueries.ivfBinaryAppendOracleSql,
+    "stream_binary_cdc_published" -> SimilarityQueries.ivfBinaryAppendOracleSql,
     "stream_binary_cdc_settle_check" -> annCdcSettleCheckSql,
     // the composite consumes the SAME event fixture, so its settled
     // probe shares the frozen-quantizer union oracle, its audit the
@@ -1217,6 +1228,19 @@ object StreamingQueries {
     val settled = ivfCdcIndexFor(s, dir)
     EpochRegistry.acquire(s, "ivf_cdc_view", dir) { () =>
       val view = "graft_ivf_cdc_view_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, settled,
+        suffixes = Seq("_cents", "_lists"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  /** The binary twin: the binary CDC loop's settled generation served
+    * through the same pointer mechanism. */
+  private[graft] def binaryCdcViewFor(s: SparkSession, dir: String): String = {
+    val settled = binaryCdcNamesFor(s, dir)._2
+    EpochRegistry.acquire(s, "binary_cdc_view", dir) { () =>
+      val view = "graft_binary_cdc_view_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       graft.operators.Generations.publishPointer(s, view, settled,
         suffixes = Seq("_cents", "_lists"))

@@ -90,6 +90,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containmentScore early-exit matches the naive containment on random sorted arrays") {
+    // |A∩B| / min(|A|,|B|): a subset pair must score exactly 1.0 and
+    // the mid-merge bail must be lossless at every threshold
+    val arrGen = Gen.listOf(Gen.chooseNum(0L, 40L)).map(_.distinct.sorted.toArray)
+    def naive(a: Array[Long], b: Array[Long]): Double = {
+      val inter = a.toSet.intersect(b.toSet).size
+      inter.toDouble / math.min(a.length, b.length)
+    }
+    for {
+      t <- Seq(0.0, 0.25, 0.5, 0.8, 1.0)
+      pair <- samples(Gen.zip(arrGen, arrGen), 40)
+    } {
+      val (a, b) = pair
+      if (a.nonEmpty && b.nonEmpty) {
+        val expectC = BigDecimal(naive(a, b))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val got = Dedup.containmentScore(t)(a, b)
+        if (expectC >= t) assert(got.contains(expectC),
+          s"t=$t a=${a.toList} b=${b.toList}: expected Some($expectC), got $got")
+        else assert(got.isEmpty,
+          s"t=$t a=${a.toList} b=${b.toList}: expected None (c=$expectC), got $got")
+      }
+    }
+    // the doc-in-doc property Jaccard dilutes: strict subset scores 1.0
+    val whole = (0L to 30L).toArray
+    val part = Array(3L, 7L, 11L)
+    assert(Dedup.containmentScore(0.9)(part, whole).contains(1.0))
+    assert(Dedup.jaccardScore(0.9)(part, whole).isEmpty,
+      "Jaccard must NOT fire on the embedded-subset pair containment catches")
+  }
+
   test("slidingAgg with slide == length degenerates to tumblingAgg") {
     import graft.operators.EventOps
     val events = (0 until 200).map { i =>

@@ -56,6 +56,12 @@ object EventQueries {
     // worst excursion exceeds a tenth of the total absolute deviation
     // (all floor-integer, so the verdict hash-gates). One per-series
     // cumulative window over the log's natural partitioning.
+    // CONVENTION (ADVICE r14): the integer mean pairs Spark `div`
+    // (truncates toward zero) with DuckDB `//` (floors) — identical
+    // only for NON-NEGATIVE numerators. events.value is a price-like
+    // non-negative measure (as are all cents columns in this suite),
+    // so every series' cents sum is ≥ 0; a signed-measure series would
+    // need an explicit floor-div on the Spark side.
     "events_cusum" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("event_type"),
         col("ts_us"), col("event_id"),

@@ -116,7 +116,13 @@ object EventOps {
     * (the same user/series partitioning a 100 TB event log already
     * has). Output keeps the exact integer numerator/denominator plus
     * the floored-cents average — no precision-scaling multiply, which
-    * would overflow long at Σ(cents·µs) ≈ 1.5e17 on this fixture. */
+    * would overflow long at Σ(cents·µs) ≈ 1.5e17 on this fixture.
+    *
+    * CONVENTION (ADVICE r14): `twap_cents` uses Spark `div`, which
+    * truncates toward zero, while the DuckDB mirror uses `//`, which
+    * floors — they agree only because the weighted cents sum is
+    * non-negative (value is a price-like measure everywhere in this
+    * suite). A signed-measure series would need a floor-div here. */
   def timeWeightedAvg(events: DataFrame, seriesCol: String): DataFrame = {
     val w = Window.partitionBy(col(seriesCol))
       .orderBy(col("ts_us"), col("event_id"))

@@ -243,16 +243,21 @@ object Multimodal {
     * twin (same seed, new id ≥ 100000) for every %10==3 doc — the media
     * analog of `TextQueries.dupCorpus`, so perceptual dedup has real
     * duplicate families to find. */
+  /** Named twin key: which RASTER (`seed`) a media row renders —
+    * positional (Long, Long) tuples made a silent seed-vs-id swap in
+    * one union branch possible (ADVICE r14). */
+  case class Seeded(mediaId: Long, seed: Long)
+
   def dupImages(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     val seeds = docs.select(col("doc_id")).as[Long]
-      .map(id => (id, id))
+      .map(id => Seeded(mediaId = id, seed = id))
       .union(docs.filter(col("doc_id") % 10 === 3)
-        .select(col("doc_id")).as[Long].map(id => (id + 100000L, id)))
+        .select(col("doc_id")).as[Long]
+        .map(id => Seeded(mediaId = id + 100000L, seed = id)))
     seeds.mapPartitions { rows =>
-      rows.map { case (mediaId, seed) =>
-        MediaRow(mediaId, "image/png", encodeSyntheticPng(seed))
-      }
+      rows.map(sd => MediaRow(sd.mediaId, "image/png",
+        encodeSyntheticPng(sd.seed)))
     }
   }
 

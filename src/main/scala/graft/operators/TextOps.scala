@@ -278,13 +278,15 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
     val bg = docs.select(col(idCol), explode(bgArr).as("s"))
     // c2 is vocab²-bounded (hundreds of rows) but its lineage is the
-    // corpus explode — materialize it once (replayable RDD-persist)
-    // or c1, model, and the scoring join each re-run the explode
-    // (measured 4.4 s → ~1 s warm at sf0.1)
+    // corpus explode — materialize it ONCE, eagerly, as a local leaf
+    // (collect + createDataFrame) so c1, model, and the scoring join
+    // don't each re-run the explode (measured 4.4 s → ~1 s warm at
+    // sf0.1). Eager beats RDD-persist here: the lazy persisted RDD
+    // leaked one cached RDD per invocation for the session lifetime
+    // (ADVICE r14) — the leaf holds nothing in the block manager.
     val c2raw = bg.groupBy(col("s")).agg(count(lit(1)).as("c2"))
-    val c2Rdd = c2raw.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c2 = docs.sparkSession.createDataFrame(c2Rdd, c2raw.schema)
+    val c2 = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(c2raw.collect(): _*), c2raw.schema)
     val withW1 = c2.withColumn("w1", element_at(split(col("s"), " "), 1))
     val c1 = withW1.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val model = withW1.join(c1, Seq("w1"))

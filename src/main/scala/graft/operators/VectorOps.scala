@@ -470,10 +470,17 @@ object VectorOps {
     * the component is strictly positive. Two 32-bit halves per
     * 64-dim vector keep every value unsigned-safe in BIGINT on both
     * engines. A 64-term codegen'd expression tree, no UDF. */
-  def packSignBits(v: Column, from: Int, n: Int): Column =
-    (0 until n).map(i =>
+  def packSignBits(v: Column, from: Int, n: Int): Column = {
+    val packed = (0 until n).map(i =>
       when(element_at(v, from + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+    // fail LOUDLY on mis-sized embeddings (ADVICE r14): element_at past
+    // the end yields null and when(null > 0f) silently packs a 0 bit —
+    // wrong hamming rankings with no error. One size() compare per row.
+    when(size(v) >= from + n, packed).otherwise(raise_error(concat(
+      lit("packSignBits: embedding has "), size(v).cast("string"),
+      lit(s" dims, need ${from + n}"))).cast("long"))
+  }
 
   /** Binary-quantized ANN top-k: corpus and queries collapse to sign
     * masks and rank by HAMMING distance (`bit_count(xor)` — integer,

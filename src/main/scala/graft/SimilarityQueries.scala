@@ -71,6 +71,12 @@ object SimilarityQueries {
   private val ivfKSql =
     "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
+  /** [[ivfKSql]] over the UNION corpus — the re-derived K a retrain
+    * epoch trains with (retraining refreshes both the centroids and
+    * the list count to the corpus the appends drifted to). */
+  private val corpusKSql =
+    "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)"
+
   private def centTrainSql(numCentroids: String, iters: Int,
       rel: String = "embeddings"): String = {
     val dim = 64 // embeddings.parquet fixed dim (TESTDATA.md)
@@ -789,6 +795,109 @@ object SimilarityQueries {
     }
   }
 
+  /** Binary twin of [[ivfAppendIndexFor]] (VERDICT r14 #5): the
+    * serving generation cloned, the dup-vector batch admitted through
+    * the frozen quantizer's sign re-pack — the direct `_appended` gate
+    * the binary family lacked (the append path was exercised only
+    * inside its CDC loop). */
+  private[graft] def ivfBinaryAppendIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfBinaryIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_binary_append_index", dir) { () =>
+      val table = "graft_ivf_binary_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_binary_append_index_").toString
+      VectorOps.cloneIvfIndex(s, base, table, path)
+      VectorOps.appendToIvfIndexBinary(s, table,
+        dupVectors(Tables.embeddings(s, dir)).filter(col("vec_id") >= 100000))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The binary RETRAIN epoch (VERDICT r14 #2): the appended
+    * generation's drift remedy — coarse quantizer retrained over the
+    * lake's union corpus with re-derived K, lists re-packed through
+    * the family's own sign encode. */
+  private[graft] def ivfBinaryRetrainIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfBinaryAppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_binary_retrain_index", dir) { () =>
+      val table = "graft_ivf_binary_retrain_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_binary_retrain_index_").toString
+      VectorOps.retrainIvfIndexBinary(s, base, table, path,
+        dupVectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The SQ8 RETRAIN epoch: the appended SQ8 generation requantized
+    * from the lake corpus (codes are lossy — the lake, not the lists,
+    * is the retrain source), fresh K, the family's own int8 encode. */
+  private[graft] def ivfSq8RetrainIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfSq8AppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_sq8_retrain_index", dir) { () =>
+      val table = "graft_ivf_sq8_retrain_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_sq8_retrain_index_").toString
+      VectorOps.retrainIvfIndexSq8(s, base, table, path,
+        dupVectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** Residual append epoch — clone-then-append under BOTH frozen
+    * quantizers (coarse assignment + residual encode against the
+    * epoch's codebooks), the residual member of the `_appended`
+    * pattern and the generation whose drift the residual retrain
+    * verdict judges. */
+  private[graft] def ivfPqResAppendIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqResidualIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_res_append_index", dir) { () =>
+      val table = "graft_ivfpq_res_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_res_append_index_").toString
+      VectorOps.cloneIvfPqIndex(s, base, table, path)
+      VectorOps.appendToIvfPqResidualIndex(s, table,
+        dupVectors(Tables.embeddings(s, dir)).filter(col("vec_id") >= 100000))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The residual RETRAIN epoch: BOTH quantizers retrain over the
+    * lake's union corpus — fresh coarse centroids (new K) and fresh
+    * codebooks over the residuals against those new centroids. */
+  private[graft] def ivfPqResRetrainIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfPqResAppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_res_retrain_index", dir) { () =>
+      val table = "graft_ivfpq_res_retrain_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_res_retrain_index_").toString
+      VectorOps.retrainIvfPqResidualIndex(s, base, table, path,
+        dupVectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("embedding")),
+        m = 8, ksub = 64, pqIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** Pointer-serving epochs for the two r14 families — the pointer
     * names a generation, not a payload layout, so binary lists and
     * residual codes serve through the identical atomic mechanism. */
@@ -1024,6 +1133,53 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb, VectorOps.probeIvfIndexBinary(s,
         ivfBinaryIndexFor(s, dir), querySet(emb), k = recallK, nProbe = 2))
+    }),
+
+    // binary APPEND maintenance (VERDICT r14 #5): the dup batch
+    // admitted through the frozen quantizer's sign re-pack — the probe
+    // must equal a fresh frozen-quantizer build over the union corpus,
+    // which is exactly what the union mirror computes
+    "sim_ann_binary_appended" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexBinary(s, ivfBinaryAppendIndexFor(s, dir),
+          querySet(emb), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_binary_appended_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probeIvfIndexBinary(s,
+        ivfBinaryAppendIndexFor(s, dir), querySet(emb), k = recallK,
+        nProbe = 2))
+    }),
+
+    // the binary family's monitor→retrain DECISION (VERDICT r14 #2):
+    // list-size imbalance of the appended generation — the check is
+    // payload-agnostic (partition column only), so the binary appended
+    // epoch's frozen assignment shares the float family's mirror
+    "sim_ann_binary_retrain_check" -> ((s, dir) =>
+      VectorOps.ivfRetrainCheck(s, ivfBinaryAppendIndexFor(s, dir))),
+
+    // binary RETRAIN execution: fresh centroids AND fresh K over the
+    // union corpus, lists re-packed by the family's own sign encode —
+    // the probe must equal an in-memory pass whose quantizer trained
+    // on the union (the mirror trains/assigns over `corpus`)
+    "sim_ann_binary_retrained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexBinary(s, ivfBinaryRetrainIndexFor(s, dir),
+          querySet(emb), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_binary_retrained_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probeIvfIndexBinary(s,
+        ivfBinaryRetrainIndexFor(s, dir), querySet(emb), k = recallK,
+        nProbe = 2))
     }),
 
     "sim_ann_lsh" -> ((s, dir) => {
@@ -1428,6 +1584,33 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // the SQ8 family's monitor→retrain DECISION (VERDICT r14 #2): the
+    // check reads the partition column only, so the SQ8 appended
+    // epoch's frozen float assignment shares the float family's mirror
+    "sim_ann_ivf_sq8_retrain_check" -> ((s, dir) =>
+      VectorOps.ivfRetrainCheck(s, ivfSq8AppendIndexFor(s, dir))),
+
+    // SQ8 RETRAIN execution: codes are lossy, so the requantization
+    // epoch reads the float corpus from the LAKE (not the lists),
+    // retrains with fresh K, and re-encodes through the family's own
+    // int8 quantization — must equal an in-memory SQ8 pass whose
+    // quantizer trained on the union corpus
+    "sim_ann_ivf_sq8_retrained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexSq8(s, ivfSq8RetrainIndexFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_ivf_sq8_retrained_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probeIvfIndexSq8(s,
+        ivfSq8RetrainIndexFor(s, dir), querySet(emb), k = recallK,
+        nProbe = 2))
+    }),
+
     // SQ8 DELETE maintenance: quantized poison twins admitted through
     // the frozen quantizer then tombstoned — the id-keyed tombstone
     // never looks at the payload, so the SQ8 probe must hash-match
@@ -1663,6 +1846,54 @@ object SimilarityQueries {
           querySet(emb), k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // residual APPEND maintenance: the dup batch admitted under BOTH
+    // frozen quantizers (coarse assignment + residual encode against
+    // the epoch codebooks) — the probe must equal a fresh frozen-
+    // quantizer build over the union corpus (the union mirror)
+    "sim_ann_ivfpq_residual_appended" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndex(s, ivfPqResAppendIndexFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_ivfpq_residual_appended_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probeIvfPqResidualIndex(s,
+        ivfPqResAppendIndexFor(s, dir), querySet(emb), k = recallK,
+        nProbe = 2))
+    }),
+
+    // the residual family's monitor→retrain DECISION (VERDICT r14 #2):
+    // distinct-id list sizes over the appended generation's codes —
+    // frozen assignment, so it shares the float family's mirror
+    "sim_ann_ivfpq_residual_retrain_check" -> ((s, dir) =>
+      VectorOps.ivfPqRetrainCheck(s, ivfPqResAppendIndexFor(s, dir))),
+
+    // residual RETRAIN execution: BOTH quantizers retrain over the
+    // lake's union corpus — fresh coarse centroids (new K) and fresh
+    // codebooks over residuals against those NEW centroids; the probe
+    // must equal an in-memory residual pass trained on the union
+    "sim_ann_ivfpq_residual_retrained" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndex(s, ivfPqResRetrainIndexFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_ivfpq_residual_retrained_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probeIvfPqResidualIndex(s,
+        ivfPqResRetrainIndexFor(s, dir), querySet(emb), k = recallK,
+        nProbe = 2))
     }),
 
     // the residual family's production serving composition: residual
@@ -1918,8 +2149,9 @@ object SimilarityQueries {
     * pass, the persisted index, AND the append-maintenance query —
     * shared assignment/probe/quantize/rank semantics, so one builder
     * gates three plans. */
-  private def ivfSq8OracleOver(pre: String, corpusRel: String): String =
-    s"""WITH $pre${centTrainSql(ivfKSql, 2)},
+  private def ivfSq8OracleOver(pre: String, corpusRel: String,
+      trainRel: String = "embeddings", kSql: String = ivfKSql): String =
+    s"""WITH $pre${centTrainSql(kSql, 2, trainRel)},
       |asg AS (
       |  SELECT vec_id, embedding, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
@@ -1945,29 +2177,37 @@ object SimilarityQueries {
   private lazy val ivfSq8AppendOracleSql =
     ivfSq8OracleOver(dupVectorsSql + ",\n", "corpus")
 
+  /** The SQ8 recall-audit CTE prefix, parametrized like
+    * [[ivfSq8OracleOver]] so the build-time, appended, and retrained
+    * generations all mirror through one builder (nProbe=2 int8
+    * candidates vs the float brute-force top-k). */
+  private def ivfSq8RecallPre(pre: String = "",
+      corpusRel: String = "embeddings", trainRel: String = "embeddings",
+      kSql: String = ivfKSql): String =
+    s"""$pre${centTrainSql(kSql, 2, trainRel)},
+      |sasg AS (
+      |  SELECT vec_id, embedding, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM $corpusRel CROSS JOIN cents),
+      |slists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
+      |  FROM sasg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |sprobes AS (
+      |  SELECT query_id, ${quantSql("qv")} AS qq, cid AS list_id FROM (
+      |    SELECT query_id, qv, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq WHERE cr <= 2)""".stripMargin
+
+  private val ivfSq8RecallAnnSelect =
+    s"""SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY
+      |        round(${cosQSql("qq", "l.qe")}, 6) DESC, l.vec_id) AS rk
+      |    FROM slists l JOIN sprobes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin
+
   /** Likewise one SQ8 recall mirror for the in-memory and indexed
-    * probes (both rank with nProbe=2 int8 candidates vs the float
-    * brute-force top-k). */
+    * probes. */
   private lazy val ivfSq8RecallOracleSql = recallOracleSql(
-    preCtes =
-      s"""${centTrainSql(ivfKSql, 2)},
-        |sasg AS (
-        |  SELECT vec_id, embedding, cid, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-        |  FROM embeddings CROSS JOIN cents),
-        |slists AS (SELECT cid AS list_id, vec_id, ${quantSql("embedding")} AS qe
-        |  FROM sasg WHERE cr = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |sprobes AS (
-        |  SELECT query_id, ${quantSql("qv")} AS qq, cid AS list_id FROM (
-        |    SELECT query_id, qv, cid, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
-        |    FROM q CROSS JOIN cents) pq WHERE cr <= 2)""".stripMargin,
-    annSelect =
-      s"""SELECT query_id, l.vec_id AS neighbor_id, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY
-        |        round(${cosQSql("qq", "l.qe")}, 6) DESC, l.vec_id) AS rk
-        |    FROM slists l JOIN sprobes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id""".stripMargin)
+    preCtes = ivfSq8RecallPre(), annSelect = ivfSq8RecallAnnSelect)
 
   /** DuckDB mirror of [[VectorOps.pqTrainCodebooks]] + the shared
     * encode CTE: subvector slicing (1-based inclusive list slices =
@@ -2146,18 +2386,20 @@ object SimilarityQueries {
     * ‖x̂‖² as ‖c_{L,s}‖² + 2·c_{L,s}·cv + ‖cv‖² — so the LUT keys on
     * (query, LIST, s, cid). Same floor(·1e9) integer fold, same rank.
     * Ends with `q` and `scored` in scope. */
-  private def ivfPqResidualCtes(nProbe: Int): String =
-    s"""${centTrainSql(ivfKSql, 2)},
+  private def ivfPqResidualCtes(nProbe: Int, pre: String = "",
+      corpusRel: String = "embeddings", trainRel: String = "embeddings",
+      kSql: String = ivfKSql): String =
+    s"""$pre${centTrainSql(kSql, 2, trainRel)},
       |casg AS (
       |  SELECT vec_id, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-      |  FROM embeddings CROSS JOIN cents),
+      |  FROM $corpusRel CROSS JOIN cents),
       |lists AS (SELECT vec_id, cid AS list_id FROM casg WHERE cr = 1),
       |rsd AS (
       |  SELECT e.vec_id AS vec_id,
       |    list_transform(range(1, 65),
       |      i -> CAST(e.embedding[i]::DOUBLE - c.cv[i]::DOUBLE AS FLOAT)) AS embedding
-      |  FROM embeddings e JOIN lists l ON l.vec_id = e.vec_id
+      |  FROM $corpusRel e JOIN lists l ON l.vec_id = e.vec_id
       |  JOIN cents c ON c.cid = l.list_id),
       |${pqTrainSql(8, 64, 2, 8, pqTrainLimit, rel = "rsd")},
       |pcodes AS (
@@ -2241,6 +2483,44 @@ object SimilarityQueries {
       """SELECT query_id, neighbor_id, row_number() OVER
         |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
         |    FROM scored""".stripMargin)
+
+  /** The residual union mirror (append maintenance): lists, residuals,
+    * and codes over the union corpus under BOTH quantizers still
+    * trained on the original embeddings (the frozen contract — the PQ
+    * sample filter `vec_id < 16384` already excludes the dup ids). */
+  private lazy val ivfPqResidualAppendOracleSql =
+    s"""WITH ${ivfPqResidualCtes(4, dupVectorsSql + ",\n", "corpus")},
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfPqResidualAppendRecallOracleSql = recallOracleSql(
+    preCtes = ivfPqResidualCtes(2, dupVectorsSql + ",\n", "corpus"),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored""".stripMargin,
+    bruteRel = "corpus")
+
+  /** Retrained residual mirror: BOTH quantizers over the union corpus
+    * — coarse K re-derived from its size, codebooks trained on the
+    * residuals against the NEW centroids. */
+  private lazy val ivfPqResidualRetrainOracleSql =
+    s"""WITH ${ivfPqResidualCtes(4, dupVectorsSql + ",\n", "corpus", "corpus", corpusKSql)},
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfPqResidualRetrainRecallOracleSql = recallOracleSql(
+    preCtes = ivfPqResidualCtes(2, dupVectorsSql + ",\n", "corpus",
+      "corpus", corpusKSql),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored""".stripMargin,
+    bruteRel = "corpus")
 
   /** The composite's rerank mirror tail: ADC scores over the probed
     * lists → top-32 shortlist cut → exact cosine over the survivors
@@ -2356,8 +2636,9 @@ object SimilarityQueries {
     * `corpusRel` selects the LIST corpus — `corpus` for the union
     * forms (append / CDC settle). */
   private def ivfBinaryCtes(nProbe: Int, pre: String = "",
-      corpusRel: String = "embeddings"): String =
-    s"""$pre${centTrainSql(ivfKSql, 2)},
+      corpusRel: String = "embeddings", trainRel: String = "embeddings",
+      kSql: String = ivfKSql): String =
+    s"""$pre${centTrainSql(kSql, 2, trainRel)},
       |casg AS (
       |  SELECT vec_id, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
@@ -2406,6 +2687,35 @@ object SimilarityQueries {
       """SELECT query_id, neighbor_id, row_number() OVER
         |      (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
         |    FROM ibscored""".stripMargin)
+
+  /** Appended-generation binary recall: frozen quantizer, lists and
+    * brute truth over the union corpus. */
+  private lazy val ivfBinaryAppendRecallOracleSql = recallOracleSql(
+    preCtes = ivfBinaryCtes(2, dupVectorsSql + ",\n", "corpus"),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+        |    FROM ibscored""".stripMargin,
+    bruteRel = "corpus")
+
+  /** Retrained binary mirror: train/assign AND serve over the union
+    * corpus with K re-derived from its size. */
+  private lazy val ivfBinaryRetrainOracleSql =
+    s"""WITH ${ivfBinaryCtes(4, dupVectorsSql + ",\n", "corpus", "corpus", corpusKSql)},
+      |ranked AS (SELECT *, CAST(row_number() OVER
+      |  (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rk
+      |  FROM ibscored)
+      |SELECT query_id, neighbor_id, hamming, rk FROM ranked WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val ivfBinaryRetrainRecallOracleSql = recallOracleSql(
+    preCtes = ivfBinaryCtes(2, dupVectorsSql + ",\n", "corpus", "corpus",
+      corpusKSql),
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rk
+        |    FROM ibscored""".stripMargin,
+    bruteRel = "corpus")
 
   private lazy val binaryOracleSql =
     s"""WITH $binaryCtes,
@@ -2694,6 +3004,19 @@ object SimilarityQueries {
     "sim_ann_binary_updated" -> ivfBinaryOracleSql,
     "sim_ann_binary_compacted" -> ivfBinaryOracleSql,
     "sim_ann_binary_published" -> ivfBinaryOracleSql,
+    // binary append maintenance (union corpus, frozen quantizer) and
+    // the retrain epoch (union corpus, retrained quantizer + fresh K)
+    "sim_ann_binary_appended" -> ivfBinaryAppendOracleSql,
+    "sim_ann_binary_appended_recall" -> ivfBinaryAppendRecallOracleSql,
+    "sim_ann_binary_retrained" -> ivfBinaryRetrainOracleSql,
+    "sim_ann_binary_retrained_recall" -> ivfBinaryRetrainRecallOracleSql,
+    // residual append maintenance + retrain epoch, same split
+    "sim_ann_ivfpq_residual_appended" -> ivfPqResidualAppendOracleSql,
+    "sim_ann_ivfpq_residual_appended_recall" ->
+      ivfPqResidualAppendRecallOracleSql,
+    "sim_ann_ivfpq_residual_retrained" -> ivfPqResidualRetrainOracleSql,
+    "sim_ann_ivfpq_residual_retrained_recall" ->
+      ivfPqResidualRetrainRecallOracleSql,
     "sim_ann_ivfpq_residual_published" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_recall" -> ivfPqRecallOracleSql,
     "sim_ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
@@ -2823,6 +3146,20 @@ object SimilarityQueries {
         |FROM e, q""".stripMargin,
     "sim_ann_ivf_retrain_check" -> ivfRetrainCheckOracleSql,
     "sim_ann_ivfpq_retrain_check" -> ivfRetrainCheckOracleSql,
+    // the three r15 retrain verdicts (VERDICT r14 #2): every appended
+    // epoch assigns through the SAME frozen float quantizer, so all
+    // five families' monitors share one mirror
+    "sim_ann_ivf_sq8_retrain_check" -> ivfRetrainCheckOracleSql,
+    "sim_ann_binary_retrain_check" -> ivfRetrainCheckOracleSql,
+    "sim_ann_ivfpq_residual_retrain_check" -> ivfRetrainCheckOracleSql,
+    // SQ8 retrain: the family's own mirror with train/assign/K over
+    // the union corpus — what the requantization epoch refreshes
+    "sim_ann_ivf_sq8_retrained" ->
+      ivfSq8OracleOver(dupVectorsSql + ",\n", "corpus", "corpus", corpusKSql),
+    "sim_ann_ivf_sq8_retrained_recall" -> recallOracleSql(
+      preCtes = ivfSq8RecallPre(dupVectorsSql + ",\n", "corpus", "corpus",
+        corpusKSql),
+      annSelect = ivfSq8RecallAnnSelect, bruteRel = "corpus"),
     "sim_cluster_assignments" ->
       s"""WITH $clusterAssignCtes
         |SELECT vec_id, cid AS cluster_id FROM clusters

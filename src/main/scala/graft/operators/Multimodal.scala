@@ -261,6 +261,173 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Real audio decode (VERDICT r14 #1): deterministic PCM/WAV corpus +
+  // javax.sound.sampled decode + integer-exact sample statistics — the
+  // image pillar's analytic-oracle trick applied to the audio modality.
+  // ---------------------------------------------------------------------
+
+  /** The analytic waveform: signed 16-bit sample at frame `t` of the
+    * clip seeded by `id`. The PER-ID slope term is what gives the
+    * 64-point hash its discrimination — a pure `f(t) + c·id` ramp is
+    * threshold-invariant to the constant (every clip would hash
+    * identically); the quadratic term breaks monotonicity so the bit
+    * pattern isn't a single run. Sweeps the full int16 range with sign
+    * flips, so a byte-order or truncation bug in the decode breaks
+    * sums, peaks, and crossings alike — while staying mod-65536 exact
+    * in BIGINT on both engines. */
+  @inline def sampleValue(t: Int, id: Long): Int =
+    (((5L + 13L * (id % 97L)) * t + 7L * t * t + 13L * id) % 65536L)
+      .toInt - 32768
+
+  /** Clip length (frames) as a function of id: 128..264 — long enough
+    * for the 64-point hash grid, short enough that the oracle's
+    * closed-form list folds stay cheap. */
+  @inline def audioLen(id: Long): Int = 128 + (id % 137).toInt
+
+  /** Encode the analytic waveform for `id` as a WAV blob: a hand-built
+    * RIFF container (44-byte canonical header) around 16-bit
+    * little-endian mono PCM at 8 kHz. The container is written by this
+    * library; the DECODE side goes through `javax.sound.sampled` — a
+    * real parser that validates the header, so a malformed write fails
+    * loudly rather than round-tripping. */
+  def encodeSyntheticWav(id: Long): Array[Byte] = {
+    val n = audioLen(id)
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sampleRate = 8000
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)               // PCM
+      .putShort(1.toShort)               // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2.toShort)               // block align
+      .putShort(16.toShort)              // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var t = 0
+    while (t < n) { bb.putShort(sampleValue(t, id).toShort); t += 1 }
+    bb.array()
+  }
+
+  /** A WAV media corpus derived from `documents` (one clip per doc_id)
+    * — narrow per-partition encode, the audio twin of
+    * [[syntheticImages]]. */
+  def syntheticAudio(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "audio/wav", encodeSyntheticWav(id)))
+    }
+  }
+
+  /** Decoded-audio features — every field an exact integer so the
+    * whole decode output is DuckDB-gatable: frame count, sample rate
+    * from the parsed header, signed sum, absolute sum, peak amplitude,
+    * sign crossings, and a 4-bucket amplitude histogram (the audio
+    * analog of the luma histogram). */
+  case class AudioFeatures(media_id: Long, media_type: String,
+      n_samples: Long, sample_rate: Int, sum_samples: Long, sum_abs: Long,
+      peak_abs: Long, zero_crossings: Long,
+      hist_0: Long, hist_1: Long, hist_2: Long, hist_3: Long)
+
+  /** REAL decode: `javax.sound.sampled.AudioSystem` parses the RIFF
+    * header and streams PCM frames, per-partition batches — the same
+    * mapPartitions contract as [[decodeImages]]. PCM is lossless, so
+    * every statistic equals the analytic closed form the oracle
+    * recomputes. Blobs are pruned to (id, media) before this stage and
+    * the work is narrow — scan-bound at 100 TB, never a shuffle. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian,
+          s"unexpected WAV layout for media ${r.media_id}: $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sum = 0L; var sabs = 0L; var peak = 0L; var zc = 0L
+        val hist = new Array[Long](4)
+        var prevNeg = false
+        var t = 0
+        while (t < n) {
+          // 16-bit little-endian signed frame
+          val v = ((pcm(2 * t) & 0xff) | (pcm(2 * t + 1) << 8)).toShort.toInt
+          sum += v
+          val a = math.abs(v.toLong)
+          sabs += a
+          if (a > peak) peak = a
+          val neg = v < 0
+          if (t > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          hist((v + 32768) / 16384) += 1
+          t += 1
+        }
+        AudioFeatures(r.media_id, r.media_type, n.toLong,
+          fmt.getSampleRate.toInt, sum, sabs, peak, zc,
+          hist(0), hist(1), hist(2), hist(3))
+      }
+    }
+  }
+
+  /** 64-bit perceptual hash of a decoded clip — [[aHash]]'s audio twin
+    * and the key for content dedup over audio: 64 UNSIGNED samples on
+    * the fixed grid t = ⌊k·n/64⌋ (unsigned so the floor-mean threshold
+    * divides a non-negative sum — truncation and floor agree across
+    * engines), each thresholded against the mean, packed little-endian
+    * into two 32-bit halves. */
+  def audioHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val u = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          val t = (k * n) / 64
+          val v = ((pcm(2 * t) & 0xff) | (pcm(2 * t + 1) << 8)).toShort.toInt
+          u(k) = v + 32768L
+          k += 1
+        }
+        val mean = u.sum / 64
+        var hi = 0L; var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (u(k) > mean) {
+            if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        ImageHash(r.media_id, hi, lo)
+      }
+    }
+  }
+
+  /** The dup-injected audio corpus: an IDENTICAL twin (same waveform
+    * seed, id ≥ 100000) for every %10==3 doc — [[dupImages]]' audio
+    * analog, so perceptual audio dedup has real duplicate families. */
+  def dupAudio(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val seeds = docs.select(col("doc_id")).as[Long]
+      .map(id => Seeded(mediaId = id, seed = id))
+      .union(docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id")).as[Long]
+        .map(id => Seeded(mediaId = id + 100000L, seed = id)))
+    seeds.mapPartitions { rows =>
+      rows.map(sd => MediaRow(sd.mediaId, "audio/wav",
+        encodeSyntheticWav(sd.seed)))
+    }
+  }
+
   /** Frame-sampling analog: every `stride`-th fixed-size chunk of the
     * blob (video frame extraction shape: one input row → many chunk
     * rows). Pure built-ins: posexplode over computed offsets, substring

@@ -114,6 +114,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hashes.size == 44)
   }
 
+  test("decodeAudio recovers the analytic waveform exactly (RIFF/PCM16LE roundtrip)") {
+    val ids = Seq(0L, 5L, 136L, 137L) // covers min/max lengths + wrap
+    val media = ids.map(id =>
+      Multimodal.MediaRow(id, "audio/wav", Multimodal.encodeSyntheticWav(id))).toDS()
+    val out = Multimodal.decodeAudio(media).collect().map(f => f.media_id -> f).toMap
+    for (id <- ids) {
+      val n = Multimodal.audioLen(id)
+      val s = (0 until n).map(t => Multimodal.sampleValue(t, id).toLong)
+      val f = out(id)
+      assert(f.n_samples == n.toLong && f.sample_rate == 8000)
+      assert(f.sum_samples == s.sum && f.sum_abs == s.map(math.abs).sum)
+      assert(f.peak_abs == s.map(math.abs).max)
+      assert(f.zero_crossings ==
+        (1 until n).count(t => (s(t - 1) < 0) != (s(t) < 0)).toLong)
+      assert(Seq(f.hist_0, f.hist_1, f.hist_2, f.hist_3) ==
+        (0 to 3).map(b => s.count(v => (v + 32768) / 16384 == b).toLong))
+    }
+  }
+
+  test("decodeAudio on a hand-built WAV (independent of the synthetic generator)") {
+    // 4 frames: +1, -1, 0, -32768 — exercises sign, zero (non-negative),
+    // and the most negative value's byte layout
+    val vals = Seq[Short](1, -1, 0, -32768)
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+    vals.foreach(bb.putShort)
+    val media = Seq(Multimodal.MediaRow(9L, "audio/wav", bb.array())).toDS()
+    val f = Multimodal.decodeAudio(media).collect().head
+    assert(f.n_samples == 4 && f.sum_samples == -32768L)
+    assert(f.sum_abs == 32770L && f.peak_abs == 32768L)
+    // sign flips: +1 → -1 (flip), -1 → 0 (flip: 0 is non-negative),
+    // 0 → -32768 (flip)
+    assert(f.zero_crossings == 3L)
+    // buckets of v+32768: 32769→2, 32767→1, 32768→2, 0→0
+    assert(f.hist_0 == 1 && f.hist_1 == 1 && f.hist_2 == 2 && f.hist_3 == 0)
+  }
+
+  test("dupAudio twins hash identically; distinct clips mostly differ") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val hashes = Multimodal.audioHash(Multimodal.dupAudio(docs))
+      .collect().map(h => h.media_id -> (h.hash_hi, h.hash_lo)).toMap
+    Seq(3L, 13L, 23L, 33L).foreach { id =>
+      assert(hashes(id) == hashes(id + 100000L),
+        s"twin of $id must hash identically")
+    }
+    assert(hashes.size == 44)
+    // the id-dependent slope keeps the hash discriminative (a pure
+    // linear ramp would collapse every clip to one bit pattern)
+    assert(hashes.values.toSet.size >= 35,
+      s"audio hash must separate distinct clips, got ${hashes.values.toSet.size} distinct")
+  }
+
   test("sampleChunks covers the blob with stride and fixed chunk size") {
     val df = Seq((1L, ("x" * 270).getBytes("UTF-8"))).toDF("media_id", "media")
     val chunks = Multimodal.sampleChunks(df, chunkSize = 32, stride = 4)

@@ -140,6 +140,23 @@ object PipelineQueries {
         .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
     }),
 
+    // the token budget re-based on SUBWORD counts (VERDICT r14 #3):
+    // same best-quality-first contract as pipeline_token_budget, but
+    // n_tokens comes from the corpus-trained BPE ([[graft.operators
+    // .Bpe]]) — what a real "N training tokens per language" cut
+    // actually budgets. Quality is computed as a Column before the
+    // narrow encode stage, so the per-doc pass is one scan; the only
+    // wide edge is the per-language budget window itself.
+    "pipeline_token_budget_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counted = graft.operators.Bpe.countDocsWithMeta(docs,
+        graft.operators.Bpe.modelFor(s, docs, dir)).toDF()
+      PipelineOps.tokenBudgetSelect(counted, "doc_id", "lang",
+          col("_q"), col("n_tokens"), budgetTokens = 8000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+    }),
+
     // per-source quality QUANTILE gate — "keep each source's best
     // quarter": the relative cut that preserves the source mix where an
     // absolute threshold would starve clean sources and flood noisy ones
@@ -246,6 +263,23 @@ object PipelineQueries {
         |  FROM q)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
         |WHERE cum_tokens - n_tokens < 3000
+        |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    // the BPE-budget mirror: per-doc subword counts from the shared
+    // SQL-retrained tokenizer chain, then the same budget window (LEFT
+    // JOIN + coalesce keeps zero-token docs on both engines)
+    "pipeline_token_budget_bpe" ->
+      s"""WITH ${TextQueries.bpeDocCtes},
+        |tq AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        |q AS (SELECT tq.doc_id AS doc_id, lang,
+        |    CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |    ${qualitySql("toks")} AS _q
+        |  FROM tq LEFT JOIN dstats ds ON ds.doc_id = tq.doc_id),
+        |cum AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY _q DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
+        |WHERE cum_tokens - n_tokens < 8000
         |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
     // rank-to-ceil(quarter) per source, (quality desc, doc_id) total
     // order — the deterministic quantile cut of qualityQuantileFilter

@@ -698,6 +698,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic corpus-trained BPE (VERDICT r14 #3): the merge
+    // TABLE itself, gated against a DuckDB chain that re-trains the
+    // same 12 greedy merges in SQL (one materialized CTE layer per
+    // step — frequency-weighted pair counts, lexicographic tie-break,
+    // left-to-right non-overlapping apply)
+    "text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.operators.Bpe.modelFor(s, Tables.documents(s, dir), dir)
+      m.merges.zipWithIndex
+        .map { case ((a, b), i) => ((i + 1).toLong, a, b) }
+        .toDF("step", "a", "b").orderBy(col("step"))
+    }),
+
+    // the trained vocabulary: distinct final symbols, lexicographic ids
+    "text_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val m = graft.operators.Bpe.modelFor(s, Tables.documents(s, dir), dir)
+      m.vocab.toSeq.map { case (sym, id) => (id.toLong, sym) }
+        .toDF("tid", "sym").orderBy(col("tid"))
+    }),
+
+    // SUBWORD encoding of every doc — broadcast model, narrow
+    // mapPartitions with per-partition word memoization (zero shuffle;
+    // the media-decode scale shape): integer-exact count, id sum, and a
+    // position-weighted checksum that gates token ORDER bit-for-bit
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Bpe.encodeDocs(docs,
+          graft.operators.Bpe.modelFor(s, docs, dir))
+        .toDF().orderBy(col("doc_id"))
+    }),
+
     // vocabulary stats: the classic wordcount shape — explode + hash agg
     // with map-side partial combine, ONE shuffle of (token, partial n);
     // top-k via TakeOrderedAndProject (distributed, never a global sort)
@@ -1321,6 +1353,93 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }))
 
+  /** The BPE training chain in SQL — one MATERIALIZED CTE layer per
+    * merge step, mirroring [[graft.operators.Bpe]]'s spec exactly:
+    * `bpc_i` counts frequency-weighted adjacent pairs over the previous
+    * word states, `bbest_i` takes the (count desc, a, b) argmax,
+    * `bm_i`/`bms_i`/`bst_i` apply the merge left-to-right
+    * non-overlapping (the parity term makes `aaaa` merge to [aa, aa] —
+    * a merge starts only where the count of consecutive immediately-
+    * preceding matches is even; for a ≠ b matches can never be
+    * adjacent, so the term is vacuous there). MATERIALIZED is
+    * load-bearing: each state CTE is referenced twice, and DuckDB's
+    * default inlining would re-run the whole prefix chain per
+    * reference — exponential in the merge count (measured: the
+    * 12-layer chain never finishes inlined, 0.7 s materialized).
+    * Ends with `bmerges (step, a, b)`, `bids (sym, tid)`, and
+    * `bwstats (word, wn, wsum, wwsum)` in scope. */
+  private[graft] def bpeCtes: String = {
+    val n = graft.operators.Bpe.NumMerges
+    val base =
+      s"""bwords AS MATERIALIZED (SELECT unnest($toksSql) AS word FROM documents),
+        |bwc AS MATERIALIZED (SELECT word, count(*)::BIGINT AS c FROM bwords GROUP BY word),
+        |bst0 AS MATERIALIZED (SELECT word, c,
+        |  list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms FROM bwc)""".stripMargin
+    val layers = (1 to n).map { i =>
+      val p = s"bst${i - 1}"
+      s"""bpc$i AS MATERIALIZED (
+        |  SELECT s.syms[j+1] AS a, s.syms[j+2] AS b, sum(s.c)::BIGINT AS cnt
+        |  FROM $p s, unnest(range(0, len(s.syms) - 1)) AS t(j)
+        |  GROUP BY 1, 2),
+        |bbest$i AS MATERIALIZED (SELECT a, b FROM bpc$i ORDER BY cnt DESC, a, b LIMIT 1),
+        |bm$i AS MATERIALIZED (
+        |  SELECT word, c, syms, len(syms) AS L, bb.a AS ma, bb.b AS mb,
+        |    list_transform(range(0, len(syms) - 1),
+        |      j -> CASE WHEN syms[j+1] = bb.a AND syms[j+2] = bb.b THEN 1 ELSE 0 END) AS m
+        |  FROM $p, bbest$i bb),
+        |bms$i AS MATERIALIZED (
+        |  SELECT word, c, syms, L, ma, mb,
+        |    list_transform(range(0, L - 1),
+        |      j -> CASE WHEN m[j+1] = 1 AND
+        |        (j - 1 - coalesce(list_max(list_transform(range(0, j),
+        |           x -> CASE WHEN m[x+1] = 0 THEN x ELSE -1 END)), -1)) % 2 = 0
+        |        THEN 1 ELSE 0 END) AS msl
+        |  FROM bm$i),
+        |bst$i AS MATERIALIZED (
+        |  SELECT word, c,
+        |    flatten(list_transform(range(0, L),
+        |      j -> CASE WHEN j <= L - 2 AND msl[j+1] = 1 THEN [ma || mb]
+        |                WHEN j >= 1 AND msl[j] = 1 THEN []
+        |                ELSE [syms[j+1]] END)) AS syms
+        |  FROM bms$i)""".stripMargin
+    }
+    val merges = (1 to n)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, a, b FROM bbest$i")
+      .mkString("\n  UNION ALL ")
+    val tail =
+      s"""bmerges AS ($merges),
+        |bvocab AS MATERIALIZED (SELECT DISTINCT s AS sym
+        |  FROM (SELECT unnest(syms) AS s FROM bst$n)),
+        |bids AS MATERIALIZED (SELECT sym,
+        |  CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tid FROM bvocab),
+        |bwsym AS MATERIALIZED (SELECT word, t.j AS spos, syms[t.j+1] AS sym
+        |  FROM bst$n, unnest(range(0, len(syms))) AS t(j)),
+        |bwstats AS MATERIALIZED (
+        |  SELECT word, count(*)::BIGINT AS wn, sum(tid)::BIGINT AS wsum,
+        |    sum(tid * (spos + 1))::BIGINT AS wwsum
+        |  FROM bwsym JOIN bids USING (sym) GROUP BY word)""".stripMargin
+    (Seq(base) ++ layers :+ tail).mkString(",\n")
+  }
+
+  /** The per-doc encode tail over [[bpeCtes]] — ends with
+    * `dstats (doc_id, n_tokens, sum_ids, checksum)` in scope (the
+    * offset window reconstructs each token's GLOBAL 1-based position
+    * from the per-word sums, so the checksum gates order). */
+  private[graft] def bpeDocCtes: String =
+    s"""$bpeCtes,
+      |dw AS (SELECT doc_id, t.j AS wpos, toks[t.j + 1] AS word
+      |  FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+      |    unnest(range(0, len(toks))) AS t(j)),
+      |dj AS (SELECT doc_id, wpos, wn, wsum, wwsum FROM dw JOIN bwstats USING (word)),
+      |dcum AS (SELECT *, CAST(sum(wn) OVER (PARTITION BY doc_id ORDER BY wpos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - wn AS off
+      |  FROM dj),
+      |dstats AS (
+      |  SELECT doc_id, CAST(sum(wn) AS BIGINT) AS n_tokens,
+      |    CAST(sum(wsum) AS BIGINT) AS sum_ids,
+      |    CAST(sum(wwsum + off * wsum) AS BIGINT) AS checksum
+      |  FROM dcum GROUP BY doc_id)""".stripMargin
+
   def oracle: Map[String, String] = {
     val langCase = {
       val g = Seq("es", "fr", "de")
@@ -1337,6 +1456,18 @@ object TextQueries {
       s"(CASE WHEN 2 * len(list_filter(toks, t -> strpos('89abcdef', substr(md5(t), ${b + 1}, 1)) > 0)) > len(toks) THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
     Map(
+      // the SQL-retrained merge table / vocabulary / per-doc encode —
+      // the DuckDB mirror of the whole tokenizer (train AND apply)
+      "text_bpe_merges" ->
+        s"""WITH $bpeCtes
+          |SELECT step, a, b FROM bmerges ORDER BY step""".stripMargin,
+      "text_bpe_vocab" ->
+        s"""WITH $bpeCtes
+          |SELECT tid, sym FROM bids ORDER BY tid""".stripMargin,
+      "text_bpe_encode" ->
+        s"""WITH $bpeDocCtes
+          |SELECT doc_id, n_tokens, sum_ids, checksum FROM dstats
+          |ORDER BY doc_id""".stripMargin,
       "text_token_count" ->
         s"""SELECT doc_id,
           |  len($toksSql) AS n_tokens,

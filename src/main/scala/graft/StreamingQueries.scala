@@ -8,9 +8,11 @@ import graft.operators.SearchOps
 
 /** Structured-Streaming-backed entries. Each runs a real streaming query
   * (file source → transform → memory sink, Trigger.AvailableNow) and
-  * returns the sink table. No oracle — the driver records a rows-only
-  * check (contract allows omission for non-SQL-expressible ops); full
-  * semantics are covered by StreamingSpec. */
+  * returns the sink table. Most carry a full DuckDB oracle (the drained
+  * result is deterministic: batch mirror + final-watermark cut); the
+  * genuinely stateful remainder (arbitrary-state/TTL loops) is
+  * self-oracled by StreamingSpec / the parity specs, which the contract
+  * allows for non-SQL-expressible ops. */
 object StreamingQueries {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger
@@ -50,30 +52,48 @@ object StreamingQueries {
     // at 100 TB ("complete" retains every window forever). Windows still
     // open when the source drains (inside the final watermark) are
     // withheld by design — that is the append-mode contract.
+    // DuckDB-GATED since r15 (VERDICT r14 #4): the drained append-mode
+    // result is deterministic — exactly the windows whose end ≤ the
+    // final watermark (max event time, ms-truncated, minus the delay) —
+    // so the batch mirror + watermark cut IS a full oracle, not just
+    // the parity spec's one-sided check. Output normalized to the batch
+    // twin's integer-seconds convention.
     "stream_tumbling" -> ((s, dir) => {
       val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
         .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
       runToMemory(
         CdcStream.tumblingAgg(st, "event_ts", "30 minutes", "10 minutes"),
         "append")
+        .select(expr("unix_micros(window_start) div 1000000").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
     }),
 
-    // sliding windows (10 min / 5 min), same append + eviction discipline
+    // sliding windows (10 min / 5 min), same append + eviction
+    // discipline — gated by the same mirror-plus-watermark-cut shape
     "stream_sliding" -> ((s, dir) => {
       val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
         .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
       runToMemory(
         CdcStream.slidingAgg(st, "event_ts", "30 minutes", "10 minutes", "5 minutes"),
         "append")
+        .select(expr("unix_micros(window_start) div 1000000").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
     }),
 
-    // session windows (gap-based), same append + eviction discipline
+    // session windows (gap-based), same append + eviction discipline —
+    // a session is emitted once the watermark passes lastEvent + gap
     "stream_sessions" -> ((s, dir) => {
       val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
         .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
       runToMemory(
         CdcStream.sessionAgg(st, "event_ts", "30 minutes", "30 minutes"),
         "append")
+        .select(col("user_id"),
+          expr("unix_micros(session_start)").as("session_start_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us"))
     }),
 
     // STREAM-STREAM event-time join (the last core Structured Streaming
@@ -521,6 +541,52 @@ object StreamingQueries {
       |FROM pend""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the three window drains (VERDICT r14 #4 — promoted from
+    // no_oracle): the batch window mirror restricted to windows CLOSED
+    // at the final watermark. Spark tracks event-time watermarks at
+    // MILLISECOND precision, so the mirror ms-truncates the max event
+    // time before subtracting the 30-minute delay (the
+    // StreamBatchParitySpec lesson); append-mode emits exactly the
+    // windows with end ≤ that watermark.
+    "stream_tumbling" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+        |wm AS (SELECT ((max(ts_us) // 1000) - 1800000) * 1000 AS wm_us FROM e),
+        |agg AS (SELECT (ts_us - ts_us % 600000000) // 1000000 AS window_start,
+        |    event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  FROM e GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, sum_value FROM agg, wm
+        |WHERE (window_start + 600) * 1000000 <= wm_us
+        |ORDER BY window_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+        |wm AS (SELECT ((max(ts_us) // 1000) - 1800000) * 1000 AS wm_us FROM e),
+        |agg AS (SELECT (ts_us - ts_us % 300000000) // 1000000 - i * 300 AS window_start,
+        |    event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |  FROM e, LATERAL unnest(range(0, 2)) AS t(i)
+        |  GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, sum_value FROM agg, wm
+        |WHERE (window_start + 600) * 1000000 <= wm_us
+        |ORDER BY window_start, event_type""".stripMargin,
+    // gap-sessionize per user (the events_sessionize CTEs), emitted
+    // once the watermark passes lastEvent + gap
+    "stream_sessions" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |wm AS (SELECT ((max(ts_us) // 1000) - 1800000) * 1000 AS wm_us FROM e),
+        |flagged AS (SELECT *,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (SELECT *, sum(new_session) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |s AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |    min(ts_us) AS session_start_us, max(ts_us) AS last_us,
+        |    round(sum(value), 2) AS sum_value
+        |  FROM sess GROUP BY user_id, session_seq)
+        |SELECT user_id, session_start_us, n_events, sum_value FROM s, wm
+        |WHERE last_us + 1800000000 <= wm_us
+        |ORDER BY user_id, session_start_us""".stripMargin,
     // the 90-day watermark admits everything the fixture can produce,
     // so the drained stream-stream join equals the batch interval join
     "stream_stream_join" ->

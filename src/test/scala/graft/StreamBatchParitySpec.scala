@@ -33,6 +33,8 @@ class StreamBatchParitySpec extends AnyFunSuite {
     * the final watermark (append-mode contract). */
   private def assertWindowParity(streamName: String, batchName: String,
       windowLenSec: Long): Unit = {
+    // window_start is already the batch twin's integer-seconds form
+    // (the r15 oracle promotion normalized the streamed schema)
     val streamed = SparkEntry.queries(streamName)(spark, dir)
       .select(col("window_start").cast("long"), col("event_type"),
         col("n"), col("sum_value"))
@@ -104,7 +106,7 @@ class StreamBatchParitySpec extends AnyFunSuite {
 
   test("stream_sessions == events_sessionize on closed sessions; withheld sessions are open") {
     val streamed = SparkEntry.queries("stream_sessions")(spark, dir)
-      .select(col("user_id"), unix_micros(col("session_start")),
+      .select(col("user_id"), col("session_start_us"),
         col("n_events"), col("sum_value"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))

@@ -140,6 +140,18 @@ object PipelineQueries {
         .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
     }),
 
+    // context packing re-based on SUBWORD counts — the packing a real
+    // pretraining pipeline runs (context windows are BPE-token-sized,
+    // not word-sized); same deterministic hash-order greedy fill
+    "pipeline_pack_sequences_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counted = graft.operators.Bpe.countDocsWithMeta(docs,
+        graft.operators.Bpe.modelFor(s, docs, dir)).toDF()
+      PipelineOps.packSequencesByCount(counted, "doc_id", "lang",
+          col("n_tokens"), ctxTokens = 1024L)
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // the token budget re-based on SUBWORD counts (VERDICT r14 #3):
     // same best-quality-first contract as pipeline_token_budget, but
     // n_tokens comes from the corpus-trained BPE ([[graft.operators
@@ -264,6 +276,23 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
         |WHERE cum_tokens - n_tokens < 3000
         |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    // the BPE-packing mirror: subword counts from the SQL-retrained
+    // tokenizer, same hash-order greedy fill as pipeline_pack_sequences
+    "pipeline_pack_sequences_bpe" ->
+      s"""WITH ${TextQueries.bpeDocCtes},
+        |t AS (SELECT lang, d.doc_id AS doc_id,
+        |    CAST(coalesce(ds.n_tokens, 0) AS BIGINT) AS n_tokens
+        |  FROM documents d LEFT JOIN dstats ds ON ds.doc_id = d.doc_id),
+        |laid AS (SELECT lang, doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER
+        |    (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT lang, start_tok // 1024 AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(start_tok) AS pack_start_tok
+        |FROM laid GROUP BY lang, start_tok // 1024
+        |ORDER BY lang, pack_id""".stripMargin,
     // the BPE-budget mirror: per-doc subword counts from the shared
     // SQL-retrained tokenizer chain, then the same budget window (LEFT
     // JOIN + coalesce keeps zero-token docs on both engines)

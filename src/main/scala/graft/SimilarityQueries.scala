@@ -432,6 +432,26 @@ object SimilarityQueries {
     }
   }
 
+  /** The flat-PQ append epoch (r15 — the one family that still lacked
+    * a direct `_appended` gate): clone + frozen-codebook admit of the
+    * dup batch; the probe must equal a frozen-codebook encode of the
+    * union corpus (the sample cap keeps the training set identical). */
+  private[graft] def pqAppendIndexFor(s: SparkSession, dir: String): String = {
+    val base = pqIndexFor(s, dir)
+    EpochRegistry.acquire(s, "pq_append_index", dir) { () =>
+      val table = "graft_pq_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pq_append_index_").toString
+      VectorOps.clonePqIndex(s, base, table, path)
+      VectorOps.appendToPqIndex(s, table,
+        dupVectors(Tables.embeddings(s, dir)).filter(col("vec_id") >= 100000))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_codebooks", s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** The PQ DELETE epoch: clone the serving PQ generation, admit exact
     * copies of the query vectors under poison ids (frozen-codebook
     * append — they'd surface as ADC-cosine-1.0 rank-1 neighbors), then
@@ -1249,6 +1269,25 @@ object SimilarityQueries {
       VectorOps.probePqIndex(s, pqIndexFor(s, dir), querySet(emb), k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // flat-PQ APPEND maintenance (r15 — the last family without a
+    // direct `_appended` gate): the dup batch admitted through the
+    // frozen codebooks; the probe must equal a frozen-codebook encode
+    // of the union corpus
+    "sim_ann_pq_appended" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probePqIndex(s, pqAppendIndexFor(s, dir), querySet(emb), k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_pq_appended_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probePqIndex(s,
+        pqAppendIndexFor(s, dir), querySet(emb), k = recallK))
     }),
 
     // PQ's recall audit: what the 32× compression costs vs exact float
@@ -2257,9 +2296,13 @@ object SimilarityQueries {
 
   /** The PQ train+encode+query-LUT CTE prefix shared by the gated ADC
     * ranking and its recall audit (ends with `q`, `pcodes`, `lut` in
-    * scope — one builder so the two mirrors cannot drift). */
-  private def pqPreCtes(m: Int, ksub: Int, dsub: Int): String =
-    s"""${pqTrainSql(m, ksub, 2, dsub, pqTrainLimit)},
+    * scope — one builder so the two mirrors cannot drift). `rel`
+    * selects the ENCODED corpus; the training sample stays identical
+    * either way (the `vec_id < 16384` cap excludes the dup ids), which
+    * is exactly the frozen-codebook append contract. */
+  private def pqPreCtes(m: Int, ksub: Int, dsub: Int, pre: String = "",
+      rel: String = "embeddings"): String =
+    s"""$pre${pqTrainSql(m, ksub, 2, dsub, pqTrainLimit, rel = rel)},
       |pcodes AS (
       |  SELECT vec_id, s, cid FROM (
       |    SELECT sv.vec_id AS vec_id, sv.s AS s, c.cid AS cid, row_number() OVER
@@ -2273,6 +2316,26 @@ object SimilarityQueries {
       |    floor(list_dot_product(qsv::DOUBLE[], cv::DOUBLE[]) * 1000000000.0)::BIGINT AS qd,
       |    floor(list_dot_product(cv::DOUBLE[], cv::DOUBLE[]) * 1000000000.0)::BIGINT AS n2
       |  FROM qsub JOIN pcents USING (s))""".stripMargin
+
+  /** The flat-PQ union mirror (append maintenance): codes over the
+    * union corpus, codebooks frozen (the sample cap makes the training
+    * set identical by construction). */
+  private lazy val pqAppendOracleSql =
+    s"""WITH ${pqPreCtes(8, 64, 8, dupVectorsSql + ",\n", "corpus")},
+      |$pqScoredSql,
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin
+
+  private lazy val pqAppendRecallOracleSql = recallOracleSql(
+    preCtes = s"""${pqPreCtes(8, 64, 8, dupVectorsSql + ",\n", "corpus")},
+      |$pqScoredSql""".stripMargin,
+    annSelect =
+      """SELECT query_id, neighbor_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored""".stripMargin,
+    bruteRel = "corpus")
 
   private def pqScoredSql: String =
     """scored AS (
@@ -2947,6 +3010,8 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_pq" -> pqOracleSql,
     "sim_ann_pq_indexed" -> pqOracleSql,
+    "sim_ann_pq_appended" -> pqAppendOracleSql,
+    "sim_ann_pq_appended_recall" -> pqAppendRecallOracleSql,
     "sim_ann_ivfpq" -> ivfPqOracleSql,
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "sim_ann_binary" -> binaryOracleSql,

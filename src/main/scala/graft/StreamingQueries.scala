@@ -417,6 +417,15 @@ object StreamingQueries {
       s.table(mmDecodeTableFor(s, dir)).orderBy(col("media_id"))
     }),
 
+    // the streamed AUDIO decode loop (sixth ingestion family): WAV
+    // blobs drain in micro-batches through the real javax.sound
+    // parse; the accumulated features must equal the batch decode of
+    // the whole corpus — mm_audio_features' analytic oracle, one more
+    // plan (the micro-batch one)
+    "stream_mm_audio" -> ((s, dir) => {
+      s.table(mmAudioTableFor(s, dir)).orderBy(col("media_id"))
+    }),
+
     // the within-batch ORDINAL gate: one micro-batch carries TWO
     // updates of each %10 doc — poison first, truth second, ordered
     // only by event_seq (arrival order inside the file is arbitrary).
@@ -636,6 +645,7 @@ object StreamingQueries {
     // the streamed decode accumulates exactly the batch decode's rows —
     // one oracle, one more plan (the micro-batch one)
     "stream_mm_decode" -> MultimodalQueries.oracle("mm_decode_features"),
+    "stream_mm_audio" -> MultimodalQueries.oracle("mm_audio_features"),
     "stream_search_cdc" -> TextQueries.searchAndSql,
     "stream_search_cdc_bm25" -> TextQueries.searchBm25Sql,
     "stream_search_cdc_two_updates" -> TextQueries.searchBm25Sql,
@@ -1069,6 +1079,46 @@ object StreamingQueries {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(evDir)
       IngestStream.mmDecodeSink(stream, table, ckpt).awaitTermination()
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_applied"),
+        deleteDirs = Seq(ckpt))
+    }
+  }
+
+  /** Audio event files for the streaming decode loop — the WAV corpus
+    * as 3 parquet files → 3 micro-batches. */
+  private[graft] def mmAudioEventsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "mm_audio_events_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mm_audio_events_").toString
+      graft.operators.Multimodal.syntheticAudio(Tables.documents(s, dir))
+        .toDF().repartition(3)
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The streaming AUDIO-decode epoch ([[mmDecodeTableFor]]'s twin —
+    * the sixth ingestion family): WAV blobs drain through
+    * [[IngestStream.mmAudioDecodeSink]], features accumulate, and the
+    * table must equal the batch decode of the whole corpus, so the
+    * probe carries `mm_audio_features`' full analytic oracle. */
+  private[graft] def mmAudioTableFor(s: SparkSession, dir: String): String = {
+    val evDir = mmAudioEventsDir(s, dir)
+    EpochRegistry.acquire(s, "mm_audio_stream", dir) { () =>
+      val table = "graft_mm_audio_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_mm_audio_ckpt_").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(evDir)
+      IngestStream.mmAudioDecodeSink(stream, table, ckpt).awaitTermination()
       EpochRegistry.Resource(table,
         dropTables = Seq(table, s"${table}_applied"),
         deleteDirs = Seq(ckpt))

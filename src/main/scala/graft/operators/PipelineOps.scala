@@ -116,12 +116,20 @@ object PipelineOps {
     * truncates/continues downstream). One shuffle (window on the
     * stratum); integer-exact math, reproducible at any cluster size. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      stratumCol: String, ctxTokens: Long): DataFrame = {
+      stratumCol: String, ctxTokens: Long): DataFrame =
+    packSequencesByCount(df, idCol, stratumCol,
+      TextOps.tokenCount(col(textCol)), ctxTokens)
+
+  /** [[packSequences]] over an arbitrary token-count column — the form
+    * the BPE-based packing uses (subword counts come from the trained
+    * tokenizer, not a per-row expression). */
+  def packSequencesByCount(df: DataFrame, idCol: String,
+      stratumCol: String, tokensCol: Column, ctxTokens: Long): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     val ctx = lit(ctxTokens)
     val withOffset = df
-      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_tokens", tokensCol.cast("long"))
       .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       // integer division via the exact x - pmod(x, w) form

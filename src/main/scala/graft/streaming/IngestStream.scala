@@ -58,6 +58,38 @@ object IngestStream {
       recordApplied(spark, table, batchId)
     }
 
+  /** [[mmDecodeSink]]'s AUDIO twin — the sixth ingestion family: WAV
+    * blobs drain in micro-batches, each parsed with real
+    * `javax.sound.sampled` ([[graft.operators.Multimodal.decodeAudio]])
+    * under the same replay ledger; narrow feature rows accumulate and
+    * must equal the batch decode of the whole corpus (per-row op —
+    * micro-batch arrival order immaterial, the full analytic waveform
+    * oracle gates it). */
+  def mmAudioDecodeSink(mediaStream: DataFrame, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    mediaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMmAudioDecodeBatch(batch.sparkSession, table, batch, batchId)
+      }
+      .start()
+
+  private[graft] def applyMmAudioDecodeBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      graft.operators.Multimodal.decodeAudio(
+          batch.select(col("media_id"), col("media_type"), col("media"))
+            .as[graft.operators.Multimodal.MediaRow])
+        .toDF()
+        .write.mode("append").format("parquet").saveAsTable(table)
+      recordApplied(spark, table, batchId)
+    }
+
   def ingestSink(docStream: DataFrame, bandIndexTable: String,
       benchmark: DataFrame, checkpointDir: String,
       write: (DataFrame, Long) => Unit,

@@ -43,6 +43,34 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // OHLC bars per (series, 10-min window) — the metrics-store
+    // candlestick fold: open/close by (ts, event_id) first/last order,
+    // high/low as plain extremes, all integer cents. first_value over
+    // the two orderings of a window already partitioned by (series,
+    // bucket) — the event log's natural partitioning, one shuffle.
+    "events_ohlc" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("ts_us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("ts_us") - pmod(col("ts_us"), lit(600000000L))).as("w_us"))
+      val asc = Window.partitionBy(col("event_type"), col("w_us"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val desc = Window.partitionBy(col("event_type"), col("w_us"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      e.withColumn("open_c", first(col("cents")).over(asc))
+        .withColumn("close_c", first(col("cents")).over(desc))
+        .groupBy(col("event_type"), col("w_us"))
+        .agg(max(col("open_c")).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max(col("close_c")).as("close_cents"),
+          count(lit(1)).as("n"))
+        .select(expr("w_us div 1000000").as("window_start"),
+          col("event_type"), col("open_cents"), col("high_cents"),
+          col("low_cents"), col("close_cents"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // gap-filled 10-minute resample: every (type, window) cell of the
     // full time grid, zero-filled where no events fell
     "events_resample" -> ((s, dir) => {
@@ -312,6 +340,22 @@ object EventQueries {
       """SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the candlestick mirror: same (ts, event_id) first/last order
+    "events_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) - epoch_us(ts) % 600000000 AS w_us FROM events),
+        |w AS (SELECT event_type, w_us, cents,
+        |    first_value(cents) OVER (PARTITION BY event_type, w_us
+        |      ORDER BY ts_us, event_id) AS open_c,
+        |    first_value(cents) OVER (PARTITION BY event_type, w_us
+        |      ORDER BY ts_us DESC, event_id DESC) AS close_c
+        |  FROM e)
+        |SELECT w_us // 1000000 AS window_start, event_type,
+        |  max(open_c) AS open_cents, max(cents) AS high_cents,
+        |  min(cents) AS low_cents, max(close_c) AS close_cents,
+        |  count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "events_resample" ->
       """WITH agg AS (
         |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,

@@ -151,6 +151,49 @@ object MultimodalQueries {
         .orderBy(col("hash_hi"), col("hash_lo"), col("keep_id"))
     }),
 
+    // the TRI-MODAL curation capstone: text quality + decoded-image
+    // signal + image-perceptual survivor + decoded-audio signal +
+    // audio-perceptual survivor joined into ONE per-doc keep verdict,
+    // one Catalyst plan — the full cross-modality composition the
+    // completed modality set enables (a doc drops if its text is junk,
+    // its image is tonally degenerate or duplicates another's, or its
+    // audio is a near-silent ramp or duplicates another's)
+    "mm_trimodal_capstone" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // ONE decode per modality, ONE plan reference per decode:
+      // [[Multimodal.imageSignals]] / [[audioSignals]] emit the feature
+      // fold + perceptual hash together (blob decode dominates), and
+      // the survivor flag is a window-min over the hash — not a
+      // groupBy-self-join, which would re-run the decode lineage per
+      // reference (mapPartitions is not a reusable exchange)
+      val wHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hash_hi"), col("hash_lo"))
+      val imgAll = Multimodal.imageSignals(
+          Multimodal.syntheticImages(docs)).toDF()
+        .select(col("media_id").as("doc_id"), col("n_pixels"),
+          col("mid_count"),
+          (col("media_id") === min(col("media_id")).over(wHash))
+            .as("is_image_survivor"))
+      val audAll = Multimodal.audioSignals(
+          Multimodal.syntheticAudio(docs)).toDF()
+        .select(col("media_id").as("doc_id"), col("zero_crossings"),
+          (col("media_id") === min(col("media_id")).over(wHash))
+            .as("is_audio_survivor"))
+      val text = docs.select(col("doc_id"),
+        (graft.operators.TextOps.qualityScore(col("text")) >= 0.30).as("text_ok"))
+      text.join(imgAll, "doc_id").join(audAll, "doc_id")
+        .select(col("doc_id"), col("text_ok"),
+          (expr("mid_count * 1000000 div n_pixels") >= 300000L)
+            .as("image_ok"),
+          col("is_image_survivor"),
+          (col("zero_crossings") >= 4).as("audio_ok"),
+          col("is_audio_survivor"))
+        .withColumn("keep",
+          col("text_ok") && col("image_ok") && col("is_image_survivor") &&
+            col("audio_ok") && col("is_audio_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the binaryFile SOURCE itself: a directory of media files read
     // whole-file (path/length/content), glob-pruned at listing time —
     // the ingestion edge the mm_* pipeline starts from. The fixture dir
@@ -304,6 +347,56 @@ object MultimodalQueries {
         |  count(*) AS n_copies
         |FROM hs GROUP BY hash_hi, hash_lo
         |ORDER BY hash_hi, hash_lo, keep_id""".stripMargin,
+    // tri-modal capstone mirror: the image and audio hash chains both
+    // name their CTEs d/l/sm/hs, so each survivor leg runs inside a
+    // parenthesized nested WITH (scoped names); features and quality
+    // fold from the closed forms inline
+    "mm_trimodal_capstone" -> {
+      val midLuma = s"((${pix("i % w", "i // w", 0)} + " +
+        s"${pix("i % w", "i // w", 1)} + " +
+        s"${pix("i % w", "i // w", 2)}) // 3) // 64"
+      s"""WITH imgk AS (SELECT * FROM (
+        |  WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
+        |  $aHashCtes,
+        |  surv AS (SELECT hash_hi, hash_lo, min(media_id) AS keep_id
+        |    FROM hs GROUP BY 1, 2)
+        |  SELECT hs.media_id AS doc_id,
+        |    hs.media_id = surv.keep_id AS is_image_survivor
+        |  FROM hs JOIN surv USING (hash_hi, hash_lo)) t1),
+        |audk AS (SELECT * FROM (
+        |  WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
+        |  $audioHashCtes,
+        |  surv AS (SELECT hash_hi, hash_lo, min(media_id) AS keep_id
+        |    FROM hs GROUP BY 1, 2)
+        |  SELECT hs.media_id AS doc_id,
+        |    hs.media_id = surv.keep_id AS is_audio_survivor
+        |  FROM hs JOIN surv USING (hash_hi, hash_lo)) t2),
+        |imfe AS (SELECT media_id AS doc_id, (w*h)::BIGINT AS n_pixels,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> CASE WHEN ($midLuma) IN (1, 2) THEN 1 ELSE 0 END))::BIGINT AS mid
+        |  FROM (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+        |      8 + doc_id % 7 AS h FROM documents) dm),
+        |aufe AS (SELECT media_id AS doc_id,
+        |    list_sum(list_transform(range(1, n),
+        |      t -> CASE WHEN (${samp("t-1")} < 0) <> (${samp("t")} < 0)
+        |        THEN 1 ELSE 0 END))::BIGINT AS zc
+        |  FROM (SELECT doc_id AS media_id, 128 + doc_id % 137 AS n
+        |      FROM documents) da),
+        |tq AS (SELECT doc_id, ${graft.OracleSql.quality("toks")} AS q
+        |  FROM (SELECT doc_id, ${graft.OracleSql.toks} AS toks FROM documents) t)
+        |SELECT tq.doc_id AS doc_id, q >= 0.30 AS text_ok,
+        |  mid * 1000000 // n_pixels >= 300000 AS image_ok,
+        |  is_image_survivor,
+        |  zc >= 4 AS audio_ok,
+        |  is_audio_survivor,
+        |  (q >= 0.30 AND mid * 1000000 // n_pixels >= 300000
+        |    AND is_image_survivor AND zc >= 4 AND is_audio_survivor) AS keep
+        |FROM tq JOIN imfe ON imfe.doc_id = tq.doc_id
+        |JOIN imgk ON imgk.doc_id = tq.doc_id
+        |JOIN aufe ON aufe.doc_id = tq.doc_id
+        |JOIN audk ON audk.doc_id = tq.doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
     "mm_binary_meta" ->
       """SELECT doc_id AS media_id, 'fake/' || source AS media_type,
         |  octet_length(encode(text)) AS n_bytes,

@@ -730,6 +730,29 @@ object TextQueries {
         .toDF().orderBy(col("doc_id"))
     }),
 
+    // the tokenizer QUALITY report: corpus-level compression ratios
+    // (chars/token, tokens/word in floored ppt) — the one-row summary
+    // every tokenizer training run ships; words stream through a
+    // broadcast vocab-bounded (word → token-count) table, one map-side
+    // combined fold
+    "text_bpe_compression" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val m = graft.operators.Bpe.modelFor(s, docs, dir)
+      val wtab = broadcast(m.wordSyms.toSeq
+        .map { case (w, syms) => (w, syms.length.toLong, w.length.toLong) }
+        .toDF("w", "wn", "wlen"))
+      docs.select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        .join(wtab, Seq("w"))
+        .agg(count(lit(1)).as("total_words"),
+          sum(col("wlen")).as("total_chars"),
+          sum(col("wn")).as("total_bpe_tokens"))
+        .withColumn("chars_per_token_x1000",
+          expr("total_chars * 1000 div total_bpe_tokens"))
+        .withColumn("tokens_per_word_x1000",
+          expr("total_bpe_tokens * 1000 div total_words"))
+    }),
+
     // vocabulary stats: the classic wordcount shape — explode + hash agg
     // with map-side partial combine, ONE shuffle of (token, partial n);
     // top-k via TakeOrderedAndProject (distributed, never a global sort)
@@ -1468,6 +1491,19 @@ object TextQueries {
         s"""WITH $bpeDocCtes
           |SELECT doc_id, n_tokens, sum_ids, checksum FROM dstats
           |ORDER BY doc_id""".stripMargin,
+      "text_bpe_compression" ->
+        s"""WITH $bpeCtes,
+          |allw AS (SELECT unnest($toksSql) AS word FROM documents),
+          |j AS (SELECT len(word)::BIGINT AS wlen, wn
+          |  FROM allw JOIN bwstats USING (word))
+          |SELECT count(*)::BIGINT AS total_words,
+          |  CAST(sum(wlen) AS BIGINT) AS total_chars,
+          |  CAST(sum(wn) AS BIGINT) AS total_bpe_tokens,
+          |  CAST(sum(wlen) AS BIGINT) * 1000 // CAST(sum(wn) AS BIGINT)
+          |    AS chars_per_token_x1000,
+          |  CAST(sum(wn) AS BIGINT) * 1000 // count(*)
+          |    AS tokens_per_word_x1000
+          |FROM j""".stripMargin,
       "text_token_count" ->
         s"""SELECT doc_id,
           |  len($toksSql) AS n_tokens,

@@ -412,6 +412,103 @@ object Multimodal {
     }
   }
 
+  /** One-decode image signals for the capstones: the curation verdict
+    * needs BOTH the feature fold and the perceptual hash, and decoding
+    * the blob twice doubles the dominant cost — this emits the
+    * mid-tone count and the aHash from a single `javax.imageio` pass
+    * (measured: the tri-modal capstone drops ~2× with the shared
+    * decode). Values are bit-identical to [[decodeImages]] + [[aHash]]
+    * by construction (same pixel reads, same folds). */
+  case class ImageSignals(media_id: Long, n_pixels: Long, mid_count: Long,
+      hash_hi: Long, hash_lo: Long)
+
+  def imageSignals(media: Dataset[MediaRow]): Dataset[ImageSignals] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media))
+        val w = img.getWidth; val h = img.getHeight
+        var mid = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3
+            val b = luma / 64
+            if (b == 1 || b == 2) mid += 1
+            x += 1
+          }
+          y += 1
+        }
+        val lumas = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          val rgb = img.getRGB(((k % 8) * w) / 8, ((k / 8) * h) / 8)
+          lumas(k) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+            (rgb & 0xff)) / 3
+          k += 1
+        }
+        val mean = lumas.sum / 64
+        var hi = 0L; var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (lumas(k) > mean) {
+            if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        ImageSignals(r.media_id, w.toLong * h, mid, hi, lo)
+      }
+    }
+  }
+
+  /** One-decode audio signals — [[imageSignals]]' audio twin: sign
+    * crossings and the 64-point hash from a single WAV parse. */
+  case class AudioSignals(media_id: Long, zero_crossings: Long,
+      hash_hi: Long, hash_lo: Long)
+
+  def audioSignals(media: Dataset[MediaRow]): Dataset[AudioSignals] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        @inline def sample(t: Int): Int =
+          ((pcm(2 * t) & 0xff) | (pcm(2 * t + 1) << 8)).toShort.toInt
+        var zc = 0L
+        var prevNeg = false
+        var t = 0
+        while (t < n) {
+          val neg = sample(t) < 0
+          if (t > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+          t += 1
+        }
+        val u = new Array[Long](64)
+        var k = 0
+        while (k < 64) {
+          u(k) = sample((k * n) / 64) + 32768L
+          k += 1
+        }
+        val mean = u.sum / 64
+        var hi = 0L; var lo = 0L
+        k = 0
+        while (k < 64) {
+          if (u(k) > mean) {
+            if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        AudioSignals(r.media_id, zc, hi, lo)
+      }
+    }
+  }
+
   /** The dup-injected audio corpus: an IDENTICAL twin (same waveform
     * seed, id ≥ 100000) for every %10==3 doc — [[dupImages]]' audio
     * analog, so perceptual audio dedup has real duplicate families. */

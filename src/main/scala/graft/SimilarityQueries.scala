@@ -918,6 +918,24 @@ object SimilarityQueries {
     }
   }
 
+  /** The binary-derivation epoch ([[ivfSq8DerivedIndexFor]]'s twin):
+    * the float master's quantizer/assignment reused verbatim, payload
+    * sign-packed in place — how a retrained float master regains its
+    * binary serving copy without a Lloyd pass. */
+  private[graft] def ivfBinaryDerivedIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivf_binary_derived_index", dir) { () =>
+      val table = "graft_ivf_binary_derived_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_binary_derived_index_").toString
+      VectorOps.deriveBinaryIndex(s, base, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_lists"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** Pointer-serving epochs for the two r14 families — the pointer
     * names a generation, not a payload layout, so binary lists and
     * residual codes serve through the identical atomic mechanism. */
@@ -1173,6 +1191,18 @@ object SimilarityQueries {
       recallAudit(dupVectors(emb), VectorOps.probeIvfIndexBinary(s,
         ivfBinaryAppendIndexFor(s, dir), querySet(emb), k = recallK,
         nProbe = 2))
+    }),
+
+    // BINARY derivation: the float master's quantizer/assignment
+    // reused verbatim, payload sign-packed in place — must hash-match
+    // the directly-built binary index (same oracle, another plan),
+    // completing the derive symmetry (SQ8/IVF-PQ/binary)
+    "sim_ann_binary_derived" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexBinary(s, ivfBinaryDerivedIndexFor(s, dir),
+          querySet(emb), k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
     }),
 
     // the binary family's monitor→retrain DECISION (VERDICT r14 #2):
@@ -3069,6 +3099,9 @@ object SimilarityQueries {
     "sim_ann_binary_updated" -> ivfBinaryOracleSql,
     "sim_ann_binary_compacted" -> ivfBinaryOracleSql,
     "sim_ann_binary_published" -> ivfBinaryOracleSql,
+    // deriving binary from the float master = the binary build by
+    // definition (same centroids, assignment, sign packing)
+    "sim_ann_binary_derived" -> ivfBinaryOracleSql,
     // binary append maintenance (union corpus, frozen quantizer) and
     // the retrain epoch (union corpus, retrained quantizer + fresh K)
     "sim_ann_binary_appended" -> ivfBinaryAppendOracleSql,

@@ -96,6 +96,23 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // streaming OHLC bars: the candlestick fold as a watermarked
+    // tumbling agg — open/close via min_by/max_by over the (ts, id)
+    // struct (incremental order statistics; a first_value window can't
+    // stream), emitted append-mode once the watermark closes the bar
+    "stream_ohlc" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+        .withColumn("event_ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+      runToMemory(
+        CdcStream.ohlcAgg(st, "event_ts", "30 minutes", "10 minutes"),
+        "append")
+        .select(expr("unix_micros(window_start) div 1000000").as("window_start"),
+          col("event_type"), col("open_cents"), col("high_cents"),
+          col("low_cents"), col("close_cents"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // STREAM-STREAM event-time join (the last core Structured Streaming
     // operator the suite didn't exercise): signups and purchases arrive
     // as two independent streams (separate file sources over the same
@@ -596,6 +613,28 @@ object StreamingQueries {
         |SELECT user_id, session_start_us, n_events, sum_value FROM s, wm
         |WHERE last_us + 1800000000 <= wm_us
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // the OHLC mirror + the same watermark cut (open/close by the
+    // identical (ts_us, event_id) order the min_by/max_by structs use)
+    "stream_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) - epoch_us(ts) % 600000000 AS w_us FROM events),
+        |wm AS (SELECT ((max(ts_us) // 1000) - 1800000) * 1000 AS wm_us FROM e),
+        |w AS (SELECT event_type, w_us, cents,
+        |    first_value(cents) OVER (PARTITION BY event_type, w_us
+        |      ORDER BY ts_us, event_id) AS open_c,
+        |    first_value(cents) OVER (PARTITION BY event_type, w_us
+        |      ORDER BY ts_us DESC, event_id DESC) AS close_c
+        |  FROM e),
+        |agg AS (SELECT w_us // 1000000 AS window_start, event_type,
+        |    max(open_c) AS open_cents, max(cents) AS high_cents,
+        |    min(cents) AS low_cents, max(close_c) AS close_cents,
+        |    count(*) AS n
+        |  FROM w GROUP BY 1, 2)
+        |SELECT window_start, event_type, open_cents, high_cents,
+        |  low_cents, close_cents, n
+        |FROM agg, wm WHERE (window_start + 600) * 1000000 <= wm_us
+        |ORDER BY window_start, event_type""".stripMargin,
     // the 90-day watermark admits everything the fixture can produce,
     // so the drained stream-stream join equals the batch interval join
     "stream_stream_join" ->

@@ -1715,6 +1715,27 @@ object VectorOps {
       .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
   }
 
+  /** [[deriveSq8Index]] for the BINARY family: the float master's
+    * quantizer and assignment copy VERBATIM, each live list row's
+    * payload re-packs to its two sign halves in place — no Lloyd pass,
+    * no re-assignment, one partition-preserving map. Bit-identical to
+    * [[writeIvfIndexBinary]] over the same corpus (same centroids,
+    * same float-cosine assignment, same sign packing), so the derived
+    * generation shares the untouched IVF-binary oracle. */
+  def deriveBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String): Unit = {
+    spark.table(s"${src}_cents").write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    dropTombstoned(spark, src, spark.table(s"${src}_lists"))
+      .select(col("vec_id"),
+        packSignBits(col("embedding"), 0, 32).as("hi"),
+        packSignBits(col("embedding"), 32, 32).as("lo"),
+        col("list_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/lists").saveAsTable(s"${dest}_lists")
+  }
+
   /** Execute the retrain [[ivfRetrainCheck]] decides on — the final
     * edge of the index lifecycle (build → append* → compact → monitor →
     * decide → RETRAIN): a NEW generation is trained over the CURRENT

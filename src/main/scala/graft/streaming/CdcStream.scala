@@ -261,6 +261,29 @@ object CdcStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming OHLC bars (the candlestick fold of `events_ohlc` as a
+    * watermarked tumbling aggregation): open/close via `min_by`/
+    * `max_by` over the (event time, event id) struct — deterministic
+    * order-statistic aggregates that Structured Streaming CAN run
+    * incrementally (a first_value window cannot), extremes as plain
+    * min/max, all integer cents. Append mode: bars emit once the
+    * watermark closes them — bounded state, same contract as
+    * [[slidingAgg]]. */
+  def ohlcAgg(stream: DataFrame, tsCol: String, watermark: String,
+      windowLen: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(
+        expr(s"min_by(cents, struct($tsCol, event_id))").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        expr(s"max_by(cents, struct($tsCol, event_id))").as("close_cents"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n"))
+
   /** Gap-based session windows (streaming form of EventOps.sessionize)
     * via the built-in session_window. */
   def sessionAgg(stream: DataFrame, tsCol: String, watermark: String,

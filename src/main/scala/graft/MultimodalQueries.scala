@@ -94,21 +94,22 @@ object MultimodalQueries {
     // whose image duplicates another's or is tonally degenerate)
     "mm_curation_capstone" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val media = Multimodal.syntheticImages(docs)
-      val feats = Multimodal.decodeImages(media).toDF()
+      // one decode, one plan reference (the mm_trimodal_capstone
+      // lesson, applied back): feature fold + hash from a single
+      // imageio pass, survivor flag as a window-min over the hash
+      val wHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hash_hi"), col("hash_lo"))
+      val img = Multimodal.imageSignals(
+          Multimodal.syntheticImages(docs)).toDF()
         .select(col("media_id").as("doc_id"), col("n_pixels"),
-          col("hist_1"), col("hist_2"))
-      val hashes = Multimodal.aHash(media).toDF()
-      val surv = hashes.groupBy(col("hash_hi"), col("hash_lo"))
-        .agg(min(col("media_id")).as("keep_id"))
-      val phash = hashes.join(surv, Seq("hash_hi", "hash_lo"))
-        .select(col("media_id").as("doc_id"),
-          (col("media_id") === col("keep_id")).as("is_phash_survivor"))
+          col("mid_count"),
+          (col("media_id") === min(col("media_id")).over(wHash))
+            .as("is_phash_survivor"))
       val text = docs.select(col("doc_id"),
         (graft.operators.TextOps.qualityScore(col("text")) >= 0.30).as("text_ok"))
-      text.join(feats, "doc_id").join(phash, "doc_id")
+      text.join(img, "doc_id")
         .select(col("doc_id"), col("text_ok"),
-          (expr("(hist_1 + hist_2) * 1000000 div n_pixels") >= 300000L)
+          (expr("mid_count * 1000000 div n_pixels") >= 300000L)
             .as("image_ok"),
           col("is_phash_survivor"))
         .withColumn("keep",

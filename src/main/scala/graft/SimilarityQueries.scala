@@ -1765,6 +1765,25 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // appended-generation recall for the two compressed families that
+    // still lacked it (r15 — every family's grown generation now
+    // carries the drift-quality audit the retrain comparison needs)
+    "sim_ann_ivfpq_appended_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probeIvfPqIndex(s,
+        ivfPqAppendIndexFor(s, dir), querySet(emb), k = recallK,
+        nProbe = 2))
+    }),
+
+    "sim_ann_ivf_sq8_appended_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probeIvfIndexSq8(s,
+        ivfSq8AppendIndexFor(s, dir), querySet(emb), k = recallK,
+        nProbe = 2))
+    }),
+
     // the composite's recall audit (every approximate path carries
     // one), through the SERVED probe at nProbe=2 — what the two stacked
     // approximations (list cut × code quantization) cost vs exact
@@ -3058,6 +3077,10 @@ object SimilarityQueries {
     "sim_ann_ivfpq_residual_rerank" -> ivfPqResidualRerankOracleSql,
     "sim_ann_ivfpq_residual_rerank_recall" -> ivfPqResidualRerankRecallOracleSql,
     "sim_ann_ivfpq_appended" -> ivfPqAppendOracleSql,
+    "sim_ann_ivfpq_appended_recall" -> ivfPqAppendRecallOracleSql,
+    "sim_ann_ivf_sq8_appended_recall" -> recallOracleSql(
+      preCtes = ivfSq8RecallPre(dupVectorsSql + ",\n", "corpus"),
+      annSelect = ivfSq8RecallAnnSelect, bruteRel = "corpus"),
     "sim_ann_ivfpq_retrained" -> ivfPqRetrainOracleSql,
     "sim_ann_ivfpq_retrained_recall" -> ivfPqRetrainRecallOracleSql,
     "sim_ann_ivfpq_derived" -> ivfPqOracleSql,

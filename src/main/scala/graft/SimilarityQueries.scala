@@ -918,6 +918,26 @@ object SimilarityQueries {
     }
   }
 
+  /** The residual-derivation epoch: the float master's quantizer and
+    * stored assignment reused verbatim, codebooks trained on the
+    * residuals, codes encoded in place — the flat-to-residual
+    * migration path, result-identical to a fresh residual build. */
+  private[graft] def ivfPqResDerivedIndexFor(s: SparkSession, dir: String): String = {
+    val base = ivfIndexFor(s, dir)
+    EpochRegistry.acquire(s, "ivfpq_res_derived_index", dir) { () =>
+      val table = "graft_ivfpq_res_derived_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_res_derived_index_").toString
+      VectorOps.deriveIvfPqResidualIndex(s, base, table, path, m = 8,
+        ksub = 64, pqIters = 2)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_codebooks",
+          s"${table}_codes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
   /** The binary-derivation epoch ([[ivfSq8DerivedIndexFor]]'s twin):
     * the float master's quantizer/assignment reused verbatim, payload
     * sign-packed in place — how a retrained float master regains its
@@ -1931,6 +1951,20 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       VectorOps.probeIvfPqResidualIndex(s, ivfPqResCompactIndexFor(s, dir),
+          querySet(emb), k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // RESIDUAL derivation: master quantizer + stored assignment
+    // verbatim, codebooks trained on residuals, codes encoded in place
+    // — must hash-match the directly-built residual index (same
+    // oracle, another plan); derive symmetry now covers all four
+    // compressed families
+    "sim_ann_ivfpq_residual_derived" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfPqResidualIndex(s, ivfPqResDerivedIndexFor(s, dir),
           querySet(emb), k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
@@ -3070,6 +3104,9 @@ object SimilarityQueries {
     "sim_ann_binary_rerank" -> binaryRerankOracleSql,
     "sim_ann_binary_rerank_recall" -> binaryRerankRecallOracleSql,
     "sim_ann_ivfpq_residual" -> ivfPqResidualOracleSql,
+    // deriving residual from the float master = the residual build by
+    // definition (same centroids, assignment, residuals, codebooks)
+    "sim_ann_ivfpq_residual_derived" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_residual_recall" -> ivfPqResidualRecallOracleSql,
     "sim_ann_ivfpq_residual_deleted" -> ivfPqResidualOracleSql,
     "sim_ann_ivfpq_residual_updated" -> ivfPqResidualOracleSql,

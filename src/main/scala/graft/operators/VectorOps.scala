@@ -1484,6 +1484,46 @@ object VectorOps {
     pqRdd.unpersist()
   }
 
+  /** [[deriveIvfPqIndex]] with RESIDUAL encoding — completes the derive
+    * symmetry (SQ8 / IVF-PQ / binary / residual): the float master's
+    * coarse quantizer AND assignment copy verbatim, residuals compute
+    * against the assigned centroids the master already stored
+    * (`list_id` is in the lists — no re-assignment cross-join), only
+    * the codebooks train (on the residual sample) and the codes encode.
+    * Result-identical to [[writeIvfPqResidualIndex]] over the same
+    * corpus, so the derived generation shares the residual oracle. */
+  def deriveIvfPqResidualIndex(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 2, dim: Int = 64,
+      trainLimit: Long = 16384L): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.table(s"${src}_cents")
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/cents").saveAsTable(s"${dest}_cents")
+    val live = dropTombstoned(spark, src, spark.table(s"${src}_lists"))
+    val rsd0 = live
+      .join(broadcast(cents.select(col("cid").as("list_id"), col("cv"))),
+        Seq("list_id"))
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("embedding"), col("cv"),
+          (x, c) => (x - c).cast("float")).as("embedding"))
+    val rsdRdd = rsd0.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rsd = spark.createDataFrame(rsdRdd, rsd0.schema)
+    val trained = pqTrainCodebooks(rsd, m, ksub, pqIters, dim, trainLimit)
+    val pqRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pcents = spark.createDataFrame(pqRdd, trained.schema)
+    pcents.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/codebooks").saveAsTable(s"${dest}_codebooks")
+    pqEncode(rsd, pcents, m, dim)
+      .join(rsd.select(col("vec_id"), col("list_id")), Seq("vec_id"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", s"$path/codes").saveAsTable(s"${dest}_codes")
+    rsdRdd.unpersist(); pqRdd.unpersist()
+  }
+
   /** Copy an IVF-PQ index to a new generation — the three-table form of
     * [[cloneIvfIndex]]'s clone/compact contract: both quantizers copy
     * verbatim (a clone is never a retrain), codes keep their

@@ -172,6 +172,45 @@ class MultimodalSpec extends AnyFunSuite {
       s"audio hash must separate distinct clips, got ${hashes.values.toSet.size} distinct")
   }
 
+  test("imageSignals/audioSignals equal the separate decode passes") {
+    val docs = (0L until 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val imgs = Multimodal.syntheticImages(docs)
+    val sig = Multimodal.imageSignals(imgs).collect().map(s => s.media_id -> s).toMap
+    val feats = Multimodal.decodeImages(imgs).collect().map(f => f.media_id -> f).toMap
+    val hashes = Multimodal.aHash(imgs).collect().map(h => h.media_id -> h).toMap
+    (0L until 30L).foreach { id =>
+      assert(sig(id).n_pixels == feats(id).n_pixels)
+      assert(sig(id).mid_count == feats(id).hist_1 + feats(id).hist_2)
+      assert(sig(id).hash_hi == hashes(id).hash_hi &&
+        sig(id).hash_lo == hashes(id).hash_lo)
+    }
+    val auds = Multimodal.syntheticAudio(docs)
+    val asig = Multimodal.audioSignals(auds).collect().map(s => s.media_id -> s).toMap
+    val afeats = Multimodal.decodeAudio(auds).collect().map(f => f.media_id -> f).toMap
+    val ahashes = Multimodal.audioHash(auds).collect().map(h => h.media_id -> h).toMap
+    (0L until 30L).foreach { id =>
+      assert(asig(id).zero_crossings == afeats(id).zero_crossings)
+      assert(asig(id).hash_hi == ahashes(id).hash_hi &&
+        asig(id).hash_lo == ahashes(id).hash_lo)
+    }
+  }
+
+  test("capstone plans decode each modality exactly once (plan pin)") {
+    // each modality leg is encode-mapPartitions + signals-mapPartitions;
+    // a groupBy-self-join survivor (or separate feature/hash passes)
+    // re-runs the decode lineage per plan REFERENCE — this pins the
+    // shared-decode rewrite (3 decode passes → 1 per modality)
+    def mapPartitionCount(name: String): Int =
+      SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan.collect {
+          case p if p.getClass.getSimpleName == "MapPartitions" => p
+        }.size
+    assert(mapPartitionCount("mm_curation_capstone") == 2,
+      "image capstone: 1 encode + 1 signals pass")
+    assert(mapPartitionCount("mm_trimodal_capstone") == 4,
+      "tri-modal: (encode + signals) × 2 modalities")
+  }
+
   test("sampleChunks covers the blob with stride and fixed chunk size") {
     val df = Seq((1L, ("x" * 270).getBytes("UTF-8"))).toDF("media_id", "media")
     val chunks = Multimodal.sampleChunks(df, chunkSize = 32, stride = 4)

@@ -140,6 +140,18 @@ object PipelineQueries {
         .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
     }),
 
+    // temperature-flattened language mixing (the mT5 sampling cut,
+    // τ=2): head languages downsample toward the tail via the
+    // deterministic ppm hash cut; per-stratum summary gates both the
+    // rate table and the per-doc selection (min/max id pin membership)
+    "pipeline_temperature_mix" -> ((s, dir) => {
+      PipelineOps.temperatureMix(Tables.documents(s, dir), "doc_id", "lang")
+        .groupBy(col("lang"), col("n_stratum"), col("accept_ppm"))
+        .agg(count(lit(1)).as("n_selected"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     // context packing re-based on SUBWORD counts — the packing a real
     // pretraining pipeline runs (context windows are BPE-token-sized,
     // not word-sized); same deterministic hash-order greedy fill
@@ -276,6 +288,24 @@ object PipelineQueries {
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM cum
         |WHERE cum_tokens - n_tokens < 3000
         |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+    // the τ=2 flattening mirror: sqrt is IEEE-correctly-rounded on
+    // both engines, so the floored ppm rates are bit-equal; the same
+    // md5-ppm cut selects
+    "pipeline_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_stratum
+        |  FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n_stratum) AS n_min FROM c),
+        |r AS (SELECT lang, n_stratum,
+        |    CAST(floor(sqrt(n_min::DOUBLE / n_stratum::DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS accept_ppm
+        |  FROM c, mn),
+        |sel AS (SELECT d.lang AS lang, n_stratum, accept_ppm, doc_id
+        |  FROM documents d JOIN r ON r.lang = d.lang
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |    % 1000000 < accept_ppm)
+        |SELECT lang, n_stratum, accept_ppm, count(*) AS n_selected,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM sel GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin,
     // the BPE-packing mirror: subword counts from the SQL-retrained
     // tokenizer, same hash-order greedy fill as pipeline_pack_sequences
     "pipeline_pack_sequences_bpe" ->

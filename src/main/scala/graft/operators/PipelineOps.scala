@@ -17,6 +17,33 @@ object PipelineOps {
   def hashBucket100(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
+  /** The ppm-resolution form (first 6 hex digits mod 1e6) — fine enough
+    * for fractional acceptance rates like temperature flattening. */
+  def hashBucketPpm(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 1000000
+
+  /** Temperature-flattened language mixing (the mT5/multilingual
+    * sampling cut, τ = 2): each stratum's acceptance rate is
+    * √(n_min/n_stratum) — head languages downsample toward the tail so
+    * the training mix flattens from the raw p to p^(1/τ). τ = 2 keeps
+    * the rate math `sqrt`, which is IEEE-correctly-rounded on BOTH
+    * engines (an arbitrary-τ `pow` would not be exactly mirrorable);
+    * acceptance is the deterministic [[hashBucketPpm]] cut — narrow,
+    * reproducible, cluster-size-independent. The rate table is one
+    * stratum-sized aggregate crossed with a broadcast one-row min. */
+  def temperatureMix(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_stratum"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_stratum")).as("n_min"))))
+      .select(col(stratumCol), col("n_stratum"),
+        floor(sqrt(col("n_min").cast("double") / col("n_stratum").cast("double"))
+          * lit(1000000.0)).cast("long").as("accept_ppm"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hashBucketPpm(col(idCol)) < col("accept_ppm"))
+  }
+
   /** Stratified sampling: per-stratum keep-rates (percent), applied via
     * the deterministic hash bucket. Narrow (no shuffle); exactly
     * reproducible. */

@@ -567,6 +567,26 @@ object RelationalQueries {
         .orderBy(col("p_brand"), col("rk"))
     }),
 
+    // basket-pair mining (the market-basket/recsys primitive): parts
+    // co-purchased in one order, counted across orders, top-20 by
+    // support. The self-join keys on the order — pair explosion is
+    // bounded by basket size² (~7² here, bounded in any retail schema),
+    // the shuffle is the orderkey partitioning the fact already has,
+    // the agg combines map-side, and top-k is TakeOrderedAndProject
+    "join_copurchase_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+      pairs.groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
     // semi + anti join (EXISTS / NOT EXISTS)
     "join_semi_anti" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -1222,6 +1242,14 @@ object RelationalQueries {
         |  coalesce(oc.total_price, 0.0) AS total_price
         |FROM years LEFT JOIN oc ON oc.y = years.y
         |ORDER BY year""".stripMargin,
+    "join_copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_orders
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "join_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS status FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -1569,6 +1569,19 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // METADATA-FILTERED ANN (the production "vector search with
+    // attribute filter"): neighbors restricted to the query's own
+    // label BEFORE the top-k rank (post-filtering would under-fill k —
+    // the classic filtered-ANN mistake); candidate labels join the
+    // DPP-pruned probed subset only
+    "sim_ann_ivf_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeIvfIndexFiltered(s, ivfIndexFor(s, dir),
+          querySet(emb), emb, k = 3, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // index MONITORING: per-list sizes of the persisted IVF index — the
     // imbalance signal that tells an operator when centroid drift
     // warrants retraining (appends concentrate in few lists → probe
@@ -3273,6 +3286,33 @@ object SimilarityQueries {
         |ORDER BY new_id, old_id""".stripMargin
     },
     "sim_ann_ivf" -> ivfOracleSql,
+    // the filtered probe: same coarse CTEs, candidates restricted to
+    // the query's label before ranking
+    "sim_ann_ivf_filtered" ->
+      s"""WITH ${centTrainSql(ivfKSql, 2)},
+        |asg AS (
+        |  SELECT vec_id, embedding, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv, qlabel, cid AS list_id FROM (
+        |    SELECT query_id, qv, qlabel, cid, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+        |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+        |scored AS (
+        |  SELECT query_id, l.vec_id AS neighbor_id,
+        |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
+        |  FROM lists l
+        |  JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+        |  JOIN embeddings el ON el.vec_id = l.vec_id
+        |  WHERE el.label = p.qlabel),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
+        |ORDER BY query_id, rk""".stripMargin,
     // the persisted lists are the k-means assignment partitioned out —
     // same shared CTE chain as sim_cluster_assignments, aggregated
     "sim_ann_ivf_stats" ->

@@ -805,6 +805,37 @@ object VectorOps {
     * as a neighbor; [[compactIvfIndex]] settles them physically (the
     * compacted generation starts tombstone-free). The list partitions
     * are never read or rewritten by the delete itself. */
+  /** METADATA-FILTERED probe of a [[writeIvfIndex]] table — the
+    * production "vector search with attribute filter" (every serving
+    * vector store headlines it): each query returns only neighbors
+    * whose `label` equals the query's own, filtered BEFORE the top-k
+    * rank (post-filtering a top-k would under-fill k — the classic
+    * filtered-ANN mistake). The filter is a candidate-side equi-join
+    * of the probed subset against the label relation — point-lookup
+    * scale, after DPP pruning; plan shape otherwise identical to
+    * [[probeIvfIndex]]. */
+  def probeIvfIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, labelRel: DataFrame, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val t = Generations.resolveServing(spark, table)
+    val cents = broadcast(spark.table(s"${t}_cents"))
+    val probes = probeLists(queries, cents, nProbe)
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel"))), Seq("query_id"))
+    val cand = dropTombstoned(spark, t, spark.table(s"${t}_lists"))
+      .join(labelRel.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val scored = cand.join(broadcast(probes), Seq("list_id"))
+      .filter(col("label") === col("qlabel") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, ids: DataFrame, idCol: String = "vec_id"): Unit =
     // sequence-versioned like SearchOps.deleteFromSearchIndex: a direct

@@ -523,7 +523,14 @@ object TextQueries {
       |   OR (id_a >= 100000 AND id_a < 200000 AND id_b >= 200000)
       |ORDER BY new_id, old_id""".stripMargin
 
-  private def searchBm25SqlOver(having: String, k: Int = 10): String =
+  private def searchBm25SqlOver(having: String, k: Int = 10,
+      docFilter: String = ""): String = {
+    val fhits =
+      if (docFilter.isEmpty) ""
+      else s""",
+        |fhits AS (SELECT hits.* FROM hits JOIN documents d
+        |  ON d.doc_id = hits.doc_id AND ($docFilter))""".stripMargin
+    val rel = if (docFilter.isEmpty) "hits" else "fhits"
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
       |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
@@ -540,10 +547,11 @@ object TextQueries {
       |  ) AS BIGINT) AS addend
       |  FROM q JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
       |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
-      |  FROM sc GROUP BY doc_id $having)
+      |  FROM sc GROUP BY doc_id $having)$fhits
       |SELECT doc_id, score,
       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-      |FROM hits ORDER BY rk LIMIT $k""".stripMargin
+      |FROM $rel ORDER BY rk LIMIT $k""".stripMargin
+  }
 
   // private[graft]: StreamingQueries' continuous-ingestion probes are
   // gated by the SAME all-docs mirrors (stream == batch by construction
@@ -1168,6 +1176,19 @@ object TextQueries {
     "text_search_bm25" -> ((s, dir) => {
       SearchOps.searchBm25(s, searchIndexFor(s, dir),
           terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+
+    // attribute-FILTERED BM25 (the lexical twin of sim_ann_ivf_filtered
+    // — filtered serving now covers both retrieval families): only
+    // lang='en' docs may rank, filtered BEFORE the top-k cut; corpus
+    // statistics stay global (a filter narrows candidates, it does not
+    // re-weight idf/dl)
+    "text_search_bm25_filtered" -> ((s, dir) => {
+      SearchOps.searchBm25Filtered(s, searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10,
+          allowed = Tables.documents(s, dir)
+            .filter(col("lang") === "en").select(col("doc_id")))
         .orderBy(col("rk"))
     }),
     // search-index MONITORING — posting-list skew in one row: term
@@ -1838,6 +1859,8 @@ object TextQueries {
       // (22/10/3/9 = k1 1.2, b 0.75 cleared of decimals), addends
       // floored to BIGINT before the per-doc sum
       "text_search_bm25" -> searchBm25Sql,
+      "text_search_bm25_filtered" ->
+        searchBm25SqlOver("HAVING count(*) = 3", docFilter = "d.lang = 'en'"),
       // compaction verdict mirror: the delete epoch's serving norms =
       // all docs + the %11 poison batch; tombstoned = that batch.
       // Floored integer fraction and thresholds identical to

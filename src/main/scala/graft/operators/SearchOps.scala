@@ -701,9 +701,23 @@ object SearchOps {
         col("n_lists"), col("rk"))
   }
 
+  /** Attribute-FILTERED conjunctive BM25 — the lexical twin of the
+    * filtered ANN probe: candidates restrict to `allowed` (a doc-id
+    * relation, e.g. "lang = 'en'") BEFORE the top-k cut, while corpus
+    * statistics stay GLOBAL (a filter narrows candidates; it does not
+    * re-weight idf/dl — the standard filtered-retrieval semantics).
+    * The semi-join touches only the term-candidate set the postings
+    * pruning already produced. */
+  def searchBm25Filtered(spark: org.apache.spark.sql.SparkSession,
+      table: String, terms: Seq[String], k: Int,
+      allowed: DataFrame): DataFrame =
+    bm25Ranked(spark, table, terms, k, conjunctive = true,
+      allowed = Some(allowed))
+
   private def bm25Ranked(spark: org.apache.spark.sql.SparkSession,
       table: String, terms: Seq[String], k: Int,
-      conjunctive: Boolean): DataFrame = {
+      conjunctive: Boolean,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "need at least one search term")
     require(terms.distinct.size == terms.size, s"duplicate search terms: $terms")
     val ps = probeSessionFor(spark)
@@ -734,9 +748,16 @@ object SearchOps {
       .select(col("doc_id"), floor(idf6 * tfPart).as("addend"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("addend")).as("score"))
-    val hits =
+    val matched =
       if (conjunctive) scored.filter(col("n_terms") === terms.length)
       else scored
+    // attribute filter BEFORE the cut (post-filtering a top-k would
+    // under-fill k); candidate-sized semi-join, global stats untouched
+    val hits = allowed match {
+      case Some(a) => matched.join(a.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      case None => matched
+    }
     hits.orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rk", row_number()
         .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))

@@ -122,6 +122,32 @@ object CdcQueries {
       CdcOps.insertEvents(merged, "events", "user_id")
         .orderBy(col("data"))
     }),
+    // Incremental materialized-view maintenance: fold one CDC batch
+    // (deletes %13, price-doubling updates %7, clone inserts %17) into
+    // a per-customer (count, cents) view WITHOUT touching the fact
+    // table; the oracle recomputes the view from the post-batch state
+    // from scratch, so the gate is incremental == recompute.
+    "cdc_matview_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def cents = round(col("o_totalprice") * 100).cast("long")
+      val base = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents).as("cents"))
+      val deletes = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_custkey"), lit(-1L).as("n_orders"),
+          (-cents).as("cents"))
+      val updates = o
+        .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey"), lit(0L).as("n_orders"),
+          (round(col("o_totalprice") * 2 * 100).cast("long") - cents)
+            .as("cents"))
+      val inserts = o
+        .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 17 === 0)
+        .select(col("o_custkey"), lit(1L).as("n_orders"), cents.as("cents"))
+      CdcOps.applyAggDeltas(base,
+          deletes.union(updates).union(inserts),
+          Seq("o_custkey"), "n_orders")
+        .orderBy(col("o_custkey"))
+    }),
     // O10 topic routing truth table (main_test.go:157-164)
     "cdc_topic_routing" -> ((s, dir) => {
       val n = Tables.nation(s, dir)
@@ -230,6 +256,18 @@ object CdcQueries {
         |      THEN 'x' || CAST(event_id AS VARCHAR) END)) AS VARCHAR) AS data,
         |  'events' AS table_name
         |FROM events ORDER BY data""".stripMargin,
+    "cdc_matview_apply" ->
+      """WITH finals AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END * 100 AS p100
+        |  FROM orders WHERE NOT (o_orderkey % 13 = 0)
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice * 100
+        |  FROM orders WHERE o_orderkey % 17 = 0 AND NOT (o_orderkey % 13 = 0))
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(round(p100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM finals GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "cdc_topic_routing" ->
       """SELECT n_name AS table_name,
         |  'pg2kafka.' ||

@@ -817,7 +817,7 @@ object RelationalQueries {
       val eps = 0.001
       val skBytes = li.agg(
           expr(s"count_min_sketch(l_suppkey, ${eps}d, 0.99d, 42)").as("sk"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skBytes))
       val total = cms.totalCount()

@@ -247,4 +247,45 @@ object CdcOps {
     events
       .withColumn("uuid", expr("uuid()"))
       .withColumn("created_at", current_timestamp())
+
+  /** Incremental materialized-view maintenance from a CDC delta log —
+    * the natural downstream consumer of the queue the reference drains
+    * (`sql/triggers.sql` INSERT/UPDATE/DELETE statements): instead of
+    * recomputing a grouped aggregate over the full fact table after
+    * every change batch, fold the batch into per-key deltas and merge
+    * them with the existing view.
+    *
+    * `deltas` carries one row per change event with its signed
+    * contribution to each additive measure: INSERT → (+1, +measure),
+    * DELETE → (−1, −measure), UPDATE → (0, new−old). No-op updates
+    * (O5 suppression) contribute all-zero rows and may be pre-filtered.
+    *
+    * The merge is a full-outer join on the group key: groups born in
+    * the batch appear via the delta side, groups whose count reaches 0
+    * are dropped. At 100 TB the fact table is never touched — the cost
+    * is one partial-aggregated shuffle of the (small) change batch plus
+    * a key-partitioned merge against the view, both linear in
+    * |batch| + |view|, not |fact|.
+    *
+    * `base` and `deltas` must share `keyCols`; every other column of
+    * `base` must exist in `deltas` as the signed per-event delta of the
+    * same name. */
+  def applyAggDeltas(base: DataFrame, deltas: DataFrame,
+      keyCols: Seq[String], countCol: String): DataFrame = {
+    val measureCols = base.columns.filterNot(keyCols.contains)
+    require(measureCols.contains(countCol),
+      s"count column $countCol must be one of the view's measures")
+    val folded = deltas.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(measureCols.head)).as(measureCols.head),
+        measureCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val merged = base.as("b").join(folded.as("d"),
+      keyCols.map(k => col(s"b.$k") <=> col(s"d.$k")).reduce(_ && _),
+      "full_outer")
+    val keyExprs = keyCols.map(k =>
+      coalesce(col(s"b.$k"), col(s"d.$k")).as(k))
+    val measureExprs = measureCols.map(c =>
+      (coalesce(col(s"b.$c"), lit(0L)) + coalesce(col(s"d.$c"), lit(0L))).as(c))
+    merged.select(keyExprs ++ measureExprs: _*)
+      .filter(col(countCol) > 0)
+  }
 }

@@ -167,6 +167,21 @@ class CdcOpsSpec extends AnyFunSuite {
     assert(evs.forall(_.uuid.length == 36))
   }
 
+  test("applyAggDeltas: group birth, group death, untouched group, no-op zero delta") {
+    import spark.implicits._
+    val base = Seq((1L, 2L, 100L), (2L, 1L, 50L), (3L, 3L, 30L))
+      .toDF("k", "n_rows", "cents")
+    val deltas = Seq(
+      (2L, -1L, -50L),  // DELETE of group 2's last row → group dies
+      (4L, 1L, 7L),     // INSERT into unseen group 4 → group born
+      (1L, 0L, 0L),     // no-op UPDATE → zero delta, must not disturb
+      (1L, 0L, 25L))    // real UPDATE inside group 1
+      .toDF("k", "n_rows", "cents")
+    val out = CdcOps.applyAggDeltas(base, deltas, Seq("k"), "n_rows")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 125L), (3L, 3L, 30L), (4L, 1L, 7L)))
+  }
+
   test("wire envelope has exactly the 5 public fields (event_queue.go:41-50 json tags)") {
     val df = usersDf(Seq(Row("u1", "n", null, null, null)))
     val events = CdcOps.finalizeEnvelope(CdcOps.insertEvents(df, "users", "uuid"))

@@ -29,11 +29,13 @@ object SparkEntry {
     CdcQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
       EventQueries.queries ++ MultimodalQueries.queries ++
-      PipelineQueries.queries ++ StreamingQueries.queries
+      PipelineQueries.queries ++ StreamingQueries.queries ++
+      GraphQueries.queries
 
   def oracleSql: Map[String, String] =
     CdcQueries.oracle ++ RelationalQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++
       EventQueries.oracle ++ MultimodalQueries.oracle ++
-      PipelineQueries.oracle ++ StreamingQueries.oracle
+      PipelineQueries.oracle ++ StreamingQueries.oracle ++
+      GraphQueries.oracle
 }

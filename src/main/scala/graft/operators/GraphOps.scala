@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{EpochRegistry, Tables}
+
+/** Graph analytics over the order co-purchase graph.
+  *
+  * Nodes are parts; an undirected edge (src < dst) connects two parts
+  * that appear in the same order, weighted by the number of such orders.
+  * Edge construction is an order-keyed self-join — the fan-out is
+  * bounded by the per-order basket size (≤ 7 lineitems in TPC-H-shaped
+  * data → ≤ 21 pairs per order), so the join never goes all-pairs and
+  * scales linearly in |lineitem| at 100 TB, exactly like the
+  * market-basket miner ([[graft.RelationalQueries]] copurchase).
+  *
+  * Iterative algorithms (PageRank, triangles) run on the *support ≥ 2
+  * backbone*: pairs co-purchased at least twice. Random co-incidence
+  * almost never repeats, so the backbone is orders of magnitude smaller
+  * than the raw edge set (3.6k vs 116k edges at sf0.01) and — crucially
+  * for Spark — it is epoch-materialized to parquet once per (session,
+  * dataset), so the three PageRank iterations re-read a tiny columnar
+  * file instead of re-running the heavy self-join per lineage reference
+  * (the r15 re-evaluation trap). All rank arithmetic is integer ppb
+  * (parts-per-billion) with truncating `div`, making Spark and DuckDB
+  * bit-equal with no float drift.
+  */
+object GraphOps {
+
+  /** Distinct undirected co-purchase edges (src < dst) from lineitem.
+    *
+    * Single-scan basket expansion instead of the order-keyed self-join:
+    * one shuffle groups lineitem into per-order part arrays (≤ 7
+    * elements), then a narrow nested-transform emits the sorted pairs —
+    * no second scan, no join shuffle. The lambda only captures the
+    * `parts` attribute (cheap), not a recomputed expression (the r14
+    * HOF-capture trap). */
+  def copurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val baskets = lineitem.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey")))).as("parts"))
+    baskets.select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> struct(x AS src, y AS dst))))""".stripMargin)).as("p"))
+      .select(col("p.src"), col("p.dst")).distinct()
+  }
+
+  /** Degree distribution of the full co-purchase graph: for each degree
+    * value, how many nodes have it. One shuffle per aggregation level;
+    * the symmetric union doubles edge rows, never nodes. */
+  def degreeDistribution(lineitem: DataFrame): DataFrame = {
+    val pairs = copurchaseEdges(lineitem)
+    val sym = pairs.select(col("src").as("node"))
+      .unionAll(pairs.select(col("dst").as("node")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** The support ≥ 2 backbone, materialized once per (session, dataset)
+    * epoch: (src, dst, w) with src < dst and w ≥ 2. */
+  def backboneDir(spark: SparkSession, sfDir: String): String =
+    EpochRegistry.acquire(spark, "graph_copurchase_backbone", sfDir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_graph_backbone_").toString
+      val li = Tables.lineitem(spark, sfDir)
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("src"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+      a.join(b, Seq("ok")).filter(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** Fresh scan of the backbone (separate reads → separate attribute
+    * ids, so self-joins between derived frames never collapse into
+    * trivially-true predicates). */
+  private def backbone(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(backboneDir(spark, sfDir))
+
+  private def symmetric(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Integer-quantized PageRank over the backbone, `iters` synchronous
+    * iterations, damping 0.85, ranks in ppb.
+    *
+    *   r0(v)   = SCALE div n
+    *   r_k+1(v) = base + Σ_{u→v} (850·r_k(u)) div (1000·outdeg(u))
+    *   base    = (150·(SCALE div n)) div 1000
+    *
+    * Each iteration is one key-partitioned shuffle of the edge list
+    * joined against the (node-keyed) rank table — the standard Pregel
+    * layout: at 1000 executors the edges stay partitioned by src for
+    * the join and re-shuffle by dst for the sum; the backbone is tiny
+    * here, but nothing in the plan depends on that (no collect, no
+    * broadcast of the rank table). Dangling nodes cannot occur: the
+    * symmetric edge set gives every node an out-edge. */
+  def pageRank(spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
+    val Scale = 1000000000L
+    // plan-time scalar: node count of the materialized backbone
+    // (Generations-style metadata read — one tiny job over the parquet)
+    val n = symmetric(backbone(spark, sfDir))
+      .select(col("src").as("node")).distinct().count()
+    val r0 = Scale / n
+    val base = (150L * r0) / 1000L
+    val deg = symmetric(backbone(spark, sfDir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    var ranks = symmetric(backbone(spark, sfDir))
+      .select(col("src").as("node")).distinct()
+      .withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val contrib = symmetric(backbone(spark, sfDir)).as("e")
+        .join(ranks.as("rk"), col("e.src") === col("rk.node"))
+        .join(deg.as("dg"), col("e.src") === col("dg.node"))
+        .select(col("e.dst").as("node"),
+          expr("(850 * r) div (1000 * outdeg)").as("c"))
+      ranks = contrib.groupBy("node")
+        .agg((lit(base) + sum(col("c"))).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_ppb"))
+  }
+
+  /** Triangle enumeration on the backbone: the canonical a<b<c wedge
+    * join — e1(a,b) ⋈ e2(b,c) closed by e3(a,c). The ordering
+    * constraint (src < dst everywhere) enumerates each triangle exactly
+    * once and keeps the wedge fan-out at Σ deg²/2 of the *backbone*,
+    * not the full graph. */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val e1 = backbone(spark, sfDir).select(col("src").as("a"), col("dst").as("b"))
+    val e2 = backbone(spark, sfDir).select(col("src").as("b"), col("dst").as("c"))
+    val e3 = backbone(spark, sfDir).select(col("src").as("a"), col("dst").as("c"))
+    e1.join(e2, Seq("b")).join(e3, Seq("a", "c")).select("a", "b", "c")
+  }
+}

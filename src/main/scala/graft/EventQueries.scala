@@ -156,6 +156,14 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // session-level PMI of event-type co-occurrence (integer micro-nat
+    // quantization, the BM25-idf trick)
+    "events_pmi_cooccur" -> ((s, dir) => {
+      EventOps.pmiCooccurrence(Tables.events(s, dir),
+          gapUs = 30L * 60 * 1000000)
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // latest event per user — CDC log-compaction analog
     "events_latest" -> ((s, dir) => {
       EventOps.latestPerKey(Tables.events(s, dir), "user_id")
@@ -411,6 +419,35 @@ object EventQueries {
         |  round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "events_pmi_cooccur" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |flagged AS (SELECT *,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (SELECT *, sum(new_session) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM sess),
+        |nn AS (SELECT count(*) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM st)),
+        |cx AS (SELECT event_type, count(*) AS c FROM st GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c_ab
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.c_ab,
+        |  CAST(floor(1000000.0 *
+        |    ln((CAST(p.c_ab AS DOUBLE) * nn.n_sessions) /
+        |       (CAST(ca.c AS DOUBLE) * cb.c))) AS BIGINT) AS pmi6
+        |FROM pairs p
+        |JOIN cx ca ON ca.event_type = p.type_a
+        |JOIN cx cb ON cb.event_type = p.type_b
+        |CROSS JOIN nn
+        |ORDER BY type_a, type_b""".stripMargin,
     "events_latest" ->
       """SELECT user_id, event_id, ts_us, event_type FROM (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,

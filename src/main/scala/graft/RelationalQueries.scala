@@ -587,6 +587,22 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // entity resolution: dirty part names (3rd char deleted for every
+    // %10 part) re-linked to the catalog by last-token blocking +
+    // length-band prune + levenshtein verify, best match per dirty
+    // record — record linkage without all-pairs
+    "join_entity_blocking" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val clean = p.select(col("p_partkey").as("clean_id"),
+        col("p_name").as("name"))
+      val dirty = p.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("name"))
+      graft.operators.ScaleOps.blockingResolve(dirty, clean, maxEdit = 2)
+        .orderBy(col("dirty_id"))
+    }),
+
     // semi + anti join (EXISTS / NOT EXISTS)
     "join_semi_anti" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -876,6 +892,41 @@ object RelationalQueries {
           expr("lo + bin * (hi - lo + 1) div 10").as("bin_lo_cents"),
           coalesce(col("n"), lit(0L)).as("n"))
         .orderBy(col("bin"))
+    }),
+
+    // ANALYZE-style table profile: count, nulls, exact NDV, min/max for
+    // five lineitem columns. One column-pruned pass PER column (a
+    // 1-column parquet scan each) with a value-grouped pre-aggregate —
+    // far cheaper than the multi-distinct Expand, which quintuples the
+    // row stream through one wide hash agg (7.3 s → 0.6 s at sf0.1);
+    // at 100 TB the per-column scans read the same total bytes the
+    // one-pass form would, columnar I/O being per-column anyway, and
+    // each profiles independently in parallel. All stats land as
+    // BIGINT: prices as cents, the ship timestamp as epoch seconds,
+    // flags via ascii codes — so the cross-engine hash compare is exact.
+    "stats_table_profile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def prof(name: String, v: org.apache.spark.sql.Column) =
+        li.select(v.as("v")).groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"),
+            coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_nulls"),
+            count(col("v")).as("ndv"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .select(lit(name).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("ndv"), col("min_v"), col("max_v"))
+      // double cast: l_shipdate may arrive as TIMESTAMP_NTZ (default
+      // parquet inference) or LTZ (after Tables.events flips
+      // inferTimestampNTZ); NTZ→long is rejected, but NTZ→LTZ→long is
+      // fine and identical under the UTC session tz
+      prof("l_suppkey", col("l_suppkey"))
+        .unionAll(prof("l_quantity", col("l_quantity").cast("long")))
+        .unionAll(prof("l_extendedprice_cents",
+          round(col("l_extendedprice") * 100).cast("long")))
+        .unionAll(prof("l_shipdate_s",
+          col("l_shipdate").cast("timestamp").cast("long")))
+        .unionAll(prof("l_returnflag_ascii",
+          ascii(col("l_returnflag")).cast("long")))
+        .orderBy(col("column_name"))
     }),
 
     // bloom filter — the FOURTH sketch family (membership, after
@@ -1250,6 +1301,25 @@ object RelationalQueries {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "join_entity_blocking" ->
+      """WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_id,
+        |    substr(p_name, 1, 2) || substr(p_name, 4) AS name
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |cand AS (
+        |  SELECT d.dirty_id, c.clean_id, levenshtein(d.name, c.name) AS lev
+        |  FROM dirty d JOIN clean c
+        |    ON list_extract(string_split(d.name, ' '), -1) =
+        |       list_extract(string_split(c.name, ' '), -1)
+        |   AND substr(d.name, 1, 2) = substr(c.name, 1, 2)
+        |   AND abs(length(d.name) - length(c.name)) <= 2
+        |  WHERE levenshtein(d.name, c.name) <= 2)
+        |SELECT dirty_id, clean_id, lev FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY dirty_id ORDER BY lev, clean_id) AS rk
+        |  FROM cand)
+        |WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
     "join_semi_anti" ->
       """SELECT c_custkey, 'has_orders' AS status FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1366,6 +1436,33 @@ object RelationalQueries {
         |FROM r""".stripMargin,
     // the same floor-integer bin math over cents, empty bins from a
     // generated spine
+    "stats_table_profile" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  count(DISTINCT l_suppkey) AS sk_ndv, min(l_suppkey) AS sk_min,
+        |  max(l_suppkey) AS sk_max, count(l_suppkey) AS sk_nn,
+        |  count(DISTINCT CAST(l_quantity AS BIGINT)) AS q_ndv,
+        |  min(CAST(l_quantity AS BIGINT)) AS q_min,
+        |  max(CAST(l_quantity AS BIGINT)) AS q_max, count(l_quantity) AS q_nn,
+        |  count(DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT)) AS p_ndv,
+        |  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS p_min,
+        |  max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS p_max,
+        |  count(l_extendedprice) AS p_nn,
+        |  count(DISTINCT epoch_us(l_shipdate) // 1000000) AS d_ndv,
+        |  min(epoch_us(l_shipdate) // 1000000) AS d_min,
+        |  max(epoch_us(l_shipdate) // 1000000) AS d_max,
+        |  count(l_shipdate) AS d_nn,
+        |  count(DISTINCT l_returnflag) AS f_ndv,
+        |  CAST(ascii(min(l_returnflag)) AS BIGINT) AS f_min,
+        |  CAST(ascii(max(l_returnflag)) AS BIGINT) AS f_max,
+        |  count(l_returnflag) AS f_nn
+        |  FROM lineitem)
+        |SELECT 'l_suppkey' AS column_name, n AS n_rows, n - sk_nn AS n_nulls,
+        |  sk_ndv AS ndv, sk_min AS min_v, sk_max AS max_v FROM s
+        |UNION ALL SELECT 'l_quantity', n, n - q_nn, q_ndv, q_min, q_max FROM s
+        |UNION ALL SELECT 'l_extendedprice_cents', n, n - p_nn, p_ndv, p_min, p_max FROM s
+        |UNION ALL SELECT 'l_shipdate_s', n, n - d_nn, d_ndv, d_min, d_max FROM s
+        |UNION ALL SELECT 'l_returnflag_ascii', n, n - f_nn, f_ndv, f_min, f_max FROM s
+        |ORDER BY column_name""".stripMargin,
     "agg_histogram" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         |  FROM lineitem),

@@ -145,18 +145,61 @@ object EventOps {
     * lag + cumulative-sum-of-flags window composition — one shuffle on
     * user_id, which is exactly the partitioning a 100 TB event log would
     * already have. */
-  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+  /** Per-event session labels: the gap-based session assignment that
+    * [[sessionize]] aggregates and [[pmiCooccurrence]] mines. One
+    * user-partitioned window pass, no shuffle beyond the user key. */
+  def sessionAssignments(events: DataFrame, gapUs: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val flagged = events.withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+    events.withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_session")
+  }
+
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val flagged = sessionAssignments(events, gapUs)
     flagged.groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("session_start_us"),
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
         round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Pointwise mutual information between event types that co-occur in
+    * a session: PMI(a,b) = ln(P(a,b)/(P(a)P(b))) over the session unit,
+    * quantized to `floor(1e6·ln(...))` (the BM25-idf integer trick —
+    * ln is correctly rounded on both engines, the floored micro-units
+    * hash-compare exactly).
+    *
+    * Per-session pair expansion is bounded by (distinct types per
+    * session)² — a handful — so the self-join keyed on the session
+    * never goes all-pairs; marginals broadcast (type-vocabulary-sized),
+    * the session count joins as a broadcast singleton. Linear in
+    * |events| at 100 TB. */
+  def pmiCooccurrence(events: DataFrame, gapUs: Long): DataFrame = {
+    val st = sessionAssignments(events, gapUs)
+      .select(col("user_id"), col("session_seq"), col("event_type")).distinct()
+    val nSessions = st.select(col("user_id"), col("session_seq")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val marginals = st.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val pairs = st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_seq") === col("b.session_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(marginals.select(col("event_type").as("type_a"),
+        col("c").as("c_a"))), Seq("type_a"))
+      .join(broadcast(marginals.select(col("event_type").as("type_b"),
+        col("c").as("c_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("type_a"), col("type_b"), col("c_ab"),
+        floor(lit(1000000.0) *
+          log((col("c_ab").cast("double") * col("n_sessions")) /
+            (col("c_a").cast("double") * col("c_b")))).cast("long").as("pmi6"))
   }
 
   /** Latest event per key — the batch form of CDC log compaction. */

@@ -175,4 +175,17 @@ class FunnelRetentionSpec extends AnyFunSuite {
       (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
+
+  test("pmiCooccurrence: hand-computed marginals, pairs, and zero-PMI quantization") {
+    // 3 sessions: {x,y}, {x,y}, {x,z} — P(x)=1 so PMI(x,·)=ln(1)=0
+    val events = Seq(
+        (1L, 1L, "x", 1000L), (2L, 1L, "y", 2000L),
+        (3L, 2L, "x", 1000L), (4L, 2L, "y", 2000L),
+        (5L, 3L, "x", 1000L), (6L, 3L, "z", 2000L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = EventOps.pmiCooccurrence(events, gapUs = 1000000L)
+      .orderBy("type_a", "type_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("x", "y", 2L, 0L), ("x", "z", 1L, 0L)))
+  }
 }

@@ -68,4 +68,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "registry side must be broadcast")
   }
+
+  test("blockingResolve links within blocks only, best match per dirty record") {
+    val clean = Seq((1L, "aa bb zebra"), (2L, "aa bc zebra"), (3L, "aa bb lion"))
+      .toDF("clean_id", "name")
+    val dirty = Seq(
+        (10L, "aa b zebra"),   // lev 1 to clean 1, lev 2 to clean 2 -> picks 1
+        (20L, "aa bb liom"),   // last-token block differs ("liom" != "lion"): no match
+        (30L, "zz bb zebra"))  // same last token, different prefix block: no match
+      .toDF("dirty_id", "name")
+    val out = ScaleOps.blockingResolve(dirty, clean, maxEdit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 1L, 1L)),
+      "only the in-block candidate resolves; blocking excludes the rest")
+  }
 }

@@ -127,27 +127,11 @@ object CdcQueries {
     // a per-customer (count, cents) view WITHOUT touching the fact
     // table; the oracle recomputes the view from the post-batch state
     // from scratch, so the gate is incremental == recompute.
-    "cdc_matview_apply" -> ((s, dir) => {
-      val o = Tables.orders(s, dir)
-      def cents = round(col("o_totalprice") * 100).cast("long")
-      val base = o.groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"), sum(cents).as("cents"))
-      val deletes = o.filter(col("o_orderkey") % 13 === 0)
-        .select(col("o_custkey"), lit(-1L).as("n_orders"),
-          (-cents).as("cents"))
-      val updates = o
-        .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 7 === 0)
-        .select(col("o_custkey"), lit(0L).as("n_orders"),
-          (round(col("o_totalprice") * 2 * 100).cast("long") - cents)
-            .as("cents"))
-      val inserts = o
-        .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 17 === 0)
-        .select(col("o_custkey"), lit(1L).as("n_orders"), cents.as("cents"))
-      CdcOps.applyAggDeltas(base,
-          deletes.union(updates).union(inserts),
+    "cdc_matview_apply" -> ((s, dir) =>
+      CdcOps.applyAggDeltas(matviewBase(s, dir),
+          matviewDeltaWaves(s, dir).reduce(_ union _),
           Seq("o_custkey"), "n_orders")
-        .orderBy(col("o_custkey"))
-    }),
+        .orderBy(col("o_custkey"))),
     // O10 topic routing truth table (main_test.go:157-164)
     "cdc_topic_routing" -> ((s, dir) => {
       val n = Tables.nation(s, dir)
@@ -178,6 +162,37 @@ object CdcQueries {
         .write.mode("append").parquet(path)
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
+
+  /** The per-customer (count, cents) view over orders — generation 0
+    * of the matview family, shared by the batch apply and the
+    * streaming maintenance loop. */
+  private[graft] def matviewBase(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(matviewCents).as("cents"))
+  }
+
+  private def matviewCents: org.apache.spark.sql.Column =
+    round(col("o_totalprice") * 100).cast("long")
+
+  /** One CDC batch as three signed delta waves (deletes %13,
+    * price-doubling updates %7, clone inserts %17) — unioned by the
+    * batch apply, drained file-per-micro-batch by the streaming loop. */
+  private[graft] def matviewDeltaWaves(
+      s: SparkSession, dir: String): Seq[DataFrame] = {
+    val o = Tables.orders(s, dir)
+    Seq(
+      o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_custkey"), lit(-1L).as("n_orders"),
+          (-matviewCents).as("cents")),
+      o.filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey"), lit(0L).as("n_orders"),
+          (round(col("o_totalprice") * 2 * 100).cast("long") - matviewCents)
+            .as("cents")),
+      o.filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 17 === 0)
+        .select(col("o_custkey"), lit(1L).as("n_orders"),
+          matviewCents.as("cents")))
+  }
 
   def oracle: Map[String, String] = Map(
     "cdc_snapshot" ->

@@ -25,6 +25,60 @@ object SimilarityQueries {
       |  UNION ALL
       |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 4 = 0)""".stripMargin
 
+  /** DuckDB mirror of [[VectorOps.mmrTopK]]: the greedy MMR recursion
+    * unrolled — one MATERIALIZED CTE per step (each step is referenced
+    * by every later step's anti-filter AND its max-sim join, the
+    * exponential-inlining trap). Selection compares round(·,6)
+    * quantities with neighbor_id tie-breaks, exactly like the Spark
+    * side. */
+  private def mmrOracleSql(shortlist: Int, k: Int): String = {
+    val head =
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS MATERIALIZED (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    round(${cosSql("qv", "c.embedding")}, 6) AS rel
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+        |sl AS MATERIALIZED (SELECT query_id, neighbor_id, rel FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rk
+        |  FROM scored) WHERE rk <= $shortlist),
+        |slv AS MATERIALIZED (
+        |  SELECT sl.query_id, sl.neighbor_id, e.embedding
+        |  FROM sl JOIN embeddings e ON e.vec_id = sl.neighbor_id),
+        |pair AS MATERIALIZED (
+        |  SELECT x.query_id, x.neighbor_id AS a_id, y.neighbor_id AS b_id,
+        |    round(${cosSql("x.embedding", "y.embedding")}, 6) AS sim
+        |  FROM slv x JOIN slv y
+        |    ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id),
+        |s1 AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, rel, CAST(1 AS BIGINT) AS sel_rk FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rk
+        |    FROM sl) WHERE rk = 1)""".stripMargin
+    val steps = (2 to k).map { i =>
+      val sel = (1 until i).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+      s"""s$i AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id, rel, CAST($i AS BIGINT) AS sel_rk FROM (
+        |    SELECT r.query_id, r.neighbor_id, r.rel,
+        |      row_number() OVER (PARTITION BY r.query_id
+        |        ORDER BY round(0.5 * r.rel - 0.5 * m.max_sim, 6) DESC,
+        |                 r.neighbor_id) AS rk
+        |    FROM sl r
+        |    JOIN (SELECT p.query_id, p.a_id, max(p.sim) AS max_sim
+        |          FROM pair p JOIN ($sel) s
+        |            ON p.query_id = s.query_id AND p.b_id = s.neighbor_id
+        |          GROUP BY 1, 2) m
+        |      ON m.query_id = r.query_id AND m.a_id = r.neighbor_id
+        |    WHERE NOT EXISTS (SELECT 1 FROM ($sel) s2
+        |      WHERE s2.query_id = r.query_id AND s2.neighbor_id = r.neighbor_id)
+        |  ) WHERE rk = 1)""".stripMargin
+    }
+    val all = (1 to k).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, rel, sel_rk FROM ($all)" +
+      "\nORDER BY query_id, sel_rk"
+  }
+
   /** DuckDB cosine mirror of VectorOps.cosine (double accumulation). */
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a::DOUBLE[], $b::DOUBLE[]) / " +
@@ -1074,6 +1128,17 @@ object SimilarityQueries {
       VectorOps.bruteForceTopK(querySet(emb), emb, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // MMR diversified serving: greedy λ=0.5 re-rank of the exact
+    // top-20 shortlist — each pick trades relevance against max
+    // similarity to the already-picked set; the oracle unrolls the
+    // greedy recursion as one MATERIALIZED CTE per step
+    "sim_ann_mmr" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.mmrTopK(querySet(emb), emb, shortlist = 20, k = 5)
+        .orderBy(col("query_id"), col("sel_rk"))
     }),
 
     // BINARY quantization (sign masks, 64× compression — the coarsest
@@ -3092,6 +3157,7 @@ object SimilarityQueries {
         |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_mmr" -> mmrOracleSql(shortlist = 20, k = 5),
     "sim_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
         |    ${bucketSql("embedding")} AS qbucket FROM embeddings WHERE vec_id < 10),

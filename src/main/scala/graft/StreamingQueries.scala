@@ -478,6 +478,17 @@ object StreamingQueries {
     // the %100==4 docs — after the settle the generation equals the
     // band index over the true originals EXACTLY, so the probe shares
     // dedup_incremental's full-pipeline oracle.
+    // CDC → incremental MATVIEW maintenance (the aggregate consumer of
+    // the delta stream): the settled view after draining the 3 delta
+    // micro-batches must equal the from-scratch recompute over the
+    // post-batch state — cdc_matview_apply's full DuckDB oracle, with
+    // the fact table never re-read at apply time
+    "stream_matview_cdc" -> ((s, dir) => {
+      val base = matviewCdcTableFor(s, dir)
+      s.table(IngestStream.matviewCurrent(s, base))
+        .orderBy(col("o_custkey"))
+    }),
+
     "stream_dedup_cdc" -> ((s, dir) => {
       val corpus = TextQueries.dupCorpus(Tables.documents(s, dir))
       graft.operators.Dedup.probeBandIndex(s, bandCdcIndexFor(s, dir),
@@ -716,6 +727,7 @@ object StreamingQueries {
     // the band CDC loop settles to the band index over the true
     // originals — exactly the serving index's state, so the probe
     // shares dedup_incremental's full-pipeline oracle verbatim
+    "stream_matview_cdc" -> CdcQueries.oracle("cdc_matview_apply"),
     "stream_dedup_cdc" -> TextQueries.oracle("dedup_incremental"),
     // settle → publish → serve is result-invisible by definition: the
     // composition entries share the settled generations' own oracles
@@ -1081,6 +1093,47 @@ object StreamingQueries {
           (col("doc_id") + 3000000L).as("event_seq"))
         .repartition(1).write.mode("append").parquet(path)
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The streaming MATVIEW maintenance epoch (the aggregate twin of the
+    * five index CDC loops): the per-customer (count, cents) view
+    * seeded as generation 0, then the SAME delta waves the batch
+    * `cdc_matview_apply` folds at once drain as 3 micro-batches
+    * (1 file = 1 trigger batch) through
+    * [[IngestStream.matviewSink]] — each batch merges into the current
+    * generation and writes the next, under the shared replay ledger.
+    * Delta application is commutative (signed sums), so arrival order
+    * is immaterial and the settled view must equal the from-scratch
+    * recompute — the probe reuses `cdc_matview_apply`'s full oracle. */
+  private[graft] def matviewCdcTableFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "matview_cdc_stream", dir) { () =>
+      val base = "graft_matview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_matview_ckpt_").toString
+      val evDir = java.nio.file.Files
+        .createTempDirectory("graft_matview_events_").toString
+      CdcQueries.matviewBase(s, dir)
+        .write.format("parquet").saveAsTable(s"${base}_g0")
+      val waves = CdcQueries.matviewDeltaWaves(s, dir)
+      waves.head.repartition(1).write.mode("overwrite").parquet(evDir)
+      waves.tail.foreach(
+        _.repartition(1).write.mode("append").parquet(evDir))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_orders",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(evDir)
+      IngestStream.matviewSink(stream, base, ckpt,
+        Seq("o_custkey"), "n_orders").awaitTermination()
+      EpochRegistry.Resource(base,
+        dropTables = (0 to waves.length).map(g => s"${base}_g$g") ++
+          Seq(s"${base}_applied"),
+        deleteDirs = Seq(ckpt, evDir))
     }
 
   /** Media event files for the streaming decode loop: the synthetic

@@ -103,6 +103,70 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Maximal-Marginal-Relevance diversified serving: greedy re-rank of
+    * a relevance shortlist so each pick trades relevance against
+    * similarity to what is already picked —
+    * `mmr = ½·rel − ½·max_{s∈selected} sim(c, s)` (λ = 0.5), the
+    * standard diversification pass a retrieval stack runs AFTER ANN.
+    *
+    * Scale shape: the expensive part is the shortlist (any serving
+    * family produces it — brute force here for an exact oracle); the
+    * greedy loop touches only |queries|·shortlist rows. Both the
+    * shortlist and its in-shortlist pairwise-sim table are
+    * parameter-bounded (≤ q·s and ≤ q·s² rows), so they pin as eager
+    * local leaves (the TextOps c2 pattern — no corpus re-scan per
+    * greedy step, nothing cached in the block manager). All
+    * comparisons happen on round(·,6)-quantized scores with
+    * neighbor_id tie-breaks — deterministic across engines. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame,
+      shortlist: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    def leaf(df: DataFrame): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val sl = leaf(bruteForceTopK(queries, corpus, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("rel")))
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    val withVec = sl.join(vecs, sl("neighbor_id") === vecs("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("embedding"))
+    val pair = leaf(withVec.as("x").join(withVec.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.neighbor_id").as("a_id"), col("y.neighbor_id").as("b_id"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("sim")))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    var selected = sl.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        lit(1L).as("sel_rk"))
+    for (step <- 2 to k) {
+      val remaining = sl.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val ms = pair.join(
+          selected.select(col("query_id"), col("neighbor_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id")).agg(max(col("sim")).as("max_sim"))
+      val scored = remaining.join(ms,
+          remaining("query_id") === ms("query_id") &&
+            remaining("neighbor_id") === ms("a_id"))
+        .select(remaining("query_id"), col("neighbor_id"), col("rel"),
+          round(lit(0.5) * col("rel") - lit(0.5) * col("max_sim"), 6).as("mmr"))
+      val ws = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("neighbor_id"))
+      // re-leaf each step: `selected` is referenced 3× per step (anti
+      // filter, max-sim join, union), so a lazy union chain re-executes
+      // its whole history 3×/step — 3^k small jobs by step k. The
+      // per-step leaf is ≤ |queries|·step rows.
+      selected = leaf(selected.unionByName(
+        scored.withColumn("rk", row_number().over(ws)).filter(col("rk") === 1)
+          .select(col("query_id"), col("neighbor_id"), col("rel"),
+            lit(step.toLong).as("sel_rk"))))
+    }
+    selected
+  }
+
   /** [[bruteForceTopK]] over int8-quantized vectors — the
     * memory/bandwidth trade of large-scale vector search: quantization
     * happens in the scan projection (the float arrays never leave the

@@ -790,6 +790,49 @@ object IngestStream {
       s
     })
 
+  /** CDC → incremental MATVIEW maintenance loop (the aggregate twin of
+    * the index-maintenance sinks): each micro-batch of signed per-event
+    * deltas (INSERT +1/+m, DELETE −1/−m, UPDATE 0/Δm — the
+    * [[graft.operators.CdcOps.applyAggDeltas]] contract) folds into the
+    * current view generation and writes the NEXT generation table —
+    * never overwriting a table it reads, the same
+    * generation-copy discipline the index loops use. Under the replay
+    * ledger a replayed batch cannot double-apply, and because
+    * AvailableNow applies batches strictly sequentially, the
+    * generation number IS the applied count — restart-safe, since the
+    * ledger seeds from its table. Per batch the fact table is never
+    * read: cost is one partial-aggregated shuffle of the batch plus a
+    * view-sized merge+rewrite, linear in |batch| + |view| at 100 TB. */
+  def matviewSink(deltaStream: DataFrame, baseTable: String,
+      checkpointDir: String, keyCols: Seq[String], countCol: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    deltaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMatviewBatch(batch.sparkSession, baseTable, batch, batchId,
+          keyCols, countCol)
+      }
+      .start()
+
+  private[graft] def applyMatviewBatch(
+      spark: org.apache.spark.sql.SparkSession, baseTable: String,
+      batch: DataFrame, batchId: Long, keyCols: Seq[String],
+      countCol: String): Unit =
+    if (!alreadyApplied(spark, baseTable, batchId)) {
+      val gen = appliedSetFor(spark, baseTable).size
+      val cur = spark.table(s"${baseTable}_g$gen")
+      graft.operators.CdcOps.applyAggDeltas(cur, batch, keyCols, countCol)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${baseTable}_g${gen + 1}")
+      recordApplied(spark, baseTable, batchId)
+    }
+
+  /** The current view generation's table name (g0 = the base view). */
+  def matviewCurrent(spark: org.apache.spark.sql.SparkSession,
+      baseTable: String): String =
+    s"${baseTable}_g${appliedSetFor(spark, baseTable).size}"
+
   private def alreadyApplied(spark: org.apache.spark.sql.SparkSession,
       table: String, batchId: Long): Boolean =
     appliedSetFor(spark, table).contains(batchId)

@@ -46,4 +46,18 @@ class QuantizedSimSpec extends AnyFunSuite {
     assert(top(1L) == 1L, "nearest neighbor survives quantization")
     assert(top(3L) == 2L && top(2L) == 3L, "orthogonal beats opposite")
   }
+
+  test("mmrTopK: diversity beats a clone of the first pick at lambda=0.5") {
+    // query (1,0); 101 and its exact clone 102 at +45.5°, 103 mirrored
+    // at -45.5°. rel(103)=rel(101) but sim(103,101)≈-0.02 while the
+    // clone's sim is 1.0 — greedy step 2 must pick 103, then the clone.
+    val q = vecs((1L, Seq(1.0f, 0.0f)))
+    val corpus = vecs(
+      (101L, Seq(0.7f, 0.714f)),
+      (102L, Seq(0.7f, 0.714f)),
+      (103L, Seq(0.7f, -0.714f)))
+    val out = VectorOps.mmrTopK(q, corpus, shortlist = 3, k = 3)
+      .orderBy("sel_rk").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(101L, 103L, 102L))
+  }
 }

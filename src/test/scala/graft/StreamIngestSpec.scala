@@ -45,4 +45,26 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(streamed == batch,
       "streaming decisions diverged from the batch capstone")
   }
+
+  test("matview loop: sequential generations, replayed batch is a no-op") {
+    import spark.implicits._
+    val base = "graft_test_matview_" + System.nanoTime()
+    Seq((1L, 2L, 100L), (2L, 1L, 50L)).toDF("k", "n", "m")
+      .write.format("parquet").saveAsTable(s"${base}_g0")
+    try {
+      val b1 = Seq((1L, 1L, 30L)).toDF("k", "n", "m")   // insert into group 1
+      val b2 = Seq((2L, -1L, -50L)).toDF("k", "n", "m") // group 2 dies
+      IngestStream.applyMatviewBatch(spark, base, b1, 0L, Seq("k"), "n")
+      // replay of batch 0 must not double-apply
+      IngestStream.applyMatviewBatch(spark, base, b1, 0L, Seq("k"), "n")
+      IngestStream.applyMatviewBatch(spark, base, b2, 1L, Seq("k"), "n")
+      val cur = IngestStream.matviewCurrent(spark, base)
+      assert(cur == s"${base}_g2", s"two applied batches -> g2, got $cur")
+      val rows = spark.table(cur).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 3L, 130L)))
+    } finally
+      Seq("_g0", "_g1", "_g2", "_applied").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS ${base}$sfx"))
+  }
 }

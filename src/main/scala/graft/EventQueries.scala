@@ -156,6 +156,13 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // 20-tap dyadic EWMA — the all-integer smoothing filter (weights
+    // 2^-k scaled to a BIGINT dot product; one window pass per series)
+    "events_ewma" -> ((s, dir) => {
+      EventOps.ewmaScaled(Tables.events(s, dir), taps = 20)
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // session-level PMI of event-type co-occurrence (integer micro-nat
     // quantization, the BM25-idf trick)
     "events_pmi_cooccur" -> ((s, dir) => {
@@ -419,6 +426,16 @@ object EventQueries {
         |  round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "events_ewma" -> {
+      val terms = (0 until 20).map(k =>
+        s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (19 - k)}")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, event_id, CAST($terms AS BIGINT) AS ema_scaled
+        |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)
+        |ORDER BY event_type, event_id""".stripMargin
+    },
     "events_pmi_cooccur" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |flagged AS (SELECT *,

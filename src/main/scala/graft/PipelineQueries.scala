@@ -144,6 +144,14 @@ object PipelineQueries {
     // τ=2): head languages downsample toward the tail via the
     // deterministic ppm hash cut; per-stratum summary gates both the
     // rate table and the per-doc selection (min/max id pin membership)
+    // weighted sampling without replacement (Efraimidis–Spirakis):
+    // length-weighted draw — top-500 by the quantized ln(u)/w key
+    "pipeline_weighted_sample" -> ((s, dir) => {
+      PipelineOps.weightedSample(Tables.documents(s, dir), "doc_id",
+          col("n_chars"), n = 500)
+        .orderBy(col("key12").desc, col("doc_id"))
+    }),
+
     "pipeline_temperature_mix" -> ((s, dir) => {
       PipelineOps.temperatureMix(Tables.documents(s, dir), "doc_id", "lang")
         .groupBy(col("lang"), col("n_stratum"), col("accept_ppm"))
@@ -291,6 +299,12 @@ object PipelineQueries {
     // the τ=2 flattening mirror: sqrt is IEEE-correctly-rounded on
     // both engines, so the floored ppm rates are bit-equal; the same
     // md5-ppm cut selects
+    "pipeline_weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  CAST(floor((1000000000000.0 *
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |        % 1000000 + 1) / 1000000.0)) / n_chars) AS BIGINT) AS key12
+        |FROM documents ORDER BY key12 DESC, doc_id LIMIT 500""".stripMargin,
     "pipeline_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*)::BIGINT AS n_stratum
         |  FROM documents GROUP BY lang),

@@ -929,6 +929,30 @@ object RelationalQueries {
         .orderBy(col("column_name"))
     }),
 
+    // Z-order layout audit: morton-interleave (l_partkey, l_suppkey)
+    // into a 32-bit z-value (exact integer shift/mask cascade — both
+    // engines agree bit-for-bit), bucket the z-range equi-width via the
+    // broadcast-bounds fold, and report per-bucket ranges of BOTH
+    // dimensions. This is the clustering decision behind data-skipping
+    // layouts (OPTIMIZE ZORDER): narrow per-bucket min/max on each
+    // dimension is exactly what lets a predicate on either column prune
+    // files at 100 TB
+    "layout_zorder" -> ((s, dir) => {
+      val z = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.operators.ScaleOps.zValue(col("l_partkey"), col("l_suppkey"))
+            .as("z"))
+      val bounds = z.agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      z.crossJoin(broadcast(bounds))
+        .select(expr("(z - lo) * 64 div (hi - lo + 1)").as("bucket"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+        .orderBy(col("bucket"))
+    }),
+
     // bloom filter — the FOURTH sketch family (membership, after
     // HLL/GK/CMS): built distributed over one nation's suppliers
     // (`stat.bloomFilter` merges per-partition filters), 20 keys
@@ -1463,6 +1487,24 @@ object RelationalQueries {
         |UNION ALL SELECT 'l_shipdate_s', n, n - d_nn, d_ndv, d_min, d_max FROM s
         |UNION ALL SELECT 'l_returnflag_ascii', n, n - f_nn, f_ndv, f_min, f_max FROM s
         |ORDER BY column_name""".stripMargin,
+    "layout_zorder" ->
+      """WITH b0 AS (SELECT l_partkey AS p0, l_suppkey AS s0,
+        |    l_partkey & 65535 AS p, l_suppkey & 65535 AS s FROM lineitem),
+        |b1 AS (SELECT p0, s0, (p | (p << 8)) & 16711935 AS p,
+        |    (s | (s << 8)) & 16711935 AS s FROM b0),
+        |b2 AS (SELECT p0, s0, (p | (p << 4)) & 252645135 AS p,
+        |    (s | (s << 4)) & 252645135 AS s FROM b1),
+        |b3 AS (SELECT p0, s0, (p | (p << 2)) & 858993459 AS p,
+        |    (s | (s << 2)) & 858993459 AS s FROM b2),
+        |b4 AS (SELECT p0, s0, (p | (p << 1)) & 1431655765 AS p,
+        |    (s | (s << 1)) & 1431655765 AS s FROM b3),
+        |zt AS (SELECT p0, s0, p | (s << 1) AS z FROM b4),
+        |bounds AS (SELECT min(z) AS lo, max(z) AS hi FROM zt)
+        |SELECT (z - lo) * 64 // (hi - lo + 1) AS bucket,
+        |  count(*) AS n,
+        |  min(p0) AS min_part, max(p0) AS max_part,
+        |  min(s0) AS min_supp, max(s0) AS max_supp
+        |FROM zt, bounds GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_histogram" ->
       """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
         |  FROM lineitem),

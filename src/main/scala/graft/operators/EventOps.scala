@@ -167,6 +167,27 @@ object EventOps {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** 20-tap exponential moving average with α = ½, ALL-INTEGER: the
+    * EWMA weights 2^-k are dyadic, so scaling by 2^(taps-1) turns the
+    * whole filter into a BIGINT dot product — no float drift anywhere,
+    * bit-equal on any engine. The general recursive EWMA is not
+    * window-expressible (each state folds the previous), but the
+    * truncated filter is: `taps` lag terms over ONE window spec = one
+    * WindowExec pass per series; the tail beyond 20 taps carries weight
+    * < 2^-19 — below the cent quantum for any bounded series. Missing
+    * leading lags coalesce to 0 (the zero-padded filter). */
+  def ewmaScaled(events: DataFrame, taps: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val base = events.select(col("event_type"), col("event_id"), col("ts_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val ema = (0 until taps).map(k =>
+        coalesce(lag(col("cents"), k).over(w), lit(0L)) *
+          lit(1L << (taps - 1 - k)))
+      .reduce(_ + _)
+    base.select(col("event_type"), col("event_id"), ema.as("ema_scaled"))
+  }
+
   /** Pointwise mutual information between event types that co-occur in
     * a session: PMI(a,b) = ln(P(a,b)/(P(a)P(b))) over the session unit,
     * quantized to `floor(1e6·ln(...))` (the BM25-idf integer trick —

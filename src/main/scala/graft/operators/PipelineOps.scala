@@ -22,6 +22,24 @@ object PipelineOps {
   def hashBucketPpm(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 1000000
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each record draws a deterministic uniform u from its id's md5 ppm
+    * bucket and competes on key = ln(u)/w — the top-n by key IS an
+    * exact weighted sample without replacement. Comparing ln(u)/w
+    * instead of u^(1/w) keeps the math in `ln` (correctly rounded on
+    * both engines — the BM25/PMI precedent; `pow` is not), quantized
+    * to floor(1e12·ln(u)/w) with an id tie-break so ranking is exact
+    * cross-engine. Selection is orderBy+limit → TakeOrderedAndProject,
+    * the distributed top-k (no global window, no single-partition
+    * sort); reproducible and cluster-size-independent at 100 TB. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      n: Int): DataFrame =
+    df.select(col(idCol), weight.cast("long").as("w"),
+        floor((lit(1.0e12) *
+            log((hashBucketPpm(col(idCol)) + 1) / lit(1000000.0))) / weight)
+          .cast("long").as("key12"))
+      .orderBy(col("key12").desc, col(idCol)).limit(n)
+
   /** Temperature-flattened language mixing (the mT5/multilingual
     * sampling cut, τ = 2): each stratum's acceptance rate is
     * √(n_min/n_stratum) — head languages downsample toward the tail so

@@ -68,6 +68,23 @@ object ScaleOps {
       tableCol: String = "table_name"): DataFrame =
     queue.join(broadcast(registry), Seq(tableCol), "inner")
 
+  /** Z-order (morton) value interleaving two 16-bit dimensions — the
+    * multi-dimensional clustering key behind data-skipping layouts
+    * (Delta/Iceberg OPTIMIZE ZORDER): rows sorted by z land near rows
+    * close in BOTH dimensions, so per-file min/max ranges stay narrow
+    * on each dimension and a predicate on either one prunes files. */
+  def zValue(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      var x = c.bitwiseAND(lit(0xFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+      x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+      x
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
   /** Entity resolution by token blocking + edit-distance verification —
     * the classic record-linkage shape, never all-pairs.
     *

@@ -188,4 +188,14 @@ class FunnelRetentionSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(("x", "y", 2L, 0L), ("x", "z", 1L, 0L)))
   }
+
+  test("ewmaScaled: dyadic filter is integer-exact (hand-computed taps)") {
+    val events = Seq(
+        (1L, "m", 1000L, 0.01), (2L, "m", 2000L, 0.02), (3L, "m", 3000L, 0.03))
+      .toDF("event_id", "event_type", "ts_us", "value")
+    val out = EventOps.ewmaScaled(events, taps = 20)
+      .orderBy("event_id").collect().map(_.getLong(2)).toSeq
+    // cents 1,2,3: e1=1·2^19; e2=2·2^19+1·2^18; e3=3·2^19+2·2^18+1·2^17
+    assert(out == Seq(524288L, 1310720L, 2228224L))
+  }
 }

@@ -69,6 +69,16 @@ class ScaleOpsSpec extends AnyFunSuite {
       "registry side must be broadcast")
   }
 
+  test("zValue interleaves bits exactly (hand-computed morton codes)") {
+    val out = Seq((3L, 5L), (0L, 0L), (65535L, 0L), (0L, 65535L))
+      .toDF("a", "b")
+      .select(ScaleOps.zValue(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // a fills even bits, b odd bits: (3,5) -> 0b100111 = 39;
+    // 16 ones spread to alternating bits = 0x55555555 / 0xAAAAAAAA
+    assert(out == Seq(39L, 0L, 0x55555555L, 0xAAAAAAAAL))
+  }
+
   test("blockingResolve links within blocks only, best match per dirty record") {
     val clean = Seq((1L, "aa bb zebra"), (2L, "aa bc zebra"), (3L, "aa bb lion"))
       .toDF("clean_id", "name")

@@ -156,6 +156,41 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // per-key rate limiting: at most one event per (user, type) per
+    // minute — the tumbling-bucket dedup a 100 TB event pipeline runs
+    // at ingestion (first event of each bucket wins, id tie-break)
+    "events_rate_limit" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"),
+          expr("ts_us div 60000000"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+        .orderBy(col("user_id"), col("event_type"), col("ts_us"))
+    }),
+
+    // winsorized (5%/95%-clipped) robust mean per event type: exact
+    // interpolated percentile cuts quantized to cents (floor kills
+    // low-bit interpolation drift between engines), then an
+    // all-integer clipped mean via div
+    "events_winsorized" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cuts = e.groupBy(col("event_type")).agg(
+        floor(expr("percentile(cents, 0.05)")).cast("long").as("p5c"),
+        floor(expr("percentile(cents, 0.95)")).cast("long").as("p95c"))
+      e.join(broadcast(cuts), Seq("event_type"))
+        .select(col("event_type"), col("p5c"), col("p95c"),
+          greatest(least(col("cents"), col("p95c")), col("p5c")).as("clipped"))
+        .groupBy(col("event_type"), col("p5c"), col("p95c"))
+        .agg(count(lit(1)).as("n"), sum(col("clipped")).as("clipped_sum"))
+        .select(col("event_type"), col("p5c"), col("p95c"), col("n"),
+          col("clipped_sum"), expr("clipped_sum div n").as("wmean_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // 20-tap dyadic EWMA — the all-integer smoothing filter (weights
     // 2^-k scaled to a BIGINT dot product; one window pass per series)
     "events_ewma" -> ((s, dir) => {
@@ -426,6 +461,29 @@ object EventQueries {
         |  round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "events_rate_limit" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id, event_type, ts_us // 60000000
+        |   ORDER BY ts_us, event_id) AS rk FROM e)
+        |SELECT user_id, event_type, event_id, ts_us FROM r WHERE rk = 1
+        |ORDER BY user_id, event_type, ts_us""".stripMargin,
+    "events_winsorized" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |cuts AS (SELECT event_type,
+        |  CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS p5c,
+        |  CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS p95c
+        |  FROM e GROUP BY event_type),
+        |clipped AS (SELECT e.event_type, c.p5c, c.p95c,
+        |    greatest(least(e.cents, c.p95c), c.p5c) AS v
+        |  FROM e JOIN cuts c ON c.event_type = e.event_type)
+        |SELECT event_type, p5c, p95c, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS clipped_sum,
+        |  CAST(sum(v) AS BIGINT) // count(*) AS wmean_cents
+        |FROM clipped GROUP BY event_type, p5c, p95c
+        |ORDER BY event_type""".stripMargin,
     "events_ewma" -> {
       val terms = (0 until 20).map(k =>
         s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (19 - k)}")

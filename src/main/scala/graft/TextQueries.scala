@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.{Dedup, SearchOps, TextOps}
 
 /** Text analysis + deduplication over `documents` (SURVEY §2.3).
@@ -35,6 +36,22 @@ object TextQueries {
     * and temp dir when the owning session's context stops — mirroring
     * the 100 TB contract: write once per full-dedup epoch, probe on
     * every arriving batch. */
+  /** Epoch-materialized tf·idf postings (doc_id, token, wq) with the
+    * df ≤ 10% stopword prune — built once per (session, dataset), read
+    * as parquet by every stage of the doc-similarity probe. */
+  private[graft] def tfidfWeightsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "tfidf_weights_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tfidf_weights_").toString
+      TextOps.tfidfWeights(Tables.documents(s, dir), "doc_id", "text",
+          // the synthetic corpus has a ~31-token vocabulary, so ANY df
+          // prune empties most docs' postings — disabled here; a real
+          // corpus would pass ~10
+          maxDfPct = 100)
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
   private[graft] def bandIndexFor(s: SparkSession, dir: String): String =
     EpochRegistry.acquire(s, "band_index", dir) { () =>
       val table = "graft_band_index_" +
@@ -775,6 +792,36 @@ object TextQueries {
 
     // corpus-relative term scoring (tf-idf semantics, integer-exact):
     // the one text op that needs corpus statistics, not just the row
+    // doc-doc lexical similarity: tf-idf cosine top-5 for the first 10
+    // docs via the postings join — the sparse-vector twin of the dense
+    // ANN probes. Weights epoch-materialized (the GraphOps backbone
+    // pattern: three downstream references read a columnar file, not
+    // the tokenize+agg lineage thrice); integer dot, sqrt norms,
+    // round(·,6) scores
+    "text_doc_sim" -> ((s, dir) => {
+      def w = s.read.parquet(tfidfWeightsDir(s, dir))
+      val norms = w.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("nsq"))
+      val q = w.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("token"), col("wq").as("qw"))
+      val dots = q.join(
+          w.select(col("doc_id").as("c_id"), col("token"), col("wq").as("cw")),
+          Seq("token"))
+        .filter(col("q_id") =!= col("c_id"))
+        .groupBy(col("q_id"), col("c_id")).agg(sum(col("qw") * col("cw")).as("dot"))
+      val qn = norms.select(col("doc_id").as("q_id"), col("nsq").as("qn"))
+      val cn = norms.select(col("doc_id").as("c_id"), col("nsq").as("cn"))
+      val scored = dots.join(qn, Seq("q_id")).join(cn, Seq("c_id"))
+        .select(col("q_id"), col("c_id"),
+          round(col("dot").cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))), 6)
+            .as("cos6"))
+      val wnd = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos6").desc, col("c_id"))
+      scored.withColumn("rk", row_number().over(wnd).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("q_id"), col("rk"))
+    }),
+
     "text_distinctive_terms" -> ((s, dir) => {
       TextOps.distinctiveTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rk"))
@@ -1541,6 +1588,39 @@ object TextQueries {
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           |SELECT doc_id, ${OracleSql.quality("toks")} AS quality
           |FROM t ORDER BY doc_id""".stripMargin,
+      "text_doc_sim" ->
+        s"""WITH tf AS MATERIALIZED (
+          |  SELECT doc_id, t.token AS token, count(*)::BIGINT AS tf
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)
+          |  GROUP BY 1, 2),
+          |dfreq AS MATERIALIZED (
+          |  SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+          |nn AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+          |w AS MATERIALIZED (
+          |  SELECT tf.doc_id, tf.token,
+          |    tf.tf * CAST(floor(1000000.0 *
+          |      ln(CAST(nn.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)))
+          |      AS BIGINT) AS wq
+          |  FROM tf JOIN dfreq df ON df.token = tf.token CROSS JOIN nn
+          |  WHERE df.df * 100 <= nn.n_docs * 100),
+          |norms AS MATERIALIZED (
+          |  SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS nsq FROM w GROUP BY 1),
+          |q AS (SELECT doc_id AS q_id, token, wq AS qw FROM w WHERE doc_id < 10),
+          |dots AS MATERIALIZED (
+          |  SELECT q.q_id, c.doc_id AS c_id, CAST(sum(q.qw * c.wq) AS BIGINT) AS dot
+          |  FROM q JOIN w c ON c.token = q.token AND c.doc_id <> q.q_id
+          |  GROUP BY 1, 2),
+          |scored AS (SELECT d.q_id, d.c_id,
+          |    round(CAST(d.dot AS DOUBLE) /
+          |      (sqrt(CAST(qn.nsq AS DOUBLE)) * sqrt(CAST(cn.nsq AS DOUBLE))), 6) AS cos6
+          |  FROM dots d
+          |  JOIN norms qn ON qn.doc_id = d.q_id
+          |  JOIN norms cn ON cn.doc_id = d.c_id)
+          |SELECT q_id, c_id, cos6, rk FROM (
+          |  SELECT *, CAST(row_number() OVER
+          |    (PARTITION BY q_id ORDER BY cos6 DESC, c_id) AS BIGINT) AS rk
+          |  FROM scored)
+          |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
       "text_vocab_topk" ->
         s"""SELECT t.token, count(*) AS n
           |FROM documents, LATERAL unnest($toksSql) AS t(token)

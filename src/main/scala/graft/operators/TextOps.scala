@@ -307,6 +307,27 @@ object TextOps {
           (col("n_bigrams").cast("double") * lit(1e6)), 6).as("avg_logprob"))
   }
 
+  /** Integer tf·idf term weights: wq = tf · floor(1e6·ln(N/df)), with
+    * high-df terms (df > maxDfPct% of N) dropped — the standard
+    * stopword prune that bounds the postings a doc-doc similarity join
+    * fans out to. The weight is integer-exact cross-engine (ln is
+    * correctly rounded; everything else is BIGINT). */
+  def tfidfWeights(docs: DataFrame, idCol: String, textCol: String,
+      maxDfPct: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    tf.join(dfreq, Seq("token")).crossJoin(nDocs)
+      .filter(col("df") * 100 <= col("n_docs") * maxDfPct)
+      .select(col(idCol), col("token"),
+        (col("tf") * floor(lit(1000000.0) *
+            log(col("n_docs").cast("double") / col("df").cast("double")))
+          .cast("long")).as("wq"))
+  }
+
   def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.CdcOps
 
@@ -132,6 +133,38 @@ object CdcQueries {
           matviewDeltaWaves(s, dir).reduce(_ union _),
           Seq("o_custkey"), "n_orders")
         .orderBy(col("o_custkey"))),
+    // SCD Type 2 dimension build from the CDC history log: every
+    // non-delete event becomes a version row whose validity interval
+    // is [its ts, next event's ts) — the standard slowly-changing-
+    // dimension derivation a warehouse runs downstream of exactly the
+    // kind of change stream the reference emits. One window pass keyed
+    // by the dimension key; a delete closes the final version.
+    "cdc_scd2_build" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq"))
+      historyLog(s, dir)
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .filter(col("op") =!= "D")
+        .select(col("o_orderkey"), col("seq").as("version"),
+          col("status"), col("price_cents"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("o_orderkey"), col("version"))
+    }),
+    // Point-in-time reconstruction (time travel): the table state as
+    // of T from the same history log — latest event per key with
+    // ts <= T, dropped if that event is the delete. This is what a
+    // change-stream consumer replays to rebuild a snapshot at T.
+    "cdc_time_travel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("seq").desc)
+      historyLog(s, dir)
+        .filter(col("ts") <= lit(asOfSec))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("op") =!= "D")
+        .select(col("o_orderkey"), col("status"), col("price_cents"),
+          col("seq").as("version"), col("ts").as("valid_from"))
+        .orderBy(col("o_orderkey"))
+    }),
     // O10 topic routing truth table (main_test.go:157-164)
     "cdc_topic_routing" -> ((s, dir) => {
       val n = Tables.nation(s, dir)
@@ -194,7 +227,87 @@ object CdcQueries {
           matviewCents.as("cents")))
   }
 
+  /** Deterministic per-key CDC history over `orders`: seq 1 is the
+    * insert at the order date; every 7th key doubles its price a day
+    * later; every 11th flips status to 'X' two days in (price carried
+    * from the latest prior version); every 13th is deleted on day 3.
+    * All-integer (seconds, cents) so both engines agree bit-for-bit.
+    * Four narrow projections of one scan — the same shape the matview
+    * delta waves use. */
+  private def historyLog(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    // double cast: NTZ→long is rejected, NTZ→LTZ→long is fine and
+    // identical under the UTC session tz (stats_table_profile precedent)
+    val base = col("o_orderdate").cast("timestamp").cast("long")
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val cents2 = round(col("o_totalprice") * 2 * 100).cast("long")
+    val insert = o.select(col("o_orderkey"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_orderstatus").as("status"),
+      cents.as("price_cents"), base.as("ts"))
+    val reprice = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        col("o_orderstatus").as("status"), cents2.as("price_cents"),
+        (base + 86400L).as("ts"))
+    val restatus = o.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit(3L).as("seq"), lit("U").as("op"),
+        lit("X").as("status"),
+        when(col("o_orderkey") % 7 === 0, cents2).otherwise(cents)
+          .as("price_cents"),
+        (base + 172800L).as("ts"))
+    val delete = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(4L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("status"),
+        lit(null).cast("long").as("price_cents"),
+        (base + 259200L).as("ts"))
+    insert.union(reprice).union(restatus).union(delete)
+  }
+
+  /** The time-travel cut: mid-range of the orders date span, so at T
+    * some keys are not yet inserted, some are mid-history, and some
+    * are already deleted. */
+  private val asOfSec: Long = 9298L * 86400L // DATE '1995-06-17'
+
+  private val historyLogSql =
+    """SELECT o_orderkey, 1 AS seq, 'I' AS op, o_orderstatus AS status,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |  epoch_us(o_orderdate) // 1000000 AS ts
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 2, 'U', o_orderstatus,
+      |  CAST(round(o_totalprice * 2 * 100) AS BIGINT),
+      |  epoch_us(o_orderdate) // 1000000 + 86400
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 3, 'U', 'X',
+      |  CASE WHEN o_orderkey % 7 = 0
+      |    THEN CAST(round(o_totalprice * 2 * 100) AS BIGINT)
+      |    ELSE CAST(round(o_totalprice * 100) AS BIGINT) END,
+      |  epoch_us(o_orderdate) // 1000000 + 172800
+      |FROM orders WHERE o_orderkey % 11 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 4, 'D', NULL, NULL,
+      |  epoch_us(o_orderdate) // 1000000 + 259200
+      |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "cdc_scd2_build" ->
+      s"""WITH log AS ($historyLogSql),
+        |v AS (SELECT *, lead(ts) OVER
+        |  (PARTITION BY o_orderkey ORDER BY seq) AS valid_to FROM log)
+        |SELECT o_orderkey, CAST(seq AS BIGINT) AS version, status,
+        |  price_cents, ts AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY o_orderkey, version""".stripMargin,
+    "cdc_time_travel" ->
+      s"""WITH log AS ($historyLogSql),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY o_orderkey ORDER BY seq DESC) AS rk
+        |  FROM log WHERE ts <= ${9298L * 86400L})
+        |SELECT o_orderkey, status, price_cents,
+        |  CAST(seq AS BIGINT) AS version, ts AS valid_from
+        |FROM r WHERE rk = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "cdc_snapshot" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS external_id, 'SNAPSHOT' AS statement,
         |  CAST(to_json(struct_pack(c_custkey := c_custkey, c_name := c_name,

@@ -191,6 +191,24 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // equi-depth (decile) binning per event type — the feature-binning
+    // twin of the fixed-width agg_histogram: ntile(10) over the
+    // deterministic (cents, event_id) order, per-bin count and value
+    // range. This is how a training pipeline discretizes a continuous
+    // feature so every bucket carries equal mass
+    "events_equidepth_bins" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("cents"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("bin", ntile(10).over(w).cast("long"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
     // 20-tap dyadic EWMA — the all-integer smoothing filter (weights
     // 2^-k scaled to a BIGINT dot product; one window pass per series)
     "events_ewma" -> ((s, dir) => {
@@ -484,6 +502,16 @@ object EventQueries {
         |  CAST(sum(v) AS BIGINT) // count(*) AS wmean_cents
         |FROM clipped GROUP BY event_type, p5c, p95c
         |ORDER BY event_type""".stripMargin,
+    "events_equidepth_bins" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, cents, CAST(ntile(10) OVER
+        |  (PARTITION BY event_type ORDER BY cents, event_id) AS BIGINT) AS bin
+        |  FROM e)
+        |SELECT event_type, bin, count(*) AS n,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM b GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
     "events_ewma" -> {
       val terms = (0 until 20).map(k =>
         s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (19 - k)}")

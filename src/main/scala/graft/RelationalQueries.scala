@@ -929,6 +929,42 @@ object RelationalQueries {
         .orderBy(col("column_name"))
     }),
 
+    // Referential-integrity audit: per FK relationship, total child
+    // rows, orphan rows/keys (child keys with no parent), and the
+    // orphan rate in ppm — the constraint check a warehouse runs after
+    // every load. One left join per relationship (parent side is the
+    // distinct-key projection, auto-broadcast when small); the fourth
+    // row audits a simulated partial purge (every 10th customer gone)
+    // so the non-zero path is exercised too
+    "dq_referential_audit" -> ((s, dir) => {
+      def audit(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String) =
+        child.select(col(fk))
+          .join(parent.select(col(pk)).distinct()
+              .withColumn("hit", lit(1)),
+            col(fk) === col(pk), "left")
+          .agg(count(lit(1)).as("fk_rows"),
+            coalesce(sum(when(col("hit").isNull, 1L)), lit(0L))
+              .as("orphan_rows"),
+            countDistinct(when(col("hit").isNull, col(fk)))
+              .as("orphan_keys"))
+          .select(lit(name).as("relationship"), col("fk_rows"),
+            col("orphan_rows"), col("orphan_keys"),
+            expr("orphan_rows * 1000000 div fk_rows").as("orphan_ppm"))
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        .unionAll(audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+          o, "o_orderkey"))
+        .unionAll(audit("orders.o_custkey->customer", o, "o_custkey",
+          c, "c_custkey"))
+        .unionAll(audit("orders.o_custkey->customer_purged", o, "o_custkey",
+          c.filter(col("c_custkey") % 10 =!= 0), "c_custkey"))
+        .orderBy(col("relationship"))
+    }),
+
     // Z-order layout audit: morton-interleave (l_partkey, l_suppkey)
     // into a 32-bit z-value (exact integer shift/mask cascade — both
     // engines agree bit-for-bit), bucket the z-range equi-width via the
@@ -1487,6 +1523,33 @@ object RelationalQueries {
         |UNION ALL SELECT 'l_shipdate_s', n, n - d_nn, d_ndv, d_min, d_max FROM s
         |UNION ALL SELECT 'l_returnflag_ascii', n, n - f_nn, f_ndv, f_min, f_max FROM s
         |ORDER BY column_name""".stripMargin,
+    "dq_referential_audit" ->
+      """WITH a AS (
+        |  SELECT 'customer.c_nationkey->nation' AS relationship,
+        |    count(*) AS fk_rows,
+        |    count(*) FILTER (n_nationkey IS NULL) AS orphan_rows,
+        |    count(DISTINCT c_nationkey) FILTER (n_nationkey IS NULL) AS orphan_keys
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders', count(*),
+        |    count(*) FILTER (o_orderkey IS NULL),
+        |    count(DISTINCT l_orderkey) FILTER (o_orderkey IS NULL)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', count(*),
+        |    count(*) FILTER (c_custkey IS NULL),
+        |    count(DISTINCT o_custkey) FILTER (c_custkey IS NULL)
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer_purged', count(*),
+        |    count(*) FILTER (p.c_custkey IS NULL),
+        |    count(DISTINCT o_custkey) FILTER (p.c_custkey IS NULL)
+        |  FROM orders LEFT JOIN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0) p
+        |    ON o_custkey = p.c_custkey)
+        |SELECT relationship, fk_rows, orphan_rows, orphan_keys,
+        |  orphan_rows * 1000000 // fk_rows AS orphan_ppm
+        |FROM a ORDER BY relationship""".stripMargin,
     "layout_zorder" ->
       """WITH b0 AS (SELECT l_partkey AS p0, l_suppkey AS s0,
         |    l_partkey & 65535 AS p, l_suppkey & 65535 AS s FROM lineitem),

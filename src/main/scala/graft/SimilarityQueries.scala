@@ -174,6 +174,17 @@ object SimilarityQueries {
     * divisor can never drift apart. */
   private[graft] val recallK = 3
 
+  /** nDCG@10 discounts floor(1e6 / log2(i+1)) for i = 1..10, evaluated
+    * ONCE here and embedded as literals in both engines' plans — the
+    * cross-engine transcendental never runs at query time. */
+  private val rankDiscountPpm: Seq[Long] =
+    (1 to 10).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** Ideal DCG@10 in ppm for graded relevance 10..1 — constant because
+    * the truth set always has exactly 10 items. */
+  private val idealDcgPpm: Long =
+    (1 to 10).map(i => (11L - i) * rankDiscountPpm(i - 1)).sum
+
   /** One persisted IVF index per (session, dir) epoch, built lazily on
     * first use into a unique table-name pair + fresh temp directory —
     * the vector twin of [[TextQueries.bandIndexFor]] (same isolation
@@ -1156,6 +1167,38 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb, VectorOps.binaryTopK(querySet(emb), emb, k = recallK))
+    }),
+
+    // rank-AWARE eval of the binary ranking (nDCG@10 + MRR) against
+    // exact-cosine truth: recall counts hits, this prices WHERE they
+    // land. Graded relevance rel = 11 - true_rank; the 1/log2(i+1)
+    // discounts are precomputed ppm literals shared verbatim by both
+    // engines (no transcendental evaluated at query time), so DCG is
+    // an all-integer dot product and nDCG one exact division by the
+    // constant ideal
+    "sim_eval_rank_quality" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val sys = VectorOps.binaryTopK(querySet(emb), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("rk_sys"))
+      val truth = VectorOps.bruteForceTopK(querySet(emb), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rk").as("rk_true"))
+      val disc = array(rankDiscountPpm.map(lit(_)): _*)
+      sys.join(truth, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rk_sys"),
+          coalesce(lit(11L) - col("rk_true"), lit(0L)).as("rel"))
+        .groupBy(col("query_id"))
+        .agg(
+          sum(col("rel") * element_at(disc, col("rk_sys").cast("int")))
+            .as("dcg_ppm"),
+          coalesce(min(when(col("rel") > 0, col("rk_sys"))), lit(0L))
+            .as("first_hit_rank"))
+        .select(col("query_id"), col("dcg_ppm"),
+          round(col("dcg_ppm") / lit(idealDcgPpm.toDouble), 6).as("ndcg"),
+          col("first_hit_rank"),
+          when(col("first_hit_rank") === 0L, lit(0.0))
+            .otherwise(round(lit(1.0) / col("first_hit_rank"), 6)).as("rr"))
+        .orderBy(col("query_id"))
     }),
 
     // binary lifecycle symmetry — the hamming-0 poison twin makes the
@@ -3177,6 +3220,29 @@ object SimilarityQueries {
     "sim_ann_ivfpq" -> ivfPqOracleSql,
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "sim_ann_binary" -> binaryOracleSql,
+    "sim_eval_rank_quality" ->
+      s"""WITH $binaryCtes,
+        |sys AS (SELECT query_id, neighbor_id, rk_sys FROM (
+        |    SELECT query_id, neighbor_id, CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS BIGINT) AS rk_sys
+        |    FROM bscored) s WHERE rk_sys <= 10),
+        |brute AS (SELECT query_id, neighbor_id, rk_true FROM (
+        |    SELECT query_id, c2.vec_id AS neighbor_id, CAST(row_number() OVER
+        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS BIGINT) AS rk_true
+        |    FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id) b
+        |  WHERE rk_true <= 10),
+        |j AS (SELECT query_id, rk_sys,
+        |    CAST(coalesce(11 - rk_true, 0) AS BIGINT) AS rel
+        |  FROM sys LEFT JOIN brute USING (query_id, neighbor_id)),
+        |g AS (SELECT query_id,
+        |    CAST(sum(rel * list_extract([${rankDiscountPpm.mkString(", ")}], rk_sys)) AS BIGINT) AS dcg_ppm,
+        |    CAST(coalesce(min(CASE WHEN rel > 0 THEN rk_sys END), 0) AS BIGINT) AS first_hit_rank
+        |  FROM j GROUP BY query_id)
+        |SELECT query_id, dcg_ppm, round(dcg_ppm / $idealDcgPpm.0, 6) AS ndcg,
+        |  first_hit_rank,
+        |  CASE WHEN first_hit_rank = 0 THEN 0.0
+        |    ELSE round(1.0 / first_hit_rank, 6) END AS rr
+        |FROM g ORDER BY query_id""".stripMargin,
     "sim_ann_binary_recall" -> binaryRecallOracleSql,
     "sim_ann_binary_indexed" -> ivfBinaryOracleSql,
     "sim_ann_binary_indexed_recall" -> ivfBinaryRecallOracleSql,

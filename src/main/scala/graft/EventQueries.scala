@@ -191,6 +191,46 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ε-band join: count same-type event pairs within ±50 cents. The
+    // scale-right plan aggregates to the DISTINCT-value domain first
+    // (count per cents), then band-joins values via the bucket +
+    // neighbor-bucket trick and weights by count products — candidate
+    // volume is bounded by NDV·ε, INVARIANT in row count (the naive
+    // row-level band join is quadratic in per-bucket density: 5.8 s at
+    // sf0.1 vs 0.5 s for this form, and it only gets worse with N).
+    // Same-value pairs are the closed form C(c,2); cross-value pairs
+    // counted once via v < w
+    "join_band_eps" -> ((s, dir) => {
+      val v = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val left = v.select(col("event_type"), col("cents"), col("c"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("d"))
+        .select(col("event_type"), col("cents"), col("c"),
+          (expr("cents div 50") + col("d")).as("bucket"))
+      val right = v.select(col("event_type").as("t2"),
+        col("cents").as("cents2"), col("c").as("c2"),
+        expr("cents div 50").as("bucket"))
+      val cross = left.join(right,
+          left("event_type") === right("t2") &&
+          left("bucket") === right("bucket") &&
+          right("cents2") > left("cents") &&
+          right("cents2") - left("cents") <= 50)
+        .select(col("event_type"), (col("c") * col("c2")).as("n"),
+          (col("cents2") - col("cents")).as("gap"))
+      val same = v.filter(col("c") >= 2)
+        .select(col("event_type"),
+          expr("c * (c - 1) div 2").as("n"), lit(0L).as("gap"))
+      cross.unionAll(same)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_pairs"),
+          sum(col("n") * col("gap")).as("sum_gap"),
+          max(col("gap")).as("max_gap"))
+        .orderBy(col("event_type"))
+    }),
+
     // equi-depth (decile) binning per event type — the feature-binning
     // twin of the fixed-width agg_histogram: ntile(10) over the
     // deterministic (cents, event_id) order, per-bin count and value
@@ -502,6 +542,19 @@ object EventQueries {
         |  CAST(sum(v) AS BIGINT) // count(*) AS wmean_cents
         |FROM clipped GROUP BY event_type, p5c, p95c
         |ORDER BY event_type""".stripMargin,
+    "join_band_eps" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT event_type, event_id, cents, cents // 50 + d.d AS bucket
+        |  FROM e, LATERAL unnest([-1, 0, 1]) AS d(d)),
+        |p AS (SELECT l.event_type, abs(l.cents - r.cents) AS gap
+        |  FROM l JOIN e r ON r.event_type = l.event_type
+        |    AND r.cents // 50 = l.bucket
+        |    AND l.event_id < r.event_id
+        |    AND abs(l.cents - r.cents) <= 50)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  CAST(sum(gap) AS BIGINT) AS sum_gap, max(gap) AS max_gap
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_equidepth_bins" ->
       """WITH e AS (SELECT event_type, event_id,
         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),

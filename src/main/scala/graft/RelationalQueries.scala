@@ -929,6 +929,30 @@ object RelationalQueries {
         .orderBy(col("column_name"))
     }),
 
+    // smoothed target (mean) encoding: per market segment, the
+    // Laplace-smoothed mean order value enc = (seg_sum + m·global_mean)
+    // / (seg_n + m) with m = 100 — the leakage-resistant categorical
+    // feature a training pipeline derives from a label column. All
+    // integer cents with truncating div (values non-negative); the
+    // global mean is one broadcast singleton
+    "stats_target_encoding" -> ((s, dir) => {
+      val oc = Tables.orders(s, dir).select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val seg = oc.join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("seg_n"), sum(col("cents")).as("seg_sum"))
+      val global = oc.agg(
+        expr("sum(cents) div count(1)").as("gm_cents"))
+      seg.crossJoin(broadcast(global))
+        .select(col("c_mktsegment"), col("seg_n"), col("seg_sum"),
+          col("gm_cents"),
+          expr("(seg_sum + 100 * gm_cents) div (seg_n + 100)")
+            .as("enc_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Referential-integrity audit: per FK relationship, total child
     // rows, orphan rows/keys (child keys with no parent), and the
     // orphan rate in ppm — the constraint check a warehouse runs after
@@ -1523,6 +1547,17 @@ object RelationalQueries {
         |UNION ALL SELECT 'l_shipdate_s', n, n - d_nn, d_ndv, d_min, d_max FROM s
         |UNION ALL SELECT 'l_returnflag_ascii', n, n - f_nn, f_ndv, f_min, f_max FROM s
         |ORDER BY column_name""".stripMargin,
+    "stats_target_encoding" ->
+      """WITH oc AS (SELECT o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT CAST(sum(cents) AS BIGINT) // count(*) AS gm_cents FROM oc),
+        |seg AS (SELECT c_mktsegment, count(*) AS seg_n,
+        |    CAST(sum(cents) AS BIGINT) AS seg_sum
+        |  FROM oc JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, seg_n, seg_sum, gm_cents,
+        |  (seg_sum + 100 * gm_cents) // (seg_n + 100) AS enc_cents
+        |FROM seg CROSS JOIN g ORDER BY c_mktsegment""".stripMargin,
     "dq_referential_audit" ->
       """WITH a AS (
         |  SELECT 'customer.c_nationkey->nation' AS relationship,

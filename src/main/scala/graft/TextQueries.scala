@@ -822,6 +822,25 @@ object TextQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // hashing-trick vectorizer (signed feature hashing): token →
+    // md5-portable bucket in [0,64), ±1 sign from the next hex digit's
+    // parity (the debiasing trick of Weinberger et al.) — the fixed-
+    // width bag-of-words a training pipeline feeds a linear model when
+    // the vocabulary is unbounded. Narrow per-doc work, no corpus state
+    "text_feature_hash" -> ((s, dir) => {
+      val tok = TextOps.tokens(col("text"))
+      Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(tok).as("token"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long") % 64)
+            .as("bucket"),
+          when(conv(substring(md5(col("token")), 5, 1), 16, 10)
+              .cast("long") % 2 === 0, 1L).otherwise(-1L).as("sign"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("sign")).as("feat"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     "text_distinctive_terms" -> ((s, dir) => {
       TextOps.distinctiveTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rk"))
@@ -1588,6 +1607,20 @@ object TextQueries {
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           |SELECT doc_id, ${OracleSql.quality("toks")} AS quality
           |FROM t ORDER BY doc_id""".stripMargin,
+      "text_feature_hash" ->
+        s"""WITH tok AS (
+          |  SELECT doc_id, t.token AS token
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)
+          |  WHERE doc_id < 20),
+          |h AS (SELECT doc_id,
+          |    ('0x' || substr(md5(token), 1, 4))::BIGINT % 64 AS bucket,
+          |    CASE WHEN ('0x' || substr(md5(token), 5, 1))::BIGINT % 2 = 0
+          |      THEN 1 ELSE -1 END AS sign
+          |  FROM tok)
+          |SELECT doc_id, bucket, count(*) AS n_tokens,
+          |  CAST(sum(sign) AS BIGINT) AS feat
+          |FROM h GROUP BY doc_id, bucket
+          |ORDER BY doc_id, bucket""".stripMargin,
       "text_doc_sim" ->
         s"""WITH tf AS MATERIALIZED (
           |  SELECT doc_id, t.token AS token, count(*)::BIGINT AS tf

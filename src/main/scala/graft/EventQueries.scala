@@ -10,6 +10,11 @@ import graft.operators.EventOps
   * integer-µs window math for oracle parity. */
 object EventQueries {
 
+  /** PSI reference/current cut: 2024-01-16T00:00:00Z in µs — the
+    * midpoint of the fixture's one-month event span, so both halves
+    * are dense at every scale factor. */
+  private val psiCutUs = 1705363200000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // JSON property extraction (the `data jsonb` access pattern)
@@ -188,6 +193,75 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum(col("clipped")).as("clipped_sum"))
         .select(col("event_type"), col("p5c"), col("p95c"), col("n"),
           col("clipped_sum"), expr("clipped_sum div n").as("wmean_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // robust anomaly detection via MAD (median absolute deviation):
+    // the outlier rule that survives the outliers themselves — median
+    // and MAD are 50%-breakdown estimators where mean/std (the zscore
+    // twin) are 0%. Exact interpolated medians floor-quantized to
+    // cents; two grouped passes plus one broadcast-join count pass
+    "events_anomaly_mad" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val med = e.groupBy(col("event_type"))
+        .agg(floor(expr("percentile(cents, 0.5)")).cast("long").as("med"))
+      val dev = e.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          abs(col("cents") - col("med")).as("absdev"))
+      val mad = dev.groupBy(col("event_type"), col("med"))
+        .agg(floor(expr("percentile(absdev, 0.5)")).cast("long").as("mad"),
+          max(col("absdev")).as("max_absdev"))
+      dev.join(broadcast(mad.select(col("event_type").as("t2"), col("mad"))),
+          col("event_type") === col("t2"))
+        .groupBy(col("event_type"))
+        .agg(count(when(col("absdev") > lit(3) * col("mad"), 1)).as("n_anom"))
+        .join(mad, Seq("event_type"))
+        .select(col("event_type"), col("med"), col("mad"), col("n_anom"),
+          col("max_absdev"))
+        .orderBy(col("event_type"))
+    }),
+
+    // PSI distribution-drift monitor: population stability index of
+    // the value distribution, second half of the month vs first, per
+    // event type — THE production drift metric behind retrain triggers.
+    // Decile edges come from the reference half (floor-quantized cents,
+    // so bucket assignment is pure integer compares); each PSI term is
+    // (p−q)·ln(p/q) computed as an all-integer product with the ln
+    // quantized to ppm — (n1·N2 − n2·N1) and ln(ratio) always share
+    // sign, so the truncating div equals floor and terms are ≥ 0 on
+    // both engines
+    "stats_psi_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (expr("ts div 1000") < lit(psiCutUs)).as("is_ref"))
+      val ref = e.filter(col("is_ref"))
+      val cutExprs = (1 to 9).map(i =>
+        floor(expr(s"percentile(cents, 0.$i)")).cast("long").as(s"c$i"))
+      val cuts = ref.groupBy(col("event_type"))
+        .agg(cutExprs.head, cutExprs.tail: _*)
+      val bucket = (1 to 9).map(i =>
+        when(col("cents") >= col(s"c$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val counted = e.join(broadcast(cuts), Seq("event_type"))
+        .select(col("event_type"), col("is_ref"), bucket.as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(when(col("is_ref"), 1)).as("n1"),
+          count(when(!col("is_ref"), 1)).as("n2"))
+      val totals = counted.groupBy(col("event_type"))
+        .agg(sum(col("n1")).as("big_n1"), sum(col("n2")).as("big_n2"))
+      counted.join(totals, Seq("event_type"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+        .select(col("event_type"), col("big_n1"), col("big_n2"),
+          (col("n1") * col("big_n2") - col("n2") * col("big_n1")).as("diff"),
+          floor(lit(1000000.0) *
+            log((col("n1") * col("big_n2")).cast("double") /
+                (col("n2") * col("big_n1")).cast("double")))
+            .cast("long").as("ln_ppm"))
+        .groupBy(col("event_type"), col("big_n1"), col("big_n2"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("diff * ln_ppm div (big_n1 * big_n2)")).as("psi_ppm"))
+        .select(col("event_type"), col("big_n1").as("n_ref"),
+          col("big_n2").as("n_cur"), col("n_buckets"), col("psi_ppm"))
         .orderBy(col("event_type"))
     }),
 
@@ -542,6 +616,57 @@ object EventQueries {
         |  CAST(sum(v) AS BIGINT) // count(*) AS wmean_cents
         |FROM clipped GROUP BY event_type, p5c, p95c
         |ORDER BY event_type""".stripMargin,
+    "events_anomaly_mad" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |med AS (SELECT event_type,
+        |  CAST(floor(quantile_cont(cents, 0.5)) AS BIGINT) AS med
+        |  FROM e GROUP BY event_type),
+        |dev AS (SELECT e.event_type, m.med, abs(e.cents - m.med) AS absdev
+        |  FROM e JOIN med m ON m.event_type = e.event_type),
+        |mad AS (SELECT event_type, med,
+        |    CAST(floor(quantile_cont(absdev, 0.5)) AS BIGINT) AS mad,
+        |    max(absdev) AS max_absdev
+        |  FROM dev GROUP BY event_type, med)
+        |SELECT d.event_type, m.med, m.mad,
+        |  count(*) FILTER (d.absdev > 3 * m.mad) AS n_anom, m.max_absdev
+        |FROM dev d JOIN mad m ON m.event_type = d.event_type
+        |GROUP BY d.event_type, m.med, m.mad, m.max_absdev
+        |ORDER BY d.event_type""".stripMargin,
+    "stats_psi_drift" -> {
+      val cutCols = (1 to 9).map(i =>
+        s"CAST(floor(quantile_cont(cents, 0.$i)) AS BIGINT) AS c$i")
+        .mkString(",\n        |    ")
+      val bucketSum = (1 to 9).map(i =>
+        s"CASE WHEN cents >= c$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  (epoch_us(ts) < 1705363200000000) AS is_ref FROM events),
+        |cuts AS (SELECT event_type,
+        |    $cutCols
+        |  FROM e WHERE is_ref GROUP BY event_type),
+        |counted AS (
+        |  SELECT e.event_type, $bucketSum AS bucket,
+        |    count(*) FILTER (is_ref)::BIGINT AS n1,
+        |    count(*) FILTER (NOT is_ref)::BIGINT AS n2
+        |  FROM e JOIN cuts c ON c.event_type = e.event_type
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n1) AS BIGINT) AS big_n1,
+        |    CAST(sum(n2) AS BIGINT) AS big_n2
+        |  FROM counted GROUP BY event_type),
+        |terms AS (SELECT c.event_type, t.big_n1, t.big_n2,
+        |    c.n1 * t.big_n2 - c.n2 * t.big_n1 AS diff,
+        |    CAST(floor(1000000.0 * ln(
+        |      CAST(c.n1 * t.big_n2 AS DOUBLE) /
+        |      CAST(c.n2 * t.big_n1 AS DOUBLE))) AS BIGINT) AS ln_ppm
+        |  FROM counted c JOIN tot t ON t.event_type = c.event_type
+        |  WHERE c.n1 > 0 AND c.n2 > 0)
+        |SELECT event_type, big_n1 AS n_ref, big_n2 AS n_cur,
+        |  count(*) AS n_buckets,
+        |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT) AS psi_ppm
+        |FROM terms GROUP BY event_type, big_n1, big_n2
+        |ORDER BY event_type""".stripMargin
+    },
     "join_band_eps" ->
       """WITH e AS (SELECT event_type, event_id,
         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -929,6 +929,31 @@ object RelationalQueries {
         .orderBy(col("column_name"))
     }),
 
+    // join-key skew audit: the planning telemetry behind the salting /
+    // AQE-skew decisions — per candidate shuffle key: rows, NDV, the
+    // top-1 and top-10 key shares (ppm) and max/avg ratio. One grouped
+    // count per key plus a distributed top-10 (TakeOrderedAndProject);
+    // nothing driver-side beyond the two singleton aggregates
+    "stats_skew_audit" -> ((s, dir) => {
+      def audit(name: String, df: DataFrame, key: String) = {
+        val c = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        val tot = c.agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("ndv"), max(col("cnt")).as("top1_n"))
+        val top10 = c.orderBy(col("cnt").desc, col(key))
+          .limit(10).agg(sum(col("cnt")).as("top10_n"))
+        tot.crossJoin(top10)
+          .select(lit(name).as("key_name"), col("n_rows"), col("ndv"),
+            col("top1_n"), col("top10_n"),
+            expr("top1_n * 1000000 div n_rows").as("top1_ppm"),
+            expr("top10_n * 1000000 div n_rows").as("top10_ppm"),
+            expr("top1_n * ndv * 1000000 div n_rows").as("max_avg_ppm"))
+      }
+      audit("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey")
+        .unionAll(audit("orders.o_custkey", Tables.orders(s, dir), "o_custkey"))
+        .unionAll(audit("events.user_id", Tables.events(s, dir), "user_id"))
+        .orderBy(col("key_name"))
+    }),
+
     // smoothed target (mean) encoding: per market segment, the
     // Laplace-smoothed mean order value enc = (seg_sum + m·global_mean)
     // / (seg_n + m) with m = 100 — the leakage-resistant categorical
@@ -1547,6 +1572,27 @@ object RelationalQueries {
         |UNION ALL SELECT 'l_shipdate_s', n, n - d_nn, d_ndv, d_min, d_max FROM s
         |UNION ALL SELECT 'l_returnflag_ascii', n, n - f_nn, f_ndv, f_min, f_max FROM s
         |ORDER BY column_name""".stripMargin,
+    "stats_skew_audit" -> {
+      def one(name: String, rel: String, key: String) =
+        s"""SELECT '$name' AS key_name, n_rows, ndv, top1_n, top10_n,
+          |  top1_n * 1000000 // n_rows AS top1_ppm,
+          |  top10_n * 1000000 // n_rows AS top10_ppm,
+          |  top1_n * ndv * 1000000 // n_rows AS max_avg_ppm
+          |FROM (
+          |  SELECT (SELECT count(*) FROM $rel)::BIGINT AS n_rows,
+          |    (SELECT count(DISTINCT $key) FROM $rel)::BIGINT AS ndv,
+          |    (SELECT max(cnt) FROM
+          |      (SELECT count(*) AS cnt FROM $rel GROUP BY $key))::BIGINT AS top1_n,
+          |    (SELECT sum(cnt) FROM
+          |      (SELECT count(*) AS cnt FROM $rel GROUP BY $key
+          |       ORDER BY cnt DESC, $key LIMIT 10))::BIGINT AS top10_n)""".stripMargin
+      s"""${one("lineitem.l_suppkey", "lineitem", "l_suppkey")}
+        |UNION ALL
+        |${one("orders.o_custkey", "orders", "o_custkey")}
+        |UNION ALL
+        |${one("events.user_id", "events", "user_id")}
+        |ORDER BY key_name""".stripMargin
+    },
     "stats_target_encoding" ->
       """WITH oc AS (SELECT o_custkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),

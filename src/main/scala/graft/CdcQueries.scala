@@ -86,6 +86,21 @@ object CdcQueries {
     // O7 drain page: processed=false ORDER BY id LIMIT 1000
     "cdc_drain_page" -> ((s, dir) =>
       CdcOps.drainPage(eventQueue(s, dir), 1000).orderBy(col("id"))),
+    // keyset-cursor drain: page 2 of the queue via `id > cursor`
+    // (cursor = last id of page 1, an in-plan broadcast singleton) —
+    // OFFSET paging re-sorts and discards every prior page; the keyset
+    // predicate prunes at the scan and stays O(page) per page at 100 TB
+    "cdc_drain_keyset" -> ((s, dir) => {
+      val q = eventQueue(s, dir)
+      // page size 500 (not the O7 default 1000) so page 2 is non-empty
+      // even at the sf0.001 fixture's ~800 unprocessed events
+      val cursor = CdcOps.drainPage(q, 500)
+        .agg(max(col("id")).as("cursor"))
+      CdcOps.drainKeyset(q, cursor, 500)
+        .select(col("id"), col("external_id"), col("statement"),
+          col("cursor"))
+        .orderBy(col("id"))
+    }),
     // O8 page count: ceil(unprocessed/1000)
     "cdc_page_count" -> ((s, dir) => CdcOps.pageCount(eventQueue(s, dir), 1000)),
     // O9 ack as anti-join: queue minus delivered ids
@@ -357,6 +372,14 @@ object CdcQueries {
     "cdc_drain_page" ->
       s"""WITH q AS ($eventQueueSql)
         |SELECT * FROM q WHERE NOT processed ORDER BY id ASC LIMIT 1000""".stripMargin,
+    "cdc_drain_keyset" ->
+      s"""WITH q AS ($eventQueueSql),
+        |p1 AS (SELECT id FROM q WHERE NOT processed ORDER BY id LIMIT 500),
+        |cur AS (SELECT max(id) AS cursor FROM p1)
+        |SELECT id, external_id, statement, cursor
+        |FROM q CROSS JOIN cur
+        |WHERE NOT processed AND id > cursor
+        |ORDER BY id LIMIT 500""".stripMargin,
     "cdc_page_count" ->
       s"""WITH q AS ($eventQueueSql)
         |SELECT CAST(ceil(count(*) / 1000.0) AS BIGINT) AS page_count

@@ -31,7 +31,13 @@ object GraphQueries {
         .orderBy(col("rank_ppb").desc, col("node")).limit(50)),
     // exact triangle enumeration on the backbone
     "graph_triangles" -> ((s, dir) =>
-      GraphOps.triangles(s, dir).orderBy(col("a"), col("b"), col("c"))))
+      GraphOps.triangles(s, dir).orderBy(col("a"), col("b"), col("c"))),
+    // 4-round min-label propagation: per-node component label (the
+    // full label table is the gate — one histogram row would hide
+    // every mis-propagated node)
+    "graph_components_lp" -> ((s, dir) =>
+      GraphOps.labelPropagation(s, dir, rounds = 4)
+        .orderBy(col("node"))))
 
   def oracle: Map[String, String] = Map(
     "graph_degree" ->
@@ -69,6 +75,20 @@ object GraphQueries {
         |  GROUP BY s.dst)
         |SELECT node, r AS rank_ppb FROM r3
         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin,
+    "graph_components_lp" -> {
+      def round(k: Int) =
+        s"""l$k AS MATERIALIZED (
+          |  SELECT l.node AS node, least(l.lab, min(p.lab)) AS lab
+          |  FROM l${k - 1} l JOIN sym s ON s.dst = l.node
+          |  JOIN l${k - 1} p ON p.node = s.src
+          |  GROUP BY l.node, l.lab)"""
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM backbone UNION ALL SELECT dst, src FROM backbone),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym),
+        |${(1 to 4).map(round).mkString(",\n")}
+        |SELECT node, lab FROM l4 ORDER BY node""".stripMargin
+    },
     "graph_triangles" ->
       s"""WITH backbone AS MATERIALIZED ($backboneSql)
         |SELECT e1.src AS a, e1.dst AS b, e2.dst AS c

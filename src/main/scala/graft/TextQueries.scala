@@ -822,6 +822,21 @@ object TextQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // keyword-in-context snippet extraction (the serving tail of every
+    // search stack): first-occurrence position of the query term, ±30
+    // chars of context, first 10 matching docs — narrow per-row string
+    // ops and a distributed TakeOrdered; character-based substring/
+    // locate semantics agree across engines on UTF-8
+    "text_search_snippet" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .withColumn("pos", locate("spark", col("t")).cast("long"))
+        .filter(col("pos") > 0)
+        .orderBy(col("doc_id")).limit(10)
+        .select(col("doc_id"), col("pos"),
+          expr("substring(t, greatest(1L, pos - 30), 80)").as("snippet"))
+    }),
+
     // hashing-trick vectorizer (signed feature hashing): token →
     // md5-portable bucket in [0,64), ±1 sign from the next hex digit's
     // parity (the debiasing trick of Weinberger et al.) — the fixed-
@@ -1607,6 +1622,14 @@ object TextQueries {
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           |SELECT doc_id, ${OracleSql.quality("toks")} AS quality
           |FROM t ORDER BY doc_id""".stripMargin,
+      "text_search_snippet" ->
+        """WITH m AS (
+          |  SELECT doc_id, lower(text) AS t,
+          |    CAST(strpos(lower(text), 'spark') AS BIGINT) AS pos
+          |  FROM documents)
+          |SELECT doc_id, pos,
+          |  substring(t, greatest(1, pos - 30), 80) AS snippet
+          |FROM m WHERE pos > 0 ORDER BY doc_id LIMIT 10""".stripMargin,
       "text_feature_hash" ->
         s"""WITH tok AS (
           |  SELECT doc_id, t.token AS token

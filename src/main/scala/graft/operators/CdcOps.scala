@@ -174,6 +174,18 @@ object CdcOps {
   def drainPage(queue: DataFrame, pageSize: Int = 1000): DataFrame =
     queue.filter(!col("processed")).orderBy(col("id").asc).limit(pageSize)
 
+  /** Keyset-cursor drain — the scale-right successor to the reference's
+    * OFFSET-free LIMIT paging (`eventqueue/event_queue.go:29-33` pages
+    * by repeated drain+ack): page N+1 filters `id > cursor` (a
+    * predicate the scan prunes on) instead of sorting and discarding N
+    * pages. `cursorDf` is a 1-row frame (e.g. max id of the previous
+    * page) broadcast into the filter. */
+  def drainKeyset(queue: DataFrame, cursorDf: DataFrame,
+      pageSize: Int = 1000): DataFrame =
+    queue.crossJoin(broadcast(cursorDf))
+      .filter(!col("processed") && col("id") > col("cursor"))
+      .orderBy(col("id").asc).limit(pageSize)
+
   /** O8 — page-count aggregation (`eventqueue/event_queue.go:29-33,108-117`):
     * ceil(unprocessed / pageSize). Returns a 1-row DataFrame. */
   def pageCount(queue: DataFrame, pageSize: Int = 1000): DataFrame =

@@ -121,6 +121,29 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_ppb"))
   }
 
+  /** Min-label propagation over the backbone, `rounds` synchronous
+    * rounds: lab₀(v) = v, lab_k+1(v) = min(lab_k(v), min over neighbors
+    * lab_k(u)). After enough rounds this is connected components; we
+    * gate the deterministic K-round state (converged iff every
+    * component's diameter ≤ K — the reported label histogram makes the
+    * convergence level observable). Same Pregel layout as [[pageRank]]:
+    * one edge-keyed shuffle per round, no collect, no rank broadcast —
+    * the standard large-graph CC loop at 1000 executors. */
+  def labelPropagation(spark: SparkSession, sfDir: String,
+      rounds: Int): DataFrame = {
+    var lab = symmetric(backbone(spark, sfDir))
+      .select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = symmetric(backbone(spark, sfDir)).as("e")
+        .join(lab.as("l"), col("e.src") === col("l.node"))
+        .groupBy(col("e.dst").as("node")).agg(min(col("lab")).as("nl"))
+      lab = lab.join(nbrMin, Seq("node"))
+        .select(col("node"), least(col("lab"), col("nl")).as("lab"))
+    }
+    lab
+  }
+
   /** Triangle enumeration on the backbone: the canonical a<b<c wedge
     * join — e1(a,b) ⋈ e2(b,c) closed by e3(a,c). The ordering
     * constraint (src < dst everywhere) enumerates each triangle exactly

@@ -1169,6 +1169,36 @@ object SimilarityQueries {
       recallAudit(emb, VectorOps.binaryTopK(querySet(emb), emb, k = recallK))
     }),
 
+    // per-dimension corpus profile (PCA-lite diagnostics): mean,
+    // variance, range of every embedding dimension — the report that
+    // tells you which dims carry signal before quantizing/pruning them.
+    // Each float is ppm-quantized FIRST (float→double widening and
+    // floor are exact both engines), so all sums are integer and
+    // order-independent — never sum raw floats across a shuffle
+    "sim_dim_stats" -> ((s, dir) => {
+      // +1e6 ppm offset keeps every quantized value (range ±0.58) and
+      // every sum NON-NEGATIVE, so Spark's truncating div and DuckDB's
+      // floor div agree (the r14 div-convention trap); the offset is
+      // subtracted back exactly for min/max/mean, and variance is
+      // shift-invariant
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          (floor(col("x").cast("double") * lit(1000000.0)).cast("long") +
+            lit(1000000L)).as("xq"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), min(col("xq")).as("min_q"),
+          max(col("xq")).as("max_q"), sum(col("xq")).as("sum_q"),
+          sum(col("xq") * col("xq")).as("sumsq"))
+        .select(col("dim"), col("n"),
+          (col("min_q") - 1000000L).as("min_ppm"),
+          (col("max_q") - 1000000L).as("max_ppm"),
+          (expr("sum_q div n") - 1000000L).as("mean_ppm"),
+          expr("sumsq div n - (sum_q div n) * (sum_q div n)")
+            .as("var_ppm2"))
+        .orderBy(col("dim"))
+    }),
+
     // rank-AWARE eval of the binary ranking (nDCG@10 + MRR) against
     // exact-cosine truth: recall counts hits, this prices WHERE they
     // land. Graded relevance rel = 11 - true_rank; the 1/log2(i+1)
@@ -3220,6 +3250,23 @@ object SimilarityQueries {
     "sim_ann_ivfpq" -> ivfPqOracleSql,
     "sim_ann_ivfpq_indexed" -> ivfPqOracleSql,
     "sim_ann_binary" -> binaryOracleSql,
+    "sim_dim_stats" ->
+      """WITH ex AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT dim,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      + 1000000 AS xq
+        |  FROM ex)
+        |SELECT dim, count(*) AS n,
+        |  min(xq) - 1000000 AS min_ppm, max(xq) - 1000000 AS max_ppm,
+        |  CAST(sum(xq) AS BIGINT) // count(*) - 1000000 AS mean_ppm,
+        |  CAST(sum(xq * xq) AS BIGINT) // count(*)
+        |    - (CAST(sum(xq) AS BIGINT) // count(*))
+        |      * (CAST(sum(xq) AS BIGINT) // count(*)) AS var_ppm2
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
     "sim_eval_rank_quality" ->
       s"""WITH $binaryCtes,
         |sys AS (SELECT query_id, neighbor_id, rk_sys FROM (

@@ -822,6 +822,32 @@ object TextQueries {
         .orderBy(col("q_id"), col("rk"))
     }),
 
+    // Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    // the top-100 vocabulary — the corpus-health diagnostic (natural
+    // text ≈ −1; synthetic/templated corpora flatten). Both logs are
+    // milli-quantized (1e3 — ppm would overflow the ×1e6 slope scale),
+    // and the slope is computed on the NEGATED numerator so the
+    // truncating-vs-floor div convention never sees a negative quotient
+    "text_zipf_fit" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("token"))
+      tok.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 100)
+        .select(
+          floor(lit(1000.0) * log(col("rank").cast("double")))
+            .cast("long").as("x"),
+          floor(lit(1000.0) * log(col("freq").cast("double")))
+            .cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+          (-expr("(sx * sy - n * sxy) * 1000000 div (n * sxx - sx * sx)"))
+            .as("slope_ppm"))
+    }),
+
     // keyword-in-context snippet extraction (the serving tail of every
     // search stack): first-occurrence position of the query term, ±30
     // chars of context, first 10 matching docs — narrow per-row string
@@ -1622,6 +1648,23 @@ object TextQueries {
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           |SELECT doc_id, ${OracleSql.quality("toks")} AS quality
           |FROM t ORDER BY doc_id""".stripMargin,
+      "text_zipf_fit" ->
+        s"""WITH f AS (
+          |  SELECT t.token AS token, count(*)::BIGINT AS freq
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)
+          |  GROUP BY 1),
+          |r AS (SELECT freq, CAST(row_number() OVER
+          |    (ORDER BY freq DESC, token) AS BIGINT) AS rank FROM f),
+          |xy AS (SELECT
+          |    CAST(floor(1000.0 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+          |    CAST(floor(1000.0 * ln(CAST(freq AS DOUBLE))) AS BIGINT) AS y
+          |  FROM r WHERE rank <= 100),
+          |s AS (SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx,
+          |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+          |    CAST(sum(x * x) AS BIGINT) AS sxx FROM xy)
+          |SELECT n, sx, sy, sxy, sxx,
+          |  -((sx * sy - n * sxy) * 1000000 // (n * sxx - sx * sx)) AS slope_ppm
+          |FROM s""".stripMargin,
       "text_search_snippet" ->
         """WITH m AS (
           |  SELECT doc_id, lower(text) AS t,

@@ -179,7 +179,10 @@ object CdcOps {
     * by repeated drain+ack): page N+1 filters `id > cursor` (a
     * predicate the scan prunes on) instead of sorting and discarding N
     * pages. `cursorDf` is a 1-row frame (e.g. max id of the previous
-    * page) broadcast into the filter. */
+    * page) broadcast into the filter. With a literal cursor (the usual
+    * API-server case) the predicate pushes into the scan; this in-plan
+    * broadcast form evaluates it post-scan but still never sorts or
+    * materializes the earlier pages. */
   def drainKeyset(queue: DataFrame, cursorDf: DataFrame,
       pageSize: Int = 1000): DataFrame =
     queue.crossJoin(broadcast(cursorDf))

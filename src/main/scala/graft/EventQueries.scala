@@ -196,6 +196,25 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // gaps-and-islands: longest run of CONSECUTIVE active days per
+    // user via the classic day − row_number() island key (consecutive
+    // days share it, any gap starts a new island) — all-integer, one
+    // distinct + one user-keyed window + two grouped aggs
+    "events_streaks" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_islands"), max(col("len")).as("max_streak"))
+        .orderBy(col("user_id"))
+    }),
+
     // robust anomaly detection via MAD (median absolute deviation):
     // the outlier rule that survives the outliers themselves — median
     // and MAD are 50%-breakdown estimators where mean/std (the zscore
@@ -616,6 +635,15 @@ object EventQueries {
         |  CAST(sum(v) AS BIGINT) // count(*) AS wmean_cents
         |FROM clipped GROUP BY event_type, p5c, p95c
         |ORDER BY event_type""".stripMargin,
+    "events_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day, day - row_number() OVER
+        |  (PARTITION BY user_id ORDER BY day) AS island FROM d),
+        |g AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_islands, max(len) AS max_streak
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_anomaly_mad" ->
       """WITH e AS (SELECT event_type,
         |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -22,6 +22,27 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // dataset card: the per-(lang, source) manifest a curated corpus
+    // ships with — doc counts, char/token volume, and the exact-dup
+    // rate (md5 NDV) in ppm. One grouped pass over the corpus; the
+    // token count is the narrow per-row tokenizer, never collected
+    "pipeline_dataset_card" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(col("text")).as("h"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("h")).as("distinct_texts"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_chars"), col("total_tokens"), col("distinct_texts"),
+          expr("(n_docs - distinct_texts) * 1000000 div n_docs")
+            .as("dup_ppm"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     "pipeline_stratified_sample" -> ((s, dir) => {
       PipelineOps.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
           ratesPercent = Map("en" -> 20, "de" -> 50), defaultPercent = 80)
@@ -199,6 +220,19 @@ object PipelineQueries {
     }))
 
   def oracle: Map[String, String] = Map(
+    "pipeline_dataset_card" ->
+      s"""WITH d AS (SELECT lang, source, n_chars,
+        |  CAST(len($toksSql) AS BIGINT) AS n_tokens, md5(text) AS h
+        |  FROM documents),
+        |g AS (SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    count(DISTINCT h) AS distinct_texts
+        |  FROM d GROUP BY lang, source)
+        |SELECT lang, source, n_docs, total_chars, total_tokens,
+        |  distinct_texts,
+        |  (n_docs - distinct_texts) * 1000000 // n_docs AS dup_ppm
+        |FROM g ORDER BY lang, source""".stripMargin,
     "pipeline_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${bucketSql("doc_id")} <

@@ -130,6 +130,16 @@ object MultimodalQueries {
         .toDF().orderBy(col("media_id"))
     }),
 
+    // REAL audio downsample (resizeImages' audio twin): decode →
+    // unsigned pair-average decimation by 2 → re-encode at 4 kHz →
+    // decode again; stats from the re-decoded signal, roundtrip bit
+    // gated, oracle folds the closed-form pair averages
+    "mm_audio_downsample" -> ((s, dir) => {
+      Multimodal.downsampleAudio(
+          Multimodal.syntheticAudio(Tables.documents(s, dir)))
+        .toDF().orderBy(col("media_id"))
+    }),
+
     // REAL perceptual audio hash: 64 unsigned samples on the fixed
     // grid t = ⌊k·n/64⌋, floor-mean threshold, 64 bits in two BIGINT
     // halves — every bit recomputed analytically by the oracle
@@ -334,6 +344,22 @@ object MultimodalQueries {
         |      THEN 1 ELSE 0 END))::BIGINT AS zero_crossings,
         |  ${ampHist(0)}, ${ampHist(1)}, ${ampHist(2)}, ${ampHist(3)}
         |FROM m ORDER BY media_id""".stripMargin,
+    "mm_audio_downsample" -> {
+      // closed-form downsampled frame: unsigned pair average, floored
+      val d = s"((${usamp("2*k", "media_id")} + ${usamp("2*k+1", "media_id")}) // 2 - 32768)"
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, 128 + doc_id % 137 AS n,
+        |    (128 + doc_id % 137) // 2 AS nout FROM documents)
+        |SELECT media_id, n::BIGINT AS n_in, nout::BIGINT AS n_out,
+        |  4000 AS sample_rate,
+        |  list_sum(list_transform(range(0, nout), k -> $d))::BIGINT AS sum_out,
+        |  list_sum(list_transform(range(0, nout),
+        |    k -> abs($d)))::BIGINT AS sum_abs_out,
+        |  list_max(list_transform(range(0, nout),
+        |    k -> abs($d)))::BIGINT AS peak_abs_out,
+        |  true AS roundtrip_ok
+        |FROM m ORDER BY media_id""".stripMargin
+    },
     "mm_audio_hash" ->
       s"""WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
         |$audioHashCtes

@@ -293,10 +293,19 @@ object Multimodal {
     * loudly rather than round-tripping. */
   def encodeSyntheticWav(id: Long): Array[Byte] = {
     val n = audioLen(id)
-    val dataBytes = n * 2
+    val samples = new Array[Int](n)
+    var t = 0
+    while (t < n) { samples(t) = sampleValue(t, id); t += 1 }
+    encodeWavPcm16(samples, sampleRate = 8000)
+  }
+
+  /** Hand-built RIFF container (44-byte canonical header) around 16-bit
+    * little-endian mono PCM — shared by the synthetic corpus writer and
+    * the downsample re-encode. */
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataBytes = samples.length * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val sampleRate = 8000
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
@@ -308,7 +317,7 @@ object Multimodal {
       .putShort(16.toShort)              // bits per sample
       .put("data".getBytes("US-ASCII")).putInt(dataBytes)
     var t = 0
-    while (t < n) { bb.putShort(sampleValue(t, id).toShort); t += 1 }
+    while (t < samples.length) { bb.putShort(samples(t).toShort); t += 1 }
     bb.array()
   }
 
@@ -372,6 +381,74 @@ object Multimodal {
         AudioFeatures(r.media_id, r.media_type, n.toLong,
           fmt.getSampleRate.toInt, sum, sabs, peak, zc,
           hist(0), hist(1), hist(2), hist(3))
+      }
+    }
+  }
+
+  /** Parse a mono PCM16LE WAV through the real `javax.sound.sampled`
+    * pipeline → (sample rate, signed samples). */
+  private def parsePcm16(media: Array[Byte], mediaId: Long): (Int, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(media))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian,
+      s"unexpected WAV layout for media $mediaId: $fmt")
+    val pcm = ais.readAllBytes()
+    val out = new Array[Int](pcm.length / 2)
+    var t = 0
+    while (t < out.length) {
+      out(t) = ((pcm(2 * t) & 0xff) | (pcm(2 * t + 1) << 8)).toShort.toInt
+      t += 1
+    }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** Downsampled-audio report — [[resizeImages]]' audio twin: every
+    * field integer-exact, plus the encode-roundtrip proof bit. */
+  case class AudioDownsample(media_id: Long, n_in: Long, n_out: Long,
+      sample_rate: Int, sum_out: Long, sum_abs_out: Long,
+      peak_abs_out: Long, roundtrip_ok: Boolean)
+
+  /** REAL audio downsample: decode (javax.sound.sampled) → decimate by
+    * 2 with pair-averaging in the UNSIGNED domain (u = v + 32768, so
+    * the floor-div of a non-negative sum is engine-portable; an odd
+    * tail sample is dropped) → re-encode at half the rate through the
+    * same RIFF writer → decode AGAIN and compare, proving the encode
+    * round-trips bit-for-bit. Stats come from the re-decoded signal,
+    * so the gate covers the full encode→decode→transform→encode→decode
+    * chain. Narrow mapPartitions, blobs pruned before this stage — the
+    * same scan-bound 100 TB shape as [[decodeImages]]. */
+  def downsampleAudio(media: Dataset[MediaRow]): Dataset[AudioDownsample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, in) = parsePcm16(r.media, r.media_id)
+        val m = in.length / 2
+        val down = new Array[Int](m)
+        var k = 0
+        while (k < m) {
+          val u = (in(2 * k) + 32768) + (in(2 * k + 1) + 32768)
+          down(k) = u / 2 - 32768
+          k += 1
+        }
+        val reenc = encodeWavPcm16(down, rate / 2)
+        val (rate2, back) = parsePcm16(reenc, r.media_id)
+        var sum = 0L; var sabs = 0L; var peak = 0L
+        var t = 0
+        while (t < back.length) {
+          val v = back(t)
+          sum += v
+          val a = math.abs(v.toLong)
+          sabs += a
+          if (a > peak) peak = a
+          t += 1
+        }
+        AudioDownsample(r.media_id, in.length.toLong, back.length.toLong,
+          rate2, sum, sabs, peak,
+          roundtrip_ok = back.length == m && java.util.Arrays.equals(back, down))
       }
     }
   }

@@ -66,6 +66,21 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(w((2L, "x")) == 1386294L)
   }
 
+  test("downsampleAudio: pair averages, odd tail dropped, halved rate") {
+    import graft.operators.Multimodal
+    // 5 samples -> 2 output frames; unsigned pair-average floors
+    val wav = Multimodal.encodeWavPcm16(Array(100, 201, -50, -51, 9999), 8000)
+    val ds = spark.createDataset(
+      Seq(Multimodal.MediaRow(7L, "audio/wav", wav)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val r = Multimodal.downsampleAudio(ds).collect().head
+    assert(r.n_in == 5L && r.n_out == 2L && r.sample_rate == 4000)
+    // (100+201)/2 in unsigned = 150 (floor), (-50 + -51) -> -51 (floor)
+    assert(r.sum_out == 150L - 51L)
+    assert(r.peak_abs_out == 150L)
+    assert(r.roundtrip_ok)
+  }
+
   test("value-domain band-join arithmetic: C(c,2) + cross products") {
     // same-type values: 10 x3, 40 x2, 100 x1 with eps=50:
     // same-value pairs C(3,2)+C(2,2) = 3+1 = 4

@@ -196,6 +196,24 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // cumulative distinct users per hour via the FIRST-SEEN trick: an
+    // expanding-window COUNT(DISTINCT) re-scans its whole prefix per
+    // bucket (quadratic); min(hour) per user + a running sum of
+    // new-user counts is one linear pass — the growth curve every
+    // dashboard ships. Hour grain (day would be degenerate: every
+    // fixture user is active on day 0); the final window is
+    // hour-bounded (~720 rows)
+    "events_cumulative_users" -> ((s, dir) => {
+      val first = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 3600000000000").as("hour"))
+        .groupBy(col("user_id")).agg(min(col("hour")).as("hour"))
+      val w = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      first.groupBy(col("hour")).agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users", sum(col("new_users")).over(w))
+        .orderBy(col("hour"))
+    }),
+
     // gaps-and-islands: longest run of CONSECUTIVE active days per
     // user via the classic day − row_number() island key (consecutive
     // days share it, any gap starts a new island) — all-integer, one
@@ -635,6 +653,13 @@ object EventQueries {
         |  CAST(sum(v) AS BIGINT) // count(*) AS wmean_cents
         |FROM clipped GROUP BY event_type, p5c, p95c
         |ORDER BY event_type""".stripMargin,
+    "events_cumulative_users" ->
+      """WITH f AS (SELECT user_id,
+        |  min(epoch_us(ts) // 3600000000) AS hour FROM events GROUP BY user_id),
+        |n AS (SELECT hour, count(*) AS new_users FROM f GROUP BY hour)
+        |SELECT hour, new_users, CAST(sum(new_users) OVER
+        |  (ORDER BY hour ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        |FROM n ORDER BY hour""".stripMargin,
     "events_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |  epoch_us(ts) // 86400000000 AS day FROM events),

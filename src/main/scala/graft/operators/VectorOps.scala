@@ -615,6 +615,33 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Multi-probe LSH: each query probes its own bucket PLUS every
+    * bucket at hamming distance 1 (the single-bit-flip masks) — the
+    * classic recall booster that widens the candidate set to
+    * (1+bits)/2^bits of the corpus instead of building more hash
+    * tables. The probe fan-out lives on the tiny broadcast query side;
+    * the corpus is still hashed once and joined once. */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 4): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val masks = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
+    val qb = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        signBucket(col("embedding"), bits).as("qbucket"))
+      .select(col("query_id"), col("qv"), col("qbucket"),
+        explode(masks).as("mask"))
+      .select(col("query_id"), col("qv"),
+        expr("qbucket ^ mask").as("probe"))
+    val scored = cb.join(broadcast(qb),
+        col("bucket") === col("probe") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Lloyd-iteration (k-means) training for the IVF coarse quantizer —
     * pure DataFrame ops, nothing collected to the driver (VERDICT r4 #2).
     *

@@ -603,6 +603,22 @@ object RelationalQueries {
         .orderBy(col("dirty_id"))
     }),
 
+    // the same ER blocking with the Jaro-Winkler scorer — the native
+    // codegen'd graft_jaro_winkler expression (semantics pinned to the
+    // oracle's boost-threshold variant), best match by round(jw,6)
+    "join_entity_blocking_jw" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val p = Tables.part(s, dir)
+      val clean = p.select(col("p_partkey").as("clean_id"),
+        col("p_name").as("name"))
+      val dirty = p.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("name"))
+      graft.operators.ScaleOps.blockingResolveJw(dirty, clean, minSim = 0.9)
+        .orderBy(col("dirty_id"))
+    }),
+
     // semi + anti join (EXISTS / NOT EXISTS)
     "join_semi_anti" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -1475,6 +1491,25 @@ object RelationalQueries {
         |SELECT dirty_id, clean_id, lev FROM (
         |  SELECT *, row_number() OVER
         |    (PARTITION BY dirty_id ORDER BY lev, clean_id) AS rk
+        |  FROM cand)
+        |WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
+    "join_entity_blocking_jw" ->
+      """WITH clean AS (SELECT p_partkey AS clean_id, p_name AS name FROM part),
+        |dirty AS (
+        |  SELECT p_partkey AS dirty_id,
+        |    substr(p_name, 1, 2) || substr(p_name, 4) AS name
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |cand AS (
+        |  SELECT d.dirty_id, c.clean_id,
+        |    round(jaro_winkler_similarity(d.name, c.name), 6) AS jw
+        |  FROM dirty d JOIN clean c
+        |    ON list_extract(string_split(d.name, ' '), -1) =
+        |       list_extract(string_split(c.name, ' '), -1)
+        |   AND substr(d.name, 1, 2) = substr(c.name, 1, 2)
+        |  WHERE round(jaro_winkler_similarity(d.name, c.name), 6) >= 0.9)
+        |SELECT dirty_id, clean_id, jw FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY dirty_id ORDER BY jw DESC, clean_id) AS rk
         |  FROM cand)
         |WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
     "join_semi_anti" ->

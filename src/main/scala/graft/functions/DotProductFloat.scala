@@ -86,6 +86,7 @@ object GraftFunctions {
   val phraseInfo = new ExpressionInfo(classOf[PhraseCount].getName, "graft_phrase_count")
   val sketchInfo = new ExpressionInfo(classOf[ShingleSketch].getName, "graft_shingle_sketch")
   val setInfo = new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingle_set")
+  val jwInfo = new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler")
 
   /** Idempotent runtime registration for sessions built without
     * extensions (e.g. the driver's Verify/Bench sessions). */
@@ -101,6 +102,8 @@ object GraftFunctions {
       "graft_shingle_sketch", exprs => ShingleSketch(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingle_set", exprs => ShingleSet(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-level API (requires [[register]] or [[GraftExtensions]]). */
@@ -112,6 +115,8 @@ object GraftFunctions {
     call_function("graft_shingle_sketch", shingles)
   def shingleSet(shingles: Column): Column =
     call_function("graft_shingle_set", shingles)
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
 }
 
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` — the
@@ -138,5 +143,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingle_set"),
       GraftFunctions.setInfo,
       (exprs: Seq[Expression]) => ShingleSet(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      GraftFunctions.jwInfo,
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
   }
 }

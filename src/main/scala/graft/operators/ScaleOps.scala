@@ -121,4 +121,28 @@ object ScaleOps {
       .filter(col("rk") === 1)
       .select(col("dirty_id"), col("clean_id"), col("lev").cast("long").as("lev"))
   }
+
+  /** [[blockingResolve]] with the Jaro-Winkler scorer (the codegen'd
+    * [[graft.functions.JaroWinklerSim]]) instead of edit distance —
+    * the swap entity resolution makes when transpositions and
+    * prefix-preserving typos shouldn't count as full edits. Same
+    * composite blocking, best match = highest round(jw, 6) above
+    * `minSim`, clean_id tie-break. */
+  def blockingResolveJw(dirty: DataFrame, clean: DataFrame,
+      minSim: Double): DataFrame = {
+    val blockKey = concat_ws("|",
+      element_at(split(col("name"), " "), -1), substring(col("name"), 1, 2))
+    val d = dirty.withColumn("bk", blockKey)
+    val c = clean.withColumn("bk", blockKey)
+    val cand = d.as("d").join(c.as("c"), Seq("bk"))
+      .withColumn("jw", round(
+        graft.functions.GraftFunctions.jaroWinkler(
+          col("d.name"), col("c.name")), 6))
+      .filter(col("jw") >= minSim)
+    val best = Window.partitionBy(col("dirty_id"))
+      .orderBy(col("jw").desc, col("clean_id"))
+    cand.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("dirty_id"), col("clean_id"), col("jw"))
+  }
 }

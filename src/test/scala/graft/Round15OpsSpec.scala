@@ -66,6 +66,24 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(w((2L, "x")) == 1386294L)
   }
 
+  test("JaroWinklerSim: textbook values and the boost threshold") {
+    import graft.functions.JaroWinklerSim
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = {
+      val e = JaroWinklerSim(null, null)
+      e.score(UTF8String.fromString(a), UTF8String.fromString(b))
+    }
+    // Winkler's classic pair: jaro 0.944..., prefix 3 -> 0.961111...
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    // DWAYNE/DUANE: jaro 0.82, prefix 1 -> 0.84
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    // jaro 2/3 <= 0.7: the boost threshold suppresses the prefix bonus
+    // (pinned to DuckDB: jaro_winkler_similarity returns plain jaro)
+    assert(math.abs(jw("abcdwxyz", "abcdmnop") - 2.0 / 3.0) < 1e-12)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "x") == 0.0)
+  }
+
   test("downsampleAudio: pair averages, odd tail dropped, halved rate") {
     import graft.operators.Multimodal
     // 5 samples -> 2 output frames; unsigned pair-average floors

@@ -689,6 +689,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // classifier eval for the langid heuristic: full confusion matrix
+    // (truth × prediction counts) plus per-truth-label accuracy in ppm
+    // — the third eval-family member after the recall audits and the
+    // rank-quality metric: every heuristic the pipeline ships carries
+    // a measured error rate, not an asserted one
+    "text_langid_eval" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir).select(col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      val conf = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy(col("lang"))
+        .agg(sum(col("n")).as("lang_n"),
+          sum(when(col("lang") === col("lang_pred"), col("n"))
+            .otherwise(0L)).as("lang_hit"))
+      conf.join(tot, Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"), col("lang_n"),
+          expr("lang_hit * 1000000 div lang_n").as("lang_acc_ppm"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -1644,6 +1664,23 @@ object TextQueries {
           |  ${stopHitsSql("toks", "fr")} AS c_fr, ${stopHitsSql("toks", "de")} AS c_de
           |FROM t)
           |SELECT doc_id, lang, $langCase AS lang_pred FROM c ORDER BY doc_id""".stripMargin,
+      "text_langid_eval" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          |c AS (SELECT doc_id, lang,
+          |  ${stopHitsSql("toks", "en")} AS c_en, ${stopHitsSql("toks", "es")} AS c_es,
+          |  ${stopHitsSql("toks", "fr")} AS c_fr, ${stopHitsSql("toks", "de")} AS c_de
+          |FROM t),
+          |p AS (SELECT lang, $langCase AS lang_pred FROM c),
+          |conf AS (SELECT lang, lang_pred, count(*) AS n
+          |  FROM p GROUP BY lang, lang_pred),
+          |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lang_n,
+          |    CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS BIGINT)
+          |      AS lang_hit
+          |  FROM conf GROUP BY lang)
+          |SELECT conf.lang, lang_pred, n, lang_n,
+          |  lang_hit * 1000000 // lang_n AS lang_acc_ppm
+          |FROM conf JOIN tot ON tot.lang = conf.lang
+          |ORDER BY conf.lang, lang_pred""".stripMargin,
       "text_quality" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           |SELECT doc_id, ${OracleSql.quality("toks")} AS quality

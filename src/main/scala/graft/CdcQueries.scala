@@ -249,7 +249,7 @@ object CdcQueries {
     * All-integer (seconds, cents) so both engines agree bit-for-bit.
     * Four narrow projections of one scan — the same shape the matview
     * delta waves use. */
-  private def historyLog(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def historyLog(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     // double cast: NTZ→long is rejected, NTZ→LTZ→long is fine and
     // identical under the UTC session tz (stats_table_profile precedent)
@@ -280,7 +280,7 @@ object CdcQueries {
   /** The time-travel cut: mid-range of the orders date span, so at T
     * some keys are not yet inserted, some are mid-history, and some
     * are already deleted. */
-  private val asOfSec: Long = 9298L * 86400L // DATE '1995-06-17'
+  private[graft] val asOfSec: Long = 9298L * 86400L // DATE '1995-06-17'
 
   private val historyLogSql =
     """SELECT o_orderkey, 1 AS seq, 'I' AS op, o_orderstatus AS status,

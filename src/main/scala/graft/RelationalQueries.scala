@@ -993,6 +993,63 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // RFM segmentation: quintile recency/frequency/monetary per
+    // customer → 3-digit segment code, the classic marketing
+    // micro-segmentation. All integers (days, counts, cents); ntile
+    // over deterministic (metric, custkey) orders; output is the
+    // segment-level census (125 possible codes), never per-customer
+    "stats_rfm_segments" -> ((s, dir) => {
+      val maxTs = Tables.orders(s, dir)
+        .agg(max(col("o_orderdate").cast("timestamp").cast("long")).as("max_s"))
+      val rfm = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("os"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("os")).as("last_s"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+        .crossJoin(broadcast(maxTs))
+        .select(col("o_custkey"),
+          expr("(max_s - last_s) div 86400").as("r_days"),
+          col("f"), col("m"))
+      def quint(c: org.apache.spark.sql.Column) = ntile(5).over(
+        Window.orderBy(c, col("o_custkey"))).cast("long")
+      rfm
+        .withColumn("rq", quint(col("r_days")))
+        .withColumn("fq", quint(col("f").desc))
+        .withColumn("mq", quint(col("m").desc))
+        .select(col("o_custkey"),
+          (col("rq") * 100 + col("fq") * 10 + col("mq")).as("segment"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("segment"))
+    }),
+
+    // ABC (Pareto) classification of parts by revenue: rank parts by
+    // revenue desc, class A = the head covering ≤ 70% of cumulative
+    // revenue, B to 90%, C the tail — the inventory-policy cut. The
+    // cumulative window runs over the aggregated PART dimension (NDV
+    // rows, not lineitem), the dimension-sized global sort an ABC
+    // report fundamentally is
+    "stats_abc_parts" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+      val wOrd = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      rev.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("rev")).over(wOrd))
+        .select(col("l_partkey"), col("rev"),
+          when(col("cum") * 100 <= col("tot") * 70, "A")
+            .when(col("cum") * 100 <= col("tot") * 90, "B")
+            .otherwise("C").as("abc_class"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("class_rev"))
+        .orderBy(col("abc_class"))
+    }),
+
     // join-key skew audit: the planning telemetry behind the salting /
     // AQE-skew decisions — per candidate shuffle key: rows, NDV, the
     // top-1 and top-10 key shares (ppm) and max/avg ratio. One grouped
@@ -1669,6 +1726,34 @@ object RelationalQueries {
         |  max(tot) AS total_weight
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "stats_rfm_segments" ->
+      """WITH mx AS (SELECT max(epoch_us(o_orderdate) // 1000000) AS max_s
+        |  FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |    (mx.max_s - max(epoch_us(o_orderdate) // 1000000)) // 86400 AS r_days,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+        |  FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.max_s),
+        |q AS (SELECT o_custkey,
+        |    CAST(ntile(5) OVER (ORDER BY r_days, o_custkey) AS BIGINT) AS rq,
+        |    CAST(ntile(5) OVER (ORDER BY f DESC, o_custkey) AS BIGINT) AS fq,
+        |    CAST(ntile(5) OVER (ORDER BY m DESC, o_custkey) AS BIGINT) AS mq
+        |  FROM rfm)
+        |SELECT rq * 100 + fq * 10 + mq AS segment, count(*) AS n_customers
+        |FROM q GROUP BY 1 ORDER BY segment""".stripMargin,
+    "stats_abc_parts" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM rev),
+        |c AS (SELECT l_partkey, rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, tot
+        |  FROM rev CROSS JOIN t)
+        |SELECT CASE WHEN cum * 100 <= tot * 70 THEN 'A'
+        |    WHEN cum * 100 <= tot * 90 THEN 'B' ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS class_rev
+        |FROM c GROUP BY 1 ORDER BY abc_class""".stripMargin,
     "stats_skew_audit" -> {
       def one(name: String, rel: String, key: String) =
         s"""SELECT '$name' AS key_name, n_rows, ndv, top1_n, top10_n,

@@ -97,21 +97,32 @@ object Bpe {
 
   // one trained model per (session, dir) — the train epoch runs once
   // and every BPE query in the session reuses it (the in-memory analog
-  // of EpochRegistry's table epochs)
+  // of EpochRegistry's table epochs). Keyed by EpochRegistry's WEAK
+  // session uuid, not the SparkSession object (ADVICE r15): the map
+  // never pins a stopped session, and the vocab-bounded Model is the
+  // only thing retained. The corpus aggregate runs OUTSIDE any map
+  // lock (double-checked get/putIfAbsent) so two sessions training
+  // concurrently never serialize on a ConcurrentHashMap bin.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Model]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Model]()
 
   /** The tokenizer-train epoch: one word-count aggregate (map-side
     * combined — the only corpus pass) collected to the driver
     * (VOCAB-bounded, like the LM model tables) and trained in memory. */
-  def modelFor(spark: SparkSession, docs: DataFrame, dir: String): Model =
-    cache.computeIfAbsent((spark, dir), _ => {
+  def modelFor(spark: SparkSession, docs: DataFrame, dir: String): Model = {
+    val key = (graft.EpochRegistry.idOf(spark), dir)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
       val wc = docs
         .select(explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      train(wc)
-    })
+      val built = train(wc)
+      val raced = cache.putIfAbsent(key, built)
+      if (raced != null) raced else built
+    }
+  }
 
   /** Per-doc encoded-stream summary, every field integer-exact: token
     * count, id sum, and a position-weighted checksum Σ id·pos (1-based

@@ -182,11 +182,17 @@ object CdcOps {
     * page) broadcast into the filter. With a literal cursor (the usual
     * API-server case) the predicate pushes into the scan; this in-plan
     * broadcast form evaluates it post-scan but still never sorts or
-    * materializes the earlier pages. */
+    * materializes the earlier pages.
+    *
+    * NULL-cursor contract (ADVICE r15): an empty/NULL `cursorDf` cursor
+    * means "no page drained yet" and restarts from the head — the
+    * cursor coalesces to Long.MinValue so page 1 of a fresh drain and
+    * page N+1 of a resumed one go through the same operator. */
   def drainKeyset(queue: DataFrame, cursorDf: DataFrame,
       pageSize: Int = 1000): DataFrame =
     queue.crossJoin(broadcast(cursorDf))
-      .filter(!col("processed") && col("id") > col("cursor"))
+      .filter(!col("processed") &&
+        col("id") > coalesce(col("cursor"), lit(Long.MinValue)))
       .orderBy(col("id").asc).limit(pageSize)
 
   /** O8 — page-count aggregation (`eventqueue/event_queue.go:29-33,108-117`):

@@ -177,6 +177,11 @@ object EventOps {
     * < 2^-19 — below the cent quantum for any bounded series. Missing
     * leading lags coalesce to 0 (the zero-padded filter). */
   def ewmaScaled(events: DataFrame, taps: Int = 20): DataFrame = {
+    // taps > 44 would silently overflow the 1L << (taps-1-k) weight
+    // against ~2^31 cents; taps < 1 makes the reduce throw an opaque
+    // empty-list error — misuse fails loudly at plan time (ADVICE r15)
+    require(taps >= 1 && taps <= 44,
+      s"ewmaScaled: taps must be in [1, 44], got $taps")
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("ts_us"), col("event_id"))
     val base = events.select(col("event_type"), col("event_id"), col("ts_us"),

@@ -33,12 +33,18 @@ object PipelineOps {
     * the distributed top-k (no global window, no single-partition
     * sort); reproducible and cluster-size-independent at 100 TB. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
-      n: Int): DataFrame =
-    df.select(col(idCol), weight.cast("long").as("w"),
+      n: Int): DataFrame = {
+    // one expression for both the reported w and the ranking key
+    // (ADVICE r15): a fractional weight would otherwise be cast for
+    // display but divide the key un-cast — reported w and the actual
+    // sampling key must never disagree
+    val wl = weight.cast("long")
+    df.select(col(idCol), wl.as("w"),
         floor((lit(1.0e12) *
-            log((hashBucketPpm(col(idCol)) + 1) / lit(1000000.0))) / weight)
+            log((hashBucketPpm(col(idCol)) + 1) / lit(1000000.0))) / wl)
           .cast("long").as("key12"))
       .orderBy(col("key12").desc, col(idCol)).limit(n)
+  }
 
   /** Temperature-flattened language mixing (the mT5/multilingual
     * sampling cut, τ = 2): each stratum's acceptance rate is

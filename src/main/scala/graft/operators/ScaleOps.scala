@@ -74,7 +74,16 @@ object ScaleOps {
     * close in BOTH dimensions, so per-file min/max ranges stay narrow
     * on each dimension and a predicate on either one prunes files. */
   def zValue(a: Column, b: Column): Column = {
-    def spread(c: Column): Column = {
+    // fail LOUDLY outside the 16-bit domain (ADVICE r15, the
+    // packSignBits pattern): silently masking to 16 bits would alias
+    // keys modulo 65536 above ~sf0.3 and the clustering would degrade
+    // with no error — callers must range-normalize first
+    def checked(c: Column): Column =
+      when(c >= 0L && c <= 0xFFFFL, c).otherwise(raise_error(concat(
+        lit("zValue: dimension out of 16-bit range: "), c.cast("string")))
+        .cast("long"))
+    def spread(c0: Column): Column = {
+      val c = checked(c0)
       var x = c.bitwiseAND(lit(0xFFFFL))
       x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
       x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))

@@ -37,7 +37,23 @@ object GraphQueries {
     // every mis-propagated node)
     "graph_components_lp" -> ((s, dir) =>
       GraphOps.labelPropagation(s, dir, rounds = 4)
-        .orderBy(col("node"))))
+        .orderBy(col("node"))),
+    // LSH-bucketed k-NN graph over the embedding corpus (k=3, 4 sign
+    // bits) — the graph-construction half of graph-based semantic
+    // clustering; full ranked edge table gated
+    "graph_knn_edges" -> ((s, dir) =>
+      GraphOps.knnEdges(s, dir)
+        .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
+        .orderBy(col("src"), col("rk"))),
+    // semantic clusters: 4-round min-label propagation over the
+    // MUTUAL-kNN edge set, seeded with every corpus vector (isolated
+    // vectors = singleton clusters) — per-node label table gated
+    "graph_knn_components" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("node"))
+      GraphOps.labelPropagationOver(nodes,
+          GraphOps.mutualKnnEdges(GraphOps.knnEdges(s, dir)), rounds = 4)
+        .orderBy(col("node"))
+    }))
 
   def oracle: Map[String, String] = Map(
     "graph_degree" ->
@@ -95,5 +111,48 @@ object GraphQueries {
         |FROM backbone e1
         |JOIN backbone e2 ON e1.dst = e2.src
         |JOIN backbone e3 ON e3.src = e1.src AND e3.dst = e2.dst
-        |ORDER BY a, b, c""".stripMargin)
+        |ORDER BY a, b, c""".stripMargin,
+    "graph_knn_edges" ->
+      s"""WITH $knnSql
+        |SELECT src, dst, cos_sim, rk FROM knn ORDER BY src, rk""".stripMargin,
+    "graph_knn_components" -> {
+      def round(k: Int) =
+        s"""l$k AS MATERIALIZED (
+          |  SELECT l.node AS node,
+          |    least(l.lab, coalesce(min(p.lab), l.lab)) AS lab
+          |  FROM l${k - 1} l LEFT JOIN msym s ON s.dst = l.node
+          |  LEFT JOIN l${k - 1} p ON p.node = s.src
+          |  GROUP BY l.node, l.lab)"""
+      s"""WITH $knnSql,
+        |mut AS MATERIALIZED (
+        |  SELECT k1.src, k1.dst FROM knn k1
+        |  JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+        |  WHERE k1.src < k1.dst),
+        |msym AS MATERIALIZED (
+        |  SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut),
+        |l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
+        |${(1 to 4).map(round).mkString(",\n")}
+        |SELECT node, lab FROM l4 ORDER BY node""".stripMargin
+    })
+
+  /** DuckDB mirror of the [[GraphOps.knnGraphDir]] epoch: sign-bucketed
+    * candidate self-join, per-src cosine top-3. Bucket and cosine
+    * expressions match the SimilarityQueries LSH mirrors. */
+  private lazy val knnSql: String = {
+    val bucket = (v: String) => (0 until 4)
+      .map(i => s"(CASE WHEN ($v)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    s"""cb AS MATERIALIZED (SELECT vec_id, embedding,
+      |    ${bucket("embedding")} AS bucket FROM embeddings),
+      |pr AS MATERIALIZED (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst, round($cos, 6) AS cos_sim
+      |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |rkd AS (SELECT src, dst, cos_sim, CAST(row_number() OVER (
+      |    PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rk
+      |  FROM pr),
+      |knn AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM rkd WHERE rk <= 3)""".stripMargin
+  }
 }

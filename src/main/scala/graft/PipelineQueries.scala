@@ -129,6 +129,16 @@ object PipelineQueries {
         .orderBy(col("lang"), col("pack_id"))
     }),
 
+    // size-balanced output shards (the export step): shard id = global
+    // running char offset div 8192, computed via the two-level prefix
+    // sum (range subtotals broadcast + range-partitioned window) — the
+    // manifest per shard gates doc count, size, and id span
+    "pipeline_shard_manifest" -> ((s, dir) => {
+      PipelineOps.shardManifest(Tables.documents(s, dir), "doc_id",
+          col("n_chars"), shardChars = 8192L)
+        .orderBy(col("shard_id"))
+    }),
+
     "pipeline_mix_quota" -> ((s, dir) => {
       PipelineOps.mixByQuota(Tables.documents(s, dir), "doc_id", "lang",
           quotas = Map("en" -> 40, "zh" -> 10), defaultQuota = 25)
@@ -288,6 +298,15 @@ object PipelineQueries {
         |FROM q LEFT JOIN cross_dups cd ON q.doc_id = cd.doc_id
         |LEFT JOIN cont ct ON q.doc_id = ct.doc_id
         |ORDER BY q.doc_id""".stripMargin,
+    "pipeline_shard_manifest" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM documents)
+        |SELECT CAST(start_off AS BIGINT) // 8192 AS shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH t AS (SELECT lang, doc_id, len($toksSql) AS n_tokens FROM documents),
         |laid AS (SELECT lang, doc_id, n_tokens,

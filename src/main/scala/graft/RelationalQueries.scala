@@ -1135,6 +1135,18 @@ object RelationalQueries {
         .orderBy(col("relationship"))
     }),
 
+    // k-anonymity audit (k=5) on the (nation, market-segment)
+    // quasi-identifier: per-equivalence-class size + at-risk flag —
+    // the privacy gate a curated dataset release runs before shipping
+    // joinable demographic columns. One groupBy, near-metadata output
+    // (|nations| × |segments| rows) at any corpus size
+    "dq_k_anonymity" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     // Z-order layout audit: morton-interleave (l_partkey, l_suppkey)
     // into a 32-bit z-value (exact integer shift/mask cascade — both
     // engines agree bit-for-bit), bucket the z-range equi-width via the
@@ -1813,6 +1825,10 @@ object RelationalQueries {
         |SELECT relationship, fk_rows, orphan_rows, orphan_keys,
         |  orphan_rows * 1000000 // fk_rows AS orphan_ppm
         |FROM a ORDER BY relationship""".stripMargin,
+    "dq_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "layout_zorder" ->
       """WITH b0 AS (SELECT l_partkey AS p0, l_suppkey AS s0,
         |    l_partkey & 65535 AS p, l_suppkey & 65535 AS s FROM lineitem),

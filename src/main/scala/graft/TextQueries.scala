@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Dedup, SearchOps, TextOps}
+import graft.operators.{Classifier, Dedup, SearchOps, TextOps}
 
 /** Text analysis + deduplication over `documents` (SURVEY §2.3).
   *
@@ -724,6 +724,38 @@ object TextQueries {
     "text_gopher_rules" -> ((s, dir) => {
       TextOps.gopherStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // TRAINED quality classifier (weak-supervision distillation, the
+    // CCNet/GPT-3 pattern): a batch perceptron over integer doc
+    // features learns the Gopher rule from its own labels on the
+    // hash-80% split. The full weight TRAJECTORY gates (epoch 1 = the
+    // first update from w=0) — the DuckDB oracle RE-TRAINS the model
+    // in SQL, one materialized CTE layer per epoch (the BPE-trainer
+    // discipline; all-integer updates make it exact)
+    "text_classifier_train" -> ((s, dir) => {
+      import s.implicits._
+      val traj = Classifier.trajectoryFor(s, Tables.documents(s, dir), dir)
+      traj.epochs.zipWithIndex
+        .map { case (w, i) =>
+          (i + 1L, w(0), w(1), w(2), w(3), w(4), w(5)) }
+        .toDF("epoch", "b0", "b1", "b2", "b3", "b4", "b5")
+        .orderBy(col("epoch"))
+    }),
+    // held-out margins + predictions with the trained weights — the
+    // filter a production stack would then run INSTEAD of the rule
+    "text_classifier_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = Classifier.trajectoryFor(s, docs, dir).epochs.last
+      Classifier.score(Classifier.labeledFeatures(docs), w)
+        .orderBy(col("doc_id"))
+    }),
+    // held-out confusion matrix + floored-ppm precision/recall/accuracy
+    // — the acceptance gate before the trained filter replaces the rule
+    "text_classifier_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = Classifier.trajectoryFor(s, docs, dir).epochs.last
+      Classifier.eval(Classifier.labeledFeatures(docs), w)
     }),
 
     // unigram-LM quality score (the CCNet perplexity proxy): a unigram
@@ -1611,6 +1643,49 @@ object TextQueries {
       |    CAST(sum(wwsum + off * wsum) AS BIGINT) AS checksum
       |  FROM dcum GROUP BY doc_id)""".stripMargin
 
+  /** ⟨w, x⟩ with the weight row aliased `w` and the feature row `f` —
+    * shared by every classifier oracle. */
+  private val perceptronDot: String =
+    (0 until Classifier.nFeatures).map(j => s"w.b$j * f.x$j").mkString(" + ")
+
+  /** Shared mirror of [[graft.operators.Classifier]]: the feature/label
+    * frame `f` (materialized — every epoch layer references it), the
+    * zero vector w0, and one MATERIALIZED epoch layer per batch
+    * perceptron step (w += Σ y·x over misclassified train rows). */
+  private val perceptronCtes: String = {
+    val js = 0 until Classifier.nFeatures
+    def layer(k: Int): String =
+      s"""w$k AS MATERIALIZED (SELECT
+         |  ${js.map(j =>
+            s"CAST(max(w.b$j) + coalesce(sum(CASE WHEN f.y * ($perceptronDot) <= 0 " +
+              s"THEN f.y * f.x$j END), 0) AS BIGINT) AS b$j").mkString(",\n|  ")}
+         |  FROM f, w${k - 1} w WHERE f.is_train)""".stripMargin
+    s"""t AS (SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
+      |c AS (SELECT doc_id, n_chars,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS total_chars,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_hits,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[#…]'))) AS BIGINT) AS sym_hits
+      |  FROM t),
+      |m AS (SELECT doc_id, n_chars, n_words,
+      |    CASE WHEN n_words > 0 THEN total_chars * 100 // n_words ELSE 0 END AS mwl,
+      |    CASE WHEN n_words > 0 THEN sym_hits * 1000000 // n_words ELSE 0 END AS sym_ppm,
+      |    CASE WHEN n_words > 0 THEN alpha_hits * 1000000 // n_words ELSE 0 END AS alpha_ppm
+      |  FROM c),
+      |f AS MATERIALIZED (SELECT doc_id,
+      |    CAST(CASE WHEN (n_words BETWEEN 50 AND 100000)
+      |      AND (mwl BETWEEN 300 AND 1000) AND sym_ppm < 100000
+      |      AND alpha_ppm >= 800000 THEN 1 ELSE -1 END AS BIGINT) AS y,
+      |    CAST(1 AS BIGINT) AS x0, n_words AS x1, mwl // 10 AS x2,
+      |    sym_ppm // 10000 AS x3, alpha_ppm // 10000 AS x4,
+      |    n_chars // 10 AS x5,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
+      |      AS is_train
+      |  FROM m),
+      |w0 AS (SELECT ${js.map(j => s"CAST(0 AS BIGINT) AS b$j").mkString(", ")}),
+      |${(1 to 8).map(layer).mkString(",\n|")}""".stripMargin
+  }
+
   def oracle: Map[String, String] = {
     val langCase = {
       val g = Seq("es", "fr", "de")
@@ -1783,6 +1858,38 @@ object TextQueries {
           |   AND symbol_word_ppm < 100000
           |   AND alpha_word_ppm >= 800000) AS keep
           |FROM m ORDER BY doc_id""".stripMargin,
+      // the classifier oracles RE-TRAIN the perceptron in SQL: features
+      // + weak label in f (materialized — every epoch layer references
+      // it), then one MATERIALIZED CTE layer per epoch (inlining would
+      // re-run the prefix chain per reference — the BPE lesson)
+      "text_classifier_train" ->
+        s"""WITH $perceptronCtes
+          |${(1 to 8).map(k =>
+             s"SELECT CAST($k AS BIGINT) AS epoch, b0, b1, b2, b3, b4, b5 FROM w$k")
+             .mkString("\n|UNION ALL\n|")}
+          |ORDER BY epoch""".stripMargin,
+      "text_classifier_score" ->
+        s"""WITH $perceptronCtes
+          |SELECT f.doc_id, CAST($perceptronDot AS BIGINT) AS margin,
+          |  ($perceptronDot) > 0 AS pred, f.y AS label
+          |FROM f, w8 w WHERE NOT f.is_train ORDER BY f.doc_id""".stripMargin,
+      "text_classifier_eval" ->
+        s"""WITH $perceptronCtes,
+          |sc AS (SELECT ($perceptronDot) > 0 AS pred, f.y AS label
+          |  FROM f, w8 w WHERE NOT f.is_train),
+          |conf AS (SELECT
+          |  CAST(sum(CASE WHEN pred AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |  CAST(sum(CASE WHEN pred AND label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |  CAST(sum(CASE WHEN NOT pred AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          |  CAST(sum(CASE WHEN NOT pred AND label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          |  FROM sc)
+          |SELECT tp, fp, fn, tn,
+          |  CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE 0 END
+          |    AS precision_ppm,
+          |  CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE 0 END
+          |    AS recall_ppm,
+          |  (tp + tn) * 1000000 // (tp + fp + fn + tn) AS accuracy_ppm
+          |FROM conf""".stripMargin,
       // per-token log-probs quantize to floor(1e6·ln(c/N)) — the BM25
       // idf discipline, so the per-doc integer sum mirrors exactly
       "text_unigram_logprob" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{EpochRegistry, Tables}
 
 /** Graph analytics over the order co-purchase graph.
@@ -154,5 +155,79 @@ object GraphOps {
     val e2 = backbone(spark, sfDir).select(col("src").as("b"), col("dst").as("c"))
     val e3 = backbone(spark, sfDir).select(col("src").as("a"), col("dst").as("c"))
     e1.join(e2, Seq("b")).join(e3, Seq("a", "c")).select("a", "b", "c")
+  }
+
+  // ------------- k-NN graph over the embedding corpus (r16) -------------
+
+  /** LSH-bucketed k-NN graph epoch: every corpus vector's top-k cosine
+    * neighbors WITHIN its sign bucket, materialized to parquet once per
+    * (session, dataset) — the graph is an index artifact (built once,
+    * traversed many times), and rebuilding the scored self-join per
+    * downstream lineage reference would re-pay the quadratic stage (the
+    * r15 re-evaluation trap).
+    *
+    * Scale shape: candidate generation is a bucket-keyed SELF-join —
+    * per-bucket density is corpus/2^bits, so `bits` grows with log₂(N)
+    * to hold in-bucket pair counts constant (never all-pairs; at sf0.1
+    * 5k vectors × 4 bits ≈ 1.5M scored pairs). The top-k window runs
+    * per-src on the in-bucket candidates only. */
+  def knnGraphDir(spark: SparkSession, sfDir: String, k: Int = 3,
+      bits: Int = 4): String =
+    EpochRegistry.acquire(spark, "graph_knn_edges", sfDir) { () =>
+      graft.functions.GraftFunctions.register(spark)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_graph_knn_").toString
+      val a = Tables.embeddings(spark, sfDir).select(
+        col("vec_id").as("src"), col("embedding").as("aemb"),
+        VectorOps.signBucket(col("embedding"), bits).as("bucket"))
+      // fresh scan → separate attribute ids (the backbone() discipline)
+      val b = Tables.embeddings(spark, sfDir).select(
+        col("vec_id").as("dst"), col("embedding").as("bemb"),
+        VectorOps.signBucket(col("embedding"), bits).as("bucket"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos_sim").desc, col("dst"))
+      a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(VectorOps.cosine(col("aemb"), col("bemb")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** Fresh scan of the materialized k-NN graph. */
+  def knnEdges(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(knnGraphDir(spark, sfDir))
+
+  /** Mutual-kNN symmetrization: the undirected edge (a < b) survives
+    * only if each endpoint is in the OTHER's top-k — the standard cut
+    * that drops asymmetric hub links before density-based clustering.
+    * A self-equi-join on the (already tiny) k·N edge table. */
+  def mutualKnnEdges(knn: DataFrame): DataFrame = {
+    val d = knn.select(col("src"), col("dst"))
+    val r = knn.select(col("dst").as("src"), col("src").as("dst"))
+    d.join(r, Seq("src", "dst")).filter(col("src") < col("dst"))
+  }
+
+  /** Min-label propagation over an ARBITRARY undirected edge set,
+    * seeded with every node in `nodes` — isolated nodes keep their own
+    * label (singleton clusters, not dropped rows), hence the left join
+    * the backbone variant ([[labelPropagation]]) doesn't need. Same
+    * Pregel layout: one edge-keyed shuffle per round, no collect. */
+  def labelPropagationOver(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var lab = nodes.select(col("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = sym.as("e")
+        .join(lab.as("l"), col("e.src") === col("l.node"))
+        .groupBy(col("e.dst").as("node")).agg(min(col("lab")).as("nl"))
+      lab = lab.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+    }
+    lab
   }
 }

@@ -191,6 +191,42 @@ object PipelineOps {
         min(col("start_tok")).as("pack_start_tok"))
   }
 
+  /** Size-balanced output-shard assignment + manifest — the "write the
+    * curated corpus as ~`shardChars`-sized shards" step every 100 TB
+    * export ends with (fixed-size shards keep downstream loader
+    * parallelism uniform). Shard id = global running byte offset div
+    * shard size, so shards tile the id order exactly.
+    *
+    * The global prefix sum is the scalable TWO-LEVEL form, never a
+    * global-order window over the corpus: per-range subtotals (range =
+    * `id div rangeSize`, so the offsets frame is N/rangeSize rows —
+    * metadata-sized) are cumsum'd on the driver-adjacent tiny frame and
+    * broadcast back, then a RANGE-partitioned window adds the
+    * within-range running sum. No single partition ever sees more than
+    * `rangeSize` rows of the corpus. */
+  def shardManifest(df: DataFrame, idCol: String, sizeCol: Column,
+      shardChars: Long, rangeSize: Long = 100L): DataFrame = {
+    require(shardChars >= 1 && rangeSize >= 1,
+      s"shardManifest: shardChars=$shardChars, rangeSize=$rangeSize must be >= 1")
+    val base = df.select(col(idCol).as("id"), sizeCol.cast("long").as("sz"))
+      .withColumn("rng", expr(s"id div $rangeSize"))
+    // bounded-by-construction tiny window (N/rangeSize rows)
+    val wOff = Window.orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = base.groupBy(col("rng")).agg(sum(col("sz")).as("rng_sz"))
+      .withColumn("rng_off", coalesce(sum(col("rng_sz")).over(wOff), lit(0L)))
+      .select(col("rng"), col("rng_off"))
+    val wIn = Window.partitionBy(col("rng")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(off), Seq("rng"))
+      .withColumn("start_off",
+        col("rng_off") + coalesce(sum(col("sz")).over(wIn), lit(0L)))
+      .withColumn("shard_id", expr(s"start_off div $shardChars"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("total_chars"),
+        min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+  }
+
   /** Quota mixing: take the first `quota(stratum)` docs per stratum in
     * deterministic hash order — proportional dataset mixing with
     * reproducible selection. One shuffle (window on the stratum). */

@@ -37,6 +37,37 @@ class Round16OpsSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("zValue"))
   }
 
+  test("shardManifest: two-level prefix sum equals the global cumsum") {
+    // sizes 10,20,30,40,50,60 over ids 1..6; shard size 60 ->
+    // start offsets 0,10,30,60,100,150 -> shards 0,0,0,1,1,2
+    val df = (1L to 6L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+    val m = graft.operators.PipelineOps
+      .shardManifest(df, "doc_id", col("n_chars"), shardChars = 60L,
+        rangeSize = 2L)
+      .orderBy(col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.toSeq == Seq((0L, 3L, 60L, 1L, 3L), (1L, 2L, 90L, 4L, 5L),
+      (2L, 1L, 60L, 6L, 6L)))
+  }
+
+  test("mutualKnnEdges keeps only bidirectional pairs, canonical a<b") {
+    val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val m = graft.operators.GraphOps.mutualKnnEdges(knn)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(m.toSeq == Seq((1L, 2L), (3L, 4L)))
+  }
+
+  test("labelPropagationOver: isolated nodes keep their own label") {
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("node")
+    val edges = Seq((2L, 3L)).toDF("src", "dst")
+    val lab = graft.operators.GraphOps
+      .labelPropagationOver(nodes, edges, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(lab.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (9L, 9L)))
+  }
+
   test("ewmaScaled: taps outside [1, 44] fails at plan time") {
     val ev = Seq((1L, "a", 1L, 1.0)).toDF("event_id", "event_type", "ts_us", "value")
     intercept[IllegalArgumentException] { EventOps.ewmaScaled(ev, taps = 0) }

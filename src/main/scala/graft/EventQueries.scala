@@ -53,6 +53,26 @@ object EventQueries {
     // high/low as plain extremes, all integer cents. first_value over
     // the two orderings of a window already partitioned by (series,
     // bucket) — the event log's natural partitioning, one shuffle.
+    // hour-of-day seasonality profile: per-(type, hour) count, integer
+    // mean, and deviation from the type's overall mean — the seasonal
+    // baseline a monitoring pipeline subtracts before anomaly scoring
+    // (a raw z-score fires every rush hour otherwise). Two tiny
+    // aggregates; all values nonnegative so truncating div == floor div
+    "events_seasonality" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        expr("(ts_us div 3600000000) % 24").as("hour"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val hourly = e.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"))
+      val overall = hourly.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tn"), sum(col("sum_c")).as("tc"))
+      hourly.join(broadcast(overall), Seq("event_type"))
+        .select(col("event_type"), col("hour"), col("n"),
+          expr("sum_c * 100 div n").as("mean_cents_x100"),
+          expr("sum_c * 100 div n - tc * 100 div tn").as("dev_cents_x100"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     "events_ohlc" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("event_type"),
         col("ts_us"), col("event_id"),
@@ -631,6 +651,19 @@ object EventQueries {
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // the candlestick mirror: same (ts, event_id) first/last order
+    "events_seasonality" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT event_type, hour, count(*)::BIGINT AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_c FROM e GROUP BY 1, 2),
+        |o AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(sum_c) AS BIGINT) AS tc FROM h GROUP BY 1)
+        |SELECT event_type, hour, n,
+        |  sum_c * 100 // n AS mean_cents_x100,
+        |  sum_c * 100 // n - tc * 100 // tn AS dev_cents_x100
+        |FROM h JOIN o USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin,
     "events_ohlc" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

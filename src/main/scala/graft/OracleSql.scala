@@ -21,11 +21,13 @@ object OracleSql {
     s"list_distinct(list_transform(${shingles(toks)}, " +
       "s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
 
+  /** The `[...]` DuckDB list literal of [[operators.TextOps.stopwords]]. */
+  def stopList(lang: String): String =
+    operators.TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
   /** Mirror of [[operators.TextOps.stopwordHits]] for `lang`. */
-  def stopHits(toks: String, lang: String): String = {
-    val set = operators.TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter($toks, t -> list_contains($set, t)))"
-  }
+  def stopHits(toks: String, lang: String): String =
+    s"len(list_filter($toks, t -> list_contains(${stopList(lang)}, t)))"
 
   /** Mirror of [[operators.TextOps.qualityScore]] given a toks binding. */
   def quality(toks: String): String =

@@ -139,6 +139,31 @@ object PipelineQueries {
         .orderBy(col("shard_id"))
     }),
 
+    // END-TO-END EXPORT capstone (r16): the trained quality classifier
+    // (trained on `documents`) filters the incoming dup corpus, exact
+    // dedup keeps the min-id copy per surviving text, and the
+    // survivors pack into size-balanced output shards — train → filter
+    // → dedup → export composed in one plan; the manifest gates it all
+    "pipeline_export_capstone" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.operators.Classifier.trajectoryFor(s, docs, dir)
+        .epochs.last
+      val corpus = TextQueries.dupCorpus(docs)
+      val kept = graft.operators.Classifier
+        .predict(graft.operators.Classifier.labeledFeatures(corpus), w)
+        .filter(col("pred")).select(col("doc_id"))
+      val surv = corpus.join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val wmin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text"))
+      val ded = surv
+        .withColumn("keep_id", min(col("doc_id")).over(wmin))
+        .filter(col("doc_id") === col("keep_id"))
+      PipelineOps.shardManifest(ded, "doc_id", col("n_chars"),
+          shardChars = 8192L)
+        .orderBy(col("shard_id"))
+    }),
+
     "pipeline_mix_quota" -> ((s, dir) => {
       PipelineOps.mixByQuota(Tables.documents(s, dir), "doc_id", "lang",
           quotas = Map("en" -> 40, "zh" -> 10), defaultQuota = 25)
@@ -298,6 +323,26 @@ object PipelineQueries {
         |FROM q LEFT JOIN cross_dups cd ON q.doc_id = cd.doc_id
         |LEFT JOIN cont ct ON q.doc_id = ct.doc_id
         |ORDER BY q.doc_id""".stripMargin,
+    "pipeline_export_capstone" ->
+      s"""WITH ${TextQueries.corpusSql},
+        |${TextQueries.perceptronCtes},
+        |${TextQueries.perceptronFeatureCtes("corpus", "2")},
+        |pred AS (SELECT f.doc_id FROM f2 f, w8 w
+        |  WHERE ${TextQueries.perceptronDot} > 0),
+        |surv AS (SELECT c.doc_id, c.text, c.n_chars
+        |  FROM corpus c JOIN pred USING (doc_id)),
+        |ded AS (SELECT doc_id, n_chars FROM (
+        |    SELECT doc_id, n_chars,
+        |      min(doc_id) OVER (PARTITION BY text) AS keep_id FROM surv)
+        |  WHERE doc_id = keep_id),
+        |cum AS (SELECT doc_id, n_chars,
+        |  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+        |  FROM ded)
+        |SELECT CAST(start_off AS BIGINT) // 8192 AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM cum GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "pipeline_shard_manifest" ->
       """WITH c AS (SELECT doc_id, n_chars,
         |  coalesce(sum(n_chars) OVER (ORDER BY doc_id

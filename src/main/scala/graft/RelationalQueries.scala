@@ -1135,6 +1135,44 @@ object RelationalQueries {
         .orderBy(col("relationship"))
     }),
 
+    // Pearson correlation matrix over (quantity, extendedprice,
+    // discount): ONE scan accumulates every Σx/Σx²/Σxy as an EXACT
+    // DECIMAL(38,0) of the cents quantization (order-independent, no
+    // float drift crosses the shuffle); the three correlations derive
+    // from identical decimal inputs through the same IEEE double ops on
+    // both engines, rounded to 6 dp. Accumulating in decimal matters:
+    // Σ(price_cents²) overflows BIGINT past ~10⁵ rows
+    "stats_corr_matrix" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        round(col("l_quantity") * 100).cast("decimal(19,0)").as("q"),
+        round(col("l_extendedprice") * 100).cast("decimal(19,0)").as("p"),
+        round(col("l_discount") * 100).cast("decimal(19,0)").as("d"))
+      val sums = li.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+        sum(col("d")).as("sd"),
+        sum(col("q") * col("q")).as("sqq"),
+        sum(col("p") * col("p")).as("spp"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("p")).as("sqp"),
+        sum(col("q") * col("d")).as("sqd"),
+        sum(col("p") * col("d")).as("spd"))
+      def dbl(c: String) = col(c).cast("double")
+      def corr(xy: String, sx: String, sy: String, xx: String, yy: String) =
+        round((dbl("n") * dbl(xy) - dbl(sx) * dbl(sy)) /
+          (sqrt(dbl("n") * dbl(xx) - dbl(sx) * dbl(sx)) *
+            sqrt(dbl("n") * dbl(yy) - dbl(sy) * dbl(sy))), 6)
+      def row(xn: String, yn: String, xy: String, sx: String, sy: String,
+          xx: String, yy: String) =
+        sums.select(lit(xn).as("x"), lit(yn).as("y"),
+          col("n").cast("long").as("n"),
+          corr(xy, sx, sy, xx, yy).as("corr"))
+      row("quantity", "extendedprice", "sqp", "sq", "sp", "sqq", "spp")
+        .unionAll(row("quantity", "discount", "sqd", "sq", "sd", "sqq", "sdd"))
+        .unionAll(row("extendedprice", "discount", "spd", "sp", "sd", "spp", "sdd"))
+        .orderBy(col("x"), col("y"))
+    }),
+
     // k-anonymity audit (k=5) on the (nation, market-segment)
     // quasi-identifier: per-equivalence-class size + at-risk flag —
     // the privacy gate a curated dataset release runs before shipping
@@ -1146,6 +1184,35 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .withColumn("at_risk", col("n") < 5L)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // Data-skipping zonemap audit: per-file-bucket min/max of the price
+    // column under TWO layouts — natural (orderkey arrival order) vs
+    // value-clustered (equi-width price buckets via the broadcast-bounds
+    // fold) — and the fraction of buckets a band predicate
+    // (cents ∈ [1e6, 2e6]) can PRUNE from each. The measured case for
+    // why clustering matters: a zonemap over arrival order overlaps the
+    // band almost everywhere; the clustered layout skips ~90% of files
+    "layout_skipping_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val natural = li.select(expr("l_orderkey div 64").as("bucket"),
+        col("cents"))
+      val bounds = li.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val clustered = li.crossJoin(broadcast(bounds))
+        .select(expr("(cents - lo) * 64 div (hi - lo + 1)").as("bucket"),
+          col("cents"))
+      def audit(name: String, df: DataFrame) =
+        df.groupBy(col("bucket"))
+          .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("mx") >= 1000000L && col("mn") <= 2000000L, 1L)
+              .otherwise(0L)).as("n_overlap"))
+          .select(lit(name).as("layout"), col("n_buckets"), col("n_overlap"),
+            expr("(n_buckets - n_overlap) * 1000000 div n_buckets")
+              .as("prune_ppm"))
+      audit("natural", natural).unionAll(audit("clustered", clustered))
+        .orderBy(col("layout"))
+    }),
 
     // Z-order layout audit: morton-interleave (l_partkey, l_suppkey)
     // into a 32-bit z-value (exact integer shift/mask cascade — both
@@ -1825,10 +1892,57 @@ object RelationalQueries {
         |SELECT relationship, fk_rows, orphan_rows, orphan_keys,
         |  orphan_rows * 1000000 // fk_rows AS orphan_ppm
         |FROM a ORDER BY relationship""".stripMargin,
+    "stats_corr_matrix" -> {
+      val b = """b AS (SELECT
+        |    CAST(round(l_quantity * 100) AS DECIMAL(19,0)) AS q,
+        |    CAST(round(l_extendedprice * 100) AS DECIMAL(19,0)) AS p,
+        |    CAST(round(l_discount * 100) AS DECIMAL(19,0)) AS d
+        |  FROM lineitem),
+        |s AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+        |    sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
+        |    sum(q*p) AS sqp, sum(q*d) AS sqd, sum(p*d) AS spd
+        |  FROM b)""".stripMargin
+      def corr(xy: String, sx: String, sy: String, xx: String, yy: String) =
+        s"round((n::DOUBLE * $xy::DOUBLE - $sx::DOUBLE * $sy::DOUBLE) / " +
+          s"(sqrt(n::DOUBLE * $xx::DOUBLE - $sx::DOUBLE * $sx::DOUBLE) * " +
+          s"sqrt(n::DOUBLE * $yy::DOUBLE - $sy::DOUBLE * $sy::DOUBLE)), 6)"
+      s"""WITH $b
+        |SELECT 'quantity' AS x, 'extendedprice' AS y, CAST(n AS BIGINT) AS n,
+        |  ${corr("sqp", "sq", "sp", "sqq", "spp")} AS corr FROM s
+        |UNION ALL
+        |SELECT 'quantity', 'discount', CAST(n AS BIGINT),
+        |  ${corr("sqd", "sq", "sd", "sqq", "sdd")} FROM s
+        |UNION ALL
+        |SELECT 'extendedprice', 'discount', CAST(n AS BIGINT),
+        |  ${corr("spd", "sp", "sd", "spp", "sdd")} FROM s
+        |ORDER BY x, y""".stripMargin
+    },
     "dq_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
         |  count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "layout_skipping_audit" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |bounds AS (SELECT min(cents) AS lo, max(cents) AS hi FROM li),
+        |nat AS (SELECT l_orderkey // 64 AS bucket, min(cents) AS mn,
+        |    max(cents) AS mx FROM li GROUP BY 1),
+        |clu AS (SELECT (cents - lo) * 64 // (hi - lo + 1) AS bucket,
+        |    min(cents) AS mn, max(cents) AS mx
+        |  FROM li CROSS JOIN bounds GROUP BY 1),
+        |a AS (
+        |  SELECT 'natural' AS layout, count(*)::BIGINT AS n_buckets,
+        |    CAST(sum(CASE WHEN mx >= 1000000 AND mn <= 2000000 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_overlap FROM nat
+        |  UNION ALL
+        |  SELECT 'clustered', count(*)::BIGINT,
+        |    CAST(sum(CASE WHEN mx >= 1000000 AND mn <= 2000000 THEN 1
+        |      ELSE 0 END) AS BIGINT) FROM clu)
+        |SELECT layout, n_buckets, n_overlap,
+        |  (n_buckets - n_overlap) * 1000000 // n_buckets AS prune_ppm
+        |FROM a ORDER BY layout""".stripMargin,
     "layout_zorder" ->
       """WITH b0 AS (SELECT l_partkey AS p0, l_suppkey AS s0,
         |    l_partkey & 65535 AS p, l_suppkey & 65535 AS s FROM lineitem),

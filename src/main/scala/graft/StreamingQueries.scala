@@ -177,8 +177,12 @@ object StreamingQueries {
     // stream (maxFilesPerTrigger=1 → multiple micro-batches); each
     // micro-batch is flagged through the SAME flagIngestBatch the
     // pipeline_ingest_batch capstone gates, probing the same epoch band
-    // index. Self-oracle: StreamIngestSpec asserts the accumulated
-    // decisions equal the batch capstone's exactly.
+    // index. DuckDB-GATED since r16: every decision is per-doc against
+    // FROZEN state (band index of the standing corpus, broadcast
+    // benchmark, per-row quality), so the drained union over
+    // micro-batches is batch-decomposition-independent and carries the
+    // batch capstone's oracle verbatim (StreamIngestSpec additionally
+    // pins the equality on out-of-order replays).
     "stream_ingest" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val src = CdcStream.readEventStream(s, batchDocsDir(s, dir),
@@ -239,11 +243,15 @@ object StreamingQueries {
 
     // running-stats anomaly stream: each micro-batch judged against the
     // per-type statistics of all PRIOR batches (integer-exact state,
-    // bounded by key cardinality). Self-oracle: StatsStreamSpec replays
-    // the recovered batch decomposition through StatsStream.judge and
-    // requires identical flags.
+    // bounded by key cardinality). DuckDB-GATED since r16: the source
+    // is the DETERMINISTIC quartile dir ([[anomalyStreamDir]] — known
+    // bucket formula, known file order), so "prior batches" is a
+    // window the mirror computes exactly; the flag math (mean/variance
+    // from integer (n, s, s2), |x−μ| > 2σ) is the same IEEE double
+    // expression on both engines. StatsStreamSpec still replays the
+    // recovered decomposition as the structural check.
     "stream_anomaly" -> ((s, dir) => {
-      val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+      val st = CdcStream.readEventStream(s, anomalyStreamDir(s, dir),
         maxFilesPerTrigger = 1)
       runToMemory(graft.streaming.StatsStream.runningZscoreFlags(
           st, "event_type", "event_id",
@@ -256,9 +264,10 @@ object StreamingQueries {
     // one-file-per-trigger source), watermark wide enough to drop
     // nothing and TTL wide enough to evict nobody — so every flag and
     // prior_n must equal stream_anomaly's row for row
-    // (TtlStreamParitySpec); key expiry/restart is StatsStreamSpec's.
+    // (TtlStreamParitySpec), and the SAME DuckDB oracle gates both;
+    // key expiry/restart is StatsStreamSpec's.
     "stream_anomaly_ttl" -> ((s, dir) => {
-      val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+      val st = CdcStream.readEventStream(s, anomalyStreamDir(s, dir),
         maxFilesPerTrigger = 1)
       runToMemory(graft.streaming.StatsStream.runningZscoreFlagsTtl(
           st, "event_type", "event_id",
@@ -601,7 +610,47 @@ object StreamingQueries {
       |    AS settle
       |FROM pend""".stripMargin
 
+  /** Shared mirror of the running-stats anomaly loop over the
+    * deterministic quartile stream: prior-batch state = the per-key
+    * cumulative (n, s, s2) over LOWER buckets; the judge expression is
+    * written operand-for-operand like `StatsStream.judge` so the IEEE
+    * doubles match bit-for-bit. */
+  private val anomalySql: String =
+    """WITH mx AS (SELECT max(event_id) AS mid FROM events),
+      |e AS (SELECT event_type AS key, event_id AS id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    event_id * 4 // (mid + 1) AS b
+      |  FROM events CROSS JOIN mx),
+      |kb AS (SELECT key, b, count(*)::BIGINT AS n,
+      |    CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(cents * cents) AS BIGINT) AS s2 FROM e GROUP BY 1, 2),
+      |cum AS (SELECT key, b,
+      |    CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS pn,
+      |    CAST(coalesce(sum(s) OVER w, 0) AS BIGINT) AS ps,
+      |    CAST(coalesce(sum(s2) OVER w, 0) AS BIGINT) AS ps2
+      |  FROM kb WINDOW w AS (PARTITION BY key ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT e.key, e.id, e.cents, c.pn AS prior_n,
+      |  CASE WHEN c.pn >= 2 THEN
+      |    abs(e.cents - ps::DOUBLE / pn) >
+      |      2.0 * sqrt(greatest(ps2::DOUBLE / pn -
+      |        (ps::DOUBLE / pn) * (ps::DOUBLE / pn), 0.0))
+      |  ELSE FALSE END AS is_anom
+      |FROM e JOIN cum c ON c.key = e.key AND c.b = e.b
+      |ORDER BY e.id""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // the anomaly pair (promoted from no_oracle in r16): deterministic
+    // quartile decomposition → the prior-batch window is exact SQL; the
+    // TTL twin consumes identical inputs with nothing evicted, so ONE
+    // oracle gates both (TtlStreamParitySpec pins the row-for-row
+    // equality independently)
+    "stream_anomaly" -> anomalySql,
+    "stream_anomaly_ttl" -> anomalySql,
+    // continuous ingestion (promoted from no_oracle in r16): every flag
+    // decision is per-doc against frozen state, so the drained stream
+    // equals the batch capstone — whose oracle applies verbatim
+    "stream_ingest" -> PipelineQueries.oracle("pipeline_ingest_batch"),
     // the three window drains (VERDICT r14 #4 — promoted from
     // no_oracle): the batch window mirror restricted to windows CLOSED
     // at the final watermark. Spark tracks event-time watermarks at
@@ -1586,6 +1635,39 @@ object StreamingQueries {
       Tables.events(s, dir).drop("ts")
         .repartitionByRange(4, col("event_id"))
         .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** DETERMINISTIC 4-file event stream (r16 — built to make the
+    * running-stats anomaly loop fully oracle-able): file b holds
+    * exactly the events with `event_id·4 div (max_id+1) = b`, files are
+    * named b0..b3 AND carry ascending mtimes, so the one-file-per-
+    * trigger source consumes them in a KNOWN order — unlike
+    * [[eventsStreamDir]], whose repartitionByRange boundaries come from
+    * sampling the mirror cannot reproduce. Prior-batch state for an
+    * event is then "all events in lower buckets", a window the oracle
+    * computes exactly. */
+  private[graft] def anomalyStreamDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "anomaly_stream_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_anomaly_stream_").toString
+      val ev = Tables.events(s, dir).drop("ts")
+      // plan-time scalar: the bucket formula's denominator
+      val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      (0 until 4).foreach { b =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_anomaly_part_")
+        ev.filter(expr(s"event_id * 4 div ${maxId + 1}") === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(path, s"b$b.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + b * 1000L)
+        tmp.toFile.listFiles().foreach(_.delete())
+        tmp.toFile.delete()
+      }
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
 

@@ -757,6 +757,55 @@ object TextQueries {
       val w = Classifier.trajectoryFor(s, docs, dir).epochs.last
       Classifier.eval(Classifier.labeledFeatures(docs), w)
     }),
+    // deployment drift monitor (the train→eval→deploy→MONITOR
+    // symmetry): fixed-bin PSI of the classifier's features between the
+    // training corpus and two incoming waves — the dup wave (near-copy
+    // batch, PSI small → no retrain) and a short-doc crawl wave
+    // (selection-shifted, PSI large → retrain fires); both flag
+    // outcomes gated
+    "text_classifier_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = Classifier.labeledFeatures(docs)
+      def scen(name: String, incoming: DataFrame) =
+        Classifier.driftCheck(train, Classifier.labeledFeatures(incoming))
+          .withColumn("scenario", lit(name))
+      scen("dup_wave", dupCorpus(docs).filter(col("doc_id") >= 100000))
+        .unionAll(scen("short_wave", docs.filter(col("n_chars") < 250)))
+        .select(col("scenario"), col("feature"), col("n_ref"),
+          col("n_cur"), col("n_buckets"), col("psi_ppm"),
+          col("retrain_needed"))
+        .orderBy(col("scenario"), col("feature"))
+    }),
+
+    // RAKE keyphrase extraction (stopword-delimited candidate runs,
+    // integer degree/freq word scores, phrase = Σ word scores): the
+    // corpus-level top-20 keyphrases — full ranked list gated
+    "text_rake_keyphrases" -> ((s, dir) =>
+      TextOps.rakeKeyphrases(Tables.documents(s, dir), "doc_id", "text",
+          k = 20)
+        .orderBy(col("score").desc, col("phrase"))),
+
+    // mutual information between the lang and source columns — the
+    // corpus-composition dependence check (is a source language-skewed?)
+    // every dataset card should carry: per-cell PMI in floored micro-
+    // nats (the BM25-idf ln quantization) + the cell's MI contribution
+    "stats_mutual_information" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cells = d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_ls"))
+      val nl = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val ns = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      cells.join(broadcast(nl), Seq("lang"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_ls"),
+          floor(lit(1e6) * log((col("n_ls") * col("n")).cast("double") /
+              (col("n_l") * col("n_s")).cast("double")))
+            .cast("long").as("pmi_micro"))
+        .withColumn("mi_contrib_micro", col("n_ls") * col("pmi_micro"))
+        .orderBy(col("lang"), col("source"))
+    }),
 
     // unigram-LM quality score (the CCNet perplexity proxy): a unigram
     // model trained on the corpus itself scores each doc's mean token
@@ -1645,34 +1694,27 @@ object TextQueries {
 
   /** ⟨w, x⟩ with the weight row aliased `w` and the feature row `f` —
     * shared by every classifier oracle. */
-  private val perceptronDot: String =
+  private[graft] val perceptronDot: String =
     (0 until Classifier.nFeatures).map(j => s"w.b$j * f.x$j").mkString(" + ")
 
-  /** Shared mirror of [[graft.operators.Classifier]]: the feature/label
-    * frame `f` (materialized — every epoch layer references it), the
-    * zero vector w0, and one MATERIALIZED epoch layer per batch
-    * perceptron step (w += Σ y·x over misclassified train rows). */
-  private val perceptronCtes: String = {
-    val js = 0 until Classifier.nFeatures
-    def layer(k: Int): String =
-      s"""w$k AS MATERIALIZED (SELECT
-         |  ${js.map(j =>
-            s"CAST(max(w.b$j) + coalesce(sum(CASE WHEN f.y * ($perceptronDot) <= 0 " +
-              s"THEN f.y * f.x$j END), 0) AS BIGINT) AS b$j").mkString(",\n|  ")}
-         |  FROM f, w${k - 1} w WHERE f.is_train)""".stripMargin
-    s"""t AS (SELECT doc_id, n_chars, $toksSql AS toks FROM documents),
-      |c AS (SELECT doc_id, n_chars,
+  /** The classifier's feature/label chain (mirror of
+    * [[graft.operators.Classifier.labeledFeatures]]) FROM an arbitrary
+    * relation `src`, CTE names suffixed `sfx` so two chains compose in
+    * one query (train on `documents`, apply to the dup `corpus`). */
+  private[graft] def perceptronFeatureCtes(src: String, sfx: String): String =
+    s"""t$sfx AS (SELECT doc_id, n_chars, $toksSql AS toks FROM $src),
+      |c$sfx AS (SELECT doc_id, n_chars,
       |    CAST(len(toks) AS BIGINT) AS n_words,
       |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS total_chars,
       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_hits,
       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[#…]'))) AS BIGINT) AS sym_hits
-      |  FROM t),
-      |m AS (SELECT doc_id, n_chars, n_words,
+      |  FROM t$sfx),
+      |m$sfx AS (SELECT doc_id, n_chars, n_words,
       |    CASE WHEN n_words > 0 THEN total_chars * 100 // n_words ELSE 0 END AS mwl,
       |    CASE WHEN n_words > 0 THEN sym_hits * 1000000 // n_words ELSE 0 END AS sym_ppm,
       |    CASE WHEN n_words > 0 THEN alpha_hits * 1000000 // n_words ELSE 0 END AS alpha_ppm
-      |  FROM c),
-      |f AS MATERIALIZED (SELECT doc_id,
+      |  FROM c$sfx),
+      |f$sfx AS MATERIALIZED (SELECT doc_id,
       |    CAST(CASE WHEN (n_words BETWEEN 50 AND 100000)
       |      AND (mwl BETWEEN 300 AND 1000) AND sym_ppm < 100000
       |      AND alpha_ppm >= 800000 THEN 1 ELSE -1 END AS BIGINT) AS y,
@@ -1681,7 +1723,21 @@ object TextQueries {
       |    n_chars // 10 AS x5,
       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 80
       |      AS is_train
-      |  FROM m),
+      |  FROM m$sfx)""".stripMargin
+
+  /** Shared mirror of [[graft.operators.Classifier]]: the feature/label
+    * frame `f` (materialized — every epoch layer references it), the
+    * zero vector w0, and one MATERIALIZED epoch layer per batch
+    * perceptron step (w += Σ y·x over misclassified train rows). */
+  private[graft] val perceptronCtes: String = {
+    val js = 0 until Classifier.nFeatures
+    def layer(k: Int): String =
+      s"""w$k AS MATERIALIZED (SELECT
+         |  ${js.map(j =>
+            s"CAST(max(w.b$j) + coalesce(sum(CASE WHEN f.y * ($perceptronDot) <= 0 " +
+              s"THEN f.y * f.x$j END), 0) AS BIGINT) AS b$j").mkString(",\n|  ")}
+         |  FROM f, w${k - 1} w WHERE f.is_train)""".stripMargin
+    s"""${perceptronFeatureCtes("documents", "")},
       |w0 AS (SELECT ${js.map(j => s"CAST(0 AS BIGINT) AS b$j").mkString(", ")}),
       |${(1 to 8).map(layer).mkString(",\n|")}""".stripMargin
   }
@@ -1890,6 +1946,85 @@ object TextQueries {
           |    AS recall_ppm,
           |  (tp + tn) * 1000000 // (tp + fp + fn + tn) AS accuracy_ppm
           |FROM conf""".stripMargin,
+      "text_classifier_drift" -> {
+        def binExpr(x: String, es: Seq[Long]) =
+          es.map(e => s"(CASE WHEN $x >= $e THEN 1 ELSE 0 END)")
+            .mkString(" + ")
+        val x1 = binExpr("CAST(len(toks) AS BIGINT)", Seq(30L, 45L, 60L, 75L))
+        val x5 = binExpr("n_chars // 10", Seq(18L, 24L, 30L, 36L))
+        def scenario(scn: String, incSrc: String) =
+          s"""(WITH tr AS (SELECT $toksSql AS toks, n_chars FROM documents),
+            |inc AS (SELECT $toksSql AS toks, n_chars FROM $incSrc),
+            |b AS (
+            |  SELECT 'x1' AS feature, $x1 AS bucket, TRUE AS is_ref FROM tr
+            |  UNION ALL SELECT 'x5', $x5, TRUE FROM tr
+            |  UNION ALL SELECT 'x1', $x1, FALSE FROM inc
+            |  UNION ALL SELECT 'x5', $x5, FALSE FROM inc),
+            |counted AS (SELECT feature, bucket,
+            |    count(*) FILTER (is_ref)::BIGINT AS n1,
+            |    count(*) FILTER (NOT is_ref)::BIGINT AS n2
+            |  FROM b GROUP BY 1, 2),
+            |tot AS (SELECT feature, CAST(sum(n1) AS BIGINT) AS big_n1,
+            |    CAST(sum(n2) AS BIGINT) AS big_n2 FROM counted GROUP BY 1),
+            |terms AS (SELECT c.feature, t.big_n1, t.big_n2,
+            |    c.n1 * t.big_n2 - c.n2 * t.big_n1 AS diff,
+            |    CAST(floor(1000000.0 * ln(
+            |      CAST(c.n1 * t.big_n2 AS DOUBLE) /
+            |      CAST(c.n2 * t.big_n1 AS DOUBLE))) AS BIGINT) AS ln_ppm
+            |  FROM counted c JOIN tot t ON t.feature = c.feature
+            |  WHERE c.n1 > 0 AND c.n2 > 0)
+            |SELECT '$scn' AS scenario, feature, big_n1 AS n_ref,
+            |  big_n2 AS n_cur, count(*) AS n_buckets,
+            |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT)
+            |    AS psi_ppm,
+            |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT) > 100000
+            |    AS retrain_needed
+            |FROM terms GROUP BY 1, 2, 3, 4)""".stripMargin
+        s"""WITH $corpusSql
+          |${scenario("dup_wave", "(SELECT * FROM corpus WHERE doc_id >= 100000)")}
+          |UNION ALL
+          |${scenario("short_wave", "(SELECT * FROM documents WHERE n_chars < 250)")}
+          |ORDER BY scenario, feature""".stripMargin
+      },
+      "text_rake_keyphrases" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |t AS (SELECT doc_id, unnest(toks) AS token,
+          |    unnest(range(1, len(toks) + 1)) AS pos FROM d),
+          |ns AS MATERIALIZED (SELECT doc_id, pos, token,
+          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+          |      AS island
+          |  FROM t WHERE NOT list_contains(${OracleSql.stopList("en")}, token)),
+          |ph AS MATERIALIZED (SELECT doc_id, island,
+          |    string_agg(token, ' ' ORDER BY pos) AS phrase,
+          |    CAST(count(*) AS BIGINT) AS plen
+          |  FROM ns GROUP BY 1, 2),
+          |ws AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS freq,
+          |    CAST(sum(plen) AS BIGINT) AS degree
+          |  FROM ns JOIN ph USING (doc_id, island) GROUP BY token),
+          |wsc AS (SELECT token, degree * 1000000 // freq AS w_score FROM ws),
+          |psc AS (SELECT n.doc_id, n.island,
+          |    CAST(sum(w.w_score) AS BIGINT) AS score
+          |  FROM ns n JOIN wsc w USING (token) GROUP BY 1, 2)
+          |SELECT ph.phrase, count(*) AS n_occur,
+          |  CAST(min(p.score) AS BIGINT) AS score
+          |FROM ph JOIN psc p USING (doc_id, island)
+          |GROUP BY ph.phrase
+          |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+      "stats_mutual_information" ->
+        """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_ls
+          |  FROM documents GROUP BY 1, 2),
+          |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+          |  FROM documents GROUP BY 1),
+          |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+          |  FROM documents GROUP BY 1),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+          |SELECT lang, source, n_ls,
+          |  CAST(floor(1000000.0 * ln((n_ls * n)::DOUBLE / (n_l * n_s)::DOUBLE))
+          |    AS BIGINT) AS pmi_micro,
+          |  n_ls * CAST(floor(1000000.0 * ln((n_ls * n)::DOUBLE / (n_l * n_s)::DOUBLE))
+          |    AS BIGINT) AS mi_contrib_micro
+          |FROM cells JOIN nl USING (lang) JOIN ns USING (source) CROSS JOIN tot
+          |ORDER BY lang, source""".stripMargin,
       // per-token log-probs quantize to floor(1e6·ln(c/N)) — the BM25
       // idf discipline, so the per-doc integer sum mirrors exactly
       "text_unigram_logprob" ->

@@ -127,6 +127,64 @@ object Classifier {
       .select(col("doc_id"), margin(w).as("margin"),
         (margin(w) > 0L).as("pred"), col("y").as("label"))
 
+  /** Per-doc margin + keep verdict for EVERY row — the deployment path
+    * (no split filter): apply the trained filter to an incoming corpus. */
+  def predict(feats: DataFrame, w: Array[Long]): DataFrame =
+    feats.select(col("doc_id"), margin(w).as("margin"),
+      (margin(w) > 0L).as("pred"))
+
+  /** Deployment drift monitor for the trained filter (the
+    * train→eval→deploy→MONITOR symmetry the served index families
+    * carry): PSI between the training corpus and an incoming batch
+    * over FIXED feature bins, one row per monitored feature. Fixed
+    * edges (not reference quantiles) keep the monitor a pure
+    * per-corpus aggregate — two scans, bucket-count-sized output,
+    * integer-exact via the diff·ln_ppm PSI quantization
+    * (`stats_psi_drift`'s trick). `retrain_needed` fires when any
+    * feature's PSI exceeds `thresholdPpm` micro-nats — a served filter
+    * degrades silently under distribution shift otherwise. */
+  def driftCheck(trainFeats: DataFrame, incomingFeats: DataFrame,
+      thresholdPpm: Long = 100000L): DataFrame = {
+    val edges: Seq[(String, Seq[Long])] = Seq(
+      "x1" -> Seq(30L, 45L, 60L, 75L),   // n_words
+      "x5" -> Seq(18L, 24L, 30L, 36L))   // n_chars div 10
+    // BOTH features bin in ONE pass over the frame (an explode of a
+    // 2-struct array): a per-feature select would re-run the frame's
+    // tokenize lineage per reference — the r15 re-evaluation trap
+    // (measured 1.64 → 1.0 s warm at sf0.1 across the three corpora)
+    def binned(f: DataFrame, isRef: Boolean) = {
+      val pairs = edges.map { case (feat, es) =>
+        struct(lit(feat).as("feature"),
+          es.map(e => when(col(feat) >= e, 1L).otherwise(0L))
+            .reduce(_ + _).as("bucket"))
+      }
+      f.select(explode(array(pairs: _*)).as("fb"), lit(isRef).as("is_ref"))
+        .select(col("fb.feature").as("feature"),
+          col("fb.bucket").as("bucket"), col("is_ref"))
+    }
+    val counted = binned(trainFeats, isRef = true)
+      .unionAll(binned(incomingFeats, isRef = false))
+      .groupBy(col("feature"), col("bucket"))
+      .agg(count(when(col("is_ref"), 1)).as("n1"),
+        count(when(!col("is_ref"), 1)).as("n2"))
+    val totals = counted.groupBy(col("feature"))
+      .agg(sum(col("n1")).as("big_n1"), sum(col("n2")).as("big_n2"))
+    counted.join(broadcast(totals), Seq("feature"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("feature"), col("big_n1"), col("big_n2"),
+        (col("n1") * col("big_n2") - col("n2") * col("big_n1")).as("diff"),
+        floor(lit(1000000.0) *
+            log((col("n1") * col("big_n2")).cast("double") /
+              (col("n2") * col("big_n1")).cast("double")))
+          .cast("long").as("ln_ppm"))
+      .groupBy(col("feature"), col("big_n1"), col("big_n2"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("diff * ln_ppm div (big_n1 * big_n2)")).as("psi_ppm"))
+      .select(col("feature"), col("big_n1").as("n_ref"),
+        col("big_n2").as("n_cur"), col("n_buckets"), col("psi_ppm"),
+        (col("psi_ppm") > thresholdPpm).as("retrain_needed"))
+  }
+
   /** Confusion matrix + floored-ppm precision/recall/accuracy over the
     * held-out split — the acceptance gate before a trained filter
     * replaces the rule that labeled it. */

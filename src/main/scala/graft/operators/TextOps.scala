@@ -343,4 +343,54 @@ object TextOps {
       .filter(col("rk") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("rk"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010), the stopword-
+    * delimited variant: candidate phrases are maximal runs of non-stop
+    * tokens (the gaps-and-islands trick — `pos − row_number()` over the
+    * non-stop positions is constant exactly within a run), word scores
+    * are `degree/freq` where freq counts phrase-occurrences of a word
+    * and degree sums the lengths of its phrases, and a phrase scores
+    * the sum of its word scores. Every score is exact integer
+    * (`degree·10⁶ div freq` — identical phrase strings always score
+    * identically), so the global top-k gates bit-for-bit.
+    *
+    * Scale shape: one corpus explode; the island window is partitioned
+    * per doc; word stats are a vocab-sized aggregate broadcast back
+    * onto the phrase tokens; the final top-k is orderBy+limit →
+    * TakeOrderedAndProject, the distributed top-k. */
+  def rakeKeyphrases(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = array(stopwords("en").map(lit): _*)
+    // one explode → one (doc, island) shuffle → the COMPACT phrase
+    // table; every later stage re-derives word rows by exploding the
+    // small phrase frame, never the corpus again (each extra reference
+    // to the `ns` plan would re-run the corpus explode — the r15
+    // re-evaluation trap; measured 1.96 → 1.38 s warm at sf0.1)
+    val ns = docs.select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(!array_contains(stop, col("token")))
+      .withColumn("island", col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val phrases = ns.groupBy(col("doc_id"), col("island"))
+      .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x("token")).as("toks"),
+        count(lit(1)).as("plen"))
+      .select(col("doc_id"), col("island"),
+        array_join(col("toks"), " ").as("phrase"), col("toks"), col("plen"))
+    // phrase-word rows from the compact table (explode of ≤plen arrays)
+    val phw = phrases.select(col("doc_id"), col("island"), col("phrase"),
+      col("plen"), explode(col("toks")).as("token"))
+    val wordScore = phw.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("token"), expr("degree * 1000000 div freq").as("w_score"))
+    phw.join(broadcast(wordScore), Seq("token"))
+      .groupBy(col("doc_id"), col("island"), col("phrase"))
+      .agg(sum(col("w_score")).as("score"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"), min(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CdcOps, EventOps, ScaleOps}
+import graft.operators.{CdcOps, EventOps, ScaleOps, TextOps}
 
 /** Gates for the r16 ADVICE fixes: the NULL-cursor keyset contract,
   * the zValue 16-bit loud-failure guard, and the ewmaScaled taps
@@ -66,6 +66,20 @@ class Round16OpsSpec extends AnyFunSuite {
       .labelPropagationOver(nodes, edges, rounds = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(lab.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 2L), (9L, 9L)))
+  }
+
+  test("rakeKeyphrases: hand-computed degree/freq scores on a toy corpus") {
+    // stopwords include "the","of". Doc: "deep learning of the deep net"
+    // phrases: ["deep learning"], ["deep net"]
+    // freq(deep)=2 degree(deep)=4 -> 2_000_000; learning: 1/2 -> 2_000_000;
+    // net: 1/2 -> 2_000_000. "deep learning" = 4_000_000, "deep net" same.
+    val docs = Seq((1L, "deep learning of the deep net"))
+      .toDF("doc_id", "text")
+    val out = TextOps.rakeKeyphrases(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(("deep learning", 1L, 4000000L),
+      ("deep net", 1L, 4000000L)))
   }
 
   test("ewmaScaled: taps outside [1, 44] fails at plan time") {

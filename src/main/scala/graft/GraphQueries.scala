@@ -45,6 +45,45 @@ object GraphQueries {
       GraphOps.knnEdges(s, dir)
         .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
         .orderBy(col("src"), col("rk"))),
+    // the kNN graph's recall audit (every approximate path carries
+    // one): per-node overlap of the LSH-bucketed edge set vs the exact
+    // cosine top-3 — brute ground truth over the full node set at
+    // fixture scale (a deployment audits a node SAMPLE the same way)
+    "graph_knn_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val brute = graft.operators.VectorOps.bruteForceTopK(emb, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = GraphOps.knnEdges(s, dir)
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+      val hits = brute.join(ann, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      emb.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / lit(3.0), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+    // graph-based ANN serving (the HNSW-class family): greedy beam
+    // search over the kNN graph — fixed entry sample, 3 expand-and-
+    // rerank rounds at beam 8, final top-3; the corpus is never
+    // scanned at serving time, the index IS the graph
+    "sim_ann_graph" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      GraphOps.graphSearch(s, dir, q, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // ...and its recall audit against the exact top-3 (the family
+    // discipline: every approximate serving path ships one)
+    "sim_ann_graph_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      SimilarityQueries.recallAudit(emb,
+        GraphOps.graphSearch(s, dir, emb.filter(col("vec_id") < 10),
+          k = SimilarityQueries.recallK))
+    }),
     // semantic clusters: 4-round min-label propagation over the
     // MUTUAL-kNN edge set, seeded with every corpus vector (isolated
     // vectors = singleton clusters) — per-node label table gated
@@ -53,6 +92,30 @@ object GraphQueries {
       GraphOps.labelPropagationOver(nodes,
           GraphOps.mutualKnnEdges(GraphOps.knnEdges(s, dir)), rounds = 4)
         .orderBy(col("node"))
+    }),
+    // cluster PURITY audit (the clustering twin of the recall audits):
+    // per cluster, size + majority ground-truth label + its share —
+    // embeddings carry a label column, so the semantic clusters can be
+    // judged against it; majority tie-break = smaller label
+    "graph_knn_purity" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("node"), col("label"))
+      val lab = GraphOps.labelPropagationOver(
+        nodes.select(col("node")),
+        GraphOps.mutualKnnEdges(GraphOps.knnEdges(s, dir)), rounds = 4)
+      val cl = lab.join(nodes, Seq("node"))
+        .groupBy(col("lab"), col("label")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lab")).orderBy(col("c").desc, col("label"))
+      cl.withColumn("rn", row_number().over(w))
+        .groupBy(col("lab"))
+        .agg(sum(col("c")).as("n"),
+          max(when(col("rn") === 1, col("label"))).as("majority_label"),
+          max(when(col("rn") === 1, col("c"))).as("majority_n"))
+        .select(col("lab").as("cluster_id"), col("n"),
+          col("majority_label"),
+          expr("majority_n * 1000000 div n").as("purity_ppm"))
+        .orderBy(col("cluster_id"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -115,44 +178,155 @@ object GraphQueries {
     "graph_knn_edges" ->
       s"""WITH $knnSql
         |SELECT src, dst, cos_sim, rk FROM knn ORDER BY src, rk""".stripMargin,
-    "graph_knn_components" -> {
-      def round(k: Int) =
-        s"""l$k AS MATERIALIZED (
-          |  SELECT l.node AS node,
-          |    least(l.lab, coalesce(min(p.lab), l.lab)) AS lab
-          |  FROM l${k - 1} l LEFT JOIN msym s ON s.dst = l.node
-          |  LEFT JOIN l${k - 1} p ON p.node = s.src
-          |  GROUP BY l.node, l.lab)"""
+    "sim_ann_graph" ->
+      s"""WITH $graphSearchSql
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_graph_recall" ->
+      s"""WITH $graphSearchSql,
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round($cosQSql, 6) DESC, b.vec_id) AS rk
+        |    FROM qs q JOIN embeddings b ON b.vec_id <> q.query_id) t
+        |  WHERE rk <= 3),
+        |ann AS (SELECT query_id, node AS neighbor_id FROM g3 WHERE rk <= 3),
+        |hits AS (SELECT brute.query_id, count(*)::BIGINT AS n_hit
+        |  FROM brute JOIN ann USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+        |FROM qs q LEFT JOIN hits ON hits.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
+    "graph_knn_recall" -> {
+      val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
       s"""WITH $knnSql,
-        |mut AS MATERIALIZED (
-        |  SELECT k1.src, k1.dst FROM knn k1
-        |  JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
-        |  WHERE k1.src < k1.dst),
-        |msym AS MATERIALIZED (
-        |  SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut),
-        |l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
-        |${(1 to 4).map(round).mkString(",\n")}
-        |SELECT node, lab FROM l4 ORDER BY node""".stripMargin
-    })
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round($cos, 6) DESC, b.vec_id) AS rk
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) t
+        |  WHERE rk <= 3),
+        |hits AS (SELECT brute.query_id, count(*)::BIGINT AS n_hit
+        |  FROM brute JOIN knn
+        |    ON knn.src = brute.query_id AND knn.dst = brute.neighbor_id
+        |  GROUP BY 1)
+        |SELECT e.vec_id AS query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+        |FROM embeddings e LEFT JOIN hits ON hits.query_id = e.vec_id
+        |ORDER BY query_id""".stripMargin
+    },
+    "graph_knn_components" ->
+      s"""WITH $knnComponentsSql
+        |SELECT node, lab FROM l4 ORDER BY node""".stripMargin,
+    "graph_knn_purity" ->
+      s"""WITH $knnComponentsSql,
+        |cl AS (SELECT l.lab, e.label, count(*)::BIGINT AS c
+        |  FROM l4 l JOIN embeddings e ON e.vec_id = l.node GROUP BY 1, 2),
+        |rn AS (SELECT lab, label, c, row_number() OVER (
+        |    PARTITION BY lab ORDER BY c DESC, label) AS rn FROM cl)
+        |SELECT lab AS cluster_id, CAST(sum(c) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = 1 THEN label END) AS majority_label,
+        |  CAST(max(CASE WHEN rn = 1 THEN c END) * 1000000 // sum(c) AS BIGINT)
+        |    AS purity_ppm
+        |FROM rn GROUP BY lab ORDER BY cluster_id""".stripMargin)
 
-  /** DuckDB mirror of the [[GraphOps.knnGraphDir]] epoch: sign-bucketed
-    * candidate self-join, per-src cosine top-3. Bucket and cosine
-    * expressions match the SimilarityQueries LSH mirrors. */
+  /** The mutual-kNN + 4-round label-propagation CTE chain (through
+    * `l4`) shared by the components table and the purity audit. */
+  private lazy val knnComponentsSql: String = {
+    def round(k: Int) =
+      s"""l$k AS MATERIALIZED (
+        |  SELECT l.node AS node,
+        |    least(l.lab, coalesce(min(p.lab), l.lab)) AS lab
+        |  FROM l${k - 1} l LEFT JOIN msym s ON s.dst = l.node
+        |  LEFT JOIN l${k - 1} p ON p.node = s.src
+        |  GROUP BY l.node, l.lab)"""
+    s"""$knnSql,
+      |mut AS MATERIALIZED (
+      |  SELECT k1.src, k1.dst FROM knn k1
+      |  JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+      |  WHERE k1.src < k1.dst),
+      |msym AS MATERIALIZED (
+      |  SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut),
+      |l0 AS MATERIALIZED (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
+      |${(1 to 4).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** cos(query vector `q.qv`, node embedding `b.embedding`) — shared by
+    * the beam-walk scorer and the brute ground truth. */
+  private val cosQSql: String =
+    "list_dot_product(q.qv::DOUBLE[], b.embedding::DOUBLE[]) / " +
+      "(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * " +
+      "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+
+  /** DuckDB mirror of [[GraphOps.graphSearch]]: the query set, the
+    * fixed entry sample, and the three expand-and-rerank beam rounds as
+    * MATERIALIZED CTE layers on top of [[knnSql]]'s graph. The final
+    * frontier is `g3` (rk ≤ 8). */
+  private lazy val graphSearchSql: String = {
+    def scoreTop(candRel: String, out: String, width: Int): String =
+      s"""$out AS MATERIALIZED (SELECT query_id, node, cos_sim, rk FROM (
+        |    SELECT c.query_id, c.node, round($cosQSql, 6) AS cos_sim,
+        |      CAST(row_number() OVER (PARTITION BY c.query_id
+        |        ORDER BY round($cosQSql, 6) DESC, c.node) AS BIGINT) AS rk
+        |    FROM $candRel c JOIN embeddings b ON b.vec_id = c.node
+        |    JOIN qs q ON q.query_id = c.query_id
+        |    WHERE c.node <> c.query_id) s
+        |  WHERE rk <= $width)""".stripMargin
+    def round(r: Int): String =
+      s"""gc$r AS MATERIALIZED (SELECT DISTINCT query_id, node FROM (
+        |    SELECT query_id, node FROM g${r - 1}
+        |    UNION ALL SELECT f.query_id, e.dst AS node FROM g${r - 1} f
+        |      JOIN knn e ON e.src = f.node) t),
+        |${scoreTop(s"gc$r", s"g$r", 8)}""".stripMargin
+    s"""$knnSql,
+      |qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |ent AS (SELECT a.vec_id AS query_id, c.vec_id AS node
+      |  FROM casg a JOIN clusters c ON c.cid = a.cid
+      |  WHERE a.vec_id < 10 AND a.cr <= 2),
+      |${scoreTop("ent", "g0", 8)},
+      |${(1 to 3).map(round).mkString(",\n|")}""".stripMargin
+  }
+
+  /** DuckDB mirror of the [[GraphOps.knnGraphDir]] epoch: the k-means
+    * cell assignment (SimilarityQueries.clusterAssignCtes — the same
+    * trained-quantizer chain the IVF mirrors use), the in-cell seed
+    * self-join + per-src cosine top-3, then the two NN-descent rounds
+    * (edges ∪ reversed ∪ 2-hop, exact re-rank) as MATERIALIZED CTE
+    * layers. */
   private lazy val knnSql: String = {
-    val bucket = (v: String) => (0 until 4)
-      .map(i => s"(CASE WHEN ($v)[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
     val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
-    s"""cb AS MATERIALIZED (SELECT vec_id, embedding,
-      |    ${bucket("embedding")} AS bucket FROM embeddings),
+    def round(r: Int): String =
+      s"""nd$r AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM k${r - 1}
+        |    UNION ALL SELECT dst, src FROM k${r - 1}
+        |    UNION ALL SELECT x.src, y.dst FROM k${r - 1} x
+        |      JOIN k${r - 1} y ON x.dst = y.src) t
+        |  WHERE src <> dst),
+        |k$r AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM (
+        |    SELECT c.src, c.dst, round($cos, 6) AS cos_sim,
+        |      CAST(row_number() OVER (PARTITION BY c.src
+        |        ORDER BY round($cos, 6) DESC, c.dst) AS BIGINT) AS rk
+        |    FROM nd$r c JOIN embeddings a ON a.vec_id = c.src
+        |    JOIN embeddings b ON b.vec_id = c.dst) s
+        |  WHERE rk <= 3)""".stripMargin
+    s"""${SimilarityQueries.clusterAssignCtes},
+      |ce AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid
+      |  FROM embeddings e JOIN clusters c USING (vec_id)),
+      |src4 AS MATERIALIZED (SELECT vec_id AS src, cid FROM casg WHERE cr <= 4),
       |pr AS MATERIALIZED (
-      |  SELECT a.vec_id AS src, b.vec_id AS dst, round($cos, 6) AS cos_sim
-      |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-      |rkd AS (SELECT src, dst, cos_sim, CAST(row_number() OVER (
-      |    PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rk
-      |  FROM pr),
-      |knn AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM rkd WHERE rk <= 3)""".stripMargin
+      |  SELECT s.src AS src, b.vec_id AS dst, round($cos, 6) AS cos_sim
+      |  FROM src4 s JOIN embeddings a ON a.vec_id = s.src
+      |  JOIN ce b ON b.cid = s.cid AND b.vec_id <> s.src),
+      |k0 AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM (
+      |    SELECT src, dst, cos_sim, CAST(row_number() OVER (
+      |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rk
+      |    FROM pr) s WHERE rk <= 3),
+      |${(1 to 2).map(round).mkString(",\n|")},
+      |knn AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM k2)""".stripMargin
   }
 }

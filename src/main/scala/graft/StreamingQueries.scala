@@ -204,7 +204,12 @@ object StreamingQueries {
     // streaming funnel: per-user stage-time state, cascade recomputed
     // per batch — converges to the batch funnelReach result under ANY
     // arrival order (FunnelStreamSpec proves parity on out-of-order
-    // files). Final state per user = its max-n_seen row.
+    // files). Final state per user = its max-n_seen row, which is
+    // UNIQUE: n_seen is the user's cumulative stage-event count, so it
+    // strictly increases across emitted updates — the rn=1 pick is
+    // deterministic, and the final reach vector equals the batch
+    // cascade over ALL events. DuckDB-GATED since r16 on exactly that
+    // batch-cascade mirror.
     "stream_funnel" -> ((s, dir) => {
       val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
         maxFilesPerTrigger = 1)
@@ -639,7 +644,37 @@ object StreamingQueries {
       |FROM e JOIN cum c ON c.key = e.key AND c.b = e.b
       |ORDER BY e.id""".stripMargin
 
+  /** Shared mirror of the streaming funnel pair: the batch cascade per
+    * user (earliest stage time, each at-or-after the previous stage's
+    * reach — `FunnelStream.cascade` in SQL), restricted to users whose
+    * stage-1 gate opened. The drained stream's max-n_seen row per user
+    * is its converged state, which equals this under any arrival
+    * order. */
+  private val funnelSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT s1.user_id, min(ts_us) AS t2 FROM s1 JOIN e
+      |  ON s1.user_id = e.user_id AND e.event_type = 'click'
+      |    AND e.ts_us >= s1.t1
+      |  GROUP BY 1),
+      |s3 AS (SELECT s2.user_id, min(ts_us) AS t3 FROM s2 JOIN e
+      |  ON s2.user_id = e.user_id AND e.event_type = 'purchase'
+      |    AND e.ts_us >= s2.t2
+      |  GROUP BY 1)
+      |SELECT s1.user_id, s1.t1 AS t1, s2.t2 AS t2, s3.t3 AS t3
+      |FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+      |LEFT JOIN s3 ON s3.user_id = s1.user_id
+      |ORDER BY s1.user_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // the funnel pair (promoted from no_oracle in r16): the max-n_seen
+    // row per user is unique (n_seen strictly increases across emitted
+    // updates), so the drained result is the converged batch cascade —
+    // one oracle gates both variants (the 90-day TTL twin evicts
+    // nobody; TtlStreamParitySpec keeps the row-for-row pin)
+    "stream_funnel" -> funnelSql,
+    "stream_funnel_ttl" -> funnelSql,
     // the anomaly pair (promoted from no_oracle in r16): deterministic
     // quartile decomposition → the prior-batch window is exact SQL; the
     // TTL twin consumes identical inputs with nothing evicted, so ONE

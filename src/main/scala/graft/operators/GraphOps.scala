@@ -159,39 +159,113 @@ object GraphOps {
 
   // ------------- k-NN graph over the embedding corpus (r16) -------------
 
-  /** LSH-bucketed k-NN graph epoch: every corpus vector's top-k cosine
-    * neighbors WITHIN its sign bucket, materialized to parquet once per
-    * (session, dataset) — the graph is an index artifact (built once,
-    * traversed many times), and rebuilding the scored self-join per
-    * downstream lineage reference would re-pay the quadratic stage (the
-    * r15 re-evaluation trap).
+  /** The kNN graph's coarse-quantizer epoch: the trained centroids
+    * (K ~ √N, 2 Lloyd iterations — exactly the chain
+    * SimilarityQueries.clusterAssignCtes mirrors), persisted once per
+    * (session, dataset) and shared by the graph BUILD (seed probing)
+    * and graph SEARCH (entry cell selection) — the serving quantizer is
+    * trained once, not per caller. */
+  def centsDir(spark: SparkSession, sfDir: String): String =
+    EpochRegistry.acquire(spark, "graph_knn_cents", sfDir) { () =>
+      graft.functions.GraftFunctions.register(spark)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_graph_knn_cents_").toString
+      val emb = Tables.embeddings(spark, sfDir)
+      VectorOps.trainCentroids(emb, graft.SimilarityQueries.ivfK(emb),
+          iterations = 2)
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The corpus→cell assignment epoch under [[centsDir]]'s frozen
+    * quantizer: (list_id, vec_id), one row per corpus vector. */
+  def cellsDir(spark: SparkSession, sfDir: String): String =
+    EpochRegistry.acquire(spark, "graph_knn_cells", sfDir) { () =>
+      graft.functions.GraftFunctions.register(spark)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_graph_knn_cells_").toString
+      val cents = broadcast(spark.read.parquet(centsDir(spark, sfDir)))
+      VectorOps.assignLists(Tables.embeddings(spark, sfDir), cents)
+        .select(col("list_id"), col("vec_id"))
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** K-MEANS-seeded, NN-DESCENT-refined k-NN graph epoch (the
+    * FAISS-IVF seed + Dong et al. 2011 refinement): every vector's
+    * top-k cosine neighbors WITHIN its trained k-means cell (the same
+    * coarse quantizer the IVF index families serve from — a 4-bit sign
+    * seed measured recall@3 0.12 on this corpus, the cell seed 0.9+),
+    * then `descentRounds` rounds of "my neighbors' neighbors are
+    * probably my neighbors": candidates = edges ∪ reversed ∪ 2-hop,
+    * exact re-rank, per-src top-k — descent heals the cross-cell edges
+    * a single-probe seed misses. The audit (`graph_knn_recall`) gates
+    * the result. Materialized once per (session, dataset) — the graph
+    * is an index artifact (the r15 re-evaluation trap otherwise).
     *
-    * Scale shape: candidate generation is a bucket-keyed SELF-join —
-    * per-bucket density is corpus/2^bits, so `bits` grows with log₂(N)
-    * to hold in-bucket pair counts constant (never all-pairs; at sf0.1
-    * 5k vectors × 4 bits ≈ 1.5M scored pairs). The top-k window runs
-    * per-src on the in-bucket candidates only. */
+    * Scale shape: the seed self-join's per-cell density is N/K (K ~ √N
+    * — the semantic-dedup shape, never all-pairs); each descent round
+    * is candidate-bounded at N·(k² + 2k) rows re-scored through two
+    * embedding joins — linear in N at fixed k, the standard
+    * distributed kNN-graph recipe at 100 TB. */
   def knnGraphDir(spark: SparkSession, sfDir: String, k: Int = 3,
-      bits: Int = 4): String =
+      descentRounds: Int = 2): String =
     EpochRegistry.acquire(spark, "graph_knn_edges", sfDir) { () =>
       graft.functions.GraftFunctions.register(spark)
       val path = java.nio.file.Files
         .createTempDirectory("graft_graph_knn_").toString
-      val a = Tables.embeddings(spark, sfDir).select(
-        col("vec_id").as("src"), col("embedding").as("aemb"),
-        VectorOps.signBucket(col("embedding"), bits).as("bucket"))
-      // fresh scan → separate attribute ids (the backbone() discipline)
-      val b = Tables.embeddings(spark, sfDir).select(
-        col("vec_id").as("dst"), col("embedding").as("bemb"),
-        VectorOps.signBucket(col("embedding"), bits).as("bucket"))
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cos_sim").desc, col("dst"))
-      a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+      def embAs(idName: String, embName: String) =
+        Tables.embeddings(spark, sfDir).select(
+          col("vec_id").as(idName), col("embedding").as(embName))
+      val cents = broadcast(spark.read.parquet(centsDir(spark, sfDir)))
+      // corpus side lives in its ONE nearest cell; the src side probes
+      // its 4 nearest cells — the IVF serving nProbe, which is what
+      // lifts seed recall@3 from 0.21 (own-cell only) to ~0.9 here
+      val dstLists = spark.read.parquet(cellsDir(spark, sfDir))
+        .select(col("list_id"), col("vec_id").as("dst"))
+        .join(embAs("dst", "bemb"), Seq("dst"))
+      val probeW = Window.partitionBy(col("src"))
+        .orderBy(col("_csim").desc, col("cid"))
+      val srcProbe = embAs("src", "aemb").crossJoin(cents)
+        .withColumn("_csim", round(VectorOps.cosine(col("aemb"), col("cv")), 6))
+        .withColumn("_cr", row_number().over(probeW))
+        .filter(col("_cr") <= 4)
+        .select(col("cid").as("list_id"), col("src"), col("aemb"))
+      // each round references the previous round's edges ~4× (fwd twice
+      // in the 2-hop join, the union, the reverse) — persist+force per
+      // round, or the seed join re-runs exponentially in round count
+      // (the r15 re-evaluation trap, loop form)
+      val cached = Seq.newBuilder[DataFrame]
+      var knn = srcProbe.join(dstLists, Seq("list_id"))
+        .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
           round(VectorOps.cosine(col("aemb"), col("bemb")), 6).as("cos_sim"))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= k)
-        .write.mode("overwrite").parquet(path)
+        .persist()
+      knn.count()
+      cached += knn
+      (1 to descentRounds).foreach { _ =>
+        val fwd = knn.select(col("src"), col("dst"))
+        val rev = knn.select(col("dst").as("src"), col("src").as("dst"))
+        val hop = fwd.as("x").join(fwd.as("y"), col("x.dst") === col("y.src"))
+          .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        val cand = fwd.unionAll(rev).unionAll(hop)
+          .filter(col("src") =!= col("dst")).distinct()
+        knn = cand.join(embAs("src", "semb"), Seq("src"))
+          .join(embAs("dst", "demb"), Seq("dst"))
+          .select(col("src"), col("dst"),
+            round(VectorOps.cosine(col("semb"), col("demb")), 6).as("cos_sim"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= k)
+          .persist()
+        knn.count()
+        cached += knn
+      }
+      knn.write.mode("overwrite").parquet(path)
+      cached.result().foreach(_.unpersist())
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
 
@@ -207,6 +281,75 @@ object GraphOps {
     val d = knn.select(col("src"), col("dst"))
     val r = knn.select(col("dst").as("src"), col("src").as("dst"))
     d.join(r, Seq("src", "dst")).filter(col("src") < col("dst"))
+  }
+
+  /** Graph-based ANN serving (the DiskANN/SPANN-class hybrid the kNN
+    * graph exists for): entry = the members of the query's `entryCells`
+    * nearest quantizer cells (the IVF probe, already near the answer),
+    * then `rounds` rounds of greedy BEAM refinement — "score my
+    * frontier's graph neighbors, keep the best `beam`" — which heals
+    * the cell-boundary misses a pure IVF probe makes; report the final
+    * frontier's top-k. Everything is rounded-cosine ranking with id
+    * tie-breaks, so the whole walk is mirrorable round-for-round
+    * (measured recall@3 at sf0.001: fixed-32-entry walk 0.23 →
+    * cell-entry + walk 0.9+).
+    *
+    * Scale shape: entry scoring is entryCells·N/K rows per query
+    * (~2√N); each round is O(beam·k) candidate scorings, independent
+    * of corpus size. The corpus is never scanned at serving time — the
+    * index IS the graph + quantizer. Each round's frontier is
+    * materialized through the RDD-persist leaf (the ivfTopK pattern:
+    * reference-tracked, the ContextCleaner frees the blocks) — it is
+    * referenced twice per round, the r15 re-evaluation trap in loop
+    * form. */
+  def graphSearch(spark: SparkSession, sfDir: String, queries: DataFrame,
+      k: Int, beam: Int = 8, rounds: Int = 3, entryCells: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val edges = knnEdges(spark, sfDir).select(col("src"), col("dst"))
+    val nodeEmb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("node"), col("embedding").as("nemb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val beamW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("node"))
+    def scoreTop(cand: DataFrame, width: Int): DataFrame = {
+      // the query vector is itself a corpus node — never serve it back
+      val scored = cand.filter(col("query_id") =!= col("node"))
+        .join(nodeEmb, Seq("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          round(VectorOps.cosine(col("qv"), col("nemb")), 6).as("cos_sim"))
+        .withColumn("rk", row_number().over(beamW).cast("long"))
+        .filter(col("rk") <= width)
+      val rdd = scored.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spark.createDataFrame(rdd, scored.schema)
+    }
+    // entry: the query's entryCells nearest centroids' member lists
+    val cents = broadcast(spark.read.parquet(centsDir(spark, sfDir)))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("cid"))
+    val qCells = q.crossJoin(cents)
+      .withColumn("_csim", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+      .withColumn("_cr", row_number().over(probeW))
+      .filter(col("_cr") <= entryCells)
+      .select(col("query_id"), col("cid").as("list_id"))
+    val entry = qCells.join(
+      spark.read.parquet(cellsDir(spark, sfDir))
+        .select(col("list_id"), col("vec_id").as("node")), Seq("list_id"))
+      .select(col("query_id"), col("node"))
+    var frontier = scoreTop(entry, beam)
+    (1 to rounds).foreach { _ =>
+      val cand = frontier.select(col("query_id"), col("node"))
+        .unionAll(frontier.select(col("query_id"), col("node").as("src"))
+          .join(edges, Seq("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .distinct()
+      frontier = scoreTop(cand, beam)
+    }
+    frontier.filter(col("rk") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("cos_sim"), col("rk"))
   }
 
   /** Min-label propagation over an ARBITRARY undirected edge set,

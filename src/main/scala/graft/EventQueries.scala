@@ -53,6 +53,42 @@ object EventQueries {
     // high/low as plain extremes, all integer cents. first_value over
     // the two orderings of a window already partitioned by (series,
     // bucket) — the event log's natural partitioning, one shuffle.
+    // lag-k autocorrelation of the hourly value series per type (k =
+    // 1..3): Pearson over (x_t, x_{t−k}) pairs — the "does last hour
+    // predict this hour" diagnostic that decides whether a monitor
+    // needs the seasonality baseline at all. Sums accumulate as exact
+    // DECIMAL(38,0) (the stats_corr_matrix discipline), the correlation
+    // derives through identical IEEE double ops both engines, round 6;
+    // the series is hours × types — near-metadata after one scan
+    "events_autocorr" -> ((s, dir) => {
+      val h = Tables.events(s, dir).select(col("event_type"),
+          expr("ts_us div 3600000000").as("hr"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cents")).cast("decimal(19,0)").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      def lagRows(k: Int) = h
+        .withColumn("xp", lag(col("x"), k).over(w))
+        .filter(col("xp").isNotNull)
+        .select(col("event_type"), lit(k.toLong).as("lag"),
+          col("x"), col("xp"))
+      def dbl(c: String) = col(c).cast("double")
+      (1 to 3).map(lagRows).reduce(_ unionAll _)
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("xp")).as("sp"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("xp") * col("xp")).as("spp"),
+          sum(col("x") * col("xp")).as("sxp"))
+        .select(col("event_type"), col("lag"),
+          col("n").cast("long").as("n_pairs"),
+          round((dbl("n") * dbl("sxp") - dbl("sx") * dbl("sp")) /
+            (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              sqrt(dbl("n") * dbl("spp") - dbl("sp") * dbl("sp"))), 6)
+            .as("autocorr"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     // hour-of-day seasonality profile: per-(type, hour) count, integer
     // mean, and deviation from the type's overall mean — the seasonal
     // baseline a monitoring pipeline subtracts before anomaly scoring
@@ -651,6 +687,29 @@ object EventQueries {
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // the candlestick mirror: same (ts, event_id) first/last order
+    "events_autocorr" -> {
+      def corr =
+        "round((n::DOUBLE * sxp::DOUBLE - sx::DOUBLE * sp::DOUBLE) / " +
+          "(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
+          "sqrt(n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)), 6)"
+      def lagSel(k: Int) =
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag, x,
+          |    lag(x, $k) OVER (PARTITION BY event_type ORDER BY hr) AS xp
+          |  FROM h""".stripMargin
+      s"""WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(CAST(sum(round(value * 100)::BIGINT) AS BIGINT)
+        |      AS DECIMAL(19,0)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (${(1 to 3).map(lagSel).mkString("\n UNION ALL\n")}),
+        |s AS (SELECT event_type, lag,
+        |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    sum(x) AS sx, sum(xp) AS sp, sum(x*x) AS sxx,
+        |    sum(xp*xp) AS spp, sum(x*xp) AS sxp
+        |  FROM l WHERE xp IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+        |  $corr AS autocorr
+        |FROM s ORDER BY event_type, lag""".stripMargin
+    },
     "events_seasonality" ->
       """WITH e AS (SELECT event_type,
         |    (epoch_us(ts) // 3600000000) % 24 AS hour,

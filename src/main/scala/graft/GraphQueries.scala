@@ -93,6 +93,22 @@ object GraphQueries {
           GraphOps.mutualKnnEdges(GraphOps.knnEdges(s, dir)), rounds = 4)
         .orderBy(col("node"))
     }),
+    // graph HEALTH monitor (the family's near-metadata check, like the
+    // compaction/retrain checks the other serving families carry):
+    // mutual-degree histogram — isolated nodes (degree 0) are vectors
+    // the graph cannot route through; their share growing is the
+    // rebuild signal
+    "graph_knn_health" -> ((s, dir) => {
+      val nodes = Tables.embeddings(s, dir).select(col("vec_id").as("node"))
+      val mut = GraphOps.mutualKnnEdges(GraphOps.knnEdges(s, dir))
+      val sym = mut.select(col("src").as("node"))
+        .unionAll(mut.select(col("dst").as("node")))
+      val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      nodes.join(deg, Seq("node"), "left")
+        .select(coalesce(col("degree"), lit(0L)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
     // cluster PURITY audit (the clustering twin of the recall audits):
     // per cluster, size + majority ground-truth label + its share —
     // embeddings carry a label column, so the semantic clusters can be
@@ -220,6 +236,18 @@ object GraphQueries {
     "graph_knn_components" ->
       s"""WITH $knnComponentsSql
         |SELECT node, lab FROM l4 ORDER BY node""".stripMargin,
+    "graph_knn_health" ->
+      s"""WITH $knnSql,
+        |mut AS MATERIALIZED (
+        |  SELECT k1.src, k1.dst FROM knn k1
+        |  JOIN knn k2 ON k2.src = k1.dst AND k2.dst = k1.src
+        |  WHERE k1.src < k1.dst),
+        |sym AS (SELECT src AS node FROM mut UNION ALL SELECT dst FROM mut),
+        |deg AS (SELECT node, count(*)::BIGINT AS degree FROM sym GROUP BY 1)
+        |SELECT coalesce(degree, 0)::BIGINT AS degree,
+        |  count(*)::BIGINT AS n_nodes
+        |FROM embeddings e LEFT JOIN deg ON deg.node = e.vec_id
+        |GROUP BY 1 ORDER BY degree""".stripMargin,
     "graph_knn_purity" ->
       s"""WITH $knnComponentsSql,
         |cl AS (SELECT l.lab, e.label, count(*)::BIGINT AS c

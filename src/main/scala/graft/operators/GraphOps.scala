@@ -179,17 +179,22 @@ object GraphOps {
 
   /** The corpus→cell assignment epoch under [[centsDir]]'s frozen
     * quantizer: (list_id, vec_id), one row per corpus vector. */
-  def cellsDir(spark: SparkSession, sfDir: String): String =
+  def cellsDir(spark: SparkSession, sfDir: String): String = {
+    // child epoch resolved BEFORE the acquire — a nested computeIfAbsent
+    // on the registry map throws "Recursive update" on bin collision
+    // (the bandAppendIndexFor discipline)
+    val centsPath = centsDir(spark, sfDir)
     EpochRegistry.acquire(spark, "graph_knn_cells", sfDir) { () =>
       graft.functions.GraftFunctions.register(spark)
       val path = java.nio.file.Files
         .createTempDirectory("graft_graph_knn_cells_").toString
-      val cents = broadcast(spark.read.parquet(centsDir(spark, sfDir)))
+      val cents = broadcast(spark.read.parquet(centsPath))
       VectorOps.assignLists(Tables.embeddings(spark, sfDir), cents)
         .select(col("list_id"), col("vec_id"))
         .write.mode("overwrite").parquet(path)
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
+  }
 
   /** K-MEANS-seeded, NN-DESCENT-refined k-NN graph epoch (the
     * FAISS-IVF seed + Dong et al. 2011 refinement): every vector's
@@ -209,7 +214,12 @@ object GraphOps {
     * embedding joins — linear in N at fixed k, the standard
     * distributed kNN-graph recipe at 100 TB. */
   def knnGraphDir(spark: SparkSession, sfDir: String, k: Int = 3,
-      descentRounds: Int = 2): String =
+      descentRounds: Int = 2): String = {
+    // child epochs resolved BEFORE the acquire — a nested
+    // computeIfAbsent on the registry map throws "Recursive update" on
+    // bin collision (the bandAppendIndexFor discipline)
+    val centsPath = centsDir(spark, sfDir)
+    val cellsPath = cellsDir(spark, sfDir)
     EpochRegistry.acquire(spark, "graph_knn_edges", sfDir) { () =>
       graft.functions.GraftFunctions.register(spark)
       val path = java.nio.file.Files
@@ -219,11 +229,11 @@ object GraphOps {
       def embAs(idName: String, embName: String) =
         Tables.embeddings(spark, sfDir).select(
           col("vec_id").as(idName), col("embedding").as(embName))
-      val cents = broadcast(spark.read.parquet(centsDir(spark, sfDir)))
+      val cents = broadcast(spark.read.parquet(centsPath))
       // corpus side lives in its ONE nearest cell; the src side probes
       // its 4 nearest cells — the IVF serving nProbe, which is what
       // lifts seed recall@3 from 0.21 (own-cell only) to ~0.9 here
-      val dstLists = spark.read.parquet(cellsDir(spark, sfDir))
+      val dstLists = spark.read.parquet(cellsPath)
         .select(col("list_id"), col("vec_id").as("dst"))
         .join(embAs("dst", "bemb"), Seq("dst"))
       val probeW = Window.partitionBy(col("src"))
@@ -268,6 +278,7 @@ object GraphOps {
       cached.result().foreach(_.unpersist())
       EpochRegistry.Resource(path, deleteDirs = Seq(path))
     }
+  }
 
   /** Fresh scan of the materialized k-NN graph. */
   def knnEdges(spark: SparkSession, sfDir: String): DataFrame =

@@ -8,11 +8,14 @@ import graft.operators.SearchOps
 
 /** Structured-Streaming-backed entries. Each runs a real streaming query
   * (file source → transform → memory sink, Trigger.AvailableNow) and
-  * returns the sink table. Most carry a full DuckDB oracle (the drained
-  * result is deterministic: batch mirror + final-watermark cut); the
-  * genuinely stateful remainder (arbitrary-state/TTL loops) is
-  * self-oracled by StreamingSpec / the parity specs, which the contract
-  * allows for non-SQL-expressible ops. */
+  * returns the sink table. As of r16 every entry but ONE carries a full
+  * DuckDB oracle — batch mirror + final-watermark cut for window
+  * drains, deterministic-decomposition windows for the running-stats
+  * loop, converged-state cascades for the funnel pair, frozen-state
+  * arguments for ingestion/CDC. The single remaining self-oracled
+  * entry is `stream_envelope`, whose wire format stamps `uuid()` /
+  * `current_timestamp()` by design (the reference's envelope) — it is
+  * pinned by StreamingSpec instead. */
 object StreamingQueries {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger

@@ -93,6 +93,38 @@ object GraphQueries {
           GraphOps.mutualKnnEdges(GraphOps.knnEdges(s, dir)), rounds = 4)
         .orderBy(col("node"))
     }),
+    // incremental graph INSERT (the NSW append): each appended
+    // vector's out-edges = its beam-walk top-3 over the frozen graph;
+    // gate = the new nodes' full edge table vs the walk replayed in SQL
+    "sim_ann_graph_appended" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(GraphOps.knnAppendDir(s, dir))
+        .filter(col("src") >= 100000)
+        .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
+        .orderBy(col("src"), col("rk"))
+    }),
+    // ...and the insert's recall audit: the new nodes are exact dups,
+    // so their true top-1 is the original twin — per-node overlap vs
+    // the exact corpus top-3 gates that the walk actually found it
+    "sim_ann_graph_appended_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val batch = SimilarityQueries.dupVectors(emb)
+        .filter(col("vec_id") >= 100000)
+      val brute = graft.operators.VectorOps.bruteForceTopK(batch, emb, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = s.read.parquet(GraphOps.knnAppendDir(s, dir))
+        .filter(col("src") >= 100000)
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+      val hits = brute.join(ann, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      batch.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / lit(3.0), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
     // graph HEALTH monitor (the family's near-metadata check, like the
     // compaction/retrain checks the other serving families carry):
     // mutual-degree histogram — isolated nodes (degree 0) are vectors
@@ -236,6 +268,25 @@ object GraphQueries {
     "graph_knn_components" ->
       s"""WITH $knnComponentsSql
         |SELECT node, lab FROM l4 ORDER BY node""".stripMargin,
+    "sim_ann_graph_appended" ->
+      s"""WITH $graphAppendSql
+        |SELECT query_id AS src, node AS dst, cos_sim, rk FROM g3
+        |WHERE rk <= 3 ORDER BY src, rk""".stripMargin,
+    "sim_ann_graph_appended_recall" ->
+      s"""WITH $graphAppendSql,
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round($cosQSql, 6) DESC, b.vec_id) AS rk
+        |    FROM qs q JOIN embeddings b ON b.vec_id <> q.query_id) t
+        |  WHERE rk <= 3),
+        |ann AS (SELECT query_id, node AS neighbor_id FROM g3 WHERE rk <= 3),
+        |hits AS (SELECT brute.query_id, count(*)::BIGINT AS n_hit
+        |  FROM brute JOIN ann USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+        |FROM qs q LEFT JOIN hits ON hits.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     "graph_knn_health" ->
       s"""WITH $knnSql,
         |mut AS MATERIALIZED (
@@ -288,11 +339,12 @@ object GraphQueries {
       "(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 
-  /** DuckDB mirror of [[GraphOps.graphSearch]]: the query set, the
-    * fixed entry sample, and the three expand-and-rerank beam rounds as
-    * MATERIALIZED CTE layers on top of [[knnSql]]'s graph. The final
-    * frontier is `g3` (rk ≤ 8). */
-  private lazy val graphSearchSql: String = {
+  /** DuckDB mirror of [[GraphOps.graphSearch]] parameterized over the
+    * query set: `qsSql` defines `qs (query_id, qv)`, `entSql` defines
+    * `ent (query_id, node)` (the entry-cell members), then the three
+    * expand-and-rerank beam rounds as MATERIALIZED CTE layers on top of
+    * [[knnSql]]'s graph. The final frontier is `g3` (rk ≤ 8). */
+  private def graphWalkSql(qsSql: String, entSql: String): String = {
     def scoreTop(candRel: String, out: String, width: Int): String =
       s"""$out AS MATERIALIZED (SELECT query_id, node, cos_sim, rk FROM (
         |    SELECT c.query_id, c.node, round($cosQSql, 6) AS cos_sim,
@@ -309,14 +361,31 @@ object GraphQueries {
         |      JOIN knn e ON e.src = f.node) t),
         |${scoreTop(s"gc$r", s"g$r", 8)}""".stripMargin
     s"""$knnSql,
-      |qs AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv
-      |  FROM embeddings WHERE vec_id < 10),
-      |ent AS (SELECT a.vec_id AS query_id, c.vec_id AS node
-      |  FROM casg a JOIN clusters c ON c.cid = a.cid
-      |  WHERE a.vec_id < 10 AND a.cr <= 2),
+      |qs AS MATERIALIZED ($qsSql),
+      |ent AS ($entSql),
       |${scoreTop("ent", "g0", 8)},
       |${(1 to 3).map(round).mkString(",\n|")}""".stripMargin
   }
+
+  /** The serving walk for the standard query set (vec_id < 10). */
+  private lazy val graphSearchSql: String = graphWalkSql(
+    qsSql = """SELECT vec_id AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id < 10""".stripMargin,
+    entSql = """SELECT a.vec_id AS query_id, c.vec_id AS node
+      |  FROM casg a JOIN clusters c ON c.cid = a.cid
+      |  WHERE a.vec_id < 10 AND a.cr <= 2""".stripMargin)
+
+  /** The INSERT walk for the append batch (the exact-dup vectors at
+    * id+100000): each new vector's out-edges are its beam-walk top-3
+    * over the frozen graph — the incremental NSW insert. The batch
+    * vector equals its original, so its entry-cell ranks ARE the
+    * original's casg rows. */
+  private lazy val graphAppendSql: String = graphWalkSql(
+    qsSql = """SELECT vec_id + 100000 AS query_id, embedding AS qv
+      |  FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
+    entSql = """SELECT a.vec_id + 100000 AS query_id, c.vec_id AS node
+      |  FROM casg a JOIN clusters c ON c.cid = a.cid
+      |  WHERE a.vec_id % 4 = 0 AND a.cr <= 2""".stripMargin)
 
   /** DuckDB mirror of the [[GraphOps.knnGraphDir]] epoch: the k-means
     * cell assignment (SimilarityQueries.clusterAssignCtes — the same

@@ -363,6 +363,38 @@ object GraphOps {
         col("cos_sim"), col("rk"))
   }
 
+  /** Incremental graph INSERT (the NSW append): each new vector's
+    * out-edges are its beam-walk top-k over the FROZEN graph — exactly
+    * [[graphSearch]] run with the batch as the query set — and the
+    * appended generation is base edges ∪ new-node edges (existing
+    * nodes' out-edges untouched; the walk can still route THROUGH new
+    * nodes via their forward edges). Per-inserted-vector cost is the
+    * serving cost — O(entry + beam·k·rounds), corpus-independent — the
+    * property that makes graph indexes incrementally maintainable at
+    * 100 TB. Batch = the standard exact-dup append wave (id+100000). */
+  def knnAppendDir(spark: SparkSession, sfDir: String): String = {
+    // every child epoch resolves BEFORE the acquire (fresh inserts into
+    // the registry inside a build are the flaky "Recursive update");
+    // the walk itself is LAZY so a warm call — epoch already built —
+    // never re-plans or re-runs it (graphSearch's own acquires inside
+    // the build are then pure cache hits, which do not insert)
+    val basePath = knnGraphDir(spark, sfDir)
+    centsDir(spark, sfDir); cellsDir(spark, sfDir)
+    EpochRegistry.acquire(spark, "graph_knn_append", sfDir) { () =>
+      val batch = graft.SimilarityQueries
+        .dupVectors(Tables.embeddings(spark, sfDir))
+        .filter(col("vec_id") >= 100000)
+      val newEdges = graphSearch(spark, sfDir, batch, k = 3)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+          col("cos_sim"), col("rk"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_graph_knn_append_").toString
+      spark.read.parquet(basePath).unionAll(newEdges)
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+  }
+
   /** Min-label propagation over an ARBITRARY undirected edge set,
     * seeded with every node in `nodes` — isolated nodes keep their own
     * label (singleton clusters, not dropped rows), hence the left join

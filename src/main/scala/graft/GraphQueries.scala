@@ -38,17 +38,20 @@ object GraphQueries {
     "graph_components_lp" -> ((s, dir) =>
       GraphOps.labelPropagation(s, dir, rounds = 4)
         .orderBy(col("node"))),
-    // LSH-bucketed k-NN graph over the embedding corpus (k=3, 4 sign
-    // bits) — the graph-construction half of graph-based semantic
-    // clustering; full ranked edge table gated
+    // k-means-cell-seeded, NN-descent-refined k-NN graph over the
+    // embedding corpus (k=3, 4-cell seed probe, 2 descent rounds — the
+    // 4-sign-bit LSH seed was rejected at recall 0.12, see GraphOps) —
+    // the graph-construction half of graph-based semantic clustering;
+    // full ranked edge table gated
     "graph_knn_edges" -> ((s, dir) =>
       GraphOps.knnEdges(s, dir)
         .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
         .orderBy(col("src"), col("rk"))),
     // the kNN graph's recall audit (every approximate path carries
-    // one): per-node overlap of the LSH-bucketed edge set vs the exact
-    // cosine top-3 — brute ground truth over the full node set at
-    // fixture scale (a deployment audits a node SAMPLE the same way)
+    // one): per-node overlap of the cell-seeded NN-descent edge set vs
+    // the exact cosine top-3 — brute ground truth over the full node
+    // set at fixture scale (a deployment audits a node SAMPLE the same
+    // way)
     "graph_knn_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
@@ -345,6 +348,10 @@ object GraphQueries {
     * expand-and-rerank beam rounds as MATERIALIZED CTE layers on top of
     * [[knnSql]]'s graph. The final frontier is `g3` (rk ≤ 8). */
   private def graphWalkSql(qsSql: String, entSql: String): String = {
+    // beam width and round count come from GraphOps' ONE parameter set
+    // (ADVICE r16) — the mirrors can never drift from graphSearch's
+    // defaults; the final frontier is always g<WalkRounds>, aliased g3
+    // below so downstream SELECTs stay stable if the constant moves
     def scoreTop(candRel: String, out: String, width: Int): String =
       s"""$out AS MATERIALIZED (SELECT query_id, node, cos_sim, rk FROM (
         |    SELECT c.query_id, c.node, round($cosQSql, 6) AS cos_sim,
@@ -356,24 +363,25 @@ object GraphQueries {
         |  WHERE rk <= $width)""".stripMargin
     def round(r: Int): String =
       s"""gc$r AS MATERIALIZED (SELECT DISTINCT query_id, node FROM (
-        |    SELECT query_id, node FROM g${r - 1}
-        |    UNION ALL SELECT f.query_id, e.dst AS node FROM g${r - 1} f
+        |    SELECT query_id, node FROM gw${r - 1}
+        |    UNION ALL SELECT f.query_id, e.dst AS node FROM gw${r - 1} f
         |      JOIN knn e ON e.src = f.node) t),
-        |${scoreTop(s"gc$r", s"g$r", 8)}""".stripMargin
+        |${scoreTop(s"gc$r", s"gw$r", GraphOps.WalkBeam)}""".stripMargin
     s"""$knnSql,
       |qs AS MATERIALIZED ($qsSql),
       |ent AS ($entSql),
-      |${scoreTop("ent", "g0", 8)},
-      |${(1 to 3).map(round).mkString(",\n|")}""".stripMargin
+      |${scoreTop("ent", "gw0", GraphOps.WalkBeam)},
+      |${(1 to GraphOps.WalkRounds).map(round).mkString(",\n|")},
+      |g3 AS (SELECT * FROM gw${GraphOps.WalkRounds})""".stripMargin
   }
 
   /** The serving walk for the standard query set (vec_id < 10). */
   private lazy val graphSearchSql: String = graphWalkSql(
     qsSql = """SELECT vec_id AS query_id, embedding AS qv
       |  FROM embeddings WHERE vec_id < 10""".stripMargin,
-    entSql = """SELECT a.vec_id AS query_id, c.vec_id AS node
+    entSql = s"""SELECT a.vec_id AS query_id, c.vec_id AS node
       |  FROM casg a JOIN clusters c ON c.cid = a.cid
-      |  WHERE a.vec_id < 10 AND a.cr <= 2""".stripMargin)
+      |  WHERE a.vec_id < 10 AND a.cr <= ${GraphOps.WalkEntryCells}""".stripMargin)
 
   /** The INSERT walk for the append batch (the exact-dup vectors at
     * id+100000): each new vector's out-edges are its beam-walk top-3
@@ -383,9 +391,9 @@ object GraphQueries {
   private lazy val graphAppendSql: String = graphWalkSql(
     qsSql = """SELECT vec_id + 100000 AS query_id, embedding AS qv
       |  FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
-    entSql = """SELECT a.vec_id + 100000 AS query_id, c.vec_id AS node
+    entSql = s"""SELECT a.vec_id + 100000 AS query_id, c.vec_id AS node
       |  FROM casg a JOIN clusters c ON c.cid = a.cid
-      |  WHERE a.vec_id % 4 = 0 AND a.cr <= 2""".stripMargin)
+      |  WHERE a.vec_id % 4 = 0 AND a.cr <= ${GraphOps.WalkEntryCells}""".stripMargin)
 
   /** DuckDB mirror of the [[GraphOps.knnGraphDir]] epoch: the k-means
     * cell assignment (SimilarityQueries.clusterAssignCtes — the same
@@ -394,6 +402,10 @@ object GraphQueries {
     * (edges ∪ reversed ∪ 2-hop, exact re-rank) as MATERIALIZED CTE
     * layers. */
   private lazy val knnSql: String = {
+    // k, descent-round count, and the seed's probe width come from
+    // GraphOps' ONE parameter set (ADVICE r16): the mirror can never
+    // drift from knnGraphDir's defaults
+    val k = GraphOps.KnnK
     val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
       "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
@@ -410,11 +422,12 @@ object GraphQueries {
         |        ORDER BY round($cos, 6) DESC, c.dst) AS BIGINT) AS rk
         |    FROM nd$r c JOIN embeddings a ON a.vec_id = c.src
         |    JOIN embeddings b ON b.vec_id = c.dst) s
-        |  WHERE rk <= 3)""".stripMargin
+        |  WHERE rk <= $k)""".stripMargin
     s"""${SimilarityQueries.clusterAssignCtes},
       |ce AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid
       |  FROM embeddings e JOIN clusters c USING (vec_id)),
-      |src4 AS MATERIALIZED (SELECT vec_id AS src, cid FROM casg WHERE cr <= 4),
+      |src4 AS MATERIALIZED (SELECT vec_id AS src, cid FROM casg
+      |  WHERE cr <= ${GraphOps.KnnSeedProbeCells}),
       |pr AS MATERIALIZED (
       |  SELECT s.src AS src, b.vec_id AS dst, round($cos, 6) AS cos_sim
       |  FROM src4 s JOIN embeddings a ON a.vec_id = s.src
@@ -422,8 +435,9 @@ object GraphQueries {
       |k0 AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM (
       |    SELECT src, dst, cos_sim, CAST(row_number() OVER (
       |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rk
-      |    FROM pr) s WHERE rk <= 3),
-      |${(1 to 2).map(round).mkString(",\n|")},
-      |knn AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM k2)""".stripMargin
+      |    FROM pr) s WHERE rk <= $k),
+      |${(1 to GraphOps.KnnDescentRounds).map(round).mkString(",\n|")},
+      |knn AS MATERIALIZED (SELECT src, dst, cos_sim, rk
+      |  FROM k${GraphOps.KnnDescentRounds})""".stripMargin
   }
 }

@@ -184,13 +184,17 @@ object CdcOps {
     * broadcast form evaluates it post-scan but still never sorts or
     * materializes the earlier pages.
     *
-    * NULL-cursor contract (ADVICE r15): an empty/NULL `cursorDf` cursor
-    * means "no page drained yet" and restarts from the head — the
-    * cursor coalesces to Long.MinValue so page 1 of a fresh drain and
-    * page N+1 of a resumed one go through the same operator. */
+    * NULL-cursor contract (ADVICE r15/r16): "no page drained yet"
+    * restarts from the head. `cursorDf` is normalized through
+    * `agg(max(cursor))`, which always yields exactly one row — a 1-row
+    * NULL cursor AND a zero-row frame both become one NULL row (a bare
+    * crossJoin of an empty frame would yield an empty page, not a head
+    * restart) — and the NULL coalesces to Long.MinValue so page 1 of a
+    * fresh drain and page N+1 of a resumed one share the operator. */
   def drainKeyset(queue: DataFrame, cursorDf: DataFrame,
       pageSize: Int = 1000): DataFrame =
-    queue.crossJoin(broadcast(cursorDf))
+    queue.crossJoin(broadcast(
+        cursorDf.agg(max(col("cursor")).as("cursor"))))
       .filter(!col("processed") &&
         col("id") > coalesce(col("cursor"), lit(Long.MinValue)))
       .orderBy(col("id").asc).limit(pageSize)

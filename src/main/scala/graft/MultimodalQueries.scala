@@ -162,6 +162,50 @@ object MultimodalQueries {
         .orderBy(col("hash_hi"), col("hash_lo"), col("keep_id"))
     }),
 
+    // REAL video frame extraction (r17 — the modality set's last
+    // simulated member replaced): a deterministic multi-frame GIF per
+    // doc (256-gray palette → the LZW roundtrip is lossless), decoded
+    // through the ImageIO sequence reader; per frame the exact luma sum
+    // and the 8×8 aHash gate against the closed-form raster — a frame
+    // swap, drop, or palette corruption breaks the hash
+    "mm_video_frames" -> ((s, dir) => {
+      Multimodal.decodeVideoFrames(
+          Multimodal.syntheticVideos(Tables.documents(s, dir)))
+        .toDF().orderBy(col("media_id"), col("frame_idx"))
+    }),
+    // TEMPORAL + cross-clip video dedup over the dup-injected corpus
+    // (an identical twin for every %10==7 doc): per clip, keyframe
+    // selection (frame 0 + any frame whose aHash hamming vs the
+    // PREVIOUS frame exceeds 8 — the shot-boundary heuristic) and a
+    // clip fingerprint (frame count + XOR of frame hashes); a clip
+    // survives iff it is the smallest id sharing its fingerprint —
+    // the video twin of mm_dedup_perceptual/mm_dedup_audio
+    "mm_dedup_video" -> ((s, dir) => {
+      val frames = Multimodal.decodeVideoFrames(
+          Multimodal.dupVideos(Tables.documents(s, dir))).toDF()
+      val wlag = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      val keyed = frames
+        .withColumn("ph", lag(col("hash_hi"), 1).over(wlag))
+        .withColumn("pl", lag(col("hash_lo"), 1).over(wlag))
+        .withColumn("keyframe",
+          col("ph").isNull ||
+            expr("bit_count(hash_hi ^ ph) + bit_count(hash_lo ^ pl)") > 8)
+      val clips = keyed.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("keyframe"), 1L).otherwise(0L)).as("n_keyframes"),
+          expr("bit_xor(hash_hi)").as("fp_hi"),
+          expr("bit_xor(hash_lo)").as("fp_lo"))
+      val wfp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_frames"), col("fp_hi"), col("fp_lo"))
+      clips
+        .withColumn("is_survivor",
+          col("media_id") === min(col("media_id")).over(wfp))
+        .select(col("media_id"), col("n_frames"), col("n_keyframes"),
+          col("is_survivor"))
+        .orderBy(col("media_id"))
+    }),
+
     // the TRI-MODAL curation capstone: text quality + decoded-image
     // signal + image-perceptual survivor + decoded-audio signal +
     // audio-perceptual survivor joined into ONE per-doc keep verdict,
@@ -263,6 +307,33 @@ object MultimodalQueries {
       |    list_sum(list_transform(range(0, 32),
       |      k -> CASE WHEN lum[k+33] > mu THEN 1::BIGINT << k ELSE 0 END))::BIGINT AS hash_lo
       |  FROM sm)""".stripMargin
+  }
+
+  /** The video mirror chain ([[graft.operators.Multimodal
+    * .decodeVideoFrames]]): clips `m (media_id, sid)` fan out to their
+    * 3+sid%4 frames, each frame folds its exact luma sum and its aHash
+    * from the gray raster (3x + 7y + 11f + 13·sid) mod 256 — the
+    * image-hash chain with the frame index in the channel slot. Ends
+    * in `vh (media_id, f, w, h, sum_luma, hash_hi, hash_lo)`. */
+  private def videoFrameCtes: String = {
+    def vpix(x: String, y: String) =
+      s"(3*($x) + 7*($y) + 11*f + 13*sid) % 256"
+    val g = vpix("((k%8)*w)//8", "((k//8)*h)//8")
+    s"""vf AS (SELECT media_id, sid, f, 8 + sid % 9 AS w, 8 + sid % 7 AS h
+      |  FROM m, LATERAL unnest(range(0, 3 + sid % 4)) AS t(f)),
+      |vl AS (SELECT media_id, f, w, h,
+      |    list_transform(range(0, 64), k -> $g) AS lum,
+      |    list_sum(list_transform(range(0, w*h),
+      |      i -> ${vpix("i % w", "i // w")}))::BIGINT AS sum_luma
+      |  FROM vf),
+      |vs AS (SELECT media_id, f, w, h, sum_luma, lum,
+      |    (list_sum(lum) // 64)::BIGINT AS mu FROM vl),
+      |vh AS (SELECT media_id, f, w, h, sum_luma,
+      |    list_sum(list_transform(range(0, 32),
+      |      k -> CASE WHEN lum[k+1] > mu THEN 1::BIGINT << k ELSE 0 END))::BIGINT AS hash_hi,
+      |    list_sum(list_transform(range(0, 32),
+      |      k -> CASE WHEN lum[k+33] > mu THEN 1::BIGINT << k ELSE 0 END))::BIGINT AS hash_lo
+      |  FROM vs)""".stripMargin
   }
 
   /** Count of pixels whose floor-luma ((r+g+b)//3) lands in 64-wide
@@ -374,6 +445,40 @@ object MultimodalQueries {
         |  count(*) AS n_copies
         |FROM hs GROUP BY hash_hi, hash_lo
         |ORDER BY hash_hi, hash_lo, keep_id""".stripMargin,
+    // the GIF raster mirror: every gray of frame f is
+    // (3x + 7y + 11f + 13·sid) mod 256, so the per-frame luma sum and
+    // every aHash bit recompute in closed form — a frame swap, drop,
+    // or a single LZW-corrupted pixel breaks the hash
+    "mm_video_frames" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
+        |$videoFrameCtes
+        |SELECT media_id, f::BIGINT AS frame_idx, w::INT AS width,
+        |  h::INT AS height, sum_luma, hash_hi, hash_lo
+        |FROM vh ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_dedup_video" ->
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS sid FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 10 = 7),
+        |$videoFrameCtes,
+        |kf AS (SELECT media_id, f, hash_hi, hash_lo,
+        |    lag(hash_hi) OVER w AS ph, lag(hash_lo) OVER w AS pl
+        |  FROM vh WINDOW w AS (PARTITION BY media_id ORDER BY f)),
+        |ck AS (SELECT media_id, hash_hi, hash_lo,
+        |    CASE WHEN ph IS NULL OR bit_count(xor(hash_hi, ph)) +
+        |      bit_count(xor(hash_lo, pl)) > 8 THEN 1 ELSE 0 END AS kfflag
+        |  FROM kf),
+        |cl AS (SELECT media_id, count(*)::BIGINT AS n_frames,
+        |    CAST(sum(kfflag) AS BIGINT) AS n_keyframes,
+        |    CAST(bit_xor(hash_hi) AS BIGINT) AS fp_hi,
+        |    CAST(bit_xor(hash_lo) AS BIGINT) AS fp_lo
+        |  FROM ck GROUP BY 1),
+        |sv AS (SELECT n_frames, fp_hi, fp_lo, min(media_id) AS keep
+        |  FROM cl GROUP BY 1, 2, 3)
+        |SELECT cl.media_id, cl.n_frames, cl.n_keyframes,
+        |  cl.media_id = sv.keep AS is_survivor
+        |FROM cl JOIN sv USING (n_frames, fp_hi, fp_lo)
+        |ORDER BY media_id""".stripMargin,
     // tri-modal capstone mirror: the image and audio hash chains both
     // name their CTEs d/l/sm/hs, so each survivor leg runs inside a
     // parenthesized nested WITH (scoped names); features and quality

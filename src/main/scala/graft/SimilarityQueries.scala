@@ -19,7 +19,7 @@ object SimilarityQueries {
       emb.filter(col("vec_id") % 4 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label")))
 
-  private val dupVectorsSql =
+  private[graft] val dupVectorsSql =
     """corpus AS (
       |  SELECT vec_id, embedding, label FROM embeddings
       |  UNION ALL
@@ -122,13 +122,13 @@ object SimilarityQueries {
   private[graft] def ivfK(emb: DataFrame): Int =
     math.max(4, math.floor(math.sqrt(emb.count().toDouble)).toInt)
 
-  private val ivfKSql =
+  private[graft] val ivfKSql =
     "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)"
 
   /** [[ivfKSql]] over the UNION corpus — the re-derived K a retrain
     * epoch trains with (retraining refreshes both the centroids and
     * the list count to the corpus the appends drifted to). */
-  private val corpusKSql =
+  private[graft] val corpusKSql =
     "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)"
 
   private def centTrainSql(numCentroids: String, iters: Int,
@@ -162,11 +162,19 @@ object SimilarityQueries {
     * `pipeline_cluster_balance`'s (so the partitioning can never drift
     * from the selection built on it). */
   private[graft] lazy val clusterAssignCtes: String =
-    s"""${centTrainSql(ivfKSql, 2)},
+    clusterAssignCtesOver("embeddings", ivfKSql)
+
+  /** [[clusterAssignCtes]] parameterized over the corpus relation and
+    * the K derivation (the trainRel/kSql discipline) — the retrained
+    * graph generation's mirror trains AND assigns over the union
+    * corpus. */
+  private[graft] def clusterAssignCtesOver(rel: String,
+      kSql: String): String =
+    s"""${centTrainSql(kSql, 2, rel)},
       |casg AS (
       |  SELECT vec_id, cid, row_number() OVER
       |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-      |  FROM embeddings CROSS JOIN cents),
+      |  FROM $rel CROSS JOIN cents),
       |clusters AS (SELECT vec_id, cid FROM casg WHERE cr = 1)""".stripMargin
 
   /** The audits' single k — threaded through the Spark tail AND the
@@ -3131,7 +3139,7 @@ object SimilarityQueries {
     * float IVF and IVF-PQ monitors: the composite's list populations
     * are identical by construction (same corpus, same frozen coarse
     * quantizer), so one mirror gates both. */
-  private lazy val ivfRetrainCheckOracleSql =
+  private[graft] lazy val ivfRetrainCheckOracleSql =
     s"""WITH $dupVectorsSql,
       |${centTrainSql(ivfKSql, 2)},
       |casg AS (

@@ -49,6 +49,22 @@ object StreamingQueries {
       runToMemory(CdcStream.toEnvelope(st, "events", "user_id"), "append")
     }),
 
+    // ...and its DETERMINISTIC-wire twin (r17, VERDICT r16 #5 — the
+    // suite's last self-oracled entry retired): uuid = name-based
+    // RFC-4122-v3-style digest of (table, external_id, seq),
+    // created_at from the event's own sequence — a replayed row
+    // re-produces byte-identical wire output (the idempotent-pipeline
+    // form; production keeps the random-uuid path, whose dedup
+    // consumer NEEDS two replays to look like two deliveries). Fully
+    // DuckDB-gated including the uuid and the timestamp.
+    "stream_envelope_deterministic" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/part.parquet")
+      runToMemory(
+          CdcStream.toEnvelopeDeterministic(st, "part", "p_partkey"),
+          "append")
+        .orderBy(col("external_id").cast("long"))
+    }),
+
     // watermarked tumbling windows on the event stream. APPEND output
     // mode (VERDICT r1 #2): the watermark actually closes and EVICTS
     // windows from the state store — the only mode that is bounded-state
@@ -416,6 +432,47 @@ object StreamingQueries {
           binaryCdcViewFor(s, dir),
           emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // the SEVENTH (and last) index family through the CDC loop: the
+    // kNN-graph generation maintained by the SAME vector event fixture.
+    // One routing difference from the other six — INSERTs queue instead
+    // of applying at drain time (a graph insert is a beam WALK, order-
+    // dependent over a growing index; the settle walks the whole winner
+    // batch at once over the pruned frozen graph — the FreshDiskANN
+    // streaming-merge model, and what makes the adjacency mirrorable).
+    // The settled probe serves the union corpus: a dup twin is its
+    // query's rank-1 at cos 1.0, a leaked poison twin likewise — the
+    // gate is loud in both directions.
+    "stream_graph_cdc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.GraphOps.probeGraphIndex(s,
+          graphCdcNamesFor(s, dir)._2, emb.filter(col("vec_id") < 10), k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // ...its recall audit vs exact top-3 over the union corpus
+    "stream_graph_cdc_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      SimilarityQueries.recallAudit(SimilarityQueries.dupVectors(emb),
+        graft.operators.GraphOps.probeGraphIndex(s,
+          graphCdcNamesFor(s, dir)._2, emb.filter(col("vec_id") < 10),
+          k = SimilarityQueries.recallK))
+    }),
+    // ...the settle-cadence verdict (shared monitor shape — the graph
+    // sink queues the same INSERT+UPDATE pending population and the
+    // same DELETE tombstones as the vector loops, so one mirror gates
+    // all of them)
+    "stream_graph_cdc_settle_check" -> ((s, dir) => {
+      val (src, _) = graphCdcNamesFor(s, dir)
+      IngestStream.settleCheck(s, src, idCol = "vec_id")
+    }),
+    // capture → route → settle → PROMOTE → serve for the graph family
+    "stream_graph_cdc_published" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.GraphOps.probeGraphIndex(s,
+          graphCdcViewFor(s, dir), emb.filter(col("vec_id") < 10), k = 3)
         .orderBy(col("query_id"), col("rk"))
     }),
 
@@ -789,6 +846,40 @@ object StreamingQueries {
     "stream_binary_cdc" -> SimilarityQueries.ivfBinaryAppendOracleSql,
     "stream_binary_cdc_published" -> SimilarityQueries.ivfBinaryAppendOracleSql,
     "stream_binary_cdc_settle_check" -> annCdcSettleCheckSql,
+    // the deterministic envelope: every wire field in closed form —
+    // the same struct_pack json as the O3 payload gate, the v3-style
+    // uuid rebuilt from the md5 hex, the event-seq timestamp
+    "stream_envelope_deterministic" -> {
+      val h = "md5('graft:part:' || CAST(p_partkey AS VARCHAR) || ':' || " +
+        "CAST(p_partkey AS VARCHAR))"
+      s"""WITH e AS (SELECT *, $h AS h FROM part)
+        |SELECT CAST(p_partkey AS VARCHAR) AS external_id,
+        |  'INSERT' AS statement,
+        |  CAST(to_json(struct_pack(p_partkey := p_partkey, p_name := p_name,
+        |    p_brand := p_brand, p_type := p_type, p_size := p_size,
+        |    p_retailprice := p_retailprice)) AS VARCHAR) AS data,
+        |  'part' AS table_name,
+        |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' ||
+        |    substr(h, 14, 3) || '-8' || substr(h, 18, 3) || '-' ||
+        |    substr(h, 21, 12) AS uuid,
+        |  CAST(p_partkey AS BIGINT) * 1000000 AS created_at_us
+        |FROM e ORDER BY p_partkey""".stripMargin
+    },
+    // the graph loop: settled-generation walk over the union corpus
+    // (GraphQueries.graphCdcProbeSql — two composed beam walks), its
+    // recall audit, the shared settle monitor (identical pending /
+    // tombstone populations by construction), and pointer serving
+    "stream_graph_cdc" ->
+      s"""WITH ${GraphQueries.graphCdcProbeSql}
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3s
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "stream_graph_cdc_published" ->
+      s"""WITH ${GraphQueries.graphCdcProbeSql}
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3s
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "stream_graph_cdc_recall" ->
+      s"""WITH ${GraphQueries.graphCdcRecallSql}""".stripMargin,
+    "stream_graph_cdc_settle_check" -> annCdcSettleCheckSql,
     // the composite consumes the SAME event fixture, so its settled
     // probe shares the frozen-quantizer union oracle, its audit the
     // union-truth recall mirror, and its monitor the identical
@@ -1098,6 +1189,74 @@ object StreamingQueries {
     }
     val Array(src, dest) = v.split(';')
     (src, dest)
+  }
+
+  /** The GRAPH CDC-maintenance epoch — [[ivfCdcNamesFor]] with the
+    * kNN-graph generation as the maintenance target, consuming the
+    * SAME vector event fixture (one fixture, SEVEN index families):
+    * the serving generation is cloned
+    * ([[graft.operators.GraphOps.cloneGraphIndex]]), corrupted the way
+    * the events will heal (the %20==0 dup wave walk-appended with
+    * NEGATED embeddings, the %20==4 wave pre-appended true, poison
+    * twins of the probe queries — entry-cell members at cos 1.0), the
+    * events drain through [[IngestStream.cdcGraphSink]] (everything
+    * queues; deletes tombstone), and [[IngestStream.settleGraphUpserts]]
+    * prunes every touched/tombstoned id back to the base graph and
+    * walks the whole winner batch over it at once — a generation
+    * result-defined EQUAL to base ∪ the clean append walk, which is
+    * exactly what [[GraphQueries.graphCdcProbeSql]] mirrors. Returns
+    * (src, settled). */
+  private[graft] def graphCdcNamesFor(s: SparkSession, dir: String)
+      : (String, String) = {
+    val base = GraphQueries.graphIndexFor(s, dir)
+    val evDir = cdcVecEventsDir(s, dir)
+    val sfxs = Seq("_cents", "_cells", "_nodes", "_edges")
+    val v = EpochRegistry.acquire(s, "graph_cdc_index", dir) { () =>
+      val src = "graft_graph_cdc_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_graph_cdc_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 3).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_graph_cdc_").toString)
+      graft.operators.GraphOps.cloneGraphIndex(s, base, src, paths(0))
+      val emb = Tables.embeddings(s, dir)
+      val dups = SimilarityQueries.dupVectors(emb)
+        .filter(col("vec_id") >= 100000)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.GraphOps.appendToGraphIndex(s, src,
+        dups.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> -x)").cast("array<float>")
+              .as("embedding")))
+      graft.operators.GraphOps.appendToGraphIndex(s, src,
+        dups.filter(col("vec_id") % 20 === 4))
+      graft.operators.GraphOps.appendToGraphIndex(s, src,
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+      val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
+      IngestStream.cdcGraphSink(ev, src, paths(1)).awaitTermination()
+      IngestStream.settleGraphUpserts(s, src, dest, paths(2))
+      EpochRegistry.Resource(s"$src;$dest",
+        dropTables = sfxs.map(src + _) ++
+          Seq(s"${src}_tombstones", s"${src}_pending", s"${src}_applied") ++
+          sfxs.map(dest + _),
+        deleteDirs = paths)
+    }
+    val Array(src, dest) = v.split(';')
+    (src, dest)
+  }
+
+  /** Atomic pointer promotion of the settled graph generation — all
+    * four suffixes resolve together through one catalog view. */
+  private[graft] def graphCdcViewFor(s: SparkSession, dir: String): String = {
+    val (_, dest) = graphCdcNamesFor(s, dir)
+    EpochRegistry.acquire(s, "graph_cdc_view", dir) { () =>
+      val view = "graft_graph_cdc_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, dest,
+        suffixes = Seq("_cents", "_cells", "_nodes", "_edges"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
   }
 
   /** The IVF-PQ CDC-maintenance epoch — [[ivfCdcNamesFor]] with the

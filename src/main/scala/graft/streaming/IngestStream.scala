@@ -335,7 +335,8 @@ object IngestStream {
     * upsert operator ingests. */
   private def settleWinners(spark: org.apache.spark.sql.SparkSession,
       src: String, idCol: String, payloadCol: String,
-      emptyPending: () => DataFrame): DataFrame = {
+      emptyPending: () => DataFrame,
+      reingestInserts: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, max, row_number}
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -351,9 +352,16 @@ object IngestStream {
         spark.table(s"${src}_tombstones")
           .groupBy(col(idCol)).agg(max(col("seq")).as("tomb_seq"))
       else Seq.empty[(Long, Long)].toDF(idCol, "tomb_seq")
-    latest.join(broadcast(tombMax), Seq(idCol), "left")
+    val winners = latest.join(broadcast(tombMax), Seq(idCol), "left")
       .filter(col("tomb_seq").isNull || col("seq") > col("tomb_seq"))
-      .filter(col("statement") === "UPDATE" || col("tomb_seq").isNotNull)
+    // reingestInserts: the GRAPH family's sink queues plain INSERTs too
+    // (a graph insert is a beam WALK — order-dependent over a growing
+    // index, so it batch-settles for determinism, the FreshDiskANN
+    // streaming-merge model), so its winner set must keep them; every
+    // other family applied INSERTs at drain time and skips them here.
+    (if (reingestInserts) winners
+     else winners.filter(
+       col("statement") === "UPDATE" || col("tomb_seq").isNotNull))
       .select(col(idCol), col(payloadCol))
   }
 
@@ -481,6 +489,66 @@ object IngestStream {
         .toDF("vec_id", "embedding", "seq", "statement"))
     graft.operators.VectorOps.upsertToIvfIndexBinary(spark, src, dest,
       path, vecs)
+  }
+
+  /** The GRAPH member of the CDC sink family (the SEVENTH index family
+    * through the loop) — [[cdcIvfSink]] with the kNN-graph generation
+    * as the maintenance target, and ONE routing difference: INSERTs are
+    * NOT applied at drain time. A graph insert is a beam WALK whose
+    * result depends on the index state it walks (an insert admitted in
+    * micro-batch 1 becomes an entry-cell candidate for micro-batch 2's
+    * walks), so drain-time application would make the settled adjacency
+    * depend on file→batch assignment. Instead EVERY INSERT/UPDATE
+    * queues with its sequence (serve-stale-until-settle covers inserts
+    * too — the FreshDiskANN streaming-merge model) and DELETEs write
+    * the family-shared seq-versioned tombstone; [[settleGraphUpserts]]
+    * walks the whole winner set at once over the pruned frozen graph —
+    * order-free, hence mirrorable. Same replay-ledger guard and pending
+    * population as the vector loops (one fixture, seven families). */
+  def cdcGraphSink(eventStream: DataFrame, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    eventStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcGraphBatch(batch.sparkSession, table, batch, batchId)
+      }
+      .start()
+
+  private[graft] def applyCdcGraphBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val seq =
+        if (batch.columns.contains("event_seq")) col("event_seq").cast("long")
+        else lit(batchId)
+      graft.operators.VectorOps.deleteFromIvfIndex(spark, table,
+        batch.filter(col("statement") === "DELETE")
+          .select(col("vec_id"), seq.as("seq")))
+      batch.filter(col("statement").isin("INSERT", "UPDATE"))
+        .select(col("vec_id"), col("embedding"), seq.as("seq"),
+          col("statement"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${table}_pending")
+      recordApplied(spark, table, batchId)
+    }
+
+  /** The graph loop's generation boundary — the shared winner rule with
+    * `reingestInserts = true` (plain INSERTs were never applied at
+    * drain time, so they re-ingest here), settled through
+    * [[graft.operators.GraphOps.upsertToGraphIndex]]: prune every
+    * touched/tombstoned id, then walk the whole winner batch over the
+    * pruned frozen graph at once. */
+  def settleGraphUpserts(spark: org.apache.spark.sql.SparkSession,
+      src: String, dest: String, path: String): Unit = {
+    import spark.implicits._
+    val vecs = settleWinners(spark, src, "vec_id", "embedding",
+      () => Seq.empty[(Long, Array[Float], Long, String)]
+        .toDF("vec_id", "embedding", "seq", "statement"),
+      reingestInserts = true)
+    graft.operators.GraphOps.upsertToGraphIndex(spark, src, dest, path, vecs)
   }
 
   /** The IVF-PQ member of the CDC sink family — [[cdcIvfSink]] with

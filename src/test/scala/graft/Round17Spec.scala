@@ -57,6 +57,22 @@ class Round17Spec extends AnyFunSuite {
     assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(3))
   }
 
+  test("probeGraphIndex serves from the frontier leaf, never a file scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+    val res = GraphOps.probeGraphIndex(spark,
+      GraphQueries.graphIndexFor(spark, sfDir), q, k = 3)
+    val p = res.queryExecution.executedPlan.toString
+    // same contract as the session-epoch walk (Round16PlanSpec): the
+    // answer is the beam-bounded materialized frontier — neither the
+    // lake nor the index tables appear in the RESULT plan (per-round
+    // scoring consumed them inside the walk, bounded at beam·k rows)
+    assert(p.contains("Scan ExistingRDD"),
+      "result must come from the materialized frontier leaf:\n" + p)
+    assert(!p.contains("FileScan"),
+      "serving must not rescan the corpus or the index tables:\n" + p)
+  }
+
   test("weighted PageRank conserves damped quantized mass") {
     val ranks = GraphOps.pageRankWeighted(spark, sfDir, iters = 3)
       .collect().map(_.getLong(1))

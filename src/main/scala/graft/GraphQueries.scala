@@ -246,6 +246,34 @@ object GraphQueries {
       s.table(s"${graphRetrainIndexFor(s, dir)}_edges")
         .select(col("src"), col("dst"), col("cos_sim"), col("rk"))
         .orderBy(col("src"), col("rk"))),
+    // METADATA-FILTERED walk (the production "vector search with
+    // attribute filter", completing the family's probe symmetry with
+    // sim_ann_ivf_filtered): candidates label-match BEFORE every rank
+    // — the walk routes through the label's own subgraph
+    "sim_ann_graph_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      GraphOps.probeGraphIndexFiltered(s, graphIndexFor(s, dir),
+          emb.filter(col("vec_id") < 10), emb, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // index MONITORING: per-cell member counts of the persisted graph
+    // index — the entry-cost signal (the graph twin of
+    // sim_ann_ivf_stats; the cells ARE the k-means assignment, so they
+    // share its mirror)
+    "sim_ann_graph_stats" -> ((s, dir) =>
+      s.table(s"${graphIndexFor(s, dir)}_cells")
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("list_id"))),
+    // compaction-cadence DECISION for the graph family (the shared
+    // Generations.compactionCheck over the delete epoch's node
+    // relation): ten poison tombstones against the corpus — ~1‰,
+    // under the 50‰ threshold, so the FALSE branch gates (the same
+    // fixture as the IVF families' monitors — shared mirror)
+    "sim_ann_graph_compaction_check" -> ((s, dir) => {
+      val gen = graphDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_nodes"))
+    }),
     // ...and the retrained generation's recall audit vs exact top-3
     // over the union corpus (the family discipline: every approximate
     // path carries one)
@@ -617,6 +645,35 @@ object GraphQueries {
       s"""WITH ${knnSqlOver(SimilarityQueries.dupVectorsSql + ",\n",
              "corpus", SimilarityQueries.corpusKSql)}
         |SELECT src, dst, cos_sim, rk FROM knn ORDER BY src, rk""".stripMargin,
+    // the label-partitioned walk: same beam chain, candidates matched
+    // to the query's label before every rank
+    "sim_ann_graph_filtered" ->
+      s"""WITH $knnSql,
+        |${walkCtes(
+           qsSql = """SELECT vec_id AS query_id, embedding AS qv,
+             |    label AS qlabel FROM embeddings WHERE vec_id < 10""".stripMargin,
+           entSql = s"""SELECT a.vec_id AS query_id, c.vec_id AS node
+             |  FROM casg a JOIN clusters c ON c.cid = a.cid
+             |  WHERE a.vec_id < 10 AND a.cr <= ${GraphOps.WalkEntryCells}""".stripMargin,
+           candPred = "b.label = q.qlabel")}
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // the cells ARE the k-means assignment partitioned out — the IVF
+    // stats mirror verbatim
+    "sim_ann_graph_stats" ->
+      s"""WITH ${SimilarityQueries.clusterAssignCtes}
+        |SELECT cid AS list_id, count(*) AS n_vectors FROM clusters
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same poison/tombstone population as the IVF compaction monitors:
+    // nodes = corpus + the ten poison twins, tombstoned = the twins
+    "sim_ann_graph_compaction_check" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT n + t AS n_rows, t AS n_tombstoned,
+        |  t * 1000 // (n + t) AS tombstone_frac_x1000,
+        |  (t * 1000 // (n + t) >= 50 OR t >= 1000000) AS compact
+        |FROM e, q""".stripMargin,
     "sim_ann_graph_retrained_recall" -> {
       val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
@@ -711,7 +768,7 @@ object GraphQueries {
     * round count come from GraphOps' ONE parameter set (ADVICE r16). */
   private[graft] def walkCtes(qsSql: String, entSql: String,
       sfx: String = "", corpusRel: String = "embeddings",
-      edgeRel: String = "knn"): String = {
+      edgeRel: String = "knn", candPred: String = "TRUE"): String = {
     def scoreTop(candRel: String, out: String, width: Int): String =
       s"""$out AS MATERIALIZED (SELECT query_id, node, cos_sim, rk FROM (
         |    SELECT c.query_id, c.node, round($cosQSql, 6) AS cos_sim,
@@ -719,7 +776,7 @@ object GraphQueries {
         |        ORDER BY round($cosQSql, 6) DESC, c.node) AS BIGINT) AS rk
         |    FROM $candRel c JOIN $corpusRel b ON b.vec_id = c.node
         |    JOIN qs$sfx q ON q.query_id = c.query_id
-        |    WHERE c.node <> c.query_id) s
+        |    WHERE c.node <> c.query_id AND ($candPred)) s
         |  WHERE rk <= $width)""".stripMargin
     def round(r: Int): String =
       s"""gc$sfx$r AS MATERIALIZED (SELECT DISTINCT query_id, node FROM (

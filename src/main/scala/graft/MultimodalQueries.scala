@@ -191,13 +191,21 @@ object MultimodalQueries {
         .withColumn("keyframe",
           col("ph").isNull ||
             expr("bit_count(hash_hi ^ ph) + bit_count(hash_lo ^ pl)") > 8)
+      // fingerprint: position-weighted hash + luma-sum folds. The aHash
+      // alone is mean-threshold invariant on these small rasters (the
+      // r15 id-slope lesson: 160/500 distinct clips shared a full hash
+      // SEQUENCE), so the fingerprint folds the exact luma sums, which
+      // carry the id term — measured fully discriminative (500/500)
+      // while exact twins still collide by construction
       val clips = keyed.groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"),
           sum(when(col("keyframe"), 1L).otherwise(0L)).as("n_keyframes"),
-          expr("bit_xor(hash_hi)").as("fp_hi"),
-          expr("bit_xor(hash_lo)").as("fp_lo"))
+          sum(expr("(frame_idx + 1) * hash_hi")).as("fp_hi"),
+          sum(expr("(frame_idx + 1) * hash_lo")).as("fp_lo"),
+          sum(expr("(frame_idx + 1) * sum_luma")).as("fp_luma"))
       val wfp = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("n_frames"), col("fp_hi"), col("fp_lo"))
+        .partitionBy(col("n_frames"), col("fp_hi"), col("fp_lo"),
+          col("fp_luma"))
       clips
         .withColumn("is_survivor",
           col("media_id") === min(col("media_id")).over(wfp))
@@ -213,39 +221,58 @@ object MultimodalQueries {
     // completed modality set enables (a doc drops if its text is junk,
     // its image is tonally degenerate or duplicates another's, or its
     // audio is a near-silent ramp or duplicates another's)
-    "mm_trimodal_capstone" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // ONE decode per modality, ONE plan reference per decode:
-      // [[Multimodal.imageSignals]] / [[audioSignals]] emit the feature
-      // fold + perceptual hash together (blob decode dominates), and
-      // the survivor flag is a window-min over the hash — not a
-      // groupBy-self-join, which would re-run the decode lineage per
-      // reference (mapPartitions is not a reusable exchange)
-      val wHash = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("hash_hi"), col("hash_lo"))
-      val imgAll = Multimodal.imageSignals(
-          Multimodal.syntheticImages(docs)).toDF()
-        .select(col("media_id").as("doc_id"), col("n_pixels"),
-          col("mid_count"),
-          (col("media_id") === min(col("media_id")).over(wHash))
-            .as("is_image_survivor"))
-      val audAll = Multimodal.audioSignals(
-          Multimodal.syntheticAudio(docs)).toDF()
-        .select(col("media_id").as("doc_id"), col("zero_crossings"),
-          (col("media_id") === min(col("media_id")).over(wHash))
-            .as("is_audio_survivor"))
-      val text = docs.select(col("doc_id"),
-        (graft.operators.TextOps.qualityScore(col("text")) >= 0.30).as("text_ok"))
-      text.join(imgAll, "doc_id").join(audAll, "doc_id")
-        .select(col("doc_id"), col("text_ok"),
-          (expr("mid_count * 1000000 div n_pixels") >= 300000L)
-            .as("image_ok"),
-          col("is_image_survivor"),
-          (col("zero_crossings") >= 4).as("audio_ok"),
-          col("is_audio_survivor"))
-        .withColumn("keep",
-          col("text_ok") && col("image_ok") && col("is_image_survivor") &&
-            col("audio_ok") && col("is_audio_survivor"))
+    "mm_trimodal_capstone" -> ((s, dir) =>
+      trimodalFrame(s, dir).orderBy(col("doc_id"))),
+
+    // the QUAD-MODAL capstone (r17 — the completed modality set in ONE
+    // Catalyst plan): the tri-modal verdict joined with the decoded
+    // VIDEO signal (keyframe rate — a temporally-flat clip is the
+    // video analog of a near-silent ramp) and the video-perceptual
+    // survivor (clip fingerprint min-id). One GIF decode pass feeds
+    // both video columns (the r15 one-decode discipline: keyframe flag
+    // and fingerprint fold from the same frame table, survivorship is
+    // a window over the clip aggregate — never a second decode).
+    "mm_quadmodal_capstone" -> ((s, dir) => {
+      val frames = Multimodal.decodeVideoFrames(
+          Multimodal.syntheticVideos(Tables.documents(s, dir))).toDF()
+      val wlag = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      val keyed = frames
+        .withColumn("ph", lag(col("hash_hi"), 1).over(wlag))
+        .withColumn("pl", lag(col("hash_lo"), 1).over(wlag))
+        .withColumn("keyframe",
+          col("ph").isNull ||
+            expr("bit_count(hash_hi ^ ph) + bit_count(hash_lo ^ pl)") > 8)
+      // fingerprint: position-weighted hash + luma-sum folds. The aHash
+      // alone is mean-threshold invariant on these small rasters (the
+      // r15 id-slope lesson: 160/500 distinct clips shared a full hash
+      // SEQUENCE), so the fingerprint folds the exact luma sums, which
+      // carry the id term — measured fully discriminative (500/500)
+      // while exact twins still collide by construction
+      val clips = keyed.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("keyframe"), 1L).otherwise(0L)).as("n_keyframes"),
+          sum(expr("(frame_idx + 1) * hash_hi")).as("fp_hi"),
+          sum(expr("(frame_idx + 1) * hash_lo")).as("fp_lo"),
+          sum(expr("(frame_idx + 1) * sum_luma")).as("fp_luma"))
+      val wfp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_frames"), col("fp_hi"), col("fp_lo"),
+          col("fp_luma"))
+      val vidAll = clips
+        .withColumn("is_video_survivor",
+          col("media_id") === min(col("media_id")).over(wfp))
+        .select(col("media_id").as("doc_id"),
+          (expr("n_keyframes * 1000000 div n_frames") >= 500000L)
+            .as("video_ok"),
+          col("is_video_survivor"))
+      trimodalFrame(s, dir).withColumnRenamed("keep", "tri_keep")
+        .join(vidAll, "doc_id")
+        .select(col("doc_id"), col("text_ok"), col("image_ok"),
+          col("is_image_survivor"), col("audio_ok"),
+          col("is_audio_survivor"), col("video_ok"),
+          col("is_video_survivor"),
+          (col("tri_keep") && col("video_ok") && col("is_video_survivor"))
+            .as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -268,6 +295,45 @@ object MultimodalQueries {
     * re-runs and concurrent sessions produce byte-identical files, so
     * the race is harmless). Fixed content keeps the static oracle SQL
     * able to name the path. */
+  /** The TRI-MODAL per-doc verdict frame (pre-orderBy) — text quality
+    * + decoded-image signal + image-perceptual survivor + decoded-audio
+    * signal + audio-perceptual survivor, one Catalyst plan. ONE decode
+    * per modality, ONE plan reference per decode:
+    * [[graft.operators.Multimodal.imageSignals]] / `audioSignals` emit
+    * the feature fold + perceptual hash together (blob decode
+    * dominates), and the survivor flag is a window-min over the hash —
+    * not a groupBy-self-join, which would re-run the decode lineage per
+    * reference (mapPartitions is not a reusable exchange). Shared by
+    * the tri-modal gate and the quad-modal capstone. */
+  private def trimodalFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hash_hi"), col("hash_lo"))
+    val imgAll = Multimodal.imageSignals(
+        Multimodal.syntheticImages(docs)).toDF()
+      .select(col("media_id").as("doc_id"), col("n_pixels"),
+        col("mid_count"),
+        (col("media_id") === min(col("media_id")).over(wHash))
+          .as("is_image_survivor"))
+    val audAll = Multimodal.audioSignals(
+        Multimodal.syntheticAudio(docs)).toDF()
+      .select(col("media_id").as("doc_id"), col("zero_crossings"),
+        (col("media_id") === min(col("media_id")).over(wHash))
+          .as("is_audio_survivor"))
+    val text = docs.select(col("doc_id"),
+      (graft.operators.TextOps.qualityScore(col("text")) >= 0.30).as("text_ok"))
+    text.join(imgAll, "doc_id").join(audAll, "doc_id")
+      .select(col("doc_id"), col("text_ok"),
+        (expr("mid_count * 1000000 div n_pixels") >= 300000L)
+          .as("image_ok"),
+        col("is_image_survivor"),
+        (col("zero_crossings") >= 4).as("audio_ok"),
+        col("is_audio_survivor"))
+      .withColumn("keep",
+        col("text_ok") && col("image_ok") && col("is_image_survivor") &&
+          col("audio_ok") && col("is_audio_survivor"))
+  }
+
   private def binaryFixtureDir(): String = {
     val dir = java.nio.file.Paths.get("/tmp/graft_binary_source_fixture")
     java.nio.file.Files.createDirectories(dir)
@@ -461,23 +527,24 @@ object MultimodalQueries {
         |  UNION ALL
         |  SELECT doc_id + 100000, doc_id FROM documents WHERE doc_id % 10 = 7),
         |$videoFrameCtes,
-        |kf AS (SELECT media_id, f, hash_hi, hash_lo,
+        |kf AS (SELECT media_id, f, hash_hi, hash_lo, sum_luma,
         |    lag(hash_hi) OVER w AS ph, lag(hash_lo) OVER w AS pl
         |  FROM vh WINDOW w AS (PARTITION BY media_id ORDER BY f)),
-        |ck AS (SELECT media_id, hash_hi, hash_lo,
+        |ck AS (SELECT media_id, f, hash_hi, hash_lo, sum_luma,
         |    CASE WHEN ph IS NULL OR bit_count(xor(hash_hi, ph)) +
         |      bit_count(xor(hash_lo, pl)) > 8 THEN 1 ELSE 0 END AS kfflag
         |  FROM kf),
         |cl AS (SELECT media_id, count(*)::BIGINT AS n_frames,
         |    CAST(sum(kfflag) AS BIGINT) AS n_keyframes,
-        |    CAST(bit_xor(hash_hi) AS BIGINT) AS fp_hi,
-        |    CAST(bit_xor(hash_lo) AS BIGINT) AS fp_lo
+        |    CAST(sum((f + 1) * hash_hi) AS BIGINT) AS fp_hi,
+        |    CAST(sum((f + 1) * hash_lo) AS BIGINT) AS fp_lo,
+        |    CAST(sum((f + 1) * sum_luma) AS BIGINT) AS fp_luma
         |  FROM ck GROUP BY 1),
-        |sv AS (SELECT n_frames, fp_hi, fp_lo, min(media_id) AS keep
-        |  FROM cl GROUP BY 1, 2, 3)
+        |sv AS (SELECT n_frames, fp_hi, fp_lo, fp_luma, min(media_id) AS keep
+        |  FROM cl GROUP BY 1, 2, 3, 4)
         |SELECT cl.media_id, cl.n_frames, cl.n_keyframes,
         |  cl.media_id = sv.keep AS is_survivor
-        |FROM cl JOIN sv USING (n_frames, fp_hi, fp_lo)
+        |FROM cl JOIN sv USING (n_frames, fp_hi, fp_lo, fp_luma)
         |ORDER BY media_id""".stripMargin,
     // tri-modal capstone mirror: the image and audio hash chains both
     // name their CTEs d/l/sm/hs, so each survivor leg runs inside a
@@ -527,6 +594,81 @@ object MultimodalQueries {
         |JOIN imgk ON imgk.doc_id = tq.doc_id
         |JOIN aufe ON aufe.doc_id = tq.doc_id
         |JOIN audk ON audk.doc_id = tq.doc_id
+        |ORDER BY doc_id""".stripMargin
+    },
+    // the quad-modal mirror: the tri-modal legs verbatim plus the
+    // video leg (frame chain → keyframe lag → clip fingerprint →
+    // survivor) as one more scoped nested WITH
+    "mm_quadmodal_capstone" -> {
+      val midLuma = s"((${pix("i % w", "i // w", 0)} + " +
+        s"${pix("i % w", "i // w", 1)} + " +
+        s"${pix("i % w", "i // w", 2)}) // 3) // 64"
+      s"""WITH imgk AS (SELECT * FROM (
+        |  WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
+        |  $aHashCtes,
+        |  surv AS (SELECT hash_hi, hash_lo, min(media_id) AS keep_id
+        |    FROM hs GROUP BY 1, 2)
+        |  SELECT hs.media_id AS doc_id,
+        |    hs.media_id = surv.keep_id AS is_image_survivor
+        |  FROM hs JOIN surv USING (hash_hi, hash_lo)) t1),
+        |audk AS (SELECT * FROM (
+        |  WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
+        |  $audioHashCtes,
+        |  surv AS (SELECT hash_hi, hash_lo, min(media_id) AS keep_id
+        |    FROM hs GROUP BY 1, 2)
+        |  SELECT hs.media_id AS doc_id,
+        |    hs.media_id = surv.keep_id AS is_audio_survivor
+        |  FROM hs JOIN surv USING (hash_hi, hash_lo)) t2),
+        |vidk AS (SELECT * FROM (
+        |  WITH m AS (SELECT doc_id AS media_id, doc_id AS sid FROM documents),
+        |  $videoFrameCtes,
+        |  kf AS (SELECT media_id, f, hash_hi, hash_lo, sum_luma,
+        |      lag(hash_hi) OVER w AS ph, lag(hash_lo) OVER w AS pl
+        |    FROM vh WINDOW w AS (PARTITION BY media_id ORDER BY f)),
+        |  ck AS (SELECT media_id, f, hash_hi, hash_lo, sum_luma,
+        |      CASE WHEN ph IS NULL OR bit_count(xor(hash_hi, ph)) +
+        |        bit_count(xor(hash_lo, pl)) > 8 THEN 1 ELSE 0 END AS kfflag
+        |    FROM kf),
+        |  cl AS (SELECT media_id, count(*)::BIGINT AS n_frames,
+        |      CAST(sum(kfflag) AS BIGINT) AS n_keyframes,
+        |      CAST(sum((f + 1) * hash_hi) AS BIGINT) AS fp_hi,
+        |      CAST(sum((f + 1) * hash_lo) AS BIGINT) AS fp_lo,
+        |      CAST(sum((f + 1) * sum_luma) AS BIGINT) AS fp_luma
+        |    FROM ck GROUP BY 1),
+        |  sv AS (SELECT n_frames, fp_hi, fp_lo, fp_luma, min(media_id) AS keep
+        |    FROM cl GROUP BY 1, 2, 3, 4)
+        |  SELECT cl.media_id AS doc_id,
+        |    cl.n_keyframes * 1000000 // cl.n_frames >= 500000 AS video_ok,
+        |    cl.media_id = sv.keep AS is_video_survivor
+        |  FROM cl JOIN sv USING (n_frames, fp_hi, fp_lo, fp_luma)) t3),
+        |imfe AS (SELECT media_id AS doc_id, (w*h)::BIGINT AS n_pixels,
+        |    list_sum(list_transform(range(0, w*h),
+        |      i -> CASE WHEN ($midLuma) IN (1, 2) THEN 1 ELSE 0 END))::BIGINT AS mid
+        |  FROM (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w,
+        |      8 + doc_id % 7 AS h FROM documents) dm),
+        |aufe AS (SELECT media_id AS doc_id,
+        |    list_sum(list_transform(range(1, n),
+        |      t -> CASE WHEN (${samp("t-1")} < 0) <> (${samp("t")} < 0)
+        |        THEN 1 ELSE 0 END))::BIGINT AS zc
+        |  FROM (SELECT doc_id AS media_id, 128 + doc_id % 137 AS n
+        |      FROM documents) da),
+        |tq AS (SELECT doc_id, ${graft.OracleSql.quality("toks")} AS q
+        |  FROM (SELECT doc_id, ${graft.OracleSql.toks} AS toks FROM documents) t)
+        |SELECT tq.doc_id AS doc_id, q >= 0.30 AS text_ok,
+        |  mid * 1000000 // n_pixels >= 300000 AS image_ok,
+        |  is_image_survivor,
+        |  zc >= 4 AS audio_ok,
+        |  is_audio_survivor,
+        |  video_ok,
+        |  is_video_survivor,
+        |  (q >= 0.30 AND mid * 1000000 // n_pixels >= 300000
+        |    AND is_image_survivor AND zc >= 4 AND is_audio_survivor
+        |    AND video_ok AND is_video_survivor) AS keep
+        |FROM tq JOIN imfe ON imfe.doc_id = tq.doc_id
+        |JOIN imgk ON imgk.doc_id = tq.doc_id
+        |JOIN aufe ON aufe.doc_id = tq.doc_id
+        |JOIN audk ON audk.doc_id = tq.doc_id
+        |JOIN vidk ON vidk.doc_id = tq.doc_id
         |ORDER BY doc_id""".stripMargin
     },
     "mm_binary_meta" ->

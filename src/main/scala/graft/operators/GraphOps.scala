@@ -469,17 +469,29 @@ object GraphOps {
     * candidates are scored against — a node absent from it (tombstoned,
     * purged) can neither enter the frontier nor be served, which is
     * what makes soft-delete exclusion and physical compaction
-    * result-identical by construction. */
+    * result-identical by construction.
+    *
+    * METADATA FILTERING: when `q` carries a `qlabel` column and
+    * `nodeEmb` an `nlabel` column, candidates are label-matched BEFORE
+    * every rank (post-filtering a top-k would under-fill k — the
+    * classic filtered-ANN mistake): the walk routes through the
+    * label's own subgraph, entering via the label's members of the
+    * query's cells — the label-partitioned walk of
+    * [[probeGraphIndexFiltered]]. */
   private def beamWalk(spark: SparkSession, q: DataFrame, edges: DataFrame,
       nodeEmb: DataFrame, centsDf: DataFrame, cellsDf: DataFrame,
       k: Int, beam: Int, rounds: Int, entryCells: Int): DataFrame = {
+    val labeled = q.columns.contains("qlabel") &&
+      nodeEmb.columns.contains("nlabel")
     val beamW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("node"))
     def scoreTop(cand: DataFrame, width: Int): DataFrame = {
       // the query vector is itself a corpus node — never serve it back
-      val scored = cand.filter(col("query_id") =!= col("node"))
+      val joined = cand.filter(col("query_id") =!= col("node"))
         .join(nodeEmb, Seq("node"))
         .join(broadcast(q), Seq("query_id"))
+      val scored = (if (labeled) joined.filter(col("nlabel") === col("qlabel"))
+        else joined)
         .select(col("query_id"), col("node"),
           round(VectorOps.cosine(col("qv"), col("nemb")), 6).as("cos_sim"))
         .withColumn("rk", row_number().over(beamW).cast("long"))
@@ -651,6 +663,40 @@ object GraphOps {
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       spark.table(s"${t}_edges").select(col("src"), col("dst")),
       nodes.select(col("vec_id").as("node"), col("embedding").as("nemb")),
+      spark.table(s"${t}_cents"),
+      spark.table(s"${t}_cells").select(col("list_id"), col("vec_id")),
+      k, beam, rounds, entryCells)
+  }
+
+  /** METADATA-FILTERED probe of a graph-index generation — the
+    * production "vector search with attribute filter" for the graph
+    * family ([[VectorOps.probeIvfIndexFiltered]]'s walk twin): each
+    * query returns only neighbors whose `label` equals its own,
+    * matched BEFORE every rank, so the walk routes through the label's
+    * own subgraph (entry = the label's members of the query's cells;
+    * a frontier node's out-edges may point anywhere, but non-matching
+    * candidates drop before they can take a beam slot). `labelRel`
+    * (vec_id, label) is the metadata side — point-lookup scale joined
+    * against the beam-bounded candidate set. */
+  def probeGraphIndexFiltered(spark: SparkSession, table: String,
+      queries: DataFrame, labelRel: DataFrame, k: Int,
+      beam: Int = WalkBeam, rounds: Int = WalkRounds,
+      entryCells: Int = WalkEntryCells): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val t = Generations.resolveServing(spark, table)
+    val nodes =
+      if (spark.catalog.tableExists(s"${t}_tombstones"))
+        spark.table(s"${t}_nodes").join(
+          broadcast(spark.table(s"${t}_tombstones").select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+      else spark.table(s"${t}_nodes")
+    beamWalk(spark,
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel")),
+      spark.table(s"${t}_edges").select(col("src"), col("dst")),
+      nodes.join(labelRel.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("vec_id").as("node"), col("embedding").as("nemb"),
+          col("label").as("nlabel")),
       spark.table(s"${t}_cents"),
       spark.table(s"${t}_cells").select(col("list_id"), col("vec_id")),
       k, beam, rounds, entryCells)

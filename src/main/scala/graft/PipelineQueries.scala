@@ -43,6 +43,16 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // deterministic per-epoch shuffle (r17): epoch e's permutation =
+    // the sort order of md5("e:doc_id") — reproducible (resumable
+    // loaders re-read the identical order) and epoch-fresh (no two
+    // epochs share an order); the op emits the KEY per row (no global
+    // window, no shuffle — the writer range-partitions by it at scale)
+    "pipeline_epoch_shuffle" -> ((s, dir) =>
+      PipelineOps.epochShuffleKeys(Tables.documents(s, dir), "doc_id",
+          epochs = 2)
+        .orderBy(col("epoch"), col("shuffle_key"), col("doc_id"))),
+
     "pipeline_stratified_sample" -> ((s, dir) => {
       PipelineOps.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
           ratesPercent = Map("en" -> 20, "de" -> 50), defaultPercent = 80)
@@ -268,6 +278,15 @@ object PipelineQueries {
         |  distinct_texts,
         |  (n_docs - distinct_texts) * 1000000 // n_docs AS dup_ppm
         |FROM g ORDER BY lang, source""".stripMargin,
+    // each row's shuffle key is a pure md5 of "epoch:doc_id" — the
+    // full 2-epoch key table gates (an epoch collision or a
+    // non-reproducible key breaks the hash)
+    "pipeline_epoch_shuffle" ->
+      """SELECT t.epoch, doc_id,
+        |  md5(CAST(t.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+        |    AS shuffle_key
+        |FROM documents, range(0, 2) t(epoch)
+        |ORDER BY epoch, shuffle_key, doc_id""".stripMargin,
     "pipeline_stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
         |WHERE ${bucketSql("doc_id")} <

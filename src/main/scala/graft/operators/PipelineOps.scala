@@ -22,6 +22,28 @@ object PipelineOps {
   def hashBucketPpm(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 1000000
 
+  /** Deterministic PER-EPOCH shuffle keys — the data-ordering
+    * reproducibility primitive a training run consumes: epoch e's
+    * permutation is the sort order of md5("e:id") — a fresh
+    * pseudo-random but REPRODUCIBLE permutation per epoch, so
+    * re-running epoch 3 after a crash re-reads the identical order
+    * (what resumable loaders require), and no two epochs share an
+    * order (what convergence requires). Emits the KEY, not a global
+    * position: the op is a pure per-row hash — no corpus-wide window,
+    * no shuffle — and at 100 TB the writer range-partitions by
+    * (epoch, shuffle_key) so the permutation materializes in the shard
+    * layout instead of a single sort. */
+  def epochShuffleKeys(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 1024,
+      s"epochShuffleKeys: epochs must be in [1, 1024], got $epochs")
+    df.select(col(idCol))
+      .withColumn("epoch", explode(expr(
+        s"sequence(CAST(0 AS BIGINT), CAST(${epochs - 1} AS BIGINT))")))
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", col("epoch"), col(idCol))))
+      .select(col("epoch"), col(idCol), col("shuffle_key"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each record draws a deterministic uniform u from its id's md5 ppm
     * bucket and competes on key = ln(u)/w — the top-n by key IS an

@@ -73,6 +73,49 @@ class Round17Spec extends AnyFunSuite {
       "serving must not rescan the corpus or the index tables:\n" + p)
   }
 
+  test("appendToGraphIndex with an empty batch is a no-op") {
+    import spark.implicits._
+    val t = GraphQueries.graphIndexFor(spark, sfDir)
+    val before = spark.table(s"${t}_edges").count()
+    GraphOps.appendToGraphIndex(spark, t,
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"))
+    assert(spark.table(s"${t}_edges").count() == before)
+    assert(spark.table(s"${t}_nodes").count() ==
+      Tables.embeddings(spark, sfDir).count())
+  }
+
+  test("compactGraphIndex without tombstones is an identity copy") {
+    val src = GraphQueries.graphIndexFor(spark, sfDir)
+    val dest = "graft_r17spec_cmp_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_r17spec_cmp_").toString
+    try {
+      GraphOps.compactGraphIndex(spark, src, dest, path)
+      Seq("_edges", "_nodes", "_cells").foreach { sfx =>
+        assert(spark.table(dest + sfx).count() ==
+          spark.table(src + sfx).count(), s"suffix $sfx changed size")
+      }
+    } finally {
+      Seq("_cents", "_cells", "_nodes", "_edges").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $dest$sfx"))
+      ()
+    }
+  }
+
+  test("filtered probe matches labels exactly and never pads") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val res = GraphOps.probeGraphIndexFiltered(spark,
+      GraphQueries.graphIndexFor(spark, sfDir),
+      emb.filter(col("vec_id") < 10), emb, k = 3).collect()
+    assert(res.nonEmpty && res.forall(_.getLong(3) <= 3))
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(res.forall(r => labels(r.getLong(0)) == labels(r.getLong(1))),
+      "a served neighbor must carry its query's label")
+  }
+
   test("weighted PageRank conserves damped quantized mass") {
     val ranks = GraphOps.pageRankWeighted(spark, sfDir, iters = 3)
       .collect().map(_.getLong(1))

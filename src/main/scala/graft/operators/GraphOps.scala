@@ -676,8 +676,10 @@ object GraphOps {
     * own subgraph (entry = the label's members of the query's cells;
     * a frontier node's out-edges may point anywhere, but non-matching
     * candidates drop before they can take a beam slot). `labelRel`
-    * (vec_id, label) is the metadata side — point-lookup scale joined
-    * against the beam-bounded candidate set. */
+    * (vec_id, label) is the metadata side, equi-joined to the node
+    * relation on its key — one key-partitioned pass, the same cost
+    * class as the unfiltered probe's node join (measured 1.8 vs 1.0 s
+    * warm at sf0.1). */
   def probeGraphIndexFiltered(spark: SparkSession, table: String,
       queries: DataFrame, labelRel: DataFrame, k: Int,
       beam: Int = WalkBeam, rounds: Int = WalkRounds,

@@ -14,7 +14,7 @@ object GraphQueries {
     * inlines CTEs per reference, and each rank state is referenced
     * through both the join and the next state (the r15 exponential
     * blow-up trap). */
-  private val backboneSql =
+  private[graft] val backboneSql =
     """SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
       |FROM lineitem a JOIN lineitem b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey

@@ -468,6 +468,19 @@ object StreamingQueries {
       val (src, _) = graphCdcNamesFor(s, dir)
       IngestStream.settleCheck(s, src, idCol = "vec_id")
     }),
+    // CDC maintaining DERIVED GRAPH data: the per-pair co-occurrence
+    // matview folded incrementally from order deltas; the w≥2 cut over
+    // the settled view must equal the full-corpus backbone every batch
+    // graph query derives from scratch (one oracle, another — and
+    // incrementally cheaper — plan)
+    "stream_graph_backbone_cdc" -> ((s, dir) => {
+      val base = backboneCdcTableFor(s, dir)
+      s.table(IngestStream.matviewCurrent(s, base))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"), col("w"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // capture → route → settle → PROMOTE → serve for the graph family
     "stream_graph_cdc_published" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -880,6 +893,11 @@ object StreamingQueries {
     "stream_graph_cdc_recall" ->
       s"""WITH ${GraphQueries.graphCdcRecallSql}""".stripMargin,
     "stream_graph_cdc_settle_check" -> annCdcSettleCheckSql,
+    // the incrementally-maintained counts must equal the from-scratch
+    // self-join — the batch backbone oracle with a deterministic order
+    "stream_graph_backbone_cdc" ->
+      s"""SELECT src, dst, w FROM (${GraphQueries.backboneSql})
+        |ORDER BY src, dst""".stripMargin,
     // the composite consumes the SAME event fixture, so its settled
     // probe shares the frozen-quantizer union oracle, its audit the
     // union-truth recall mirror, and its monitor the identical
@@ -1245,6 +1263,55 @@ object StreamingQueries {
     val Array(src, dest) = v.split(';')
     (src, dest)
   }
+
+  /** INCREMENTALLY-MAINTAINED co-purchase backbone (r17 — the graph
+    * twin of the matview loop, CDC maintaining DERIVED GRAPH data): the
+    * per-pair co-occurrence counts start from the EVEN-order half of
+    * lineitem, the odd half's pair deltas (the self-join expansion
+    * restricted to the arriving orders, `w = 1` per row pair — exactly
+    * [[graft.operators.GraphOps.backboneDir]]'s counting semantics)
+    * drain as 4 micro-batches through the SHARED matview fold
+    * ([[IngestStream.matviewSink]] → `CdcOps.applyAggDeltas`: additive
+    * per-key merge, generation per batch, replay-guarded), and the
+    * settled counts must equal the full-corpus self-join — so the
+    * `w ≥ 2` cut over the maintained view IS the backbone every batch
+    * graph query computes from scratch. Per batch the cost is one
+    * key-partitioned merge of the (small) delta against the view —
+    * lineitem is never rescanned, the property that makes a co-purchase
+    * ranking maintainable at 100 TB order volume. Returns the matview
+    * base name ([[IngestStream.matviewCurrent]] resolves the settled
+    * generation). */
+  private[graft] def backboneCdcTableFor(s: SparkSession,
+      dir: String): String =
+    EpochRegistry.acquire(s, "graph_backbone_cdc", dir) { () =>
+      val base = "graft_bb_cdc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val li = Tables.lineitem(s, dir)
+      def pairs(rows: org.apache.spark.sql.DataFrame) = {
+        val a = rows.select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("src"))
+        val b = rows.select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("dst"))
+        a.join(b, Seq("ok")).filter(col("src") < col("dst"))
+          .select(col("src"), col("dst"))
+      }
+      pairs(li.filter(col("l_orderkey") % 2 === 0))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .write.format("parquet").saveAsTable(s"${base}_g0")
+      val dpath = java.nio.file.Files
+        .createTempDirectory("graft_bb_cdc_deltas_").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_bb_cdc_ckpt_").toString
+      pairs(li.filter(col("l_orderkey") % 2 === 1))
+        .withColumn("w", lit(1L))
+        .repartition(4).write.mode("overwrite").parquet(dpath)
+      val st = CdcStream.readEventStream(s, dpath, maxFilesPerTrigger = 1)
+      IngestStream.matviewSink(st, base, ckpt,
+        keyCols = Seq("src", "dst"), countCol = "w").awaitTermination()
+      EpochRegistry.Resource(base,
+        dropTables = (0 to 4).map(g => s"${base}_g$g") :+ s"${base}_applied",
+        deleteDirs = Seq(dpath, ckpt))
+    }
 
   /** Atomic pointer promotion of the settled graph generation — all
     * four suffixes resolve together through one catalog view. */

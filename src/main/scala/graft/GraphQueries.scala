@@ -256,6 +256,26 @@ object GraphQueries {
           emb.filter(col("vec_id") < 10), emb, k = 3)
         .orderBy(col("query_id"), col("rk"))
     }),
+    // SHORTLIST → EXACT-RE-RANK serving (r18, VERDICT r17 #2 — the last
+    // asymmetry in the seven-family serving matrix): a widened beam-16
+    // walk produces the shortlist, the shortlist alone re-scores by
+    // exact cosine against the index's own full-precision `_nodes`
+    // rows, top-3 served — the PQ/IVF-PQ re-rank composition expressed
+    // for the family whose index already carries its vectors
+    "sim_ann_graph_rerank" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      GraphOps.probeGraphIndexRerank(s, graphIndexFor(s, dir), q, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // ...and its recall audit vs the exact top-3 (the family
+    // discipline; the wider frontier must hold the serve floor)
+    "sim_ann_graph_rerank_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      SimilarityQueries.recallAudit(emb,
+        GraphOps.probeGraphIndexRerank(s, graphIndexFor(s, dir),
+          emb.filter(col("vec_id") < 10), k = SimilarityQueries.recallK))
+    }),
     // index MONITORING: per-cell member counts of the persisted graph
     // index — the entry-cost signal (the graph twin of
     // sim_ann_ivf_stats; the cells ARE the k-means assignment, so they
@@ -658,6 +678,28 @@ object GraphQueries {
            candPred = "b.label = q.qlabel")}
         |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // the widened-beam shortlist re-scored by exact cosine — the walk
+    // chain with beam = WalkRerankBeam, then the re-rank layer over the
+    // final frontier (same rounded-cosine ranking, id tie-breaks)
+    "sim_ann_graph_rerank" ->
+      s"""WITH $graphRerankSql
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM rr
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_graph_rerank_recall" ->
+      s"""WITH $graphRerankSql,
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round($cosQSql, 6) DESC, b.vec_id) AS rk
+        |    FROM qs q JOIN embeddings b ON b.vec_id <> q.query_id) t
+        |  WHERE rk <= 3),
+        |ann AS (SELECT query_id, node AS neighbor_id FROM rr WHERE rk <= 3),
+        |hits AS (SELECT brute.query_id, count(*)::BIGINT AS n_hit
+        |  FROM brute JOIN ann USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+        |FROM qs q LEFT JOIN hits ON hits.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     // the cells ARE the k-means assignment partitioned out — the IVF
     // stats mirror verbatim
     "sim_ann_graph_stats" ->
@@ -768,7 +810,8 @@ object GraphQueries {
     * round count come from GraphOps' ONE parameter set (ADVICE r16). */
   private[graft] def walkCtes(qsSql: String, entSql: String,
       sfx: String = "", corpusRel: String = "embeddings",
-      edgeRel: String = "knn", candPred: String = "TRUE"): String = {
+      edgeRel: String = "knn", candPred: String = "TRUE",
+      beam: Int = GraphOps.WalkBeam): String = {
     def scoreTop(candRel: String, out: String, width: Int): String =
       s"""$out AS MATERIALIZED (SELECT query_id, node, cos_sim, rk FROM (
         |    SELECT c.query_id, c.node, round($cosQSql, 6) AS cos_sim,
@@ -783,10 +826,10 @@ object GraphQueries {
         |    SELECT query_id, node FROM gw$sfx${r - 1}
         |    UNION ALL SELECT f.query_id, e.dst AS node FROM gw$sfx${r - 1} f
         |      JOIN $edgeRel e ON e.src = f.node) t),
-        |${scoreTop(s"gc$sfx$r", s"gw$sfx$r", GraphOps.WalkBeam)}""".stripMargin
+        |${scoreTop(s"gc$sfx$r", s"gw$sfx$r", beam)}""".stripMargin
     s"""qs$sfx AS MATERIALIZED ($qsSql),
       |ent$sfx AS ($entSql),
-      |${scoreTop(s"ent$sfx", s"gw${sfx}0", GraphOps.WalkBeam)},
+      |${scoreTop(s"ent$sfx", s"gw${sfx}0", beam)},
       |${(1 to GraphOps.WalkRounds).map(round).mkString(",\n|")},
       |g3$sfx AS (SELECT * FROM gw$sfx${GraphOps.WalkRounds})""".stripMargin
   }
@@ -802,6 +845,30 @@ object GraphQueries {
     entSql = s"""SELECT a.vec_id AS query_id, c.vec_id AS node
       |  FROM casg a JOIN clusters c ON c.cid = a.cid
       |  WHERE a.vec_id < 10 AND a.cr <= ${GraphOps.WalkEntryCells}""".stripMargin)
+
+  /** The re-rank composition's mirror: the serving walk widened to
+    * [[GraphOps.WalkRerankBeam]], then the final frontier re-scored by
+    * exact cosine (identical rounded ranking, id tie-breaks) — ends in
+    * `rr`. */
+  private lazy val graphRerankSql: String = {
+    val walk = walkCtes(
+      qsSql = """SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 10""".stripMargin,
+      entSql = s"""SELECT a.vec_id AS query_id, c.vec_id AS node
+        |  FROM casg a JOIN clusters c ON c.cid = a.cid
+        |  WHERE a.vec_id < 10
+        |    AND a.cr <= ${GraphOps.WalkRerankEntryCells}""".stripMargin,
+      beam = GraphOps.WalkRerankBeam)
+    s"""$knnSql,
+      |$walk,
+      |rr AS (SELECT query_id, node, cos_sim, rk FROM (
+      |    SELECT c.query_id, c.node, round($cosQSql, 6) AS cos_sim,
+      |      CAST(row_number() OVER (PARTITION BY c.query_id
+      |        ORDER BY round($cosQSql, 6) DESC, c.node) AS BIGINT) AS rk
+      |    FROM (SELECT query_id, node FROM g3) c
+      |    JOIN embeddings b ON b.vec_id = c.node
+      |    JOIN qs q ON q.query_id = c.query_id) s)""".stripMargin
+  }
 
   /** The INSERT walk for the append batch (the exact-dup vectors at
     * id+100000): each new vector's out-edges are its beam-walk top-3

@@ -177,9 +177,11 @@ object MultimodalQueries {
     // (an identical twin for every %10==7 doc): per clip, keyframe
     // selection (frame 0 + any frame whose aHash hamming vs the
     // PREVIOUS frame exceeds 8 — the shot-boundary heuristic) and a
-    // clip fingerprint (frame count + XOR of frame hashes); a clip
-    // survives iff it is the smallest id sharing its fingerprint —
-    // the video twin of mm_dedup_perceptual/mm_dedup_audio
+    // POSITION-WEIGHTED clip fingerprint — Σ(frame_idx+1)·hash folds
+    // plus the Σ(frame_idx+1)·luma exact-integer fold (the XOR form
+    // collided on 40% of distinct clips, see the fingerprint comment
+    // below); a clip survives iff it is the smallest id sharing its
+    // fingerprint — the video twin of mm_dedup_perceptual/mm_dedup_audio
     "mm_dedup_video" -> ((s, dir) => {
       val frames = Multimodal.decodeVideoFrames(
           Multimodal.dupVideos(Tables.documents(s, dir))).toDF()

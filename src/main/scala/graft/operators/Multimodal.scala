@@ -704,6 +704,11 @@ object Multimodal {
           new java.io.ByteArrayInputStream(r.media))
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        // try/finally (ADVICE r17): a malformed blob throwing inside
+        // getNumImages/read must still release the reader and stream —
+        // these leak per failing row inside a long-lived executor
+        // otherwise
+        try {
         reader.setInput(iis, false)
         val n = reader.getNumImages(true)
         val out = (0 until n).map { f =>
@@ -738,9 +743,11 @@ object Multimodal {
           }
           VideoFrameFeatures(r.media_id, f.toLong, w, h, sum, hi, lo)
         }
-        reader.dispose()
-        iis.close()
         out
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
       }
     }
   }

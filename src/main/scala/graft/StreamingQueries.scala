@@ -8,14 +8,15 @@ import graft.operators.SearchOps
 
 /** Structured-Streaming-backed entries. Each runs a real streaming query
   * (file source → transform → memory sink, Trigger.AvailableNow) and
-  * returns the sink table. As of r16 every entry but ONE carries a full
-  * DuckDB oracle — batch mirror + final-watermark cut for window
-  * drains, deterministic-decomposition windows for the running-stats
-  * loop, converged-state cascades for the funnel pair, frozen-state
-  * arguments for ingestion/CDC. The single remaining self-oracled
-  * entry is `stream_envelope`, whose wire format stamps `uuid()` /
-  * `current_timestamp()` by design (the reference's envelope) — it is
-  * pinned by StreamingSpec instead. */
+  * returns the sink table. As of r18 EVERY entry carries a DuckDB
+  * oracle — batch mirror + final-watermark cut for window drains,
+  * deterministic-decomposition windows for the running-stats loop,
+  * converged-state cascades for the funnel pair, frozen-state
+  * arguments for ingestion/CDC; `stream_envelope` (whose wire format
+  * stamps `uuid()` / `current_timestamp()` by design — the reference's
+  * envelope) gates its deterministic columns and leaves the random
+  * wire fields to StreamingSpec plus the fully-gated deterministic
+  * twin. The self-oracled set is 0. */
 object StreamingQueries {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger
@@ -43,10 +44,20 @@ object StreamingQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // the reference's hot path as a stream: source → envelope (O3) → sink
+    // the reference's hot path as a stream: source → envelope (O3) →
+    // sink. PARTIALLY GATED since r18 (VERDICT r17 #4 — the suite's
+    // last self-oracled entry retired): the envelope operator runs
+    // whole (uuid() + current_timestamp() stamped as the reference's
+    // wire demands), but only its DETERMINISTIC columns enter the
+    // compared frame — external_id, statement, data, table_name; the
+    // random wire fields are exercised by StreamingSpec and fully
+    // gated through the deterministic twin below.
     "stream_envelope" -> ((s, dir) => {
       val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
       runToMemory(CdcStream.toEnvelope(st, "events", "user_id"), "append")
+        .select(col("external_id"), col("statement"), col("data"),
+          col("table_name"))
+        .orderBy(col("external_id").cast("long"), col("data"))
     }),
 
     // ...and its DETERMINISTIC-wire twin (r17, VERDICT r16 #5 — the
@@ -741,6 +752,20 @@ object StreamingQueries {
       |ORDER BY s1.user_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the envelope's deterministic columns (the O3 payload mirror over
+    // the events fixture): ts rides inside the JSON as the epoch-nanos
+    // BIGINT readEventStream normalizes to (µs storage × 1000 — exact
+    // both engines); uuid/created_at stay projected out of the
+    // compared frame (random by design — the reference's wire)
+    "stream_envelope" ->
+      """SELECT CAST(user_id AS VARCHAR) AS external_id,
+        |  'INSERT' AS statement,
+        |  CAST(to_json(struct_pack(event_id := event_id,
+        |    ts := epoch_us(ts) * 1000, user_id := user_id,
+        |    event_type := event_type, value := value,
+        |    props := props)) AS VARCHAR) AS data,
+        |  'events' AS table_name
+        |FROM events ORDER BY user_id, data""".stripMargin,
     // the funnel pair (promoted from no_oracle in r16): the max-n_seen
     // row per user is unique (n_seen strictly increases across emitted
     // updates), so the drained result is the converged batch cascade —

@@ -653,6 +653,58 @@ object StreamingQueries {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // the CLASSIFIER through the CDC maintenance loop (r18, VERDICT r17
+    // #1 — the published model is the EIGHTH streaming-maintained
+    // artifact): two document waves drain one micro-batch each; per
+    // batch the loop PSI-checks the wave against the published
+    // generation's stored bins + reference histogram (the training
+    // corpus is never rescanned by the monitor), appends the wave to
+    // the settled corpus, logs the decision, and — when the verdict
+    // fires — retrains over base ∪ corpus and atomically republishes
+    // the model generation. The decision log gates BOTH flag outcomes:
+    // the near-copy dup wave must NOT fire, the selection-shifted
+    // short-doc crawl wave MUST.
+    "stream_classifier_cdc" -> ((s, dir) => {
+      val base = classifierCdcTableFor(s, dir)
+      s.table(s"${base}_decisions")
+        .orderBy(col("wave"), col("feature"))
+    }),
+    // ...the model the loop ended up SERVING (capture → monitor →
+    // retrain → PROMOTE → serve): the pointer resolves to the retrained
+    // generation, whose full weight trajectory must equal an
+    // epoch-for-epoch re-train over base ∪ both drained waves
+    "stream_classifier_cdc_published" -> ((s, dir) => {
+      val base = classifierCdcTableFor(s, dir)
+      val gen = graft.operators.Generations.resolveServing(s,
+        s"${base}_serving")
+      s.table(gen).orderBy(col("epoch"))
+    }),
+    // ...and the loop's post-drain freshness monitor (the settle-check
+    // symmetry with the index families): PSI of the settled corpus
+    // against the CURRENT published generation's own bins+histogram —
+    // a converged loop reads exactly zero (the served model was trained
+    // on that corpus); a missed republish leaves the stale histogram as
+    // reference and the gate goes loud
+    "stream_classifier_cdc_settle_check" -> ((s, dir) => {
+      val base = classifierCdcTableFor(s, dir)
+      val gen = graft.operators.Generations.resolveServing(s,
+        s"${base}_serving")
+      // model-sized plan-time read: 2 rows of 4 edges
+      val edges = s.table(s"${gen}_bins").orderBy(col("feature")).collect()
+        .map(r => r.getString(0) ->
+          Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val union = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .unionAll(s.table(s"${base}_corpus"))
+      graft.operators.Classifier.driftCheckHist(
+          s.table(s"${gen}_hist"),
+          graft.operators.Classifier.labeledFeatures(union),
+          edges = edges)
+        .withColumn("generation",
+          lit(IngestStream.classifierCurrentGen(s, base)))
+        .orderBy(col("feature"))
+    }),
+
     // continuous SURVIVOR SELECTION (IngestStream.clusterSink): the
     // dup batch drained as micro-batches, each probed against the
     // standing band index, folded into the standing assignment via the
@@ -983,6 +1035,16 @@ object StreamingQueries {
     "stream_dedup_cdc_published" -> TextQueries.oracle("dedup_incremental"),
     // the drained assignment equals the full recompute by construction
     "stream_dedup_clusters" -> TextQueries.oracle("dedup_clusters"),
+    // the classifier loop's three mirrors, composed from the SAME
+    // builders as the batch classifier gates (TextQueries): the
+    // decision log (both flag outcomes + computed generation
+    // counters), the served retrained trajectory over base ∪ waves,
+    // and the post-drain self-PSI freshness monitor
+    "stream_classifier_cdc" -> TextQueries.streamClassifierCdcSql,
+    "stream_classifier_cdc_published" ->
+      TextQueries.streamClassifierPublishedSql,
+    "stream_classifier_cdc_settle_check" ->
+      TextQueries.streamClassifierSettleSql,
     // the band settle monitor's mirror recomputes the sidecars from the
     // event-fixture definition: INSERTs of the odd half (seq = doc_id),
     // UPDATEs of %10 (1e6+doc_id), re-INSERTs of %100==4 (3e6+doc_id);
@@ -1545,6 +1607,111 @@ object StreamingQueries {
           Seq(s"${base}_applied"),
         deleteDirs = Seq(ckpt, evDir))
     }
+
+  /** The classifier loop's wave files: wave 1 = the dup batch (the
+    * near-copy corpus — distribution-preserving, must NOT fire), wave
+    * 2 = the short-doc crawl wave re-badged +300000 (selection-shifted,
+    * MUST fire). One file per wave with pinned names + ascending
+    * mtimes, so the file source drains them as two micro-batches in
+    * wave order (the [[anomalyStreamDir]] discipline — the loop's
+    * generation counter depends on arrival order, so the fixture pins
+    * it). */
+  private[graft] def classifierWavesDir(s: SparkSession,
+      dir: String): String =
+    EpochRegistry.acquire(s, "clf_cdc_waves_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_clf_cdc_waves_").toString
+      val docs = Tables.documents(s, dir)
+      val waves = Seq(
+        TextQueries.dupCorpus(docs).filter(col("doc_id") >= 100000)
+          .select(col("doc_id"), col("text"), col("n_chars"),
+            lit(1L).as("wave")),
+        docs.filter(col("n_chars") < 250)
+          .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
+            col("n_chars"), lit(2L).as("wave")))
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_clf_cdc_wave_part_")
+        w.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(path, s"w$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 1000L)
+        tmp.toFile.listFiles().foreach(_.delete())
+        tmp.toFile.delete()
+        ()
+      }
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The classifier CDC-maintenance epoch: generation 0 (trajectory +
+    * train-time bins + reference histogram) is trained on the base
+    * corpus and pointer-published, the loop's state tables seed empty,
+    * then the two wave files drain through
+    * [[IngestStream.classifierSink]] — per batch: stored-histogram PSI
+    * check, corpus append, decision log, and (when fired) retrain +
+    * atomic generation republish. Returns the base name; the entries
+    * read `_decisions`, the serving pointer, and the settled corpus. */
+  private[graft] def classifierCdcTableFor(s: SparkSession,
+      dir: String): String = {
+    // child epoch resolved BEFORE the acquire (nested computeIfAbsent
+    // on the registry map is the flaky "Recursive update")
+    val wavesDir = classifierWavesDir(s, dir)
+    EpochRegistry.acquire(s, "clf_cdc_loop", dir) { () =>
+      import s.implicits._
+      val base = "graft_clf_cdc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_clf_cdc_ckpt_").toString
+      val docs = Tables.documents(s, dir)
+      // generation 0: the session-cached base trajectory + its bins +
+      // the reference histogram the streaming monitor serves from
+      val traj = graft.operators.Classifier.trajectoryFor(s, docs, dir)
+      val g0 = s"${base}_model_g0"
+      traj.epochs.zipWithIndex
+        .map { case (w, i) => (i + 1L, w(0), w(1), w(2), w(3), w(4), w(5)) }
+        .toDF("epoch", "b0", "b1", "b2", "b3", "b4", "b5")
+        .write.format("parquet").saveAsTable(g0)
+      val feats = graft.operators.Classifier.labeledFeatures(docs)
+      graft.operators.Classifier.binEdges(feats)
+        .write.format("parquet").saveAsTable(s"${g0}_bins")
+      val edges = s.table(s"${g0}_bins").orderBy(col("feature")).collect()
+        .map(r => r.getString(0) ->
+          Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      graft.operators.Classifier.refHistogram(feats, edges)
+        .write.format("parquet").saveAsTable(s"${g0}_hist")
+      graft.operators.Generations.publishPointer(s, s"${base}_serving",
+        g0, suffixes = Seq("", "_bins", "_hist"))
+      Seq(0L).toDF("gen")
+        .write.format("parquet").saveAsTable(s"${base}_gens")
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+        .write.format("parquet").saveAsTable(s"${base}_corpus")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("wave",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(wavesDir)
+      IngestStream.classifierSink(stream, base, ckpt,
+        baseDocs = docs.select(col("doc_id"), col("text"), col("n_chars")))
+        .awaitTermination()
+      EpochRegistry.Resource(base,
+        dropTables = Seq(g0, s"${g0}_bins", s"${g0}_hist",
+          s"${base}_model_g1", s"${base}_model_g1_bins",
+          s"${base}_model_g1_hist", s"${base}_model_g2",
+          s"${base}_model_g2_bins", s"${base}_model_g2_hist",
+          s"${base}_serving", s"${base}_gens", s"${base}_corpus",
+          s"${base}_decisions", s"${base}_applied"),
+        deleteDirs = Seq(ckpt))
+    }
+  }
 
   /** Media event files for the streaming decode loop: the synthetic
     * PNG corpus written as 3 parquet files → 3 micro-batches under

@@ -1878,28 +1878,167 @@ object TextQueries {
     * the smallest value reaching each floored rank target. Shared by
     * the bins gate and the retrain-check gate so the stored edges and
     * the monitor can never drift. */
-  private[graft] lazy val classifierBinsCtes: String = {
+  private[graft] lazy val classifierBinsCtes: String =
+    classifierBinsCtesOver("f", "")
+
+  /** [[classifierBinsCtes]] parameterized over the feature relation and
+    * a CTE-name suffix, so TWO generations' bin derivations compose in
+    * one mirror (the streaming loop's settle check re-derives the
+    * RETRAINED generation's bins over the union corpus alongside the
+    * base generation's). */
+  private[graft] def classifierBinsCtesOver(src: String,
+      sfx: String): String = {
     def feat(x: String, out: String) =
-      s"""h$out AS (SELECT $x AS v, count(*)::BIGINT AS c
-        |  FROM f WHERE is_train GROUP BY 1),
-        |c$out AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h$out),
-        |e$out AS (SELECT '$x' AS feature,
+      s"""h$out$sfx AS (SELECT $x AS v, count(*)::BIGINT AS c
+        |  FROM $src WHERE is_train GROUP BY 1),
+        |c$out$sfx AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h$out$sfx),
+        |e$out$sfx AS (SELECT '$x' AS feature,
         |  ${Seq(20, 40, 60, 80).map(q =>
-             s"min(CASE WHEN cum >= greatest(1, (SELECT n * $q // 100 FROM tn)) " +
+             s"min(CASE WHEN cum >= greatest(1, (SELECT n * $q // 100 FROM tn$sfx)) " +
                s"THEN v END) AS e$q").mkString(",\n|  ")}
-        |  FROM c$out)""".stripMargin
-    s"""tn AS (SELECT count(*)::BIGINT AS n FROM f WHERE is_train),
+        |  FROM c$out$sfx)""".stripMargin
+    s"""tn$sfx AS (SELECT count(*)::BIGINT AS n FROM $src WHERE is_train),
       |${feat("x1", "1")},
       |${feat("x5", "5")}""".stripMargin
   }
 
   /** Bucket index from the quantile edges row `e`: Σ [x ≥ e_q] —
     * identical to the Spark side's when-chain. */
-  private def binFromEdges(x: String): String =
+  private[graft] def binFromEdges(x: String): String =
     Seq(20, 40, 60, 80)
       .map(q => s"(CASE WHEN $x >= e.e$q THEN 1 ELSE 0 END)")
       .mkString(" + ")
+
+  /** One drift-check scenario over the STORED quantile edges — the PSI
+    * of an incoming feature relation (`incFeat`, aliased `g`) against
+    * the reference features `f`, binned by the `e1$binsSfx`/`e5$binsSfx`
+    * edge rows; emits (scenario, feature, n_ref, n_cur, n_buckets,
+    * psi_ppm, retrain_needed). Shared by the batch retrain-check gate
+    * and the streaming decision-log mirror so the monitor's two forms
+    * can never drift. */
+  private[graft] def classifierScenarioSql(scn: String, incFeat: String,
+      refFeat: String = "f", binsSfx: String = ""): String =
+    s"""(WITH b AS (
+      |  SELECT 'x1' AS feature, (${binFromEdges("f.x1")}) AS bucket,
+      |    TRUE AS is_ref FROM $refFeat f, e1$binsSfx e
+      |  UNION ALL SELECT 'x5', (${binFromEdges("f.x5")}), TRUE
+      |    FROM $refFeat f, e5$binsSfx e
+      |  UNION ALL SELECT 'x1', (${binFromEdges("g.x1")}), FALSE
+      |    FROM $incFeat g, e1$binsSfx e
+      |  UNION ALL SELECT 'x5', (${binFromEdges("g.x5")}), FALSE
+      |    FROM $incFeat g, e5$binsSfx e),
+      |counted AS (SELECT feature, bucket,
+      |    count(*) FILTER (is_ref)::BIGINT AS n1,
+      |    count(*) FILTER (NOT is_ref)::BIGINT AS n2
+      |  FROM b GROUP BY 1, 2),
+      |tot AS (SELECT feature, CAST(sum(n1) AS BIGINT) AS big_n1,
+      |    CAST(sum(n2) AS BIGINT) AS big_n2 FROM counted GROUP BY 1),
+      |terms AS (SELECT c.feature, t.big_n1, t.big_n2,
+      |    c.n1 * t.big_n2 - c.n2 * t.big_n1 AS diff,
+      |    CAST(floor(1000000.0 * ln(
+      |      CAST(c.n1 * t.big_n2 AS DOUBLE) /
+      |      CAST(c.n2 * t.big_n1 AS DOUBLE))) AS BIGINT) AS ln_ppm
+      |  FROM counted c JOIN tot t ON t.feature = c.feature
+      |  WHERE c.n1 > 0 AND c.n2 > 0)
+      |SELECT '$scn' AS scenario, feature, big_n1 AS n_ref,
+      |  big_n2 AS n_cur, count(*) AS n_buckets,
+      |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT)
+      |    AS psi_ppm,
+      |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT) > 100000
+      |    AS retrain_needed
+      |FROM terms GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** The retrain-check mirror's shared prefix: the dup corpus, the base
+    * features + stored bins, and the two waves' feature chains (`fd` =
+    * the near-copy wave, `fsw` = the short-doc crawl wave). */
+  private[graft] lazy val classifierCheckPrefixSql: String =
+    s"""$corpusSql,
+      |${perceptronFeatureCtes("documents", "")},
+      |$classifierBinsCtes,
+      |${perceptronFeatureCtes(
+         "(SELECT * FROM corpus WHERE doc_id >= 100000)", "d")},
+      |${perceptronFeatureCtes(
+         "(SELECT * FROM documents WHERE n_chars < 250)", "sw")}""".stripMargin
+
+  // ------- the classifier CDC maintenance loop's mirrors (r18, VERDICT
+  // r17 #1) — composed from the same builders as the batch gates so the
+  // streaming and batch monitor/retrain forms can never drift -------
+
+  /** The streaming union corpus: base documents ∪ the drained waves
+    * (wave 1 = the dup batch, wave 2 = the short-doc crawl wave
+    * re-badged +300000 — a fresh drifted observation). */
+  private[graft] lazy val streamClassifierUnionSql: String =
+    """u AS MATERIALIZED (
+      |  SELECT doc_id, text, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, text, n_chars FROM corpus WHERE doc_id >= 100000
+      |  UNION ALL
+      |  SELECT doc_id + 300000, text, n_chars FROM documents
+      |  WHERE n_chars < 250)""".stripMargin
+
+  /** The decision log's mirror: per drained wave, the per-feature PSI
+    * verdict against the generation-0 stored bins, plus the generation
+    * counters the loop maintains. `gen_after` is COMPUTED (the count of
+    * fired waves so far), not hardcoded — if the dup wave unexpectedly
+    * fired, Spark would check wave 2 against generation 1's bins while
+    * this mirror still uses generation 0's, and the gate goes loud
+    * (deterministic-decomposition oracle, like every stream mirror). */
+  private[graft] lazy val streamClassifierCdcSql: String =
+    s"""WITH $classifierCheckPrefixSql,
+      |w1 AS MATERIALIZED ${classifierScenarioSql("dup_wave", "fd")},
+      |w2 AS MATERIALIZED ${classifierScenarioSql("short_wave", "fsw")},
+      |f1 AS (SELECT CAST(max(CASE WHEN retrain_needed THEN 1 ELSE 0 END)
+      |  AS BIGINT) AS f FROM w1),
+      |f2 AS (SELECT CAST(max(CASE WHEN retrain_needed THEN 1 ELSE 0 END)
+      |  AS BIGINT) AS f FROM w2)
+      |SELECT CAST(1 AS BIGINT) AS wave, feature, n_ref, n_cur, n_buckets,
+      |  psi_ppm, retrain_needed, CAST(0 AS BIGINT) AS gen_before,
+      |  (SELECT f FROM f1) AS gen_after FROM w1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), feature, n_ref, n_cur, n_buckets,
+      |  psi_ppm, retrain_needed, (SELECT f FROM f1),
+      |  (SELECT f FROM f1) + (SELECT f FROM f2) FROM w2
+      |ORDER BY wave, feature""".stripMargin
+
+  /** The served model after the drain: the full epoch chain re-trained
+    * over base ∪ both waves (the decided retrain's corpus — the loop
+    * appends every arriving batch to the settled corpus before
+    * retraining). */
+  private[graft] lazy val streamClassifierPublishedSql: String =
+    s"""WITH $corpusSql,
+      |$streamClassifierUnionSql,
+      |${perceptronCtesOver("u")}
+      |${(1 to 8).map(k =>
+         s"SELECT CAST($k AS BIGINT) AS epoch, b0, b1, b2, b3, b4, b5 FROM w$k")
+         .mkString("\n|UNION ALL\n|")}
+      |ORDER BY epoch""".stripMargin
+
+  /** The loop's post-drain freshness monitor: PSI of the SETTLED corpus
+    * against the CURRENT published generation's stored bins+histogram.
+    * A converged loop reads exactly zero (the served model was trained
+    * on that corpus — ref and incoming histograms are identical); a
+    * missed republish leaves the stale generation's histogram as the
+    * reference and the gate goes loud. `generation` is the computed
+    * fired-wave count, same derivation as the decision log's. */
+  private[graft] lazy val streamClassifierSettleSql: String = {
+    val selfPsi = classifierScenarioSql("settled", "fu",
+      refFeat = "fu", binsSfx = "u")
+    s"""WITH $classifierCheckPrefixSql,
+      |w1 AS MATERIALIZED ${classifierScenarioSql("dup_wave", "fd")},
+      |w2 AS MATERIALIZED ${classifierScenarioSql("short_wave", "fsw")},
+      |f1 AS (SELECT CAST(max(CASE WHEN retrain_needed THEN 1 ELSE 0 END)
+      |  AS BIGINT) AS f FROM w1),
+      |f2 AS (SELECT CAST(max(CASE WHEN retrain_needed THEN 1 ELSE 0 END)
+      |  AS BIGINT) AS f FROM w2),
+      |$streamClassifierUnionSql,
+      |${perceptronFeatureCtes("u", "u")},
+      |${classifierBinsCtesOver("fu", "u")},
+      |settled AS MATERIALIZED $selfPsi
+      |SELECT feature, n_ref, n_cur, n_buckets, psi_ppm, retrain_needed,
+      |  (SELECT f FROM f1) + (SELECT f FROM f2) AS generation
+      |FROM settled ORDER BY feature""".stripMargin
+  }
 
   def oracle: Map[String, String] = {
     val langCase = {
@@ -2159,48 +2298,12 @@ object TextQueries {
           |$classifierBinsCtes
           |SELECT * FROM e1 UNION ALL SELECT * FROM e5
           |ORDER BY feature""".stripMargin,
-      "text_classifier_retrain_check" -> {
-        def scenario(scn: String, incFeat: String) =
-          s"""(WITH b AS (
-            |  SELECT 'x1' AS feature, (${binFromEdges("f.x1")}) AS bucket,
-            |    TRUE AS is_ref FROM f, e1 e
-            |  UNION ALL SELECT 'x5', (${binFromEdges("f.x5")}), TRUE FROM f, e5 e
-            |  UNION ALL SELECT 'x1', (${binFromEdges("g.x1")}), FALSE
-            |    FROM $incFeat g, e1 e
-            |  UNION ALL SELECT 'x5', (${binFromEdges("g.x5")}), FALSE
-            |    FROM $incFeat g, e5 e),
-            |counted AS (SELECT feature, bucket,
-            |    count(*) FILTER (is_ref)::BIGINT AS n1,
-            |    count(*) FILTER (NOT is_ref)::BIGINT AS n2
-            |  FROM b GROUP BY 1, 2),
-            |tot AS (SELECT feature, CAST(sum(n1) AS BIGINT) AS big_n1,
-            |    CAST(sum(n2) AS BIGINT) AS big_n2 FROM counted GROUP BY 1),
-            |terms AS (SELECT c.feature, t.big_n1, t.big_n2,
-            |    c.n1 * t.big_n2 - c.n2 * t.big_n1 AS diff,
-            |    CAST(floor(1000000.0 * ln(
-            |      CAST(c.n1 * t.big_n2 AS DOUBLE) /
-            |      CAST(c.n2 * t.big_n1 AS DOUBLE))) AS BIGINT) AS ln_ppm
-            |  FROM counted c JOIN tot t ON t.feature = c.feature
-            |  WHERE c.n1 > 0 AND c.n2 > 0)
-            |SELECT '$scn' AS scenario, feature, big_n1 AS n_ref,
-            |  big_n2 AS n_cur, count(*) AS n_buckets,
-            |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT)
-            |    AS psi_ppm,
-            |  CAST(sum(diff * ln_ppm // (big_n1 * big_n2)) AS BIGINT) > 100000
-            |    AS retrain_needed
-            |FROM terms GROUP BY 1, 2, 3, 4)""".stripMargin
-        s"""WITH $corpusSql,
-          |${perceptronFeatureCtes("documents", "")},
-          |$classifierBinsCtes,
-          |${perceptronFeatureCtes(
-             "(SELECT * FROM corpus WHERE doc_id >= 100000)", "d")},
-          |${perceptronFeatureCtes(
-             "(SELECT * FROM documents WHERE n_chars < 250)", "sw")}
-          |${scenario("dup_wave", "fd")}
+      "text_classifier_retrain_check" ->
+        s"""WITH $classifierCheckPrefixSql
+          |${classifierScenarioSql("dup_wave", "fd")}
           |UNION ALL
-          |${scenario("short_wave", "fsw")}
-          |ORDER BY scenario, feature""".stripMargin
-      },
+          |${classifierScenarioSql("short_wave", "fsw")}
+          |ORDER BY scenario, feature""".stripMargin,
       // the retrained trajectory: the oracle RE-TRAINS the perceptron
       // epoch-for-epoch over the union corpus (documents + the
       // re-badged short-doc crawl wave)

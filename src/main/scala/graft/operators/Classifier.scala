@@ -184,25 +184,39 @@ object Classifier {
   def driftCheck(trainFeats: DataFrame, incomingFeats: DataFrame,
       thresholdPpm: Long = 100000L,
       edges: Seq[(String, Seq[Long])] = defaultDriftEdges): DataFrame = {
-    // BOTH features bin in ONE pass over the frame (an explode of a
-    // 2-struct array): a per-feature select would re-run the frame's
-    // tokenize lineage per reference — the r15 re-evaluation trap
-    // (measured 1.64 → 1.0 s warm at sf0.1 across the three corpora)
-    def binned(f: DataFrame, isRef: Boolean) = {
-      val pairs = edges.map { case (feat, es) =>
-        struct(lit(feat).as("feature"),
-          es.map(e => when(col(feat) >= e, 1L).otherwise(0L))
-            .reduce(_ + _).as("bucket"))
-      }
-      f.select(explode(array(pairs: _*)).as("fb"), lit(isRef).as("is_ref"))
-        .select(col("fb.feature").as("feature"),
-          col("fb.bucket").as("bucket"), col("is_ref"))
-    }
-    val counted = binned(trainFeats, isRef = true)
-      .unionAll(binned(incomingFeats, isRef = false))
+    val counted = binnedPairs(trainFeats, edges)
+      .withColumn("is_ref", lit(true))
+      .unionAll(binnedPairs(incomingFeats, edges)
+        .withColumn("is_ref", lit(false)))
       .groupBy(col("feature"), col("bucket"))
       .agg(count(when(col("is_ref"), 1)).as("n1"),
         count(when(!col("is_ref"), 1)).as("n2"))
+    psiFromCounts(counted, thresholdPpm)
+  }
+
+  /** Per-row (feature, bucket) assignments over the stored quantile
+    * edges. BOTH features bin in ONE pass over the frame (an explode
+    * of a 2-struct array): a per-feature select would re-run the
+    * frame's tokenize lineage per reference — the r15 re-evaluation
+    * trap (measured 1.64 → 1.0 s warm at sf0.1 across three
+    * corpora). */
+  private def binnedPairs(f: DataFrame,
+      edges: Seq[(String, Seq[Long])]): DataFrame = {
+    val pairs = edges.map { case (feat, es) =>
+      struct(lit(feat).as("feature"),
+        es.map(e => when(col(feat) >= e, 1L).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+    }
+    f.select(explode(array(pairs: _*)).as("fb"))
+      .select(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+  }
+
+  /** The PSI reduction shared by [[driftCheck]] and [[driftCheckHist]]:
+    * per-feature totals, the zero-count bucket drop, and the integer
+    * diff·ln_ppm quantization, from a (feature, bucket, n1, n2) count
+    * frame. */
+  private def psiFromCounts(counted: DataFrame,
+      thresholdPpm: Long): DataFrame = {
     val totals = counted.groupBy(col("feature"))
       .agg(sum(col("n1")).as("big_n1"), sum(col("n2")).as("big_n2"))
     counted.join(broadcast(totals), Seq("feature"))
@@ -219,6 +233,41 @@ object Classifier {
       .select(col("feature"), col("big_n1").as("n_ref"),
         col("big_n2").as("n_cur"), col("n_buckets"), col("psi_ppm"),
         (col("psi_ppm") > thresholdPpm).as("retrain_needed"))
+  }
+
+  /** The published model's REFERENCE HISTOGRAM: the training corpus's
+    * features binned over the stored quantile edges and counted —
+    * (feature, bucket, n1), bucket-count-sized. Persisted with the
+    * model generation so the streaming drift monitor
+    * ([[driftCheckHist]]) never rescans the training corpus: at 100 TB
+    * the per-micro-batch check costs one pass over the BATCH plus a
+    * 10-row broadcast, which is what makes the classifier maintainable
+    * by the CDC loop at all. */
+  def refHistogram(feats: DataFrame,
+      edges: Seq[(String, Seq[Long])] = defaultDriftEdges): DataFrame =
+    binnedPairs(feats, edges)
+      .groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("n1"))
+
+  /** [[driftCheck]] with the reference side PRE-AGGREGATED: `hist` is
+    * the published generation's stored [[refHistogram]]. Identical
+    * output (the union-of-counts is associative), but the training
+    * corpus never rescans — the monitor's cost is the incoming batch's
+    * own binning pass. This is the check the streaming maintenance
+    * loop runs per micro-batch. */
+  def driftCheckHist(hist: DataFrame, incomingFeats: DataFrame,
+      thresholdPpm: Long = 100000L,
+      edges: Seq[(String, Seq[Long])] = defaultDriftEdges): DataFrame = {
+    val inc = binnedPairs(incomingFeats, edges)
+      .groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("n2"))
+    val counted = hist
+      .select(col("feature"), col("bucket"), col("n1"), lit(0L).as("n2"))
+      .unionAll(inc.select(col("feature"), col("bucket"),
+        lit(0L).as("n1"), col("n2")))
+      .groupBy(col("feature"), col("bucket"))
+      .agg(sum(col("n1")).as("n1"), sum(col("n2")).as("n2"))
+    psiFromCounts(counted, thresholdPpm)
   }
 
   /** Confusion matrix + floored-ppm precision/recall/accuracy over the

@@ -950,6 +950,123 @@ object IngestStream {
       recordApplied(spark, baseTable, batchId)
     }
 
+  /** The CLASSIFIER member of the CDC maintenance family (r18, VERDICT
+    * r17 #1 — the published model becomes the EIGHTH artifact the
+    * streaming loop maintains, closing the last batch-only
+    * monitor→decide→retrain loop): each arriving micro-batch of
+    * documents is
+    *
+    *  1. PSI-checked against the CURRENT published generation's stored
+    *     quantile bins and reference histogram
+    *     ([[graft.operators.Classifier.driftCheckHist]] — the stored
+    *     10-row histogram means the training corpus is never rescanned
+    *     by the monitor; per-batch cost is the batch's own binning
+    *     pass, which is what makes a per-micro-batch drift check
+    *     affordable at 100 TB);
+    *  2. appended to the loop's settled corpus table (arriving docs
+    *     join the corpus regardless of the verdict — they are data);
+    *  3. logged: one decision row per monitored feature (PSI, verdict,
+    *     generation before/after) into `<base>_decisions` — the audit
+    *     trail a deployment alerts on;
+    *  4. if ANY feature fired: the batch perceptron RETRAINS over
+    *     base ∪ settled corpus (the epoch-chain cost class, paid only
+    *     when drift demands it), the new generation persists its
+    *     trajectory + train-time bins + reference histogram, a row
+    *     appends to `<base>_gens`, and the serving pointer atomically
+    *     republishes ([[graft.operators.Generations.publishPointer]] —
+    *     scoring traffic flips generations in one catalog replace).
+    *
+    * Whole-batch replay-ledger guard like every sink: a replayed batch
+    * can neither double the corpus nor re-fire a retrain. */
+  def classifierSink(docStream: DataFrame, base: String,
+      checkpointDir: String, baseDocs: DataFrame,
+      thresholdPpm: Long = 100000L, epochs: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyClassifierBatch(batch.sparkSession, base, batch, batchId,
+          baseDocs, thresholdPpm, epochs)
+      }
+      .start()
+
+  /** The classifier loop's current generation number (0 = the initial
+    * published model) — a 1-row aggregate over the generations
+    * ledger. */
+  def classifierCurrentGen(spark: org.apache.spark.sql.SparkSession,
+      base: String): Long = {
+    import org.apache.spark.sql.functions.max
+    // 1-row driver read of the generation ledger (rows = retrains ever
+    // fired) — the model-load path, never corpus-sized
+    spark.table(s"${base}_gens").agg(max("gen")).collect()(0).getLong(0)
+  }
+
+  private[graft] def applyClassifierBatch(
+      spark: org.apache.spark.sql.SparkSession, base: String,
+      batch: DataFrame, batchId: Long, baseDocs: DataFrame,
+      thresholdPpm: Long = 100000L, epochs: Int = 8): Unit =
+    if (!alreadyApplied(spark, base, batchId)) {
+      import org.apache.spark.sql.functions.{col, min}
+      import spark.implicits._
+      import graft.operators.{Classifier, Generations}
+      val gen = classifierCurrentGen(spark, base)
+      val serving = s"${base}_model_g$gen"
+      // model-sized plan-time reads: 2 bin rows; the histogram joins as
+      // a 10-row broadcast inside driftCheckHist
+      val edges = spark.table(s"${serving}_bins").orderBy(col("feature"))
+        .collect()
+        .map(r => r.getString(0) ->
+          Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val incoming = batch.select(col("doc_id"), col("text"), col("n_chars"))
+      val verdict = Classifier.driftCheckHist(
+        spark.table(s"${serving}_hist"),
+        Classifier.labeledFeatures(incoming), thresholdPpm, edges)
+        .orderBy(col("feature"))
+        .collect() // ≤ nFeatures monitored rows — model-sized
+      val wave = batch.agg(min(col("wave"))).collect()(0).getLong(0)
+      val fired = verdict.exists(_.getAs[Boolean]("retrain_needed"))
+      val genAfter = gen + (if (fired) 1L else 0L)
+      // the corpus append precedes the retrain: a decided retrain must
+      // see the batch that tripped it
+      incoming.write.mode("append").format("parquet")
+        .saveAsTable(s"${base}_corpus")
+      verdict.toSeq
+        .map(r => (wave, r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), gen, genAfter))
+        .toDF("wave", "feature", "n_ref", "n_cur", "n_buckets",
+          "psi_ppm", "retrain_needed", "gen_before", "gen_after")
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${base}_decisions")
+      if (fired) {
+        val union = baseDocs.select(col("doc_id"), col("text"),
+            col("n_chars"))
+          .unionAll(spark.table(s"${base}_corpus"))
+        val feats = Classifier.labeledFeatures(union)
+        val traj = Classifier.train(feats, epochs)
+        val next = s"${base}_model_g$genAfter"
+        traj.epochs.zipWithIndex
+          .map { case (w, i) =>
+            (i + 1L, w(0), w(1), w(2), w(3), w(4), w(5)) }
+          .toDF("epoch", "b0", "b1", "b2", "b3", "b4", "b5")
+          .write.format("parquet").saveAsTable(next)
+        Classifier.binEdges(feats)
+          .write.format("parquet").saveAsTable(s"${next}_bins")
+        val nextEdges = spark.table(s"${next}_bins").orderBy(col("feature"))
+          .collect()
+          .map(r => r.getString(0) ->
+            Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toSeq
+        Classifier.refHistogram(feats, nextEdges)
+          .write.format("parquet").saveAsTable(s"${next}_hist")
+        Seq(genAfter).toDF("gen").write.mode("append").format("parquet")
+          .saveAsTable(s"${base}_gens")
+        Generations.publishPointer(spark, s"${base}_serving", next,
+          suffixes = Seq("", "_bins", "_hist"))
+      }
+      recordApplied(spark, base, batchId)
+    }
+
   private def alreadyApplied(spark: org.apache.spark.sql.SparkSession,
       table: String, batchId: Long): Boolean =
     appliedSetFor(spark, table).contains(batchId)

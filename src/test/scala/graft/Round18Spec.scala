@@ -68,6 +68,68 @@ class Round18Spec extends AnyFunSuite {
       s"deltas must release the per-iteration rank caches: $leaked")
   }
 
+  test("classifier CDC loop: both flag outcomes + generation lifecycle") {
+    val log = rows("stream_classifier_cdc")
+    assert(log.length == 4)
+    val byWave = log.groupBy(_.getLong(0))
+    assert(byWave(1L).forall(!_.getBoolean(6)),
+      "the near-copy wave must not fire")
+    assert(byWave(2L).forall(_.getBoolean(6)),
+      "the selection-shifted crawl wave must fire")
+    assert(byWave(1L).forall(r => r.getLong(7) == 0L && r.getLong(8) == 0L))
+    assert(byWave(2L).forall(r => r.getLong(7) == 0L && r.getLong(8) == 1L),
+      "the fired wave must bump the generation")
+  }
+
+  test("classifier CDC loop: served model is the retrained generation") {
+    val served = rows("stream_classifier_cdc_published").map(_.toSeq).toSeq
+    val base = rows("text_classifier_train").map(_.toSeq).toSeq
+    assert(served.length == 8)
+    assert(served != base,
+      "after the fired wave the pointer must serve the RETRAINED weights")
+  }
+
+  test("classifier CDC loop: settle check reads zero against the fresh model") {
+    val chk = rows("stream_classifier_cdc_settle_check")
+    assert(chk.length == 2)
+    assert(chk.forall(r => r.getLong(4) == 0L && !r.getBoolean(5)),
+      "the served model was trained on the settled corpus - PSI must be 0")
+    assert(chk.forall(_.getLong(6) == 1L))
+  }
+
+  test("classifier CDC loop: a replayed batch is a whole no-op") {
+    import spark.implicits._
+    val base = StreamingQueries.classifierCdcTableFor(spark, sfDir)
+    val corpusBefore = spark.table(s"${base}_corpus").count()
+    val gensBefore = spark.table(s"${base}_gens").count()
+    val decisionsBefore = spark.table(s"${base}_decisions").count()
+    // replay batch 1 (the firing wave) with fresh rows — the ledger
+    // must skip it whole: no corpus double, no re-fired retrain
+    val replay = Seq((999999L, "tiny", 4L, 2L))
+      .toDF("doc_id", "text", "n_chars", "wave")
+    graft.streaming.IngestStream.applyClassifierBatch(spark, base,
+      replay, batchId = 1L,
+      baseDocs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("n_chars")))
+    assert(spark.table(s"${base}_corpus").count() == corpusBefore)
+    assert(spark.table(s"${base}_gens").count() == gensBefore)
+    assert(spark.table(s"${base}_decisions").count() == decisionsBefore)
+  }
+
+  test("driftCheckHist equals driftCheck (the stored-histogram monitor)") {
+    import graft.operators.Classifier
+    val docs = Tables.documents(spark, sfDir)
+    val train = Classifier.labeledFeatures(docs)
+    val incoming = Classifier.labeledFeatures(docs.filter(col("n_chars") < 250))
+    val direct = Classifier.driftCheck(train, incoming)
+      .orderBy(col("feature")).collect().map(_.toSeq).toSeq
+    val viaHist = Classifier.driftCheckHist(
+        Classifier.refHistogram(train), incoming)
+      .orderBy(col("feature")).collect().map(_.toSeq).toSeq
+    assert(direct == viaHist,
+      "pre-aggregating the reference side must not change the verdict")
+  }
+
   test("filtered probe (frontier-side label join) still label-matches exactly") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)

@@ -256,6 +256,18 @@ object GraphQueries {
           emb.filter(col("vec_id") < 10), emb, k = 3)
         .orderBy(col("query_id"), col("rk"))
     }),
+    // ...the filtered walk's recall audit vs the LABEL-RESTRICTED exact
+    // top-3 (r18 — the filtered probes were the two approximate paths
+    // without one; the unfiltered truth would count forbidden
+    // neighbors as misses)
+    "sim_ann_graph_filtered_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      SimilarityQueries.filteredRecallAudit(emb,
+        GraphOps.probeGraphIndexFiltered(s, graphIndexFor(s, dir),
+          emb.filter(col("vec_id") < 10), emb,
+          k = SimilarityQueries.recallK))
+    }),
     // SHORTLIST → EXACT-RE-RANK serving (r18, VERDICT r17 #2 — the last
     // asymmetry in the seven-family serving matrix): a widened beam-16
     // walk produces the shortlist, the shortlist alone re-scores by
@@ -668,16 +680,26 @@ object GraphQueries {
     // the label-partitioned walk: same beam chain, candidates matched
     // to the query's label before every rank
     "sim_ann_graph_filtered" ->
-      s"""WITH $knnSql,
-        |${walkCtes(
-           qsSql = """SELECT vec_id AS query_id, embedding AS qv,
-             |    label AS qlabel FROM embeddings WHERE vec_id < 10""".stripMargin,
-           entSql = s"""SELECT a.vec_id AS query_id, c.vec_id AS node
-             |  FROM casg a JOIN clusters c ON c.cid = a.cid
-             |  WHERE a.vec_id < 10 AND a.cr <= ${GraphOps.WalkEntryCells}""".stripMargin,
-           candPred = "b.label = q.qlabel")}
+      s"""WITH $graphFilteredWalkSql
         |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
         |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    // ...and its recall audit vs the label-restricted exact top-3
+    "sim_ann_graph_filtered_recall" ->
+      s"""WITH $graphFilteredWalkSql,
+        |bruteF AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round($cosQSql, 6) DESC, b.vec_id) AS rk
+        |    FROM qs q JOIN embeddings b
+        |      ON b.label = q.qlabel AND b.vec_id <> q.query_id) t
+        |  WHERE rk <= 3),
+        |ann AS (SELECT query_id, node AS neighbor_id FROM g3 WHERE rk <= 3),
+        |hits AS (SELECT bruteF.query_id, count(*)::BIGINT AS n_hit
+        |  FROM bruteF JOIN ann USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+        |FROM qs q LEFT JOIN hits ON hits.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     // the widened-beam shortlist re-scored by exact cosine — the walk
     // chain with beam = WalkRerankBeam, then the re-rank layer over the
     // final frontier (same rounded-cosine ranking, id tie-breaks)
@@ -869,6 +891,20 @@ object GraphQueries {
       |    JOIN embeddings b ON b.vec_id = c.node
       |    JOIN qs q ON q.query_id = c.query_id) s)""".stripMargin
   }
+
+  /** The label-partitioned walk (candidates matched to the query's
+    * label before every rank) — shared by the filtered probe gate and
+    * its label-restricted recall audit (r18). */
+  private lazy val graphFilteredWalkSql: String =
+    s"""$knnSql,
+      |${walkCtes(
+         qsSql = """SELECT vec_id AS query_id, embedding AS qv,
+           |    label AS qlabel FROM embeddings WHERE vec_id < 10""".stripMargin,
+         entSql = s"""SELECT a.vec_id AS query_id, c.vec_id AS node
+           |  FROM casg a JOIN clusters c ON c.cid = a.cid
+           |  WHERE a.vec_id < 10
+           |    AND a.cr <= ${GraphOps.WalkFilteredEntryCells}""".stripMargin,
+         candPred = "b.label = q.qlabel")}""".stripMargin
 
   /** The INSERT walk for the append batch (the exact-dup vectors at
     * id+100000): each new vector's out-edges are its beam-walk top-3

@@ -1125,6 +1125,41 @@ object SimilarityQueries {
   /** Shared recall-audit tail: per-query overlap of an ANN top-k with the
     * exact brute-force top-[[recallK]], 0-filled for queries the ANN
     * missed entirely. Both ANN paths (LSH, IVF) gate through this. */
+  /** [[recallAudit]]'s FILTERED twin (r18 — every approximate path
+    * carries a recall audit, and the filtered probes were the two that
+    * didn't): truth is the exact cosine top-k RESTRICTED to the
+    * query's own label (the population the filtered probe is allowed
+    * to serve from — auditing it against the unfiltered truth would
+    * count forbidden neighbors as misses). The brute side joins the
+    * tiny query set to the corpus on the label key — label-partitioned
+    * brute force, the audit cost class. */
+  private[graft] def filteredRecallAudit(emb: DataFrame,
+      ann: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val brute = broadcast(querySet(emb)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label")))
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nemb"), col("label")), Seq("label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorOps.cosine(col("qv"), col("nemb")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= recallK)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    querySet(emb).select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(recallK.toDouble), 6)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   private[graft] def recallAudit(emb: DataFrame, ann: DataFrame): DataFrame = {
     val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = recallK)
       .select(col("query_id"), col("neighbor_id"))
@@ -1726,6 +1761,17 @@ object SimilarityQueries {
           querySet(emb), emb, k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+    // ...its recall audit against the LABEL-RESTRICTED exact top-3
+    // (r18 — the filtered paths were the two approximate probes without
+    // one; auditing vs the unfiltered truth would count forbidden
+    // neighbors as misses)
+    "sim_ann_ivf_filtered_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      filteredRecallAudit(emb,
+        VectorOps.probeIvfIndexFiltered(s, ivfIndexFor(s, dir),
+          querySet(emb), emb, k = recallK, nProbe = 4))
     }),
 
     // index MONITORING: per-list sizes of the persisted IVF index — the
@@ -3248,6 +3294,34 @@ object SimilarityQueries {
       |    (ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS rk FROM fused) f
       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
+  /** The filtered IVF probe's CTE chain (trained quantizer → lists →
+    * 4-cell probes → label-matched-BEFORE-rank scoring), ending in
+    * `ranked` with `q (query_id, qv, qlabel)` in scope — shared by the
+    * probe gate and its label-restricted recall audit (r18). */
+  private lazy val ivfFilteredProbeCtes: String =
+    s"""${centTrainSql(ivfKSql, 2)},
+      |asg AS (
+      |  SELECT vec_id, embedding, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM embeddings CROSS JOIN cents),
+      |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      |  FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, qv, qlabel, cid AS list_id FROM (
+      |    SELECT query_id, qv, qlabel, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+      |scored AS (
+      |  SELECT query_id, l.vec_id AS neighbor_id,
+      |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
+      |  FROM lists l
+      |  JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id
+      |  JOIN embeddings el ON el.vec_id = l.vec_id
+      |  WHERE el.label = p.qlabel),
+      |ranked AS (SELECT *, row_number() OVER
+      |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -3497,30 +3571,28 @@ object SimilarityQueries {
     // the filtered probe: same coarse CTEs, candidates restricted to
     // the query's label before ranking
     "sim_ann_ivf_filtered" ->
-      s"""WITH ${centTrainSql(ivfKSql, 2)},
-        |asg AS (
-        |  SELECT vec_id, embedding, cid, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
-        |  FROM embeddings CROSS JOIN cents),
-        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
-        |q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-        |  FROM embeddings WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT query_id, qv, qlabel, cid AS list_id FROM (
-        |    SELECT query_id, qv, qlabel, cid, row_number() OVER
-        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
-        |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
-        |scored AS (
-        |  SELECT query_id, l.vec_id AS neighbor_id,
-        |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
-        |  FROM lists l
-        |  JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id
-        |  JOIN embeddings el ON el.vec_id = l.vec_id
-        |  WHERE el.label = p.qlabel),
-        |ranked AS (SELECT *, row_number() OVER
-        |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)
+      s"""WITH $ivfFilteredProbeCtes
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3
         |ORDER BY query_id, rk""".stripMargin,
+    // truth restricted to the query's label — the population the
+    // filtered probe serves from
+    "sim_ann_ivf_filtered_recall" ->
+      s"""WITH $ivfFilteredProbeCtes,
+        |bruteF AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(${cosSql("q.qv", "b.embedding")}, 6) DESC,
+        |          b.vec_id) AS rk
+        |    FROM q JOIN embeddings b
+        |      ON b.label = q.qlabel AND b.vec_id <> q.query_id) t
+        |  WHERE rk <= 3),
+        |ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 3),
+        |hits AS (SELECT bruteF.query_id, count(*)::BIGINT AS n_hit
+        |  FROM bruteF JOIN ann USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+        |FROM q LEFT JOIN hits ON hits.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     // the persisted lists are the k-means assignment partitioned out —
     // same shared CTE chain as sim_cluster_assignments, aggregated
     "sim_ann_ivf_stats" ->

@@ -492,6 +492,32 @@ object StreamingQueries {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // DERIVED ANALYTICS over the maintained view (r18): the weighted
+    // PageRank refresh reads the CDC-maintained backbone generation —
+    // lineitem is never re-expanded to serve a rank update, the
+    // property that makes a periodic rank refresh affordable at 100 TB
+    // order volume. Same oracle as the batch surfer (the maintained
+    // w≥2 cut equals the from-scratch self-join): one oracle, the
+    // incrementally-maintained plan.
+    "stream_graph_pagerank_cdc" -> ((s, dir) => {
+      val base = backboneCdcTableFor(s, dir)
+      val cur = IngestStream.matviewCurrent(s, base)
+      val cut = s.table(cur).filter(col("w") >= 2)
+        .select(col("src"), col("dst"), col("w"))
+      // the w≥2 cut is scanned ~8× by the iteration self-joins — pin it
+      // once as an RDD leaf (backbone-sized, tiny) and hand each
+      // reference a FRESH frame over it (fresh attribute ids, one scan:
+      // 2.95 → ~1.5 s warm at sf0.1); released once the ranks leaf is
+      // forced inside pageRankWeightedOver
+      val rdd = cut.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count()
+      try graft.operators.GraphOps.pageRankWeightedOver(s,
+          () => s.createDataFrame(rdd, cut.schema), iters = 3)
+        .orderBy(col("rank_ppb").desc, col("node")).limit(50)
+      finally { rdd.unpersist(); () }
+    }),
+
     // capture → route → settle → PROMOTE → serve for the graph family
     "stream_graph_cdc_published" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -539,6 +565,18 @@ object StreamingQueries {
     // plan (the micro-batch one)
     "stream_mm_audio" -> ((s, dir) => {
       s.table(mmAudioTableFor(s, dir)).orderBy(col("media_id"))
+    }),
+
+    // the streamed VIDEO decode loop (r18 — the modality × streaming
+    // matrix closes: image and audio had their micro-batch decode
+    // sinks, the r17 real-GIF modality now drains through the same
+    // machinery): clip blobs in micro-batches, real ImageIO sequence
+    // reads per trigger, replay-guarded frame-feature appends — the
+    // accumulated per-frame rows must equal the batch decode of the
+    // whole clip corpus, mm_video_frames' closed-form raster oracle
+    "stream_mm_video" -> ((s, dir) => {
+      s.table(mmVideoTableFor(s, dir))
+        .orderBy(col("media_id"), col("frame_idx"))
     }),
 
     // the within-batch ORDINAL gate: one micro-batch carries TWO
@@ -975,6 +1013,11 @@ object StreamingQueries {
     "stream_graph_backbone_cdc" ->
       s"""SELECT src, dst, w FROM (${GraphQueries.backboneSql})
         |ORDER BY src, dst""".stripMargin,
+    // the rank refresh over the maintained view shares the batch
+    // weighted surfer's oracle verbatim (maintained w≥2 cut ≡ the
+    // from-scratch backbone)
+    "stream_graph_pagerank_cdc" ->
+      GraphQueries.oracle("graph_pagerank_weighted"),
     // the composite consumes the SAME event fixture, so its settled
     // probe shares the frozen-quantizer union oracle, its audit the
     // union-truth recall mirror, and its monitor the identical
@@ -993,6 +1036,7 @@ object StreamingQueries {
     // one oracle, one more plan (the micro-batch one)
     "stream_mm_decode" -> MultimodalQueries.oracle("mm_decode_features"),
     "stream_mm_audio" -> MultimodalQueries.oracle("mm_audio_features"),
+    "stream_mm_video" -> MultimodalQueries.oracle("mm_video_frames"),
     "stream_search_cdc" -> TextQueries.searchAndSql,
     "stream_search_cdc_bm25" -> TextQueries.searchBm25Sql,
     "stream_search_cdc_two_updates" -> TextQueries.searchBm25Sql,
@@ -1788,6 +1832,47 @@ object StreamingQueries {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(evDir)
       IngestStream.mmAudioDecodeSink(stream, table, ckpt).awaitTermination()
+      EpochRegistry.Resource(table,
+        dropTables = Seq(table, s"${table}_applied"),
+        deleteDirs = Seq(ckpt))
+    }
+  }
+
+  /** Video event files for the streaming decode loop — the GIF clip
+    * corpus as 3 parquet files → 3 micro-batches. */
+  private[graft] def mmVideoEventsDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "mm_video_events_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mm_video_events_").toString
+      graft.operators.Multimodal.syntheticVideos(Tables.documents(s, dir))
+        .toDF().repartition(3)
+        .write.mode("overwrite").parquet(path)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The streaming VIDEO-decode epoch ([[mmDecodeTableFor]]'s clip
+    * twin — the modality × streaming matrix's last cell): GIF blobs
+    * drain through [[IngestStream.mmVideoDecodeSink]] (real ImageIO
+    * sequence reads per trigger, replay-guarded appends) and the
+    * accumulated per-frame features must equal the batch decode of the
+    * whole corpus — `mm_video_frames`' closed-form raster oracle. */
+  private[graft] def mmVideoTableFor(s: SparkSession, dir: String): String = {
+    val evDir = mmVideoEventsDir(s, dir)
+    EpochRegistry.acquire(s, "mm_video_stream", dir) { () =>
+      val table = "graft_mm_video_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_mm_video_ckpt_").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(evDir)
+      IngestStream.mmVideoDecodeSink(stream, table, ckpt).awaitTermination()
       EpochRegistry.Resource(table,
         dropTables = Seq(table, s"${table}_applied"),
         deleteDirs = Seq(ckpt))

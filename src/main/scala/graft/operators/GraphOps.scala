@@ -51,6 +51,18 @@ object GraphOps {
     * so the high-recall tier widens both knobs — the nProbe/beam pair
     * every graph-ANN system exposes. */
   val WalkRerankEntryCells = 4
+  /** The FILTERED walk's entry width — 4 cells, matching the IVF
+    * filtered probe's nProbe: only the label's members of each entry
+    * cell are admissible, so a label-partitioned walk needs more cells
+    * for the same candidate mass. Measured on the audit (sf0.01,
+    * label-restricted truth): 2 cells → recall@3 0.50 with one query
+    * at 0.0 (its label subgraph unreachable — the under-fill the
+    * filtered-ANN design exists to avoid), 4 → 0.70 (= the IVF
+    * filtered probe's), 8 → 0.77; beam width is irrelevant here (the
+    * label-agnostic adjacency contributes few matching candidates) —
+    * a label-aware edge build (FilteredDiskANN) is the real lift
+    * beyond entry widening. */
+  val WalkFilteredEntryCells = 4
 
   /** Distinct undirected co-purchase edges (src < dst) from lineitem.
     *
@@ -200,6 +212,22 @@ object GraphOps {
       states.map(_._2))
   }
 
+  /** [[pageRankWeighted]] over an ARBITRARY (src, dst, w) edge source —
+    * the serving form for a MAINTAINED backbone (r18: the CDC matview
+    * loop keeps the co-purchase counts current per batch, and the rank
+    * refresh reads the view instead of re-expanding lineitem — the
+    * derived-analytics-over-maintained-views composition). `edges` is
+    * a thunk: each reference takes a fresh scan, so the per-iteration
+    * self-joins never collapse on shared attribute ids (the backbone
+    * discipline). */
+  def pageRankWeightedOver(spark: SparkSession, edges: () => DataFrame,
+      iters: Int): DataFrame = {
+    val states = weightedRanksOver(spark, edges, iters)
+    materializeAndRelease(spark,
+      states.last._2.select(col("node"), col("r").as("rank_ppb")),
+      states.map(_._2))
+  }
+
   /** Force `out` into an RDD leaf while `cached` is still live, then
     * release every cached state (ADVICE r17: the weighted-PR loop
     * persisted each iteration's rank frame for the session — benchmarks
@@ -222,22 +250,26 @@ object GraphOps {
     * node-count rows, the model-sized class). Returned as
     * (iteration, ranks(node, r)) with iteration 0 = the uniform seed. */
   private def weightedRanks(spark: SparkSession, sfDir: String,
-      iters: Int): Seq[(Int, DataFrame)] = {
+      iters: Int): Seq[(Int, DataFrame)] =
+    weightedRanksOver(spark, () => backbone(spark, sfDir), iters)
+
+  private def weightedRanksOver(spark: SparkSession,
+      edges: () => DataFrame, iters: Int): Seq[(Int, DataFrame)] = {
     val Scale = 1000000000L
-    val n = symmetric(backbone(spark, sfDir))
+    val n = symmetric(edges())
       .select(col("src").as("node")).distinct().count()
     val r0 = Scale / n
     val base = (150L * r0) / 1000L
-    val wsum = symmetricW(backbone(spark, sfDir))
+    val wsum = symmetricW(edges())
       .groupBy(col("src").as("node")).agg(sum(col("w")).as("wout"))
-    var ranks = symmetric(backbone(spark, sfDir))
+    var ranks = symmetric(edges())
       .select(col("src").as("node")).distinct()
       .withColumn("r", lit(r0))
       .persist()
     val states = Seq.newBuilder[(Int, DataFrame)]
     states += ((0, ranks))
     (1 to iters).foreach { k =>
-      val contrib = symmetricW(backbone(spark, sfDir)).as("e")
+      val contrib = symmetricW(edges()).as("e")
         .join(ranks.as("rk"), col("e.src") === col("rk.node"))
         .join(wsum.as("dg"), col("e.src") === col("dg.node"))
         .select(col("e.dst").as("node"),
@@ -747,7 +779,7 @@ object GraphOps {
   def probeGraphIndexFiltered(spark: SparkSession, table: String,
       queries: DataFrame, labelRel: DataFrame, k: Int,
       beam: Int = WalkBeam, rounds: Int = WalkRounds,
-      entryCells: Int = WalkEntryCells): DataFrame = {
+      entryCells: Int = WalkFilteredEntryCells): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val t = Generations.resolveServing(spark, table)
     val nodes =

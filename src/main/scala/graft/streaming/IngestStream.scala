@@ -90,6 +90,41 @@ object IngestStream {
       recordApplied(spark, table, batchId)
     }
 
+  /** [[mmDecodeSink]]'s VIDEO twin — the modality set's last member
+    * through the streaming ingest loop (r18: image and audio had their
+    * micro-batch decode sinks since r15/r16; the r17 real-GIF modality
+    * now gets the same): clip blobs drain in micro-batches, each
+    * walked by the real ImageIO sequence reader
+    * ([[graft.operators.Multimodal.decodeVideoFrames]] — one input row
+    * → n_frames feature rows, decoded once inside the batch's
+    * mapPartitions), appended under the shared replay ledger. Per-row
+    * decode is frame-count-proportional; blobs never shuffle — the
+    * scan-bound shape that keeps a video ingest linear at 100 TB. */
+  def mmVideoDecodeSink(mediaStream: DataFrame, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    mediaStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMmVideoDecodeBatch(batch.sparkSession, table, batch, batchId)
+      }
+      .start()
+
+  private[graft] def applyMmVideoDecodeBatch(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, table, batchId)) {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      graft.operators.Multimodal.decodeVideoFrames(
+          batch.select(col("media_id"), col("media_type"), col("media"))
+            .as[graft.operators.Multimodal.MediaRow])
+        .toDF()
+        .write.mode("append").format("parquet").saveAsTable(table)
+      recordApplied(spark, table, batchId)
+    }
+
   def ingestSink(docStream: DataFrame, bandIndexTable: String,
       benchmark: DataFrame, checkpointDir: String,
       write: (DataFrame, Long) => Unit,

@@ -268,6 +268,28 @@ object GraphQueries {
           emb.filter(col("vec_id") < 10), emb,
           k = SimilarityQueries.recallK))
     }),
+    // the STITCHED filtered walk (r18 — the FilteredDiskANN-style fix
+    // the filtered recall audit called for): frontier expansion routes
+    // through the LABEL-AWARE adjacency (the union of per-label kNN
+    // subgraphs, built in one pass — the seed join matches the label,
+    // descent is label-closed), so beam slots stop burning on
+    // inadmissible candidates; recall@3 0.70 → 0.93 at sf0.01 at the
+    // same entry width
+    "sim_ann_graph_filtered_stitched" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      GraphOps.graphSearchFilteredStitched(s, dir,
+          emb.filter(col("vec_id") < 10), emb, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // ...its recall audit vs the label-restricted exact top-3
+    "sim_ann_graph_filtered_stitched_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      SimilarityQueries.filteredRecallAudit(emb,
+        GraphOps.graphSearchFilteredStitched(s, dir,
+          emb.filter(col("vec_id") < 10), emb,
+          k = SimilarityQueries.recallK))
+    }),
     // SHORTLIST → EXACT-RE-RANK serving (r18, VERDICT r17 #2 — the last
     // asymmetry in the seven-family serving matrix): a widened beam-16
     // walk produces the shortlist, the shortlist alone re-scores by
@@ -700,6 +722,28 @@ object GraphQueries {
         |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
         |FROM qs q LEFT JOIN hits ON hits.query_id = q.query_id
         |ORDER BY q.query_id""".stripMargin,
+    // the stitched walk: labeled adjacency (seed label equality — the
+    // descent is label-closed), same label-partitioned walk
+    "sim_ann_graph_filtered_stitched" ->
+      s"""WITH $graphFilteredStitchedWalkSql
+        |SELECT query_id, node AS neighbor_id, cos_sim, rk FROM g3
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_graph_filtered_stitched_recall" ->
+      s"""WITH $graphFilteredStitchedWalkSql,
+        |bruteF AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, b.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round($cosQSql, 6) DESC, b.vec_id) AS rk
+        |    FROM qs q JOIN embeddings b
+        |      ON b.label = q.qlabel AND b.vec_id <> q.query_id) t
+        |  WHERE rk <= 3),
+        |ann AS (SELECT query_id, node AS neighbor_id FROM g3 WHERE rk <= 3),
+        |hits AS (SELECT bruteF.query_id, count(*)::BIGINT AS n_hit
+        |  FROM bruteF JOIN ann USING (query_id, neighbor_id) GROUP BY 1)
+        |SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(n_hit, 0) / 3.0, 6) AS recall
+        |FROM qs q LEFT JOIN hits ON hits.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
     // the widened-beam shortlist re-scored by exact cosine — the walk
     // chain with beam = WalkRerankBeam, then the re-rank layer over the
     // final frontier (same rounded-cosine ranking, id tie-breaks)
@@ -906,6 +950,21 @@ object GraphQueries {
            |    AND a.cr <= ${GraphOps.WalkFilteredEntryCells}""".stripMargin,
          candPred = "b.label = q.qlabel")}""".stripMargin
 
+  /** The STITCHED filtered walk: the labeled kNN chain (seed matched
+    * on label) as the adjacency, the same label-partitioned walk on
+    * top — shared by the stitched probe gate and its recall audit. */
+  private lazy val graphFilteredStitchedWalkSql: String =
+    s"""${knnSqlOver("", "embeddings", SimilarityQueries.ivfKSql,
+         labeled = true)},
+      |${walkCtes(
+         qsSql = """SELECT vec_id AS query_id, embedding AS qv,
+           |    label AS qlabel FROM embeddings WHERE vec_id < 10""".stripMargin,
+         entSql = s"""SELECT a.vec_id AS query_id, c.vec_id AS node
+           |  FROM casg a JOIN clusters c ON c.cid = a.cid
+           |  WHERE a.vec_id < 10
+           |    AND a.cr <= ${GraphOps.WalkFilteredEntryCells}""".stripMargin,
+         candPred = "b.label = q.qlabel")}""".stripMargin
+
   /** The INSERT walk for the append batch (the exact-dup vectors at
     * id+100000): each new vector's out-edges are its beam-walk top-3
     * over the frozen graph — the incremental NSW insert. The batch
@@ -989,10 +1048,13 @@ object GraphQueries {
     * `$rel` — the retrained graph generation's mirror runs it over the
     * UNION corpus. `pre` prepends corpus-defining CTEs. */
   private[graft] def knnSqlOver(pre: String, rel: String,
-      kSql: String): String = {
+      kSql: String, labeled: Boolean = false): String = {
     // k, descent-round count, and the seed's probe width come from
     // GraphOps' ONE parameter set (ADVICE r16): the mirror can never
-    // drift from knnGraphDir's defaults
+    // drift from knnGraphDir's defaults.
+    // `labeled` mirrors GraphOps.buildEdges' stitched form (r18): the
+    // SEED join additionally matches the label — the descent rounds
+    // are label-closed by construction and stay untouched.
     val k = GraphOps.KnnK
     val cos = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
       "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * " +
@@ -1011,15 +1073,17 @@ object GraphQueries {
         |    FROM nd$r c JOIN $rel a ON a.vec_id = c.src
         |    JOIN $rel b ON b.vec_id = c.dst) s
         |  WHERE rk <= $k)""".stripMargin
+    val ceLabel = if (labeled) ", e.label" else ""
+    val seedLabel = if (labeled) " AND b.label = a.label" else ""
     s"""$pre${SimilarityQueries.clusterAssignCtesOver(rel, kSql)},
-      |ce AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid
+      |ce AS MATERIALIZED (SELECT e.vec_id, e.embedding, c.cid$ceLabel
       |  FROM $rel e JOIN clusters c USING (vec_id)),
       |src4 AS MATERIALIZED (SELECT vec_id AS src, cid FROM casg
       |  WHERE cr <= ${GraphOps.KnnSeedProbeCells}),
       |pr AS MATERIALIZED (
       |  SELECT s.src AS src, b.vec_id AS dst, round($cos, 6) AS cos_sim
       |  FROM src4 s JOIN $rel a ON a.vec_id = s.src
-      |  JOIN ce b ON b.cid = s.cid AND b.vec_id <> s.src),
+      |  JOIN ce b ON b.cid = s.cid AND b.vec_id <> s.src$seedLabel),
       |k0 AS MATERIALIZED (SELECT src, dst, cos_sim, rk FROM (
       |    SELECT src, dst, cos_sim, CAST(row_number() OVER (
       |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rk

@@ -427,7 +427,7 @@ object GraphOps {
     * form). */
   private def buildEdges(corpus: DataFrame, centsDf: DataFrame,
       cellsDf: DataFrame, k: Int, descentRounds: Int,
-      write: DataFrame => Unit): Unit = {
+      write: DataFrame => Unit, labeled: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))
@@ -437,19 +437,37 @@ object GraphOps {
     // corpus side lives in its ONE nearest cell; the src side probes
     // its 4 nearest cells — the IVF serving nProbe, which is what
     // lifts seed recall@3 from 0.21 (own-cell only) to ~0.9 here
-    val dstLists = cellsDf
+    //
+    // LABELED build (r18 — the FilteredDiskANN-style stitched graph):
+    // when `labeled`, the corpus carries a `label` column and the SEED
+    // join additionally matches on it, so every seed edge stays within
+    // its label's subgraph. That single equality is sufficient: the
+    // descent candidates (reversed edges, 2-hops of within-label
+    // edges) are CLOSED under the label by construction, so the
+    // rounds below need no change — the result is the union of
+    // per-label kNN graphs built in ONE pass (the (cell, label)
+    // sub-partitioned seed join is strictly finer, hence cheaper,
+    // than the unlabeled one).
+    val lbl = (id: String) =>
+      corpus.select(col("vec_id").as(id), col("label").as(s"_l$id"))
+    val dstLists0 = cellsDf
       .select(col("list_id"), col("vec_id").as("dst"))
       .join(embAs("dst", "bemb"), Seq("dst"))
+    val dstLists =
+      if (labeled) dstLists0.join(lbl("dst"), Seq("dst")) else dstLists0
     val probeW = Window.partitionBy(col("src"))
       .orderBy(col("_csim").desc, col("cid"))
-    val srcProbe = embAs("src", "aemb").crossJoin(cents)
+    val srcProbe0 = embAs("src", "aemb").crossJoin(cents)
       .withColumn("_csim", round(VectorOps.cosine(col("aemb"), col("cv")), 6))
       .withColumn("_cr", row_number().over(probeW))
       .filter(col("_cr") <= KnnSeedProbeCells)
       .select(col("cid").as("list_id"), col("src"), col("aemb"))
+    val srcProbe =
+      if (labeled) srcProbe0.join(lbl("src"), Seq("src")) else srcProbe0
     val cached = Seq.newBuilder[DataFrame]
     var knn = srcProbe.join(dstLists, Seq("list_id"))
       .filter(col("src") =!= col("dst"))
+      .filter(if (labeled) col("_lsrc") === col("_ldst") else lit(true))
       .select(col("src"), col("dst"),
         round(VectorOps.cosine(col("aemb"), col("bemb")), 6).as("cos_sim"))
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -481,6 +499,62 @@ object GraphOps {
   /** Fresh scan of the materialized k-NN graph. */
   def knnEdges(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(knnGraphDir(spark, sfDir))
+
+  /** The LABEL-AWARE ("stitched") kNN graph epoch (r18 — the
+    * FilteredDiskANN fix the filtered-probe recall audit called for):
+    * the union of per-label kNN subgraphs, built in ONE pass by
+    * [[buildEdges]] with the seed join matching on the label
+    * (descent is closed under the label, so the refinement rounds are
+    * the standard ones). A filtered walk over THIS adjacency expands
+    * through neighbors that are admissible by construction, instead of
+    * burning beam slots on a label-agnostic graph's candidates —
+    * measured recall@3 0.70 → 0.93 at sf0.01 at the same entry width.
+    * Shares the serving quantizer and cells with the unlabeled epoch. */
+  def labeledKnnGraphDir(spark: SparkSession, sfDir: String,
+      k: Int = KnnK, descentRounds: Int = KnnDescentRounds): String = {
+    val centsPath = centsDir(spark, sfDir)
+    val cellsPath = cellsDir(spark, sfDir)
+    val epochKey =
+      if (k == KnnK && descentRounds == KnnDescentRounds)
+        "graph_knn_ledges"
+      else s"graph_knn_ledges_k${k}_d$descentRounds"
+    EpochRegistry.acquire(spark, epochKey, sfDir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_graph_lknn_").toString
+      buildEdges(
+        Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"), col("label")),
+        spark.read.parquet(centsPath), spark.read.parquet(cellsPath),
+        k, descentRounds,
+        knn => knn.write.mode("overwrite").parquet(path), labeled = true)
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+  }
+
+  /** Label-filtered graph serving over the STITCHED adjacency — the
+    * session-epoch filtered walk with [[labeledKnnGraphDir]]'s edges:
+    * same entry (the label's members of the query's
+    * [[WalkFilteredEntryCells]] cells, label-matched before every
+    * rank), but frontier expansion now routes through the label's own
+    * kNN subgraph. */
+  def graphSearchFilteredStitched(spark: SparkSession, sfDir: String,
+      queries: DataFrame, labelRel: DataFrame, k: Int,
+      beam: Int = WalkBeam, rounds: Int = WalkRounds,
+      entryCells: Int = WalkFilteredEntryCells): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    beamWalk(spark,
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel")),
+      spark.read.parquet(labeledKnnGraphDir(spark, sfDir))
+        .select(col("src"), col("dst")),
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("node"), col("embedding").as("nemb")),
+      spark.read.parquet(centsDir(spark, sfDir)),
+      spark.read.parquet(cellsDir(spark, sfDir))
+        .select(col("list_id"), col("vec_id")),
+      k, beam, rounds, entryCells,
+      labelRel = Some(labelRel.select(col("vec_id"), col("label"))))
+  }
 
   /** Mutual-kNN symmetrization: the undirected edge (a < b) survives
     * only if each endpoint is in the OTHER's top-k — the standard cut

@@ -130,6 +130,23 @@ class Round18Spec extends AnyFunSuite {
       "pre-aggregating the reference side must not change the verdict")
   }
 
+  test("stitched adjacency is label-closed and lifts filtered recall") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val ledges = spark.read.parquet(
+      graft.operators.GraphOps.labeledKnnGraphDir(spark, sfDir)).collect()
+    assert(ledges.nonEmpty)
+    assert(ledges.forall(r => labels(r.getLong(0)) == labels(r.getLong(1))),
+      "every stitched edge must connect same-label endpoints")
+    val flat = rows("sim_ann_graph_filtered_recall").map(_.getLong(1)).sum
+    val stitched = rows("sim_ann_graph_filtered_stitched_recall")
+      .map(_.getLong(1)).sum
+    assert(stitched >= flat,
+      s"the label-aware adjacency must not lose recall: $stitched < $flat")
+  }
+
   test("filtered probe (frontier-side label join) still label-matches exactly") {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)

@@ -717,6 +717,26 @@ object StreamingQueries {
         s"${base}_serving")
       s.table(gen).orderBy(col("epoch"))
     }),
+    // ...the deployment path THROUGH the loop (the model exists to
+    // score): every settled-corpus doc's margin + keep verdict under
+    // the served weights — a plan-time 1-row read of the current
+    // generation's final epoch, then a broadcast-free literal-weight
+    // projection over base ∪ corpus
+    "stream_classifier_cdc_scored" -> ((s, dir) => {
+      val base = classifierCdcTableFor(s, dir)
+      val gen = graft.operators.Generations.resolveServing(s,
+        s"${base}_serving")
+      // model-sized plan-time read: the 1-row final epoch
+      val last = s.table(gen).orderBy(col("epoch").desc).head()
+      val w = Array.tabulate(graft.operators.Classifier.nFeatures)(j =>
+        last.getLong(j + 1))
+      val union = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .unionAll(s.table(s"${base}_corpus"))
+      graft.operators.Classifier.predict(
+          graft.operators.Classifier.labeledFeatures(union), w)
+        .orderBy(col("doc_id"))
+    }),
     // ...and the loop's post-drain freshness monitor (the settle-check
     // symmetry with the index families): PSI of the settled corpus
     // against the CURRENT published generation's own bins+histogram —
@@ -1087,6 +1107,8 @@ object StreamingQueries {
     "stream_classifier_cdc" -> TextQueries.streamClassifierCdcSql,
     "stream_classifier_cdc_published" ->
       TextQueries.streamClassifierPublishedSql,
+    "stream_classifier_cdc_scored" ->
+      TextQueries.streamClassifierScoredSql,
     "stream_classifier_cdc_settle_check" ->
       TextQueries.streamClassifierSettleSql,
     // the band settle monitor's mirror recomputes the sidecars from the
@@ -1655,11 +1677,14 @@ object StreamingQueries {
   /** The classifier loop's wave files: wave 1 = the dup batch (the
     * near-copy corpus — distribution-preserving, must NOT fire), wave
     * 2 = the short-doc crawl wave re-badged +300000 (selection-shifted,
-    * MUST fire). One file per wave with pinned names + ascending
-    * mtimes, so the file source drains them as two micro-batches in
-    * wave order (the [[anomalyStreamDir]] discipline — the loop's
-    * generation counter depends on arrival order, so the fixture pins
-    * it). */
+    * MUST fire → generation 1), wave 3 = the long-doc wave re-badged
+    * +400000 (shifted AGAIN, against generation 1's own bins — must
+    * fire → generation 2: the chained-generation case that proves the
+    * loop isn't single-shot). One file per wave with pinned names +
+    * ascending mtimes, so the file source drains them as three
+    * micro-batches in wave order (the [[anomalyStreamDir]] discipline —
+    * the loop's generation counter depends on arrival order, so the
+    * fixture pins it). */
   private[graft] def classifierWavesDir(s: SparkSession,
       dir: String): String =
     EpochRegistry.acquire(s, "clf_cdc_waves_dir", dir) { () =>
@@ -1672,7 +1697,10 @@ object StreamingQueries {
             lit(1L).as("wave")),
         docs.filter(col("n_chars") < 250)
           .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
-            col("n_chars"), lit(2L).as("wave")))
+            col("n_chars"), lit(2L).as("wave")),
+        docs.filter(col("n_chars") >= 400)
+          .select((col("doc_id") + 400000L).as("doc_id"), col("text"),
+            col("n_chars"), lit(3L).as("wave")))
       waves.zipWithIndex.foreach { case (w, i) =>
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_clf_cdc_wave_part_")

@@ -1965,11 +1965,12 @@ object TextQueries {
   // r17 #1) — composed from the same builders as the batch gates so the
   // streaming and batch monitor/retrain forms can never drift -------
 
-  /** The streaming union corpus: base documents ∪ the drained waves
-    * (wave 1 = the dup batch, wave 2 = the short-doc crawl wave
-    * re-badged +300000 — a fresh drifted observation). */
-  private[graft] lazy val streamClassifierUnionSql: String =
-    """u AS MATERIALIZED (
+  /** Generation 1's training corpus: base documents ∪ the first two
+    * drained waves (the dup batch and the short-doc crawl wave
+    * re-badged +300000). Wave 3's PSI check reads generation 1's
+    * stored bins + histogram, which derive from exactly this. */
+  private[graft] lazy val streamClassifierUnion1Sql: String =
+    """u1 AS MATERIALIZED (
       |  SELECT doc_id, text, n_chars FROM documents
       |  UNION ALL
       |  SELECT doc_id, text, n_chars FROM corpus WHERE doc_id >= 100000
@@ -1977,12 +1978,41 @@ object TextQueries {
       |  SELECT doc_id + 300000, text, n_chars FROM documents
       |  WHERE n_chars < 250)""".stripMargin
 
+  /** The FULLY settled streaming corpus: generation 1's corpus ∪ the
+    * long-doc wave (re-badged +400000) whose drift fires the SECOND
+    * retrain — generation 2's training corpus. Requires `u1`
+    * ([[streamClassifierUnion1Sql]]) in scope. */
+  private[graft] lazy val streamClassifierUnionSql: String =
+    """u AS MATERIALIZED (
+      |  SELECT doc_id, text, n_chars FROM u1
+      |  UNION ALL
+      |  SELECT doc_id + 400000, text, n_chars FROM documents
+      |  WHERE n_chars >= 400)""".stripMargin
+
+  /** The wave-3 building blocks: generation 1's feature frame (`fu1`),
+    * its re-derived train-time bins (suffix `u1`), the long wave's
+    * features (`flw`), and the PSI scenario of the long wave against
+    * generation 1 — shared by the decision log and the settle
+    * monitor's generation counter. Requires `u1` in scope. */
+  private[graft] lazy val streamClassifierWave3Ctes: String =
+    s"""${perceptronFeatureCtes("u1", "u1")},
+      |${classifierBinsCtesOver("fu1", "u1")},
+      |${perceptronFeatureCtes(
+         "(SELECT doc_id + 400000 AS doc_id, text, n_chars FROM documents" +
+           " WHERE n_chars >= 400)", "lw")},
+      |w3 AS MATERIALIZED ${classifierScenarioSql("long_wave", "flw",
+         refFeat = "fu1", binsSfx = "u1")},
+      |f3 AS (SELECT CAST(max(CASE WHEN retrain_needed THEN 1 ELSE 0 END)
+      |  AS BIGINT) AS f FROM w3)""".stripMargin
+
   /** The decision log's mirror: per drained wave, the per-feature PSI
-    * verdict against the generation-0 stored bins, plus the generation
-    * counters the loop maintains. `gen_after` is COMPUTED (the count of
-    * fired waves so far), not hardcoded — if the dup wave unexpectedly
-    * fired, Spark would check wave 2 against generation 1's bins while
-    * this mirror still uses generation 0's, and the gate goes loud
+    * verdict against the THEN-CURRENT generation's stored bins (waves
+    * 1–2 check against generation 0's, wave 3 against generation 1's —
+    * the chained case), plus the generation counters the loop
+    * maintains. `gen_after` is COMPUTED (the count of fired waves so
+    * far), not hardcoded — if a wave's verdict flipped, Spark would
+    * check the next wave against a different generation's bins while
+    * this mirror still uses the computed one's, and the gate goes loud
     * (deterministic-decomposition oracle, like every stream mirror). */
   private[graft] lazy val streamClassifierCdcSql: String =
     s"""WITH $classifierCheckPrefixSql,
@@ -1991,7 +2021,9 @@ object TextQueries {
       |f1 AS (SELECT CAST(max(CASE WHEN retrain_needed THEN 1 ELSE 0 END)
       |  AS BIGINT) AS f FROM w1),
       |f2 AS (SELECT CAST(max(CASE WHEN retrain_needed THEN 1 ELSE 0 END)
-      |  AS BIGINT) AS f FROM w2)
+      |  AS BIGINT) AS f FROM w2),
+      |$streamClassifierUnion1Sql,
+      |$streamClassifierWave3Ctes
       |SELECT CAST(1 AS BIGINT) AS wave, feature, n_ref, n_cur, n_buckets,
       |  psi_ppm, retrain_needed, CAST(0 AS BIGINT) AS gen_before,
       |  (SELECT f FROM f1) AS gen_after FROM w1
@@ -1999,20 +2031,40 @@ object TextQueries {
       |SELECT CAST(2 AS BIGINT), feature, n_ref, n_cur, n_buckets,
       |  psi_ppm, retrain_needed, (SELECT f FROM f1),
       |  (SELECT f FROM f1) + (SELECT f FROM f2) FROM w2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), feature, n_ref, n_cur, n_buckets,
+      |  psi_ppm, retrain_needed,
+      |  (SELECT f FROM f1) + (SELECT f FROM f2),
+      |  (SELECT f FROM f1) + (SELECT f FROM f2) + (SELECT f FROM f3)
+      |FROM w3
       |ORDER BY wave, feature""".stripMargin
 
   /** The served model after the drain: the full epoch chain re-trained
-    * over base ∪ both waves (the decided retrain's corpus — the loop
-    * appends every arriving batch to the settled corpus before
-    * retraining). */
+    * over base ∪ all three waves — generation 2's corpus (the second
+    * fired retrain's — the loop appends every arriving batch to the
+    * settled corpus before retraining). */
   private[graft] lazy val streamClassifierPublishedSql: String =
     s"""WITH $corpusSql,
+      |$streamClassifierUnion1Sql,
       |$streamClassifierUnionSql,
       |${perceptronCtesOver("u")}
       |${(1 to 8).map(k =>
          s"SELECT CAST($k AS BIGINT) AS epoch, b0, b1, b2, b3, b4, b5 FROM w$k")
          .mkString("\n|UNION ALL\n|")}
       |ORDER BY epoch""".stripMargin
+
+  /** The deployment path through the loop: every settled-corpus doc
+    * scored with the SERVED (generation 2) weights — the mirror
+    * re-trains the epoch chain over the full union and applies w8 to
+    * the union's own feature frame. */
+  private[graft] lazy val streamClassifierScoredSql: String =
+    s"""WITH $corpusSql,
+      |$streamClassifierUnion1Sql,
+      |$streamClassifierUnionSql,
+      |${perceptronCtesOver("u")}
+      |SELECT f.doc_id, CAST($perceptronDot AS BIGINT) AS margin,
+      |  ($perceptronDot) > 0 AS pred
+      |FROM f, w8 w ORDER BY f.doc_id""".stripMargin
 
   /** The loop's post-drain freshness monitor: PSI of the SETTLED corpus
     * against the CURRENT published generation's stored bins+histogram.
@@ -2023,7 +2075,7 @@ object TextQueries {
     * fired-wave count, same derivation as the decision log's. */
   private[graft] lazy val streamClassifierSettleSql: String = {
     val selfPsi = classifierScenarioSql("settled", "fu",
-      refFeat = "fu", binsSfx = "u")
+      refFeat = "fu", binsSfx = "uu")
     s"""WITH $classifierCheckPrefixSql,
       |w1 AS MATERIALIZED ${classifierScenarioSql("dup_wave", "fd")},
       |w2 AS MATERIALIZED ${classifierScenarioSql("short_wave", "fsw")},
@@ -2031,12 +2083,15 @@ object TextQueries {
       |  AS BIGINT) AS f FROM w1),
       |f2 AS (SELECT CAST(max(CASE WHEN retrain_needed THEN 1 ELSE 0 END)
       |  AS BIGINT) AS f FROM w2),
+      |$streamClassifierUnion1Sql,
+      |$streamClassifierWave3Ctes,
       |$streamClassifierUnionSql,
       |${perceptronFeatureCtes("u", "u")},
-      |${classifierBinsCtesOver("fu", "u")},
+      |${classifierBinsCtesOver("fu", "uu")},
       |settled AS MATERIALIZED $selfPsi
       |SELECT feature, n_ref, n_cur, n_buckets, psi_ppm, retrain_needed,
-      |  (SELECT f FROM f1) + (SELECT f FROM f2) AS generation
+      |  (SELECT f FROM f1) + (SELECT f FROM f2) + (SELECT f FROM f3)
+      |    AS generation
       |FROM settled ORDER BY feature""".stripMargin
   }
 

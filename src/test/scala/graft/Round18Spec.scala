@@ -68,17 +68,21 @@ class Round18Spec extends AnyFunSuite {
       s"deltas must release the per-iteration rank caches: $leaked")
   }
 
-  test("classifier CDC loop: both flag outcomes + generation lifecycle") {
+  test("classifier CDC loop: both flag outcomes + chained generations") {
     val log = rows("stream_classifier_cdc")
-    assert(log.length == 4)
+    assert(log.length == 6)
     val byWave = log.groupBy(_.getLong(0))
     assert(byWave(1L).forall(!_.getBoolean(6)),
       "the near-copy wave must not fire")
     assert(byWave(2L).forall(_.getBoolean(6)),
       "the selection-shifted crawl wave must fire")
+    assert(byWave(3L).exists(_.getBoolean(6)),
+      "the long-doc wave must fire against generation 1's own bins")
     assert(byWave(1L).forall(r => r.getLong(7) == 0L && r.getLong(8) == 0L))
     assert(byWave(2L).forall(r => r.getLong(7) == 0L && r.getLong(8) == 1L),
-      "the fired wave must bump the generation")
+      "the first fired wave must publish generation 1")
+    assert(byWave(3L).forall(r => r.getLong(7) == 1L && r.getLong(8) == 2L),
+      "the second fired wave must chain to generation 2")
   }
 
   test("classifier CDC loop: served model is the retrained generation") {
@@ -94,7 +98,8 @@ class Round18Spec extends AnyFunSuite {
     assert(chk.length == 2)
     assert(chk.forall(r => r.getLong(4) == 0L && !r.getBoolean(5)),
       "the served model was trained on the settled corpus - PSI must be 0")
-    assert(chk.forall(_.getLong(6) == 1L))
+    assert(chk.forall(_.getLong(6) == 2L),
+      "two fired waves must leave the loop at generation 2")
   }
 
   test("classifier CDC loop: a replayed batch is a whole no-op") {

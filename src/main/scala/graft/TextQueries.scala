@@ -900,6 +900,44 @@ object TextQueries {
         .orderBy(col("epoch"))
     }),
 
+    // LATE-INTERACTION retrieval (the ColBERT maxsim family — the
+    // token-level scoring model between bag-of-words BM25 and
+    // single-vector ANN): each document is its SET of token vectors
+    // (deterministic 8-dim integer hash embeddings — a per-row
+    // expression, no trained table, no lookup join), and a candidate's
+    // score is Σ over query tokens of the MAX dot against any of its
+    // tokens. The production two-stage shape: CANDIDATES come from the
+    // standing inverted index (the term-bucketed, term-sorted postings
+    // epoch — the filter pushes to the scan), and ONLY the candidates'
+    // docs tokenize for the re-rank, so the token×token work is
+    // candidate tokens × |query| and the corpus never re-tokenizes for
+    // pruning — all integer, all codegen'd, exactly mirrorable
+    "text_late_interaction" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+      val terms = Seq("spark", "vector", "window")
+      val q = terms.toDF("qtok")
+        .select(col("qtok"), TextOps.hashTokenVecExpr("qtok").as("qv"))
+      // stage 1: candidate ids from the postings index
+      val cand = s.table(searchIndexFor(s, dir))
+        .filter(col("term").isin(terms: _*))
+        .select(col("doc_id")).distinct()
+      // stage 2: tokenize candidates only; hash + vectorize each token
+      // ONCE before the 3-way query cross (an md5 inside the scoring
+      // lambda would re-hash per dimension per query token — the r14
+      // HOF-capture trap)
+      d.join(cand, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .withColumn("tv", TextOps.hashTokenVecExpr("tok"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("qtok"),
+          TextOps.intDot(col("tv"), col("qv")).as("dot"))
+        .groupBy(col("doc_id"), col("qtok")).agg(max(col("dot")).as("m"))
+        .groupBy(col("doc_id")).agg(sum(col("m")).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc_id")).limit(10)
+    }),
+
     // RAKE keyphrase extraction (stopword-delimited candidate runs,
     // integer degree/freq word scores, phrase = Σ word scores): the
     // corpus-level top-20 keyphrases — full ranked list gated
@@ -2373,6 +2411,25 @@ object TextQueries {
              s"SELECT CAST($k AS BIGINT) AS epoch, b0, b1, b2, b3, b4, b5 FROM w$k")
              .mkString("\n|UNION ALL\n|")}
           |ORDER BY epoch""".stripMargin
+      },
+      // the maxsim mirror: the same md5-nibble hash vectors (md5 is
+      // md5 in both engines), integer dots, per-query-token max, sum
+      "text_late_interaction" -> {
+        def nib(x: String) =
+          s"(('0x' || substr(md5($x), CAST(j AS INT), 1))::BIGINT - 8)"
+        val dot = "list_sum(list_transform(range(1, 9), " +
+          s"j -> ${nib("t.tok")} * ${nib("q.qtok")}))"
+        s"""WITH toks AS (
+          |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+          |  FROM documents),
+          |q AS (SELECT unnest(['spark', 'vector', 'window']) AS qtok),
+          |cand AS (SELECT DISTINCT doc_id FROM toks
+          |  WHERE tok IN ('spark', 'vector', 'window')),
+          |sims AS (SELECT t.doc_id, q.qtok, max($dot) AS m
+          |  FROM toks t JOIN cand USING (doc_id) CROSS JOIN q
+          |  GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS maxsim FROM sims
+          |GROUP BY 1 ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin
       },
       "text_rake_keyphrases" ->
         s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -24,6 +24,30 @@ object TextOps {
   /** Simple whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Deterministic 8-dim INTEGER hash embedding of a token — the
+    * hash-embedding trick (Svenstrup et al. 2017, and the feature-hash
+    * family's vector form): dimension j is the j-th md5 nibble centered
+    * to [-8, 7]. No trained table, no lookup join — the "embedding" is
+    * a per-row expression, which is what lets a token-level
+    * late-interaction scorer run as pure codegen'd columnar arithmetic
+    * at 100 TB (and mirror exactly: md5 is md5 in both engines).
+    * `colName` is interpolated, so the expression composes anywhere a
+    * token column is in scope. */
+  def hashTokenVecExpr(colName: String): Column =
+    hashVecFromHexExpr(s"md5($colName)")
+
+  /** [[hashTokenVecExpr]] from an ALREADY-HASHED hex column — hash
+    * once per row, derive the 8 dims from the hex (the r14 HOF-capture
+    * trap: an md5 inside the transform lambda re-hashes per
+    * dimension). */
+  def hashVecFromHexExpr(hexCol: String): Column =
+    expr(s"transform(sequence(1, 8), j -> " +
+      s"cast(conv(substr($hexCol, j, 1), 16, 10) AS bigint) - 8)")
+
+  /** Exact integer dot product of two integer-array columns. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** BPE-ish token count: alpha runs, digit runs, and single punctuation
     * chars each count as one token (regex is portable Java/RE2 subset). */
   def bpeTokenCount(text: Column): Column =

@@ -88,8 +88,19 @@ class StreamBatchParitySpec extends AnyFunSuite {
     streamRows.zip(batchRows).zipWithIndex.foreach { case ((s, b), i) =>
       assert(s == b, s"sorted row $i differs: stream=$s batch=$b")
     }
-    // the non-deterministic columns still satisfy the envelope contract
-    val meta = streamed.agg(
+    // the non-deterministic wire columns still satisfy the envelope
+    // contract — since r18 the gated entry projects them out (it gates
+    // the deterministic columns), so check them on a direct envelope
+    // run over the same source
+    val envelope = graft.streaming.CdcStream.toEnvelope(
+      graft.streaming.CdcStream.readEventStream(spark,
+        s"$dir/events.parquet"), "events", "user_id")
+    val name = "graft_parity_envelope_meta"
+    val q = envelope.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val meta = spark.table(name).agg(
       count(lit(1)), countDistinct(col("uuid")),
       count(when(col("uuid").isNull || col("created_at").isNull, 1))).collect()(0)
     assert(meta.getLong(0) == meta.getLong(1), "uuids must be unique per event")

@@ -262,7 +262,66 @@ object PipelineQueries {
       PipelineOps.qualityQuantileFilter(Tables.documents(s, dir),
           "doc_id", "source", "text", keepFrac = 0.25)
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): two hashed-n-gram
+    // unigram LMs — target = the 'en' slice, raw = the rest of the
+    // pool — and each pool doc scores Σ c_b·λ[b] with λ the quantized
+    // log importance ratio per feature bucket. Both LM tables are
+    // ≤ 4096 rows (feature hashing — the fixed-width model that fits
+    // at 100 TB); λ broadcasts onto the pool's (doc, bucket) counts
+    "pipeline_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      PipelineOps.dsirWeights(
+          target = docs.filter(col("lang") === "en"),
+          pool = docs.filter(col("lang") =!= "en"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // the resampling step: the 50 most target-like pool docs by
+    // (logw desc, id) — TakeOrderedAndProject over the weight table,
+    // rank stamped on the selected 50-row leaf only
+    "pipeline_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      PipelineOps.dsirSelect(PipelineOps.dsirWeights(
+          target = docs.filter(col("lang") === "en"),
+          pool = docs.filter(col("lang") =!= "en"),
+          "doc_id", "text"), "doc_id", n = 50)
+        .select(col("doc_id"), col("logw"), col("rk"))
+        .orderBy(col("rk"))
     }))
+
+  /** Shared DuckDB mirror of [[PipelineOps.dsirWeights]] over
+    * `documents` (target = lang 'en', pool = the rest), ending in
+    * `dsirw (doc_id, n_feats, logw)`. Bigrams mirror
+    * TextOps.shingles(toks, 2); the bucket hash is the md5-prefix
+    * [[bucketSql]] discipline at B = 4096; each smoothed log
+    * quantizes to floor(1e6·ln(·)) before the integer fold. */
+  private val dsirCtes: String =
+    s"""t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+      |f AS (SELECT doc_id, lang, unnest(toks ||
+      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS feat
+      |  FROM t),
+      |dc AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(feat), 1, 4))::BIGINT % 4096 AS bucket,
+      |    count(*) AS c
+      |  FROM f GROUP BY ALL),
+      |tc AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct FROM dc
+      |  WHERE lang = 'en' GROUP BY bucket),
+      |rc AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM dc
+      |  WHERE lang <> 'en' GROUP BY bucket),
+      |tots AS (SELECT
+      |    (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS tt,
+      |    (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS tr),
+      |lam AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+      |    CAST(floor(1000000.0 * ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tt + 4096)::DOUBLE)) AS BIGINT)
+      |    - CAST(floor(1000000.0 * ln((coalesce(rc.cr, 0) + 1)::DOUBLE / (tr + 4096)::DOUBLE)) AS BIGINT) AS lam
+      |  FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, tots),
+      |dsirw AS (SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+      |    CAST(sum(c * lam) AS BIGINT) AS logw
+      |  FROM dc JOIN lam USING (bucket) WHERE lang <> 'en'
+      |  GROUP BY dc.doc_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "pipeline_dataset_card" ->
@@ -482,5 +541,15 @@ object PipelineQueries {
         |  count(*) OVER (PARTITION BY source) AS n_stratum FROM q)
         |SELECT doc_id, source, quality, rk FROM r
         |WHERE rk <= ceil(n_stratum * 0.25)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_dsir_weights" ->
+      s"""WITH $dsirCtes
+        |SELECT doc_id, n_feats, logw FROM dsirw ORDER BY doc_id""".stripMargin,
+    "pipeline_dsir_select" ->
+      s"""WITH $dsirCtes,
+        |ranked AS (SELECT doc_id, logw,
+        |    row_number() OVER (ORDER BY logw DESC, doc_id) AS rk
+        |  FROM dsirw)
+        |SELECT doc_id, logw, CAST(rk AS BIGINT) AS rk FROM ranked
+        |WHERE rk <= 50 ORDER BY rk""".stripMargin)
 }

@@ -1212,6 +1212,31 @@ object SimilarityQueries {
       recallAudit(emb, VectorOps.binaryTopK(querySet(emb), emb, k = recallK))
     }),
 
+    // MATRYOSHKA (MRL) prefix-dim serving (Kusupati et al. 2022):
+    // coarse ranking on the first 32 of 64 dims (dimension truncation
+    // as the quantizer — store the prefix as its own column and the
+    // coarse scan reads half the vector bytes), exact full-dim cosine
+    // re-rank over the per-query 100-candidate shortlist. The fixture
+    // embeddings are NOT MRL-trained (no information concentration in
+    // the prefix), so the honest operating point is d/2 + a deep
+    // shortlist (recall@3 0.93 at sf0.01); real MRL embeddings run
+    // 4-8x truncation at small shortlists on the same plan
+    "sim_ann_mrl" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.mrlTopK(querySet(emb), emb, k = 5, prefixDims = 32,
+          shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_mrl_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.mrlTopK(querySet(emb), emb, k = recallK,
+        prefixDims = 32, shortlist = 100))
+    }),
+
     // per-dimension corpus profile (PCA-lite diagnostics): mean,
     // variance, range of every embedding dimension — the report that
     // tells you which dims carry signal before quantizing/pruning them.
@@ -3322,6 +3347,24 @@ object SimilarityQueries {
       |ranked AS (SELECT *, row_number() OVER
       |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored)""".stripMargin
 
+  /** Mirror of [[VectorOps.mrlTopK]] (prefix 32, shortlist 100) ending
+    * in `mrl (query_id, neighbor_id, cos_sim, rk)`; starts with the
+    * standard `q` CTE so [[recallOracleSql]] composes directly. */
+  private lazy val mrlCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv,
+      |    embedding[1:32] AS qp FROM embeddings WHERE vec_id < 10),
+      |coarse AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id, qv, c.embedding AS nv,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      round(${cosSql("qp", "(c.embedding[1:32])")}, 6) DESC, c.vec_id) AS crk
+      |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+      |mrl AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(${cosSql("qv", "nv")}, 6) AS cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      round(${cosSql("qv", "nv")}, 6) DESC, neighbor_id) AS rk
+      |  FROM coarse WHERE crk <= 100)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
@@ -3334,6 +3377,12 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_mmr" -> mmrOracleSql(shortlist = 20, k = 5),
+    "sim_ann_mrl" ->
+      s"""WITH $mrlCtes
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM mrl WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_mrl_recall" -> recallOracleSql(mrlCtes,
+      s"SELECT query_id, neighbor_id, rk FROM mrl"),
     "sim_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
         |    ${bucketSql("embedding")} AS qbucket FROM embeddings WHERE vec_id < 10),

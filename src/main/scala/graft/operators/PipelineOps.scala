@@ -315,4 +315,84 @@ object PipelineOps {
       .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
       .drop("_q")
   }
+
+  /** Hashed-n-gram feature buckets for [[dsirWeights]]: unigrams +
+    * bigrams of the whitespace tokens, each hashed to one of
+    * [[dsirBuckets]] buckets via the engine-portable md5-prefix
+    * (first 4 hex digits mod B — [[hashBucket100]]'s discipline).
+    * Feature hashing is what makes the n-gram LM fit at 100 TB: the
+    * model is a FIXED-width count vector regardless of vocabulary, so
+    * both bag-of-bucket tables below stay ≤ B rows. */
+  val dsirBuckets = 4096
+
+  private def dsirFeatureCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    df.select(col(idCol),
+        explode(concat(toks, TextOps.shingles(toks, 2))).as("feat"))
+      .select(col(idCol),
+        (conv(substring(md5(col("feat")), 1, 4), 16, 10).cast("long")
+          % dsirBuckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): fit two hashed-n-gram unigram models
+    * — one on the small TARGET corpus (the distribution you want more
+    * of), one on the large RAW pool — and score every pool document by
+    * its log importance ratio
+    *
+    *   log w(x) = Σ_b c_b(x) · (log p_target[b] − log p_raw[b])
+    *
+    * with add-1 smoothing p[b] = (count[b]+1)/(total+B). The top-w
+    * pool documents are the ones most target-like; selecting them is
+    * the resampling step ([[dsirSelect]] is the deterministic top-k
+    * variant; the paper's Gumbel-noise resampling drops in by adding a
+    * seeded md5 Gumbel to `logw` — same plan shape).
+    *
+    * Determinism: each smoothed log quantizes to floor(1e6·ln(·))
+    * (the BM25-idf discipline), so λ[b] is an exact BIGINT and the
+    * per-doc fold Σ c_b·λ[b] is an order-independent integer sum —
+    * hash-exact against the DuckDB mirror.
+    *
+    * 100 TB shape: one feature explode per side feeding bucket-keyed
+    * counts (map-side combine, result ≤ B = 4096 rows each); the λ
+    * table is a broadcast onto the pool's (doc, bucket) counts; the
+    * per-doc fold is one doc-keyed agg. Nothing collects; the model
+    * never leaves the cluster. */
+  def dsirWeights(target: DataFrame, pool: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val b = dsirBuckets
+    val tf = dsirFeatureCounts(target, idCol, textCol)
+    val pf = dsirFeatureCounts(pool, idCol, textCol)
+    val ct = tf.groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
+    val cr = pf.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
+    val tots = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+      .crossJoin(cr.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
+    def qlog(num: Column, den: Column): Column =
+      floor(lit(1000000.0) *
+        log(num.cast("double") / den.cast("double"))).cast("long")
+    val lam = ct.join(cr, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (qlog(coalesce(col("ct"), lit(0L)) + 1, col("tt") + b) -
+          qlog(coalesce(col("cr"), lit(0L)) + 1, col("tr") + b)).as("lam"))
+    pf.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("lam")).as("logw"))
+  }
+
+  /** The resampling step over [[dsirWeights]]: keep the `n` most
+    * target-like pool documents — deterministic top-n by
+    * (logw desc, id), i.e. orderBy+limit → TakeOrderedAndProject, the
+    * distributed top-k (no global window over the pool). The rank is
+    * stamped on the already-selected n-row frame, so the only
+    * unpartitioned window runs over a parameter-bounded leaf. */
+  def dsirSelect(weights: DataFrame, idCol: String, n: Int): DataFrame = {
+    val top = weights.orderBy(col("logw").desc, col(idCol)).limit(n)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("logw").desc, col(idCol))).cast("long"))
+  }
 }

@@ -103,6 +103,43 @@ object VectorOps {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Matryoshka-representation serving (Kusupati et al. 2022, MRL):
+    * MRL-trained embeddings carry a usable low-dimensional PREFIX, so
+    * the coarse pass ranks candidates by cosine over the first
+    * `prefixDims` components only and the exact full-dimension cosine
+    * re-ranks each query's `shortlist` — dimension truncation as the
+    * quantizer, orthogonal to the codebook (PQ/SQ8) and sign-bit
+    * (binary) families.
+    *
+    * 100 TB shape: the coarse scan touches prefixDims/d of the vector
+    * bytes (store the prefix as its OWN column and the parquet scan
+    * reads 4× less at d/4); the shortlist is parameter-bounded
+    * (queries×shortlist rows), so the exact re-rank never rescans the
+    * corpus — the same shortlist→exact composition every other
+    * approximate family gates. Both ranking keys are round(·,6)
+    * cosines with neighbor_id tie-breaks — deterministic cross-engine. */
+  def mrlTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      prefixDims: Int, shortlist: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      slice(col("embedding"), 1, prefixDims).as("qp"),
+      col("embedding").as("qv")))
+    val coarse = corpus.as("c").join(q, col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("qp"), slice(col("c.embedding"), 1, prefixDims)), 6)
+          .as("coarse_sim"),
+        col("qv"), col("c.embedding").as("nv"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_sim").desc, col("neighbor_id"))
+    val short = coarse.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= shortlist)
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    short.select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Maximal-Marginal-Relevance diversified serving: greedy re-rank of
     * a relevance shortlist so each pick trades relevance against
     * similarity to what is already picked —

@@ -43,6 +43,29 @@ object GraphQueries {
     "graph_pagerank_delta" -> ((s, dir) =>
       GraphOps.pageRankWeightedDeltas(s, dir, iters = 3)
         .orderBy(col("iter"))),
+    // PERSONALIZED PageRank from a 5-node seed basket (teleport mass on
+    // the seeds only — rank = proximity to the basket, the graph
+    // recommendation serving form; iteration state grows only along
+    // real edges from the seeds, never materializing the full graph)
+    "graph_ppr" -> ((s, dir) =>
+      GraphOps.pageRankPersonalized(s, dir, iters = 3, nSeeds = 5)
+        .orderBy(col("rank_ppb").desc, col("node")).limit(30)),
+    // link prediction by the resource-allocation index: non-adjacent
+    // 2-hop pairs scored Σ 1e9 div deg(common neighbor) — "edges that
+    // should exist next", the integer-exact common-neighbor scorer
+    "graph_link_predict" -> ((s, dir) =>
+      GraphOps.linkPredictRa(s, dir, k = 50)),
+    // 2-CORE of the backbone via 8 synchronous peel rounds: per
+    // surviving node, its within-core degree — the dense-cohesion cut
+    // that strips the fringe before community detection
+    "graph_kcore" -> ((s, dir) =>
+      GraphOps.kCore(s, dir, kMin = 2, rounds = 8)
+        .orderBy(col("node"))),
+    // ...and the peel-depth audit: the last two rounds' edge counts
+    // must agree (a shrinking sequence that stopped moving has
+    // converged) — an under-provisioned round count is loud
+    "graph_kcore_check" -> ((s, dir) =>
+      GraphOps.kCoreCheck(s, dir, kMin = 2, rounds = 8)),
     // exact triangle enumeration on the backbone
     "graph_triangles" -> ((s, dir) =>
       GraphOps.triangles(s, dir).orderBy(col("a"), col("b"), col("c"))),
@@ -542,6 +565,55 @@ object GraphQueries {
       s"""WITH $weightedPrCtes
         |SELECT node, r AS rank_ppb FROM r3
         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin,
+    "graph_link_predict" ->
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM backbone UNION ALL SELECT dst, src FROM backbone),
+        |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+        |hop2 AS (SELECT e1.src AS a, e2.dst AS b, e1.dst AS z
+        |  FROM sym e1 JOIN sym e2 ON e1.dst = e2.src
+        |  WHERE e1.src < e2.dst),
+        |cand AS (SELECT h.a, h.b, h.z FROM hop2 h
+        |  LEFT JOIN backbone e ON e.src = h.a AND e.dst = h.b
+        |  WHERE e.src IS NULL),
+        |scored AS (SELECT a, b,
+        |    CAST(sum(CAST(1000000000 AS BIGINT) // d) AS BIGINT) AS ra_score,
+        |    count(*) AS n_common
+        |  FROM cand JOIN deg ON cand.z = deg.node GROUP BY a, b)
+        |SELECT a, b, ra_score, n_common FROM scored
+        |ORDER BY ra_score DESC, a, b LIMIT 50""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH $kcoreCtes
+        |SELECT src AS node, count(*) AS core_deg FROM e8
+        |GROUP BY src ORDER BY node""".stripMargin,
+    "graph_kcore_check" ->
+      s"""WITH $kcoreCtes
+        |SELECT (SELECT count(*) FROM e7) AS n_prev,
+        |  (SELECT count(*) FROM e8) AS n_last,
+        |  ((SELECT count(*) FROM e7) = (SELECT count(*) FROM e8)) AS converged""".stripMargin,
+    "graph_ppr" -> {
+      def step(k: Int) =
+        s"""c$k AS MATERIALIZED (SELECT s.dst AS node,
+          |    CAST(SUM((850 * p.r) // (1000 * d.outdeg)) AS BIGINT) AS cs
+          |  FROM sym s JOIN r${k - 1} p ON s.src = p.node
+          |  JOIN deg d ON s.src = d.node GROUP BY s.dst),
+          |r$k AS MATERIALIZED (
+          |  SELECT coalesce(c$k.node, sb.node) AS node,
+          |    CAST(coalesce(cs, 0) + coalesce(b, 0) AS BIGINT) AS r
+          |  FROM c$k FULL JOIN sb ON c$k.node = sb.node)""".stripMargin
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM backbone UNION ALL SELECT dst, src FROM backbone),
+        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM sym GROUP BY src),
+        |seeds AS MATERIALIZED (
+        |  SELECT DISTINCT src AS node FROM sym ORDER BY node LIMIT 5),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // 5 AS r FROM seeds),
+        |sb AS (SELECT node,
+        |  (150 * (CAST(1000000000 AS BIGINT) // 5)) // 1000 AS b FROM seeds),
+        |${(1 to 3).map(step).mkString(",\n|")}
+        |SELECT node, r AS rank_ppb FROM r3
+        |ORDER BY rank_ppb DESC, node LIMIT 30""".stripMargin
+    },
     "graph_pagerank_delta" -> {
       def delta(k: Int) =
         s"""d$k AS (SELECT CAST($k AS BIGINT) AS iter,
@@ -811,6 +883,21 @@ object GraphQueries {
     * delta monitor, by the iteration's join — the exponential-inlining
     * trap). Shared by the top-50 ranking and the convergence monitor
     * so the two can never drift. */
+  /** Mirror of [[GraphOps.kCore]] (kMin 2, 8 peel rounds) — e0 is the
+    * symmetric backbone, each round drops nodes with degree < 2 from
+    * both endpoints; ends with `e7`/`e8` for the convergence check. */
+  private lazy val kcoreCtes: String = {
+    def peel(i: Int) =
+      s"""d$i AS (SELECT src AS node, count(*) AS d FROM e${i - 1} GROUP BY src),
+        |k$i AS (SELECT node FROM d$i WHERE d >= 2),
+        |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+        |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
+    s"""backbone AS MATERIALIZED ($backboneSql),
+      |e0 AS MATERIALIZED (
+      |  SELECT src, dst FROM backbone UNION ALL SELECT dst, src FROM backbone),
+      |${(1 to 8).map(peel).mkString(",\n|")}""".stripMargin
+  }
+
   private lazy val weightedPrCtes: String = {
     def iter(k: Int) =
       s"""r$k AS MATERIALIZED (

@@ -290,38 +290,67 @@ object PipelineQueries {
           "doc_id", "text"), "doc_id", n = 50)
         .select(col("doc_id"), col("logw"), col("rk"))
         .orderBy(col("rk"))
+    }),
+
+    // the paper's STOCHASTIC resample (Gumbel-top-k, τ = 4): top-50 of
+    // logw/τ + seeded md5 Gumbel ≡ sampling without replacement
+    // ∝ w^(1/τ) in ONE pass — the Gumbel-max trick, the only sampler
+    // that works on a 100 TB pool (no sequential draws)
+    "pipeline_dsir_resample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      PipelineOps.dsirResample(PipelineOps.dsirWeights(
+          target = docs.filter(col("lang") === "en"),
+          pool = docs.filter(col("lang") =!= "en"),
+          "doc_id", "text"), "doc_id", n = 50, tau = 4, seed = "dsir9")
+        .select(col("doc_id"), col("logw"), col("key"), col("rk"))
+        .orderBy(col("rk"))
     }))
 
-  /** Shared DuckDB mirror of [[PipelineOps.dsirWeights]] over
-    * `documents` (target = lang 'en', pool = the rest), ending in
-    * `dsirw (doc_id, n_feats, logw)`. Bigrams mirror
-    * TextOps.shingles(toks, 2); the bucket hash is the md5-prefix
-    * [[bucketSql]] discipline at B = 4096; each smoothed log
-    * quantizes to floor(1e6·ln(·)) before the integer fold. */
-  private val dsirCtes: String =
-    s"""t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-      |f AS (SELECT doc_id, lang, unnest(toks ||
-      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS feat
-      |  FROM t),
-      |dc AS (SELECT doc_id, lang,
+  /** Shared DuckDB mirror of [[PipelineOps.dsirWeights]] parameterized
+    * over the POOL relation (target is always the 'en' slice of
+    * `documents`), ending in `${p}rc (bucket, cr)`, `${p}lam
+    * (bucket, lam)` and `${p}dsirw (doc_id, n_feats, logw)` — the `p`
+    * prefix lets the streaming scored mirror embed one chain per wave
+    * state. Bigrams mirror TextOps.shingles(toks, 2); the bucket hash
+    * is the md5-prefix [[bucketSql]] discipline at B = 4096; each
+    * smoothed log quantizes to floor(1e6·ln(·)) before the integer
+    * fold. */
+  private[graft] def dsirCtesOver(poolSql: String, p: String = ""): String = {
+    def fx(src: String): String =
+      s"""SELECT doc_id, unnest(toks ||
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS feat
+        |  FROM $src""".stripMargin
+    s"""${p}tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+      |${p}pool AS ($poolSql),
+      |${p}tt0 AS (SELECT doc_id, $toksSql AS toks FROM ${p}tgt),
+      |${p}pt0 AS (SELECT doc_id, $toksSql AS toks FROM ${p}pool),
+      |${p}tfx AS (${fx(s"${p}tt0")}),
+      |${p}pfx AS (${fx(s"${p}pt0")}),
+      |${p}tdc AS (SELECT doc_id,
       |    ('0x' || substr(md5(feat), 1, 4))::BIGINT % 4096 AS bucket,
-      |    count(*) AS c
-      |  FROM f GROUP BY ALL),
-      |tc AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct FROM dc
-      |  WHERE lang = 'en' GROUP BY bucket),
-      |rc AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM dc
-      |  WHERE lang <> 'en' GROUP BY bucket),
-      |tots AS (SELECT
-      |    (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tc) AS tt,
-      |    (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rc) AS tr),
-      |lam AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+      |    count(*) AS c FROM ${p}tfx GROUP BY ALL),
+      |${p}pdc AS (SELECT doc_id,
+      |    ('0x' || substr(md5(feat), 1, 4))::BIGINT % 4096 AS bucket,
+      |    count(*) AS c FROM ${p}pfx GROUP BY ALL),
+      |${p}tc AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct
+      |  FROM ${p}tdc GROUP BY bucket),
+      |${p}rc AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr
+      |  FROM ${p}pdc GROUP BY bucket),
+      |${p}tots AS (SELECT
+      |    (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM ${p}tc) AS tt,
+      |    (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM ${p}rc) AS tr),
+      |${p}lam AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
       |    CAST(floor(1000000.0 * ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tt + 4096)::DOUBLE)) AS BIGINT)
       |    - CAST(floor(1000000.0 * ln((coalesce(rc.cr, 0) + 1)::DOUBLE / (tr + 4096)::DOUBLE)) AS BIGINT) AS lam
-      |  FROM tc FULL JOIN rc ON tc.bucket = rc.bucket, tots),
-      |dsirw AS (SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+      |  FROM ${p}tc tc FULL JOIN ${p}rc rc ON tc.bucket = rc.bucket, ${p}tots),
+      |${p}dsirw AS (SELECT pdc.doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
       |    CAST(sum(c * lam) AS BIGINT) AS logw
-      |  FROM dc JOIN lam USING (bucket) WHERE lang <> 'en'
-      |  GROUP BY dc.doc_id)""".stripMargin
+      |  FROM ${p}pdc pdc JOIN ${p}lam USING (bucket)
+      |  GROUP BY pdc.doc_id)""".stripMargin
+  }
+
+  private val dsirCtes: String =
+    dsirCtesOver("SELECT doc_id, text FROM documents WHERE lang <> 'en'")
 
   def oracle: Map[String, String] = Map(
     "pipeline_dataset_card" ->
@@ -551,5 +580,18 @@ object PipelineQueries {
         |    row_number() OVER (ORDER BY logw DESC, doc_id) AS rk
         |  FROM dsirw)
         |SELECT doc_id, logw, CAST(rk AS BIGINT) AS rk FROM ranked
+        |WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    "pipeline_dsir_resample" ->
+      s"""WITH $dsirCtes,
+        |keyed AS (SELECT doc_id, logw,
+        |    CAST(floor(logw / 4.0) AS BIGINT)
+        |    + CAST(floor(1000000.0 * -ln(-ln(
+        |      (('0x' || substr(md5('dsir9:' || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |        % 1000000 + 0.5) / 1000000.0))) AS BIGINT) AS key
+        |  FROM dsirw),
+        |ranked AS (SELECT doc_id, logw, key,
+        |    row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+        |  FROM keyed)
+        |SELECT doc_id, logw, key, CAST(rk AS BIGINT) AS rk FROM ranked
         |WHERE rk <= 50 ORDER BY rk""".stripMargin)
 }

@@ -1185,6 +1185,105 @@ object RelationalQueries {
         .withColumn("at_risk", col("n") < 5L)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // GINI concentration of document volume per language — the
+    // corpus-balance audit ("is one language's token mass dominated by
+    // a few giant docs?"). Exact integer form of the sorted-rank
+    // identity G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), in ppm: every
+    // term is a BIGINT, so the audit is hash-exact cross-engine. One
+    // per-stratum sort window (the qualityQuantileFilter caveat: a
+    // 90%-one-language corpus wants sub-stratification at true scale)
+    "stats_gini_by_lang" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      val t = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars").as("x"))
+        .withColumn("i", row_number().over(
+          w.orderBy(col("x"), col("doc_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+      t.groupBy(col("lang"), col("n"), col("sx"))
+        .agg(sum(col("i") * col("x")).as("six"))
+        .select(col("lang"), col("n").as("n_docs"),
+          col("sx").as("total_chars"),
+          expr("(2 * six - (n + 1) * sx) * 1000000 div (n * sx)")
+            .as("gini_ppm"))
+        .orderBy(col("lang"))
+    }),
+
+    // association rules over the co-purchase pairs: support,
+    // directed confidence, and lift in exact integer ppm — the
+    // market-basket scoring layered on join_copurchase_pairs' raw
+    // counts (lift > 1e6 ⇔ the pair co-occurs above independence)
+    "join_assoc_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = broadcast(li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders")))
+      val pf = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("part_a"),
+          col("b.l_partkey").as("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(pf.select(col("l_partkey").as("part_a"),
+          col("n_part").as("n_a")), Seq("part_a"))
+        .join(pf.select(col("l_partkey").as("part_b"),
+          col("n_part").as("n_b")), Seq("part_b"))
+        .crossJoin(nOrders)
+        .select(col("part_a"), col("part_b"), col("n_ab"),
+          expr("n_ab * 1000000 div n_a").as("conf_ab_ppm"),
+          expr("n_ab * 1000000 div n_b").as("conf_ba_ppm"),
+          expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    }),
+
+    // DP-SHAPED noisy release: per-(lang, source) doc counts with
+    // inverse-CDF Laplace noise (sensitivity-1 counts, b = 1/ε = 1),
+    // the standard private-statistics release pipeline. The uniform
+    // draw is a SEEDED md5 ppm bucket — deterministic on purpose: the
+    // release is reproducible and oracle-testable end to end, and a
+    // production deployment swaps exactly one expression (the seed
+    // source) for a CSPRNG draw, keeping the shape. Noise quantizes to
+    // floor(1e6·ln(·)) ppm (ln is correctly rounded on both engines;
+    // the repo-wide log discipline), so the released value is an exact
+    // BIGINT. Per-group cost: one hash + one ln — free at any scale
+    "dq_dp_counts" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat_ws(":", col("lang"), col("source"),
+          lit("seed7"))), 1, 6), 16, 10).cast("long") % 1000000
+        + lit(0.5)) / lit(1000000.0)
+      val noise = floor(lit(1000000.0) *
+        when(u < 0.5, log(lit(2.0) * u))
+          .otherwise(-log(lit(2.0) * (lit(1.0) - u)))).cast("long")
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("source"), col("n"),
+          noise.as("noise_ppm"),
+          (col("n") * 1000000L + noise).as("released_ppm"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // l-DIVERSITY audit (l=3) — k-anonymity's complement: a class can
+    // be large yet leak if everyone in it shares the SENSITIVE value
+    // (here the account-balance band, floor(acctbal/2000) — floor, not
+    // div, so negative balances band identically cross-engine). One
+    // grouped pass with a distinct-count; near-metadata output
+    "dq_l_diversity" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal").cast("double") / lit(2000.0))
+            .cast("long").as("bal_band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("bal_band")).as("l_distinct"))
+        .withColumn("at_risk", col("l_distinct") < 3L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
     // Data-skipping zonemap audit: per-file-bucket min/max of the price
     // column under TWO layouts — natural (orderkey arrival order) vs
     // value-clustered (equi-width price buckets via the broadcast-bounds
@@ -1921,6 +2020,56 @@ object RelationalQueries {
     "dq_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
         |  count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "stats_gini_by_lang" ->
+      """WITH t AS (SELECT lang, doc_id, n_chars AS x FROM documents),
+        |r AS (SELECT lang, x,
+        |    row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS i,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    sum(x) OVER (PARTITION BY lang) AS sx
+        |  FROM t)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(sx AS BIGINT) AS total_chars,
+        |  CAST((2 * sum(i * x) - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+        |    AS gini_ppm
+        |FROM r GROUP BY lang, n, sx ORDER BY lang""".stripMargin,
+    "join_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        |pf AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_ab,
+        |  CAST(n_ab * 1000000 // fa.n_part AS BIGINT) AS conf_ab_ppm,
+        |  CAST(n_ab * 1000000 // fb.n_part AS BIGINT) AS conf_ba_ppm,
+        |  CAST(n_ab * n_orders * 1000000 // (fa.n_part * fb.n_part) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pairs JOIN pf fa ON pairs.part_a = fa.l_partkey
+        |JOIN pf fb ON pairs.part_b = fb.l_partkey CROSS JOIN no
+        |ORDER BY lift_ppm DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "dq_dp_counts" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n FROM documents
+        |  GROUP BY 1, 2),
+        |u AS (SELECT lang, source, n,
+        |  (('0x' || substr(md5(lang || ':' || source || ':seed7'), 1, 6))::BIGINT
+        |     % 1000000 + 0.5) / 1000000.0 AS u
+        |  FROM g),
+        |z AS (SELECT lang, source, n,
+        |  CAST(floor(1000000.0 * (CASE WHEN u < 0.5 THEN ln(2.0 * u)
+        |    ELSE -ln(2.0 * (1.0 - u)) END)) AS BIGINT) AS noise_ppm
+        |  FROM u)
+        |SELECT lang, source, n, noise_ppm,
+        |  CAST(n * 1000000 + noise_ppm AS BIGINT) AS released_ppm
+        |FROM z ORDER BY lang, source""".stripMargin,
+    "dq_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(DISTINCT CAST(floor(c_acctbal::DOUBLE / 2000.0) AS BIGINT))
+        |    AS l_distinct,
+        |  count(DISTINCT CAST(floor(c_acctbal::DOUBLE / 2000.0) AS BIGINT)) < 3
+        |    AS at_risk
         |FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "layout_skipping_audit" ->
       """WITH li AS (SELECT l_orderkey,

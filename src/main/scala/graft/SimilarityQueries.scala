@@ -219,6 +219,19 @@ object SimilarityQueries {
     * codebooks trained + the whole corpus encoded ONCE per (session,
     * dir); every PQ probe in the session reads the persisted codes
     * (the 32×-compressed corpus) instead of re-training/re-encoding. */
+  private[graft] def mrlIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "mrl_index", dir) { () =>
+      val table = "graft_mrl_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mrl_index_").toString
+      VectorOps.writeMrlIndex(Tables.embeddings(s, dir), table, path,
+        prefixDims = 32)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_prefix", s"${table}_nodes"),
+        deleteDirs = Seq(path))
+    }
+
   private[graft] def pqIndexFor(s: SparkSession, dir: String): String =
     EpochRegistry.acquire(s, "pq_index", dir) { () =>
       val table = "graft_pq_index_" +
@@ -1237,6 +1250,20 @@ object SimilarityQueries {
         prefixDims = 32, shortlist = 100))
     }),
 
+    // ...and the EPOCH form: the prefix persists as its own narrow
+    // table so the coarse scan reads half the vector bytes PHYSICALLY
+    // (prefix-32 of 64 dims; plan spec pins that the serve never scans
+    // the full-vector table corpus-wide — the shortlist joins _nodes);
+    // output ≡ sim_ann_mrl, same oracle
+    "sim_ann_mrl_indexed" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeMrlIndex(s, mrlIndexFor(s, dir), querySet(emb),
+          k = 5, prefixDims = 32, shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // per-dimension corpus profile (PCA-lite diagnostics): mean,
     // variance, range of every embedding dimension — the report that
     // tells you which dims carry signal before quantizing/pruning them.
@@ -1481,6 +1508,18 @@ object SimilarityQueries {
       val emb = Tables.embeddings(s, dir)
       VectorOps.kmeansAssign(emb, numCentroids = ivfK(emb), trainIters = 2)
         .orderBy(col("vec_id"))
+    }),
+
+    // clustering-quality audit: SIMPLIFIED silhouette per cluster
+    // (distance to own vs second-nearest centroid — the O(n) form; the
+    // full pairwise silhouette is the O(n²) that doesn't scale), ppm
+    // integer means. The audit that decides whether the k-means
+    // partition is crisp enough to serve IVF probes / balanced samples
+    "sim_cluster_silhouette" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.clusterSilhouette(emb, numCentroids = ivfK(emb),
+          trainIters = 2)
+        .orderBy(col("cluster_id"))
     }),
 
     // IVF-SQ8: float coarse quantizer, int8 inverted lists (4× less
@@ -3383,6 +3422,27 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_mrl_recall" -> recallOracleSql(mrlCtes,
       s"SELECT query_id, neighbor_id, rk FROM mrl"),
+    "sim_ann_mrl_indexed" ->
+      s"""WITH $mrlCtes
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM mrl WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "sim_cluster_silhouette" ->
+      s"""WITH ${centTrainSql(ivfKSql, 2)},
+        |sc AS (SELECT vec_id, cid, round(${cosSql("embedding", "cv")}, 6) AS cs,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |top2 AS (SELECT a.vec_id, a.cid AS cluster_id, a.cs AS cs1, b.cs AS cs2
+        |  FROM sc a JOIN sc b ON a.vec_id = b.vec_id AND a.cr = 1 AND b.cr = 2),
+        |sil AS (SELECT cluster_id,
+        |    CASE WHEN greatest(1.0 - cs1, 1.0 - cs2) = 0 THEN 0
+        |      ELSE CAST(floor(1000000.0 * (cs1 - cs2) /
+        |        greatest(1.0 - cs1, 1.0 - cs2)) AS BIGINT) END AS s_ppm
+        |  FROM top2)
+        |SELECT cluster_id, count(*) AS n,
+        |  CAST(sum(s_ppm) AS BIGINT) AS sum_s_ppm,
+        |  CAST(sum(s_ppm) AS BIGINT) // count(*) AS mean_s_ppm
+        |FROM sil GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
         |    ${bucketSql("embedding")} AS qbucket FROM embeddings WHERE vec_id < 10),

@@ -763,6 +763,50 @@ object StreamingQueries {
         .orderBy(col("feature"))
     }),
 
+    // the DSIR model through the CDC loop — the NINTH maintained
+    // artifact, and the only PURE-MERGE one: the model is two ≤ B-row
+    // bucket-count tables, so a drained wave folds in by addition (no
+    // retrain, no monitor-decide). The maintained raw-side LM after
+    // the drain must equal the scratch recompute over base ∪ all
+    // waves — a replayed or double-counted wave shifts every count
+    "stream_dsir_cdc" -> ((s, dir) => {
+      val base = dsirCdcTableFor(s, dir)
+      s.table(s"${base}_rcounts").orderBy(col("bucket"))
+    }),
+    // ...each wave's docs scored against the POST-merge model state of
+    // ITS batch (wave 2's λ reflects base ∪ wave 1 ∪ wave 2 — the
+    // generation-chaining gate shape, mirrored by one unrolled chain
+    // per wave state)
+    "stream_dsir_cdc_scored" -> ((s, dir) => {
+      val base = dsirCdcTableFor(s, dir)
+      s.table(s"${base}_scores").orderBy(col("wave"), col("doc_id"))
+    }),
+    // ...and the settle check: λ from the MAINTAINED tables vs λ
+    // recomputed from scratch over the drained corpus — bucket-for-
+    // bucket equal (max |Δ| = 0) with the full bucket set present
+    "stream_dsir_cdc_settle_check" -> ((s, dir) => {
+      val base = dsirCdcTableFor(s, dir)
+      val docs = Tables.documents(s, dir)
+      val unionPool = docs.filter(col("lang") =!= "en")
+        .select(col("doc_id"), col("text"))
+        .unionAll(s.table(s"${base}_corpus"))
+      val lamS = graft.operators.PipelineOps.dsirLambda(
+        graft.operators.PipelineOps.dsirBucketCounts(
+          docs.filter(col("lang") === "en"), "doc_id", "text", "ct"),
+        graft.operators.PipelineOps.dsirBucketCounts(
+          unionPool, "doc_id", "text", "cr"))
+      val lamM = graft.operators.PipelineOps.dsirLambda(
+        s.table(s"${base}_tcounts"), s.table(s"${base}_rcounts"))
+      lamM.select(col("bucket"), col("lam").as("lm"))
+        .join(lamS.select(col("bucket"), col("lam").as("ls")),
+          Seq("bucket"), "full_outer")
+        .agg(count(lit(1)).as("n_buckets"),
+          max(abs(coalesce(col("lm"), lit(0L)) -
+            coalesce(col("ls"), lit(0L)))).as("max_abs_diff"))
+        .select(col("n_buckets"), col("max_abs_diff"),
+          (col("max_abs_diff") === 0L).as("converged"))
+    }),
+
     // continuous SURVIVOR SELECTION (IngestStream.clusterSink): the
     // dup batch drained as micro-batches, each probed against the
     // standing band index, folded into the standing assignment via the
@@ -1111,6 +1155,27 @@ object StreamingQueries {
       TextQueries.streamClassifierScoredSql,
     "stream_classifier_cdc_settle_check" ->
       TextQueries.streamClassifierSettleSql,
+    "stream_dsir_cdc" ->
+      s"""WITH ${PipelineQueries.dsirCtesOver(dsirPoolSql(3))}
+        |SELECT bucket, cr FROM rc ORDER BY bucket""".stripMargin,
+    "stream_dsir_cdc_scored" ->
+      s"""WITH ${PipelineQueries.dsirCtesOver(dsirPoolSql(1), "w1")},
+        |${PipelineQueries.dsirCtesOver(dsirPoolSql(2), "w2")},
+        |${PipelineQueries.dsirCtesOver(dsirPoolSql(3), "w3")}
+        |SELECT CAST(1 AS BIGINT) AS wave, doc_id, n_feats, logw
+        |FROM w1dsirw WHERE doc_id >= 100000 AND doc_id < 200000
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n_feats, logw
+        |FROM w2dsirw WHERE doc_id >= 200000 AND doc_id < 300000
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), doc_id, n_feats, logw
+        |FROM w3dsirw WHERE doc_id >= 300000
+        |ORDER BY wave, doc_id""".stripMargin,
+    "stream_dsir_cdc_settle_check" ->
+      s"""WITH ${PipelineQueries.dsirCtesOver(dsirPoolSql(3))}
+        |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(0 AS BIGINT) AS max_abs_diff, true AS converged
+        |FROM lam""".stripMargin,
     // the band settle monitor's mirror recomputes the sidecars from the
     // event-fixture definition: INSERTs of the odd half (seq = doc_id),
     // UPDATEs of %10 (1e6+doc_id), re-INSERTs of %100==4 (3e6+doc_id);
@@ -1685,6 +1750,92 @@ object StreamingQueries {
     * micro-batches in wave order (the [[anomalyStreamDir]] discipline —
     * the loop's generation counter depends on arrival order, so the
     * fixture pins it). */
+  /** The mirror's pool relation after waves 1..`upTo` drained: the
+    * base pool (lang ≠ 'en') plus each wave's re-keyed arrivals —
+    * exactly [[dsirWavesDir]]'s fixture arithmetic. */
+  private def dsirPoolSql(upTo: Int): String =
+    (Seq("SELECT doc_id, text FROM documents WHERE lang <> 'en'") ++
+      (1 to upTo).map(w =>
+        s"SELECT doc_id + ${100000L * w} AS doc_id, text FROM documents " +
+          s"WHERE doc_id % 3 = ${w - 1}")).mkString("\nUNION ALL\n")
+
+  /** Pool-doc waves for the DSIR maintenance loop: wave w (1..3) =
+    * every document with doc_id % 3 == w−1, re-keyed +100000·w so the
+    * arrivals are NEW pool docs (all langs — the pool may well contain
+    * target-like docs; surfacing them is DSIR's whole point). One
+    * parquet file per wave → one micro-batch each under
+    * maxFilesPerTrigger = 1. */
+  private[graft] def dsirWavesDir(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "dsir_cdc_waves_dir", dir) { () =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dsir_cdc_waves_").toString
+      val docs = Tables.documents(s, dir)
+      val waves = (1 to 3).map { w =>
+        docs.filter(col("doc_id") % 3 === (w - 1))
+          .select((col("doc_id") + lit(100000L * w)).as("doc_id"),
+            col("text"), lit(w.toLong).as("wave"))
+      }
+      waves.zipWithIndex.foreach { case (w, i) =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dsir_cdc_wave_part_")
+        w.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(path, s"w$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 1000L)
+        tmp.toFile.listFiles().foreach(_.delete())
+        tmp.toFile.delete()
+        ()
+      }
+      EpochRegistry.Resource(path, deleteDirs = Seq(path))
+    }
+
+  /** The DSIR CDC-maintenance epoch: generation 0 = the static target
+    * LM (`_tcounts`) + the base pool LM (`_rcounts`), both ≤ B rows;
+    * then the three wave files drain through [[IngestStream.dsirSink]]
+    * — per batch: additive count merge, post-merge wave scoring,
+    * corpus append, replay ledger. Returns the base name. */
+  private[graft] def dsirCdcTableFor(s: SparkSession, dir: String): String = {
+    // child epoch resolved BEFORE the acquire (nested computeIfAbsent
+    // on the registry map is the flaky "Recursive update")
+    val wavesDir = dsirWavesDir(s, dir)
+    EpochRegistry.acquire(s, "dsir_cdc_loop", dir) { () =>
+      import s.implicits._
+      val base = "graft_dsir_cdc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_dsir_cdc_ckpt_").toString
+      val docs = Tables.documents(s, dir)
+      graft.operators.PipelineOps.dsirBucketCounts(
+          docs.filter(col("lang") === "en"), "doc_id", "text", "ct")
+        .write.format("parquet").saveAsTable(s"${base}_tcounts")
+      graft.operators.PipelineOps.dsirBucketCounts(
+          docs.filter(col("lang") =!= "en"), "doc_id", "text", "cr")
+        .write.format("parquet").saveAsTable(s"${base}_rcounts")
+      Seq.empty[(Long, String)].toDF("doc_id", "text")
+        .write.format("parquet").saveAsTable(s"${base}_corpus")
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("wave", "doc_id", "n_feats", "logw")
+        .write.format("parquet").saveAsTable(s"${base}_scores")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("wave",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(wavesDir)
+      IngestStream.dsirSink(stream, base, ckpt).awaitTermination()
+      EpochRegistry.Resource(base,
+        dropTables = Seq(s"${base}_tcounts", s"${base}_rcounts",
+          s"${base}_corpus", s"${base}_scores", s"${base}_applied"),
+        deleteDirs = Seq(ckpt))
+    }
+  }
+
   private[graft] def classifierWavesDir(s: SparkSession,
       dir: String): String =
     EpochRegistry.acquire(s, "clf_cdc_waves_dir", dir) { () =>

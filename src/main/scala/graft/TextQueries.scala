@@ -626,6 +626,55 @@ object TextQueries {
       |FROM $rel ORDER BY rk LIMIT $k""".stripMargin
   }
 
+  /** Mirror of [[SearchOps.searchBm25Rm3]]/[[SearchOps.rm3Terms]]
+    * (query terms spark/vector/window, 5 feedback docs, 3 expansion
+    * terms), ending in `exp (term, w, rk)` — the final expanded probe
+    * re-derives df over the widened term set. */
+  private lazy val rm3Ctes: String =
+    s"""idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+      |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+      |q0 AS (SELECT term, doc_id, tf FROM idx
+      |  WHERE term IN ('spark', 'vector', 'window')),
+      |df0 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM q0 GROUP BY 1),
+      |sc0 AS (SELECT doc_id, CAST(floor(
+      |    CAST(floor(1000000.0 *
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS BIGINT)
+      |    * ((22.0 * tf * total_dl) /
+      |       (10.0 * tf * total_dl + 3.0 * total_dl + 9.0 * dl * n_docs))
+      |  ) AS BIGINT) AS addend
+      |  FROM q0 JOIN dl USING (doc_id) JOIN df0 USING (term) CROSS JOIN stats),
+      |fb AS (SELECT doc_id FROM (
+      |    SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
+      |    FROM sc0 GROUP BY doc_id) h0
+      |  ORDER BY score DESC, doc_id LIMIT 5),
+      |exp AS (SELECT term, CAST(sum(tf) AS BIGINT) AS w,
+      |    row_number() OVER (ORDER BY CAST(sum(tf) AS BIGINT) DESC, term) AS rk
+      |  FROM idx JOIN fb USING (doc_id)
+      |  WHERE term NOT IN ('spark', 'vector', 'window')
+      |  GROUP BY term ORDER BY w DESC, term LIMIT 3)""".stripMargin
+
+  private lazy val searchRm3Sql =
+    s"""WITH $rm3Ctes,
+      |q1 AS (SELECT term, doc_id, tf FROM idx
+      |  WHERE term IN ('spark', 'vector', 'window')
+      |     OR term IN (SELECT term FROM exp)),
+      |df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM q1 GROUP BY 1),
+      |sc1 AS (SELECT doc_id, CAST(floor(
+      |    CAST(floor(1000000.0 *
+      |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)) AS BIGINT)
+      |    * ((22.0 * tf * total_dl) /
+      |       (10.0 * tf * total_dl + 3.0 * total_dl + 9.0 * dl * n_docs))
+      |  ) AS BIGINT) AS addend
+      |  FROM q1 JOIN dl USING (doc_id) JOIN df1 USING (term) CROSS JOIN stats),
+      |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
+      |  FROM sc1 GROUP BY doc_id)
+      |SELECT doc_id, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      |FROM hits ORDER BY rk LIMIT 10""".stripMargin
+
   // private[graft]: StreamingQueries' continuous-ingestion probes are
   // gated by the SAME all-docs mirrors (stream == batch by construction
   // once the source drains), so the fragments are shared, not copied
@@ -1558,6 +1607,26 @@ object TextQueries {
           terms = Seq("spark", "vector", "window"), k = 10,
           allowed = Tables.documents(s, dir)
             .filter(col("lang") === "en").select(col("doc_id")))
+        .orderBy(col("rk"))
+    }),
+    // RM3 pseudo-relevance feedback (Lavrenko & Croft 2001): probe →
+    // top-5 feedback docs → 3 heaviest non-query terms mined from an
+    // id-pruned scan of the feedback docs → expanded DISJUNCTIVE
+    // re-probe on the same bucket-pruned index plan. The recall tool
+    // for vocabulary mismatch, layered on the gated BM25 probes
+    "text_search_rm3" -> ((s, dir) => {
+      SearchOps.searchBm25Rm3(s, searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10,
+          docs = Tables.documents(s, dir))
+        .orderBy(col("rk"))
+    }),
+    // ...and the feedback loop's auditable intermediate: the expansion
+    // terms themselves, weight = summed tf over the feedback docs (the
+    // RM1 estimator with uniform doc priors — integer-exact)
+    "text_search_rm3_terms" -> ((s, dir) => {
+      SearchOps.rm3Terms(s, searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"),
+          docs = Tables.documents(s, dir), nFeedback = 5, mExpand = 3)
         .orderBy(col("rk"))
     }),
     // search-index MONITORING — posting-list skew in one row: term
@@ -2762,6 +2831,11 @@ object TextQueries {
       // (22/10/3/9 = k1 1.2, b 0.75 cleared of decimals), addends
       // floored to BIGINT before the per-doc sum
       "text_search_bm25" -> searchBm25Sql,
+      "text_search_rm3" -> searchRm3Sql,
+      "text_search_rm3_terms" ->
+        s"""WITH $rm3Ctes
+          |SELECT term, w, CAST(rk AS BIGINT) AS rk FROM exp
+          |ORDER BY rk""".stripMargin,
       "text_search_bm25_filtered" ->
         searchBm25SqlOver("HAVING count(*) = 3", docFilter = "d.lang = 'en'"),
       // compaction verdict mirror: the delete epoch's serving norms =

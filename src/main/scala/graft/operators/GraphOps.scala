@@ -181,6 +181,173 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_ppb"))
   }
 
+  /** PERSONALIZED PageRank (Haveliwala, WWW 2002): the surfer teleports
+    * to a SEED SET instead of everywhere — the initial mass and the
+    * per-iteration teleport live only on the seeds, so rank concentrates
+    * in the seeds' neighborhood. This is the serving form of graph
+    * recommendation ("products related to this basket"): score =
+    * proximity to the seeds, not global centrality.
+    *
+    *   r0(v)    = SCALE div |S|        for v ∈ S, absent otherwise
+    *   r_k+1(v) = [v ∈ S]·base + Σ_{u→v} (850·r_k(u)) div (1000·outdeg(u))
+    *   base     = (150·(SCALE div |S|)) div 1000
+    *
+    * Same integer-ppb quantization, truncating div, and Pregel layout
+    * as [[pageRank]]. The 100 TB property global PageRank lacks:
+    * iteration state stays proportional to the TOUCHED neighborhood
+    * (nodes the seeds can reach in k hops), not the graph — the rank
+    * table starts at |S| rows and grows only along real edges, so a
+    * basket-sized seed set on a billion-node graph never materializes
+    * a billion-row state. Seeds here are the `nSeeds` smallest node
+    * ids (a deterministic, mirrorable stand-in for a caller-supplied
+    * basket). */
+  def pageRankPersonalized(spark: SparkSession, sfDir: String,
+      iters: Int, nSeeds: Int): DataFrame = {
+    val Scale = 1000000000L
+    val seeds = symmetric(backbone(spark, sfDir))
+      .select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    val r0 = Scale / nSeeds
+    val base = (150L * r0) / 1000L
+    val deg = symmetric(backbone(spark, sfDir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    var ranks = seeds.withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val contrib = symmetric(backbone(spark, sfDir)).as("e")
+        .join(ranks.as("rk"), col("e.src") === col("rk.node"))
+        .join(deg.as("dg"), col("e.src") === col("dg.node"))
+        .select(col("e.dst").as("node"),
+          expr("(850 * r) div (1000 * outdeg)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("cs"))
+      ranks = contrib
+        .join(seeds.withColumn("b", lit(base)), Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("cs"), lit(0L)) + coalesce(col("b"), lit(0L))).as("r"))
+    }
+    ranks.select(col("node"), col("r").as("rank_ppb"))
+  }
+
+  /** LINK PREDICTION by the resource-allocation index (Zhou, Lü &
+    * Zhang 2009): for every non-adjacent pair within two hops, score =
+    * Σ_{z ∈ common neighbors} 1/deg(z) — each common neighbor
+    * "allocates" its unit of resource evenly across its edges, so
+    * well-connected-through-low-degree-hubs pairs rank highest. RA is
+    * the integer-exact member of the common-neighbor family (1e9 div
+    * deg — Adamic-Adar's 1/ln(deg) would ride the log quantization
+    * instead), and benchmarks at or above AA on co-occurrence graphs.
+    * The recommender use: "parts bought together with both of these" —
+    * edges that SHOULD exist next.
+    *
+    * Scale shape: the 2-hop expansion is one self-join of the
+    * symmetric edge list keyed on the shared middle node — fan-out
+    * bounded by deg², the quantity every production link predictor
+    * caps (degree-cap hubs or sample their neighbor lists at true
+    * scale; the backbone's support ≥ 2 cut already removes the raw
+    * co-incidence hubs here). Anti-join against the existing edge set,
+    * then one pair-keyed agg; top-k via TakeOrderedAndProject. */
+  def linkPredictRa(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val sym = symmetric(backbone(spark, sfDir))
+    val deg = symmetric(backbone(spark, sfDir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val hop2 = sym.as("e1")
+      .join(symmetric(backbone(spark, sfDir)).as("e2"),
+        col("e1.dst") === col("e2.src"))
+      .filter(col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e2.dst").as("b"),
+        col("e1.dst").as("z"))
+    val cand = hop2.join(
+      backbone(spark, sfDir).select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_anti")
+    cand.join(deg, cand("z") === deg("node"))
+      .select(col("a"), col("b"), expr("1000000000 div d").as("alloc"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("alloc")).as("ra_score"),
+        count(lit(1)).as("n_common"))
+      .orderBy(col("ra_score").desc, col("a"), col("b")).limit(k)
+  }
+
+  /** Iterative k-CORE decomposition (synchronous peel): drop every
+    * node with degree < `kMin`, recompute degrees, repeat `rounds`
+    * times — the surviving subgraph after convergence is the k-core,
+    * the standard dense-cohesion backbone cut (Seidman 1983; the
+    * "remove the fringe before community detection" preprocessing every
+    * large-graph pipeline runs). Fixed synchronous rounds keep the
+    * operator mirrorable (the DuckDB oracle unrolls the same peels);
+    * [[kCoreCheck]] gates that the last two rounds agree, so an
+    * under-provisioned `rounds` is loud, not silent.
+    *
+    * Scale shape: each round is one degree agg + two semi-joins over
+    * the CURRENT edge set — monotonically shrinking, node-keyed
+    * shuffles. Every round's edge state persists (each is referenced
+    * by the degree agg AND the next filter — without the persist the
+    * lineage re-evaluates 3× per round, exponential by round 8) and
+    * every state but the result's is released at exit (the
+    * weightedRanks discipline). */
+  def kCore(spark: SparkSession, sfDir: String, kMin: Int,
+      rounds: Int): DataFrame = {
+    val (states, rdds) = kCoreStates(spark, sfDir, kMin, rounds)
+    finishPeel(spark,
+      states.last.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("core_deg")),
+      rdds)
+  }
+
+  /** [[kCore]]'s convergence audit: edge counts of the last two peel
+    * rounds and whether they agree (they must — a shrinking integer
+    * sequence that stopped moving has converged, since a fixed edge
+    * set yields fixed degrees yields the same keep set). */
+  def kCoreCheck(spark: SparkSession, sfDir: String, kMin: Int,
+      rounds: Int): DataFrame = {
+    val (states, rdds) = kCoreStates(spark, sfDir, kMin, rounds)
+    val out = states(rounds - 1).agg(count(lit(1)).as("n_prev"))
+      .crossJoin(states(rounds).agg(count(lit(1)).as("n_last")))
+      .select(col("n_prev"), col("n_last"),
+        (col("n_prev") === col("n_last")).as("converged"))
+    finishPeel(spark, out, rdds)
+  }
+
+  /** Each peel round's edge state is a lineage-SEVERED persisted RDD
+    * leaf (the beamWalk discipline), not a plain `.persist()`: a round
+    * references the previous round's frame three times (the degree agg
+    * and both semi-join probes), so an unsevered logical plan TRIPLES
+    * per round — by round 8 the analyzer chokes on a ~2 GB plan string
+    * (measured: heap exhaustion at sf0.001) even though the cached DATA
+    * is tiny. The leaf keeps every round's plan one node deep; all
+    * round leaves are released once the caller's result materializes. */
+  private def kCoreStates(spark: SparkSession, sfDir: String, kMin: Int,
+      rounds: Int): (Seq[DataFrame],
+      Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+    val rdds =
+      Seq.newBuilder[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def leaf(df: DataFrame): DataFrame = {
+      val r = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdds += r
+      spark.createDataFrame(r, df.schema)
+    }
+    var edges = leaf(symmetric(backbone(spark, sfDir)))
+    val states = Seq.newBuilder[DataFrame]
+    states += edges
+    (1 to rounds).foreach { _ =>
+      val keep = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= kMin).select(col("node"))
+      edges = leaf(edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi"))
+      states += edges
+    }
+    (states.result(), rdds.result())
+  }
+
+  private def finishPeel(spark: SparkSession, out: DataFrame,
+      rdds: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]): DataFrame = {
+    val r = out.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    rdds.foreach(_.unpersist())
+    spark.createDataFrame(r, out.schema)
+  }
+
   private def symmetricW(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"), col("w"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),

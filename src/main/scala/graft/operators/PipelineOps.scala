@@ -325,7 +325,7 @@ object PipelineOps {
     * both bag-of-bucket tables below stay ≤ B rows. */
   val dsirBuckets = 4096
 
-  private def dsirFeatureCounts(df: DataFrame, idCol: String,
+  private[graft] def dsirDocCounts(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     df.select(col(idCol),
@@ -336,6 +336,41 @@ object PipelineOps {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("c"))
   }
+
+  /** Bucket-level feature mass of a corpus slice — the ≤ B-row
+    * hashed-n-gram LM table itself (`as` names the count column: "ct"
+    * for the target side, "cr" for the raw side). This IS the model
+    * the streaming loop maintains: counts are distributive, so an
+    * arriving wave merges by plain addition — no retrain. */
+  private[graft] def dsirBucketCounts(df: DataFrame, idCol: String,
+      textCol: String, as: String): DataFrame =
+    dsirDocCounts(df, idCol, textCol)
+      .groupBy(col("bucket")).agg(sum(col("c")).as(as))
+
+  /** λ[b] = quantized log importance ratio per bucket from the two
+    * count tables (smoothed add-1 over totals derived in-plan). Both
+    * inputs are ≤ B rows; the result broadcasts onto doc counts. */
+  private[graft] def dsirLambda(ct: DataFrame, cr: DataFrame): DataFrame = {
+    val b = dsirBuckets
+    val tots = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+      .crossJoin(cr.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
+    def qlog(num: Column, den: Column): Column =
+      floor(lit(1000000.0) *
+        log(num.cast("double") / den.cast("double"))).cast("long")
+    ct.join(cr, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (qlog(coalesce(col("ct"), lit(0L)) + 1, col("tt") + b) -
+          qlog(coalesce(col("cr"), lit(0L)) + 1, col("tr") + b)).as("lam"))
+  }
+
+  /** Per-doc fold Σ c_b·λ[b] over (id, bucket, c) doc counts. */
+  private[graft] def dsirScore(docCounts: DataFrame, lam: DataFrame,
+      idCol: String): DataFrame =
+    docCounts.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("lam")).as("logw"))
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * via Importance Resampling"): fit two hashed-n-gram unigram models
@@ -363,25 +398,11 @@ object PipelineOps {
     * never leaves the cluster. */
   def dsirWeights(target: DataFrame, pool: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val b = dsirBuckets
-    val tf = dsirFeatureCounts(target, idCol, textCol)
-    val pf = dsirFeatureCounts(pool, idCol, textCol)
-    val ct = tf.groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
-    val cr = pf.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
-    val tots = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
-      .crossJoin(cr.agg(coalesce(sum(col("cr")), lit(0L)).as("tr")))
-    def qlog(num: Column, den: Column): Column =
-      floor(lit(1000000.0) *
-        log(num.cast("double") / den.cast("double"))).cast("long")
-    val lam = ct.join(cr, Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(tots))
-      .select(col("bucket"),
-        (qlog(coalesce(col("ct"), lit(0L)) + 1, col("tt") + b) -
-          qlog(coalesce(col("cr"), lit(0L)) + 1, col("tr") + b)).as("lam"))
-    pf.join(broadcast(lam), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_feats"),
-        sum(col("c") * col("lam")).as("logw"))
+    val pf = dsirDocCounts(pool, idCol, textCol)
+    val lam = dsirLambda(
+      dsirBucketCounts(target, idCol, textCol, "ct"),
+      pf.groupBy(col("bucket")).agg(sum(col("c")).as("cr")))
+    dsirScore(pf, lam, idCol)
   }
 
   /** The resampling step over [[dsirWeights]]: keep the `n` most
@@ -394,5 +415,32 @@ object PipelineOps {
     val top = weights.orderBy(col("logw").desc, col(idCol)).limit(n)
     top.withColumn("rk", row_number().over(
         Window.orderBy(col("logw").desc, col(idCol))).cast("long"))
+  }
+
+  /** The paper's STOCHASTIC resampling step (Gumbel-top-k): sampling n
+    * docs without replacement ∝ w^(1/τ) is exactly taking the top-n of
+    * logw/τ + Gumbel noise (the Gumbel-max trick — one pass, no
+    * sequential draws, which is why it's THE way to sample a 100 TB
+    * pool). The Gumbel draw is the seeded md5 ppm uniform through the
+    * inverse CDF −ln(−ln(u)), quantized to an exact ppm BIGINT — the
+    * same determinism contract as [[weightedSample]]'s A-ES key (and
+    * the same production swap: seed → CSPRNG). τ > 1 flattens toward
+    * uniform, τ → 0 recovers the deterministic [[dsirSelect]]. */
+  def dsirResample(weights: DataFrame, idCol: String, n: Int,
+      tau: Int, seed: String): DataFrame = {
+    val u = (conv(substring(md5(concat_ws(":", lit(seed),
+        col(idCol).cast("string"))), 1, 6), 16, 10).cast("long") % 1000000
+      + lit(0.5)) / lit(1000000.0)
+    val g = floor(lit(1000000.0) * -log(-log(u))).cast("long")
+    // EXPLICIT floor division on both engines: logw is negative
+    // (log-ratios of a pool doc vs a foreign target), and the two
+    // integer-div conventions both truncate toward zero — writing
+    // floor(x/τ) in double (exact for |logw| < 2^52) keeps the key
+    // definition unambiguous and mirror-identical by construction
+    val keyed = weights.withColumn("key",
+      floor(col("logw").cast("double") / lit(tau.toDouble)).cast("long") + g)
+    val top = keyed.orderBy(col("key").desc, col(idCol)).limit(n)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("key").desc, col(idCol))).cast("long"))
   }
 }

@@ -555,6 +555,50 @@ object SearchOps {
       terms: Seq[String], k: Int): DataFrame =
     bm25Ranked(spark, table, terms, k, conjunctive = false)
 
+  /** RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001; the
+    * Anserini/Lucene default expansion): run the query, take the top
+    * `nFeedback` docs as assumed-relevant, mine their `mExpand`
+    * heaviest non-query terms, and re-run the DISJUNCTIVE query over
+    * the expanded term set. Expansion recovers vocabulary-mismatch
+    * misses (docs about the topic that phrase it differently) — the
+    * recall tool layered on a lexical index, exactly where hybrid-RRF
+    * layers the semantic leg.
+    *
+    * Expansion term weight is the summed term frequency over the
+    * feedback docs (the RM1 estimator with uniform doc priors, which
+    * the integer-exact discipline prefers over score-weighted mixing),
+    * tie-broken by term. The feedback-doc scan is an id-pruned probe
+    * of the docs table (`nFeedback` literal ids after the first probe),
+    * and the expanded term list is a PARAMETER-BOUNDED collect
+    * (`mExpand` single-string rows — the model-sized class): turning
+    * the expansion into literals lets the second probe reuse the SAME
+    * bucket-pruned index plan the gated BM25 probes serve with, which
+    * is how a production two-pass retriever actually runs. */
+  def searchBm25Rm3(spark: org.apache.spark.sql.SparkSession, table: String,
+      terms: Seq[String], k: Int, docs: DataFrame,
+      nFeedback: Int = 5, mExpand: Int = 3): DataFrame = {
+    searchBm25Any(spark, table, terms ++ rm3Terms(spark, table, terms,
+      docs, nFeedback, mExpand).collect().map(_.getString(0)), k)
+  }
+
+  /** The expansion-term leg of [[searchBm25Rm3]] — exposed separately
+    * so the feedback loop's intermediate is auditable (and gateable)
+    * on its own: (term, w, rk) for the `mExpand` heaviest non-query
+    * terms over the top-`nFeedback` feedback docs. */
+  def rm3Terms(spark: org.apache.spark.sql.SparkSession, table: String,
+      terms: Seq[String], docs: DataFrame,
+      nFeedback: Int, mExpand: Int): DataFrame = {
+    val fb = searchBm25Any(spark, table, terms, nFeedback)
+      .select(col("doc_id"))
+    docs.join(broadcast(fb), Seq("doc_id"), "left_semi")
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("w"))
+      .orderBy(col("w").desc, col("term")).limit(mExpand)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("w").desc, col("term"))).cast("long"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
     * — the standard hybrid-retrieval combiner: each input ranking
     * contributes `1/(k0 + rank)` for every doc it lists, and docs rank

@@ -140,6 +140,98 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** SIMPLIFIED (centroid-based) silhouette per cluster — the
+    * clustering-quality audit run before trusting a partition for
+    * balanced sampling or IVF serving: per point, a = cosine distance
+    * to its OWN (nearest) centroid, b = distance to the SECOND-nearest,
+    * s = (b−a)/max(a,b) ∈ [0,1] under nearest-centroid assignment
+    * (higher = crisper separation; the full silhouette's O(n²)
+    * pairwise distances are exactly what doesn't scale, which is why
+    * production stacks audit the centroid form). Per-point s quantizes
+    * to ppm BEFORE the per-cluster mean, so the fold is an
+    * order-independent integer sum (never average raw doubles across a
+    * shuffle). Plan shape: one N×K broadcast score pass (the
+    * [[kmeansAssign]] shape) folded to two rows per point by the
+    * per-vec top-2 window. */
+  def clusterSilhouette(corpus: DataFrame, numCentroids: Int,
+      trainIters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val trained = trainCentroids(corpus, numCentroids, trainIters)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = broadcast(
+      corpus.sparkSession.createDataFrame(centRdd, trained.schema))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid"))
+    val top = corpus.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        round(cosine(col("embedding"), col("cv")), 6).as("cs"))
+      .withColumn("cr", row_number().over(w)).filter(col("cr") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("cr") === 1, col("cid"))).as("cluster_id"),
+        max(when(col("cr") === 1, col("cs"))).as("cs1"),
+        max(when(col("cr") === 2, col("cs"))).as("cs2"))
+    val dmax = greatest(lit(1.0) - col("cs1"), lit(1.0) - col("cs2"))
+    top.select(col("cluster_id"),
+        when(dmax === 0.0, lit(0L))
+          .otherwise(floor(lit(1000000.0) * (col("cs1") - col("cs2")) / dmax)
+            .cast("long")).as("s_ppm"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("sum_s_ppm"))
+      .select(col("cluster_id"), col("n"), col("sum_s_ppm"),
+        expr("sum_s_ppm div n").as("mean_s_ppm"))
+  }
+
+  /** Persist the MRL serving layout: `_prefix (vec_id, prefix)` — the
+    * truncated-dim coarse vector as its OWN table, so the coarse pass
+    * scans prefixDims/d of the vector bytes (the claim [[mrlTopK]]'s
+    * doc makes, made physical) — and `_nodes (vec_id, embedding)`, the
+    * full-precision side only the shortlist ever joins. */
+  def writeMrlIndex(corpus: DataFrame, table: String, path: String,
+      prefixDims: Int): Unit = {
+    corpus.select(col("vec_id"),
+        slice(col("embedding"), 1, prefixDims).as("prefix"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/prefix").saveAsTable(s"${table}_prefix")
+    corpus.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$path/nodes").saveAsTable(s"${table}_nodes")
+  }
+
+  /** Probe a [[writeMrlIndex]] epoch — identical output to [[mrlTopK]]
+    * with the same parameters (parity spec-pinned), but the coarse
+    * ranking scans ONLY the narrow `_prefix` table; the exact re-rank
+    * is a hash join of the parameter-bounded shortlist
+    * (queries×shortlist rows, the broadcast side) against `_nodes`,
+    * so the full-vector bytes are touched once in a single probe pass
+    * rather than carried through the corpus-wide ranking — the same
+    * serve shape as the PQ/graph exact re-ranks. */
+  def probeMrlIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, k: Int, prefixDims: Int,
+      shortlist: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      slice(col("embedding"), 1, prefixDims).as("qp"),
+      col("embedding").as("qv")))
+    val coarse = spark.table(s"${table}_prefix").as("c")
+      .join(q, col("query_id") =!= col("c.vec_id"))
+      .select(col("query_id"), col("c.vec_id").as("neighbor_id"),
+        round(cosine(col("qp"), col("c.prefix")), 6).as("coarse_sim"),
+        col("qv"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse_sim").desc, col("neighbor_id"))
+    val short = coarse.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= shortlist)
+    val nodes = spark.table(s"${table}_nodes")
+      .select(col("vec_id"), col("embedding").as("nv"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    short.join(nodes, short("neighbor_id") === nodes("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Maximal-Marginal-Relevance diversified serving: greedy re-rank of
     * a relevance shortlist so each pick trades relevance against
     * similarity to what is already picked —

@@ -1102,6 +1102,69 @@ object IngestStream {
       recordApplied(spark, base, batchId)
     }
 
+  /** CDC → DSIR-model maintenance loop — the NINTH streaming-maintained
+    * artifact, and the only one whose update is a PURE DISTRIBUTIVE
+    * MERGE: the model is two ≤ B-row hashed-n-gram count tables
+    * ([[PipelineOps.dsirBucketCounts]]), so an arriving pool wave folds
+    * in by bucket addition — no retrain, no quantizer freeze, no
+    * monitor-decide step (contrast: the classifier loop retrains on a
+    * fired PSI verdict; the index loops re-walk/re-encode). Per batch:
+    * (1) the wave's doc-level feature counts compute once and feed both
+    * the merge and the scoring, (2) the raw-side counts merge (the
+    * merged table is MODEL-sized — ≤ 4096 rows — so it rewrites through
+    * a driver-local frame, the classifier-weights collect class),
+    * (3) the wave's docs score against the POST-merge model (each
+    * wave's scores reflect everything drained so far — the
+    * generation-chaining gate shape) and append to `_scores`,
+    * (4) the wave appends to `_corpus` for the settle check. All under
+    * the shared replay ledger: a re-delivered batch is a whole no-op
+    * (an unledgered replay would DOUBLE-count the wave — additive
+    * merges are the reason the ledger exists). */
+  def dsirSink(docStream: DataFrame, base: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDsirBatch(batch.sparkSession, base, batch, batchId)
+      }
+      .start()
+
+  private[graft] def applyDsirBatch(
+      spark: org.apache.spark.sql.SparkSession, base: String,
+      batch: DataFrame, batchId: Long): Unit =
+    if (!alreadyApplied(spark, base, batchId)) {
+      import org.apache.spark.sql.functions.{col, lit, min, sum}
+      import spark.implicits._
+      val wave = batch.agg(min(col("wave"))).collect()(0).getLong(0)
+      val docs = batch.select(col("doc_id"), col("text"))
+      val wdc = PipelineOps.dsirDocCounts(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // model-sized driver pass: the merged LM is ≤ dsirBuckets rows
+      // (the classifier-weights collect class) — collecting breaks the
+      // read-while-overwrite dependency on _rcounts
+      val merged = spark.table(s"${base}_rcounts")
+        .unionAll(wdc.groupBy(col("bucket")).agg(sum(col("c")).as("cr")))
+        .groupBy(col("bucket")).agg(sum(col("cr")).as("cr"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val rcounts = merged.toDF("bucket", "cr")
+      rcounts.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${base}_rcounts")
+      // score the wave against the post-merge model
+      val lam = PipelineOps.dsirLambda(spark.table(s"${base}_tcounts"),
+        rcounts)
+      PipelineOps.dsirScore(wdc, lam, "doc_id")
+        .select(lit(wave).as("wave"), col("doc_id"), col("n_feats"),
+          col("logw"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${base}_scores")
+      docs.write.mode("append").format("parquet")
+        .saveAsTable(s"${base}_corpus")
+      wdc.unpersist()
+      recordApplied(spark, base, batchId)
+    }
+
   private def alreadyApplied(spark: org.apache.spark.sql.SparkSession,
       table: String, batchId: Long): Boolean =
     appliedSetFor(spark, table).contains(batchId)

@@ -75,4 +75,140 @@ class Round18bSpec extends AnyFunSuite {
       .agg(avg(col("recall"))).collect().head.getDouble(0)
     assert(rec >= 0.9, s"mrl recall regressed: $rec")
   }
+
+  test("personalized pagerank concentrates rank on the seed set") {
+    val rows = SparkEntry.queries("graph_ppr")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(ranks.forall(_ > 0))
+    // the teleport set IS the 5 smallest node ids in the result (seeds
+    // are chosen as the graph's smallest ids and hold the seed mass)
+    val top5 = rows.take(5).map(_.getLong(0)).toSet
+    val smallest5 = rows.map(_.getLong(0)).sorted.take(5).toSet
+    assert(top5 == smallest5,
+      s"seed set must out-rank its neighborhood: top=$top5 seeds=$smallest5")
+  }
+
+  test("k-core peel converges and reports within-core degrees >= kMin") {
+    val chk = SparkEntry.queries("graph_kcore_check")(spark, sfDir)
+      .collect().head
+    assert(chk.getBoolean(2),
+      s"peel must converge within the provisioned rounds: $chk")
+    val core = SparkEntry.queries("graph_kcore")(spark, sfDir).collect()
+    assert(core.nonEmpty)
+    assert(core.forall(_.getLong(1) >= 2L),
+      "every surviving node keeps degree >= kMin inside the core")
+  }
+
+  test("rm3 expansion terms exclude the query and the probe fills k") {
+    val terms = SparkEntry.queries("text_search_rm3_terms")(spark, sfDir)
+      .collect().map(_.getString(0))
+    assert(terms.length == 3)
+    assert(terms.toSet.intersect(Set("spark", "vector", "window")).isEmpty)
+    val hits = SparkEntry.queries("text_search_rm3")(spark, sfDir).collect()
+    assert(hits.length == 10)
+    assert(hits.map(_.getLong(2)).sorted.toSeq == (1L to 10L))
+  }
+
+  test("l-diversity flags exactly the classes under the floor") {
+    val rows = SparkEntry.queries("dq_l_diversity")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(3) < 3L))
+    }
+  }
+
+  test("dp release: released = n*1e6 + noise, noise Laplace-bounded") {
+    val rows = SparkEntry.queries("dq_dp_counts")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 1000000L + r.getLong(3))
+      // b=1 Laplace from a ppm-resolution uniform: |noise| <= ln(1e6)
+      assert(math.abs(r.getLong(3)) <= 14000000L, s"noise out of range: $r")
+    }
+  }
+
+  test("link prediction never proposes an existing edge") {
+    import org.apache.spark.sql.functions.broadcast
+    val pred = SparkEntry.queries("graph_link_predict")(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("a"), col("b.l_partkey").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(col("a"), col("b"))
+    val overlap = pred.select(col("a"), col("b"))
+      .join(broadcast(edges), Seq("a", "b")).count()
+    assert(overlap == 0L, s"$overlap predicted pairs already exist")
+    val rows = pred.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) >= 1L))
+  }
+
+  test("mrl index probe matches the in-memory scorer and scans the narrow prefix table") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val probe = VectorOps.probeMrlIndex(spark,
+      SimilarityQueries.mrlIndexFor(spark, sfDir),
+      emb.filter(col("vec_id") < 10), k = 5, prefixDims = 32,
+      shortlist = 100)
+    val direct = VectorOps.mrlTopK(emb.filter(col("vec_id") < 10), emb,
+      k = 5, prefixDims = 32, shortlist = 100)
+    val a = probe.orderBy(col("query_id"), col("rk")).collect().map(_.toString)
+    val b = direct.orderBy(col("query_id"), col("rk")).collect().map(_.toString)
+    assert(a.toSeq == b.toSeq, "epoch probe must equal the direct scorer")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("_prefix"), "coarse pass must scan the prefix table")
+    assert(plan.contains("_nodes"), "re-rank must join the full-vector table")
+  }
+
+  test("gini is a valid ppm concentration per language") {
+    val rows = SparkEntry.queries("stats_gini_by_lang")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getLong(3)
+      assert(g >= 0L && g < 1000000L, s"gini_ppm out of [0,1e6): $r")
+    }
+  }
+
+  test("silhouette: s in [0,1] ppm, clusters cover the corpus") {
+    val rows = SparkEntry.queries("sim_cluster_silhouette")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getLong(3)
+      assert(m >= 0L && m <= 1000000L, s"mean silhouette out of range: $r")
+      assert(r.getLong(2) >= 0L)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.embeddings(spark, sfDir).count(),
+      "every vector must be scored exactly once")
+  }
+
+  test("gumbel resample is a valid sample of the pool, keyed and ranked") {
+    val docs = Tables.documents(spark, sfDir)
+    val sel = SparkEntry.queries("pipeline_dsir_resample")(spark, sfDir)
+      .collect()
+    assert(sel.length == 50)
+    assert(sel.map(_.getLong(3)).toSeq == (1L to 50L))
+    val keys = sel.map(_.getLong(2))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // selected ids are pool docs (lang <> en)
+    val poolIds = docs.filter(col("lang") =!= "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(sel.map(_.getLong(0)).forall(poolIds))
+  }
+
+  test("association rules: confidences bounded, lift sorted") {
+    val rows = SparkEntry.queries("join_assoc_rules")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 1000000L && r.getLong(4) <= 1000000L)
+    }
+    val lifts = rows.map(_.getLong(5))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
+  }
 }

@@ -205,6 +205,15 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // gap-fill, LINEAR flavor: missing 10-min buckets interpolate
+    // between the surrounding known bucket means (LOCF at the trailing
+    // edge, backfill at the leading) — the metrics-store fill the LOCF
+    // entry's step function under-serves for smooth series
+    "events_interpolate" -> ((s, dir) => {
+      EventOps.resampleInterpolate(Tables.events(s, dir), seconds = 600)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // 10-minute windows sliding every 5 minutes (each event in 2 windows)
     "events_sliding" -> ((s, dir) => {
       EventOps.slidingAgg(Tables.events(s, dir), lengthSeconds = 600, slideSeconds = 300)
@@ -655,6 +664,35 @@ object EventQueries {
         .orderBy(col("prev_type"), col("event_type"))
     }),
 
+    // multi-touch ATTRIBUTION: each purchase's cents credited to the
+    // user's FIRST-touch and LAST-touch preceding non-purchase event
+    // type (the two canonical single-touch models; position-based and
+    // decay models are weighted mixes of the same window scaffolding).
+    // One user-partitioned window pass, two touch-keyed aggs —
+    // attribution at 100 TB is exactly a sessionize-shaped shuffle
+    "events_attribution" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val p = Tables.events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("ft", first(touch, ignoreNulls = true).over(byUser))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(byUser))
+        .filter(col("event_type") === "purchase" && col("lt").isNotNull)
+      val f = p.groupBy(col("ft").as("touch_type"))
+        .agg(count(lit(1)).as("n_first"), sum(col("cents")).as("first_cents"))
+      val l = p.groupBy(col("lt").as("touch_type"))
+        .agg(count(lit(1)).as("n_last"), sum(col("cents")).as("last_cents"))
+      f.join(l, Seq("touch_type"), "full_outer")
+        .select(col("touch_type"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("first_cents"), lit(0L)).as("first_cents"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("last_cents"), lit(0L)).as("last_cents"))
+        .orderBy(col("touch_type"))
+    }),
+
     // previous/next-event deltas per user — the lag/lead window family
     "events_lag_lead" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
@@ -668,6 +706,36 @@ object EventQueries {
             .as("delta_cents"))
         .orderBy(col("event_id"))
     }))
+
+  /** Mirror of the attribution window pass — shared by the batch
+    * `events_attribution` entry AND `stream_attribution` (the keyed-
+    * state streaming twin gates against the identical report). */
+  private[graft] lazy val attributionSql: String =
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT *,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM e),
+        |p AS (SELECT * FROM t
+        |  WHERE event_type = 'purchase' AND lt IS NOT NULL),
+        |f AS (SELECT ft AS touch_type, count(*) AS n_first,
+        |    CAST(sum(cents) AS BIGINT) AS first_cents FROM p GROUP BY 1),
+        |l AS (SELECT lt AS touch_type, count(*) AS n_last,
+        |    CAST(sum(cents) AS BIGINT) AS last_cents FROM p GROUP BY 1)
+        |SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+        |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+        |  CAST(coalesce(first_cents, 0) AS BIGINT) AS first_cents,
+        |  CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+        |  CAST(coalesce(last_cents, 0) AS BIGINT) AS last_cents
+        |FROM f FULL JOIN l ON f.touch_type = l.touch_type
+        |ORDER BY touch_type""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "events_json_extract" ->
@@ -771,6 +839,42 @@ object EventQueries {
         |  FROM grid g LEFT JOIN agg a
         |    ON g.window_start = a.window_start AND g.event_type = a.event_type) j
         |ORDER BY window_start, event_type""".stripMargin,
+    "events_interpolate" ->
+      """WITH agg AS (
+        |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,
+        |    event_type, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(window_start) AS lo, max(window_start) AS hi FROM agg),
+        |grid AS (SELECT t.event_type, u.g AS window_start
+        |  FROM (SELECT DISTINCT event_type FROM events) t, b,
+        |    LATERAL unnest(generate_series(b.lo, b.hi, 600)) u(g)),
+        |j AS (SELECT g.window_start, g.event_type, coalesce(a.n, 0) AS n,
+        |    CASE WHEN a.n > 0 THEN a.sum_cents // a.n END AS known,
+        |    CASE WHEN a.n > 0 THEN g.window_start END AS known_ts
+        |  FROM grid g LEFT JOIN agg a
+        |    ON g.window_start = a.window_start AND g.event_type = a.event_type),
+        |w AS (SELECT window_start, event_type, n, known,
+        |    last_value(known IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY window_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(known_ts IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY window_start
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(known IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY window_start
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(known_ts IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY window_start
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j)
+        |SELECT window_start, event_type, n,
+        |  CASE WHEN n > 0 THEN known
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) * (window_start - pt) // (nt - pt) END
+        |    AS interp_cents
+        |FROM w ORDER BY window_start, event_type""".stripMargin,
     "events_sliding" ->
       """SELECT (epoch_us(ts) - epoch_us(ts) % 300000000) // 1000000 - i * 300 AS window_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
@@ -1183,6 +1287,8 @@ object EventQueries {
         |SELECT prev_type, event_type, count(*) AS n FROM t
         |WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
+    "events_attribution" -> attributionSql,
+
     "events_lag_lead" ->
       """SELECT user_id, event_id, v_c, prev_cents, next_cents,
         |  v_c - coalesce(prev_cents, v_c) AS delta_cents

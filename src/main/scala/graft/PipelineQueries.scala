@@ -292,6 +292,16 @@ object PipelineQueries {
         .orderBy(col("rk"))
     }),
 
+    // CURRICULUM ordering: per-language exact quality terciles
+    // (phase 0 = cleanest third first — the curriculum-learning
+    // schedule) + a deterministic md5 interleave key, so the training
+    // loader reads (phase, order_key) with no global sort
+    "pipeline_curriculum" -> ((s, dir) => {
+      PipelineOps.curriculumOrder(Tables.documents(s, dir), "doc_id",
+          "lang", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // the paper's STOCHASTIC resample (Gumbel-top-k, τ = 4): top-50 of
     // logw/τ + seeded md5 Gumbel ≡ sampling without replacement
     // ∝ w^(1/τ) in ONE pass — the Gumbel-max trick, the only sampler
@@ -581,6 +591,18 @@ object PipelineQueries {
         |  FROM dsirw)
         |SELECT doc_id, logw, CAST(rk AS BIGINT) AS rk FROM ranked
         |WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    "pipeline_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        |q AS (SELECT doc_id, lang, ${qualitySql("toks")} AS quality FROM t),
+        |r AS (SELECT doc_id, lang, quality,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM q)
+        |SELECT doc_id, lang, quality,
+        |  CAST((rk - 1) * 3 // n AS BIGINT) AS phase,
+        |  md5(CAST((rk - 1) * 3 // n AS VARCHAR) || ':' ||
+        |    CAST(doc_id AS VARCHAR)) AS order_key
+        |FROM r ORDER BY doc_id""".stripMargin,
     "pipeline_dsir_resample" ->
       s"""WITH $dsirCtes,
         |keyed AS (SELECT doc_id, logw,

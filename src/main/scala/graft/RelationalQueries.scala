@@ -20,6 +20,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object RelationalQueries {
 
+  /** Benford first-digit shares, round(1e6·log10(1+1/d)) — ONE literal
+    * table threaded into both the Spark entry and the DuckDB mirror
+    * (the shared-constant discipline; computing log10 at runtime would
+    * ride engine transcendentals for no reason). */
+  private val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
   /** The bucketed TPC-H epoch: lineitem and orders written
     * `bucketBy(16, orderkey)` once per (session, dir) — the warehouse
     * side of the co-location discipline the index families practice.
@@ -1185,6 +1193,30 @@ object RelationalQueries {
         .withColumn("at_risk", col("n") < 5L)
         .orderBy(col("c_nationkey"), col("c_mktsegment"))),
 
+    // BENFORD first-digit audit over order totals — the fabricated-
+    // data / unit-mixup screen a finance-shaped column gets before it
+    // feeds anything downstream. Expected shares are the nine
+    // round(1e6·log10(1+1/d)) LITERALS (no transcendental at runtime —
+    // both engines carry the identical constants), observed shares in
+    // ppm, deviation = |obs − exp|. One grouped pass, 9-row output
+    "dq_benford_audit" -> ((s, dir) => {
+      val expCase = "CASE digit " + benfordPpm.map { case (d, p) =>
+        s"WHEN $d THEN ${p}L" }.mkString(" ") + " END"
+      val tot = broadcast(Tables.orders(s, dir)
+        .agg(count(lit(1)).as("n_total")))
+      Tables.orders(s, dir)
+        .select(substring(col("o_totalprice").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(tot)
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div n_total").as("observed_ppm"),
+          expr(expCase).as("expected_ppm"),
+          abs(expr("n * 1000000 div n_total") - expr(expCase))
+            .as("deviation_ppm"))
+        .orderBy(col("digit"))
+    }),
+
     // GINI concentration of document volume per language — the
     // corpus-balance audit ("is one language's token mass dominated by
     // a few giant docs?"). Exact integer form of the sorted-rank
@@ -2021,6 +2053,20 @@ object RelationalQueries {
       """SELECT c_nationkey, c_mktsegment, count(*) AS n,
         |  count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2 ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "dq_benford_audit" -> {
+      val expCase = "CASE digit " + benfordPpm.map { case (d, p) =>
+        s"WHEN $d THEN CAST($p AS BIGINT)" }.mkString(" ") + " END"
+      s"""WITH d AS (SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |tot AS (SELECT count(*) AS n_total FROM d)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // n_total AS BIGINT) AS observed_ppm,
+        |  $expCase AS expected_ppm,
+        |  abs(CAST(n * 1000000 // n_total AS BIGINT) - $expCase)
+        |    AS deviation_ppm
+        |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
+    },
     "stats_gini_by_lang" ->
       """WITH t AS (SELECT lang, doc_id, n_chars AS x FROM documents),
         |r AS (SELECT lang, x,

@@ -126,6 +126,27 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // streaming multi-touch ATTRIBUTION: the batch window pass reduced
+    // to TWO strings of keyed state per user (first touch ever, latest
+    // touch) — each arriving purchase credits on the spot; the drained
+    // report gates against the batch entry's oracle (stream ≡ batch)
+    "stream_attribution" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val out = runToMemory(
+        graft.streaming.AttributionStream.attribute(st).toDF(), "update")
+      val f = out.groupBy(col("ft").as("touch_type"))
+        .agg(count(lit(1)).as("n_first"), sum(col("cents")).as("first_cents"))
+      val l = out.groupBy(col("lt").as("touch_type"))
+        .agg(count(lit(1)).as("n_last"), sum(col("cents")).as("last_cents"))
+      f.join(l, Seq("touch_type"), "full_outer")
+        .select(col("touch_type"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("first_cents"), lit(0L)).as("first_cents"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("last_cents"), lit(0L)).as("last_cents"))
+        .orderBy(col("touch_type"))
+    }),
+
     // streaming OHLC bars: the candlestick fold as a watermarked
     // tumbling agg — open/close via min_by/max_by over the (ts, id)
     // struct (incremental order statistics; a first_value window can't
@@ -984,6 +1005,9 @@ object StreamingQueries {
         |SELECT user_id, session_start_us, n_events, sum_value FROM s, wm
         |WHERE last_us + 1800000000 <= wm_us
         |ORDER BY user_id, session_start_us""".stripMargin,
+    // stream ≡ batch: the drained attribution report shares the batch
+    // entry's window-pass mirror verbatim
+    "stream_attribution" -> EventQueries.attributionSql,
     // the OHLC mirror + the same watermark cut (open/close by the
     // identical (ts_us, event_id) order the min_by/max_by structs use)
     "stream_ohlc" ->

@@ -107,6 +107,53 @@ object EventOps {
         coalesce(col("n"), lit(0L)).as("n"), col("filled_cents"))
   }
 
+  /** [[resampleLocf]]'s LINEAR sibling: missing buckets interpolate
+    * between the surrounding known bucket means instead of holding the
+    * last one —
+    *
+    *   interp = prev + (next − prev)·(t − t_prev) div (t_next − t_prev)
+    *
+    * with LOCF at the trailing edge and backfill at the leading edge
+    * (no second anchor to interpolate toward). All integer: bucket
+    * mean = sum_cents div n (non-negative), and the interpolation
+    * numerator may be negative — BOTH engines' integer division
+    * truncates toward zero (Spark `div`, DuckDB `//` — verified, not
+    * assumed), so the convention matches without a floor rewrite. Two
+    * window passes over the same per-series grid the LOCF form builds:
+    * the backward (prev anchor) and forward (next anchor) scans. */
+  def resampleInterpolate(events: DataFrame, seconds: Long): DataFrame = {
+    val agg = events
+      .groupBy(tumblingWindowStart(col("ts_us"), seconds).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+    val bounds = agg.agg(min(col("window_start")).as("lo"),
+      max(col("window_start")).as("hi"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(seconds))).as("window_start"))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("window_start"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val known = when(col("n") > 0, expr("sum_cents div n"))
+    val knownTs = when(col("n") > 0, col("window_start"))
+    grid.join(agg, Seq("window_start", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("pv", last(known, ignoreNulls = true).over(back))
+      .withColumn("pt", last(knownTs, ignoreNulls = true).over(back))
+      .withColumn("nv", first(known, ignoreNulls = true).over(fwd))
+      .withColumn("nt", first(knownTs, ignoreNulls = true).over(fwd))
+      .select(col("window_start"), col("event_type"), col("n"),
+        when(col("n") > 0, expr("sum_cents div n"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + expr(
+            "(nv - pv) * (window_start - pt) div (nt - pt)"))
+          .as("interp_cents"))
+  }
+
   /** Time-weighted average per series — the metrics-store `TWAP`:
     * each observation holds until the next one, so its weight is the
     * µs gap to the successor (the final observation contributes

@@ -316,6 +316,32 @@ object PipelineOps {
       .drop("_q")
   }
 
+  /** CURRICULUM ordering: phase docs per stratum into `phases` exact
+    * quality tiers (phase 0 = cleanest third under the default 3 —
+    * train on the crisp signal first, the curriculum-learning
+    * schedule) and stamp a deterministic md5 shuffle key so the loader
+    * reads (phase, order_key) without any global sort — the
+    * [[epochShuffleKeys]] contract composed with the
+    * [[qualityQuantileFilter]] stratum ranking. Phase boundaries are
+    * exact integer thirds ((rk−1)·phases div n), so ties cannot flap
+    * the cut (rank is total via the id tie-break). One per-stratum
+    * sort window — same scale caveat as qualityQuantileFilter. */
+  def curriculumOrder(df: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, phases: Int = 3): DataFrame = {
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val scored = df.select(col(idCol), col(stratumCol),
+      TextOps.qualityScore(col(textCol)).as("quality"))
+    scored
+      .withColumn("rk", row_number().over(
+        byStratum.orderBy(col("quality").desc, col(idCol))))
+      .withColumn("n_stratum", count(lit(1)).over(byStratum))
+      .select(col(idCol), col(stratumCol), col("quality"),
+        expr(s"(rk - 1) * $phases div n_stratum").as("phase"),
+        md5(concat_ws(":",
+          expr(s"(rk - 1) * $phases div n_stratum"), col(idCol)))
+          .as("order_key"))
+  }
+
   /** Hashed-n-gram feature buckets for [[dsirWeights]]: unigrams +
     * bigrams of the whitespace tokens, each hashed to one of
     * [[dsirBuckets]] buckets via the engine-portable md5-prefix

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One observed event for the attribution state machine (ts in µs —
+  * the oracle's ordering resolution, tie-broken by event id). */
+case class TouchObs(user: Long, tsUs: Long, eid: Long, typ: String,
+    cents: Long)
+
+/** Per-user keyed state: the first and the most recent non-purchase
+  * touch seen so far. TWO strings per user — the whole state. */
+case class TouchState(ft: Option[String], lt: Option[String])
+
+/** A purchase credited to its user's first/last preceding touch. */
+case class Attributed(user: Long, tsUs: Long, eid: Long, ft: String,
+    lt: String, cents: Long)
+
+/** Streaming multi-touch attribution — the stateful twin of the batch
+  * `events_attribution` window pass. The batch form needs the user's
+  * full history in a window frame; the streaming form carries exactly
+  * TWO strings of state per user (first touch ever, latest touch) and
+  * credits each arriving purchase on the spot — the canonical
+  * mapGroupsWithState reduction of an unbounded-preceding window.
+  *
+  * 100 TB/continuous shape: state size is O(users)·2 strings
+  * regardless of event volume; each micro-batch shuffles only its own
+  * rows to the user-keyed state partitions. Within a batch rows sort
+  * by (µs, event_id) — the oracle's order; across batches the file
+  * source delivers time-ordered waves (the suite's fixture contract,
+  * same as the sessionize/funnel streams). */
+object AttributionStream {
+
+  def attribute(events: DataFrame): Dataset[Attributed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user"),
+        expr("ts div 1000").as("tsUs"),
+        col("event_id").cast("long").as("eid"),
+        col("event_type").as("typ"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .as[TouchObs]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[TouchObs],
+            state: GroupState[TouchState]) => {
+          var st = state.getOption.getOrElse(TouchState(None, None))
+          val out = Vector.newBuilder[Attributed]
+          rows.toVector.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+            if (r.typ == "purchase") {
+              // ft is defined whenever lt is (both set on the first
+              // non-purchase touch), so .get cannot throw here
+              st.lt.foreach { lt =>
+                out += Attributed(user, r.tsUs, r.eid, st.ft.get, lt,
+                  r.cents)
+              }
+            } else st = TouchState(st.ft.orElse(Some(r.typ)), Some(r.typ))
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+}

@@ -201,6 +201,45 @@ class Round18bSpec extends AnyFunSuite {
     assert(sel.map(_.getLong(0)).forall(poolIds))
   }
 
+  test("curriculum: exact terciles per language, keys deterministic") {
+    val rows = SparkEntry.queries("pipeline_curriculum")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).toSet.subsetOf(Set(0L, 1L, 2L)))
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      val phases = rs.groupBy(_.getLong(3)).view.mapValues(_.length)
+      val n = rs.length
+      // exact integer thirds: each phase holds ceil/floor(n/3)
+      phases.values.foreach(c =>
+        assert(math.abs(c - n / 3.0) <= 1.0, s"$lang unbalanced: $phases"))
+      // within a language, phase 0 holds the highest-quality docs
+      val q0max = rs.filter(_.getLong(3) == 0L).map(_.getDouble(2)).min
+      val q2min = rs.filter(_.getLong(3) == 2L).map(_.getDouble(2)).max
+      assert(q0max >= q2min, s"$lang: phase 0 must dominate phase 2")
+    }
+  }
+
+  test("interpolate: known buckets exact, gaps between their anchors") {
+    val rows = SparkEntry.queries("events_interpolate")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // every grid bucket filled; interpolated values live between the
+    // series min and max of the known bucket means
+    assert(rows.forall(!_.isNullAt(3)))
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val known = rs.filter(_.getLong(2) > 0).map(_.getLong(3))
+      if (known.nonEmpty) {
+        val (lo, hi) = (known.min, known.max)
+        rs.filter(_.getLong(2) == 0).foreach { r =>
+          val v = r.getLong(3)
+          assert(v >= lo - 1 && v <= hi + 1,
+            s"interpolation escaped its anchors: $r")
+        }
+      }
+    }
+  }
+
   test("association rules: confidences bounded, lift sorted") {
     val rows = SparkEntry.queries("join_assoc_rules")(spark, sfDir)
       .collect()

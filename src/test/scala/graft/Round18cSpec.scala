@@ -48,6 +48,26 @@ class Round18cSpec extends AnyFunSuite {
       s"en arrivals must look most target-like: $byLang")
   }
 
+  test("streaming attribution equals the batch window pass") {
+    val a = SparkEntry.queries("stream_attribution")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("events_attribution")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "two strings of keyed state must reproduce the window")
+  }
+
+  test("benford audit: digits 1-9, expected constants, ppm shares") {
+    val rows = SparkEntry.queries("dq_benford_audit")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    val obsSum = rows.map(_.getLong(2)).sum
+    assert(obsSum <= 1000000L && obsSum > 990000L,
+      s"observed shares must total ~1e6 ppm: $obsSum")
+    val exp = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(exp.get(1L).forall(_ == 301030L))
+    assert(exp.get(9L).forall(_ == 45757L))
+  }
+
   test("a replayed batch is a whole no-op (additive merge is ledgered)") {
     val base = StreamingQueries.dsirCdcTableFor(spark, sfDir)
     def total = spark.table(s"${base}_rcounts")

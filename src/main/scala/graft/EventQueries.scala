@@ -261,6 +261,38 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // two-sample KOLMOGOROV-SMIRNOV drift test per series — the
+    // distribution-shape complement of the PSI monitor (PSI sees mass
+    // move between coarse bins; KS sees any ECDF separation, bins be
+    // damned). D = max_v |F_pre(v) − F_post(v)| computed EXACTLY in
+    // integers: per distinct value, |cp·n_post − cq·n_pre| over the
+    // cum-count window, maxed, then scaled to ppm (products ≤ 1e16 —
+    // far inside BIGINT). One per-series sort window over the DISTINCT
+    // value grid, not the raw events
+    "stats_ks_drift" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (expr("ts div 1000") < lit(psiCutUs)).as("is_pre"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("is_pre"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("is_pre"), 1L).otherwise(0L)).as("nq"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = g.groupBy(col("event_type"))
+        .agg(sum(col("np")).as("n_pre"), sum(col("nq")).as("n_post"))
+      g.withColumn("cp", sum(col("np")).over(w))
+        .withColumn("cq", sum(col("nq")).over(w))
+        .join(tot, Seq("event_type"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          abs(col("cp") * col("n_post") - col("cq") * col("n_pre")).as("d"))
+        .groupBy(col("event_type"), col("n_pre"), col("n_post"))
+        .agg(max(col("d")).as("dmax"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          expr("dmax * 1000000 div (n_pre * n_post)").as("ks_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // CUPED-adjusted A/B means — experimentation analytics: variance
     // reduction with the pre-period covariate (Deng et al.'s CUPED).
     // Everything aggregates to INTEGER per-user (x = pre-period cents,
@@ -839,6 +871,29 @@ object EventQueries {
         |  FROM grid g LEFT JOIN agg a
         |    ON g.window_start = a.window_start AND g.event_type = a.event_type) j
         |ORDER BY window_start, event_type""".stripMargin,
+    "stats_ks_drift" ->
+      s"""WITH g AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < $psiCutUs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < $psiCutUs THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nq
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(np) AS BIGINT) AS n_pre,
+        |    CAST(sum(nq) AS BIGINT) AS n_post FROM g GROUP BY 1),
+        |c AS (SELECT event_type, cents,
+        |    CAST(sum(np) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+        |    CAST(sum(nq) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cq
+        |  FROM g),
+        |d AS (SELECT c.event_type, n_pre, n_post,
+        |    abs(cp * n_post - cq * n_pre) AS d
+        |  FROM c JOIN tot ON c.event_type = tot.event_type)
+        |SELECT event_type, n_pre, n_post,
+        |  CAST(max(d) * 1000000 // (n_pre * n_post) AS BIGINT) AS ks_ppm
+        |FROM d GROUP BY event_type, n_pre, n_post
+        |ORDER BY event_type""".stripMargin,
     "events_interpolate" ->
       """WITH agg AS (
         |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) // 1000000 AS window_start,

@@ -1734,6 +1734,22 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // HARD-NEGATIVE mining for contrastive retrieval training: per
+    // query, probed-cell candidates whose exact cosine lands in
+    // [0.30, 0.90) — semantically confusable but NOT a positive (a
+    // near-match mined as a negative poisons the loss). Same probe
+    // plan as sim_ann_ivf with the band filter between scoring and
+    // ranking; under-filled queries are honest, never padded
+    "sim_hard_negatives" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.ivfHardNegatives(querySet(emb), emb, k = 5,
+          numCentroids = ivfK(emb), nProbe = 4, trainIters = 2,
+          loCos = 0.30, hiCos = 0.90)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // the persisted-index form of sim_ann_ivf: the epoch write happens
     // once per (session, dir) via [[ivfIndexFor]]; the gated query (and
     // its bench number) measures the per-batch PROBE, which reads ONLY
@@ -3677,6 +3693,29 @@ object SimilarityQueries {
         |ORDER BY new_id, old_id""".stripMargin
     },
     "sim_ann_ivf" -> ivfOracleSql,
+    "sim_hard_negatives" ->
+      s"""WITH ${centTrainSql(ivfKSql, 2)},
+        |asg AS (
+        |  SELECT vec_id, embedding, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv, cid AS list_id FROM (
+        |    SELECT query_id, qv, cid, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+        |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+        |scored AS (
+        |  SELECT query_id, l.vec_id AS neighbor_id,
+        |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
+        |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+        |band AS (SELECT * FROM scored
+        |  WHERE cos_sim >= 0.30 AND cos_sim < 0.90),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM band)
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     // the filtered probe: same coarse CTEs, candidates restricted to
     // the query's label before ranking
     "sim_ann_ivf_filtered" ->

@@ -140,6 +140,38 @@ object VectorOps {
       .filter(col("rk") <= k)
   }
 
+  /** HARD-NEGATIVE mining for retrieval training: per query, corpus
+    * vectors from the probed IVF cells (semantically close enough to
+    * confuse a retriever — the blocked candidate set, never all-pairs)
+    * whose exact cosine lands in [loCos, hiCos) — similar, NOT a
+    * positive (a ≥ hiCos candidate is a near-match; mining it as a
+    * negative poisons the contrastive loss). Top-k hardest (cos desc)
+    * per query. Same probe plan as [[ivfTopK]] — broadcast probes,
+    * lists never shuffle — with the band filter between scoring and
+    * ranking; a query whose cells hold no in-band candidate yields
+    * fewer than k rows (under-fill is honest, padding is not). */
+  def ivfHardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int, nProbe: Int, trainIters: Int,
+      loCos: Double, hiCos: Double): DataFrame = {
+    val trained = trainCentroids(corpus, numCentroids, trainIters)
+    val centRdd = trained.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = broadcast(
+      corpus.sparkSession.createDataFrame(centRdd, trained.schema))
+    val lists = assignLists(corpus, cents)
+    val probes = probeLists(queries, cents, nProbe)
+    val scored = lists.join(broadcast(probes),
+        lists("list_id") === probes("list_id") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= loCos && col("cos_sim") < hiCos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** SIMPLIFIED (centroid-based) silhouette per cluster — the
     * clustering-quality audit run before trusting a partition for
     * balanced sampling or IVF serving: per point, a = cosine distance

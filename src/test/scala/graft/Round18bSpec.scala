@@ -240,6 +240,29 @@ class Round18bSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives live strictly inside the mining band") {
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= 0.30 && c < 0.90, s"negative escaped the band: $r")
+    }
+    // no query mines itself
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("ks drift: D in [0, 1e6] ppm, totals partition the series") {
+    val rows = SparkEntry.queries("stats_ks_drift")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val d = r.getLong(3)
+      assert(d >= 0L && d <= 1000000L, s"ks out of range: $r")
+      assert(r.getLong(1) > 0L && r.getLong(2) > 0L)
+    }
+  }
+
   test("association rules: confidences bounded, lift sorted") {
     val rows = SparkEntry.queries("join_assoc_rules")(spark, sfDir)
       .collect()

@@ -50,6 +50,12 @@ object GraphQueries {
     "graph_ppr" -> ((s, dir) =>
       GraphOps.pageRankPersonalized(s, dir, iters = 3, nSeeds = 5)
         .orderBy(col("rank_ppb").desc, col("node")).limit(30)),
+    // Newman modularity of the 4-round LP partition — the one-number
+    // "did the clustering find real structure?" verdict (Q > 0 ⇔ more
+    // intra-community edges than a degree-preserving random rewiring);
+    // exact BIGINT ratio quantized to ppm
+    "graph_modularity" -> ((s, dir) =>
+      GraphOps.modularity(s, dir, rounds = 4)),
     // link prediction by the resource-allocation index: non-adjacent
     // 2-hop pairs scored Σ 1e9 div deg(common neighbor) — "edges that
     // should exist next", the integer-exact common-neighbor scorer
@@ -565,6 +571,35 @@ object GraphQueries {
       s"""WITH $weightedPrCtes
         |SELECT node, r AS rank_ppb FROM r3
         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin,
+    "graph_modularity" -> {
+      def round(k: Int) =
+        s"""l$k AS MATERIALIZED (
+          |  SELECT l.node AS node, least(l.lab, min(p.lab)) AS lab
+          |  FROM l${k - 1} l JOIN sym s ON s.dst = l.node
+          |  JOIN l${k - 1} p ON p.node = s.src
+          |  GROUP BY l.node, l.lab)"""
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM backbone UNION ALL SELECT dst, src FROM backbone),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym),
+        |${(1 to 4).map(round).mkString(",\n")},
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM backbone),
+        |deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+        |dsum AS (SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS d_c
+        |  FROM l4 l JOIN deg d ON d.node = l.node GROUP BY l.lab),
+        |ein AS (SELECT la.lab, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM backbone b JOIN l4 la ON la.node = b.src
+        |  JOIN l4 lb ON lb.node = b.dst
+        |  WHERE la.lab = lb.lab GROUP BY la.lab),
+        |per AS (SELECT dsum.lab, coalesce(e_c, 0) AS e_c, d_c
+        |  FROM dsum LEFT JOIN ein ON dsum.lab = ein.lab)
+        |SELECT (SELECT m FROM mm) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_communities,
+        |  CAST(CAST(sum(4 * (SELECT m FROM mm) * e_c - d_c * d_c) AS BIGINT)
+        |    * 1000000 // (4 * (SELECT m FROM mm) * (SELECT m FROM mm))
+        |    AS BIGINT) AS q_ppm
+        |FROM per""".stripMargin
+    },
     "graph_link_predict" ->
       s"""WITH backbone AS MATERIALIZED ($backboneSql),
         |sym AS MATERIALIZED (

@@ -491,6 +491,45 @@ object GraphOps {
     lab
   }
 
+  /** Newman MODULARITY of the label-propagation partition — the
+    * one-number answer to "did the clustering find real structure?"
+    * (Q > 0 ⇔ more intra-community edges than a degree-preserving
+    * random rewiring; Q ≈ 0 ⇔ the partition is noise):
+    *
+    *   Q = Σ_c (e_c/m − (d_c/2m)²)
+    *     = (Σ_c 4·m·e_c − d_c²) / (4·m²)   — one exact BIGINT ratio,
+    *
+    * quantized to ppm with the (verified) both-engines-truncate
+    * division. Magnitudes: 4·m·e_c and d_c² ≤ 4m² ~ 10⁸ at fixture
+    * scale and the ppm scale holds through m ~ 10⁶ edges; larger
+    * graphs widen the numerator to DECIMAL (the weighted-PageRank
+    * bound discipline). One labels join per side of the edge list +
+    * two community-keyed aggs — the same shuffles the LP rounds
+    * themselves take. */
+  def modularity(spark: SparkSession, sfDir: String,
+      rounds: Int): DataFrame = {
+    val lab = labelPropagation(spark, sfDir, rounds)
+    val edges = backbone(spark, sfDir).select(col("src"), col("dst"))
+    val mAgg = edges.agg(count(lit(1)).as("m"))
+    val deg = symmetric(backbone(spark, sfDir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val dsum = deg.join(lab, Seq("node"))
+      .groupBy(col("lab")).agg(sum(col("d")).as("d_c"))
+    val ein = edges
+      .join(lab.select(col("node").as("src"), col("lab").as("la")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("lab").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("e_c"))
+    dsum.join(ein, Seq("lab"), "left")
+      .select(col("lab"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .crossJoin(broadcast(mAgg))
+      .agg(min(col("m")).as("m"), count(lit(1)).as("n_communities"),
+        sum(lit(4L) * col("m") * col("e_c") - col("d_c") * col("d_c"))
+          .as("qnum"))
+      .select(col("m"), col("n_communities"),
+        expr("qnum * 1000000 div (4 * m * m)").as("q_ppm"))
+  }
+
   /** Triangle enumeration on the backbone: the canonical a<b<c wedge
     * join — e1(a,b) ⋈ e2(b,c) closed by e3(a,c). The ordering
     * constraint (src < dst everywhere) enumerates each triangle exactly

@@ -263,6 +263,17 @@ class Round18bSpec extends AnyFunSuite {
     }
   }
 
+  test("modularity: single-community partition reads exactly zero") {
+    val r = SparkEntry.queries("graph_modularity")(spark, sfDir)
+      .collect().head
+    // the sf0.001 backbone LP-collapses to one community, and Q of the
+    // whole graph as one community is identically 0 (e_c = m, d_c = 2m
+    // -> 4m² − 4m² = 0) — the formula's built-in sanity anchor
+    assert(r.getLong(1) >= 1L)
+    if (r.getLong(1) == 1L) assert(r.getLong(2) == 0L)
+    assert(r.getLong(2) >= -1000000L && r.getLong(2) <= 1000000L)
+  }
+
   test("association rules: confidences bounded, lift sorted") {
     val rows = SparkEntry.queries("join_assoc_rules")(spark, sfDir)
       .collect()

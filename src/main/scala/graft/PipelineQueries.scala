@@ -302,6 +302,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // MIX-ENTROPY audit: Shannon entropy of the language mix BEFORE vs
+    // AFTER temperature sampling — the one-number verification that
+    // the flattening worked (H rises toward ln(k) as head languages
+    // downsample). Each per-stratum term quantizes to
+    // floor(1e6·p·(−ln p)) from exact integer counts, so the audit
+    // hash-gates; near-metadata cost (two |langs|-row aggs)
+    "pipeline_mix_entropy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def entropy(of: DataFrame, label: String): DataFrame = {
+        val c = of.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val tot = c.agg(sum(col("n")).as("nt"))
+        c.crossJoin(broadcast(tot))
+          .select(lit(label).as("variant"), col("n"), col("nt"),
+            floor(lit(1000000.0) *
+              (col("n").cast("double") / col("nt").cast("double")) *
+              -log(col("n").cast("double") / col("nt").cast("double")))
+              .cast("long").as("h_term"))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_langs"), max(col("nt")).as("n_docs"),
+            sum(col("h_term")).as("entropy_ppm"))
+      }
+      entropy(docs, "raw")
+        .unionAll(entropy(
+          PipelineOps.temperatureMix(docs, "doc_id", "lang"), "mixed"))
+        .orderBy(col("variant"))
+    }),
+
     // the paper's STOCHASTIC resample (Gumbel-top-k, τ = 4): top-50 of
     // logw/τ + seeded md5 Gumbel ≡ sampling without replacement
     // ∝ w^(1/τ) in ONE pass — the Gumbel-max trick, the only sampler
@@ -581,6 +608,34 @@ object PipelineQueries {
         |SELECT doc_id, source, quality, rk FROM r
         |WHERE rk <= ceil(n_stratum * 0.25)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_mix_entropy" ->
+      """WITH raw AS (SELECT lang, count(*)::BIGINT AS n FROM documents
+        |  GROUP BY lang),
+        |rt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM raw),
+        |c AS (SELECT lang, count(*)::BIGINT AS n_stratum FROM documents
+        |  GROUP BY lang),
+        |mn AS (SELECT min(n_stratum) AS n_min FROM c),
+        |r AS (SELECT lang, CAST(floor(sqrt(n_min::DOUBLE / n_stratum::DOUBLE)
+        |    * 1000000.0) AS BIGINT) AS accept_ppm FROM c, mn),
+        |mixed AS (SELECT d.lang, count(*)::BIGINT AS n
+        |  FROM documents d JOIN r ON r.lang = d.lang
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |    % 1000000 < accept_ppm
+        |  GROUP BY d.lang),
+        |mt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM mixed),
+        |terms AS (
+        |  SELECT 'raw' AS variant, n, nt,
+        |    CAST(floor(1000000.0 * (n::DOUBLE / nt::DOUBLE)
+        |      * -ln(n::DOUBLE / nt::DOUBLE)) AS BIGINT) AS h_term
+        |  FROM raw, rt
+        |  UNION ALL
+        |  SELECT 'mixed', n, nt,
+        |    CAST(floor(1000000.0 * (n::DOUBLE / nt::DOUBLE)
+        |      * -ln(n::DOUBLE / nt::DOUBLE)) AS BIGINT)
+        |  FROM mixed, mt)
+        |SELECT variant, count(*) AS n_langs, max(nt) AS n_docs,
+        |  CAST(sum(h_term) AS BIGINT) AS entropy_ppm
+        |FROM terms GROUP BY variant ORDER BY variant""".stripMargin,
     "pipeline_dsir_weights" ->
       s"""WITH $dsirCtes
         |SELECT doc_id, n_feats, logw FROM dsirw ORDER BY doc_id""".stripMargin,

@@ -274,6 +274,17 @@ class Round18bSpec extends AnyFunSuite {
     assert(r.getLong(2) >= -1000000L && r.getLong(2) <= 1000000L)
   }
 
+  test("temperature flattening raises mix entropy toward ln(k)") {
+    val rows = SparkEntry.queries("pipeline_mix_entropy")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val raw = rows("raw"); val mixed = rows("mixed")
+    assert(mixed.getLong(3) > raw.getLong(3),
+      "flattening must increase the mix entropy")
+    val lnK = math.log(raw.getLong(1).toDouble) * 1e6
+    assert(mixed.getLong(3) <= lnK + raw.getLong(1),
+      s"entropy cannot exceed ln(k): ${mixed.getLong(3)} vs $lnK")
+  }
+
   test("association rules: confidences bounded, lift sorted") {
     val rows = SparkEntry.queries("join_assoc_rules")(spark, sfDir)
       .collect()

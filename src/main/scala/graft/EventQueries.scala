@@ -266,9 +266,14 @@ object EventQueries {
     // move between coarse bins; KS sees any ECDF separation, bins be
     // damned). D = max_v |F_pre(v) − F_post(v)| computed EXACTLY in
     // integers: per distinct value, |cp·n_post − cq·n_pre| over the
-    // cum-count window, maxed, then scaled to ppm (products ≤ 1e16 —
-    // far inside BIGINT). One per-series sort window over the DISTINCT
-    // value grid, not the raw events
+    // cum-count window, maxed, then scaled to ppm. Scale bound (the
+    // graph_modularity discipline): dmax ≤ n_pre·n_post, so the ppm
+    // product dmax·1e6 stays inside BIGINT only while n_pre·n_post ≤
+    // ~9.2e12 — about 3M rows per side PER SERIES. Beyond that, widen
+    // the window sums and the ppm scaling to DECIMAL(38,0) (exactness
+    // preserved; only the final div needs the wide type). The fixture
+    // is orders of magnitude inside the bound. One per-series sort
+    // window over the DISTINCT value grid, not the raw events
     "stats_ks_drift" -> ((s, dir) => {
       val g = Tables.events(s, dir)
         .select(col("event_type"),

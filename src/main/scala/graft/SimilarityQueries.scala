@@ -132,8 +132,9 @@ object SimilarityQueries {
     "(SELECT greatest(4, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM corpus)"
 
   private def centTrainSql(numCentroids: String, iters: Int,
-      rel: String = "embeddings"): String = {
-    val dim = 64 // embeddings.parquet fixed dim (TESTDATA.md)
+      rel: String = "embeddings", dim: Int = 64): String = {
+    // dim: embeddings.parquet is fixed 64 (TESTDATA.md); the MRL
+    // prefix relation trains at its truncated width instead
     if (iters == 0)
       s"cents AS (SELECT vec_id AS cid, embedding AS cv FROM $rel WHERE vec_id < $numCentroids)"
     else {
@@ -225,12 +226,123 @@ object SimilarityQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_mrl_index_").toString
-      VectorOps.writeMrlIndex(Tables.embeddings(s, dir), table, path,
-        prefixDims = 32)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.writeMrlIndex(emb, table, path,
+        prefixDims = 32, numCentroids = ivfK(emb), trainIters = 2)
       EpochRegistry.Resource(table,
-        dropTables = Seq(s"${table}_prefix", s"${table}_nodes"),
+        dropTables = Seq(s"${table}_cents", s"${table}_prefix",
+          s"${table}_nodes"),
         deleteDirs = Seq(path))
     }
+
+  /** The MRL DELETE epoch ([[ivfPqDeleteIndexFor]]'s shape): clone the
+    * serving generation, admit exact copies of the query vectors under
+    * poison ids through the frozen derivation (their prefixes are the
+    * queries' own — cos-1.0 rank-1 on both passes, the loudest
+    * possible leak), then tombstone them. The gated probe must
+    * hash-match the untouched `sim_ann_mrl` oracle. */
+  private[graft] def mrlDeleteIndexFor(s: SparkSession, dir: String): String = {
+    val base = mrlIndexFor(s, dir)
+    EpochRegistry.acquire(s, "mrl_delete_index", dir) { () =>
+      val table = "graft_mrl_delete_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mrl_delete_index_").toString
+      VectorOps.cloneMrlIndex(s, base, table, path)
+      val poison = querySet(Tables.embeddings(s, dir))
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      VectorOps.appendToMrlIndex(s, table, poison)
+      VectorOps.deleteFromIvfIndex(s, table, poison.select(col("vec_id")))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_prefix",
+          s"${table}_nodes", s"${table}_tombstones"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The MRL compaction epoch: the delete generation's tombstones
+    * settle physically on both sides — result-invisible, one shared
+    * untouched oracle. */
+  private[graft] def mrlCompactIndexFor(s: SparkSession, dir: String): String = {
+    val base = mrlDeleteIndexFor(s, dir)
+    EpochRegistry.acquire(s, "mrl_compact_index", dir) { () =>
+      val table = "graft_mrl_compact_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mrl_compact_index_").toString
+      VectorOps.cloneMrlIndex(s, base, table, path, compact = true)
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_prefix",
+          s"${table}_nodes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The MRL UPDATE epoch — corrupt-then-heal like every upsert gate:
+    * poison twins admitted under EXISTING ids 50-59 (those ids then
+    * carry two prefix AND two node rows — both ranks surface them
+    * doubled), healed by upserting the ids' true vectors into a new
+    * generation. The probe hash-matching the untouched oracle proves
+    * both the corruption and the heal. */
+  private[graft] def mrlUpsertIndexFor(s: SparkSession, dir: String): String = {
+    val base = mrlIndexFor(s, dir)
+    EpochRegistry.acquire(s, "mrl_upsert_index", dir) { () =>
+      val corrupt = "graft_mrl_upsert_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_mrl_upsert_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_mrl_upsert_").toString)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.cloneMrlIndex(s, base, corrupt, paths(0))
+      val poison = querySet(emb)
+        .select((col("vec_id") + 50).as("vec_id"), col("embedding"))
+      VectorOps.appendToMrlIndex(s, corrupt, poison)
+      val truth = emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+      VectorOps.upsertToMrlIndex(s, corrupt, dest, paths(1), truth)
+      EpochRegistry.Resource(dest,
+        dropTables = Seq(s"${corrupt}_cents", s"${corrupt}_prefix",
+          s"${corrupt}_nodes", s"${dest}_cents", s"${dest}_prefix",
+          s"${dest}_nodes"),
+        deleteDirs = paths)
+    }
+  }
+
+  /** The MRL append epoch — clone-then-append under the frozen
+    * derivation: the probe must equal a fresh build over the union
+    * corpus (the prefix of a new vector is a `slice()` — dimension
+    * truncation has no codebook to freeze, so the equality is exact by
+    * construction). */
+  private[graft] def mrlAppendIndexFor(s: SparkSession, dir: String): String = {
+    val base = mrlIndexFor(s, dir)
+    EpochRegistry.acquire(s, "mrl_append_index", dir) { () =>
+      val table = "graft_mrl_append_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mrl_append_index_").toString
+      VectorOps.cloneMrlIndex(s, base, table, path)
+      VectorOps.appendToMrlIndex(s, table,
+        dupVectors(Tables.embeddings(s, dir)).filter(col("vec_id") >= 100000))
+      EpochRegistry.Resource(table,
+        dropTables = Seq(s"${table}_cents", s"${table}_prefix",
+          s"${table}_nodes"),
+        deleteDirs = Seq(path))
+    }
+  }
+
+  /** The MRL atomic pointer view — `_cents`+`_prefix`+`_nodes` resolve
+    * together from the promoted generation. */
+  private[graft] def mrlPointerViewFor(s: SparkSession, dir: String): String = {
+    val base = mrlIndexFor(s, dir)
+    EpochRegistry.acquire(s, "mrl_pointer_view", dir) { () =>
+      val view = "graft_mrl_pview_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, base,
+        suffixes = Seq("_cents", "_prefix", "_nodes"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
 
   private[graft] def pqIndexFor(s: SparkSession, dir: String): String =
     EpochRegistry.acquire(s, "pq_index", dir) { () =>
@@ -1262,6 +1374,100 @@ object SimilarityQueries {
           k = 5, prefixDims = 32, shortlist = 100)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // MRL lifecycle symmetry (VERDICT r18 #1 — the last serving-family
+    // asymmetry): poison twins are the queries' own vectors, so a
+    // tombstone leak IS the cos-1.0 rank-1 result; the upsert heals
+    // doubled prefix+node rows through the frozen slice() derivation;
+    // compaction settles tombstones physically on both sides;
+    // publishing is result-invisible — all four hash-match the
+    // untouched sim_ann_mrl oracle
+    "sim_ann_mrl_deleted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeMrlIndex(s, mrlDeleteIndexFor(s, dir), querySet(emb),
+          k = 5, prefixDims = 32, shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_mrl_updated" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeMrlIndex(s, mrlUpsertIndexFor(s, dir), querySet(emb),
+          k = 5, prefixDims = 32, shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_mrl_compacted" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeMrlIndex(s, mrlCompactIndexFor(s, dir), querySet(emb),
+          k = 5, prefixDims = 32, shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_mrl_published" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeMrlIndex(s, mrlPointerViewFor(s, dir), querySet(emb),
+          k = 5, prefixDims = 32, shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ...the compaction-cadence monitor over the delete epoch's prefix
+    // side (one prefix row per vector — the binary family's mirror
+    // shape)
+    "sim_ann_mrl_compaction_check" -> ((s, dir) => {
+      val gen = mrlDeleteIndexFor(s, dir)
+      graft.operators.Generations.compactionCheck(s, gen,
+        s.table(s"${gen}_prefix"))
+    }),
+
+    // MRL append maintenance: the dup batch admitted under the frozen
+    // slice() derivation — the probe must equal a fresh build over the
+    // union corpus, which is exactly what the union mirror computes
+    "sim_ann_mrl_appended" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeMrlIndex(s, mrlAppendIndexFor(s, dir), querySet(emb),
+          k = 5, prefixDims = 32, shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_mrl_appended_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(dupVectors(emb), VectorOps.probeMrlIndex(s,
+        mrlAppendIndexFor(s, dir), querySet(emb), k = recallK,
+        prefixDims = 32, shortlist = 100))
+    }),
+
+    // the ROW-pruned composition (VERDICT r18 #4): the coarse pass
+    // reads only the 4 probed cells' partitions of the narrow prefix
+    // table — nProbe/K of the rows × half the bytes; approximate on
+    // two axes (cell boundary + truncation), so it carries its own
+    // oracle and recall audit
+    "sim_ann_mrl_ivf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeMrlIndexIvf(s, mrlIndexFor(s, dir), querySet(emb),
+          k = 5, prefixDims = 32, shortlist = 100, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "sim_ann_mrl_ivf_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      recallAudit(emb, VectorOps.probeMrlIndexIvf(s, mrlIndexFor(s, dir),
+        querySet(emb), k = recallK, prefixDims = 32, shortlist = 100,
+        nProbe = 2))
     }),
 
     // per-dimension corpus profile (PCA-lite diagnostics): mean,
@@ -3404,21 +3610,79 @@ object SimilarityQueries {
 
   /** Mirror of [[VectorOps.mrlTopK]] (prefix 32, shortlist 100) ending
     * in `mrl (query_id, neighbor_id, cos_sim, rk)`; starts with the
-    * standard `q` CTE so [[recallOracleSql]] composes directly. */
-  private lazy val mrlCtes: String =
+    * standard `q` CTE so [[recallOracleSql]] composes directly.
+    * Parameterized over the corpus relation (`embeddings` for the
+    * build-time index and every result-invisible mutation epoch,
+    * `corpus` for the append/CDC-settled generations) — one builder,
+    * no drift. */
+  private[graft] def mrlCtesOver(rel: String): String =
     s"""q AS (SELECT vec_id AS query_id, embedding AS qv,
       |    embedding[1:32] AS qp FROM embeddings WHERE vec_id < 10),
       |coarse AS (
       |  SELECT query_id, c.vec_id AS neighbor_id, qv, c.embedding AS nv,
       |    row_number() OVER (PARTITION BY query_id ORDER BY
       |      round(${cosSql("qp", "(c.embedding[1:32])")}, 6) DESC, c.vec_id) AS crk
-      |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+      |  FROM $rel c CROSS JOIN q WHERE c.vec_id <> query_id),
       |mrl AS (
       |  SELECT query_id, neighbor_id,
       |    round(${cosSql("qv", "nv")}, 6) AS cos_sim,
       |    row_number() OVER (PARTITION BY query_id ORDER BY
       |      round(${cosSql("qv", "nv")}, 6) DESC, neighbor_id) AS rk
       |  FROM coarse WHERE crk <= 100)""".stripMargin
+
+  private lazy val mrlCtes: String = mrlCtesOver("embeddings")
+
+  private[graft] lazy val mrlOracleSql: String =
+    s"""WITH $mrlCtes
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM mrl WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** The union-corpus MRL mirror — gates the append epoch AND the
+    * CDC-settled generation (the settle is result-defined equal to the
+    * frozen-derivation union build). */
+  private[graft] lazy val mrlAppendOracleSql: String =
+    s"""WITH $dupVectorsSql,
+      |${mrlCtesOver("corpus")}
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM mrl WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  private[graft] lazy val mrlAppendRecallOracleSql: String =
+    recallOracleSql(dupVectorsSql + ",\n" + mrlCtesOver("corpus"),
+      "SELECT query_id, neighbor_id, rk FROM mrl", bruteRel = "corpus")
+
+  /** Mirror of [[VectorOps.probeMrlIndexIvf]]: the prefix relation
+    * trains its own coarse quantizer at the truncated width (dim 32 —
+    * same Lloyd discipline, same derived K), cells rank per query by
+    * prefix-vs-centroid cosine, the coarse shortlist scores only the
+    * probed cells' prefix rows, and the exact full-dim re-rank joins
+    * the corpus. */
+  private def mrlIvfCtes(nProbe: Int): String =
+    s"""prefixes AS (SELECT vec_id, embedding[1:32] AS embedding FROM embeddings),
+      |${centTrainSql(ivfKSql, 2, "prefixes", dim = 32)},
+      |pasg AS (
+      |  SELECT vec_id, embedding AS prefix, cid, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+      |  FROM prefixes CROSS JOIN cents),
+      |plists AS (SELECT cid AS list_id, vec_id, prefix FROM pasg WHERE cr = 1),
+      |q AS (SELECT vec_id AS query_id, embedding[1:32] AS qp,
+      |  embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, qp, qv, cid AS list_id FROM (
+      |    SELECT query_id, qp, qv, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qp", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq WHERE cr <= $nProbe),
+      |coarse AS (
+      |  SELECT query_id, l.vec_id AS neighbor_id, qv,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      round(${cosSql("qp", "l.prefix")}, 6) DESC, l.vec_id) AS crk
+      |  FROM plists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+      |mrl AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(${cosSql("qv", "e.embedding")}, 6) AS cos_sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      round(${cosSql("qv", "e.embedding")}, 6) DESC, neighbor_id) AS rk
+      |  FROM coarse JOIN embeddings e ON e.vec_id = coarse.neighbor_id
+      |  WHERE crk <= 100)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
@@ -3432,16 +3696,33 @@ object SimilarityQueries {
         |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_mmr" -> mmrOracleSql(shortlist = 20, k = 5),
-    "sim_ann_mrl" ->
-      s"""WITH $mrlCtes
-        |SELECT query_id, neighbor_id, cos_sim, rk FROM mrl WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_mrl" -> mrlOracleSql,
     "sim_ann_mrl_recall" -> recallOracleSql(mrlCtes,
       s"SELECT query_id, neighbor_id, rk FROM mrl"),
-    "sim_ann_mrl_indexed" ->
-      s"""WITH $mrlCtes
+    "sim_ann_mrl_indexed" -> mrlOracleSql,
+    // the four result-invisible mutation epochs share the untouched
+    // oracle (a leak/unhealed double/lost row is a hash mismatch)
+    "sim_ann_mrl_deleted" -> mrlOracleSql,
+    "sim_ann_mrl_updated" -> mrlOracleSql,
+    "sim_ann_mrl_compacted" -> mrlOracleSql,
+    "sim_ann_mrl_published" -> mrlOracleSql,
+    // one prefix row per vector → the binary family's monitor mirror
+    "sim_ann_mrl_compaction_check" ->
+      """WITH e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS t FROM embeddings
+        |  WHERE vec_id < 10)
+        |SELECT n + t AS n_rows, t AS n_tombstoned,
+        |  t * 1000 // (n + t) AS tombstone_frac_x1000,
+        |  (t * 1000 // (n + t) >= 50 OR t >= 1000000) AS compact
+        |FROM e, q""".stripMargin,
+    "sim_ann_mrl_appended" -> mrlAppendOracleSql,
+    "sim_ann_mrl_appended_recall" -> mrlAppendRecallOracleSql,
+    "sim_ann_mrl_ivf" ->
+      s"""WITH ${mrlIvfCtes(4)}
         |SELECT query_id, neighbor_id, cos_sim, rk FROM mrl WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_mrl_ivf_recall" -> recallOracleSql(mrlIvfCtes(2),
+      "SELECT query_id, neighbor_id, rk FROM mrl"),
     "sim_cluster_silhouette" ->
       s"""WITH ${centTrainSql(ivfKSql, 2)},
         |sc AS (SELECT vec_id, cid, round(${cosSql("embedding", "cv")}, 6) AS cs,

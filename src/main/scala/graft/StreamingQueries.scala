@@ -457,6 +457,38 @@ object StreamingQueries {
       IngestStream.settleCheck(s, src, idCol = "vec_id")
     }),
 
+    // the EIGHTH index family through the CDC loop (VERDICT r18 #1 —
+    // the MRL prefix epoch maintained by the same statement stream):
+    // the settled generation must equal the frozen-derivation union
+    // build — a leaked cos-1.0 poison twin or an unhealed negated
+    // prefix is a rank-1 phantom through BOTH ranking passes
+    "stream_ann_mrl_cdc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeMrlIndex(s, mrlCdcNamesFor(s, dir)._2,
+          emb.filter(col("vec_id") < 10), k = 5, prefixDims = 32,
+          shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // ...its recall audit vs exact top-3 over the union corpus the
+    // settled generation serves
+    "stream_ann_mrl_cdc_recall" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      SimilarityQueries.recallAudit(SimilarityQueries.dupVectors(emb),
+        graft.operators.VectorOps.probeMrlIndex(s,
+          mrlCdcNamesFor(s, dir)._2, emb.filter(col("vec_id") < 10),
+          k = SimilarityQueries.recallK, prefixDims = 32,
+          shortlist = 100))
+    }),
+    // ...and the settle-cadence verdict (the shared monitor shape —
+    // same pending population and tombstones as the other loops)
+    "stream_ann_mrl_cdc_settle_check" -> ((s, dir) => {
+      val (src, _) = mrlCdcNamesFor(s, dir)
+      IngestStream.settleCheck(s, src, idCol = "vec_id")
+    }),
+
     // capture → route → settle → PROMOTE → serve for the fifth family
     "stream_binary_cdc_published" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1062,6 +1094,9 @@ object StreamingQueries {
     "stream_binary_cdc" -> SimilarityQueries.ivfBinaryAppendOracleSql,
     "stream_binary_cdc_published" -> SimilarityQueries.ivfBinaryAppendOracleSql,
     "stream_binary_cdc_settle_check" -> annCdcSettleCheckSql,
+    "stream_ann_mrl_cdc" -> SimilarityQueries.mrlAppendOracleSql,
+    "stream_ann_mrl_cdc_recall" -> SimilarityQueries.mrlAppendRecallOracleSql,
+    "stream_ann_mrl_cdc_settle_check" -> annCdcSettleCheckSql,
     // the deterministic envelope: every wire field in closed form —
     // the same struct_pack json as the O3 payload gate, the v3-style
     // uuid rebuilt from the md5 hex, the event-seq timestamp
@@ -1451,6 +1486,59 @@ object StreamingQueries {
     (src, dest)
   }
 
+  /** The MRL CDC-maintenance epoch — [[ivfCdcNamesFor]] with the
+    * Matryoshka prefix epoch as the maintenance target, consuming the
+    * SAME vector event fixture (one fixture, EIGHT index families —
+    * VERDICT r18 #1): the serving generation is cloned, corrupted the
+    * way the events will heal (negated embeddings under the %20==0 dup
+    * ids — wrong on BOTH ranking passes, the %20==4 wave pre-inserted
+    * true, poison twins of the probe queries at ids ≥ 500000 —
+    * cos-1.0 rank-1 through prefix AND full rank), the events drain
+    * through [[IngestStream.cdcMrlSink]] (INSERTs admit under the
+    * frozen slice() derivation, DELETEs tombstone, UPDATEs queue), and
+    * [[IngestStream.settleMrlUpserts]] writes a generation
+    * result-defined EQUAL to the frozen-derivation union build — the
+    * probe carries the MRL union oracle. Returns (src, settled). */
+  private[graft] def mrlCdcNamesFor(s: SparkSession, dir: String)
+      : (String, String) = {
+    val base = SimilarityQueries.mrlIndexFor(s, dir)
+    val evDir = cdcVecEventsDir(s, dir)
+    val v = EpochRegistry.acquire(s, "mrl_cdc_index", dir) { () =>
+      val src = "graft_mrl_cdc_src_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val dest = "graft_mrl_cdc_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val paths = (1 to 3).map(_ => java.nio.file.Files
+        .createTempDirectory("graft_mrl_cdc_").toString)
+      graft.operators.VectorOps.cloneMrlIndex(s, base, src, paths(0))
+      val emb = Tables.embeddings(s, dir)
+      val dups = SimilarityQueries.dupVectors(emb)
+        .filter(col("vec_id") >= 100000)
+        .select(col("vec_id"), col("embedding"))
+      graft.operators.VectorOps.appendToMrlIndex(s, src,
+        dups.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> -x)").cast("array<float>")
+              .as("embedding")))
+      graft.operators.VectorOps.appendToMrlIndex(s, src,
+        dups.filter(col("vec_id") % 20 === 4))
+      graft.operators.VectorOps.appendToMrlIndex(s, src,
+        emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+      val ev = CdcStream.readEventStream(s, evDir, maxFilesPerTrigger = 1)
+      IngestStream.cdcMrlSink(ev, src, paths(1)).awaitTermination()
+      IngestStream.settleMrlUpserts(s, src, dest, paths(2))
+      EpochRegistry.Resource(s"$src;$dest",
+        dropTables = Seq(s"${src}_cents", s"${src}_prefix",
+          s"${src}_nodes", s"${src}_tombstones", s"${src}_pending",
+          s"${src}_applied", s"${dest}_cents", s"${dest}_prefix",
+          s"${dest}_nodes"),
+        deleteDirs = paths)
+    }
+    val Array(src, dest) = v.split(';')
+    (src, dest)
+  }
+
   /** The GRAPH CDC-maintenance epoch — [[ivfCdcNamesFor]] with the
     * kNN-graph generation as the maintenance target, consuming the
     * SAME vector event fixture (one fixture, SEVEN index families):
@@ -1794,6 +1882,15 @@ object StreamingQueries {
       val path = java.nio.file.Files
         .createTempDirectory("graft_dsir_cdc_waves_").toString
       val docs = Tables.documents(s, dir)
+      // the +100000·w re-key AND the oracle's wave-membership window
+      // [100000·w, 100000·(w+1)) both assume doc ids < 100000 — a
+      // larger fixture would collide ids ACROSS waves and silently
+      // mis-partition the gate (ADVICE r18), so fail loudly instead
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      require(maxId < 100000L,
+        s"dsirWavesDir: max(doc_id) = $maxId >= 100000 — the wave " +
+          "re-key offset would collide across waves; raise the offset " +
+          "and the oracle's wave windows in lockstep")
       val waves = (1 to 3).map { w =>
         docs.filter(col("doc_id") % 3 === (w - 1))
           .select((col("doc_id") + lit(100000L * w)).as("doc_id"),

@@ -346,6 +346,35 @@ object TextQueries {
         deleteDirs = Seq(path, dlPath))
     }
 
+  /** Doc-id bucket count for the late-interaction token-vector epoch:
+    * the partition column the candidate join prunes on. */
+  private[graft] val tokenVecBuckets = 32
+
+  /** The PERSISTED late-interaction token-vector epoch (VERDICT r18
+    * #3): (doc_id, tok, tv) materialized once per (session, dir) —
+    * each doc's distinct tokens hashed and vectorized at WRITE time,
+    * `partitionBy(bucket = doc_id % 32)` so a probe's candidate set
+    * prunes the scan to its buckets. A production ColBERT serves
+    * MaxSim from exactly this layout: the per-query cost becomes a
+    * pruned index READ instead of candidate tokenization + hashing —
+    * the corpus text is never touched at probe time. */
+  private[graft] def tokenVecIndexFor(s: SparkSession, dir: String): String =
+    EpochRegistry.acquire(s, "token_vec_index", dir) { () =>
+      val table = "graft_tokvec_index_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tokvec_index_").toString
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .withColumn("tv", TextOps.hashTokenVecExpr("tok"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(tokenVecBuckets)))
+        .write.mode("overwrite").format("parquet").partitionBy("bucket")
+        .option("path", path).saveAsTable(table)
+      EpochRegistry.Resource(table, dropTables = Seq(table),
+        deleteDirs = Seq(path))
+    }
+
   /** The search-index append epoch: built from the even-id docs, the
     * odd-id docs appended — together covering every document, so the
     * grown index's probe is gated by the same all-docs oracle as
@@ -952,33 +981,31 @@ object TextQueries {
     // LATE-INTERACTION retrieval (the ColBERT maxsim family — the
     // token-level scoring model between bag-of-words BM25 and
     // single-vector ANN): each document is its SET of token vectors
-    // (deterministic 8-dim integer hash embeddings — a per-row
-    // expression, no trained table, no lookup join), and a candidate's
+    // (deterministic 8-dim integer hash embeddings), and a candidate's
     // score is Σ over query tokens of the MAX dot against any of its
-    // tokens. The production two-stage shape: CANDIDATES come from the
-    // standing inverted index (the term-bucketed, term-sorted postings
-    // epoch — the filter pushes to the scan), and ONLY the candidates'
-    // docs tokenize for the re-rank, so the token×token work is
-    // candidate tokens × |query| and the corpus never re-tokenizes for
-    // pruning — all integer, all codegen'd, exactly mirrorable
+    // tokens. The production two-stage SERVE shape (VERDICT r18 #3):
+    // CANDIDATES come from the standing inverted index (the
+    // term-bucketed postings epoch — the filter pushes to the scan),
+    // and MaxSim reads the PERSISTED (doc_id, tok, tv) epoch
+    // ([[tokenVecIndexFor]]) pruned by the candidates' doc-id buckets
+    // — no document text is read, no token hashes at probe time
+    // beyond the |query| terms (Round19Spec pins the plan). Same
+    // output, same oracle as the earlier tokenize-candidates form.
     "text_late_interaction" -> ((s, dir) => {
       import s.implicits._
-      val d = Tables.documents(s, dir)
       val terms = Seq("spark", "vector", "window")
       val q = terms.toDF("qtok")
         .select(col("qtok"), TextOps.hashTokenVecExpr("qtok").as("qv"))
-      // stage 1: candidate ids from the postings index
+      // stage 1: candidate ids from the postings index, carrying their
+      // bucket so the epoch scan prunes on the partition column
       val cand = s.table(searchIndexFor(s, dir))
         .filter(col("term").isin(terms: _*))
         .select(col("doc_id")).distinct()
-      // stage 2: tokenize candidates only; hash + vectorize each token
-      // ONCE before the 3-way query cross (an md5 inside the scoring
-      // lambda would re-hash per dimension per query token — the r14
-      // HOF-capture trap)
-      d.join(cand, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
-          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-        .withColumn("tv", TextOps.hashTokenVecExpr("tok"))
+        .withColumn("bucket", pmod(col("doc_id"), lit(tokenVecBuckets)))
+      // stage 2: MaxSim over the persisted token vectors of the
+      // candidates only — a pruned index read, not a tokenization
+      s.table(tokenVecIndexFor(s, dir))
+        .join(broadcast(cand), Seq("bucket", "doc_id"), "left_semi")
         .crossJoin(broadcast(q))
         .select(col("doc_id"), col("qtok"),
           TextOps.intDot(col("tv"), col("qv")).as("dot"))
@@ -2554,21 +2581,24 @@ object TextQueries {
           |    AS avg_logprob
           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // bigrams as 2-shingle strings (tokens never contain spaces, so
-      // "w1 w2" decomposes uniquely); c1 re-derives the left token by
-      // splitting the shingle — the same derivation as the Spark side
+      // "w1 w2" decomposes uniquely), FEATURE-HASHED through the
+      // md5-prefix bucket at B = 4096 (the DSIR discipline — VERDICT
+      // r18 #3): c2 counts bigram-bucket mass, c1 left-token-bucket
+      // mass, lp = floor(1e6·ln(c2[h(s)]/c1[h(w1)])) per occurrence
       "text_bigram_logprob" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           |bg AS (SELECT doc_id,
-          |    toks[CAST(u.i AS INT)] || ' ' || toks[CAST(u.i + 1 AS INT)] AS s
+          |    ('0x' || substr(md5(toks[CAST(u.i AS INT)] || ' ' ||
+          |        toks[CAST(u.i + 1 AS INT)]), 1, 4))::BIGINT % 4096 AS b2,
+          |    ('0x' || substr(md5(toks[CAST(u.i AS INT)]), 1, 4))::BIGINT
+          |      % 4096 AS b1
           |  FROM t, LATERAL unnest(range(1, len(toks))) u(i)
           |  WHERE len(toks) >= 2),
-          |c2 AS (SELECT s, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
-          |w AS (SELECT s, c2, string_split(s, ' ')[1] AS w1 FROM c2),
-          |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM w GROUP BY 1),
-          |model AS (SELECT s,
-          |    CAST(floor(1000000.0 * ln(w.c2::DOUBLE / c1.c1::DOUBLE)) AS BIGINT) AS lp
-          |  FROM w JOIN c1 USING (w1)),
-          |sc AS (SELECT doc_id, lp FROM bg JOIN model USING (s))
+          |c2 AS (SELECT b2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+          |c1 AS (SELECT b1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+          |sc AS (SELECT doc_id,
+          |    CAST(floor(1000000.0 * ln(c2.c2::DOUBLE / c1.c1::DOUBLE)) AS BIGINT) AS lp
+          |  FROM bg JOIN c2 USING (b2) JOIN c1 USING (b1))
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           |  round((sum(lp)::BIGINT)::DOUBLE / (count(*)::DOUBLE * 1000000.0), 6)
           |    AS avg_logprob

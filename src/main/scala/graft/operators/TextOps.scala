@@ -272,58 +272,73 @@ object TextOps {
           (col("n_tokens").cast("double") * lit(1e6)), 6).as("avg_logprob"))
   }
 
-  /** [[unigramLogProb]]'s order-2 sibling: a BIGRAM language model
-    * trained on the corpus itself scores each doc by its mean
-    * conditional log-prob `ln(c(w1,w2) / c(w1,·))` — sequence structure
-    * the unigram filter is blind to (a bag of common words in nonsense
-    * order scores high under unigrams, low here). Same integer
-    * discipline: per-bigram `floor(1e6·ln(...))` longs fold
-    * order-independently. The bigram expansion is a narrow per-row
-    * `transform` (the shingle shape — no window, no extra shuffle);
-    * the model join is bigram-keyed, left-token counts derived from
-    * the SAME bigram frame so numerator and denominator cannot drift.
-    * Docs with fewer than 2 tokens have no bigrams and emit no row —
-    * on both engines identically. */
+  /** [[unigramLogProb]]'s order-2 sibling: a FEATURE-HASHED bigram
+    * language model trained on the corpus itself scores each doc by
+    * its mean conditional log-prob `ln(c2[h(w1 w2)] / c1[h(w1)])` —
+    * sequence structure the unigram filter is blind to (a bag of
+    * common words in nonsense order scores high under unigrams, low
+    * here). The model is TWO fixed-width count vectors of
+    * [[graft.operators.PipelineOps.dsirBuckets]] buckets each (the
+    * DSIR hashed-n-gram discipline, VERDICT r18 #3) — the earlier
+    * exact-vocabulary form pinned a distinct-bigram leaf on the
+    * driver, a bound that holds on a fixture but not on a 100 TB
+    * corpus, whose DISTINCT-BIGRAM table is not driver-sized. Hashed,
+    * the model is ≤ 2·B rows REGARDLESS of corpus size: the leaf and
+    * the broadcast below are parameter-bounded, nothing
+    * corpus-cardinality-dependent ever leaves the cluster. Same
+    * integer discipline: per-bigram `floor(1e6·ln(...))` longs fold
+    * order-independently. Docs with fewer than 2 tokens have no
+    * bigrams and emit no row — on both engines identically. */
   def bigramLogProb(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val b = graft.operators.PipelineOps.dsirBuckets
+    // engine-portable md5-prefix bucket (dsirDocCounts' discipline)
+    def bucket(c: Column): Column =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long") % b
     // bigrams ARE 2-shingles: one "w1 w2" string per position (tokens
     // never contain spaces, so the pair decomposes uniquely). Built
     // with zip_with over TWO SLICES — each evaluates the token split
     // once per ROW — instead of [[shingles]]' per-position
     // `slice(toks, i, k)` lambda, whose captured `toks` re-evaluates
     // the split PER POSITION (O(len²) per doc — measured as the bulk
-    // of a 7 s naive runtime). The model (distinct bigrams × lp) is
-    // vocab²-bounded and derives c1 from c2 by a second-level
-    // aggregate.
+    // of a 7 s naive runtime).
     val t = tokens(col(textCol))
     val bgArr = when(size(t) >= 2,
         zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
           (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
-    val bg = docs.select(col(idCol), explode(bgArr).as("s"))
-    // c2 is vocab²-bounded (hundreds of rows) but its lineage is the
-    // corpus explode — materialize it ONCE, eagerly, as a local leaf
-    // (collect + createDataFrame) so c1, model, and the scoring join
-    // don't each re-run the explode (measured 4.4 s → ~1 s warm at
-    // sf0.1). Eager beats RDD-persist here: the lazy persisted RDD
-    // leaked one cached RDD per invocation for the session lifetime
-    // (ADVICE r14) — the leaf holds nothing in the block manager.
-    val c2raw = bg.groupBy(col("s")).agg(count(lit(1)).as("c2"))
-    val c2 = docs.sparkSession.createDataFrame(
-      java.util.Arrays.asList(c2raw.collect(): _*), c2raw.schema)
-    val withW1 = c2.withColumn("w1", element_at(split(col("s"), " "), 1))
-    val c1 = withW1.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val model = withW1.join(c1, Seq("w1"))
-      .select(col("s"),
+    // per-occurrence bucket pair: b2 = bucket of the bigram, b1 =
+    // bucket of its left token — the numerator/denominator lookups
+    val bgp = docs.select(col(idCol), explode(bgArr).as("s"))
+      .select(col(idCol),
+        bucket(element_at(split(col("s"), " "), 1)).as("b1"),
+        bucket(col("s")).as("b2"))
+    // BOTH bucket vectors in ONE corpus pass (each occurrence emits a
+    // kind-1 row for its left token and a kind-2 row for the bigram),
+    // then pinned eagerly as a local leaf — ≤ 2·B = 8192 rows by
+    // construction, the classifier-weights collect class, so the
+    // scoring join below doesn't re-run the explode. Eager beats
+    // RDD-persist here: the lazy persisted RDD leaked one cached RDD
+    // per invocation for the session lifetime (ADVICE r14) — the leaf
+    // holds nothing in the block manager.
+    val mraw = bgp.select(explode(array(
+        struct(lit(1).as("kind"), col("b1").as("bucket")),
+        struct(lit(2).as("kind"), col("b2").as("bucket")))).as("kb"))
+      .groupBy(col("kb.kind").as("kind"), col("kb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val m = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(mraw.collect(): _*), mraw.schema)
+    val c1 = m.filter(col("kind") === 1)
+      .select(col("bucket").as("b1"), col("c").as("c1"))
+    val c2 = m.filter(col("kind") === 2)
+      .select(col("bucket").as("b2"), col("c").as("c2"))
+    // model broadcasts explicitly (≤ B rows a side — the corpus-sized
+    // exploded probe can never be mistaken for the small side)
+    bgp.join(broadcast(c2), Seq("b2")).join(broadcast(c1), Seq("b1"))
+      .select(col(idCol),
         floor(lit(1000000.0) *
           log(col("c2").cast("double") / col("c1").cast("double")))
           .cast("long").as("lp"))
-    // broadcast the MODEL explicitly: Catalyst's size estimate for a
-    // Generate output is its parent's, so the (huge) exploded corpus
-    // looked like the small side and got broadcast-collected per run —
-    // the actual 5 s cost the plan audit found (vocab²-bounded model
-    // vs corpus-sized probe can never be the wrong way around)
-    bg.join(broadcast(model), Seq("s"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
       .select(col(idCol), col("n_bigrams"),

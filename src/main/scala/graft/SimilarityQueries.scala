@@ -1470,6 +1470,37 @@ object SimilarityQueries {
         nProbe = 2))
     }),
 
+    // the MRL family's monitor→retrain DECISION over the APPEND
+    // epoch's prefix-cell distribution — the same two integer-exact
+    // skew signals as the float/binary/PQ monitors, read from the
+    // partition column only
+    "sim_ann_mrl_retrain_check" -> ((s, dir) =>
+      VectorOps.mrlRetrainCheck(s, mrlAppendIndexFor(s, dir))),
+
+    // CONTRASTIVE TRIPLET assembly — the training-data emission the
+    // hard-negative mine exists for: rank-i exact positive paired with
+    // the rank-i mined in-band negative per query (an under-filled
+    // negative rank drops its pair — honest, never padded), margin =
+    // how much the positive out-scores the confusable negative, the
+    // quantity a triplet loss trains on
+    "sim_triplets" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val pos = VectorOps.bruteForceTopK(querySet(emb), emb, k = 3)
+        .select(col("query_id"), col("rk"),
+          col("neighbor_id").as("pos_id"), col("cos_sim").as("pos_cos"))
+      val neg = VectorOps.ivfHardNegatives(querySet(emb), emb, k = 3,
+          numCentroids = ivfK(emb), nProbe = 4, trainIters = 2,
+          loCos = 0.30, hiCos = 0.90)
+        .select(col("query_id"), col("rk"),
+          col("neighbor_id").as("neg_id"), col("cos_sim").as("neg_cos"))
+      pos.join(neg, Seq("query_id", "rk"))
+        .select(col("query_id"), col("rk"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // per-dimension corpus profile (PCA-lite diagnostics): mean,
     // variance, range of every embedding dimension — the report that
     // tells you which dims carry signal before quantizing/pruning them.
@@ -3723,6 +3754,66 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_mrl_ivf_recall" -> recallOracleSql(mrlIvfCtes(2),
       "SELECT query_id, neighbor_id, rk FROM mrl"),
+    // prefix-cell skew of the append epoch: cells frozen from the
+    // build-time prefixes, the union corpus' prefixes assigned, then
+    // the shared integer-exact verdict arithmetic
+    "sim_ann_mrl_retrain_check" ->
+      s"""WITH $dupVectorsSql,
+        |prefixes AS (SELECT vec_id, embedding[1:32] AS embedding FROM embeddings),
+        |${centTrainSql(ivfKSql, 2, "prefixes", dim = 32)},
+        |cp AS (SELECT vec_id, embedding[1:32] AS p FROM corpus),
+        |pasg AS (
+        |  SELECT vec_id, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("p", "cv")}, 6) DESC, cid) AS cr
+        |  FROM cp CROSS JOIN cents),
+        |sizes AS (SELECT cid, count(*) AS n FROM pasg WHERE cr = 1 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_lists,
+        |    CAST(sum(n) AS BIGINT) AS total_vectors,
+        |    CAST(max(n) AS BIGINT) AS max_list FROM sizes),
+        |d AS (SELECT *, total_vectors // n_lists AS mean_list FROM tot),
+        |e AS (SELECT *, max_list * 1000 // mean_list AS max_over_mean_x1000,
+        |    max_list * 1000 // total_vectors AS top_frac_x1000 FROM d)
+        |SELECT n_lists, total_vectors, max_list, mean_list,
+        |  max_over_mean_x1000, top_frac_x1000,
+        |  (max_over_mean_x1000 >= 2000 OR top_frac_x1000 >= 200) AS retrain
+        |FROM e""".stripMargin,
+    // triplets = the brute-force positive ranking joined rank-wise
+    // with the hard-negative mirror (both CTE chains already gate
+    // standalone — the join can't drift from its parents)
+    "sim_triplets" ->
+      s"""WITH ${centTrainSql(ivfKSql, 2)},
+        |asg AS (
+        |  SELECT vec_id, embedding, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg WHERE cr = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, qv, cid AS list_id FROM (
+        |    SELECT query_id, qv, cid, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+        |    FROM q CROSS JOIN cents) pq WHERE cr <= 4),
+        |nscored AS (
+        |  SELECT query_id, l.vec_id AS neighbor_id,
+        |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
+        |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id),
+        |nband AS (SELECT * FROM nscored
+        |  WHERE cos_sim >= 0.30 AND cos_sim < 0.90),
+        |neg AS (SELECT query_id, neighbor_id AS neg_id, cos_sim AS neg_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM nband),
+        |pscored AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    round(${cosSql("qv", "c.embedding")}, 6) AS cos_sim
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+        |pos AS (SELECT query_id, neighbor_id AS pos_id, cos_sim AS pos_cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM pscored)
+        |SELECT pos.query_id, pos.rk, pos_id, pos_cos, neg_id, neg_cos,
+        |  round(pos_cos - neg_cos, 6) AS margin
+        |FROM pos JOIN neg ON pos.query_id = neg.query_id AND pos.rk = neg.rk
+        |WHERE pos.rk <= 3 AND neg.rk <= 3
+        |ORDER BY pos.query_id, pos.rk""".stripMargin,
     "sim_cluster_silhouette" ->
       s"""WITH ${centTrainSql(ivfKSql, 2)},
         |sc AS (SELECT vec_id, cid, round(${cosSql("embedding", "cv")}, 6) AS cs,

@@ -488,6 +488,16 @@ object StreamingQueries {
       val (src, _) = mrlCdcNamesFor(s, dir)
       IngestStream.settleCheck(s, src, idCol = "vec_id")
     }),
+    // capture → route → settle → PROMOTE → serve for the eighth family
+    "stream_ann_mrl_cdc_published" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorOps.probeMrlIndex(s, mrlCdcViewFor(s, dir),
+          emb.filter(col("vec_id") < 10), k = 5, prefixDims = 32,
+          shortlist = 100)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
 
     // capture → route → settle → PROMOTE → serve for the fifth family
     "stream_binary_cdc_published" -> ((s, dir) => {
@@ -1097,6 +1107,7 @@ object StreamingQueries {
     "stream_ann_mrl_cdc" -> SimilarityQueries.mrlAppendOracleSql,
     "stream_ann_mrl_cdc_recall" -> SimilarityQueries.mrlAppendRecallOracleSql,
     "stream_ann_mrl_cdc_settle_check" -> annCdcSettleCheckSql,
+    "stream_ann_mrl_cdc_published" -> SimilarityQueries.mrlAppendOracleSql,
     // the deterministic envelope: every wire field in closed form —
     // the same struct_pack json as the O3 payload gate, the v3-style
     // uuid rebuilt from the md5 hex, the event-seq timestamp
@@ -2414,6 +2425,22 @@ object StreamingQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       graft.operators.Generations.publishPointer(s, view, settled,
         suffixes = Seq("_cents", "_lists"))
+      EpochRegistry.Resource(view, dropTables = Seq(view))
+    }
+  }
+
+  /** The MRL twin: the prefix loop's settled generation promoted
+    * through [[graft.operators.Generations.publishPointer]] — all
+    * three suffixes resolve from one atomically-promoted name, closing
+    * the capture → route → settle → PROMOTE → serve composition for
+    * the eighth family. */
+  private[graft] def mrlCdcViewFor(s: SparkSession, dir: String): String = {
+    val settled = mrlCdcNamesFor(s, dir)._2
+    EpochRegistry.acquire(s, "mrl_cdc_view", dir) { () =>
+      val view = "graft_mrl_cdc_view_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.operators.Generations.publishPointer(s, view, settled,
+        suffixes = Seq("_cents", "_prefix", "_nodes"))
       EpochRegistry.Resource(view, dropTables = Seq(view))
     }
   }

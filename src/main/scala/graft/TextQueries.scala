@@ -1116,6 +1116,62 @@ object TextQueries {
           expr("total_bpe_tokens * 1000 div total_words"))
     }),
 
+    // tokenizer FERTILITY by language (r19): the per-stratum form of
+    // the compression report — chars/token and tokens/word per lang,
+    // the audit that catches a tokenizer spending 3× the tokens on one
+    // language (the training-cost and context-budget bias every
+    // multilingual dataset card should carry). Same broadcast
+    // vocab-bounded (word → token-count) table, one grouped fold.
+    "text_bpe_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val m = graft.operators.Bpe.modelFor(s, docs, dir)
+      val wtab = broadcast(m.wordSyms.toSeq
+        .map { case (w, syms) => (w, syms.length.toLong, w.length.toLong) }
+        .toDF("w", "wn", "wlen"))
+      docs.select(col("lang"),
+          explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        .join(wtab, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total_words"),
+          sum(col("wlen")).as("total_chars"),
+          sum(col("wn")).as("total_bpe_tokens"))
+        .withColumn("chars_per_token_x1000",
+          expr("total_chars * 1000 div total_bpe_tokens"))
+        .withColumn("tokens_per_word_x1000",
+          expr("total_bpe_tokens * 1000 div total_words"))
+        .orderBy(col("lang"))
+    }),
+
+    // n-gram DIVERSITY by language (r19): distinct-over-total unigram
+    // and bigram ratios in exact ppm — the corpus-level repetitiveness
+    // audit (the distinct-n family): a slice whose bigram ratio
+    // collapses is template/boilerplate mass the per-doc repetition
+    // filter can't see. Two grouped passes over the token explode,
+    // integer-exact end to end.
+    "text_ngram_diversity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = TextOps.tokens(col("text"))
+      val bgArr = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => concat_ws(" ", a, b)))
+        .otherwise(array().cast("array<string>"))
+      val uni = d.select(col("lang"), explode(t).as("g"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unigrams"),
+          countDistinct(col("g")).as("d_unigrams"))
+      val bi = d.select(col("lang"), explode(bgArr).as("g"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("g")).as("d_bigrams"))
+      uni.join(bi, Seq("lang"))
+        .select(col("lang"), col("n_unigrams"), col("d_unigrams"),
+          col("n_bigrams"), col("d_bigrams"),
+          expr("d_unigrams * 1000000 div n_unigrams").as("uni_ttr_ppm"),
+          expr("d_bigrams * 1000000 div n_bigrams").as("bi_ttr_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // vocabulary stats: the classic wordcount shape — explode + hash agg
     // with map-side partial combine, ONE shuffle of (token, partial n);
     // top-k via TakeOrderedAndProject (distributed, never a global sort)
@@ -2270,6 +2326,34 @@ object TextQueries {
           |  CAST(sum(wn) AS BIGINT) * 1000 // count(*)
           |    AS tokens_per_word_x1000
           |FROM j""".stripMargin,
+      "text_bpe_fertility" ->
+        s"""WITH $bpeCtes,
+          |allw AS (SELECT lang, unnest($toksSql) AS word FROM documents),
+          |j AS (SELECT lang, len(word)::BIGINT AS wlen, wn
+          |  FROM allw JOIN bwstats USING (word))
+          |SELECT lang, count(*)::BIGINT AS total_words,
+          |  CAST(sum(wlen) AS BIGINT) AS total_chars,
+          |  CAST(sum(wn) AS BIGINT) AS total_bpe_tokens,
+          |  CAST(sum(wlen) AS BIGINT) * 1000 // CAST(sum(wn) AS BIGINT)
+          |    AS chars_per_token_x1000,
+          |  CAST(sum(wn) AS BIGINT) * 1000 // count(*)
+          |    AS tokens_per_word_x1000
+          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+      "text_ngram_diversity" ->
+        s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+          |uni AS (SELECT lang, count(*)::BIGINT AS n_unigrams,
+          |    count(DISTINCT g)::BIGINT AS d_unigrams
+          |  FROM (SELECT lang, unnest(toks) AS g FROM t) GROUP BY lang),
+          |bg AS (SELECT lang,
+          |    toks[CAST(u.i AS INT)] || ' ' || toks[CAST(u.i + 1 AS INT)] AS g
+          |  FROM t, LATERAL unnest(range(1, len(toks))) u(i)
+          |  WHERE len(toks) >= 2),
+          |bi AS (SELECT lang, count(*)::BIGINT AS n_bigrams,
+          |    count(DISTINCT g)::BIGINT AS d_bigrams FROM bg GROUP BY lang)
+          |SELECT lang, n_unigrams, d_unigrams, n_bigrams, d_bigrams,
+          |  d_unigrams * 1000000 // n_unigrams AS uni_ttr_ppm,
+          |  d_bigrams * 1000000 // n_bigrams AS bi_ttr_ppm
+          |FROM uni JOIN bi USING (lang) ORDER BY lang""".stripMargin,
       "text_token_count" ->
         s"""SELECT doc_id,
           |  len($toksSql) AS n_tokens,

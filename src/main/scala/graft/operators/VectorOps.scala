@@ -2180,6 +2180,26 @@ object VectorOps {
         col("max_over_mean_x1000") >= maxOverMeanX1000 ||
           col("top_frac_x1000") >= topFracX1000)
 
+  /** [[ivfRetrainCheck]] for the MRL family (r19 — the monitor→decide
+    * edge of the prefix epoch's lifecycle): appends assign through the
+    * FROZEN prefix quantizer, so corpus drift concentrates new prefix
+    * rows in few cells and the composed probe's cost grows with the
+    * hottest cell. Same two integer-exact signals, same thresholds,
+    * near-metadata cost (partition column only, one reduced row). */
+  def mrlRetrainCheck(spark: org.apache.spark.sql.SparkSession,
+      table: String, maxOverMeanX1000: Long = 2000L,
+      topFracX1000: Long = 200L): DataFrame =
+    spark.table(s"${table}_prefix")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("n")).as("total_vectors"),
+        max(col("n")).as("max_list"))
+      .withColumn("mean_list", expr("total_vectors div n_lists"))
+      .withColumn("max_over_mean_x1000", expr("max_list * 1000 div mean_list"))
+      .withColumn("top_frac_x1000", expr("max_list * 1000 div total_vectors"))
+      .withColumn("retrain",
+        col("max_over_mean_x1000") >= maxOverMeanX1000 ||
+          col("top_frac_x1000") >= topFracX1000)
+
   /** [[ivfRetrainCheck]] for the IVF-PQ composite: the codes table
     * carries m rows per vector, so list sizes count DISTINCT vec ids —
     * same statistics, same integer-exact verdict, same thresholds.

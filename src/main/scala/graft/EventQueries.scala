@@ -634,6 +634,31 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // first-order MARKOV transition matrix over per-user event
+    // sequences (r19): P(next_type | prev_type) in exact ppm — the
+    // behavioral-model summary behind next-action prediction and
+    // funnel-shape drift monitoring. One user-partitioned lead window
+    // (the event log's natural partitioning), then a types²-bounded
+    // count fold — near-metadata output after one shuffle.
+    "events_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type").as("prev_type"), col("next_type"),
+          col("n"))
+      val tot = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("row_n"))
+      pairs.join(tot, Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("n * 1000000 div row_n").as("p_ppm"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // per-type linear trend of value over time. regr_slope's running
     // double accumulation is reduction-order-dependent (not
     // engine-portable), so the slope is derived from EXACT integer sums
@@ -876,6 +901,19 @@ object EventQueries {
         |  FROM grid g LEFT JOIN agg a
         |    ON g.window_start = a.window_start AND g.event_type = a.event_type) j
         |ORDER BY window_start, event_type""".stripMargin,
+    "events_markov" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |tr AS (SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_type FROM e),
+        |p AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+        |  FROM p GROUP BY 1)
+        |SELECT prev_type, next_type, n, n * 1000000 // row_n AS p_ppm
+        |FROM p JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
     "stats_ks_drift" ->
       s"""WITH g AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

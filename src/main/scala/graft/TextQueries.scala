@@ -1680,6 +1680,18 @@ object TextQueries {
         .orderBy(col("rk"))
     }),
 
+    // QUERY-LIKELIHOOD retrieval with Dirichlet smoothing (Zhai &
+    // Lafferty 2001, r19) — the language-modeling scorer next to BM25:
+    // an absent query term still contributes its smoothed collection
+    // mass, so the candidate×term grid scores densely (tf → 0 via
+    // left join); each addend is one floor(1e6·ln(BIGINT/BIGINT)),
+    // candidates from the same bucket-pruned postings
+    "text_search_qld" -> ((s, dir) => {
+      SearchOps.searchQld(s, searchIndexFor(s, dir),
+          terms = Seq("spark", "vector", "window"), k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // attribute-FILTERED BM25 (the lexical twin of sim_ann_ivf_filtered
     // — filtered serving now covers both retrieval families): only
     // lang='en' docs may rank, filtered BEFORE the top-k cut; corpus
@@ -2945,6 +2957,32 @@ object TextQueries {
       // (22/10/3/9 = k1 1.2, b 0.75 cleared of decimals), addends
       // floored to BIGINT before the per-doc sum
       "text_search_bm25" -> searchBm25Sql,
+      // Dirichlet QLD: dense candidate×term grid (absent terms keep
+      // their smoothed collection mass), integer-rational addends
+      "text_search_qld" ->
+        s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+          |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
+          |ct AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl),
+          |q AS (SELECT term, doc_id, CAST(tf AS BIGINT) AS tf FROM idx
+          |  WHERE term IN ('spark', 'vector', 'window')),
+          |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM q GROUP BY 1),
+          |grid AS (SELECT c.doc_id, t.term
+          |  FROM (SELECT DISTINCT doc_id FROM q) c
+          |  CROSS JOIN (SELECT unnest(['spark', 'vector', 'window']) AS term) t),
+          |g2 AS (SELECT grid.term, grid.doc_id,
+          |    coalesce(q.tf, 0)::BIGINT AS tf
+          |  FROM grid LEFT JOIN q
+          |    ON q.term = grid.term AND q.doc_id = grid.doc_id),
+          |sc AS (SELECT doc_id, CAST(floor(1000000.0 *
+          |    ln((tf * c_total + 2000 * cf)::DOUBLE /
+          |       (c_total * (dl + 2000))::DOUBLE)) AS BIGINT) AS addend
+          |  FROM g2 JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN ct),
+          |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
+          |  FROM sc GROUP BY 1)
+          |SELECT doc_id, score,
+          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+          |FROM hits ORDER BY rk LIMIT 10""".stripMargin,
       "text_search_rm3" -> searchRm3Sql,
       "text_search_rm3_terms" ->
         s"""WITH $rm3Ctes

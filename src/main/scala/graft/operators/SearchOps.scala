@@ -808,6 +808,60 @@ object SearchOps {
       .select(col("doc_id"), col("score"), col("rk"))
   }
 
+  /** Query-likelihood retrieval with DIRICHLET smoothing (Zhai &
+    * Lafferty 2001) — the language-modeling scorer next to BM25 (the
+    * other classic lexical ranking; Lucene ships both):
+    *
+    *   score(d) = Σ_{t∈q} ln( (tf_{t,d} + μ·p_C(t)) / (dl_d + μ) )
+    *
+    * with p_C(t) = cf_t / |C|. The smoothing point is that a term
+    * ABSENT from a doc still contributes its collection mass — so the
+    * candidate×term grid is scored densely (left join, tf → 0), unlike
+    * BM25's present-terms-only sum. Rewritten over integers for the
+    * cross-engine discipline: each addend is
+    * floor(1e6·ln((tf·|C| + μ·cf) / (|C|·(dl+μ)))) — an exact-BIGINT
+    * rational through one correctly-rounded ln, summed
+    * order-independently.
+    *
+    * Plan shape: candidates come from the term-bucket-pruned postings
+    * (docs matching ≥ 1 term — |C| and cf are corpus statistics read
+    * from the sidecar/pruned postings, NOT a corpus scan); the dense
+    * grid is |candidates|·|terms| rows. Same generation/tombstone
+    * routing as [[searchBm25]]. */
+  def searchQld(spark: org.apache.spark.sql.SparkSession, table: String,
+      terms: Seq[String], k: Int, mu: Long = 2000L): DataFrame = {
+    require(terms.nonEmpty, "need at least one search term")
+    require(terms.distinct.size == terms.size, s"duplicate search terms: $terms")
+    val ps = probeSessionFor(spark)
+    import ps.implicits._
+    val name = Generations.resolveServing(ps, table)
+    val idx = servingPostings(ps, name).filter(col("term").isin(terms: _*))
+    val dlens = servingDoclens(ps, name)
+    val cTotal = broadcast(dlens.agg(sum(col("dl")).as("c_total")))
+    val cf = broadcast(idx.groupBy(col("term")).agg(sum(col("tf")).as("cf")))
+    val qterms = broadcast(terms.toDF("term"))
+    val grid = idx.select(col("doc_id")).distinct()
+      .crossJoin(qterms)
+      .join(idx.select(col("term"), col("doc_id"), col("tf")),
+        Seq("term", "doc_id"), "left")
+      .select(col("term"), col("doc_id"),
+        coalesce(col("tf"), lit(0L)).as("tf"))
+    val num = col("tf") * col("c_total") + lit(mu) * col("cf")
+    val den = col("c_total") * (col("dl") + lit(mu))
+    grid.join(cf, Seq("term"))
+      .join(dlens, Seq("doc_id"))
+      .crossJoin(cTotal)
+      .select(col("doc_id"),
+        floor(lit(1000000.0) *
+          log(num.cast("double") / den.cast("double"))).cast("long")
+          .as("addend"))
+      .groupBy(col("doc_id")).agg(sum(col("addend")).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("score"), col("rk"))
+  }
+
   /** Positional phrase search: per doc, the number of token positions
     * where `phrase` occurs verbatim (consecutive, in order; overlapping
     * starts each count). A pure per-row expression over the token

@@ -772,6 +772,23 @@ object EventQueries {
   /** Mirror of the attribution window pass — shared by the batch
     * `events_attribution` entry AND `stream_attribution` (the keyed-
     * state streaming twin gates against the identical report). */
+  /** Mirror of the Markov transition matrix — shared verbatim by the
+    * batch lead-window entry AND its streaming keyed-state twin
+    * (stream ≡ batch by construction, the attribution gate shape). */
+  private[graft] lazy val markovSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    event_type FROM events),
+      |tr AS (SELECT event_type AS prev_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS next_type FROM e),
+      |p AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+      |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+      |  FROM p GROUP BY 1)
+      |SELECT prev_type, next_type, n, n * 1000000 // row_n AS p_ppm
+      |FROM p JOIN t USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
   private[graft] lazy val attributionSql: String =
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
@@ -901,19 +918,7 @@ object EventQueries {
         |  FROM grid g LEFT JOIN agg a
         |    ON g.window_start = a.window_start AND g.event_type = a.event_type) j
         |ORDER BY window_start, event_type""".stripMargin,
-    "events_markov" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |    event_type FROM events),
-        |tr AS (SELECT event_type AS prev_type,
-        |    lead(event_type) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id) AS next_type FROM e),
-        |p AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
-        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
-        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
-        |  FROM p GROUP BY 1)
-        |SELECT prev_type, next_type, n, n * 1000000 // row_n AS p_ppm
-        |FROM p JOIN t USING (prev_type)
-        |ORDER BY prev_type, next_type""".stripMargin,
+    "events_markov" -> markovSql,
     "stats_ks_drift" ->
       s"""WITH g AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

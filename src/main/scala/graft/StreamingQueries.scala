@@ -147,6 +147,26 @@ object StreamingQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // streaming MARKOV transitions (r19): the batch lead window
+    // reduced to ONE string of keyed state per user (the last type
+    // seen) — each arriving event emits its (prev → next) pair on the
+    // spot; the drained matrix gates against the batch entry's oracle
+    // (stream ≡ batch, the attribution gate shape)
+    "stream_markov" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val out = runToMemory(
+        graft.streaming.MarkovStream.transitions(st).toDF(), "update")
+      val pairs = out
+        .select(col("prevTyp").as("prev_type"), col("nextTyp").as("next_type"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("row_n"))
+      pairs.join(tot, Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("n * 1000000 div row_n").as("p_ppm"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // streaming OHLC bars: the candlestick fold as a watermarked
     // tumbling agg — open/close via min_by/max_by over the (ts, id)
     // struct (incremental order statistics; a first_value window can't
@@ -1050,6 +1070,7 @@ object StreamingQueries {
     // stream ≡ batch: the drained attribution report shares the batch
     // entry's window-pass mirror verbatim
     "stream_attribution" -> EventQueries.attributionSql,
+    "stream_markov" -> EventQueries.markovSql,
     // the OHLC mirror + the same watermark cut (open/close by the
     // identical (ts_us, event_id) order the min_by/max_by structs use)
     "stream_ohlc" ->

@@ -2678,6 +2678,22 @@ object SimilarityQueries {
         .orderBy(col("rk"))
     }),
 
+    // LEXICAL-ensemble RRF (r19): BM25 and Dirichlet-QLD rank the same
+    // bucket-pruned postings with structurally different sums (present
+    // terms vs dense smoothed grid) — fusing their RANKS is the
+    // calibration-free way to combine them, same k0 = 60 integer fold
+    // as the lexical+semantic hybrid
+    "hybrid_qld_rrf" -> ((s, dir) => {
+      val idx = TextQueries.searchIndexFor(s, dir)
+      val terms = Seq("spark", "vector", "window")
+      val lex = graft.operators.SearchOps.searchBm25Any(s, idx, terms, k = 20)
+        .select(col("doc_id"), col("rk"))
+      val qld = graft.operators.SearchOps.searchQld(s, idx, terms, k = 20)
+        .select(col("doc_id"), col("rk"))
+      graft.operators.SearchOps.rrfFuse(Seq(lex, qld), k = 10)
+        .orderBy(col("rk"))
+    }),
+
     // the indexed SQ8 probe's recall audit (every approximate path in
     // the repo carries one) — nProbe=2 like the other recall entries
     "sim_ann_ivf_sq8_indexed_recall" -> ((s, dir) => {
@@ -3593,6 +3609,22 @@ object SimilarityQueries {
       |    round(${cosSql("qv", "l.embedding")}, 6) AS cos_sim
       |  FROM lists l JOIN probes p ON l.list_id = p.list_id AND l.vec_id <> p.query_id)""".stripMargin
 
+  /** BM25 ∪ QLD rank fusion — both legs are the already-gated lexical
+    * mirrors at k = 20, fused by the same floor(1e6/(60+rk)) fold. */
+  private lazy val hybridQldRrfOracleSql =
+    s"""WITH lex AS (SELECT doc_id, rk FROM (${TextQueries.searchBm25AnyList20Sql}) l),
+      |qld AS (SELECT doc_id, rk FROM (${TextQueries.searchQldSql(20)}) m),
+      |parts AS (
+      |  SELECT doc_id, CAST(floor(1000000.0 / (60 + rk)) AS BIGINT) AS rrf_part FROM lex
+      |  UNION ALL
+      |  SELECT doc_id, CAST(floor(1000000.0 / (60 + rk)) AS BIGINT) FROM qld),
+      |fused AS (SELECT doc_id, CAST(sum(rrf_part) AS BIGINT) AS rrf_x1e6,
+      |  CAST(count(*) AS BIGINT) AS n_lists FROM parts GROUP BY doc_id)
+      |SELECT doc_id, rrf_x1e6, n_lists, rk FROM (
+      |  SELECT *, CAST(row_number() OVER
+      |    (ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS rk FROM fused) f
+      |WHERE rk <= 10 ORDER BY rk""".stripMargin
+
   private lazy val hybridRrfOracleSql =
     s"""WITH ${hybridSemCtes("vec_id = 0")},
       |sem AS (SELECT neighbor_id AS doc_id, rk FROM (
@@ -3972,6 +4004,7 @@ object SimilarityQueries {
     "sim_ann_ivfpq_rerank" -> ivfPqRerankOracleSql,
     "sim_ann_ivfpq_rerank_recall" -> ivfPqRerankRecallOracleSql,
     "hybrid_search_rrf" -> hybridRrfOracleSql,
+    "hybrid_qld_rrf" -> hybridQldRrfOracleSql,
     "hybrid_search_rrf_batch" -> hybridRrfBatchOracleSql,
     "hybrid_search_weighted" -> hybridWeightedOracleSql,
     "hybrid_search_weighted_batch" -> hybridWeightedBatchOracleSql,

@@ -715,6 +715,34 @@ object TextQueries {
   // gated BM25 mirrors)
   private[graft] lazy val searchBm25AnyList20Sql = searchBm25SqlOver("", 20)
 
+  /** Mirror of [[SearchOps.searchQld]] (Dirichlet μ = 2000, query
+    * spark/vector/window) parameterized over the cut — shared by the
+    * gated probe and the RRF fusion's QLD leg. */
+  private[graft] def searchQldSql(k: Int): String =
+    s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
+      |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
+      |ct AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl),
+      |q AS (SELECT term, doc_id, CAST(tf AS BIGINT) AS tf FROM idx
+      |  WHERE term IN ('spark', 'vector', 'window')),
+      |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM q GROUP BY 1),
+      |grid AS (SELECT c.doc_id, t.term
+      |  FROM (SELECT DISTINCT doc_id FROM q) c
+      |  CROSS JOIN (SELECT unnest(['spark', 'vector', 'window']) AS term) t),
+      |g2 AS (SELECT grid.term, grid.doc_id,
+      |    coalesce(q.tf, 0)::BIGINT AS tf
+      |  FROM grid LEFT JOIN q
+      |    ON q.term = grid.term AND q.doc_id = grid.doc_id),
+      |sc AS (SELECT doc_id, CAST(floor(1000000.0 *
+      |    ln((tf * c_total + 2000 * cf)::DOUBLE /
+      |       (c_total * (dl + 2000))::DOUBLE)) AS BIGINT) AS addend
+      |  FROM g2 JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN ct),
+      |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, score,
+      |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      |FROM hits ORDER BY rk LIMIT $k""".stripMargin
+
   private[graft] lazy val searchAndSql =
     s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
       |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
@@ -2959,30 +2987,7 @@ object TextQueries {
       "text_search_bm25" -> searchBm25Sql,
       // Dirichlet QLD: dense candidate×term grid (absent terms keep
       // their smoothed collection mass), integer-rational addends
-      "text_search_qld" ->
-        s"""WITH idx AS (SELECT t.token AS term, doc_id, count(*) AS tf
-          |  FROM documents, LATERAL unnest(${OracleSql.toks}) t(token) GROUP BY 1, 2),
-          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM idx GROUP BY 1),
-          |ct AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl),
-          |q AS (SELECT term, doc_id, CAST(tf AS BIGINT) AS tf FROM idx
-          |  WHERE term IN ('spark', 'vector', 'window')),
-          |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM q GROUP BY 1),
-          |grid AS (SELECT c.doc_id, t.term
-          |  FROM (SELECT DISTINCT doc_id FROM q) c
-          |  CROSS JOIN (SELECT unnest(['spark', 'vector', 'window']) AS term) t),
-          |g2 AS (SELECT grid.term, grid.doc_id,
-          |    coalesce(q.tf, 0)::BIGINT AS tf
-          |  FROM grid LEFT JOIN q
-          |    ON q.term = grid.term AND q.doc_id = grid.doc_id),
-          |sc AS (SELECT doc_id, CAST(floor(1000000.0 *
-          |    ln((tf * c_total + 2000 * cf)::DOUBLE /
-          |       (c_total * (dl + 2000))::DOUBLE)) AS BIGINT) AS addend
-          |  FROM g2 JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN ct),
-          |hits AS (SELECT doc_id, CAST(sum(addend) AS BIGINT) AS score
-          |  FROM sc GROUP BY 1)
-          |SELECT doc_id, score,
-          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-          |FROM hits ORDER BY rk LIMIT 10""".stripMargin,
+      "text_search_qld" -> searchQldSql(10),
       "text_search_rm3" -> searchRm3Sql,
       "text_search_rm3_terms" ->
         s"""WITH $rm3Ctes

@@ -1143,6 +1143,37 @@ object RelationalQueries {
         .orderBy(col("relationship"))
     }),
 
+    // Uniqueness audit (r19) — the key-constraint complement of the
+    // referential audit: per declared key, total rows, distinct keys,
+    // duplicated rows/keys, and the duplication rate in ppm. The
+    // fourth row audits a SIMULATED double-load (orders ∪ every 10th
+    // order re-ingested) so the non-zero path is exercised. One
+    // grouped count per key — the warehouse post-load constraint
+    // check, map-side combined, near-metadata output.
+    "dq_uniqueness_audit" -> ((s, dir) => {
+      def audit(name: String, df: DataFrame, keys: Seq[String]) = {
+        val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        g.agg(sum(col("n")).as("total_rows"),
+            count(lit(1)).as("distinct_keys"),
+            coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+              .as("dup_rows"),
+            coalesce(sum(when(col("n") > 1, 1L)), lit(0L)).as("dup_keys"))
+          .select(lit(name).as("key"), col("total_rows"),
+            col("distinct_keys"), col("dup_rows"), col("dup_keys"),
+            expr("dup_rows * 1000000 div total_rows").as("dup_ppm"))
+      }
+      val o = Tables.orders(s, dir)
+      audit("orders.o_orderkey", o, Seq("o_orderkey"))
+        .unionAll(audit("lineitem.(l_orderkey,l_linenumber)",
+          Tables.lineitem(s, dir), Seq("l_orderkey", "l_linenumber")))
+        .unionAll(audit("customer.c_custkey", Tables.customer(s, dir),
+          Seq("c_custkey")))
+        .unionAll(audit("orders_doubleload.o_orderkey",
+          o.unionAll(o.filter(col("o_orderkey") % 10 === 0)),
+          Seq("o_orderkey")))
+        .orderBy(col("key"))
+    }),
+
     // Pearson correlation matrix over (quantity, extendedprice,
     // discount): ONE scan accumulates every Σx/Σx²/Σxy as an EXACT
     // DECIMAL(38,0) of the cents quantization (order-independent, no
@@ -1996,6 +2027,27 @@ object RelationalQueries {
         |SELECT c_mktsegment, seg_n, seg_sum, gm_cents,
         |  (seg_sum + 100 * gm_cents) // (seg_n + 100) AS enc_cents
         |FROM seg CROSS JOIN g ORDER BY c_mktsegment""".stripMargin,
+    "dq_uniqueness_audit" -> {
+      def one(name: String, rel: String, keys: String) =
+        s"""SELECT '$name' AS key, CAST(sum(n) AS BIGINT) AS total_rows,
+          |  count(*)::BIGINT AS distinct_keys,
+          |  coalesce(CAST(sum(n) FILTER (n > 1) AS BIGINT), 0) AS dup_rows,
+          |  coalesce(count(*) FILTER (n > 1), 0)::BIGINT AS dup_keys,
+          |  coalesce(CAST(sum(n) FILTER (n > 1) AS BIGINT), 0) * 1000000
+          |    // CAST(sum(n) AS BIGINT) AS dup_ppm
+          |FROM (SELECT count(*) AS n FROM $rel GROUP BY $keys)""".stripMargin
+      s"""${one("orders.o_orderkey", "orders", "o_orderkey")}
+        |UNION ALL
+        |${one("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+          "l_orderkey, l_linenumber")}
+        |UNION ALL
+        |${one("customer.c_custkey", "customer", "c_custkey")}
+        |UNION ALL
+        |${one("orders_doubleload.o_orderkey",
+          "(SELECT * FROM orders UNION ALL SELECT * FROM orders WHERE o_orderkey % 10 = 0)",
+          "o_orderkey")}
+        |ORDER BY key""".stripMargin
+    },
     "dq_referential_audit" ->
       """WITH a AS (
         |  SELECT 'customer.c_nationkey->nation' AS relationship,

@@ -261,6 +261,169 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // HOLT'S LINEAR-TREND exponential smoothing (Holt 1957) of the
+    // per-type daily revenue, α = β = 1/2 so every update is an exact
+    // integer halving:  lₜ = ⌊(yₜ + lₜ₋₁ + bₜ₋₁)/2⌋,
+    // bₜ = ⌊(bₜ₋₁ + (lₜ − lₜ₋₁))/2⌋ — the float-free member of the
+    // exponential-smoothing family, so the 3-step-ahead forecast
+    // hash-gates. b (and transiently the level sum) CAN go negative,
+    // and Spark's `div` truncates while DuckDB's `//` floors — so the
+    // halving is written as the portable floor-div
+    // (x − ((x % 2) + 2) % 2) div 2 (even numerator ⇒ truncation ≡
+    // floor on both engines). The recurrence folds over ONE
+    // day-grid-bounded array row per type via the `aggregate` HOF
+    // (the events_survival_km discipline — never a driver collect);
+    // the oracle walks the same recurrence as a recursive CTE keyed
+    // by type (all series recurse in parallel).
+    "events_forecast_holt" -> ((s, dir) => {
+      def fd2(e: String) = s"(($e) - (((($e) % 2) + 2) % 2)) div 2"
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      daily
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+          .as("a"))
+        .select(col("event_type"), size(col("a")).cast("long").as("n_days"),
+          expr(s"""aggregate(a,
+            |named_struct('l', CAST(NULL AS BIGINT), 'b', CAST(0 AS BIGINT)),
+            |(acc, x) -> CASE WHEN acc.l IS NULL
+            |  THEN named_struct('l', x.y, 'b', CAST(0 AS BIGINT))
+            |  ELSE named_struct(
+            |    'l', ${fd2("x.y + acc.l + acc.b")},
+            |    'b', ${fd2(s"acc.b + (${fd2("x.y + acc.l + acc.b")}) - acc.l")})
+            |  END)""".stripMargin).as("st"))
+        .select(col("event_type"), col("n_days"),
+          col("st.l").as("level_cents"), col("st.b").as("trend_cents"),
+          (col("st.l") + col("st.b")).as("f1_cents"),
+          (col("st.l") + col("st.b") * 2).as("f2_cents"),
+          (col("st.l") + col("st.b") * 3).as("f3_cents"))
+        .orderBy(col("event_type"))
+    }),
+
+    // THEIL-SEN robust trend (Theil 1950, Sen 1968): the median of all
+    // pairwise slopes between the per-type DAILY revenue points — the
+    // outlier-immune complement of events_regression's OLS slope (one
+    // corrupted day moves OLS arbitrarily; it moves the pairwise-slope
+    // median by at most one rank). The pair expansion is over the
+    // DAY GRID, not the events (≤ C(days,2) rows per type — bounded by
+    // the calendar, invariant in data volume), so the "quadratic"
+    // estimator is metadata-sized at any scale. Slopes quantize as the
+    // portable floor-div (y₂−y₁)·10⁴ fdiv (d₂−d₁) (slopes go negative
+    // — same truncate-vs-floor trap as the Holt fold); the median is
+    // the deterministic LOWER median via row_number rank (P+1) div 2.
+    "stats_theil_sen" -> ((s, dir) => {
+      def fdiv(x: String, n: String) =
+        s"(($x) - ((($x) % ($n)) + ($n)) % ($n)) div ($n)"
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .select(col("a.event_type").as("event_type"),
+          col("a.day").as("d1"), col("b.day").as("d2"),
+          expr(fdiv("(b.y - a.y) * 10000", "b.day - a.day"))
+            .as("slope_e4"))
+      val rk = pairs.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("slope_e4"), col("d1"), col("d2"))))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      rk.filter(col("rk") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          col("slope_e4").as("median_slope_e4"))
+        .orderBy(col("event_type"))
+    }),
+
+    // POISSON-BOOTSTRAP confidence interval for the per-type mean
+    // (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    // streams" — THE bootstrap at cluster scale): instead of resampling
+    // by index (impossible without materializing N draws), every row
+    // gets an independent Poisson(1) replication weight per replicate,
+    // drawn DETERMINISTICALLY from md5(event_id ":" b) quantized
+    // against the Poisson(1) CDF in ppm — so the whole bootstrap is
+    // one explode + one grouped agg, single-pass, reproducible, and
+    // mirrorable. B = 64 replicates; CI = the 4th/61st order
+    // statistics of the replicate means (≈ 5%/95%), ranked inside a
+    // B-bounded per-type window. Exact integer means (cents, div);
+    // cost is B× the event scan — flat in cluster terms since B is a
+    // constant and the explode never shuffles (weights are per-row
+    // expressions).
+    "stats_bootstrap_ci" -> ((s, dir) => {
+      val B = 64
+      val e = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      val rep = e
+        .select(col("event_type"), col("event_id"), col("cents"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("u",
+          conv(substring(md5(concat_ws(":", col("event_id"), col("b"))),
+            1, 6), 16, 10).cast("long") % 1000000)
+        // Poisson(1) CDF in ppm: 367879, 735758, 919698, 981011, 996340
+        .withColumn("w", expr(
+          """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+            |WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+            |WHEN u < 996340 THEN 4 ELSE 5 END""".stripMargin))
+      val means = rep.groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+        .filter(col("sw") > 0)
+        .select(col("event_type"), col("b"), expr("swc div sw").as("mean_b"))
+      val rk = means.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("mean_b"), col("b"))))
+      val pt = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(cents) div count(1)").as("mean_cents"))
+      pt.join(rk.filter(col("rk") === 4)
+          .select(col("event_type"), col("mean_b").as("lo_cents")),
+          Seq("event_type"))
+        .join(rk.filter(col("rk") === B - 3)
+          .select(col("event_type"), col("mean_b").as("hi_cents")),
+          Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
+    // PEARSON CHI-SQUARED test of independence (event_type ×
+    // day-of-week) — the categorical complement of the KS/PSI drift
+    // pair: "does the type mix depend on the weekday at all?". Each
+    // cell's (O−E)²/E is evaluated as the exact rational
+    // (O·N − R·C)²·1e6 div (N·R·C) — no float E, no rounding drift.
+    // The squared numerator reaches (O·N)² ≈ N⁴ so the products run
+    // in DECIMAL(38,0) (HUGEINT on the oracle side) — exact to
+    // N ≈ 10⁸ rows; past that widen the 1e6 scale down. One grouped
+    // count + two marginal aggs broadcast back onto the ≤ types×7
+    // cell grid; output is one row.
+    "stats_chi2_independence" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("((ts_sec div 86400) + 4) % 7").as("dow"))
+      val o = e.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val c = o.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+      val n = o.agg(sum(col("o")).as("nn"))
+      o.join(broadcast(r), Seq("event_type"))
+        .join(broadcast(c), Seq("dow"))
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("dow"), col("nn"),
+          expr("""CAST(
+            (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * ct)
+            * (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * ct)
+            * 1000000
+            div (CAST(nn AS DECIMAL(38,0)) * r * ct) AS BIGINT)""")
+            .as("term"))
+        .agg(max(col("nn")).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("dow")).as("n_dows"),
+          sum(col("term")).as("chi2_ppm"))
+        .select(col("n_events"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+          col("chi2_ppm"))
+    }),
+
     // two-sample KOLMOGOROV-SMIRNOV drift test per series — the
     // distribution-shape complement of the PSI monitor (PSI sees mass
     // move between coarse bins; KS sees any ECDF separation, bins be
@@ -634,6 +797,60 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // KAPLAN-MEIER survival estimate (Kaplan & Meier, JASA 1958) of
+    // time-to-first-purchase with ADMINISTRATIVE right-censoring at a
+    // 5-day horizon — the "conversion within horizon" survival curve
+    // (users who never purchase inside the window are censored at the
+    // horizon, NOT dropped: that's the whole point of KM vs a naive
+    // ECDF). S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) evaluated as an exact
+    // integer recurrence: s ← (s·(nᵢ−dᵢ)) div nᵢ from s₀ = 1e6, so
+    // the curve hash-gates with no float product. The per-day KM
+    // table is horizon-bounded (≤ 6 rows); the sequential product
+    // folds over ONE collected-to-array row via the `aggregate` HOF —
+    // never a driver collect, and s·n ≤ 1e6·|users| stays inside
+    // BIGINT to 9×10¹² users. Risk sets via one suffix-sum window
+    // over the horizon-bounded day grid.
+    "events_survival_km" -> ((s, dir) => {
+      val horizon = 5L
+      val e = Tables.events(s, dir)
+      val fu = e.groupBy(col("user_id")).agg(min(col("ts_us")).as("fu"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("pu"))
+      val tconv = expr("(pu - fu) div 86400000000")
+      val obs = fu.join(pu, Seq("user_id"), "left")
+        .select(
+          when(col("pu").isNotNull && tconv <= horizon, tconv)
+            .otherwise(lit(horizon)).as("t"),
+          (col("pu").isNull || tconv > horizon).as("cens"))
+      val grp = obs.groupBy(col("t")).agg(
+        count(lit(1)).as("n_t"),
+        sum(when(!col("cens"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
+      // suffix sum = at-risk count; unpartitioned window over the
+      // horizon-bounded (≤ 6-row) day grid, never the raw events
+      val w = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val steps = grp.withColumn("n", sum(col("n_t")).over(w))
+        .filter(col("d") > 0)
+      steps
+        .agg(sort_array(collect_list(
+          struct(col("t"), col("d"), col("c"), col("n")))).as("a"))
+        .select(explode(expr(
+          """aggregate(a,
+            |named_struct('s', CAST(1000000 AS BIGINT),
+            |  'o', CAST(array() AS
+            |    array<struct<t:bigint,d:bigint,c:bigint,n:bigint,s:bigint>>)),
+            |(acc, x) -> named_struct(
+            |  's', (acc.s * (x.n - x.d)) div x.n,
+            |  'o', array_append(acc.o, named_struct('t', x.t, 'd', x.d,
+            |    'c', x.c, 'n', x.n, 's', (acc.s * (x.n - x.d)) div x.n))),
+            |acc -> acc.o)""".stripMargin)).as("r"))
+        .select(col("r.t").as("t_days"), col("r.n").as("n_risk"),
+          col("r.d").as("n_death"), col("r.c").as("n_censored"),
+          col("r.s").as("s_ppm"))
+        .orderBy(col("t_days"))
+    }),
+
     // first-order MARKOV transition matrix over per-user event
     // sequences (r19): P(next_type | prev_type) in exact ppm — the
     // behavioral-model summary behind next-action prediction and
@@ -919,6 +1136,124 @@ object EventQueries {
         |    ON g.window_start = a.window_start AND g.event_type = a.event_type) j
         |ORDER BY window_start, event_type""".stripMargin,
     "events_markov" -> markovSql,
+    // the KM integer recurrence mirrors as a recursive CTE walking the
+    // rank-ordered death days (DuckDB side of the `aggregate` HOF fold)
+    "events_survival_km" ->
+      """WITH RECURSIVE fu AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS fu FROM events GROUP BY user_id),
+        |pu AS (SELECT user_id, min(epoch_us(ts)) AS pu FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |obs AS (SELECT
+        |    CASE WHEN pu.pu IS NOT NULL AND (pu.pu - fu.fu) // 86400000000 <= 5
+        |         THEN (pu.pu - fu.fu) // 86400000000 ELSE 5 END AS t,
+        |    (pu.pu IS NULL OR (pu.pu - fu.fu) // 86400000000 > 5) AS cens
+        |  FROM fu LEFT JOIN pu ON fu.user_id = pu.user_id),
+        |grp AS (SELECT t, count(*)::BIGINT AS n_t,
+        |    sum(CASE WHEN cens THEN 0 ELSE 1 END)::BIGINT AS d,
+        |    sum(CASE WHEN cens THEN 1 ELSE 0 END)::BIGINT AS c
+        |  FROM obs GROUP BY t),
+        |steps AS (SELECT t, d, c,
+        |    CAST(sum(n_t) OVER (ORDER BY t DESC) AS BIGINT) AS n FROM grp),
+        |ds AS (SELECT t, d, c, n, row_number() OVER (ORDER BY t) AS rk
+        |  FROM steps WHERE d > 0),
+        |km AS (
+        |  SELECT t, d, c, n, rk, (1000000 * (n - d)) // n AS s
+        |  FROM ds WHERE rk = 1
+        |  UNION ALL
+        |  SELECT ds.t, ds.d, ds.c, ds.n, ds.rk, (km.s * (ds.n - ds.d)) // ds.n
+        |  FROM km JOIN ds ON ds.rk = km.rk + 1)
+        |SELECT t AS t_days, n AS n_risk, d AS n_death, c AS n_censored,
+        |  s AS s_ppm
+        |FROM km ORDER BY t_days""".stripMargin,
+    "events_forecast_holt" -> {
+      def fd2(e: String) = s"(($e) - (((($e) % 2) + 2) % 2)) // 2"
+      s"""WITH RECURSIVE d0 AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |daily AS (SELECT event_type, day, sum(cents)::BIGINT AS y
+        |  FROM d0 GROUP BY 1, 2),
+        |dr AS (SELECT event_type, day, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+        |  FROM daily),
+        |nd AS (SELECT event_type, count(*)::BIGINT AS n_days
+        |  FROM daily GROUP BY 1),
+        |h AS (
+        |  SELECT event_type, rk, y AS l, CAST(0 AS BIGINT) AS b
+        |  FROM dr WHERE rk = 1
+        |  UNION ALL
+        |  SELECT dr.event_type, dr.rk,
+        |    ${fd2("dr.y + h.l + h.b")},
+        |    ${fd2(s"h.b + (${fd2("dr.y + h.l + h.b")}) - h.l")}
+        |  FROM h JOIN dr ON dr.event_type = h.event_type
+        |    AND dr.rk = h.rk + 1)
+        |SELECT h.event_type, n_days, l AS level_cents, b AS trend_cents,
+        |  l + b AS f1_cents, l + 2 * b AS f2_cents, l + 3 * b AS f3_cents
+        |FROM h JOIN nd USING (event_type) WHERE h.rk = n_days
+        |ORDER BY event_type""".stripMargin
+    },
+    "stats_theil_sen" -> {
+      def fdiv(x: String, n: String) =
+        s"(($x) - ((($x) % ($n)) + ($n)) % ($n)) // ($n)"
+      s"""WITH d0 AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |daily AS (SELECT event_type, day, sum(cents)::BIGINT AS y
+        |  FROM d0 GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+        |    ${fdiv("(b.y - a.y) * 10000", "b.day - a.day")} AS slope_e4
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |rk AS (SELECT event_type, slope_e4,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_e4, d1, d2) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS np FROM p)
+        |SELECT event_type, np::BIGINT AS n_pairs,
+        |  slope_e4 AS median_slope_e4
+        |FROM rk WHERE rk = (np + 1) // 2 ORDER BY event_type""".stripMargin
+    },
+    "stats_bootstrap_ci" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |rep AS (SELECT event_type, cents, t.b,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+        |      CAST(t.b AS VARCHAR)), 1, 6))::BIGINT % 1000000 AS u
+        |  FROM e, range(0, 64) t(b)),
+        |w AS (SELECT event_type, b, cents,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |         WHEN u < 996340 THEN 4 ELSE 5 END AS w FROM rep),
+        |m AS (SELECT event_type, b,
+        |    CAST(sum(w * cents) AS BIGINT) // CAST(sum(w) AS BIGINT) AS mean_b
+        |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+        |rk AS (SELECT event_type, b, mean_b,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY mean_b, b) AS rk FROM m),
+        |pt AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    CAST(sum(cents) AS BIGINT) // count(*) AS mean_cents
+        |  FROM e GROUP BY 1)
+        |SELECT pt.event_type, n, mean_cents,
+        |  max(CASE WHEN rk = 4 THEN mean_b END) AS lo_cents,
+        |  max(CASE WHEN rk = 61 THEN mean_b END) AS hi_cents
+        |FROM pt JOIN rk USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "stats_chi2_independence" ->
+      """WITH e AS (SELECT event_type,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow FROM events),
+        |o AS (SELECT event_type, dow, count(*)::BIGINT AS o
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(o)::BIGINT AS r FROM o GROUP BY 1),
+        |c AS (SELECT dow, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
+        |n AS (SELECT sum(o)::BIGINT AS nn FROM o),
+        |t AS (SELECT o.event_type, o.dow, nn,
+        |    CAST((CAST(o.o AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.ct)
+        |      * (CAST(o.o AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.ct)
+        |      * 1000000
+        |      // (CAST(nn AS HUGEINT) * r.r * c.ct) AS BIGINT) AS term
+        |  FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n)
+        |SELECT max(nn) AS n_events,
+        |  (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS dof,
+        |  sum(term)::BIGINT AS chi2_ppm
+        |FROM t""".stripMargin,
     "stats_ks_drift" ->
       s"""WITH g AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

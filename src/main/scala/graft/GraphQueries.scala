@@ -50,6 +50,19 @@ object GraphQueries {
     "graph_ppr" -> ((s, dir) =>
       GraphOps.pageRankPersonalized(s, dir, iters = 3, nSeeds = 5)
         .orderBy(col("rank_ppb").desc, col("node")).limit(30)),
+    // EDGE EMBEDDEDNESS: neighborhood-Jaccard tie strength of every
+    // existing backbone edge — high = redundant intra-community tie,
+    // zero = Granovetter bridge; the edge-level complement of the
+    // link predictor (absent pairs) and triangles (nodes)
+    "graph_edge_embeddedness" -> ((s, dir) =>
+      GraphOps.edgeEmbeddedness(s, dir, k = 30)),
+    // HITS hubs & authorities (2 iterations) on the DIRECTED backbone —
+    // the mutual-reinforcement pair PageRank can't express; ppm-of-L1
+    // integer normalization per half-iteration (see GraphOps.hits for
+    // the BIGINT bound)
+    "graph_hits" -> ((s, dir) =>
+      GraphOps.hits(s, dir, iters = 2)
+        .orderBy(col("auth_ppm").desc, col("node")).limit(40)),
     // Newman modularity of the 4-round LP partition — the one-number
     // "did the clustering find real structure?" verdict (Q > 0 ⇔ more
     // intra-community edges than a degree-preserving random rewiring);
@@ -571,6 +584,47 @@ object GraphQueries {
       s"""WITH $weightedPrCtes
         |SELECT node, r AS rank_ppb FROM r3
         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin,
+    "graph_edge_embeddedness" ->
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM backbone UNION ALL SELECT dst, src FROM backbone),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+        |cnb AS (SELECT e.src AS a, e.dst AS b, count(*)::BIGINT AS nc
+        |  FROM backbone e JOIN sym x ON x.src = e.src
+        |  JOIN sym y ON y.src = e.dst AND y.dst = x.dst
+        |  GROUP BY 1, 2),
+        |base AS (SELECT e.src AS a, e.dst AS b, coalesce(cnb.nc, 0) AS nc
+        |  FROM backbone e LEFT JOIN cnb ON cnb.a = e.src AND cnb.b = e.dst)
+        |SELECT base.a, base.b, nc AS n_common, da.d AS da, db.d AS db,
+        |  nc * 1000000 // (da.d + db.d - 2 - nc) AS embed_ppm
+        |FROM base JOIN deg da ON base.a = da.node
+        |JOIN deg db ON base.b = db.node
+        |WHERE da.d + db.d - 2 - nc > 0
+        |ORDER BY embed_ppm DESC, a, b LIMIT 30""".stripMargin,
+    "graph_hits" -> {
+      // one normalized half-iteration: pull across key→out, L1-ppm
+      def pull(out: String, in: String, key: String, dst: String) =
+        s"""${out}raw AS MATERIALIZED (
+          |  SELECT e.$dst AS node, CAST(sum($in.s) AS BIGINT) AS raw
+          |  FROM backbone e JOIN $in ON e.$key = $in.node GROUP BY e.$dst),
+          |${out}t AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM ${out}raw),
+          |$out AS MATERIALIZED (
+          |  SELECT node, (raw * 1000000) // (SELECT t FROM ${out}t) AS s
+          |  FROM ${out}raw)""".stripMargin
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |h0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000 AS BIGINT) AS s FROM (
+        |    SELECT DISTINCT src AS node FROM backbone
+        |    UNION SELECT DISTINCT dst FROM backbone)),
+        |${pull("a1", "h0", "src", "dst")},
+        |${pull("h1", "a1", "dst", "src")},
+        |${pull("a2", "h1", "src", "dst")},
+        |${pull("h2", "a2", "dst", "src")}
+        |SELECT coalesce(a2.node, h2.node) AS node,
+        |  coalesce(a2.s, 0) AS auth_ppm, coalesce(h2.s, 0) AS hub_ppm
+        |FROM a2 FULL JOIN h2 ON a2.node = h2.node
+        |ORDER BY auth_ppm DESC, node LIMIT 40""".stripMargin
+    },
     "graph_modularity" -> {
       def round(k: Int) =
         s"""l$k AS MATERIALIZED (

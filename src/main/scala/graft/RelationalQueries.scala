@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1150,6 +1150,40 @@ object RelationalQueries {
     // order re-ingested) so the non-zero path is exercised. One
     // grouped count per key — the warehouse post-load constraint
     // check, map-side combined, near-metadata output.
+    // COMPLETENESS audit — the third leg of the DQ triad (referential,
+    // uniqueness, completeness): per declared column, null and
+    // blank-string counts and the completeness ppm. The fixture is
+    // fully populated, so the last two rows audit a simulated dirty
+    // load (documents ∪ one NULL-text/blank-lang row — the
+    // uniqueness-audit trick) to exercise the non-zero path. One agg
+    // per column, map-side combined; output is columns-bounded.
+    "dq_completeness_audit" -> ((s, dir) => {
+      def audit(name: String, df: DataFrame, c: Column,
+          blankable: Boolean) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+            sum(when(if (blankable) c.isNotNull && c === "" else lit(false),
+              1L).otherwise(0L)).as("n_blank"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_blank"),
+            expr("(n_rows - n_null - n_blank) * 1000000 div n_rows")
+              .as("complete_ppm"))
+      val d = Tables.documents(s, dir).select(col("text"), col("lang"))
+      val dirty = d.unionAll(s.range(1).select(
+        lit(null).cast("string").as("text"), lit("").as("lang")))
+      audit("documents.lang", d, col("lang"), blankable = true)
+        .unionAll(audit("documents.text", d, col("text"), blankable = true))
+        .unionAll(audit("documents_dirty.lang", dirty, col("lang"),
+          blankable = true))
+        .unionAll(audit("documents_dirty.text", dirty, col("text"),
+          blankable = true))
+        .unionAll(audit("events.props", Tables.events(s, dir),
+          col("props"), blankable = true))
+        .unionAll(audit("events.value", Tables.events(s, dir),
+          col("value"), blankable = false))
+        .orderBy(col("col_name"))
+    }),
+
     "dq_uniqueness_audit" -> ((s, dir) => {
       def audit(name: String, df: DataFrame, keys: Seq[String]) = {
         val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
@@ -2047,6 +2081,34 @@ object RelationalQueries {
           "(SELECT * FROM orders UNION ALL SELECT * FROM orders WHERE o_orderkey % 10 = 0)",
           "o_orderkey")}
         |ORDER BY key""".stripMargin
+    },
+    "dq_completeness_audit" -> {
+      def one(name: String, rel: String, c: String, blankable: Boolean) = {
+        val blank =
+          if (blankable) s"sum(CASE WHEN $c = '' THEN 1 ELSE 0 END)"
+          else "0"
+        s"""SELECT '$name' AS col_name, count(*)::BIGINT AS n_rows,
+          |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+          |  coalesce($blank, 0)::BIGINT AS n_blank
+          |FROM $rel""".stripMargin
+      }
+      val dirty = "(SELECT text, lang FROM documents " +
+        "UNION ALL SELECT NULL, '')"
+      s"""WITH a AS (
+        |${one("documents.lang", "documents", "lang", blankable = true)}
+        |UNION ALL
+        |${one("documents.text", "documents", "text", blankable = true)}
+        |UNION ALL
+        |${one("documents_dirty.lang", dirty, "lang", blankable = true)}
+        |UNION ALL
+        |${one("documents_dirty.text", dirty, "text", blankable = true)}
+        |UNION ALL
+        |${one("events.props", "events", "props", blankable = true)}
+        |UNION ALL
+        |${one("events.value", "events", "value", blankable = false)})
+        |SELECT col_name, n_rows, n_null, n_blank,
+        |  (n_rows - n_null - n_blank) * 1000000 // n_rows AS complete_ppm
+        |FROM a ORDER BY col_name""".stripMargin
     },
     "dq_referential_audit" ->
       """WITH a AS (

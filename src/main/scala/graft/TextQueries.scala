@@ -1200,6 +1200,99 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // TEXTRANK keywords (Mihalcea & Tarau, EMNLP 2004): PageRank over
+    // the token CO-OCCURRENCE graph — keywords are tokens that sit in
+    // well-connected neighborhoods, not merely frequent ones (the
+    // centrality upgrade over text_vocab_topk). Graph: adjacent-token
+    // pairs, both non-stopword with corpus freq ≥ 10 (the cut bounds
+    // the graph by VOCABULARY, not corpus size), undirected with
+    // co-occurrence weights; then 2 iterations of weight-proportional
+    // PageRank in exact ppb (the graph_pagerank_weighted integer
+    // discipline: contribution (850·r·w) div (1000·W(u)) — BIGINT-safe
+    // while edge weight ≤ ~10⁷). n and r₀ are plan-time scalars of
+    // the vocab-bounded node set; every iteration is one edge⋈rank
+    // shuffle + node-keyed agg. Top-20 via TakeOrderedAndProject.
+    "text_textrank_keywords" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = TextOps.tokens(col("text"))
+      val uni = d.select(explode(t).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val keep = uni
+        .filter(col("c") >= 10 &&
+          !col("w").isInCollection(TextOps.stopwords("en")))
+        .select(col("w"))
+      val bgArr = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val fb = d.select(explode(bgArr).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+        .join(keep.select(col("w").as("w1")), Seq("w1"), "left_semi")
+        .join(keep.select(col("w").as("w2")), Seq("w2"), "left_semi")
+      val e = fb.select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+      def sym() = e.select(col("a").as("src"), col("b").as("dst"), col("wt"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("wt")))
+      val wu = sym().groupBy(col("src").as("node")).agg(sum(col("wt")).as("wu"))
+      // plan-time scalar over the vocab-bounded node set (the
+      // GraphOps.pageRank pattern)
+      val n = sym().select(col("src")).distinct().count()
+      val r0 = 1000000000L / n
+      val base = (150L * r0) / 1000L
+      var r = sym().select(col("src").as("node")).distinct()
+        .withColumn("r", lit(r0))
+      for (_ <- 1 to 2) {
+        r = sym().as("e")
+          .join(r.as("rk"), col("e.src") === col("rk.node"))
+          .join(wu.as("d"), col("e.src") === col("d.node"))
+          .select(col("e.dst").as("node"),
+            expr("(850 * r * wt) div (1000 * wu)").as("cc"))
+          .groupBy(col("node")).agg((lit(base) + sum(col("cc"))).as("r"))
+      }
+      r.orderBy(col("r").desc, col("node")).limit(20)
+        .select(col("node").as("token"), col("r").as("rank_ppb"))
+    }),
+
+    // PMI COLLOCATIONS (Church & Hanks, CL 1990): the top bigram
+    // collocations by pointwise mutual information — the classic
+    // phrase-mining signal ("which word pairs co-occur far above
+    // chance?") behind tokenizer-vocab seeding and stopword-phrase
+    // audits. PMI = ln(p_xy/(p_x·p_y)) is monotone in the inner LIFT
+    // ratio c_xy·U² / (T·c_x·c_y), so the ranking is computed as that
+    // ratio in exact ppm — no log quantization at all; the products
+    // run in DECIMAL(38,0)/HUGEINT (c_xy·U²·1e6 passes BIGINT past
+    // ~10⁷ tokens). Two wordcount-shaped aggs (unigrams, bigrams), two
+    // vocab-keyed joins onto the c_xy ≥ 20 support cut (the cut kills
+    // the PMI low-frequency pathology AND bounds the join), top-30 via
+    // TakeOrderedAndProject.
+    "text_pmi_collocations" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = TextOps.tokens(col("text"))
+      val bgArr = when(size(t) >= 2,
+          zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val cxy = d.select(explode(bgArr).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      val tb = cxy.agg(sum(col("c_xy")).as("t_big"))
+      val uni = d.select(explode(t).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ut = uni.agg(sum(col("c")).as("u_tot"))
+      cxy.filter(col("c_xy") >= 20)
+        .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+        .crossJoin(broadcast(tb)).crossJoin(broadcast(ut))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          expr("""CAST(CAST(c_xy AS DECIMAL(38,0)) * u_tot * u_tot * 1000000
+            div (CAST(t_big AS DECIMAL(38,0)) * c_x * c_y) AS BIGINT)""")
+            .as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
     // vocabulary stats: the classic wordcount shape — explode + hash agg
     // with map-side partial combine, ONE shuffle of (token, partial n);
     // top-k via TakeOrderedAndProject (distributed, never a global sort)
@@ -2379,6 +2472,58 @@ object TextQueries {
           |  CAST(sum(wn) AS BIGINT) * 1000 // count(*)
           |    AS tokens_per_word_x1000
           |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+      "text_textrank_keywords" -> {
+        def iter(out: String, in: String) =
+          s"""$out AS MATERIALIZED (SELECT s.dst AS node,
+            |    (SELECT b FROM base) +
+            |    CAST(sum((850 * $in.r * s.wt) // (1000 * wu.wu)) AS BIGINT) AS r
+            |  FROM sym s JOIN $in ON s.src = $in.node
+            |  JOIN wu ON s.src = wu.node GROUP BY s.dst)""".stripMargin
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+          |uni AS (SELECT g AS w, count(*)::BIGINT AS c
+          |  FROM (SELECT unnest(toks) AS g FROM t) GROUP BY 1),
+          |keep AS (SELECT w FROM uni WHERE c >= 10
+          |  AND NOT list_contains(${OracleSql.stopList("en")}, w)),
+          |bg AS (SELECT toks[CAST(u.i AS INT)] AS w1,
+          |    toks[CAST(u.i + 1 AS INT)] AS w2
+          |  FROM t, LATERAL unnest(range(1, len(toks))) u(i)
+          |  WHERE len(toks) >= 2),
+          |fb AS (SELECT w1, w2 FROM bg WHERE w1 <> w2
+          |  AND w1 IN (SELECT w FROM keep) AND w2 IN (SELECT w FROM keep)),
+          |e AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+          |    count(*)::BIGINT AS wt FROM fb GROUP BY 1, 2),
+          |sym AS MATERIALIZED (SELECT a AS src, b AS dst, wt FROM e
+          |  UNION ALL SELECT b, a, wt FROM e),
+          |nn AS (SELECT count(DISTINCT src)::BIGINT AS n FROM sym),
+          |wu AS MATERIALIZED (SELECT src AS node, sum(wt)::BIGINT AS wu
+          |  FROM sym GROUP BY 1),
+          |r0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+          |    1000000000 // (SELECT n FROM nn) AS r FROM sym),
+          |base AS (SELECT (150 * (1000000000 // n)) // 1000 AS b FROM nn),
+          |${iter("r1", "r0")},
+          |${iter("r2", "r1")}
+          |SELECT node AS token, r AS rank_ppb FROM r2
+          |ORDER BY rank_ppb DESC, token LIMIT 20""".stripMargin
+      },
+      "text_pmi_collocations" ->
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+          |bg AS (SELECT toks[CAST(u.i AS INT)] AS w1,
+          |    toks[CAST(u.i + 1 AS INT)] AS w2
+          |  FROM t, LATERAL unnest(range(1, len(toks))) u(i)
+          |  WHERE len(toks) >= 2),
+          |cxy AS (SELECT w1, w2, count(*)::BIGINT AS c_xy
+          |  FROM bg GROUP BY 1, 2),
+          |tb AS (SELECT sum(c_xy)::BIGINT AS t_big FROM cxy),
+          |uni AS (SELECT g AS w, count(*)::BIGINT AS c
+          |  FROM (SELECT unnest(toks) AS g FROM t) GROUP BY 1),
+          |ut AS (SELECT sum(c)::BIGINT AS u_tot FROM uni)
+          |SELECT cxy.w1, cxy.w2, c_xy,
+          |  CAST(CAST(c_xy AS HUGEINT) * u_tot * u_tot * 1000000
+          |    // (CAST(t_big AS HUGEINT) * x.c * y.c) AS BIGINT) AS lift_ppm
+          |FROM cxy JOIN uni x ON cxy.w1 = x.w JOIN uni y ON cxy.w2 = y.w
+          |CROSS JOIN tb CROSS JOIN ut
+          |WHERE c_xy >= 20
+          |ORDER BY lift_ppm DESC, w1, w2 LIMIT 30""".stripMargin,
       "text_ngram_diversity" ->
         s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
           |uni AS (SELECT lang, count(*)::BIGINT AS n_unigrams,

@@ -227,6 +227,57 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_ppb"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) over the
+    * DIRECTED backbone (edges oriented src < dst — the deterministic
+    * orientation the backbone already stores): authority(v) = Σ hub(u)
+    * over in-edges, hub(u) = Σ authority(v) over out-edges, each side
+    * L1-normalized per half-iteration. The mutual-reinforcement
+    * centrality pair PageRank's single score can't express — a part
+    * can be a strong *hub* (points at many strong authorities) without
+    * being an authority itself.
+    *
+    * Integer discipline: scores live in ppm of their side's L1 mass —
+    * normalize(x) = (x·1e6) div Σx, so every score ≤ 1e6 and a raw
+    * half-iteration sum ≤ 1e6·maxdeg. The ppm product 1e6·raw then
+    * stays inside BIGINT while maxdeg ≤ ~9.2e6 — far beyond any
+    * backbone degree (the support ≥ 2 cut removes co-incidence hubs);
+    * past that, widen the normalize products to DECIMAL(38,0).
+    *
+    * Scale shape: each half-iteration is one edge⋈score join shuffled
+    * on the edge key plus a node-keyed agg — the Pregel layout of
+    * [[pageRank]]; the L1 total is a single-row agg broadcast back
+    * onto the scores (never collected). Nodes with no in-edge hold
+    * authority 0 (standard HITS) and drop out of the nonzero output. */
+  def hits(spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
+    val Scale = 1000000L
+    def edges() = backbone(spark, sfDir).select(col("src"), col("dst"))
+    // one half-iteration: pull scores across `key`→`out` edges, then
+    // L1-normalize to ppm (broadcast of the 1-row total)
+    def pull(scores: DataFrame, key: String, out: String): DataFrame = {
+      val raw = edges().as("e")
+        .join(scores.as("sc"), col(s"e.$key") === col("sc.node"))
+        .groupBy(col(s"e.$out").as("node"))
+        .agg(sum(col("sc.s")).as("raw"))
+      val tot = raw.agg(sum(col("raw")).as("t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"), expr(s"(raw * $Scale) div t").as("s"))
+    }
+    var hub = edges().select(col("src").as("node"))
+      .unionAll(edges().select(col("dst").as("node")))
+      .distinct().withColumn("s", lit(Scale))
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = pull(hub, "src", "dst")  // authority: pulled from in-edges
+      hub = pull(auth, "dst", "src")  // hub: pulled from out-edges
+    }
+    auth.select(col("node"), col("s").as("auth_ppm"))
+      .join(hub.select(col("node"), col("s").as("hub_ppm")),
+        Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("auth_ppm"), lit(0L)).as("auth_ppm"),
+        coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
+  }
+
   /** LINK PREDICTION by the resource-allocation index (Zhou, Lü &
     * Zhang 2009): for every non-adjacent pair within two hops, score =
     * Σ_{z ∈ common neighbors} 1/deg(z) — each common neighbor
@@ -264,6 +315,49 @@ object GraphOps {
       .agg(sum(col("alloc")).as("ra_score"),
         count(lit(1)).as("n_common"))
       .orderBy(col("ra_score").desc, col("a"), col("b")).limit(k)
+  }
+
+  /** EDGE EMBEDDEDNESS (Granovetter tie strength via neighborhood
+    * Jaccard — the Easley–Kleinberg formulation): for each EXISTING
+    * backbone edge (a,b), the Jaccard overlap of the endpoints'
+    * neighborhoods excluding each other —
+    * c div ((da−1)+(db−1)−c) in ppm, c = common neighbors. High
+    * embeddedness = redundant intra-community tie; zero = a BRIDGE
+    * (Granovetter's weak tie) — the edge-level complement of
+    * [[linkPredictRa]] (which scores ABSENT pairs) and of the
+    * node-level triangle count. Degree-1-to-degree-1 edges have an
+    * empty union and are excluded (0/0).
+    *
+    * Scale shape: common neighbors come from ONE wedge join (edge list
+    * ⋈ sym ⋈ sym keyed on the shared endpoint then the candidate
+    * neighbor) — deg²-bounded like every triangle-family op, with the
+    * backbone's support ≥ 2 cut as the hub cap; degrees broadcast-join
+    * back; top-k via TakeOrderedAndProject. */
+  def edgeEmbeddedness(spark: SparkSession, sfDir: String,
+      k: Int): DataFrame = {
+    val sym = symmetric(backbone(spark, sfDir))
+    val deg = symmetric(backbone(spark, sfDir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // wedge join: z adjacent to BOTH endpoints (z ∉ {a,b} is automatic
+    // — a~a / b~b self-loops don't exist in the backbone)
+    val cn = backbone(spark, sfDir).as("ed")
+      .join(symmetric(backbone(spark, sfDir)).as("x"),
+        col("ed.src") === col("x.src"))
+      .join(symmetric(backbone(spark, sfDir)).as("y"),
+        col("ed.dst") === col("y.src") && col("x.dst") === col("y.dst"))
+      .groupBy(col("ed.src").as("a"), col("ed.dst").as("b"))
+      .agg(count(lit(1)).as("nc"))
+    backbone(spark, sfDir).select(col("src").as("a"), col("dst").as("b"))
+      .join(cn, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      .filter(col("da") + col("db") - 2 - col("nc") > 0)
+      .select(col("a"), col("b"), col("nc").as("n_common"),
+        col("da"), col("db"),
+        expr("nc * 1000000 div (da + db - 2 - nc)").as("embed_ppm"))
+      .orderBy(col("embed_ppm").desc, col("a"), col("b")).limit(k)
   }
 
   /** Iterative k-CORE decomposition (synchronous peel): drop every

@@ -992,6 +992,37 @@ object EventQueries {
   /** Mirror of the Markov transition matrix — shared verbatim by the
     * batch lead-window entry AND its streaming keyed-state twin
     * (stream ≡ batch by construction, the attribution gate shape). */
+  /** Shared by `events_forecast_holt` and its streaming twin: the
+    * α = β = 1/2 Holt recurrence as a type-keyed recursive CTE over
+    * the rank-ordered day grid, halvings spelled as the portable
+    * floor-div (even numerator ⇒ truncate ≡ floor on both engines). */
+  private[graft] lazy val holtSql: String = {
+    def fd2(e: String) = s"(($e) - (((($e) % 2) + 2) % 2)) // 2"
+    s"""WITH RECURSIVE d0 AS (SELECT event_type,
+      |    epoch_us(ts) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |daily AS (SELECT event_type, day, sum(cents)::BIGINT AS y
+      |  FROM d0 GROUP BY 1, 2),
+      |dr AS (SELECT event_type, day, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
+      |  FROM daily),
+      |nd AS (SELECT event_type, count(*)::BIGINT AS n_days
+      |  FROM daily GROUP BY 1),
+      |h AS (
+      |  SELECT event_type, rk, y AS l, CAST(0 AS BIGINT) AS b
+      |  FROM dr WHERE rk = 1
+      |  UNION ALL
+      |  SELECT dr.event_type, dr.rk,
+      |    ${fd2("dr.y + h.l + h.b")},
+      |    ${fd2(s"h.b + (${fd2("dr.y + h.l + h.b")}) - h.l")}
+      |  FROM h JOIN dr ON dr.event_type = h.event_type
+      |    AND dr.rk = h.rk + 1)
+      |SELECT h.event_type, n_days, l AS level_cents, b AS trend_cents,
+      |  l + b AS f1_cents, l + 2 * b AS f2_cents, l + 3 * b AS f3_cents
+      |FROM h JOIN nd USING (event_type) WHERE h.rk = n_days
+      |ORDER BY event_type""".stripMargin
+  }
+
   private[graft] lazy val markovSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
       |    event_type FROM events),
@@ -1165,32 +1196,7 @@ object EventQueries {
         |SELECT t AS t_days, n AS n_risk, d AS n_death, c AS n_censored,
         |  s AS s_ppm
         |FROM km ORDER BY t_days""".stripMargin,
-    "events_forecast_holt" -> {
-      def fd2(e: String) = s"(($e) - (((($e) % 2) + 2) % 2)) // 2"
-      s"""WITH RECURSIVE d0 AS (SELECT event_type,
-        |    epoch_us(ts) // 86400000000 AS day,
-        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-        |daily AS (SELECT event_type, day, sum(cents)::BIGINT AS y
-        |  FROM d0 GROUP BY 1, 2),
-        |dr AS (SELECT event_type, day, y,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk
-        |  FROM daily),
-        |nd AS (SELECT event_type, count(*)::BIGINT AS n_days
-        |  FROM daily GROUP BY 1),
-        |h AS (
-        |  SELECT event_type, rk, y AS l, CAST(0 AS BIGINT) AS b
-        |  FROM dr WHERE rk = 1
-        |  UNION ALL
-        |  SELECT dr.event_type, dr.rk,
-        |    ${fd2("dr.y + h.l + h.b")},
-        |    ${fd2(s"h.b + (${fd2("dr.y + h.l + h.b")}) - h.l")}
-        |  FROM h JOIN dr ON dr.event_type = h.event_type
-        |    AND dr.rk = h.rk + 1)
-        |SELECT h.event_type, n_days, l AS level_cents, b AS trend_cents,
-        |  l + b AS f1_cents, l + 2 * b AS f2_cents, l + 3 * b AS f3_cents
-        |FROM h JOIN nd USING (event_type) WHERE h.rk = n_days
-        |ORDER BY event_type""".stripMargin
-    },
+    "events_forecast_holt" -> holtSql,
     "stats_theil_sen" -> {
       def fdiv(x: String, n: String) =
         s"(($x) - ((($x) % ($n)) + ($n)) % ($n)) // ($n)"

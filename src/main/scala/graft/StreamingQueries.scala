@@ -21,6 +21,34 @@ object StreamingQueries {
 
   private val counter = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Close the still-open final day of each type's drained
+    * [[graft.streaming.HoltStream]] snapshots and derive the forecast —
+    * the types-bounded last fold step (shared with the multi-batch
+    * spec, which drives the stream over day-split waves). */
+  private[graft] def holtFinish(out: DataFrame): DataFrame = {
+    def fd2(e: String) = s"(($e) - (((($e) % 2) + 2) % 2)) div 2"
+    import org.apache.spark.sql.expressions.Window
+    out.withColumn("rk", row_number().over(
+        Window.partitionBy(col("typ")).orderBy(col("seq").desc)))
+      .filter(col("rk") === 1)
+      .select(col("typ").as("event_type"),
+        (col("nFolded") + 1).as("n_days"),
+        expr(s"""CASE WHEN nFolded = 0 THEN pendingSum
+          |ELSE ${fd2("pendingSum + l + b")} END""".stripMargin)
+          .as("level_cents"),
+        col("nFolded"), col("l"), col("b"))
+      .select(col("event_type"), col("n_days"), col("level_cents"),
+        expr(s"""CASE WHEN nFolded = 0 THEN CAST(0 AS BIGINT)
+          |ELSE ${fd2("b + level_cents - l")} END""".stripMargin)
+          .as("trend_cents"))
+      .select(col("event_type"), col("n_days"), col("level_cents"),
+        col("trend_cents"),
+        (col("level_cents") + col("trend_cents")).as("f1_cents"),
+        (col("level_cents") + col("trend_cents") * 2).as("f2_cents"),
+        (col("level_cents") + col("trend_cents") * 3).as("f3_cents"))
+      .orderBy(col("event_type"))
+  }
+
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_out_${counter.incrementAndGet()}"
     // stateful drains pay per-partition state-store open/commit EVERY
@@ -165,6 +193,17 @@ object StreamingQueries {
         .select(col("prev_type"), col("next_type"), col("n"),
           expr("n * 1000000 div row_n").as("p_ppm"))
         .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // streaming HOLT smoothing: the batch array fold reduced to FIVE
+    // longs of keyed state per type (HoltStream); the still-open final
+    // day closes in a types-bounded finisher step over the latest
+    // state snapshot — gated by the SAME recursive-CTE oracle as
+    // events_forecast_holt (stream ≡ batch by construction)
+    "stream_forecast_holt" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      holtFinish(runToMemory(
+        graft.streaming.HoltStream.levels(st).toDF(), "update"))
     }),
 
     // streaming OHLC bars: the candlestick fold as a watermarked
@@ -1071,6 +1110,7 @@ object StreamingQueries {
     // entry's window-pass mirror verbatim
     "stream_attribution" -> EventQueries.attributionSql,
     "stream_markov" -> EventQueries.markovSql,
+    "stream_forecast_holt" -> EventQueries.holtSql,
     // the OHLC mirror + the same watermark cut (open/close by the
     // identical (ts_us, event_id) order the min_by/max_by structs use)
     "stream_ohlc" ->

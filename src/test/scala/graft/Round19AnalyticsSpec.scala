@@ -113,6 +113,39 @@ class Round19AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming holt equals batch when days split across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("holt_waves_").toString
+    val e = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // split the (day-grid-bounded) day set into three time-ordered waves
+    val days = e.select(expr("ts div 86400000000000").as("d")).distinct()
+      .orderBy(col("d")).collect().map(_.getLong(0)).toSeq
+    assert(days.length >= 3, "fixture must span at least 3 days")
+    days.grouped(math.max(1, (days.length + 2) / 3)).zipWithIndex
+      .foreach { case (ds, i) =>
+        val tmp = Files.createTempDirectory("holt_part_").toString
+        e.filter(expr("ts div 86400000000000").isin(ds: _*))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(part.toPath, Paths.get(dir, s"w$i.parquet"))
+        Thread.sleep(20)
+      }
+    val st = graft.streaming.CdcStream.readEventStream(spark, dir,
+      maxFilesPerTrigger = 1)
+    val q = graft.streaming.HoltStream.levels(st).toDF()
+      .writeStream.format("memory").queryName("holt_waves_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = StreamingQueries.holtFinish(spark.table("holt_waves_out"))
+      .collect().map(_.toString).toSeq
+    val want = EventQueries.queries("events_forecast_holt")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got == want, "multi-batch stream drifted from the batch fold")
+  }
+
   test("completeness audit catches the simulated dirty rows only") {
     val rows = RelationalQueries.queries("dq_completeness_audit")(
         spark, sfDir).collect()

@@ -206,6 +206,29 @@ object StreamingQueries {
         graft.streaming.HoltStream.levels(st).toDF(), "update"))
     }),
 
+    // streaming HEAVY HITTERS: the Space-Saving sketch (Metwally 2005)
+    // as O(types·k) keyed state — gated in the EXACT regime (k = 4096
+    // ≥ fixture user cardinality ⇒ no eviction, err = 0, counts exact,
+    // oracle = plain exact top-10); the approximate regime (k below
+    // cardinality: bounded overestimates, heavy hitters never evicted)
+    // is pinned by Round19AnalyticsSpec on a synthetic eviction stream
+    "stream_heavy_hitters" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val out = runToMemory(graft.streaming.SpaceSavingStream
+        .heavyHitters(st, k = 4096).toDF(), "update")
+      import org.apache.spark.sql.expressions.Window
+      out.withColumn("mx",
+          max(col("seq")).over(Window.partitionBy(col("typ"))))
+        .filter(col("seq") === col("mx"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("typ"))
+            .orderBy(col("n").desc, col("user"))).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("typ").as("event_type"), col("user").as("user_id"),
+          col("n"), col("err"), col("rk"))
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
     // streaming OHLC bars: the candlestick fold as a watermarked
     // tumbling agg — open/close via min_by/max_by over the (ts, id)
     // struct (incremental order statistics; a first_value window can't
@@ -1111,6 +1134,15 @@ object StreamingQueries {
     "stream_attribution" -> EventQueries.attributionSql,
     "stream_markov" -> EventQueries.markovSql,
     "stream_forecast_holt" -> EventQueries.holtSql,
+    // exact regime: the sketch's counters ARE the exact per-user counts
+    "stream_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, user_id, n, CAST(0 AS BIGINT) AS err,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT event_type, user_id, n, err, rk::BIGINT AS rk
+        |FROM rk WHERE rk <= 10 ORDER BY event_type, rk""".stripMargin,
     // the OHLC mirror + the same watermark cut (open/close by the
     // identical (ts_us, event_id) order the min_by/max_by structs use)
     "stream_ohlc" ->

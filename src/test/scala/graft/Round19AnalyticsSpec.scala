@@ -146,6 +146,47 @@ class Round19AnalyticsSpec extends AnyFunSuite {
     assert(got == want, "multi-batch stream drifted from the batch fold")
   }
 
+  test("space-saving sketch bounds overestimates and keeps heavy hitters under eviction") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val sparkS = spark; import sparkS.implicits._
+    val dir = Files.createTempDirectory("ss_waves_").toString
+    def write(name: String, rows: Seq[(String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("ss_part_").toString
+      rows.toDF("event_type", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dir, name)); Thread.sleep(20)
+    }
+    val w1 = Seq.fill(6)(("click", 1L)) ++ Seq.fill(4)(("click", 2L)) ++
+      Seq.fill(3)(("click", 3L))
+    val w2 = Seq.fill(4)(("click", 1L)) ++
+      Seq(("click", 4L), ("click", 5L), ("click", 6L)) ++
+      Seq.fill(3)(("click", 2L))
+    write("w1.parquet", w1); write("w2.parquet", w2)
+    val st = graft.streaming.CdcStream.readEventStream(spark, dir,
+      maxFilesPerTrigger = 1)
+    val q = graft.streaming.SpaceSavingStream.heavyHitters(st, k = 3).toDF()
+      .writeStream.format("memory").queryName("ss_hh_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("ss_hh_out")
+    val lastSeq = out.agg(max(col("seq"))).collect()(0).getLong(0)
+    val fin = out.filter(col("seq") === lastSeq)
+      .select("user", "n", "err").as[(Long, Long, Long)].collect()
+    assert(fin.length <= 3, "counter table must stay within k")
+    val truth = (w1 ++ w2).groupBy(_._2)
+      .map { case (u, xs) => u -> xs.length.toLong }
+    fin.foreach { case (u, n, err) =>
+      val t = truth.getOrElse(u, 0L)
+      assert(t <= n && n - err <= t,
+        s"user $u: n=$n err=$err must bracket true=$t")
+    }
+    // the dominant item (true 10 > N/k = 23/3) can never be evicted
+    assert(fin.exists(_._1 == 1L), "true heavy hitter was evicted")
+  }
+
   test("completeness audit catches the simulated dirty rows only") {
     val rows = RelationalQueries.queries("dq_completeness_audit")(
         spark, sfDir).collect()

@@ -797,6 +797,61 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // FREQUENT CONTIGUOUS 3-SEQUENCES of per-user event types — the
+    // order-2 extension of the Markov matrix (sequence mining's
+    // bread-and-butter: "which three-step paths dominate?"). Two lead
+    // windows over the log's natural user partitioning, one
+    // types³-bounded count fold, support in exact ppm of all observed
+    // triples; top-20 via TakeOrderedAndProject.
+    "events_frequent_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val tri = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tri.agg(sum(col("n")).as("nt"))
+      tri.crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("t3"), col("n"),
+          expr("n * 1000000 div nt").as("support_ppm"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
+    // WEIGHT OF EVIDENCE / INFORMATION VALUE (the credit-scoring
+    // standard for "how predictive is this categorical of the bad
+    // outcome?"): per day-of-week, WoE = ln(p_good/p_bad) and the IV
+    // addend (p_good − p_bad)·WoE, each quantized floor(1e6·…) from
+    // EXACT integer counts through one identical double expression on
+    // both engines (the mix-entropy discipline). Label = 'error'
+    // events; one grouped count + broadcast totals, 7-row output.
+    "stats_woe_iv" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(expr("((ts_sec div 86400) + 4) % 7").as("dow"),
+          (col("event_type") === "error").as("bad"))
+        .groupBy(col("dow"))
+        .agg(sum(when(!col("bad"), 1L).otherwise(0L)).as("good"),
+          sum(when(col("bad"), 1L).otherwise(0L)).as("nbad"))
+      val tot = g.agg(sum(col("good")).as("gt"), sum(col("nbad")).as("bt"))
+      g.crossJoin(broadcast(tot))
+        .select(col("dow"), col("good"), col("nbad"),
+          expr("""CASE WHEN good = 0 OR nbad = 0 THEN NULL
+            |ELSE CAST(floor(1000000 * ln((CAST(good AS DOUBLE) * bt) /
+            |  (CAST(nbad AS DOUBLE) * gt))) AS BIGINT) END""".stripMargin)
+            .as("woe_e6"),
+          expr("""CASE WHEN good = 0 OR nbad = 0 THEN NULL
+            |ELSE CAST(floor(1000000 *
+            |  (CAST(good AS DOUBLE) / gt - CAST(nbad AS DOUBLE) / bt) *
+            |  ln((CAST(good AS DOUBLE) * bt) /
+            |     (CAST(nbad AS DOUBLE) * gt))) AS BIGINT) END""".stripMargin)
+            .as("iv_term_e6"))
+        .orderBy(col("dow"))
+    }),
+
     // KAPLAN-MEIER survival estimate (Kaplan & Meier, JASA 1958) of
     // time-to-first-purchase with ADMINISTRATIVE right-censoring at a
     // 5-day horizon — the "conversion within horizon" survival curve
@@ -1169,6 +1224,39 @@ object EventQueries {
     "events_markov" -> markovSql,
     // the KM integer recurrence mirrors as a recursive CTE walking the
     // rank-ordered death days (DuckDB side of the `aggregate` HOF fold)
+    "events_frequent_sequences" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |t AS (SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |tri AS (SELECT t1, t2, t3, count(*)::BIGINT AS n FROM t
+        |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT sum(n)::BIGINT AS nt FROM tri)
+        |SELECT t1, t2, t3, n, n * 1000000 // nt AS support_ppm
+        |FROM tri CROSS JOIN tot
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    "stats_woe_iv" ->
+      """WITH g AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |    sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)::BIGINT
+        |      AS good,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+        |      AS nbad
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(good)::BIGINT AS gt, sum(nbad)::BIGINT AS bt
+        |  FROM g)
+        |SELECT dow, good, nbad,
+        |  CASE WHEN good = 0 OR nbad = 0 THEN NULL
+        |    ELSE CAST(floor(1000000 * ln((CAST(good AS DOUBLE) * bt) /
+        |      (CAST(nbad AS DOUBLE) * gt))) AS BIGINT) END AS woe_e6,
+        |  CASE WHEN good = 0 OR nbad = 0 THEN NULL
+        |    ELSE CAST(floor(1000000 *
+        |      (CAST(good AS DOUBLE) / gt - CAST(nbad AS DOUBLE) / bt) *
+        |      ln((CAST(good AS DOUBLE) * bt) /
+        |         (CAST(nbad AS DOUBLE) * gt))) AS BIGINT) END AS iv_term_e6
+        |FROM g CROSS JOIN tot ORDER BY dow""".stripMargin,
     "events_survival_km" ->
       """WITH RECURSIVE fu AS (
         |  SELECT user_id, min(epoch_us(ts)) AS fu FROM events GROUP BY user_id),

@@ -50,6 +50,26 @@ object GraphQueries {
     "graph_ppr" -> ((s, dir) =>
       GraphOps.pageRankPersonalized(s, dir, iters = 3, nSeeds = 5)
         .orderBy(col("rank_ppb").desc, col("node")).limit(30)),
+    // POWER-LAW TAIL EXPONENT of the degree distribution — the Hill /
+    // continuous-MLE estimator (Clauset, Shalizi & Newman 2009):
+    // α = 1 + n / Σ ln(dᵢ/d_min) over the d ≥ d_min = 2 tail; the
+    // one-number "is this graph scale-free?" diagnostic. Per-node ln
+    // terms quantize floor(1e6·ln(d/2)) and group-fold over the
+    // DEGREE-DISTRIBUTION rows (deg-bounded, not node-bounded);
+    // n_tail·1e12 stays in BIGINT to ~9×10⁶ tail nodes — widen to
+    // DECIMAL past that.
+    "graph_powerlaw_alpha" -> ((s, dir) =>
+      GraphOps.degreeDistribution(s, dir)
+        .filter(col("deg") >= 2)
+        .select(col("n_nodes"),
+          (col("n_nodes") * floor(lit(1000000.0) *
+            log(col("deg").cast("double") / lit(2.0))).cast("long"))
+            .as("lterm"))
+        .agg(sum(col("n_nodes")).as("n_tail"), sum(col("lterm")).as("lsum"))
+        .select(col("n_tail"), col("lsum"),
+          expr("""CASE WHEN lsum = 0 THEN NULL
+            |ELSE 1000000 + (n_tail * 1000000000000) div lsum END"""
+            .stripMargin).as("alpha_e6"))),
     // EDGE EMBEDDEDNESS: neighborhood-Jaccard tie strength of every
     // existing backbone edge — high = redundant intra-community tie,
     // zero = Granovetter bridge; the edge-level complement of the
@@ -584,6 +604,24 @@ object GraphQueries {
       s"""WITH $weightedPrCtes
         |SELECT node, r AS rank_ppb FROM r3
         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin,
+    "graph_powerlaw_alpha" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT src AS node FROM pairs UNION ALL SELECT dst FROM pairs),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY node),
+        |dd AS (SELECT deg, count(*)::BIGINT AS n_nodes FROM deg GROUP BY deg),
+        |t AS (SELECT n_nodes, n_nodes *
+        |    CAST(floor(1000000 * ln(CAST(deg AS DOUBLE) / 2.0)) AS BIGINT)
+        |      AS lterm
+        |  FROM dd WHERE deg >= 2),
+        |a AS (SELECT sum(n_nodes)::BIGINT AS n_tail,
+        |    sum(lterm)::BIGINT AS lsum FROM t)
+        |SELECT n_tail, lsum,
+        |  CASE WHEN lsum = 0 THEN NULL
+        |    ELSE 1000000 + (n_tail * 1000000000000) // lsum END AS alpha_e6
+        |FROM a""".stripMargin,
     "graph_edge_embeddedness" ->
       s"""WITH backbone AS MATERIALIZED ($backboneSql),
         |sym AS MATERIALIZED (

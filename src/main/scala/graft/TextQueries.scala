@@ -1200,6 +1200,38 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // FLESCH-KINCAID readability grade per language (Kincaid 1975),
+    // fully integer: the corpus-level FK of each language slice as a
+    // ratio of exact sums — grade·100 = (39·W² + 1180·Y·S − 1559·W·S)
+    // fdiv (W·S) over words W, sentences S (terminal-punctuation
+    // count, floored at 1), vowel-group syllables Y (the standard
+    // [aeiouy]+ heuristic, stated as such). Can go negative on simple
+    // text, hence the portable floor-div; W² needs DECIMAL past ~10⁹
+    // tokens per slice (documented, fixture is ~10⁶). One narrow
+    // per-row projection + one grouped sum — the quality-stack cost
+    // class.
+    "text_readability_fk" -> ((s, dir) => {
+      def fdiv(x: String, n: String) =
+        s"(($x) - ((($x) % ($n)) + ($n)) % ($n)) div ($n)"
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("w"),
+          greatest(lit(1L), size(regexp_extract_all(col("text"),
+            lit("[.!?]"), lit(0))).cast("long")).as("st"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[aeiouy]+"), lit(0))).cast("long").as("y"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+          sum(col("st")).as("sentences"), sum(col("y")).as("syllables"))
+        .select(col("lang"), col("n_docs"), col("words"),
+          col("sentences"), col("syllables"),
+          expr(fdiv(
+            "39 * words * words + 1180 * syllables * sentences" +
+              " - 1559 * words * sentences",
+            "words * sentences")).as("fk_grade_e2"))
+        .orderBy(col("lang"))
+    }),
+
     // TEXTRANK keywords (Mihalcea & Tarau, EMNLP 2004): PageRank over
     // the token CO-OCCURRENCE graph — keywords are tokens that sit in
     // well-connected neighborhoods, not merely frequent ones (the
@@ -2472,6 +2504,27 @@ object TextQueries {
           |  CAST(sum(wn) AS BIGINT) * 1000 // count(*)
           |    AS tokens_per_word_x1000
           |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+      "text_readability_fk" -> {
+        def fdiv(x: String, n: String) =
+          s"(($x) - ((($x) % ($n)) + ($n)) % ($n)) // ($n)"
+        s"""WITH d AS (SELECT lang,
+          |    len($toksSql)::BIGINT AS w,
+          |    greatest(1, len(regexp_extract_all(text, '[.!?]')))::BIGINT
+          |      AS st,
+          |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+          |      AS y
+          |  FROM documents),
+          |g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+          |    sum(w)::BIGINT AS words, sum(st)::BIGINT AS sentences,
+          |    sum(y)::BIGINT AS syllables
+          |  FROM d GROUP BY lang)
+          |SELECT lang, n_docs, words, sentences, syllables,
+          |  ${fdiv(
+              "39 * words * words + 1180 * syllables * sentences" +
+                " - 1559 * words * sentences",
+              "words * sentences")} AS fk_grade_e2
+          |FROM g ORDER BY lang""".stripMargin
+      },
       "text_textrank_keywords" -> {
         def iter(out: String, in: String) =
           s"""$out AS MATERIALIZED (SELECT s.dst AS node,

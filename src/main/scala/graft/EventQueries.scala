@@ -797,6 +797,69 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // COHORT LTV CURVES: cumulative purchase revenue per signup cohort
+    // by day offset, per-user — the "when does a cohort pay back?"
+    // complement of the user-count retention matrix. One cohort join
+    // (user-keyed), one day²-bounded cumulative window per cohort,
+    // sizes broadcast back; exact integer cents (values are
+    // non-negative by fixture audit, so plain div is floor here).
+    "events_cohort_ltv" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)
+            .as("cents"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      val sizes = cohort.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val rev = e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy(col("cohort_day"))
+        .orderBy(col("day_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("cohort_users"),
+          col("rev_cents"), col("cum_rev_cents"),
+          expr("cum_rev_cents div cohort_users").as("ltv_cents"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // MANN-WHITNEY U rank-sum test pre/post the PSI cut — the
+    // location-shift drift test beside KS's any-shape test, EXACT in
+    // integers including ties: on the distinct-value grid, twice the
+    // average rank of a tie group is (2·cum − m + 1) (an integer), so
+    // 2R and the U statistics 2U stay in BIGINT with zero float rank
+    // arithmetic. Same distinct-grid window shape (and the same
+    // n_pre·n_post ≲ 9e12 BIGINT bound, widen-to-DECIMAL path) as
+    // stats_ks_drift.
+    "stats_mann_whitney" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (expr("ts div 1000") < lit(psiCutUs)).as("is_pre"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("is_pre"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("is_pre"), 1L).otherwise(0L)).as("nq"))
+        .withColumn("m", col("np") + col("nq"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum(col("m")).over(w))
+        .groupBy(col("event_type"))
+        .agg(sum(col("np")).as("n_pre"), sum(col("nq")).as("n_post"),
+          sum(col("np") * (col("cum") * 2 - col("m") + 1)).as("r2_pre"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          (col("r2_pre") - col("n_pre") * (col("n_pre") + 1))
+            .as("u2_pre"),
+          (col("n_pre") * col("n_post") * 2 -
+            (col("r2_pre") - col("n_pre") * (col("n_pre") + 1)))
+            .as("u2_post"))
+        .orderBy(col("event_type"))
+    }),
+
     // FREQUENT CONTIGUOUS 3-SEQUENCES of per-user event types — the
     // order-2 extension of the Markov matrix (sequence mining's
     // bread-and-butter: "which three-step paths dominate?"). Two lead
@@ -1224,6 +1287,46 @@ object EventQueries {
     "events_markov" -> markovSql,
     // the KM integer recurrence mirrors as a recursive CTE walking the
     // rank-ordered death days (DuckDB side of the `aggregate` HOF fold)
+    "events_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS cents
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM e GROUP BY 1),
+        |sizes AS (SELECT cohort_day, count(*)::BIGINT AS cohort_users
+        |  FROM cohort GROUP BY 1),
+        |rev AS (SELECT cohort_day, e.day - cohort_day AS day_offset,
+        |    sum(cents)::BIGINT AS rev_cents
+        |  FROM e JOIN cohort USING (user_id) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_day, day_offset, rev_cents,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_day
+        |      ORDER BY day_offset) AS BIGINT) AS cum_rev_cents
+        |  FROM rev)
+        |SELECT cohort_day, day_offset, cohort_users, rev_cents,
+        |  cum_rev_cents, cum_rev_cents // cohort_users AS ltv_cents
+        |FROM cum JOIN sizes USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "stats_mann_whitney" ->
+      s"""WITH g AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    sum(CASE WHEN epoch_us(ts) < $psiCutUs THEN 1 ELSE 0 END)::BIGINT
+        |      AS np,
+        |    sum(CASE WHEN epoch_us(ts) < $psiCutUs THEN 0 ELSE 1 END)::BIGINT
+        |      AS nq
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, np, nq, np + nq AS m,
+        |    CAST(sum(np + nq) OVER (PARTITION BY event_type
+        |      ORDER BY cents) AS BIGINT) AS cum
+        |  FROM g),
+        |a AS (SELECT event_type, sum(np)::BIGINT AS n_pre,
+        |    sum(nq)::BIGINT AS n_post,
+        |    sum(np * (cum * 2 - m + 1))::BIGINT AS r2_pre
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, n_pre, n_post,
+        |  r2_pre - n_pre * (n_pre + 1) AS u2_pre,
+        |  n_pre * n_post * 2 - (r2_pre - n_pre * (n_pre + 1)) AS u2_post
+        |FROM a ORDER BY event_type""".stripMargin,
     "events_frequent_sequences" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |    event_type FROM events),

@@ -50,6 +50,11 @@ object GraphQueries {
     "graph_ppr" -> ((s, dir) =>
       GraphOps.pageRankPersonalized(s, dir, iters = 3, nSeeds = 5)
         .orderBy(col("rank_ppb").desc, col("node")).limit(30)),
+    // DEGREE ASSORTATIVITY: do hubs attach to hubs? Pearson corr of
+    // endpoint degrees over the symmetric edge list — exact decimal
+    // sums, one identical final double expression (corr discipline)
+    "graph_assortativity" -> ((s, dir) =>
+      GraphOps.assortativity(s, dir)),
     // POWER-LAW TAIL EXPONENT of the degree distribution — the Hill /
     // continuous-MLE estimator (Clauset, Shalizi & Newman 2009):
     // α = 1 + n / Σ ln(dᵢ/d_min) over the d ≥ d_min = 2 tail; the
@@ -604,6 +609,23 @@ object GraphQueries {
       s"""WITH $weightedPrCtes
         |SELECT node, r AS rank_ppb FROM r3
         |ORDER BY rank_ppb DESC, node LIMIT 50""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM backbone UNION ALL SELECT dst, src FROM backbone),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+        |s AS (SELECT count(*)::HUGEINT AS n,
+        |    sum(CAST(dx.d AS HUGEINT)) AS sx,
+        |    sum(CAST(dx.d AS HUGEINT) * dx.d) AS sxx,
+        |    sum(CAST(dx.d AS HUGEINT) * dy.d) AS sxy
+        |  FROM sym e JOIN deg dx ON e.src = dx.node
+        |  JOIN deg dy ON e.dst = dy.node)
+        |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS assortativity
+        |FROM s""".stripMargin,
     "graph_powerlaw_alpha" ->
       """WITH pairs AS (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

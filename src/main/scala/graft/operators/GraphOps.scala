@@ -317,6 +317,38 @@ object GraphOps {
       .orderBy(col("ra_score").desc, col("a"), col("b")).limit(k)
   }
 
+  /** DEGREE ASSORTATIVITY (Newman, PRL 2002): the Pearson correlation
+    * of endpoint degrees over the directed-both-ways edge list — one
+    * number answering "do hubs attach to hubs (r > 0, social) or to
+    * leaves (r < 0, technological)?". The stats_corr_matrix
+    * discipline: every Σx/Σx²/Σxy accumulates as an EXACT
+    * DECIMAL(38,0) (order-independent across the shuffle — Σdeg² can
+    * pass BIGINT at graph scale), and the final r derives from
+    * identical decimal inputs through the same IEEE double expression
+    * on both engines, rounded to 6 dp. The symmetric edge list makes
+    * Σx = Σy and Σx² = Σy², so one pass accumulates everything.
+    *
+    * Scale shape: two degree joins onto the edge list (node-keyed
+    * shuffles), one global agg — no pairwise anything. */
+  def assortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val deg = symmetric(backbone(spark, sfDir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val sums = symmetric(backbone(spark, sfDir)).as("e")
+      .join(deg.select(col("node").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dy")), Seq("dst"))
+      .select(col("dx").cast("decimal(19,0)").as("x"),
+        col("dy").cast("decimal(19,0)").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    sums.select(col("n").cast("long").as("n_directed_edges"),
+      round((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sx")) /
+        (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")), 6)
+        .as("assortativity"))
+  }
+
   /** EDGE EMBEDDEDNESS (Granovetter tie strength via neighborhood
     * Jaccard — the Easley–Kleinberg formulation): for each EXISTING
     * backbone edge (a,b), the Jaccard overlap of the endpoints'

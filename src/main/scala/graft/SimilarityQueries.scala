@@ -2694,6 +2694,36 @@ object SimilarityQueries {
         .orderBy(col("rk"))
     }),
 
+    // KENDALL-τ RANK AGREEMENT between the two lexical scorers (r19):
+    // how much do BM25 and QLD actually disagree about order? τ_a over
+    // the INTERSECTION of their top-20s — concordant minus discordant
+    // pairs in exact ppm (row_number ranks are tie-free, so no tie
+    // correction; the pair grid is k²-bounded). Negative τ is real,
+    // hence the portable floor-div. The ensemble diagnostic that says
+    // whether RRF fusion adds signal (τ ≪ 1) or redundancy (τ ≈ 1).
+    "hybrid_rank_kendall" -> ((s, dir) => {
+      val idx = TextQueries.searchIndexFor(s, dir)
+      val terms = Seq("spark", "vector", "window")
+      val lex = graft.operators.SearchOps.searchBm25Any(s, idx, terms, k = 20)
+        .select(col("doc_id"), col("rk").as("rl"))
+      val qld = graft.operators.SearchOps.searchQld(s, idx, terms, k = 20)
+        .select(col("doc_id"), col("rk").as("rq"))
+      val common = lex.join(qld, Seq("doc_id"))
+      common.as("a").join(common.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select((((col("a.rl") - col("b.rl")) *
+          (col("a.rq") - col("b.rq"))) > 0).as("conc"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("conc"), 1L).otherwise(0L)).as("concordant"),
+          sum(when(!col("conc"), 1L).otherwise(0L)).as("discordant"))
+        .select(col("n_pairs"), col("concordant"), col("discordant"),
+          expr("""CASE WHEN n_pairs = 0 THEN NULL ELSE
+            |(((concordant - discordant) * 1000000) -
+            |  (((((concordant - discordant) * 1000000) % n_pairs)
+            |    + n_pairs) % n_pairs)) div n_pairs END""".stripMargin)
+            .as("tau_e6"))
+    }),
+
     // the indexed SQ8 probe's recall audit (every approximate path in
     // the repo carries one) — nProbe=2 like the other recall entries
     "sim_ann_ivf_sq8_indexed_recall" -> ((s, dir) => {
@@ -3625,6 +3655,25 @@ object SimilarityQueries {
       |    (ORDER BY rrf_x1e6 DESC, doc_id) AS BIGINT) AS rk FROM fused) f
       |WHERE rk <= 10 ORDER BY rk""".stripMargin
 
+  private lazy val hybridKendallOracleSql =
+    s"""WITH lex AS (SELECT doc_id, rk AS rl
+      |  FROM (${TextQueries.searchBm25AnyList20Sql}) l),
+      |qld AS (SELECT doc_id, rk AS rq
+      |  FROM (${TextQueries.searchQldSql(20)}) m),
+      |common AS (SELECT lex.doc_id, rl, rq FROM lex JOIN qld USING (doc_id)),
+      |p AS (SELECT ((a.rl - b.rl) * (a.rq - b.rq)) > 0 AS conc
+      |  FROM common a JOIN common b ON a.doc_id < b.doc_id),
+      |s AS (SELECT count(*)::BIGINT AS n_pairs,
+      |    sum(CASE WHEN conc THEN 1 ELSE 0 END)::BIGINT AS concordant,
+      |    sum(CASE WHEN conc THEN 0 ELSE 1 END)::BIGINT AS discordant
+      |  FROM p)
+      |SELECT n_pairs, concordant, discordant,
+      |  CASE WHEN n_pairs = 0 THEN NULL ELSE
+      |    (((concordant - discordant) * 1000000) -
+      |      (((((concordant - discordant) * 1000000) % n_pairs)
+      |        + n_pairs) % n_pairs)) // n_pairs END AS tau_e6
+      |FROM s""".stripMargin
+
   private lazy val hybridRrfOracleSql =
     s"""WITH ${hybridSemCtes("vec_id = 0")},
       |sem AS (SELECT neighbor_id AS doc_id, rk FROM (
@@ -4005,6 +4054,7 @@ object SimilarityQueries {
     "sim_ann_ivfpq_rerank_recall" -> ivfPqRerankRecallOracleSql,
     "hybrid_search_rrf" -> hybridRrfOracleSql,
     "hybrid_qld_rrf" -> hybridQldRrfOracleSql,
+    "hybrid_rank_kendall" -> hybridKendallOracleSql,
     "hybrid_search_rrf_batch" -> hybridRrfBatchOracleSql,
     "hybrid_search_weighted" -> hybridWeightedOracleSql,
     "hybrid_search_weighted_batch" -> hybridWeightedBatchOracleSql,

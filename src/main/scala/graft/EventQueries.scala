@@ -1141,6 +1141,22 @@ object EventQueries {
       |ORDER BY event_type""".stripMargin
   }
 
+  /** Shared by `events_frequent_sequences` and its streaming twin. */
+  private[graft] lazy val freqSeqSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |    event_type FROM events),
+      |t AS (SELECT event_type AS t1,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM e WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id)),
+      |tri AS (SELECT t1, t2, t3, count(*)::BIGINT AS n FROM t
+      |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3),
+      |tot AS (SELECT sum(n)::BIGINT AS nt FROM tri)
+      |SELECT t1, t2, t3, n, n * 1000000 // nt AS support_ppm
+      |FROM tri CROSS JOIN tot
+      |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
+
   private[graft] lazy val markovSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
       |    event_type FROM events),
@@ -1327,20 +1343,7 @@ object EventQueries {
         |  r2_pre - n_pre * (n_pre + 1) AS u2_pre,
         |  n_pre * n_post * 2 - (r2_pre - n_pre * (n_pre + 1)) AS u2_post
         |FROM a ORDER BY event_type""".stripMargin,
-    "events_frequent_sequences" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |    event_type FROM events),
-        |t AS (SELECT event_type AS t1,
-        |    lead(event_type, 1) OVER w AS t2,
-        |    lead(event_type, 2) OVER w AS t3
-        |  FROM e WINDOW w AS (PARTITION BY user_id
-        |    ORDER BY ts_us, event_id)),
-        |tri AS (SELECT t1, t2, t3, count(*)::BIGINT AS n FROM t
-        |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3),
-        |tot AS (SELECT sum(n)::BIGINT AS nt FROM tri)
-        |SELECT t1, t2, t3, n, n * 1000000 // nt AS support_ppm
-        |FROM tri CROSS JOIN tot
-        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+    "events_frequent_sequences" -> freqSeqSql,
     "stats_woe_iv" ->
       """WITH g AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
         |    sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)::BIGINT

@@ -195,6 +195,25 @@ object StreamingQueries {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // streaming 3-SEQUENCE mining: the double-lead window reduced to
+    // TWO strings of keyed state per user (MarkovStream.triples) —
+    // each arrival closes its (prev2, prev1, now) triple on the spot;
+    // the drained counts gate against the SAME mirror as the batch
+    // events_frequent_sequences (stream ≡ batch by construction)
+    "stream_frequent_sequences" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val out = runToMemory(
+        graft.streaming.MarkovStream.triples(st).toDF(), "update")
+      val tri = out.groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tri.agg(sum(col("n")).as("nt"))
+      tri.crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("t3"), col("n"),
+          expr("n * 1000000 div nt").as("support_ppm"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
     // streaming HOLT smoothing: the batch array fold reduced to FIVE
     // longs of keyed state per type (HoltStream); the still-open final
     // day closes in a types-bounded finisher step over the latest
@@ -1134,6 +1153,7 @@ object StreamingQueries {
     "stream_attribution" -> EventQueries.attributionSql,
     "stream_markov" -> EventQueries.markovSql,
     "stream_forecast_holt" -> EventQueries.holtSql,
+    "stream_frequent_sequences" -> EventQueries.freqSeqSql,
     // exact regime: the sketch's counters ARE the exact per-user counts
     "stream_heavy_hitters" ->
       """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n

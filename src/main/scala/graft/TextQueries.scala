@@ -1325,6 +1325,47 @@ object TextQueries {
         .limit(30)
     }),
 
+    // DUNNING LOG-LIKELIHOOD-RATIO collocations (Dunning, CL 1993):
+    // the statistically-grounded sibling of the PMI ranking — LLR
+    // compares the bigram's 2×2 contingency table against
+    // independence via G² = 2·Σ k·ln k over cells/margins/total, so
+    // (unlike PMI) it does NOT explode on rare pairs. Each k·ln k
+    // term quantizes floor(1e6·k·ln k) from EXACT BIGINT counts
+    // through one identical double expression (0·ln 0 = 0 by CASE);
+    // margins are bigram-START/END counts (one extra groupBy each on
+    // the c_xy table — vocab-bounded), total T broadcast. Same c_xy ≥
+    // 20 support cut and top-30 TakeOrderedAndProject as the PMI
+    // entry, so the two rankings compare like-for-like.
+    "text_collocation_llr" -> ((s, dir) => {
+      def t(k: String) =
+        s"""CASE WHEN ($k) <= 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(1000000 * CAST($k AS DOUBLE) *
+          |  ln(CAST($k AS DOUBLE))) AS BIGINT) END""".stripMargin
+      val d = Tables.documents(s, dir)
+      val tk = TextOps.tokens(col("text"))
+      val bgArr = when(size(tk) >= 2,
+          zip_with(slice(tk, lit(1), size(tk) - 1),
+            slice(tk, lit(2), size(tk) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val cxy = d.select(explode(bgArr).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("k11"))
+      val cx = cxy.groupBy(col("w1")).agg(sum(col("k11")).as("r1"))
+      val cy = cxy.groupBy(col("w2")).agg(sum(col("k11")).as("c1"))
+      val tot = cxy.agg(sum(col("k11")).as("tt"))
+      cxy.filter(col("k11") >= 20)
+        .join(cx, Seq("w1")).join(cy, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("k11"),
+          expr(s"""2 * (${t("k11")} + ${t("r1 - k11")} + ${t("c1 - k11")}
+            |+ ${t("tt - r1 - c1 + k11")} - ${t("r1")} - ${t("tt - r1")}
+            |- ${t("c1")} - ${t("tt - c1")} + ${t("tt")})""".stripMargin)
+            .as("llr_e6"))
+        .orderBy(col("llr_e6").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
     // vocabulary stats: the classic wordcount shape — explode + hash agg
     // with map-side partial combine, ONE shuffle of (token, partial n);
     // top-k via TakeOrderedAndProject (distributed, never a global sort)
@@ -2557,6 +2598,29 @@ object TextQueries {
           |${iter("r2", "r1")}
           |SELECT node AS token, r AS rank_ppb FROM r2
           |ORDER BY rank_ppb DESC, token LIMIT 20""".stripMargin
+      },
+      "text_collocation_llr" -> {
+        def t(k: String) =
+          s"""CASE WHEN ($k) <= 0 THEN CAST(0 AS BIGINT)
+            |ELSE CAST(floor(1000000 * CAST($k AS DOUBLE) *
+            |  ln(CAST($k AS DOUBLE))) AS BIGINT) END""".stripMargin
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+          |bg AS (SELECT toks[CAST(u.i AS INT)] AS w1,
+          |    toks[CAST(u.i + 1 AS INT)] AS w2
+          |  FROM t, LATERAL unnest(range(1, len(toks))) u(i)
+          |  WHERE len(toks) >= 2),
+          |cxy AS (SELECT w1, w2, count(*)::BIGINT AS k11
+          |  FROM bg GROUP BY 1, 2),
+          |cx AS (SELECT w1, sum(k11)::BIGINT AS r1 FROM cxy GROUP BY 1),
+          |cy AS (SELECT w2, sum(k11)::BIGINT AS c1 FROM cxy GROUP BY 1),
+          |tot AS (SELECT sum(k11)::BIGINT AS tt FROM cxy)
+          |SELECT cxy.w1, cxy.w2, k11,
+          |  2 * (${t("k11")} + ${t("r1 - k11")} + ${t("c1 - k11")}
+          |    + ${t("tt - r1 - c1 + k11")} - ${t("r1")} - ${t("tt - r1")}
+          |    - ${t("c1")} - ${t("tt - c1")} + ${t("tt")}) AS llr_e6
+          |FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN tot
+          |WHERE k11 >= 20
+          |ORDER BY llr_e6 DESC, w1, w2 LIMIT 30""".stripMargin
       },
       "text_pmi_collocations" ->
         s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

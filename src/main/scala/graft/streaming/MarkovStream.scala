@@ -37,7 +37,44 @@ case class Transition(user: Long, prevTyp: String, nextTyp: String)
   * production deployment bounding state by user cardinality would use
   * an EventTimeTimeout at the session-continuity horizon, changing the
   * semantics to within-horizon transitions. */
+/** Per-user keyed state for the order-2 machine: the last TWO event
+  * types seen — two strings per user, the whole state. */
+case class LastTwo(prev2: String, prev1: String)
+
+/** An observed contiguous (t1, t2, t3) triple for one user. */
+case class Triple(user: Long, t1: String, t2: String, t3: String)
+
 object MarkovStream {
+
+  /** Streaming contiguous 3-sequences — the stateful twin of the batch
+    * `events_frequent_sequences` double-lead window: each arriving
+    * event closes the triple (prev2, prev1, now) on the spot; state is
+    * the last TWO types per user (the canonical reduction of a
+    * two-step lead window, one string more than [[transitions]]).
+    * Ordering/NoTimeout reasoning identical to [[transitions]]. */
+  def triples(events: DataFrame): Dataset[Triple] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user"),
+        expr("ts div 1000").as("tsUs"),
+        col("event_id").cast("long").as("eid"),
+        col("event_type").as("typ"))
+      .as[TypeObs]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[TypeObs],
+            state: GroupState[LastTwo]) => {
+          var p2 = state.getOption.map(_.prev2).orNull
+          var p1 = state.getOption.map(_.prev1).orNull
+          val out = Vector.newBuilder[Triple]
+          rows.toVector.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+            if (p2 != null && p1 != null) out += Triple(user, p2, p1, r.typ)
+            p2 = p1; p1 = r.typ
+          }
+          if (p1 != null) state.update(LastTwo(p2, p1))
+          out.result().iterator
+        })
+  }
 
   def transitions(events: DataFrame): Dataset[Transition] = {
     val spark = events.sparkSession

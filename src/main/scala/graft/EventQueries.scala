@@ -797,6 +797,34 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // DAU/WAU/MAU + STICKINESS: rolling distinct-user engagement — the
+    // product-analytics headline numbers. Sliding DISTINCT can't ride
+    // a window frame, so the standard shape is: pre-aggregate to the
+    // (day, user) DISTINCT grid (the one real shuffle, data-sized),
+    // then one day-grid × trailing-28d range join (grid is
+    // calendar-bounded, broadcast side) with conditional distincts for
+    // the 7d/28d horizons in a single agg. Stickiness = DAU/MAU ppm.
+    "events_dau_wau_mau" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(expr("ts_sec div 86400").as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      val dau = du.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val r = broadcast(days.as("g"))
+        .join(du.as("u"),
+          col("u.day").between(col("g.day") - 27, col("g.day")))
+        .groupBy(col("g.day"))
+        .agg(countDistinct(when(col("u.day") >= col("g.day") - 6,
+          col("u.user_id"))).as("wau"),
+          countDistinct(col("u.user_id")).as("mau"))
+        .select(col("g.day").as("day"), col("wau"), col("mau"))
+      dau.join(r, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          expr("dau * 1000000 div mau").as("stickiness_ppm"))
+        .orderBy(col("day"))
+    }),
+
     // COHORT LTV CURVES: cumulative purchase revenue per signup cohort
     // by day offset, per-user — the "when does a cohort pay back?"
     // complement of the user-count retention matrix. One cohort join
@@ -1303,6 +1331,19 @@ object EventQueries {
     "events_markov" -> markovSql,
     // the KM integer recurrence mirrors as a recursive CTE walking the
     // rank-ordered death days (DuckDB side of the `aggregate` HOF fold)
+    "events_dau_wau_mau" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+        |r AS (SELECT g.day,
+        |    count(DISTINCT CASE WHEN u.day >= g.day - 6
+        |      THEN u.user_id END)::BIGINT AS wau,
+        |    count(DISTINCT u.user_id)::BIGINT AS mau
+        |  FROM days g JOIN du u ON u.day BETWEEN g.day - 27 AND g.day
+        |  GROUP BY 1)
+        |SELECT day, dau, wau, mau, dau * 1000000 // mau AS stickiness_ppm
+        |FROM dau JOIN r USING (day) ORDER BY day""".stripMargin,
     "events_cohort_ltv" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
         |    CASE WHEN event_type = 'purchase'

@@ -1200,6 +1200,35 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // C4-STYLE rule filter audit (Raffel et al. 2020, §2.2 — the
+    // subset expressible on this fixture's single-line docs, stated as
+    // such): per language, how many docs each rule would drop —
+    // < 3 terminal-punctuation sentences, curly braces (code leak),
+    // "lorem ipsum" (placeholder leak), < 50 words — and the ppm that
+    // survives all four. The pre-training cousin of the Gopher-rules
+    // entry (C4 cuts structure/leakage; Gopher cuts statistical
+    // quality). One narrow per-row projection + one grouped sum.
+    "text_c4_rules" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("lang"),
+        (size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))) < 3)
+          .as("few_sent"),
+        col("text").contains("{").as("braces"),
+        lower(col("text")).contains("lorem ipsum").as("lorem"),
+        (size(TextOps.tokens(col("text"))) < 50).as("short"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("few_sent"), 1L).otherwise(0L)).as("n_few_sentences"),
+          sum(when(col("braces"), 1L).otherwise(0L)).as("n_braces"),
+          sum(when(col("lorem"), 1L).otherwise(0L)).as("n_lorem"),
+          sum(when(col("short"), 1L).otherwise(0L)).as("n_short"),
+          sum(when(!col("few_sent") && !col("braces") && !col("lorem") &&
+            !col("short"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("lang"), col("n_docs"), col("n_few_sentences"),
+          col("n_braces"), col("n_lorem"), col("n_short"), col("n_kept"),
+          expr("n_kept * 1000000 div n_docs").as("kept_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // FLESCH-KINCAID readability grade per language (Kincaid 1975),
     // fully integer: the corpus-level FK of each language slice as a
     // ratio of exact sums — grade·100 = (39·W² + 1180·Y·S − 1559·W·S)
@@ -2545,6 +2574,25 @@ object TextQueries {
           |  CAST(sum(wn) AS BIGINT) * 1000 // count(*)
           |    AS tokens_per_word_x1000
           |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+      "text_c4_rules" ->
+        s"""WITH d AS (SELECT lang,
+          |    len(regexp_extract_all(text, '[.!?]')) < 3 AS few_sent,
+          |    contains(text, '{') AS braces,
+          |    contains(lower(text), 'lorem ipsum') AS lorem,
+          |    len($toksSql) < 50 AS short
+          |  FROM documents),
+          |g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+          |    sum(CASE WHEN few_sent THEN 1 ELSE 0 END)::BIGINT
+          |      AS n_few_sentences,
+          |    sum(CASE WHEN braces THEN 1 ELSE 0 END)::BIGINT AS n_braces,
+          |    sum(CASE WHEN lorem THEN 1 ELSE 0 END)::BIGINT AS n_lorem,
+          |    sum(CASE WHEN short THEN 1 ELSE 0 END)::BIGINT AS n_short,
+          |    sum(CASE WHEN NOT few_sent AND NOT braces AND NOT lorem
+          |      AND NOT short THEN 1 ELSE 0 END)::BIGINT AS n_kept
+          |  FROM d GROUP BY lang)
+          |SELECT lang, n_docs, n_few_sentences, n_braces, n_lorem,
+          |  n_short, n_kept, n_kept * 1000000 // n_docs AS kept_ppm
+          |FROM g ORDER BY lang""".stripMargin,
       "text_readability_fk" -> {
         def fdiv(x: String, n: String) =
           s"(($x) - ((($x) % ($n)) + ($n)) % ($n)) // ($n)"

@@ -943,6 +943,36 @@ object EventQueries {
         .orderBy(col("dow"))
     }),
 
+    // ENTROPY RATE of the behavioral Markov chain — how predictable is
+    // the next action given the last one? H = −Σᵢⱼ p(i,j)·ln p(j|i)
+    // over the empirical transition counts (the one-number
+    // predictability summary on top of events_markov; H → 0 means
+    // deterministic behavior, H → ln(types) means no signal). Each
+    // types²-bounded cell quantizes floor(1e6·(n/N)·(−ln(n/Rᵢ))) from
+    // exact BIGINT counts through one identical double expression.
+    "events_entropy_rate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val row = pairs.groupBy(col("event_type")).agg(sum(col("n")).as("rn"))
+      val tot = pairs.agg(sum(col("n")).as("nt"))
+      pairs.join(broadcast(row), Seq("event_type"))
+        .crossJoin(broadcast(tot))
+        .select(col("nt"),
+          expr("""CAST(floor(1000000 * (CAST(n AS DOUBLE) / nt) *
+            |(-ln(CAST(n AS DOUBLE) / rn))) AS BIGINT)""".stripMargin)
+            .as("term"))
+        .agg(max(col("nt")).as("n_transitions"),
+          count(lit(1)).as("n_cells"),
+          sum(col("term")).as("entropy_rate_e6"))
+    }),
+
     // KAPLAN-MEIER survival estimate (Kaplan & Meier, JASA 1958) of
     // time-to-first-purchase with ADMINISTRATIVE right-censoring at a
     // 5-day horizon — the "conversion within horizon" survival curve
@@ -1331,6 +1361,22 @@ object EventQueries {
     "events_markov" -> markovSql,
     // the KM integer recurrence mirrors as a recursive CTE walking the
     // rank-ordered death days (DuckDB side of the `aggregate` HOF fold)
+    "events_entropy_rate" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |p0 AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_type FROM e),
+        |pairs AS (SELECT event_type, next_type, count(*)::BIGINT AS n
+        |  FROM p0 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(n)::BIGINT AS rn
+        |  FROM pairs GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS nt FROM pairs)
+        |SELECT max(nt) AS n_transitions, count(*)::BIGINT AS n_cells,
+        |  sum(CAST(floor(1000000 * (CAST(n AS DOUBLE) / nt) *
+        |    (-ln(CAST(n AS DOUBLE) / rn))) AS BIGINT))::BIGINT
+        |    AS entropy_rate_e6
+        |FROM pairs JOIN r USING (event_type) CROSS JOIN tot""".stripMargin,
     "events_dau_wau_mau" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |    user_id FROM events),

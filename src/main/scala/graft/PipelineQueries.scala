@@ -302,6 +302,51 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DOMAIN DISTANCE for mixture design: Jensen-Shannon divergence
+    // between every language pair's TOKEN distribution — the number a
+    // data-mixing run needs before picking sampling temperatures ("how
+    // far apart are these domains really?"). Distributions live on a
+    // 4096-bucket FEATURE HASH of the vocabulary (the DSIR discipline:
+    // the model side is ≤ B rows per language at any corpus size,
+    // never a distinct-token table), densified over the full bucket
+    // grid so absent buckets contribute their exact 0 term on both
+    // engines. Each KL addend quantizes floor(5e8·p·ln(p/m)) (JSD =
+    // ½KL(p‖m)+½KL(q‖m) ≤ ln 2 ⇒ sums stay ≪ BIGINT); langs²·B
+    // bounded output fold.
+    "pipeline_domain_distance" -> ((s, dir) => {
+      val B = 4096
+      val cnt = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("lang"),
+          (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % B)
+            .as("bucket"))
+        .groupBy(col("lang"), col("bucket")).agg(count(lit(1)).as("c"))
+      val langs = cnt.select(col("lang")).distinct()
+      val grid = langs.crossJoin(
+        s.range(1).select(explode(sequence(lit(0), lit(B - 1)))
+          .as("bucket")))
+      val tot = cnt.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+      val full = grid.join(cnt, Seq("lang", "bucket"), "left")
+        .select(col("lang"), col("bucket"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .join(broadcast(tot), Seq("lang"))
+      def kl(cp: String, tp: String, cq: String, tq: String) =
+        s"""CASE WHEN $cp = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(500000000 * (CAST($cp AS DOUBLE) / $tp) *
+          |  ln((CAST($cp AS DOUBLE) / $tp) /
+          |    ((CAST($cp AS DOUBLE) / $tp + CAST($cq AS DOUBLE) / $tq)
+          |      / 2))) AS BIGINT) END""".stripMargin
+      full.as("a").join(full.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.lang") < col("b.lang"))
+        .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+          (expr(kl("a.c", "a.t", "b.c", "b.t")) +
+            expr(kl("b.c", "b.t", "a.c", "a.t"))).as("term"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("term")).as("jsd_e9"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     // MIX-ENTROPY audit: Shannon entropy of the language mix BEFORE vs
     // AFTER temperature sampling — the one-number verification that
     // the flattening worked (H rises toward ln(k) as head languages
@@ -608,6 +653,33 @@ object PipelineQueries {
         |SELECT doc_id, source, quality, rk FROM r
         |WHERE rk <= ceil(n_stratum * 0.25)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_domain_distance" -> {
+      def kl(cp: String, tp: String, cq: String, tq: String) =
+        s"""CASE WHEN $cp = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(500000000 * (CAST($cp AS DOUBLE) / $tp) *
+          |  ln((CAST($cp AS DOUBLE) / $tp) /
+          |    ((CAST($cp AS DOUBLE) / $tp + CAST($cq AS DOUBLE) / $tq)
+          |      / 2))) AS BIGINT) END""".stripMargin
+      s"""WITH cnt AS (SELECT lang,
+        |    ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096 AS bucket,
+        |    count(*)::BIGINT AS c
+        |  FROM (SELECT lang, unnest($toksSql) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang FROM cnt),
+        |grid AS (SELECT lang, t.b AS bucket FROM langs, range(0, 4096) t(b)),
+        |tot AS (SELECT lang, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+        |fl AS (SELECT g.lang, g.bucket, coalesce(cnt.c, 0)::BIGINT AS c,
+        |    tot.t
+        |  FROM grid g LEFT JOIN cnt ON g.lang = cnt.lang
+        |    AND g.bucket = cnt.bucket
+        |  JOIN tot ON g.lang = tot.lang)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  count(*)::BIGINT AS n_buckets,
+        |  sum(${kl("a.c", "a.t", "b.c", "b.t")} +
+        |      ${kl("b.c", "b.t", "a.c", "a.t")})::BIGINT AS jsd_e9
+        |FROM fl a JOIN fl b ON a.bucket = b.bucket AND a.lang < b.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "pipeline_mix_entropy" ->
       """WITH raw AS (SELECT lang, count(*)::BIGINT AS n FROM documents
         |  GROUP BY lang),

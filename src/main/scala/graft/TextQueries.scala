@@ -1766,6 +1766,41 @@ object TextQueries {
     // duplicate n-gram fraction: how much of each doc's distinct 3-gram
     // set also appears in OTHER docs (boilerplate/template signal; plain
     // corpus — the injected-dup fixture would only saturate it)
+    // WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    // 2003 — the MOSS algorithm): from each doc's ORDERED 3-shingle
+    // hash sequence, keep the minimum of every w = 4 window — the
+    // fingerprint subset that GUARANTEES any shared run of ≥ w+k−1
+    // tokens surfaces in both docs (the property minhash can only
+    // promise probabilistically). Candidate pairs share a fingerprint
+    // with document frequency ≤ 8 (the standard stop-fingerprint cut —
+    // it bounds the per-print pair fan-out at scale, exactly like the
+    // band-bucket caps elsewhere); ranked by shared-print count. All
+    // expression-level array ops (transform/slice/array_min) — zero
+    // UDFs, and the 60-bit md5-prefix hash is the engine-portable one
+    // the shingle family already uses.
+    "dedup_winnowing" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val hs = transform(TextOps.shingles(t),
+        sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long"))
+      val prints = Tables.documents(s, dir)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"),
+          explode(when(size(col("hs")) >= 4,
+            array_distinct(transform(
+              sequence(lit(1), size(col("hs")) - 3),
+              j => array_min(slice(col("hs"), j, lit(4))))))
+            .otherwise(array_distinct(col("hs")))).as("fp"))
+      val df = prints.groupBy(col("fp")).agg(count(lit(1)).as("ndf"))
+      val kept = prints.join(df.filter(col("ndf") <= 8), Seq("fp"))
+      kept.as("a").join(kept.as("b"),
+          col("a.fp") === col("b.fp") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     "dedup_crossdoc_ngrams" -> ((s, dir) => {
       Dedup.crossDocNgramStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -2574,6 +2609,24 @@ object TextQueries {
           |  CAST(sum(wn) AS BIGINT) * 1000 // count(*)
           |    AS tokens_per_word_x1000
           |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+      "dedup_winnowing" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |sh AS (SELECT doc_id, ${OracleSql.shingles("toks")} AS sh FROM t),
+          |hs AS (SELECT doc_id, list_transform(sh,
+          |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM sh),
+          |pr AS (SELECT doc_id, unnest(CASE WHEN len(hs) >= 4
+          |    THEN list_distinct(list_transform(range(1, len(hs) - 2),
+          |      j -> list_min(hs[j:j+3])))
+          |    ELSE list_distinct(hs) END) AS fp
+          |  FROM hs),
+          |df AS (SELECT fp, count(*)::BIGINT AS ndf FROM pr GROUP BY 1),
+          |kept AS (SELECT pr.doc_id, pr.fp FROM pr JOIN df USING (fp)
+          |  WHERE ndf <= 8)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  count(*)::BIGINT AS n_shared
+          |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b
+          |LIMIT 20""".stripMargin,
       "text_c4_rules" ->
         s"""WITH d AS (SELECT lang,
           |    len(regexp_extract_all(text, '[.!?]')) < 3 AS few_sent,

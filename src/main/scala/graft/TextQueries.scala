@@ -1354,6 +1354,46 @@ object TextQueries {
         .limit(30)
     }),
 
+    // SPEARMAN rank agreement between the two per-doc quality signals
+    // — the rule-based heuristic score and the unigram-LM log-prob.
+    // ρ ≈ 1 means the cheap heuristic is a safe proxy for the LM
+    // filter; ρ ≪ 1 means the two filters keep DIFFERENT corpora and a
+    // pipeline must choose deliberately. ρ = 1 − 6Σd²/(n(n²−1)) over
+    // deterministic (value, doc_id)-tie-broken ranks — exact integers
+    // once the ranks exist (6Σd²·1e6 runs in DECIMAL/HUGEINT: it
+    // passes BIGINT around n ≈ 10⁵). The global ranks ride two
+    // no-partition windows here — a single total sort each at fixture
+    // scale; the 100 TB form of a global rank is the standard
+    // sort + per-partition-offset zipWithIndex, same semantics.
+    "stats_spearman_quality_lm" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tk = d.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val cnt = tk.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n"))
+      val lp = tk.join(cnt, Seq("token")).crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          floor(lit(1000000.0) * log(col("c").cast("double") /
+            col("n").cast("double"))).cast("long").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nt"), sum(col("lp")).as("lp_sum"))
+      val j = lp.join(
+        d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q")),
+        Seq("doc_id"))
+        .withColumn("ra", row_number().over(Window.orderBy(
+          expr("CAST(lp_sum AS DOUBLE) / nt"), col("doc_id"))).cast("long"))
+        .withColumn("rb", row_number().over(Window.orderBy(
+          col("q"), col("doc_id"))).cast("long"))
+      j.select(((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("d2"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("d2")).as("sd2"))
+        .select(col("n_docs"), col("sd2"),
+          expr("""CASE WHEN n_docs < 2 THEN NULL ELSE
+            |CAST(1000000 - (CAST(6 AS DECIMAL(38,0)) * sd2 * 1000000)
+            |div (CAST(n_docs AS DECIMAL(38,0)) *
+            |  (n_docs * n_docs - 1)) AS BIGINT) END""".stripMargin)
+            .as("rho_e6"))
+    }),
+
     // DUNNING LOG-LIKELIHOOD-RATIO collocations (Dunning, CL 1993):
     // the statistically-grounded sibling of the PMI ranking — LLR
     // compares the bigram's 2×2 contingency table against
@@ -2700,6 +2740,32 @@ object TextQueries {
           |SELECT node AS token, r AS rank_ppb FROM r2
           |ORDER BY rank_ppb DESC, token LIMIT 20""".stripMargin
       },
+      "stats_spearman_quality_lm" ->
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+          |tk AS (SELECT doc_id, u.token
+          |  FROM t, LATERAL unnest(toks) AS u(token)),
+          |cnt AS (SELECT token, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+          |tot AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+          |lp AS (SELECT doc_id, count(*)::BIGINT AS nt,
+          |    sum(CAST(floor(1000000.0 * ln(c::DOUBLE / n::DOUBLE))
+          |      AS BIGINT))::BIGINT AS lp_sum
+          |  FROM tk JOIN cnt USING (token) CROSS JOIN tot GROUP BY 1),
+          |q AS (SELECT doc_id, ${OracleSql.quality("toks")} AS q FROM t),
+          |j AS (SELECT lp.doc_id, lp_sum, nt, q.q
+          |  FROM lp JOIN q USING (doc_id)),
+          |r AS (SELECT doc_id,
+          |    row_number() OVER (ORDER BY CAST(lp_sum AS DOUBLE) / nt,
+          |      doc_id) AS ra,
+          |    row_number() OVER (ORDER BY q, doc_id) AS rb
+          |  FROM j),
+          |a AS (SELECT count(*)::BIGINT AS n_docs,
+          |    sum((ra - rb) * (ra - rb))::BIGINT AS sd2 FROM r)
+          |SELECT n_docs, sd2,
+          |  CASE WHEN n_docs < 2 THEN NULL ELSE
+          |    CAST(1000000 - (CAST(6 AS HUGEINT) * sd2 * 1000000)
+          |      // (CAST(n_docs AS HUGEINT) * (n_docs * n_docs - 1))
+          |      AS BIGINT) END AS rho_e6
+          |FROM a""".stripMargin,
       "text_collocation_llr" -> {
         def t(k: String) =
           s"""CASE WHEN ($k) <= 0 THEN CAST(0 AS BIGINT)

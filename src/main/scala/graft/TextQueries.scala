@@ -1354,6 +1354,57 @@ object TextQueries {
         .limit(30)
     }),
 
+    // HEAPS' LAW vocabulary-growth exponent: V(N) ≈ K·N^β fitted as a
+    // log-log OLS over ten decile checkpoints of the doc_id-ordered
+    // corpus prefix — β ≈ 0.5 is natural text, β → 1 is unbounded-
+    // vocabulary noise (ids, hashes), the corpus-health cousin of the
+    // Zipf slope (and the number that sizes a tokenizer's vocab
+    // budget). Prefix vocab = cumulative count of each token's FIRST
+    // document (one min-agg — never a re-scan per checkpoint); the
+    // zipf_fit integer-regression discipline (floor(1000·ln) points,
+    // exact sums, one closed-form div). Cumulative windows ride the
+    // doc-id grid (the zipf/ks precedent).
+    "text_heaps_law" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val wR = Window.orderBy(col("doc_id"))
+      val cumW = wR.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val ranked = d
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("ntoks"))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .withColumn("cum_n", sum(col("ntoks")).over(cumW))
+      val fr = d.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("fdoc"))
+        .join(ranked.select(col("doc_id").as("fdoc"),
+          col("rank").as("frank")), Seq("fdoc"))
+        .groupBy(col("frank")).agg(count(lit(1)).as("vnew"))
+      val cv = ranked.select(col("rank"), col("cum_n"))
+        .join(fr, ranked("rank") === fr("frank"), "left")
+        .select(col("rank"), col("cum_n"),
+          coalesce(col("vnew"), lit(0L)).as("vnew"))
+        .withColumn("cum_v", sum(col("vnew")).over(
+          Window.orderBy(col("rank")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+      val dd = ranked.agg(max(col("rank")).as("dd"))
+      val cp = s.range(1, 11).select(col("id").as("k"))
+        .crossJoin(broadcast(dd))
+        .select(expr("(k * dd) div 10").as("rank"))
+      broadcast(cp).join(cv, Seq("rank"))
+        .select(
+          floor(lit(1000.0) * log(col("cum_n").cast("double")))
+            .cast("long").as("x"),
+          floor(lit(1000.0) * log(col("cum_v").cast("double")))
+            .cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+            .as("beta_ppm"))
+    }),
+
     // SPEARMAN rank agreement between the two per-doc quality signals
     // — the rule-based heuristic score and the unigram-LM log-prob.
     // ρ ≈ 1 means the cheap heuristic is a safe proxy for the LM
@@ -2740,6 +2791,34 @@ object TextQueries {
           |SELECT node AS token, r AS rank_ppb FROM r2
           |ORDER BY rank_ppb DESC, token LIMIT 20""".stripMargin
       },
+      "text_heaps_law" ->
+        s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          |pd AS (SELECT doc_id, len(toks)::BIGINT AS ntoks FROM d),
+          |rk AS (SELECT doc_id, ntoks,
+          |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank,
+          |    CAST(sum(ntoks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_n
+          |  FROM pd),
+          |fd AS (SELECT w, min(doc_id) AS fdoc
+          |  FROM (SELECT doc_id, unnest(toks) AS w FROM d) GROUP BY 1),
+          |fr AS (SELECT rk.rank AS frank, count(*)::BIGINT AS vnew
+          |  FROM fd JOIN rk ON fd.fdoc = rk.doc_id GROUP BY 1),
+          |cv AS (SELECT rank, cum_n,
+          |    CAST(sum(coalesce(vnew, 0)) OVER (ORDER BY rank) AS BIGINT)
+          |      AS cum_v
+          |  FROM rk LEFT JOIN fr ON rk.rank = fr.frank),
+          |dd AS (SELECT max(rank) AS dd FROM rk),
+          |cp AS (SELECT (k.k * dd) // 10 AS rank
+          |  FROM range(1, 11) k(k) CROSS JOIN dd),
+          |pts AS (SELECT
+          |    CAST(floor(1000.0 * ln(cum_n::DOUBLE)) AS BIGINT) AS x,
+          |    CAST(floor(1000.0 * ln(cum_v::DOUBLE)) AS BIGINT) AS y
+          |  FROM cp JOIN cv USING (rank)),
+          |a AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+          |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+          |    sum(x * x)::BIGINT AS sxx FROM pts)
+          |SELECT n,
+          |  (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS beta_ppm
+          |FROM a""".stripMargin,
       "stats_spearman_quality_lm" ->
         s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
           |tk AS (SELECT doc_id, u.token

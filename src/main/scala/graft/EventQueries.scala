@@ -356,12 +356,22 @@ object EventQueries {
       val B = 64
       val e = Tables.events(s, dir).select(col("event_type"),
         col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      // one md5 yields FIVE independent 6-hex-digit draws (30 of 32
+      // hex chars) — replicate b = 5g+o reads digits [1+6o, +6) of
+      // md5(id ":" g), and the hash is computed ONCE per (row, g)
+      // before the inner explode: 13 hashes per row instead of 64
       val rep = e
         .select(col("event_type"), col("event_id"), col("cents"),
-          explode(sequence(lit(0), lit(B - 1))).as("b"))
-        .withColumn("u",
-          conv(substring(md5(concat_ws(":", col("event_id"), col("b"))),
-            1, 6), 16, 10).cast("long") % 1000000)
+          explode(sequence(lit(0), lit((B + 4) / 5 - 1))).as("g"))
+        .withColumn("h", md5(concat(col("event_id").cast("string"),
+          lit(":"), col("g").cast("string"))))
+        .select(col("event_type"), col("cents"), col("g"), col("h"),
+          explode(sequence(lit(0), lit(4))).as("o"))
+        .withColumn("b", col("g") * 5 + col("o"))
+        .filter(col("b") < B)
+        .withColumn("u", expr(
+          """CAST(conv(substring(h, 1 + 6 * o, 6), 16, 10) AS BIGINT)
+            |% 1000000""".stripMargin))
         // Poisson(1) CDF in ppm: 367879, 735758, 919698, 981011, 996340
         .withColumn("w", expr(
           """CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
@@ -377,12 +387,12 @@ object EventQueries {
       val pt = e.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           expr("sum(cents) div count(1)").as("mean_cents"))
-      pt.join(rk.filter(col("rk") === 4)
-          .select(col("event_type"), col("mean_b").as("lo_cents")),
-          Seq("event_type"))
-        .join(rk.filter(col("rk") === B - 3)
-          .select(col("event_type"), col("mean_b").as("hi_cents")),
-          Seq("event_type"))
+      // one conditional agg pulls both order statistics — referencing
+      // the ranked frame twice would recompute the B×N explode twice
+      val ci = rk.groupBy(col("event_type"))
+        .agg(max(when(col("rk") === 4, col("mean_b"))).as("lo_cents"),
+          max(when(col("rk") === B - 3, col("mean_b"))).as("hi_cents"))
+      pt.join(ci, Seq("event_type"))
         .orderBy(col("event_type"))
     }),
 
@@ -1503,7 +1513,8 @@ object EventQueries {
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
         |rep AS (SELECT event_type, cents, t.b,
         |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
-        |      CAST(t.b AS VARCHAR)), 1, 6))::BIGINT % 1000000 AS u
+        |      CAST(t.b // 5 AS VARCHAR)),
+        |      CAST(1 + 6 * (t.b % 5) AS INT), 6))::BIGINT % 1000000 AS u
         |  FROM e, range(0, 64) t(b)),
         |w AS (SELECT event_type, b, cents,
         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1

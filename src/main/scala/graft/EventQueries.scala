@@ -807,6 +807,30 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // INTER-ARRIVAL distribution: time between a user's consecutive
+    // events of the same type — the number that justifies the
+    // sessionize gap threshold and feeds capacity planning. One lag
+    // window over the log's natural (user, type) partitioning (never
+    // a global per-type series — that partition skews at volume);
+    // exact-integer floored percentiles (the winsorized discipline:
+    // floor kills low-bit interpolation drift), mean via div.
+    "events_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          floor(expr("percentile(gap_us, 0.5)")).cast("long").as("p50_us"),
+          floor(expr("percentile(gap_us, 0.9)")).cast("long").as("p90_us"),
+          floor(expr("percentile(gap_us, 0.99)")).cast("long").as("p99_us"),
+          expr("sum(gap_us) div count(1)").as("mean_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // DAU/WAU/MAU + STICKINESS: rolling distinct-user engagement — the
     // product-analytics headline numbers. Sliding DISTINCT can't ride
     // a window frame, so the standard shape is: pre-aggregate to the
@@ -1387,6 +1411,20 @@ object EventQueries {
         |    (-ln(CAST(n AS DOUBLE) / rn))) AS BIGINT))::BIGINT
         |    AS entropy_rate_e6
         |FROM pairs JOIN r USING (event_type) CROSS JOIN tot""".stripMargin,
+    "events_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |    event_id FROM events),
+        |g AS (SELECT event_type,
+        |    ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) AS gap_us
+        |  FROM e)
+        |SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |  CAST(floor(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us,
+        |  CAST(floor(quantile_cont(gap_us, 0.9)) AS BIGINT) AS p90_us,
+        |  CAST(floor(quantile_cont(gap_us, 0.99)) AS BIGINT) AS p99_us,
+        |  CAST(sum(gap_us) AS BIGINT) // count(*) AS mean_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_dau_wau_mau" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |    user_id FROM events),

@@ -113,6 +113,11 @@ object GraphQueries {
     // exact triangle enumeration on the backbone
     "graph_triangles" -> ((s, dir) =>
       GraphOps.triangles(s, dir).orderBy(col("a"), col("b"), col("c"))),
+    // per-node LOCAL CLUSTERING COEFFICIENT — 2T(v)/(d(v)(d(v)−1)) ppm
+    // from exact triangle corner counts; the per-node texture the
+    // global transitivity number hides (full node table gated)
+    "graph_local_clustering" -> ((s, dir) =>
+      GraphOps.localClustering(s, dir).orderBy(col("node"))),
     // 4-round min-label propagation: per-node component label (the
     // full label table is the gate — one histogram row would hide
     // every mis-propagated node)
@@ -795,6 +800,23 @@ object GraphQueries {
         |JOIN backbone e2 ON e1.dst = e2.src
         |JOIN backbone e3 ON e3.src = e1.src AND e3.dst = e2.dst
         |ORDER BY a, b, c""".stripMargin,
+    "graph_local_clustering" ->
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM backbone e1
+        |  JOIN backbone e2 ON e1.dst = e2.src
+        |  JOIN backbone e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |corners AS (SELECT node, count(*)::BIGINT AS t FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |sym AS (SELECT src, dst FROM backbone
+        |  UNION ALL SELECT dst, src FROM backbone),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d
+        |  FROM sym GROUP BY 1)
+        |SELECT deg.node AS node, d, coalesce(t, 0)::BIGINT AS n_triangles,
+        |  coalesce(t, 0) * 2 * 1000000 // (d * (d - 1)) AS lcc_ppm
+        |FROM deg LEFT JOIN corners ON deg.node = corners.node
+        |WHERE d >= 2 ORDER BY deg.node""".stripMargin,
     "graph_knn_edges" ->
       s"""WITH $knnSql
         |SELECT src, dst, cos_sim, rk FROM knn ORDER BY src, rk""".stripMargin,

@@ -1150,6 +1150,27 @@ object RelationalQueries {
     // order re-ingested) so the non-zero path is exercised. One
     // grouped count per key — the warehouse post-load constraint
     // check, map-side combined, near-metadata output.
+    // FRESHNESS audit — the fourth DQ leg (referential, uniqueness,
+    // completeness, freshness): per ingested series, the lag between
+    // its newest record and the lake's watermark — the "is this feed
+    // stuck?" pager signal. Reference point is the global max event
+    // time (a deterministic, mirrorable stand-in for wall-clock now,
+    // which would un-gate the entry); one grouped max + a broadcast
+    // 1-row watermark.
+    "dq_freshness_audit" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("ts_us"))
+      val mx = e.agg(max(col("ts_us")).as("wm_us"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts_us")).as("max_ts_us"))
+        .crossJoin(broadcast(mx))
+        .select(col("event_type").as("series"), col("n"),
+          col("max_ts_us"),
+          (col("wm_us") - col("max_ts_us")).as("lag_us"),
+          ((col("wm_us") - col("max_ts_us")) <= 86400000000L)
+            .as("fresh_1d"))
+        .orderBy(col("series"))
+    }),
+
     // COMPLETENESS audit — the third leg of the DQ triad (referential,
     // uniqueness, completeness): per declared column, null and
     // blank-string counts and the completeness ppm. The fixture is
@@ -2082,6 +2103,15 @@ object RelationalQueries {
           "o_orderkey")}
         |ORDER BY key""".stripMargin
     },
+    "dq_freshness_audit" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        |mx AS (SELECT max(ts_us) AS wm_us FROM e),
+        |g AS (SELECT event_type AS series, count(*)::BIGINT AS n,
+        |    max(ts_us) AS max_ts_us FROM e GROUP BY 1)
+        |SELECT series, n, max_ts_us,
+        |  wm_us - max_ts_us AS lag_us,
+        |  (wm_us - max_ts_us) <= 86400000000 AS fresh_1d
+        |FROM g CROSS JOIN mx ORDER BY series""".stripMargin,
     "dq_completeness_audit" -> {
       def one(name: String, rel: String, c: String, blankable: Boolean) = {
         val blank =

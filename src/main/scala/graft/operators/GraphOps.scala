@@ -668,6 +668,31 @@ object GraphOps {
     e1.join(e2, Seq("b")).join(e3, Seq("a", "c")).select("a", "b", "c")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998): per node,
+    * the fraction of its neighbor pairs that are themselves adjacent —
+    * lcc = 2·T(v) / (d(v)·(d(v)−1)) in ppm from the exact per-node
+    * triangle counts (each [[triangles]] row credits all three
+    * corners); the per-node texture the one-number transitivity hides.
+    * Degree-1 nodes have no neighbor pair and report 0 over d·(d−1)=0
+    * — excluded (the standard convention). Scale shape: the triangle
+    * join is the deg²-bounded wedge pattern; the per-node fold and
+    * degree join are node-keyed. */
+  def localClustering(spark: SparkSession, sfDir: String): DataFrame = {
+    val tri = triangles(spark, sfDir)
+    val corners = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("t"))
+    val deg = symmetric(backbone(spark, sfDir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"))
+      .withColumn("lcc_ppm",
+        expr("n_triangles * 2 * 1000000 div (d * (d - 1))"))
+  }
+
   // ------------- k-NN graph over the embedding corpus (r16) -------------
 
   /** The kNN graph's coarse-quantizer epoch: the trained centroids

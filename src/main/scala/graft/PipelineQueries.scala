@@ -347,6 +347,47 @@ object PipelineQueries {
         .orderBy(col("lang_a"), col("lang_b"))
     }),
 
+    // CURATION DRIFT: Jensen-Shannon divergence between the RAW
+    // corpus's token distribution and the temperature-mixed sample's —
+    // the one-number answer to "did curation shift what the model will
+    // actually read?" (mix_entropy verifies the LANGUAGE mix moved;
+    // this verifies how much the TOKEN distribution moved with it).
+    // Same 4096-bucket feature-hash grid and floor(5e8·p·ln(p/m))
+    // addends as pipeline_domain_distance; two wordcount passes + a
+    // grid-keyed join, one-row output.
+    "pipeline_curation_drift" -> ((s, dir) => {
+      val B = 4096
+      val docs = Tables.documents(s, dir)
+      val grid = s.range(1)
+        .select(explode(sequence(lit(0), lit(B - 1))).as("bucket"))
+      def full(of: DataFrame, cAs: String, tAs: String): DataFrame = {
+        val cn = of
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .select((conv(substring(md5(col("w")), 1, 6), 16, 10)
+            .cast("long") % B).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        grid.join(cn, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("c"), lit(0L)).as(cAs))
+          .crossJoin(broadcast(cn.agg(sum(col("c")).as(tAs))))
+      }
+      def kl(cp: String, tp: String, cq: String, tq: String) =
+        s"""CASE WHEN $cp = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(500000000 * (CAST($cp AS DOUBLE) / $tp) *
+          |  ln((CAST($cp AS DOUBLE) / $tp) /
+          |    ((CAST($cp AS DOUBLE) / $tp + CAST($cq AS DOUBLE) / $tq)
+          |      / 2))) AS BIGINT) END""".stripMargin
+      full(docs, "ca", "ta")
+        .join(full(PipelineOps.temperatureMix(docs, "doc_id", "lang"),
+          "cb", "tb"), Seq("bucket"))
+        .select(col("ta"), col("tb"),
+          (expr(kl("ca", "ta", "cb", "tb")) +
+            expr(kl("cb", "tb", "ca", "ta"))).as("term"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("ta")).as("n_raw_tokens"),
+          max(col("tb")).as("n_mixed_tokens"),
+          sum(col("term")).as("jsd_e9"))
+    }),
+
     // MIX-ENTROPY audit: Shannon entropy of the language mix BEFORE vs
     // AFTER temperature sampling — the one-number verification that
     // the flattening worked (H rises toward ln(k) as head languages
@@ -653,6 +694,45 @@ object PipelineQueries {
         |SELECT doc_id, source, quality, rk FROM r
         |WHERE rk <= ceil(n_stratum * 0.25)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_curation_drift" -> {
+      def kl(cp: String, tp: String, cq: String, tq: String) =
+        s"""CASE WHEN $cp = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(500000000 * (CAST($cp AS DOUBLE) / $tp) *
+          |  ln((CAST($cp AS DOUBLE) / $tp) /
+          |    ((CAST($cp AS DOUBLE) / $tp + CAST($cq AS DOUBLE) / $tq)
+          |      / 2))) AS BIGINT) END""".stripMargin
+      s"""WITH src AS (SELECT doc_id, lang, $toksSql AS toks
+        |  FROM documents),
+        |c0 AS (SELECT lang, count(*)::BIGINT AS n_stratum
+        |  FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n_stratum) AS n_min FROM c0),
+        |r AS (SELECT lang,
+        |    CAST(floor(sqrt(n_min::DOUBLE / n_stratum::DOUBLE)
+        |      * 1000000.0) AS BIGINT) AS accept_ppm FROM c0, mn),
+        |rawc AS (SELECT ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096
+        |      AS bucket, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(toks) AS w FROM src) GROUP BY 1),
+        |rt AS (SELECT sum(c)::BIGINT AS t FROM rawc),
+        |msrc AS (SELECT s.toks FROM src s JOIN r ON r.lang = s.lang
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |    % 1000000 < accept_ppm),
+        |mixc AS (SELECT ('0x' || substr(md5(w), 1, 6))::BIGINT % 4096
+        |      AS bucket, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(toks) AS w FROM msrc) GROUP BY 1),
+        |mt AS (SELECT sum(c)::BIGINT AS t FROM mixc),
+        |g AS (SELECT t.b AS bucket FROM range(0, 4096) t(b)),
+        |fa AS (SELECT g.bucket, coalesce(rawc.c, 0)::BIGINT AS ca,
+        |    rt.t AS ta
+        |  FROM g LEFT JOIN rawc ON g.bucket = rawc.bucket CROSS JOIN rt),
+        |fb AS (SELECT g.bucket, coalesce(mixc.c, 0)::BIGINT AS cb,
+        |    mt.t AS tb
+        |  FROM g LEFT JOIN mixc ON g.bucket = mixc.bucket CROSS JOIN mt)
+        |SELECT count(*)::BIGINT AS n_buckets, max(ta) AS n_raw_tokens,
+        |  max(tb) AS n_mixed_tokens,
+        |  sum(${kl("ca", "ta", "cb", "tb")} +
+        |      ${kl("cb", "tb", "ca", "ta")})::BIGINT AS jsd_e9
+        |FROM fa JOIN fb ON fa.bucket = fb.bucket""".stripMargin
+    },
     "pipeline_domain_distance" -> {
       def kl(cp: String, tp: String, cq: String, tq: String) =
         s"""CASE WHEN $cp = 0 THEN CAST(0 AS BIGINT)

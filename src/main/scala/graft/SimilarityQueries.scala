@@ -2694,6 +2694,29 @@ object SimilarityQueries {
         .orderBy(col("rk"))
     }),
 
+    // EMBEDDING NORM AUDIT: per-label distribution of squared L2 norms
+    // — the cheap detector for norm collapse / scale drift after a
+    // re-embed (a label whose norms flatline or shift is the first
+    // symptom of a bad encoder rollout; cosine serving hides it
+    // because it normalizes). Each row's norm² is one LEFT-TO-RIGHT
+    // `aggregate` fold over its own vector (deterministic double,
+    // mirrored by DuckDB's list_reduce — and 0.0 + x₁² ≡ x₁² exactly
+    // in IEEE, so the differing fold seeds agree), quantized
+    // round(1e6·…) per row BEFORE the integer min/max/mean fold.
+    "sim_norm_audit" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), expr(
+          """CAST(round(1000000 * aggregate(embedding,
+            |CAST(0.0 AS DOUBLE),
+            |(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+            |AS BIGINT)""".stripMargin).as("nq"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(col("nq")).as("min_nsq_e6"),
+          max(col("nq")).as("max_nsq_e6"),
+          expr("sum(nq) div count(1)").as("mean_nsq_e6"))
+        .orderBy(col("label"))
+    }),
+
     // KENDALL-τ RANK AGREEMENT between the two lexical scorers (r19):
     // how much do BM25 and QLD actually disagree about order? τ_a over
     // the INTERSECTION of their top-20s — concordant minus discordant
@@ -4055,6 +4078,16 @@ object SimilarityQueries {
     "hybrid_search_rrf" -> hybridRrfOracleSql,
     "hybrid_qld_rrf" -> hybridQldRrfOracleSql,
     "hybrid_rank_kendall" -> hybridKendallOracleSql,
+    "sim_norm_audit" ->
+      """WITH nq AS (SELECT label,
+        |    CAST(round(1000000 * list_reduce(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE) *
+        |        CAST(x AS DOUBLE)), (a, b) -> a + b)) AS BIGINT) AS nq
+        |  FROM embeddings)
+        |SELECT label, count(*)::BIGINT AS n,
+        |  min(nq) AS min_nsq_e6, max(nq) AS max_nsq_e6,
+        |  CAST(sum(nq) AS BIGINT) // count(*) AS mean_nsq_e6
+        |FROM nq GROUP BY label ORDER BY label""".stripMargin,
     "hybrid_search_rrf_batch" -> hybridRrfBatchOracleSql,
     "hybrid_search_weighted" -> hybridWeightedOracleSql,
     "hybrid_search_weighted_batch" -> hybridWeightedBatchOracleSql,

@@ -1150,6 +1150,34 @@ object RelationalQueries {
     // order re-ingested) so the non-zero path is exercised. One
     // grouped count per key — the warehouse post-load constraint
     // check, map-side combined, near-metadata output.
+    // BACKLOG CURVE (event-sourced inventory math): cumulative orders
+    // placed vs orders fully shipped per day — backlog(d) = open
+    // orders at end of day d, the warehouse-ops headline series. An
+    // order ships on its LAST line's ship date (one order-keyed max);
+    // the day grid is calendar-bounded, so the cumulative window is
+    // metadata-sized no matter the fact volume.
+    "orders_backlog_curve" -> ((s, dir) => {
+      val placed = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(count(lit(1)).as("placed"))
+      val shipped = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("shipped"))
+      val grid = placed.select(col("day"))
+        .unionAll(shipped.select(col("day"))).distinct()
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(placed, Seq("day"), "left")
+        .join(shipped, Seq("day"), "left")
+        .select(col("day"), coalesce(col("placed"), lit(0L)).as("placed"),
+          coalesce(col("shipped"), lit(0L)).as("shipped"))
+        .withColumn("cum_placed", sum(col("placed")).over(w))
+        .withColumn("cum_shipped", sum(col("shipped")).over(w))
+        .withColumn("backlog", col("cum_placed") - col("cum_shipped"))
+        .orderBy(col("day"))
+    }),
+
     // FRESHNESS audit — the fourth DQ leg (referential, uniqueness,
     // completeness, freshness): per ingested series, the lag between
     // its newest record and the lake's watermark — the "is this feed
@@ -1529,6 +1557,17 @@ object RelationalQueries {
         datediff(lit("2002-01-01").cast("timestamp"), col("o_orderdate")).cast("long").as("days_to_2002"))
         .orderBy(col("o_orderkey"))
     }))
+
+  /** Shared by `dq_freshness_audit` and its streaming twin. */
+  private[graft] lazy val freshnessSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+      |mx AS (SELECT max(ts_us) AS wm_us FROM e),
+      |g AS (SELECT event_type AS series, count(*)::BIGINT AS n,
+      |    max(ts_us) AS max_ts_us FROM e GROUP BY 1)
+      |SELECT series, n, max_ts_us,
+      |  wm_us - max_ts_us AS lag_us,
+      |  (wm_us - max_ts_us) <= 86400000000 AS fresh_1d
+      |FROM g CROSS JOIN mx ORDER BY series""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2103,15 +2142,26 @@ object RelationalQueries {
           "o_orderkey")}
         |ORDER BY key""".stripMargin
     },
-    "dq_freshness_audit" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
-        |mx AS (SELECT max(ts_us) AS wm_us FROM e),
-        |g AS (SELECT event_type AS series, count(*)::BIGINT AS n,
-        |    max(ts_us) AS max_ts_us FROM e GROUP BY 1)
-        |SELECT series, n, max_ts_us,
-        |  wm_us - max_ts_us AS lag_us,
-        |  (wm_us - max_ts_us) <= 86400000000 AS fresh_1d
-        |FROM g CROSS JOIN mx ORDER BY series""".stripMargin,
+    "dq_freshness_audit" -> freshnessSql,
+    "orders_backlog_curve" ->
+      """WITH placed AS (SELECT o_orderdate AS day, count(*)::BIGINT
+        |    AS placed FROM orders GROUP BY 1),
+        |lastship AS (SELECT l_orderkey, max(l_shipdate) AS day
+        |  FROM lineitem GROUP BY 1),
+        |shipped AS (SELECT day, count(*)::BIGINT AS shipped
+        |  FROM lastship GROUP BY 1),
+        |grid AS (SELECT day FROM placed
+        |  UNION SELECT day FROM shipped),
+        |j AS (SELECT grid.day, coalesce(placed, 0)::BIGINT AS placed,
+        |    coalesce(shipped, 0)::BIGINT AS shipped
+        |  FROM grid LEFT JOIN placed ON grid.day = placed.day
+        |  LEFT JOIN shipped ON grid.day = shipped.day)
+        |SELECT day, placed, shipped,
+        |  CAST(sum(placed) OVER (ORDER BY day) AS BIGINT) AS cum_placed,
+        |  CAST(sum(shipped) OVER (ORDER BY day) AS BIGINT) AS cum_shipped,
+        |  CAST(sum(placed) OVER (ORDER BY day) AS BIGINT) -
+        |    CAST(sum(shipped) OVER (ORDER BY day) AS BIGINT) AS backlog
+        |FROM j ORDER BY day""".stripMargin,
     "dq_completeness_audit" -> {
       def one(name: String, rel: String, c: String, blankable: Boolean) = {
         val blank =

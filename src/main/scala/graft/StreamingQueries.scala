@@ -195,6 +195,28 @@ object StreamingQueries {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // streaming FRESHNESS monitor: the dq_freshness_audit twin as a
+    // COMPLETE-mode streaming aggregation (the one output mode the
+    // suite had not yet exercised — the memory sink holds the full
+    // re-emitted result each trigger, which is exactly the "current
+    // staleness board" serving shape); state is O(series)·2 longs
+    // inside the agg store; gated by the SAME oracle as the batch leg
+    "stream_freshness" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val agg = st.select(col("event_type"), expr("ts div 1000").as("ts_us"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts_us")).as("max_ts_us"))
+      val out = runToMemory(agg, "complete")
+      val wm = out.agg(max(col("max_ts_us")).as("wm_us"))
+      out.crossJoin(broadcast(wm))
+        .select(col("event_type").as("series"), col("n"),
+          col("max_ts_us"),
+          (col("wm_us") - col("max_ts_us")).as("lag_us"),
+          ((col("wm_us") - col("max_ts_us")) <= 86400000000L)
+            .as("fresh_1d"))
+        .orderBy(col("series"))
+    }),
+
     // streaming 3-SEQUENCE mining: the double-lead window reduced to
     // TWO strings of keyed state per user (MarkovStream.triples) —
     // each arrival closes its (prev2, prev1, now) triple on the spot;
@@ -1154,6 +1176,7 @@ object StreamingQueries {
     "stream_markov" -> EventQueries.markovSql,
     "stream_forecast_holt" -> EventQueries.holtSql,
     "stream_frequent_sequences" -> EventQueries.freqSeqSql,
+    "stream_freshness" -> RelationalQueries.freshnessSql,
     // exact regime: the sketch's counters ARE the exact per-user counts
     "stream_heavy_hitters" ->
       """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n

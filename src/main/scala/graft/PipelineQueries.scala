@@ -347,6 +347,39 @@ object PipelineQueries {
         .orderBy(col("lang_a"), col("lang_b"))
     }),
 
+    // SPLIT LEAKAGE audit: 3-shingle contamination between the
+    // deterministic train and val splits — the eval-integrity check
+    // every training pipeline must run (a val doc sharing shingles
+    // with train is a leaked eval example; the hash split prevents
+    // DUPLICATE-ID leakage but not near-duplicate TEXT leakage, which
+    // is exactly what this catches). Train's distinct shingle ids
+    // semi-join val's exploded shingles (both data-sized, hash-keyed —
+    // the decontaminate shape applied to the split boundary); output
+    // is the one-row verdict: val docs, contaminated docs, ppm, and
+    // the distinct shared-shingle count.
+    "pipeline_split_leakage" -> ((s, dir) => {
+      val split = PipelineOps.trainValTestSplit(
+        Tables.documents(s, dir), "doc_id")
+      def shingles(of: DataFrame) = of.select(col("doc_id"),
+          explode(TextOps.hashedShingles(
+            TextOps.shingles(TextOps.tokens(col("text"))))).as("sh"))
+        .distinct()
+      val train = shingles(split.filter(col("split") === "train"))
+        .select(col("sh")).distinct()
+      val valSh = shingles(split.filter(col("split") === "val"))
+      val shared = valSh.join(train, Seq("sh"), "left_semi")
+      val nVal = split.filter(col("split") === "val")
+        .agg(count(lit(1)).as("n_val_docs"))
+      shared.agg(
+          countDistinct(col("doc_id")).as("n_contaminated_docs"),
+          countDistinct(col("sh")).as("n_shared_shingles"))
+        .crossJoin(broadcast(nVal))
+        .select(col("n_val_docs"), col("n_contaminated_docs"),
+          col("n_shared_shingles"),
+          expr("n_contaminated_docs * 1000000 div n_val_docs")
+            .as("contaminated_ppm"))
+    }),
+
     // CURATION DRIFT: Jensen-Shannon divergence between the RAW
     // corpus's token distribution and the temperature-mixed sample's —
     // the one-number answer to "did curation shift what the model will
@@ -694,6 +727,27 @@ object PipelineQueries {
         |SELECT doc_id, source, quality, rk FROM r
         |WHERE rk <= ceil(n_stratum * 0.25)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_split_leakage" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 100 AS b
+        |  FROM documents),
+        |sh AS (SELECT doc_id, b,
+        |    unnest(${OracleSql.hashedShingles("toks")}) AS sh FROM d),
+        |train AS (SELECT DISTINCT sh FROM sh WHERE b < 80),
+        |v AS (SELECT DISTINCT doc_id, sh FROM sh
+        |  WHERE b >= 80 AND b < 90),
+        |shared AS (SELECT v.doc_id, v.sh FROM v JOIN train USING (sh)),
+        |nv AS (SELECT count(*)::BIGINT AS n_val_docs FROM d
+        |  WHERE b >= 80 AND b < 90)
+        |SELECT n_val_docs,
+        |  (SELECT count(DISTINCT doc_id) FROM shared)::BIGINT
+        |    AS n_contaminated_docs,
+        |  (SELECT count(DISTINCT sh) FROM shared)::BIGINT
+        |    AS n_shared_shingles,
+        |  (SELECT count(DISTINCT doc_id) FROM shared) * 1000000
+        |    // n_val_docs AS contaminated_ppm
+        |FROM nv""".stripMargin,
     "pipeline_curation_drift" -> {
       def kl(cp: String, tp: String, cq: String, tq: String) =
         s"""CASE WHEN $cp = 0 THEN CAST(0 AS BIGINT)

@@ -338,6 +338,46 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // WALD-WOLFOWITZ RUNS TEST: is each series' above/below-median
+    // sequence RANDOM in time, or does it cluster (regime-switching,
+    // batching artifacts, stuck sensors)? R = 1 + sign changes over
+    // the (ts, id)-ordered series with median-ties dropped (the
+    // standard treatment, stated); expected runs 1 + 2n₁n₂/(n₁+n₂) in
+    // exact e6 (BIGINT-safe to ~2×10⁶ per side). Median is the exact
+    // grid lower median (the ks_drift window shape). The sign-change
+    // window rides the per-type series key — the one inherently
+    // serial-per-series op; a 100 TB run segments by (type, day) and
+    // stitches boundaries.
+    "stats_runs_test" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts_us"), col("event_id"))
+      val g = e.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("m"))
+      val wcum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = g.withColumn("cum", sum(col("m")).over(wcum))
+        .withColumn("nn",
+          sum(col("m")).over(Window.partitionBy(col("event_type"))))
+        .filter(col("cum") >= expr("(nn + 1) div 2"))
+        .groupBy(col("event_type")).agg(min(col("cents")).as("med"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      e.join(broadcast(med), Seq("event_type"))
+        .filter(col("cents") =!= col("med"))
+        .withColumn("hi", col("cents") > col("med"))
+        .withColumn("prev", lag(col("hi"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum(when(!col("hi"), 1L).otherwise(0L)).as("n_lo"),
+          (sum(when(col("prev").isNotNull && col("prev") =!= col("hi"),
+            1L).otherwise(0L)) + 1L).as("n_runs"))
+        .select(col("event_type"), col("n_hi"), col("n_lo"), col("n_runs"),
+          expr("1000000 + (2 * n_hi * n_lo * 1000000) div (n_hi + n_lo)")
+            .as("e_runs_e6"))
+        .orderBy(col("event_type"))
+    }),
+
     // POISSON-BOOTSTRAP confidence interval for the per-type mean
     // (Chamandy et al. 2012, "Estimating uncertainty for massive data
     // streams" — THE bootstrap at cluster scale): instead of resampling
@@ -1546,6 +1586,31 @@ object EventQueries {
         |  slope_e4 AS median_slope_e4
         |FROM rk WHERE rk = (np + 1) // 2 ORDER BY event_type""".stripMargin
     },
+    "stats_runs_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS ts_us, event_id FROM events),
+        |g AS (SELECT event_type, cents, count(*)::BIGINT AS m
+        |  FROM e GROUP BY 1, 2),
+        |med AS (SELECT event_type, min(cents) AS med FROM (
+        |  SELECT event_type, cents,
+        |    sum(m) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |    sum(m) OVER (PARTITION BY event_type) AS nn
+        |  FROM g) WHERE cum >= (nn + 1) // 2 GROUP BY event_type),
+        |s AS (SELECT e.event_type, cents > med AS hi,
+        |    lag(cents > med, 1) OVER (PARTITION BY e.event_type
+        |      ORDER BY ts_us, event_id) AS prev
+        |  FROM e JOIN med USING (event_type) WHERE cents <> med),
+        |a AS (SELECT event_type,
+        |    sum(CASE WHEN hi THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+        |    sum(CASE WHEN hi THEN 0 ELSE 1 END)::BIGINT AS n_lo,
+        |    (sum(CASE WHEN prev IS NOT NULL AND prev <> hi
+        |      THEN 1 ELSE 0 END) + 1)::BIGINT AS n_runs
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, n_hi, n_lo, n_runs,
+        |  1000000 + (2 * n_hi * n_lo * 1000000) // (n_hi + n_lo)
+        |    AS e_runs_e6
+        |FROM a ORDER BY event_type""".stripMargin,
     "stats_bootstrap_ci" ->
       """WITH e AS (SELECT event_type, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -113,6 +113,12 @@ object GraphQueries {
     // exact triangle enumeration on the backbone
     "graph_triangles" -> ((s, dir) =>
       GraphOps.triangles(s, dir).orderBy(col("a"), col("b"), col("c"))),
+    // GLOBAL TRANSITIVITY — 3·triangles / wedges in ppm, the
+    // one-number closure ratio beside the per-node LCC table (they
+    // answer different questions: transitivity weights hubs by their
+    // wedge count, mean-LCC weights every node equally)
+    "graph_transitivity" -> ((s, dir) =>
+      GraphOps.transitivity(s, dir)),
     // per-node LOCAL CLUSTERING COEFFICIENT — 2T(v)/(d(v)(d(v)−1)) ppm
     // from exact triangle corner counts; the per-node texture the
     // global transitivity number hides (full node table gated)
@@ -800,6 +806,20 @@ object GraphQueries {
         |JOIN backbone e2 ON e1.dst = e2.src
         |JOIN backbone e3 ON e3.src = e1.src AND e3.dst = e2.dst
         |ORDER BY a, b, c""".stripMargin,
+    "graph_transitivity" ->
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |tri AS (SELECT count(*)::BIGINT AS t
+        |  FROM backbone e1
+        |  JOIN backbone e2 ON e1.dst = e2.src
+        |  JOIN backbone e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |sym AS (SELECT src, dst FROM backbone
+        |  UNION ALL SELECT dst, src FROM backbone),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d
+        |  FROM sym GROUP BY 1),
+        |wg AS (SELECT sum(d * (d - 1) // 2)::BIGINT AS wedges FROM deg)
+        |SELECT t AS n_triangles, wedges,
+        |  t * 3 * 1000000 // wedges AS transitivity_ppm
+        |FROM tri CROSS JOIN wg""".stripMargin,
     "graph_local_clustering" ->
       s"""WITH backbone AS MATERIALIZED ($backboneSql),
         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.{Dedup, PipelineOps, TextOps}
 
 /** Dataset-curation queries over `documents` (training-data pipeline
@@ -345,6 +346,33 @@ object PipelineQueries {
         .groupBy(col("lang_a"), col("lang_b"))
         .agg(count(lit(1)).as("n_buckets"), sum(col("term")).as("jsd_e9"))
         .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
+    // EPOCH DECORRELATION audit: Spearman ρ between epoch 0's and
+    // epoch 1's shuffle orders — the quantitative proof of
+    // epochShuffleKeys' design claim ("no two epochs share an
+    // ordering"): |ρ| ≈ 0 means the permutations are independent;
+    // ρ → 1e6 would mean the loader re-reads the same order every
+    // epoch (the bug this audit exists to catch). Exact integer
+    // ρ = 1 − 6Σd²/(n(n²−1)) over the two md5 rank orders (tie-free:
+    // md5 keys are distinct); DECIMAL/HUGEINT products.
+    "pipeline_epoch_decorrelation" -> ((s, dir) => {
+      val keys = PipelineOps.epochShuffleKeys(
+        Tables.documents(s, dir), "doc_id", epochs = 2)
+      def rk(ep: Int, as: String) = keys.filter(col("epoch") === ep)
+        .withColumn(as, row_number().over(
+          Window.orderBy(col("shuffle_key"))).cast("long"))
+        .select(col("doc_id"), col(as))
+      rk(0, "ra").join(rk(1, "rb"), Seq("doc_id"))
+        .select(((col("ra") - col("rb")) * (col("ra") - col("rb")))
+          .as("d2"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("d2")).as("sd2"))
+        .select(col("n_docs"), col("sd2"),
+          expr("""CASE WHEN n_docs < 2 THEN NULL ELSE
+            |CAST(1000000 - (CAST(6 AS DECIMAL(38,0)) * sd2 * 1000000)
+            |div (CAST(n_docs AS DECIMAL(38,0)) *
+            |  (n_docs * n_docs - 1)) AS BIGINT) END""".stripMargin)
+            .as("rho_e6"))
     }),
 
     // SPLIT LEAKAGE audit: 3-shingle contamination between the
@@ -727,6 +755,22 @@ object PipelineQueries {
         |SELECT doc_id, source, quality, rk FROM r
         |WHERE rk <= ceil(n_stratum * 0.25)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_epoch_decorrelation" ->
+      """WITH k AS (SELECT doc_id,
+        |    md5('0:' || CAST(doc_id AS VARCHAR)) AS k0,
+        |    md5('1:' || CAST(doc_id AS VARCHAR)) AS k1
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY k0) AS ra,
+        |    row_number() OVER (ORDER BY k1) AS rb FROM k),
+        |a AS (SELECT count(*)::BIGINT AS n_docs,
+        |    sum((ra - rb) * (ra - rb))::BIGINT AS sd2 FROM r)
+        |SELECT n_docs, sd2,
+        |  CASE WHEN n_docs < 2 THEN NULL ELSE
+        |    CAST(1000000 - (CAST(6 AS HUGEINT) * sd2 * 1000000)
+        |      // (CAST(n_docs AS HUGEINT) * (n_docs * n_docs - 1))
+        |      AS BIGINT) END AS rho_e6
+        |FROM a""".stripMargin,
     "pipeline_split_leakage" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks,
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT

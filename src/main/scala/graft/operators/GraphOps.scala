@@ -693,6 +693,23 @@ object GraphOps {
         expr("n_triangles * 2 * 1000000 div (d * (d - 1))"))
   }
 
+  /** GLOBAL TRANSITIVITY: 3·triangles / wedges in ppm over the SAME
+    * backbone [[triangles]] walks (wedges from backbone degrees —
+    * mixing graphs here would silently inflate the denominator). The
+    * hub-weighted closure number beside [[localClustering]]'s
+    * per-node, equal-weight view. Wedge sum Σ d(d−1)/2 runs on the
+    * deg-bounded distribution rows. */
+  def transitivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val tri = triangles(spark, sfDir).agg(count(lit(1)).as("t"))
+    val wedges = symmetric(backbone(spark, sfDir))
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .select(expr("d * (d - 1) div 2").as("w"))
+      .agg(sum(col("w")).as("wedges"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("t").as("n_triangles"), col("wedges"),
+        expr("t * 3 * 1000000 div wedges").as("transitivity_ppm"))
+  }
+
   // ------------- k-NN graph over the embedding corpus (r16) -------------
 
   /** The kNN graph's coarse-quantizer epoch: the trained centroids

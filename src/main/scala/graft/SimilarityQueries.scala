@@ -2694,6 +2694,39 @@ object SimilarityQueries {
         .orderBy(col("rk"))
     }),
 
+    // RANK-BIASED OVERLAP (Webber, Moffat & Zobel, TOIS 2010) between
+    // the same two lexical rankings Kendall-τ compares — but
+    // TOP-WEIGHTED: τ treats a swap at rank 19 like one at rank 1;
+    // RBO's geometric weights (p = 0.9) make the head dominate, which
+    // is what a user-facing ranking cares about. Truncated form:
+    // Σ_{d≤k} (1−p)·p^(d−1)·|A_d ∩ B_d|/d, each depth's weight
+    // precomputed in Scala as an integer-e9 literal shared VERBATIM
+    // by both engines (no runtime pow — float pow parity never has to
+    // hold); overlaps from one k²-bounded depth-grid join.
+    "hybrid_rank_rbo" -> ((s, dir) => {
+      val k = 20
+      val wts = (1 to k).map(d =>
+        d -> math.floor(1e9 * 0.1 * math.pow(0.9, d - 1)).toLong).toMap
+      val idx = TextQueries.searchIndexFor(s, dir)
+      val terms = Seq("spark", "vector", "window")
+      val lex = graft.operators.SearchOps.searchBm25Any(s, idx, terms, k)
+        .select(col("doc_id"), col("rk").as("rl"))
+      val qld = graft.operators.SearchOps.searchQld(s, idx, terms, k)
+        .select(col("doc_id"), col("rk").as("rq"))
+      val pairs = lex.join(qld, Seq("doc_id"))
+      val depths = s.range(1, k + 1).select(col("id").as("d"))
+      val wCase = wts.toSeq.sortBy(_._1)
+        .map { case (d, w) => s"WHEN d = $d THEN CAST($w AS BIGINT)" }
+        .mkString("CASE ", " ", " END")
+      broadcast(depths)
+        .join(pairs, col("rl") <= col("d") && col("rq") <= col("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("overlap"))
+        .select(col("d"), col("overlap"),
+          expr(s"($wCase) * overlap div d").as("term_e9"))
+        .agg(count(lit(1)).as("n_depths"),
+          sum(col("term_e9")).as("rbo_e9"))
+    }),
+
     // EMBEDDING NORM AUDIT: per-label distribution of squared L2 norms
     // — the cheap detector for norm collapse / scale drift after a
     // re-embed (a label whose norms flatline or shift is the first
@@ -3697,6 +3730,24 @@ object SimilarityQueries {
       |        + n_pairs) % n_pairs)) // n_pairs END AS tau_e6
       |FROM s""".stripMargin
 
+  private lazy val hybridRboOracleSql = {
+    val wCase = (1 to 20).map { d =>
+      val w = math.floor(1e9 * 0.1 * math.pow(0.9, d - 1)).toLong
+      s"WHEN d = $d THEN CAST($w AS BIGINT)"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH lex AS (SELECT doc_id, rk AS rl
+      |  FROM (${TextQueries.searchBm25AnyList20Sql}) l),
+      |qld AS (SELECT doc_id, rk AS rq
+      |  FROM (${TextQueries.searchQldSql(20)}) m),
+      |pairs AS (SELECT lex.doc_id, rl, rq FROM lex JOIN qld USING (doc_id)),
+      |depths AS (SELECT CAST(t.d AS BIGINT) AS d FROM range(1, 21) t(d)),
+      |ov AS (SELECT d, count(*)::BIGINT AS overlap
+      |  FROM depths JOIN pairs ON rl <= d AND rq <= d GROUP BY d),
+      |t AS (SELECT d, overlap, ($wCase) * overlap // d AS term_e9 FROM ov)
+      |SELECT count(*)::BIGINT AS n_depths,
+      |  sum(term_e9)::BIGINT AS rbo_e9 FROM t""".stripMargin
+  }
+
   private lazy val hybridRrfOracleSql =
     s"""WITH ${hybridSemCtes("vec_id = 0")},
       |sem AS (SELECT neighbor_id AS doc_id, rk FROM (
@@ -4078,6 +4129,7 @@ object SimilarityQueries {
     "hybrid_search_rrf" -> hybridRrfOracleSql,
     "hybrid_qld_rrf" -> hybridQldRrfOracleSql,
     "hybrid_rank_kendall" -> hybridKendallOracleSql,
+    "hybrid_rank_rbo" -> hybridRboOracleSql,
     "sim_norm_audit" ->
       """WITH nq AS (SELECT label,
         |    CAST(round(1000000 * list_reduce(

@@ -1242,6 +1242,22 @@ object EventQueries {
   /** Mirror of the Markov transition matrix — shared verbatim by the
     * batch lead-window entry AND its streaming keyed-state twin
     * (stream ≡ batch by construction, the attribution gate shape). */
+  /** Shared by `events_interarrival` and its streaming twin. */
+  private[graft] lazy val interarrivalSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |    event_id FROM events),
+      |g AS (SELECT event_type,
+      |    ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts_us, event_id) AS gap_us
+      |  FROM e)
+      |SELECT event_type, count(*)::BIGINT AS n_gaps,
+      |  CAST(floor(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us,
+      |  CAST(floor(quantile_cont(gap_us, 0.9)) AS BIGINT) AS p90_us,
+      |  CAST(floor(quantile_cont(gap_us, 0.99)) AS BIGINT) AS p99_us,
+      |  CAST(sum(gap_us) AS BIGINT) // count(*) AS mean_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared by `events_forecast_holt` and its streaming twin: the
     * α = β = 1/2 Holt recurrence as a type-keyed recursive CTE over
     * the rank-ordered day grid, halvings spelled as the portable
@@ -1451,20 +1467,7 @@ object EventQueries {
         |    (-ln(CAST(n AS DOUBLE) / rn))) AS BIGINT))::BIGINT
         |    AS entropy_rate_e6
         |FROM pairs JOIN r USING (event_type) CROSS JOIN tot""".stripMargin,
-    "events_interarrival" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
-        |    event_id FROM events),
-        |g AS (SELECT event_type,
-        |    ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts_us, event_id) AS gap_us
-        |  FROM e)
-        |SELECT event_type, count(*)::BIGINT AS n_gaps,
-        |  CAST(floor(quantile_cont(gap_us, 0.5)) AS BIGINT) AS p50_us,
-        |  CAST(floor(quantile_cont(gap_us, 0.9)) AS BIGINT) AS p90_us,
-        |  CAST(floor(quantile_cont(gap_us, 0.99)) AS BIGINT) AS p99_us,
-        |  CAST(sum(gap_us) AS BIGINT) // count(*) AS mean_us
-        |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_interarrival" -> interarrivalSql,
     "events_dau_wau_mau" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |    user_id FROM events),

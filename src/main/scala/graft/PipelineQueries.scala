@@ -348,6 +348,41 @@ object PipelineQueries {
         .orderBy(col("lang_a"), col("lang_b"))
     }),
 
+    // DATASET DIFF: the per-language changelog between two dataset
+    // versions — added / removed / changed / unchanged doc counts from
+    // ONE id-keyed full-outer join comparing content hashes (the
+    // "what changed since the last snapshot?" audit every versioned
+    // corpus ships; the CDC diff idea applied at dataset granularity).
+    // v2 is the deterministic fixture mutation (the shared dup corpus
+    // minus id%7 removals, with id%11 text edits) so the gate
+    // exercises all four statuses.
+    "pipeline_dataset_diff" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      val v2 = TextQueries.dupCorpus(Tables.documents(s, dir))
+        .filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          md5(when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            .as("h"))
+      v1.as("a").join(v2.as("b"), Seq("doc_id"), "full_outer")
+        .select(coalesce(col("a.lang"), col("b.lang")).as("lang"),
+          when(col("a.h").isNull, "added")
+            .when(col("b.h").isNull, "removed")
+            .when(col("a.h") =!= col("b.h"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("status") === "added", 1L).otherwise(0L))
+            .as("n_added"),
+          sum(when(col("status") === "removed", 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+            .as("n_unchanged"))
+        .orderBy(col("lang"))
+    }),
+
     // EPOCH DECORRELATION audit: Spearman ρ between epoch 0's and
     // epoch 1's shuffle orders — the quantitative proof of
     // epochShuffleKeys' design claim ("no two epochs share an
@@ -755,6 +790,34 @@ object PipelineQueries {
         |SELECT doc_id, source, quality, rk FROM r
         |WHERE rk <= ceil(n_stratum * 0.25)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_dataset_diff" ->
+      """WITH v1 AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+        |dup AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'xdup ' || text, lang
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 200000, text, lang
+        |    FROM documents WHERE doc_id % 5 = 0),
+        |v2 AS (SELECT doc_id, lang,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |      ELSE text END) AS h
+        |  FROM dup WHERE doc_id % 7 <> 0),
+        |j AS (SELECT coalesce(v1.lang, v2.lang) AS lang,
+        |    CASE WHEN v1.h IS NULL THEN 'added'
+        |      WHEN v2.h IS NULL THEN 'removed'
+        |      WHEN v1.h <> v2.h THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT lang,
+        |  sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_added,
+        |  sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_removed,
+        |  sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_changed,
+        |  sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_unchanged
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_epoch_decorrelation" ->
       """WITH k AS (SELECT doc_id,
         |    md5('0:' || CAST(doc_id AS VARCHAR)) AS k0,

@@ -195,6 +195,23 @@ object StreamingQueries {
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
+    // streaming INTER-ARRIVAL gaps: the lag window reduced to ONE long
+    // of keyed state per (user, type) series (MarkovStream
+    // .interarrivals); the drained gaps run the batch percentile fold
+    // and gate against the SAME oracle as events_interarrival
+    "stream_interarrival" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val out = runToMemory(
+        graft.streaming.MarkovStream.interarrivals(st).toDF(), "update")
+      out.groupBy(col("typ").as("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          floor(expr("percentile(gapUs, 0.5)")).cast("long").as("p50_us"),
+          floor(expr("percentile(gapUs, 0.9)")).cast("long").as("p90_us"),
+          floor(expr("percentile(gapUs, 0.99)")).cast("long").as("p99_us"),
+          expr("sum(gapUs) div count(1)").as("mean_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // streaming FRESHNESS monitor: the dq_freshness_audit twin as a
     // COMPLETE-mode streaming aggregation (the one output mode the
     // suite had not yet exercised — the memory sink holds the full
@@ -1177,6 +1194,7 @@ object StreamingQueries {
     "stream_forecast_holt" -> EventQueries.holtSql,
     "stream_frequent_sequences" -> EventQueries.freqSeqSql,
     "stream_freshness" -> RelationalQueries.freshnessSql,
+    "stream_interarrival" -> EventQueries.interarrivalSql,
     // exact regime: the sketch's counters ARE the exact per-user counts
     "stream_heavy_hitters" ->
       """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n

@@ -37,6 +37,12 @@ case class Transition(user: Long, prevTyp: String, nextTyp: String)
   * production deployment bounding state by user cardinality would use
   * an EventTimeTimeout at the session-continuity horizon, changing the
   * semantics to within-horizon transitions. */
+/** One observed inter-arrival gap for a (user, type) series. */
+case class GapOut(typ: String, gapUs: Long)
+
+/** Per-(user, type) keyed state: the last event time — ONE long. */
+case class LastTs(tsUs: Long)
+
 /** Per-user keyed state for the order-2 machine: the last TWO event
   * types seen — two strings per user, the whole state. */
 case class LastTwo(prev2: String, prev1: String)
@@ -72,6 +78,35 @@ object MarkovStream {
             p2 = p1; p1 = r.typ
           }
           if (p1 != null) state.update(LastTwo(p2, p1))
+          out.result().iterator
+        })
+  }
+
+  /** Streaming inter-arrival gaps — the stateful twin of the batch
+    * `events_interarrival` lag window: each arrival emits its gap to
+    * the previous event of the SAME (user, type) series on the spot;
+    * state is ONE long per series (the canonical lag-window
+    * reduction, one column narrower than [[transitions]]). Ordering /
+    * NoTimeout reasoning identical to [[transitions]]. */
+  def interarrivals(events: DataFrame): Dataset[GapOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long").as("user"),
+        expr("ts div 1000").as("tsUs"),
+        col("event_id").cast("long").as("eid"),
+        col("event_type").as("typ"))
+      .as[TypeObs]
+      .groupByKey(r => (r.user, r.typ))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), rows: Iterator[TypeObs],
+            state: GroupState[LastTs]) => {
+          var last = state.getOption.map(_.tsUs)
+          val out = Vector.newBuilder[GapOut]
+          rows.toVector.sortBy(r => (r.tsUs, r.eid)).foreach { r =>
+            last.foreach(p => out += GapOut(key._2, r.tsUs - p))
+            last = Some(r.tsUs)
+          }
+          last.foreach(t => state.update(LastTs(t)))
           out.result().iterator
         })
   }

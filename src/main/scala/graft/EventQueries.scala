@@ -338,6 +338,37 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // COHEN'S d effect size pre/post the PSI cut — KS and Mann-Whitney
+    // say WHETHER the distribution moved; d says HOW MUCH in pooled-
+    // standard-deviation units (the number a drift runbook acts on:
+    // |d| < 0.2 is noise at any significance). Exact DECIMAL sums
+    // (Σx² passes BIGINT at volume — the corr-matrix discipline), one
+    // identical final double expression rounded 6 dp.
+    "stats_cohens_d" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("decimal(19,0)").as("cents"),
+        (expr("ts div 1000") < lit(psiCutUs)).as("is_pre"))
+      e.groupBy(col("event_type"))
+        .agg(sum(when(col("is_pre"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("is_pre"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("is_pre"), col("cents"))).as("s1"),
+          sum(when(!col("is_pre"), col("cents"))).as("s2"),
+          sum(when(col("is_pre"), col("cents") * col("cents"))).as("q1"),
+          sum(when(!col("is_pre"), col("cents") * col("cents"))).as("q2"))
+        .select(col("event_type"), col("n1").as("n_pre"),
+          col("n2").as("n_post"),
+          round(expr(
+            """(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+              |CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+              |sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+              |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+              |  (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+              |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+              |  (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2))"""
+              .stripMargin), 6).as("cohens_d"))
+        .orderBy(col("event_type"))
+    }),
+
     // WALD-WOLFOWITZ RUNS TEST: is each series' above/below-median
     // sequence RANDOM in time, or does it cluster (regime-switching,
     // batching artifacts, stuck sensors)? R = 1 + sign changes over
@@ -1589,6 +1620,30 @@ object EventQueries {
         |  slope_e4 AS median_slope_e4
         |FROM rk WHERE rk = (np + 1) // 2 ORDER BY event_type""".stripMargin
     },
+    "stats_cohens_d" ->
+      s"""WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) < $psiCutUs AS is_pre FROM events),
+        |g AS (SELECT event_type,
+        |    sum(CASE WHEN is_pre THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN is_pre THEN 0 ELSE 1 END)::BIGINT AS n2,
+        |    sum(CASE WHEN is_pre THEN CAST(cents AS HUGEINT) END) AS s1,
+        |    sum(CASE WHEN NOT is_pre THEN CAST(cents AS HUGEINT) END) AS s2,
+        |    sum(CASE WHEN is_pre THEN CAST(cents AS HUGEINT) * cents END)
+        |      AS q1,
+        |    sum(CASE WHEN NOT is_pre
+        |      THEN CAST(cents AS HUGEINT) * cents END) AS q2
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n1 AS n_pre, n2 AS n_post,
+        |  round((CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) -
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+        |    sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) +
+        |      (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+        |      (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2)), 6)
+        |    AS cohens_d
+        |FROM g ORDER BY event_type""".stripMargin,
     "stats_runs_test" ->
       """WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

@@ -113,6 +113,30 @@ object GraphQueries {
     // exact triangle enumeration on the backbone
     "graph_triangles" -> ((s, dir) =>
       GraphOps.triangles(s, dir).orderBy(col("a"), col("b"), col("c"))),
+    // DEGREE GINI — inequality of connectivity (0 = regular graph,
+    // → 1 = one hub owns every edge), the one-number skew summary
+    // beside the power-law tail fit. Computed EXACTLY on the
+    // deg-bounded DISTRIBUTION rows, never per-node ranks: a value v
+    // with multiplicity m starting after cumulative count c
+    // contributes v·(m·c + m(m+1)/2) to Σ rank·x (the closed-form
+    // group rank-sum), then G = (2Σ − (n+1)·Σx)·1e6 div (n·Σx). The
+    // cumulative window rides the degree grid.
+    "graph_degree_gini" -> ((s, dir) => {
+      val dd = GraphOps.degreeDistribution(s, dir)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("deg"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      dd.withColumn("c",
+          coalesce(sum(col("n_nodes")).over(w), lit(0L)))
+        .select(col("deg"), col("n_nodes"), col("c"))
+        .agg(sum(col("n_nodes")).as("n"),
+          sum(col("deg") * col("n_nodes")).as("sx"),
+          sum(col("deg") * (col("n_nodes") * col("c") +
+            expr("n_nodes * (n_nodes + 1) div 2"))).as("srx"))
+        .select(col("n"), col("sx"),
+          expr("(2 * srx - (n + 1) * sx) * 1000000 div (n * sx)")
+            .as("gini_ppm"))
+    }),
     // GLOBAL TRANSITIVITY — 3·triangles / wedges in ppm, the
     // one-number closure ratio beside the per-node LCC table (they
     // answer different questions: transitivity weights hubs by their
@@ -806,6 +830,27 @@ object GraphQueries {
         |JOIN backbone e2 ON e1.dst = e2.src
         |JOIN backbone e3 ON e3.src = e1.src AND e3.dst = e2.dst
         |ORDER BY a, b, c""".stripMargin,
+    "graph_degree_gini" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT src AS node FROM pairs UNION ALL SELECT dst FROM pairs),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY node),
+        |dd AS (SELECT deg, count(*)::BIGINT AS n_nodes FROM deg GROUP BY deg),
+        |cc AS (SELECT deg, n_nodes,
+        |    coalesce(CAST(sum(n_nodes) OVER (ORDER BY deg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS c
+        |  FROM dd),
+        |a AS (SELECT sum(n_nodes)::BIGINT AS n,
+        |    sum(deg * n_nodes)::BIGINT AS sx,
+        |    sum(deg * (n_nodes * c + n_nodes * (n_nodes + 1) // 2))::BIGINT
+        |      AS srx
+        |  FROM cc)
+        |SELECT n, sx,
+        |  (2 * srx - (n + 1) * sx) * 1000000 // (n * sx) AS gini_ppm
+        |FROM a""".stripMargin,
     "graph_transitivity" ->
       s"""WITH backbone AS MATERIALIZED ($backboneSql),
         |tri AS (SELECT count(*)::BIGINT AS t

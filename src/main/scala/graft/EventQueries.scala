@@ -338,6 +338,25 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // exact MODE aggregate per series (the SQL-surface statistical
+    // function the suite had not yet exercised): most frequent value
+    // with a DETERMINISTIC tiebreak (smallest value wins — engines'
+    // native mode() functions tiebreak arbitrarily, which would
+    // un-gate the entry, so the mode derives from the value grid via
+    // max_by over the (count, −value) order explicitly)
+    "agg_mode" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("event_type"))
+        .agg(expr("max_by(cents, struct(m, -cents))").as("mode_cents"),
+          max(col("m")).as("mode_n"),
+          count(lit(1)).as("n_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // COHEN'S d effect size pre/post the PSI cut — KS and Mann-Whitney
     // say WHETHER the distribution moved; d says HOW MUCH in pooled-
     // standard-deviation units (the number a drift runbook acts on:
@@ -1620,6 +1639,19 @@ object EventQueries {
         |  slope_e4 AS median_slope_e4
         |FROM rk WHERE rk = (np + 1) // 2 ORDER BY event_type""".stripMargin
     },
+    // the oracle mirrors the deterministic (count DESC, value ASC)
+    // tiebreak explicitly — native mode() tiebreaks arbitrarily
+    "agg_mode" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    count(*)::BIGINT AS m
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, cents AS mode_cents, m AS mode_n, n_distinct
+        |FROM (SELECT event_type, cents, m,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY m DESC, cents) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_distinct
+        |  FROM g) WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "stats_cohens_d" ->
       s"""WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

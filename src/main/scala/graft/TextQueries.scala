@@ -1229,6 +1229,28 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // SENTENCE-LENGTH distribution per language — the segmentation
+    // profile beside the FK grade (which only sees the MEAN; packing
+    // and chunking care about the tail): tokens per [.!?]-delimited
+    // sentence, empty segments dropped, floored exact p90 + integer
+    // mean + max. One per-row array pipeline (split → per-piece token
+    // count → filter) then a grouped fold — zero UDFs.
+    "text_sentence_length" -> ((s, dir) => {
+      val sentArr = filter(
+        transform(split(col("text"), "[.!?]"),
+          x => size(TextOps.tokens(x))),
+        n => n > 0)
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(sentArr).as("sent_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sentences"),
+          expr("sum(sent_tokens) div count(1)").as("mean_tokens"),
+          floor(expr("percentile(sent_tokens, 0.9)")).cast("long")
+            .as("p90_tokens"),
+          max(col("sent_tokens")).cast("long").as("max_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // FLESCH-KINCAID readability grade per language (Kincaid 1975),
     // fully integer: the corpus-level FK of each language slice as a
     // ratio of exact sums — grade·100 = (39·W² + 1180·Y·S − 1559·W·S)
@@ -2737,6 +2759,21 @@ object TextQueries {
           |SELECT lang, n_docs, n_few_sentences, n_braces, n_lorem,
           |  n_short, n_kept, n_kept * 1000000 // n_docs AS kept_ppm
           |FROM g ORDER BY lang""".stripMargin,
+      "text_sentence_length" ->
+        """WITH p AS (SELECT lang,
+          |    unnest(string_split_regex(text, '[.!?]')) AS piece
+          |  FROM documents),
+          |s AS (SELECT lang,
+          |    len(list_filter(string_split(piece, ' '), t -> t <> ''))
+          |      AS sent_tokens
+          |  FROM p)
+          |SELECT lang, count(*)::BIGINT AS n_sentences,
+          |  CAST(sum(sent_tokens) AS BIGINT) // count(*) AS mean_tokens,
+          |  CAST(floor(quantile_cont(sent_tokens, 0.9)) AS BIGINT)
+          |    AS p90_tokens,
+          |  CAST(max(sent_tokens) AS BIGINT) AS max_tokens
+          |FROM s WHERE sent_tokens > 0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "text_readability_fk" -> {
         def fdiv(x: String, n: String) =
           s"(($x) - ((($x) % ($n)) + ($n)) % ($n)) // ($n)"

@@ -921,6 +921,33 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // DORMANCY / REACTIVATION: users who went quiet ≥ 7 days and came
+    // back — the churn-return segment growth teams target (distinct
+    // from retention, which only sees presence per offset, not the
+    // gap structure). Per user: active-day count and the LONGEST gap
+    // between consecutive active days (one lag window over the
+    // user-keyed distinct-day grid); summary row with the
+    // reactivated-user ppm and the worst observed dormancy.
+    "events_dormancy" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val g = du
+        .withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+      g.agg(count(lit(1)).as("n_users"),
+          sum(when(col("max_gap") >= 7, 1L).otherwise(0L))
+            .as("n_reactivated"),
+          max(col("max_gap")).as("worst_gap_days"))
+        .select(col("n_users"), col("n_reactivated"),
+          col("worst_gap_days"),
+          expr("n_reactivated * 1000000 div n_users")
+            .as("reactivated_ppm"))
+    }),
+
     // DAU/WAU/MAU + STICKINESS: rolling distinct-user engagement — the
     // product-analytics headline numbers. Sliding DISTINCT can't ride
     // a window frame, so the standard shape is: pre-aggregate to the
@@ -1518,6 +1545,20 @@ object EventQueries {
         |    AS entropy_rate_e6
         |FROM pairs JOIN r USING (event_type) CROSS JOIN tot""".stripMargin,
     "events_interarrival" -> interarrivalSql,
+    "events_dormancy" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, count(*)::BIGINT AS n_days,
+        |    coalesce(max(gap), 0)::BIGINT AS max_gap FROM (
+        |  SELECT user_id, day - lag(day, 1) OVER (PARTITION BY user_id
+        |    ORDER BY day) AS gap FROM du) GROUP BY user_id)
+        |SELECT count(*)::BIGINT AS n_users,
+        |  sum(CASE WHEN max_gap >= 7 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_reactivated,
+        |  max(max_gap) AS worst_gap_days,
+        |  (sum(CASE WHEN max_gap >= 7 THEN 1 ELSE 0 END)::BIGINT
+        |    * 1000000) // count(*) AS reactivated_ppm
+        |FROM g""".stripMargin,
     "events_dau_wau_mau" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |    user_id FROM events),

@@ -491,38 +491,37 @@ object EventQueries {
     // pair: "does the type mix depend on the weekday at all?". Each
     // cell's (O−E)²/E is evaluated as the exact rational
     // (O·N − R·C)²·1e6 div (N·R·C) — no float E, no rounding drift.
-    // The squared numerator reaches (O·N)² ≈ N⁴ so the products run
-    // in DECIMAL(38,0) (HUGEINT on the oracle side) — exact to
-    // N ≈ 10⁸ rows; past that widen the 1e6 scale down. One grouped
-    // count + two marginal aggs broadcast back onto the ≤ types×7
-    // cell grid; output is one row.
-    "stats_chi2_independence" -> ((s, dir) => {
-      val e = Tables.events(s, dir)
-        .select(col("event_type"),
-          expr("((ts_sec div 86400) + 4) % 7").as("dow"))
-      val o = e.groupBy(col("event_type"), col("dow"))
-        .agg(count(lit(1)).as("o"))
-      val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
-      val c = o.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
-      val n = o.agg(sum(col("o")).as("nn"))
-      o.join(broadcast(r), Seq("event_type"))
-        .join(broadcast(c), Seq("dow"))
-        .crossJoin(broadcast(n))
-        .select(col("event_type"), col("dow"), col("nn"),
-          expr("""CAST(
-            (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * ct)
-            * (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * ct)
-            * 1000000
-            div (CAST(nn AS DECIMAL(38,0)) * r * ct) AS BIGINT)""")
-            .as("term"))
-        .agg(max(col("nn")).as("n_events"),
-          countDistinct(col("event_type")).as("n_types"),
-          countDistinct(col("dow")).as("n_dows"),
-          sum(col("term")).as("chi2_ppm"))
+    // The cell grid is DENSIFIED first (row marginals × column
+    // marginals, observed counts left-joined with O coalesced to 0)
+    // so a (type, dow) pair with zero observations still contributes
+    // its full E = R·C/N term — the grouped count alone would
+    // silently drop it and understate χ². dof likewise derives from
+    // the marginal tables, not from which cells happened to be
+    // observed. The squared numerator reaches (O·N)² ≈ N⁴ so the
+    // products run in DECIMAL(38,0) (HUGEINT on the oracle side) —
+    // exact to N ≈ 10⁸ rows; past that widen the 1e6 scale down. One
+    // grouped count + two marginal aggs broadcast onto the ≤ types×7
+    // dense grid; output is one row.
+    "stats_chi2_independence" -> ((s, dir) =>
+      chi2Report(s, dir)
         .select(col("n_events"),
           ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
-          col("chi2_ppm"))
-    }),
+          col("chi2_ppm"))),
+
+    // CRAMÉR'S V² — the [0, 1] effect-size normalization of the chi²
+    // statistic (V² = χ² / (N·min(r−1, c−1))): "the weekday DOES shift
+    // the type mix (χ² says so) — but by how much?". Shares the
+    // densified-grid pipeline with the chi² entry verbatim; the square
+    // is reported (not V itself) to stay inside the integer-exact
+    // discipline — no sqrt, no float. One extra ppm truncation on top
+    // of the chi² terms' own (deterministic on both engines).
+    "stats_cramers_v2" -> ((s, dir) =>
+      chi2Report(s, dir)
+        .select(col("n_events"),
+          least(col("n_types") - 1, col("n_dows") - 1).as("min_dim"),
+          col("chi2_ppm"),
+          expr("chi2_ppm div (n_events * least(n_types - 1, n_dows - 1))")
+            .as("v2_ppm"))),
 
     // two-sample KOLMOGOROV-SMIRNOV drift test per series — the
     // distribution-shape complement of the PSI monitor (PSI sees mass
@@ -1311,7 +1310,224 @@ object EventQueries {
           (col("v_c") - coalesce(lag(col("v_c"), 1).over(byUser), col("v_c")))
             .as("delta_cents"))
         .orderBy(col("event_id"))
+    }),
+
+    // KRUSKAL–WALLIS rank test — "do the k event types draw their
+    // values from the same distribution?", the k-group extension of
+    // the Mann-Whitney pair test, rank-based so it needs no normality
+    // assumption. Exact integer ranks via the DOUBLED-average-rank
+    // trick: on the sorted distinct cents grid, a value with
+    // multiplicity m after cumulative count c has doubled-rank
+    // 2c + m + 1 (always an integer even when the average rank is a
+    // half). H = Σ_g 3·R2_g²/(n_g·N(N+1)) − 3(N+1), each group's term
+    // taken as ONE integral division (numerator 3e6·R2_g² ≤ 12e6·n_g²N²
+    // stays inside DECIMAL(38,0) to N ≈ 10⁸; the quotient is ≤ ~12e6 so
+    // the summed H rides comfortably in BIGINT); the tie correction
+    // 1 − Σ(t³−t)/(N³−N) is applied as an exact DECIMAL ratio. One
+    // distinct-value agg + one cumulative window over the value GRID
+    // (not the raw rows) + one k-row group agg.
+    "stats_kruskal_wallis" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val g = e.groupBy(col("cents"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = g.groupBy(col("cents")).agg(sum(col("cnt")).as("m"))
+      val w = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = m.withColumn("c",
+        coalesce(sum(col("m")).over(w), lit(0L)))
+      val r2 = g.join(ranked, Seq("cents"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt") * (lit(2) * col("c") + col("m") + 1)).as("r2"),
+          sum(col("cnt")).as("ng"))
+      val nn = r2.agg(sum(col("ng")).as("n"))
+      val ties = m.agg(sum(expr("m * m * m - m")).as("tsum"))
+      r2.crossJoin(broadcast(nn))
+        .select(col("n"),
+          expr("""(CAST(r2 AS DECIMAL(38,0)) * r2 * 3000000)
+            div (CAST(ng AS DECIMAL(38,0)) * n * (n + 1))""").as("t"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("k_groups"), sum(col("t")).as("s"))
+        .crossJoin(broadcast(ties))
+        .select(col("n"), col("k_groups"),
+          (col("k_groups") - 1).as("dof"),
+          expr("s - 3 * (n + 1) * 1000000").as("h_ppm"),
+          expr("""(CAST(s - 3 * (n + 1) * 1000000 AS DECIMAL(38,0))
+            * (CAST(n AS DECIMAL(38,0)) * n * n - n))
+            div (CAST(n AS DECIMAL(38,0)) * n * n - n - tsum)""")
+            .as("h_tiecorr_ppm"))
+    }),
+
+    // FANO FACTOR burstiness per type — variance-to-mean ratio of the
+    // per-day event counts over the COMPLETE day span (a day with zero
+    // events is a real observation of 0, so D is the global span, not
+    // the observed-day count — the chi² densification lesson applied
+    // to a time grid, without materializing it: zero days contribute
+    // nothing to ΣX or ΣX² and only widen D). F = 1e6 exactly at
+    // Poisson arrivals, > 1e6 ⇒ overdispersed/bursty, < 1e6 ⇒
+    // regular/paced. Population variance as the exact rational
+    // (D·Q − S²)/D² over mean S/D ⇒ F_ppm = (D·Q − S²)·1e6 div (D·S),
+    // all products DECIMAL(38,0). One grouped count + one k-row agg.
+    "stats_fano_burstiness" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      val span = daily.agg((max(col("day")) - min(col("day")) + 1).as("d"))
+      daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"),
+          count(lit(1)).as("active_days"))
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), col("d").as("span_days"),
+          col("active_days"), col("s").as("n_events"),
+          expr("""(CAST(d AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)
+            * 1000000 div (CAST(d AS DECIMAL(38,0)) * s)""")
+            .cast("long").as("fano_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // 2×2 ODDS RATIO per type — does a weekend event carry higher odds
+    // of a high-value outcome (cents ≥ 3500, the fixture's median
+    // neighborhood) than a weekday one? OR = (a·d)/(b·c) with the
+    // Haldane–Anscombe half-count correction applied in doubled counts
+    // ((2a+1)(2d+1))/((2b+1)(2c+1)) — zero-cell-safe with NO floats.
+    // dow convention shared with chi² (0 = Sunday via the +4 epoch
+    // shift). One grouped count per type, 4 cells each, k rows out.
+    "stats_odds_ratio" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("((ts_sec div 86400) + 4) % 7 IN (0, 6)").as("wknd"),
+          (round(col("value") * 100).cast("long") >= 3500).as("hi"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("wknd") && col("hi"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("wknd") && !col("hi"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("wknd") && col("hi"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("wknd") && !col("hi"), 1L).otherwise(0L)).as("d"))
+        .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+          expr("""(2*a + 1) * (2*d + 1) * 1000000
+            div ((2*b + 1) * (2*c + 1))""").as("or_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // HERFINDAHL–HIRSCHMAN concentration of each type's activity
+    // across users — "is 'purchase' broad-based or three whales?".
+    // HHI = Σ_u share_u² = (Σ n_u²)·1e6 div N², plus the effective
+    // user count 1/HHI (reported ×1000) — the "equivalent number of
+    // equally-active users" a mix-entropy reader expects. Exact
+    // integers end-to-end; user-keyed grouped count then a k-row agg.
+    "stats_herfindahl" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("nu"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("nu")).as("n_events"),
+          count(lit(1)).as("n_users"),
+          sum(col("nu") * col("nu")).as("q"))
+        .select(col("event_type"), col("n_events"), col("n_users"),
+          expr("q * 1000000 div (n_events * n_events)").as("hhi_ppm"),
+          expr("n_events * n_events * 1000 div q").as("eff_users_x1000"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CO-ENGAGEMENT overlap — for every type pair (A < B), the Jaccard
+    // of their USER bases in ppm: which behaviors share an audience
+    // and which split it. The user-level complement of the PMI
+    // co-occurrence entry (PMI counts co-occurrence events; this
+    // dedups to reach). Distinct (user, type) first — the self-join
+    // runs on the deduped frame keyed by user, never on raw events;
+    // at scale that join shuffles ≤ users·types rows and the output is
+    // types²-bounded.
+    "events_user_overlap" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = d.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      val inter = d.as("x").join(d.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("nu", "na")), Seq("type_a"))
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("nu", "nb")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+          col("n_both"),
+          expr("n_both * 1000000 div (na + nb - n_both)")
+            .as("jaccard_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // TUKEY-FENCE outlier census per type — Q1/Q3 read at EXPLICIT
+    // ceil-rank positions on the sorted cents (rank semantics spelled
+    // out on both engines rather than trusting two quantile
+    // implementations to agree), fences at Q1 − 3·IQR div 2 and
+    // Q3 + 3·IQR div 2, then the count and extremes of what falls
+    // outside. One sort window per type + one fence-filtered agg.
+    "stats_tukey_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val rn = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val ranked = e.withColumn("rn", row_number().over(rn))
+        .join(e.groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+          Seq("event_type"))
+      val q = ranked
+        .filter(col("rn") === expr("(n + 3) div 4") ||
+          col("rn") === expr("(3 * n + 3) div 4"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(max(when(col("rn") === expr("(n + 3) div 4"),
+            col("cents"))).as("q1"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"),
+            col("cents"))).as("q3"))
+        .select(col("event_type"), col("n"), col("q1"), col("q3"),
+          expr("q1 - 3 * (q3 - q1) div 2").as("lo_fence"),
+          expr("q3 + 3 * (q3 - q1) div 2").as("hi_fence"))
+      e.join(broadcast(q), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("q1"), col("q3"),
+          col("lo_fence"), col("hi_fence"))
+        .agg(sum(when(col("cents") < col("lo_fence"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("cents") > col("hi_fence"), 1L).otherwise(0L))
+            .as("n_high"),
+          max(when(col("cents") > col("hi_fence"), col("cents")))
+            .as("max_outlier"))
+        .orderBy(col("event_type"))
     }))
+
+  /** The densified chi²-of-independence pipeline shared by
+    * `stats_chi2_independence` and `stats_cramers_v2`: one row with
+    * n_events, n_types, n_dows, chi2_ppm, computed over the DENSE
+    * (type × dow) grid (row marginals × column marginals, observed
+    * counts left-joined, O coalesced to 0) so zero-observation cells
+    * contribute their full E term. All products DECIMAL(38,0)-exact. */
+  private def chi2Report(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("((ts_sec div 86400) + 4) % 7").as("dow"))
+    val o = e.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val r = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val c = o.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val n = o.agg(sum(col("o")).as("nn"))
+    r.crossJoin(broadcast(c))
+      .join(broadcast(o), Seq("event_type", "dow"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("nn"),
+        expr("""CAST(
+          (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * ct)
+          * (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * ct)
+          * 1000000
+          div (CAST(nn AS DECIMAL(38,0)) * r * ct) AS BIGINT)""")
+          .as("term"))
+      .agg(max(col("nn")).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"),
+        sum(col("term")).as("chi2_ppm"))
+  }
 
   /** Mirror of the attribution window pass — shared by the batch
     * `events_attribution` entry AND `stream_attribution` (the keyed-
@@ -1422,6 +1638,30 @@ object EventQueries {
         |  CAST(coalesce(last_cents, 0) AS BIGINT) AS last_cents
         |FROM f FULL JOIN l ON f.touch_type = l.touch_type
         |ORDER BY touch_type""".stripMargin
+
+  /** DuckDB mirror of [[chi2Report]]'s densified cell grid (shared by
+    * the chi² and Cramér's V² oracles): the CTE chain ends at `t`,
+    * one term row per DENSE (type, dow) cell. */
+  private lazy val chi2CoreSql: String =
+    """WITH e AS (SELECT event_type,
+      |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow FROM events),
+      |o AS (SELECT event_type, dow, count(*)::BIGINT AS o
+      |  FROM e GROUP BY 1, 2),
+      |r AS (SELECT event_type, sum(o)::BIGINT AS r FROM o GROUP BY 1),
+      |c AS (SELECT dow, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
+      |n AS (SELECT sum(o)::BIGINT AS nn FROM o),
+      |grid AS (SELECT r.event_type, c.dow, r.r, c.ct,
+      |    COALESCE(o.o, 0)::BIGINT AS o
+      |  FROM r CROSS JOIN c
+      |  LEFT JOIN o ON o.event_type = r.event_type AND o.dow = c.dow),
+      |t AS (SELECT grid.event_type, grid.dow, nn,
+      |    CAST((CAST(grid.o AS HUGEINT) * nn
+      |        - CAST(grid.r AS HUGEINT) * grid.ct)
+      |      * (CAST(grid.o AS HUGEINT) * nn
+      |        - CAST(grid.r AS HUGEINT) * grid.ct)
+      |      * 1000000
+      |      // (CAST(nn AS HUGEINT) * grid.r * grid.ct) AS BIGINT) AS term
+      |  FROM grid CROSS JOIN n)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "events_json_extract" ->
@@ -1769,23 +2009,125 @@ object EventQueries {
         |FROM pt JOIN rk USING (event_type)
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "stats_chi2_independence" ->
-      """WITH e AS (SELECT event_type,
-        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow FROM events),
-        |o AS (SELECT event_type, dow, count(*)::BIGINT AS o
-        |  FROM e GROUP BY 1, 2),
-        |r AS (SELECT event_type, sum(o)::BIGINT AS r FROM o GROUP BY 1),
-        |c AS (SELECT dow, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
-        |n AS (SELECT sum(o)::BIGINT AS nn FROM o),
-        |t AS (SELECT o.event_type, o.dow, nn,
-        |    CAST((CAST(o.o AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.ct)
-        |      * (CAST(o.o AS HUGEINT) * nn - CAST(r.r AS HUGEINT) * c.ct)
-        |      * 1000000
-        |      // (CAST(nn AS HUGEINT) * r.r * c.ct) AS BIGINT) AS term
-        |  FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n)
+      s"""$chi2CoreSql
         |SELECT max(nn) AS n_events,
         |  (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS dof,
         |  sum(term)::BIGINT AS chi2_ppm
         |FROM t""".stripMargin,
+    "stats_cramers_v2" ->
+      s"""$chi2CoreSql
+        |SELECT n_events, min_dim, chi2_ppm,
+        |  chi2_ppm // (n_events * min_dim) AS v2_ppm
+        |FROM (SELECT max(nn) AS n_events,
+        |    least(count(DISTINCT event_type) - 1,
+        |      count(DISTINCT dow) - 1) AS min_dim,
+        |    sum(term)::BIGINT AS chi2_ppm
+        |  FROM t)""".stripMargin,
+    "stats_kruskal_wallis" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT cents, event_type, count(*)::BIGINT AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT cents, sum(cnt)::BIGINT AS m FROM g GROUP BY 1),
+        |rk AS (SELECT cents, m,
+        |    coalesce(CAST(sum(m) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS c
+        |  FROM m),
+        |r2 AS (SELECT event_type,
+        |    CAST(sum(cnt * (2 * c + m + 1)) AS BIGINT) AS r2,
+        |    CAST(sum(cnt) AS BIGINT) AS ng
+        |  FROM g JOIN rk USING (cents) GROUP BY 1),
+        |nn AS (SELECT sum(ng)::BIGINT AS n FROM r2),
+        |ties AS (SELECT CAST(sum(m * m * m - m) AS BIGINT) AS tsum FROM m),
+        |terms AS (SELECT n,
+        |    CAST(CAST(r2 AS HUGEINT) * r2 * 3000000
+        |      // (CAST(ng AS HUGEINT) * n * (n + 1)) AS BIGINT) AS t
+        |  FROM r2 CROSS JOIN nn),
+        |agg AS (SELECT n, count(*)::BIGINT AS k_groups,
+        |    sum(t)::BIGINT AS s FROM terms GROUP BY n)
+        |SELECT n, k_groups, k_groups - 1 AS dof,
+        |  s - 3 * (n + 1) * 1000000 AS h_ppm,
+        |  CAST(CAST(s - 3 * (n + 1) * 1000000 AS HUGEINT)
+        |    * (CAST(n AS HUGEINT) * n * n - n)
+        |    // (CAST(n AS HUGEINT) * n * n - n - tsum) AS BIGINT)
+        |    AS h_tiecorr_ppm
+        |FROM agg CROSS JOIN ties""".stripMargin,
+    "stats_fano_burstiness" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT max(day) - min(day) + 1 AS d FROM daily),
+        |a AS (SELECT event_type, sum(x)::BIGINT AS s,
+        |    sum(x * x)::BIGINT AS q, count(*)::BIGINT AS active_days
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, d AS span_days, active_days, s AS n_events,
+        |  CAST((CAST(d AS HUGEINT) * q - CAST(s AS HUGEINT) * s)
+        |    * 1000000 // (CAST(d AS HUGEINT) * s) AS BIGINT) AS fano_ppm
+        |FROM a CROSS JOIN span ORDER BY event_type""".stripMargin,
+    "stats_odds_ratio" ->
+      """WITH e AS (SELECT event_type,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 IN (0, 6) AS wknd,
+        |    CAST(round(value * 100) AS BIGINT) >= 3500 AS hi
+        |  FROM events),
+        |t AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN wknd AND hi THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN wknd AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT wknd AND hi THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT wknd AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, a, b, c, d,
+        |  (2*a + 1) * (2*d + 1) * 1000000 // ((2*b + 1) * (2*c + 1)) AS or_ppm
+        |FROM t ORDER BY event_type""".stripMargin,
+    "stats_herfindahl" ->
+      """WITH u AS (SELECT event_type, user_id, count(*)::BIGINT AS nu
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, sum(nu)::BIGINT AS n_events,
+        |    count(*)::BIGINT AS n_users, sum(nu * nu)::BIGINT AS q
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_events, n_users,
+        |  q * 1000000 // (n_events * n_events) AS hhi_ppm,
+        |  n_events * n_events * 1000 // q AS eff_users_x1000
+        |FROM a ORDER BY event_type""".stripMargin,
+    "events_user_overlap" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*)::BIGINT AS nu
+        |  FROM d GROUP BY 1),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*)::BIGINT AS n_both
+        |  FROM d x JOIN d y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.nu AS na, sb.nu AS nb, n_both,
+        |  n_both * 1000000 // (sa.nu + sb.nu - n_both) AS jaccard_ppm
+        |FROM i JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "stats_tukey_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |rn AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |q AS (SELECT event_type, CAST(n AS BIGINT) AS n,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3
+        |  FROM rn WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+        |  GROUP BY 1, 2),
+        |f AS (SELECT event_type, n, q1, q3,
+        |    q1 - 3 * (q3 - q1) // 2 AS lo_fence,
+        |    q3 + 3 * (q3 - q1) // 2 AS hi_fence
+        |  FROM q)
+        |SELECT event_type, n, q1, q3, lo_fence, hi_fence,
+        |  CAST(sum(CASE WHEN cents < lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN cents > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_high,
+        |  max(CASE WHEN cents > hi_fence THEN cents END) AS max_outlier
+        |FROM e JOIN f USING (event_type)
+        |GROUP BY event_type, n, q1, q3, lo_fence, hi_fence
+        |ORDER BY event_type""".stripMargin,
     "stats_ks_drift" ->
       s"""WITH g AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents,

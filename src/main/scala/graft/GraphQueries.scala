@@ -120,7 +120,11 @@ object GraphQueries {
     // with multiplicity m starting after cumulative count c
     // contributes v·(m·c + m(m+1)/2) to Σ rank·x (the closed-form
     // group rank-sum), then G = (2Σ − (n+1)·Σx)·1e6 div (n·Σx). The
-    // cumulative window rides the degree grid.
+    // cumulative window rides the degree grid. srx is rank-weighted
+    // (bounded by n·Σdeg) so the accumulators and the 2·srx·1e6
+    // product run in DECIMAL(38,0) (HUGEINT on the oracle) — the
+    // stats_corr_matrix discipline; BIGINT would overflow near
+    // Σ(deg·rank) ≈ 4.6e12, far below graph sizes the siblings claim.
     "graph_degree_gini" -> ((s, dir) => {
       val dd = GraphOps.degreeDistribution(s, dir)
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("deg"))
@@ -130,13 +134,25 @@ object GraphQueries {
           coalesce(sum(col("n_nodes")).over(w), lit(0L)))
         .select(col("deg"), col("n_nodes"), col("c"))
         .agg(sum(col("n_nodes")).as("n"),
-          sum(col("deg") * col("n_nodes")).as("sx"),
-          sum(col("deg") * (col("n_nodes") * col("c") +
+          sum(col("deg").cast("decimal(38,0)") * col("n_nodes")).as("sx"),
+          sum(col("deg").cast("decimal(38,0)") * (col("n_nodes") * col("c") +
             expr("n_nodes * (n_nodes + 1) div 2"))).as("srx"))
-        .select(col("n"), col("sx"),
+        .select(col("n"), col("sx").cast("long").as("sx"),
           expr("(2 * srx - (n + 1) * sx) * 1000000 div (n * sx)")
             .as("gini_ppm"))
     }),
+    // RICH-CLUB coefficient over a small degree-cutoff grid — "do the
+    // hubs wire to each other?" (the φ(k) > density signal beside the
+    // assortativity number, which answers the same question as one
+    // global correlation); cutoffs with < 2 qualifying nodes drop out
+    "graph_rich_club" -> ((s, dir) =>
+      GraphOps.richClub(s, dir, ks = Seq(1L, 2L, 4L, 8L))),
+    // 4-hop BFS shell from the minimum part key — per-node hop
+    // distance over the symmetric backbone (full reachable table
+    // gated; PPR measures mass, this measures hops)
+    "graph_bfs_depths" -> ((s, dir) =>
+      GraphOps.bfsDepths(s, dir, maxDepth = 4)
+        .orderBy(col("node"))),
     // GLOBAL TRANSITIVITY — 3·triangles / wedges in ppm, the
     // one-number closure ratio beside the per-node LCC table (they
     // answer different questions: transitivity weights hubs by their
@@ -844,13 +860,62 @@ object GraphQueries {
         |      AS BIGINT), 0) AS c
         |  FROM dd),
         |a AS (SELECT sum(n_nodes)::BIGINT AS n,
-        |    sum(deg * n_nodes)::BIGINT AS sx,
-        |    sum(deg * (n_nodes * c + n_nodes * (n_nodes + 1) // 2))::BIGINT
+        |    sum(CAST(deg AS HUGEINT) * n_nodes) AS sx,
+        |    sum(CAST(deg AS HUGEINT) *
+        |      (CAST(n_nodes AS HUGEINT) * c + n_nodes * (n_nodes + 1) // 2))
         |      AS srx
         |  FROM cc)
-        |SELECT n, sx,
-        |  (2 * srx - (n + 1) * sx) * 1000000 // (n * sx) AS gini_ppm
+        |SELECT n, CAST(sx AS BIGINT) AS sx,
+        |  CAST((2 * srx - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+        |    AS gini_ppm
         |FROM a""".stripMargin,
+    "graph_rich_club" ->
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS (SELECT src, dst FROM backbone
+        |  UNION ALL SELECT dst, src FROM backbone),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+        |  FROM sym GROUP BY 1),
+        |ks AS (SELECT unnest([1, 2, 4, 8]::BIGINT[]) AS k),
+        |nk AS (SELECT k, count(*)::BIGINT AS n_k
+        |  FROM deg CROSS JOIN ks WHERE deg > k GROUP BY 1),
+        |ek AS (SELECT k, count(*)::BIGINT AS e_k
+        |  FROM backbone b
+        |  JOIN deg ds ON b.src = ds.node
+        |  JOIN deg dd ON b.dst = dd.node
+        |  CROSS JOIN ks WHERE ds.deg > k AND dd.deg > k GROUP BY 1)
+        |SELECT nk.k, n_k, coalesce(e_k, 0)::BIGINT AS e_k,
+        |  coalesce(e_k, 0) * 2000000 // (n_k * (n_k - 1)) AS phi_ppm
+        |FROM nk LEFT JOIN ek ON nk.k = ek.k
+        |WHERE n_k >= 2 ORDER BY nk.k""".stripMargin,
+    "graph_bfs_depths" ->
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (SELECT src, dst FROM backbone
+        |  UNION ALL SELECT dst, src FROM backbone),
+        |d0 AS (SELECT min(src) AS node FROM sym),
+        |f1 AS (SELECT DISTINCT s.dst AS node FROM sym s
+        |  JOIN d0 ON s.src = d0.node
+        |  WHERE s.dst NOT IN (SELECT node FROM d0)),
+        |f2 AS (SELECT DISTINCT s.dst AS node FROM sym s
+        |  JOIN f1 ON s.src = f1.node
+        |  WHERE s.dst NOT IN (SELECT node FROM d0)
+        |    AND s.dst NOT IN (SELECT node FROM f1)),
+        |f3 AS (SELECT DISTINCT s.dst AS node FROM sym s
+        |  JOIN f2 ON s.src = f2.node
+        |  WHERE s.dst NOT IN (SELECT node FROM d0)
+        |    AND s.dst NOT IN (SELECT node FROM f1)
+        |    AND s.dst NOT IN (SELECT node FROM f2)),
+        |f4 AS (SELECT DISTINCT s.dst AS node FROM sym s
+        |  JOIN f3 ON s.src = f3.node
+        |  WHERE s.dst NOT IN (SELECT node FROM d0)
+        |    AND s.dst NOT IN (SELECT node FROM f1)
+        |    AND s.dst NOT IN (SELECT node FROM f2)
+        |    AND s.dst NOT IN (SELECT node FROM f3))
+        |SELECT node, 0::BIGINT AS depth FROM d0
+        |UNION ALL SELECT node, 1 FROM f1
+        |UNION ALL SELECT node, 2 FROM f2
+        |UNION ALL SELECT node, 3 FROM f3
+        |UNION ALL SELECT node, 4 FROM f4
+        |ORDER BY node""".stripMargin,
     "graph_transitivity" ->
       s"""WITH backbone AS MATERIALIZED ($backboneSql),
         |tri AS (SELECT count(*)::BIGINT AS t

@@ -4131,10 +4131,14 @@ object SimilarityQueries {
     "hybrid_rank_kendall" -> hybridKendallOracleSql,
     "hybrid_rank_rbo" -> hybridRboOracleSql,
     "sim_norm_audit" ->
+      // the 0.0 seed is prepended so an EMPTY embedding folds to 0 —
+      // matching the Spark side's aggregate(…, 0.0, …) — instead of
+      // list_reduce erroring on the empty list (engine-parity guard)
       """WITH nq AS (SELECT label,
         |    CAST(round(1000000 * list_reduce(
-        |      list_transform(embedding, x -> CAST(x AS DOUBLE) *
-        |        CAST(x AS DOUBLE)), (a, b) -> a + b)) AS BIGINT) AS nq
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE) *
+        |          CAST(x AS DOUBLE))), (a, b) -> a + b)) AS BIGINT) AS nq
         |  FROM embeddings)
         |SELECT label, count(*)::BIGINT AS n,
         |  min(nq) AS min_nsq_e6, max(nq) AS max_nsq_e6,

@@ -1171,6 +1171,32 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // SIMPSON diversity per language (r20) — the probability two
+    // randomly drawn tokens are the SAME type, λ = Σf(f−1)/(N(N−1)),
+    // reported with its 1−λ complement. The collision view of lexical
+    // diversity: entropy-family metrics (mix_entropy, ngram_diversity)
+    // weight the long tail; Simpson is dominated by the head, so a
+    // slice drowning in stopword boilerplate moves λ long before the
+    // distinct-token ratio budges. Σf(f−1) ≤ N² so the ppm product
+    // runs in DECIMAL(38,0) (HUGEINT on the oracle). One token
+    // explode → vocab agg → per-lang fold.
+    "text_simpson_diversity" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy(col("lang"))
+        .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(expr("f * (f - 1)")).as("coll"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          expr("""CAST(CAST(coll AS DECIMAL(38,0)) * 1000000
+            div (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))
+            AS BIGINT)""").as("simpson_ppm"))
+        .withColumn("diversity_ppm", lit(1000000L) - col("simpson_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // n-gram DIVERSITY by language (r19): distinct-over-total unigram
     // and bigram ratios in exact ppm — the corpus-level repetitiveness
     // audit (the distinct-n family): a slice whose bigram ratio
@@ -2924,6 +2950,23 @@ object TextQueries {
           |CROSS JOIN tb CROSS JOIN ut
           |WHERE c_xy >= 20
           |ORDER BY lift_ppm DESC, w1, w2 LIMIT 30""".stripMargin,
+      "text_simpson_diversity" ->
+        s"""WITH tok AS (SELECT lang, t.token
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)),
+          |f AS (SELECT lang, token, count(*)::BIGINT AS f
+          |  FROM tok GROUP BY 1, 2),
+          |a AS (SELECT lang, sum(f)::BIGINT AS n_tokens,
+          |    count(*)::BIGINT AS n_types,
+          |    CAST(sum(f * (f - 1)) AS BIGINT) AS coll
+          |  FROM f GROUP BY 1)
+          |SELECT lang, n_tokens, n_types,
+          |  CAST(CAST(coll AS HUGEINT) * 1000000
+          |    // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+          |    AS simpson_ppm,
+          |  1000000 - CAST(CAST(coll AS HUGEINT) * 1000000
+          |    // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+          |    AS diversity_ppm
+          |FROM a ORDER BY lang""".stripMargin,
       "text_ngram_diversity" ->
         s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
           |uni AS (SELECT lang, count(*)::BIGINT AS n_unigrams,

@@ -236,6 +236,19 @@ object GraphOps {
     * can be a strong *hub* (points at many strong authorities) without
     * being an authority itself.
     *
+    * CAVEAT — the orientation is an ARTIFACT, not a domain direction:
+    * the co-purchase backbone is an undirected graph stored with the
+    * deterministic src < dst convention, so here "u points at v" just
+    * means u's part key is smaller. The hub-vs-authority SPLIT is
+    * therefore semantically arbitrary on this graph (a node lands on
+    * the authority side because its id exceeds its neighbors', unlike
+    * reference HITS runs over genuinely directed link graphs); what IS
+    * meaningful is the combined mutual-reinforcement magnitude and the
+    * algorithm's exact-integer fixed point, which the oracle gates.
+    * On the symmetric edge set the two sides coincide and HITS
+    * degenerates to eigenvector centrality — run it there if a
+    * direction-free score is wanted.
+    *
     * Integer discipline: scores live in ppm of their side's L1 mass —
     * normalize(x) = (x·1e6) div Σx, so every score ≤ 1e6 and a raw
     * half-iteration sum ≤ 1e6·maxdeg. The ppm product 1e6·raw then
@@ -1464,5 +1477,63 @@ object GraphOps {
       else spark.table(s"${src}_nodes")
     writeGraphIndex(corpus.select(col("vec_id"), col("embedding")),
       dest, path, trainIters)
+  }
+
+  /** RICH-CLUB coefficient φ(k) over the backbone (Colizza et al.,
+    * Nature Physics 2006): for each degree cutoff k, the edge density
+    * among the nodes of degree > k — "do the hubs preferentially wire
+    * to each other?". φ_ppm = 2·E_k·1e6 div (N_k(N_k−1)); cutoffs with
+    * fewer than two qualifying nodes are dropped (undefined density).
+    * Degrees are WITHIN-backbone (the graph φ is measured on), not
+    * raw-graph. Scale shape: the degree table joins the edge list
+    * twice on the node key (the triangle-enumeration layout), then one
+    * |ks|-row broadcast fans each edge/node over the cutoff grid — no
+    * per-k rescan of the edges. */
+  def richClub(spark: SparkSession, sfDir: String,
+      ks: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val e = backbone(spark, sfDir)
+    val deg = symmetric(e).groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val kdf = ks.toDF("k")
+    val nk = deg.crossJoin(broadcast(kdf)).filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    val ek = e.join(deg.as("ds"), col("src") === col("ds.node"))
+      .join(deg.as("dd"), col("dst") === col("dd.node"))
+      .crossJoin(broadcast(kdf))
+      .filter(col("ds.deg") > col("k") && col("dd.deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+    nk.join(ek, Seq("k"), "left").na.fill(0L, Seq("e_k"))
+      .filter(col("n_k") >= 2)
+      .select(col("k"), col("n_k"), col("e_k"),
+        expr("e_k * 2000000 div (n_k * (n_k - 1))").as("phi_ppm"))
+      .orderBy(col("k"))
+  }
+
+  /** Synchronous BFS from the backbone's minimum part key over the
+    * SYMMETRIC edge set: (node, depth) for every node within
+    * `maxDepth` hops — the reachability shell a "how far does
+    * influence spread" question needs, and the only distance operator
+    * in the suite (PPR measures mass, not hops). Each round is one
+    * frontier⋈edges shuffle keyed on the node plus an anti-join
+    * against the visited set — the Pregel layout; no collect, no
+    * driver-side frontier. Rounds are FIXED (not run-to-convergence)
+    * so the oracle is a finite CTE chain; unreached nodes are absent
+    * rather than ∞-labeled. */
+  def bfsDepths(spark: SparkSession, sfDir: String,
+      maxDepth: Int): DataFrame = {
+    val sym = symmetric(backbone(spark, sfDir))
+    val seed = sym.agg(min(col("src")).as("node"))
+    var visited = seed.withColumn("depth", lit(0L))
+    for (d <- 1 to maxDepth) {
+      val frontier = visited.filter(col("depth") === (d - 1))
+      val expand = frontier.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = expand.join(visited.select(col("node")),
+          Seq("node"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+      visited = visited.unionAll(fresh)
+    }
+    visited
   }
 }

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the r20 hardening wave — the ADVICE r19 fixes
+  * that the 525/525 hash gate could NOT catch because oracle and
+  * engine shared the blind spot:
+  *   - chi² now densifies the (type × dow) cell grid, so a
+  *     zero-observation cell contributes its full E term (pinned here
+  *     against a hand-computed BigInt mirror on a deliberately sparse
+  *     synthetic grid);
+  *   - the streaming Holt fold drops contract-violating earlier-day
+  *     events instead of corrupting (l, b), surfacing them in a
+  *     visible `late` counter;
+  *   - degree-Gini accumulates in DECIMAL(38,0) (overflow headroom
+  *     pinned by range bounds on the fixture). */
+class Round20Spec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("chi-squared densifies zero-observation cells into the statistic") {
+    val sparkS = spark; import sparkS.implicits._
+    import java.nio.file.Files
+    // two types, two observed weekdays, but type b NEVER fires on
+    // dow(day0): the (b, dow0) cell has O = 0 and must still
+    // contribute (R·C)²·1e6 div (N·R·C) = R·C·1e6 div N
+    val day = 86400000000000L // one day in nanos
+    def ev(id: Long, typ: String, d: Long) =
+      (id, d * day + id, id, typ, 1.0)
+    val rows =
+      (1L to 6L).map(ev(_, "a", 0)) ++ // a on day0 (dow 4): 6
+      (7L to 9L).map(ev(_, "a", 1)) ++ // a on day1 (dow 5): 3
+      (10L to 14L).map(ev(_, "b", 1))  // b on day1 only: 5
+    val dir = Files.createTempDirectory("chi2_sparse_").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.queries("stats_chi2_independence")(spark, dir)
+      .collect()(0)
+    // hand mirror over the DENSE 2×2 grid (BigInt-exact)
+    val cells = Seq( // (O, R, C)
+      (BigInt(6), BigInt(9), BigInt(6)),  // (a, dow0)
+      (BigInt(3), BigInt(9), BigInt(8)),  // (a, dow1)
+      (BigInt(0), BigInt(5), BigInt(6)),  // (b, dow0)  <- the zero cell
+      (BigInt(5), BigInt(5), BigInt(8)))  // (b, dow1)
+    val n = BigInt(14)
+    val want = cells.map { case (o, r, c) =>
+      val d = o * n - r * c
+      (d * d * 1000000) / (n * r * c)
+    }.sum
+    assert(got.getAs[Long]("chi2_ppm") == want.toLong,
+      "engine chi² must equal the dense-grid mirror")
+    assert(got.getAs[Long]("dof") == 1L && got.getAs[Long]("n_events") == 14L)
+    // the zero cell alone carries R·C·1e6 div N ≈ 2.14e6 ppm — the
+    // statistic must exceed the sparse (observed-cells-only) sum by it
+    val sparse = cells.filter(_._1 > 0).map { case (o, r, c) =>
+      val d = o * n - r * c; (d * d * 1000000) / (n * r * c)
+    }.sum
+    assert(want > sparse, "fixture must exercise the densified path")
+  }
+
+  test("streaming holt drops late earlier-day events and counts them visibly") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val sparkS = spark; import sparkS.implicits._
+    val day = 86400000000000L
+    def write(dir: String, name: String, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory("holt_late_part_").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(dir, name)); Thread.sleep(20)
+    }
+    def run(dir: String, qn: String) = {
+      val st = graft.streaming.CdcStream.readEventStream(spark, dir,
+        maxFilesPerTrigger = 1)
+      val q = graft.streaming.HoltStream.levels(st).toDF()
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val out = spark.table(qn)
+      val mx = out.agg(max(col("seq"))).collect()(0).getLong(0)
+      out.filter(col("seq") === mx)
+        .select("nFolded", "l", "b", "pendingDay", "pendingSum", "late")
+        .collect()(0)
+    }
+    // in-order baseline: day0 = 100, day1 = 40, day2 = 70 (cents)
+    val base = Seq(
+      (1L, 0 * day + 1, 1L, "x", 1.00),
+      (2L, 1 * day + 1, 1L, "x", 0.40),
+      (3L, 2 * day + 1, 1L, "x", 0.70))
+    val d1 = Files.createTempDirectory("holt_inorder_").toString
+    write(d1, "w0.parquet", base.take(2)); write(d1, "w1.parquet", base.drop(2))
+    val clean = run(d1, "holt_late_clean")
+    assert(clean.getAs[Long]("late") == 0L)
+    // same stream, but wave 2 smuggles a DAY-0 event after day 2 opened:
+    // it must be dropped (state identical to the clean run) and counted
+    val d2 = Files.createTempDirectory("holt_late_").toString
+    write(d2, "w0.parquet", base.take(2))
+    write(d2, "w1.parquet", base.drop(2) :+ (4L, 0 * day + 2, 1L, "x", 9.99))
+    val dirty = run(d2, "holt_late_dirty")
+    assert(dirty.getAs[Long]("late") == 1L,
+      "the contract-violating event must be visible in the counter")
+    for (c <- Seq("nFolded", "l", "b", "pendingDay", "pendingSum"))
+      assert(dirty.getAs[Long](c) == clean.getAs[Long](c),
+        s"$c must be untouched by the dropped late event")
+  }
+
+  test("kruskal-wallis H is non-negative and tie-correction only inflates") {
+    val r = EventQueries.queries("stats_kruskal_wallis")(spark, sfDir)
+      .collect()(0)
+    val h = r.getAs[Long]("h_ppm"); val hc = r.getAs[Long]("h_tiecorr_ppm")
+    assert(h >= 0, s"H=$h must be non-negative (up to rank truncation)")
+    assert(hc >= h, "dividing by the tie factor <= 1 can only inflate H")
+    assert(r.getAs[Long]("dof") == r.getAs[Long]("k_groups") - 1)
+  }
+
+  test("fano factor is non-negative and span covers the active days") {
+    val rows = EventQueries.queries("stats_fano_burstiness")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fano_ppm") >= 0)
+      assert(r.getAs[Long]("active_days") <= r.getAs[Long]("span_days"))
+    }
+  }
+
+  test("odds-ratio cells partition the type counts and OR is positive") {
+    val rows = EventQueries.queries("stats_odds_ratio")(spark, sfDir)
+      .collect()
+    val byType = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cells = Seq("a", "b", "c", "d").map(r.getAs[Long](_)).sum
+      assert(cells == byType(r.getAs[String]("event_type")))
+      assert(r.getAs[Long]("or_ppm") > 0)
+    }
+  }
+
+  test("herfindahl is bounded by [1/n_users, 1] and eff users by n_users") {
+    EventQueries.queries("stats_herfindahl")(spark, sfDir)
+      .collect().foreach { r =>
+        val hhi = r.getAs[Long]("hhi_ppm"); val nu = r.getAs[Long]("n_users")
+        assert(hhi <= 1000000 && hhi >= 1000000 / nu - 1)
+        assert(r.getAs[Long]("eff_users_x1000") <= nu * 1000)
+      }
+  }
+
+  test("user-overlap jaccard is a symmetric-pair table bounded by marginals") {
+    val rows = EventQueries.queries("events_user_overlap")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      val i = r.getAs[Long]("n_both")
+      assert(i <= math.min(r.getAs[Long]("na"), r.getAs[Long]("nb")))
+      assert(r.getAs[Long]("jaccard_ppm") <= 1000000)
+    }
+  }
+
+  test("tukey fences bracket the quartiles and outliers lie outside") {
+    EventQueries.queries("stats_tukey_outliers")(spark, sfDir)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("q1") <= r.getAs[Long]("q3"))
+        assert(r.getAs[Long]("lo_fence") <= r.getAs[Long]("q1"))
+        assert(r.getAs[Long]("hi_fence") >= r.getAs[Long]("q3"))
+        assert(r.getAs[Long]("n_low") + r.getAs[Long]("n_high") <
+          r.getAs[Long]("n"), "fences must not reject the bulk")
+      }
+  }
+
+  test("rich club density rises toward the hubs and stays a valid ppm") {
+    val rows = operators.GraphOps.richClub(spark, sfDir, Seq(1L, 2L, 4L, 8L))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("phi_ppm") >= 0 &&
+        r.getAs[Long]("phi_ppm") <= 1000000)
+      assert(r.getAs[Long]("e_k") <=
+        r.getAs[Long]("n_k") * (r.getAs[Long]("n_k") - 1) / 2)
+    }
+  }
+
+  test("bfs depths are contiguous from 0 and each shell is reachable") {
+    val rows = operators.GraphOps.bfsDepths(spark, sfDir, maxDepth = 4)
+      .collect()
+    val byDepth = rows.groupBy(_.getAs[Long]("depth")).view.mapValues(_.length)
+    assert(byDepth.getOrElse(0L, 0) == 1, "exactly one seed at depth 0")
+    val depths = byDepth.keys.toSeq.sorted
+    assert(depths == (0L to depths.max).toSeq, "no empty shell gaps")
+    val ids = rows.map(_.getAs[Long]("node"))
+    assert(ids.distinct.length == ids.length, "min-depth labels are unique")
+  }
+
+  test("simpson diversity complements to 1e6 and collision mass is sane") {
+    TextQueries.queries("text_simpson_diversity")(spark, sfDir)
+      .collect().foreach { r =>
+        val sp = r.getAs[Long]("simpson_ppm")
+        assert(sp >= 0 && sp <= 1000000)
+        assert(r.getAs[Long]("diversity_ppm") == 1000000L - sp)
+        assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      }
+  }
+
+  test("degree gini stays a valid ppm under the widened decimal accumulators") {
+    val r = GraphQueries.queries("graph_degree_gini")(spark, sfDir)
+      .collect()(0)
+    val g = r.getAs[Long]("gini_ppm")
+    assert(g >= 0 && g < 1000000, s"gini $g outside [0, 1e6)")
+    assert(r.getAs[Long]("n") > 0 && r.getAs[Long]("sx") > 0)
+  }
+}

@@ -1312,6 +1312,48 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // PEAK DETECTION over the 10-minute count series per type — strict
+    // local maxima with GAP-AWARE neighbors: an absent adjacent window
+    // is a real observation of 0 (the densification lesson on the
+    // window grid, applied without materializing it — the lag/lead is
+    // taken on the observed grid and zeroed when the neighbor is more
+    // than one window away or beyond the series boundary). Reports the
+    // peak census and the highest peak (earliest window on ties) per
+    // type — the "when did this series spike" primitive under the
+    // anomaly/CUSUM monitors. One grouped count + one sort window.
+    "events_peak_detection" -> ((s, dir) => {
+      val W = 600000000L
+      val agg = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("ts_us") - col("ts_us") % W).as("ws"))
+        .groupBy(col("event_type"), col("ws"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+      val nb = agg.select(col("event_type"), col("ws"), col("n"),
+        when(lag(col("ws"), 1).over(w).isNull ||
+            col("ws") - lag(col("ws"), 1).over(w) > W, 0L)
+          .otherwise(lag(col("n"), 1).over(w)).as("np"),
+        when(lead(col("ws"), 1).over(w).isNull ||
+            lead(col("ws"), 1).over(w) - col("ws") > W, 0L)
+          .otherwise(lead(col("n"), 1).over(w)).as("nn"))
+      val nw = agg.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_windows"))
+      val peaks = nb.filter(col("n") > col("np") && col("n") > col("nn"))
+      val top = peaks.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("n").desc, col("ws"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("max_peak_n"),
+          expr("ws div 1000000").as("peak_window_s"))
+      peaks.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_peaks"))
+        .join(broadcast(nw), Seq("event_type"))
+        .join(broadcast(top), Seq("event_type"))
+        .select(col("event_type"), col("n_windows"), col("n_peaks"),
+          col("max_peak_n"), col("peak_window_s"))
+        .orderBy(col("event_type"))
+    }),
+
     // KRUSKAL–WALLIS rank test — "do the k event types draw their
     // values from the same distribution?", the k-group extension of
     // the Mann-Whitney pair test, rank-based so it needs no normality
@@ -2023,6 +2065,33 @@ object EventQueries {
         |      count(DISTINCT dow) - 1) AS min_dim,
         |    sum(term)::BIGINT AS chi2_ppm
         |  FROM t)""".stripMargin,
+    "events_peak_detection" ->
+      """WITH agg AS (SELECT event_type,
+        |    epoch_us(ts) - epoch_us(ts) % 600000000 AS ws,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |nb AS (SELECT event_type, ws, n,
+        |    CASE WHEN lag(ws) OVER w IS NULL
+        |        OR ws - lag(ws) OVER w > 600000000 THEN 0
+        |      ELSE lag(n) OVER w END AS np,
+        |    CASE WHEN lead(ws) OVER w IS NULL
+        |        OR lead(ws) OVER w - ws > 600000000 THEN 0
+        |      ELSE lead(n) OVER w END AS nn
+        |  FROM agg
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ws)),
+        |nw AS (SELECT event_type, count(*)::BIGINT AS n_windows
+        |  FROM agg GROUP BY 1),
+        |peaks AS (SELECT * FROM nb WHERE n > np AND n > nn),
+        |top AS (SELECT event_type, n AS max_peak_n,
+        |    ws // 1000000 AS peak_window_s
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, ws) AS rk FROM peaks)
+        |  WHERE rk = 1)
+        |SELECT event_type, n_windows, count(*)::BIGINT AS n_peaks,
+        |  max_peak_n, peak_window_s
+        |FROM peaks JOIN nw USING (event_type) JOIN top USING (event_type)
+        |GROUP BY event_type, n_windows, max_peak_n, peak_window_s
+        |ORDER BY event_type""".stripMargin,
     "stats_kruskal_wallis" ->
       """WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

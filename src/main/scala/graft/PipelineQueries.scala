@@ -68,6 +68,44 @@ object PipelineQueries {
         .orderBy(col("split"))
     }),
 
+    // SPLIT BALANCE (r20): chi² of independence between the hash split
+    // and the language mix — "is the 80/10/10 split accidentally
+    // stratified AGAINST a language?" (split_leakage catches shared
+    // CONTENT across splits; this catches skewed COMPOSITION). Same
+    // densified-grid discipline as stats_chi2_independence: absent
+    // (split, lang) cells contribute their full E term, dof from the
+    // marginals, DECIMAL(38,0)/HUGEINT products. A healthy hash split
+    // has chi2 ≈ dof·1e6; chi2 ≫ dof·1e6 means the split key leaks
+    // language (e.g. ids assigned per-source) and per-lang eval is
+    // biased. One grouped count over splits×langs cells.
+    "pipeline_split_balance" -> ((s, dir) => {
+      val d = PipelineOps.trainValTestSplit(Tables.documents(s, dir),
+        "doc_id").select(col("split"), col("lang"))
+      val o = d.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("split")).agg(sum(col("o")).as("r"))
+      val c = o.groupBy(col("lang")).agg(sum(col("o")).as("ct"))
+      val n = o.agg(sum(col("o")).as("nn"))
+      r.crossJoin(broadcast(c))
+        .join(broadcast(o), Seq("split", "lang"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(n))
+        .select(col("nn"),
+          expr("""CAST(
+            (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * ct)
+            * (CAST(o AS DECIMAL(38,0)) * nn - CAST(r AS DECIMAL(38,0)) * ct)
+            * 1000000
+            div (CAST(nn AS DECIMAL(38,0)) * r * ct) AS BIGINT)""")
+            .as("term"),
+          col("split"), col("lang"))
+        .agg(max(col("nn")).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("term")).as("chi2_ppm"))
+        .select(col("n_docs"),
+          ((col("n_splits") - 1) * (col("n_langs") - 1)).as("dof"),
+          col("chi2_ppm"))
+    }),
+
     "pipeline_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       PipelineOps.decontaminate(
@@ -604,6 +642,31 @@ object PipelineQueries {
         |  WHEN ${bucketSql("doc_id")} < 90 THEN 'val' ELSE 'test' END AS split,
         |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "pipeline_split_balance" ->
+      s"""WITH d AS (SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+        |    WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+        |    ELSE 'test' END AS split, lang FROM documents),
+        |o AS (SELECT split, lang, count(*)::BIGINT AS o
+        |  FROM d GROUP BY 1, 2),
+        |r AS (SELECT split, sum(o)::BIGINT AS r FROM o GROUP BY 1),
+        |c AS (SELECT lang, sum(o)::BIGINT AS ct FROM o GROUP BY 1),
+        |n AS (SELECT sum(o)::BIGINT AS nn FROM o),
+        |grid AS (SELECT r.split, c.lang, r.r, c.ct,
+        |    COALESCE(o.o, 0)::BIGINT AS o
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN o ON o.split = r.split AND o.lang = c.lang),
+        |t AS (SELECT grid.split, grid.lang, nn,
+        |    CAST((CAST(grid.o AS HUGEINT) * nn
+        |        - CAST(grid.r AS HUGEINT) * grid.ct)
+        |      * (CAST(grid.o AS HUGEINT) * nn
+        |        - CAST(grid.r AS HUGEINT) * grid.ct)
+        |      * 1000000
+        |      // (CAST(nn AS HUGEINT) * grid.r * grid.ct) AS BIGINT) AS term
+        |  FROM grid CROSS JOIN n)
+        |SELECT max(nn) AS n_docs,
+        |  (count(DISTINCT split) - 1) * (count(DISTINCT lang) - 1) AS dof,
+        |  sum(term)::BIGINT AS chi2_ppm
+        |FROM t""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(${hashedShinglesSql("toks")}) AS shingle_h FROM t),

@@ -1233,6 +1233,22 @@ object RelationalQueries {
         .orderBy(col("col_name"))
     }),
 
+    // ID-SEQUENCE GAP AUDIT (r20) — continuity of the event_id space:
+    // holes (max−min+1−distinct) say an upstream producer dropped or
+    // filtered rows BEFORE this table (uniqueness_audit catches dups
+    // inside it; this catches absences a row-level audit cannot see),
+    // the dup count cross-checks the uniqueness story on the same key.
+    // One exact global agg, no window, no join.
+    "dq_id_gap_audit" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .select(col("n_rows"), col("n_ids"), col("min_id"), col("max_id"),
+          (col("max_id") - col("min_id") + 1 - col("n_ids")).as("n_gaps"),
+          (col("n_rows") - col("n_ids")).as("n_dups"))),
+
     "dq_uniqueness_audit" -> ((s, dir) => {
       def audit(name: String, df: DataFrame, keys: Seq[String]) = {
         val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
@@ -2121,6 +2137,14 @@ object RelationalQueries {
         |SELECT c_mktsegment, seg_n, seg_sum, gm_cents,
         |  (seg_sum + 100 * gm_cents) // (seg_n + 100) AS enc_cents
         |FROM seg CROSS JOIN g ORDER BY c_mktsegment""".stripMargin,
+    "dq_id_gap_audit" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT event_id)::BIGINT AS n_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+        |    AS n_gaps,
+        |  count(*) - count(DISTINCT event_id) AS n_dups
+        |FROM events""".stripMargin,
     "dq_uniqueness_audit" -> {
       def one(name: String, rel: String, keys: String) =
         s"""SELECT '$name' AS key, CAST(sum(n) AS BIGINT) AS total_rows,

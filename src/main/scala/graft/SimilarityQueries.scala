@@ -2750,6 +2750,49 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // SPLIT CENTROID CHECK (r20): the embedding-space twin of
+    // pipeline_split_leakage — split the corpus by vec_id parity and
+    // ask, per label, whether the two halves' centroids point the same
+    // way. A balanced split has signed-cos² ≈ 1e6 per label; a split
+    // that accidentally separated a label's modes (the train/val skew
+    // that poisons eval) collapses it. Components quantized to
+    // floor(x·1e3) BIGINTs FIRST (the sim_dim_stats discipline), so
+    // centroid sums, dot and norms are exact integers; cosine is
+    // scale-invariant so the per-half means are never divided —
+    // cos(mean_a, mean_b) = cos(sum_a, sum_b). The sqrt-free report is
+    // sign(dot)·dot²·1e6 div (‖a‖²·‖b‖²) — integer-exact end to end
+    // (dot ≤ dims·(n·1e3·0.6)² keeps dot²·1e6 inside DECIMAL(38,0) to
+    // ~3e5 vectors/label/half at d=64; shrink the quantization scale
+    // to widen). One posexplode → (label, half, dim) agg → label fold.
+    "sim_split_centroid_check" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir)
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("half"), col("dim").cast("long").as("dim"),
+          floor(col("x").cast("double") * lit(1000.0)).cast("long").as("xq"))
+        .groupBy(col("label"), col("half"), col("dim"))
+        .agg(sum(col("xq")).as("sq"))
+      val a = q.filter(col("half") === 0)
+        .select(col("label"), col("dim"), col("sq").as("sa"))
+      val b = q.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("sq").as("sb"))
+      val nv = Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(sum(expr("CAST(sa AS DECIMAL(38,0)) * sb")).as("dot"),
+          sum(expr("CAST(sa AS DECIMAL(38,0)) * sa")).as("na"),
+          sum(expr("CAST(sb AS DECIMAL(38,0)) * sb")).as("nb"))
+        .join(broadcast(nv), Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          expr("""CASE WHEN dot < 0 THEN -1 ELSE 1 END
+            * ((dot * dot * 1000000) div (na * nb))""")
+            .cast("long").as("cos2_signed_ppm"))
+        .orderBy(col("label"))
+    }),
+
     // KENDALL-τ RANK AGREEMENT between the two lexical scorers (r19):
     // how much do BM25 and QLD actually disagree about order? τ_a over
     // the INTERSECTION of their top-20s — concordant minus discordant
@@ -4144,6 +4187,32 @@ object SimilarityQueries {
         |  min(nq) AS min_nsq_e6, max(nq) AS max_nsq_e6,
         |  CAST(sum(nq) AS BIGINT) // count(*) AS mean_nsq_e6
         |FROM nq GROUP BY label ORDER BY label""".stripMargin,
+    "sim_split_centroid_check" ->
+      """WITH q AS (SELECT label, vec_id % 2 AS half,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings),
+        |c AS (SELECT label, half, dim, CAST(sum(xq) AS BIGINT) AS sq
+        |  FROM q GROUP BY 1, 2, 3),
+        |j AS (SELECT a.label,
+        |    sum(CAST(a.sq AS HUGEINT) * b.sq) AS dot,
+        |    sum(CAST(a.sq AS HUGEINT) * a.sq) AS na,
+        |    sum(CAST(b.sq AS HUGEINT) * b.sq) AS nb
+        |  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+        |    AND a.half = 0 AND b.half = 1
+        |  GROUP BY 1),
+        |nv AS (SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY 1)
+        |SELECT j.label, n_a, n_b,
+        |  CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+        |    * ((dot * dot * 1000000) // (na * nb)) AS BIGINT)
+        |    AS cos2_signed_ppm
+        |FROM j JOIN nv ON j.label = nv.label ORDER BY j.label""".stripMargin,
     "hybrid_search_rrf_batch" -> hybridRrfBatchOracleSql,
     "hybrid_search_weighted" -> hybridWeightedOracleSql,
     "hybrid_search_weighted_batch" -> hybridWeightedBatchOracleSql,

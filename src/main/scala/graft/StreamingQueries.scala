@@ -234,6 +234,76 @@ object StreamingQueries {
         .orderBy(col("series"))
     }),
 
+    // streaming ODDS-RATIO monitor: the weekend × high-value 2×2 table
+    // as FOUR counters of streaming-agg state per type (complete
+    // mode — the cell table IS the state, types-bounded); the finisher
+    // applies the Haldane–Anscombe OR exactly like the batch fold.
+    // Gated against the SAME oracle as stats_odds_ratio (stream ≡
+    // batch by construction).
+    "stream_odds_ratio" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val agg = st.select(col("event_type"),
+          expr("((ts div 1000 div 86400000000) + 4) % 7 IN (0, 6)")
+            .as("wknd"),
+          (expr("CAST(round(value * 100) AS BIGINT)") >= 3500).as("hi"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("wknd") && col("hi"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("wknd") && !col("hi"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("wknd") && col("hi"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("wknd") && !col("hi"), 1L).otherwise(0L)).as("d"))
+      runToMemory(agg, "complete")
+        .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+          expr("""(2*a + 1) * (2*d + 1) * 1000000
+            div ((2*b + 1) * (2*c + 1))""").as("or_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // streaming FANO burstiness: per-(type, day) counts as streaming-
+    // agg state (bounded by types × day-span — a time-bounded key
+    // space, the tumbling-window state shape, NOT event-bounded); the
+    // finisher runs the batch variance-to-mean fold over the drained
+    // day grid, span included. Same oracle as stats_fano_burstiness.
+    "stream_fano_burstiness" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val agg = st.select(col("event_type"),
+          expr("ts div 1000 div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      val daily = runToMemory(agg, "complete")
+      val span = daily.agg((max(col("day")) - min(col("day")) + 1).as("d"))
+      daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("q"),
+          count(lit(1)).as("active_days"))
+        .crossJoin(broadcast(span))
+        .select(col("event_type"), col("d").as("span_days"),
+          col("active_days"), col("s").as("n_events"),
+          expr("""(CAST(d AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0)) * s)
+            * 1000000 div (CAST(d AS DECIMAL(38,0)) * s)""")
+            .cast("long").as("fano_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // streaming HERFINDAHL concentration: per-(type, user) counts as
+    // streaming-agg state (users × types keys — the DAU/attribution
+    // state bound, user-cardinality not event-cardinality; at larger
+    // key spaces the Space-Saving sketch entry is the bounded-memory
+    // fallback); finisher folds the drained counts to HHI. Same
+    // oracle as stats_herfindahl.
+    "stream_herfindahl" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val agg = st.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("nu"))
+      runToMemory(agg, "complete")
+        .groupBy(col("event_type"))
+        .agg(sum(col("nu")).as("n_events"),
+          count(lit(1)).as("n_users"),
+          sum(col("nu") * col("nu")).as("q"))
+        .select(col("event_type"), col("n_events"), col("n_users"),
+          expr("q * 1000000 div (n_events * n_events)").as("hhi_ppm"),
+          expr("n_events * n_events * 1000 div q").as("eff_users_x1000"))
+        .orderBy(col("event_type"))
+    }),
+
     // streaming 3-SEQUENCE mining: the double-lead window reduced to
     // TWO strings of keyed state per user (MarkovStream.triples) —
     // each arrival closes its (prev2, prev1, now) triple on the spot;
@@ -1195,6 +1265,11 @@ object StreamingQueries {
     "stream_frequent_sequences" -> EventQueries.freqSeqSql,
     "stream_freshness" -> RelationalQueries.freshnessSql,
     "stream_interarrival" -> EventQueries.interarrivalSql,
+    // the three r20 streaming-agg twins gate against the batch oracles
+    // verbatim (stream ≡ batch by construction)
+    "stream_odds_ratio" -> EventQueries.oracle("stats_odds_ratio"),
+    "stream_fano_burstiness" -> EventQueries.oracle("stats_fano_burstiness"),
+    "stream_herfindahl" -> EventQueries.oracle("stats_herfindahl"),
     // exact regime: the sketch's counters ARE the exact per-user counts
     "stream_heavy_hitters" ->
       """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS n

@@ -1171,6 +1171,25 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // TERM BURSTINESS (r20) — Church & Gale's cf/df ratio for the
+    // high-frequency vocabulary: a term whose collection frequency
+    // concentrates in few documents (burst ≫ 1000) is topical/bursty;
+    // cf ≈ df is a function word. The term-level complement of the
+    // corpus-level Simpson/entropy diversity numbers, and the signal
+    // behind Okapi-style within-doc saturation. cf ≥ 50 support cut,
+    // deterministic (burst, cf, token) order, top 30.
+    "text_term_burstiness" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+        .filter(col("cf") >= 50)
+        .select(col("token"), col("cf"), col("df"),
+          expr("cf * 1000 div df").as("burst_x1000"))
+        .orderBy(col("burst_x1000").desc, col("cf").desc, col("token"))
+        .limit(30)
+    }),
+
     // SIMPSON diversity per language (r20) — the probability two
     // randomly drawn tokens are the SAME type, λ = Σf(f−1)/(N(N−1)),
     // reported with its 1−λ complement. The collision view of lexical
@@ -2950,6 +2969,15 @@ object TextQueries {
           |CROSS JOIN tb CROSS JOIN ut
           |WHERE c_xy >= 20
           |ORDER BY lift_ppm DESC, w1, w2 LIMIT 30""".stripMargin,
+      "text_term_burstiness" ->
+        s"""WITH tok AS (SELECT doc_id, t.token
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)),
+          |a AS (SELECT token, count(*)::BIGINT AS cf,
+          |    count(DISTINCT doc_id)::BIGINT AS df
+          |  FROM tok GROUP BY 1)
+          |SELECT token, cf, df, cf * 1000 // df AS burst_x1000
+          |FROM a WHERE cf >= 50
+          |ORDER BY burst_x1000 DESC, cf DESC, token LIMIT 30""".stripMargin,
       "text_simpson_diversity" ->
         s"""WITH tok AS (SELECT lang, t.token
           |  FROM documents, LATERAL unnest($toksSql) AS t(token)),

@@ -205,6 +205,74 @@ class Round20Spec extends AnyFunSuite {
       }
   }
 
+  test("streaming stats twins equal their batch folds at sf0.001") {
+    for ((st, ba) <- Seq(
+        "stream_odds_ratio" -> "stats_odds_ratio",
+        "stream_fano_burstiness" -> "stats_fano_burstiness",
+        "stream_herfindahl" -> "stats_herfindahl")) {
+      val got = StreamingQueries.queries(st)(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      val want = EventQueries.queries(ba)(spark, sfDir)
+        .collect().map(_.toString).toSeq
+      assert(got == want, s"$st drifted from $ba")
+    }
+  }
+
+  test("split centroid cos2 is a signed ppm and halves partition each label") {
+    val rows = SimilarityQueries.queries("sim_split_centroid_check")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val sizes = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val c2 = r.getAs[Long]("cos2_signed_ppm")
+      assert(c2 >= -1000000 && c2 <= 1000000)
+      assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") ==
+        sizes(r.getAs[Int]("label")))
+    }
+  }
+
+  test("term burstiness is bounded below by 1000 and df by cf") {
+    val rows = TextQueries.queries("text_term_burstiness")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("cf"))
+      assert(r.getAs[Long]("burst_x1000") >= 1000,
+        "cf >= df forces burst >= 1.0")
+    }
+  }
+
+  test("peak census is bounded by the window census") {
+    EventQueries.queries("events_peak_detection")(spark, sfDir)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n_peaks") <= r.getAs[Long]("n_windows"))
+        assert(r.getAs[Long]("max_peak_n") >= 1)
+      }
+  }
+
+  test("id gap audit reconciles rows, ids, and the id span") {
+    val r = RelationalQueries.queries("dq_id_gap_audit")(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_ids") <= r.getAs[Long]("n_rows"))
+    assert(r.getAs[Long]("n_gaps") ==
+      r.getAs[Long]("max_id") - r.getAs[Long]("min_id") + 1 -
+        r.getAs[Long]("n_ids"))
+    assert(r.getAs[Long]("n_dups") ==
+      r.getAs[Long]("n_rows") - r.getAs[Long]("n_ids"))
+  }
+
+  test("split balance chi2 is non-negative with the marginal dof") {
+    val r = PipelineQueries.queries("pipeline_split_balance")(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Long]("chi2_ppm") >= 0)
+    val langs = Tables.documents(spark, sfDir)
+      .select(col("lang")).distinct().count()
+    assert(r.getAs[Long]("dof") == 2 * (langs - 1),
+      "3 splits and the fixture's language marginals set the dof")
+  }
+
   test("degree gini stays a valid ppm under the widened decimal accumulators") {
     val r = GraphQueries.queries("graph_degree_gini")(spark, sfDir)
       .collect()(0)

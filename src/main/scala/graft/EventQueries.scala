@@ -1322,35 +1322,55 @@ object EventQueries {
     // type — the "when did this series spike" primitive under the
     // anomaly/CUSUM monitors. One grouped count + one sort window.
     "events_peak_detection" -> ((s, dir) => {
-      val W = 600000000L
       val agg = Tables.events(s, dir)
         .select(col("event_type"),
-          (col("ts_us") - col("ts_us") % W).as("ws"))
+          (col("ts_us") - col("ts_us") % PeakW).as("ws"))
         .groupBy(col("event_type"), col("ws"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
-      val nb = agg.select(col("event_type"), col("ws"), col("n"),
-        when(lag(col("ws"), 1).over(w).isNull ||
-            col("ws") - lag(col("ws"), 1).over(w) > W, 0L)
-          .otherwise(lag(col("n"), 1).over(w)).as("np"),
-        when(lead(col("ws"), 1).over(w).isNull ||
-            lead(col("ws"), 1).over(w) - col("ws") > W, 0L)
-          .otherwise(lead(col("n"), 1).over(w)).as("nn"))
-      val nw = agg.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_windows"))
-      val peaks = nb.filter(col("n") > col("np") && col("n") > col("nn"))
-      val top = peaks.withColumn("rk", row_number().over(
-          Window.partitionBy(col("event_type"))
-            .orderBy(col("n").desc, col("ws"))))
-        .filter(col("rk") === 1)
-        .select(col("event_type"), col("n").as("max_peak_n"),
-          expr("ws div 1000000").as("peak_window_s"))
-      peaks.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_peaks"))
-        .join(broadcast(nw), Seq("event_type"))
-        .join(broadcast(top), Seq("event_type"))
-        .select(col("event_type"), col("n_windows"), col("n_peaks"),
-          col("max_peak_n"), col("peak_window_s"))
+      peakReport(agg)
+    }),
+
+    // MOMENT PROFILE + JARQUE–BERA normality test per type — skewness
+    // g1 = m3/m2^1.5, excess kurtosis g2 = m4/m2² − 3, and
+    // JB = n/6·(g1² + g2²/4), the cheap "is this metric even remotely
+    // Gaussian?" gate that decides whether the z-score monitors
+    // upstream are meaningful. Power sums Σx..Σx⁴ accumulate as EXACT
+    // DECIMAL(38,0) (HUGEINT on the oracle — x⁴ ≤ 5.8e18 per row, so
+    // exact to ~10¹³ rows); the central-moment combination happens
+    // ONCE per type in doubles over those exact integers with a
+    // single terminal rounding (the corr-matrix float discipline:
+    // identical expression trees on identical integer inputs).
+    "stats_moments_profile" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("s1"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("s3"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("s4"))
+        .select(col("event_type"), col("n"),
+          expr("CAST(s1 div n AS BIGINT)").as("mean_cents"),
+          expr("CAST(n AS DOUBLE)").as("nd"),
+          expr("CAST(s1 AS DOUBLE)").as("a"),
+          expr("CAST(s2 AS DOUBLE)").as("b"),
+          expr("CAST(s3 AS DOUBLE)").as("c"),
+          expr("CAST(s4 AS DOUBLE)").as("d"))
+        .select(col("event_type"), col("n"), col("mean_cents"),
+          expr("(nd * b - a * a) / (nd * nd)").as("m2"),
+          expr("(nd * nd * c - 3 * nd * a * b + 2 * a * a * a) / (nd * nd * nd)")
+            .as("m3"),
+          expr("""(nd * nd * nd * d - 4 * nd * nd * c * a
+            + 6 * nd * a * a * b - 3 * a * a * a * a)
+            / (nd * nd * nd * nd)""").as("m4"),
+          col("nd"))
+        .select(col("event_type"), col("n"), col("mean_cents"),
+          expr("round(m3 / power(m2, 1.5), 6)").as("skewness"),
+          expr("round(m4 / (m2 * m2) - 3, 6)").as("ex_kurtosis"),
+          expr("""round(nd / 6 * ((m3 / power(m2, 1.5)) * (m3 / power(m2, 1.5))
+            + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4), 2)""")
+            .as("jarque_bera"))
         .orderBy(col("event_type"))
     }),
 
@@ -1538,6 +1558,50 @@ object EventQueries {
             .as("max_outlier"))
         .orderBy(col("event_type"))
     }))
+
+  /** 10-minute window width in µs — shared by the batch peak entry and
+    * its streaming twin. */
+  private[graft] val PeakW = 600000000L
+
+  /** The gap-aware local-maximum fold shared by `events_peak_detection`
+    * and `stream_peak_detection`: takes the (event_type, ws, n) count
+    * grid, zeroes a neighbor that is absent (more than one window away
+    * or beyond the series boundary — an absent window is a real 0),
+    * and reports the peak census plus the highest peak per type
+    * (earliest window on ties). */
+  private[graft] def peakReport(agg: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+    val nb = agg.select(col("event_type"), col("ws"), col("n"),
+      when(lag(col("ws"), 1).over(w).isNull ||
+          col("ws") - lag(col("ws"), 1).over(w) > PeakW, 0L)
+        .otherwise(lag(col("n"), 1).over(w)).as("np"),
+      when(lead(col("ws"), 1).over(w).isNull ||
+          lead(col("ws"), 1).over(w) - col("ws") > PeakW, 0L)
+        .otherwise(lead(col("n"), 1).over(w)).as("nn"))
+    // re-alias the two broadcast sides' key column: all three branches
+    // derive from ONE `agg` frame, and a memory-sink View (the
+    // streaming twin's drained grid) is not deduplicated by the
+    // analyzer the way a relation leaf is — a fresh Alias mints a new
+    // exprId and makes the self-joins unambiguous on either input
+    val nw = agg.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"))
+      .select(col("event_type").as("event_type"), col("n_windows"))
+    val peaks = nb.filter(col("n") > col("np") && col("n") > col("nn"))
+    val top = peaks.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("ws"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type").as("event_type"),
+        col("n").as("max_peak_n"),
+        expr("ws div 1000000").as("peak_window_s"))
+    peaks.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_peaks"))
+      .join(broadcast(nw), Seq("event_type"))
+      .join(broadcast(top), Seq("event_type"))
+      .select(col("event_type"), col("n_windows"), col("n_peaks"),
+        col("max_peak_n"), col("peak_window_s"))
+      .orderBy(col("event_type"))
+  }
 
   /** The densified chi²-of-independence pipeline shared by
     * `stats_chi2_independence` and `stats_cramers_v2`: one row with
@@ -2065,6 +2129,36 @@ object EventQueries {
         |      count(DISTINCT dow) - 1) AS min_dim,
         |    sum(term)::BIGINT AS chi2_ppm
         |  FROM t)""".stripMargin,
+    "stats_moments_profile" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s1,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2,
+        |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM e GROUP BY 1),
+        |f AS (SELECT event_type, n, CAST(s1 // n AS BIGINT) AS mean_cents,
+        |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS a,
+        |    CAST(s2 AS DOUBLE) AS b, CAST(s3 AS DOUBLE) AS c,
+        |    CAST(s4 AS DOUBLE) AS d
+        |  FROM s),
+        |m AS (SELECT event_type, n, mean_cents,
+        |    (nd * b - a * a) / (nd * nd) AS m2,
+        |    (nd * nd * c - 3 * nd * a * b + 2 * a * a * a)
+        |      / (nd * nd * nd) AS m3,
+        |    (nd * nd * nd * d - 4 * nd * nd * c * a
+        |      + 6 * nd * a * a * b - 3 * a * a * a * a)
+        |      / (nd * nd * nd * nd) AS m4,
+        |    nd
+        |  FROM f)
+        |SELECT event_type, n, mean_cents,
+        |  round(m3 / power(m2, 1.5), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 6) AS ex_kurtosis,
+        |  round(nd / 6 * ((m3 / power(m2, 1.5)) * (m3 / power(m2, 1.5))
+        |    + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4), 2)
+        |    AS jarque_bera
+        |FROM m ORDER BY event_type""".stripMargin,
     "events_peak_detection" ->
       """WITH agg AS (SELECT event_type,
         |    epoch_us(ts) - epoch_us(ts) % 600000000 AS ws,

@@ -963,6 +963,35 @@ object RelationalQueries {
     // measured 1.5 s at sf0.1 (one reducer sorts the flag's whole
     // value domain); this form sorts ~100 rows per flag and is the
     // shape that survives 100 TB
+    // GEOMETRIC + HARMONIC means per return flag (r20) — the two
+    // Pythagorean means the arithmetic family can't substitute for
+    // (geo for multiplicative quantities/ratios, harmonic for rates).
+    // Float-sum order dependence is DESIGNED OUT: each row contributes
+    // an INTEGER — floor(1e6·ln(cents)) for the log sum (the
+    // *_logprob quantization discipline) and 1e12 div cents for the
+    // reciprocal sum — so the aggregates are exact BIGINTs on both
+    // engines and only the per-group finisher (exp / one division)
+    // runs in doubles, rounded once.
+    "agg_geo_harmonic_means" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100).cast("long").as("cents"))
+        .select(col("l_returnflag"),
+          floor(lit(1000000.0) * log(col("cents").cast("double")))
+            .cast("long").as("li"),
+          expr("1000000000000 div cents").as("ri"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("li")).as("sl"),
+          sum(col("ri")).as("sr"))
+        .select(col("l_returnflag"), col("n"),
+          expr("""round(exp(CAST(sl AS DOUBLE)
+            / (CAST(n AS DOUBLE) * 1000000.0)) / 100.0, 4)""")
+            .as("geo_mean_qty"),
+          expr("""round(CAST(n AS DOUBLE) * 10000000000.0
+            / CAST(sr AS DOUBLE), 4)""").as("harmonic_mean_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_weighted_median" -> ((s, dir) => {
       // raw rows, NOT a distinct-value aggregation: the coarse groupBy
       // collapses 600k rows to ~2.5k buckets entirely in the map-side
@@ -1231,6 +1260,42 @@ object RelationalQueries {
         .unionAll(audit("events.value", Tables.events(s, dir),
           col("value"), blankable = false))
         .orderBy(col("col_name"))
+    }),
+
+    // CROSS-TABLE RECONCILIATION AUDIT (r20) — does the order header's
+    // o_totalprice equal the sum of its lines' extended·(1−disc)·(1+tax)?
+    // The classic warehouse balance check (referential_audit proves the
+    // keys RESOLVE; this proves the VALUES reconcile). All integer
+    // cents: per line round(·100) each factor, combine as
+    // pc·(100−dc)·(100+tc) div 10000, one order-keyed agg, |Δ| ≤ 1¢
+    // counts as matched. On this synthetic fixture the headers are
+    // drawn independently of the lines, so the audit honestly reports
+    // ~0 matches and a wide drift band — exactly what it exists to
+    // catch; the distribution columns make the report useful either
+    // way.
+    "dq_reconciliation_audit" -> ((s, dir) => {
+      val exp = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"),
+          round(col("l_discount") * 100).cast("long").as("dc"),
+          round(col("l_tax") * 100).cast("long").as("tc"))
+        .select(col("l_orderkey"),
+          expr("pc * (100 - dc) * (100 + tc) div 10000").as("line_cents"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("line_cents")).as("exp_cents"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("oc"))
+        .join(exp, col("o_orderkey") === col("l_orderkey"))
+        .select(abs(col("oc") - col("exp_cents")).as("diff"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("diff") <= 1, 1L).otherwise(0L)).as("n_match"),
+          max(col("diff")).as("max_diff_cents"),
+          expr("sum(diff) div count(1)").as("mean_diff_cents"))
+        .select(col("n_orders"), col("n_match"),
+          expr("(n_orders - n_match) * 1000000 div n_orders")
+            .as("mismatch_ppm"),
+          col("max_diff_cents"), col("mean_diff_cents"))
     }),
 
     // ID-SEQUENCE GAP AUDIT (r20) — continuity of the event_id space:
@@ -2063,6 +2128,25 @@ object RelationalQueries {
         |UNION ALL SELECT 'l_shipdate_s', n, n - d_nn, d_ndv, d_min, d_max FROM s
         |UNION ALL SELECT 'l_returnflag_ascii', n, n - f_nn, f_ndv, f_min, f_max FROM s
         |ORDER BY column_name""".stripMargin,
+    "agg_geo_harmonic_means" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |i AS (SELECT l_returnflag,
+        |    CAST(floor(1000000.0 * ln(CAST(cents AS DOUBLE))) AS BIGINT)
+        |      AS li,
+        |    1000000000000 // cents AS ri
+        |  FROM q),
+        |a AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    CAST(sum(li) AS BIGINT) AS sl, CAST(sum(ri) AS BIGINT) AS sr
+        |  FROM i GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(exp(CAST(sl AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * 1000000.0)) / 100.0, 4)
+        |    AS geo_mean_qty,
+        |  round(CAST(n AS DOUBLE) * 10000000000.0 / CAST(sr AS DOUBLE), 4)
+        |    AS harmonic_mean_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "agg_weighted_median" ->
       """WITH v AS (SELECT l_returnflag,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -2137,6 +2221,29 @@ object RelationalQueries {
         |SELECT c_mktsegment, seg_n, seg_sum, gm_cents,
         |  (seg_sum + 100 * gm_cents) // (seg_n + 100) AS enc_cents
         |FROM seg CROSS JOIN g ORDER BY c_mktsegment""".stripMargin,
+    "dq_reconciliation_audit" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dc,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tc
+        |  FROM lineitem),
+        |e AS (SELECT l_orderkey,
+        |    CAST(sum(pc * (100 - dc) * (100 + tc) // 10000) AS BIGINT)
+        |      AS exp_cents
+        |  FROM l GROUP BY 1),
+        |d AS (SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      - exp_cents) AS diff
+        |  FROM orders o JOIN e ON o.o_orderkey = e.l_orderkey),
+        |a AS (SELECT count(*)::BIGINT AS n_orders,
+        |    CAST(sum(CASE WHEN diff <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_match,
+        |    max(diff) AS max_diff_cents,
+        |    CAST(sum(diff) AS BIGINT) // count(*) AS mean_diff_cents
+        |  FROM d)
+        |SELECT n_orders, n_match,
+        |  (n_orders - n_match) * 1000000 // n_orders AS mismatch_ppm,
+        |  max_diff_cents, mean_diff_cents
+        |FROM a""".stripMargin,
     "dq_id_gap_audit" ->
       """SELECT count(*)::BIGINT AS n_rows,
         |  count(DISTINCT event_id)::BIGINT AS n_ids,

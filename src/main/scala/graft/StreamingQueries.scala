@@ -304,6 +304,26 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // streaming PEAK DETECTION: the 10-min count grid as streaming-agg
+    // state (types × window-span, the tumbling shape); the finisher is
+    // the SHARED gap-aware local-maximum fold (EventQueries.peakReport)
+    // over the drained grid — gated against the batch oracle verbatim.
+    "stream_peak_detection" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val agg = st.select(col("event_type"),
+          expr(s"(ts div 1000) - (ts div 1000) % ${EventQueries.PeakW}")
+            .as("ws"))
+        .groupBy(col("event_type"), col("ws"))
+        .agg(count(lit(1)).as("n"))
+      // re-aggregate the drained grid (keys unique ⇒ value no-op): the
+      // finisher self-joins its input, and a memory-table relation
+      // reused on both sides would collide on attribute ids
+      val grid = runToMemory(agg, "complete")
+        .groupBy(col("event_type"), col("ws"))
+        .agg(max(col("n")).as("n"))
+      EventQueries.peakReport(grid)
+    }),
+
     // streaming 3-SEQUENCE mining: the double-lead window reduced to
     // TWO strings of keyed state per user (MarkovStream.triples) —
     // each arrival closes its (prev2, prev1, now) triple on the spot;
@@ -1268,6 +1288,7 @@ object StreamingQueries {
     // the three r20 streaming-agg twins gate against the batch oracles
     // verbatim (stream ≡ batch by construction)
     "stream_odds_ratio" -> EventQueries.oracle("stats_odds_ratio"),
+    "stream_peak_detection" -> EventQueries.oracle("events_peak_detection"),
     "stream_fano_burstiness" -> EventQueries.oracle("stats_fano_burstiness"),
     "stream_herfindahl" -> EventQueries.oracle("stats_herfindahl"),
     // exact regime: the sketch's counters ARE the exact per-user counts

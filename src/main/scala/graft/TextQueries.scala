@@ -1171,6 +1171,29 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // HAPAX PROFILE (r20) — per language, the once-occurring share of
+    // the vocabulary (V1/V) and of the token stream (V1/N): the TAIL
+    // counterpart of the head-weighted Simpson number, and the
+    // productivity signal behind Heaps' law (a corpus whose hapax-type
+    // share collapses has stopped meeting new words — dedup leakage or
+    // template mass; one whose share explodes is OCR/tokenizer junk).
+    // One vocab agg, integer-exact ppm.
+    "text_hapax_profile" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("f"))
+        .groupBy(col("lang"))
+        .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          expr("n_hapax * 1000000 div n_types").as("hapax_type_ppm"),
+          expr("n_hapax * 1000000 div n_tokens").as("hapax_token_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // TERM BURSTINESS (r20) — Church & Gale's cf/df ratio for the
     // high-frequency vocabulary: a term whose collection frequency
     // concentrates in few documents (burst ≫ 1000) is topical/bursty;
@@ -2969,6 +2992,20 @@ object TextQueries {
           |CROSS JOIN tb CROSS JOIN ut
           |WHERE c_xy >= 20
           |ORDER BY lift_ppm DESC, w1, w2 LIMIT 30""".stripMargin,
+      "text_hapax_profile" ->
+        s"""WITH tok AS (SELECT lang, t.token
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)),
+          |f AS (SELECT lang, token, count(*)::BIGINT AS f
+          |  FROM tok GROUP BY 1, 2),
+          |a AS (SELECT lang, sum(f)::BIGINT AS n_tokens,
+          |    count(*)::BIGINT AS n_types,
+          |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_hapax
+          |  FROM f GROUP BY 1)
+          |SELECT lang, n_tokens, n_types, n_hapax,
+          |  n_hapax * 1000000 // n_types AS hapax_type_ppm,
+          |  n_hapax * 1000000 // n_tokens AS hapax_token_ppm
+          |FROM a ORDER BY lang""".stripMargin,
       "text_term_burstiness" ->
         s"""WITH tok AS (SELECT doc_id, t.token
           |  FROM documents, LATERAL unnest($toksSql) AS t(token)),

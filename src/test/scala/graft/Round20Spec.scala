@@ -273,6 +273,64 @@ class Round20Spec extends AnyFunSuite {
       "3 splits and the fixture's language marginals set the dof")
   }
 
+  test("moments profile: JB >= 0 and squared-skew consistency holds") {
+    val rows = EventQueries.queries("stats_moments_profile")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val jb = r.getAs[Double]("jarque_bera")
+      assert(jb >= 0, "JB is a sum of squares")
+      // ex-kurtosis is bounded below by g1^2 - 2 (Pearson inequality)
+      val g1 = r.getAs[Double]("skewness")
+      val g2 = r.getAs[Double]("ex_kurtosis")
+      assert(g2 >= g1 * g1 - 2 - 1e-6)
+    }
+  }
+
+  test("reconciliation audit counts reconcile and ppm is complementary") {
+    val r = RelationalQueries.queries("dq_reconciliation_audit")(
+      spark, sfDir).collect()(0)
+    val n = r.getAs[Long]("n_orders"); val m = r.getAs[Long]("n_match")
+    assert(m <= n)
+    assert(r.getAs[Long]("mismatch_ppm") == (n - m) * 1000000L / n)
+    assert(r.getAs[Long]("mean_diff_cents") <=
+      r.getAs[Long]("max_diff_cents"))
+  }
+
+  test("hapax counts are bounded by types and tokens") {
+    TextQueries.queries("text_hapax_profile")(spark, sfDir)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_types"))
+        assert(r.getAs[Long]("hapax_type_ppm") >=
+          r.getAs[Long]("hapax_token_ppm"),
+          "types <= tokens forces the type share to dominate")
+      }
+  }
+
+  test("pythagorean mean chain: harmonic <= geometric <= arithmetic") {
+    val rows = RelationalQueries.queries("agg_geo_harmonic_means")(
+      spark, sfDir).collect()
+    val am = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("am")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val g = r.getAs[Double]("geo_mean_qty")
+      val h = r.getAs[Double]("harmonic_mean_qty")
+      // 1e-3 slack: the quantized-integer folds truncate per row
+      assert(h <= g + 1e-3, s"harmonic $h must not exceed geometric $g")
+      assert(g <= am(r.getAs[String]("l_returnflag")) + 1e-3)
+    }
+  }
+
+  test("streaming peak detection equals the batch fold at sf0.001") {
+    val got = StreamingQueries.queries("stream_peak_detection")(
+      spark, sfDir).collect().map(_.toString).toSeq
+    val want = EventQueries.queries("events_peak_detection")(
+      spark, sfDir).collect().map(_.toString).toSeq
+    assert(got == want, "stream peak twin drifted from batch")
+  }
+
   test("degree gini stays a valid ppm under the widened decimal accumulators") {
     val r = GraphQueries.queries("graph_degree_gini")(spark, sfDir)
       .collect()(0)

@@ -31,6 +31,7 @@ object VerifySubset {
         .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify-subset] $name failed: ${e.getMessage}")
+        e.printStackTrace()
       }
     }
     def q(s: String): String = "\"" + s.flatMap {

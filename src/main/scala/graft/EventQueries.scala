@@ -1330,6 +1330,47 @@ object EventQueries {
       peakReport(agg)
     }),
 
+    // BROWN–FORSYTHE (median-centered Levene) test — equality of
+    // SPREAD across the k types, the scale complement of
+    // Kruskal-Wallis/Mann-Whitney's location tests (a monitor that
+    // only watches location misses a variance blow-up entirely).
+    // z = |x − median_g| with the group median read at the explicit
+    // ceil-rank (n+1) div 2 (the tukey discipline — no cross-engine
+    // quantile trust), then the one-way F over z as the exact scaled
+    // rational F_ppm = (N−k)·SSB_L·1e6 div ((k−1)·SSW_L) where the
+    // quadratic sums carry an L = 1e3 per-group scale (one truncating
+    // division per group, identical on both engines; L is sized so
+    // the per-group quotient s_g²·L/n_g stays inside BIGINT at
+    // z ≤ 5e4, n_g ≤ 1e9). One sort window + two k-row aggs.
+    "stats_levene_bf" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"))
+      val rn = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      val med = e.withColumn("rn", row_number().over(rn))
+        .join(e.groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
+          Seq("event_type"))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col("x").as("med"))
+      val z = e.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("x") - col("med")).as("z"))
+      val g = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
+          sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("qg"))
+        .select(col("ng"), col("sg"), col("qg"),
+          expr("(CAST(sg AS DECIMAL(38,0)) * sg * 1000) div ng").as("ag"))
+      g.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+          sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+          sum(col("ag")).as("a"))
+        .select(col("n"), col("k"), (col("k") - 1).as("dof1"),
+          (col("n") - col("k")).as("dof2"),
+          expr("""CAST((CAST(n AS DECIMAL(38,0)) - k)
+            * (a - (CAST(s AS DECIMAL(38,0)) * s * 1000) div n) * 1000000
+            div ((CAST(k AS DECIMAL(38,0)) - 1)
+              * (CAST(q AS DECIMAL(38,0)) * 1000 - a)) AS BIGINT)""")
+            .as("f_ppm"))
+    }),
+
     // MOMENT PROFILE + JARQUE–BERA normality test per type — skewness
     // g1 = m3/m2^1.5, excess kurtosis g2 = m4/m2² − 3, and
     // JB = n/6·(g1² + g2²/4), the cheap "is this metric even remotely
@@ -2129,6 +2170,32 @@ object EventQueries {
         |      count(DISTINCT dow) - 1) AS min_dim,
         |    sum(term)::BIGINT AS chi2_ppm
         |  FROM t)""".stripMargin,
+    "stats_levene_bf" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |rn AS (SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM e),
+        |med AS (SELECT event_type, x AS med FROM rn
+        |  WHERE rn = (cnt + 1) // 2),
+        |z AS (SELECT e.event_type, abs(x - med) AS z
+        |  FROM e JOIN med ON e.event_type = med.event_type),
+        |g AS (SELECT event_type, count(*)::BIGINT AS ng,
+        |    CAST(sum(z) AS BIGINT) AS sg,
+        |    sum(CAST(z AS HUGEINT) * z) AS qg
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT ng, sg, qg,
+        |    CAST(sg AS HUGEINT) * sg * 1000 // ng AS ag FROM g),
+        |a AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+        |    CAST(sum(sg) AS BIGINT) AS s, sum(qg) AS q, sum(ag) AS a
+        |  FROM t)
+        |SELECT n, k, k - 1 AS dof1, n - k AS dof2,
+        |  CAST((CAST(n AS HUGEINT) - k)
+        |    * (a - CAST(s AS HUGEINT) * s * 1000 // n) * 1000000
+        |    // ((CAST(k AS HUGEINT) - 1)
+        |      * (CAST(q AS HUGEINT) * 1000 - a)) AS BIGINT) AS f_ppm
+        |FROM a""".stripMargin,
     "stats_moments_profile" ->
       """WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),

@@ -265,6 +265,37 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // TEMPERATURE SWEEP (r20): the τ knob curve the single-τ mix entry
+    // can't show — per-language acceptance and selected counts at
+    // τ ∈ {0.25, 0.5, 1.0} side by side (τ → 0 flattens the mix toward
+    // uniform, τ = 1 keeps the natural proportions). Exponents are
+    // spelled as sqrt compositions (sqrt(sqrt(r)), sqrt(r), r), all
+    // CORRECTLY-ROUNDED IEEE ops on both engines — a libm pow() would
+    // risk a last-ulp floor() boundary flip. Same deterministic
+    // hashBucketPpm acceptance as temperatureMix; the τ grid is a
+    // 3-row broadcast, the corpus is scanned once.
+    "pipeline_temperature_sweep" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_stratum"))
+      val base = counts
+        .crossJoin(broadcast(counts.agg(min(col("n_stratum")).as("n_min"))))
+        .select(col("lang"), col("n_stratum"),
+          (col("n_min").cast("double") / col("n_stratum").cast("double"))
+            .as("r"))
+      val rates = Seq(25L -> "sqrt(sqrt(r))", 50L -> "sqrt(r)", 100L -> "r")
+        .map { case (t, ex) =>
+          base.select(lit(t).as("tau_x100"), col("lang"), col("n_stratum"),
+            floor(expr(ex) * lit(1000000.0)).cast("long").as("accept_ppm"))
+        }.reduce(_ unionAll _)
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(PipelineOps.hashBucketPpm(col("doc_id")) < col("accept_ppm"))
+        .groupBy(col("tau_x100"), col("lang"), col("n_stratum"),
+          col("accept_ppm"))
+        .agg(count(lit(1)).as("n_selected"))
+        .orderBy(col("tau_x100"), col("lang"))
+    }),
+
     // context packing re-based on SUBWORD counts — the packing a real
     // pretraining pipeline runs (context windows are BPE-token-sized,
     // not word-sized); same deterministic hash-order greedy fill
@@ -792,6 +823,29 @@ object PipelineQueries {
         |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
         |        % 1000000 + 1) / 1000000.0)) / n_chars) AS BIGINT) AS key12
         |FROM documents ORDER BY key12 DESC, doc_id LIMIT 500""".stripMargin,
+    "pipeline_temperature_sweep" ->
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_stratum
+        |  FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n_stratum) AS n_min FROM c),
+        |b AS (SELECT lang, n_stratum,
+        |    n_min::DOUBLE / n_stratum::DOUBLE AS r FROM c, mn),
+        |rates AS (
+        |  SELECT 25::BIGINT AS tau_x100, lang, n_stratum,
+        |    CAST(floor(sqrt(sqrt(r)) * 1000000.0) AS BIGINT) AS accept_ppm
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 50, lang, n_stratum,
+        |    CAST(floor(sqrt(r) * 1000000.0) AS BIGINT) FROM b
+        |  UNION ALL
+        |  SELECT 100, lang, n_stratum,
+        |    CAST(floor(r * 1000000.0) AS BIGINT) FROM b),
+        |sel AS (SELECT tau_x100, d.lang AS lang, n_stratum, accept_ppm
+        |  FROM documents d JOIN rates ON rates.lang = d.lang
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+        |    % 1000000 < accept_ppm)
+        |SELECT tau_x100, lang, n_stratum, accept_ppm,
+        |  count(*)::BIGINT AS n_selected
+        |FROM sel GROUP BY 1, 2, 3, 4 ORDER BY tau_x100, lang""".stripMargin,
     "pipeline_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*)::BIGINT AS n_stratum
         |  FROM documents GROUP BY lang),

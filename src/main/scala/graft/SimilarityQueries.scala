@@ -2750,6 +2750,38 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // PAIRWISE COS² HISTOGRAM (r20): the embedding-space SPREAD audit —
+    // signed-cos² between consecutive-id vector pairs, bucketed into
+    // 20 bands. A healthy embedding space puts most random-pair mass
+    // near 0; representation collapse (every vector pointing one way —
+    // the degenerate-encoder failure) piles the mass into the top
+    // band, anisotropy shows as a shifted mode. Components quantized
+    // floor(x·1e3) BIGINT first; the per-pair fold is a long zip_with
+    // sum (values < 2⁵³, so the oracle's double list_dot_product is
+    // exact); sqrt-free signed-cos² like the split check; the bucket
+    // index is offset by +1e6 before the div so both engines divide
+    // non-negatives. Consecutive ids, not a self-join: n−1 pairs, one
+    // shifted-key join.
+    "sim_pair_cos2_histogram" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("""transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))""").as("qe"))
+      q.as("a").join(q.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .select(
+          expr("""aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v)""").as("dot"),
+          expr("""aggregate(a.qe, CAST(0 AS BIGINT),
+            (acc, v) -> acc + v * v)""").as("na"),
+          expr("""aggregate(b.qe, CAST(0 AS BIGINT),
+            (acc, v) -> acc + v * v)""").as("nb"))
+        .select(expr("""(CASE WHEN dot < 0 THEN -1 ELSE 1 END
+          * CAST((CAST(dot AS DECIMAL(38,0)) * dot * 1000000)
+            div (na * nb) AS BIGINT) + 1000000) div 100000""").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("bucket"))
+    }),
+
     // SPLIT CENTROID CHECK (r20): the embedding-space twin of
     // pipeline_split_leakage — split the corpus by vec_id parity and
     // ask, per label, whether the two halves' centroids point the same
@@ -4187,6 +4219,26 @@ object SimilarityQueries {
         |  min(nq) AS min_nsq_e6, max(nq) AS max_nsq_e6,
         |  CAST(sum(nq) AS BIGINT) // count(*) AS mean_nsq_e6
         |FROM nq GROUP BY label ORDER BY label""".stripMargin,
+    "sim_pair_cos2_histogram" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |p AS (SELECT
+        |    CAST(list_dot_product((a.qe)::DOUBLE[], (b.qe)::DOUBLE[])
+        |      AS BIGINT) AS dot,
+        |    CAST(list_dot_product((a.qe)::DOUBLE[], (a.qe)::DOUBLE[])
+        |      AS BIGINT) AS na,
+        |    CAST(list_dot_product((b.qe)::DOUBLE[], (b.qe)::DOUBLE[])
+        |      AS BIGINT) AS nb
+        |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1),
+        |s AS (SELECT ((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+        |    * CAST(CAST(dot AS HUGEINT) * dot * 1000000
+        |      // (CAST(na AS HUGEINT) * nb) AS BIGINT) + 1000000)
+        |    // 100000 AS bucket
+        |  FROM p)
+        |SELECT bucket, count(*)::BIGINT AS n_pairs
+        |FROM s GROUP BY 1 ORDER BY bucket""".stripMargin,
     "sim_split_centroid_check" ->
       """WITH q AS (SELECT label, vec_id % 2 AS half,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,

@@ -871,6 +871,70 @@ object TextQueries {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    // COHEN'S KAPPA for the langid heuristic (r20) — chance-corrected
+    // agreement κ = (p_o − p_e)/(1 − p_e): the eval number accuracy
+    // can't give on an imbalanced label mix (a constant-majority
+    // predictor scores high accuracy but κ ≈ 0). Exact integer
+    // rational: κ_ppm = (N·Σdiag − Σ_k r_k·c_k)·1e6 div (N² − Σ r_k c_k)
+    // with the PORTABLE floor-div (κ < 0 — worse than chance — is
+    // real, and truncate ≠ floor on negatives). One confusion-matrix
+    // agg + two marginal folds, all k²-bounded.
+    "text_langid_kappa" -> ((s, dir) => {
+      val conf = Tables.documents(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val r = conf.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
+      val c = conf.groupBy(col("lang_pred")).agg(sum(col("n")).as("cn"))
+      val pe = r.join(c, col("lang") === col("lang_pred"))
+        .agg(coalesce(sum(expr("CAST(rn AS DECIMAL(38,0)) * cn")), lit(0L))
+          .as("pe_num"))
+      val po = conf.agg(sum(col("n")).as("nn"),
+        coalesce(sum(when(col("lang") === col("lang_pred"), col("n"))),
+          lit(0L)).as("po_num"))
+      po.crossJoin(broadcast(pe))
+        .select(col("nn").as("n_docs"), col("po_num"),
+          col("pe_num").cast("long").as("pe_num"),
+          expr("po_num * 1000000 div nn").as("accuracy_ppm"),
+          expr("""((CAST(nn AS DECIMAL(38,0)) * po_num - pe_num) * 1000000
+            - ((((CAST(nn AS DECIMAL(38,0)) * po_num - pe_num) * 1000000)
+                % (CAST(nn AS DECIMAL(38,0)) * nn - pe_num)
+              + (CAST(nn AS DECIMAL(38,0)) * nn - pe_num))
+              % (CAST(nn AS DECIMAL(38,0)) * nn - pe_num)))
+            div (CAST(nn AS DECIMAL(38,0)) * nn - pe_num)""")
+            .as("kappa_ppm"))
+    }),
+
+    // CROSS-LANGUAGE VOCABULARY OVERLAP (r20) — per language pair
+    // (a < b), the Jaccard of their token-type sets in ppm: the
+    // script/lexicon contamination audit (two "languages" whose
+    // vocabularies overlap heavily are either related scripts or a
+    // mislabeled slice — either way the langid confusion matrix's
+    // off-diagonal mass gets an explanation). The vocab-level sibling
+    // of events_user_overlap; the self-join runs on the deduped
+    // (lang, token) frame keyed by token, langs²-bounded output.
+    "text_vocab_overlap" -> ((s, dir) => {
+      val v = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+      val sizes = v.groupBy(col("lang")).agg(count(lit(1)).as("nv"))
+      v.as("x").join(v.as("y"),
+          col("x.token") === col("y.token") &&
+            col("x.lang") < col("y.lang"))
+        .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.withColumnRenamed("lang", "lang_a")
+          .withColumnRenamed("nv", "va")), Seq("lang_a"))
+        .join(broadcast(sizes.withColumnRenamed("lang", "lang_b")
+          .withColumnRenamed("nv", "vb")), Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("va"), col("vb"),
+          col("n_shared"),
+          expr("n_shared * 1000000 div (va + vb - n_shared)")
+            .as("jaccard_ppm"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -3076,6 +3140,42 @@ object TextQueries {
           |  lang_hit * 1000000 // lang_n AS lang_acc_ppm
           |FROM conf JOIN tot ON tot.lang = conf.lang
           |ORDER BY conf.lang, lang_pred""".stripMargin,
+      "text_langid_kappa" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          |c AS (SELECT doc_id, lang,
+          |  ${stopHitsSql("toks", "en")} AS c_en, ${stopHitsSql("toks", "es")} AS c_es,
+          |  ${stopHitsSql("toks", "fr")} AS c_fr, ${stopHitsSql("toks", "de")} AS c_de
+          |FROM t),
+          |p AS (SELECT lang, $langCase AS lang_pred FROM c),
+          |conf AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+          |  FROM p GROUP BY 1, 2),
+          |r AS (SELECT lang, sum(n)::BIGINT AS rn FROM conf GROUP BY 1),
+          |cc AS (SELECT lang_pred, sum(n)::BIGINT AS cn
+          |  FROM conf GROUP BY 1),
+          |pe AS (SELECT coalesce(sum(CAST(rn AS HUGEINT) * cn), 0) AS pe_num
+          |  FROM r JOIN cc ON r.lang = cc.lang_pred),
+          |po AS (SELECT sum(n)::BIGINT AS nn,
+          |    coalesce(sum(CASE WHEN lang = lang_pred THEN n END), 0)::BIGINT
+          |      AS po_num
+          |  FROM conf)
+          |SELECT nn AS n_docs, po_num, CAST(pe_num AS BIGINT) AS pe_num,
+          |  po_num * 1000000 // nn AS accuracy_ppm,
+          |  CAST((CAST(nn AS HUGEINT) * po_num - pe_num) * 1000000
+          |    // (CAST(nn AS HUGEINT) * nn - pe_num) AS BIGINT) AS kappa_ppm
+          |FROM po CROSS JOIN pe""".stripMargin,
+      "text_vocab_overlap" ->
+        s"""WITH v AS (SELECT DISTINCT lang, t.token
+          |  FROM documents, LATERAL unnest($toksSql) AS t(token)),
+          |sizes AS (SELECT lang, count(*)::BIGINT AS nv FROM v GROUP BY 1),
+          |i AS (SELECT x.lang AS lang_a, y.lang AS lang_b,
+          |    count(*)::BIGINT AS n_shared
+          |  FROM v x JOIN v y ON x.token = y.token AND x.lang < y.lang
+          |  GROUP BY 1, 2)
+          |SELECT lang_a, lang_b, sa.nv AS va, sb.nv AS vb, n_shared,
+          |  n_shared * 1000000 // (sa.nv + sb.nv - n_shared) AS jaccard_ppm
+          |FROM i JOIN sizes sa ON sa.lang = lang_a
+          |JOIN sizes sb ON sb.lang = lang_b
+          |ORDER BY lang_a, lang_b""".stripMargin,
       "text_quality" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           |SELECT doc_id, ${OracleSql.quality("toks")} AS quality

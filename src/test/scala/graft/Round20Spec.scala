@@ -331,6 +331,61 @@ class Round20Spec extends AnyFunSuite {
     assert(got == want, "stream peak twin drifted from batch")
   }
 
+  test("kappa is bounded by accuracy's chance-corrected form") {
+    val r = TextQueries.queries("text_langid_kappa")(spark, sfDir)
+      .collect()(0)
+    val k = r.getAs[Long]("kappa_ppm")
+    assert(k >= -1000000 && k <= 1000000)
+    // kappa <= accuracy always (pe >= 0); equality only at pe = 0
+    assert(k <= r.getAs[Long]("accuracy_ppm"))
+  }
+
+  test("vocab overlap is a bounded pair table over the language grid") {
+    val rows = TextQueries.queries("text_vocab_overlap")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_a") < r.getAs[String]("lang_b"))
+      assert(r.getAs[Long]("n_shared") <=
+        math.min(r.getAs[Long]("va"), r.getAs[Long]("vb")))
+    }
+  }
+
+  test("brown-forsythe F is non-negative with additive dofs") {
+    val r = EventQueries.queries("stats_levene_bf")(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Long]("f_ppm") >= 0)
+    assert(r.getAs[Long]("dof1") + r.getAs[Long]("dof2") + 1 ==
+      r.getAs[Long]("n"))
+  }
+
+  test("temperature sweep: acceptance rises monotonically as tau falls") {
+    val rows = PipelineQueries.queries("pipeline_temperature_sweep")(
+      spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("tau_x100"), r.getAs[String]("lang")) ->
+        r.getAs[Long]("accept_ppm")).toMap
+    val langs = rows.keys.map(_._2).toSeq.distinct
+    langs.foreach { l =>
+      assert(rows((25L, l)) >= rows((50L, l)) &&
+        rows((50L, l)) >= rows((100L, l)),
+        s"flattening must not reduce acceptance for $l")
+    }
+    // the rarest language is always fully kept (r = 1 at every tau)
+    assert(rows.values.max == 1000000L)
+  }
+
+  test("cos2 histogram buckets are valid and cover all consecutive pairs") {
+    val rows = SimilarityQueries.queries("sim_pair_cos2_histogram")(
+      spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(total == n - 1, "every consecutive pair lands in one bucket")
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 20)
+    }
+  }
+
   test("degree gini stays a valid ppm under the widened decimal accumulators") {
     val r = GraphQueries.queries("graph_degree_gini")(spark, sfDir)
       .collect()(0)

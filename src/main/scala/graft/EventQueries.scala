@@ -1330,6 +1330,44 @@ object EventQueries {
       peakReport(agg)
     }),
 
+    // QUANTILE DRIFT per series — pre/post the PSI cut, the p50/p90
+    // read at explicit ceil-ranks on each side and their signed deltas
+    // in cents: the ACTIONABLE drift number ("p90 moved +412¢") that
+    // KS (any separation), PSI (bin mass) and Cohen's d (pooled-σ
+    // units) all hide. Rank semantics spelled out on both engines
+    // (the tukey discipline); one sort window per (type, half).
+    "stats_quantile_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          when(expr("ts div 1000") < lit(psiCutUs), "pre").otherwise("post")
+            .as("half"))
+      val rn = Window.partitionBy(col("event_type"), col("half"))
+        .orderBy(col("cents"))
+      val q = e.withColumn("rn", row_number().over(rn))
+        .join(e.groupBy(col("event_type"), col("half"))
+          .agg(count(lit(1)).as("n")), Seq("event_type", "half"))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(9 * n + 9) div 10"))
+        .groupBy(col("event_type"), col("half"))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+            .as("p50"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+            .as("p90"))
+      val pre = q.filter(col("half") === "pre")
+        .select(col("event_type"), col("p50").as("p50_pre"),
+          col("p90").as("p90_pre"))
+      val post = q.filter(col("half") === "post")
+        .select(col("event_type"), col("p50").as("p50_post"),
+          col("p90").as("p90_post"))
+      pre.join(post, Seq("event_type"))
+        .select(col("event_type"), col("p50_pre"), col("p50_post"),
+          (col("p50_post") - col("p50_pre")).as("p50_delta_cents"),
+          col("p90_pre"), col("p90_post"),
+          (col("p90_post") - col("p90_pre")).as("p90_delta_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // BROWN–FORSYTHE (median-centered Levene) test — equality of
     // SPREAD across the k types, the scale complement of
     // Kruskal-Wallis/Mann-Whitney's location tests (a monitor that
@@ -2170,6 +2208,30 @@ object EventQueries {
         |      count(DISTINCT dow) - 1) AS min_dim,
         |    sum(term)::BIGINT AS chi2_ppm
         |  FROM t)""".stripMargin,
+    "stats_quantile_drift" ->
+      s"""WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN epoch_us(ts) < $psiCutUs THEN 'pre' ELSE 'post' END
+        |      AS half
+        |  FROM events),
+        |rn AS (SELECT event_type, half, cents,
+        |    row_number() OVER (PARTITION BY event_type, half
+        |      ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, half) AS n
+        |  FROM e),
+        |q AS (SELECT event_type, half,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50,
+        |    max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90
+        |  FROM rn WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |  GROUP BY 1, 2)
+        |SELECT a.event_type,
+        |  a.p50 AS p50_pre, b.p50 AS p50_post,
+        |  b.p50 - a.p50 AS p50_delta_cents,
+        |  a.p90 AS p90_pre, b.p90 AS p90_post,
+        |  b.p90 - a.p90 AS p90_delta_cents
+        |FROM q a JOIN q b ON a.event_type = b.event_type
+        |  AND a.half = 'pre' AND b.half = 'post'
+        |ORDER BY a.event_type""".stripMargin,
     "stats_levene_bf" ->
       """WITH e AS (SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS x FROM events),

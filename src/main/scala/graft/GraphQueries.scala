@@ -141,6 +141,15 @@ object GraphQueries {
           expr("(2 * srx - (n + 1) * sx) * 1000000 div (n * sx)")
             .as("gini_ppm"))
     }),
+    // COMPONENT-SIZE HISTOGRAM over the 4-round LP labels — the
+    // summary a 100 TB operator reads BEFORE pulling the full label
+    // table: "one giant component + dust, or fragmented?"; sizes from
+    // a label-keyed count, histogram from a size-keyed count
+    "graph_component_sizes" -> ((s, dir) =>
+      GraphOps.labelPropagation(s, dir, rounds = 4)
+        .groupBy(col("lab")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("size"))),
     // RICH-CLUB coefficient over a small degree-cutoff grid — "do the
     // hubs wire to each other?" (the φ(k) > density signal beside the
     // assortativity number, which answers the same question as one
@@ -838,6 +847,22 @@ object GraphQueries {
         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym),
         |${(1 to 4).map(round).mkString(",\n")}
         |SELECT node, lab FROM l4 ORDER BY node""".stripMargin
+    },
+    "graph_component_sizes" -> {
+      def round(k: Int) =
+        s"""l$k AS MATERIALIZED (
+          |  SELECT l.node AS node, least(l.lab, min(p.lab)) AS lab
+          |  FROM l${k - 1} l JOIN sym s ON s.dst = l.node
+          |  JOIN l${k - 1} p ON p.node = s.src
+          |  GROUP BY l.node, l.lab)"""
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (
+        |  SELECT src, dst FROM backbone UNION ALL SELECT dst, src FROM backbone),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym),
+        |${(1 to 4).map(round).mkString(",\n")},
+        |sz AS (SELECT lab, count(*)::BIGINT AS size FROM l4 GROUP BY 1)
+        |SELECT size, count(*)::BIGINT AS n_components
+        |FROM sz GROUP BY 1 ORDER BY size""".stripMargin
     },
     "graph_triangles" ->
       s"""WITH backbone AS MATERIALIZED ($backboneSql)

@@ -234,6 +234,38 @@ object StreamingQueries {
         .orderBy(col("series"))
     }),
 
+    // streaming CUSUM drift monitor: the batch window fold reduced to
+    // SIX longs of keyed state per type (CusumStream), deployed the
+    // production way — target CALIBRATED OFFLINE in one batch pass
+    // (the frozen-state-argument pattern) and joined as a static side.
+    // The drained last snapshot reproduces the batch report exactly;
+    // gated against the UNTOUCHED events_cusum oracle (stream ≡ batch
+    // by construction).
+    "stream_cusum" -> ((s, dir) => {
+      val targets = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(expr("sum(cents) div count(1)").as("mean_cents"))
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val out = runToMemory(
+        graft.streaming.CusumStream.levels(st, targets).toDF(), "update")
+      import org.apache.spark.sql.expressions.Window
+      out.withColumn("rk", row_number().over(
+          Window.partitionBy(col("typ")).orderBy(col("seq").desc)))
+        .filter(col("rk") === 1)
+        .select(col("typ").as("event_type"), col("n"),
+          col("target").as("mean_cents"),
+          col("maxC").as("max_cusum"), col("minC").as("min_cusum"),
+          col("absDev").as("abs_dev"))
+        .withColumn("drift",
+          greatest(col("max_cusum"), -col("min_cusum")) * 10 >=
+            col("abs_dev"))
+        .select(col("event_type"), col("n"), col("mean_cents"),
+          col("max_cusum"), col("min_cusum"), col("abs_dev"), col("drift"))
+        .orderBy(col("event_type"))
+    }),
+
     // streaming ODDS-RATIO monitor: the weekend × high-value 2×2 table
     // as FOUR counters of streaming-agg state per type (complete
     // mode — the cell table IS the state, types-bounded); the finisher
@@ -1288,6 +1320,7 @@ object StreamingQueries {
     // the three r20 streaming-agg twins gate against the batch oracles
     // verbatim (stream ≡ batch by construction)
     "stream_odds_ratio" -> EventQueries.oracle("stats_odds_ratio"),
+    "stream_cusum" -> EventQueries.oracle("events_cusum"),
     "stream_peak_detection" -> EventQueries.oracle("events_peak_detection"),
     "stream_fano_burstiness" -> EventQueries.oracle("stats_fano_burstiness"),
     "stream_herfindahl" -> EventQueries.oracle("stats_herfindahl"),

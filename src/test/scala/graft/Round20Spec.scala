@@ -386,6 +386,77 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming cusum equals batch when days split across micro-batches") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("cusum_waves_").toString
+    val e = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val days = e.select(expr("ts div 86400000000000").as("d")).distinct()
+      .orderBy(col("d")).collect().map(_.getLong(0)).toSeq
+    days.grouped(math.max(1, (days.length + 2) / 3)).zipWithIndex
+      .foreach { case (ds, i) =>
+        val tmp = Files.createTempDirectory("cusum_part_").toString
+        e.filter(expr("ts div 86400000000000").isin(ds: _*))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(part.toPath, Paths.get(dir, s"w$i.parquet"))
+        Thread.sleep(20)
+      }
+    val targets = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(expr("sum(cents) div count(1)").as("mean_cents"))
+    val st = graft.streaming.CdcStream.readEventStream(spark, dir,
+      maxFilesPerTrigger = 1)
+    val q = graft.streaming.CusumStream.levels(st, targets).toDF()
+      .writeStream.format("memory").queryName("cusum_waves_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("cusum_waves_out")
+    val fin = out.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("typ")).orderBy(col("seq").desc)))
+      .filter(col("rk") === 1)
+      .select(col("typ").as("event_type"), col("n"),
+        col("target").as("mean_cents"), col("maxC").as("max_cusum"),
+        col("minC").as("min_cusum"), col("absDev").as("abs_dev"))
+      .withColumn("drift",
+        greatest(col("max_cusum"), -col("min_cusum")) * 10 >=
+          col("abs_dev"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    val want = EventQueries.queries("events_cusum")(spark, sfDir)
+      .select("event_type", "n", "mean_cents", "max_cusum", "min_cusum",
+        "abs_dev", "drift")
+      .collect().map(_.toString).toSeq
+    assert(fin == want, "multi-batch cusum drifted from the batch fold")
+  }
+
+  test("quantile drift deltas reconcile with their pre/post quantiles") {
+    val rows = EventQueries.queries("stats_quantile_drift")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_delta_cents") ==
+        r.getAs[Long]("p50_post") - r.getAs[Long]("p50_pre"))
+      assert(r.getAs[Long]("p90_pre") >= r.getAs[Long]("p50_pre"))
+      assert(r.getAs[Long]("p90_post") >= r.getAs[Long]("p50_post"))
+    }
+  }
+
+  test("component size histogram conserves the node count") {
+    val hist = GraphQueries.queries("graph_component_sizes")(spark, sfDir)
+      .collect()
+    val nodes = operators.GraphOps.labelPropagation(spark, sfDir, rounds = 4)
+      .count()
+    val mass = hist.map(r =>
+      r.getAs[Long]("size") * r.getAs[Long]("n_components")).sum
+    assert(mass == nodes, "Σ size·count must equal the node census")
+  }
+
   test("degree gini stays a valid ppm under the widened decimal accumulators") {
     val r = GraphQueries.queries("graph_degree_gini")(spark, sfDir)
       .collect()(0)

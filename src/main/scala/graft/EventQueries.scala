@@ -1330,6 +1330,52 @@ object EventQueries {
       peakReport(agg)
     }),
 
+    // LJUNG–BOX portmanteau test per series — Q = n(n+2)·Σ ρ_k²/(n−k)
+    // over lags 1..3 of the hourly value series: the ONE-NUMBER
+    // white-noise verdict the per-lag autocorr table spreads over k
+    // rows (Q ≫ χ²(k) ⇒ the series is autocorrelated and the i.i.d.
+    // assumptions behind the z-score monitors are void). ρ_k is the
+    // same exact-DECIMAL Pearson as events_autocorr, ROUNDED to 6 dp
+    // BEFORE squaring — both engines fold identical doubles from
+    // identical integers, one terminal rounding.
+    "stats_ljung_box" -> ((s, dir) => {
+      val h = Tables.events(s, dir).select(col("event_type"),
+          expr("ts_us div 3600000000").as("hr"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cents")).cast("decimal(19,0)").as("x"))
+      val nh = h.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      def lagRows(k: Int) = h
+        .withColumn("xp", lag(col("x"), k).over(w))
+        .filter(col("xp").isNotNull)
+        .select(col("event_type"), lit(k.toLong).as("lag"),
+          col("x"), col("xp"))
+      def dbl(c: String) = col(c).cast("double")
+      (1 to 3).map(lagRows).reduce(_ unionAll _)
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("xp")).as("sp"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("xp") * col("xp")).as("spp"),
+          sum(col("x") * col("xp")).as("sxp"))
+        .select(col("event_type"), col("lag"),
+          round((dbl("n") * dbl("sxp") - dbl("sx") * dbl("sp")) /
+            (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              sqrt(dbl("n") * dbl("spp") - dbl("sp") * dbl("sp"))), 6)
+            .as("rho"))
+        .join(broadcast(nh), Seq("event_type"))
+        .select(col("event_type"), col("n_hours"),
+          expr("rho * rho / (CAST(n_hours AS DOUBLE) - lag)").as("term"))
+        .groupBy(col("event_type"), col("n_hours"))
+        .agg(count(lit(1)).as("k_lags"), sum(col("term")).as("sterm"))
+        .select(col("event_type"), col("n_hours"), col("k_lags"),
+          expr("""round(CAST(n_hours AS DOUBLE)
+            * (CAST(n_hours AS DOUBLE) + 2) * sterm, 4)""").as("q_lb"))
+        .orderBy(col("event_type"))
+    }),
+
     // QUANTILE DRIFT per series — pre/post the PSI cut, the p50/p90
     // read at explicit ceil-ranks on each side and their signed deltas
     // in cents: the ACTIONABLE drift number ("p90 moved +412¢") that
@@ -1888,6 +1934,36 @@ object EventQueries {
         |SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
         |  $corr AS autocorr
         |FROM s ORDER BY event_type, lag""".stripMargin
+    },
+    "stats_ljung_box" -> {
+      def corr =
+        "round((n::DOUBLE * sxp::DOUBLE - sx::DOUBLE * sp::DOUBLE) / " +
+          "(sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
+          "sqrt(n::DOUBLE * spp::DOUBLE - sp::DOUBLE * sp::DOUBLE)), 6)"
+      def lagSel(k: Int) =
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag, x,
+          |    lag(x, $k) OVER (PARTITION BY event_type ORDER BY hr) AS xp
+          |  FROM h""".stripMargin
+      s"""WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(CAST(sum(round(value * 100)::BIGINT) AS BIGINT)
+        |      AS DECIMAL(19,0)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |nh AS (SELECT event_type, count(*)::BIGINT AS n_hours
+        |  FROM h GROUP BY 1),
+        |l AS (${(1 to 3).map(lagSel).mkString("\n UNION ALL\n")}),
+        |s AS (SELECT event_type, lag,
+        |    CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    sum(x) AS sx, sum(xp) AS sp, sum(x*x) AS sxx,
+        |    sum(xp*xp) AS spp, sum(x*xp) AS sxp
+        |  FROM l WHERE xp IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, lag, $corr AS rho FROM s),
+        |t AS (SELECT r.event_type, n_hours,
+        |    rho * rho / (CAST(n_hours AS DOUBLE) - lag) AS term
+        |  FROM r JOIN nh ON r.event_type = nh.event_type)
+        |SELECT event_type, n_hours, count(*)::BIGINT AS k_lags,
+        |  round(CAST(n_hours AS DOUBLE)
+        |    * (CAST(n_hours AS DOUBLE) + 2) * sum(term), 4) AS q_lb
+        |FROM t GROUP BY 1, 2 ORDER BY event_type""".stripMargin
     },
     "events_seasonality" ->
       """WITH e AS (SELECT event_type,

@@ -2750,6 +2750,48 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // INTRINSIC DIMENSIONALITY (r20): the two-NN MLE estimator (Facco
+    // et al., Scientific Reports 2017) — id = 2/mean(ln(r₂/r₁)) over
+    // each point's two nearest neighbors; with SQUARED distances
+    // ln(d₂²/d₁²) = 2·ln(r₂/r₁), so id = 4/mean(ln(d₂²/d₁²)). The
+    // "how many dimensions does this embedding actually use?" audit —
+    // id ≪ d means the encoder collapsed into a subspace, id ≈ d is
+    // healthy spread. Exact-integer geometry end to end: components
+    // quantized floor(x·1e3), d² = ‖a‖² + ‖b‖² − 2⟨a,b⟩ from long
+    // folds, the ln quantized floor(1e6·ln) per point (the *_logprob
+    // discipline). Duplicate points (d₁² = 0) are excluded — their
+    // ratio is undefined. Brute-force 2-NN here (oracle-able); at
+    // corpus scale the ANN shortlist supplies (d₁, d₂) instead.
+    "sim_intrinsic_dim" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("""transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))""").as("qe"))
+        .select(col("vec_id"), col("qe"),
+          expr("""aggregate(qe, CAST(0 AS BIGINT),
+            (a, v) -> a + v * v)""").as("nsq"))
+      val pairs = q.as("a").join(q.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+          (col("a.nsq") + col("b.nsq") - lit(2) *
+            expr("""aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y),
+              CAST(0 AS BIGINT), (acc, v) -> acc + v)""")).as("dsq"))
+      val rk = pairs.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("dsq"), col("nid"))))
+        .filter(col("rk") <= 2)
+      rk.groupBy(col("qid"))
+        .agg(max(when(col("rk") === 1, col("dsq"))).as("d1"),
+          max(when(col("rk") === 2, col("dsq"))).as("d2"))
+        .filter(col("d1") > 0)
+        .select(expr("""CAST(floor(1000000.0
+          * ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))) AS BIGINT)""")
+          .as("li"))
+        .agg(count(lit(1)).as("n_points"), sum(col("li")).as("sum_ln_ppm"))
+        .select(col("n_points"),
+          expr("sum_ln_ppm div n_points").as("mean_ln_ppm"),
+          expr("4000000000 div (sum_ln_ppm div n_points)").as("id_x1000"))
+    }),
+
     // PAIRWISE COS² HISTOGRAM (r20): the embedding-space SPREAD audit —
     // signed-cos² between consecutive-id vector pairs, bucketed into
     // 20 bands. A healthy embedding space puts most random-pair mass
@@ -4219,6 +4261,33 @@ object SimilarityQueries {
         |  min(nq) AS min_nsq_e6, max(nq) AS max_nsq_e6,
         |  CAST(sum(nq) AS BIGINT) // count(*) AS mean_nsq_e6
         |FROM nq GROUP BY label ORDER BY label""".stripMargin,
+    "sim_intrinsic_dim" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |w AS (SELECT vec_id, qe,
+        |    CAST(list_dot_product((qe)::DOUBLE[], (qe)::DOUBLE[]) AS BIGINT)
+        |      AS nsq
+        |  FROM q),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    a.nsq + b.nsq - 2 * CAST(list_dot_product((a.qe)::DOUBLE[],
+        |      (b.qe)::DOUBLE[]) AS BIGINT) AS dsq
+        |  FROM w a JOIN w b ON a.vec_id <> b.vec_id),
+        |rk AS (SELECT qid, dsq, row_number() OVER (PARTITION BY qid
+        |    ORDER BY dsq, nid) AS rk FROM p),
+        |two AS (SELECT qid,
+        |    max(CASE WHEN rk = 1 THEN dsq END) AS d1,
+        |    max(CASE WHEN rk = 2 THEN dsq END) AS d2
+        |  FROM rk WHERE rk <= 2 GROUP BY 1),
+        |li AS (SELECT CAST(floor(1000000.0
+        |    * ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))) AS BIGINT) AS li
+        |  FROM two WHERE d1 > 0),
+        |a AS (SELECT count(*)::BIGINT AS n_points,
+        |    CAST(sum(li) AS BIGINT) AS sum_ln_ppm FROM li)
+        |SELECT n_points, sum_ln_ppm // n_points AS mean_ln_ppm,
+        |  4000000000 // (sum_ln_ppm // n_points) AS id_x1000
+        |FROM a""".stripMargin,
     "sim_pair_cos2_histogram" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding,

@@ -266,6 +266,39 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // streaming CO-ENGAGEMENT overlap: the (user, type) presence set
+    // as complete-mode streaming-agg state (users × types keys — the
+    // herfindahl bound); the finisher runs the batch pairwise-Jaccard
+    // fold over the drained distinct set. One side of the self-join is
+    // alias-projected to mint fresh attribute ids (the memory-sink
+    // View dedup gap, see peakReport). Gated against the
+    // events_user_overlap oracle verbatim.
+    "stream_user_overlap" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val agg = st.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val d = runToMemory(agg, "complete")
+        .select(col("user_id"), col("event_type"))
+      val d2 = d.select(col("user_id").as("user_id"),
+        col("event_type").as("event_type"))
+      val sizes = d.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      d.as("x").join(d2.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("nu", "na")), Seq("type_a"))
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("nu", "nb")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+          col("n_both"),
+          expr("n_both * 1000000 div (na + nb - n_both)")
+            .as("jaccard_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // streaming ODDS-RATIO monitor: the weekend × high-value 2×2 table
     // as FOUR counters of streaming-agg state per type (complete
     // mode — the cell table IS the state, types-bounded); the finisher
@@ -1321,6 +1354,7 @@ object StreamingQueries {
     // verbatim (stream ≡ batch by construction)
     "stream_odds_ratio" -> EventQueries.oracle("stats_odds_ratio"),
     "stream_cusum" -> EventQueries.oracle("events_cusum"),
+    "stream_user_overlap" -> EventQueries.oracle("events_user_overlap"),
     "stream_peak_detection" -> EventQueries.oracle("events_peak_detection"),
     "stream_fano_burstiness" -> EventQueries.oracle("stats_fano_burstiness"),
     "stream_herfindahl" -> EventQueries.oracle("stats_herfindahl"),

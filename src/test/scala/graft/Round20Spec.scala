@@ -457,6 +457,35 @@ class Round20Spec extends AnyFunSuite {
     assert(mass == nodes, "Σ size·count must equal the node census")
   }
 
+  test("intrinsic dimension is positive and bounded by the ambient dim") {
+    val r = SimilarityQueries.queries("sim_intrinsic_dim")(spark, sfDir)
+      .collect()(0)
+    val id = r.getAs[Long]("id_x1000")
+    assert(id > 0)
+    assert(id <= 64 * 1000 * 4,
+      "two-NN estimate should not wildly exceed the 64-dim ambient space")
+    assert(r.getAs[Long]("mean_ln_ppm") > 0,
+      "d2 >= d1 forces a non-negative mean log ratio")
+  }
+
+  test("ljung-box Q is non-negative over the fixed 3-lag grid") {
+    val rows = EventQueries.queries("stats_ljung_box")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("q_lb") >= 0)
+      assert(r.getAs[Long]("k_lags") == 3)
+    }
+  }
+
+  test("streaming user overlap equals the batch fold at sf0.001") {
+    val got = StreamingQueries.queries("stream_user_overlap")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val want = EventQueries.queries("events_user_overlap")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got == want, "stream overlap twin drifted from batch")
+  }
+
   test("degree gini stays a valid ppm under the widened decimal accumulators") {
     val r = GraphQueries.queries("graph_degree_gini")(spark, sfDir)
       .collect()(0)

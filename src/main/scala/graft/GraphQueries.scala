@@ -141,6 +141,19 @@ object GraphQueries {
           expr("(2 * srx - (n + 1) * sx) * 1000000 div (n * sx)")
             .as("gini_ppm"))
     }),
+    // DEGREE–CLUSTERING PROFILE — mean local clustering per degree
+    // value, the C(k) curve whose power-law decay signals HIERARCHY
+    // (Ravasz–Barabási: flat C(k) = no modular nesting, C(k) ~ 1/k =
+    // nested modules); the degree-conditional view the single global
+    // transitivity number and the per-node LCC table both hide. One
+    // degree-keyed agg over the already-computed LCC frame; mean is
+    // the truncating ppm div (values non-negative).
+    "graph_degree_clustering_profile" -> ((s, dir) =>
+      GraphOps.localClustering(s, dir)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("sum(lcc_ppm) div count(1)").as("mean_lcc_ppm"))
+        .orderBy(col("d"))),
     // COMPONENT-SIZE HISTOGRAM over the 4-round LP labels — the
     // summary a 100 TB operator reads BEFORE pulling the full label
     // table: "one giant component + dust, or fragmented?"; sizes from
@@ -972,6 +985,26 @@ object GraphQueries {
         |  coalesce(t, 0) * 2 * 1000000 // (d * (d - 1)) AS lcc_ppm
         |FROM deg LEFT JOIN corners ON deg.node = corners.node
         |WHERE d >= 2 ORDER BY deg.node""".stripMargin,
+    "graph_degree_clustering_profile" ->
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM backbone e1
+        |  JOIN backbone e2 ON e1.dst = e2.src
+        |  JOIN backbone e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |corners AS (SELECT node, count(*)::BIGINT AS t FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |sym AS (SELECT src, dst FROM backbone
+        |  UNION ALL SELECT dst, src FROM backbone),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS d
+        |  FROM sym GROUP BY 1),
+        |lcc AS (SELECT deg.node AS node, d,
+        |    coalesce(t, 0) * 2 * 1000000 // (d * (d - 1)) AS lcc_ppm
+        |  FROM deg LEFT JOIN corners ON deg.node = corners.node
+        |  WHERE d >= 2)
+        |SELECT d, count(*)::BIGINT AS n_nodes,
+        |  CAST(sum(lcc_ppm) AS BIGINT) // count(*) AS mean_lcc_ppm
+        |FROM lcc GROUP BY 1 ORDER BY d""".stripMargin,
     "graph_knn_edges" ->
       s"""WITH $knnSql
         |SELECT src, dst, cos_sim, rk FROM knn ORDER BY src, rk""".stripMargin,

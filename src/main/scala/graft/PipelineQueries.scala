@@ -265,6 +265,34 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // SPLIT NOVELTY (r20): per held-out split, the share of its
+    // (per-doc-distinct) 3-token shingle hashes NEVER seen in train —
+    // the memorization-pressure number: novelty ≈ 0 means the eval
+    // split only re-measures training text (decontaminate flags the
+    // per-doc offenders; this prices the SPLIT). Same 60-bit md5
+    // shingle hashing as the decontamination path; the train set is a
+    // distinct hash key — at corpus scale a hash join on 8-byte keys,
+    // the decontaminate shape exactly.
+    "pipeline_split_novelty" -> ((s, dir) => {
+      val toks = graft.operators.TextOps.tokens(col("text"))
+      val sh = PipelineOps.trainValTestSplit(Tables.documents(s, dir),
+          "doc_id")
+        .select(col("split"), explode(array_distinct(
+          graft.operators.TextOps.hashedShingles(
+            graft.operators.TextOps.shingles(toks)))).as("h"))
+      val train = sh.filter(col("split") === "train")
+        .select(col("h")).distinct().withColumn("hit", lit(1L))
+      sh.filter(col("split") =!= "train")
+        .join(train, Seq("h"), "left")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_shingles"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_seen"))
+        .select(col("split"), col("n_shingles"), col("n_seen"),
+          expr("(n_shingles - n_seen) * 1000000 div n_shingles")
+            .as("novelty_ppm"))
+        .orderBy(col("split"))
+    }),
+
     // TEMPERATURE SWEEP (r20): the τ knob curve the single-τ mix entry
     // can't show — per-language acceptance and selected counts at
     // τ ∈ {0.25, 0.5, 1.0} side by side (τ → 0 flattens the mix toward
@@ -823,6 +851,25 @@ object PipelineQueries {
         |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
         |        % 1000000 + 1) / 1000000.0)) / n_chars) AS BIGINT) AS key12
         |FROM documents ORDER BY key12 DESC, doc_id LIMIT 500""".stripMargin,
+    "pipeline_split_novelty" ->
+      s"""WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+        |      WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents),
+        |t AS (SELECT split, doc_id, $toksSql AS toks FROM d),
+        |sh AS (SELECT split, unnest(${hashedShinglesSql("toks")}) AS h
+        |  FROM t),
+        |train AS (SELECT DISTINCT h FROM sh WHERE split = 'train'),
+        |x AS (SELECT sh.split, sh.h,
+        |    CASE WHEN train.h IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM sh LEFT JOIN train ON sh.h = train.h
+        |  WHERE sh.split <> 'train')
+        |SELECT split, count(*)::BIGINT AS n_shingles,
+        |  CAST(sum(hit) AS BIGINT) AS n_seen,
+        |  CAST((count(*) - CAST(sum(hit) AS BIGINT)) * 1000000
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM x GROUP BY 1 ORDER BY split""".stripMargin,
     "pipeline_temperature_sweep" ->
       """WITH c AS (SELECT lang, count(*)::BIGINT AS n_stratum
         |  FROM documents GROUP BY lang),

@@ -905,6 +905,37 @@ object TextQueries {
             .as("kappa_ppm"))
     }),
 
+    // BOWKER SYMMETRY TEST over the langid confusion (r20) — is the
+    // misclassification DIRECTIONAL? κ says how much total error
+    // exceeds chance; Bowker's Q = Σ_{i<j} (n_ij−n_ji)²/(n_ij+n_ji)
+    // says whether errors flow one way (en→de but never de→en = a
+    // biased prior, fixable; symmetric confusion = genuine ambiguity,
+    // not). Off-diagonal cells symmetrized by a full-outer merge so a
+    // one-sided pair still contributes (the densification lesson on
+    // the confusion grid); exact integer ppm, dof = contributing
+    // pairs.
+    "text_langid_bowker" -> ((s, dir) => {
+      val conf = Tables.documents(s, dir)
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val up = conf.filter(col("lang") < col("lang_pred"))
+        .select(col("lang").as("i"), col("lang_pred").as("j"),
+          col("n").as("nij"))
+      val dn = conf.filter(col("lang") > col("lang_pred"))
+        .select(col("lang_pred").as("i"), col("lang").as("j"),
+          col("n").as("nji"))
+      val terms = up.join(dn, Seq("i", "j"), "full_outer")
+        .na.fill(0L, Seq("nij", "nji"))
+        .select(expr("""(nij - nji) * (nij - nji) * 1000000
+          div (nij + nji)""").as("term"))
+      val total = conf.agg(sum(col("n")).as("n_docs"))
+      terms.agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("term")), lit(0L)).as("bowker_ppm"))
+        .crossJoin(broadcast(total))
+        .select(col("n_docs"), col("n_pairs"), col("bowker_ppm"))
+    }),
+
     // CROSS-LANGUAGE VOCABULARY OVERLAP (r20) — per language pair
     // (a < b), the Jaccard of their token-type sets in ppm: the
     // script/lexicon contamination audit (two "languages" whose
@@ -3163,6 +3194,28 @@ object TextQueries {
           |  CAST((CAST(nn AS HUGEINT) * po_num - pe_num) * 1000000
           |    // (CAST(nn AS HUGEINT) * nn - pe_num) AS BIGINT) AS kappa_ppm
           |FROM po CROSS JOIN pe""".stripMargin,
+      "text_langid_bowker" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          |c AS (SELECT doc_id, lang,
+          |  ${stopHitsSql("toks", "en")} AS c_en, ${stopHitsSql("toks", "es")} AS c_es,
+          |  ${stopHitsSql("toks", "fr")} AS c_fr, ${stopHitsSql("toks", "de")} AS c_de
+          |FROM t),
+          |p AS (SELECT lang, $langCase AS lang_pred FROM c),
+          |conf AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+          |  FROM p GROUP BY 1, 2),
+          |up AS (SELECT lang AS i, lang_pred AS j, n AS nij
+          |  FROM conf WHERE lang < lang_pred),
+          |dn AS (SELECT lang_pred AS i, lang AS j, n AS nji
+          |  FROM conf WHERE lang > lang_pred),
+          |m AS (SELECT coalesce(up.i, dn.i) AS i, coalesce(up.j, dn.j) AS j,
+          |    coalesce(nij, 0) AS nij, coalesce(nji, 0) AS nji
+          |  FROM up FULL JOIN dn ON up.i = dn.i AND up.j = dn.j),
+          |terms AS (SELECT (nij - nji) * (nij - nji) * 1000000
+          |    // (nij + nji) AS term FROM m),
+          |tot AS (SELECT sum(n)::BIGINT AS n_docs FROM conf)
+          |SELECT n_docs, count(*)::BIGINT AS n_pairs,
+          |  coalesce(sum(term), 0)::BIGINT AS bowker_ppm
+          |FROM terms CROSS JOIN tot GROUP BY n_docs""".stripMargin,
       "text_vocab_overlap" ->
         s"""WITH v AS (SELECT DISTINCT lang, t.token
           |  FROM documents, LATERAL unnest($toksSql) AS t(token)),

@@ -486,6 +486,38 @@ class Round20Spec extends AnyFunSuite {
     assert(got == want, "stream overlap twin drifted from batch")
   }
 
+  test("bowker symmetry statistic is non-negative over symmetrized pairs") {
+    val r = TextQueries.queries("text_langid_bowker")(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Long]("bowker_ppm") >= 0)
+    // a one-sided pair (n_ij > 0, n_ji = 0) must still contribute:
+    // pairs counted >= pairs visible from one orientation alone
+    assert(r.getAs[Long]("n_pairs") >= 1)
+  }
+
+  test("degree-clustering profile conserves the LCC node census") {
+    val prof = GraphQueries.queries("graph_degree_clustering_profile")(
+      spark, sfDir).collect()
+    val nodes = operators.GraphOps.localClustering(spark, sfDir).count()
+    assert(prof.map(_.getAs[Long]("n_nodes")).sum == nodes)
+    prof.foreach { r =>
+      val m = r.getAs[Long]("mean_lcc_ppm")
+      assert(m >= 0 && m <= 1000000)
+    }
+  }
+
+  test("split novelty is a valid ppm and seen never exceeds the census") {
+    val rows = PipelineQueries.queries("pipeline_split_novelty")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("split")).sorted.toSeq ==
+      Seq("test", "val"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seen") <= r.getAs[Long]("n_shingles"))
+      val p = r.getAs[Long]("novelty_ppm")
+      assert(p >= 0 && p <= 1000000)
+    }
+  }
+
   test("degree gini stays a valid ppm under the widened decimal accumulators") {
     val r = GraphQueries.queries("graph_degree_gini")(spark, sfDir)
       .collect()(0)

@@ -2750,6 +2750,57 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // LABEL MARGIN AUDIT (r20): per label, the mean cosine to
+    // same-label vectors vs other-label vectors and their gap — the
+    // "are these labels even separable in embedding space?" number
+    // that upper-bounds any classifier trained on them (margin ≈ 0 ⇒
+    // the label carries no geometric signal; the filtered-ANN recall
+    // entries' label partitioning assumes it is > 0). Per-pair cosine
+    // from exact quantized-integer dots/norms via one double
+    // expression, quantized round(1e6·cos) + 1e6 per pair BEFORE the
+    // integer mean — no order-dependent double summation, and the
+    // +1e6 offset keeps the mean's numerator non-negative so Spark's
+    // truncating div ≡ DuckDB's floor div (the r14 convention trap;
+    // inter-label mean cosine is routinely negative). All-pairs here
+    // (oracle-able at fixture scale); at corpus scale the same
+    // statistic runs on a per-label sample or the ANN shortlists.
+    "sim_label_margin_audit" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        expr("""transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))""").as("qe"))
+        .select(col("vec_id"), col("label"), col("qe"),
+          expr("""aggregate(qe, CAST(0 AS BIGINT),
+            (a, v) -> a + v * v)""").as("nsq"))
+      val pairs = q.as("a").join(q.as("b"),
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          expr("""CAST(round(1000000.0
+            * CAST(aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+            / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))))
+            AS BIGINT) + 1000000""").as("c6"))
+      // each unordered pair contributes to BOTH endpoints' labels —
+      // an intra pair therefore lands TWICE on its label (n_intra is
+      // the ORDERED pair count n_l·(n_l−1)); the means are unaffected
+      val sym = pairs.select(col("la").as("label"), col("lb").as("other"),
+          col("c6"))
+        .unionAll(pairs.select(col("lb").as("label"), col("la").as("other"),
+          col("c6")))
+      sym.groupBy(col("label"))
+        .agg(sum(when(col("label") === col("other"), 1L).otherwise(0L))
+            .as("n_intra"),
+          sum(when(col("label") === col("other"), col("c6"))).as("si"),
+          sum(when(col("label") =!= col("other"), 1L).otherwise(0L))
+            .as("n_inter"),
+          sum(when(col("label") =!= col("other"), col("c6"))).as("sx"))
+        .select(col("label"), col("n_intra"),
+          expr("si div n_intra - 1000000").as("intra_cos_e6"),
+          col("n_inter"),
+          expr("sx div n_inter - 1000000").as("inter_cos_e6"),
+          expr("si div n_intra - sx div n_inter").as("margin_e6"))
+        .orderBy(col("label"))
+    }),
+
     // INTRINSIC DIMENSIONALITY (r20): the two-NN MLE estimator (Facco
     // et al., Scientific Reports 2017) — id = 2/mean(ln(r₂/r₁)) over
     // each point's two nearest neighbors; with SQUARED distances
@@ -4261,6 +4312,36 @@ object SimilarityQueries {
         |  min(nq) AS min_nsq_e6, max(nq) AS max_nsq_e6,
         |  CAST(sum(nq) AS BIGINT) // count(*) AS mean_nsq_e6
         |FROM nq GROUP BY label ORDER BY label""".stripMargin,
+    "sim_label_margin_audit" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |w AS (SELECT vec_id, label, qe,
+        |    CAST(list_dot_product((qe)::DOUBLE[], (qe)::DOUBLE[]) AS BIGINT)
+        |      AS nsq
+        |  FROM q),
+        |p AS (SELECT a.label AS la, b.label AS lb,
+        |    CAST(round(1000000.0
+        |      * CAST(CAST(list_dot_product((a.qe)::DOUBLE[], (b.qe)::DOUBLE[])
+        |          AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))))
+        |      AS BIGINT) + 1000000 AS c6
+        |  FROM w a JOIN w b ON a.vec_id < b.vec_id),
+        |sym AS (SELECT la AS label, lb AS other, c6 FROM p
+        |  UNION ALL SELECT lb, la, c6 FROM p),
+        |a AS (SELECT label,
+        |    CAST(sum(CASE WHEN label = other THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_intra,
+        |    CAST(sum(CASE WHEN label = other THEN c6 END) AS BIGINT) AS si,
+        |    CAST(sum(CASE WHEN label <> other THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_inter,
+        |    CAST(sum(CASE WHEN label <> other THEN c6 END) AS BIGINT) AS sx
+        |  FROM sym GROUP BY 1)
+        |SELECT label, n_intra, si // n_intra - 1000000 AS intra_cos_e6,
+        |  n_inter, sx // n_inter - 1000000 AS inter_cos_e6,
+        |  si // n_intra - sx // n_inter AS margin_e6
+        |FROM a ORDER BY label""".stripMargin,
     "sim_intrinsic_dim" ->
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding,

@@ -2077,6 +2077,24 @@ object TextQueries {
         .limit(20)
     }),
 
+    // SHINGLE DOCUMENT-FREQUENCY HISTOGRAM (r20) — how duplicated is
+    // the corpus at 3-shingle granularity? df = 1 is unique prose,
+    // df ≥ 2 is shared mass (quotes, templates, true dups); the
+    // histogram is the one-screen duplication fingerprint that says
+    // whether MinHash/span-removal have anything to harvest BEFORE
+    // paying for them. Per-doc-distinct 60-bit shingle hashes (the
+    // decontaminate keys), df from a hash-keyed count, histogram from
+    // a df-keyed count — two tiny aggs over the explode.
+    "dedup_shingle_df_hist" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(
+          TextOps.hashedShingles(TextOps.shingles(toks)))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+        .orderBy(col("df"))
+    }),
+
     "dedup_crossdoc_ngrams" -> ((s, dir) => {
       Dedup.crossDocNgramStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -3705,6 +3723,13 @@ object TextQueries {
           |SELECT id AS doc_id, min(label) AS cluster_id,
           |  (id = min(label)) AS is_survivor
           |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+      "dedup_shingle_df_hist" ->
+        s"""WITH sh AS (SELECT doc_id, unnest(hs) AS h
+          |  FROM (SELECT doc_id, ${OracleSql.hashedShingles(toksSql)} AS hs
+          |    FROM documents)),
+          |df AS (SELECT h, count(*)::BIGINT AS df FROM sh GROUP BY 1)
+          |SELECT df, count(*)::BIGINT AS n_shingles
+          |FROM df GROUP BY 1 ORDER BY df""".stripMargin,
       "dedup_crossdoc_ngrams" ->
         s"""WITH g AS (SELECT doc_id, t.g
           |  FROM (SELECT doc_id, ${OracleSql.hashedShingles(toksSql)} AS hs

@@ -518,6 +518,36 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("label margin audit partitions each label's pair census") {
+    val rows = SimilarityQueries.queries("sim_label_margin_audit")(
+      spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    val sizes = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label"); val nl = sizes(l)
+      // intra pairs land twice on the same label (once per endpoint):
+      // the count is ORDERED pairs; the mean is unaffected
+      assert(r.getAs[Long]("n_intra") == nl * (nl - 1))
+      assert(r.getAs[Long]("n_inter") == nl * (n - nl))
+      assert(r.getAs[Long]("margin_e6") ==
+        r.getAs[Long]("intra_cos_e6") - r.getAs[Long]("inter_cos_e6"))
+    }
+  }
+
+  test("shingle df histogram conserves the distinct-shingle census") {
+    val hist = TextQueries.queries("dedup_shingle_df_hist")(spark, sfDir)
+      .collect()
+    val toks = operators.TextOps.tokens(col("text"))
+    val distinctShingles = Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(operators.TextOps.hashedShingles(
+        operators.TextOps.shingles(toks)))).as("h"))
+      .select(col("h")).distinct().count()
+    assert(hist.map(_.getAs[Long]("n_shingles")).sum == distinctShingles)
+    assert(hist.map(_.getAs[Long]("df")).forall(_ >= 1))
+  }
+
   test("degree gini stays a valid ppm under the widened decimal accumulators") {
     val r = GraphQueries.queries("graph_degree_gini")(spark, sfDir)
       .collect()(0)

@@ -175,6 +175,15 @@ object GraphQueries {
     "graph_bfs_depths" -> ((s, dir) =>
       GraphOps.bfsDepths(s, dir, maxDepth = 4)
         .orderBy(col("node"))),
+
+    // bounded-horizon HARMONIC centrality of the 10 top-degree hubs:
+    // H(r) = Σ 1/d(r,u) over 0 < d ≤ 4, 1/d as precomputed ppm
+    // literals (integer-exact sums, no query-time division). Exact
+    // harmonic needs all-pairs distances; the hub-probe bounded form
+    // is the one that survives scale (k·frontier work per BFS level —
+    // the bfs_depths machinery with the root threaded through).
+    "graph_harmonic_centrality" -> ((s, dir) =>
+      GraphOps.harmonicCentrality(s, dir, k = 10, maxDepth = 4)),
     // GLOBAL TRANSITIVITY — 3·triangles / wedges in ppm, the
     // one-number closure ratio beside the per-node LCC table (they
     // answer different questions: transitivity weights hubs by their
@@ -954,6 +963,35 @@ object GraphQueries {
         |UNION ALL SELECT node, 3 FROM f3
         |UNION ALL SELECT node, 4 FROM f4
         |ORDER BY node""".stripMargin,
+    "graph_harmonic_centrality" -> {
+      val levels = (1 to 4).map { d =>
+        val prev = (0 until d).map(i => if (i == 0) "v0" else s"f$i")
+        val anti = prev.map(p =>
+          s"NOT EXISTS (SELECT 1 FROM $p p WHERE p.root = a.root AND p.node = s.dst)")
+          .mkString("\n  AND ")
+        s"""f$d AS (SELECT DISTINCT a.root AS root, s.dst AS node
+          |  FROM ${if (d == 1) "v0" else s"f${d - 1}"} a
+          |  JOIN sym s ON s.src = a.node
+          |  WHERE $anti)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH backbone AS MATERIALIZED ($backboneSql),
+        |sym AS MATERIALIZED (SELECT src, dst FROM backbone
+        |  UNION ALL SELECT dst, src FROM backbone),
+        |deg AS (SELECT src, count(*)::BIGINT AS dg FROM sym GROUP BY 1),
+        |roots AS (SELECT src AS root FROM (
+        |    SELECT src, row_number() OVER (ORDER BY dg DESC, src) AS rk
+        |    FROM deg) r WHERE rk <= 10),
+        |v0 AS (SELECT root, root AS node FROM roots),
+        |$levels,
+        |u AS (SELECT root, node, 1 AS depth FROM f1
+        |  UNION ALL SELECT root, node, 2 FROM f2
+        |  UNION ALL SELECT root, node, 3 FROM f3
+        |  UNION ALL SELECT root, node, 4 FROM f4)
+        |SELECT root, count(*)::BIGINT AS n_reached,
+        |  CAST(sum(CASE depth WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+        |    WHEN 3 THEN 333333 ELSE 250000 END) AS BIGINT) AS harmonic_ppm
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "graph_transitivity" ->
       s"""WITH backbone AS MATERIALIZED ($backboneSql),
         |tri AS (SELECT count(*)::BIGINT AS t

@@ -1462,12 +1462,30 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // the ADAPTIVE composed probe (VERDICT r19 #1): per-query nProbe
+    // widened down the coarse ranking until 40% of live corpus mass is
+    // covered — a boundary-straddling query probes more cells, a
+    // centered one fewer, and skewed cell sizes can't silently starve
+    // coverage the way a fixed count does
+    "sim_ann_mrl_ivf_adaptive" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.probeMrlIndexIvfAdaptive(s, mrlIndexFor(s, dir),
+          querySet(emb), k = 5, prefixDims = 32, shortlist = 200,
+          massTargetPpm = 400000L)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ...and its recall audit — the adaptive probe raised this from
+    // 0.5@3 (fixed nProbe=2, the r19 suite's weakest quality number)
+    // to 0.83@3 at sf0.01 / 0.9@3 at sf0.1, measured before gating
     "sim_ann_mrl_ivf_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      recallAudit(emb, VectorOps.probeMrlIndexIvf(s, mrlIndexFor(s, dir),
-        querySet(emb), k = recallK, prefixDims = 32, shortlist = 100,
-        nProbe = 2))
+      recallAudit(emb, VectorOps.probeMrlIndexIvfAdaptive(s,
+        mrlIndexFor(s, dir), querySet(emb), k = recallK, prefixDims = 32,
+        shortlist = 200, massTargetPpm = 400000L))
     }),
 
     // the MRL family's monitor→retrain DECISION over the APPEND
@@ -1781,12 +1799,16 @@ object SimilarityQueries {
 
     // PQ-ADC ANN: m=8 sub-codebooks of 64 centroids — corpus vectors
     // score through m one-byte codes (32× payload cut vs float, vs
-    // SQ8's 4×); the query side stays exact (asymmetric distance)
+    // SQ8's 4×); the query side stays exact (asymmetric distance).
+    // The Lloyd training is hoisted into the shared PQ epoch's
+    // codebooks leaf (VERDICT r19 #2 — it was this entry's dominant
+    // warm cost); encode + scoring still run over the raw corpus,
+    // keeping this the unpersisted form next to `sim_ann_pq_indexed`.
     "sim_ann_pq" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      VectorOps.pqTopK(querySet(emb), emb, k = 3, m = 8, ksub = 64,
-          trainIters = 2)
+      VectorOps.pqTopKHoisted(s, pqIndexFor(s, dir), querySet(emb), emb,
+          k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
@@ -1801,6 +1823,19 @@ object SimilarityQueries {
       VectorOps.probePqIndex(s, pqIndexFor(s, dir), querySet(emb), k = 3)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // per-subspace quantization-DISTORTION audit of the PQ epoch: MSE
+    // between each corpus subvector and its assigned sub-centroid —
+    // the codebook-FIT monitor next to the retrain_check's list-skew
+    // monitor (rising distortion in a subspace says its codebook no
+    // longer describes the data; recall audits see the symptom, this
+    // sees the cause). floor(1e6)-quantized per row before the integer
+    // mean; one scan + KB broadcast; m rows out.
+    "sim_pq_distortion" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      VectorOps.pqDistortion(s, pqIndexFor(s, dir),
+        Tables.embeddings(s, dir))
     }),
 
     // flat-PQ APPEND maintenance (r15 — the last family without a
@@ -2271,13 +2306,15 @@ object SimilarityQueries {
     // IVF-PQ: the coarse quantizer's nProbe/K list cut COMPOUNDED with
     // PQ's 32× code compression — the billion-scale composite layout
     // (FAISS IndexIVFPQ, by_residual=false). Scores are bit-identical
-    // to flat PQ over the probed lists' candidate set.
+    // to flat PQ over the probed lists' candidate set. Both quantizer
+    // trainings hoisted into the shared IVF-PQ epoch (VERDICT r19 #2);
+    // assignment + encode + fold still run over the raw corpus,
+    // keeping this the unpersisted form next to `sim_ann_ivfpq_indexed`.
     "sim_ann_ivfpq" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfPqTopK(querySet(emb), emb, k = 3,
-          numCentroids = ivfK(emb), nProbe = 4, trainIters = 2,
-          m = 8, ksub = 64, pqIters = 2)
+      VectorOps.ivfPqTopKHoisted(s, ivfPqIndexFor(s, dir), querySet(emb),
+          emb, k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
@@ -4010,7 +4047,7 @@ object SimilarityQueries {
     * prefix-vs-centroid cosine, the coarse shortlist scores only the
     * probed cells' prefix rows, and the exact full-dim re-rank joins
     * the corpus. */
-  private def mrlIvfCtes(nProbe: Int): String =
+  private lazy val mrlIvfHeaderCtes: String =
     s"""prefixes AS (SELECT vec_id, embedding[1:32] AS embedding FROM embeddings),
       |${centTrainSql(ivfKSql, 2, "prefixes", dim = 32)},
       |pasg AS (
@@ -4019,13 +4056,10 @@ object SimilarityQueries {
       |  FROM prefixes CROSS JOIN cents),
       |plists AS (SELECT cid AS list_id, vec_id, prefix FROM pasg WHERE cr = 1),
       |q AS (SELECT vec_id AS query_id, embedding[1:32] AS qp,
-      |  embedding AS qv FROM embeddings WHERE vec_id < 10),
-      |probes AS (
-      |  SELECT query_id, qp, qv, cid AS list_id FROM (
-      |    SELECT query_id, qp, qv, cid, row_number() OVER
-      |      (PARTITION BY query_id ORDER BY round(${cosSql("qp", "cv")}, 6) DESC, cid) AS cr
-      |    FROM q CROSS JOIN cents) pq WHERE cr <= $nProbe),
-      |coarse AS (
+      |  embedding AS qv FROM embeddings WHERE vec_id < 10)""".stripMargin
+
+  private def mrlIvfTailCtes(shortlist: Int): String =
+    s"""coarse AS (
       |  SELECT query_id, l.vec_id AS neighbor_id, qv,
       |    row_number() OVER (PARTITION BY query_id ORDER BY
       |      round(${cosSql("qp", "l.prefix")}, 6) DESC, l.vec_id) AS crk
@@ -4036,7 +4070,41 @@ object SimilarityQueries {
       |    row_number() OVER (PARTITION BY query_id ORDER BY
       |      round(${cosSql("qv", "e.embedding")}, 6) DESC, neighbor_id) AS rk
       |  FROM coarse JOIN embeddings e ON e.vec_id = coarse.neighbor_id
-      |  WHERE crk <= 100)""".stripMargin
+      |  WHERE crk <= $shortlist)""".stripMargin
+
+  private def mrlIvfCtes(nProbe: Int): String =
+    s"""$mrlIvfHeaderCtes,
+      |probes AS (
+      |  SELECT query_id, qp, qv, cid AS list_id FROM (
+      |    SELECT query_id, qp, qv, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qp", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq WHERE cr <= $nProbe),
+      |${mrlIvfTailCtes(100)}""".stripMargin
+
+  /** Mirror of [[VectorOps.probeMrlIndexIvfAdaptive]]: cells admit in
+    * coarse-similarity order while the cumulative row mass of the
+    * cells BEFORE them is still under the ppm target — the same
+    * integer-exact `cum_before·1e6 < target·N` decision the Spark side
+    * evaluates, so both engines probe identical cell sets. */
+  private def mrlIvfAdaptiveCtes(targetPpm: Long, shortlist: Int): String =
+    s"""$mrlIvfHeaderCtes,
+      |mass AS (SELECT list_id, CAST(count(*) AS BIGINT) AS m
+      |  FROM plists GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM plists),
+      |pranked AS (
+      |  SELECT pq.query_id, pq.qp, pq.qv, pq.cid, pq.cr,
+      |    coalesce(ms.m, 0) AS m
+      |  FROM (SELECT query_id, qp, qv, cid, row_number() OVER
+      |      (PARTITION BY query_id ORDER BY round(${cosSql("qp", "cv")}, 6) DESC, cid) AS cr
+      |    FROM q CROSS JOIN cents) pq
+      |  LEFT JOIN mass ms ON ms.list_id = pq.cid),
+      |probes AS (
+      |  SELECT query_id, qp, qv, cid AS list_id FROM (
+      |    SELECT *, coalesce(sum(m) OVER (PARTITION BY query_id ORDER BY cr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |    FROM pranked) pc CROSS JOIN tot
+      |  WHERE cum_before * 1000000 < $targetPpm * n_total),
+      |${mrlIvfTailCtes(shortlist)}""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
@@ -4075,7 +4143,12 @@ object SimilarityQueries {
       s"""WITH ${mrlIvfCtes(4)}
         |SELECT query_id, neighbor_id, cos_sim, rk FROM mrl WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
-    "sim_ann_mrl_ivf_recall" -> recallOracleSql(mrlIvfCtes(2),
+    "sim_ann_mrl_ivf_adaptive" ->
+      s"""WITH ${mrlIvfAdaptiveCtes(400000L, 200)}
+        |SELECT query_id, neighbor_id, cos_sim, rk FROM mrl WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    "sim_ann_mrl_ivf_recall" -> recallOracleSql(
+      mrlIvfAdaptiveCtes(400000L, 200),
       "SELECT query_id, neighbor_id, rk FROM mrl"),
     // prefix-cell skew of the append epoch: cells frozen from the
     // build-time prefixes, the union corpus' prefixes assigned, then
@@ -4168,6 +4241,16 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_pq" -> pqOracleSql,
     "sim_ann_pq_indexed" -> pqOracleSql,
+    "sim_pq_distortion" ->
+      s"""WITH ${pqPreCtes(8, 64, 8)},
+        |dist AS (
+        |  SELECT p.s AS s,
+        |    floor(${pqL2Sql("sv.v", "c.cv")} * 1000000.0)::BIGINT AS q
+        |  FROM sv JOIN pcodes p ON sv.vec_id = p.vec_id AND sv.s = p.s
+        |  JOIN pcents c ON c.s = p.s AND c.cid = p.cid)
+        |SELECT s, count(*)::BIGINT AS n, CAST(sum(q) AS BIGINT) AS sum_e6,
+        |  CAST(sum(q) AS BIGINT) // count(*) AS mse_e6
+        |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_ann_pq_appended" -> pqAppendOracleSql,
     "sim_ann_pq_appended_recall" -> pqAppendRecallOracleSql,
     "sim_ann_ivfpq" -> ivfPqOracleSql,

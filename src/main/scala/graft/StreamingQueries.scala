@@ -175,6 +175,34 @@ object StreamingQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // ...the attribution stream's HORIZON-BOUNDED path (VERDICT r19
+    // #5), driver-executed: same crediting through the
+    // EventTimeTimeout machinery (watermark on the unfiltered input,
+    // per-batch arm, expiry handler retiring idle users). The fixture
+    // spans ~30 days, so the 90-day watermark delay drops nothing and
+    // the 90-day horizon retires nobody: the converged report is
+    // DEFINED to equal stream_attribution's and the SAME batch oracle
+    // gates both (the stream_anomaly_ttl discipline);
+    // eviction + ft-re-baseline on a narrow horizon is
+    // AttributionStreamSpec's purpose-built fixture.
+    "stream_attribution_ttl" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, s"$dir/events.parquet")
+      val out = runToMemory(
+        graft.streaming.AttributionStream.attributeTtl(st,
+          ttl = "90 days", watermarkDelay = "90 days").toDF(), "update")
+      val f = out.groupBy(col("ft").as("touch_type"))
+        .agg(count(lit(1)).as("n_first"), sum(col("cents")).as("first_cents"))
+      val l = out.groupBy(col("lt").as("touch_type"))
+        .agg(count(lit(1)).as("n_last"), sum(col("cents")).as("last_cents"))
+      f.join(l, Seq("touch_type"), "full_outer")
+        .select(col("touch_type"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("first_cents"), lit(0L)).as("first_cents"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("last_cents"), lit(0L)).as("last_cents"))
+        .orderBy(col("touch_type"))
+    }),
+
     // streaming MARKOV transitions (r19): the batch lead window
     // reduced to ONE string of keyed state per user (the last type
     // seen) — each arriving event emits its (prev → next) pair on the
@@ -531,19 +559,35 @@ object StreamingQueries {
     // pins the equality on out-of-order replays).
     "stream_ingest" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
+      // 2 files/trigger (the stream_stream_join lesson): decisions are
+      // per-doc against frozen state, so the drained union is
+      // decomposition-independent — 2 micro-batches still exercise the
+      // cross-batch path at half the per-batch machinery cost of a
+      // 1-file trigger. Profile (VERDICT r19 #2): identity-sink drain
+      // of the same files ≈ 1.4 s warm and the 4× batch-mode flag
+      // joins ≈ 1.5 s, so the old ~6 s warm was majority per-batch
+      // plan/commit overhead, not data work.
       val src = CdcStream.readEventStream(s, batchDocsDir(s, dir),
-        maxFilesPerTrigger = 1)
+        maxFilesPerTrigger = 2)
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_ingest_ckpt_").toString
       // distributed sink: each micro-batch's decision frame appends to a
       // parquet dir (executor-side writes — the driver never collects;
-      // at scale this IS the output table of the ingestion service)
+      // at scale this IS the output table of the ingestion service).
+      // The drain pins 8 shuffle partitions (the runToMemory
+      // discipline) and coalesces each decision frame to one file
+      // (hundreds of rows; at deployment scale the same knobs size the
+      // per-batch grid to the batch, not to the cluster default).
       val outDir = java.nio.file.Files
         .createTempDirectory("graft_ingest_out_").toString
-      val q = IngestStream.ingestSink(src, TextQueries.bandIndexFor(s, dir),
-        Tables.documents(s, dir).filter(col("doc_id") < 10), ckpt,
-        (flags, _) => flags.write.mode("append").parquet(outDir))
-      q.awaitTermination()
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = IngestStream.ingestSink(src, TextQueries.bandIndexFor(s, dir),
+          Tables.documents(s, dir).filter(col("doc_id") < 10), ckpt,
+          (flags, _) => flags.coalesce(1).write.mode("append").parquet(outDir))
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.read.parquet(outDir).orderBy(col("doc_id"))
     }),
 
@@ -1345,6 +1389,7 @@ object StreamingQueries {
     // stream ≡ batch: the drained attribution report shares the batch
     // entry's window-pass mirror verbatim
     "stream_attribution" -> EventQueries.attributionSql,
+    "stream_attribution_ttl" -> EventQueries.attributionSql,
     "stream_markov" -> EventQueries.markovSql,
     "stream_forecast_holt" -> EventQueries.holtSql,
     "stream_frequent_sequences" -> EventQueries.freqSeqSql,

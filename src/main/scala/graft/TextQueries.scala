@@ -1807,6 +1807,29 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // DEDUP THRESHOLD SWEEP — the curation dial read before committing
+    // to a cut: for each candidate Jaccard threshold above the band
+    // index's 0.5 recall floor, how many near-dup pairs fire and how
+    // many docs would drop. ONE pass builds the verified pair table
+    // (the dedup_minhash machinery); the sweep is a broadcast join of
+    // 5 literal thresholds against the mutation-sized pairs — the
+    // whole report costs one extra KB-join over the entry it rides on
+    // (the pipeline_temperature_sweep discipline: sweep the dial in
+    // one query, not five). Grid densified (left join) so a threshold
+    // that drops nothing still reports its zero row.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val sparkS = s; import sparkS.implicits._
+      val pairs = Dedup.minhashPairs(dupCorpus(Tables.documents(s, dir)),
+        "doc_id", "text", numHashes = 8, numBands = 4, threshold = 0.5)
+      val th = Seq(500L, 600L, 700L, 800L, 900L).toDF("threshold_x1000")
+      broadcast(th).join(pairs,
+          col("jaccard") >= col("threshold_x1000") / lit(1000.0), "left")
+        .groupBy(col("threshold_x1000"))
+        .agg(count(col("id_a")).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_docs_dropped"))
+        .orderBy(col("threshold_x1000"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashSignatures(dupCorpus(Tables.documents(s, dir)), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -3583,6 +3606,16 @@ object TextQueries {
         s"""WITH $minhashPairCtes
           |SELECT id_a, id_b, jaccard FROM dup_pairs
           |ORDER BY id_a, id_b""".stripMargin,
+      "dedup_threshold_sweep" ->
+        s"""WITH $minhashPairCtes,
+          |th AS (SELECT unnest([500, 600, 700, 800, 900]::BIGINT[])
+          |  AS threshold_x1000)
+          |SELECT th.threshold_x1000 AS threshold_x1000,
+          |  count(dp.id_a)::BIGINT AS n_pairs,
+          |  count(DISTINCT dp.id_b)::BIGINT AS n_docs_dropped
+          |FROM th LEFT JOIN dup_pairs dp
+          |  ON dp.jaccard >= th.threshold_x1000 / 1000.0
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       // cross-pair restriction of the full pipeline: dup_pairs orders
       // id_a < id_b, and the batch ids are all >= 100000 while the corpus
       // ids are < 100000, so id_a is always the corpus (old) side

@@ -1520,6 +1520,46 @@ object GraphOps {
     * driver-side frontier. Rounds are FIXED (not run-to-convergence)
     * so the oracle is a finite CTE chain; unreached nodes are absent
     * rather than ∞-labeled. */
+  /** Bounded-horizon HARMONIC centrality probes of the hub set: for
+    * the `k` highest-degree nodes (deterministic pick — degree desc,
+    * node asc), multi-source BFS to `maxDepth` and
+    * H(r) = Σ_{0<d(r,u)≤maxDepth} 1/d(r,u), with 1/d as precomputed
+    * ppm literals (1e6, 5e5, 333333, 25e4 — no division at query
+    * time, integer-exact sums). Exact harmonic centrality needs
+    * all-pairs distances; the bounded-horizon hub probe is the form
+    * that survives scale — k·|frontier| work per level, the same
+    * level-synchronous shape as [[bfsDepths]] with the root threaded
+    * through the visited set — and in practice ranks hubs identically
+    * because 1/d contributions past 4 hops are dominated by the
+    * near field. */
+  def harmonicCentrality(spark: SparkSession, sfDir: String, k: Int,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth == 4, "the 1/d ppm literal table is built for depth 4")
+    val sym = symmetric(backbone(spark, sfDir)).select(col("src"), col("dst"))
+    val roots = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("src")).limit(k)
+      .select(col("src").as("root"))
+    var visited = broadcast(roots)
+      .select(col("root"), col("root").as("node"))
+      .withColumn("depth", lit(0L))
+    for (d <- 1 to maxDepth) {
+      val frontier = visited.filter(col("depth") === (d - 1))
+      val expand = frontier.join(sym, col("node") === col("src"))
+        .select(col("root"), col("dst").as("node")).distinct()
+      val fresh = expand.join(visited.select(col("root"), col("node")),
+          Seq("root", "node"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+      visited = visited.unionAll(fresh)
+    }
+    visited.filter(col("depth") > 0)
+      .withColumn("invd", expr(
+        """CASE depth WHEN 1 THEN 1000000 WHEN 2 THEN 500000
+          |WHEN 3 THEN 333333 ELSE 250000 END""".stripMargin))
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("invd")).as("harmonic_ppm"))
+      .orderBy(col("root"))
+  }
+
   def bfsDepths(spark: SparkSession, sfDir: String,
       maxDepth: Int): DataFrame = {
     val sym = symmetric(backbone(spark, sfDir))

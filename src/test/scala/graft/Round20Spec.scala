@@ -555,4 +555,144 @@ class Round20Spec extends AnyFunSuite {
     assert(g >= 0 && g < 1000000, s"gini $g outside [0, 1e6)")
     assert(r.getAs[Long]("n") > 0 && r.getAs[Long]("sx") > 0)
   }
+
+  test("blb brackets agree with the exact bootstrap at fixture scale") {
+    def brackets(name: String): Map[String, (Long, Long, Long)] =
+      EventQueries.queries(name)(spark, sfDir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("mean_cents"), r.getAs[Long]("lo_cents"),
+            r.getAs[Long]("hi_cents")))).toMap
+    val exact = brackets("stats_bootstrap_ci")
+    val blb = brackets("stats_bootstrap_blb")
+    assert(blb.keySet == exact.keySet)
+    blb.foreach { case (t, (mean, lo, hi)) =>
+      val (emean, elo, ehi) = exact(t)
+      assert(mean == emean, s"$t: point estimates must be identical")
+      assert(lo <= mean && mean <= hi, s"$t: BLB bracket excludes the mean")
+      assert(lo <= ehi && elo <= hi, s"$t: brackets do not overlap")
+      val (w, ew) = (hi - lo, ehi - elo)
+      assert(w * 2 >= ew && ew * 2 >= w,
+        s"$t: bracket widths diverge (blb=$w exact=$ew)")
+    }
+  }
+
+  test("jackknife brackets contain the mean and overlap the bootstrap's") {
+    val boot = EventQueries.queries("stats_bootstrap_ci")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents")))).toMap
+    val jk = EventQueries.queries("stats_jackknife_ci")(spark, sfDir)
+      .collect()
+    assert(jk.map(_.getAs[String]("event_type")).toSet == boot.keySet)
+    jk.foreach { r =>
+      val (t, mean) = (r.getAs[String]("event_type"),
+        r.getAs[Long]("mean_cents"))
+      val (lo, hi) = (r.getAs[Long]("lo_cents"), r.getAs[Long]("hi_cents"))
+      assert(r.getAs[Double]("se_cents") > 0, s"$t: degenerate SE")
+      assert(lo <= mean && mean <= hi, s"$t: bracket excludes the mean")
+      val (blo, bhi) = boot(t)
+      assert(lo <= bhi && blo <= hi, s"$t: jackknife/bootstrap disjoint")
+    }
+  }
+
+  test("pq distortion reports every subspace over the full corpus") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val rows = SimilarityQueries.queries("sim_pq_distortion")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("s")).toSeq == (0L until 8L),
+      "missing subspaces")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n, "a subspace dropped corpus rows")
+      assert(r.getAs[Long]("mse_e6") >= 0)
+    }
+  }
+
+  test("forecast backtest: seasonal-naive beats or prices against naive sanely") {
+    val rows = EventQueries.queries("events_forecast_backtest")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n7") <= r.getAs[Long]("n1") - 6,
+        "lag-7 grid cannot have more points than lag-1 minus 6")
+      assert(r.getAs[Long]("mae_naive_cents") >= 0)
+      assert(r.getAs[Long]("mase_ppm") > 0, "degenerate MASE")
+    }
+  }
+
+  test("harmonic centrality hub probes are bounded by their reach") {
+    val rows = GraphQueries.queries("graph_harmonic_centrality")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10, "expected one row per hub probe")
+    rows.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_reached"), r.getAs[Long]("harmonic_ppm"))
+      // every reached node contributes (250000, 1000000] ppm
+      assert(h > n * 250000L && h <= n * 1000000L,
+        s"harmonic $h outside its reach bound for n=$n")
+    }
+  }
+
+  test("threshold sweep is monotone and densified down to zero rows") {
+    val rows = TextQueries.queries("dedup_threshold_sweep")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("threshold_x1000")).toSeq ==
+      Seq(500L, 600L, 700L, 800L, 900L))
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      "pair count must fall as the threshold rises")
+    rows.foreach(r => assert(r.getAs[Long]("n_docs_dropped") <=
+      r.getAs[Long]("n_pairs")))
+  }
+
+  test("power analysis is self-consistent with the per-user metric") {
+    val r = EventQueries.queries("events_power_analysis")(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == r.getAs[Long]("n0") + r.getAs[Long]("n1"))
+    assert(r.getAs[Double]("sd_cents") > 0)
+    // MDE shrinks with n: it must be far below the mean on this fixture
+    assert(r.getAs[Double]("mde_cents") > 0 &&
+      r.getAs[Long]("n_per_arm_5pct") > 0)
+  }
+
+  test("adaptive mrl probe clears the 0.8 recall floor (VERDICT r19 #1)") {
+    val rows = SimilarityQueries.queries("sim_ann_mrl_ivf_recall")(
+      spark, sfDir).collect()
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.8, s"adaptive MRL-over-IVF recall@3 $mean < 0.8")
+  }
+
+  test("adaptive mrl probe still prunes prefix rows via partition pruning") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val table = SimilarityQueries.mrlIndexFor(spark, sfDir)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = emb.filter(col("vec_id") === 0)
+      // a tight 5% mass target probes ~1-2 of the √N cells — the scan
+      // must show a DynamicPruning partition filter AND read fewer
+      // prefix files than exist (identical to the fixed-nProbe pin)
+      val probe = operators.VectorOps.probeMrlIndexIvfAdaptive(spark,
+        table, one, k = 3, prefixDims = 32, shortlist = 20,
+        massTargetPpm = 50000L)
+      def nodes(p: SparkPlan): Seq[SparkPlan] =
+        (p +: p.children.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+      val scans = nodes(probe.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("prefix")) => f
+      }
+      assert(scans.nonEmpty, "no file scan over the prefix table found")
+      assert(scans.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        "no prefix scan carries a DPP filter")
+      probe.count()
+      val pruned = scans.filter(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")))
+      val filesRead = pruned.map(_.metrics("numFiles").value).min
+      val totalFiles = spark.table(s"${table}_prefix")
+        .select(input_file_name()).distinct().count()
+      assert(filesRead < totalFiles,
+        s"adaptive probe read all $totalFiles prefix files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

@@ -41,4 +41,12 @@ class TtlStreamParitySpec extends AnyFunSuite {
     assert(ttl == plain,
       s"TTL anomaly stream diverged: ttl=${ttl.take(5)} plain=${plain.take(5)}")
   }
+
+  test("stream_attribution_ttl == stream_attribution: converged credit report") {
+    val plain = rows("stream_attribution")
+    val ttl = rows("stream_attribution_ttl")
+    assert(plain.nonEmpty, "attribution stream emitted nothing")
+    assert(ttl == plain,
+      s"TTL attribution diverged: ttl=${ttl.take(5)} plain=${plain.take(5)}")
+  }
 }

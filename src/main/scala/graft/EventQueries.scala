@@ -733,6 +733,64 @@ object EventQueries {
         .orderBy(col("variant"))
     }),
 
+    // RANDOMIZATION (PERMUTATION) TEST on the A/B mean difference —
+    // the distribution-free significance readout next to the normal-
+    // theory z-test: 64 Bernoulli reassignments of the per-user
+    // variant (one md5 per user per 32 draws — the bootstrap's
+    // hash-slicing trick, so 2 hashes/user total), and the p-value is
+    // the fraction of permuted |Δ_b| at least as extreme as the
+    // observed |Δ|. The extremity comparison is EXACT integer
+    // cross-multiplication — |s0b·n1b − s1b·n0b|·(n0·n1) ≥
+    // |s0·n1 − s1·n0|·(n0b·n1b) — no float means ever compared.
+    // Magnitude bound: |s·n|·n² ≤ 2e8·10³·10⁶ ≈ 2e17 at the fixture —
+    // inside BIGINT; widen to DECIMAL(38,0) past ~10⁴ users. Work is
+    // one per-user reduction then 64·users tiny rows through a
+    // map-side partial agg — the bootstrap's scale shape.
+    "stats_permutation_test" -> ((s, dir) => {
+      val B = 64
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+        .withColumn("v", (col("user_id") % 2).cast("long"))
+      val obs = perUser.groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val o0 = obs.filter(col("v") === 0)
+        .select(col("n").as("n0"), col("sy").as("s0"))
+      val o1 = obs.filter(col("v") === 1)
+        .select(col("n").as("n1"), col("sy").as("s1"))
+      val rep = perUser
+        .select(col("user_id"), col("y"),
+          explode(sequence(lit(0), lit(B / 32 - 1))).as("g"))
+        .withColumn("h", md5(concat(col("user_id").cast("string"),
+          lit(":"), col("g").cast("string"))))
+        .select(col("y"), col("g"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("c"))
+        .withColumn("b", col("g") * 32 + col("c"))
+        .withColumn("vb", expr(
+          "CAST(conv(substring(h, 1 + c, 1), 16, 10) AS BIGINT) % 2"))
+      val perm = rep.groupBy(col("b"))
+        .agg(sum(when(col("vb") === 0, col("y")).otherwise(0L)).as("s0b"),
+          sum(when(col("vb") === 0, 1L).otherwise(0L)).as("n0b"),
+          sum(when(col("vb") === 1, col("y")).otherwise(0L)).as("s1b"),
+          sum(when(col("vb") === 1, 1L).otherwise(0L)).as("n1b"))
+        .filter(col("n0b") > 0 && col("n1b") > 0)
+      perm.crossJoin(broadcast(o0)).crossJoin(broadcast(o1))
+        .select(col("n0"), col("n1"),
+          round((col("s0").cast("double") / col("n0").cast("double")) -
+            (col("s1").cast("double") / col("n1").cast("double")), 4)
+            .as("delta_obs_cents"),
+          when(abs(col("s0b") * col("n1b") - col("s1b") * col("n0b")) *
+              (col("n0") * col("n1")) >=
+              abs(col("s0") * col("n1") - col("s1") * col("n0")) *
+              (col("n0b") * col("n1b")), 1L).otherwise(0L).as("ex"))
+        .groupBy(col("n0"), col("n1"), col("delta_obs_cents"))
+        .agg(count(lit(1)).as("n_perms"), sum(col("ex")).as("n_extreme"))
+        .select(col("n0"), col("n1"), col("delta_obs_cents"),
+          col("n_perms"), col("n_extreme"),
+          expr("n_extreme * 1000 div n_perms").as("p_x1000"))
+    }),
+
     // EXPERIMENT POWER ANALYSIS — the design-time companion of the
     // CUPED/z-test pair: from the SAME per-user purchase-cents metric
     // and variant split, (a) the minimum detectable effect at α=5%
@@ -1420,6 +1478,45 @@ object EventQueries {
         .select(col("prev_type"), col("next_type"), col("n"),
           expr("n * 1000000 div row_n").as("p_ppm"))
         .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // STATIONARY DISTRIBUTION of the Markov transition matrix — "where
+    // does a user's session mix settle long-run?", the fixed point the
+    // transitions/entropy-rate entries only describe locally. Sixteen
+    // unrolled power-iteration steps over the k×k transition frame
+    // (k = #types — metadata-sized; the heavy lift is the ONE
+    // transition-count pass events_markov already pays): π'[j] =
+    // Σᵢ ⌊π[i]·n_ij / row_nᵢ⌋, each term floored in ppm BEFORE the sum
+    // (deterministic integer arithmetic, mirrored verbatim) — the
+    // total drifts a few ppm below 10⁶ from the floors, reported
+    // as-is rather than renormalized (Round20Spec pins the mass
+    // inside the 16·k² floor tolerance and the full state support).
+    // 16 steps ≫ the fixture chain's mixing time.
+    "events_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type").as("prev_type"), col("next_type"),
+          col("n"))
+      val tot = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("row_n"))
+      val pm = pairs.join(tot, Seq("prev_type"))
+      val states = pm.select(col("prev_type").as("state")).distinct()
+      var pi = states
+        .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+        .select(col("state"), expr("1000000 div k").as("pi"))
+      for (_ <- 1 to 16) {
+        pi = pm.join(pi, col("prev_type") === col("state"))
+          .select(col("next_type").as("state"),
+            expr("pi * n div row_n").as("term"))
+          .groupBy(col("state")).agg(sum(col("term")).as("pi"))
+      }
+      pi.select(col("state"), col("pi").as("pi_ppm")).orderBy(col("state"))
     }),
 
     // per-type linear trend of value over time. regr_slope's running
@@ -2247,6 +2344,31 @@ object EventQueries {
         |    ON g.window_start = a.window_start AND g.event_type = a.event_type) j
         |ORDER BY window_start, event_type""".stripMargin,
     "events_markov" -> markovSql,
+    // 16 unrolled power-iteration steps over the same transition frame
+    "events_markov_stationary" -> {
+      val steps = (1 to 16).map { i =>
+        s"""p$i AS (SELECT pm.next_type AS state,
+          |  CAST(sum(pp.pi * pm.n // pm.row_n) AS BIGINT) AS pi
+          |  FROM p${i - 1} pp JOIN pm ON pm.prev_type = pp.state
+          |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    event_type FROM events),
+        |tr AS (SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS next_type FROM e),
+        |p AS (SELECT prev_type, next_type, count(*)::BIGINT AS n
+        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n
+        |  FROM p GROUP BY 1),
+        |pm AS (SELECT p.prev_type, p.next_type, p.n, t.row_n
+        |  FROM p JOIN t USING (prev_type)),
+        |states AS (SELECT DISTINCT prev_type AS state FROM pm),
+        |k AS (SELECT count(*)::BIGINT AS k FROM states),
+        |p0 AS (SELECT state, 1000000 // k AS pi FROM states, k),
+        |$steps
+        |SELECT state, pi AS pi_ppm FROM p16 ORDER BY state""".stripMargin
+    },
     // the KM integer recurrence mirrors as a recursive CTE walking the
     // rank-ordered death days (DuckDB side of the `aggregate` HOF fold)
     "events_entropy_rate" ->
@@ -2934,6 +3056,42 @@ object EventQueries {
         |    (CAST(sx AS DOUBLE) - CAST(n AS DOUBLE) * xbar)) /
         |    CAST(n AS DOUBLE), 4) AS adj_mean_cents
         |FROM j ORDER BY variant""".stripMargin,
+    "stats_permutation_test" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT user_id % 2 AS v, count(*)::BIGINT AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM pu GROUP BY 1),
+        |o AS (SELECT
+        |    (SELECT n FROM obs WHERE v = 0) AS n0,
+        |    (SELECT sy FROM obs WHERE v = 0) AS s0,
+        |    (SELECT n FROM obs WHERE v = 1) AS n1,
+        |    (SELECT sy FROM obs WHERE v = 1) AS s1),
+        |rep AS (SELECT y, tt.b,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(tt.b // 32 AS VARCHAR)),
+        |      CAST(1 + tt.b % 32 AS INT), 1))::BIGINT % 2 AS vb
+        |  FROM pu, range(0, 64) tt(b)),
+        |perm AS (SELECT b,
+        |    CAST(sum(CASE WHEN vb = 0 THEN y ELSE 0 END) AS BIGINT) AS s0b,
+        |    CAST(sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0b,
+        |    CAST(sum(CASE WHEN vb = 1 THEN y ELSE 0 END) AS BIGINT) AS s1b,
+        |    CAST(sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1b
+        |  FROM rep GROUP BY 1
+        |  HAVING sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END) > 0
+        |    AND sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END) > 0),
+        |x AS (SELECT n0, n1,
+        |    round(s0::DOUBLE / n0::DOUBLE - s1::DOUBLE / n1::DOUBLE, 4)
+        |      AS delta_obs_cents,
+        |    CASE WHEN abs(s0b * n1b - s1b * n0b) * (n0 * n1) >=
+        |      abs(s0 * n1 - s1 * n0) * (n0b * n1b) THEN 1 ELSE 0 END AS ex
+        |  FROM perm CROSS JOIN o)
+        |SELECT n0, n1, delta_obs_cents, count(*)::BIGINT AS n_perms,
+        |  CAST(sum(ex) AS BIGINT) AS n_extreme,
+        |  CAST(sum(ex) AS BIGINT) * 1000 // count(*) AS p_x1000
+        |FROM x GROUP BY 1, 2, 3""".stripMargin,
     "events_power_analysis" ->
       """WITH pu AS (SELECT user_id,
         |    CAST(sum(CASE WHEN event_type = 'purchase'

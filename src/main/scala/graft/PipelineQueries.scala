@@ -213,6 +213,46 @@ object PipelineQueries {
         .orderBy(col("shard_id"))
     }),
 
+    // WATER-FILLING MIX PLANNER — solve the mixture the quota entries
+    // only apply: given per-source token supplies (caps) and a total
+    // budget B (half the corpus here), find the unique water level λ
+    // with Σ min(capᵢ, λ) = B — small sources contribute everything,
+    // large ones are truncated at λ (the max-min-fair allocation
+    // data-mix planning reduces to). Closed form, no iteration: sort
+    // caps ascending (the caps frame is #sources rows —
+    // metadata-sized, so the global window is safe), prefix-sum, and
+    // λ = (B − prefix_{j−1}) div (n − j + 1) at the FIRST rank j
+    // whose cap exceeds its own candidate level. All-integer: for
+    // every rank at or before the boundary the numerator is provably
+    // ≥ 0 (each earlier cap fit under its level), so truncating div ≡
+    // floor div on the row that gets picked. The one data-sized pass
+    // is the token rollup.
+    "pipeline_mix_waterfill" -> ((s, dir) => {
+      val caps = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+          .as("cap_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cap_tokens"), col("source"))
+      val ranked = caps
+        .withColumn("rk", row_number().over(w))
+        .withColumn("pfx", sum(col("cap_tokens")).over(w))
+      val tot = caps.agg(sum(col("cap_tokens")).as("total"),
+        count(lit(1)).as("ns"))
+      val lam = ranked.crossJoin(broadcast(tot))
+        .withColumn("lam_rk", expr(
+          "(total div 2 - (pfx - cap_tokens)) div (ns - rk + 1)"))
+        .filter(col("cap_tokens") > col("lam_rk"))
+        .agg(min(struct(col("rk"), col("lam_rk"))).as("m"))
+        .select(col("m.lam_rk").as("water_level"))
+      ranked.crossJoin(broadcast(lam))
+        .select(col("source"), col("cap_tokens"),
+          least(col("cap_tokens"), col("water_level")).as("alloc_tokens"),
+          (col("cap_tokens") > col("water_level")).as("truncated"),
+          col("water_level"))
+        .orderBy(col("source"))
+    }),
+
     "pipeline_mix_quota" -> ((s, dir) => {
       PipelineOps.mixByQuota(Tables.documents(s, dir), "doc_id", "lang",
           quotas = Map("en" -> 40, "zh" -> 10), defaultQuota = 25)
@@ -812,6 +852,27 @@ object PipelineQueries {
         |  min(start_tok) AS pack_start_tok
         |FROM laid GROUP BY lang, start_tok // 512
         |ORDER BY lang, pack_id""".stripMargin,
+    "pipeline_mix_waterfill" ->
+      s"""WITH caps AS (SELECT source,
+        |    CAST(sum(len($toksSql)) AS BIGINT) AS cap_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(cap_tokens) AS BIGINT) AS total,
+        |    count(*)::BIGINT AS ns FROM caps),
+        |r AS (SELECT source, cap_tokens,
+        |    row_number() OVER (ORDER BY cap_tokens, source) AS rk,
+        |    CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS pfx
+        |  FROM caps),
+        |lamc AS (SELECT rk, cap_tokens,
+        |    (total // 2 - (pfx - cap_tokens)) // (ns - rk + 1) AS lam_rk
+        |  FROM r CROSS JOIN t),
+        |lam AS (SELECT lam_rk AS water_level FROM lamc
+        |  WHERE cap_tokens > lam_rk ORDER BY rk LIMIT 1)
+        |SELECT source, cap_tokens,
+        |  least(cap_tokens, water_level) AS alloc_tokens,
+        |  cap_tokens > water_level AS truncated, water_level
+        |FROM r CROSS JOIN lam ORDER BY source""".stripMargin,
     "pipeline_mix_quota" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id, row_number() OVER

@@ -1609,6 +1609,34 @@ object RelationalQueries {
             col("n_exact") <= 0.15).as("within_tol"))
     }),
 
+    // SKETCHED SET INTERSECTION — the set-op HLL union can't express
+    // directly, recovered by inclusion–exclusion:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B). The subtraction AMPLIFIES
+    // the sketches' relative error (each term's error is relative to
+    // ITS set, not to the usually-smaller intersection) — hence the
+    // looser 20% tolerance contract vs the union's 15%, and why
+    // production stacks cap the ratio |A∪B|/|A∩B| they trust this
+    // for. Exact counts ride along hash-matched (the agg_hll_union
+    // gate shape); membership predicates are deterministic key
+    // arithmetic so the gate is SF-stable.
+    "agg_hll_intersect" -> ((s, dir) => {
+      val k = col("s_suppkey")
+      Tables.supplier(s, dir).agg(
+          countDistinct(when(k % 2 === 0, k)).as("n_a"),
+          countDistinct(when(k % 3 === 0, k)).as("n_b"),
+          countDistinct(when(k % 6 === 0, k)).as("n_both"),
+          hll_sketch_estimate(hll_sketch_agg(when(k % 2 === 0, k)))
+            .as("est_a"),
+          hll_sketch_estimate(hll_sketch_agg(when(k % 3 === 0, k)))
+            .as("est_b"),
+          hll_sketch_estimate(hll_sketch_agg(
+            when(k % 2 === 0 || k % 3 === 0, k))).as("est_u"))
+        .select(col("n_a"), col("n_b"), col("n_both"),
+          (abs(col("est_a") + col("est_b") - col("est_u") -
+            col("n_both")).cast("double") /
+            col("n_both") <= 0.2).as("within_tol"))
+    }),
+
     // approximate quantiles (GK sketch): the rank-error contract is
     // |rank(est) − 0.5n| ≤ n/accuracy, so the estimate must lie between
     // the exact p40 and p60 for accuracy 100 — asserted as a bound, with
@@ -2082,6 +2110,16 @@ object RelationalQueries {
       """SELECT CAST(sum(cnt) AS BIGINT) AS n_exact, true AS within_tol FROM (
         |  SELECT count(DISTINCT s_suppkey) AS cnt FROM supplier
         |  GROUP BY s_nationkey)""".stripMargin,
+    "agg_hll_intersect" ->
+      """SELECT
+        |  count(DISTINCT CASE WHEN s_suppkey % 2 = 0 THEN s_suppkey END)
+        |    ::BIGINT AS n_a,
+        |  count(DISTINCT CASE WHEN s_suppkey % 3 = 0 THEN s_suppkey END)
+        |    ::BIGINT AS n_b,
+        |  count(DISTINCT CASE WHEN s_suppkey % 6 = 0 THEN s_suppkey END)
+        |    ::BIGINT AS n_both,
+        |  true AS within_tol
+        |FROM supplier""".stripMargin,
     "agg_approx_quantile" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,

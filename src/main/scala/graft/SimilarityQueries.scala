@@ -1549,6 +1549,93 @@ object SimilarityQueries {
         .orderBy(col("dim"))
     }),
 
+    // IVF PROBE SWEEP — the ANN tuning curve read before fixing
+    // nProbe (the adaptive MRL probe's static cousin): for each
+    // candidate nProbe, total recall@3 hits over the query set AND the
+    // total candidate rows scored — the recall/cost frontier in one
+    // report. ONE epoch + one brute-truth pass + one query×cell
+    // ranking are shared across all four settings (the
+    // dedup_threshold_sweep discipline: sweep the dial in one query);
+    // each setting then reads only its probed cells' partitions.
+    "sim_ann_ivf_probe_sweep" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, dir)
+      val idx = ivfIndexFor(s, dir)
+      val cents = broadcast(s.table(s"${idx}_cents"))
+      val lists = s.table(s"${idx}_lists")
+      val brute = VectorOps.bruteForceTopK(querySet(emb), emb, k = recallK)
+        .select(col("query_id"), col("neighbor_id"))
+      val prW = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("_csim").desc, col("cid"))
+      val pr = querySet(emb)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .crossJoin(cents)
+        .withColumn("_csim", round(VectorOps.cosine(col("qv"), col("cv")), 6))
+        .withColumn("cr", row_number().over(prW))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      Seq(1, 2, 4, 8).map { np =>
+        val probes = pr.filter(col("cr") <= np)
+          .select(col("cid").as("list_id"), col("query_id"), col("qv"))
+        val cand = lists.join(broadcast(probes), Seq("list_id"))
+          .filter(col("query_id") =!= col("vec_id"))
+        val ann = cand
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(VectorOps.cosine(col("qv"), col("embedding")), 6)
+              .as("cos_sim"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= recallK)
+          .select(col("query_id"), col("neighbor_id"))
+        brute.join(ann, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .select(lit(np.toLong).as("n_probe"), col("n_hit"),
+            expr(s"n_hit * 1000000 div ${10 * recallK}").as("recall_ppm"),
+            col("n_candidates"))
+      }.reduce(_ unionAll _).orderBy(col("n_probe"))
+    }),
+
+    // EMBEDDING-DRIFT monitor: per label, the cosine between the MEAN
+    // vectors of the two corpus halves (vec_id parity as the epoch
+    // split) — the embedding-space twin of the token-level
+    // pipeline_curation_drift JSD: a re-embedded or domain-shifted
+    // refresh drops this long before recall audits see it. Per-row
+    // floor(x·1e6) quantization, per-(label, dim) integer sums, and
+    // the cosine of the SUM vectors (scale-invariant ⇒ no division by
+    // n) — dot/norms accumulate in DECIMAL(38,0) (HUGEINT on the
+    // oracle; Σa_d² ≈ 64·(N·6e5)² overflows BIGINT at fixture scale
+    // already) and cross to double only inside the final sqrt/ratio.
+    "sim_embedding_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val g = emb
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("half"), col("dim"),
+          floor(col("x").cast("double") * lit(1000000.0))
+            .cast("decimal(19,0)").as("xq"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(when(col("half") === 0, col("xq"))
+            .otherwise(lit(0).cast("decimal(19,0)"))).as("a"),
+          sum(when(col("half") === 1, col("xq"))
+            .otherwise(lit(0).cast("decimal(19,0)"))).as("b"))
+      val c = g.groupBy(col("label"))
+        .agg(sum(col("a") * col("b")).as("dot"),
+          sum(col("a") * col("a")).as("na"),
+          sum(col("b") * col("b")).as("nb"))
+      val n = emb.groupBy(col("label"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_pre"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+          .as("n_post"))
+      c.join(n, Seq("label"))
+        .select(col("label"), col("n_pre"), col("n_post"),
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) *
+              sqrt(col("nb").cast("double"))), 6).as("cos_halves"))
+        .orderBy(col("label"))
+    }),
+
     // rank-AWARE eval of the binary ranking (nDCG@10 + MRR) against
     // exact-cosine truth: recall counts hits, this prices WHERE they
     // land. Graded relevance rel = 11 - true_rank; the 1/log2(i+1)
@@ -4241,6 +4328,69 @@ object SimilarityQueries {
         |ORDER BY query_id, rk""".stripMargin,
     "sim_ann_pq" -> pqOracleSql,
     "sim_ann_pq_indexed" -> pqOracleSql,
+    "sim_ann_ivf_probe_sweep" -> {
+      val per = Seq(1, 2, 4, 8).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS n_probe,
+          |  (SELECT count(*)::BIGINT FROM brute JOIN (
+          |     SELECT query_id, neighbor_id FROM (
+          |       SELECT p.query_id AS query_id, l.vec_id AS neighbor_id,
+          |         row_number() OVER (PARTITION BY p.query_id ORDER BY
+          |           round(${cosSql("p.qv", "l.embedding")}, 6) DESC,
+          |           l.vec_id) AS rk
+          |       FROM lists l JOIN pr p ON l.list_id = p.cid
+          |         AND p.cr <= $np AND l.vec_id <> p.query_id) r
+          |     WHERE rk <= $recallK) a USING (query_id, neighbor_id))
+          |    AS n_hit,
+          |  (SELECT count(*)::BIGINT FROM lists l JOIN pr p
+          |     ON l.list_id = p.cid AND p.cr <= $np
+          |       AND l.vec_id <> p.query_id) AS n_candidates""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${centTrainSql(ivfKSql, 2)},
+        |asg AS (
+        |  SELECT vec_id, embedding, cid, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY round(${cosSql("embedding", "cv")}, 6) DESC, cid) AS cr
+        |  FROM embeddings CROSS JOIN cents),
+        |lists AS (SELECT cid AS list_id, vec_id, embedding FROM asg
+        |  WHERE cr = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, c2.vec_id AS neighbor_id, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY
+        |      round(${cosSql("qv", "c2.embedding")}, 6) DESC, c2.vec_id) AS rk
+        |  FROM embeddings c2 CROSS JOIN q WHERE c2.vec_id <> query_id) b
+        |  WHERE rk <= $recallK),
+        |pr AS (SELECT query_id, qv, cid, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY round(${cosSql("qv", "cv")}, 6) DESC, cid) AS cr
+        |  FROM q CROSS JOIN cents)
+        |SELECT n_probe, n_hit,
+        |  n_hit * 1000000 // ${10 * recallK} AS recall_ppm, n_candidates
+        |FROM ($per) ORDER BY n_probe""".stripMargin
+    },
+    "sim_embedding_drift" ->
+      """WITH h AS (SELECT label, vec_id % 2 AS half, t.d AS dim,
+        |    CAST(floor((embedding[t.d + 1])::DOUBLE * 1000000.0)
+        |      AS BIGINT) AS xq
+        |  FROM embeddings, range(0, 64) t(d)),
+        |g AS (SELECT label, dim,
+        |    CAST(sum(CASE WHEN half = 0 THEN xq ELSE 0 END)
+        |      AS HUGEINT) AS a,
+        |    CAST(sum(CASE WHEN half = 1 THEN xq ELSE 0 END)
+        |      AS HUGEINT) AS b
+        |  FROM h GROUP BY 1, 2),
+        |c AS (SELECT label, sum(a * b) AS dot,
+        |    sum(a * a) AS na, sum(b * b) AS nb
+        |  FROM g GROUP BY 1),
+        |n AS (SELECT label,
+        |    sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_pre,
+        |    sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_post
+        |  FROM embeddings GROUP BY 1)
+        |SELECT label, n_pre, n_post,
+        |  round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6)
+        |    AS cos_halves
+        |FROM c JOIN n USING (label) ORDER BY label""".stripMargin,
     "sim_pq_distortion" ->
       s"""WITH ${pqPreCtes(8, 64, 8)},
         |dist AS (

@@ -591,6 +591,36 @@ object StreamingQueries {
       s.read.parquet(outDir).orderBy(col("doc_id"))
     }),
 
+    // streaming DAU board via per-day HLL sketches — the streaming
+    // twin of events_dau_wau_mau_hll's daily leg: ONE stateful op
+    // (groupBy(day) + hll_sketch_agg — streaming supports no exact
+    // COUNT DISTINCT, and chaining dropDuplicates into an agg needs
+    // append-mode finalization a bounded drain never reaches), update
+    // mode, per-day state = one KB sketch regardless of event volume.
+    // Estimates grow monotonically under merge, so the drained final
+    // row per day is the max. Gated with the family's honest shape:
+    // exact batch DAU hash-matched, the streamed estimate as a
+    // 15%-tolerance boolean (lgConfigK=12 error ≈ 1.6%).
+    "stream_dau_hll" -> ((s, dir) => {
+      val st = CdcStream.readEventStream(s, eventsStreamDir(s, dir),
+        maxFilesPerTrigger = 2)
+      val agg = st.select(expr("ts_us div 86400000000").as("day"),
+          col("user_id"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      val out = runToMemory(agg, "update")
+      val est = out.groupBy(col("day")).agg(max(col("est")).as("dau_est"))
+      val exact = Tables.events(s, dir)
+        .select(expr("ts_sec div 86400").as("day"), col("user_id"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      exact.join(est, Seq("day"))
+        .select(col("day"), col("dau"),
+          (abs(col("dau_est") - col("dau")).cast("double") /
+            col("dau") <= 0.15).as("within_tol"))
+        .orderBy(col("day"))
+    }),
+
     // streaming funnel: per-user stage-time state, cascade recomputed
     // per batch — converges to the batch funnelReach result under ANY
     // arrival order (FunnelStreamSpec proves parity on out-of-order
@@ -1390,6 +1420,11 @@ object StreamingQueries {
     // entry's window-pass mirror verbatim
     "stream_attribution" -> EventQueries.attributionSql,
     "stream_attribution_ttl" -> EventQueries.attributionSql,
+    "stream_dau_hll" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id FROM events)
+        |SELECT day, count(*)::BIGINT AS dau, true AS within_tol
+        |FROM du GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_markov" -> EventQueries.markovSql,
     "stream_forecast_holt" -> EventQueries.holtSql,
     "stream_frequent_sequences" -> EventQueries.freqSeqSql,

@@ -618,6 +618,77 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("waterfill allocation exhausts the budget within n sources slack") {
+    val rows = PipelineQueries.queries("pipeline_mix_waterfill")(
+      spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("cap_tokens")).sum
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    val b = total / 2
+    // Σ min(cap, λ) ≤ B, and the integer level leaves < n tokens unused
+    assert(alloc <= b && alloc > b - rows.length,
+      s"allocation $alloc misses the budget $b")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Boolean]("truncated") ==
+        (r.getAs[Long]("cap_tokens") > r.getAs[Long]("water_level")))
+    }
+  }
+
+  test("ivf probe sweep traces a monotone recall/cost frontier") {
+    val rows = SimilarityQueries.queries("sim_ann_ivf_probe_sweep")(
+      spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_probe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    val rec = rows.map(_.getAs[Long]("recall_ppm"))
+    val cost = rows.map(_.getAs[Long]("n_candidates"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a <= b },
+      "recall fell as probes widened")
+    assert(cost.zip(cost.tail).forall { case (a, b) => a < b },
+      "candidate cost must strictly grow with nProbe")
+  }
+
+  test("hll intersection inclusion-exclusion stays inside its tolerance") {
+    val r = RelationalQueries.queries("agg_hll_intersect")(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Boolean]("within_tol"), "estimate left the 20% band")
+    assert(r.getAs[Long]("n_both") <= r.getAs[Long]("n_a") &&
+      r.getAs[Long]("n_both") <= r.getAs[Long]("n_b"))
+  }
+
+  test("markov stationary mass survives 16 floored power iterations") {
+    val rows = EventQueries.queries("events_markov_stationary")(spark, sfDir)
+      .collect()
+    val types = Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length.toLong == types, "a state fell out of the support")
+    val mass = rows.map(_.getAs[Long]("pi_ppm")).sum
+    // each of 16 steps loses < k ppm per state to the floors
+    assert(mass <= 1000000L && mass > 1000000L - 16 * types * types - types,
+      s"stationary mass $mass drifted outside the floor tolerance")
+  }
+
+  test("permutation test p-value is a valid fraction over all 64 draws") {
+    val r = EventQueries.queries("stats_permutation_test")(spark, sfDir)
+      .collect()(0)
+    assert(r.getAs[Long]("n_perms") == 64L, "a permutation draw was dropped")
+    val p = r.getAs[Long]("p_x1000")
+    assert(p >= 0 && p <= 1000)
+    assert(r.getAs[Long]("n_extreme") <= 64L)
+  }
+
+  test("embedding drift cosine is a valid similarity over both halves") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val rows = SimilarityQueries.queries("sim_embedding_drift")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => r.getAs[Long]("n_pre") + r.getAs[Long]("n_post"))
+      .sum == n, "halves do not partition the corpus")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_halves")
+      assert(c >= -1.0 && c <= 1.0, s"cosine $c out of range")
+    }
+  }
+
   test("harmonic centrality hub probes are bounded by their reach") {
     val rows = GraphQueries.queries("graph_harmonic_centrality")(spark, sfDir)
       .collect()

@@ -733,6 +733,41 @@ object EventQueries {
         .orderBy(col("variant"))
     }),
 
+    // ONE-WAY ANOVA F — the parametric k-group mean test beside the
+    // rank-based Kruskal-Wallis (that one is outlier-immune; this one
+    // is the textbook readout when cents are roughly well-behaved).
+    // The between/within sum-of-squares decomposition runs entirely on
+    // per-group integer triples (n_g, Σy, Σy²): each group's
+    // SSW_g = (n_g·Σy² − (Σy)²) div n_g and SSB share
+    // s_g² div n_g are FLOORED per group so the cross-group sums are
+    // order-independent longs (never a double crossing a shuffle —
+    // the sim_dim_stats discipline; the ≤ k lost units are far below
+    // either SS). F crosses to double only in the final ratio.
+    // Bounds: s_g² ≤ (6e8)² ≈ 3.6e17 at sf0.1 — inside BIGINT; widen
+    // to DECIMAL(38,0) past ~10⁹ summed cents per group.
+    "stats_anova_f" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ng"), sum(col("y")).as("sg"),
+          sum(col("y") * col("y")).as("qg"))
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"),
+        count(lit(1)).as("k"))
+      g.select(
+          expr("(qg * ng - sg * sg) div ng").as("ssw_g"),
+          expr("(sg * sg) div ng").as("ssb_share"))
+        .agg(sum(col("ssw_g")).as("ssw"), sum(col("ssb_share")).as("bsum"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n"),
+          (col("bsum") - expr("(st * st) div n")).as("ssb_floor"),
+          col("ssw").as("ssw_floor"))
+        .select(col("k"), col("n"), col("ssb_floor"), col("ssw_floor"),
+          round((col("ssb_floor") * (col("n") - col("k"))).cast("double") /
+            ((col("ssw_floor") * (col("k") - 1)).cast("double")), 4)
+            .as("f_stat"))
+    }),
+
     // RANDOMIZATION (PERMUTATION) TEST on the A/B mean difference —
     // the distribution-free significance readout next to the normal-
     // theory z-test: 64 Bernoulli reassignments of the per-user
@@ -1175,6 +1210,40 @@ object EventQueries {
           col("worst_gap_days"),
           expr("n_reactivated * 1000000 div n_users")
             .as("reactivated_ppm"))
+    }),
+
+    // BOT-FILTER RULES — the abuse screen a behavioral corpus passes
+    // before its text feeds training (the user-level analog of the
+    // text_c4_rules document screen): per user, sustained event rate,
+    // worst single-hour burst, and night-hours share, each against a
+    // fixed threshold, with ≥ 2 of 3 flags marking a suspect. All
+    // integer ratios (rate ×100, night share in ppm); one groupBy per
+    // signal over user-keyed partials — no windows, no per-event
+    // state, so the audit is one shuffle at any scale.
+    "events_bot_rules" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("ts_sec div 3600").as("hour"),
+        expr("ts_sec div 86400").as("day"))
+      val byUser = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("active_days"),
+          sum(when(col("hour") % 24 < 6, 1L).otherwise(0L)).as("n_night"))
+      val burst = e.groupBy(col("user_id"), col("hour"))
+        .agg(count(lit(1)).as("nh"))
+        .groupBy(col("user_id")).agg(max(col("nh")).as("max_hour_burst"))
+      byUser.join(burst, Seq("user_id"))
+        .select(col("user_id"), col("n_events"), col("active_days"),
+          expr("n_events * 100 div active_days").as("rate_x100"),
+          col("max_hour_burst"),
+          expr("n_night * 1000000 div n_events").as("night_ppm"))
+        .withColumn("rate_flag", col("rate_x100") >= 300L)
+        .withColumn("burst_flag", col("max_hour_burst") >= 3L)
+        .withColumn("night_flag", col("night_ppm") >= 500000L)
+        .withColumn("bot_suspect",
+          (when(col("rate_flag"), 1).otherwise(0) +
+            when(col("burst_flag"), 1).otherwise(0) +
+            when(col("night_flag"), 1).otherwise(0)) >= 2)
+        .orderBy(col("user_id"))
     }),
 
     // DAU/WAU/MAU + STICKINESS: rolling distinct-user engagement — the
@@ -2415,6 +2484,31 @@ object EventQueries {
         |  GROUP BY 1)
         |SELECT day, dau, wau, mau, dau * 1000000 // mau AS stickiness_ppm
         |FROM dau JOIN r USING (day) ORDER BY day""".stripMargin,
+    "events_bot_rules" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |u AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    count(DISTINCT day)::BIGINT AS active_days,
+        |    CAST(sum(CASE WHEN hour % 24 < 6 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_night
+        |  FROM e GROUP BY 1),
+        |hb AS (SELECT user_id, CAST(max(nh) AS BIGINT) AS max_hour_burst
+        |  FROM (SELECT user_id, hour, count(*) AS nh FROM e
+        |    GROUP BY 1, 2) h GROUP BY 1),
+        |j AS (SELECT u.user_id AS user_id, n_events, active_days,
+        |    n_events * 100 // active_days AS rate_x100, max_hour_burst,
+        |    n_night * 1000000 // n_events AS night_ppm
+        |  FROM u JOIN hb USING (user_id))
+        |SELECT user_id, n_events, active_days, rate_x100,
+        |  max_hour_burst, night_ppm,
+        |  rate_x100 >= 300 AS rate_flag,
+        |  max_hour_burst >= 3 AS burst_flag,
+        |  night_ppm >= 500000 AS night_flag,
+        |  (CASE WHEN rate_x100 >= 300 THEN 1 ELSE 0 END +
+        |   CASE WHEN max_hour_burst >= 3 THEN 1 ELSE 0 END +
+        |   CASE WHEN night_ppm >= 500000 THEN 1 ELSE 0 END) >= 2
+        |    AS bot_suspect
+        |FROM j ORDER BY user_id""".stripMargin,
     // sketch twin: exact grid hash-matched, HLL estimates gated as
     // tolerance booleans (the agg_hll_union shape)
     "events_dau_wau_mau_hll" ->
@@ -3056,6 +3150,22 @@ object EventQueries {
         |    (CAST(sx AS DOUBLE) - CAST(n AS DOUBLE) * xbar)) /
         |    CAST(n AS DOUBLE), 4) AS adj_mean_cents
         |FROM j ORDER BY variant""".stripMargin,
+    "stats_anova_f" ->
+      """WITH g AS (SELECT event_type, count(*)::BIGINT AS ng,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT) *
+        |      CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS qg
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS st, count(*)::BIGINT AS k FROM g),
+        |a AS (SELECT CAST(sum((qg * ng - sg * sg) // ng) AS BIGINT) AS ssw,
+        |    CAST(sum((sg * sg) // ng) AS BIGINT) AS bsum FROM g),
+        |d AS (SELECT k, n, bsum - (st * st) // n AS ssb_floor,
+        |    ssw AS ssw_floor FROM a CROSS JOIN t)
+        |SELECT k, n, ssb_floor, ssw_floor,
+        |  round((ssb_floor * (n - k))::DOUBLE /
+        |    ((ssw_floor * (k - 1))::DOUBLE), 4) AS f_stat
+        |FROM d""".stripMargin,
     "stats_permutation_test" ->
       """WITH pu AS (SELECT user_id,
         |    CAST(sum(CASE WHEN event_type = 'purchase'

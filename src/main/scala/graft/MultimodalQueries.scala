@@ -45,6 +45,30 @@ object MultimodalQueries {
         .toDF().orderBy(col("media_id"))
     }),
 
+    // IMAGE CURATION RULES — the visual C4-rules analog: per decoded
+    // image, the reject screens a multimodal corpus runs before
+    // captioning/training (minimum pixel count, extreme aspect ratio,
+    // flat luma histogram = no contrast, overall darkness), each an
+    // integer predicate over the REAL-decode features, kept = none
+    // fired. The decode is the one data-sized pass; the verdicts are
+    // a projection.
+    "mm_image_rules" -> ((s, dir) => {
+      val f = Multimodal.decodeImages(
+        Multimodal.syntheticImages(Tables.documents(s, dir))).toDF()
+      f.select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"),
+          (col("n_pixels") < 100L).as("too_small"),
+          (greatest(col("width"), col("height")) * 2 >
+            least(col("width"), col("height")) * 3).as("extreme_aspect"),
+          (greatest(col("hist_0"), col("hist_1"), col("hist_2"),
+            col("hist_3")) * 10 >= col("n_pixels") * 9).as("low_contrast"),
+          ((col("sum_r") + col("sum_g") + col("sum_b")) <
+            col("n_pixels") * 192L).as("dark"))
+        .withColumn("kept", !col("too_small") && !col("extreme_aspect") &&
+          !col("low_contrast") && !col("dark"))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL image resize: PNG decode → 2×2 block-average (floor)
     // downscale → re-encode + roundtrip check; thumbnail pixel sums are
     // integer-exact so the oracle mirrors the downscale analytically
@@ -703,6 +727,32 @@ object MultimodalQueries {
         |    i -> ${pix("i % w", "i // w", 2)}))::BIGINT AS sum_b,
         |  ${lumaHist(0)}, ${lumaHist(1)}, ${lumaHist(2)}, ${lumaHist(3)}
         |FROM m ORDER BY media_id""".stripMargin,
+    "mm_image_rules" ->
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |f AS (SELECT media_id, w::INT AS width, h::INT AS height,
+        |  (w*h)::BIGINT AS n_pixels,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> ${pix("i % w", "i // w", 0)}))::BIGINT AS sum_r,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> ${pix("i % w", "i // w", 1)}))::BIGINT AS sum_g,
+        |  list_sum(list_transform(range(0, w*h),
+        |    i -> ${pix("i % w", "i // w", 2)}))::BIGINT AS sum_b,
+        |  ${lumaHist(0)}, ${lumaHist(1)}, ${lumaHist(2)}, ${lumaHist(3)}
+        |FROM m)
+        |SELECT media_id, width, height, n_pixels,
+        |  n_pixels < 100 AS too_small,
+        |  greatest(width, height) * 2 > least(width, height) * 3
+        |    AS extreme_aspect,
+        |  greatest(hist_0, hist_1, hist_2, hist_3) * 10 >= n_pixels * 9
+        |    AS low_contrast,
+        |  (sum_r + sum_g + sum_b) < n_pixels * 192 AS dark,
+        |  NOT (n_pixels < 100
+        |    OR greatest(width, height) * 2 > least(width, height) * 3
+        |    OR greatest(hist_0, hist_1, hist_2, hist_3) * 10 >= n_pixels * 9
+        |    OR (sum_r + sum_g + sum_b) < n_pixels * 192) AS kept
+        |FROM f ORDER BY media_id""".stripMargin,
     // the 2×2 block-average mirror: each output pixel is the floor-mean
     // of its (edge-clipped) input block, every value from the analytic
     // raster; reencode_ok mirrors TRUE (the Spark side re-encodes the

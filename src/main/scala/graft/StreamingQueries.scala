@@ -591,6 +591,30 @@ object StreamingQueries {
       s.read.parquet(outDir).orderBy(col("doc_id"))
     }),
 
+    // complete-mode SOURCE-MIX board over the streamed ingest batch —
+    // the mix share a continuous ingestion service watches while the
+    // waterfill planner decides allocations: per source, docs + token
+    // mass + share in ppm, recomputed as a full snapshot per
+    // micro-batch (complete mode, the stream_freshness discipline:
+    // the aggregate is type-cardinality-sized, so re-emitting it
+    // whole costs KBs). Drained snapshot ≡ the batch rollup, so the
+    // entry is fully DuckDB-gated.
+    "stream_source_mix" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val st = CdcStream.readEventStream(s, batchDocsDir(s, dir),
+        maxFilesPerTrigger = 2)
+      val agg = st.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.operators.TextOps.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+      val out = runToMemory(agg, "complete")
+      val tot = out.agg(sum(col("n_tokens")).as("tt"))
+      out.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div tt").as("share_ppm"))
+        .orderBy(col("source"))
+    }),
+
     // streaming DAU board via per-day HLL sketches — the streaming
     // twin of events_dau_wau_mau_hll's daily leg: ONE stateful op
     // (groupBy(day) + hll_sketch_agg — streaming supports no exact
@@ -1420,6 +1444,16 @@ object StreamingQueries {
     // entry's window-pass mirror verbatim
     "stream_attribution" -> EventQueries.attributionSql,
     "stream_attribution_ttl" -> EventQueries.attributionSql,
+    "stream_source_mix" ->
+      s"""WITH ${TextQueries.corpusSql},
+        |b AS (SELECT source, text FROM corpus WHERE doc_id >= 100000),
+        |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(len(${OracleSql.toks})) AS BIGINT) AS n_tokens
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM g)
+        |SELECT source, n_docs, n_tokens,
+        |  n_tokens * 1000000 // tt AS share_ppm
+        |FROM g CROSS JOIN t ORDER BY source""".stripMargin,
     "stream_dau_hll" ->
       """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |    user_id FROM events)

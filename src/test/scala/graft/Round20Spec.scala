@@ -618,6 +618,44 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("anova decomposition is non-negative with a positive F") {
+    val r = EventQueries.queries("stats_anova_f")(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("ssb_floor") >= 0 && r.getAs[Long]("ssw_floor") > 0)
+    assert(r.getAs[Double]("f_stat") >= 0)
+    assert(r.getAs[Long]("k") > 1 && r.getAs[Long]("n") > r.getAs[Long]("k"))
+  }
+
+  test("bot verdict is exactly the 2-of-3 rule over its own flags") {
+    val rows = EventQueries.queries("events_bot_rules")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val votes = Seq("rate_flag", "burst_flag", "night_flag")
+        .count(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("bot_suspect") == (votes >= 2))
+      assert(r.getAs[Long]("night_ppm") <= 1000000L)
+    }
+  }
+
+  test("streamed source mix shares tile the token mass") {
+    val rows = StreamingQueries.queries("stream_source_mix")(spark, sfDir)
+      .collect()
+    val shares = rows.map(_.getAs[Long]("share_ppm")).sum
+    assert(shares <= 1000000L && shares > 1000000L - rows.length,
+      s"shares $shares do not tile ppm space")
+  }
+
+  test("image keep verdict is the conjunction of its four screens") {
+    val rows = MultimodalQueries.queries("mm_image_rules")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fired = Seq("too_small", "extreme_aspect", "low_contrast", "dark")
+        .exists(r.getAs[Boolean])
+      assert(r.getAs[Boolean]("kept") == !fired)
+    }
+  }
+
   test("waterfill allocation exhausts the budget within n sources slack") {
     val rows = PipelineQueries.queries("pipeline_mix_waterfill")(
       spark, sfDir).collect()

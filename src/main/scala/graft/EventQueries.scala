@@ -302,6 +302,40 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // SEASONAL ADJUSTMENT — the additive day-of-week decomposition
+    // that turns "revenue dipped" into "revenue dipped MORE than a
+    // normal Sunday": per dow, index = dow mean − grand mean over the
+    // calendar-bounded daily grid (exact integer cents throughout,
+    // floor-div means; the one data-sized pass is the daily rollup),
+    // plus the adjustment's own effectiveness receipt — Σ|y−ȳ| before
+    // vs Σ|y−idx(dow)−ȳ| after, as integers. A seasonal index whose
+    // adjustment does NOT shrink the deviation mass is a loud sign
+    // the weekly cycle isn't real.
+    "events_seasonal_adjust" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        .withColumn("dow", expr("((day) + 4) % 7"))
+      val grand = daily.agg(sum(col("y")).as("ty"),
+        count(lit(1)).as("nd"))
+      val idx = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"))
+        .crossJoin(broadcast(grand))
+        .select(col("dow"), col("n_days"),
+          expr("sy div n_days").as("mean_cents"),
+          (expr("sy div n_days") - expr("ty div nd")).as("idx_cents"))
+      val dev = daily.crossJoin(broadcast(grand))
+        .join(broadcast(idx.select(col("dow"), col("idx_cents"))),
+          Seq("dow"))
+        .agg(sum(abs(col("y") - expr("ty div nd"))).as("dev_before"),
+          sum(abs(col("y") - col("idx_cents") - expr("ty div nd")))
+            .as("dev_after"))
+      idx.crossJoin(broadcast(dev))
+        .select(col("dow"), col("n_days"), col("mean_cents"),
+          col("idx_cents"), col("dev_before"), col("dev_after"))
+        .orderBy(col("dow"))
+    }),
+
     // FORECAST BACKTEST (MASE — Hyndman & Koehler 2006): one-step
     // evaluation of the seasonal-naive forecaster (ŷ_d = y_{d−7} in
     // rank space over the observed day grid) against the naive
@@ -731,6 +765,48 @@ object EventQueries {
                 (col("tsx").cast("double") / col("tn").cast("double")))) /
             col("n").cast("double"), 4).as("adj_mean_cents"))
         .orderBy(col("variant"))
+    }),
+
+    // TOST EQUIVALENCE (two one-sided tests) — the question the
+    // z-test cannot answer: not "are the arms different?" but "are
+    // they provably the SAME within a margin?" — the non-inferiority
+    // readout a do-no-harm launch gate needs. Equivalence holds iff
+    // the 90% CI of Δ = μ₀−μ₁ lies inside ±δ (δ = 5% of the pooled
+    // mean; z=1.645 literal). Same exact per-user integer sums as the
+    // power-analysis entry; doubles only in the fixed mirrored final
+    // expressions.
+    "stats_tost_equivalence" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+        .withColumn("v", (col("user_id") % 2).cast("long"))
+      val g = perUser.groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val a = g.filter(col("v") === 0)
+        .select(col("n").as("n0"), col("sy").as("s0"))
+      val b = g.filter(col("v") === 1)
+        .select(col("n").as("n1"), col("sy").as("s1"))
+      val t = perUser.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      t.crossJoin(broadcast(a)).crossJoin(broadcast(b))
+        .withColumn("mu", col("sy").cast("double") / col("n").cast("double"))
+        .withColumn("var", (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double") / (col("n") * (col("n") - 1)).cast("double"))
+        .withColumn("delta",
+          col("s0").cast("double") / col("n0").cast("double") -
+            col("s1").cast("double") / col("n1").cast("double"))
+        .withColumn("se", sqrt(col("var") *
+          (lit(1.0) / col("n0").cast("double") +
+            lit(1.0) / col("n1").cast("double"))))
+        .withColumn("margin", lit(0.05) * col("mu"))
+        .select(col("n0"), col("n1"),
+          round(col("delta"), 4).as("delta_cents"),
+          round(col("se"), 4).as("se_cents"),
+          round(col("margin"), 4).as("margin_cents"),
+          (col("delta") + lit(1.645) * col("se") < col("margin") &&
+            col("delta") - lit(1.645) * col("se") > -col("margin"))
+            .as("equivalent"))
     }),
 
     // ONE-WAY ANOVA F — the parametric k-group mean test beside the
@@ -2613,6 +2689,23 @@ object EventQueries {
         |  s AS s_ppm
         |FROM km ORDER BY t_days""".stripMargin,
     "events_forecast_holt" -> holtSql,
+    "events_seasonal_adjust" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT day, y, (day + 4) % 7 AS dow FROM daily),
+        |g AS (SELECT CAST(sum(y) AS BIGINT) AS ty,
+        |    count(*)::BIGINT AS nd FROM dd),
+        |idx AS (SELECT dow, count(*)::BIGINT AS n_days,
+        |    CAST(sum(y) AS BIGINT) // count(*) AS mean_cents,
+        |    CAST(sum(y) AS BIGINT) // count(*) - ty // nd AS idx_cents
+        |  FROM dd CROSS JOIN g GROUP BY dow, ty, nd),
+        |dev AS (SELECT
+        |    CAST(sum(abs(y - ty // nd)) AS BIGINT) AS dev_before,
+        |    CAST(sum(abs(y - idx_cents - ty // nd)) AS BIGINT) AS dev_after
+        |  FROM dd JOIN idx USING (dow) CROSS JOIN g)
+        |SELECT dow, n_days, mean_cents, idx_cents, dev_before, dev_after
+        |FROM idx CROSS JOIN dev ORDER BY dow""".stripMargin,
     "events_forecast_backtest" ->
       """WITH d0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
@@ -3150,6 +3243,34 @@ object EventQueries {
         |    (CAST(sx AS DOUBLE) - CAST(n AS DOUBLE) * xbar)) /
         |    CAST(n AS DOUBLE), 4) AS adj_mean_cents
         |FROM j ORDER BY variant""".stripMargin,
+    "stats_tost_equivalence" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT user_id % 2 AS v, count(*)::BIGINT AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy FROM pu GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy FROM pu),
+        |d AS (SELECT
+        |    (SELECT n FROM g WHERE v = 0) AS n0,
+        |    (SELECT sy FROM g WHERE v = 0) AS s0,
+        |    (SELECT n FROM g WHERE v = 1) AS n1,
+        |    (SELECT sy FROM g WHERE v = 1) AS s1,
+        |    sy::DOUBLE / n::DOUBLE AS mu,
+        |    (n * syy - sy * sy)::DOUBLE / (n * (n - 1))::DOUBLE AS var
+        |  FROM t),
+        |x AS (SELECT n0, n1,
+        |    s0::DOUBLE / n0::DOUBLE - s1::DOUBLE / n1::DOUBLE AS delta,
+        |    sqrt(var * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS se,
+        |    0.05 * mu AS margin
+        |  FROM d)
+        |SELECT n0, n1, round(delta, 4) AS delta_cents,
+        |  round(se, 4) AS se_cents, round(margin, 4) AS margin_cents,
+        |  (delta + 1.645 * se < margin AND delta - 1.645 * se > -margin)
+        |    AS equivalent
+        |FROM x""".stripMargin,
     "stats_anova_f" ->
       """WITH g AS (SELECT event_type, count(*)::BIGINT AS ng,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,

@@ -213,6 +213,32 @@ object PipelineQueries {
         .orderBy(col("shard_id"))
     }),
 
+    // QUALITY-RETENTION SWEEP — the "how much corpus does each quality
+    // bar cost?" dial read before fixing a minQuality threshold: per
+    // candidate cutoff, surviving docs, surviving token mass, and its
+    // ppm share of the corpus. ONE scan computes per-doc
+    // (quality, tokens); the sweep is a broadcast join of 6 literal
+    // cutoffs (the dedup_threshold_sweep discipline), densified so an
+    // everything-drops bar still reports its zero row.
+    "pipeline_quality_sweep" -> ((s, dir) => {
+      val sparkS = s; import sparkS.implicits._
+      val d = Tables.documents(s, dir)
+        .select(TextOps.qualityScore(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).cast("long").as("tok"))
+      val tot = d.agg(sum(col("tok")).as("tt"))
+      val th = Seq(20L, 30L, 40L, 50L, 60L, 80L).toDF("q_x100")
+      broadcast(th)
+        .join(d, col("q") >= col("q_x100").cast("double") / lit(100.0),
+          "left")
+        .groupBy(col("q_x100"))
+        .agg(count(col("tok")).as("n_docs"),
+          coalesce(sum(col("tok")), lit(0L)).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("q_x100"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000 div tt").as("kept_ppm"))
+        .orderBy(col("q_x100"))
+    }),
+
     // WATER-FILLING MIX PLANNER — solve the mixture the quota entries
     // only apply: given per-source token supplies (caps) and a total
     // budget B (half the corpus here), find the unique water level λ
@@ -852,6 +878,19 @@ object PipelineQueries {
         |  min(start_tok) AS pack_start_tok
         |FROM laid GROUP BY lang, start_tok // 512
         |ORDER BY lang, pack_id""".stripMargin,
+    "pipeline_quality_sweep" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+        |d AS (SELECT ${OracleSql.quality("toks")} AS q,
+        |    CAST(len(toks) AS BIGINT) AS tok FROM t),
+        |tt AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM d),
+        |th AS (SELECT unnest([20, 30, 40, 50, 60, 80]::BIGINT[])
+        |  AS q_x100)
+        |SELECT th.q_x100 AS q_x100, count(d.tok)::BIGINT AS n_docs,
+        |  CAST(coalesce(sum(d.tok), 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(d.tok), 0) AS BIGINT) * 1000000
+        |    // (SELECT tt FROM tt) AS kept_ppm
+        |FROM th LEFT JOIN d ON d.q >= th.q_x100::DOUBLE / 100.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_mix_waterfill" ->
       s"""WITH caps AS (SELECT source,
         |    CAST(sum(len($toksSql)) AS BIGINT) AS cap_tokens

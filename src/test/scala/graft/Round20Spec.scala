@@ -618,6 +618,42 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("tost margin and se are positive and the verdict matches the ci") {
+    val r = EventQueries.queries("stats_tost_equivalence")(spark, sfDir)
+      .collect()(0)
+    val (d, se, m) = (r.getAs[Double]("delta_cents"),
+      r.getAs[Double]("se_cents"), r.getAs[Double]("margin_cents"))
+    assert(se > 0 && m > 0)
+    // re-derive the verdict from the rounded report within tolerance
+    val inside = d + 1.645 * se < m + 0.001 && d - 1.645 * se > -m - 0.001
+    if (r.getAs[Boolean]("equivalent")) assert(inside)
+  }
+
+  test("seasonal indices sum to ~zero and adjustment shrinks deviation") {
+    val rows = EventQueries.queries("events_seasonal_adjust")(spark, sfDir)
+      .collect()
+    assert(rows.length == 7)
+    val wsum = rows.map(r => r.getAs[Long]("idx_cents") *
+      r.getAs[Long]("n_days")).sum
+    val nDays = rows.map(_.getAs[Long]("n_days")).sum
+    // Σ n_d·idx_d = Σy − nd·grand ∈ [0, nd) up to the floor-div losses
+    assert(math.abs(wsum) <= nDays * 7,
+      s"weighted index sum $wsum violates the decomposition identity")
+    val r0 = rows(0)
+    assert(r0.getAs[Long]("dev_after") <= r0.getAs[Long]("dev_before"),
+      "the seasonal adjustment inflated the deviation mass")
+  }
+
+  test("quality sweep retention is monotone non-increasing in the bar") {
+    val rows = PipelineQueries.queries("pipeline_quality_sweep")(
+      spark, sfDir).collect()
+    val kept = rows.map(_.getAs[Long]("n_tokens"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b },
+      "a higher quality bar kept more tokens")
+    assert(rows.map(_.getAs[Long]("kept_ppm")).forall(p =>
+      p >= 0 && p <= 1000000L))
+  }
+
   test("anova decomposition is non-negative with a positive F") {
     val r = EventQueries.queries("stats_anova_f")(spark, sfDir).collect()(0)
     assert(r.getAs[Long]("ssb_floor") >= 0 && r.getAs[Long]("ssw_floor") > 0)

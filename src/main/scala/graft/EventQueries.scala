@@ -302,6 +302,38 @@ object EventQueries {
         .orderBy(col("event_type"))
     }),
 
+    // CHANGEPOINT LOCATION — the CUSUM monitor's missing half: the
+    // cusum entries FLAG that a shift happened; this estimates WHERE
+    // (the classic single-changepoint estimator: the day maximizing
+    // |Σ_{≤d}(y − ȳ)|) and prices it (pre/post means and the shift).
+    // The deviation is kept exact-integer by scaling: |cum·nd − rk·ty|
+    // is nd·|cusum| (bound ≈ Σy·nd ≈ 2e10 at sf0.1 — far inside
+    // BIGINT); argmax ties break to the earliest day via the
+    // (dev DESC, day) rank. Everything runs on the per-type daily
+    // grid — metadata-sized after the one rollup pass.
+    "events_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("y")).as("ty"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val c = daily.join(tot, Seq("event_type"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("y")).over(w))
+        .withColumn("dev",
+          abs(col("cum") * col("nd") - col("rk") * col("ty")))
+      val wr = Window.partitionBy(col("event_type"))
+        .orderBy(col("dev").desc, col("day"))
+      c.withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          expr("cum div rk").as("pre_mean_cents"),
+          expr("(ty - cum) div (nd - rk)").as("post_mean_cents"),
+          (expr("(ty - cum) div (nd - rk)") - expr("cum div rk"))
+            .as("shift_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // SEASONAL ADJUSTMENT — the additive day-of-week decomposition
     // that turns "revenue dipped" into "revenue dipped MORE than a
     // normal Sunday": per dow, index = dow mean − grand mean over the
@@ -2689,6 +2721,28 @@ object EventQueries {
         |  s AS s_ppm
         |FROM km ORDER BY t_days""".stripMargin,
     "events_forecast_holt" -> holtSql,
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS ty,
+        |    count(*)::BIGINT AS nd FROM daily GROUP BY 1),
+        |c AS (SELECT daily.event_type AS event_type, day, ty, nd,
+        |    row_number() OVER (PARTITION BY daily.event_type
+        |      ORDER BY day) AS rk,
+        |    CAST(sum(y) OVER (PARTITION BY daily.event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM daily JOIN t USING (event_type)),
+        |d AS (SELECT *, abs(cum * nd - rk * ty) AS dev FROM c),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dev DESC, day) AS rn FROM d)
+        |SELECT event_type, day AS change_day,
+        |  cum // rk AS pre_mean_cents,
+        |  (ty - cum) // (nd - rk) AS post_mean_cents,
+        |  (ty - cum) // (nd - rk) - cum // rk AS shift_cents
+        |FROM p WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "events_seasonal_adjust" ->
       """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y

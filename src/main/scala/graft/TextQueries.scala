@@ -2009,6 +2009,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ...and the one-screen CLUSTER-SIZE census over the same walk:
+    // how near-dup mass distributes across cluster sizes (n_removable
+    // = (size−1)·clusters is exactly the dedup saving at each size) —
+    // the df-histogram's cluster-level sibling, read before choosing
+    // keep-one vs quality-argmax survivorship.
+    "dedup_cluster_size_hist" -> ((s, dir) => {
+      Dedup.nearDupClusters(
+          Dedup.minhashPairs(dupCorpus(Tables.documents(s, dir)), "doc_id",
+            "text", numHashes = 8, numBands = 4, threshold = 0.5))
+        .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // survivor selection BY QUALITY — the curation policy layered on
     // the cluster structure: within each near-dup family keep the
     // highest-quality member (ppm-quantized score, doc_id tie-break)
@@ -3713,6 +3730,22 @@ object TextQueries {
           |SELECT id AS doc_id, min(label) AS cluster_id,
           |  (id = min(label)) AS is_survivor
           |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+      "dedup_cluster_size_hist" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+          |  UNION ALL SELECT id_b, id_a FROM dup_pairs),
+          |walk(id, label) AS (
+          |  SELECT DISTINCT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+          |cl AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+          |sz AS (SELECT label, count(*)::BIGINT AS cluster_size
+          |  FROM cl GROUP BY 1)
+          |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+          |  cluster_size * count(*)::BIGINT AS n_docs,
+          |  (cluster_size - 1) * count(*)::BIGINT AS n_removable
+          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
       // the quality-argmax survivor over the same cluster walk: the
       // ppm quantization makes the score an exact integer in both
       // engines, the (q_ppm DESC, doc_id) order is total

@@ -618,6 +618,31 @@ class Round20Spec extends AnyFunSuite {
     }
   }
 
+  test("changepoint shift equals the post/pre mean difference") {
+    val rows = EventQueries.queries("events_changepoint")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("shift_cents") ==
+        r.getAs[Long]("post_mean_cents") - r.getAs[Long]("pre_mean_cents"))
+      assert(r.getAs[Long]("pre_mean_cents") > 0)
+    }
+  }
+
+  test("cluster size histogram conserves the clustered-doc census") {
+    val cl = TextQueries.queries("dedup_clusters")(spark, sfDir).count()
+    val rows = TextQueries.queries("dedup_cluster_size_hist")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == cl,
+      "histogram lost or invented clustered docs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2,
+        "a singleton appeared in the pair-walk census")
+      assert(r.getAs[Long]("n_removable") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("tost margin and se are positive and the verdict matches the ci") {
     val r = EventQueries.queries("stats_tost_equivalence")(spark, sfDir)
       .collect()(0)

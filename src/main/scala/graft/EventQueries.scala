@@ -543,8 +543,10 @@ object EventQueries {
     // expressions).
     "stats_bootstrap_ci" -> ((s, dir) => {
       val B = 64
-      val e = Tables.events(s, dir).select(col("event_type"),
-        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      // spread the md5-heavy replicate fan-out (13 hashes/row) off
+      // the single fixture scan task — see Tables.spread
+      val e = Tables.spread(Tables.events(s, dir).select(col("event_type"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents")))
       // one md5 yields FIVE independent 6-hex-digit draws (30 of 32
       // hex chars) — replicate b = 5g+o reads digits [1+6o, +6) of
       // md5(id ":" g), and the hash is computed ONCE per (row, g)
@@ -1682,7 +1684,15 @@ object EventQueries {
         .select(col("event_type").as("prev_type"), col("next_type"),
           col("n"))
       val tot = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("row_n"))
-      val pm = pairs.join(tot, Seq("prev_type"))
+      // the transition matrix is MODEL-sized (|types|² rows) — pin it
+      // as an eager local leaf (the bigramLogProb collect class): a
+      // plan tree has no cross-reference sharing, so each of the 16
+      // power iterations below otherwise embeds — and re-executes —
+      // the whole events window+agg lineage (16 corpus passes;
+      // measured r20: 2.9 s warm → the leaf removes all but one)
+      val pmRaw = pairs.join(tot, Seq("prev_type"))
+      val pm = s.createDataFrame(
+        java.util.Arrays.asList(pmRaw.collect(): _*), pmRaw.schema)
       val states = pm.select(col("prev_type").as("state")).distinct()
       var pi = states
         .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))

@@ -291,10 +291,11 @@ object PipelineQueries {
     // deterministic per-stratum quota machinery as pipeline_mix_quota —
     // equal representation from every semantic cluster
     "pipeline_cluster_balance" -> ((s, dir) => {
-      val assigned = graft.operators.VectorOps.kmeansAssign(
-        Tables.embeddings(s, dir),
-        numCentroids = SimilarityQueries.ivfK(Tables.embeddings(s, dir)),
-        trainIters = 2)
+      // quantizer hoisted from the shared IVF epoch (same K/iters —
+      // identical centroids, see VectorOps hoisted-forms note)
+      val assigned = graft.operators.VectorOps.kmeansAssignWith(
+        s.table(s"${SimilarityQueries.ivfIndexFor(s, dir)}_cents"),
+        Tables.embeddings(s, dir))
       PipelineOps.mixByQuota(assigned.withColumn("cluster", col("cluster_id").cast("string")),
           "vec_id", "cluster", quotas = Map.empty, defaultQuota = 8)
         .select(col("vec_id"), col("cluster_id"))
@@ -435,7 +436,7 @@ object PipelineQueries {
     // ≤ 4096 rows (feature hashing — the fixed-width model that fits
     // at 100 TB); λ broadcasts onto the pool's (doc, bucket) counts
     "pipeline_dsir_weights" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.spread(Tables.documents(s, dir))
       PipelineOps.dsirWeights(
           target = docs.filter(col("lang") === "en"),
           pool = docs.filter(col("lang") =!= "en"),
@@ -447,7 +448,7 @@ object PipelineQueries {
     // (logw desc, id) — TakeOrderedAndProject over the weight table,
     // rank stamped on the selected 50-row leaf only
     "pipeline_dsir_select" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.spread(Tables.documents(s, dir))
       PipelineOps.dsirSelect(PipelineOps.dsirWeights(
           target = docs.filter(col("lang") === "en"),
           pool = docs.filter(col("lang") =!= "en"),
@@ -479,7 +480,7 @@ object PipelineQueries {
     // bounded output fold.
     "pipeline_domain_distance" -> ((s, dir) => {
       val B = 4096
-      val cnt = Tables.documents(s, dir)
+      val cnt = Tables.spread(Tables.documents(s, dir))
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
         .select(col("lang"),
           (conv(substring(md5(col("w")), 1, 6), 16, 10).cast("long") % B)
@@ -679,7 +680,7 @@ object PipelineQueries {
     // ∝ w^(1/τ) in ONE pass — the Gumbel-max trick, the only sampler
     // that works on a 100 TB pool (no sequential draws)
     "pipeline_dsir_resample" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.spread(Tables.documents(s, dir))
       PipelineOps.dsirResample(PipelineOps.dsirWeights(
           target = docs.filter(col("lang") === "en"),
           pool = docs.filter(col("lang") =!= "en"),

@@ -1507,8 +1507,9 @@ object SimilarityQueries {
       val pos = VectorOps.bruteForceTopK(querySet(emb), emb, k = 3)
         .select(col("query_id"), col("rk"),
           col("neighbor_id").as("pos_id"), col("cos_sim").as("pos_cos"))
-      val neg = VectorOps.ivfHardNegatives(querySet(emb), emb, k = 3,
-          numCentroids = ivfK(emb), nProbe = 4, trainIters = 2,
+      val neg = VectorOps.ivfHardNegativesWith(
+          s.table(s"${ivfIndexFor(s, dir)}_cents"),
+          querySet(emb), emb, k = 3, nProbe = 4,
           loCos = 0.30, hiCos = 0.90)
         .select(col("query_id"), col("rk"),
           col("neighbor_id").as("neg_id"), col("cos_sim").as("neg_cos"))
@@ -1848,7 +1849,9 @@ object SimilarityQueries {
     // (cluster-balanced sampling, semantic dedup) — K~√N like IVF
     "sim_cluster_assignments" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      VectorOps.kmeansAssign(emb, numCentroids = ivfK(emb), trainIters = 2)
+      // quantizer hoisted from the shared IVF epoch (same K/iters —
+      // identical centroids, see VectorOps hoisted-forms note)
+      VectorOps.kmeansAssignWith(s.table(s"${ivfIndexFor(s, dir)}_cents"), emb)
         .orderBy(col("vec_id"))
     }),
 
@@ -1859,8 +1862,8 @@ object SimilarityQueries {
     // partition is crisp enough to serve IVF probes / balanced samples
     "sim_cluster_silhouette" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      VectorOps.clusterSilhouette(emb, numCentroids = ivfK(emb),
-          trainIters = 2)
+      VectorOps.clusterSilhouetteWith(
+          s.table(s"${ivfIndexFor(s, dir)}_cents"), emb)
         .orderBy(col("cluster_id"))
     }),
 
@@ -1869,8 +1872,8 @@ object SimilarityQueries {
     "sim_ann_ivf_sq8" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfTopKSq8(querySet(emb), emb, k = 3,
-          numCentroids = ivfK(emb), nProbe = 4, trainIters = 2)
+      VectorOps.ivfTopKSq8With(s.table(s"${ivfIndexFor(s, dir)}_cents"),
+          querySet(emb), emb, k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
@@ -1880,8 +1883,9 @@ object SimilarityQueries {
     "sim_ann_ivf_sq8_recall" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      recallAudit(emb, VectorOps.ivfTopKSq8(querySet(emb), emb, k = recallK,
-        numCentroids = ivfK(emb), nProbe = 2, trainIters = 2))
+      recallAudit(emb, VectorOps.ivfTopKSq8With(
+        s.table(s"${ivfIndexFor(s, dir)}_cents"),
+        querySet(emb), emb, k = recallK, nProbe = 2))
     }),
 
     // PQ-ADC ANN: m=8 sub-codebooks of 64 centroids — corpus vectors
@@ -2087,8 +2091,8 @@ object SimilarityQueries {
     "sim_ann_ivf" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfTopK(querySet(emb), emb, k = 3, numCentroids = ivfK(emb),
-          nProbe = 4, trainIters = 2)
+      VectorOps.ivfTopKWith(s.table(s"${ivfIndexFor(s, dir)}_cents"),
+          querySet(emb), emb, k = 3, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
     }),
@@ -2102,8 +2106,8 @@ object SimilarityQueries {
     "sim_hard_negatives" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfHardNegatives(querySet(emb), emb, k = 5,
-          numCentroids = ivfK(emb), nProbe = 4, trainIters = 2,
+      VectorOps.ivfHardNegativesWith(s.table(s"${ivfIndexFor(s, dir)}_cents"),
+          querySet(emb), emb, k = 5, nProbe = 4,
           loCos = 0.30, hiCos = 0.90)
         .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
         .orderBy(col("query_id"), col("rk"))
@@ -2937,19 +2941,30 @@ object SimilarityQueries {
     // discipline). Duplicate points (d₁² = 0) are excluded — their
     // ratio is undefined. Brute-force 2-NN here (oracle-able); at
     // corpus scale the ANN shortlist supplies (d₁, d₂) instead.
+    //
+    // Perf (r20, guide §2.4/§4): the n² pair pass runs on the STREAM
+    // side of a BroadcastNestedLoopJoin, and the small parquet scans
+    // in ONE task — the whole quadratic kernel (fold + the window's
+    // local sort) was single-threaded (41 s warm at sf0.1).
+    // Repartitioning the stream side to defaultParallelism spreads it
+    // across cores (scale-adaptive — no constant), and the per-pair
+    // fold routes through the codegen'd graft_dot_i on int-quantized
+    // components instead of the interpreted zip_with/aggregate HOF
+    // chain. floor(x·1e3) ∈ [−1001, 1000] fits int exactly, and both
+    // dots are the same exact integer sums, so dsq — and the gated
+    // output — is bit-identical (41 s → 0.5 s warm; plans/r20).
     "sim_intrinsic_dim" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val q = Tables.embeddings(s, dir).select(col("vec_id"),
         expr("""transform(embedding,
-          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))""").as("qe"))
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS INT))""").as("qe"))
         .select(col("vec_id"), col("qe"),
-          expr("""aggregate(qe, CAST(0 AS BIGINT),
-            (a, v) -> a + v * v)""").as("nsq"))
-      val pairs = q.as("a").join(q.as("b"),
-          col("a.vec_id") =!= col("b.vec_id"))
+          expr("graft_dot_i(qe, qe)").as("nsq"))
+      val pairs = q.repartition(s.sparkContext.defaultParallelism).as("a")
+        .join(q.as("b"), col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
           (col("a.nsq") + col("b.nsq") - lit(2) *
-            expr("""aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y),
-              CAST(0 AS BIGINT), (acc, v) -> acc + v)""")).as("dsq"))
+            expr("graft_dot_i(a.qe, b.qe)")).as("dsq"))
       val rk = pairs.withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("qid")).orderBy(col("dsq"), col("nid"))))
@@ -3087,8 +3102,8 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val emb = Tables.embeddings(s, dir)
       recallAudit(emb,
-        VectorOps.ivfTopK(querySet(emb), emb, k = recallK, numCentroids = ivfK(emb),
-          nProbe = 2, trainIters = 2))
+        VectorOps.ivfTopKWith(s.table(s"${ivfIndexFor(s, dir)}_cents"),
+          querySet(emb), emb, k = recallK, nProbe = 2))
     }),
 
     // the retrained generation is a NEW quantizer configuration (fresh

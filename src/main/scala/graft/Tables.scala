@@ -15,6 +15,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a scan across the session's cores when the source supplies
+    * FEWER splits than cores — the sf fixtures are single-split parquet
+    * files, so a heavy expression chain (md5 fan-outs, tokenize+explode,
+    * per-row codecs) above the first exchange otherwise runs in ONE
+    * task regardless of `local[n]` (guide §2.4's accidental
+    * single-partition; measured r20: 3–40× on the affected queries).
+    * Scale-adaptive and production-invisible: when the scan already
+    * carries ≥ cores splits (any real-scale input), this is the
+    * identity — no exchange is added, so the 100 TB plan is unchanged.
+    * Row-level results are partitioning-invariant in every caller
+    * (aggregations / per-row maps), so output is identical. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

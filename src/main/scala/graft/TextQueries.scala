@@ -1141,8 +1141,8 @@ object TextQueries {
     // integer degree/freq word scores, phrase = Σ word scores): the
     // corpus-level top-20 keyphrases — full ranked list gated
     "text_rake_keyphrases" -> ((s, dir) =>
-      TextOps.rakeKeyphrases(Tables.documents(s, dir), "doc_id", "text",
-          k = 20)
+      TextOps.rakeKeyphrases(Tables.spread(Tables.documents(s, dir)),
+          "doc_id", "text", k = 20)
         .orderBy(col("score").desc, col("phrase"))),
 
     // mutual information between the lang and source columns — the
@@ -1172,7 +1172,8 @@ object TextQueries {
     // log-prob — common-token prose high, rare-token noise low; the
     // statistical quality filter over text_quality's per-row heuristics
     "text_unigram_logprob" -> ((s, dir) => {
-      TextOps.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      TextOps.unigramLogProb(Tables.spread(Tables.documents(s, dir)),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1180,7 +1181,8 @@ object TextQueries {
     // conditional log-prob ln(c(w1,w2)/c(w1,·)) per doc, catching
     // scrambled-word noise the unigram filter scores high
     "text_bigram_logprob" -> ((s, dir) => {
-      TextOps.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      TextOps.bigramLogProb(Tables.spread(Tables.documents(s, dir)),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1459,7 +1461,7 @@ object TextQueries {
     // the vocab-bounded node set; every iteration is one edge⋈rank
     // shuffle + node-keyed agg. Top-20 via TakeOrderedAndProject.
     "text_textrank_keywords" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.spread(Tables.documents(s, dir))
       val t = TextOps.tokens(col("text"))
       val uni = d.select(explode(t).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -1476,9 +1478,17 @@ object TextQueries {
         .filter(col("w1") =!= col("w2"))
         .join(keep.select(col("w").as("w1")), Seq("w1"), "left_semi")
         .join(keep.select(col("w").as("w2")), Seq("w2"), "left_semi")
-      val e = fb.select(least(col("w1"), col("w2")).as("a"),
+      val e0 = fb.select(least(col("w1"), col("w2")).as("a"),
           greatest(col("w1"), col("w2")).as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+      // materialize the vocab-bounded weighted edge list ONCE (the
+      // ivfTopK RDD-persist leaf pattern — reference-tracked, lineage
+      // kept): degree sum, node count, rank init and both iterations
+      // each referenced it, so the tokenize+explode corpus pass ran
+      // 5× (r20 measured 3.1 s warm → 0.9 s with the leaf)
+      val eRdd = e0.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = s.createDataFrame(eRdd, e0.schema)
       def sym() = e.select(col("a").as("src"), col("b").as("dst"), col("wt"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("wt")))
       val wu = sym().groupBy(col("src").as("node")).agg(sum(col("wt")).as("wu"))
@@ -1514,7 +1524,7 @@ object TextQueries {
     // the PMI low-frequency pathology AND bounds the join), top-30 via
     // TakeOrderedAndProject.
     "text_pmi_collocations" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.spread(Tables.documents(s, dir))
       val t = TextOps.tokens(col("text"))
       val bgArr = when(size(t) >= 2,
           zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
@@ -1646,7 +1656,7 @@ object TextQueries {
         s"""CASE WHEN ($k) <= 0 THEN CAST(0 AS BIGINT)
           |ELSE CAST(floor(1000000 * CAST($k AS DOUBLE) *
           |  ln(CAST($k AS DOUBLE))) AS BIGINT) END""".stripMargin
-      val d = Tables.documents(s, dir)
+      val d = Tables.spread(Tables.documents(s, dir))
       val tk = TextOps.tokens(col("text"))
       val bgArr = when(size(tk) >= 2,
           zip_with(slice(tk, lit(1), size(tk) - 1),
@@ -2039,7 +2049,7 @@ object TextQueries {
           Dedup.minhashPairs(corpus, "doc_id", "text",
             numHashes = 8, numBands = 4, threshold = 0.5))
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      val q = corpus.select(col("doc_id"),
+      val q = Tables.spread(corpus).select(col("doc_id"),
         floor(TextOps.qualityScore(col("text")) * lit(1000000.0))
           .cast("long").as("q_ppm"))
       val byQuality = Window.partitionBy(col("cluster_id"))
@@ -2098,7 +2108,7 @@ object TextQueries {
       val t = TextOps.tokens(col("text"))
       val hs = transform(TextOps.shingles(t),
         sh => conv(substring(md5(sh), 1, 15), 16, 10).cast("long"))
-      val prints = Tables.documents(s, dir)
+      val prints = Tables.spread(Tables.documents(s, dir))
         .select(col("doc_id"), hs.as("hs"))
         .select(col("doc_id"),
           explode(when(size(col("hs")) >= 4,

@@ -1226,6 +1226,91 @@ object VectorOps {
     scoreAndRankQ(lists, probes, k)
   }
 
+  // -------------------------------------------------------------------
+  // Hoisted-quantizer forms (r20, guide §1.2 "don't compute things you
+  // throw away"): the in-query IVF family re-ran the SAME Lloyd
+  // training (2 iterations × corpus passes ≈ 10 scheduled stages) per
+  // query that the session's IVF epoch already materialized in its
+  // `_cents` leaf. These variants take that leaf instead — identical
+  // output by construction, because the epoch's centroids ARE
+  // trainCentroids' output roundtripped through parquet (float-exact),
+  // and assignment/probe/rank share the same private helpers. The
+  // self-training forms stay for callers whose configuration differs
+  // from the epoch's (e.g. retrained-generation audits).
+  // -------------------------------------------------------------------
+
+  /** [[ivfTopK]] with a caller-supplied coarse quantizer. */
+  def ivfTopKWith(cents0: DataFrame, queries: DataFrame, corpus: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = broadcast(cents0)
+    scoreAndRank(assignLists(corpus, cents), probeLists(queries, cents, nProbe), k)
+  }
+
+  /** [[ivfTopKSq8]] with a caller-supplied coarse quantizer. */
+  def ivfTopKSq8With(cents0: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = broadcast(cents0)
+    val lists = withQuantized(assignLists(corpus, cents), "embedding", "qe")
+      .select(col("list_id"), col("vec_id"), col("qe"))
+    val probes = withQuantized(probeLists(queries, cents, nProbe), "qv", "qq")
+      .select(col("list_id"), col("query_id"), col("qq"))
+    scoreAndRankQ(lists, probes, k)
+  }
+
+  /** [[ivfHardNegatives]] with a caller-supplied coarse quantizer. */
+  def ivfHardNegativesWith(cents0: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int, nProbe: Int,
+      loCos: Double, hiCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = broadcast(cents0)
+    val lists = assignLists(corpus, cents)
+    val probes = probeLists(queries, cents, nProbe)
+    val scored = lists.join(broadcast(probes),
+        lists("list_id") === probes("list_id") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= loCos && col("cos_sim") < hiCos)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** [[kmeansAssign]] with a caller-supplied quantizer. */
+  def kmeansAssignWith(cents0: DataFrame, corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    assignLists(corpus, broadcast(cents0))
+      .select(col("vec_id"), col("list_id").as("cluster_id"))
+  }
+
+  /** [[clusterSilhouette]] with a caller-supplied quantizer. */
+  def clusterSilhouetteWith(cents0: DataFrame, corpus: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = broadcast(cents0)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("cid"))
+    val top = corpus.crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        round(cosine(col("embedding"), col("cv")), 6).as("cs"))
+      .withColumn("cr", row_number().over(w)).filter(col("cr") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("cr") === 1, col("cid"))).as("cluster_id"),
+        max(when(col("cr") === 1, col("cs"))).as("cs1"),
+        max(when(col("cr") === 2, col("cs"))).as("cs2"))
+    val dmax = greatest(lit(1.0) - col("cs1"), lit(1.0) - col("cs2"))
+    top.select(col("cluster_id"),
+        when(dmax === 0.0, lit(0L))
+          .otherwise(floor(lit(1000000.0) * (col("cs1") - col("cs2")) / dmax)
+            .cast("long")).as("s_ppm"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("s_ppm")).as("sum_s_ppm"))
+      .select(col("cluster_id"), col("n"), col("sum_s_ppm"),
+        expr("sum_s_ppm div n").as("mean_s_ppm"))
+  }
+
   /** K-means cluster assignment as a first-class operator: every vector
     * labelled with its nearest Lloyd-trained centroid — the corpus
     * partitioning step of semantic dedup / topic balancing / IVF list

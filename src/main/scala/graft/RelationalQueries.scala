@@ -582,8 +582,14 @@ object RelationalQueries {
     // the shuffle is the orderkey partitioning the fact already has,
     // the agg combines map-side, and top-k is TakeOrderedAndProject
     "join_copurchase_pairs" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // materialize the distinct basket once (ivfTopK RDD-persist leaf
+      // pattern): both self-join sides otherwise re-run the scan +
+      // partial-distinct lineage (r20)
+      val li0 = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val liRdd = li0.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val li = s.createDataFrame(liRdd, li0.schema)
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
@@ -1442,8 +1448,14 @@ object RelationalQueries {
     // market-basket scoring layered on join_copurchase_pairs' raw
     // counts (lift > 1e6 ⇔ the pair co-occurs above independence)
     "join_assoc_rules" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
+      // four references (order count, part frequencies, both join
+      // sides) each re-ran the scan + partial-distinct — leaf it once
+      // (ivfTopK RDD-persist pattern, r20)
+      val li0 = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val liRdd = li0.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val li = s.createDataFrame(liRdd, li0.schema)
       val nOrders = broadcast(li.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_orders")))
       val pf = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))

@@ -338,7 +338,11 @@ object Multimodal {
     * [[syntheticImages]]. */
   def syntheticAudio(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    spreadSeeds(docs.select(col("doc_id")).as[Long]).mapPartitions { ids =>
+    // NOT spreadSeeds: WAV synth+decode is ~0.3 s of total work at
+    // sf0.1 — 32-way task scheduling costs more than it saves
+    // (measured r20: the spread form was 2× slower); the image/GIF
+    // codecs above are heavy enough to pay for the exchange
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map(id => MediaRow(id, "audio/wav", encodeSyntheticWav(id)))
     }
   }
@@ -608,7 +612,7 @@ object Multimodal {
       .union(docs.filter(col("doc_id") % 10 === 3)
         .select(col("doc_id")).as[Long]
         .map(id => Seeded(mediaId = id + 100000L, seed = id)))
-    spreadSeeds(seeds).mapPartitions { rows =>
+    seeds.mapPartitions { rows =>
       rows.map(sd => MediaRow(sd.mediaId, "audio/wav",
         encodeSyntheticWav(sd.seed)))
     }

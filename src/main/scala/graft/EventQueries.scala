@@ -1691,8 +1691,18 @@ object EventQueries {
       // the whole events window+agg lineage (16 corpus passes;
       // measured r20: 2.9 s warm → the leaf removes all but one)
       val pmRaw = pairs.join(tot, Seq("prev_type"))
+      val pmRows = pmRaw.collect()
+      // the "model-sized" contract made loud (ADVICE r20): |types|² must
+      // stay driver-bounded at ANY corpus scale — event_type is a closed
+      // enum (the fixture carries a handful; a schema where it is
+      // unbounded needs the two-level fold, not this leaf). 1e6 rows of
+      // (2 strings, 2 longs) ≈ tens of MB — far under driver headroom,
+      // and far past any plausible type-enum size.
+      require(pmRows.length <= 1000000,
+        s"events_markov_stationary: |types|^2 = ${pmRows.length} exceeds " +
+          "the model-sized collect bound — event_type is not enum-like here")
       val pm = s.createDataFrame(
-        java.util.Arrays.asList(pmRaw.collect(): _*), pmRaw.schema)
+        java.util.Arrays.asList(pmRows: _*), pmRaw.schema)
       val states = pm.select(col("prev_type").as("state")).distinct()
       var pi = states
         .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))

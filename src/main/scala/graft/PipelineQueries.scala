@@ -558,10 +558,28 @@ object PipelineQueries {
     "pipeline_epoch_decorrelation" -> ((s, dir) => {
       val keys = PipelineOps.epochShuffleKeys(
         Tables.documents(s, dir), "doc_id", epochs = 2)
-      def rk(ep: Int, as: String) = keys.filter(col("epoch") === ep)
-        .withColumn(as, row_number().over(
-          Window.orderBy(col("shuffle_key"))).cast("long"))
-        .select(col("doc_id"), col(as))
+      // global md5 rank in the scalable TWO-LEVEL form (r21 — the
+      // shardManifest range-grid discipline): bucket = the key's first
+      // 2 hex chars (256 uniform buckets, order-aligned with the full
+      // lexicographic key order since hex strings compare prefix-
+      // first), per-bucket counts cumsum'd on the 256-row grid and
+      // broadcast back, row_number adds the within-bucket rank. Equal
+      // to row_number over the unpartitioned corpus-sized window the
+      // r20 form used — md5 keys are distinct, so the order is total.
+      def rk(ep: Int, as: String) = {
+        val k = keys.filter(col("epoch") === ep)
+          .withColumn("bkt", substring(col("shuffle_key"), 1, 2))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val off = k.groupBy(col("bkt")).agg(count(lit(1)).as("bn"))
+          .withColumn("boff", coalesce(sum(col("bn")).over(wOff), lit(0L)))
+          .select(col("bkt"), col("boff"))
+        k.join(broadcast(off), Seq("bkt"))
+          .withColumn(as, (col("boff") + row_number().over(
+            Window.partitionBy(col("bkt")).orderBy(col("shuffle_key"))))
+            .cast("long"))
+          .select(col("doc_id"), col(as))
+      }
       rk(0, "ra").join(rk(1, "rb"), Seq("doc_id"))
         .select(((col("ra") - col("rb")) * (col("ra") - col("rb")))
           .as("d2"))

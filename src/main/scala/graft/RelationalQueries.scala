@@ -595,10 +595,16 @@ object RelationalQueries {
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("part_a"),
           col("b.l_partkey").as("part_b"))
-      pairs.groupBy(col("part_a"), col("part_b"))
+      val out = pairs.groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(20)
+      // force the k-bounded result and RELEASE the leaf (VERDICT r20
+      // #6): the persisted basket no longer waits for ContextCleaner
+      // GC — no persisted RDD outlives the query invocation
+      try s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      finally { liRdd.unpersist(); () }
     }),
 
     // entity resolution: dirty part names (3rd char deleted for every
@@ -1467,7 +1473,7 @@ object RelationalQueries {
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2)
-      pairs
+      val out = pairs
         .join(pf.select(col("l_partkey").as("part_a"),
           col("n_part").as("n_a")), Seq("part_a"))
         .join(pf.select(col("l_partkey").as("part_b"),
@@ -1479,6 +1485,11 @@ object RelationalQueries {
           expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_ppm"))
         .orderBy(col("lift_ppm").desc, col("part_a"), col("part_b"))
         .limit(50)
+      // force + release the basket leaf (VERDICT r20 #6 — see
+      // join_copurchase_pairs)
+      try s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      finally { liRdd.unpersist(); () }
     }),
 
     // DP-SHAPED noisy release: per-(lang, source) doc counts with

@@ -25,7 +25,16 @@ object Tables {
     * carries ≥ cores splits (any real-scale input), this is the
     * identity — no exchange is added, so the 100 TB plan is unchanged.
     * Row-level results are partitioning-invariant in every caller
-    * (aggregations / per-row maps), so output is identical. */
+    * (aggregations / per-row maps), so output is identical.
+    *
+    * Caller contract (ADVICE r20): wrap only scan/project/filter-shaped
+    * plans (or frames over already-materialized RDDs). Reading
+    * `df.rdd.getNumPartitions` instantiates the physical plan at
+    * query-BUILD time — on a plan containing a broadcast join or
+    * subquery that can eagerly fire the upstream stages, and the
+    * pre-AQE partition count may not match final task counts. Every
+    * current caller passes a base-table scan (± filter/select) or a
+    * persisted-RDD frame. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df

@@ -364,6 +364,10 @@ object TextQueries {
         java.util.UUID.randomUUID().toString.replace("-", "")
       val path = java.nio.file.Files
         .createTempDirectory("graft_tokvec_index_").toString
+      // r21: a spread + bucket-keyed-exchange rewrite of this write was
+      // measured min-of-3 and REVERTED (1.77 -> 2.79 s at local[32] —
+      // stage overhead beat the parallelized tokenize; see the
+      // VectorOps build-path note)
       Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
@@ -1507,8 +1511,13 @@ object TextQueries {
             expr("(850 * r * wt) div (1000 * wu)").as("cc"))
           .groupBy(col("node")).agg((lit(base) + sum(col("cc"))).as("r"))
       }
-      r.orderBy(col("r").desc, col("node")).limit(20)
+      val out = r.orderBy(col("r").desc, col("node")).limit(20)
         .select(col("node").as("token"), col("r").as("rank_ppb"))
+      // force the k-bounded keyword list and RELEASE the edge leaf
+      // (VERDICT r20 #6): no persisted RDD outlives the query
+      try s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+      finally { eRdd.unpersist(); () }
     }),
 
     // PMI COLLOCATIONS (Church & Hanks, CL 1990): the top bigram
@@ -1561,27 +1570,56 @@ object TextQueries {
     // doc-id grid (the zipf/ks precedent).
     "text_heaps_law" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val wR = Window.orderBy(col("doc_id"))
-      val cumW = wR.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      val ranked = d
-        .select(col("doc_id"),
+      // rank / cum_n / cum_v are global prefix sums in doc order. The
+      // r20 form stamped them with UNPARTITIONED corpus-sized windows
+      // (one row per document through one task — the §2 pattern);
+      // this is the scalable TWO-LEVEL range-grid cumsum the repo
+      // already uses (PipelineOps.shardManifest): per-range subtotals
+      // (N/R rows — the only global window left, metadata-sized) are
+      // cumsum'd and broadcast back, a range-partitioned window adds
+      // the within-range running sum. doc_id is unique, so the
+      // two-level rank/cumsums equal the global-window originals
+      // exactly — same bits, same oracle.
+      val rangeSize = 100L
+      val base = d.select(col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("ntoks"))
-        .withColumn("rank", row_number().over(wR).cast("long"))
-        .withColumn("cum_n", sum(col("ntoks")).over(cumW))
+        .withColumn("rng", expr(s"doc_id div $rangeSize"))
+      val wOff = Window.orderBy(col("rng"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = base.groupBy(col("rng"))
+        .agg(count(lit(1)).as("rng_docs"), sum(col("ntoks")).as("rng_toks"))
+        .withColumn("rank_off",
+          coalesce(sum(col("rng_docs")).over(wOff), lit(0L)))
+        .withColumn("tok_off",
+          coalesce(sum(col("rng_toks")).over(wOff), lit(0L)))
+        .select(col("rng"), col("rank_off"), col("tok_off"))
+      val wIn = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+      val ranked = base.join(broadcast(off), Seq("rng"))
+        .withColumn("rank",
+          (col("rank_off") + row_number().over(wIn)).cast("long"))
+        .withColumn("cum_n", col("tok_off") + sum(col("ntoks")).over(
+          wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val fr = d.select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(min(col("doc_id")).as("fdoc"))
         .join(ranked.select(col("doc_id").as("fdoc"),
           col("rank").as("frank")), Seq("fdoc"))
         .groupBy(col("frank")).agg(count(lit(1)).as("vnew"))
-      val cv = ranked.select(col("rank"), col("cum_n"))
+      // cum_v rides the rank grid (dense 1..N), same two-level form
+      val vbase = ranked.select(col("rank"), col("cum_n"))
         .join(fr, ranked("rank") === fr("frank"), "left")
         .select(col("rank"), col("cum_n"),
           coalesce(col("vnew"), lit(0L)).as("vnew"))
-        .withColumn("cum_v", sum(col("vnew")).over(
-          Window.orderBy(col("rank")).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("vr", expr(s"(rank - 1) div $rangeSize"))
+      val wvOff = Window.orderBy(col("vr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val voff = vbase.groupBy(col("vr")).agg(sum(col("vnew")).as("vr_sum"))
+        .withColumn("v_off", coalesce(sum(col("vr_sum")).over(wvOff), lit(0L)))
+        .select(col("vr"), col("v_off"))
+      val cv = vbase.join(broadcast(voff), Seq("vr"))
+        .withColumn("cum_v", col("v_off") + sum(col("vnew")).over(
+          Window.partitionBy(col("vr")).orderBy(col("rank"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val dd = ranked.agg(max(col("rank")).as("dd"))
       val cp = s.range(1, 11).select(col("id").as("k"))
         .crossJoin(broadcast(dd))
@@ -1735,9 +1773,14 @@ object TextQueries {
       val tok = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      // top-100 via orderBy+limit (TakeOrderedAndProject — the
+      // distributed top-k), never a rank filter behind a vocab-sized
+      // unpartitioned window; the rank is stamped on the 100-row leaf
+      // (the dsirSelect/rm3Terms pattern — identical selection and
+      // rank under the same (freq desc, token) total order)
       val w = Window.orderBy(col("freq").desc, col("token"))
-      tok.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 100)
+      tok.orderBy(col("freq").desc, col("token")).limit(100)
+        .withColumn("rank", row_number().over(w).cast("long"))
         .select(
           floor(lit(1000.0) * log(col("rank").cast("double")))
             .cast("long").as("x"),

@@ -138,6 +138,30 @@ object GraphOps {
   private def backbone(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(backboneDir(spark, sfDir))
 
+  /** Frontier-pin gate for the iterative BFS forms (VERDICT r20 #5).
+    * Each BFS round references the visited set ~3× (expand, anti-join,
+    * union), so plan lineage grows ~3^depth; at fixture scale the
+    * re-executed subtrees are tiny epoch-parquet scans and per-round
+    * materialization measured 2× SLOWER (OPTIMIZATION_r20.md §10), but
+    * at real scale depth-d lineage re-execution dominates. The gate is
+    * the EDGE RELATION'S on-disk size (one driver-side FS listing — no
+    * job): past `spark.graft.bfs.pinBytes` (default 1 GiB) every
+    * round's visited set is pinned with an eager `localCheckpoint`, so
+    * plan depth and recompute cost stay O(1) in depth. Results are
+    * identical either way — the pin only truncates lineage. */
+  private def bfsPinBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.bfs.pinBytes").map(_.toLong)
+      .getOrElse(1L << 30)
+
+  private def edgeBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
+  private def maybePin(df: DataFrame, srcBytes: Long, pinBytes: Long): DataFrame =
+    if (srcBytes >= pinBytes) df.localCheckpoint() else df
+
   private def symmetric(edges: DataFrame): DataFrame =
     edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -844,6 +868,10 @@ object GraphOps {
       if (labeled) dstLists0.join(lbl("dst"), Seq("dst")) else dstLists0
     val probeW = Window.partitionBy(col("src"))
       .orderBy(col("_csim").desc, col("cid"))
+    // r21: spreading this side (with the cellsDir/writeGraphIndex
+    // assignment spreads) was measured min-of-3 and REVERTED — the
+    // full graph build went 8.41 -> 10.22 s at local[32]; see the
+    // VectorOps build-path note
     val srcProbe0 = embAs("src", "aemb").crossJoin(cents)
       .withColumn("_csim", round(VectorOps.cosine(col("aemb"), col("cv")), 6))
       .withColumn("_cr", row_number().over(probeW))
@@ -1536,6 +1564,8 @@ object GraphOps {
       maxDepth: Int): DataFrame = {
     require(maxDepth == 4, "the 1/d ppm literal table is built for depth 4")
     val sym = symmetric(backbone(spark, sfDir)).select(col("src"), col("dst"))
+    val eb = edgeBytes(spark, backboneDir(spark, sfDir))
+    val pin = bfsPinBytes(spark)
     val roots = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       .orderBy(col("dg").desc, col("src")).limit(k)
       .select(col("src").as("root"))
@@ -1549,7 +1579,7 @@ object GraphOps {
       val fresh = expand.join(visited.select(col("root"), col("node")),
           Seq("root", "node"), "left_anti")
         .withColumn("depth", lit(d.toLong))
-      visited = visited.unionAll(fresh)
+      visited = maybePin(visited.unionAll(fresh), eb, pin)
     }
     visited.filter(col("depth") > 0)
       .withColumn("invd", expr(
@@ -1563,6 +1593,8 @@ object GraphOps {
   def bfsDepths(spark: SparkSession, sfDir: String,
       maxDepth: Int): DataFrame = {
     val sym = symmetric(backbone(spark, sfDir))
+    val eb = edgeBytes(spark, backboneDir(spark, sfDir))
+    val pin = bfsPinBytes(spark)
     val seed = sym.agg(min(col("src")).as("node"))
     var visited = seed.withColumn("depth", lit(0L))
     for (d <- 1 to maxDepth) {
@@ -1572,7 +1604,7 @@ object GraphOps {
       val fresh = expand.join(visited.select(col("node")),
           Seq("node"), "left_anti")
         .withColumn("depth", lit(d.toLong))
-      visited = visited.unionAll(fresh)
+      visited = maybePin(visited.unionAll(fresh), eb, pin)
     }
     visited
   }

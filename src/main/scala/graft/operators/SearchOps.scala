@@ -59,6 +59,9 @@ object SearchOps {
     * never reshuffles the corpus. */
   def writeSearchIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, path: String, numBuckets: Int = 8): Unit =
+    // r21: spreading `docs` here was measured min-of-3 and REVERTED
+    // (1.09 -> 1.39 s at local[32] — the build is stage-bound, not
+    // tokenize-bound; see the VectorOps build-path note)
     invertedIndex(docs, idCol, textCol)
       .write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, "term")

@@ -70,6 +70,20 @@ object VectorOps {
       .drop("_q_scale")
   }
 
+  // r21 NOTE — attempted and REVERTED (OPTIMIZATION_r21.md): wrapping
+  // the build-path corpus references (trainCentroids' Lloyd passes,
+  // pqTrainCodebooks, pqEncode, the write paths' assignLists/quantize
+  // stages) in Tables.spread was measured min-of-3 on throwaway builds
+  // and came out SLOWER at local[32] (trainCentroids 0.98 -> 1.89 s,
+  // writeIvfPqResidualIndex 6.63 -> 8.95 s, writeSearchIndex
+  // 1.09 -> 1.39 s): these builds are STAGE-bound, not compute-bound
+  // (a full Lloyd pass here is ~10-50 M flops), so the extra exchange
+  // + 32 tiny tasks per corpus reference cost more than the
+  // parallelized arithmetic saved. At real scale the conditional
+  // spread is the identity, so reverting costs nothing there either.
+  // Don't re-try blind — the r20 audio-seed-spread lesson at build
+  // scale.
+
   /** Exact integer dot of two int8 vectors, accumulated in long (max
     * |term| 127² = 16129 — no overflow below ~5.7e14 dimensions). Routed
     * through the native codegen'd [[graft.functions.DotProductIntExact]]

@@ -51,6 +51,49 @@ class Round20PerfSpec extends AnyFunSuite {
     assert(canon(hoisted) == canon(trained))
   }
 
+  test("hoisted SQ8 probe equals the self-training SQ8 probe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = SimilarityQueries.ivfK(emb)
+    val cents = spark.table(
+      s"${SimilarityQueries.ivfIndexFor(spark, sfDir)}_cents")
+    val q = emb.filter(col("vec_id") < 3)
+    val hoisted = graft.operators.VectorOps
+      .ivfTopKSq8With(cents, q, emb, k = 3, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    val trained = graft.operators.VectorOps
+      .ivfTopKSq8(q, emb, k = 3, numCentroids = k, nProbe = 4, trainIters = 2)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    assert(canon(hoisted) == canon(trained))
+  }
+
+  test("hoisted hard-negative mining equals the self-training form") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = SimilarityQueries.ivfK(emb)
+    val cents = spark.table(
+      s"${SimilarityQueries.ivfIndexFor(spark, sfDir)}_cents")
+    val q = emb.filter(col("vec_id") < 3)
+    val hoisted = graft.operators.VectorOps
+      .ivfHardNegativesWith(cents, q, emb, k = 5, nProbe = 4,
+        loCos = 0.30, hiCos = 0.90)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    val trained = graft.operators.VectorOps
+      .ivfHardNegatives(q, emb, k = 5, numCentroids = k, nProbe = 4,
+        trainIters = 2, loCos = 0.30, hiCos = 0.90)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+    assert(canon(hoisted) == canon(trained))
+  }
+
+  test("hoisted silhouette equals the self-training silhouette") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = SimilarityQueries.ivfK(emb)
+    val cents = spark.table(
+      s"${SimilarityQueries.ivfIndexFor(spark, sfDir)}_cents")
+    val hoisted = graft.operators.VectorOps.clusterSilhouetteWith(cents, emb)
+    val trained = graft.operators.VectorOps
+      .clusterSilhouette(emb, numCentroids = k, trainIters = 2)
+    assert(canon(hoisted) == canon(trained))
+  }
+
   test("Tables.spread preserves rows and no-ops on wide inputs") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     assert(canon(Tables.spread(docs)) == canon(docs))
